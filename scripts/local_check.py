@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle SQL in DuckDB
+over the same parquet tables and diff against the Verify parquet dumps.
+Dev-only tooling (driver-side python/duckdb); not part of the shipped library."""
+import json, sys, glob, os
+import duckdb
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(p).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+results = {}
+for name in sorted(os.listdir(outdir)):
+    d = os.path.join(outdir, name)
+    if not os.path.isdir(d):
+        continue
+    spark_rel = con.sql(f"SELECT * FROM read_parquet('{d}/*.parquet')")
+    if name not in oracle:
+        results[name] = f"rows-only ({spark_rel.shape[0]} rows)"
+        continue
+    try:
+        oracle_rel = con.sql(oracle[name])
+        scols = sorted(spark_rel.columns)
+        ocols = sorted(oracle_rel.columns)
+        if [c.lower() for c in scols] != [c.lower() for c in ocols]:
+            results[name] = f"SCHEMA MISMATCH spark={scols} oracle={ocols}"
+            continue
+        sdf = spark_rel.df()[scols].sort_values(scols, kind="mergesort").reset_index(drop=True)
+        odf = oracle_rel.df()[ocols].sort_values(ocols, kind="mergesort").reset_index(drop=True)
+        odf.columns = sdf.columns
+        if len(sdf) != len(odf):
+            results[name] = f"ROWCOUNT MISMATCH spark={len(sdf)} oracle={len(odf)}"
+            continue
+        import pandas as pd
+        bad = None
+        for c in scols:
+            a, b = sdf[c], odf[c]
+            if a.dtype.kind == "f" or b.dtype.kind == "f":
+                import numpy as np
+                an, bn = a.astype(float), b.astype(float)
+                eq = (an.isna() & bn.isna()) | (np.isclose(an, bn, rtol=0, atol=1e-9))
+            else:
+                eq = (a.isna() & b.isna()) | (a.astype(str) == b.astype(str))
+            if not eq.all():
+                i = int((~eq).idxmax())
+                bad = f"VALUE MISMATCH col={c} row={i} spark={a[i]!r} oracle={b[i]!r} ({int((~eq).sum())} bad)"
+                break
+        results[name] = bad or f"OK ({len(sdf)} rows)"
+    except Exception as e:
+        results[name] = f"ORACLE ERROR: {e}"
+
+fails = 0
+for k, v in sorted(results.items()):
+    status = "PASS" if v.startswith(("OK", "rows-only")) else "FAIL"
+    if status == "FAIL":
+        fails += 1
+    print(f"{status:4} {k:22} {v}")
+print(f"\n{len(results) - fails}/{len(results)} pass")
+sys.exit(1 if fails else 0)

@@ -1,13 +1,408 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Cdc
+import graft.ops.{DedupOps, MultimodalOps, TextOps, VectorOps}
+import graft.functions.TextFunctions
+
+/**
+ * Driver contract — one `queries` entry per implemented operator (SURVEY.md §2 inventory plus
+ * the training-data-pipeline operator set), with a DuckDB oracle for everything SQL-expressible.
+ *
+ * Conventions shared with the oracles (driver hash-compares after sorting columns by name):
+ *  - aggregate money/value sums go through exact DECIMAL arithmetic, then CAST to DOUBLE
+ *    (identical bits in both engines; avoids fp-sum-order and decimal-precision drift);
+ *  - counts are LONG, ratios are DOUBLE rounded to fixed scale;
+ *  - timestamps cross the comparison boundary as formatted strings or epoch-millis longs.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark 4 refuses
+    // (PARQUET_TYPE_ILLEGAL); read it as a nanos long and convert to micros TimestampType
+    // here so every query downstream sees a plain timestamp column.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df0 = s.read.parquet(s"$dir/$name.parquet")
+    if (df0.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
+      df0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df0
+  }
+
+  private def dec(c: Column, p: Int = 18, s: Int = 2): Column = c.cast(DecimalType(p, s))
+
+  // ---------------------------------------------------------------------------------------------
+  // CDC: simulated Debezium envelope stream over the `events` table.
+  // op mapping: signup→c, purchase→u, error→d (delete), else r; entity pk = user_id;
+  // source position = event_id (the arrival total order, SURVEY §7.4.2).
+  // ---------------------------------------------------------------------------------------------
+
+  private val EnvelopeSchema = StructType(Seq(
+    StructField("op", StringType),
+    StructField("after", StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))),
+    StructField("before", StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))),
+    StructField("source", StructType(Seq(
+      StructField("ts_ms", LongType), StructField("file", StringType),
+      StructField("pos", LongType))))))
+
+  /** Render events as raw Debezium envelope JSON strings (the CDC source's wire format). */
+  private def eventEnvelopes(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val isDel = col("event_type") === "error"
+    val op = when(col("event_type") === "signup", "c")
+      .when(col("event_type") === "purchase", "u")
+      .when(isDel, "d").otherwise("r")
+    val payload = struct(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val pkOnly = struct(lit(null).cast(LongType).as("event_id"), col("user_id"),
+      lit(null).cast(StringType).as("event_type"), lit(null).cast(DoubleType).as("value"))
+    ev.select(to_json(struct(
+      op.as("op"),
+      when(isDel, lit(null)).otherwise(payload).as("after"),
+      when(isDel, pkOnly).otherwise(lit(null)).as("before"),
+      struct(unix_millis(col("ts")).as("ts_ms"), lit("binlog.000001").as("file"),
+        col("event_id").as("pos")).as("source"))).as("value"))
+  }
+
+  /** Parse + unwrap (P1/P2) + normalize (P8): the full envelope→staging-row path. */
+  private def unwrapped(s: SparkSession, dir: String): DataFrame = {
+    val parsed = eventEnvelopes(s, dir)
+      .select(from_json(col("value"), EnvelopeSchema).as("j"))
+      .select(col("j.*"))
+    Cdc.normalizeColumns(Cdc.unwrapEnvelope(parsed, withBinlogPosition = true))
+  }
+
+  private val unwrapOracle =
+    """WITH u AS (
+      |  SELECT
+      |    CASE WHEN event_type='error' THEN NULL ELSE event_id END AS event_id,
+      |    user_id,
+      |    CASE WHEN event_type='error' THEN NULL ELSE event_type END AS et,
+      |    CASE WHEN event_type='error' THEN NULL ELSE value END AS v,
+      |    CASE WHEN event_type='signup' THEN 'c' WHEN event_type='purchase' THEN 'u'
+      |         WHEN event_type='error' THEN 'd' ELSE 'r' END AS op,
+      |    CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_ms,
+      |    'binlog.000001' AS file, event_id AS pos,
+      |    CASE WHEN event_type='error' THEN 'true' ELSE 'false' END AS deleted
+      |  FROM events)
+      |""".stripMargin
+
+  // ---------------------------------------------------------------------------------------------
+
+  /** Flagship: full CDC pipeline (envelope → unwrap → LWW dedupe) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("cdc_dedupe_lww")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- analytics / bench headliners ---------------------------------------------------------
+
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+          sum(dec(col("l_extendedprice"), 12, 2) * (lit(1) - dec(col("l_discount"), 4, 2)))
+            .cast(DoubleType).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    "q3_top_customers" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .filter(o("o_orderstatus") === "F")
+        .groupBy(c("c_custkey"), c("c_name"))
+        .agg(
+          sum(dec(col("l_extendedprice"), 12, 2) * (lit(1) - dec(col("l_discount"), 4, 2)))
+            .cast(DoubleType).as("revenue"),
+          countDistinct(o("o_orderkey")).as("n_orders"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(10)
+    }),
+
+    "q_dim_join" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      sup.join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(dec(col("s_acctbal"))).cast(DoubleType).as("sum_acctbal"))
+    }),
+
+    // ---- CDC operator inventory (SURVEY §2) ---------------------------------------------------
+
+    // P1+P2+P8: envelope unwrap with delete rewrite + system columns
+    "cdc_unwrap" -> ((s, dir) => unwrapped(s, dir)),
+
+    // D1+D2+D5+D7: last-write-wins dedupe over the arrival total order (binlog pos)
+    "cdc_dedupe_lww" -> ((s, dir) =>
+      Cdc.dedupeLastWins(unwrapped(s, dir), Seq("user_id"), orderCol = "KBC__POS")),
+
+    // D9: no-pkey fallback — key = all non-system columns
+    "cdc_dedupe_nopk" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
+        col("event_id").as("KBC__BATCH_EVENT_ORDER"))
+      Cdc.dedupeLastWins(ev, Seq.empty, orderCol = "KBC__BATCH_EVENT_ORDER")
+    }),
+
+    // D6+P6+E2+E3: schema-epoch union with NULL padding for drifted columns
+    "cdc_chunk_union" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val epoch1 = ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val epoch2 = ev.filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("props"))
+      Cdc.unionEpochs(Seq(epoch1, epoch2))
+    }),
+
+    // D7: total event order consistent with arrival (distributed assignment, no global window)
+    "cdc_event_order" -> ((s, dir) => {
+      val ordered = Cdc.assignEventOrder(t(s, dir, "events"), Seq(col("ts"), col("event_id")))
+      ordered.select(col("event_id"), col(Cdc.OrderCol).as("KBC__BATCH_EVENT_ORDER"))
+    }),
+
+    // §1.3/§2.6: golden value rendering — epoch-day date, epoch-millis ts (UTC), base64, ms-of-day
+    "cdc_type_render" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.select(
+        col("event_id"),
+        date_add(to_date(lit("1970-01-01")), floor(col("value")).cast(IntegerType)).as("as_date"),
+        date_format(timestamp_millis(unix_millis(col("ts"))), "yyyy-MM-dd HH:mm:ss.SSS").as("as_ts"),
+        base64(col("event_type").cast(BinaryType)).as("as_b64"),
+        ((hour(col("ts")) * 3600 + minute(col("ts")) * 60 + second(col("ts"))) * lit(1000L))
+          .cast(LongType).as("ms_of_day"))
+    }),
+
+    // ---- event-stream analytics ---------------------------------------------------------------
+
+    // tumbling-window aggregation (batch form of the streaming windowed agg)
+    "ev_window_agg" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
+        .select(date_format(col("w"), "yyyy-MM-dd HH:mm").as("hour_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+    }),
+
+    // running aggregates per key (ordered window)
+    "ev_running_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        row_number().over(w).cast(LongType).as("rn"),
+        sum(dec(col("value"))).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast(DoubleType).as("running_value"))
+    }),
+
+    // ---- training-data ops: dedup family ------------------------------------------------------
+
+    "doc_dedup_exact" -> ((s, dir) => DedupOps.exactDupes(t(s, dir, "documents"))),
+
+    "doc_minhash_lsh" -> ((s, dir) =>
+      DedupOps.minhashLshPairs(t(s, dir, "documents"), threshold = 0.2)),
+
+    "doc_simhash" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"), TextFunctions.simhash(TextFunctions.tokens(col("text"))).as("simhash"))
+    }),
+
+    "doc_ngram_jaccard" -> ((s, dir) =>
+      DedupOps.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.2)),
+
+    "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(t(s, dir, "documents"))),
+
+    // ---- training-data ops: text analysis -----------------------------------------------------
+
+    "doc_langid" -> ((s, dir) => TextOps.langId(t(s, dir, "documents"))),
+    "doc_quality" -> ((s, dir) => TextOps.qualityScore(t(s, dir, "documents"))),
+    "doc_tokens" -> ((s, dir) => TextOps.tokenStats(t(s, dir, "documents"))),
+
+    // ---- training-data ops: similarity search -------------------------------------------------
+
+    "emb_ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      VectorOps.bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 3)
+        .withColumn("sim", round(col("sim"), 4))
+    }),
+
+    "emb_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      VectorOps.lshTopK(e, e.filter(col("vec_id") < 8), k = 3, nPlanes = 4)
+        .withColumn("sim", round(col("sim"), 4))
+    }),
+
+    "emb_dedup_cosine" -> ((s, dir) => {
+      VectorOps.cosineNearDupPairsExact(t(s, dir, "embeddings"), threshold = 0.4, blockCol = "label")
+        .withColumn("sim", round(col("sim"), 4))
+    }),
+
+    // ---- training-data ops: multimodal plumbing -----------------------------------------------
+
+    "mm_media_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("blob", encode(col("text"), "UTF-8"))
+      val meta = MultimodalOps.withMediaMeta(d, "blob")
+        .select(col("doc_id"), col("media_meta.content_md5").as("content_md5"),
+          col("media_meta.n_bytes").as("n_bytes"))
+      val decoded = MultimodalOps.decodeMedia(d.select(col("doc_id"), col("blob")), "blob", "doc_id")
+      meta.join(decoded, "doc_id")
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_customers" ->
+      """SELECT c.c_custkey, c.c_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(DISTINCT o.o_orderkey) AS n_orders
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |GROUP BY c.c_custkey, c.c_name
+        |ORDER BY revenue DESC, c.c_custkey LIMIT 10""".stripMargin,
+
+    "q_dim_join" ->
+      """SELECT r_name, COUNT(*) AS n_suppliers,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    "cdc_unwrap" -> (unwrapOracle +
+      """SELECT event_id, user_id, et AS "event_type", v AS "value",
+        |  op AS "KBC__OPERATION", ts_ms AS "KBC__EVENT_TIMESTAMP_MS", file AS "KBC__FILE",
+        |  pos AS "KBC__POS", deleted AS "KBC__DELETED"
+        |FROM u""".stripMargin),
+
+    "cdc_dedupe_lww" -> (unwrapOracle +
+      """, d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn FROM u)
+        |SELECT event_id, user_id, et AS "event_type", v AS "value",
+        |  op AS "KBC__OPERATION", ts_ms AS "KBC__EVENT_TIMESTAMP_MS", file AS "KBC__FILE",
+        |  pos AS "KBC__POS", deleted AS "KBC__DELETED"
+        |FROM d WHERE rn = 1""".stripMargin),
+
+    "cdc_dedupe_nopk" ->
+      """SELECT user_id, event_type, MAX(event_id) AS "KBC__BATCH_EVENT_ORDER"
+        |FROM events GROUP BY user_id, event_type""".stripMargin,
+
+    "cdc_chunk_union" ->
+      """SELECT event_id, user_id, event_type, CAST(NULL AS DOUBLE) AS "value",
+        |  CAST(NULL AS VARCHAR) AS props
+        |FROM events WHERE event_id % 2 = 0
+        |UNION ALL
+        |SELECT event_id, user_id, event_type, value, props
+        |FROM events WHERE event_id % 2 = 1""".stripMargin,
+
+    "cdc_event_order" ->
+      """SELECT event_id,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS BIGINT) AS "KBC__BATCH_EVENT_ORDER"
+        |FROM events""".stripMargin,
+
+    "cdc_type_render" ->
+      """SELECT event_id,
+        |  DATE '1970-01-01' + CAST(FLOOR(value) AS INT) AS as_date,
+        |  strftime(epoch_ms(CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT)), '%Y-%m-%d %H:%M:%S.%g') AS as_ts,
+        |  to_base64(encode(event_type)) AS as_b64,
+        |  CAST((date_part('hour', CAST(ts AS TIMESTAMP)) * 3600
+        |      + date_part('minute', CAST(ts AS TIMESTAMP)) * 60
+        |      + date_part('second', CAST(ts AS TIMESTAMP))) * 1000 AS BIGINT) AS ms_of_day
+        |FROM events""".stripMargin,
+
+    "ev_window_agg" ->
+      """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS hour_start,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "ev_running_window" ->
+      """SELECT event_id, user_id,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events""".stripMargin,
+
+    "doc_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "doc_langid" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS score_en,
+        |  CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht'))) AS BIGINT) AS score_de,
+        |  CAST(len(list_filter(toks, x -> x IN ('el','la','los','de','y','es','no'))) AS BIGINT) AS score_es
+        |  FROM t)
+        |SELECT doc_id, score_en, score_de, score_es,
+        |  CASE WHEN score_en >= score_de AND score_en >= score_es AND score_en > 0 THEN 'en'
+        |       WHEN score_de >= score_es AND score_de > 0 THEN 'de'
+        |       WHEN score_es > 0 THEN 'es' ELSE 'und' END AS lang_pred
+        |FROM s""".stripMargin,
+
+    "doc_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(toks) AS DOUBLE) AS n_tok,
+        |  CAST(length(text) AS DOUBLE) AS n_char,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','on','for','with','as','at'))) AS DOUBLE) AS n_stop,
+        |  CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) AS n_space
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(n_tok AS BIGINT) AS n_tokens,
+        |  CASE WHEN n_tok > 0 THEN ROUND(n_char / n_tok, 4) ELSE 0.0 END AS mean_token_len,
+        |  CASE WHEN n_char > 0 THEN ROUND(n_space / n_char, 4) ELSE 0.0 END AS space_ratio,
+        |  CASE WHEN n_tok > 0 THEN ROUND(n_stop / n_tok, 4) ELSE 0.0 END AS stopword_ratio,
+        |  ROUND((CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 0.5 ELSE 0.0 END)
+        |      + (CASE WHEN n_tok > 0 THEN (n_stop / n_tok) * 0.5 ELSE 0.0 END), 4) AS quality_score
+        |FROM m""".stripMargin,
+
+    "doc_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(CEIL(length(text) / 4.0) AS BIGINT) AS n_bpe_est
+        |FROM documents""".stripMargin,
+
+    "emb_ann_topk" ->
+      """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS sim
+        |FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |WHERE q.vec_id < 8
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |  ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+        |           c.vec_id) <= 3""".stripMargin,
+
+    "emb_dedup_cosine" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
+
+    "mm_media_meta" ->
+      """SELECT doc_id, md5(text) AS content_md5,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+        |  CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
+        |  CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
+        |FROM documents""".stripMargin)
 }

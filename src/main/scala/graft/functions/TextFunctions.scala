@@ -1,0 +1,152 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge.{column, expression}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native Catalyst expressions for document fingerprinting / near-duplicate detection.
+ *
+ * All hashing is xxHash64 via Spark's own `XXH64` (the same primitive behind
+ * `functions.xxhash64`), operating directly on `UTF8String` bytes — no per-row object churn.
+ * Each expression does its whole per-document computation in ONE pass over the token array;
+ * the composable alternative (k× `transform` + `array_min`) re-walks the array k times through
+ * interpreted higher-order functions.
+ */
+object TextExpressions {
+
+  private val Seed1 = 0x9747b28cL
+  private val Seed2 = 0x85ebca6bL
+
+  @inline private def hash(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
+
+  /**
+   * `minhash(shingles, k)` → `array<long>` of k MinHash signature values.
+   * Standard double-hashing construction g_i(x) = h1(x) + i*h2(x) (Kirsch–Mitzenmacher):
+   * two real hashes per shingle, k derived permutations.
+   */
+  case class MinHashSignature(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k > 0)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val mins = Array.fill(k)(Long.MaxValue)
+      var j = 0
+      while (j < arr.numElements()) {
+        val s = arr.getUTF8String(j)
+        if (s != null) {
+          val h1 = hash(s, Seed1); val h2 = hash(s, Seed2)
+          var i = 0
+          while (i < k) { val g = h1 + i * h2; if (g < mins(i)) mins(i) = g; i += 1 }
+        }
+        j += 1
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /**
+   * `simhash64(tokens)` → 64-bit SimHash fingerprint (Charikar). Near-duplicates have small
+   * Hamming distance — compare with `bit_count(a ^ b)` (codegen'd built-ins).
+   */
+  case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val counts = new Array[Int](64)
+      var j = 0
+      while (j < arr.numElements()) {
+        val s = arr.getUTF8String(j)
+        if (s != null) {
+          val h = hash(s, Seed1)
+          var b = 0
+          while (b < 64) { if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1; b += 1 }
+        }
+        j += 1
+      }
+      var sig = 0L; var b = 0
+      while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+      sig
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  /**
+   * `min_k_hashes(tokens, k)` → sorted k smallest distinct xxhash64 values — a bottom-k sketch
+   * usable both as a compact document fingerprint and as a Jaccard estimator
+   * (|A∩B|/|A∪B| ≈ overlap of bottom-k sketches).
+   */
+  case class MinKHashes(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k > 0)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      // bounded max-heap of size k over hashes (scale path: O(n log k), no full sort)
+      val heap = new java.util.PriorityQueue[java.lang.Long](k, java.util.Collections.reverseOrder())
+      val seen = new java.util.HashSet[java.lang.Long]()
+      var j = 0
+      while (j < arr.numElements()) {
+        val s = arr.getUTF8String(j)
+        if (s != null) {
+          val h: java.lang.Long = hash(s, Seed1)
+          if (!seen.contains(h)) {
+            if (heap.size < k) { heap.add(h); seen.add(h) }
+            else if (h < heap.peek()) { seen.remove(heap.poll()); heap.add(h); seen.add(h) }
+          }
+        }
+        j += 1
+      }
+      val out = new Array[Long](heap.size)
+      var i = out.length - 1
+      while (i >= 0) { out(i) = heap.poll(); i -= 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+}
+
+/** Column-level text API: tokenization, shingling, fingerprints, LSH banding. */
+object TextFunctions {
+  import TextExpressions._
+
+  /** Lowercased word tokens (codegen'd built-ins only). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+
+  /** Word n-gram shingles from a token array (built-in HOFs; stays declarative). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast(ArrayType(StringType)))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+
+  def minhash(shingles: Column, k: Int): Column = column(MinHashSignature(expression(shingles), k))
+  def simhash(toks: Column): Column             = column(SimHash64(expression(toks)))
+  def minKHashes(toks: Column, k: Int): Column  = column(MinKHashes(expression(toks), k))
+
+  /**
+   * LSH band hashes from a minhash signature: `bands` hashes, each over `rows = k/bands`
+   * consecutive signature values. Explode + groupBy band value = candidate buckets; the
+   * join key is `(bandIdx, bandHash)` so candidates only pair within a band — the standard
+   * MinHash-LSH candidate generation that avoids the O(n²) pairwise compare at scale.
+   */
+  def bandHashes(sig: Column, bands: Int, rows: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, array_join(transform(slice(sig, b * rows + lit(1), lit(rows)), _.cast(StringType)), ",")))
+
+  /** Hamming distance between two 64-bit fingerprints (codegen'd built-ins). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,151 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge.{column, expression}
+import org.apache.spark.sql.types._
+
+/**
+ * Native Catalyst expressions for embedding vectors (`array<float>` columns).
+ *
+ * These stay in whole-stage codegen (`doGenCode` emits a tight primitive loop) — orders of
+ * magnitude cheaper per row than a Scala UDF (SerDe per call) or the higher-order-function
+ * route (`aggregate(zip_with(..))`, interpreted per element). At 100 TB a brute-force
+ * similarity pass is hash-join-shaped: dot products dominate, so the inner loop must be
+ * primitive-typed and allocation-light.
+ */
+object VectorExpressions {
+
+  private def floats(a: Any): Array[Float] = a.asInstanceOf[ArrayData].toFloatArray()
+
+  abstract class BinaryVectorExpression extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+  }
+
+  /** `dot(a, b)` — inner product of two float vectors. */
+  case class DotProduct(left: Expression, right: Expression) extends BinaryVectorExpression {
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = floats(a); val y = floats(b)
+      var acc = 0.0; var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) { acc += x(i).toDouble * y(i); i += 1 }
+      acc
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val (x, y, i, n, acc) = (ctx.freshName("x"), ctx.freshName("y"), ctx.freshName("i"),
+          ctx.freshName("n"), ctx.freshName("acc"))
+        s"""
+           |float[] $x = $a.toFloatArray();
+           |float[] $y = $b.toFloatArray();
+           |int $n = java.lang.Math.min($x.length, $y.length);
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) { $acc += ((double) $x[$i]) * $y[$i]; }
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
+  /** `cosine(a, b)` — cosine similarity; 0.0 when either norm is zero. */
+  case class CosineSimilarity(left: Expression, right: Expression) extends BinaryVectorExpression {
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = floats(a); val y = floats(b)
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val xv = x(i).toDouble; val yv = y(i).toDouble
+        dot += xv * yv; nx += xv * xv; ny += yv * yv; i += 1
+      }
+      if (nx == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nx * ny)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val (x, y, i, n) = (ctx.freshName("x"), ctx.freshName("y"), ctx.freshName("i"), ctx.freshName("n"))
+        val (dot, nx, ny, xv, yv) = (ctx.freshName("dot"), ctx.freshName("nx"), ctx.freshName("ny"),
+          ctx.freshName("xv"), ctx.freshName("yv"))
+        s"""
+           |float[] $x = $a.toFloatArray();
+           |float[] $y = $b.toFloatArray();
+           |int $n = java.lang.Math.min($x.length, $y.length);
+           |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $xv = (double) $x[$i]; double $yv = (double) $y[$i];
+           |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+           |}
+           |${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0 : $dot / java.lang.Math.sqrt($nx * $ny);
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
+  /** `l2_norm(a)`. */
+  case class L2Norm(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(a: Any): Any = {
+      val x = floats(a); var acc = 0.0; var i = 0
+      while (i < x.length) { acc += x(i).toDouble * x(i); i += 1 }
+      math.sqrt(acc)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val (x, i, acc) = (ctx.freshName("x"), ctx.freshName("i"), ctx.freshName("acc"))
+        s"""
+           |float[] $x = $a.toFloatArray();
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $x.length; $i++) { $acc += ((double) $x[$i]) * $x[$i]; }
+           |${ev.value} = java.lang.Math.sqrt($acc);
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  /**
+   * `hyperplane_lsh(vec)` — random-hyperplane (SimHash-for-vectors) bucket id: bit p of the
+   * result is the sign of `planes(p) · vec`. Planes are generated deterministically from `seed`
+   * driver-side and shipped inside the expression (broadcast with the serialized plan), so the
+   * scan side needs no join to bucket — the standard scale path for ANN candidate generation.
+   */
+  case class HyperplaneLsh(child: Expression, planes: Array[Array[Float]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(a: Any): Any = {
+      val v = floats(a)
+      var sig = 0L; var p = 0
+      while (p < planes.length) {
+        val plane = planes(p)
+        var acc = 0.0; var i = 0
+        val n = math.min(plane.length, v.length)
+        while (i < n) { acc += plane(i).toDouble * v(i); i += 1 }
+        if (acc >= 0) sig |= (1L << p)
+        p += 1
+      }
+      sig
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+}
+
+/** Column-level API. */
+object VectorFunctions {
+  import VectorExpressions._
+
+  def dot(a: Column, b: Column): Column    = column(DotProduct(expression(a), expression(b)))
+  def cosine(a: Column, b: Column): Column = column(CosineSimilarity(expression(a), expression(b)))
+  def l2Norm(a: Column): Column            = column(L2Norm(expression(a)))
+
+  /** Deterministic Gaussian hyperplanes for LSH (fixed seed ⇒ reproducible buckets). */
+  def makePlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Float]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+  }
+
+  def hyperplaneLsh(v: Column, planes: Array[Array[Float]]): Column =
+    column(HyperplaneLsh(expression(v), planes))
+}

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Core CDC relational operators, Spark-first.
+ *
+ * The reference materializes change events into DuckDB chunk tables and dedupes with a
+ * MAP/REDUCE of per-chunk window queries + an anti-join pk cache
+ * (`db_components/db_common/staging.py:216-282`). On Spark the chunking machinery (a DuckDB
+ * memory workaround) disappears: one `unionByName` + one window / aggregate over the shuffled
+ * data does the whole job, spilling as needed, with AQE handling skew.
+ */
+object Cdc {
+
+  /** Staging system columns (reference `AbstractDebeziumTask.java:136-141`,
+    * `AbstractDbConverter.java:41`). */
+  val OpCol        = "kbc__operation"
+  val TsCol        = "kbc__event_timestamp"
+  val FileCol      = "kbc__file"
+  val PosCol       = "kbc__pos"
+  val DeletedCol   = "__deleted"
+  val OrderCol     = "kbc__batch_event_order"
+
+  val SystemCols: Seq[String] = Seq(OpCol, TsCol, FileCol, PosCol, DeletedCol, OrderCol)
+
+  /** Staging → output renames (reference `ex_postgres_cdc/src/component.py:61-64`,
+    * `ex_mysql_cdc/src/component.py:70-75`). */
+  val OutputRenames: Map[String, String] = Map(
+    OpCol      -> "KBC__OPERATION",
+    TsCol      -> "KBC__EVENT_TIMESTAMP_MS",
+    FileCol    -> "KBC__FILE",
+    PosCol     -> "KBC__POS",
+    DeletedCol -> "KBC__DELETED",
+    OrderCol   -> "KBC__BATCH_EVENT_ORDER")
+
+  /**
+   * P1+P2: unwrap a parsed Debezium envelope into flat payload columns + `kbc__*` system columns.
+   *
+   * Input must carry struct columns `before`, `after` and scalar `op`, plus a `source` struct with
+   * `ts_ms` (and optionally `file`, `pos`). Semantics (reference SMT
+   * `transforms/ExtractNewRecordStateSchemaChanges.java:153-229`):
+   *  - tombstones (both states null) are dropped;
+   *  - delete events keep the row, taking columns from `before` (under Postgres default replica
+   *    identity only the PK is populated — we must NOT repair that, SURVEY §7.4.3), and get
+   *    `__deleted = "true"`;
+   *  - all other ops project `after` and `__deleted = "false"`.
+   *
+   * Pure column algebra: stays inside whole-stage codegen, no UDFs.
+   */
+  def unwrapEnvelope(df: DataFrame, withBinlogPosition: Boolean = false): DataFrame = {
+    val payloadFields = df.schema("after").dataType.asInstanceOf[StructType].fieldNames
+    val isDelete = col("op") === lit("d")
+    val payloadCols = payloadFields.map { f =>
+      when(isDelete, col(s"before.`$f`")).otherwise(col(s"after.`$f`")).as(f)
+    }
+    val sysCols = Seq(
+      col("op").as(OpCol),
+      col("source.ts_ms").as(TsCol)) ++
+      (if (withBinlogPosition) Seq(col("source.file").as(FileCol), col("source.pos").as(PosCol)) else Nil) ++
+      Seq(when(isDelete, lit("true")).otherwise(lit("false")).as(DeletedCol))
+    df.filter(col("after").isNotNull || col("before").isNotNull) // drop tombstones
+      .filter(col("op") =!= lit("t"))                            // drop truncates (SMT :208-213)
+      .select(payloadCols ++ sysCols: _*)
+  }
+
+  /** D5: synthetic primary key — `CONCAT_WS('|', pk...)` (reference `staging.py:240-242`). */
+  def syntheticKey(pks: Seq[String]): Column = concat_ws("|", pks.map(col): _*)
+
+  private val AllSystemNames: Set[String] =
+    (SystemCols ++ OutputRenames.values).map(_.toLowerCase).toSet
+
+  /** D9: no-pkey fallback — key is every non-system column
+    * (reference `ex_mysql_cdc/src/component.py:406-408`). Recognizes both staging
+    * (`kbc__*`) and output (`KBC__*`) spellings of the system columns. */
+  def effectivePks(df: DataFrame, pks: Seq[String]): Seq[String] =
+    if (pks.nonEmpty) pks
+    else df.columns.filterNot(c => AllSystemNames.contains(c.toLowerCase)).toSeq
+
+  /**
+   * D1+D2: last-write-wins dedupe — keep the latest row per key ordered by `orderCol`.
+   *
+   * Aggregate form: `groupBy(pks).agg(max_by(struct(*), orderCol))`. One shuffle with map-side
+   * partial aggregation — at 100 TB this beats the window form because each map task reduces its
+   * input to ≤ |distinct keys in partition| rows before the exchange, instead of shuffling every
+   * event and sorting whole partitions. Replaces the reference's per-chunk
+   * `ROW_NUMBER ... QUALIFY` MAP phase + anti-join REDUCE phase (`staging.py:245-282`) in one op.
+   */
+  def dedupeLastWins(df: DataFrame, pks: Seq[String], orderCol: String = OrderCol): DataFrame = {
+    val keys = effectivePks(df, pks)
+    val payload = df.columns.filterNot(keys.contains)
+    if (payload.isEmpty) return df.distinct()
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*), col(orderCol)).as("__latest"))
+      .select(keys.map(col) ++ payload.map(f => col(s"__latest.`$f`").as(f)): _*)
+      .select(df.columns.map(col): _*) // restore original column order (P9)
+  }
+
+  /** D1 window form — identical semantics via `row_number`; kept for parity with the reference's
+    * formulation (`staging.py:245-259`) and for cases needing the loser rows too. */
+  def dedupeLastWinsWindow(df: DataFrame, pks: Seq[String], orderCol: String = OrderCol): DataFrame = {
+    val keys = effectivePks(df, pks)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).cast(LongType).desc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /**
+   * D6+P6+E2+E3: union chunks / schema epochs with NULL padding for columns absent in older
+   * epochs. `unionByName(allowMissingColumns=true)` replaces the reference's explicit
+   * `SELECT col, NULL as missing...` padding (`staging.py:299-317`) and `ALTER TABLE ADD COLUMN`
+   * (`AppendDbConverter.java:53-71`).
+   */
+  def unionEpochs(epochs: Seq[DataFrame]): DataFrame =
+    epochs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** E1: schema drift detection — fields present in `incoming` but not in `current`.
+    * Reference `AbstractDbConverter.java:134-142`. */
+  def missingColumns(current: StructType, incoming: StructType): Seq[StructField] =
+    incoming.fields.filterNot(f => current.fieldNames.contains(f.name)).toSeq
+
+  /**
+   * E5: storage-schema reconciliation — output schema is (source-metadata ∩ result fields) ∪
+   * columns already in storage (re-added as NULL of their previous type) ∪ system columns.
+   * Dropped columns survive as NULLs. Reference `ex_postgres_cdc/src/component.py:392-428`.
+   */
+  def reconcileWithStorage(df: DataFrame, storageSchema: StructType): DataFrame = {
+    val have = df.columns.toSet
+    val retained = storageSchema.fields.filterNot(f => have.contains(f.name))
+    retained.foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+  }
+
+  /**
+   * D7: total event order consistent with arrival. For sources with a native position
+   * (binlog file,pos / LSN) order is `(file, pos)`; otherwise `(ts, seq)`.
+   * A global `row_number()` window would single-partition at 100 TB — this uses
+   * sortWithinPartitions + per-partition offsets (zipWithIndex-style) so ordering is assigned
+   * distributed: partition by a range on the sort key first for a globally consistent order.
+   */
+  def assignEventOrder(df: DataFrame, sortCols: Seq[Column]): DataFrame = {
+    val ranged = df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
+    val schema = StructType(ranged.schema.fields :+ StructField(OrderCol, LongType, nullable = false))
+    val counts = ranged.rdd.mapPartitionsWithIndex(
+      (i, it) => Iterator((i, it.size)), preservesPartitioning = true).collect().sortBy(_._1)
+    val offsets = counts.map(_._2.toLong).scanLeft(0L)(_ + _)
+    val bc = ranged.sparkSession.sparkContext.broadcast(offsets)
+    val rdd = ranged.rdd.mapPartitionsWithIndex { (i, it) =>
+      var n = bc.value(i) - 1
+      it.map { r => n += 1; org.apache.spark.sql.Row.fromSeq(r.toSeq :+ n) }
+    }
+    ranged.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** P8: staging → output column naming (`component.py:579-595`). */
+  def normalizeColumns(df: DataFrame): DataFrame =
+    df.withColumnsRenamed(OutputRenames)
+
+  /** P8: table identifier normalization, dots → underscores (`AppendDbConverter.java:27`). */
+  def safeTableId(topicSchemaTable: String): String = topicSchemaTable.replace('.', '_')
+}

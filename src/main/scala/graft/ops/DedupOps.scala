@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/**
+ * Document-deduplication operators for training-data pipelines: exact, MinHash+LSH,
+ * SimHash, n-gram Jaccard. Designed for the 100 TB shape:
+ *
+ *  - exact dedup groups on a 128-bit content hash, never the full text (shuffle carries
+ *    16 bytes + id per row, not documents);
+ *  - near-dup candidate generation is always *blocked* (LSH bands / SimHash chunks /
+ *    shared-shingle inverted index) so the pairwise verify never goes O(n²);
+ *  - all fingerprints are native one-pass expressions ([[graft.functions.TextExpressions]]).
+ */
+object DedupOps {
+
+  /**
+   * Exact deduplication: group by md5(text); survivor = lowest id. One shuffle with map-side
+   * partial aggregation; the text column itself is dropped before the exchange.
+   */
+  def exactDupes(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    df.select(md5(col(textCol)).as("text_md5"), col(idCol))
+      .groupBy("text_md5")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /**
+   * MinHash + LSH near-duplicate pairs.
+   *
+   * shingle(n) → minhash(k) → band into `bands` buckets → self-join per (band, bandHash)
+   * bucket → estimate Jaccard from signature agreement → keep pairs ≥ `threshold`.
+   * The join key (bandIdx, bandHash) is the classic LSH blocking: at scale this is a
+   * shuffle-on-band-hash join whose fan-out is bounded by bucket size, not corpus size.
+   */
+  def minhashLshPairs(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleN: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.4): DataFrame = {
+    val rows = k / bands
+    val sigs = df.select(
+      col(idCol).as("id"),
+      TextFunctions.minhash(
+        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleN), k).as("sig"))
+    val banded = sigs
+      .select(col("id"), col("sig"),
+        posexplode(TextFunctions.bandHashes(col("sig"), bands, rows)).as(Seq("band", "band_hash")))
+    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _), x => x)).cast("double") / k)
+          .as("jaccard_est"))
+      .groupBy("id_a", "id_b").agg(first("jaccard_est").as("jaccard_est")) // dedupe multi-band hits
+      .filter(col("jaccard_est") >= threshold)
+  }
+
+  /**
+   * SimHash near-duplicates: 64-bit fingerprint, blocked by its four 16-bit chunks
+   * (any pair within Hamming distance 3 shares at least one intact chunk — pigeonhole),
+   * verified with `bit_count(a^b) <= maxHamming`. Both phases are codegen'd built-ins.
+   */
+  def simhashPairs(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+      TextFunctions.simhash(TextFunctions.tokens(col(textCol))).as("sim"))
+    val chunked = sigs.select(col("id"), col("sim"),
+      posexplode(array((0 until 4).map(i => shiftrightunsigned(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("chunk", "chunk_val")))
+    val a = chunked.select(col("chunk"), col("chunk_val"), col("id").as("id_a"), col("sim").as("sim_a"))
+    val b = chunked.select(col("chunk"), col("chunk_val"), col("id").as("id_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), TextFunctions.hamming(col("sim_a"), col("sim_b")).as("hamming"))
+      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /**
+   * Exact n-gram Jaccard over candidate pairs that share at least one shingle hash
+   * (inverted-index blocking). The verify compares distinct-shingle-hash arrays with
+   * `array_intersect` — set semantics, order-free.
+   */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(transform(
+        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleN),
+        s => xxhash64(s))).as("sh"))
+    val inv = sh.select(col("id"), col("sh"), explode(col("sh")).as("h"))
+    val a = inv.select(col("h"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = inv.select(col("h"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(first("sh_a").as("sh_a"), first("sh_b").as("sh_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - size(array_intersect(col("sh_a"), col("sh_b")))))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines: language ID, quality
+ * scoring, token counting, fingerprinting. All pure column algebra over built-ins plus the
+ * native expressions in [[graft.functions.TextExpressions]] — no UDFs, no driver loops; every
+ * op is a narrow map over the documents table and scales embarrassingly.
+ */
+object TextOps {
+
+  /** The tokenizer shared by every text op (and by the DuckDB oracles — keep regex in sync). */
+  val TokenRegex = "[^\\p{L}\\p{N}]+"
+
+  def tokensCol(text: Column): Column = TextFunctions.tokens(text)
+
+  /** Marker stopwords per language for the n-gram/stopword language-ID heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "es" -> Seq("el", "la", "los", "de", "y", "es", "no"))
+
+  private def markerCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /**
+   * Language identification: argmax of marker-stopword occurrence counts, 'und' when no
+   * marker hits. Deterministic tie-break: en > de > es (first listed wins).
+   */
+  def langId(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = tokensCol(col(textCol))
+    val scored = df.select(
+      col(idCol),
+      markerCount(toks, LangMarkers(0)._2).as("score_en"),
+      markerCount(toks, LangMarkers(1)._2).as("score_de"),
+      markerCount(toks, LangMarkers(2)._2).as("score_es"))
+    scored.select(
+      col(idCol),
+      col("score_en"), col("score_de"), col("score_es"),
+      when(col("score_en") >= col("score_de") && col("score_en") >= col("score_es") && col("score_en") > 0, "en")
+        .when(col("score_de") >= col("score_es") && col("score_de") > 0, "de")
+        .when(col("score_es") > 0, "es")
+        .otherwise("und").as("lang_pred"))
+  }
+
+  /** Token statistics: whitespace-ish token count, char count, BPE-ish token estimate
+    * (the chars/4 heuristic commonly used for budget accounting). */
+  def tokenStats(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    df.select(
+      col(idCol),
+      size(tokensCol(col(textCol))).cast("long").as("n_tokens"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      ceil(length(col(textCol)) / 4.0).cast("long").as("n_bpe_est"))
+
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on", "for", "with", "as", "at")
+
+  /**
+   * Quality scoring: length, mean token length, whitespace ratio, stopword ratio and a
+   * composite [0,1] score. Mirrors the usual pre-training quality filters (C4/Gopher-style
+   * length + symbol + stopword heuristics) as pure column algebra.
+   */
+  def qualityScore(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = tokensCol(col(textCol))
+    val nTok = size(toks).cast("double")
+    val nChar = length(col(textCol)).cast("double")
+    val nStop = size(filter(toks, t => t.isin(Stopwords: _*))).cast("double")
+    val nSpace = (length(col(textCol)) - length(regexp_replace(col(textCol), " ", ""))).cast("double")
+    df.select(
+      col(idCol),
+      nTok.cast("long").as("n_tokens"),
+      when(nTok > 0, round(nChar / nTok, 4)).otherwise(0.0).as("mean_token_len"),
+      when(nChar > 0, round(nSpace / nChar, 4)).otherwise(0.0).as("space_ratio"),
+      when(nTok > 0, round(nStop / nTok, 4)).otherwise(0.0).as("stopword_ratio"),
+      round(
+        when(nTok >= 5 && nTok <= 100000, lit(0.5)).otherwise(lit(0.0)) +
+          when(nTok > 0, (nStop / nTok) * 0.5).otherwise(lit(0.0)), 4).as("quality_score"))
+  }
+
+  /** Document fingerprint: bottom-k sketch of token-level rolling hashes
+    * ([[graft.functions.TextExpressions.MinKHashes]]) — compact, mergeable, joinable. */
+  def fingerprint(df: DataFrame, textCol: String = "text", idCol: String = "doc_id", k: Int = 8): DataFrame =
+    df.select(
+      col(idCol),
+      TextFunctions.minKHashes(TextFunctions.shingles(tokensCol(col(textCol)), 3), k).as("fingerprint"))
+}

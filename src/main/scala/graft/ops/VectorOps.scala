@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ * Two paths, as a scale ladder:
+ *  - [[bruteForceTopK]] — exact: broadcast the (small) query set, map-side cross join, native
+ *    codegen'd cosine, per-query top-k. No shuffle of the corpus; at 100 TB this is a single
+ *    scan whose cost is (corpus × queries) dot products.
+ *  - [[lshTopK]] — approximate: random-hyperplane LSH bucket both sides, join on bucket, rank
+ *    within bucket. Corpus is shuffled once on the bucket id; candidate count per query is
+ *    bounded by bucket occupancy, making query sets of millions feasible.
+ */
+object VectorOps {
+
+  /** Exact top-k cosine neighbors for each query vector (excluding self-matches by id). */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosine(col("q_vec"), col("c_vec")).as("sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
+  /** Approximate top-k: candidates restricted to the query's LSH bucket. `nPlanes` controls the
+    * bucket count (2^nPlanes); fewer planes = higher recall, bigger buckets. */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nPlanes: Int = 8,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val planes = VectorFunctions.makePlanes(nPlanes, dim)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      VectorFunctions.hyperplaneLsh(col(vecCol), planes).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      VectorFunctions.hyperplaneLsh(col(vecCol), planes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosine(col("q_vec"), col("c_vec")).as("sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
+  /** Embedding-cosine near-duplicate pairs, blocked by a coarse LSH bucket so the pairwise
+    * compare runs per bucket, not over the full corpus square. */
+  def cosineNearDupPairs(
+      df: DataFrame,
+      threshold: Double,
+      nPlanes: Int = 4,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val planes = VectorFunctions.makePlanes(nPlanes, dim)
+    val withBucket = df.select(col(idCol), col(vecCol),
+      VectorFunctions.hyperplaneLsh(col(vecCol), planes).as("bucket"))
+    val a = withBucket.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = withBucket.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosine(col("vec_a"), col("vec_b")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Exact pairwise near-duplicates (no LSH recall loss), blocked on an equality column
+    * (e.g. a partition/label/source key) to bound the pair explosion. */
+  def cosineNearDupPairsExact(
+      df: DataFrame,
+      threshold: Double,
+      blockCol: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val a = df.select(col(blockCol).as("block"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = df.select(col(blockCol).as("block"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosine(col("vec_a"), col("vec_b")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}
