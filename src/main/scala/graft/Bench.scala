@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up JVM/JIT, whole-stage codegen and the parquet reader path once, so the
+    // per-query numbers measure steady-state execution rather than first-job startup.
+    spark.range(1L << 20).selectExpr("sum(id)").collect()
+    try SparkEntry.queries("q_dim_join")(spark, sfDir).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -55,6 +55,119 @@ object TextExpressions {
   }
 
   /**
+   * `shingle_hashes(tokens, n)` → `array<long>`: xxh64 hash of every word n-gram, computed in
+   * one pass (per-token hash once, then an O(n) combine per window). Replaces the
+   * string-building HOF route (`transform(sequence…, slice+array_join)`) whose interpreted
+   * lambdas get RE-EVALUATED per exploded output row by downstream `Generate`s — the hashed
+   * shingle array is what every dedup operator actually consumes.
+   */
+  case class ShingleHashes(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(n > 0)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      if (m < n) return new GenericArrayData(Array.emptyLongArray)
+      val th = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        val s = arr.getUTF8String(i)
+        th(i) = if (s == null) 0L else hash(s, Seed1)
+        i += 1
+      }
+      val out = new Array[Long](m - n + 1)
+      var j = 0
+      while (j <= m - n) {
+        var h = Seed2
+        var t = j
+        while (t < j + n) { h = XXH64.hashLong(th(t), h); t += 1 }
+        out(j) = h
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** `minhash_long(hashes, k)` — MinHash signature over pre-hashed elements (see
+    * [[MinHashSignature]]; same double-hashing construction, longs in). */
+  case class MinHashSignatureLong(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k > 0)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val mins = Array.fill(k)(Long.MaxValue)
+      var j = 0
+      while (j < arr.numElements()) {
+        val x = arr.getLong(j)
+        val h1 = XXH64.hashLong(x, Seed1); val h2 = XXH64.hashLong(x, Seed2)
+        var i = 0
+        while (i < k) { val g = h1 + i * h2; if (g < mins(i)) mins(i) = g; i += 1 }
+        j += 1
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** `band_hashes(sig, bands)` — one xxh64 per band over `k/bands` consecutive signature
+    * values, in a single pass (vs. bands× interpreted slice+join+hash). */
+  case class BandHashesExpr(child: Expression, bands: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(bands > 0)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val k = arr.numElements()
+      val rows = math.max(1, k / bands)
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var h = b.toLong // band index seeds the hash so identical slices in different bands differ
+        var i = b * rows
+        val end = math.min(k, i + rows)
+        while (i < end) { h = XXH64.hashLong(arr.getLong(i), h); i += 1 }
+        out(b) = h
+        b += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** `min_k_hashes_long(hashes, k)` — bottom-k sketch over pre-hashed elements. */
+  case class MinKHashesLong(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k > 0)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val heap = new java.util.PriorityQueue[java.lang.Long](k, java.util.Collections.reverseOrder())
+      val seen = new java.util.HashSet[java.lang.Long]()
+      var j = 0
+      while (j < arr.numElements()) {
+        val h: java.lang.Long = XXH64.hashLong(arr.getLong(j), Seed1)
+        if (!seen.contains(h)) {
+          if (heap.size < k) { heap.add(h); seen.add(h) }
+          else if (h < heap.peek()) { seen.remove(heap.poll()); heap.add(h); seen.add(h) }
+        }
+        j += 1
+      }
+      val out = new Array[Long](heap.size)
+      var i = out.length - 1
+      while (i >= 0) { out(i) = heap.poll(); i -= 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /**
    * `simhash64(tokens)` → 64-bit SimHash fingerprint (Charikar). Near-duplicates have small
    * Hamming distance — compare with `bit_count(a ^ b)` (codegen'd built-ins).
    */
@@ -135,6 +248,12 @@ object TextFunctions {
   def minhash(shingles: Column, k: Int): Column = column(MinHashSignature(expression(shingles), k))
   def simhash(toks: Column): Column             = column(SimHash64(expression(toks)))
   def minKHashes(toks: Column, k: Int): Column  = column(MinKHashes(expression(toks), k))
+
+  /** One-pass hashed shingles + consumers over pre-hashed arrays (the fast path). */
+  def shingleHashes(toks: Column, n: Int): Column   = column(ShingleHashes(expression(toks), n))
+  def minhashLong(hashes: Column, k: Int): Column   = column(MinHashSignatureLong(expression(hashes), k))
+  def bandHashesFast(sig: Column, bands: Int): Column = column(BandHashesExpr(expression(sig), bands))
+  def minKHashesLong(hashes: Column, k: Int): Column = column(MinKHashesLong(expression(hashes), k))
 
   /**
    * LSH band hashes from a minhash signature: `bands` hashes, each over `rows = k/bands`

@@ -41,22 +41,27 @@ object DedupOps {
       k: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.4): DataFrame = {
-    val rows = k / bands
     val sigs = df.select(
       col(idCol).as("id"),
-      TextFunctions.minhash(
-        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleN), k).as("sig"))
+      TextFunctions.minhashLong(
+        TextFunctions.shingleHashes(TextFunctions.tokens(col(textCol)), shingleN), k).as("sig"))
+    // Candidate generation joins only (band, band_hash, id) — 24-byte rows — never the
+    // 8*k-byte signatures. Signatures are attached once per *distinct* candidate pair.
+    // At 100 TB the banding join shuffle is O(events), the signature join O(candidates).
     val banded = sigs
-      .select(col("id"), col("sig"),
-        posexplode(TextFunctions.bandHashes(col("sig"), bands, rows)).as(Seq("band", "band_hash")))
-    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_hash"))
+      .select(col("id"),
+        posexplode(TextFunctions.bandHashesFast(col("sig"), bands)).as(Seq("band", "band_hash")))
+    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    candidates
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _), x => x)).cast("double") / k)
           .as("jaccard_est"))
-      .groupBy("id_a", "id_b").agg(first("jaccard_est").as("jaccard_est")) // dedupe multi-band hits
       .filter(col("jaccard_est") >= threshold)
   }
 
@@ -95,20 +100,24 @@ object DedupOps {
       idCol: String = "doc_id",
       shingleN: Int = 3,
       threshold: Double = 0.5): DataFrame = {
+    // Count-based exact Jaccard: |A∩B| is computed by COUNTING shared shingle hashes in the
+    // inverted-index self-join — the shuffle carries (hash, id) pairs and the aggregation
+    // (id_a, id_b) counters; the shingle sets themselves never cross the exchange. Set sizes
+    // are joined back from the tiny per-doc summary. jaccard = inter / (|A| + |B| - inter).
     val sh = df.select(col(idCol).as("id"),
-      array_distinct(transform(
-        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleN),
-        s => xxhash64(s))).as("sh"))
-    val inv = sh.select(col("id"), col("sh"), explode(col("sh")).as("h"))
-    val a = inv.select(col("h"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = inv.select(col("h"), col("id").as("id_b"), col("sh").as("sh_b"))
+      array_distinct(
+        TextFunctions.shingleHashes(TextFunctions.tokens(col(textCol)), shingleN)).as("sh"))
+    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+    val inv = sh.select(col("id"), explode(col("sh")).as("h"))
+    val a = inv.select(col("h"), col("id").as("id_a"))
+    val b = inv.select(col("h"), col("id").as("id_b"))
     a.join(b, Seq("h"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(first("sh_a").as("sh_a"), first("sh_b").as("sh_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - size(array_intersect(col("sh_a"), col("sh_b")))))
-          .as("jaccard"))
+        (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

@@ -85,5 +85,6 @@ object TextOps {
   def fingerprint(df: DataFrame, textCol: String = "text", idCol: String = "doc_id", k: Int = 8): DataFrame =
     df.select(
       col(idCol),
-      TextFunctions.minKHashes(TextFunctions.shingles(tokensCol(col(textCol)), 3), k).as("fingerprint"))
+      TextFunctions.minKHashesLong(
+        TextFunctions.shingleHashes(tokensCol(col(textCol)), 3), k).as("fingerprint"))
 }
