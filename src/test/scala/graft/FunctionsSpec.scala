@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.model.ConnectTypes
+import graft.model.ConnectTypes.SchemaElement
+import org.apache.spark.sql.types._
+
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(2.0f, 0.0f, 0.0f)),
+    (4L, Array(1.0f, 1.0f, 0.0f))).toDF("id", "v")
+
+  test("dot / cosine / l2Norm compute expected values through codegen") {
+    val a = vecs.as("a"); val b = vecs.as("b")
+    val out = a.crossJoin(b)
+      .select(col("a.id").as("ia"), col("b.id").as("ib"),
+        VectorFunctions.dot(col("a.v"), col("b.v")).as("dot"),
+        VectorFunctions.cosine(col("a.v"), col("b.v")).as("cos"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out((1L, 2L))._1 == 0.0 && out((1L, 2L))._2 == 0.0)
+    assert(out((1L, 3L))._1 == 2.0 && math.abs(out((1L, 3L))._2 - 1.0) < 1e-12)
+    assert(math.abs(out((1L, 4L))._2 - 1.0 / math.sqrt(2)) < 1e-12)
+    val norms = vecs.select(VectorFunctions.l2Norm(col("v"))).collect().map(_.getDouble(0))
+    assert(math.abs(norms(3) - math.sqrt(2)) < 1e-12)
+  }
+
+  test("cosine of zero vector is 0.0, null in -> null out") {
+    val z = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    assert(z.select(VectorFunctions.cosine(col("a"), col("b"))).collect().head.getDouble(0) == 0.0)
+    val n = Seq((None: Option[Array[Float]], Array(1.0f))).toDF("a", "b")
+    assert(n.select(VectorFunctions.cosine(col("a"), col("b"))).collect().head.isNullAt(0))
+  }
+
+  test("hyperplaneLsh: deterministic, identical vectors share buckets, scaling-invariant") {
+    val planes = VectorFunctions.makePlanes(8, 3)
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(1.0f, 2.0f, 3.0f)),
+      (3L, Array(2.0f, 4.0f, 6.0f)),   // same direction => same sign pattern
+      (4L, Array(-1.0f, -2.0f, -3.0f)) // opposite => complement
+    ).toDF("id", "v").select(col("id"), VectorFunctions.hyperplaneLsh(col("v"), planes).as("b"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L) && m(1L) == m(3L) && m(1L) != m(4L))
+  }
+}
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toks(s: String) = Seq(s).toDF("text").select(TextFunctions.tokens(col("text")).as("t"))
+
+  test("tokens: lowercases, splits on non-alphanumeric, drops empties") {
+    val out = toks("Hello,  World! 42x").collect().head.getSeq[String](0)
+    assert(out == Seq("hello", "world", "42x"))
+  }
+
+  test("shingleHashes: m tokens -> m-n+1 hashes; equal docs hash equal; short docs empty") {
+    val df = Seq("a b c d e", "a b c d e", "a b").toDF("text")
+      .select(TextFunctions.shingleHashes(TextFunctions.tokens(col("text")), 3).as("sh"))
+    val rows = df.collect().map(_.getSeq[Long](0))
+    assert(rows(0).length == 3 && rows(0) == rows(1) && rows(2).isEmpty)
+    assert(rows(0).distinct.length == 3) // distinct trigrams hash distinctly
+  }
+
+  test("minhashLong: identical shingle sets -> identical signatures; disjoint sets differ") {
+    val df = Seq("x y z w q r", "x y z w q r", "aa bb cc dd ee ff").toDF("text")
+      .select(TextFunctions.minhashLong(
+        TextFunctions.shingleHashes(TextFunctions.tokens(col("text")), 2), 32).as("sig"))
+    val sigs = df.collect().map(_.getSeq[Long](0))
+    assert(sigs(0).length == 32 && sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+  }
+
+  test("minhash jaccard estimate tracks true jaccard") {
+    // two docs sharing half their shingles -> estimate should land near 0.5
+    val a = (1 to 40).map(i => s"w$i").mkString(" ")          // shingles w1..w39 (2-grams)
+    val b = ((21 to 60)).map(i => s"w$i").mkString(" ")       // overlap w21..w39
+    val df = Seq(a, b).toDF("text")
+      .select(TextFunctions.minhashLong(
+        TextFunctions.shingleHashes(TextFunctions.tokens(col("text")), 2), 128).as("sig"))
+    val Array(sa, sb) = df.collect().map(_.getSeq[Long](0))
+    val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / 128
+    val trueJ = 19.0 / (39 + 39 - 19)
+    assert(math.abs(est - trueJ) < 0.15, s"est=$est true=$trueJ")
+  }
+
+  test("bandHashesFast: equal signatures collide in every band; band count respected") {
+    val df = Seq("p q r s t u", "p q r s t u").toDF("text")
+      .select(TextFunctions.bandHashesFast(TextFunctions.minhashLong(
+        TextFunctions.shingleHashes(TextFunctions.tokens(col("text")), 2), 64), 16).as("b"))
+    val rows = df.collect().map(_.getSeq[Long](0))
+    assert(rows(0).length == 16 && rows(0) == rows(1))
+  }
+
+  test("simhash: identical token sets -> hamming 0; different -> positive") {
+    val df = Seq(("a", "foo bar baz qux"), ("b", "foo bar baz qux"), ("c", "alpha beta gamma delta"))
+      .toDF("id", "text")
+      .select(col("id"), TextFunctions.simhash(TextFunctions.tokens(col("text"))).as("s"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("a") == m("b"))
+    assert(java.lang.Long.bitCount(m("a") ^ m("c")) > 0)
+  }
+
+  test("minKHashesLong: sorted, distinct, capped at k") {
+    val df = Seq("a b c d e f g h i j k l").toDF("text")
+      .select(TextFunctions.minKHashesLong(
+        TextFunctions.shingleHashes(TextFunctions.tokens(col("text")), 2), 5).as("fp"))
+    val fp = df.collect().head.getSeq[Long](0)
+    assert(fp.length == 5 && fp == fp.sorted && fp.distinct.length == 5)
+  }
+}
+
+class ConnectTypesSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("connect type -> spark type mapping (SURVEY §1.3a)") {
+    assert(SchemaElement("int32").sparkType == IntegerType)
+    assert(SchemaElement("int32", name = Some("io.debezium.time.Date")).sparkType == DateType)
+    assert(SchemaElement("int64").sparkType == LongType)
+    assert(SchemaElement("int64", name = Some("io.debezium.time.Timestamp")).sparkType == TimestampType)
+    assert(SchemaElement("string", name = Some("io.debezium.time.ZonedTimestamp")).sparkType == TimestampType)
+    assert(SchemaElement("string", name = Some("io.debezium.data.Uuid")).sparkType == StringType)
+    assert(SchemaElement("bytes").sparkType == StringType)
+    assert(SchemaElement("array").sparkType == StringType)
+    assert(SchemaElement("boolean").sparkType == BooleanType)
+    assert(SchemaElement("float").sparkType == FloatType)
+    assert(SchemaElement("double").sparkType == DoubleType)
+  }
+
+  test("base types for manifests (SURVEY §1.3b)") {
+    assert(ConnectTypes.baseType(LongType) == "INTEGER")
+    assert(ConnectTypes.baseType(DoubleType) == "FLOAT")
+    assert(ConnectTypes.baseType(BooleanType) == "BOOLEAN")
+    assert(ConnectTypes.baseType(DateType) == "DATE")
+    assert(ConnectTypes.baseType(TimestampType) == "TIMESTAMP")
+    assert(ConnectTypes.baseType(StringType) == "STRING")
+    assert(ConnectTypes.baseType(DecimalType(12, 5)) == "NUMERIC")
+  }
+
+  test("toStructType preserves field order and nullability") {
+    val st = ConnectTypes.toStructType(Seq(
+      SchemaElement("int32", optional = false, field = "id"),
+      SchemaElement("string", optional = true, field = "name")))
+    assert(st.fieldNames.toSeq == Seq("id", "name"))
+    assert(!st("id").nullable && st("name").nullable)
+  }
+}

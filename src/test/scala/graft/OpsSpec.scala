@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{DedupOps, MultimodalOps, TextOps, VectorOps}
+
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup of 1
+    (4L, "completely different content about spark engines here"),
+    (5L, "unrelated text with nothing shared at all whatsoever")
+  ).toDF("doc_id", "text")
+
+  test("exactDupes groups identical texts, survivor = min id") {
+    val out = DedupOps.exactDupes(docs).collect()
+    assert(out.length == 4)
+    val dup = out.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhashLshPairs finds exact dup with estimate 1.0 and the near dup") {
+    // 32 bands x 2 rows: collision prob per band for J=5/9 is 0.31 -> recall ~1-1e-5
+    val pairs = DedupOps.minhashLshPairs(docs, threshold = 0.3, k = 64, bands = 32)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("jaccard_est"))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("ngramJaccardPairs computes exact jaccard on hashed trigram sets") {
+    val pairs = DedupOps.ngramJaccardPairs(docs, threshold = 0.1)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("jaccard"))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    // doc1/doc3: 9 tokens -> 7 trigrams each; trigrams starting at 5,6 touch lazy/sleepy,
+    // so shared = 5, union = 7+7-5 = 9 -> jaccard = 5/9
+    assert(math.abs(pairs((1L, 3L)) - 5.0 / 9) < 1e-12)
+    assert(!pairs.contains((4L, 5L)))
+  }
+
+  test("simhashPairs blocks by 16-bit chunk and verifies hamming") {
+    val pairs = DedupOps.simhashPairs(docs, maxHamming = 0).collect()
+    assert(pairs.exists(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L))
+  }
+}
+
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (1L, Array(1.0f, 0.0f), 0),
+    (2L, Array(0.9f, 0.1f), 0),
+    (3L, Array(0.0f, 1.0f), 0),
+    (4L, Array(-1.0f, 0.0f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("bruteForceTopK ranks by cosine, excludes self") {
+    val out = VectorOps.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 1L), k = 2)
+      .orderBy(col("sim").desc).collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("neighbor_id") == 2L) // most aligned
+    assert(out(1).getAs[Long]("neighbor_id") == 3L) // orthogonal beats opposite
+    assert(out.forall(_.getAs[Long]("neighbor_id") != 1L))
+  }
+
+  test("cosineNearDupPairsExact finds aligned pair within block only") {
+    val pairs = VectorOps.cosineNearDupPairsExact(vecs, threshold = 0.9, blockCol = "label")
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("lshTopK returns neighbors from the query's bucket with correct ordering") {
+    val out = VectorOps.lshTopK(vecs, vecs.filter(col("vec_id") === 1L), k = 3, nPlanes = 2, dim = 2)
+    // recall is approximate by design; every returned neighbor must be correctly scored
+    val rows = out.collect()
+    assert(rows.forall(r => r.getAs[Double]("sim") <= 1.0 + 1e-12))
+    assert(rows.forall(_.getAs[Long]("neighbor_id") != 1L))
+  }
+}
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId picks marker-heavy language, und when no markers") {
+    val docs = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "der hund und die katze ist nicht hier"),
+      (3L, "el perro y la casa de los gatos no es"),
+      (4L, "zzz qqq www")).toDF("doc_id", "text")
+    val out = TextOps.langId(docs).collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "und"))
+  }
+
+  test("tokenStats counts tokens/chars/bpe estimate") {
+    val out = TextOps.tokenStats(Seq((1L, "hello world spark")).toDF("doc_id", "text")).collect().head
+    assert(out.getAs[Long]("n_tokens") == 3L)
+    assert(out.getAs[Long]("n_chars") == 17L)
+    assert(out.getAs[Long]("n_bpe_est") == math.ceil(17 / 4.0).toLong)
+  }
+
+  test("qualityScore: ratios bounded, empty-ish text scores 0") {
+    val out = TextOps.qualityScore(Seq(
+      (1L, "the quick brown fox is on the mat with a hat"),
+      (2L, "x")).toDF("doc_id", "text")).collect()
+    val good = out.find(_.getAs[Long]("doc_id") == 1L).get
+    assert(good.getAs[Double]("stopword_ratio") > 0.3)
+    assert(good.getAs[Double]("quality_score") > 0.5)
+    val bad = out.find(_.getAs[Long]("doc_id") == 2L).get
+    assert(bad.getAs[Double]("quality_score") < 0.5)
+  }
+
+  test("fingerprint is deterministic and equal for equal docs") {
+    val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "h i j k l m n"))
+      .toDF("doc_id", "text")
+    val fp = TextOps.fingerprint(docs).collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
+  }
+}
+
+class MultimodalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("withMediaMeta + decodeMedia: md5/size via columns, stub decode deterministic") {
+    val df = Seq((1L, "hello"), (2L, "spark engine")).toDF("doc_id", "text")
+      .withColumn("blob", encode(col("text"), "UTF-8"))
+    val meta = MultimodalOps.withMediaMeta(df, "blob")
+      .select(col("doc_id"), col("media_meta.content_md5"), col("media_meta.n_bytes")).collect()
+    assert(meta.find(_.getLong(0) == 1L).get.getString(1) == "5d41402abc4b2a76b9719d911017c592") // md5("hello")
+    assert(meta.find(_.getLong(0) == 1L).get.getLong(2) == 5L)
+    val dec = MultimodalOps.decodeMedia(df, "blob", "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(dec(1L) == (5 % 640 + 1, 5 % 480 + 1, 5 % 30 + 1))
+    val dec2 = MultimodalOps.decodeMedia(df, "blob", "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(dec == dec2)
+  }
+}
