@@ -51,7 +51,8 @@ object Cdc {
    *
    * Pure column algebra: stays inside whole-stage codegen, no UDFs.
    */
-  def unwrapEnvelope(df: DataFrame, withBinlogPosition: Boolean = false): DataFrame = {
+  def unwrapEnvelope(df: DataFrame, withBinlogPosition: Boolean = false,
+      passthrough: Seq[String] = Nil): DataFrame = {
     val payloadFields = df.schema("after").dataType.asInstanceOf[StructType].fieldNames
     val isDelete = col("op") === lit("d")
     val payloadCols = payloadFields.map { f =>
@@ -64,7 +65,7 @@ object Cdc {
       Seq(when(isDelete, lit("true")).otherwise(lit("false")).as(DeletedCol))
     df.filter(col("after").isNotNull || col("before").isNotNull) // drop tombstones
       .filter(col("op") =!= lit("t"))                            // drop truncates (SMT :208-213)
-      .select(payloadCols ++ sysCols: _*)
+      .select(payloadCols ++ sysCols ++ passthrough.map(col): _*)
   }
 
   /** D5: synthetic primary key — `CONCAT_WS('|', pk...)` (reference `staging.py:240-242`). */

@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import graft.streaming.CdcRunner
+import graft.streaming.CdcRunner.RunConfig
+
+/** End-to-end bounded CDC run over a JSONL envelope spool: snapshot + updates + delete +
+  * schema drift, exported as CSV/manifest/state — the Spark shape of the reference's
+  * `incremental-dedupe-chained` golden case (SURVEY §5.3, §7.3). */
+class StreamingSpec extends SparkSpec {
+
+  private def writeSpool(dir: String, name: String, lines: Seq[String]): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir, name), lines.asJava)
+  }
+
+  private def env(table: String, op: String, after: String, before: String, ts: Long): String = {
+    val a = if (after == null) "null" else after
+    val b = if (before == null) "null" else before
+    s"""{"table":"$table","op":"$op","after":$a,"before":$b,"source":{"ts_ms":$ts}}"""
+  }
+
+  private def readCsvDir(dir: String): Seq[String] = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".csv")).sortBy(_.getName)
+    files.flatMap(f => Files.readAllLines(f.toPath).asScala).toSeq
+  }
+
+  test("bounded run: snapshot + updates + delete + schema drift -> deduped CSV, manifest, state") {
+    val base = Files.createTempDirectory("graft-cdc").toString
+    val spool = s"$base/spool"
+    // chunk 1: snapshot reads + an update
+    writeSpool(spool, "000.jsonl", Seq(
+      env("inv.sales", "r", """{"id":1,"name":"a","price":10.5}""", null, 1000),
+      env("inv.sales", "r", """{"id":2,"name":"b","price":20.0}""", null, 1001),
+      env("inv.sales", "u", """{"id":1,"name":"a2","price":11.0}""", """{"id":1}""", 2000)))
+    // chunk 2: schema drift (new column "note"), another update, and a delete of pk 2
+    writeSpool(spool, "001.jsonl", Seq(
+      env("inv.sales", "u", """{"id":1,"name":"a3","price":12.0,"note":"hi"}""", """{"id":1}""", 3000),
+      env("inv.sales", "d", null, """{"id":2}""", 4000)))
+
+    val res = CdcRunner.run(spark, RunConfig(
+      spoolDir = spool, workDir = s"$base/work", outDir = s"$base/out",
+      primaryKeys = Map("inv_sales" -> Seq("id"))))
+
+    assert(res.tables == Map("inv_sales" -> 2L))
+    assert(res.lastPos == 5L)
+
+    val csv = readCsvDir(s"$base/out/tables/inv_sales.csv").sorted
+    // survivor of pk 1: latest update incl. drifted column (JSON inference alphabetizes
+    // payload columns: id,name,note,price); pk 2: NULL-padded delete row
+    assert(csv.exists(l => l.startsWith("1,a3,hi,12.0,u,3000,") && l.contains("false")))
+    assert(csv.exists(l => l.startsWith("2,,,") && l.contains(",d,4000,") && l.contains("true")))
+
+    val manifest = Files.readString(Paths.get(s"$base/out/tables/inv_sales.csv.manifest"))
+    assert(manifest.contains(""""primary_key": ["id"]"""))
+    assert(manifest.contains(""""incremental": true"""))
+    assert(manifest.contains("KBC.datatype.basetype"))
+
+    val state = Files.readString(Paths.get(s"$base/out/state.json"))
+    assert(state.contains(""""last_offset": 5"""))
+    assert(state.contains("inv_sales"))
+  }
+
+  test("resumed run consumes only new spool files; replays healed by dedupe") {
+    val base = Files.createTempDirectory("graft-cdc2").toString
+    val spool = s"$base/spool"
+    writeSpool(spool, "000.jsonl", Seq(
+      env("t.t1", "c", """{"id":1,"v":"x"}""", null, 1)))
+    val cfg = RunConfig(spoolDir = spool, workDir = s"$base/work", outDir = s"$base/out",
+      primaryKeys = Map("t_t1" -> Seq("id")))
+    val r1 = CdcRunner.run(spark, cfg)
+    assert(r1.tables == Map("t_t1" -> 1L))
+
+    // chained run: one more file arrives; checkpoint must skip the already-committed range
+    writeSpool(spool, "001.jsonl", Seq(
+      env("t.t1", "u", """{"id":1,"v":"y"}""", """{"id":1}""", 2),
+      env("t.t1", "c", """{"id":2,"v":"z"}""", null, 3)))
+    val r2 = CdcRunner.run(spark, cfg)
+    assert(r2.tables == Map("t_t1" -> 2L))
+    assert(r2.lastPos == 3L)
+    val csv = readCsvDir(s"$base/out/tables/t_t1.csv").sorted
+    assert(csv.length == 2)
+    assert(csv.head.startsWith("1,y,u"))
+
+    // staging holds each event exactly once (no replay duplication happened)
+    val staged = spark.read.option("mergeSchema", "true").parquet(s"$base/work/staging/t_t1")
+    assert(staged.count() == 3)
+  }
+
+  test("two tables split into separate outputs; append mode keeps all events in order") {
+    val base = Files.createTempDirectory("graft-cdc3").toString
+    val spool = s"$base/spool"
+    writeSpool(spool, "000.jsonl", Seq(
+      env("s.a", "c", """{"id":1,"v":"a1"}""", null, 1),
+      env("s.b", "c", """{"k":9,"w":"b1"}""", null, 2),
+      env("s.a", "u", """{"id":1,"v":"a2"}""", """{"id":1}""", 3)))
+    val res = CdcRunner.run(spark, RunConfig(
+      spoolDir = spool, workDir = s"$base/work", outDir = s"$base/out", mode = "append"))
+    assert(res.tables == Map("s_a" -> 2L, "s_b" -> 1L))
+    val a = readCsvDir(s"$base/out/tables/s_a.csv")
+    assert(a.length == 2 && a.head.contains("a1") && a(1).contains("a2")) // ordered append
+  }
+
+  test("maxEventsPerTrigger throttles batches; stopAtPos bounds the run") {
+    val base = Files.createTempDirectory("graft-cdc4").toString
+    val spool = s"$base/spool"
+    writeSpool(spool, "000.jsonl", (1 to 10).map(i =>
+      env("x.t", "c", s"""{"id":$i}""", null, i.toLong)))
+    val res = CdcRunner.run(spark, RunConfig(
+      spoolDir = spool, workDir = s"$base/work", outDir = s"$base/out",
+      primaryKeys = Map("x_t" -> Seq("id")),
+      maxEventsPerTrigger = Some(3), stopAtPos = Some(7)))
+    // stop condition capped consumption at 7 events despite 10 spooled
+    assert(res.tables == Map("x_t" -> 7L))
+    // batches of <=3: staging written over >=3 separate appends
+    val staged = spark.read.parquet(s"$base/work/staging/x_t")
+    assert(staged.count() == 7)
+  }
+}
