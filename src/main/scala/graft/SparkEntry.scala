@@ -181,6 +181,29 @@ object SparkEntry {
           .cast(LongType).as("ms_of_day"))
     }),
 
+    // S7+K2: CSV sink/scan roundtrip — headerless write with KBC__NULL null sentinel, typed
+    // read back with explicit schema (`db_common/staging.py:458-460`, nullstr handling)
+    "cdc_csv_roundtrip" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString
+      n.write.mode("overwrite").option("header", "false").option("nullValue", "KBC__NULL").csv(tmp)
+      s.read.schema(n.schema).option("nullValue", "KBC__NULL").csv(tmp)
+    }),
+
+    // P3+P4: column include/exclude filter (`column.include.list` compiled to projection)
+    "cdc_column_filter" -> ((s, dir) => {
+      val include = Seq("event_id", "user_id", "event_type")
+      val exclude = Seq("props")
+      t(s, dir, "events").select(include.map(col): _*).drop(exclude.filter(include.contains): _*)
+    }),
+
+    // E5: storage-schema reconciliation — dropped storage columns survive as typed NULLs
+    "cdc_reconcile" -> ((s, dir) => {
+      val cur = t(s, dir, "events").select(col("event_id"), col("user_id"))
+      Cdc.reconcileWithStorage(cur, StructType(Seq(
+        StructField("event_id", LongType), StructField("legacy_score", DoubleType))))
+    }),
+
     // ---- event-stream analytics ---------------------------------------------------------------
 
     // tumbling-window aggregation (batch form of the streaming windowed agg)
@@ -324,6 +347,13 @@ object SparkEntry {
         |      + date_part('minute', CAST(ts AS TIMESTAMP)) * 60
         |      + date_part('second', CAST(ts AS TIMESTAMP))) * 1000 AS BIGINT) AS ms_of_day
         |FROM events""".stripMargin,
+
+    "cdc_csv_roundtrip" -> "SELECT * FROM nation",
+
+    "cdc_column_filter" -> "SELECT event_id, user_id, event_type FROM events",
+
+    "cdc_reconcile" ->
+      "SELECT event_id, user_id, CAST(NULL AS DOUBLE) AS legacy_score FROM events",
 
     "ev_window_agg" ->
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS hour_start,

@@ -35,14 +35,29 @@ object CdcRunner {
       mode: String = "dedupe",               // "dedupe" | "append" (D4 policy)
       primaryKeys: Map[String, Seq[String]] = Map.empty, // per-table; empty -> D9 fallback
       maxEventsPerTrigger: Option[Long] = None,
-      stopAtPos: Option[Long] = None)
+      stopAtPos: Option[Long] = None,
+      /** S5: tables added since the last run — snapshotted from the full spool via the
+        * source's batch path, bypassing the stream checkpoint (the `execute-snapshot`
+        * signal analog, `db_components/debezium/executor.py:244-303`). Dedupe absorbs
+        * any overlap with already-streamed events, like replays. */
+      snapshotTables: Seq[String] = Nil,
+      /** P5: `table.include.list` — None = all tables discovered in the stream. */
+      includeTables: Option[Set[String]] = None)
 
-  final case class RunResult(tables: Map[String, Long], lastPos: Long, outDir: String)
+  final case class RunResult(tables: Map[String, Long], lastPos: Long, outDir: String,
+      stats: SyncStats.Snapshot)
+
+  /** S5 helper: tables configured now but absent from the previous run's synced set
+    * (reference diff `ex_postgres_cdc/src/component.py:189-201`). */
+  def detectNewTables(configured: Seq[String], previouslySynced: Set[String]): Seq[String] =
+    configured.filterNot(t => previouslySynced.contains(graft.operators.Cdc.safeTableId(t)))
 
   private val SystemFields = Set("table", "op", "before", "after", "source")
 
   def run(spark: SparkSession, cfg: RunConfig): RunResult = {
-    import spark.implicits._
+    val stagingRoot = s"${cfg.workDir}/staging"
+    val stats = new SyncStats // D8: progress/record bookkeeping via StreamingQueryListener
+    spark.streams.addListener(stats)
 
     val reader = spark.readStream.format("graft.sources.CdcSpoolSource")
       .option("path", cfg.spoolDir)
@@ -50,33 +65,29 @@ object CdcRunner {
     cfg.stopAtPos.foreach(p => reader.option("stopAtPos", p.toString))
     val stream = reader.load()
 
-    val stagingRoot = s"${cfg.workDir}/staging"
     val query = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"${cfg.workDir}/checkpoint")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val spooled = batch.select(col("pos"), col("value"),
-            get_json_object(col("value"), "$.table").as("table")).cache()
-          try {
-            val tables = spooled.select("table").distinct().as[String].collect()
-            for (table <- tables if table != null) {
-              val sub = spooled.filter(col("table") === table)
-              // E1: per-batch schema inference from the events themselves — the analog of the
-              // reference reading `schema.fields` out of every envelope (DbChangeConsumer.java:116-129)
-              val envSchema = spark.read.json(sub.select("value").as[String]).schema
-              val parsed = sub
-                .select(col("pos"), from_json(col("value"), ensureStates(envSchema)).as("j"))
-                .select(col("pos"), col("j.*"))
-              val rows = Cdc.unwrapEnvelope(parsed, passthrough = Seq("pos"))
-                .withColumnRenamed("pos", Cdc.OrderCol)
-              rows.write.mode("append").parquet(s"$stagingRoot/${Cdc.safeTableId(table)}")
-            }
-          } finally spooled.unpersist()
-        }
+        stageEvents(spark, batch, stagingRoot, only = cfg.includeTables)
       }
       .start()
     query.awaitTermination()
+    // progress events arrive on an async listener bus; give the final batch's event a moment
+    val deadline = System.currentTimeMillis() + 2000
+    while (stats.snapshot.processing && System.currentTimeMillis() < deadline)
+      Thread.sleep(20)
+    spark.streams.removeListener(stats)
+
+    // S5: blocking-snapshot signal for newly-added tables — full-spool batch read (no
+    // checkpoint), filtered to the signalled tables, staged like any other events.
+    if (cfg.snapshotTables.nonEmpty) {
+      val batchDf = spark.read.format("graft.sources.CdcSpoolSource")
+        .option("path", cfg.spoolDir).load()
+      val wanted = cfg.snapshotTables.toSet
+      stageEvents(spark, batchDf, stagingRoot,
+        only = Some(wanted))
+    }
 
     // ---- post-process: union-of-epochs read, dedupe policy, export (SURVEY §3.1 steps 8-9)
     val stagingDir = new java.io.File(stagingRoot)
@@ -104,7 +115,34 @@ object CdcRunner {
         cfg.primaryKeys.getOrElse(table, Seq.empty), incremental = cfg.mode == "dedupe")
     }
     CsvManifestSink.writeState(cfg.outDir, lastPos, schemas)
-    RunResult(counts, lastPos, cfg.outDir)
+    RunResult(counts, lastPos, cfg.outDir, stats.snapshot)
+  }
+
+  /** Group a (pos, value) event batch by table, infer each table's envelope schema from the
+    * events (E1), unwrap, and append to that table's staging parquet. */
+  private def stageEvents(spark: SparkSession, batch: DataFrame, stagingRoot: String,
+      only: Option[Set[String]] = None): Unit = {
+    import spark.implicits._
+    // no isEmpty pre-check: it would cost an extra source scan (inflating numInputRows and
+    // wall time); the cached distinct below handles empty batches for free
+    val spooled0 = batch.select(col("pos"), col("value"),
+      get_json_object(col("value"), "$.table").as("table"))
+    val spooled = only.fold(spooled0)(w => spooled0.filter(col("table").isin(w.toSeq: _*))).cache()
+    try {
+      val tables = spooled.select("table").distinct().as[String].collect()
+      for (table <- tables if table != null) {
+        val sub = spooled.filter(col("table") === table)
+        // E1: per-batch schema inference from the events themselves — the analog of the
+        // reference reading `schema.fields` out of every envelope (DbChangeConsumer.java:116-129)
+        val envSchema = spark.read.json(sub.select("value").as[String]).schema
+        val parsed = sub
+          .select(col("pos"), from_json(col("value"), ensureStates(envSchema)).as("j"))
+          .select(col("pos"), col("j.*"))
+        val rows = Cdc.unwrapEnvelope(parsed, passthrough = Seq("pos"))
+          .withColumnRenamed("pos", Cdc.OrderCol)
+        rows.write.mode("append").parquet(s"$stagingRoot/${Cdc.safeTableId(table)}")
+      }
+    } finally spooled.unpersist()
   }
 
   /** Guarantee `before`/`after`/`op`/`source` exist with compatible struct types even when a

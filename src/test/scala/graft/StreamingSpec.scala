@@ -103,6 +103,31 @@ class StreamingSpec extends SparkSpec {
     assert(a.length == 2 && a.head.contains("a1") && a(1).contains("a2")) // ordered append
   }
 
+  test("table-addition chained run: include filter, detectNewTables, signal snapshot backfill") {
+    val base = Files.createTempDirectory("graft-cdc5").toString
+    val spool = s"$base/spool"
+    writeSpool(spool, "000.jsonl", Seq(
+      env("s.a", "c", """{"id":1,"v":"a1"}""", null, 1),
+      env("s.b", "c", """{"k":9,"w":"b1"}""", null, 2)))
+    // run 1 syncs only s.a (P5 include filter) — s.b's event is now behind the checkpoint
+    val r1 = CdcRunner.run(spark, RunConfig(
+      spoolDir = spool, workDir = s"$base/work", outDir = s"$base/out",
+      includeTables = Some(Set("s.a")), primaryKeys = Map("s_a" -> Seq("id"))))
+    assert(r1.tables.keySet == Set("s_a"))
+    assert(r1.stats.records == 2L) // D8: listener saw both spooled events
+
+    // run 2 adds s.b: the diff against state flags it, the signal snapshot backfills it
+    val newTables = CdcRunner.detectNewTables(Seq("s.a", "s.b"), r1.tables.keySet)
+    assert(newTables == Seq("s.b"))
+    val r2 = CdcRunner.run(spark, RunConfig(
+      spoolDir = spool, workDir = s"$base/work", outDir = s"$base/out",
+      includeTables = Some(Set("s.a", "s.b")), primaryKeys = Map("s_a" -> Seq("id"), "s_b" -> Seq("k")),
+      snapshotTables = newTables))
+    assert(r2.tables == Map("s_a" -> 1L, "s_b" -> 1L))
+    val b = readCsvDir(s"$base/out/tables/s_b.csv")
+    assert(b.length == 1 && b.head.startsWith("9,b1,c"))
+  }
+
   test("maxEventsPerTrigger throttles batches; stopAtPos bounds the run") {
     val base = Files.createTempDirectory("graft-cdc4").toString
     val spool = s"$base/spool"
