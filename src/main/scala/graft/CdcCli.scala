@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.streaming.CdcRunner
+import graft.streaming.CdcRunner.RunConfig
+
+/**
+ * §3.2: standalone CLI engine — the Spark form of
+ * `java -jar cdc.jar <props> <resultFolder> [-md s] [-mw s] [-m APPEND|DEDUPE]`
+ * (`debezium_core/src/main/java/keboola/cdc/debezium/DebeziumKBCWrapper.java:34-79`).
+ *
+ * Usage:
+ *   spark-submit --class graft.CdcCli <jar> \
+ *     --spool <dir> --work <dir> --out <dir> \
+ *     [--mode APPEND|DEDUPE] [--pk table=col1,col2]... [--max-batch n] \
+ *     [--stop-at-pos n] [--include t1,t2] [--snapshot-tables t1,t2] [--cpus n]
+ */
+object CdcCli {
+
+  final case class Args(
+      spool: String = null, work: String = null, out: String = null,
+      mode: String = "dedupe", pks: Map[String, Seq[String]] = Map.empty,
+      maxBatch: Option[Long] = None, stopAtPos: Option[Long] = None,
+      include: Option[Set[String]] = None, snapshotTables: Seq[String] = Nil,
+      cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+
+  def parseArgs(argv: Seq[String]): Args = {
+    def loop(rest: List[String], acc: Args): Args = rest match {
+      case Nil => acc
+      case "--spool" :: v :: t => loop(t, acc.copy(spool = v))
+      case "--work" :: v :: t => loop(t, acc.copy(work = v))
+      case "--out" :: v :: t => loop(t, acc.copy(out = v))
+      case "--mode" :: v :: t => loop(t, acc.copy(mode = v.toLowerCase))
+      case "--pk" :: v :: t =>
+        val Array(table, cols) = v.split("=", 2)
+        loop(t, acc.copy(pks = acc.pks + (table -> cols.split(",").toSeq)))
+      case "--max-batch" :: v :: t => loop(t, acc.copy(maxBatch = Some(v.toLong)))
+      case "--stop-at-pos" :: v :: t => loop(t, acc.copy(stopAtPos = Some(v.toLong)))
+      case "--include" :: v :: t => loop(t, acc.copy(include = Some(v.split(",").toSet)))
+      case "--snapshot-tables" :: v :: t => loop(t, acc.copy(snapshotTables = v.split(",").toSeq))
+      case "--cpus" :: v :: t => loop(t, acc.copy(cpus = v))
+      case other :: _ => throw new IllegalArgumentException(s"unknown argument: $other")
+    }
+    val a = loop(argv.toList, Args())
+    require(a.spool != null && a.work != null && a.out != null,
+      "--spool, --work and --out are required")
+    require(a.mode == "append" || a.mode == "dedupe", s"unknown mode: ${a.mode}")
+    a
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = parseArgs(argv.toSeq)
+    val spark = SparkSession.builder()
+      .master(s"local[${a.cpus}]")
+      .appName("graft-cdc")
+      .config("spark.sql.shuffle.partitions", a.cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val res = CdcRunner.run(spark, RunConfig(
+        spoolDir = a.spool, workDir = a.work, outDir = a.out, mode = a.mode,
+        primaryKeys = a.pks, maxEventsPerTrigger = a.maxBatch, stopAtPos = a.stopAtPos,
+        includeTables = a.include, snapshotTables = a.snapshotTables))
+      val tables = res.tables.toSeq.sortBy(_._1)
+        .map { case (t, n) => s""""$t": $n""" }.mkString("{", ", ", "}")
+      println(s"""{"tables": $tables, "last_offset": ${res.lastPos}, "records": ${res.stats.records}}""")
+    } finally spark.stop()
+  }
+}
