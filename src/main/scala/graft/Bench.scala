@@ -14,10 +14,16 @@ object Bench {
     // per-query numbers measure steady-state execution rather than first-job startup.
     spark.range(1L << 20).selectExpr("sum(id)").collect()
     try SparkEntry.queries("q_dim_join")(spark, sfDir).count() catch { case _: Throwable => () }
+    // best of 2: the first execution of each query pays its whole-stage-codegen compile
+    // (~1-3 s of JVM work unrelated to data volume); the second run measures the query.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      }
+      val first = once()
+      name -> (if (first < 0) first else math.min(first, once()))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -84,10 +84,11 @@ object Cdc {
   /**
    * D1+D2: last-write-wins dedupe — keep the latest row per key ordered by `orderCol`.
    *
-   * Aggregate form: `groupBy(pks).agg(max_by(struct(*), orderCol))`. One shuffle with map-side
-   * partial aggregation — at 100 TB this beats the window form because each map task reduces its
-   * input to ≤ |distinct keys in partition| rows before the exchange, instead of shuffling every
-   * event and sorting whole partitions. Replaces the reference's per-chunk
+   * Aggregate form over [[graft.functions.LatestStruct]] (a TypedImperativeAggregate, so the
+   * plan is **ObjectHashAggregate**: map-side partial aggregation, no sort on either side of
+   * the exchange — `max_by(struct)` would plan SortAggregate, a full per-partition sort).
+   * At 100 TB each map task reduces its input to ≤ |distinct keys in partition| rows before
+   * the exchange instead of shuffling every event. Replaces the reference's per-chunk
    * `ROW_NUMBER ... QUALIFY` MAP phase + anti-join REDUCE phase (`staging.py:245-282`) in one op.
    */
   def dedupeLastWins(df: DataFrame, pks: Seq[String], orderCol: String = OrderCol): DataFrame = {
@@ -95,7 +96,8 @@ object Cdc {
     val payload = df.columns.filterNot(keys.contains)
     if (payload.isEmpty) return df.distinct()
     df.groupBy(keys.map(col): _*)
-      .agg(max_by(struct(payload.map(col): _*), col(orderCol)).as("__latest"))
+      .agg(graft.functions.AggregateFunctions
+        .latestStruct(col(orderCol).cast(LongType), struct(payload.map(col): _*)).as("__latest"))
       .select(keys.map(col) ++ payload.map(f => col(s"__latest.`$f`").as(f)): _*)
       .select(df.columns.map(col): _*) // restore original column order (P9)
   }

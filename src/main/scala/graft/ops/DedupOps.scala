@@ -51,7 +51,10 @@ object DedupOps {
     val banded = sigs
       .select(col("id"),
         posexplode(TextFunctions.bandHashesFast(col("sig"), bands)).as(Seq("band", "band_hash")))
+    // repartition on the join key: parallelizes the bucket join even when the input is a
+    // single parquet file, and is the exchange a shuffle join needs at scale anyway
     val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+      .repartition(col("band"), col("band_hash"))
     val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
     val candidates = a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
@@ -109,7 +112,7 @@ object DedupOps {
         TextFunctions.shingleHashes(TextFunctions.tokens(col(textCol)), shingleN)).as("sh"))
     val sizes = sh.select(col("id"), size(col("sh")).as("n"))
     val inv = sh.select(col("id"), explode(col("sh")).as("h"))
-    val a = inv.select(col("h"), col("id").as("id_a"))
+    val a = inv.select(col("h"), col("id").as("id_a")).repartition(col("h"))
     val b = inv.select(col("h"), col("id").as("id_b"))
     a.join(b, Seq("h"))
       .filter(col("id_a") < col("id_b"))

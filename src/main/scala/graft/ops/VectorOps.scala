@@ -71,6 +71,7 @@ object VectorOps {
     val withBucket = df.select(col(idCol), col(vecCol),
       VectorFunctions.hyperplaneLsh(col(vecCol), planes).as("bucket"))
     val a = withBucket.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+      .repartition(col("bucket"))
     val b = withBucket.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
@@ -88,6 +89,7 @@ object VectorOps {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val a = df.select(col(blockCol).as("block"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+      .repartition(col("block"))
     val b = df.select(col(blockCol).as("block"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
