@@ -264,6 +264,12 @@ object SparkEntry {
         .withColumn("sim", round(col("sim"), 4))
     }),
 
+    "emb_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      VectorOps.ivfTopK(e, e.filter(col("vec_id") < 8), k = 3, nCentroids = 16, nProbe = 4)
+        .withColumn("sim", round(col("sim"), 4))
+    }),
+
     "emb_dedup_cosine" -> ((s, dir) => {
       VectorOps.cosineNearDupPairsExact(t(s, dir, "embeddings"), threshold = 0.4, blockCol = "label")
         .withColumn("sim", round(col("sim"), 4))

@@ -130,6 +130,37 @@ object VectorExpressions {
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
+
+  /**
+   * `nearest_centroids(vec, nProbe)` — indices of the `nProbe` closest centroids by cosine:
+   * the IVF (inverted-file) assignment step. Centroids ship inside the serialized plan like
+   * the LSH planes; probing > 1 cells trades compute for recall.
+   */
+  case class NearestCentroids(child: Expression, centroids: Array[Array[Float]], nProbe: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(nProbe > 0 && nProbe <= centroids.length)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(a: Any): Any = {
+      val v = floats(a)
+      var nv = 0.0; var i = 0
+      while (i < v.length) { nv += v(i).toDouble * v(i); i += 1 }
+      val sims = new Array[Double](centroids.length)
+      var c = 0
+      while (c < centroids.length) {
+        val ct = centroids(c)
+        var dot = 0.0; var nc = 0.0; var j = 0
+        val n = math.min(ct.length, v.length)
+        while (j < n) { dot += ct(j).toDouble * v(j); nc += ct(j).toDouble * ct(j); j += 1 }
+        sims(c) = if (nc == 0.0 || nv == 0.0) -2.0 else dot / math.sqrt(nc * nv)
+        c += 1
+      }
+      val idx = Array.tabulate(centroids.length)(identity)
+        .sortBy(i => (-sims(i), i)).take(nProbe)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(idx)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
 }
 
 /** Column-level API. */
@@ -148,4 +179,7 @@ object VectorFunctions {
 
   def hyperplaneLsh(v: Column, planes: Array[Array[Float]]): Column =
     column(HyperplaneLsh(expression(v), planes))
+
+  def nearestCentroids(v: Column, centroids: Array[Array[Float]], nProbe: Int): Column =
+    column(NearestCentroids(expression(v), centroids, nProbe))
 }

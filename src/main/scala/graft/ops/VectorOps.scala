@@ -58,6 +58,38 @@ object VectorOps {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
   }
 
+  /**
+   * IVF (inverted-file) approximate top-k: corpus vectors are assigned to their nearest
+   * centroid cell; each query probes its `nProbe` nearest cells and ranks only those
+   * candidates. Centroids are sampled deterministically from the corpus (smallest ids) and
+   * broadcast inside the expression — at scale, train real k-means centroids offline and
+   * pass them in; the query plan is identical. Corpus assignment is one narrow map; the
+   * probe join shuffles on the cell id, so per-query work is |cell| * nProbe, not |corpus|.
+   */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val centroids: Array[Array[Float]] = corpus
+      .select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(nCentroids)
+      .collect().map(_.getSeq[Float](1).toArray)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      VectorFunctions.nearestCentroids(col(vecCol), centroids, 1).getItem(0).as("cell"))
+      .repartition(col("cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      explode(VectorFunctions.nearestCentroids(col(vecCol), centroids, nProbe)).as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosine(col("q_vec"), col("c_vec")).as("sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked by a coarse LSH bucket so the pairwise
     * compare runs per bucket, not over the full corpus square. */
   def cosineNearDupPairs(

@@ -42,7 +42,11 @@ object CdcRunner {
         * any overlap with already-streamed events, like replays. */
       snapshotTables: Seq[String] = Nil,
       /** P5: `table.include.list` — None = all tables discovered in the stream. */
-      includeTables: Option[Set[String]] = None)
+      includeTables: Option[Set[String]] = None,
+      /** P7: max run duration — the reference's `COMPONENT_TIMEOUT`/`-md` stop condition
+        * (`AbstractDebeziumTask.java:166-189`); the run is stopped cleanly at the batch
+        * boundary and the checkpoint resumes next invocation. */
+      maxDurationMs: Option[Long] = None)
 
   final case class RunResult(tables: Map[String, Long], lastPos: Long, outDir: String,
       stats: SyncStats.Snapshot)
@@ -72,7 +76,10 @@ object CdcRunner {
         stageEvents(spark, batch, stagingRoot, only = cfg.includeTables)
       }
       .start()
-    query.awaitTermination()
+    cfg.maxDurationMs match {
+      case Some(ms) => if (!query.awaitTermination(ms)) query.stop()
+      case None     => query.awaitTermination()
+    }
     // progress events arrive on an async listener bus; give the final batch's event a moment
     val deadline = System.currentTimeMillis() + 2000
     while (stats.snapshot.processing && System.currentTimeMillis() < deadline)

@@ -71,6 +71,15 @@ class VectorOpsSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("ivfTopK: probing all cells recovers the exact brute-force result") {
+    val out = VectorOps.ivfTopK(vecs, vecs.filter(col("vec_id") === 1L), k = 2,
+      nCentroids = 4, nProbe = 4).orderBy(col("sim").desc).collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(2L, 3L))
+    val partial = VectorOps.ivfTopK(vecs, vecs.filter(col("vec_id") === 1L), k = 2,
+      nCentroids = 4, nProbe = 1).collect()
+    assert(partial.forall(_.getAs[Long]("neighbor_id") != 1L)) // no self matches
+  }
+
   test("lshTopK returns neighbors from the query's bucket with correct ordering") {
     val out = VectorOps.lshTopK(vecs, vecs.filter(col("vec_id") === 1L), k = 3, nPlanes = 2, dim = 2)
     // recall is approximate by design; every returned neighbor must be correctly scored

@@ -128,6 +128,21 @@ class StreamingSpec extends SparkSpec {
     assert(b.length == 1 && b.head.startsWith("9,b1,c"))
   }
 
+  test("staging catalog enumerates tables, schemas and chunks (S8)") {
+    val base = Files.createTempDirectory("graft-cdc6").toString
+    val spool = s"$base/spool"
+    writeSpool(spool, "000.jsonl", Seq(
+      env("c.a", "c", """{"id":1}""", null, 1),
+      env("c.b", "c", """{"k":2}""", null, 2)))
+    CdcRunner.run(spark, RunConfig(spoolDir = spool, workDir = s"$base/work", outDir = s"$base/out"))
+    import graft.operators.StagingCatalog
+    val root = s"$base/work/staging"
+    assert(StagingCatalog.tables(root) == Seq("c_a", "c_b"))
+    assert(StagingCatalog.tableSchema(spark, root, "c_a").fieldNames.contains("id"))
+    assert(StagingCatalog.chunks(root, "c_a").nonEmpty)
+    assert(StagingCatalog.table(spark, root, "c_b").count() == 1)
+  }
+
   test("maxEventsPerTrigger throttles batches; stopAtPos bounds the run") {
     val base = Files.createTempDirectory("graft-cdc4").toString
     val spool = s"$base/spool"
