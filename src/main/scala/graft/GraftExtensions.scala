@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.TextExpressions._
+import graft.functions.VectorExpressions._
+import graft.functions.LatestStruct
+
+/**
+ * SQL surface for graft's native expressions. Two registration paths:
+ *  - config: `--conf spark.sql.extensions=graft.GraftExtensions` (injected at session build)
+ *  - runtime: `GraftExtensions.register(spark)` on a live session.
+ *
+ * The reference exposes no UDF surface (SURVEY §2.8); these are the operators Spark itself
+ * lacks, exposed so `spark.sql` users get the same capabilities as the DataFrame API.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot"     -> (es => DotProduct(es(0), es(1))),
+    "graft_cosine"  -> (es => CosineSimilarity(es(0), es(1))),
+    "graft_l2norm"  -> (es => L2Norm(es(0))),
+    "graft_shingle_hashes" -> (es => ShingleHashes(es(0), intArg(es(1), "n"))),
+    "graft_minhash" -> (es => MinHashSignatureLong(es(0), intArg(es(1), "k"))),
+    "graft_band_hashes" -> (es => BandHashesExpr(es(0), intArg(es(1), "bands"))),
+    "graft_min_k_hashes" -> (es => MinKHashesLong(es(0), intArg(es(1), "k"))),
+    "graft_simhash" -> (es => SimHash64(es(0))),
+    "graft_latest_struct" -> (es => LatestStruct(es(0), es(1)).toAggregateExpression()))
+
+  /** Runtime registration on a live session. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) => Bridge.registerFunction(spark, name, b) }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Cdc
+
+/**
+ * Property tests for last-write-wins dedupe (SURVEY §5 port strategy), over seeded random
+ * event streams:
+ *  - idempotence: dedupe(dedupe(x)) == dedupe(x)
+ *  - chunk-boundary invariance: dedupe(union(chunks)) == dedupe(whole) for arbitrary
+ *    splits — the property that makes the reference's per-chunk MAP + anti-join REDUCE
+ *    (`staging.py:216-282`) equivalent to our single-pass aggregation
+ *  - aggregate and window formulations agree
+ *  - the survivor per key is exactly the event with that key's max order.
+ */
+class DedupePropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomEvents(seed: Int): Seq[(Int, String, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    val n = 1 + rnd.nextInt(60)
+    (0 until n).map(i => (rnd.nextInt(10), rnd.alphanumeric.take(6).mkString, i.toLong))
+  }
+
+  private def canon(rows: Seq[(Int, String, Long)]) = rows.toSet
+
+  test("dedupe: idempotent, chunk-invariant, formulation-equivalent, max-order survivor") {
+    for (seed <- 1 to 15) {
+      val events = randomEvents(seed)
+      val df = events.toDF("id", "v", "kbc__batch_event_order")
+      val whole = Cdc.dedupeLastWins(df, Seq("id"))
+      val once = canon(whole.as[(Int, String, Long)].collect().toSeq)
+
+      // idempotence
+      val twice = canon(Cdc.dedupeLastWins(whole, Seq("id")).as[(Int, String, Long)].collect().toSeq)
+      assert(twice == once, s"idempotence failed for seed=$seed")
+
+      // chunk-boundary invariance (split at a seed-dependent point)
+      val s = new scala.util.Random(seed * 31).nextInt(events.length + 1)
+      val (c1, c2) = events.splitAt(s)
+      val chunks = Seq(c1, c2).filter(_.nonEmpty).map(_.toDF("id", "v", "kbc__batch_event_order"))
+      val viaChunks = canon(Cdc.dedupeLastWins(Cdc.unionEpochs(chunks), Seq("id"))
+        .as[(Int, String, Long)].collect().toSeq)
+      assert(viaChunks == once, s"chunk invariance failed for seed=$seed split=$s")
+
+      // agg form == window form
+      val viaWindow = canon(Cdc.dedupeLastWinsWindow(df, Seq("id"))
+        .as[(Int, String, Long)].collect().toSeq)
+      assert(viaWindow == once, s"formulation mismatch for seed=$seed")
+
+      // exactly the max-order event per key survives
+      val expected = events.groupBy(_._1).view.mapValues(_.maxBy(_._3)).values.toSet
+      assert(once == expected, s"wrong survivors for seed=$seed")
+    }
+  }
+}

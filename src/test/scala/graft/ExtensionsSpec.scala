@@ -1,0 +1,32 @@
+package graft
+
+/** SQL surface: the native expressions usable from `spark.sql` after registration. */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registered SQL functions: cosine, shingle/minhash pipeline, latest_struct aggregate") {
+    GraftExtensions.register(spark)
+
+    Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f)), (Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+      .toDF("a", "b").createOrReplaceTempView("vecs")
+    val cos = spark.sql("SELECT graft_cosine(a, b) AS c, graft_dot(a, b) AS d, graft_l2norm(a) AS n FROM vecs")
+      .collect()
+    assert(cos(0).getDouble(0) == 1.0 && cos(1).getDouble(0) == 0.0)
+    assert(cos(0).getDouble(1) == 1.0 && cos(0).getDouble(2) == 1.0)
+
+    Seq("a b c d e", "a b c d e").toDF("text").createOrReplaceTempView("docs")
+    val sig = spark.sql(
+      """SELECT graft_minhash(graft_shingle_hashes(split(text, ' '), 2), 16) AS sig,
+        |       graft_simhash(split(text, ' ')) AS sh FROM docs""".stripMargin).collect()
+    assert(sig(0).getSeq[Long](0).length == 16)
+    assert(sig(0).getSeq[Long](0) == sig(1).getSeq[Long](0))
+    assert(sig(0).getLong(1) == sig(1).getLong(1))
+
+    Seq((1, "old", 1L), (1, "new", 2L), (2, "only", 5L))
+      .toDF("id", "v", "ord").createOrReplaceTempView("events")
+    val latest = spark.sql(
+      """SELECT id, graft_latest_struct(ord, struct(v)).v AS v
+        |FROM events GROUP BY id ORDER BY id""".stripMargin).collect()
+    assert(latest.map(_.getString(1)).toSeq == Seq("new", "only"))
+  }
+}
