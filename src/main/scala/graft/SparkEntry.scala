@@ -204,6 +204,23 @@ object SparkEntry {
         StructField("event_id", LongType), StructField("legacy_score", DoubleType))))
     }),
 
+    // D2's anti-join shape: epoch-1 winners that survive because NO later-epoch event exists
+    // for their key (reference PKEY_CACHE `LEFT JOIN ... WHERE pc.pkey IS NULL`,
+    // `staging.py:266-282`) — expressed as a left_anti join
+    "cdc_anti_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val epoch1 = ev.filter(col("event_id") < 500).select(col("user_id"), col("event_id"))
+      val epoch2 = ev.filter(col("event_id") >= 500).select(col("user_id"))
+      epoch1.join(epoch2, Seq("user_id"), "left_anti")
+    }),
+
+    // left_semi companion (EXISTS): users with at least one error event
+    "cdc_semi_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.select(col("user_id")).distinct()
+        .join(ev.filter(col("event_type") === "error").select(col("user_id")), Seq("user_id"), "left_semi")
+    }),
+
     // ---- event-stream analytics ---------------------------------------------------------------
 
     // tumbling-window aggregation (batch form of the streaming windowed agg)
@@ -353,6 +370,15 @@ object SparkEntry {
         |      + date_part('minute', CAST(ts AS TIMESTAMP)) * 60
         |      + date_part('second', CAST(ts AS TIMESTAMP))) * 1000 AS BIGINT) AS ms_of_day
         |FROM events""".stripMargin,
+
+    "cdc_anti_join" ->
+      """SELECT user_id, event_id FROM events e1
+        |WHERE event_id < 500 AND NOT EXISTS (
+        |  SELECT 1 FROM events e2 WHERE e2.event_id >= 500 AND e2.user_id = e1.user_id)""".stripMargin,
+
+    "cdc_semi_join" ->
+      """SELECT DISTINCT user_id FROM events e1
+        |WHERE EXISTS (SELECT 1 FROM events e2 WHERE e2.event_type = 'error' AND e2.user_id = e1.user_id)""".stripMargin,
 
     "cdc_csv_roundtrip" -> "SELECT * FROM nation",
 

@@ -102,6 +102,30 @@ object Cdc {
       .select(df.columns.map(col): _*) // restore original column order (P9)
   }
 
+  /**
+   * D1 salted form for pathological key skew: when one key owns a large fraction of all
+   * events (a hot row updated millions of times), even partial aggregation leaves one
+   * reducer with the hot key's full map-output. Phase 1 aggregates by (key, salt) —
+   * spreading the hot key over `salts` reducers — phase 2 reduces the ≤`salts` survivors
+   * per key. Deterministic: salt is a hash of the order column, and LWW is associative.
+   */
+  def dedupeLastWinsSalted(df: DataFrame, pks: Seq[String], orderCol: String = OrderCol,
+      salts: Int = 32): DataFrame = {
+    val keys = effectivePks(df, pks)
+    val payload = df.columns.filterNot(keys.contains)
+    if (payload.isEmpty) return df.distinct()
+    val salted = df.withColumn("__salt", pmod(xxhash64(col(orderCol)), lit(salts)))
+    val phase1 = salted.groupBy((keys :+ "__salt").map(col): _*)
+      .agg(graft.functions.AggregateFunctions
+        .latestStruct(col(orderCol).cast(LongType), struct(payload.map(col): _*)).as("__latest"))
+      .select(keys.map(col) ++ Seq(col(s"__latest.`$orderCol`").as("__ord"), col("__latest")): _*)
+    phase1.groupBy(keys.map(col): _*)
+      .agg(graft.functions.AggregateFunctions
+        .latestStruct(col("__ord"), col("__latest")).as("__latest2"))
+      .select(keys.map(col) ++ payload.map(f => col(s"__latest2.`$f`").as(f)): _*)
+      .select(df.columns.map(col): _*)
+  }
+
   /** D1 window form — identical semantics via `row_number`; kept for parity with the reference's
     * formulation (`staging.py:245-259`) and for cases needing the loser rows too. */
   def dedupeLastWinsWindow(df: DataFrame, pks: Seq[String], orderCol: String = OrderCol): DataFrame = {

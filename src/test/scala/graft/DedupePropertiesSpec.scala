@@ -47,6 +47,11 @@ class DedupePropertiesSpec extends SparkSpec {
         .as[(Int, String, Long)].collect().toSeq)
       assert(viaWindow == once, s"formulation mismatch for seed=$seed")
 
+      // salted two-phase form agrees (skew path)
+      val viaSalted = canon(Cdc.dedupeLastWinsSalted(df, Seq("id"), salts = 4)
+        .as[(Int, String, Long)].collect().toSeq)
+      assert(viaSalted == once, s"salted mismatch for seed=$seed")
+
       // exactly the max-order event per key survives
       val expected = events.groupBy(_._1).view.mapValues(_.maxBy(_._3)).values.toSet
       assert(once == expected, s"wrong survivors for seed=$seed")

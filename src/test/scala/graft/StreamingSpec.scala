@@ -128,6 +128,31 @@ class StreamingSpec extends SparkSpec {
     assert(b.length == 1 && b.head.startsWith("9,b1,c"))
   }
 
+  test("watermarked tumbling-window aggregation over the cdc-spool stream") {
+    // beyond the reference's bounded-CDC semantics: the standard Structured Streaming
+    // path (readStream -> event-time watermark -> window agg) over the same source
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft-wm").toString
+    val spool = s"$base/spool"
+    writeSpool(spool, "000.jsonl", Seq(
+      env("w.t", "c", """{"id":1}""", null, 1000L),       // 00:00:01
+      env("w.t", "c", """{"id":2}""", null, 2000L),       // 00:00:02
+      env("w.t", "c", """{"id":3}""", null, 61000L),      // 00:01:01 -> next minute window
+      env("w.t", "c", """{"id":4}""", null, 62000L)))
+    val stream = spark.readStream.format("cdc-spool").option("path", spool).load()
+      .select(timestamp_millis(get_json_object(col("value"), "$.source.ts_ms").cast("long")).as("ts"))
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.format("memory").queryName("wm_counts")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ckpt").start()
+    q.awaitTermination()
+    val rows = spark.sql("SELECT n FROM wm_counts ORDER BY 1").collect().map(_.getLong(0))
+    assert(rows.toSeq == Seq(2L, 2L))
+  }
+
   test("staging catalog enumerates tables, schemas and chunks (S8)") {
     val base = Files.createTempDirectory("graft-cdc6").toString
     val spool = s"$base/spool"
