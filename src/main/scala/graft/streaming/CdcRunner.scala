@@ -46,7 +46,13 @@ object CdcRunner {
       /** P7: max run duration — the reference's `COMPONENT_TIMEOUT`/`-md` stop condition
         * (`AbstractDebeziumTask.java:166-189`); the run is stopped cleanly at the batch
         * boundary and the checkpoint resumes next invocation. */
-      maxDurationMs: Option[Long] = None)
+      maxDurationMs: Option[Long] = None,
+      /** Input format. `false` (default): routed envelopes `{"table":…,"op":…,"after":…}`
+        * with per-batch JSON schema inference. `true`: the reference engine's actual wire
+        * format — SMT-unwrapped flat Connect events `{"schema":{"name":"<t>.<s>.<tbl>.Value",
+        * "fields":[…]},"payload":{row + kbc__ columns}}` (`DbChangeConsumerTest.java:40-46`),
+        * decoded by the schema block via [[graft.operators.EnvelopeDecoder]]. */
+      wireFormat: Boolean = false)
 
   final case class RunResult(tables: Map[String, Long], lastPos: Long, outDir: String,
       stats: SyncStats.Snapshot)
@@ -73,7 +79,8 @@ object CdcRunner {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"${cfg.workDir}/checkpoint")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        stageEvents(spark, batch, stagingRoot, only = cfg.includeTables)
+        if (cfg.wireFormat) stageWireEvents(spark, batch, stagingRoot, cfg.includeTables)
+        else stageEvents(spark, batch, stagingRoot, only = cfg.includeTables)
       }
       .start()
     cfg.maxDurationMs match {
@@ -92,8 +99,8 @@ object CdcRunner {
       val batchDf = spark.read.format("graft.sources.CdcSpoolSource")
         .option("path", cfg.spoolDir).load()
       val wanted = cfg.snapshotTables.toSet
-      stageEvents(spark, batchDf, stagingRoot,
-        only = Some(wanted))
+      if (cfg.wireFormat) stageWireEvents(spark, batchDf, stagingRoot, Some(wanted))
+      else stageEvents(spark, batchDf, stagingRoot, only = Some(wanted))
     }
 
     // ---- post-process: union-of-epochs read, dedupe policy, export (SURVEY §3.1 steps 8-9)
@@ -146,6 +153,35 @@ object CdcRunner {
           .select(col("pos"), from_json(col("value"), ensureStates(envSchema)).as("j"))
           .select(col("pos"), col("j.*"))
         val rows = Cdc.unwrapEnvelope(parsed, passthrough = Seq("pos"))
+          .withColumnRenamed("pos", Cdc.OrderCol)
+        rows.write.mode("append").parquet(s"$stagingRoot/${Cdc.safeTableId(table)}")
+      }
+    } finally spooled.unpersist()
+  }
+
+  /**
+   * Wire-format staging: SMT-unwrapped flat Connect events. Table id comes from
+   * `schema.name` = `<topic>.<schema>.<table>.Value` with dots → underscores
+   * (`AppendDbConverter.java:27`); the payload is decoded at the types declared by the
+   * event's own `schema.fields` block (logical dates/timestamps included) — the sample is
+   * the highest-position event, whose schema is the widest (schemas grow additively, E1/E3).
+   */
+  private def stageWireEvents(spark: SparkSession, batch: DataFrame, stagingRoot: String,
+      only: Option[Set[String]]): Unit = {
+    import spark.implicits._
+    import graft.operators.EnvelopeDecoder
+    val spooled0 = batch.select(col("pos"), col("value"),
+      regexp_replace(get_json_object(col("value"), "$.schema.name"), "\\.Value$", "").as("table"))
+    val spooled = only.fold(spooled0)(w => spooled0.filter(col("table").isin(w.toSeq: _*))).cache()
+    try {
+      val tables = spooled.select("table").distinct().as[String].collect()
+      for (table <- tables if table != null) {
+        val sub = spooled.filter(col("table") === table)
+        val sampleJson = sub.orderBy(col("pos").desc).select("value").as[String].head()
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val schemaBlock = mapper.readTree(sampleJson).get("schema").toString
+        val elements = EnvelopeDecoder.parseSchemaElements(schemaBlock)
+        val rows = EnvelopeDecoder.decodePayload(sub, "value", elements, passthrough = Seq("pos"))
           .withColumnRenamed("pos", Cdc.OrderCol)
         rows.write.mode("append").parquet(s"$stagingRoot/${Cdc.safeTableId(table)}")
       }

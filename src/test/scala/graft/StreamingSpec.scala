@@ -128,6 +128,35 @@ class StreamingSpec extends SparkSpec {
     assert(b.length == 1 && b.head.startsWith("9,b1,c"))
   }
 
+  test("wireFormat: flat Connect events decoded by their schema block, table id from schema.name") {
+    val base = Files.createTempDirectory("graft-wire").toString
+    val spool = s"$base/spool"
+    def wire(table: String, fields: String, payload: String): String =
+      s"""{"schema":{"name":"$table.Value","fields":[$fields]},"payload":$payload}"""
+    val baseFields =
+      """{"type":"int32","optional":false,"field":"id"},
+        |{"type":"string","optional":true,"field":"name"},
+        |{"type":"int32","optional":true,"field":"created","name":"io.debezium.time.Date"},
+        |{"type":"string","optional":true,"field":"kbc__operation"},
+        |{"type":"int64","optional":true,"field":"kbc__event_timestamp","name":"io.debezium.time.Timestamp"},
+        |{"type":"string","optional":true,"field":"__deleted"}""".stripMargin.replace("\n", "")
+    writeSpool(spool, "000.jsonl", Seq(
+      wire("topic.inv.items", baseFields,
+        """{"id":1,"name":"a","created":19000,"kbc__operation":"r","kbc__event_timestamp":1000,"__deleted":"false"}"""),
+      wire("topic.inv.items", baseFields,
+        """{"id":1,"name":"a2","created":19000,"kbc__operation":"u","kbc__event_timestamp":2000,"__deleted":"false"}""")))
+    val res = CdcRunner.run(spark, RunConfig(
+      spoolDir = spool, workDir = s"$base/work", outDir = s"$base/out",
+      primaryKeys = Map("topic_inv_items" -> Seq("id")), wireFormat = true))
+    assert(res.tables == Map("topic_inv_items" -> 1L))
+    val staged = spark.read.option("mergeSchema", "true").parquet(s"$base/work/staging/topic_inv_items")
+    // schema-block-driven types: epoch-day int decoded to DATE, epoch-millis to TIMESTAMP
+    assert(staged.schema("created").dataType == org.apache.spark.sql.types.DateType)
+    assert(staged.schema("kbc__event_timestamp").dataType == org.apache.spark.sql.types.TimestampType)
+    val csv = readCsvDir(s"$base/out/tables/topic_inv_items.csv")
+    assert(csv.length == 1 && csv.head.startsWith("1,a2,2022-01-08,u,"))
+  }
+
   test("watermarked tumbling-window aggregation over the cdc-spool stream") {
     // beyond the reference's bounded-CDC semantics: the standard Structured Streaming
     // path (readStream -> event-time watermark -> window agg) over the same source
