@@ -244,6 +244,32 @@ object SparkEntry {
           .cast(DoubleType).as("running_value"))
     }),
 
+    // gap-based sessionization (30-min inactivity): lag -> new-session flag -> running sum
+    // as session index -> per-session aggregates. The batch form of session windows.
+    "ev_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+      val gapMs = 30L * 60 * 1000
+      t(s, dir, "events")
+        .withColumn("ms", unix_millis(col("ts")))
+        .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ms").isNull || col("ms") - col("prev_ms") > gapMs, 1L).otherwise(0L))
+        .withColumn("session_idx", sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ms")).as("start_ms"),
+          max(col("ms")).as("end_ms"))
+    }),
+
+    // vocabulary: corpus-wide token frequencies, top 50
+    "doc_top_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(TextOps.tokensCol(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(50)
+    }),
+
     // ---- training-data ops: dedup family ------------------------------------------------------
 
     "doc_dedup_exact" -> ((s, dir) => DedupOps.exactDupes(t(s, dir, "documents"))),
@@ -399,6 +425,28 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
         |FROM events""".stripMargin,
+
+    "ev_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ms,
+        |    LAG(CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT)) OVER
+        |      (PARTITION BY user_id ORDER BY CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT), event_id) AS prev_ms
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ms,
+        |    SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END) OVER
+        |      (PARTITION BY user_id ORDER BY ms, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM g)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, COUNT(*) AS n_events,
+        |  MIN(ms) AS start_ms, MAX(ms) AS end_ms
+        |FROM s GROUP BY user_id, session_idx""".stripMargin,
+
+    "doc_top_tokens" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS token
+        |  FROM documents)
+        |SELECT token, COUNT(*) AS n FROM toks GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
 
     "doc_dedup_exact" ->
       """SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
