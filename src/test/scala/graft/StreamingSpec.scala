@@ -182,6 +182,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq(2L, 2L))
   }
 
+  test("flatMapGroupsWithState sessionization: state persists across micro-batches") {
+    import graft.streaming.Sessionize
+    val base = Files.createTempDirectory("graft-fmgs").toString
+    val spool = s"$base/spool"
+    // user 7: events at t=0s,10s (one session), then t=100s (gap>30s closes first session)
+    // user 8: single event — session stays open, nothing emitted
+    writeSpool(spool, "000.jsonl", Seq(
+      env("s.e", "c", """{"user_id":7}""", null, 0L),
+      env("s.e", "c", """{"user_id":7}""", null, 10000L),
+      env("s.e", "c", """{"user_id":8}""", null, 5000L)))
+    writeSpool(spool, "001.jsonl", Seq(
+      env("s.e", "c", """{"user_id":7}""", null, 100000L)))
+    val stream = spark.readStream.format("cdc-spool").option("path", spool)
+      .option("maxEventsPerTrigger", "3") // force the two files into separate batches
+      .load()
+    val q = Sessionize.fromSpool(stream, gapMs = 30000L)
+      .writeStream.format("memory").queryName("sessions").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ckpt").start()
+    q.awaitTermination()
+    val rows = spark.sql("SELECT user_id, start_ms, end_ms, n_events FROM sessions").collect()
+    // exactly one closed session: user 7's first (0s-10s, 2 events), closed by the 100s event
+    // that arrived in a LATER micro-batch — proving state carried across batches
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == 7L && rows.head.getLong(1) == 0L &&
+      rows.head.getLong(2) == 10000L && rows.head.getLong(3) == 2L)
+  }
+
   test("staging catalog enumerates tables, schemas and chunks (S8)") {
     val base = Files.createTempDirectory("graft-cdc6").toString
     val spool = s"$base/spool"
