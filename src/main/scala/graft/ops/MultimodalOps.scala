@@ -51,6 +51,37 @@ object MultimodalOps {
    * work (one task per partition, no driver collect, arbitrary native-lib init amortized per
    * partition via the iterator wrapper).
    */
+  /**
+   * Frame sampling for "video" blobs: one output row per sampled frame, with the frame
+   * payload sliced out of the blob. Row-expansion via `mapPartitions` (explode-shaped;
+   * partition-local, no driver involvement). The frame boundaries come from [[decodeStub]]
+   * — a real codec would return actual frame offsets; the Spark plumbing (schema,
+   * iterator expansion, partition sizing) is the production shape.
+   */
+  def sampleFrames(df: DataFrame, binCol: String, idCol: String, everyN: Int = 1): DataFrame = {
+    require(everyN >= 1)
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame_bytes", BinaryType, nullable = false)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val (_, _, nFrames) = decodeStub(bytes)
+        val frameLen = math.max(1, bytes.length / math.max(1, nFrames))
+        (0 until nFrames by everyN).iterator.map { i =>
+          val from = math.min(i * frameLen, bytes.length)
+          val until = math.min(from + frameLen, bytes.length)
+          Row(r.get(idIdx), i, java.util.Arrays.copyOfRange(bytes, from, until))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   def decodeMedia(df: DataFrame, binCol: String, idCol: String): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(

@@ -128,6 +128,32 @@ class TextOpsSpec extends SparkSpec {
   }
 }
 
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("joins between co-bucketed tables are exchange-free") {
+    val base = java.nio.file.Files.createTempDirectory("graft-bkt").toString
+    val facts = (1 to 1000).map(i => (i.toLong % 50, s"f$i")).toDF("user_id", "payload")
+    val dims = (0 to 49).map(i => (i.toLong, s"u$i")).toDF("user_id", "name")
+    graft.sinks.Bucketing.writeBucketed(facts, "bkt_facts", s"$base/facts", Seq("user_id"), 8)
+    graft.sinks.Bucketing.writeBucketed(dims, "bkt_dims", s"$base/dims", Seq("user_id"), 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the SMJ path
+      val joined = spark.sql(
+        """SELECT f.user_id, f.payload, d.name
+          |FROM bkt_facts f JOIN bkt_dims d ON f.user_id = d.user_id""".stripMargin)
+      assert(joined.count() == 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected exchange-free bucketed join, got:\n$plan")
+      assert(plan.contains("SortMergeJoin") && plan.contains("Bucketed: true"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bkt_facts"); spark.sql("DROP TABLE IF EXISTS bkt_dims")
+    }
+  }
+}
+
 class MultimodalOpsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -144,5 +170,16 @@ class MultimodalOpsSpec extends SparkSpec {
     val dec2 = MultimodalOps.decodeMedia(df, "blob", "doc_id").collect()
       .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
     assert(dec == dec2)
+  }
+
+  test("sampleFrames explodes one row per sampled frame with sliced payload") {
+    val df = Seq((1L, "abcdefghij")).toDF("doc_id", "text") // 10 bytes -> 10%30+1 = 11 frames
+      .withColumn("blob", encode(col("text"), "UTF-8"))
+    val all = MultimodalOps.sampleFrames(df, "blob", "doc_id").collect()
+    assert(all.length == 11)
+    assert(all.map(_.getInt(1)).toSeq == (0 until 11))
+    val sampled = MultimodalOps.sampleFrames(df, "blob", "doc_id", everyN = 3).collect()
+    assert(sampled.map(_.getInt(1)).toSeq == Seq(0, 3, 6, 9))
+    assert(new String(all.head.getAs[Array[Byte]](2)) == "a") // frameLen = 10/11 -> 1 byte
   }
 }
