@@ -287,6 +287,11 @@ object SparkEntry {
 
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(t(s, dir, "documents"))),
 
+    // near-dup clustering: connected components over the verified pair graph; the
+    // canonical-survivor map a pipeline joins against to drop duplicate cluster members
+    "doc_dup_clusters" -> ((s, dir) =>
+      DedupOps.duplicateClusters(DedupOps.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.2))),
+
     // ---- training-data ops: text analysis -----------------------------------------------------
 
     "doc_langid" -> ((s, dir) => TextOps.langId(t(s, dir, "documents"))),

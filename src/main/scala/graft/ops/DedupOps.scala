@@ -93,6 +93,44 @@ object DedupOps {
   }
 
   /**
+   * Duplicate clusters from a pair list: connected components by iterative min-label
+   * propagation (each node adopts the smallest id reachable through its neighbors;
+   * converges in O(diameter) rounds, each one shuffle — near-dup graphs have tiny
+   * diameters, so this terminates in a handful of rounds even at corpus scale).
+   * Returns (id, cluster_id) where cluster_id = min doc id of the component — the
+   * canonical survivor a pipeline keeps.
+   */
+  def duplicateClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
+        .groupBy(col("src")).agg(min(col("cluster_id")).as("nmin"))
+      // localCheckpoint truncates lineage each round — without it the plan embeds the
+      // previous round's plan twice (labels feeds both join inputs) and grows 2^rounds.
+      // On a cluster, a reliable checkpoint dir gives the same effect fault-tolerantly.
+      val updated = labels
+        .join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"),
+          (col("nmin") < col("cluster_id")).as("changed"))
+        .localCheckpoint(true)
+      converged = updated.filter(col("changed")).limit(1).count() == 0
+      labels = updated.drop("changed")
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /**
    * Exact n-gram Jaccard over candidate pairs that share at least one shingle hash
    * (inverted-index blocking). The verify compares distinct-shingle-hash arrays with
    * `array_intersect` — set semantics, order-free.

@@ -40,6 +40,19 @@ class DedupOpsSpec extends SparkSpec {
     assert(!pairs.contains((4L, 5L)))
   }
 
+  test("duplicateClusters: connected components resolve to min-id canonical survivor") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (10L, 4L)).toDF("id_a", "id_b")
+    val out = DedupOps.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L, 4L -> 4L, 10L -> 4L))
+  }
+
+  test("duplicateClusters converges on a long chain (diameter > 1 round)") {
+    val chain = (1L to 12L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("id_a", "id_b")
+    val out = DedupOps.duplicateClusters(chain).collect().map(_.getLong(1)).distinct
+    assert(out.toSeq == Seq(1L))
+  }
+
   test("simhashPairs blocks by 16-bit chunk and verifies hamming") {
     val pairs = DedupOps.simhashPairs(docs, maxHamming = 0).collect()
     assert(pairs.exists(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L))
