@@ -177,6 +177,8 @@ object SparkEntry {
         date_add(to_date(lit("1970-01-01")), floor(col("value")).cast(IntegerType)).as("as_date"),
         date_format(timestamp_millis(unix_millis(col("ts"))), "yyyy-MM-dd HH:mm:ss.SSS").as("as_ts"),
         base64(col("event_type").cast(BinaryType)).as("as_b64"),
+        hex(col("event_type").cast(BinaryType)).as("as_hex"), // binary.handling.mode=hex rendering
+
         ((hour(col("ts")) * 3600 + minute(col("ts")) * 60 + second(col("ts"))) * lit(1000L))
           .cast(LongType).as("ms_of_day"))
     }),
@@ -397,6 +399,7 @@ object SparkEntry {
         |  DATE '1970-01-01' + CAST(FLOOR(value) AS INT) AS as_date,
         |  strftime(epoch_ms(CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT)), '%Y-%m-%d %H:%M:%S.%g') AS as_ts,
         |  to_base64(encode(event_type)) AS as_b64,
+        |  hex(encode(event_type)) AS as_hex,
         |  CAST((date_part('hour', CAST(ts AS TIMESTAMP)) * 3600
         |      + date_part('minute', CAST(ts AS TIMESTAMP)) * 60
         |      + date_part('second', CAST(ts AS TIMESTAMP))) * 1000 AS BIGINT) AS ms_of_day
