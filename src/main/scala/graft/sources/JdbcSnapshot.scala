@@ -64,7 +64,8 @@ object JdbcSnapshot {
       lowerBound: Option[Long] = None,
       upperBound: Option[Long] = None,
       numPartitions: Int = 2,                   // reference snapshot.max.threads default
-      fetchSize: Int = 10240)                   // reference snapshot.fetch.size default
+      fetchSize: Int = 10240,                   // reference snapshot.fetch.size default
+      driver: Option[String] = None)            // JDBC driver class, when not url-derivable
 
   /** S2: run the bounded snapshot read. The statement (override or projected SELECT) goes in
     * as a dbtable subquery so Catalyst still pushes filters/pruning into it. */
@@ -76,6 +77,7 @@ object JdbcSnapshot {
       .option("user", cfg.user)
       .option("password", cfg.password)
       .option("fetchsize", cfg.fetchSize)
+    cfg.driver.foreach(d => r = r.option("driver", d))
     (cfg.partitionColumn, cfg.lowerBound, cfg.upperBound) match {
       case (Some(c), Some(lo), Some(hi)) =>
         r = r.option("partitionColumn", c).option("lowerBound", lo)
