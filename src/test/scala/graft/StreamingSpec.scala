@@ -128,6 +128,22 @@ class StreamingSpec extends SparkSpec {
     assert(b.length == 1 && b.head.startsWith("9,b1,c"))
   }
 
+  test("empty spool and no-new-events runs complete cleanly") {
+    val base = Files.createTempDirectory("graft-empty").toString
+    val spool = s"$base/spool"
+    Files.createDirectories(Paths.get(spool))
+    val cfg = RunConfig(spoolDir = spool, workDir = s"$base/work", outDir = s"$base/out")
+    val r1 = CdcRunner.run(spark, cfg) // nothing spooled at all
+    assert(r1.tables.isEmpty && r1.lastPos == 0L)
+    assert(Files.readString(Paths.get(s"$base/out/state.json")).contains(""""last_offset": 0"""))
+
+    writeSpool(spool, "000.jsonl", Seq(env("e.t", "c", """{"id":1}""", null, 1)))
+    val r2 = CdcRunner.run(spark, cfg.copy(primaryKeys = Map("e_t" -> Seq("id"))))
+    assert(r2.tables == Map("e_t" -> 1L))
+    val r3 = CdcRunner.run(spark, cfg.copy(primaryKeys = Map("e_t" -> Seq("id")))) // caught up
+    assert(r3.tables == Map("e_t" -> 1L)) // staging re-exported, no duplicates
+  }
+
   test("wireFormat: flat Connect events decoded by their schema block, table id from schema.name") {
     val base = Files.createTempDirectory("graft-wire").toString
     val spool = s"$base/spool"
