@@ -137,6 +137,22 @@ object SparkEntry {
           sum(dec(col("s_acctbal"))).cast(DoubleType).as("sum_acctbal"))
     }),
 
+    // exact interpolated percentiles (oracle: DuckDB quantile_cont)
+    "q_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        round(expr("percentile(l_quantity, 0.5)"), 2).as("median_qty"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95_price"),
+        round(expr("percentile(l_discount, 0.25)"), 2).as("p25_discount"))
+    }),
+
+    // sketch aggregates for 100 TB profiling: HLL distinct counts + t-digest-style
+    // approximate percentiles (implementations differ across engines -> rows-only check)
+    "q_approx_sketch" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median_price"))
+    }),
+
     // ---- CDC operator inventory (SURVEY §2) ---------------------------------------------------
 
     // P1+P2+P8: envelope unwrap with delete rewrite + system columns
@@ -404,6 +420,12 @@ object SparkEntry {
         |      + date_part('minute', CAST(ts AS TIMESTAMP)) * 60
         |      + date_part('second', CAST(ts AS TIMESTAMP))) * 1000 AS BIGINT) AS ms_of_day
         |FROM events""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT ROUND(quantile_cont(l_quantity, 0.5), 2) AS median_qty,
+        |  ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS p95_price,
+        |  ROUND(quantile_cont(l_discount, 0.25), 2) AS p25_discount
+        |FROM lineitem""".stripMargin,
 
     "cdc_anti_join" ->
       """SELECT user_id, event_id FROM events e1

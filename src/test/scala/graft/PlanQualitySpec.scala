@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/**
+ * Plan-quality regression tests: the physical-plan properties that make the operators hold
+ * at 100 TB, asserted so a refactor can't silently lose them.
+ */
+class PlanQualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q1_agg: filter and projection reach the parquet scan; partial aggregation") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"))
+    assert(p.contains("partial_sum"))
+    assert(!p.toLowerCase.contains("readschema: struct<l_orderkey")) // pruned: no unused cols
+  }
+
+  test("q_dim_join: dimension joins broadcast") {
+    val p = plan("q_dim_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("cdc_dedupe_lww: ObjectHashAggregate on both sides, no sort") {
+    val p = plan("cdc_dedupe_lww")
+    assert(p.contains("ObjectHashAggregate"))
+    assert(!p.contains("SortAggregate"))
+    assert(!p.contains("Window"))
+  }
+
+  test("ann brute force: corpus is never shuffled, queries broadcast") {
+    val p = plan("emb_ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+    // the only exchange allowed is for the final per-query ranking window, keyed by query_id
+    assert(!p.contains("Exchange hashpartitioning(neighbor_id"))
+  }
+
+  test("partition pruning: partitioned parquet scans only the matching partition") {
+    val base = java.nio.file.Files.createTempDirectory("graft-pp").toString
+    spark.read.parquet(s"$dir/events.parquet")
+      .write.mode("overwrite").partitionBy("event_type").parquet(s"$base/events_p")
+    val q = spark.read.parquet(s"$base/events_p").filter(col("event_type") === "error")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("event_type"))
+    // the partition column filter must NOT appear as a data filter (it's pruned, not scanned)
+    assert(!p.contains("PushedFilters: [IsNotNull(event_type)"))
+    assert(q.count() > 0)
+  }
+}
