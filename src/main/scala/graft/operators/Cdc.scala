@@ -169,11 +169,14 @@ object Cdc {
   def assignEventOrder(df: DataFrame, sortCols: Seq[Column]): DataFrame = {
     val ranged = df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
     val schema = StructType(ranged.schema.fields :+ StructField(OrderCol, LongType, nullable = false))
-    val counts = ranged.rdd.mapPartitionsWithIndex(
+    // persist the sorted RDD: the counts pass and the numbering pass must see the SAME
+    // partitioning/ordering (and the sort is paid once, not twice)
+    val sorted = ranged.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sorted.mapPartitionsWithIndex(
       (i, it) => Iterator((i, it.size)), preservesPartitioning = true).collect().sortBy(_._1)
     val offsets = counts.map(_._2.toLong).scanLeft(0L)(_ + _)
     val bc = ranged.sparkSession.sparkContext.broadcast(offsets)
-    val rdd = ranged.rdd.mapPartitionsWithIndex { (i, it) =>
+    val rdd = sorted.mapPartitionsWithIndex { (i, it) =>
       var n = bc.value(i) - 1
       it.map { r => n += 1; org.apache.spark.sql.Row.fromSeq(r.toSeq :+ n) }
     }

@@ -120,11 +120,13 @@ object CdcRunner {
       val payloadCols = deduped.columns.filterNot(c => Cdc.SystemCols.contains(c))
       val ordered = Cdc.normalizeColumns(
         deduped.select((payloadCols ++ Cdc.SystemCols.filter(deduped.columns.contains)).map(col): _*))
+        .persist() // count + CSV write share one dedupe computation
       counts += table -> ordered.count()
       schemas += table -> ordered.schema
       val maxPos = staged.agg(max(col(Cdc.OrderCol))).collect().head.getLong(0)
       lastPos = math.max(lastPos, maxPos + 1)
       CsvManifestSink.writeCsv(ordered, outTables, table)
+      ordered.unpersist()
       CsvManifestSink.writeManifest(ordered.schema, outTables, table,
         cfg.primaryKeys.getOrElse(table, Seq.empty), incremental = cfg.mode == "dedupe")
     }
