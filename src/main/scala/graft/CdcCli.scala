@@ -22,6 +22,7 @@ object CdcCli {
       mode: String = "dedupe", pks: Map[String, Seq[String]] = Map.empty,
       maxBatch: Option[Long] = None, stopAtPos: Option[Long] = None,
       include: Option[Set[String]] = None, snapshotTables: Seq[String] = Nil,
+      wireFormat: Boolean = false,
       cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
 
   def parseArgs(argv: Seq[String]): Args = {
@@ -38,6 +39,7 @@ object CdcCli {
       case "--stop-at-pos" :: v :: t => loop(t, acc.copy(stopAtPos = Some(v.toLong)))
       case "--include" :: v :: t => loop(t, acc.copy(include = Some(v.split(",").toSet)))
       case "--snapshot-tables" :: v :: t => loop(t, acc.copy(snapshotTables = v.split(",").toSeq))
+      case "--wire-format" :: t => loop(t, acc.copy(wireFormat = true))
       case "--cpus" :: v :: t => loop(t, acc.copy(cpus = v))
       case other :: _ => throw new IllegalArgumentException(s"unknown argument: $other")
     }
@@ -61,7 +63,8 @@ object CdcCli {
       val res = CdcRunner.run(spark, RunConfig(
         spoolDir = a.spool, workDir = a.work, outDir = a.out, mode = a.mode,
         primaryKeys = a.pks, maxEventsPerTrigger = a.maxBatch, stopAtPos = a.stopAtPos,
-        includeTables = a.include, snapshotTables = a.snapshotTables))
+        includeTables = a.include, snapshotTables = a.snapshotTables,
+        wireFormat = a.wireFormat))
       val tables = res.tables.toSeq.sortBy(_._1)
         .map { case (t, n) => s""""$t": $n""" }.mkString("{", ", ", "}")
       println(s"""{"tables": $tables, "last_offset": ${res.lastPos}, "records": ${res.stats.records}}""")

@@ -1,22 +1,38 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Dev profiler: end-to-end CDC runner throughput on a synthetic spool built from the
+  * sf0.1 events table (100k change events, one table, dedupe mode). */
 object Profile {
-  def time[T](name: String)(f: => T): Unit = {
-    (1 to 3).foreach { i =>
-      val t0 = System.nanoTime(); f
-      println(f"PROF $name#$i ${(System.nanoTime()-t0)/1e9}%8.2f s")
-    }
-  }
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32").config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
-    spark.range(1L << 20).selectExpr("sum(id)").collect()
-    time("dedupe_lww_objhash")(SparkEntry.queries("cdc_dedupe_lww")(spark, dir).count())
-    time("ngram")(SparkEntry.queries("doc_ngram_jaccard")(spark, dir).count())
-    time("unwrap")(SparkEntry.queries("cdc_unwrap")(spark, dir).count())
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = Files.createTempDirectory("graft-tp").toString
+    Files.createDirectories(Paths.get(s"$base/spool"))
+    val ev0 = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    val ev = (0 until 10).map(i => ev0.withColumn("event_id", col("event_id") + lit(i.toLong * 1000000))).reduce(_ unionByName _)
+    val n = ev.count()
+    val lines = ev.select(to_json(struct(
+      lit("bench.events").as("table"),
+      when(col("event_type") === "error", "d").otherwise("u").as("op"),
+      when(col("event_type") === "error", lit(null))
+        .otherwise(struct(col("event_id"), col("user_id"), col("event_type"), col("value"))).as("after"),
+      when(col("event_type") === "error",
+        struct(col("event_id"), col("user_id"), lit(null).cast("string").as("event_type"),
+          lit(null).cast("double").as("value"))).otherwise(lit(null)).as("before"),
+      struct((col("ts") / 1000000L).cast("long").as("ts_ms")).as("source"))).as("v"))
+      .collect().map(_.getString(0))
+    Files.write(Paths.get(s"$base/spool/000.jsonl"), java.util.Arrays.asList(lines: _*))
+    val t0 = System.nanoTime()
+    val res = graft.streaming.CdcRunner.run(spark, graft.streaming.CdcRunner.RunConfig(
+      spoolDir = s"$base/spool", workDir = s"$base/work", outDir = s"$base/out",
+      primaryKeys = Map("bench_events" -> Seq("user_id"))))
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"PROF cdc_pipeline events=$n out=${res.tables.values.sum} ${secs}%.2f s -> ${n / secs}%.0f events/s")
     spark.stop()
   }
 }
