@@ -44,7 +44,8 @@ class CdcSpoolSource extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties)
     new CdcSpoolTable(opts.get("path"),
       Option(opts.get("maxEventsPerTrigger")).map(_.toLong),
-      Option(opts.get("stopAtPos")).map(_.toLong))
+      Option(opts.get("stopAtPos")).map(_.toLong),
+      Option(opts.get("stopAtTsMs")).map(_.toLong))
   }
 }
 
@@ -63,22 +64,54 @@ object CdcSpoolSource {
       try (f, src.getLines().size.toLong) finally src.close()
     }.toSeq
   }
+
+  /** Lightweight `"ts_ms":<digits>` extraction from an envelope line (no full JSON parse)
+    * — only used by the ts-based stop condition, once per line per run. */
+  private[sources] def extractTsMs(line: String): Option[Long] = {
+    val key = "\"ts_ms\":"
+    val i = line.indexOf(key)
+    if (i < 0) None
+    else {
+      var j = i + key.length
+      while (j < line.length && line.charAt(j) == ' ') j += 1
+      val start = j
+      while (j < line.length && Character.isDigit(line.charAt(j))) j += 1
+      if (j > start) Some(line.substring(start, j).toLong) else None
+    }
+  }
+
+  /** Per-file stats: line count and the index of the first out-of-scope event (ts > cap). */
+  private[sources] def scanFile(f: String, tsCap: Option[Long]): (Long, Option[Long]) = {
+    val src = scala.io.Source.fromFile(f)
+    try {
+      var n = 0L
+      var firstBad: Option[Long] = None
+      for (line <- src.getLines()) {
+        if (firstBad.isEmpty && tsCap.exists(cap => extractTsMs(line).exists(_ > cap)))
+          firstBad = Some(n)
+        n += 1
+      }
+      (n, firstBad)
+    } finally src.close()
+  }
 }
 
-class CdcSpoolTable(path: String, maxPerTrigger: Option[Long], stopAtPos: Option[Long])
+class CdcSpoolTable(path: String, maxPerTrigger: Option[Long], stopAtPos: Option[Long],
+    stopAtTsMs: Option[Long] = None)
     extends Table with SupportsRead {
   override def name(): String = s"cdc-spool($path)"
   override def schema(): StructType = CdcSpoolSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new CdcSpoolScan(path, maxPerTrigger, stopAtPos)
+    () => new CdcSpoolScan(path, maxPerTrigger, stopAtPos, stopAtTsMs)
 }
 
-class CdcSpoolScan(path: String, maxPerTrigger: Option[Long], stopAtPos: Option[Long]) extends Scan {
+class CdcSpoolScan(path: String, maxPerTrigger: Option[Long], stopAtPos: Option[Long],
+    stopAtTsMs: Option[Long] = None) extends Scan {
   override def readSchema(): StructType = CdcSpoolSource.Schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new CdcSpoolMicroBatchStream(path, maxPerTrigger, stopAtPos)
+    new CdcSpoolMicroBatchStream(path, maxPerTrigger, stopAtPos, stopAtTsMs)
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val files = CdcSpoolSource.listFiles(path)
@@ -96,14 +129,15 @@ case class CdcSpoolOffset(pos: Long) extends Offset {
   override def json(): String = pos.toString
 }
 
-class CdcSpoolMicroBatchStream(path: String, maxPerTrigger: Option[Long], stopAtPos: Option[Long])
+class CdcSpoolMicroBatchStream(path: String, maxPerTrigger: Option[Long], stopAtPos: Option[Long],
+    stopAtTsMs: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   // Spool files are append-only-by-new-files; re-list on every latestOffset call so files
-  // landing mid-run are picked up (the streaming-engine contract), but cache line counts.
-  private val countCache = mutable.Map.empty[String, Long]
+  // landing mid-run are picked up (the streaming-engine contract), but cache per-file stats.
+  private val statCache = mutable.Map.empty[String, (Long, Option[Long])]
   // Frozen end target for Trigger.AvailableNow runs (the bounded-run model): everything
-  // present when the run starts, clipped by the stopAtPos stop condition (P7).
+  // present when the run starts, clipped by the stop conditions (P7).
   private var availableNowTarget: Option[Long] = None
 
   private def filesWithOffsets(): (Seq[(String, Long)], Long) = {
@@ -111,18 +145,26 @@ class CdcSpoolMicroBatchStream(path: String, maxPerTrigger: Option[Long], stopAt
     val names = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".jsonl")).map(_.getPath).sorted.toSeq
     val files = names.map { f =>
-      val n = countCache.getOrElseUpdate(f, {
-        val src = scala.io.Source.fromFile(f)
-        try src.getLines().size.toLong finally src.close()
-      })
-      (f, n)
+      (f, statCache.getOrElseUpdate(f, CdcSpoolSource.scanFile(f, stopAtTsMs))._1)
     }
     (files, files.map(_._2).sum)
   }
 
   private def cappedTotal(): Long = {
-    val (_, total) = filesWithOffsets()
-    stopAtPos.fold(total)(math.min(total, _)) // bounded-run stop condition (P7)
+    val (files, total) = filesWithOffsets()
+    // P7 ts-based out-of-scope stop (DbChangeConsumer.java:133-162): consumption halts at
+    // the first event whose source ts exceeds the cap — the reference's StopEngineException.
+    val tsCap: Long = if (stopAtTsMs.isEmpty) total else {
+      var base = 0L
+      var cut = total
+      var found = false
+      for ((f, n) <- files if !found) {
+        statCache(f)._2.foreach { bad => cut = base + bad; found = true }
+        base += n
+      }
+      cut
+    }
+    math.min(tsCap, stopAtPos.fold(total)(math.min(total, _)))
   }
 
   override def initialOffset(): Offset = CdcSpoolOffset(0L)

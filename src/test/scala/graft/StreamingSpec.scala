@@ -128,6 +128,23 @@ class StreamingSpec extends SparkSpec {
     assert(b.length == 1 && b.head.startsWith("9,b1,c"))
   }
 
+  test("stopAtTsMs: consumption halts at the first out-of-scope event (P7 ts stop)") {
+    val base = Files.createTempDirectory("graft-ts").toString
+    val spool = s"$base/spool"
+    writeSpool(spool, "000.jsonl", Seq(
+      env("t.x", "c", """{"id":1}""", null, 1000L),
+      env("t.x", "c", """{"id":2}""", null, 2000L),
+      env("t.x", "c", """{"id":3}""", null, 9000L),  // ts beyond cap -> stop HERE
+      env("t.x", "c", """{"id":4}""", null, 3000L))) // even in-scope events after it are cut
+    val stream = spark.readStream.format("cdc-spool").option("path", spool)
+      .option("stopAtTsMs", "5000").load()
+    val q = stream.writeStream.format("memory").queryName("ts_stop")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ckpt").start()
+    q.awaitTermination()
+    assert(spark.sql("SELECT * FROM ts_stop").count() == 2)
+  }
+
   test("empty spool and no-new-events runs complete cleanly") {
     val base = Files.createTempDirectory("graft-empty").toString
     val spool = s"$base/spool"
