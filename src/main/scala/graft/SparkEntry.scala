@@ -51,22 +51,28 @@ object SparkEntry {
       StructField("ts_ms", LongType), StructField("file", StringType),
       StructField("pos", LongType))))))
 
-  /** Render events as raw Debezium envelope JSON strings (the CDC source's wire format). */
+  /** Render events as raw Debezium envelope JSON strings (the CDC source's wire format).
+    * Built with codegen'd string concat rather than per-row Jackson `to_json` — the
+    * generation is bench scaffolding; the measured operators are the parse + unwrap +
+    * dedupe downstream. */
   private def eventEnvelopes(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val isDel = col("event_type") === "error"
     val op = when(col("event_type") === "signup", "c")
       .when(col("event_type") === "purchase", "u")
       .when(isDel, "d").otherwise("r")
-    val payload = struct(col("event_id"), col("user_id"), col("event_type"), col("value"))
-    val pkOnly = struct(lit(null).cast(LongType).as("event_id"), col("user_id"),
-      lit(null).cast(StringType).as("event_type"), lit(null).cast(DoubleType).as("value"))
-    ev.select(to_json(struct(
-      op.as("op"),
-      when(isDel, lit(null)).otherwise(payload).as("after"),
-      when(isDel, pkOnly).otherwise(lit(null)).as("before"),
-      struct(unix_millis(col("ts")).as("ts_ms"), lit("binlog.000001").as("file"),
-        col("event_id").as("pos")).as("source"))).as("value"))
+    val payloadJson = concat(lit("{\"event_id\":"), col("event_id"),
+      lit(",\"user_id\":"), col("user_id"),
+      lit(",\"event_type\":\""), col("event_type"),
+      lit("\",\"value\":"), col("value").cast(StringType), lit("}"))
+    val pkOnlyJson = concat(lit("{\"user_id\":"), col("user_id"), lit("}"))
+    ev.select(concat(
+      lit("{\"op\":\""), op,
+      lit("\",\"after\":"), when(isDel, lit("null")).otherwise(payloadJson),
+      lit(",\"before\":"), when(isDel, pkOnlyJson).otherwise(lit("null")),
+      lit(",\"source\":{\"ts_ms\":"), unix_millis(col("ts")),
+      lit(",\"file\":\"binlog.000001\",\"pos\":"), col("event_id"),
+      lit("}}")).as("value"))
   }
 
   /** Parse + unwrap (P1/P2) + normalize (P8): the full envelope→staging-row path. */

@@ -28,6 +28,20 @@ class JdbcEndToEndSpec extends SparkSpec {
     assert(JdbcMetadata.tables(conn, "APP") == Seq("ITEMS"))
   }
 
+  test("heartbeat keepalive executes the action query on an interval (§2.7)") {
+    conn.createStatement().execute(
+      "CREATE TABLE HEARTBEAT(ID INT GENERATED ALWAYS AS IDENTITY, BEAT_AT TIMESTAMP)")
+    val hb = new graft.sources.Heartbeat(conn,
+      "INSERT INTO HEARTBEAT(BEAT_AT) VALUES (CURRENT_TIMESTAMP)", intervalMs = 50L)
+    try Thread.sleep(400) finally hb.close()
+    val rs = conn.createStatement().executeQuery("SELECT COUNT(*) FROM HEARTBEAT")
+    rs.next()
+    assert(rs.getInt(1) >= 3 && hb.beatCount >= 3)
+    val after = hb.beatCount
+    Thread.sleep(150) // closed -> no further beats
+    assert(hb.beatCount == after)
+  }
+
   test("snapshot read: full table, statement override, partitioned parallel scan (S2-S4)") {
     conn // force setup
     val cfg = SnapshotConfig(url, "APP.ITEMS", driver = Some(DerbyDriver))
