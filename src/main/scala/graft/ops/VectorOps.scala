@@ -18,6 +18,17 @@ import graft.functions.VectorFunctions
  */
 object VectorOps {
 
+  /** Rank candidates per query with the bounded-heap [[graft.functions.TopKByScore]]
+    * aggregate — ObjectHashAggregate with map-side partial heaps (≤ k rows per group cross
+    * the exchange), vs. the window form which shuffles and SORTS every candidate. Ordering
+    * semantics identical to `row_number over (order by sim desc, neighbor_id)`. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKFunctions.topKByScore(col("sim"), col("neighbor_id"),
+        struct(col("neighbor_id"), col("sim")), k).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.neighbor_id").as("neighbor_id"), col("t.sim").as("sim"))
+
   /** Exact top-k cosine neighbors for each query vector (excluding self-matches by id). */
   def bruteForceTopK(
       corpus: DataFrame,
@@ -31,8 +42,7 @@ object VectorOps {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         VectorFunctions.cosine(col("q_vec"), col("c_vec")).as("sim"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+    rankTopK(scored, k)
   }
 
   /** Approximate top-k: candidates restricted to the query's LSH bucket. `nPlanes` controls the
@@ -54,8 +64,7 @@ object VectorOps {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         VectorFunctions.cosine(col("q_vec"), col("c_vec")).as("sim"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+    rankTopK(scored, k)
   }
 
   /**
@@ -86,8 +95,7 @@ object VectorOps {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         VectorFunctions.cosine(col("q_vec"), col("c_vec")).as("sim"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+    rankTopK(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs, blocked by a coarse LSH bucket so the pairwise

@@ -93,6 +93,24 @@ class VectorOpsSpec extends SparkSpec {
     assert(partial.forall(_.getAs[Long]("neighbor_id") != 1L)) // no self matches
   }
 
+  test("topKByScore aggregate: equivalent to the rank-window form, ties broken by id asc") {
+    import graft.functions.TopKFunctions
+    val rnd = new scala.util.Random(7)
+    val scored = (1 to 500).map(i => (i % 5L, i.toLong, math.floor(rnd.nextDouble() * 10) / 10))
+      .toDF("query_id", "neighbor_id", "sim") // coarse scores force plenty of ties
+    val viaAgg = scored.groupBy(col("query_id"))
+      .agg(TopKFunctions.topKByScore(col("sim"), col("neighbor_id"),
+        struct(col("neighbor_id"), col("sim")), 7).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.neighbor_id"), col("t.sim"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    val viaWindow = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 7)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    assert(viaAgg.collect().toSet == viaWindow.collect().toSet)
+    assert(viaAgg.count() == 35)
+  }
+
   test("lshTopK returns neighbors from the query's bucket with correct ordering") {
     val out = VectorOps.lshTopK(vecs, vecs.filter(col("vec_id") === 1L), k = 3, nPlanes = 2, dim = 2)
     // recall is approximate by design; every returned neighbor must be correctly scored

@@ -33,11 +33,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window"))
   }
 
-  test("ann brute force: corpus is never shuffled, queries broadcast") {
+  test("ann brute force: corpus never shuffled, ranking is a bounded-heap aggregate") {
     val p = plan("emb_ann_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
-    // the only exchange allowed is for the final per-query ranking window, keyed by query_id
     assert(!p.contains("Exchange hashpartitioning(neighbor_id"))
+    // top-k ranking: ObjectHashAggregate over TopKByScore, not a sorted rank window
+    assert(p.contains("ObjectHashAggregate"))
+    assert(!p.contains("Window") && !p.contains("row_number"))
   }
 
   test("partition pruning: partitioned parquet scans only the matching partition") {
