@@ -118,9 +118,15 @@ object CdcRunner {
           Cdc.dedupeLastWins(staged, cfg.primaryKeys.getOrElse(table, Seq.empty))
         else staged.orderBy(col(Cdc.OrderCol)) // append mode keeps every event, ordered
       val payloadCols = deduped.columns.filterNot(c => Cdc.SystemCols.contains(c))
-      val ordered = Cdc.normalizeColumns(
+      val normalized = Cdc.normalizeColumns(
         deduped.select((payloadCols ++ Cdc.SystemCols.filter(deduped.columns.contains)).map(col): _*))
-        .persist() // count + CSV write share one dedupe computation
+      // output contract: KBC__EVENT_TIMESTAMP_MS is epoch millis (§1.2) — the wire path
+      // decodes the logical Timestamp to TimestampType, so convert back for export
+      val ordered = (normalized.schema.find(_.name == "KBC__EVENT_TIMESTAMP_MS") match {
+        case Some(f) if f.dataType == TimestampType =>
+          normalized.withColumn("KBC__EVENT_TIMESTAMP_MS", unix_millis(col("KBC__EVENT_TIMESTAMP_MS")))
+        case _ => normalized
+      }).persist() // count + CSV write share one dedupe computation
       counts += table -> ordered.count()
       schemas += table -> ordered.schema
       val maxPos = staged.agg(max(col(Cdc.OrderCol))).collect().head.getLong(0)

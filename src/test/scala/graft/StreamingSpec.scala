@@ -187,7 +187,8 @@ class StreamingSpec extends SparkSpec {
     assert(staged.schema("created").dataType == org.apache.spark.sql.types.DateType)
     assert(staged.schema("kbc__event_timestamp").dataType == org.apache.spark.sql.types.TimestampType)
     val csv = readCsvDir(s"$base/out/tables/topic_inv_items.csv")
-    assert(csv.length == 1 && csv.head.startsWith("1,a2,2022-01-08,u,"))
+    // KBC__EVENT_TIMESTAMP_MS exported as epoch millis (output contract §1.2)
+    assert(csv.length == 1 && csv.head.startsWith("1,a2,2022-01-08,u,2000,"))
   }
 
   test("watermarked tumbling-window aggregation over the cdc-spool stream") {
