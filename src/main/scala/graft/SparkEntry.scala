@@ -311,10 +311,11 @@ object SparkEntry {
 
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(t(s, dir, "documents"))),
 
-    // near-dup clustering: connected components over the verified pair graph; the
+    // near-dup clustering: connected components over the candidate pair graph; the
     // canonical-survivor map a pipeline joins against to drop duplicate cluster members
+    // (pairs from minhash-LSH — the scale path; exact-jaccard pairs are benched separately)
     "doc_dup_clusters" -> ((s, dir) =>
-      DedupOps.duplicateClusters(DedupOps.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.2))),
+      DedupOps.duplicateClusters(DedupOps.minhashLshPairs(t(s, dir, "documents"), threshold = 0.2))),
 
     // ---- training-data ops: text analysis -----------------------------------------------------
 
