@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.TextExpressions._
 import graft.functions.VectorExpressions._
-import graft.functions.LatestStruct
+import graft.functions.{LatestStruct, TopKByScore}
 
 /**
  * SQL surface for graft's native expressions. Two registration paths:
@@ -42,7 +42,8 @@ object GraftExtensions {
     "graft_band_hashes" -> (es => BandHashesExpr(es(0), intArg(es(1), "bands"))),
     "graft_min_k_hashes" -> (es => MinKHashesLong(es(0), intArg(es(1), "k"))),
     "graft_simhash" -> (es => SimHash64(es(0))),
-    "graft_latest_struct" -> (es => LatestStruct(es(0), es(1)).toAggregateExpression()))
+    "graft_latest_struct" -> (es => LatestStruct(es(0), es(1)).toAggregateExpression()),
+    "graft_top_k" -> (es => TopKByScore(es(0), es(1), es(2), intArg(es(3), "k")).toAggregateExpression()))
 
   /** Runtime registration on a live session. */
   def register(spark: SparkSession): Unit =

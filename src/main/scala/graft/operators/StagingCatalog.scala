@@ -32,4 +32,27 @@ object StagingCatalog {
     Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).sorted.toSeq
   }
+
+  /**
+   * Compact a staging table: per-micro-batch appends accumulate one small file per batch
+   * per partition; long-running chained syncs degrade scans (file-open overhead dominates).
+   * Rewrites the table to `targetFiles` parquet files under the merged schema, atomically
+   * (write to a sibling dir, then swap). The small-file problem is THE operational failure
+   * mode of streaming ingestion at scale; the reference sidesteps it only because DuckDB
+   * staging is a single local file.
+   */
+  def compact(spark: SparkSession, stagingRoot: String, name: String, targetFiles: Int = 1): Long = {
+    val dir = s"$stagingRoot/$name"
+    val tmp = s"$stagingRoot/.compact_$name"
+    val df = spark.read.option("mergeSchema", "true").parquet(dir)
+    df.repartition(targetFiles).write.mode("overwrite").parquet(tmp)
+    val rows = spark.read.parquet(tmp).count()
+    val old = new java.io.File(dir)
+    def delete(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(delete); f.delete()
+    }
+    delete(old)
+    new java.io.File(tmp).renameTo(old)
+    rows
+  }
 }

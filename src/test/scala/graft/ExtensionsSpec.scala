@@ -28,5 +28,13 @@ class ExtensionsSpec extends SparkSpec {
       """SELECT id, graft_latest_struct(ord, struct(v)).v AS v
         |FROM events GROUP BY id ORDER BY id""".stripMargin).collect()
     assert(latest.map(_.getString(1)).toSeq == Seq("new", "only"))
+
+    Seq((1L, 10L, 0.9), (1L, 11L, 0.7), (1L, 12L, 0.95), (1L, 13L, 0.1))
+      .toDF("g", "nid", "s").createOrReplaceTempView("cands")
+    val topk = spark.sql(
+      """SELECT g, t.nid FROM (
+        |  SELECT g, explode(graft_top_k(s, nid, struct(nid, s), 2)) AS t FROM cands GROUP BY g)""".stripMargin)
+      .collect().map(_.getLong(1))
+    assert(topk.toSeq == Seq(12L, 10L)) // best-first
   }
 }

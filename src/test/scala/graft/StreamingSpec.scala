@@ -128,6 +128,41 @@ class StreamingSpec extends SparkSpec {
     assert(b.length == 1 && b.head.startsWith("9,b1,c"))
   }
 
+  test("staging compaction: many per-batch files -> targetFiles, data and schema preserved") {
+    import graft.operators.StagingCatalog
+    val base = Files.createTempDirectory("graft-compact").toString
+    val spool = s"$base/spool"
+    writeSpool(spool, "000.jsonl", (1 to 6).map(i => env("c.t", "c", s"""{"id":$i}""", null, i.toLong)))
+    CdcRunner.run(spark, RunConfig(spoolDir = spool, workDir = s"$base/work", outDir = s"$base/out",
+      maxEventsPerTrigger = Some(2))) // 3 micro-batches -> >=3 staging files
+    val root = s"$base/work/staging"
+    assert(StagingCatalog.chunks(root, "c_t").size >= 3)
+    val rows = StagingCatalog.compact(spark, root, "c_t", targetFiles = 1)
+    assert(rows == 6L)
+    assert(StagingCatalog.chunks(root, "c_t").size == 1)
+    assert(StagingCatalog.table(spark, root, "c_t").count() == 6)
+  }
+
+  test("streaming dedupe of replayed events via dropDuplicatesWithinWatermark") {
+    // delivery is at-least-once (§2.7); replays can also be absorbed IN the stream when a
+    // bounded dedupe window suffices, complementing the batch LWW dedupe
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft-ddw").toString
+    val spool = s"$base/spool"
+    val e = env("d.t", "c", """{"id":1}""", null, 1000L)
+    writeSpool(spool, "000.jsonl", Seq(e, e, env("d.t", "c", """{"id":2}""", null, 2000L), e))
+    val stream = spark.readStream.format("cdc-spool").option("path", spool).load()
+      .select(get_json_object(col("value"), "$.after.id").cast("long").as("id"),
+        timestamp_millis(get_json_object(col("value"), "$.source.ts_ms").cast("long")).as("ts"))
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("id")
+    val q = stream.writeStream.format("memory").queryName("ddw").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ckpt").start()
+    q.awaitTermination()
+    assert(spark.sql("SELECT id FROM ddw").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("stopAtTsMs: consumption halts at the first out-of-scope event (P7 ts stop)") {
     val base = Files.createTempDirectory("graft-ts").toString
     val spool = s"$base/spool"
