@@ -319,6 +319,9 @@ object SparkEntry {
 
     // ---- training-data ops: text analysis -----------------------------------------------------
 
+    // reproducible content-hash train/test split (membership invariant under re-runs)
+    "doc_hash_split" -> ((s, dir) => TextOps.hashSplit(t(s, dir, "documents"))),
+
     "doc_langid" -> ((s, dir) => TextOps.langId(t(s, dir, "documents"))),
     "doc_quality" -> ((s, dir) => TextOps.qualityScore(t(s, dir, "documents"))),
     "doc_tokens" -> ((s, dir) => TextOps.tokenStats(t(s, dir, "documents"))),
@@ -488,6 +491,13 @@ object SparkEntry {
     "doc_dedup_exact" ->
       """SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "doc_hash_split" ->
+      """SELECT doc_id,
+        |  CAST(CAST(('0x' || substring(md5(text), 1, 4)) AS INT) % 100 AS INT) AS bucket,
+        |  CASE WHEN CAST(('0x' || substring(md5(text), 1, 4)) AS INT) % 100 < 90
+        |       THEN 'train' ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
 
     "doc_langid" ->
       """WITH t AS (SELECT doc_id,

@@ -80,6 +80,20 @@ object TextOps {
           when(nTok > 0, (nStop / nTok) * 0.5).otherwise(lit(0.0)), 4).as("quality_score"))
   }
 
+  /**
+   * Stable train/test split by content hash: bucket = first 16 bits of md5(text) mod 100.
+   * Hash-based (not RNG) splitting is the reproducible way to partition training corpora —
+   * membership is a pure function of content, invariant under re-runs, re-partitioning and
+   * incremental ingestion (a document never migrates between splits).
+   */
+  def hashSplit(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      trainPct: Int = 90): DataFrame = {
+    require(trainPct > 0 && trainPct < 100)
+    val bucket = (conv(substring(md5(col(textCol)), 1, 4), 16, 10).cast("int") % 100).as("bucket")
+    df.select(col(idCol), bucket)
+      .withColumn("split", when(col("bucket") < trainPct, "train").otherwise("test"))
+  }
+
   /** Document fingerprint: bottom-k sketch of token-level rolling hashes
     * ([[graft.functions.TextExpressions.MinKHashes]]) — compact, mergeable, joinable. */
   def fingerprint(df: DataFrame, textCol: String = "text", idCol: String = "doc_id", k: Int = 8): DataFrame =

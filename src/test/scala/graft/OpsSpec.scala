@@ -151,6 +151,18 @@ class TextOpsSpec extends SparkSpec {
     assert(bad.getAs[Double]("quality_score") < 0.5)
   }
 
+  test("hashSplit: content-determined, stable, roughly proportional") {
+    val docs = (1L to 200L).map(i => (i, s"document number $i with some content")).toDF("doc_id", "text")
+    val s1 = TextOps.hashSplit(docs).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val s2 = TextOps.hashSplit(docs).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(s1 == s2) // stable across runs
+    val trainFrac = s1.values.count(_ == "train").toDouble / s1.size
+    assert(trainFrac > 0.8 && trainFrac < 0.97, s"trainFrac=$trainFrac")
+    // identical content always lands in the same split regardless of id
+    val twin = Seq((900L, "document number 5 with some content")).toDF("doc_id", "text")
+    assert(TextOps.hashSplit(twin).collect().head.getString(2) == s1(5L))
+  }
+
   test("fingerprint is deterministic and equal for equal docs") {
     val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "h i j k l m n"))
       .toDF("doc_id", "text")
