@@ -28,6 +28,12 @@ class JdbcEndToEndSpec extends SparkSpec {
     assert(JdbcMetadata.tables(conn, "APP") == Seq("ITEMS"))
   }
 
+  test("sync actions: testConnection and schema listing (§3.3)") {
+    conn // force setup
+    assert(JdbcMetadata.testConnection(url, "", ""))
+    assert(JdbcMetadata.schemas(conn).contains("APP"))
+  }
+
   test("heartbeat keepalive executes the action query on an interval (§2.7)") {
     conn.createStatement().execute(
       "CREATE TABLE HEARTBEAT(ID INT GENERATED ALWAYS AS IDENTITY, BEAT_AT TIMESTAMP)")
