@@ -298,6 +298,17 @@ object SparkEntry {
 
     "doc_dedup_exact" -> ((s, dir) => DedupOps.exactDupes(t(s, dir, "documents"))),
 
+    // capstone composition: the cleaned training corpus — exact-dup removal (canonical
+    // survivor) + quality gate, in one declarative plan Catalyst optimizes end-to-end
+    "doc_corpus_clean" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val keep = DedupOps.exactDupes(d).select(col("keep_id").as("doc_id"))
+      val quality = TextOps.qualityScore(d).filter(col("quality_score") >= 0.55)
+        .select(col("doc_id"), col("quality_score"))
+      d.join(keep, "doc_id").join(quality, "doc_id")
+        .select(col("doc_id"), col("lang"), col("quality_score"))
+    }),
+
     "doc_minhash_lsh" -> ((s, dir) =>
       DedupOps.minhashLshPairs(t(s, dir, "documents"), threshold = 0.2)),
 
@@ -491,6 +502,22 @@ object SparkEntry {
     "doc_dedup_exact" ->
       """SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "doc_corpus_clean" ->
+      """WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS n_tok,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','on','for','with','as','at'))) AS DOUBLE) AS n_stop
+        |  FROM t),
+        |q AS (SELECT doc_id,
+        |  ROUND((CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 0.5 ELSE 0.0 END)
+        |      + (CASE WHEN n_tok > 0 THEN (n_stop / n_tok) * 0.5 ELSE 0.0 END), 4) AS quality_score
+        |  FROM m)
+        |SELECT d.doc_id, d.lang, q.quality_score
+        |FROM documents d JOIN keep USING (doc_id) JOIN q USING (doc_id)
+        |WHERE q.quality_score >= 0.55""".stripMargin,
 
     "doc_hash_split" ->
       """SELECT doc_id,
