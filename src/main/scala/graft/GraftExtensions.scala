@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 import graft.functions.TextExpressions._
 import graft.functions.VectorExpressions._
@@ -42,8 +42,13 @@ object GraftExtensions {
     "graft_band_hashes" -> (es => BandHashesExpr(es(0), intArg(es(1), "bands"))),
     "graft_min_k_hashes" -> (es => MinKHashesLong(es(0), intArg(es(1), "k"))),
     "graft_simhash" -> (es => SimHash64(es(0))),
-    "graft_latest_struct" -> (es => LatestStruct(es(0), es(1)).toAggregateExpression()),
-    "graft_top_k" -> (es => TopKByScore(es(0), es(1), es(2), intArg(es(3), "k")).toAggregateExpression()))
+    // numeric order/score/tiebreak args are widened here so SQL callers can pass INT/FLOAT
+    // columns; the aggregates themselves then type-check strictly at analysis
+    "graft_latest_struct" -> (es =>
+      LatestStruct(Cast(es(0), LongType), es(1)).toAggregateExpression()),
+    "graft_top_k" -> (es =>
+      TopKByScore(Cast(es(0), DoubleType), Cast(es(1), LongType), es(2), intArg(es(3), "k"))
+        .toAggregateExpression()))
 
   /** Runtime registration on a live session. */
   def register(spark: SparkSession): Unit =

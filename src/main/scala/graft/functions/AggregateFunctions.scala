@@ -35,6 +35,18 @@ case class LatestStruct(
   override def nullable: Boolean = true
   override def dataType: DataType = payload.dataType
 
+  /** Analysis-time contract (the update path casts unchecked): LONG order, STRUCT payload —
+    * a mistyped column through the SQL surface (`graft_latest_struct`) fails at analysis
+    * instead of as an executor ClassCastException. */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (order.dataType != LongType)
+      TypeCheckFailure(s"latest_struct: order must be BIGINT, got ${order.dataType.sql}")
+    else if (!payload.dataType.isInstanceOf[StructType])
+      TypeCheckFailure(s"latest_struct: payload must be a STRUCT, got ${payload.dataType.sql}")
+    else TypeCheckSuccess
+  }
+
   override def createAggregationBuffer(): LatestBuf = new LatestBuf(Long.MinValue, null)
 
   override def update(buf: LatestBuf, input: InternalRow): LatestBuf = {

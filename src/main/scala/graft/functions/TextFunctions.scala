@@ -124,7 +124,14 @@ object TextExpressions {
     override protected def nullSafeEval(a: Any): Any = {
       val arr = a.asInstanceOf[ArrayData]
       val k = arr.numElements()
-      val rows = math.max(1, k / bands)
+      // Degenerate banding must fail loudly: bands > k would hash empty slices to a
+      // constant for every document, collapsing the LSH join into a full cross product;
+      // k % bands != 0 would silently drop trailing signature values.
+      if (bands > k) throw new IllegalArgumentException(
+        s"band_hashes: bands=$bands exceeds signature length $k")
+      if (k % bands != 0) throw new IllegalArgumentException(
+        s"band_hashes: signature length $k is not divisible by bands=$bands")
+      val rows = k / bands
       val out = new Array[Long](bands)
       var b = 0
       while (b < bands) {

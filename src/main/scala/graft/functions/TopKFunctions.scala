@@ -49,6 +49,20 @@ case class TopKByScore(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(payload.dataType, containsNull = false)
 
+  /** Analysis-time contract (the update path casts unchecked): DOUBLE score, LONG tiebreak,
+    * STRUCT payload — a mistyped column through the SQL surface (`graft_top_k`) fails the
+    * query at analysis instead of as an executor ClassCastException. */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (score.dataType != DoubleType)
+      TypeCheckFailure(s"top_k_by_score: score must be DOUBLE, got ${score.dataType.sql}")
+    else if (tiebreak.dataType != LongType)
+      TypeCheckFailure(s"top_k_by_score: tiebreak must be BIGINT, got ${tiebreak.dataType.sql}")
+    else if (!payload.dataType.isInstanceOf[StructType])
+      TypeCheckFailure(s"top_k_by_score: payload must be a STRUCT, got ${payload.dataType.sql}")
+    else TypeCheckSuccess
+  }
+
   override def createAggregationBuffer(): mutable.PriorityQueue[TopKEntry] =
     new mutable.PriorityQueue[TopKEntry]()(worstFirst)
 

@@ -69,6 +69,50 @@ object DedupOps {
   }
 
   /**
+   * MinHash-LSH candidate generation + EXACT verification: bands block the corpus into
+   * candidate buckets exactly like [[minhashLshPairs]], but surviving pairs are verified
+   * with the true distinct-shingle Jaccard (`array_intersect` on the two shingle-hash sets,
+   * fetched only for candidate pairs) instead of the signature estimate. This is the
+   * verifiable production shape: the sketch does the blocking (never O(n²)), the exact
+   * measure does the accept/reject — so the output is *identical* to the full exact-Jaccard
+   * pair list whenever banding recall holds (k=64/bands=16 ⇒ per-pair miss probability
+   * (1-s⁴)¹⁶ ≈ 1e-7 at s=0.9), and a silent banding bug shows up as missing rows, not as a
+   * skewed estimate. Shingle arrays cross the exchange only for candidate pairs.
+   */
+  def minhashLshVerifiedPairs(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleN: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.4): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      TextFunctions.shingleHashes(TextFunctions.tokens(col(textCol)), shingleN).as("shl"))
+    val withSig = base.select(col("id"),
+      array_distinct(col("shl")).as("sh"),
+      TextFunctions.minhashLong(col("shl"), k).as("sig"))
+    val banded = withSig
+      .select(col("id"),
+        posexplode(TextFunctions.bandHashesFast(col("sig"), bands)).as(Seq("band", "band_hash")))
+    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+      .repartition(col("band"), col("band_hash"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sets = withSig.select(col("id"), col("sh"), size(col("sh")).as("n"))
+    val jac = col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"), col("n_a"), col("n_b"))
+      .filter(jac >= threshold)
+      .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard"))
+  }
+
+  /**
    * SimHash near-duplicates: 64-bit fingerprint, blocked by its four 16-bit chunks
    * (any pair within Hamming distance 3 shares at least one intact chunk — pigeonhole),
    * verified with `bit_count(a^b) <= maxHamming`. Both phases are codegen'd built-ins.
@@ -152,13 +196,13 @@ object DedupOps {
     val inv = sh.select(col("id"), explode(col("sh")).as("h"))
     val a = inv.select(col("h"), col("id").as("id_a")).repartition(col("h"))
     val b = inv.select(col("h"), col("id").as("id_b"))
+    val jac = col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))
     a.join(b, Seq("h"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .filter(jac >= threshold)
+      .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard"))
   }
 }

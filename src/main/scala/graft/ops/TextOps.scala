@@ -94,11 +94,52 @@ object TextOps {
       .withColumn("split", when(col("bucket") < trainPct, "train").otherwise("test"))
   }
 
-  /** Document fingerprint: bottom-k sketch of token-level rolling hashes
-    * ([[graft.functions.TextExpressions.MinKHashes]]) — compact, mergeable, joinable. */
+  /** First 60 bits of md5 as a long — the hash shared with the DuckDB oracles
+    * (`CAST('0x' || substring(md5(x),1,15) AS BIGINT)`). 60 bits so the unsigned hex value
+    * always fits a signed long. Pure built-ins, codegen'd. */
+  private[graft] def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /**
+   * Document fingerprint: bottom-k sketch of shingle hashes, rendered as a comma-joined
+   * sorted string (a scalar the correctness gate can sort and hash; an `array<long>` column
+   * crashes pandas-side comparators). Uses [[md5Hash60]] so the DuckDB oracle reproduces it
+   * bit-for-bit; the xxh64 one-pass variant for 100 TB runs is [[fingerprintSketch]].
+   */
   def fingerprint(df: DataFrame, textCol: String = "text", idCol: String = "doc_id", k: Int = 8): DataFrame =
+    df.select(
+      col(idCol),
+      concat_ws(",",
+        transform(
+          slice(array_sort(array_distinct(
+            transform(TextFunctions.shingles(tokensCol(col(textCol)), 3), md5Hash60(_)))), 1, k),
+          _.cast("string"))).as("fingerprint"))
+
+  /** The scale-path fingerprint: one-pass xxh64 bottom-k over hashed shingles
+    * ([[graft.functions.TextExpressions.MinKHashesLong]]) — compact, mergeable, joinable. */
+  def fingerprintSketch(df: DataFrame, textCol: String = "text", idCol: String = "doc_id", k: Int = 8): DataFrame =
     df.select(
       col(idCol),
       TextFunctions.minKHashesLong(
         TextFunctions.shingleHashes(tokensCol(col(textCol)), 3), k).as("fingerprint"))
+
+  /**
+   * 60-bit SimHash over [[md5Hash60]] token hashes, in pure column algebra (nested
+   * higher-order functions) — the oracle-verifiable twin of the one-pass native
+   * [[graft.functions.TextExpressions.SimHash64]] used by the dedup scale path. Bit b of
+   * the result is set iff more than half of the token occurrences (multiset, like SimHash64)
+   * have bit b set in their hash.
+   */
+  def simhash60(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol), transform(tokensCol(col(textCol)), md5Hash60(_)).as("hs"))
+      .select(
+        col(idCol),
+        aggregate(
+          sequence(lit(0), lit(59)),
+          lit(0L),
+          (acc, b) => acc + when(
+            size(filter(col("hs"),
+              h => call_function("shiftright", h, b).bitwiseAND(lit(1L)) === lit(1L))) * 2
+              > size(col("hs")),
+            call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))).as("simhash"))
 }

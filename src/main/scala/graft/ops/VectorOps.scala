@@ -45,26 +45,82 @@ object VectorOps {
     rankTopK(scored, k)
   }
 
-  /** Approximate top-k: candidates restricted to the query's LSH bucket. `nPlanes` controls the
-    * bucket count (2^nPlanes); fewer planes = higher recall, bigger buckets. */
+  /**
+   * Multi-table (OR-amplified) hyperplane-LSH candidate pairs: `nTables` independent plane
+   * sets (deterministic seeds), a pair is a candidate if it collides in ANY table. Collision
+   * probability per table is p^nPlanes with p = 1 - θ/π, so recall amplifies as
+   * 1-(1-p^nPlanes)^nTables while unrelated pairs stay suppressed by the AND over planes.
+   * The join carries (tbl, bucket) keys; candidates are deduped on (query, neighbor) before
+   * the (exact) rerank, so per-pair work is paid once however many tables collide.
+   */
+  def lshCandidates(
+      corpus: DataFrame,
+      queries: DataFrame,
+      nPlanes: Int = 4,
+      nTables: Int = 16,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    def bucketed(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        posexplode(array((0 until nTables).map(t =>
+          VectorFunctions.hyperplaneLsh(col(vecCol),
+            VectorFunctions.makePlanes(nPlanes, dim, seed = 42L + t))): _*))
+          .as(Seq("tbl", "bucket")))
+    val q = bucketed(queries, "query_id", "q_vec")
+    val c = bucketed(corpus, "neighbor_id", "c_vec")
+    c.join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("q_vec"), col("c_vec"))
+  }
+
+  /** Approximate top-k: exact cosine rerank over the multi-table LSH candidate set.
+    * `nPlanes` controls bucket granularity (2^nPlanes buckets/table), `nTables` the
+    * OR-amplification (recall). */
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,
       k: Int,
-      nPlanes: Int = 8,
+      nPlanes: Int = 4,
+      nTables: Int = 16,
       dim: Int = 64,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val planes = VectorFunctions.makePlanes(nPlanes, dim)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      VectorFunctions.hyperplaneLsh(col(vecCol), planes).as("bucket"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-      VectorFunctions.hyperplaneLsh(col(vecCol), planes).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
-      .filter(col("neighbor_id") =!= col("query_id"))
+    val scored = lshCandidates(corpus, queries, nPlanes, nTables, dim, idCol, vecCol)
       .select(col("query_id"), col("neighbor_id"),
         VectorFunctions.cosine(col("q_vec"), col("c_vec")).as("sim"))
     rankTopK(scored, k)
+  }
+
+  /**
+   * Recall + boundedness gate for an ANN method, as one declarative plan producing a single
+   * row `(n_queries, recall_ok, bounded_ok)`:
+   *  - `recall_ok`: the approximate top-k overlaps the exact top-k on ≥ `recallFloor` of
+   *    the exact result rows (aggregate recall over all queries);
+   *  - `bounded_ok`: no query's candidate set reaches `candCap` rows — a degenerate
+   *    bucketing that funnels the whole corpus into one bucket (recall 1.0 by brute force)
+   *    fails THIS check, so the pair of booleans can only pass when the method is both
+   *    accurate and actually sub-linear.
+   * The driver's DuckDB oracle pins the expected verdict row.
+   */
+  def annRecallGate(
+      exactTopK: DataFrame,
+      approxTopK: DataFrame,
+      candidates: DataFrame,
+      recallFloor: Double,
+      candCap: Long): DataFrame = {
+    val hits = exactTopK.select("query_id", "neighbor_id")
+      .join(approxTopK.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    val exactAgg = exactTopK
+      .agg(countDistinct(col("query_id")).as("n_queries"), count(lit(1)).as("n_exact"))
+    val candAgg = candidates.groupBy("query_id").agg(count(lit(1)).as("nc"))
+      .agg(max(col("nc")).as("max_cand"))
+    exactAgg.crossJoin(hits).crossJoin(candAgg).select(
+      col("n_queries"),
+      (col("n_hits") >= col("n_exact") * recallFloor).as("recall_ok"),
+      (col("max_cand") < candCap).as("bounded_ok"))
   }
 
   /**
@@ -75,10 +131,9 @@ object VectorOps {
    * pass them in; the query plan is identical. Corpus assignment is one narrow map; the
    * probe join shuffles on the cell id, so per-query work is |cell| * nProbe, not |corpus|.
    */
-  def ivfTopK(
+  def ivfCandidates(
       corpus: DataFrame,
       queries: DataFrame,
-      k: Int,
       nCentroids: Int = 16,
       nProbe: Int = 2,
       idCol: String = "vec_id",
@@ -91,8 +146,22 @@ object VectorOps {
       .repartition(col("cell"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       explode(VectorFunctions.nearestCentroids(col(vecCol), centroids, nProbe)).as("cell"))
-    val scored = c.join(broadcast(q), Seq("cell"))
+    // each corpus vector lives in exactly one cell, so a (query, neighbor) pair occurs at
+    // most once — no dedup needed before the rerank
+    c.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("q_vec"), col("c_vec"))
+  }
+
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val scored = ivfCandidates(corpus, queries, nCentroids, nProbe, idCol, vecCol)
       .select(col("query_id"), col("neighbor_id"),
         VectorFunctions.cosine(col("q_vec"), col("c_vec")).as("sim"))
     rankTopK(scored, k)

@@ -37,4 +37,24 @@ class ExtensionsSpec extends SparkSpec {
       .collect().map(_.getLong(1))
     assert(topk.toSeq == Seq(12L, 10L)) // best-first
   }
+
+  test("aggregate builders widen numeric args; mistyped payload fails at analysis") {
+    GraftExtensions.register(spark)
+    // INT order / FLOAT score through the SQL surface: widened by the builder casts
+    Seq((1, "old", 1), (1, "new", 2)).toDF("id", "v", "ord").createOrReplaceTempView("ev_int")
+    val latest = spark.sql(
+      "SELECT graft_latest_struct(ord, struct(v)).v AS v FROM ev_int GROUP BY id").collect()
+    assert(latest.head.getString(0) == "new")
+    Seq((1L, 10, 0.5f), (1L, 11, 0.9f)).toDF("g", "nid", "s").createOrReplaceTempView("cands_f")
+    val topk = spark.sql(
+      """SELECT t.nid FROM (
+        |  SELECT explode(graft_top_k(s, nid, struct(nid), 1)) AS t FROM cands_f GROUP BY g)""".stripMargin)
+      .collect()
+    assert(topk.head.getInt(0) == 11)
+    // non-struct payload: analysis-time error, not an executor ClassCastException
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_latest_struct(ord, v) FROM ev_int GROUP BY id").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("struct"))
+  }
 }

@@ -113,6 +113,20 @@ class TextFunctionsSpec extends SparkSpec {
     val fp = df.collect().head.getSeq[Long](0)
     assert(fp.length == 5 && fp == fp.sorted && fp.distinct.length == 5)
   }
+
+  test("bandHashesFast rejects degenerate banding loudly (bands > k, k % bands != 0)") {
+    def run(k: Int, bands: Int) =
+      Seq("p q r s t u").toDF("text")
+        .select(TextFunctions.bandHashesFast(TextFunctions.minhashLong(
+          TextFunctions.shingleHashes(TextFunctions.tokens(col("text")), 2), k), bands))
+        .collect()
+    val e1 = intercept[Exception] { run(8, 16) }
+    assert(e1.getMessage.contains("exceeds signature length") ||
+      e1.getCause != null && e1.getCause.getMessage.contains("exceeds signature length"))
+    val e2 = intercept[Exception] { run(10, 3) }
+    assert(e2.getMessage.contains("not divisible") ||
+      e2.getCause != null && e2.getCause.getMessage.contains("not divisible"))
+  }
 }
 
 class ConnectTypesSpec extends org.scalatest.funsuite.AnyFunSuite {

@@ -35,9 +35,18 @@ class DedupOpsSpec extends SparkSpec {
       .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("jaccard"))).toMap
     assert(pairs((1L, 2L)) == 1.0)
     // doc1/doc3: 9 tokens -> 7 trigrams each; trigrams starting at 5,6 touch lazy/sleepy,
-    // so shared = 5, union = 7+7-5 = 9 -> jaccard = 5/9
-    assert(math.abs(pairs((1L, 3L)) - 5.0 / 9) < 1e-12)
+    // so shared = 5, union = 7+7-5 = 9 -> jaccard = 5/9 (output rounded to 6 places)
+    assert(pairs((1L, 3L)) == math.rint(5.0 / 9 * 1e6) / 1e6)
     assert(!pairs.contains((4L, 5L)))
+  }
+
+  test("minhashLshVerifiedPairs == exact jaccard pair list (banded blocking, exact verify)") {
+    val verified = DedupOps.minhashLshVerifiedPairs(docs, threshold = 0.1, k = 64, bands = 32)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("jaccard"))).toMap
+    val exact = DedupOps.ngramJaccardPairs(docs, threshold = 0.1)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("jaccard"))).toMap
+    assert(verified == exact)
+    assert(verified((1L, 2L)) == 1.0)
   }
 
   test("duplicateClusters: connected components resolve to min-id canonical survivor") {
@@ -166,8 +175,29 @@ class TextOpsSpec extends SparkSpec {
   test("fingerprint is deterministic and equal for equal docs") {
     val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "h i j k l m n"))
       .toDF("doc_id", "text")
-    val fp = TextOps.fingerprint(docs).collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    val fp = TextOps.fingerprint(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fingerprint")).toMap
     assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
+    assert(fp(1L).split(",").length == 5) // 7 tokens -> 5 trigram shingles, all kept (< k)
+    assert(fp(1L).split(",").map(_.toLong).sorted.sameElements(fp(1L).split(",").map(_.toLong)))
+    val sk = TextOps.fingerprintSketch(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    assert(sk(1L) == sk(2L) && sk(1L) != sk(3L))
+  }
+
+  test("simhash60 bit votes: identical docs agree, near-identical docs are hamming-close") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "the quick brown fox jumps over the sleepy dog again and again today"),
+      (4L, "entirely unrelated words describing completely different subject matter"),
+      (5L, "")).toDF("doc_id", "text")
+    val sh = TextOps.simhash60(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh(1L) == sh(2L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) < 20) // one token changed of 13
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(4L)) > 10) // unrelated text is far
+    assert(sh(5L) == 0L)                                   // no tokens -> zero fingerprint
   }
 }
 
