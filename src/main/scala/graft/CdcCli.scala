@@ -12,15 +12,16 @@ import graft.streaming.CdcRunner.RunConfig
  * Usage:
  *   spark-submit --class graft.CdcCli <jar> \
  *     --spool <dir> --work <dir> --out <dir> \
- *     [--mode APPEND|DEDUPE] [--pk table=col1,col2]... [--max-batch n] \
- *     [--stop-at-pos n] [--include t1,t2] [--snapshot-tables t1,t2] [--cpus n]
+ *     [--mode APPEND|DEDUPE] [--pk table=col1,col2]... [--max-batch-bytes n] \
+ *     [--stop-at-pos n] [--stop-at-file f] [--include t1,t2] [--snapshot-tables t1,t2] [--cpus n]
  */
 object CdcCli {
 
   final case class Args(
       spool: String = null, work: String = null, out: String = null,
       mode: String = "dedupe", pks: Map[String, Seq[String]] = Map.empty,
-      maxBatch: Option[Long] = None, stopAtPos: Option[Long] = None,
+      maxBatchBytes: Option[Long] = None, stopAtPos: Option[Long] = None,
+      stopAtFile: Option[String] = None,
       include: Option[Set[String]] = None, snapshotTables: Seq[String] = Nil,
       wireFormat: Boolean = false,
       cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
@@ -35,8 +36,9 @@ object CdcCli {
       case "--pk" :: v :: t =>
         val Array(table, cols) = v.split("=", 2)
         loop(t, acc.copy(pks = acc.pks + (table -> cols.split(",").toSeq)))
-      case "--max-batch" :: v :: t => loop(t, acc.copy(maxBatch = Some(v.toLong)))
+      case "--max-batch-bytes" :: v :: t => loop(t, acc.copy(maxBatchBytes = Some(v.toLong)))
       case "--stop-at-pos" :: v :: t => loop(t, acc.copy(stopAtPos = Some(v.toLong)))
+      case "--stop-at-file" :: v :: t => loop(t, acc.copy(stopAtFile = Some(v)))
       case "--include" :: v :: t => loop(t, acc.copy(include = Some(v.split(",").toSet)))
       case "--snapshot-tables" :: v :: t => loop(t, acc.copy(snapshotTables = v.split(",").toSeq))
       case "--wire-format" :: t => loop(t, acc.copy(wireFormat = true))
@@ -62,7 +64,8 @@ object CdcCli {
     try {
       val res = CdcRunner.run(spark, RunConfig(
         spoolDir = a.spool, workDir = a.work, outDir = a.out, mode = a.mode,
-        primaryKeys = a.pks, maxEventsPerTrigger = a.maxBatch, stopAtPos = a.stopAtPos,
+        primaryKeys = a.pks, maxBytesPerTrigger = a.maxBatchBytes, stopAtPos = a.stopAtPos,
+        stopAtFile = a.stopAtFile,
         includeTables = a.include, snapshotTables = a.snapshotTables,
         wireFormat = a.wireFormat))
       val tables = res.tables.toSeq.sortBy(_._1)

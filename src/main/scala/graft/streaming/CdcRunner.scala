@@ -34,8 +34,13 @@ object CdcRunner {
       outDir: String,                        // out/tables/*.csv[, .manifest], state.json
       mode: String = "dedupe",               // "dedupe" | "append" (D4 policy)
       primaryKeys: Map[String, Seq[String]] = Map.empty, // per-table; empty -> D9 fallback
-      maxEventsPerTrigger: Option[Long] = None,
+      /** Admission control, in offset units = spool bytes (`max.batch.size` analog). */
+      maxBytesPerTrigger: Option[Long] = None,
+      /** P7 position target, a byte position: global over the sorted spool, or within
+        * `stopAtFile` when that is set (the MySQL `(file, pos)` binlog target captured via
+        * `SHOW MASTER STATUS`, `ex_mysql_cdc/src/extractor/mysql_extractor.py:245-258`). */
       stopAtPos: Option[Long] = None,
+      stopAtFile: Option[String] = None,
       /** S5: tables added since the last run — snapshotted from the full spool via the
         * source's batch path, bypassing the stream checkpoint (the `execute-snapshot`
         * signal analog, `db_components/debezium/executor.py:244-303`). Dedupe absorbs
@@ -71,8 +76,9 @@ object CdcRunner {
 
     val reader = spark.readStream.format("graft.sources.CdcSpoolSource")
       .option("path", cfg.spoolDir)
-    cfg.maxEventsPerTrigger.foreach(m => reader.option("maxEventsPerTrigger", m.toString))
+    cfg.maxBytesPerTrigger.foreach(m => reader.option("maxBytesPerTrigger", m.toString))
     cfg.stopAtPos.foreach(p => reader.option("stopAtPos", p.toString))
+    cfg.stopAtFile.foreach(f => reader.option("stopAtFile", f))
     val stream = reader.load()
 
     val query = stream.writeStream

@@ -94,9 +94,9 @@ class CdcCliSpec extends AnyFunSuite {
   test("argument parsing incl. pk map and lists (§3.2)") {
     val a = CdcCli.parseArgs(Seq(
       "--spool", "/s", "--work", "/w", "--out", "/o", "--mode", "APPEND",
-      "--pk", "t1=id", "--pk", "t2=a,b", "--max-batch", "100", "--stop-at-pos", "7",
+      "--pk", "t1=id", "--pk", "t2=a,b", "--max-batch-bytes", "100", "--stop-at-pos", "7",
       "--include", "x,y", "--snapshot-tables", "z"))
-    assert(a.mode == "append" && a.maxBatch.contains(100L) && a.stopAtPos.contains(7L))
+    assert(a.mode == "append" && a.maxBatchBytes.contains(100L) && a.stopAtPos.contains(7L))
     assert(a.pks == Map("t1" -> Seq("id"), "t2" -> Seq("a", "b")))
     assert(a.include.contains(Set("x", "y")) && a.snapshotTables == Seq("z"))
     intercept[IllegalArgumentException](CdcCli.parseArgs(Seq("--bogus", "v")))

