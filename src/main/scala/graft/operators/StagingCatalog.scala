@@ -47,12 +47,48 @@ object StagingCatalog {
     val df = spark.read.option("mergeSchema", "true").parquet(dir)
     df.repartition(targetFiles).write.mode("overwrite").parquet(tmp)
     val rows = spark.read.parquet(tmp).count()
-    val old = new java.io.File(dir)
+    swapInto(dir, tmp)
+    rows
+  }
+
+  /**
+   * Rewrite a staging table with columns cast to `types` (schema-drift type widening,
+   * E2/E3): existing chunks were written at the narrower type, and parquet `mergeSchema`
+   * cannot merge e.g. BIGINT with DOUBLE files — so history is rewritten once at the widen
+   * point, keeping every chunk type-consistent. Widening is a rare drift event; the rewrite
+   * cost is one pass over THAT table's staging, paid when the drift arrives.
+   */
+  def retype(spark: SparkSession, stagingRoot: String, name: String,
+      types: Map[String, org.apache.spark.sql.types.DataType]): Unit = {
+    val dir = s"$stagingRoot/$name"
+    if (!new java.io.File(dir).isDirectory) return
+    import org.apache.spark.sql.functions.col
+    val df = table(spark, stagingRoot, name)
+    val casted = df.select(df.columns.map(c =>
+      types.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))): _*)
+    val tmp = s"$stagingRoot/.retype_$name"
+    casted.write.mode("overwrite").parquet(tmp)
+    swapInto(dir, tmp)
+  }
+
+  /**
+   * Replace `liveDir` with `tmpDir` safely: the live dir is first renamed ASIDE (so a crash
+   * between steps leaves the data intact under the aside name, never deleted), tmp is moved
+   * into place, and only then is the old data removed. Move results are checked — a failed
+   * rename (e.g. cross-filesystem) restores the original and throws instead of silently
+   * losing the table.
+   */
+  private[graft] def swapInto(liveDir: String, tmpDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val live = Paths.get(liveDir)
+    val tmp = Paths.get(tmpDir)
+    val aside = Paths.get(liveDir + ".old_" + System.nanoTime())
+    Files.move(live, aside) // throws on failure; nothing lost
+    try Files.move(tmp, live)
+    catch { case e: Throwable => Files.move(aside, live); throw e }
     def delete(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(delete); f.delete()
     }
-    delete(old)
-    new java.io.File(tmp).renameTo(old)
-    rows
+    delete(aside.toFile)
   }
 }

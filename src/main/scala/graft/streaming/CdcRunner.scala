@@ -15,10 +15,12 @@ import graft.sinks.CsvManifestSink
  * `ex_postgres_cdc/src/component.py:80-152`):
  *  - one finite streaming run per invocation (`Trigger.AvailableNow`, offset cap in the
  *    source) — the reference's run-until-stop-condition model (`AbstractDebeziumTask.java:97-130`);
- *  - per micro-batch, events are grouped by table and appended to a staging parquet dir;
- *    each batch's schema is inferred from the events themselves, so schema drift mid-run
- *    just produces parquet files with wider schemas (E1–E3) — `mergeSchema` on readback
- *    replaces the reference's chunk tables + `ALTER TABLE ADD COLUMN`;
+ *  - per micro-batch, events are parsed ONCE (map-typed envelope), grouped by table and
+ *    appended to a staging parquet dir typed by a per-table schema accumulated across
+ *    batches and runs in first-seen column order (E1–E4) — `mergeSchema` on readback
+ *    replaces the reference's chunk tables + `ALTER TABLE ADD COLUMN`, and numeric type
+ *    drift widens the accumulated schema (rewriting staged history once) instead of
+ *    producing unmergeable chunks;
  *  - post-processing dedupes on `kbc__batch_event_order` := the source's global arrival
  *    position (a true total order, unlike `monotonically_increasing_id`) and exports
  *    CSV/manifest/state (K2–K7).
@@ -53,7 +55,7 @@ object CdcRunner {
         * boundary and the checkpoint resumes next invocation. */
       maxDurationMs: Option[Long] = None,
       /** Input format. `false` (default): routed envelopes `{"table":…,"op":…,"after":…}`
-        * with per-batch JSON schema inference. `true`: the reference engine's actual wire
+        * single-parsed against the accumulated schema. `true`: the reference engine's actual wire
         * format — SMT-unwrapped flat Connect events `{"schema":{"name":"<t>.<s>.<tbl>.Value",
         * "fields":[…]},"payload":{row + kbc__ columns}}` (`DbChangeConsumerTest.java:40-46`),
         * decoded by the schema block via [[graft.operators.EnvelopeDecoder]]. */
@@ -71,6 +73,7 @@ object CdcRunner {
 
   def run(spark: SparkSession, cfg: RunConfig): RunResult = {
     val stagingRoot = s"${cfg.workDir}/staging"
+    val registry = new SchemaRegistry(s"${cfg.workDir}/schemas.json") // E4 carryover
     val stats = new SyncStats // D8: progress/record bookkeeping via StreamingQueryListener
     spark.streams.addListener(stats)
 
@@ -86,7 +89,7 @@ object CdcRunner {
       .option("checkpointLocation", s"${cfg.workDir}/checkpoint")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (cfg.wireFormat) stageWireEvents(spark, batch, stagingRoot, cfg.includeTables)
-        else stageEvents(spark, batch, stagingRoot, only = cfg.includeTables)
+        else stageEvents(spark, batch, stagingRoot, registry, only = cfg.includeTables)
       }
       .start()
     cfg.maxDurationMs match {
@@ -106,7 +109,7 @@ object CdcRunner {
         .option("path", cfg.spoolDir).load()
       val wanted = cfg.snapshotTables.toSet
       if (cfg.wireFormat) stageWireEvents(spark, batchDf, stagingRoot, Some(wanted))
-      else stageEvents(spark, batchDf, stagingRoot, only = Some(wanted))
+      else stageEvents(spark, batchDf, stagingRoot, registry, only = Some(wanted))
     }
 
     // ---- post-process: union-of-epochs read, dedupe policy, export (SURVEY §3.1 steps 8-9)
@@ -146,31 +149,171 @@ object CdcRunner {
     RunResult(counts, lastPos, cfg.outDir, stats.snapshot)
   }
 
-  /** Group a (pos, value) event batch by table, infer each table's envelope schema from the
-    * events (E1), unwrap, and append to that table's staging parquet. */
+  /** Envelope parsed ONCE per event: payload states as `map<string,string>` (scalars as
+    * their JSON text, arrays/objects as raw JSON — exactly the reference's VARCHAR rendering
+    * for non-scalars, `AbstractDbConverter.java:113-114`); typing is applied afterwards from
+    * the accumulated per-table schema. */
+  private val MapEnvelopeSchema = StructType(Seq(
+    StructField("table", StringType),
+    StructField("op", StringType),
+    StructField("after", MapType(StringType, StringType)),
+    StructField("before", MapType(StringType, StringType)),
+    StructField("source", StructType(Seq(
+      StructField("ts_ms", LongType),
+      StructField("file", StringType),
+      StructField("pos", LongType))))))
+
+  /**
+   * Group a (pos, value) event batch by table and append typed rows to staging parquet.
+   *
+   * Single-parse, order-preserving, type-stable staging (VERDICT r1 #3 + ADVICE):
+   *  - each event is `from_json`-parsed ONCE into [[MapEnvelopeSchema]]; the old path parsed
+   *    twice (spark.read.json inference + from_json) per batch;
+   *  - column order is FIRST-SEEN order across arrival (`map_keys` preserves JSON key order;
+   *    a keys-only aggregation takes min(arrival pos, in-event index) per key) — the same
+   *    insertion-ordered schema growth as the reference's `LinkedHashMap<String,
+   *    SchemaElement>` (`AbstractDbConverter.java:47,54`), replacing the alphabetizing
+   *    inference of the old path;
+   *  - types come from the [[SchemaRegistry]] accumulated across batches AND runs (E4);
+   *    inference (the only re-parse) runs solely on batches that introduce NEW columns (E1);
+   *  - numeric type drift (a long column receiving 1.5) is detected by a cheap per-batch
+   *    try_cast audit and handled by WIDENING (long→double→string) with a one-time rewrite
+   *    of that table's staged history ([[graft.operators.StagingCatalog.retype]]), instead
+   *    of per-batch re-inference writing parquet chunks whose types can't merge.
+   */
   private def stageEvents(spark: SparkSession, batch: DataFrame, stagingRoot: String,
-      only: Option[Set[String]] = None): Unit = {
+      registry: SchemaRegistry, only: Option[Set[String]] = None): Unit = {
     import spark.implicits._
     // no isEmpty pre-check: it would cost an extra source scan (inflating numInputRows and
     // wall time); the cached distinct below handles empty batches for free
-    val spooled0 = batch.select(col("pos"), col("value"),
-      get_json_object(col("value"), "$.table").as("table"))
-    val spooled = only.fold(spooled0)(w => spooled0.filter(col("table").isin(w.toSeq: _*))).cache()
+    val parsed0 = batch
+      .select(col("pos"), col("value"), from_json(col("value"), MapEnvelopeSchema).as("j"))
+      .select(col("pos"), col("value"), col("j.*"))
+    val routed = only.fold(parsed0)(w => parsed0.filter(col("table").isin(w.toSeq: _*)))
+    val spooled = routed
+      .filter(col("after").isNotNull || col("before").isNotNull) // drop tombstones (P1)
+      .filter(col("op") =!= lit("t"))                            // drop truncates (SMT :208-213)
+      // delete rewrite: take columns from `before` (PK-only under default replica identity)
+      .withColumn("p", when(col("op") === "d", col("before")).otherwise(col("after")))
+      .cache()
     try {
       val tables = spooled.select("table").distinct().as[String].collect()
       for (table <- tables if table != null) {
         val sub = spooled.filter(col("table") === table)
-        // E1: per-batch schema inference from the events themselves — the analog of the
-        // reference reading `schema.fields` out of every envelope (DbChangeConsumer.java:116-129)
-        val envSchema = spark.read.json(sub.select("value").as[String]).schema
-        val parsed = sub
-          .select(col("pos"), from_json(col("value"), ensureStates(envSchema)).as("j"))
-          .select(col("pos"), col("j.*"))
-        val rows = Cdc.unwrapEnvelope(parsed, passthrough = Seq("pos"))
-          .withColumnRenamed("pos", Cdc.OrderCol)
-        rows.write.mode("append").parquet(s"$stagingRoot/${Cdc.safeTableId(table)}")
+        // first-seen key order: keys-only aggregation, shuffles ≤ |distinct keys| after
+        // map-side partials — never the payloads
+        val keyOrder = sub
+          .select(col("pos"), posexplode(map_keys(col("p"))).as(Seq("idx", "k")))
+          .groupBy("k").agg(min(struct(col("pos"), col("idx"))).as("first"))
+          .orderBy("first").select("k").as[String].collect().toSeq
+        val acc0 = registry.get(table)
+        val newKeys = keyOrder.filterNot(k => acc0.exists(_._1 == k))
+        var acc = acc0
+        if (newKeys.nonEmpty) {
+          // E1 drift: only now is a second parse paid, and only over this batch
+          val payloadTypes = inferPayloadTypes(spark, sub)
+          acc = acc0 ++ keyOrder.filter(newKeys.contains)
+            .map(k => k -> payloadTypes.getOrElse(k, StringType))
+        }
+        val widened = widenForBatch(sub, acc)
+        if (widened != acc && acc0.nonEmpty)
+          graft.operators.StagingCatalog.retype(spark, stagingRoot, Cdc.safeTableId(table),
+            widened.toMap)
+        acc = widened
+        registry.put(table, acc)
+        val payloadCols = acc.map { case (k, t) => element_at(col("p"), k).cast(t).as(k) }
+        val sysCols = Seq(
+          col("op").as(Cdc.OpCol),
+          col("source.ts_ms").as(Cdc.TsCol),
+          when(col("op") === "d", lit("true")).otherwise(lit("false")).as(Cdc.DeletedCol),
+          col("pos").as(Cdc.OrderCol))
+        sub.select(payloadCols ++ sysCols: _*)
+          .write.mode("append").parquet(s"$stagingRoot/${Cdc.safeTableId(table)}")
       }
     } finally spooled.unpersist()
+  }
+
+  /** Payload field types from Spark's JSON inference over this batch (after ∪ before,
+    * after-precedence), normalized to the staging type system: nested/array → raw-JSON
+    * STRING (§1.3), NullType → STRING. */
+  private def inferPayloadTypes(spark: SparkSession,
+      sub: DataFrame): Map[String, DataType] = {
+    import spark.implicits._
+    val env = spark.read.json(sub.select("value").as[String]).schema
+    def fieldsOf(name: String): Seq[StructField] = env.fields.find(_.name == name).map(_.dataType) match {
+      case Some(st: StructType) => st.fields.toSeq
+      case _ => Nil
+    }
+    def normalize(t: DataType): DataType = t match {
+      case _: StructType | _: ArrayType | _: MapType | NullType => StringType
+      case other => other
+    }
+    (fieldsOf("before") ++ fieldsOf("after")) // after last -> wins in toMap
+      .map(f => f.name -> normalize(f.dataType)).toMap
+  }
+
+  /**
+   * ADVICE fix: audit each non-string column's values against its accumulated type with one
+   * aggregation over the batch (`try_cast` failure counters — no extra parse). A long column
+   * that receives "1.5" widens to double; anything not double-castable widens to string.
+   * Callers rewrite already-staged history on widen so parquet chunks stay mergeable.
+   */
+  private def widenForBatch(sub: DataFrame, acc: Seq[(String, DataType)]): Seq[(String, DataType)] = {
+    val checked = acc.filter(_._2 != StringType)
+    if (checked.isEmpty) return acc
+    val aggs = checked.flatMap { case (k, t) =>
+      val v = element_at(col("p"), k)
+      Seq(
+        count(when(v.isNotNull && v.try_cast(t).isNull, 1)).as(s"tfail__$k"),
+        count(when(v.isNotNull && v.try_cast(DoubleType).isNull, 1)).as(s"dfail__$k"))
+    }
+    val row = sub.agg(aggs.head, aggs.tail: _*).collect()(0)
+    acc.map {
+      case (k, StringType) => (k, StringType)
+      case (k, t) =>
+        if (row.getAs[Long](s"tfail__$k") == 0L) (k, t)
+        else if ((t == LongType || t == IntegerType || t == DoubleType || t == FloatType)
+          && row.getAs[Long](s"dfail__$k") == 0L) (k, DoubleType)
+        else (k, StringType)
+    }
+  }
+
+  /**
+   * E4: per-table accumulated payload schema (insertion-ordered), persisted across runs in
+   * `workDir/schemas.json` — the analog of the reference feeding last run's `schema.json`
+   * back into the converters (`executor.py:326-328`, `DbChangeConsumer.java:47-65`).
+   */
+  private[streaming] final class SchemaRegistry(path: String) {
+    private var cache: Map[String, Seq[(String, DataType)]] = load()
+    def get(table: String): Seq[(String, DataType)] =
+      cache.getOrElse(graft.operators.Cdc.safeTableId(table), Seq.empty)
+    def put(table: String, cols: Seq[(String, DataType)]): Unit = {
+      cache += graft.operators.Cdc.safeTableId(table) -> cols
+      save()
+    }
+    private def file = java.nio.file.Paths.get(path)
+    private def load(): Map[String, Seq[(String, DataType)]] = {
+      if (!java.nio.file.Files.exists(file)) return Map.empty
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(java.nio.file.Files.readString(file))
+      import scala.jdk.CollectionConverters._
+      root.properties().asScala.map { e =>
+        val cols = e.getValue.elements().asScala.map { n =>
+          (n.get("name").asText(), DataType.fromDDL(n.get("type").asText()))
+        }.toSeq
+        e.getKey -> cols
+      }.toMap
+    }
+    private def save(): Unit = {
+      def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      val json = cache.toSeq.sortBy(_._1).map { case (t, cols) =>
+        q(t) + ": [" + cols.map { case (n, dt) =>
+          s"{${q("name")}: ${q(n)}, ${q("type")}: ${q(dt.sql)}}"
+        }.mkString(", ") + "]"
+      }.mkString("{", ", ", "}")
+      java.nio.file.Files.createDirectories(file.getParent)
+      java.nio.file.Files.writeString(file, json)
+    }
   }
 
   /**
@@ -202,27 +345,4 @@ object CdcRunner {
     } finally spooled.unpersist()
   }
 
-  /** Guarantee `before`/`after`/`op`/`source` exist with compatible struct types even when a
-    * batch contains only inserts (no `before`) or only deletes (no `after`). */
-  private def ensureStates(inferred: StructType): StructType = {
-    val payload: DataType =
-      inferred.fields.find(_.name == "after").map(_.dataType)
-        .orElse(inferred.fields.find(_.name == "before").map(_.dataType))
-        .getOrElse(StructType(Nil))
-    val merged = (inferred.fields.find(_.name == "after").map(_.dataType),
-        inferred.fields.find(_.name == "before").map(_.dataType)) match {
-      case (Some(a: StructType), Some(b: StructType)) =>
-        // union of both states' fields, after-first order
-        StructType(a.fields ++ b.fields.filterNot(f => a.fieldNames.contains(f.name)))
-      case _ => payload
-    }
-    val source = inferred.fields.find(_.name == "source").map(_.dataType)
-      .getOrElse(StructType(Seq(StructField("ts_ms", LongType))))
-    StructType(Seq(
-      StructField("table", StringType),
-      StructField("op", StringType),
-      StructField("after", merged),
-      StructField("before", merged),
-      StructField("source", source)))
-  }
 }

@@ -50,9 +50,10 @@ class StreamingSpec extends SparkSpec {
     assert(res.lastPos > 0L)
 
     val csv = readCsvDir(s"$base/out/tables/inv_sales.csv").sorted
-    // survivor of pk 1: latest update incl. drifted column (JSON inference alphabetizes
-    // payload columns: id,name,note,price); pk 2: NULL-padded delete row
-    assert(csv.exists(l => l.startsWith("1,a3,hi,12.0,u,3000,") && l.contains("false")))
+    // survivor of pk 1: latest update incl. drifted column — columns in FIRST-SEEN order
+    // (id,name,price + drifted note appended), like the reference's insertion-ordered
+    // schema growth; pk 2: NULL-padded delete row
+    assert(csv.exists(l => l.startsWith("1,a3,12.0,hi,u,3000,") && l.contains("false")))
     assert(csv.exists(l => l.startsWith("2,,,") && l.contains(",d,4000,") && l.contains("true")))
 
     val manifest = Files.readString(Paths.get(s"$base/out/tables/inv_sales.csv.manifest"))
@@ -128,6 +129,44 @@ class StreamingSpec extends SparkSpec {
     assert(r2.tables == Map("s_a" -> 1L, "s_b" -> 1L))
     val b = readCsvDir(s"$base/out/tables/s_b.csv")
     assert(b.length == 1 && b.head.startsWith("9,b1,c"))
+  }
+
+  test("numeric type drift widens staged history (long -> double), no mergeSchema crash") {
+    // ADVICE r1: the old per-batch inference wrote one chunk as BIGINT and the next as
+    // DOUBLE, and parquet mergeSchema cannot merge those — the run crashed. Now the
+    // accumulated schema widens and already-staged chunks are rewritten once.
+    val base = Files.createTempDirectory("graft-widen").toString
+    val spool = s"$base/spool"
+    writeSpool(spool, "000.jsonl", Seq(env("w.t", "c", """{"id":1,"v":1}""", null, 1)))
+    val cfg = RunConfig(spoolDir = spool, workDir = s"$base/work", outDir = s"$base/out",
+      primaryKeys = Map("w_t" -> Seq("id")))
+    CdcRunner.run(spark, cfg)
+    val before = spark.read.parquet(s"$base/work/staging/w_t")
+    assert(before.schema("v").dataType == org.apache.spark.sql.types.LongType)
+
+    writeSpool(spool, "001.jsonl", Seq(
+      env("w.t", "u", """{"id":1,"v":2.5}""", """{"id":1}""", 2),
+      env("w.t", "c", """{"id":2,"v":3}""", null, 3)))
+    val r2 = CdcRunner.run(spark, cfg)
+    assert(r2.tables == Map("w_t" -> 2L))
+    val staged = spark.read.option("mergeSchema", "true").parquet(s"$base/work/staging/w_t")
+    assert(staged.schema("v").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(staged.count() == 3) // history rewritten, nothing lost
+    val csv = readCsvDir(s"$base/out/tables/w_t.csv").sorted
+    assert(csv.exists(_.startsWith("1,2.5,u")))
+  }
+
+  test("decimal-as-string payloads keep their exact rendering (no numeric coercion)") {
+    // decimal.handling.mode=string contract (§1.3): "708.00000" is a JSON string and must
+    // export byte-identically, not as 708.0
+    val base = Files.createTempDirectory("graft-decstr").toString
+    val spool = s"$base/spool"
+    writeSpool(spool, "000.jsonl", Seq(
+      env("p.t", "c", """{"id":1,"price":"708.00000"}""", null, 1)))
+    CdcRunner.run(spark, RunConfig(spoolDir = spool, workDir = s"$base/work",
+      outDir = s"$base/out", primaryKeys = Map("p_t" -> Seq("id"))))
+    val csv = readCsvDir(s"$base/out/tables/p_t.csv")
+    assert(csv.head.startsWith("1,708.00000,c"))
   }
 
   test("staging compaction: many per-batch files -> targetFiles, data and schema preserved") {
