@@ -13,7 +13,7 @@ import graft.streaming.CdcRunner.RunConfig
  *   spark-submit --class graft.CdcCli <jar> \
  *     --spool <dir> --work <dir> --out <dir> \
  *     [--mode APPEND|DEDUPE] [--pk table=col1,col2]... [--max-batch-bytes n] \
- *     [--stop-at-pos n] [--stop-at-file f] [--include t1,t2] [--snapshot-tables t1,t2] [--cpus n]
+ *     [--stop-at-pos n] [--stop-at-file f] [--max-wait-ms n] [--max-duration-ms n] [--include t1,t2] [--snapshot-tables t1,t2] [--cpus n]
  */
 object CdcCli {
 
@@ -23,6 +23,7 @@ object CdcCli {
       maxBatchBytes: Option[Long] = None, stopAtPos: Option[Long] = None,
       stopAtFile: Option[String] = None,
       include: Option[Set[String]] = None, snapshotTables: Seq[String] = Nil,
+      maxWaitMs: Option[Long] = None, maxDurationMs: Option[Long] = None,
       wireFormat: Boolean = false,
       cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
 
@@ -39,6 +40,8 @@ object CdcCli {
       case "--max-batch-bytes" :: v :: t => loop(t, acc.copy(maxBatchBytes = Some(v.toLong)))
       case "--stop-at-pos" :: v :: t => loop(t, acc.copy(stopAtPos = Some(v.toLong)))
       case "--stop-at-file" :: v :: t => loop(t, acc.copy(stopAtFile = Some(v)))
+      case "--max-wait-ms" :: v :: t => loop(t, acc.copy(maxWaitMs = Some(v.toLong)))
+      case "--max-duration-ms" :: v :: t => loop(t, acc.copy(maxDurationMs = Some(v.toLong)))
       case "--include" :: v :: t => loop(t, acc.copy(include = Some(v.split(",").toSet)))
       case "--snapshot-tables" :: v :: t => loop(t, acc.copy(snapshotTables = v.split(",").toSeq))
       case "--wire-format" :: t => loop(t, acc.copy(wireFormat = true))
@@ -67,6 +70,7 @@ object CdcCli {
         primaryKeys = a.pks, maxBytesPerTrigger = a.maxBatchBytes, stopAtPos = a.stopAtPos,
         stopAtFile = a.stopAtFile,
         includeTables = a.include, snapshotTables = a.snapshotTables,
+        maxWaitMs = a.maxWaitMs, maxDurationMs = a.maxDurationMs,
         wireFormat = a.wireFormat))
       val tables = res.tables.toSeq.sortBy(_._1)
         .map { case (t, n) => s""""$t": $n""" }.mkString("{", ", ", "}")

@@ -54,6 +54,13 @@ object CdcRunner {
         * (`AbstractDebeziumTask.java:166-189`); the run is stopped cleanly at the batch
         * boundary and the checkpoint resumes next invocation. */
       maxDurationMs: Option[Long] = None,
+      /** §2.7 idle stop — the reference's `max_wait_s`/`-mw` (`AbstractDebeziumTask.java:
+        * 166-189`): stop after this long with NO new records, gated on the snapshot-in-
+        * progress flag (`KeboolaNotification.java:24-34`). When set, the run uses a
+        * continuous micro-batch trigger (so a spool being written CONCURRENTLY keeps being
+        * consumed — `Trigger.AvailableNow` would freeze the target at start) and a driver
+        * control loop polls every 500 ms like the reference's `Await`. */
+      maxWaitMs: Option[Long] = None,
       /** Input format. `false` (default): routed envelopes `{"table":…,"op":…,"after":…}`
         * single-parsed against the accumulated schema. `true`: the reference engine's actual wire
         * format — SMT-unwrapped flat Connect events `{"schema":{"name":"<t>.<s>.<tbl>.Value",
@@ -71,11 +78,13 @@ object CdcRunner {
 
   private val SystemFields = Set("table", "op", "before", "after", "source")
 
-  def run(spark: SparkSession, cfg: RunConfig): RunResult = {
+  /** `stats` is injectable so composed runs (snapshot→stream) and tests can flip the
+    * snapshot-in-progress gate while the stream runs. */
+  def run(spark: SparkSession, cfg: RunConfig,
+      stats: SyncStats = new SyncStats): RunResult = {
     val stagingRoot = s"${cfg.workDir}/staging"
     val registry = new SchemaRegistry(s"${cfg.workDir}/schemas.json") // E4 carryover
-    val stats = new SyncStats // D8: progress/record bookkeeping via StreamingQueryListener
-    spark.streams.addListener(stats)
+    spark.streams.addListener(stats) // D8: progress/record bookkeeping via listener
 
     val reader = spark.readStream.format("graft.sources.CdcSpoolSource")
       .option("path", cfg.spoolDir)
@@ -84,17 +93,39 @@ object CdcRunner {
     cfg.stopAtFile.foreach(f => reader.option("stopAtFile", f))
     val stream = reader.load()
 
+    val trigger =
+      if (cfg.maxWaitMs.isDefined) Trigger.ProcessingTime(100) else Trigger.AvailableNow()
     val query = stream.writeStream
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .option("checkpointLocation", s"${cfg.workDir}/checkpoint")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (cfg.wireFormat) stageWireEvents(spark, batch, stagingRoot, cfg.includeTables)
         else stageEvents(spark, batch, stagingRoot, registry, only = cfg.includeTables)
       }
       .start()
-    cfg.maxDurationMs match {
-      case Some(ms) => if (!query.awaitTermination(ms)) query.stop()
-      case None     => query.awaitTermination()
+    cfg.maxWaitMs match {
+      case Some(wait) =>
+        // reference control loop (`AbstractDebeziumTask.java:166-189`): poll every 500 ms;
+        // stop when idle > maxWait AND no snapshot is in progress; max duration still caps
+        // the whole run. Stops are taken at trigger boundaries, not mid-batch.
+        val deadline = cfg.maxDurationMs.map(System.currentTimeMillis() + _)
+        var running = query.isActive
+        while (running) {
+          query.awaitTermination(500)
+          running = query.isActive
+          if (running) {
+            val idleMs = System.currentTimeMillis() - stats.snapshot.lastEventMs
+            val timedOut = deadline.exists(System.currentTimeMillis() >= _)
+            val idleStop = idleMs > wait && !stats.snapshotInProgress &&
+              !query.status.isTriggerActive
+            if (timedOut || idleStop) { query.stop(); running = false }
+          }
+        }
+      case None =>
+        cfg.maxDurationMs match {
+          case Some(ms) => if (!query.awaitTermination(ms)) query.stop()
+          case None     => query.awaitTermination()
+        }
     }
     // progress events arrive on an async listener bus; give the final batch's event a moment
     val deadline = System.currentTimeMillis() + 2000

@@ -15,9 +15,14 @@ class SyncStats extends StreamingQueryListener {
   private val batches = new AtomicLong(0)
   private val lastEventMs = new AtomicLong(0)
   private val processing = new AtomicBoolean(false)
+  private val snapshotting = new AtomicBoolean(false)
 
-  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = {
     processing.set(true)
+    // the idle clock starts at query start, not at epoch — an empty spool still waits
+    // out maxWait before stopping (reference: engine start primes the last-record time)
+    lastEventMs.compareAndSet(0, System.currentTimeMillis())
+  }
 
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
     val rows = e.progress.numInputRows
@@ -31,10 +36,21 @@ class SyncStats extends StreamingQueryListener {
   override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
     processing.set(false)
 
+  /** Snapshot-in-progress gate (`KeboolaNotification.java:24-34`): while an initial/blocking
+    * snapshot runs, stop conditions must NOT fire even if the stream itself is idle
+    * (`AbstractDebeziumTask.java:176-183`). Flipped by the snapshot phase of a composed run. */
+  def setSnapshotInProgress(on: Boolean): Unit = {
+    snapshotting.set(on)
+    if (!on) lastEventMs.set(System.currentTimeMillis()) // snapshot end resets the idle clock
+  }
+  def snapshotInProgress: Boolean = snapshotting.get()
+
   def snapshot: SyncStats.Snapshot =
-    SyncStats.Snapshot(records.get(), batches.get(), lastEventMs.get(), processing.get())
+    SyncStats.Snapshot(records.get(), batches.get(), lastEventMs.get(), processing.get(),
+      snapshotting.get())
 }
 
 object SyncStats {
-  final case class Snapshot(records: Long, batches: Long, lastEventMs: Long, processing: Boolean)
+  final case class Snapshot(records: Long, batches: Long, lastEventMs: Long, processing: Boolean,
+      snapshotInProgress: Boolean = false)
 }

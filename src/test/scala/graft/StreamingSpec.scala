@@ -222,6 +222,43 @@ class StreamingSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM ts_stop").count() == 2)
   }
 
+  test("idle timeout: concurrently-appended spool stops on idle, not on drain (max_wait_s)") {
+    val base = Files.createTempDirectory("graft-idle").toString
+    val spool = s"$base/spool"
+    writeSpool(spool, "000.jsonl", Seq(env("i.t", "c", """{"id":1}""", null, 1)))
+    // writer thread appends two more files AFTER the run starts — AvailableNow would have
+    // frozen its target at one file; the idle-timeout run must consume all three and stop
+    // only once appends cease for maxWaitMs
+    val writer = new Thread(() => {
+      Thread.sleep(700);  writeSpool(spool, "001.jsonl", Seq(env("i.t", "c", """{"id":2}""", null, 2)))
+      Thread.sleep(700);  writeSpool(spool, "002.jsonl", Seq(env("i.t", "c", """{"id":3}""", null, 3)))
+    })
+    writer.start()
+    val res = CdcRunner.run(spark, RunConfig(
+      spoolDir = spool, workDir = s"$base/work", outDir = s"$base/out",
+      primaryKeys = Map("i_t" -> Seq("id")), maxWaitMs = Some(2500)))
+    writer.join()
+    assert(res.tables == Map("i_t" -> 3L)) // all three files consumed before the idle stop
+  }
+
+  test("snapshot-in-progress gates the idle stop (KeboolaNotification semantics)") {
+    import graft.streaming.SyncStats
+    val base = Files.createTempDirectory("graft-gate").toString
+    val spool = s"$base/spool"
+    writeSpool(spool, "000.jsonl", Seq(env("g.t", "c", """{"id":1}""", null, 1)))
+    val stats = new SyncStats
+    stats.setSnapshotInProgress(true) // a snapshot is running: idle stop must NOT fire
+    val t0 = System.currentTimeMillis()
+    // release the gate after 2.2s; with maxWaitMs=500 an ungated run would stop ~0.5s
+    // after draining the one file
+    new Thread(() => { Thread.sleep(2200); stats.setSnapshotInProgress(false) }).start()
+    CdcRunner.run(spark, RunConfig(
+      spoolDir = spool, workDir = s"$base/work", outDir = s"$base/out",
+      primaryKeys = Map("g_t" -> Seq("id")), maxWaitMs = Some(500)), stats)
+    val elapsed = System.currentTimeMillis() - t0
+    assert(elapsed >= 2200, s"idle stop fired during snapshot (elapsed ${elapsed}ms)")
+  }
+
   test("empty spool and no-new-events runs complete cleanly") {
     val base = Files.createTempDirectory("graft-empty").toString
     val spool = s"$base/spool"
