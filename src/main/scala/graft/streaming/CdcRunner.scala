@@ -76,6 +76,75 @@ object CdcRunner {
   def detectNewTables(configured: Seq[String], previouslySynced: Set[String]): Seq[String] =
     configured.filterNot(t => previouslySynced.contains(graft.operators.Cdc.safeTableId(t)))
 
+  /** One JDBC snapshot source: the logical table id (dots → staging dir name) + how to
+    * bulk-read it. */
+  final case class SnapshotSource(table: String, jdbc: graft.sources.JdbcSnapshot.SnapshotConfig)
+
+  /**
+   * §3.1 steps 2–9 composition: JDBC snapshot (S2) THEN the spool stream, one invocation —
+   * the reference's whole `component.py:80-152` lifecycle. The snapshot stages each table's
+   * bulk read as `r` rows at order −1 (before every stream position), so the LWW dedupe
+   * absorbs snapshot/stream overlap exactly like replays: a streamed update to a
+   * snapshotted key wins, a never-streamed key keeps its snapshot row. The
+   * snapshot-in-progress flag is held while snapshots run (gating idle stops, §2.7),
+   * and `effectiveMode` applies the D4 first-run policy (first dedupe run ⇒ snapshot only).
+   */
+  def runWithSnapshot(spark: SparkSession, cfg: RunConfig, snapshotMode: String,
+      snapshots: Seq[SnapshotSource], isFirstRun: Boolean = true,
+      snapshotTsMs: Long = System.currentTimeMillis(),
+      stats: SyncStats = new SyncStats): RunResult = {
+    import graft.sources.JdbcSnapshot
+    val mode = JdbcSnapshot.effectiveMode(
+      JdbcSnapshot.parseMode(snapshotMode), isFirstRun, dedupe = cfg.mode == "dedupe")
+    val stagingRoot = s"${cfg.workDir}/staging"
+    val registry = new SchemaRegistry(s"${cfg.workDir}/schemas.json")
+    if (mode.doSnapshot && snapshots.nonEmpty) {
+      stats.setSnapshotInProgress(true)
+      try snapshots.foreach(s => stageSnapshot(spark, s, stagingRoot, registry, snapshotTsMs))
+      finally stats.setSnapshotInProgress(false)
+    }
+    // a no-stream mode still runs the full post-processing/export: a zero-byte position
+    // target makes the stream a no-op
+    val streamCfg = if (mode.doStream) cfg
+      else cfg.copy(stopAtPos = Some(0L), stopAtFile = None, maxWaitMs = None)
+    run(spark, streamCfg, stats)
+  }
+
+  /** Stage one snapshot read as staging rows: column names lowercased to the envelope
+    * convention, types normalized to the staging type system (integrals → BIGINT,
+    * fractionals → DOUBLE, decimals → exact STRING rendering per
+    * decimal.handling.mode=string, dates/timestamps/nested → STRING), system columns
+    * `op=r`, snapshot ts, order −1 (< any stream byte position). */
+  private def stageSnapshot(spark: SparkSession, src: SnapshotSource, stagingRoot: String,
+      registry: SchemaRegistry, tsMs: Long): Unit = {
+    val df = graft.sources.JdbcSnapshot.read(spark, src.jdbc)
+    val snapCols = df.schema.fields.map(f => f.name.toLowerCase -> stagingType(f.dataType)).toSeq
+    val acc0 = registry.get(src.table)
+    val acc = if (acc0.isEmpty) snapCols
+      else acc0 ++ snapCols.filterNot(c => acc0.exists(_._1 == c._1))
+    registry.put(src.table, acc)
+    val renamed = df.select(df.schema.fields.map(f => col(f.name).as(f.name.toLowerCase)): _*)
+    val aligned = acc.foldLeft(renamed) { case (d, (n, t)) =>
+      if (d.columns.contains(n)) d else d.withColumn(n, lit(null).cast(t))
+    }.select(acc.map { case (n, t) => col(s"`$n`").cast(t).as(n) }: _*)
+    aligned
+      .withColumn(Cdc.OpCol, lit("r"))
+      .withColumn(Cdc.TsCol, lit(tsMs))
+      .withColumn(Cdc.DeletedCol, lit("false"))
+      .withColumn(Cdc.OrderCol, lit(-1L))
+      .write.mode("append").parquet(s"$stagingRoot/${Cdc.safeTableId(src.table)}")
+  }
+
+  private def stagingType(t: DataType): DataType = t match {
+    case ByteType | ShortType | IntegerType | LongType => LongType
+    case FloatType | DoubleType                        => DoubleType
+    case _: DecimalType                                => StringType
+    case BooleanType                                   => BooleanType
+    case _: StructType | _: ArrayType | _: MapType     => StringType
+    case DateType | TimestampType                      => StringType
+    case other                                         => StringType
+  }
+
   private val SystemFields = Set("table", "op", "before", "after", "source")
 
   /** `stats` is injectable so composed runs (snapshot→stream) and tests can flip the

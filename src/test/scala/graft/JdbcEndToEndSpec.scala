@@ -68,4 +68,70 @@ class JdbcEndToEndSpec extends SparkSpec {
     assert(partitioned.rdd.getNumPartitions == 3)
     assert(partitioned.count() == 10)
   }
+
+  test("snapshot -> stream composition: overlap absorbed by dedupe (component.py:80-152)") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import graft.streaming.CdcRunner
+    import graft.streaming.CdcRunner.{RunConfig, SnapshotSource}
+    conn.createStatement().execute(
+      "CREATE TABLE SALES(ID INT NOT NULL PRIMARY KEY, NAME VARCHAR(20), AMOUNT DECIMAL(10,5))")
+    Seq((1, "alpha", "10.50000"), (2, "beta", "20.00000"))
+      .foreach { case (i, n, a) =>
+        conn.createStatement().execute(s"INSERT INTO SALES VALUES ($i, '$n', $a)") }
+
+    val base = Files.createTempDirectory("graft-snapstream").toString
+    val spool = s"$base/spool"
+    Files.createDirectories(Paths.get(spool))
+    // stream overlaps the snapshot: an update to snapshotted pk 1, a delete of pk 2,
+    // and a brand-new pk 3
+    Files.write(Paths.get(spool, "000.jsonl"), Seq(
+      """{"table":"app.sales","op":"u","after":{"id":1,"name":"alpha2","amount":"11.00000"},"before":{"id":1},"source":{"ts_ms":5000}}""",
+      """{"table":"app.sales","op":"d","after":null,"before":{"id":2},"source":{"ts_ms":6000}}""",
+      """{"table":"app.sales","op":"c","after":{"id":3,"name":"gamma","amount":"30.00000"},"before":null,"source":{"ts_ms":7000}}""").asJava)
+
+    val res = CdcRunner.runWithSnapshot(spark,
+      RunConfig(spoolDir = spool, workDir = s"$base/work", outDir = s"$base/out",
+        primaryKeys = Map("app_sales" -> Seq("id"))),
+      snapshotMode = "initial",
+      snapshots = Seq(SnapshotSource("app.sales",
+        SnapshotConfig(url, "APP.SALES", driver = Some(DerbyDriver)))),
+      isFirstRun = false, // a chained run: snapshot AND stream compose in one invocation
+      snapshotTsMs = 1000L)
+
+    assert(res.tables == Map("app_sales" -> 3L))
+    val csv = Option(new java.io.File(s"$base/out/tables/app_sales.csv").listFiles()).get
+      .filter(_.getName.endsWith(".csv"))
+      .flatMap(f => Files.readAllLines(f.toPath).asScala).sorted
+    assert(csv.exists(_.startsWith("1,alpha2,11.00000,u,5000")))  // stream beat snapshot
+    assert(csv.exists(l => l.startsWith("2,,,d,6000") && l.contains("true"))) // deleted
+    assert(csv.exists(_.startsWith("3,gamma,30.00000,c,7000")))   // stream-only insert
+  }
+
+  test("D4 first-run dedupe policy: effectiveMode forces a pure snapshot run") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import graft.streaming.CdcRunner
+    import graft.streaming.CdcRunner.{RunConfig, SnapshotSource}
+    conn // force setup (ITEMS table, 10 rows)
+    val base = Files.createTempDirectory("graft-snaponly").toString
+    val spool = s"$base/spool"
+    Files.createDirectories(Paths.get(spool))
+    // this spooled event must NOT be consumed: first dedupe run ⇒ snapshot only
+    Files.write(Paths.get(spool, "000.jsonl"), Seq(
+      """{"table":"app.items","op":"u","after":{"id":1,"name":"CHANGED","price":0.0},"before":{"id":1},"source":{"ts_ms":1}}""").asJava)
+    val res = CdcRunner.runWithSnapshot(spark,
+      RunConfig(spoolDir = spool, workDir = s"$base/work", outDir = s"$base/out",
+        primaryKeys = Map("app_items" -> Seq("id"))),
+      snapshotMode = "initial",
+      snapshots = Seq(SnapshotSource("app.items",
+        SnapshotConfig(url, "APP.ITEMS", driver = Some(DerbyDriver)))),
+      isFirstRun = true, snapshotTsMs = 1000L)
+    assert(res.tables == Map("app_items" -> 10L))
+    val csv = Option(new java.io.File(s"$base/out/tables/app_items.csv").listFiles()).get
+      .filter(_.getName.endsWith(".csv"))
+      .flatMap(f => Files.readAllLines(f.toPath).asScala)
+    assert(csv.count(_.nonEmpty) == 10)
+    assert(!csv.exists(_.contains("CHANGED"))) // stream event was not consumed
+  }
 }
