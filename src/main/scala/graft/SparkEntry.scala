@@ -205,6 +205,36 @@ object SparkEntry {
           .cast(LongType).as("ms_of_day"))
     }),
 
+    // §1.3/§2.6 v2 (VERDICT r1 #5): golden renderings from the reference's all-datatypes
+    // case (`all-datatypes-chained/01/expected/.../inventory_all_data_types.csv`):
+    // interval → Debezium MicroDuration micros (avg month = 30.4375 d = 2_629_800 s,
+    // exact integer arithmetic), time → millis-of-day int, time-with-tz → HH:mm:ssZ,
+    // timestamptz → 'yyyy-MM-dd HH:mm:ss+00' (UTC), point/geometry → raw JSON text,
+    // int4range → '[lo,hi)' text
+    "cdc_type_render_v2" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val years = col("event_id") % 3
+      val months = col("user_id") % 12
+      val days = col("event_id") % 28
+      val hours = col("user_id") % 24
+      val mins = col("event_id") % 60
+      val secs = col("user_id") % 60
+      val intervalSecs = (years * 12 + months) * lit(2629800L) +
+        days * lit(86400L) + hours * lit(3600L) + mins * lit(60L) + secs
+      ev.select(
+        col("event_id"),
+        (intervalSecs * lit(1000000L)).cast(LongType).as("interval_micros"),
+        ((hours * 3600 + mins * 60 + secs) * lit(1000L)).cast(LongType).as("time_ms_of_day"),
+        format_string("%02d:%02d:%02dZ", hours.cast(IntegerType), mins.cast(IntegerType),
+          secs.cast(IntegerType)).as("timetz_render"),
+        concat(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"), lit("+00")).as("tstz_render"),
+        concat(lit("{\"x\":"), dec(col("value")).cast(StringType),
+          lit(",\"y\":"), dec(col("value") * 2).cast(StringType),
+          lit(",\"srid\":null}")).as("point_json"),
+        concat(lit("["), col("user_id"), lit(","), col("user_id") + 10, lit(")"))
+          .as("int4range_render"))
+    }),
+
     // S7+K2: CSV sink/scan roundtrip — headerless write with KBC__NULL null sentinel, typed
     // read back with explicit schema (`db_common/staging.py:458-460`, nullstr handling)
     "cdc_csv_roundtrip" -> ((s, dir) => {
@@ -514,6 +544,23 @@ object SparkEntry {
         |      + date_part('minute', CAST(ts AS TIMESTAMP)) * 60
         |      + date_part('second', CAST(ts AS TIMESTAMP))) * 1000 AS BIGINT) AS ms_of_day
         |FROM events""".stripMargin,
+
+    "cdc_type_render_v2" ->
+      """WITH c AS (SELECT event_id, ts,
+        |  event_id % 3 AS y, user_id % 12 AS mo, event_id % 28 AS d,
+        |  user_id % 24 AS h, event_id % 60 AS mi, user_id % 60 AS s,
+        |  user_id, value
+        |  FROM events)
+        |SELECT event_id,
+        |  CAST(((y*12 + mo) * 2629800 + d * 86400 + h * 3600 + mi * 60 + s) * 1000000 AS BIGINT) AS interval_micros,
+        |  CAST((h * 3600 + mi * 60 + s) * 1000 AS BIGINT) AS time_ms_of_day,
+        |  printf('%02d:%02d:%02dZ', h, mi, s) AS timetz_render,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') || '+00' AS tstz_render,
+        |  '{"x":' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR)
+        |    || ',"y":' || CAST(CAST(value * 2 AS DECIMAL(18,2)) AS VARCHAR)
+        |    || ',"srid":null}' AS point_json,
+        |  '[' || user_id || ',' || (user_id + 10) || ')' AS int4range_render
+        |FROM c""".stripMargin,
 
     "q_percentiles" ->
       """SELECT ROUND(quantile_cont(l_quantity, 0.5), 2) AS median_qty,

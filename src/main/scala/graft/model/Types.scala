@@ -31,6 +31,11 @@ object ConnectTypes {
     def isZonedTs: Boolean   = name.exists(_.endsWith("ZonedTimestamp"))
     def isInterval: Boolean  = name.exists(_.endsWith("Interval"))
     def isUuid: Boolean      = name.exists(_.endsWith("data.Uuid"))
+    /** int64 micros (`interval.handling.mode=numeric`): golden rendering is the raw micros
+      * long, avg month = 30.4375 d (all-datatypes golden `37091106000000`). */
+    def isMicroDuration: Boolean = name.exists(_.endsWith(".time.MicroDuration"))
+    /** int32 millis-of-day (`time.precision.mode=connect`): golden rendering `37434000`. */
+    def isTimeOfDay: Boolean = name.exists(n => n.endsWith(".time.Time") || n == "org.apache.kafka.connect.data.Time")
 
     /** Spark type for this element (reference staging mapping `AbstractDbConverter.java:166-210`). */
     def sparkType: DataType = ConnectTypes.toSparkType(this)
@@ -45,8 +50,10 @@ object ConnectTypes {
   def toSparkType(e: SchemaElement): DataType = e.`type` match {
     case "int8" | "int16"        => IntegerType
     case "int32" if e.isDate     => DateType        // epoch-day int, AbstractDbConverter.java:105-108
+    case "int32" if e.isTimeOfDay => IntegerType    // millis-of-day, rendered as the raw int
     case "int32"                 => IntegerType
     case "int64" if e.isTimestamp => TimestampType  // epoch-millis, AbstractDbConverter.java:109-110
+    case "int64" if e.isMicroDuration => LongType   // interval micros, rendered as the raw long
     case "int64"                 => LongType
     case "timestamp"             => TimestampType
     case "date"                  => DateType
