@@ -168,6 +168,18 @@ object SparkEntry {
     "cdc_dedupe_lww" -> ((s, dir) =>
       Cdc.dedupeLastWins(unwrapped(s, dir), Seq("user_id"), orderCol = "KBC__POS")),
 
+    // P7/D1 MySQL parity (VERDICT r1 #6): LWW dedupe over the COMPOUND binlog (file, pos)
+    // order — events spread across three binlog files; the winner per key is the latest by
+    // (file, pos) lexicographic, via the collision-free single-long encoding binlogOrder
+    "cdc_dedupe_binlog" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val file = concat(lit("binlog.00000"), (col("event_id") % 3 + 1).cast(StringType))
+      val staged = ev.select(col("user_id"), col("event_id"),
+        file.as("KBC__FILE"), col("event_id").as("KBC__POS"))
+        .withColumn("__ord", Cdc.binlogOrder(col("KBC__FILE"), col("KBC__POS")))
+      Cdc.dedupeLastWins(staged, Seq("user_id"), orderCol = "__ord").drop("__ord")
+    }),
+
     // D9: no-pkey fallback — key = all non-system columns
     "cdc_dedupe_nopk" -> ((s, dir) => {
       val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
@@ -516,6 +528,13 @@ object SparkEntry {
         |  op AS "KBC__OPERATION", ts_ms AS "KBC__EVENT_TIMESTAMP_MS", file AS "KBC__FILE",
         |  pos AS "KBC__POS", deleted AS "KBC__DELETED"
         |FROM d WHERE rn = 1""".stripMargin),
+
+    "cdc_dedupe_binlog" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  'binlog.00000' || CAST(event_id % 3 + 1 AS VARCHAR) AS f, event_id AS p
+        |  FROM events),
+        |d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY f DESC, p DESC) AS rn FROM e)
+        |SELECT user_id, event_id, f AS "KBC__FILE", p AS "KBC__POS" FROM d WHERE rn = 1""".stripMargin,
 
     "cdc_dedupe_nopk" ->
       """SELECT user_id, event_type, MAX(event_id) AS "KBC__BATCH_EVENT_ORDER"

@@ -183,6 +183,17 @@ object Cdc {
     ranged.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /**
+   * MySQL binlog total order: the `(file, pos)` compound key encoded as ONE long usable as
+   * a dedupe `orderCol` — file rank = the numeric suffix of the binlog file name
+   * (`mysql-bin.000007` → 7; names are zero-padded so lexicographic == numeric order),
+   * shifted above the in-file byte position. A binlog file is capped at 1 GiB (`
+   * max_binlog_size` ≤ 2³⁰ < 2⁴⁰), so `rank << 40 | pos` is collision-free and preserves
+   * the reference's event ordering (`DbChangeConsumer.java:138-149`: compare file, then pos).
+   */
+  def binlogOrder(file: Column, pos: Column): Column =
+    regexp_extract(file, "(\\d+)$", 1).cast(LongType) * lit(1L << 40) + pos
+
   /** P8: staging → output column naming (`component.py:579-595`). */
   def normalizeColumns(df: DataFrame): DataFrame =
     df.withColumnsRenamed(OutputRenames)

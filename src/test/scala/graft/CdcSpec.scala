@@ -128,4 +128,17 @@ class CdcSpec extends SparkSpec {
     val out = df.select(Cdc.syntheticKey(Seq("a", "b")).as("k")).collect()
     assert(out.head.getString(0) == "x|1")
   }
+
+  test("binlogOrder: compound (file, pos) order survives file rollover") {
+    val df = Seq(
+      ("k", "mysql-bin.000001", 999999999L, "old"),
+      ("k", "mysql-bin.000002", 5L, "new")) // later FILE wins even at a tiny pos
+      .toDF("id", "kbc__file", "kbc__pos", "v")
+      .withColumn("ord", Cdc.binlogOrder(col("kbc__file"), col("kbc__pos")))
+    val winner = Cdc.dedupeLastWins(df, Seq("id"), orderCol = "ord").collect()
+    assert(winner.length == 1 && winner.head.getAs[String]("v") == "new")
+    // order is strictly increasing along (file, pos)
+    val ords = df.orderBy(col("kbc__file"), col("kbc__pos")).select("ord").collect().map(_.getLong(0))
+    assert(ords.sameElements(ords.sorted))
+  }
 }
