@@ -75,6 +75,92 @@ class GoldenSpec extends SparkSpec {
     assert(fields.count(_.isEmpty) == 11)
   }
 
+  test("schema-drift-chained/02: ALTER ADD + DROP mid-run, 6-row golden (append mode)") {
+    // Replica of `ex_postgres_cdc/tests/functional/schema-drift-chained/
+    // 02_inserts_updates_deletes_alter`: 2 inserts, update, delete, ALTER ADD COLUMN
+    // newcolumn (+ insert carrying it), DROP COLUMN usercity (+ insert lacking it).
+    // Expected (reference golden CSV): 6 rows in arrival order; newcolumn appended to the
+    // schema with earlier rows empty; usercity RETAINED as empty after the drop (E5).
+    // Deviation from the reference's column layout: drifted payload columns sit before the
+    // system columns, not after them — same information, stable payload-then-system shape.
+    val base = Files.createTempDirectory("graft-golden-drift").toString
+    val spool = s"$base/spool"
+    Files.createDirectories(Paths.get(spool))
+
+    var pos = 0
+    def ev(op: String, after: String, before: String): String = {
+      pos += 1
+      s"""{"table":"inventory.sales","op":"$op","after":$after,"before":$before,"source":{"ts_ms":${1000 + pos}}}"""
+    }
+    def row(gender: String, city: Option[String], sentiment: Int, sku: String, createdate: String,
+        price: String, extra: String = ""): String = {
+      val cityPart = city.map(c => s""""usercity":"$c",""").getOrElse("")
+      s"""{"usergender":"$gender",$cityPart"usersentiment":$sentiment,"sku":"$sku","createdate":"$createdate","price":"$price"$extra}"""
+    }
+    Files.write(Paths.get(spool, "000.jsonl"), Seq(
+      ev("c", row("Male", Some("New York"), 1, "SKU10", "2023-01-01", "199.99000"), "null"),
+      ev("c", row("Female", Some("Los Angeles"), 5, "SKU20", "2023-01-02", "14.99000"), "null"),
+      ev("u", row("Female", Some("Mize"), -1, "SKU1", "2013-09-23 22:38:29", "249.99000"),
+        """{"createdate":"2013-09-23 22:38:29"}"""),
+      ev("d", "null", """{"createdate":"2013-09-23 22:38:30"}"""),
+      // ALTER TABLE ADD COLUMN newcolumn: the next insert carries it
+      ev("c", row("Male", Some("San Francisco"), 3, "SKU30", "2023-01-03", "49.99000",
+        ""","newcolumn":"defaultvalue""""), "null"),
+      // ALTER TABLE DROP COLUMN usercity: the next insert lacks it
+      ev("c", row("Male", None, 3, "SKU30", "2023-01-04", "49.99000",
+        ""","newcolumn":"defaultvalue""""), "null")).asJava)
+
+    CdcRunner.run(spark, RunConfig(
+      spoolDir = spool, workDir = s"$base/work", outDir = s"$base/out", mode = "append"))
+
+    val outDir = s"$base/out/tables/inventory_sales.csv"
+    val lines = Option(new java.io.File(outDir).listFiles()).get
+      .filter(_.getName.endsWith(".csv"))
+      .flatMap(f => Files.readAllLines(f.toPath).asScala)
+      .sortBy(_.split(",").last.toLong) // arrival order (KBC__BATCH_EVENT_ORDER last)
+    assert(lines.length == 6)
+    // payload column order: usergender,usercity,usersentiment,sku,createdate,price,newcolumn
+    assert(lines(0).startsWith("Male,New York,1,SKU10,2023-01-01,199.99000,,c,"))
+    assert(lines(1).startsWith("Female,Los Angeles,5,SKU20,2023-01-02,14.99000,,c,"))
+    assert(lines(2).startsWith("Female,Mize,-1,SKU1,2013-09-23 22:38:29,249.99000,,u,"))
+    // delete: NULL-padded except the pk column carried in `before`
+    assert(lines(3).startsWith(",,,,2013-09-23 22:38:30,,,d,") && lines(3).contains("true"))
+    // post-ALTER rows carry newcolumn; post-DROP row keeps usercity as empty (retained)
+    assert(lines(4).startsWith("Male,San Francisco,3,SKU30,2023-01-03,49.99000,defaultvalue,c,"))
+    assert(lines(5).startsWith("Male,,3,SKU30,2023-01-04,49.99000,defaultvalue,c,"))
+  }
+
+  test("schema-drift-drop-non-null/02: dropped NOT-NULL column relaxed to nullable, retained") {
+    // Replica of `schema-drift-drop-non-null/02_drop_column`: run 1 syncs products2 with
+    // `name` present, run 2 streams an insert WITHOUT `name` (column dropped at source).
+    // Golden: `1001,,Apple,0.5,c,false,0` — the row lands with the column empty, the
+    // column stays in the schema, and the manifest must mark it nullable.
+    val base = Files.createTempDirectory("graft-golden-nn").toString
+    val spool = s"$base/spool"
+    Files.createDirectories(Paths.get(spool))
+    Files.write(Paths.get(spool, "000.jsonl"), Seq(
+      """{"table":"inventory.products2","op":"r","after":{"id":1000,"name":"Scooter","description":"Small 2-wheel scooter","weight":3.14},"before":null,"source":{"ts_ms":1}}""").asJava)
+    val cfg = RunConfig(spoolDir = spool, workDir = s"$base/work", outDir = s"$base/out",
+      primaryKeys = Map("inventory_products2" -> Seq("id")))
+    CdcRunner.run(spark, cfg)
+
+    Files.write(Paths.get(spool, "001.jsonl"), Seq(
+      """{"table":"inventory.products2","op":"c","after":{"id":1001,"description":"Apple","weight":0.5},"before":null,"source":{"ts_ms":2}}""").asJava)
+    val r2 = CdcRunner.run(spark, cfg)
+    assert(r2.tables == Map("inventory_products2" -> 2L))
+
+    val outDir = s"$base/out/tables/inventory_products2.csv"
+    val lines = Option(new java.io.File(outDir).listFiles()).get
+      .filter(_.getName.endsWith(".csv"))
+      .flatMap(f => Files.readAllLines(f.toPath).asScala).sorted
+    assert(lines.exists(_.startsWith("1000,Scooter,Small 2-wheel scooter,3.14,r,")))
+    assert(lines.exists(_.startsWith("1001,,Apple,0.5,c,"))) // dropped column -> empty, retained
+    val manifest = Files.readString(Paths.get(s"$outDir.manifest"))
+    assert(manifest.contains(""""name""""))
+    val nameMeta = manifest.split(""""name": \[""")(1).split("]")(0)
+    assert(nameMeta.contains(""""KBC.datatype.nullable", "value": true"""))
+  }
+
   test("chained run 03: table addition after state, snapshot backfill merges cleanly") {
     val base = Files.createTempDirectory("graft-golden2").toString
     val spool = s"$base/spool"
