@@ -334,10 +334,11 @@ class StreamingSpec extends SparkSpec {
     import graft.streaming.Sessionize
     val base = Files.createTempDirectory("graft-fmgs").toString
     val spool = s"$base/spool"
-    // user 7: events at t=0s,10s (one session), then t=100s (gap>30s closes first session)
-    // user 8: single event — session stays open, nothing emitted
+    // user 7: events at t=1s,10s (one session), then t=100s (gap>30s closes first session)
+    // user 8: single event — goes idle; the event-time TIMEOUT must emit its session once
+    // the watermark (driven by user 7's 100s event) passes end+gap
     writeSpool(spool, "000.jsonl", Seq(
-      env("s.e", "c", """{"user_id":7}""", null, 0L),
+      env("s.e", "c", """{"user_id":7}""", null, 1000L),
       env("s.e", "c", """{"user_id":7}""", null, 10000L),
       env("s.e", "c", """{"user_id":8}""", null, 5000L)))
     writeSpool(spool, "001.jsonl", Seq(
@@ -350,12 +351,18 @@ class StreamingSpec extends SparkSpec {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", s"$base/ckpt").start()
     q.awaitTermination()
-    val rows = spark.sql("SELECT user_id, start_ms, end_ms, n_events FROM sessions").collect()
-    // exactly one closed session: user 7's first (0s-10s, 2 events), closed by the 100s event
-    // that arrived in a LATER micro-batch — proving state carried across batches
-    assert(rows.length == 1)
-    assert(rows.head.getLong(0) == 7L && rows.head.getLong(1) == 0L &&
-      rows.head.getLong(2) == 10000L && rows.head.getLong(3) == 2L)
+    val rows = spark.sql("SELECT user_id, start_ms, end_ms, n_events FROM sessions ORDER BY user_id")
+      .collect()
+    // two closed sessions: user 7's first (1s-10s, 2 events), closed by the 100s event that
+    // arrived in a LATER micro-batch (state carried across batches); and user 8's idle
+    // session (5s, 1 event), closed by the EVENT-TIME TIMEOUT when the watermark
+    // (100s - 10s delay = 90s) passed its end+gap (35s). User 7's second session (100s)
+    // is still within its gap window and stays open.
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 7L && rows(0).getLong(1) == 1000L &&
+      rows(0).getLong(2) == 10000L && rows(0).getLong(3) == 2L)
+    assert(rows(1).getLong(0) == 8L && rows(1).getLong(1) == 5000L &&
+      rows(1).getLong(2) == 5000L && rows(1).getLong(3) == 1L)
   }
 
   test("staging catalog enumerates tables, schemas and chunks (S8)") {
