@@ -72,15 +72,18 @@ object CsvManifestSink {
   }
 
   /** K5: run state — consumed position + synced tables + per-table schema JSON
-    * (the `previous_schema` seed for the next run, E4). */
-  def writeState(outDir: String, lastPos: Long, tableSchemas: Map[String, StructType]): String = {
+    * (the `previous_schema` seed for the next run, E4) + the Debezium-compatible base64
+    * offset blob ([[OffsetStore]], `component.py:286-288`). */
+  def writeState(outDir: String, lastPos: Long, tableSchemas: Map[String, StructType],
+      offsetBlobB64: Option[String] = None): String = {
     val tables = tableSchemas.keys.toSeq.sorted
       .map(t => "\"" + jsonEscape(t) + "\"").mkString("[", ",", "]")
     val schemas = tableSchemas.toSeq.sortBy(_._1).map { case (t, st) =>
       s""""${jsonEscape(t)}": ${st.json.trim}"""
     }.mkString("{", ",", "}")
+    val blob = offsetBlobB64.map(b => s""", "last_offset_b64": "${jsonEscape(b)}"""").getOrElse("")
     val state =
-      s"""{"last_offset": $lastPos, "last_synced_tables": $tables, "last_schema": $schemas}"""
+      s"""{"last_offset": $lastPos, "last_synced_tables": $tables, "last_schema": $schemas$blob}"""
     val p = Paths.get(s"$outDir/state.json")
     Files.createDirectories(p.getParent)
     Files.writeString(p, state)

@@ -50,6 +50,17 @@ object CdcRunner {
       snapshotTables: Seq[String] = Nil,
       /** P5: `table.include.list` — None = all tables discovered in the stream. */
       includeTables: Option[Set[String]] = None,
+      /** S5 file signal channel (`signal.file`): an execute-snapshot signal JSON written
+        * beside the run; its data-collections are backfilled like [[snapshotTables]]. The
+        * ONLY channel allowed in read-only mode (`mysql_extractor.py:187-193`). */
+      signalFile: Option[String] = None,
+      /** S5 source-table signal channel (`signal.data.collection`): the signal table's
+        * rows arrive through the stream; execute-snapshot rows trigger backfills and the
+        * signal table itself is excluded from exports. */
+      signalTable: Option[String] = None,
+      /** Read-only mode: no writes to the source — the source-table signal channel is
+        * rejected at config time. */
+      readOnly: Boolean = false,
       /** P7: max run duration — the reference's `COMPONENT_TIMEOUT`/`-md` stop condition
         * (`AbstractDebeziumTask.java:166-189`); the run is stopped cleanly at the batch
         * boundary and the checkpoint resumes next invocation. */
@@ -151,8 +162,13 @@ object CdcRunner {
     * snapshot-in-progress gate while the stream runs. */
   def run(spark: SparkSession, cfg: RunConfig,
       stats: SyncStats = new SyncStats): RunResult = {
+    require(!(cfg.readOnly && cfg.signalTable.nonEmpty),
+      "read-only mode: source-table signal channel is not available, use the file channel")
     val stagingRoot = s"${cfg.workDir}/staging"
     val registry = new SchemaRegistry(s"${cfg.workDir}/schemas.json") // E4 carryover
+    val signalTableId = cfg.signalTable.map(Cdc.safeTableId)
+    // the signal table must flow through the stream even under an include filter
+    val includeWithSignals = cfg.includeTables.map(ts => ts ++ cfg.signalTable)
     spark.streams.addListener(stats) // D8: progress/record bookkeeping via listener
 
     val reader = spark.readStream.format("graft.sources.CdcSpoolSource")
@@ -168,8 +184,8 @@ object CdcRunner {
       .trigger(trigger)
       .option("checkpointLocation", s"${cfg.workDir}/checkpoint")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (cfg.wireFormat) stageWireEvents(spark, batch, stagingRoot, cfg.includeTables)
-        else stageEvents(spark, batch, stagingRoot, registry, only = cfg.includeTables)
+        if (cfg.wireFormat) stageWireEvents(spark, batch, stagingRoot, includeWithSignals)
+        else stageEvents(spark, batch, stagingRoot, registry, only = includeWithSignals)
       }
       .start()
     cfg.maxWaitMs match {
@@ -202,19 +218,29 @@ object CdcRunner {
       Thread.sleep(20)
     spark.streams.removeListener(stats)
 
-    // S5: blocking-snapshot signal for newly-added tables — full-spool batch read (no
-    // checkpoint), filtered to the signalled tables, staged like any other events.
-    if (cfg.snapshotTables.nonEmpty) {
+    // S5: blocking-snapshot signals from every channel — config-driven table additions,
+    // the file signal channel, and execute-snapshot rows that arrived through the stream
+    // via the source-table channel — resolved to one backfill set: a full-spool batch read
+    // (no checkpoint) filtered to the signalled tables, staged like any other events.
+    val fileSignals = cfg.signalFile.flatMap(Signals.readSignalFile)
+      .map(_.dataCollections).getOrElse(Nil)
+    val sourceSignals = signalTableId
+      .map(Signals.fromStagedTable(spark, stagingRoot, _)).getOrElse(Nil)
+      .flatMap(_.dataCollections)
+    val backfill = (cfg.snapshotTables ++ fileSignals ++ sourceSignals).distinct
+    if (backfill.nonEmpty) {
       val batchDf = spark.read.format("graft.sources.CdcSpoolSource")
         .option("path", cfg.spoolDir).load()
-      val wanted = cfg.snapshotTables.toSet
+      val wanted = backfill.toSet
       if (cfg.wireFormat) stageWireEvents(spark, batchDf, stagingRoot, Some(wanted))
       else stageEvents(spark, batchDf, stagingRoot, registry, only = Some(wanted))
     }
 
     // ---- post-process: union-of-epochs read, dedupe policy, export (SURVEY §3.1 steps 8-9)
     val stagingDir = new java.io.File(stagingRoot)
-    val tableDirs = Option(stagingDir.listFiles()).getOrElse(Array.empty).filter(_.isDirectory)
+    // the signal table is control-channel plumbing, never an output table
+    val tableDirs = Option(stagingDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).filterNot(d => signalTableId.contains(d.getName))
     var counts = Map.empty[String, Long]
     var schemas = Map.empty[String, StructType]
     var lastPos = 0L
@@ -245,7 +271,9 @@ object CdcRunner {
       CsvManifestSink.writeManifest(ordered.schema, outTables, table,
         cfg.primaryKeys.getOrElse(table, Seq.empty), incremental = cfg.mode == "dedupe")
     }
-    CsvManifestSink.writeState(cfg.outDir, lastPos, schemas)
+    val offsetBlob = graft.sinks.OffsetStore.encodeBase64(
+      Map(graft.sinks.OffsetStore.spoolOffsetEntry("graft", "spool", lastPos)))
+    CsvManifestSink.writeState(cfg.outDir, lastPos, schemas, Some(offsetBlob))
     RunResult(counts, lastPos, cfg.outDir, stats.snapshot)
   }
 

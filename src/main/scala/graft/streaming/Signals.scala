@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+
+/**
+ * S5 / §2.7: the `execute-snapshot` signal protocol, both channels
+ * (`db_components/debezium/executor.py:244-303`):
+ *
+ *  - **file channel** (read-only mode, `mysql_extractor.py:187-193`): a JSON signal file
+ *    `{"id": …, "type": "execute-snapshot", "data": {"type": "BLOCKING", "data-collections":
+ *    [tables]}}` written next to the run; nothing is written to the source database;
+ *  - **source-table channel**: a row INSERTed into the signal table
+ *    (`INSERT INTO <signal.data.collection> (id, type, data) VALUES …`) — the row then
+ *    arrives THROUGH the change stream like any other event, so the runner extracts signals
+ *    from the staged signal table after the stream drains.
+ *
+ * Either channel resolves to a list of tables to blocking-snapshot; the runner backfills
+ * them via the source's batch path and lets LWW dedupe absorb any overlap (exactly the
+ * reference's blocking-snapshot semantics).
+ */
+object Signals {
+
+  final case class SnapshotSignal(id: String, snapshotType: String, dataCollections: Seq[String])
+
+  private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Write an execute-snapshot signal to the file channel (the shape of
+    * `SnapshotSignal.as_dict`, `executor.py:28-30`). */
+  def writeSignalFile(path: String, tables: Seq[String], id: String,
+      snapshotType: String = "BLOCKING"): Unit = {
+    def q(s: String) = "\"" + CsvEscape.json(s) + "\""
+    val json = s"""{"id": ${q(id)}, "type": "execute-snapshot", "data": {"type": ${q(snapshotType)}, "data-collections": ${tables.map(q).mkString("[", ", ", "]")}}}"""
+    Option(Paths.get(path).getParent).foreach(Files.createDirectories(_))
+    Files.writeString(Paths.get(path), json)
+  }
+
+  /** Parse the file channel if a signal is present; non-`execute-snapshot` types ignored. */
+  def readSignalFile(path: String): Option[SnapshotSignal] = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) return None
+    val root = mapper.readTree(Files.readString(p))
+    if (root.path("type").asText() != "execute-snapshot") return None
+    Some(parseSignal(root.path("id").asText(), root.path("data")))
+  }
+
+  private def parseSignal(id: String, data: com.fasterxml.jackson.databind.JsonNode): SnapshotSignal = {
+    val colls = data.path("data-collections")
+    val tables = (0 until colls.size()).map(colls.get(_).asText())
+    SnapshotSignal(id, data.path("type").asText("BLOCKING"), tables)
+  }
+
+  /**
+   * Source-table channel: extract execute-snapshot signals from the STAGED signal table
+   * (its rows arrived through the stream with payload columns `id`, `type`, `data`).
+   * Signal volume is human-scale; the driver-side parse is a handful of rows.
+   */
+  def fromStagedTable(spark: SparkSession, stagingRoot: String, signalTableId: String): Seq[SnapshotSignal] = {
+    val dir = new java.io.File(s"$stagingRoot/$signalTableId")
+    if (!dir.isDirectory) return Nil
+    import org.apache.spark.sql.functions.col
+    spark.read.option("mergeSchema", "true").parquet(dir.getPath)
+      .filter(col("type") === "execute-snapshot")
+      .select("id", "data").collect().toSeq
+      .map(r => parseSignal(r.getString(0), mapper.readTree(r.getString(1))))
+  }
+}
+
+/** Minimal JSON string escaping shared by driver-side writers. */
+private[streaming] object CsvEscape {
+  def json(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+}
