@@ -42,6 +42,40 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("row_number"))
   }
 
+  test("minhash LSH verified pairs: banded blocking join, text never in the exchange") {
+    val p = plan("doc_minhash_lsh")
+    // candidate generation shuffles on (band, band_hash) — blocked, not all-pairs
+    assert(p.contains("hashpartitioning(band"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the raw text column is consumed by the fingerprint expressions and never shuffled
+    val exchanges = p.split("Exchange").drop(1)
+    assert(exchanges.nonEmpty && !exchanges.exists(_.split("\n")(0).contains("text")))
+  }
+
+  test("doc_simhash / doc_fingerprint gate queries stay narrow maps (no exchange)") {
+    for (q <- Seq("doc_simhash", "doc_fingerprint")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q should be a pure map, got:\n$p")
+    }
+  }
+
+  test("ann lsh gate: candidate generation is a broadcast bucket join, rerank bounded-heap") {
+    val p = plan("emb_ann_lsh")
+    assert(p.contains("BroadcastHashJoin")) // (tbl, bucket) equi-join, query side broadcast
+    assert(p.contains("ObjectHashAggregate"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("cdc-spool batch read: large files split into parallel byte ranges") {
+    val base = java.nio.file.Files.createTempDirectory("graft-split-plan").toString
+    val lines = (1 to 200).map(i => s"""{"table":"t","op":"c","after":{"id":$i},"source":{"ts_ms":$i}}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(base, "000.jsonl"),
+      scala.jdk.CollectionConverters.SeqHasAsJava(lines).asJava)
+    val df = spark.read.format("cdc-spool").option("path", base)
+      .option("maxPartitionBytes", "2048").load()
+    assert(df.rdd.getNumPartitions >= 4) // one file, many ranges
+  }
+
   test("partition pruning: partitioned parquet scans only the matching partition") {
     val base = java.nio.file.Files.createTempDirectory("graft-pp").toString
     spark.read.parquet(s"$dir/events.parquet")
