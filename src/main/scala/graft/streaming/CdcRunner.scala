@@ -277,19 +277,12 @@ object CdcRunner {
     RunResult(counts, lastPos, cfg.outDir, stats.snapshot)
   }
 
-  /** Envelope parsed ONCE per event: payload states as `map<string,string>` (scalars as
-    * their JSON text, arrays/objects as raw JSON — exactly the reference's VARCHAR rendering
-    * for non-scalars, `AbstractDbConverter.java:113-114`); typing is applied afterwards from
-    * the accumulated per-table schema. */
-  private val MapEnvelopeSchema = StructType(Seq(
+  /** Envelope metadata (table routing, op, source ts) — parsed with a pruned schema so the
+    * payload objects are skipped, not materialized. */
+  private val MetaEnvelopeSchema = StructType(Seq(
     StructField("table", StringType),
     StructField("op", StringType),
-    StructField("after", MapType(StringType, StringType)),
-    StructField("before", MapType(StringType, StringType)),
-    StructField("source", StructType(Seq(
-      StructField("ts_ms", LongType),
-      StructField("file", StringType),
-      StructField("pos", LongType))))))
+    StructField("source", StructType(Seq(StructField("ts_ms", LongType))))))
 
   /**
    * Group a (pos, value) event batch by table and append typed rows to staging parquet.
@@ -315,35 +308,57 @@ object CdcRunner {
     // no isEmpty pre-check: it would cost an extra source scan (inflating numInputRows and
     // wall time); the cached distinct below handles empty batches for free
     val parsed0 = batch
-      .select(col("pos"), col("value"), from_json(col("value"), MapEnvelopeSchema).as("j"))
-      .select(col("pos"), col("value"), col("j.*"))
+      .select(col("pos"), col("value"), from_json(col("value"), MetaEnvelopeSchema).as("m"))
+      .select(col("pos"), col("value"),
+        col("m.table").as("table"), col("m.op").as("op"), col("m.source.ts_ms").as("ts_ms"))
     val routed = only.fold(parsed0)(w => parsed0.filter(col("table").isin(w.toSeq: _*)))
+      .filter(col("op") =!= lit("t")) // drop truncates (SMT :208-213)
     val spooled = routed
-      .filter(col("after").isNotNull || col("before").isNotNull) // drop tombstones (P1)
-      .filter(col("op") =!= lit("t"))                            // drop truncates (SMT :208-213)
-      // delete rewrite: take columns from `before` (PK-only under default replica identity)
-      .withColumn("p", when(col("op") === "d", col("before")).otherwise(col("after")))
+      // delete rewrite: take columns from `before` (PK-only under default replica identity);
+      // only the CHOSEN state's object is extracted and map-parsed — scalars become their
+      // JSON text, arrays/objects stay raw JSON (the reference's VARCHAR rendering,
+      // `AbstractDbConverter.java:113-114`); tombstones (no chosen state) drop here (P1)
+      .withColumn("praw", when(col("op") === lit("d"), get_json_object(col("value"), "$.before"))
+        .otherwise(get_json_object(col("value"), "$.after")))
+      .filter(col("praw").isNotNull)
+      .withColumn("p", from_json(col("praw"), MapType(StringType, StringType)))
+      // the cache carries (pos, table, op, ts_ms, praw, p) — payload text (for drift-batch
+      // inference, no source re-scan) but never the full envelope string
+      .drop("value")
       .cache()
     try {
       val tables = spooled.select("table").distinct().as[String].collect()
       for (table <- tables if table != null) {
         val sub = spooled.filter(col("table") === table)
-        // first-seen key order: keys-only aggregation, shuffles ≤ |distinct keys| after
-        // map-side partials — never the payloads
-        val keyOrder = sub
-          .select(col("pos"), posexplode(map_keys(col("p"))).as(Seq("idx", "k")))
-          .groupBy("k").agg(min(struct(col("pos"), col("idx"))).as("first"))
-          .orderBy("first").select("k").as[String].collect().toSeq
+        // First-seen key order WITHOUT exploding entries: real batches contain a handful of
+        // distinct key SHAPES (key arrays), so aggregate those — the hash agg carries whole
+        // shapes, not per-entry rows, and the driver walks shapes in arrival order
+        // appending unseen keys (the reference's LinkedHashMap growth).
+        val shapes = sub.select(map_keys(col("p")).as("ks"), col("pos"))
+          .groupBy("ks").agg(min(col("pos")).as("p0"))
+          .collect().map(r => (r.getSeq[String](0), r.getLong(1))).sortBy(_._2)
+        val keyOrder = {
+          val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+          for ((ks, _) <- shapes; k <- ks) seen += k
+          seen.toSeq
+        }
         val acc0 = registry.get(table)
         val newKeys = keyOrder.filterNot(k => acc0.exists(_._1 == k))
         var acc = acc0
-        if (newKeys.nonEmpty) {
-          // E1 drift: only now is a second parse paid, and only over this batch
-          val payloadTypes = inferPayloadTypes(spark, sub)
-          acc = acc0 ++ keyOrder.filter(newKeys.contains)
-            .map(k => k -> payloadTypes.getOrElse(k, StringType))
-        }
-        val widened = widenForBatch(sub, acc)
+        val widened =
+          if (newKeys.nonEmpty) {
+            // E1 drift: only now is a second parse paid, and only over this batch — JSON
+            // inference sees quoting (decimal-as-string stays exact) and covers EXISTING
+            // columns too, so it doubles as this batch's type audit
+            val inferred = inferPayloadTypes(spark, sub)
+            acc = acc0 ++ keyOrder.filter(newKeys.contains)
+              .map(k => k -> inferred.get(k).map(newColumnType).getOrElse(StringType))
+            acc.map { case (k, t) => (k, widenType(t, inferred.get(k))) }
+          } else {
+            // steady state: one global audit aggregation (ADVICE fix — a long column
+            // receiving 1.5 widens instead of silently nulling), no re-parse
+            auditWiden(sub, acc)
+          }
         if (widened != acc && acc0.nonEmpty)
           graft.operators.StagingCatalog.retype(spark, stagingRoot, Cdc.safeTableId(table),
             widened.toMap)
@@ -352,7 +367,7 @@ object CdcRunner {
         val payloadCols = acc.map { case (k, t) => element_at(col("p"), k).cast(t).as(k) }
         val sysCols = Seq(
           col("op").as(Cdc.OpCol),
-          col("source.ts_ms").as(Cdc.TsCol),
+          col("ts_ms").as(Cdc.TsCol),
           when(col("op") === "d", lit("true")).otherwise(lit("false")).as(Cdc.DeletedCol),
           col("pos").as(Cdc.OrderCol))
         sub.select(payloadCols ++ sysCols: _*)
@@ -361,32 +376,52 @@ object CdcRunner {
     } finally spooled.unpersist()
   }
 
-  /** Payload field types from Spark's JSON inference over this batch (after ∪ before,
-    * after-precedence), normalized to the staging type system: nested/array → raw-JSON
-    * STRING (§1.3), NullType → STRING. */
+  /** Payload field types from Spark's JSON inference over this batch's chosen-state
+    * payload objects (cached `praw` text — inference sees quoting, so decimal-as-string
+    * stays exact). Nested/array types normalize to raw-JSON STRING (§1.3); NullType is
+    * KEPT so callers can tell "all null this batch" (no type information) from a real
+    * string observation. */
   private def inferPayloadTypes(spark: SparkSession,
       sub: DataFrame): Map[String, DataType] = {
     import spark.implicits._
-    val env = spark.read.json(sub.select("value").as[String]).schema
-    def fieldsOf(name: String): Seq[StructField] = env.fields.find(_.name == name).map(_.dataType) match {
-      case Some(st: StructType) => st.fields.toSeq
-      case _ => Nil
-    }
     def normalize(t: DataType): DataType = t match {
-      case _: StructType | _: ArrayType | _: MapType | NullType => StringType
+      case _: StructType | _: ArrayType | _: MapType => StringType
       case other => other
     }
-    (fieldsOf("before") ++ fieldsOf("after")) // after last -> wins in toMap
-      .map(f => f.name -> normalize(f.dataType)).toMap
+    spark.read.json(sub.select("praw").as[String]).schema
+      .fields.map(f => f.name -> normalize(f.dataType)).toMap
+  }
+
+  /** Staging type for a NEW column from its inferred type. */
+  private def newColumnType(inferred: DataType): DataType = inferred match {
+    case NullType => StringType
+    case other    => other
+  }
+
+  private def isNumeric(t: DataType): Boolean = t match {
+    case LongType | IntegerType | DoubleType | FloatType | _: DecimalType => true
+    case _ => false
+  }
+
+  /** Widen an EXISTING column's accumulated type given this batch's inferred type:
+    * numeric pairs meet at DOUBLE, anything else incompatible meets at STRING; an all-null
+    * batch (NullType) or an absent column carries no information. */
+  private def widenType(acc: DataType, inferred: Option[DataType]): DataType = inferred match {
+    case None | Some(NullType)       => acc
+    case Some(t) if t == acc         => acc
+    case Some(t) if (acc == LongType || acc == IntegerType) && isNumeric(t) => DoubleType
+    case Some(t) if (acc == DoubleType || acc == FloatType) && isNumeric(t) => acc
+    case Some(_)                     => StringType
   }
 
   /**
-   * ADVICE fix: audit each non-string column's values against its accumulated type with one
-   * aggregation over the batch (`try_cast` failure counters — no extra parse). A long column
-   * that receives "1.5" widens to double; anything not double-castable widens to string.
-   * Callers rewrite already-staged history on widen so parquet chunks stay mergeable.
+   * Steady-state type audit (ADVICE fix), one global aggregation: count values that no
+   * longer fit each non-string column's accumulated type (`try_cast` failure counters — no
+   * re-parse). A long column that received "1.5" widens to double; anything not
+   * double-castable widens to string; callers rewrite staged history on widen so parquet
+   * chunks stay mergeable.
    */
-  private def widenForBatch(sub: DataFrame, acc: Seq[(String, DataType)]): Seq[(String, DataType)] = {
+  private def auditWiden(sub: DataFrame, acc: Seq[(String, DataType)]): Seq[(String, DataType)] = {
     val checked = acc.filter(_._2 != StringType)
     if (checked.isEmpty) return acc
     val aggs = checked.flatMap { case (k, t) =>
@@ -400,8 +435,7 @@ object CdcRunner {
       case (k, StringType) => (k, StringType)
       case (k, t) =>
         if (row.getAs[Long](s"tfail__$k") == 0L) (k, t)
-        else if ((t == LongType || t == IntegerType || t == DoubleType || t == FloatType)
-          && row.getAs[Long](s"dfail__$k") == 0L) (k, DoubleType)
+        else if (isNumeric(t) && row.getAs[Long](s"dfail__$k") == 0L) (k, DoubleType)
         else (k, StringType)
     }
   }
