@@ -378,6 +378,16 @@ object SparkEntry {
     // reproducible content-hash train/test split (membership invariant under re-runs)
     "doc_hash_split" -> ((s, dir) => TextOps.hashSplit(t(s, dir, "documents"))),
 
+    // PII scrubbing: the synthetic contact line makes the redaction observable on the
+    // testdata corpus; the derived text is identical in both engines
+    "doc_pii_scrub" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("text",
+        concat(col("text"), lit(" contact: user"), col("doc_id"), lit("@example.com")))
+      TextOps.piiScrub(d)
+    }),
+
+    "doc_repetition" -> ((s, dir) => TextOps.repetitionScore(t(s, dir, "documents"))),
+
     "doc_langid" -> ((s, dir) => TextOps.langId(t(s, dir, "documents"))),
     "doc_quality" -> ((s, dir) => TextOps.qualityScore(t(s, dir, "documents"))),
     "doc_tokens" -> ((s, dir) => TextOps.tokenStats(t(s, dir, "documents"))),
@@ -664,6 +674,31 @@ object SparkEntry {
         |  CASE WHEN CAST(('0x' || substring(md5(text), 1, 4)) AS INT) % 100 < 90
         |       THEN 'train' ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+
+    "doc_pii_scrub" ->
+      """WITH d AS (SELECT doc_id,
+        |  text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  md5(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS scrubbed_md5
+        |FROM d""".stripMargin,
+
+    "doc_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |  CASE WHEN len(toks) < 2 THEN [] ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END AS bigrams
+        |  FROM t),
+        |bg AS (SELECT doc_id, u.bg AS bg, COUNT(*) AS c
+        |  FROM base, unnest(base.bigrams) AS u(bg) GROUP BY 1, 2),
+        |top AS (SELECT doc_id, MAX(c) AS top_bigram_n FROM bg GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens,
+        |  CASE WHEN b.n_tokens > 0 THEN ROUND(b.n_distinct / CAST(b.n_tokens AS DOUBLE), 4) ELSE 0.0 END AS distinct_ratio,
+        |  CASE WHEN b.n_tokens > 1 THEN ROUND(COALESCE(t2.top_bigram_n, 0) / CAST(b.n_tokens - 1 AS DOUBLE), 4) ELSE 0.0 END AS top_bigram_frac
+        |FROM base b LEFT JOIN top t2 ON b.doc_id = t2.doc_id""".stripMargin,
 
     "doc_langid" ->
       """WITH t AS (SELECT doc_id,

@@ -94,6 +94,47 @@ object TextOps {
       .withColumn("split", when(col("bucket") < trainPct, "train").otherwise("test"))
   }
 
+  /** Email pattern shared with the oracle — RE2- and Java-regex compatible subset. */
+  val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /**
+   * PII scrubbing: redact email addresses (the canonical pre-training scrub), reporting the
+   * redaction count and a digest of the scrubbed text for verification. Pure codegen'd
+   * regexp column algebra — at 100 TB this is a narrow map over the corpus; additional
+   * pattern classes (phones, ids) are more `regexp_replace` columns in the same pass.
+   */
+  def piiScrub(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    df.select(
+      col(idCol),
+      size(regexp_extract_all(col(textCol), lit(EmailRegex), lit(0))).cast("long").as("n_emails"),
+      md5(regexp_replace(col(textCol), EmailRegex, "<EMAIL>")).as("scrubbed_md5"))
+
+  /**
+   * Repetition scoring (Gopher-style quality filters): distinct-token ratio and the
+   * top-bigram fraction (share of all word bigrams taken by the most frequent one) —
+   * high values flag boilerplate/spam/looping generations. The bigram mode is computed
+   * via explode → count so the shuffle carries (doc_id, bigram-hash) pairs, never texts.
+   */
+  def repetitionScore(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = tokensCol(col(textCol))
+    val base = df.select(col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      TextFunctions.shingles(toks, 2).as("bigrams"))
+    val top = base
+      .select(col(idCol), explode(col("bigrams")).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max(col("c")).as("top_bigram_n"))
+    base.drop("bigrams").join(top, Seq(idCol), "left")
+      .select(
+        col(idCol), col("n_tokens"),
+        when(col("n_tokens") > 0, round(col("n_distinct") / col("n_tokens").cast("double"), 4))
+          .otherwise(0.0).as("distinct_ratio"),
+        when(col("n_tokens") > 1,
+          round(coalesce(col("top_bigram_n"), lit(0L)) / (col("n_tokens") - 1).cast("double"), 4))
+          .otherwise(0.0).as("top_bigram_frac"))
+  }
+
   /** First 60 bits of md5 as a long — the hash shared with the DuckDB oracles
     * (`CAST('0x' || substring(md5(x),1,15) AS BIGINT)`). 60 bits so the unsigned hex value
     * always fits a signed long. Pure built-ins, codegen'd. */

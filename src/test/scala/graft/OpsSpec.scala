@@ -185,6 +185,34 @@ class TextOpsSpec extends SparkSpec {
     assert(sk(1L) == sk(2L) && sk(1L) != sk(3L))
   }
 
+  test("piiScrub redacts emails and counts them; non-PII text untouched") {
+    val docs = Seq(
+      (1L, "reach me at alice.smith+x@corp-mail.co or bob@ex.org thanks"),
+      (2L, "no contact info here at all")).toDF("doc_id", "text")
+    val out = TextOps.piiScrub(docs).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_emails") == 2L)
+    assert(out(2L).getAs[Long]("n_emails") == 0L)
+    // doc 2 unchanged: digest equals md5 of the original text
+    val plainMd5 = docs.filter(col("doc_id") === 2L)
+      .select(md5(col("text"))).collect().head.getString(0)
+    assert(out(2L).getAs[String]("scrubbed_md5") == plainMd5)
+    assert(out(1L).getAs[String]("scrubbed_md5") != plainMd5)
+  }
+
+  test("repetitionScore: looping text has high top-bigram fraction, varied text low") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),        // one bigram repeated
+      (2L, "the quick brown fox jumps over dogs"),  // all distinct
+      (3L, "x")).toDF("doc_id", "text")             // <2 tokens -> zero fractions
+    val out = TextOps.repetitionScore(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Double]("top_bigram_frac") == 1.0)
+    assert(out(1L).getAs[Double]("distinct_ratio") < 0.2)
+    assert(out(2L).getAs[Double]("distinct_ratio") == 1.0)
+    assert(out(2L).getAs[Double]("top_bigram_frac") < 0.2)
+    assert(out(3L).getAs[Double]("top_bigram_frac") == 0.0)
+  }
+
   test("simhash60 bit votes: identical docs agree, near-identical docs are hamming-close") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
