@@ -429,6 +429,15 @@ object SparkEntry {
 
     // ---- training-data ops: multimodal plumbing -----------------------------------------------
 
+    // frame sampling through the REAL mapPartitions row-expansion path (binary slices);
+    // the deterministic stub decode makes every sampled frame's digest SQL-checkable —
+    // the gate hashes the hex rendering because the oracle engine can't slice blobs
+    "mm_frame_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("blob", encode(col("text"), "UTF-8"))
+      MultimodalOps.sampleFrames(d.select(col("doc_id"), col("blob")), "blob", "doc_id", everyN = 5)
+        .select(col("doc_id"), col("frame_idx"), md5(hex(col("frame_bytes"))).as("frame_md5"))
+    }),
+
     "mm_media_meta" -> ((s, dir) => {
       val d = t(s, dir, "documents").withColumn("blob", encode(col("text"), "UTF-8"))
       val meta = MultimodalOps.withMediaMeta(d, "blob")
@@ -755,6 +764,19 @@ object SparkEntry {
         |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS sim
         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH d AS (SELECT doc_id, encode(text) AS blob FROM documents),
+        |m AS (SELECT doc_id, hex(blob) AS hexb, CAST(octet_length(blob) AS BIGINT) AS n,
+        |  CAST(octet_length(blob) % 30 + 1 AS INT) AS n_frames FROM d),
+        |f AS (SELECT doc_id, hexb, n, n_frames,
+        |  GREATEST(1, n // n_frames) AS frame_len FROM m),
+        |idx AS (SELECT doc_id, hexb, n, frame_len, CAST(u.i AS INT) AS frame_idx
+        |  FROM f, unnest(range(0, CAST(n_frames AS BIGINT), 5)) AS u(i))
+        |SELECT doc_id, frame_idx,
+        |  md5(substring(hexb, LEAST(frame_idx * frame_len, n) * 2 + 1,
+        |    LEAST(frame_len, n - LEAST(frame_idx * frame_len, n)) * 2)) AS frame_md5
+        |FROM idx""".stripMargin,
 
     "mm_media_meta" ->
       """SELECT doc_id, md5(text) AS content_md5,
