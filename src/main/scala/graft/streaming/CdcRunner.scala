@@ -496,7 +496,9 @@ object CdcRunner {
       val tables = spooled.select("table").distinct().as[String].collect()
       for (table <- tables if table != null) {
         val sub = spooled.filter(col("table") === table)
-        val sampleJson = sub.orderBy(col("pos").desc).select("value").as[String].head()
+        // schema sample = the highest-position event (schemas grow additively, so the
+        // newest is the widest) — a single max_by aggregation pass, NOT a sort of the batch
+        val sampleJson = sub.agg(max_by(col("value"), col("pos"))).as[String].head()
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         val schemaBlock = mapper.readTree(sampleJson).get("schema").toString
         val elements = EnvelopeDecoder.parseSchemaElements(schemaBlock)
