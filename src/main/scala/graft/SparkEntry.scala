@@ -180,6 +180,11 @@ object SparkEntry {
       Cdc.dedupeLastWins(staged, Seq("user_id"), orderCol = "__ord").drop("__ord")
     }),
 
+    // D1 skew path: the two-phase (key,salt)->key salted dedupe must produce EXACTLY the
+    // plain LWW result (associativity of last-write-wins) — oracle = the same window SQL
+    "cdc_dedupe_salted" -> ((s, dir) =>
+      Cdc.dedupeLastWinsSalted(unwrapped(s, dir), Seq("user_id"), orderCol = "KBC__POS")),
+
     // D9: no-pkey fallback — key = all non-system columns
     "cdc_dedupe_nopk" -> ((s, dir) => {
       val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
@@ -542,6 +547,13 @@ object SparkEntry {
         |FROM u""".stripMargin),
 
     "cdc_dedupe_lww" -> (unwrapOracle +
+      """, d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn FROM u)
+        |SELECT event_id, user_id, et AS "event_type", v AS "value",
+        |  op AS "KBC__OPERATION", ts_ms AS "KBC__EVENT_TIMESTAMP_MS", file AS "KBC__FILE",
+        |  pos AS "KBC__POS", deleted AS "KBC__DELETED"
+        |FROM d WHERE rn = 1""".stripMargin),
+
+    "cdc_dedupe_salted" -> (unwrapOracle +
       """, d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn FROM u)
         |SELECT event_id, user_id, et AS "event_type", v AS "value",
         |  op AS "KBC__OPERATION", ts_ms AS "KBC__EVENT_TIMESTAMP_MS", file AS "KBC__FILE",

@@ -57,4 +57,49 @@ class DedupePropertiesSpec extends SparkSpec {
       assert(once == expected, s"wrong survivors for seed=$seed")
     }
   }
+
+  test("minhashLshVerifiedPairs == exact jaccard pair list on random near-dup corpora") {
+    import graft.ops.DedupOps
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta",
+      "iota", "kappa", "lam", "mu", "nu", "xi", "omic", "pi", "rho", "sigma")
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      // base docs + mutated near-duplicates (1-2 word substitutions)
+      val bases = (0 until 12).map { i =>
+        (i.toLong, Seq.fill(10 + rnd.nextInt(15))(words(rnd.nextInt(words.size))).mkString(" "))
+      }
+      val mutated = bases.take(6).map { case (id, text) =>
+        val toks = text.split(" ")
+        toks(rnd.nextInt(toks.length)) = words(rnd.nextInt(words.size))
+        (id + 100, toks.mkString(" "))
+      }
+      val docs = (bases ++ mutated).toDF("doc_id", "text")
+      def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard"))).toSet
+      val verified = pairSet(DedupOps.minhashLshVerifiedPairs(docs, threshold = 0.3, k = 64, bands = 32))
+      val exact = pairSet(DedupOps.ngramJaccardPairs(docs, threshold = 0.3))
+      assert(verified == exact, s"seed=$seed verified=$verified exact=$exact")
+      assert(exact.nonEmpty, s"seed=$seed produced no near-dup pairs — weak test")
+    }
+  }
+
+  test("approx sketches stay within error bounds of the exact answers (q_approx_sketch)") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val approx = SparkEntry.queries("q_approx_sketch")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("approx_parts"), r.getAs[Double]("approx_median_price")))).toMap
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val exact = li.groupBy(col("l_returnflag")).agg(
+      countDistinct(col("l_partkey")).as("parts"),
+      expr("percentile(l_extendedprice, 0.5)").as("median"))
+      .collect().map(r => r.getString(0) -> ((r.getAs[Long]("parts"), r.getAs[Double]("median")))).toMap
+    for ((flag, (aParts, aMedian)) <- approx) {
+      val (eParts, eMedian) = exact(flag)
+      assert(math.abs(aParts - eParts).toDouble / eParts < 0.05,
+        s"HLL error > 5% for $flag: $aParts vs $eParts")
+      assert(math.abs(aMedian - eMedian) / eMedian < 0.05,
+        s"approx median off > 5% for $flag: $aMedian vs $eMedian")
+    }
+  }
 }
