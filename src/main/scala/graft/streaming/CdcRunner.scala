@@ -50,6 +50,11 @@ object CdcRunner {
       snapshotTables: Seq[String] = Nil,
       /** P5: `table.include.list` — None = all tables discovered in the stream. */
       includeTables: Option[Set[String]] = None,
+      /** P3/P4: `column.include.list` / `column.exclude.list` per table (safe id) —
+        * applied at STAGING like the reference applies them at the connector: filtered
+        * columns never enter the accumulated schema or the staged parquet. */
+      includeColumns: Map[String, Seq[String]] = Map.empty,
+      excludeColumns: Map[String, Seq[String]] = Map.empty,
       /** S5 file signal channel (`signal.file`): an execute-snapshot signal JSON written
         * beside the run; its data-collections are backfilled like [[snapshotTables]]. The
         * ONLY channel allowed in read-only mode (`mysql_extractor.py:187-193`). */
@@ -185,7 +190,8 @@ object CdcRunner {
       .option("checkpointLocation", s"${cfg.workDir}/checkpoint")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (cfg.wireFormat) stageWireEvents(spark, batch, stagingRoot, includeWithSignals)
-        else stageEvents(spark, batch, stagingRoot, registry, only = includeWithSignals)
+        else stageEvents(spark, batch, stagingRoot, registry, only = includeWithSignals,
+          includeCols = cfg.includeColumns, excludeCols = cfg.excludeColumns)
       }
       .start()
     cfg.maxWaitMs match {
@@ -233,7 +239,8 @@ object CdcRunner {
         .option("path", cfg.spoolDir).load()
       val wanted = backfill.toSet
       if (cfg.wireFormat) stageWireEvents(spark, batchDf, stagingRoot, Some(wanted))
-      else stageEvents(spark, batchDf, stagingRoot, registry, only = Some(wanted))
+      else stageEvents(spark, batchDf, stagingRoot, registry, only = Some(wanted),
+        includeCols = cfg.includeColumns, excludeCols = cfg.excludeColumns)
     }
 
     // ---- post-process: union-of-epochs read, dedupe policy, export (SURVEY §3.1 steps 8-9)
@@ -303,7 +310,9 @@ object CdcRunner {
    *    of per-batch re-inference writing parquet chunks whose types can't merge.
    */
   private def stageEvents(spark: SparkSession, batch: DataFrame, stagingRoot: String,
-      registry: SchemaRegistry, only: Option[Set[String]] = None): Unit = {
+      registry: SchemaRegistry, only: Option[Set[String]] = None,
+      includeCols: Map[String, Seq[String]] = Map.empty,
+      excludeCols: Map[String, Seq[String]] = Map.empty): Unit = {
     import spark.implicits._
     // no isEmpty pre-check: it would cost an extra source scan (inflating numInputRows and
     // wall time); the cached distinct below handles empty batches for free
@@ -343,7 +352,14 @@ object CdcRunner {
           seen.toSeq
         }
         val acc0 = registry.get(table)
-        val newKeys = keyOrder.filterNot(k => acc0.exists(_._1 == k))
+        // P3/P4: filtered columns never enter the schema (connector-level semantics)
+        val tid = Cdc.safeTableId(table)
+        val inc = includeCols.getOrElse(tid, Nil)
+        val exc = excludeCols.getOrElse(tid, Nil).toSet
+        val admitted = keyOrder
+          .filter(k => inc.isEmpty || inc.contains(k))
+          .filterNot(exc.contains)
+        val newKeys = admitted.filterNot(k => acc0.exists(_._1 == k))
         var acc = acc0
         val widened =
           if (newKeys.nonEmpty) {
@@ -351,7 +367,7 @@ object CdcRunner {
             // inference sees quoting (decimal-as-string stays exact) and covers EXISTING
             // columns too, so it doubles as this batch's type audit
             val inferred = inferPayloadTypes(spark, sub)
-            acc = acc0 ++ keyOrder.filter(newKeys.contains)
+            acc = acc0 ++ admitted.filter(newKeys.contains)
               .map(k => k -> inferred.get(k).map(newColumnType).getOrElse(StringType))
             acc.map { case (k, t) => (k, widenType(t, inferred.get(k))) }
           } else {

@@ -161,6 +161,64 @@ class GoldenSpec extends SparkSpec {
     assert(nameMeta.contains(""""KBC.datatype.nullable", "value": true"""))
   }
 
+  test("all-datatypes golden renderings through the WIRE-FORMAT decode (§1.3)") {
+    // The all-datatypes contract (`all-datatypes-chained/01/expected/.../
+    // inventory_all_data_types.csv`): epoch-day int32 Date -> ISO date, epoch-millis int64
+    // Timestamp -> UTC ts, Time -> raw millis-of-day int (37434000 = 10:23:54),
+    // MicroDuration -> raw micros long (37091106000000 = '1y 2mo 3d 4:05:06' at the
+    // 30.4375-day month), ZonedTimestamp -> UTC, bytea -> base64 text ('3q2+7w==' =
+    // DEADBEEF), uuid/range -> text, point -> raw JSON text. Here the values arrive as a
+    // real Connect event with its schema block and must decode via EnvelopeDecoder.
+    val base = Files.createTempDirectory("graft-golden-adt").toString
+    val spool = s"$base/spool"
+    Files.createDirectories(Paths.get(spool))
+    val fields =
+      """{"type":"int32","optional":false,"field":"id"},
+        |{"type":"int32","optional":true,"field":"col_date","name":"io.debezium.time.Date"},
+        |{"type":"int64","optional":true,"field":"col_ts","name":"io.debezium.time.Timestamp"},
+        |{"type":"int32","optional":true,"field":"col_time","name":"io.debezium.time.Time"},
+        |{"type":"int64","optional":true,"field":"col_interval","name":"io.debezium.time.MicroDuration"},
+        |{"type":"string","optional":true,"field":"col_tstz","name":"io.debezium.time.ZonedTimestamp"},
+        |{"type":"string","optional":true,"field":"col_bytea"},
+        |{"type":"string","optional":true,"field":"col_uuid","name":"io.debezium.data.Uuid"},
+        |{"type":"string","optional":true,"field":"col_point"},
+        |{"type":"string","optional":true,"field":"col_range"},
+        |{"type":"string","optional":true,"field":"kbc__operation"},
+        |{"type":"int64","optional":true,"field":"kbc__event_timestamp","name":"io.debezium.time.Timestamp"},
+        |{"type":"string","optional":true,"field":"__deleted"}""".stripMargin.replace("\n", "")
+    // 2004-10-19 = epoch day 12710; 10:23:54 UTC on it = epoch ms 1098181434000;
+    // time 10:23:54 = 37434000 ms-of-day; interval '1y 2mo 3d 4:05:06' = 37091106000000 us
+    val payload =
+      """{"id":1,"col_date":12710,"col_ts":1098181434000,"col_time":37434000,
+        |"col_interval":37091106000000,"col_tstz":"2004-10-19T08:23:54Z",
+        |"col_bytea":"3q2+7w==","col_uuid":"a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11",
+        |"col_point":"{\"x\":1.0,\"y\":1.0,\"wkb\":\"AQEAAAAAAAAAAADwPwAAAAAAAPA/\",\"srid\":null}",
+        |"col_range":"[1,10)",
+        |"kbc__operation":"r","kbc__event_timestamp":1098181434000,"__deleted":"false"}""".stripMargin.replace("\n", "")
+    Files.write(Paths.get(spool, "000.jsonl"), Seq(
+      s"""{"schema":{"name":"inventory.all_data_types.Value","fields":[$fields]},"payload":$payload}""").asJava)
+
+    CdcRunner.run(spark, RunConfig(
+      spoolDir = spool, workDir = s"$base/work", outDir = s"$base/out",
+      primaryKeys = Map("inventory_all_data_types" -> Seq("id")), wireFormat = true))
+
+    val outDir = s"$base/out/tables/inventory_all_data_types.csv"
+    val line = Option(new java.io.File(outDir).listFiles()).get
+      .filter(_.getName.endsWith(".csv"))
+      .flatMap(f => Files.readAllLines(f.toPath).asScala).head
+    val cols = line.split(",", -1)
+    assert(cols(0) == "1")
+    assert(cols(1) == "2004-10-19")                // epoch-day decoded to ISO date
+    assert(cols(2).startsWith("2004-10-19T10:23:54")) // epoch-millis decoded, UTC
+    assert(cols(3) == "37434000")                  // time-of-day stays raw millis
+    assert(cols(4) == "37091106000000")            // interval stays raw micros
+    assert(cols(5).startsWith("2004-10-19T08:23:54")) // zoned ts normalized to UTC
+    assert(cols(6) == "3q2+7w==")                  // bytea base64 passthrough
+    assert(cols(7) == "a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11")
+    assert(line.contains("\"wkb\"") || line.contains("wkb")) // geometry JSON text survives
+    assert(line.contains("\"[1,10)\"") || cols.exists(_ == "[1,10)")) // range text
+  }
+
   test("chained run 03: table addition after state, snapshot backfill merges cleanly") {
     val base = Files.createTempDirectory("graft-golden2").toString
     val spool = s"$base/spool"

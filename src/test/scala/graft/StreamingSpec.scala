@@ -131,6 +131,24 @@ class StreamingSpec extends SparkSpec {
     assert(b.length == 1 && b.head.startsWith("9,b1,c"))
   }
 
+  test("column include/exclude filters apply at staging (P3/P4 connector semantics)") {
+    val base = Files.createTempDirectory("graft-colfilter").toString
+    val spool = s"$base/spool"
+    writeSpool(spool, "000.jsonl", Seq(
+      env("f.t", "c", """{"id":1,"keep":"a","secret":"s1","extra":"x"}""", null, 1),
+      env("f.t", "c", """{"id":2,"keep":"b","secret":"s2","extra":"y"}""", null, 2)))
+    CdcRunner.run(spark, RunConfig(
+      spoolDir = spool, workDir = s"$base/work", outDir = s"$base/out",
+      primaryKeys = Map("f_t" -> Seq("id")),
+      includeColumns = Map("f_t" -> Seq("id", "keep", "secret")),
+      excludeColumns = Map("f_t" -> Seq("secret"))))
+    // staged parquet never contained the filtered columns (connector-level, not export-level)
+    val staged = spark.read.parquet(s"$base/work/staging/f_t")
+    assert(!staged.columns.contains("secret") && !staged.columns.contains("extra"))
+    val csv = readCsvDir(s"$base/out/tables/f_t.csv").sorted
+    assert(csv == Seq(csv(0), csv(1)) && csv(0).startsWith("1,a,c") && csv(1).startsWith("2,b,c"))
+  }
+
   test("numeric type drift widens staged history (long -> double), no mergeSchema crash") {
     // ADVICE r1: the old per-batch inference wrote one chunk as BIGINT and the next as
     // DOUBLE, and parquet mergeSchema cannot merge those — the run crashed. Now the
