@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
@@ -10,13 +12,25 @@ import org.apache.spark.sql.types.StructType
  * `db_components/db_common/staging.py:153-169,284-297`): staging "tables" are parquet
  * directories, "chunks" are their part files, and the union schema comes from
  * `mergeSchema` instead of NULL-padding SQL.
+ *
+ * All filesystem access goes through the Hadoop `FileSystem` API, so the staging root can
+ * live on HDFS/S3/GCS on a real cluster, not just the local disk the tests use.
  */
 object StagingCatalog {
 
+  private def fs(root: String, conf: Configuration): (FileSystem, Path) = {
+    val p = new Path(root)
+    (p.getFileSystem(conf), p)
+  }
+
+  private def hadoopConf(): Configuration =
+    SparkSession.getActiveSession.map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
   def tables(stagingRoot: String): Seq[String] = {
-    val dir = new java.io.File(stagingRoot)
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    val (f, p) = fs(stagingRoot, hadoopConf())
+    if (!f.exists(p)) return Nil
+    f.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).sorted.toSeq
   }
 
   def table(spark: SparkSession, stagingRoot: String, name: String): DataFrame =
@@ -28,18 +42,18 @@ object StagingCatalog {
   /** Chunk files of one staging table, name-sorted (= write order, like the reference's
     * `<table>_chunk_<n>` naming). */
   def chunks(stagingRoot: String, name: String): Seq[String] = {
-    val dir = new java.io.File(s"$stagingRoot/$name")
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).sorted.toSeq
+    val (f, p) = fs(s"$stagingRoot/$name", hadoopConf())
+    if (!f.exists(p)) return Nil
+    f.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).sorted.toSeq
   }
 
   /**
    * Compact a staging table: per-micro-batch appends accumulate one small file per batch
    * per partition; long-running chained syncs degrade scans (file-open overhead dominates).
-   * Rewrites the table to `targetFiles` parquet files under the merged schema, atomically
-   * (write to a sibling dir, then swap). The small-file problem is THE operational failure
-   * mode of streaming ingestion at scale; the reference sidesteps it only because DuckDB
-   * staging is a single local file.
+   * Rewrites the table to `targetFiles` parquet files under the merged schema, swapped in
+   * safely. The small-file problem is THE operational failure mode of streaming ingestion
+   * at scale; the reference sidesteps it only because DuckDB staging is a single local file.
    */
   def compact(spark: SparkSession, stagingRoot: String, name: String, targetFiles: Int = 1): Long = {
     val dir = s"$stagingRoot/$name"
@@ -47,7 +61,7 @@ object StagingCatalog {
     val df = spark.read.option("mergeSchema", "true").parquet(dir)
     df.repartition(targetFiles).write.mode("overwrite").parquet(tmp)
     val rows = spark.read.parquet(tmp).count()
-    swapInto(dir, tmp)
+    swapInto(spark, dir, tmp)
     rows
   }
 
@@ -61,34 +75,35 @@ object StagingCatalog {
   def retype(spark: SparkSession, stagingRoot: String, name: String,
       types: Map[String, org.apache.spark.sql.types.DataType]): Unit = {
     val dir = s"$stagingRoot/$name"
-    if (!new java.io.File(dir).isDirectory) return
+    val (f, p) = fs(dir, spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p) || !f.getFileStatus(p).isDirectory) return
     import org.apache.spark.sql.functions.col
     val df = table(spark, stagingRoot, name)
     val casted = df.select(df.columns.map(c =>
       types.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))): _*)
     val tmp = s"$stagingRoot/.retype_$name"
     casted.write.mode("overwrite").parquet(tmp)
-    swapInto(dir, tmp)
+    swapInto(spark, dir, tmp)
   }
 
   /**
    * Replace `liveDir` with `tmpDir` safely: the live dir is first renamed ASIDE (so a crash
    * between steps leaves the data intact under the aside name, never deleted), tmp is moved
-   * into place, and only then is the old data removed. Move results are checked — a failed
-   * rename (e.g. cross-filesystem) restores the original and throws instead of silently
-   * losing the table.
+   * into place, and only then is the old data removed. Rename results are checked — a
+   * failed rename restores the original and throws instead of silently losing the table.
+   * Uses Hadoop renames: atomic on HDFS/local, emulated on object stores.
    */
-  private[graft] def swapInto(liveDir: String, tmpDir: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    val live = Paths.get(liveDir)
-    val tmp = Paths.get(tmpDir)
-    val aside = Paths.get(liveDir + ".old_" + System.nanoTime())
-    Files.move(live, aside) // throws on failure; nothing lost
-    try Files.move(tmp, live)
-    catch { case e: Throwable => Files.move(aside, live); throw e }
-    def delete(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(delete); f.delete()
+  private[graft] def swapInto(spark: SparkSession, liveDir: String, tmpDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (f, live) = fs(liveDir, conf)
+    val tmp = new Path(tmpDir)
+    val aside = new Path(liveDir + ".old_" + System.nanoTime())
+    if (!f.rename(live, aside))
+      throw new java.io.IOException(s"staging swap: rename $live aside failed; nothing lost")
+    if (!f.rename(tmp, live)) {
+      f.rename(aside, live) // restore
+      throw new java.io.IOException(s"staging swap: rename $tmp into place failed; restored $live")
     }
-    delete(aside.toFile)
+    f.delete(aside, true)
   }
 }

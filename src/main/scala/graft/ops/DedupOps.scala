@@ -149,6 +149,14 @@ object DedupOps {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct().cache()
+    // lineage must truncate each round — the plan otherwise embeds the previous round's
+    // plan twice (labels feeds both join inputs) and grows 2^rounds. With a checkpoint dir
+    // configured (`sc.setCheckpointDir`, the cluster deployment) rounds checkpoint
+    // RELIABLY and the iteration survives executor loss; local mode falls back to
+    // localCheckpoint (fast, non-fault-tolerant).
+    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
     var converged = false
@@ -157,15 +165,11 @@ object DedupOps {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("nmin"))
-      // localCheckpoint truncates lineage each round — without it the plan embeds the
-      // previous round's plan twice (labels feeds both join inputs) and grows 2^rounds.
-      // On a cluster, a reliable checkpoint dir gives the same effect fault-tolerantly.
-      val updated = labels
+      val updated = truncate(labels
         .join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"),
-          (col("nmin") < col("cluster_id")).as("changed"))
-        .localCheckpoint(true)
+          (col("nmin") < col("cluster_id")).as("changed")))
       converged = updated.filter(col("changed")).limit(1).count() == 0
       labels = updated.drop("changed")
       i += 1

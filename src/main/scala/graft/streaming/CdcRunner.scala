@@ -244,17 +244,15 @@ object CdcRunner {
     }
 
     // ---- post-process: union-of-epochs read, dedupe policy, export (SURVEY §3.1 steps 8-9)
-    val stagingDir = new java.io.File(stagingRoot)
     // the signal table is control-channel plumbing, never an output table
-    val tableDirs = Option(stagingDir.listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory).filterNot(d => signalTableId.contains(d.getName))
+    val tableNames = graft.operators.StagingCatalog.tables(stagingRoot)
+      .filterNot(t => signalTableId.contains(t))
     var counts = Map.empty[String, Long]
     var schemas = Map.empty[String, StructType]
     var lastPos = 0L
     val outTables = s"${cfg.outDir}/tables"
-    for (td <- tableDirs) {
-      val table = td.getName
-      val staged = spark.read.option("mergeSchema", "true").parquet(td.getPath)
+    for (table <- tableNames) {
+      val staged = spark.read.option("mergeSchema", "true").parquet(s"$stagingRoot/$table")
       val deduped =
         if (cfg.mode == "dedupe")
           Cdc.dedupeLastWins(staged, cfg.primaryKeys.getOrElse(table, Seq.empty))

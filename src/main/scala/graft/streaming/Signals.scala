@@ -56,10 +56,9 @@ object Signals {
    * Signal volume is human-scale; the driver-side parse is a handful of rows.
    */
   def fromStagedTable(spark: SparkSession, stagingRoot: String, signalTableId: String): Seq[SnapshotSignal] = {
-    val dir = new java.io.File(s"$stagingRoot/$signalTableId")
-    if (!dir.isDirectory) return Nil
+    if (!graft.operators.StagingCatalog.tables(stagingRoot).contains(signalTableId)) return Nil
     import org.apache.spark.sql.functions.col
-    spark.read.option("mergeSchema", "true").parquet(dir.getPath)
+    spark.read.option("mergeSchema", "true").parquet(s"$stagingRoot/$signalTableId")
       .filter(col("type") === "execute-snapshot")
       .select("id", "data").collect().toSeq
       .map(r => parseSignal(r.getString(0), mapper.readTree(r.getString(1))))

@@ -127,6 +127,26 @@ class VectorOpsSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[Double]("sim") <= 1.0 + 1e-12))
     assert(rows.forall(_.getAs[Long]("neighbor_id") != 1L))
   }
+
+  test("ANN recall on real embeddings: LSH and IVF beat their gate floors with margin") {
+    // deterministic (seeded planes, fixed testdata): recall measured here documents the
+    // actual headroom above the driver-gate floors (LSH 0.5, IVF 0.25)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = pairs(VectorOps.bruteForceTopK(e, q, k = 3))
+    val lsh = pairs(VectorOps.lshTopK(e, q, k = 3, nPlanes = 4, nTables = 16))
+    val ivf = pairs(VectorOps.ivfTopK(e, q, k = 3, nCentroids = 16, nProbe = 4))
+    val lshRecall = (exact intersect lsh).size.toDouble / exact.size
+    val ivfRecall = (exact intersect ivf).size.toDouble / exact.size
+    assert(lshRecall >= 0.75, s"LSH recall $lshRecall under expected headroom")
+    assert(ivfRecall >= 0.40, s"IVF recall $ivfRecall under expected headroom")
+    // boundedness: no query's candidate set approaches the corpus size
+    val maxCand = VectorOps.lshCandidates(e, q, nPlanes = 4, nTables = 16)
+      .groupBy("query_id").count().agg(max("count")).collect().head.getLong(0)
+    assert(maxCand < 450, s"LSH candidates degenerate: $maxCand of ~500")
+  }
 }
 
 class TextOpsSpec extends SparkSpec {
