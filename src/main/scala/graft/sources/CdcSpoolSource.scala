@@ -82,13 +82,23 @@ object CdcSpoolSource {
     StructField("pos", LongType, nullable = false)))
 
   /** Spool files in arrival order with their sizes — pure filesystem METADATA (no content
-    * reads). The scale contract for offset planning. */
+    * reads), via the Hadoop FileSystem API so the spool can live on HDFS/S3/GCS where every
+    * executor can reach it (a local-disk spool only works single-node). The scale contract
+    * for offset planning. */
   private[sources] def listFiles(path: String): Seq[(String, Long)] = {
-    val dir = new java.io.File(path)
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".jsonl")).sortBy(_.getPath)
-      .map(f => (f.getPath, f.length())).toSeq
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hadoopConf())
+    if (!fs.exists(p)) return Nil
+    fs.listStatus(p)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".jsonl"))
+      .map(s => (s.getPath.toString, s.getLen))
+      .sortBy(_._1).toSeq
   }
+
+  private[sources] def hadoopConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
 
   /** Guard: spool file CONTENTS may only be read inside a Spark task (executor side).
     * Offset planning on the driver is metadata-only by construction; this turns any
@@ -136,19 +146,22 @@ object CdcSpoolSource {
  * protocol). Reads at most one line past endByte.
  */
 private[sources] final class SpoolLineReader(file: String, startByte: Long, endByte: Long) {
-  private val in = new java.io.BufferedInputStream(new java.io.FileInputStream(file), 1 << 16)
+  // Hadoop FS open + seek: byte-range reads work against any executor-reachable store
+  // (HDFS/S3/local), and seeking beats skipping for large start offsets
+  private val fsIn = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val stream = p.getFileSystem(CdcSpoolSource.hadoopConf()).open(p)
+    if (startByte > 0) stream.seek(startByte - 1)
+    stream
+  }
+  private val in = new java.io.BufferedInputStream(fsIn, 1 << 16)
   private var pos = 0L              // absolute position of the next unread byte
   private var lineStart = 0L
   private var line: String = _
   private val buf = new java.io.ByteArrayOutputStream(256)
 
-  // position the stream: skip to startByte-1 and discard through the first newline
+  // position the stream: from startByte-1, discard through the first newline
   if (startByte > 0) {
-    var toSkip = startByte - 1
-    while (toSkip > 0) {
-      val skipped = in.skip(toSkip)
-      if (skipped <= 0) toSkip = 0 else toSkip -= skipped
-    }
     pos = startByte - 1
     var b = in.read()
     while (b != -1 && b != '\n') { pos += 1; b = in.read() }
