@@ -13,7 +13,9 @@ import graft.streaming.CdcRunner.RunConfig
  *   spark-submit --class graft.CdcCli <jar> \
  *     --spool <dir> --work <dir> --out <dir> \
  *     [--mode APPEND|DEDUPE] [--pk table=col1,col2]... [--max-batch-bytes n] \
- *     [--stop-at-pos n] [--stop-at-file f] [--max-wait-ms n] [--max-duration-ms n] [--include t1,t2] [--snapshot-tables t1,t2] [--cpus n]
+ *     [--stop-at-pos n] [--stop-at-file f] [--max-wait-ms n] [--max-duration-ms n] \
+ *     [--signal-file path] [--signal-table t] [--read-only] \
+ *     [--include-cols t=c1,c2] [--exclude-cols t=c3] [--include t1,t2] [--snapshot-tables t1,t2] [--cpus n]
  */
 object CdcCli {
 
@@ -24,6 +26,10 @@ object CdcCli {
       stopAtFile: Option[String] = None,
       include: Option[Set[String]] = None, snapshotTables: Seq[String] = Nil,
       maxWaitMs: Option[Long] = None, maxDurationMs: Option[Long] = None,
+      signalFile: Option[String] = None, signalTable: Option[String] = None,
+      readOnly: Boolean = false,
+      includeCols: Map[String, Seq[String]] = Map.empty,
+      excludeCols: Map[String, Seq[String]] = Map.empty,
       wireFormat: Boolean = false,
       cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
 
@@ -42,6 +48,15 @@ object CdcCli {
       case "--stop-at-file" :: v :: t => loop(t, acc.copy(stopAtFile = Some(v)))
       case "--max-wait-ms" :: v :: t => loop(t, acc.copy(maxWaitMs = Some(v.toLong)))
       case "--max-duration-ms" :: v :: t => loop(t, acc.copy(maxDurationMs = Some(v.toLong)))
+      case "--signal-file" :: v :: t => loop(t, acc.copy(signalFile = Some(v)))
+      case "--signal-table" :: v :: t => loop(t, acc.copy(signalTable = Some(v)))
+      case "--read-only" :: t => loop(t, acc.copy(readOnly = true))
+      case "--include-cols" :: v :: t =>
+        val Array(table, cols) = v.split("=", 2)
+        loop(t, acc.copy(includeCols = acc.includeCols + (table -> cols.split(",").toSeq)))
+      case "--exclude-cols" :: v :: t =>
+        val Array(table, cols) = v.split("=", 2)
+        loop(t, acc.copy(excludeCols = acc.excludeCols + (table -> cols.split(",").toSeq)))
       case "--include" :: v :: t => loop(t, acc.copy(include = Some(v.split(",").toSet)))
       case "--snapshot-tables" :: v :: t => loop(t, acc.copy(snapshotTables = v.split(",").toSeq))
       case "--wire-format" :: t => loop(t, acc.copy(wireFormat = true))
@@ -71,6 +86,8 @@ object CdcCli {
         stopAtFile = a.stopAtFile,
         includeTables = a.include, snapshotTables = a.snapshotTables,
         maxWaitMs = a.maxWaitMs, maxDurationMs = a.maxDurationMs,
+        signalFile = a.signalFile, signalTable = a.signalTable, readOnly = a.readOnly,
+        includeColumns = a.includeCols, excludeColumns = a.excludeCols,
         wireFormat = a.wireFormat))
       val tables = res.tables.toSeq.sortBy(_._1)
         .map { case (t, n) => s""""$t": $n""" }.mkString("{", ", ", "}")

@@ -101,5 +101,13 @@ class CdcCliSpec extends AnyFunSuite {
     assert(a.include.contains(Set("x", "y")) && a.snapshotTables == Seq("z"))
     intercept[IllegalArgumentException](CdcCli.parseArgs(Seq("--bogus", "v")))
     intercept[IllegalArgumentException](CdcCli.parseArgs(Seq("--spool", "/s")))
+
+    val b = CdcCli.parseArgs(Seq(
+      "--spool", "/s", "--work", "/w", "--out", "/o",
+      "--signal-file", "/sig.json", "--read-only", "--max-wait-ms", "5000",
+      "--stop-at-file", "b.000002", "--include-cols", "t1=id,name", "--exclude-cols", "t1=ssn"))
+    assert(b.signalFile.contains("/sig.json") && b.readOnly && b.maxWaitMs.contains(5000L))
+    assert(b.stopAtFile.contains("b.000002"))
+    assert(b.includeCols == Map("t1" -> Seq("id", "name")) && b.excludeCols == Map("t1" -> Seq("ssn")))
   }
 }
