@@ -161,8 +161,6 @@ object CdcRunner {
     case other                                         => StringType
   }
 
-  private val SystemFields = Set("table", "op", "before", "after", "source")
-
   /** `stats` is injectable so composed runs (snapshot→stream) and tests can flip the
     * snapshot-in-progress gate while the stream runs. */
   def run(spark: SparkSession, cfg: RunConfig,
@@ -293,16 +291,18 @@ object CdcRunner {
    * Group a (pos, value) event batch by table and append typed rows to staging parquet.
    *
    * Single-parse, order-preserving, type-stable staging (VERDICT r1 #3 + ADVICE):
-   *  - each event is `from_json`-parsed ONCE into [[MapEnvelopeSchema]]; the old path parsed
-   *    twice (spark.read.json inference + from_json) per batch;
-   *  - column order is FIRST-SEEN order across arrival (`map_keys` preserves JSON key order;
-   *    a keys-only aggregation takes min(arrival pos, in-event index) per key) — the same
-   *    insertion-ordered schema growth as the reference's `LinkedHashMap<String,
+   *  - each event is parsed ONCE: a pruned meta parse (table/op/ts — payload objects
+   *    skipped) + the CHOSEN state's object extracted and map-parsed; the old path paid
+   *    full inference plus a second full from_json per batch;
+   *  - column order is FIRST-SEEN order across arrival: distinct key-array SHAPES are
+   *    aggregated (a handful per batch, never per-entry rows) and walked in arrival order —
+   *    the same insertion-ordered schema growth as the reference's `LinkedHashMap<String,
    *    SchemaElement>` (`AbstractDbConverter.java:47,54`), replacing the alphabetizing
    *    inference of the old path;
    *  - types come from the [[SchemaRegistry]] accumulated across batches AND runs (E4);
-   *    inference (the only re-parse) runs solely on batches that introduce NEW columns (E1);
-   *  - numeric type drift (a long column receiving 1.5) is detected by a cheap per-batch
+   *    inference (over the cached payload text) runs solely on batches that introduce NEW
+   *    columns (E1) and doubles as those batches' type audit;
+   *  - numeric type drift (a long column receiving 1.5) is detected by a steady-state
    *    try_cast audit and handled by WIDENING (long→double→string) with a one-time rewrite
    *    of that table's staged history ([[graft.operators.StagingCatalog.retype]]), instead
    *    of per-batch re-inference writing parquet chunks whose types can't merge.
