@@ -359,6 +359,24 @@ object SparkEntry {
     // LSH-banded candidates, EXACT Jaccard verify — the verifiable production shape: the
     // oracle recomputes the full exact pair list, so a silent banding bug fails the gate
     // as missing rows (sketch-estimate variant stays available as minhashLshPairs)
+    // capstone v2: the full training-corpus cleaning pipeline in ONE declarative plan —
+    // near-dup removal (LSH-blocked verified pairs → connected components → canonical
+    // survivor; exact dups are jaccard-1.0 pairs so they fall out too), quality gate,
+    // repetition gate. Catalyst optimizes the whole composition end-to-end.
+    "doc_corpus_clean_v2" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val clusters = DedupOps.duplicateClusters(
+        DedupOps.minhashLshVerifiedPairs(d, threshold = 0.2))
+      val dropIds = clusters.filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("doc_id"))
+      val quality = TextOps.qualityScore(d).select(col("doc_id"), col("quality_score"))
+      val repetition = TextOps.repetitionScore(d).select(col("doc_id"), col("top_bigram_frac"))
+      d.join(dropIds, Seq("doc_id"), "left_anti")
+        .join(quality, "doc_id").join(repetition, "doc_id")
+        .filter(col("quality_score") >= 0.55 && col("top_bigram_frac") <= 0.08)
+        .select(col("doc_id"), col("lang"), col("quality_score"), col("top_bigram_frac"))
+    }),
+
     "doc_minhash_lsh" -> ((s, dir) =>
       DedupOps.minhashLshVerifiedPairs(t(s, dir, "documents"), threshold = 0.2)),
 
@@ -483,6 +501,38 @@ object SparkEntry {
           |  UNION
           |  SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id)
           |SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id""".stripMargin),
+
+    "doc_corpus_clean_v2" ->
+      (s"WITH RECURSIVE pr AS ($jaccardPairsOracle),\n" +
+        """edges AS (SELECT id_a AS src, id_b AS dst FROM pr UNION SELECT id_b, id_a FROM pr),
+          |reach(id, r) AS (
+          |  SELECT src, src FROM edges GROUP BY src
+          |  UNION
+          |  SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id),
+          |dropids AS (SELECT id FROM reach GROUP BY id HAVING MIN(r) <> id),
+          |t AS (SELECT doc_id,
+          |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+          |  FROM documents),
+          |m AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS n_tok,
+          |  CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','on','for','with','as','at'))) AS DOUBLE) AS n_stop
+          |  FROM t),
+          |q AS (SELECT doc_id,
+          |  ROUND((CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 0.5 ELSE 0.0 END)
+          |      + (CASE WHEN n_tok > 0 THEN (n_stop / n_tok) * 0.5 ELSE 0.0 END), 4) AS quality_score
+          |  FROM m),
+          |rbase AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
+          |  CASE WHEN len(toks) < 2 THEN [] ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END AS bigrams
+          |  FROM t),
+          |bgc AS (SELECT doc_id, u.bg AS bg, COUNT(*) AS c
+          |  FROM rbase, unnest(rbase.bigrams) AS u(bg) GROUP BY 1, 2),
+          |rtop AS (SELECT doc_id, MAX(c) AS top_n FROM bgc GROUP BY doc_id),
+          |rep AS (SELECT b.doc_id,
+          |  CASE WHEN b.n > 1 THEN ROUND(COALESCE(rt.top_n, 0) / CAST(b.n - 1 AS DOUBLE), 4) ELSE 0.0 END AS top_bigram_frac
+          |  FROM rbase b LEFT JOIN rtop rt ON b.doc_id = rt.doc_id)
+          |SELECT d.doc_id, d.lang, q.quality_score, rep.top_bigram_frac
+          |FROM documents d JOIN q USING (doc_id) JOIN rep USING (doc_id)
+          |WHERE d.doc_id NOT IN (SELECT id FROM dropids)
+          |  AND q.quality_score >= 0.55 AND rep.top_bigram_frac <= 0.08""".stripMargin),
 
     "doc_simhash" ->
       """WITH t AS (SELECT doc_id,
