@@ -117,10 +117,14 @@ object TextOps {
    */
   def repetitionScore(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val toks = tokensCol(col(textCol))
+    // bigrams as ONE-PASS hashes, not string-built HOF shingles: only counts leave this
+    // operator, and hashed bigrams count identically — the interpreted `transform(sequence,
+    // slice+array_join)` chain gets RE-EVALUATED per exploded row by the downstream
+    // Generate (the known pathology; measured 45x on the composed corpus-clean plan)
     val base = df.select(col(idCol),
       size(toks).cast("long").as("n_tokens"),
       size(array_distinct(toks)).cast("long").as("n_distinct"),
-      TextFunctions.shingles(toks, 2).as("bigrams"))
+      TextFunctions.shingleHashes(toks, 2).as("bigrams"))
     val top = base
       .select(col(idCol), explode(col("bigrams")).as("bg"))
       .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
