@@ -30,7 +30,10 @@ object StagingCatalog {
   def tables(stagingRoot: String): Seq[String] = {
     val (f, p) = fs(stagingRoot, hadoopConf())
     if (!f.exists(p)) return Nil
-    f.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).sorted.toSeq
+    // dot-prefixed dirs are internal plumbing (compact/retype scratch, swap asides) — a
+    // crash mid-swap must never surface a leftover as a phantom output table
+    f.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(_.startsWith(".")).sorted.toSeq
   }
 
   def table(spark: SparkSession, stagingRoot: String, name: String): DataFrame =
@@ -97,13 +100,16 @@ object StagingCatalog {
     val conf = spark.sparkContext.hadoopConfiguration
     val (f, live) = fs(liveDir, conf)
     val tmp = new Path(tmpDir)
-    val aside = new Path(liveDir + ".old_" + System.nanoTime())
+    // dot-prefixed so a crash between renames leaves the old data invisible to tables()
+    val aside = new Path(live.getParent, "." + live.getName + ".old_" + System.nanoTime())
     if (!f.rename(live, aside))
       throw new java.io.IOException(s"staging swap: rename $live aside failed; nothing lost")
     if (!f.rename(tmp, live)) {
       f.rename(aside, live) // restore
       throw new java.io.IOException(s"staging swap: rename $tmp into place failed; restored $live")
     }
-    f.delete(aside, true)
+    if (!f.delete(aside, true))
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn("staging swap: could not delete aside dir {}; harmless leftover", aside)
   }
 }

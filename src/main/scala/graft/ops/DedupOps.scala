@@ -17,6 +17,21 @@ import graft.functions.TextFunctions
 object DedupOps {
 
   /**
+   * LSH banding derived from the target threshold by the standard `(1/b)^(1/r)` rule
+   * (Leskovec/Rajaraman/Ullman, MMDS §3.4.3): pick the largest rows-per-band `r` (a divisor
+   * of `k`) whose S-curve midpoint `(1/b)^(1/r)` stays at or below the threshold, so pairs
+   * AT the threshold sit on the high-recall side of the curve. Fewer rows/more bands ⇒
+   * higher recall but more candidates; a fixed `bands=16` (r=4, midpoint 0.5) detects a
+   * jaccard≈0.2 pair with only ~2.5% probability — the ADVICE r2 fragility this fixes.
+   */
+  def lshBandsFor(k: Int, threshold: Double): Int = {
+    val divisors = (1 to k).filter(k % _ == 0) // candidate r values, ascending
+    val r = divisors.takeWhile(r => math.pow(1.0 / (k / r), 1.0 / r) <= threshold)
+      .lastOption.getOrElse(1)
+    k / r
+  }
+
+  /**
    * Exact deduplication: group by md5(text); survivor = lowest id. One shuffle with map-side
    * partial aggregation; the text column itself is dropped before the exchange.
    */
@@ -39,8 +54,9 @@ object DedupOps {
       idCol: String = "doc_id",
       shingleN: Int = 3,
       k: Int = 64,
-      bands: Int = 16,
+      bands: Int = 0, // 0 = derive from threshold via lshBandsFor
       threshold: Double = 0.4): DataFrame = {
+    val nBands = if (bands > 0) bands else lshBandsFor(k, threshold)
     val sigs = df.select(
       col(idCol).as("id"),
       TextFunctions.minhashLong(
@@ -50,7 +66,7 @@ object DedupOps {
     // At 100 TB the banding join shuffle is O(events), the signature join O(candidates).
     val banded = sigs
       .select(col("id"),
-        posexplode(TextFunctions.bandHashesFast(col("sig"), bands)).as(Seq("band", "band_hash")))
+        posexplode(TextFunctions.bandHashesFast(col("sig"), nBands)).as(Seq("band", "band_hash")))
     // repartition on the join key: parallelizes the bucket join even when the input is a
     // single parquet file, and is the exchange a shuffle join needs at scale anyway
     val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
@@ -75,9 +91,11 @@ object DedupOps {
    * fetched only for candidate pairs) instead of the signature estimate. This is the
    * verifiable production shape: the sketch does the blocking (never O(n²)), the exact
    * measure does the accept/reject — so the output is *identical* to the full exact-Jaccard
-   * pair list whenever banding recall holds (k=64/bands=16 ⇒ per-pair miss probability
-   * (1-s⁴)¹⁶ ≈ 1e-7 at s=0.9), and a silent banding bug shows up as missing rows, not as a
-   * skewed estimate. Shingle arrays cross the exchange only for candidate pairs.
+   * pair list whenever banding recall holds, and a silent banding bug shows up as missing
+   * rows, not as a skewed estimate. Banding defaults to [[lshBandsFor]] so recall tracks
+   * the requested threshold (at t=0.2, k=64 that is r=2/b=32: per-pair detect probability
+   * 1-(1-s²)³² ≈ 0.73 at s=0.2 and ≈ 1-1e-7 at s=0.5 — versus ~2.5% at s=0.2 under the
+   * old fixed b=16). Shingle arrays cross the exchange only for candidate pairs.
    */
   def minhashLshVerifiedPairs(
       df: DataFrame,
@@ -85,8 +103,9 @@ object DedupOps {
       idCol: String = "doc_id",
       shingleN: Int = 3,
       k: Int = 64,
-      bands: Int = 16,
+      bands: Int = 0, // 0 = derive from threshold via lshBandsFor
       threshold: Double = 0.4): DataFrame = {
+    val nBands = if (bands > 0) bands else lshBandsFor(k, threshold)
     val base = df.select(col(idCol).as("id"),
       TextFunctions.shingleHashes(TextFunctions.tokens(col(textCol)), shingleN).as("shl"))
     val withSig = base.select(col("id"),
@@ -94,7 +113,7 @@ object DedupOps {
       TextFunctions.minhashLong(col("shl"), k).as("sig"))
     val banded = withSig
       .select(col("id"),
-        posexplode(TextFunctions.bandHashesFast(col("sig"), bands)).as(Seq("band", "band_hash")))
+        posexplode(TextFunctions.bandHashesFast(col("sig"), nBands)).as(Seq("band", "band_hash")))
     val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
       .repartition(col("band"), col("band_hash"))
     val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))

@@ -33,8 +33,21 @@ object OffsetStore {
   def encodeBase64(offsets: Map[String, String]): String =
     Base64.getEncoder.encodeToString(encode(offsets))
 
+  /**
+   * Deserialization filter: an offset blob imported from a foreign state.json is
+   * attacker-controllable input, and Spark's classpath is rich in gadget chains. Kafka's own
+   * `FileOffsetBackingStore` restricts deserialization to exactly `HashMap` and `byte[]`
+   * for the same reason; mirror that allowlist here.
+   */
+  private val offsetBlobFilter =
+    // byte[] passes implicitly (primitive component types are always allowed);
+    // Map$Entry is HashMap.readObject's own internal checkArray probe
+    java.io.ObjectInputFilter.Config.createFilter(
+      "java.util.HashMap;java.util.Map$Entry;!*")
+
   def decode(bytes: Array[Byte]): Map[String, String] = {
     val ois = new ObjectInputStream(new ByteArrayInputStream(bytes))
+    ois.setObjectInputFilter(offsetBlobFilter)
     try {
       val raw = ois.readObject().asInstanceOf[java.util.Map[Array[Byte], Array[Byte]]]
       import scala.jdk.CollectionConverters._

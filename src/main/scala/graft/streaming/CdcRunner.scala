@@ -116,7 +116,8 @@ object CdcRunner {
     val registry = new SchemaRegistry(s"${cfg.workDir}/schemas.json")
     if (mode.doSnapshot && snapshots.nonEmpty) {
       stats.setSnapshotInProgress(true)
-      try snapshots.foreach(s => stageSnapshot(spark, s, stagingRoot, registry, snapshotTsMs))
+      try snapshots.foreach(s => stageSnapshot(spark, s, stagingRoot, registry, snapshotTsMs,
+        cfg.includeColumns, cfg.excludeColumns))
       finally stats.setSnapshotInProgress(false)
     }
     // a no-stream mode still runs the full post-processing/export: a zero-byte position
@@ -132,9 +133,17 @@ object CdcRunner {
     * decimal.handling.mode=string, dates/timestamps/nested → STRING), system columns
     * `op=r`, snapshot ts, order −1 (< any stream byte position). */
   private def stageSnapshot(spark: SparkSession, src: SnapshotSource, stagingRoot: String,
-      registry: SchemaRegistry, tsMs: Long): Unit = {
+      registry: SchemaRegistry, tsMs: Long,
+      includeCols: Map[String, Seq[String]] = Map.empty,
+      excludeCols: Map[String, Seq[String]] = Map.empty): Unit = {
     val df = graft.sources.JdbcSnapshot.read(spark, src.jdbc)
-    val snapCols = df.schema.fields.map(f => f.name.toLowerCase -> stagingType(f.dataType)).toSeq
+    // P3/P4 at the connector level (ADVICE r2): filtered columns never enter the
+    // accumulated schema, the staged parquet, or the export — same contract as stageEvents
+    val tid = Cdc.safeTableId(src.table)
+    val inc = includeCols.getOrElse(tid, Nil)
+    val exc = excludeCols.getOrElse(tid, Nil).toSet
+    val snapCols = df.schema.fields.map(f => f.name.toLowerCase -> stagingType(f.dataType))
+      .toSeq.filter { case (n, _) => admitsColumn(n, inc, exc) }
     val acc0 = registry.get(src.table)
     val acc = if (acc0.isEmpty) snapCols
       else acc0 ++ snapCols.filterNot(c => acc0.exists(_._1 == c._1))
@@ -187,7 +196,8 @@ object CdcRunner {
       .trigger(trigger)
       .option("checkpointLocation", s"${cfg.workDir}/checkpoint")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (cfg.wireFormat) stageWireEvents(spark, batch, stagingRoot, includeWithSignals)
+        if (cfg.wireFormat) stageWireEvents(spark, batch, stagingRoot, includeWithSignals,
+          includeCols = cfg.includeColumns, excludeCols = cfg.excludeColumns)
         else stageEvents(spark, batch, stagingRoot, registry, only = includeWithSignals,
           includeCols = cfg.includeColumns, excludeCols = cfg.excludeColumns)
       }
@@ -226,19 +236,29 @@ object CdcRunner {
     // the file signal channel, and execute-snapshot rows that arrived through the stream
     // via the source-table channel — resolved to one backfill set: a full-spool batch read
     // (no checkpoint) filtered to the signalled tables, staged like any other events.
-    val fileSignals = cfg.signalFile.flatMap(Signals.readSignalFile)
-      .map(_.dataCollections).getOrElse(Nil)
+    // Each signal fires its backfill exactly once (ADVICE r2): processed ids persist in
+    // the work dir and filter both channels; the file-channel file is renamed aside after
+    // a successful backfill so the next run doesn't re-resolve it.
+    val processedPath = s"${cfg.workDir}/processed_signals.json"
+    val processedIds = Signals.loadProcessedIds(processedPath)
+    val fileSignals = cfg.signalFile.flatMap(Signals.readSignalFile).toSeq
+      .filterNot(s => processedIds.contains(s.id))
     val sourceSignals = signalTableId
-      .map(Signals.fromStagedTable(spark, stagingRoot, _)).getOrElse(Nil)
-      .flatMap(_.dataCollections)
-    val backfill = (cfg.snapshotTables ++ fileSignals ++ sourceSignals).distinct
+      .map(Signals.fromStagedTable(spark, stagingRoot, _, processedIds)).getOrElse(Nil)
+    val signals = fileSignals ++ sourceSignals
+    val backfill = (cfg.snapshotTables ++ signals.flatMap(_.dataCollections)).distinct
     if (backfill.nonEmpty) {
       val batchDf = spark.read.format("graft.sources.CdcSpoolSource")
         .option("path", cfg.spoolDir).load()
       val wanted = backfill.toSet
-      if (cfg.wireFormat) stageWireEvents(spark, batchDf, stagingRoot, Some(wanted))
+      if (cfg.wireFormat) stageWireEvents(spark, batchDf, stagingRoot, Some(wanted),
+        includeCols = cfg.includeColumns, excludeCols = cfg.excludeColumns)
       else stageEvents(spark, batchDf, stagingRoot, registry, only = Some(wanted),
         includeCols = cfg.includeColumns, excludeCols = cfg.excludeColumns)
+    }
+    if (signals.nonEmpty) { // backfill staged successfully: retire the signals
+      Signals.markProcessed(processedPath, signals.map(_.id).toSet)
+      cfg.signalFile.foreach(Signals.consumeSignalFile)
     }
 
     // ---- post-process: union-of-epochs read, dedupe policy, export (SURVEY §3.1 steps 8-9)
@@ -354,9 +374,7 @@ object CdcRunner {
         val tid = Cdc.safeTableId(table)
         val inc = includeCols.getOrElse(tid, Nil)
         val exc = excludeCols.getOrElse(tid, Nil).toSet
-        val admitted = keyOrder
-          .filter(k => inc.isEmpty || inc.contains(k))
-          .filterNot(exc.contains)
+        val admitted = keyOrder.filter(k => admitsColumn(k, inc, exc))
         val newKeys = admitted.filterNot(k => acc0.exists(_._1 == k))
         var acc = acc0
         val widened =
@@ -500,7 +518,9 @@ object CdcRunner {
    * the highest-position event, whose schema is the widest (schemas grow additively, E1/E3).
    */
   private def stageWireEvents(spark: SparkSession, batch: DataFrame, stagingRoot: String,
-      only: Option[Set[String]]): Unit = {
+      only: Option[Set[String]],
+      includeCols: Map[String, Seq[String]] = Map.empty,
+      excludeCols: Map[String, Seq[String]] = Map.empty): Unit = {
     import spark.implicits._
     import graft.operators.EnvelopeDecoder
     val spooled0 = batch.select(col("pos"), col("value"),
@@ -515,12 +535,24 @@ object CdcRunner {
         val sampleJson = sub.agg(max_by(col("value"), col("pos"))).as[String].head()
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         val schemaBlock = mapper.readTree(sampleJson).get("schema").toString
+        // P3/P4 apply at the connector level on this path too (ADVICE r2): filtered
+        // columns never reach the decode, the staged parquet, or the export. System
+        // `kbc__`/`__deleted` columns ride in the wire payload and are never filterable.
+        val tid = Cdc.safeTableId(table)
         val elements = EnvelopeDecoder.parseSchemaElements(schemaBlock)
+          .filter(e => admitsColumn(e.field, includeCols.getOrElse(tid, Nil),
+            excludeCols.getOrElse(tid, Nil).toSet))
         val rows = EnvelopeDecoder.decodePayload(sub, "value", elements, passthrough = Seq("pos"))
           .withColumnRenamed("pos", Cdc.OrderCol)
-        rows.write.mode("append").parquet(s"$stagingRoot/${Cdc.safeTableId(table)}")
+        rows.write.mode("append").parquet(s"$stagingRoot/$tid")
       }
     } finally spooled.unpersist()
   }
+
+  /** P3/P4 admission shared by every staging path: system columns always pass; payload
+    * columns pass the include list (empty = all) then the exclude list. */
+  private def admitsColumn(name: String, inc: Seq[String], exc: Set[String]): Boolean =
+    name.startsWith("kbc__") || name == "__deleted" ||
+      ((inc.isEmpty || inc.contains(name)) && !exc.contains(name))
 
 }

@@ -55,13 +55,47 @@ object Signals {
    * (its rows arrived through the stream with payload columns `id`, `type`, `data`).
    * Signal volume is human-scale; the driver-side parse is a handful of rows.
    */
-  def fromStagedTable(spark: SparkSession, stagingRoot: String, signalTableId: String): Seq[SnapshotSignal] = {
+  def fromStagedTable(spark: SparkSession, stagingRoot: String, signalTableId: String,
+      processed: Set[String] = Set.empty): Seq[SnapshotSignal] = {
     if (!graft.operators.StagingCatalog.tables(stagingRoot).contains(signalTableId)) return Nil
     import org.apache.spark.sql.functions.col
     spark.read.option("mergeSchema", "true").parquet(s"$stagingRoot/$signalTableId")
       .filter(col("type") === "execute-snapshot")
       .select("id", "data").collect().toSeq
       .map(r => parseSignal(r.getString(0), mapper.readTree(r.getString(1))))
+      .filterNot(s => processed.contains(s.id))
+  }
+
+  // ---- consumption bookkeeping (ADVICE r2): a signal must fire its backfill exactly once.
+  // The file channel's file is renamed aside after processing (the reference's executor
+  // deletes the signal file once delivered); the source-table channel's rows are immutable
+  // staged history, so processed ids are recorded in `workDir/processed_signals.json` and
+  // filtered on later runs — without this, every run re-resolves the same signals and
+  // re-backfills the full spool (duplicated rows in append mode, staging growth in both).
+
+  /** Ids of signals whose backfill already completed in a previous run. */
+  def loadProcessedIds(path: String): Set[String] = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) return Set.empty
+    val root = mapper.readTree(Files.readString(p))
+    (0 until root.size()).map(root.get(_).asText()).toSet
+  }
+
+  /** Record signal ids as processed (called only after the backfill staged successfully). */
+  def markProcessed(path: String, ids: Set[String]): Unit = {
+    if (ids.isEmpty) return
+    val all = (loadProcessedIds(path) ++ ids).toSeq.sorted
+    def q(s: String) = "\"" + CsvEscape.json(s) + "\""
+    Option(Paths.get(path).getParent).foreach(Files.createDirectories(_))
+    Files.writeString(Paths.get(path), all.map(q).mkString("[", ", ", "]"))
+  }
+
+  /** Retire a consumed file-channel signal: rename aside (audit trail beats deletion). */
+  def consumeSignalFile(path: String): Unit = {
+    val p = Paths.get(path)
+    if (Files.exists(p))
+      Files.move(p, p.resolveSibling(p.getFileName.toString + ".consumed"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 }
 

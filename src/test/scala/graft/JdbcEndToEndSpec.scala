@@ -108,6 +108,33 @@ class JdbcEndToEndSpec extends SparkSpec {
     assert(csv.exists(_.startsWith("3,gamma,30.00000,c,7000")))   // stream-only insert
   }
 
+  test("P3/P4 reach the snapshot path: excluded columns never enter schema or export") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import graft.streaming.CdcRunner
+    import graft.streaming.CdcRunner.{RunConfig, SnapshotSource}
+    conn // force setup (ITEMS table, 10 rows: ID, NAME, PRICE)
+    val base = Files.createTempDirectory("graft-snapcols").toString
+    val spool = s"$base/spool"
+    Files.createDirectories(Paths.get(spool))
+    val res = CdcRunner.runWithSnapshot(spark,
+      RunConfig(spoolDir = spool, workDir = s"$base/work", outDir = s"$base/out",
+        primaryKeys = Map("app_items" -> Seq("id")),
+        excludeColumns = Map("app_items" -> Seq("price"))),
+      snapshotMode = "initial",
+      snapshots = Seq(SnapshotSource("app.items",
+        SnapshotConfig(url, "APP.ITEMS", driver = Some(DerbyDriver)))),
+      isFirstRun = true, snapshotTsMs = 1000L)
+    assert(res.tables == Map("app_items" -> 10L))
+    // the filtered column is absent from the staged parquet AND the accumulated schema
+    val staged = spark.read.parquet(s"$base/work/staging/app_items")
+    assert(!staged.columns.contains("price") && staged.columns.contains("name"))
+    assert(!Files.readString(Paths.get(s"$base/work/schemas.json")).contains("price"))
+    val manifest = Files.readString(
+      Paths.get(s"$base/out/tables/app_items.csv.manifest"))
+    assert(!manifest.toLowerCase.contains("price"))
+  }
+
   test("D4 first-run dedupe policy: effectiveMode forces a pure snapshot run") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._

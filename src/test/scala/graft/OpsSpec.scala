@@ -40,6 +40,20 @@ class DedupOpsSpec extends SparkSpec {
     assert(!pairs.contains((4L, 5L)))
   }
 
+  test("lshBandsFor: banding tracks the threshold via the (1/b)^(1/r) midpoint rule") {
+    // the S-curve midpoint (1/b)^(1/r) must sit at or below the threshold
+    def midpoint(k: Int, b: Int) = math.pow(1.0 / b, b.toDouble / k)
+    for ((t, expectedB) <- Seq(0.1 -> 64, 0.2 -> 32, 0.4 -> 32, 0.5 -> 16, 0.8 -> 8)) {
+      assert(DedupOps.lshBandsFor(64, t) == expectedB, s"threshold $t")
+      assert(midpoint(64, expectedB) <= t + 1e-9, s"midpoint above threshold at $t")
+    }
+    // ADVICE r2 regression: the old fixed b=16 (r=4) has midpoint 0.5 — useless at t=0.2;
+    // the derived banding detects a jaccard=0.2 pair with ~73% probability instead of ~2.5%
+    val b = DedupOps.lshBandsFor(64, 0.2)
+    val detect = 1 - math.pow(1 - math.pow(0.2, 64.0 / b), b)
+    assert(detect > 0.7)
+  }
+
   test("minhashLshVerifiedPairs == exact jaccard pair list (banded blocking, exact verify)") {
     val verified = DedupOps.minhashLshVerifiedPairs(docs, threshold = 0.1, k = 64, bands = 32)
       .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("jaccard"))).toMap

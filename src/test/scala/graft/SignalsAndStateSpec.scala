@@ -40,6 +40,42 @@ class SignalsAndStateSpec extends SparkSpec {
       signalFile = Some(s"$base/signal.json")))
     assert(r2.tables.keySet == Set("s_a", "s_b"))
     assert(r2.tables("s_b") == 1L) // backfilled from behind the checkpoint
+
+    // consumption (ADVICE r2): the signal fired once — the file is retired aside and the
+    // id recorded, so a third run does NOT re-backfill (append mode would duplicate rows)
+    assert(!Files.exists(Paths.get(s"$base/signal.json")))
+    assert(Files.exists(Paths.get(s"$base/signal.json.consumed")))
+    assert(Signals.loadProcessedIds(s"$base/work/processed_signals.json") == Set("sig-1"))
+    val stagedB = s"$base/work/staging/s_b"
+    val filesBefore = new java.io.File(stagedB).list().toSet
+    val r3 = CdcRunner.run(spark, cfg.copy(
+      includeTables = Some(Set("s.a", "s.b")),
+      primaryKeys = cfg.primaryKeys + ("s_b" -> Seq("k")),
+      signalFile = Some(s"$base/signal.json")))
+    assert(r3.tables("s_b") == 1L)
+    assert(new java.io.File(stagedB).list().toSet == filesBefore) // no re-staged backfill
+  }
+
+  test("source-table signal ids persist: staged signal rows fire exactly once") {
+    val base = Files.createTempDirectory("graft-sigonce").toString
+    val spool = s"$base/spool"
+    writeSpool(spool, "000.jsonl", Seq(
+      env("s.a", "c", """{"id":1,"v":"a1"}""", 1),
+      env("s.c", "c", """{"k":7,"w":"c1"}""", 2),
+      env("kbc.signals", "c",
+        """{"id":"sig-9","type":"execute-snapshot","data":"{\"type\": \"BLOCKING\", \"data-collections\": [\"s.c\"]}"}""", 3)))
+    val cfg = RunConfig(spoolDir = spool, workDir = s"$base/work", outDir = s"$base/out",
+      includeTables = Some(Set("s.a")),
+      primaryKeys = Map("s_a" -> Seq("id"), "s_c" -> Seq("k")),
+      signalTable = Some("kbc.signals"))
+    assert(CdcRunner.run(spark, cfg).tables("s_c") == 1L)
+    // the signal row is immutable staged history — the processed-id record must stop the
+    // next run from re-resolving it and re-backfilling the spool
+    val stagedC = s"$base/work/staging/s_c"
+    val filesBefore = new java.io.File(stagedC).list().toSet
+    val r2 = CdcRunner.run(spark, cfg)
+    assert(r2.tables("s_c") == 1L)
+    assert(new java.io.File(stagedC).list().toSet == filesBefore)
   }
 
   test("source-table signal channel: signal rows arrive through the stream, table excluded") {
@@ -94,6 +130,13 @@ class SignalsAndStateSpec extends SparkSpec {
     val b64 = state.split("\"last_offset_b64\": \"")(1).split("\"")(0)
     val decoded = OffsetStore.decodeBase64(b64)
     assert(decoded.values.head == s"""{"pos":${res.lastPos}}""")
+
+    // deserialization hardening (ADVICE r2): a foreign blob is untrusted input — anything
+    // but the HashMap<byte[],byte[]> wire shape is rejected before instantiation
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(new java.util.ArrayList[String]()); oos.close()
+    intercept[java.io.InvalidClassException] { OffsetStore.decode(bos.toByteArray) }
   }
 
   test("generate_ssh_key sync action: PKCS#8 PEM private + OpenSSH public") {

@@ -321,6 +321,19 @@ class StreamingSpec extends SparkSpec {
     val csv = readCsvDir(s"$base/out/tables/topic_inv_items.csv")
     // KBC__EVENT_TIMESTAMP_MS exported as epoch millis (output contract §1.2)
     assert(csv.length == 1 && csv.head.startsWith("1,a2,2022-01-08,u,2000,"))
+
+    // P3/P4 on the wire path (ADVICE r2): an excluded column never reaches the decode or
+    // staging; system kbc__/__deleted columns are not filterable
+    val base2 = Files.createTempDirectory("graft-wirecols").toString
+    val res2 = CdcRunner.run(spark, RunConfig(
+      spoolDir = spool, workDir = s"$base2/work", outDir = s"$base2/out",
+      primaryKeys = Map("topic_inv_items" -> Seq("id")), wireFormat = true,
+      excludeColumns = Map("topic_inv_items" -> Seq("name", "kbc__operation"))))
+    assert(res2.tables == Map("topic_inv_items" -> 1L))
+    val staged2 = spark.read.option("mergeSchema", "true")
+      .parquet(s"$base2/work/staging/topic_inv_items")
+    assert(!staged2.columns.contains("name"))
+    assert(staged2.columns.contains("kbc__operation")) // system column: filter ignored
   }
 
   test("watermarked tumbling-window aggregation over the cdc-spool stream") {
@@ -396,6 +409,11 @@ class StreamingSpec extends SparkSpec {
     assert(StagingCatalog.tableSchema(spark, root, "c_a").fieldNames.contains("id"))
     assert(StagingCatalog.chunks(root, "c_a").nonEmpty)
     assert(StagingCatalog.table(spark, root, "c_b").count() == 1)
+    // internal scratch/aside dirs (dot-prefixed) never surface as phantom tables
+    // (ADVICE r2: a crash between swapInto's renames must not add an output table)
+    Files.createDirectories(Paths.get(root, ".c_a.old_123"))
+    Files.createDirectories(Paths.get(root, ".compact_c_b"))
+    assert(StagingCatalog.tables(root) == Seq("c_a", "c_b"))
   }
 
   test("maxBytesPerTrigger throttles batches; stopAtPos bounds the run at a byte target") {
