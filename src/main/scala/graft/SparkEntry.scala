@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.operators.Cdc
-import graft.ops.{DedupOps, MultimodalOps, TextOps, VectorOps}
+import graft.ops.{DedupOps, MultimodalOps, SampleOps, TextOps, VectorOps}
 import graft.functions.TextFunctions
 
 /**
@@ -333,6 +333,19 @@ object SparkEntry {
           max(col("ms")).as("end_ms"))
     }),
 
+    // as-of join (point-in-time lookup): every event attached to the user's latest
+    // signup at or before it — union-merge plan (one exchange + one ordered window pass,
+    // no range-join blowup); oracle = DuckDB's native ASOF LEFT JOIN
+    "ev_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ms", unix_millis(col("ts")))
+      // dedupe the build side per (key, time) so "the latest" is unambiguous in both engines
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ms")).agg(max(col("event_id")).as("signup_id"))
+      graft.operators.AsOfJoin.asofBackward(
+        ev.select(col("event_id"), col("user_id"), col("ms")),
+        signups, keys = Seq("user_id"), timeCol = "ms", rightVals = Seq("signup_id"))
+    }),
+
     // vocabulary: corpus-wide token frequencies, top 50
     "doc_top_tokens" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -414,6 +427,42 @@ object SparkEntry {
     "doc_langid" -> ((s, dir) => TextOps.langId(t(s, dir, "documents"))),
     "doc_quality" -> ((s, dir) => TextOps.qualityScore(t(s, dir, "documents"))),
     "doc_tokens" -> ((s, dir) => TextOps.tokenStats(t(s, dir, "documents"))),
+
+    // ---- training-data ops: corpus shaping (sampling / packing / contamination) ---------------
+
+    // deterministic stratified downsampling: content-hash buckets, per-language rates —
+    // membership is a pure function of text, stable across re-runs and re-partitioning
+    "doc_stratified_sample" -> ((s, dir) =>
+      SampleOps.stratifiedSample(t(s, dir, "documents"),
+        rates = Map("en" -> 50, "zh" -> 100), defaultPct = 20)),
+
+    // per-domain quota: keep the top-N docs of each source by quality (the web-corpus
+    // domain cap); deterministic tie-break by doc_id
+    "doc_quota_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      // quality computed in the scan projection (keep=source), so the whole plan is ONE
+      // exchange on the group key + the quota window — no self-join on doc_id
+      val q = TextOps.qualityScore(d, keep = Seq("source"))
+        .select(col("doc_id"), col("source"), col("quality_score"))
+      SampleOps.quotaSample(q, groupCol = "source", orderCol = "quality_score", quota = 5)
+    }),
+
+    // greedy token-budget sequence packing: running-sum window per language, bin id by
+    // exact integral division — the doc→training-sequence batcher
+    "doc_pack_greedy" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val stats = TextOps.tokenStats(d, keep = Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+      SampleOps.packGreedy(stats, tokenCol = "n_tokens", budget = 2048L)
+    }),
+
+    // benchmark-contamination screen: fraction of each corpus doc's distinct trigrams that
+    // appear in the benchmark set (src0 plays the eval set); benchmark inventory broadcasts
+    "doc_contamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      SampleOps.contamination(
+        d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"))
+    }),
 
     // ---- training-data ops: similarity search -------------------------------------------------
 
@@ -712,6 +761,64 @@ object SparkEntry {
         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, COUNT(*) AS n_events,
         |  MIN(ms) AS start_ms, MAX(ms) AS end_ms
         |FROM s GROUP BY user_id, session_idx""".stripMargin,
+
+    "ev_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ms FROM events),
+        |s AS (SELECT user_id, CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ms,
+        |    MAX(event_id) AS signup_id
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ms, s.signup_id AS asof_signup_id
+        |FROM e ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ms >= s.ms""".stripMargin,
+
+    "doc_stratified_sample" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |  CAST('0x' || substring(md5(text), 1, 4) AS INT) % 100 AS bucket,
+        |  CASE WHEN lang = 'en' THEN 50 WHEN lang = 'zh' THEN 100 ELSE 20 END AS keep_pct
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket, keep_pct FROM b WHERE bucket < keep_pct""".stripMargin,
+
+    "doc_quota_sample" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id, source, CAST(len(toks) AS DOUBLE) AS n_tok,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','on','for','with','as','at'))) AS DOUBLE) AS n_stop
+        |  FROM t),
+        |q AS (SELECT doc_id, source,
+        |  ROUND((CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 0.5 ELSE 0.0 END)
+        |      + (CASE WHEN n_tok > 0 THEN (n_stop / n_tok) * 0.5 ELSE 0.0 END), 4) AS quality_score
+        |  FROM m),
+        |r AS (SELECT doc_id, source, quality_score,
+        |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality_score DESC, doc_id ASC) AS rank_in_group
+        |  FROM q)
+        |SELECT doc_id, source, quality_score, CAST(rank_in_group AS INT) AS rank_in_group
+        |FROM r WHERE rank_in_group <= 5""".stripMargin,
+
+    "doc_pack_greedy" ->
+      """WITH tk AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |w AS (SELECT doc_id, lang, n_tokens,
+        |  CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS tokens_before
+        |  FROM tk)
+        |SELECT doc_id, lang, n_tokens, tokens_before, tokens_before // 2048 AS bin_id FROM w""".stripMargin,
+
+    "doc_contamination" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (SELECT doc_id, source, list_distinct(CASE WHEN len(toks) < 3 THEN []
+        |  ELSE list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        |  FROM t),
+        |bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE source = 'src0'),
+        |corp AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles, unnest(sh) AS shingle
+        |  FROM sh WHERE source <> 'src0')
+        |SELECT c.doc_id, c.n_shingles, COUNT(*) AS n_contaminated,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE) / n_shingles, 6) AS contaminated_frac
+        |FROM corp c JOIN bench b ON c.shingle = b.shingle
+        |GROUP BY c.doc_id, c.n_shingles""".stripMargin,
 
     "doc_top_tokens" ->
       """WITH toks AS (

@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-shaping operators for training-data pipelines: deterministic stratified sampling,
+ * per-group quota capping, token-budget sequence packing, and benchmark-contamination
+ * screening. All pure column algebra / single-exchange plans:
+ *
+ *  - sampling decisions are CONTENT-HASH based, never `rand()` — re-running the pipeline
+ *    over re-partitioned, re-ordered, or incrementally-grown input keeps every membership
+ *    decision stable (the property that makes dataset builds reproducible at 100 TB);
+ *  - quota/packing are one hash exchange on the group key + per-partition sort (window);
+ *  - contamination joins the corpus's shingle inventory against the benchmark set's —
+ *    the benchmark side is tiny by construction, so at scale the join broadcasts.
+ */
+object SampleOps {
+
+  /** md5-based uniform [0,100) bucket of a column's text — identical in Spark and DuckDB
+    * (`CAST('0x' || substring(md5(x), 1, 4) AS INT) % 100`), the cross-engine twin used by
+    * every deterministic sampling decision here. */
+  def hashBucket(c: Column): Column =
+    conv(substring(md5(c), 1, 4), 16, 10).cast("int") % 100
+
+  /**
+   * Stratified deterministic sampling: keep `pct(stratum)`% of each stratum, chosen by
+   * content-hash bucket. One narrow map — no shuffle, no state; downsampling a
+   * 100 TB corpus to per-language quotas runs at scan speed.
+   *
+   * @param rates per-stratum keep percentage (0–100); strata absent from the map use
+   *              `defaultPct`
+   */
+  def stratifiedSample(
+      df: DataFrame,
+      strataCol: String = "lang",
+      rates: Map[String, Int] = Map.empty,
+      defaultPct: Int = 10,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val pct = rates.foldLeft(lit(defaultPct)) { case (acc, (stratum, p)) =>
+      when(col(strataCol) === stratum, lit(p)).otherwise(acc)
+    }
+    df.select(col(idCol), col(strataCol), hashBucket(col(textCol)).as("bucket"), pct.as("keep_pct"))
+      .filter(col("bucket") < col("keep_pct"))
+  }
+
+  /**
+   * Per-group quota: keep the top `quota` rows of each group by `orderCol` descending
+   * (ties broken by id ascending, so the survivor set is total-order deterministic). The
+   * per-domain cap every web-corpus recipe applies before training.
+   *
+   * One exchange on the group key + per-partition sort. At 100 TB the win is that the
+   * ROW_NUMBER filter discards losers in the same stage as the sort — nothing but the
+   * group key, order value and id needs to flow if callers project first. A pathological
+   * mega-group serializes in its sort; pre-filtering with an approximate per-group
+   * threshold (count-min of group sizes) composes in front when that matters.
+   */
+  def quotaSample(
+      df: DataFrame,
+      groupCol: String = "source",
+      orderCol: String = "quality_score",
+      quota: Int = 100,
+      idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol).desc, col(idCol).asc)
+    df.withColumn("rank_in_group", row_number().over(w))
+      .filter(col("rank_in_group") <= quota)
+  }
+
+  /**
+   * Greedy sequence packing: assign documents to fixed-token-budget bins, walking each
+   * stratum in id order and cutting a new bin whenever the running token total crosses the
+   * budget — `bin = floor(exclusive-prefix-sum(tokens) / budget)`, the streaming-order
+   * packing used to batch documents into training sequences. Documents longer than the
+   * budget occupy their own bin(s) by construction.
+   *
+   * Same single-exchange shape as [[quotaSample]]: partition by stratum, one ordered
+   * window pass computes the running sum; no iteration, no driver state.
+   */
+  def packGreedy(
+      df: DataFrame,
+      tokenCol: String,
+      budget: Long,
+      strataCol: String = "lang",
+      idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(strataCol)).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("tokens_before",
+        (sum(col(tokenCol)).over(w) - col(tokenCol)).cast("long"))
+      // `div` = exact integral division (no double rounding at petabyte token counts)
+      .withColumn("bin_id", expr(s"tokens_before div ${budget}L"))
+  }
+
+  /**
+   * Benchmark-contamination screen: for each corpus document, the fraction of its distinct
+   * token n-grams that appear anywhere in the benchmark set — the standard pre-training
+   * hygiene check (filter or flag documents that leak eval data).
+   *
+   * Plan shape: corpus shingles explode to (doc, shingle) pairs; the benchmark's DISTINCT
+   * shingle inventory is orders of magnitude smaller than the corpus (eval sets are
+   * thousands of documents, not billions), so Spark broadcasts it and the membership probe
+   * never shuffles the corpus. Shingles are matched as strings (n-gram text), keeping the
+   * computation engine-portable for the oracle.
+   */
+  def contamination(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      shingleN: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    def shingles(df: DataFrame, cols: Column*): DataFrame = {
+      val toks = graft.functions.TextFunctions.tokens(col(textCol))
+      val sh = when(size(toks) < shingleN, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(toks) - shingleN),
+          i => concat_ws(" ", slice(toks, i + 1, lit(shingleN)))))
+      df.select(cols :+ array_distinct(sh).as("sh"): _*)
+    }
+    val corpusSh = shingles(corpus, col(idCol))
+      .select(col(idCol), size(col("sh")).cast("long").as("n_shingles"),
+        explode(col("sh")).as("shingle"))
+    val benchSh = broadcast(
+      shingles(benchmark).select(explode(col("sh")).as("shingle")).distinct())
+    corpusSh
+      .join(benchSh, Seq("shingle"), "left_semi")
+      .groupBy(col(idCol), col("n_shingles"))
+      .agg(count(lit(1)).as("n_contaminated"))
+      .withColumn("contaminated_frac",
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
+  }
+}

@@ -48,12 +48,13 @@ object TextOps {
 
   /** Token statistics: whitespace-ish token count, char count, BPE-ish token estimate
     * (the chars/4 heuristic commonly used for budget accounting). */
-  def tokenStats(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+  def tokenStats(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      keep: Seq[String] = Nil): DataFrame =
     df.select(
-      col(idCol),
-      size(tokensCol(col(textCol))).cast("long").as("n_tokens"),
-      length(col(textCol)).cast("long").as("n_chars"),
-      ceil(length(col(textCol)) / 4.0).cast("long").as("n_bpe_est"))
+      Seq(col(idCol)) ++ keep.map(col) ++ Seq(
+        size(tokensCol(col(textCol))).cast("long").as("n_tokens"),
+        length(col(textCol)).cast("long").as("n_chars"),
+        ceil(length(col(textCol)) / 4.0).cast("long").as("n_bpe_est")): _*)
 
   val Stopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on", "for", "with", "as", "at")
@@ -63,21 +64,22 @@ object TextOps {
    * composite [0,1] score. Mirrors the usual pre-training quality filters (C4/Gopher-style
    * length + symbol + stopword heuristics) as pure column algebra.
    */
-  def qualityScore(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+  def qualityScore(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      keep: Seq[String] = Nil): DataFrame = {
     val toks = tokensCol(col(textCol))
     val nTok = size(toks).cast("double")
     val nChar = length(col(textCol)).cast("double")
     val nStop = size(filter(toks, t => t.isin(Stopwords: _*))).cast("double")
     val nSpace = (length(col(textCol)) - length(regexp_replace(col(textCol), " ", ""))).cast("double")
     df.select(
-      col(idCol),
-      nTok.cast("long").as("n_tokens"),
-      when(nTok > 0, round(nChar / nTok, 4)).otherwise(0.0).as("mean_token_len"),
-      when(nChar > 0, round(nSpace / nChar, 4)).otherwise(0.0).as("space_ratio"),
-      when(nTok > 0, round(nStop / nTok, 4)).otherwise(0.0).as("stopword_ratio"),
-      round(
-        when(nTok >= 5 && nTok <= 100000, lit(0.5)).otherwise(lit(0.0)) +
-          when(nTok > 0, (nStop / nTok) * 0.5).otherwise(lit(0.0)), 4).as("quality_score"))
+      Seq(col(idCol)) ++ keep.map(col) ++ Seq(
+        nTok.cast("long").as("n_tokens"),
+        when(nTok > 0, round(nChar / nTok, 4)).otherwise(0.0).as("mean_token_len"),
+        when(nChar > 0, round(nSpace / nChar, 4)).otherwise(0.0).as("space_ratio"),
+        when(nTok > 0, round(nStop / nTok, 4)).otherwise(0.0).as("stopword_ratio"),
+        round(
+          when(nTok >= 5 && nTok <= 100000, lit(0.5)).otherwise(lit(0.0)) +
+            when(nTok > 0, (nStop / nTok) * 0.5).otherwise(lit(0.0)), 4).as("quality_score")): _*)
   }
 
   /**

@@ -66,6 +66,38 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("ev_asof_join: union-merge — one keyed exchange + window, no range-join blowup") {
+    val p = plan("ev_asof_join")
+    // the match is a carried-forward window over the unioned sides, never a join operator
+    assert(p.contains("Window"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("SortMergeJoin"))
+    // exactly one hash exchange family: the key partitioning for the window (AQE may add
+    // coalesced reads but no second shuffle key appears)
+    val keys = "hashpartitioning\\(([a-z_]+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys == Set("user_id"), s"unexpected shuffle keys $keys")
+  }
+
+  test("doc_contamination: benchmark inventory broadcasts; corpus probe never shuffles text") {
+    val p = plan("doc_contamination")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("doc_stratified_sample: membership is a pure scan-level map (no exchange)") {
+    val p = plan("doc_stratified_sample")
+    assert(!p.contains("Exchange"), s"sampling must not shuffle, got:\n$p")
+  }
+
+  test("doc_quota_sample / doc_pack_greedy: one exchange on the group key only") {
+    for ((q, key) <- Seq("doc_quota_sample" -> "source", "doc_pack_greedy" -> "lang")) {
+      val p = plan(q)
+      val keys = "hashpartitioning\\(([a-z_]+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+      assert(keys == Set(key), s"$q: unexpected shuffle keys $keys")
+      assert(!p.contains("SortMergeJoin"), s"$q must not self-join")
+    }
+  }
+
   test("cdc-spool batch read: large files split into parallel byte ranges") {
     val base = java.nio.file.Files.createTempDirectory("graft-split-plan").toString
     val lines = (1 to 200).map(i => s"""{"table":"t","op":"c","after":{"id":$i},"source":{"ts_ms":$i}}""")

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+import graft.ops.SampleOps
+
+class SampleAndAsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- as-of join -------------------------------------------------------------------------
+
+  private lazy val trades = Seq(
+    (1L, "A", 10L), (2L, "A", 25L), (3L, "A", 31L), (4L, "B", 5L), (5L, "C", 50L)
+  ).toDF("trade_id", "sym", "t")
+
+  private lazy val quotes = Seq(
+    ("A", 5L, 100.0), ("A", 25L, 110.0), ("A", 40L, 120.0), ("B", 9L, 50.0)
+  ).toDF("sym", "t", "px")
+
+  test("asofBackward: latest right row at or before each left time, per key") {
+    val out = AsOfJoin.asofBackward(trades, quotes, Seq("sym"), "t", Seq("px"))
+      .collect().map(r => r.getAs[Long]("trade_id") -> Option(r.getAs[Any]("asof_px"))).toMap
+    assert(out(1L).contains(100.0)) // t=10: quote@5
+    assert(out(2L).contains(110.0)) // t=25: inclusive match of the equal-time quote
+    assert(out(3L).contains(110.0)) // t=31: quote@40 is in the future
+    assert(out(4L).isEmpty)         // t=5: no quote yet for B
+    assert(out(5L).isEmpty)         // no quotes at all for C
+  }
+
+  test("asofBackward: tolerance nulls out stale matches; struct carry keeps rows atomic") {
+    val out = AsOfJoin.asofBackward(trades, quotes, Seq("sym"), "t", Seq("px", "t"),
+      tolerance = Some(lit(6L)))
+      .collect().map(r => r.getAs[Long]("trade_id") -> Option(r.getAs[Any]("asof_px"))).toMap
+    assert(out(1L).contains(100.0)) // 10-5=5 <= 6 -> kept
+    assert(out(2L).contains(110.0)) // 0 back
+    assert(out(3L).contains(110.0)) // 31-25=6 <= 6 -> kept
+    val outTight = AsOfJoin.asofBackward(trades, quotes, Seq("sym"), "t", Seq("px"),
+      tolerance = Some(lit(3L)))
+      .collect().map(r => r.getAs[Long]("trade_id") -> Option(r.getAs[Any]("asof_px"))).toMap
+    assert(outTight(1L).isEmpty && outTight(3L).isEmpty && outTight(2L).contains(110.0))
+  }
+
+  test("asofBackward preserves every left row exactly once") {
+    val out = AsOfJoin.asofBackward(trades, quotes, Seq("sym"), "t", Seq("px"))
+    assert(out.count() == trades.count())
+    assert(out.select("trade_id").distinct().count() == trades.count())
+  }
+
+  // ---- sampling / packing / contamination --------------------------------------------------
+
+  private lazy val docs = Seq(
+    (1L, "aaa bbb ccc ddd eee", "en", "s1"),
+    (2L, "fff ggg hhh iii jjj", "en", "s1"),
+    (3L, "kkk lll mmm nnn ooo", "de", "s1"),
+    (4L, "ppp qqq rrr sss ttt", "de", "s2"),
+    (5L, "uuu vvv www xxx yyy", "zh", "s2")
+  ).toDF("doc_id", "text", "lang", "source")
+
+  test("stratifiedSample: rate 100 keeps all, rate 0 drops all, membership is content-pure") {
+    val all = SampleOps.stratifiedSample(docs, rates = Map("en" -> 100, "de" -> 100, "zh" -> 100))
+    assert(all.count() == 5)
+    val none = SampleOps.stratifiedSample(docs, rates = Map("en" -> 0, "de" -> 0, "zh" -> 0))
+    assert(none.count() == 0)
+    // same text, different partitioning -> same decision
+    val a = SampleOps.stratifiedSample(docs, defaultPct = 40).select("doc_id").collect().toSet
+    val b = SampleOps.stratifiedSample(docs.repartition(7), defaultPct = 40)
+      .select("doc_id").collect().toSet
+    assert(a == b)
+  }
+
+  test("quotaSample: per-group cap with deterministic tie-break") {
+    val scored = docs.withColumn("score", col("doc_id") % 2 * 10.0) // ties within groups
+    val out = SampleOps.quotaSample(scored, groupCol = "source", orderCol = "score", quota = 1)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("doc_id")).toMap
+    // s1: scores (1->10, 2->0, 3->10); tie between 1 and 3 -> lowest doc_id wins
+    assert(out("s1") == 1L)
+    // s2: scores (4->0, 5->10)
+    assert(out("s2") == 5L)
+  }
+
+  test("packGreedy: bins cut at the budget boundary, per stratum, in id order") {
+    val sized = Seq(
+      (1L, "en", 1000L), (2L, "en", 1000L), (3L, "en", 100L), (4L, "en", 5000L),
+      (5L, "de", 10L)
+    ).toDF("doc_id", "lang", "n_tokens")
+    val out = SampleOps.packGreedy(sized, tokenCol = "n_tokens", budget = 2048L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bin_id")).toMap
+    assert(out(1L) == 0L) // before=0
+    assert(out(2L) == 0L) // before=1000
+    assert(out(3L) == 0L) // before=2000 (straddles; greedy keeps it in bin 0's tail)
+    assert(out(4L) == 1L) // before=2100 -> bin 1
+    assert(out(5L) == 0L) // separate stratum restarts
+  }
+
+  test("contamination: overlap fraction vs the benchmark shingle inventory") {
+    val corpus = Seq(
+      (1L, "one two three four five"),   // shares trigrams with bench doc
+      (2L, "alpha beta gamma delta")     // no overlap
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "zero one two three four")).toDF("doc_id", "text")
+    val out = SampleOps.contamination(corpus, bench)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_contaminated"))).toMap
+    // doc 1 trigrams: {one two three, two three four, three four five}; bench contains
+    // the first two -> 2/3
+    assert(out(1L) == (3L, 2L))
+    assert(!out.contains(2L)) // clean docs don't surface
+  }
+}
