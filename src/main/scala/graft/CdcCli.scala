@@ -72,11 +72,11 @@ object CdcCli {
 
   def main(argv: Array[String]): Unit = {
     val a = parseArgs(argv.toSeq)
-    val spark = SparkSession.builder()
+    val spark = GraftConf.tune(SparkSession.builder()
       .master(s"local[${a.cpus}]")
       .appName("graft-cdc")
       .config("spark.sql.shuffle.partitions", a.cpus)
-      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.session.timeZone", "UTC"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {

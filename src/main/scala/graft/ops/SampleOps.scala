@@ -97,11 +97,14 @@ object SampleOps {
    * token n-grams that appear anywhere in the benchmark set — the standard pre-training
    * hygiene check (filter or flag documents that leak eval data).
    *
-   * Plan shape: corpus shingles explode to (doc, shingle) pairs; the benchmark's DISTINCT
-   * shingle inventory is orders of magnitude smaller than the corpus (eval sets are
-   * thousands of documents, not billions), so Spark broadcasts it and the membership probe
-   * never shuffles the corpus. Shingles are matched as strings (n-gram text), keeping the
-   * computation engine-portable for the oracle.
+   * Plan shape: corpus shingles explode to (doc, shingleHash) pairs; the benchmark's
+   * DISTINCT shingle inventory is orders of magnitude smaller than the corpus (eval sets
+   * are thousands of documents, not billions), so Spark broadcasts it and the membership
+   * probe never shuffles the corpus. Shingles are the one-pass hashed n-grams of
+   * [[graft.functions.TextFunctions.shingleHashes]] — 8-byte longs, not n-gram strings —
+   * so the exchange and the broadcast stay narrow; overlap COUNTS equal the string-shingle
+   * counts absent 64-bit hash collisions (the same equivalence `doc_ngram_jaccard`'s
+   * oracle already pins).
    */
   def contamination(
       corpus: DataFrame,
@@ -109,13 +112,10 @@ object SampleOps {
       shingleN: Int = 3,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    def shingles(df: DataFrame, cols: Column*): DataFrame = {
-      val toks = graft.functions.TextFunctions.tokens(col(textCol))
-      val sh = when(size(toks) < shingleN, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0), size(toks) - shingleN),
-          i => concat_ws(" ", slice(toks, i + 1, lit(shingleN)))))
-      df.select(cols :+ array_distinct(sh).as("sh"): _*)
-    }
+    import graft.functions.TextFunctions
+    def shingles(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ array_distinct(
+        TextFunctions.shingleHashes(TextFunctions.tokens(col(textCol)), shingleN)).as("sh"): _*)
     val corpusSh = shingles(corpus, col(idCol))
       .select(col(idCol), size(col("sh")).cast("long").as("n_shingles"),
         explode(col("sh")).as("shingle"))

@@ -123,12 +123,62 @@ object VectorOps {
       (col("max_cand") < candCap).as("bounded_ok"))
   }
 
+  /** Deterministic centroid seeds: the `k` smallest-id corpus vectors. */
+  private def seedCentroids(df: DataFrame, k: Int, idCol: String,
+      vecCol: String): Array[Array[Float]] =
+    df.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(k)
+      .collect().map(_.getSeq[Float](1).toArray)
+
+  /**
+   * Distributed Lloyd's k-means over the embedding column — the IVF coarse quantizer's
+   * training step, run as `iters` Spark aggregation passes:
+   *
+   *  - assignment is the same codegen'd `nearestCentroids` map the IVF probe uses;
+   *  - the update shuffles only `(cell, position, partial sum, partial count)` — after
+   *    map-side combine each task emits ≤ k·dim rows, so the exchange is O(k·dim·tasks)
+   *    regardless of corpus size;
+   *  - only the k·dim aggregated means land on the driver (the model, not the data).
+   *
+   * Empty cells keep their previous centroid. Seeding is deterministic (smallest ids), so
+   * the trained model — and everything downstream — is reproducible run to run.
+   */
+  def kmeansFit(
+      corpus: DataFrame,
+      k: Int,
+      iters: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Array[Float]] = {
+    var centroids = seedCentroids(corpus, k, idCol, vecCol)
+    for (_ <- 1 to iters) {
+      val sums = corpus
+        .select(VectorFunctions.nearestCentroids(col(vecCol), centroids, 1)
+          .getItem(0).as("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        val (cell, pos) = (r.getInt(0), r.getInt(1))
+        next(cell)(pos) = (r.getDouble(2) / r.getLong(3)).toFloat
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** Mean cosine distance to the nearest centroid — the (spherical) k-means objective,
+    * for tests and training diagnostics. One aggregation pass; centroids ride as literals. */
+  def kmeansObjective(corpus: DataFrame, centroids: Array[Array[Float]],
+      vecCol: String = "embedding"): Double = {
+    val sims = centroids.map(ct => VectorFunctions.cosine(col(vecCol), typedlit(ct.toSeq)))
+    val best = if (sims.length == 1) sims.head else greatest(sims.toIndexedSeq: _*)
+    corpus.select((lit(1.0) - best).as("d")).agg(avg(col("d"))).collect()(0).getDouble(0)
+  }
+
   /**
    * IVF (inverted-file) approximate top-k: corpus vectors are assigned to their nearest
    * centroid cell; each query probes its `nProbe` nearest cells and ranks only those
-   * candidates. Centroids are sampled deterministically from the corpus (smallest ids) and
-   * broadcast inside the expression — at scale, train real k-means centroids offline and
-   * pass them in; the query plan is identical. Corpus assignment is one narrow map; the
+   * candidates. Centroids come from [[kmeansFit]] (or are passed in, pre-trained); the
+   * probe plan is identical either way. Corpus assignment is one narrow map; the
    * probe join shuffles on the cell id, so per-query work is |cell| * nProbe, not |corpus|.
    */
   def ivfCandidates(
@@ -137,10 +187,10 @@ object VectorOps {
       nCentroids: Int = 16,
       nProbe: Int = 2,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val centroids: Array[Array[Float]] = corpus
-      .select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(nCentroids)
-      .collect().map(_.getSeq[Float](1).toArray)
+      vecCol: String = "embedding",
+      trained: Option[Array[Array[Float]]] = None): DataFrame = {
+    val centroids: Array[Array[Float]] =
+      trained.getOrElse(kmeansFit(corpus, nCentroids, iters = 3, idCol, vecCol))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
       VectorFunctions.nearestCentroids(col(vecCol), centroids, 1).getItem(0).as("cell"))
       .repartition(col("cell"))

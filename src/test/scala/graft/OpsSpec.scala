@@ -142,6 +142,18 @@ class VectorOpsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("neighbor_id") != 1L))
   }
 
+  test("kmeansFit: deterministic and improves the clustering objective over the seeds") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val seeds = e.select(col("vec_id"), col("embedding")).orderBy("vec_id").limit(16)
+      .collect().map(_.getSeq[Float](1).toArray)
+    val trained = VectorOps.kmeansFit(e, k = 16, iters = 3)
+    val trainedAgain = VectorOps.kmeansFit(e, k = 16, iters = 3)
+    assert(trained.map(_.toSeq).toSeq == trainedAgain.map(_.toSeq).toSeq) // reproducible model
+    val objSeed = VectorOps.kmeansObjective(e, seeds)
+    val objTrained = VectorOps.kmeansObjective(e, trained)
+    assert(objTrained < objSeed, s"training did not improve: $objSeed -> $objTrained")
+  }
+
   test("ANN recall on real embeddings: LSH and IVF beat their gate floors with margin") {
     // deterministic (seeded planes, fixed testdata): recall measured here documents the
     // actual headroom above the driver-gate floors (LSH 0.5, IVF 0.25)
