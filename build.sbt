@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runMain output inherits the real stdout instead of being re-logged line-by-line
+// with an "[info] " prefix — the bench metric JSON must reach the caller as a raw line
+// (BENCH_r01/r02 "parsed: null": the driver could not parse the decorated line).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
