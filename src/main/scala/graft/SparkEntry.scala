@@ -424,6 +424,15 @@ object SparkEntry {
 
     "doc_repetition" -> ((s, dir) => TextOps.repetitionScore(t(s, dir, "documents"))),
 
+    // canonicalization: NFC + control strip + whitespace collapse; the appended decomposed
+    // e+COMBINING ACUTE, tab and double space make every normalization step observable in
+    // the digest (the corpus itself is clean ASCII)
+    "doc_normalize" -> ((s, dir) => {
+      val noisy = t(s, dir, "documents").withColumn("text",
+        concat(col("text"), lit("  cafe\u0301\t(x) ")))
+      TextOps.normalizeText(noisy)
+    }),
+
     "doc_langid" -> ((s, dir) => TextOps.langId(t(s, dir, "documents"))),
     "doc_quality" -> ((s, dir) => TextOps.qualityScore(t(s, dir, "documents"))),
     "doc_tokens" -> ((s, dir) => TextOps.tokenStats(t(s, dir, "documents"))),
@@ -877,6 +886,14 @@ object SparkEntry {
         |  CASE WHEN b.n_tokens > 0 THEN ROUND(b.n_distinct / CAST(b.n_tokens AS DOUBLE), 4) ELSE 0.0 END AS distinct_ratio,
         |  CASE WHEN b.n_tokens > 1 THEN ROUND(COALESCE(t2.top_bigram_n, 0) / CAST(b.n_tokens - 1 AS DOUBLE), 4) ELSE 0.0 END AS top_bigram_frac
         |FROM base b LEFT JOIN top t2 ON b.doc_id = t2.doc_id""".stripMargin,
+
+    "doc_normalize" ->
+      """WITH noisy AS (SELECT doc_id,
+        |  text || '  cafe' || chr(769) || chr(9) || '(x) ' AS text FROM documents),
+        |n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |  '[ \t\n\r\f]+', ' ', 'g'), '[\x00-\x1f\x7f]', '', 'g')) AS norm FROM noisy)
+        |SELECT doc_id, md5(norm) AS norm_md5, CAST(length(norm) AS BIGINT) AS n_chars_norm
+        |FROM n""".stripMargin,
 
     "doc_langid" ->
       """WITH t AS (SELECT doc_id,

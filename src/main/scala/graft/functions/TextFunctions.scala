@@ -206,6 +206,23 @@ object TextExpressions {
    * usable both as a compact document fingerprint and as a Jaccard estimator
    * (|A∩B|/|A∪B| ≈ overlap of bottom-k sketches).
    */
+  /**
+   * `nfc(text)` — Unicode NFC normalization (combining sequences composed to their
+   * canonical precomposed forms), the first step of text canonicalization before hashing/
+   * dedup. Spark has no built-in for this; `java.text.Normalizer` behind a native
+   * expression (null-intolerant unary, CodegenFallback like the other per-document text
+   * kernels whose inner loop dwarfs the call overhead).
+   */
+  case class NfcNormalize(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      UTF8String.fromString(java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class MinKHashes(child: Expression, k: Int)
       extends UnaryExpression with CodegenFallback {
     require(k > 0)
@@ -251,6 +268,8 @@ object TextFunctions {
       .otherwise(transform(
         sequence(lit(0), size(toks) - n),
         i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+
+  def nfc(text: Column): Column = column(NfcNormalize(expression(text)))
 
   def minhash(shingles: Column, k: Int): Column = column(MinHashSignature(expression(shingles), k))
   def simhash(toks: Column): Column             = column(SimHash64(expression(toks)))

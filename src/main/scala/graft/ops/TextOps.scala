@@ -96,6 +96,26 @@ object TextOps {
       .withColumn("split", when(col("bucket") < trainPct, "train").otherwise("test"))
   }
 
+  /**
+   * Text canonicalization: Unicode NFC (combining marks composed), control characters
+   * stripped, whitespace runs collapsed to single spaces, edges trimmed — the standard
+   * cleanup pass before hashing/dedup so byte-different renderings of the same text
+   * can't defeat exact dedup. A narrow map (native NFC expression + codegen'd regexps);
+   * emits the normalized text plus its digest/length so verification never ships the
+   * full text through the comparator.
+   */
+  def normalizeText(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // collapse whitespace FIRST (so "a\nb" keeps its word break), then strip what's left
+    // of the control range; explicit class instead of \s — Java and RE2 disagree on \x0B
+    val norm = trim(regexp_replace(
+      regexp_replace(graft.functions.TextFunctions.nfc(col(textCol)), "[ \\t\\n\\r\\f]+", " "),
+      "[\\x00-\\x1f\\x7f]", ""))
+    df.select(
+      col(idCol),
+      md5(norm).as("norm_md5"),
+      length(norm).cast("long").as("n_chars_norm"))
+  }
+
   /** Email pattern shared with the oracle — RE2- and Java-regex compatible subset. */
   val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 

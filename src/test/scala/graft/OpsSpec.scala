@@ -188,6 +188,22 @@ class TextOpsSpec extends SparkSpec {
     assert(out == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "und"))
   }
 
+  test("normalizeText: NFC composes combining marks; whitespace collapses; controls strip") {
+    val docs = Seq(
+      (1L, "cafe\u0301"),   // decomposed e + combining acute
+      (2L, "caf\u00e9"),    // precomposed é — must normalize identically to doc 1
+      (3L, "a \t\r\n  b"), // whitespace run -> single space
+      (4L, "x\u0000y\u0007z"), // non-whitespace controls stripped, letters merge
+      (5L, "  padded  ")).toDF("doc_id", "text")
+    val out = TextOps.normalizeText(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[String]("norm_md5"), r.getAs[Long]("n_chars_norm"))).toMap
+    assert(out(1L) == out(2L))       // canonical equivalence detected
+    assert(out(1L)._2 == 4L)         // "café" = 4 chars after composition
+    assert(out(3L)._2 == 3L)         // "a b"
+    assert(out(4L)._2 == 3L)         // "xyz"
+    assert(out(5L)._2 == 6L)         // "padded"
+  }
+
   test("tokenStats counts tokens/chars/bpe estimate") {
     val out = TextOps.tokenStats(Seq((1L, "hello world spark")).toDF("doc_id", "text")).collect().head
     assert(out.getAs[Long]("n_tokens") == 3L)
