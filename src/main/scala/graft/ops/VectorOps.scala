@@ -189,8 +189,10 @@ object VectorOps {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       trained: Option[Array[Array[Float]]] = None): DataFrame = {
+    // 2 Lloyd's rounds: a coarse quantizer only needs rough cells (recall comes from
+    // nProbe); more rounds cost one aggregation pass each for marginal cell movement
     val centroids: Array[Array[Float]] =
-      trained.getOrElse(kmeansFit(corpus, nCentroids, iters = 3, idCol, vecCol))
+      trained.getOrElse(kmeansFit(corpus, nCentroids, iters = 2, idCol, vecCol))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
       VectorFunctions.nearestCentroids(col(vecCol), centroids, 1).getItem(0).as("cell"))
       .repartition(col("cell"))

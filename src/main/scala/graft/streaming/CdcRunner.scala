@@ -55,6 +55,12 @@ object CdcRunner {
         * columns never enter the accumulated schema or the staged parquet. */
       includeColumns: Map[String, Seq[String]] = Map.empty,
       excludeColumns: Map[String, Seq[String]] = Map.empty,
+      /** P3/P4 regex form — the connector's actual contract: whole-string regexes over the
+        * fully-qualified `<table>.<column>` name (the reference passes its `column_filter`
+        * config straight into Debezium's `column.(include|exclude).list`, e.g.
+        * `^inventory\.sales\.user.*` in the `incremental-column-filter-chained` golden). */
+      includeColumnsRegex: Seq[String] = Nil,
+      excludeColumnsRegex: Seq[String] = Nil,
       /** S5 file signal channel (`signal.file`): an execute-snapshot signal JSON written
         * beside the run; its data-collections are backfilled like [[snapshotTables]]. The
         * ONLY channel allowed in read-only mode (`mysql_extractor.py:187-193`). */
@@ -117,7 +123,7 @@ object CdcRunner {
     if (mode.doSnapshot && snapshots.nonEmpty) {
       stats.setSnapshotInProgress(true)
       try snapshots.foreach(s => stageSnapshot(spark, s, stagingRoot, registry, snapshotTsMs,
-        cfg.includeColumns, cfg.excludeColumns))
+        filtersOf(cfg)))
       finally stats.setSnapshotInProgress(false)
     }
     // a no-stream mode still runs the full post-processing/export: a zero-byte position
@@ -134,16 +140,12 @@ object CdcRunner {
     * `op=r`, snapshot ts, order −1 (< any stream byte position). */
   private def stageSnapshot(spark: SparkSession, src: SnapshotSource, stagingRoot: String,
       registry: SchemaRegistry, tsMs: Long,
-      includeCols: Map[String, Seq[String]] = Map.empty,
-      excludeCols: Map[String, Seq[String]] = Map.empty): Unit = {
+      filters: ColumnFilters = ColumnFilters()): Unit = {
     val df = graft.sources.JdbcSnapshot.read(spark, src.jdbc)
     // P3/P4 at the connector level (ADVICE r2): filtered columns never enter the
     // accumulated schema, the staged parquet, or the export — same contract as stageEvents
-    val tid = Cdc.safeTableId(src.table)
-    val inc = includeCols.getOrElse(tid, Nil)
-    val exc = excludeCols.getOrElse(tid, Nil).toSet
     val snapCols = df.schema.fields.map(f => f.name.toLowerCase -> stagingType(f.dataType))
-      .toSeq.filter { case (n, _) => admitsColumn(n, inc, exc) }
+      .toSeq.filter { case (n, _) => filters.admits(src.table, n) }
     val acc0 = registry.get(src.table)
     val acc = if (acc0.isEmpty) snapCols
       else acc0 ++ snapCols.filterNot(c => acc0.exists(_._1 == c._1))
@@ -197,9 +199,9 @@ object CdcRunner {
       .option("checkpointLocation", s"${cfg.workDir}/checkpoint")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (cfg.wireFormat) stageWireEvents(spark, batch, stagingRoot, includeWithSignals,
-          includeCols = cfg.includeColumns, excludeCols = cfg.excludeColumns)
+          filtersOf(cfg))
         else stageEvents(spark, batch, stagingRoot, registry, only = includeWithSignals,
-          includeCols = cfg.includeColumns, excludeCols = cfg.excludeColumns)
+          filtersOf(cfg))
       }
       .start()
     cfg.maxWaitMs match {
@@ -252,9 +254,9 @@ object CdcRunner {
         .option("path", cfg.spoolDir).load()
       val wanted = backfill.toSet
       if (cfg.wireFormat) stageWireEvents(spark, batchDf, stagingRoot, Some(wanted),
-        includeCols = cfg.includeColumns, excludeCols = cfg.excludeColumns)
+        filtersOf(cfg))
       else stageEvents(spark, batchDf, stagingRoot, registry, only = Some(wanted),
-        includeCols = cfg.includeColumns, excludeCols = cfg.excludeColumns)
+        filtersOf(cfg))
     }
     if (signals.nonEmpty) { // backfill staged successfully: retire the signals
       Signals.markProcessed(processedPath, signals.map(_.id).toSet)
@@ -329,8 +331,7 @@ object CdcRunner {
    */
   private def stageEvents(spark: SparkSession, batch: DataFrame, stagingRoot: String,
       registry: SchemaRegistry, only: Option[Set[String]] = None,
-      includeCols: Map[String, Seq[String]] = Map.empty,
-      excludeCols: Map[String, Seq[String]] = Map.empty): Unit = {
+      filters: ColumnFilters = ColumnFilters()): Unit = {
     import spark.implicits._
     // no isEmpty pre-check: it would cost an extra source scan (inflating numInputRows and
     // wall time); the cached distinct below handles empty batches for free
@@ -371,10 +372,7 @@ object CdcRunner {
         }
         val acc0 = registry.get(table)
         // P3/P4: filtered columns never enter the schema (connector-level semantics)
-        val tid = Cdc.safeTableId(table)
-        val inc = includeCols.getOrElse(tid, Nil)
-        val exc = excludeCols.getOrElse(tid, Nil).toSet
-        val admitted = keyOrder.filter(k => admitsColumn(k, inc, exc))
+        val admitted = keyOrder.filter(k => filters.admits(table, k))
         val newKeys = admitted.filterNot(k => acc0.exists(_._1 == k))
         var acc = acc0
         val widened =
@@ -519,8 +517,7 @@ object CdcRunner {
    */
   private def stageWireEvents(spark: SparkSession, batch: DataFrame, stagingRoot: String,
       only: Option[Set[String]],
-      includeCols: Map[String, Seq[String]] = Map.empty,
-      excludeCols: Map[String, Seq[String]] = Map.empty): Unit = {
+      filters: ColumnFilters = ColumnFilters()): Unit = {
     import spark.implicits._
     import graft.operators.EnvelopeDecoder
     val spooled0 = batch.select(col("pos"), col("value"),
@@ -540,8 +537,7 @@ object CdcRunner {
         // `kbc__`/`__deleted` columns ride in the wire payload and are never filterable.
         val tid = Cdc.safeTableId(table)
         val elements = EnvelopeDecoder.parseSchemaElements(schemaBlock)
-          .filter(e => admitsColumn(e.field, includeCols.getOrElse(tid, Nil),
-            excludeCols.getOrElse(tid, Nil).toSet))
+          .filter(e => filters.admits(table, e.field))
         val rows = EnvelopeDecoder.decodePayload(sub, "value", elements, passthrough = Seq("pos"))
           .withColumnRenamed("pos", Cdc.OrderCol)
         rows.write.mode("append").parquet(s"$stagingRoot/$tid")
@@ -549,10 +545,35 @@ object CdcRunner {
     } finally spooled.unpersist()
   }
 
-  /** P3/P4 admission shared by every staging path: system columns always pass; payload
-    * columns pass the include list (empty = all) then the exclude list. */
-  private def admitsColumn(name: String, inc: Seq[String], exc: Set[String]): Boolean =
-    name.startsWith("kbc__") || name == "__deleted" ||
-      ((inc.isEmpty || inc.contains(name)) && !exc.contains(name))
+  /**
+   * P3/P4 admission shared by every staging path: system columns always pass; payload
+   * columns must pass the include rules (empty = all) and then the exclude rules. Literal
+   * lists are keyed by safe table id; regex rules match the WHOLE fully-qualified
+   * `<table>.<column>` name, Debezium's `column.*.list` contract.
+   */
+  final case class ColumnFilters(
+      include: Map[String, Seq[String]] = Map.empty,
+      exclude: Map[String, Seq[String]] = Map.empty,
+      includeRegex: Seq[String] = Nil,
+      excludeRegex: Seq[String] = Nil) {
+    private val incP = includeRegex.map(_.r.pattern)
+    private val excP = excludeRegex.map(_.r.pattern)
+    val isEmpty: Boolean =
+      include.isEmpty && exclude.isEmpty && includeRegex.isEmpty && excludeRegex.isEmpty
+    def admits(table: String, name: String): Boolean = {
+      if (name.startsWith("kbc__") || name == "__deleted") return true
+      val tid = Cdc.safeTableId(table)
+      val inc = include.getOrElse(tid, Nil)
+      val fq = s"$table.$name"
+      val included = (inc.isEmpty && incP.isEmpty) ||
+        inc.contains(name) || incP.exists(_.matcher(fq).matches())
+      included && !exclude.getOrElse(tid, Nil).contains(name) &&
+        !excP.exists(_.matcher(fq).matches())
+    }
+  }
+
+  private def filtersOf(cfg: RunConfig): ColumnFilters =
+    ColumnFilters(cfg.includeColumns, cfg.excludeColumns,
+      cfg.includeColumnsRegex, cfg.excludeColumnsRegex)
 
 }

@@ -75,6 +75,80 @@ class GoldenSpec extends SparkSpec {
     assert(fields.count(_.isEmpty) == 11)
   }
 
+  /**
+   * Replica of `incremental-column-filter-chained` (01 full load + 02 changes): the
+   * connector-level REGEX column filter `^inventory\.sales\.user.*` (config
+   * `column_filter_type: exclude` passed straight into Debezium's `column.exclude.list`)
+   * drops the four user* columns from the 12-column sales table BEFORE staging, leaving
+   * the golden 8-column payload in first-seen order. Run 02 models the reference's
+   * per-run staging (each component run stages only its own events and exports them).
+   */
+  test("incremental-column-filter-chained: regex exclude shapes full load and chained changes") {
+    val allCols = Seq("usergender", "usercity", "usersentiment", "zipcode", "sku",
+      "createdate", "category", "price", "county", "countycode", "userstate", "categorygroup")
+    def payload(vals: Map[String, String]): String =
+      allCols.map(c => s""""$c":${if (vals.contains(c)) "\"" + vals(c) + "\"" else "\"x-" + c + "\""}""")
+        .mkString("{", ",", "}")
+    def row(zip: String, sku: String, cd: String, cat: String, price: String,
+        county: String, cc: String, cg: String) = Map(
+      "zipcode" -> zip, "sku" -> sku, "createdate" -> cd, "category" -> cat,
+      "price" -> price, "county" -> county, "countycode" -> cc, "categorygroup" -> cg)
+    // golden normalization (functional.py): drop KBC__EVENT_TIMESTAMP_MS, renumber order
+    def normalized(outDir: String): Seq[String] = {
+      val lines = Option(new java.io.File(outDir).listFiles()).get
+        .filter(_.getName.endsWith(".csv"))
+        .flatMap(f => Files.readAllLines(f.toPath).asScala)
+        .sortBy(_.split(",", -1).last.toLong)
+      lines.zipWithIndex.map { case (l, i) =>
+        val f = l.split(",", -1)
+        (f.patch(9, Nil, 1).dropRight(1) :+ i.toString).mkString(",") // drop ts, renumber order
+      }.toSeq
+    }
+    val exclude = Seq("^inventory\\.sales\\.user.*")
+
+    // ---- 01 full load: 5 snapshot reads
+    val base1 = Files.createTempDirectory("graft-colfilter1").toString
+    val snap = Seq(
+      row("39153", "SKU1", "2013-09-23 22:38:29", "Cameras", "708.00000", "Smith", "28129", "Electronics"),
+      row("89124", "SKU2", "2013-09-23 22:38:30", "Televisions", "1546.00000", "Clark", "32003", "Electronics"),
+      row("21020", "ZD111483", "2013-09-23 22:38:31", "Loose Stones", "1262.00000", "Baltimore", "24005", "Jewelry"),
+      row("18501", "ZD111395", "2013-09-23 22:38:32", "Stereo", "104.00000", "Lackawanna", "42069", "Electronics"),
+      row("44127", "ZD111451", "2013-09-23 22:38:33", "Earings", "1007.00000", "Cuyahoga", "39035", "Jewelry"))
+    Files.createDirectories(Paths.get(s"$base1/spool"))
+    Files.write(Paths.get(s"$base1/spool", "000.jsonl"), snap.zipWithIndex.map { case (r, i) =>
+      s"""{"table":"inventory.sales","op":"r","after":${payload(r)},"before":null,"source":{"ts_ms":${1000 + i}}}"""
+    }.asJava)
+    CdcRunner.run(spark, RunConfig(spoolDir = s"$base1/spool", workDir = s"$base1/work",
+      outDir = s"$base1/out", mode = "append", excludeColumnsRegex = exclude))
+    assert(normalized(s"$base1/out/tables/inventory_sales.csv") == Seq(
+      "39153,SKU1,2013-09-23 22:38:29,Cameras,708.00000,Smith,28129,Electronics,r,false,0",
+      "89124,SKU2,2013-09-23 22:38:30,Televisions,1546.00000,Clark,32003,Electronics,r,false,1",
+      "21020,ZD111483,2013-09-23 22:38:31,Loose Stones,1262.00000,Baltimore,24005,Jewelry,r,false,2",
+      "18501,ZD111395,2013-09-23 22:38:32,Stereo,104.00000,Lackawanna,42069,Electronics,r,false,3",
+      "44127,ZD111451,2013-09-23 22:38:33,Earings,1007.00000,Cuyahoga,39035,Jewelry,r,false,4"))
+    // the filtered columns exist in no artifact: staging, schema registry, manifest
+    assert(!spark.read.parquet(s"$base1/work/staging/inventory_sales").columns.exists(_.startsWith("user")))
+    assert(!Files.readString(Paths.get(s"$base1/work/schemas.json")).contains("user"))
+    assert(!Files.readString(Paths.get(s"$base1/out/tables/inventory_sales.csv.manifest")).contains("user"))
+
+    // ---- 02 chained changes: 2 inserts, 1 update, 1 PK-only delete
+    val base2 = Files.createTempDirectory("graft-colfilter2").toString
+    val events = Seq(
+      s"""{"table":"inventory.sales","op":"c","after":${payload(row("10001", "SKU10", "2023-01-01", "Electronics", "199.99000", "New York", "NY", "Electronics"))},"before":null,"source":{"ts_ms":2001}}""",
+      s"""{"table":"inventory.sales","op":"c","after":${payload(row("90001", "SKU20", "2023-01-02", "Books", "14.99000", "Los Angeles", "CA", "Books"))},"before":null,"source":{"ts_ms":2002}}""",
+      s"""{"table":"inventory.sales","op":"u","after":${payload(row("39153", "SKU1", "2013-09-23 22:38:29", "Cameras", "249.99000", "Smith", "28129", "Electronics"))},"before":{"createdate":"2013-09-23 22:38:29"},"source":{"ts_ms":2003}}""",
+      s"""{"table":"inventory.sales","op":"d","after":null,"before":{"createdate":"2013-09-23 22:38:30"},"source":{"ts_ms":2004}}""")
+    Files.createDirectories(Paths.get(s"$base2/spool"))
+    Files.write(Paths.get(s"$base2/spool", "000.jsonl"), events.asJava)
+    CdcRunner.run(spark, RunConfig(spoolDir = s"$base2/spool", workDir = s"$base2/work",
+      outDir = s"$base2/out", mode = "append", excludeColumnsRegex = exclude))
+    assert(normalized(s"$base2/out/tables/inventory_sales.csv") == Seq(
+      "10001,SKU10,2023-01-01,Electronics,199.99000,New York,NY,Electronics,c,false,0",
+      "90001,SKU20,2023-01-02,Books,14.99000,Los Angeles,CA,Books,c,false,1",
+      "39153,SKU1,2013-09-23 22:38:29,Cameras,249.99000,Smith,28129,Electronics,u,false,2",
+      ",,2013-09-23 22:38:30,,,,,,d,true,3"))
+  }
+
   test("schema-drift-chained/02: ALTER ADD + DROP mid-run, 6-row golden (append mode)") {
     // Replica of `ex_postgres_cdc/tests/functional/schema-drift-chained/
     // 02_inserts_updates_deletes_alter`: 2 inserts, update, delete, ALTER ADD COLUMN
