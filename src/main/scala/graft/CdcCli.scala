@@ -15,7 +15,9 @@ import graft.streaming.CdcRunner.RunConfig
  *     [--mode APPEND|DEDUPE] [--pk table=col1,col2]... [--max-batch-bytes n] \
  *     [--stop-at-pos n] [--stop-at-file f] [--max-wait-ms n] [--max-duration-ms n] \
  *     [--signal-file path] [--signal-table t] [--read-only] \
- *     [--include-cols t=c1,c2] [--exclude-cols t=c3] [--include t1,t2] [--snapshot-tables t1,t2] [--cpus n]
+ *     [--include-cols t=c1,c2] [--exclude-cols t=c3] \
+ *     [--include-cols-regex re]... [--exclude-cols-regex re]... \
+ *     [--include t1,t2] [--snapshot-tables t1,t2] [--cpus n]
  */
 object CdcCli {
 
@@ -30,6 +32,8 @@ object CdcCli {
       readOnly: Boolean = false,
       includeCols: Map[String, Seq[String]] = Map.empty,
       excludeCols: Map[String, Seq[String]] = Map.empty,
+      includeColsRegex: Seq[String] = Nil,
+      excludeColsRegex: Seq[String] = Nil,
       wireFormat: Boolean = false,
       cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
 
@@ -57,6 +61,11 @@ object CdcCli {
       case "--exclude-cols" :: v :: t =>
         val Array(table, cols) = v.split("=", 2)
         loop(t, acc.copy(excludeCols = acc.excludeCols + (table -> cols.split(",").toSeq)))
+      // the reference's column_filter config: regexes over fully-qualified <table>.<column>
+      case "--include-cols-regex" :: v :: t =>
+        loop(t, acc.copy(includeColsRegex = acc.includeColsRegex :+ v))
+      case "--exclude-cols-regex" :: v :: t =>
+        loop(t, acc.copy(excludeColsRegex = acc.excludeColsRegex :+ v))
       case "--include" :: v :: t => loop(t, acc.copy(include = Some(v.split(",").toSet)))
       case "--snapshot-tables" :: v :: t => loop(t, acc.copy(snapshotTables = v.split(",").toSeq))
       case "--wire-format" :: t => loop(t, acc.copy(wireFormat = true))
@@ -88,6 +97,7 @@ object CdcCli {
         maxWaitMs = a.maxWaitMs, maxDurationMs = a.maxDurationMs,
         signalFile = a.signalFile, signalTable = a.signalTable, readOnly = a.readOnly,
         includeColumns = a.includeCols, excludeColumns = a.excludeCols,
+        includeColumnsRegex = a.includeColsRegex, excludeColumnsRegex = a.excludeColsRegex,
         wireFormat = a.wireFormat))
       val tables = res.tables.toSeq.sortBy(_._1)
         .map { case (t, n) => s""""$t": $n""" }.mkString("{", ", ", "}")

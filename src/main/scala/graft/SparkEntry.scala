@@ -494,6 +494,18 @@ object SparkEntry {
       VectorOps.annRecallGate(exact, approx, cands, recallFloor = 0.5, candCap = 480L)
     }),
 
+    // PQ: 16-centroid codebooks over 8 subspaces -> 8 codes/vector (16x smaller than the
+    // float32 vectors), ADC-scored shortlist, exact rerank. The shortlist (<= 32/query) IS
+    // the candidate set, so boundedness holds by construction and is asserted anyway.
+    "emb_ann_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+      val exact = VectorOps.bruteForceTopK(e, q, k = 3)
+      val short = VectorOps.pqTopK(e, q, k = 64, m = 8, kCode = 16, shortlist = 64)
+      val approx = VectorOps.rankTopK(short, 3)
+      VectorOps.annRecallGate(exact, approx, short, recallFloor = 0.5, candCap = 480L)
+    }),
+
     "emb_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 8)
@@ -620,6 +632,9 @@ object SparkEntry {
       "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok, TRUE AS bounded_ok FROM embeddings WHERE vec_id < 8",
 
     "emb_ann_ivf" ->
+      "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok, TRUE AS bounded_ok FROM embeddings WHERE vec_id < 8",
+
+    "emb_ann_pq" ->
       "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok, TRUE AS bounded_ok FROM embeddings WHERE vec_id < 8",
 
     "q1_agg" ->

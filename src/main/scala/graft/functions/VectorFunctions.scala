@@ -161,6 +161,95 @@ object VectorExpressions {
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
+
+  /**
+   * `pq_encode(vec)` — Product-Quantization codes: the vector is split into `m` equal
+   * subvectors; each is replaced by the index of its nearest (L2) codebook centroid.
+   * 64 float32 dims × m=8, k=16 ⇒ 8 small ints per vector — the 16–32× compression that
+   * lets a 100 TB embedding corpus fit cluster memory for ANN shortlisting. Codebooks
+   * (m × k × dim/m, trained by [[graft.ops.VectorOps.pqTrain]]) ship inside the plan.
+   */
+  case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(a: Any): Any = {
+      val v = floats(a)
+      val m = codebooks.length
+      val dsub = v.length / m
+      val codes = new Array[Int](m)
+      var s = 0
+      while (s < m) {
+        val book = codebooks(s)
+        var best = 0; var bestD = Double.MaxValue; var j = 0
+        while (j < book.length) {
+          val ct = book(j)
+          var d = 0.0; var i = 0
+          val n = math.min(ct.length, dsub)
+          while (i < n) {
+            val diff = v(s * dsub + i).toDouble - ct(i)
+            d += diff * diff; i += 1
+          }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        codes(s) = best
+        s += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /**
+   * `pq_lut(qvec)` — the query's ADC lookup table: `lut[s][j] = q_sub_s · codebook[s][j]`,
+   * flattened to one float array (m·k entries). Computed once per query row; scoring a
+   * corpus code against it is `m` array reads ([[PqAdcDot]]) instead of a `dim`-length
+   * dot product — the asymmetric-distance computation of Jégou et al. (PQ for NN search).
+   */
+  case class PqLut(child: Expression, codebooks: Array[Array[Array[Float]]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(a: Any): Any = {
+      val q = floats(a)
+      val m = codebooks.length
+      val k = codebooks(0).length
+      val dsub = q.length / m
+      val lut = new Array[Float](m * k)
+      var s = 0
+      while (s < m) {
+        var j = 0
+        while (j < k) {
+          val ct = codebooks(s)(j)
+          var acc = 0.0; var i = 0
+          val n = math.min(ct.length, dsub)
+          while (i < n) { acc += q(s * dsub + i).toDouble * ct(i); i += 1 }
+          lut(s * k + j) = acc.toFloat
+          j += 1
+        }
+        s += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(lut)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** `pq_adc_dot(codes, lut)` — approximate `q · x` from PQ codes: `Σ_s lut[s·k + code_s]`. */
+  case class PqAdcDot(left: Expression, right: Expression, k: Int)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val codes = a.asInstanceOf[ArrayData].toIntArray()
+      val lut = floats(b)
+      var acc = 0.0; var s = 0
+      while (s < codes.length) { acc += lut(s * k + codes(s)); s += 1 }
+      acc
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
 }
 
 /** Column-level API. */
@@ -182,4 +271,11 @@ object VectorFunctions {
 
   def nearestCentroids(v: Column, centroids: Array[Array[Float]], nProbe: Int): Column =
     column(NearestCentroids(expression(v), centroids, nProbe))
+
+  def pqEncode(v: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    column(PqEncode(expression(v), codebooks))
+  def pqLut(q: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    column(PqLut(expression(q), codebooks))
+  def pqAdcDot(codes: Column, lut: Column, k: Int): Column =
+    column(PqAdcDot(expression(codes), expression(lut), k))
 }

@@ -154,6 +154,25 @@ class VectorOpsSpec extends SparkSpec {
     assert(objTrained < objSeed, s"training did not improve: $objSeed -> $objTrained")
   }
 
+  test("PQ: codes compress 16x, ADC approximates cosine, rerank recall beats the gate floor") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 8)
+    // model shape: m codebooks of k centroids of dim/m floats; codes are m ints per vector
+    val books = VectorOps.pqTrain(e, m = 8, k = 16, iters = 2)
+    assert(books.length == 8 && books.forall(b => b.length == 16 && b.forall(_.length == 8)))
+    val dim = e.select(size(col("embedding"))).first().getInt(0)
+    assert(dim == 64) // 64 float32 = 256 B -> 8 codes (max 16 fits a nibble) = 16-32x smaller
+    // deterministic end to end
+    val a = VectorOps.pqTopK(e, q, k = 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = VectorOps.pqTopK(e, q, k = 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    // recall of the shortlist+rerank vs exact top-k, with headroom over the 0.5 gate floor
+    val exact = VectorOps.bruteForceTopK(e, q, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect a).size.toDouble / exact.size
+    assert(recall >= 0.75, s"PQ recall $recall under expected headroom")
+  }
+
   test("ANN recall on real embeddings: LSH and IVF beat their gate floors with margin") {
     // deterministic (seeded planes, fixed testdata): recall measured here documents the
     // actual headroom above the driver-gate floors (LSH 0.5, IVF 0.25)

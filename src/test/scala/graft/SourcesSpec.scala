@@ -109,5 +109,11 @@ class CdcCliSpec extends AnyFunSuite {
     assert(b.signalFile.contains("/sig.json") && b.readOnly && b.maxWaitMs.contains(5000L))
     assert(b.stopAtFile.contains("b.000002"))
     assert(b.includeCols == Map("t1" -> Seq("id", "name")) && b.excludeCols == Map("t1" -> Seq("ssn")))
+
+    val c = CdcCli.parseArgs(Seq(
+      "--spool", "/s", "--work", "/w", "--out", "/o",
+      "--exclude-cols-regex", "^inventory\\.sales\\.user.*",
+      "--exclude-cols-regex", "^.*\\.secret$"))
+    assert(c.excludeColsRegex == Seq("^inventory\\.sales\\.user.*", "^.*\\.secret$"))
   }
 }
