@@ -75,12 +75,19 @@ object SparkEntry {
       lit("}}")).as("value"))
   }
 
-  /** Parse + unwrap (P1/P2) + normalize (P8): the full envelope→staging-row path. */
+  /** Parse + unwrap (P1/P2) + normalize (P8): the full envelope→staging-row path.
+    * Tombstones (no op) and truncates drop BELOW the parse via a cheap streaming-path
+    * predicate, so the full envelope parse runs exactly once per surviving row (see the
+    * plan note on [[Cdc.unwrapEnvelope]] — the naive post-parse filter re-evaluates the
+    * parse 3× per row in an interpreted Filter). */
   private def unwrapped(s: SparkSession, dir: String): DataFrame = {
+    val rawOp = get_json_object(col("value"), "$.op")
     val parsed = eventEnvelopes(s, dir)
+      .filter(rawOp.isNotNull && rawOp =!= lit("t"))
       .select(from_json(col("value"), EnvelopeSchema).as("j"))
       .select(col("j.*"))
-    Cdc.normalizeColumns(Cdc.unwrapEnvelope(parsed, withBinlogPosition = true))
+    Cdc.normalizeColumns(Cdc.unwrapEnvelope(parsed, withBinlogPosition = true,
+      preFiltered = true))
   }
 
   private val unwrapOracle =

@@ -213,6 +213,102 @@ object TextExpressions {
    * expression (null-intolerant unary, CodegenFallback like the other per-document text
    * kernels whose inner loop dwarfs the call overhead).
    */
+  /** Thread-local MD5 (MessageDigest is stateful); the JDK implementation is intrinsified. */
+  private val md5Digest = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 60 bits of md5(s) as a long — bit-identical to the oracle twin
+    * `CAST('0x' || substring(md5(s), 1, 15) AS BIGINT)` (15 hex nibbles = top 60 bits of
+    * the first 8 digest bytes, big-endian). */
+  private def md5Hash60(bytes: Array[Byte]): Long = {
+    val d = md5Digest.get()
+    d.reset()
+    val dig = d.digest(bytes)
+    var v = 0L; var i = 0
+    while (i < 8) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /**
+   * `md5_shingle_bottom_k(tokens)` — the ORACLE-parity document fingerprint in one pass:
+   * word `n`-gram shingles (tokens joined by single spaces), md5-60-bit hash each,
+   * distinct, k smallest ascending. Semantically identical to the HOF pipeline
+   * `slice(array_sort(array_distinct(transform(shingles(toks, n), md5Hash60))), 1, k)`
+   * but ~20× cheaper: the interpreted HOF chain allocates shingle strings and evaluates a
+   * 4-deep lambda tree per element (the bench's top hotspot once map pruning was fixed).
+   */
+  case class Md5ShingleBottomK(child: Expression, n: Int, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(n > 0 && k > 0)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      val out =
+        if (m < n) Array.emptyLongArray
+        else {
+          val hs = new Array[Long](m - n + 1)
+          val sb = new java.lang.StringBuilder()
+          var i = 0
+          while (i <= m - n) {
+            sb.setLength(0)
+            var j = 0
+            while (j < n) {
+              if (j > 0) sb.append(' ')
+              val t = arr.getUTF8String(i + j)
+              if (t != null) sb.append(t.toString)
+              j += 1
+            }
+            hs(i) = md5Hash60(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            i += 1
+          }
+          java.util.Arrays.sort(hs)
+          // distinct bottom-k off the sorted array
+          val keep = new Array[Long](math.min(k, hs.length))
+          var w = 0; var r = 0
+          while (r < hs.length && w < keep.length) {
+            if (w == 0 || hs(r) != keep(w - 1)) { keep(w) = hs(r); w += 1 }
+            r += 1
+          }
+          if (w == keep.length) keep else java.util.Arrays.copyOf(keep, w)
+        }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /**
+   * `simhash60_md5(tokens)` — the oracle-parity 60-bit SimHash in one pass: per-token
+   * md5-60-bit hashes, bit b of the result set iff MORE than half of the token
+   * occurrences (multiset) have bit b set. Identical to the nested-HOF formulation
+   * (60 filtered scans of the hash array per document) at a fraction of the cost.
+   */
+  case class SimHash60Md5(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val counts = new Array[Int](60)
+      var total = 0
+      var j = 0
+      while (j < arr.numElements()) {
+        val s = arr.getUTF8String(j)
+        if (s != null) {
+          val h = md5Hash60(s.getBytes)
+          total += 1
+          var b = 0
+          while (b < 60) { if (((h >>> b) & 1L) == 1L) counts(b) += 1; b += 1 }
+        }
+        j += 1
+      }
+      var sig = 0L; var b = 0
+      while (b < 60) { if (counts(b) * 2 > total) sig |= (1L << b); b += 1 }
+      sig
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
   case class NfcNormalize(child: Expression) extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = StringType
     override def nullIntolerant: Boolean = true
@@ -270,6 +366,11 @@ object TextFunctions {
         i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
 
   def nfc(text: Column): Column = column(NfcNormalize(expression(text)))
+
+  /** Oracle-parity md5-60-bit kernels (one-pass natives; DuckDB twins reproduce them). */
+  def md5ShingleBottomK(toks: Column, n: Int, k: Int): Column =
+    column(Md5ShingleBottomK(expression(toks), n, k))
+  def simhash60Md5(toks: Column): Column = column(SimHash60Md5(expression(toks)))
 
   def minhash(shingles: Column, k: Int): Column = column(MinHashSignature(expression(shingles), k))
   def simhash(toks: Column): Column             = column(SimHash64(expression(toks)))

@@ -50,9 +50,19 @@ object Cdc {
    *  - all other ops project `after` and `__deleted = "false"`.
    *
    * Pure column algebra: stays inside whole-stage codegen, no UDFs.
+   *
+   * PLAN NOTE — set `preFiltered = true` when the input's `before`/`after`/`op` columns are
+   * projections of ONE expensive parse (e.g. `from_json(value).as("j")` then `j.*`):
+   * Catalyst pushes this function's tombstone/truncate Filter through that projection,
+   * substituting the aliases — the predicate then re-evaluates the FULL parse up to three
+   * more times per row, outside whole-stage codegen (JsonToStructs is CodegenFallback, so
+   * the interpreted Filter does no subexpression elimination; measured 1.6 s of a 1.8 s
+   * query at sf0.1). Callers instead drop tombstones/truncates BELOW the parse with a
+   * cheap raw predicate (`get_json_object(value, '$.op')` is a streaming early-exit parse)
+   * and pass `preFiltered = true`.
    */
   def unwrapEnvelope(df: DataFrame, withBinlogPosition: Boolean = false,
-      passthrough: Seq[String] = Nil): DataFrame = {
+      passthrough: Seq[String] = Nil, preFiltered: Boolean = false): DataFrame = {
     val payloadFields = df.schema("after").dataType.asInstanceOf[StructType].fieldNames
     val isDelete = col("op") === lit("d")
     val payloadCols = payloadFields.map { f =>
@@ -63,9 +73,11 @@ object Cdc {
       col("source.ts_ms").as(TsCol)) ++
       (if (withBinlogPosition) Seq(col("source.file").as(FileCol), col("source.pos").as(PosCol)) else Nil) ++
       Seq(when(isDelete, lit("true")).otherwise(lit("false")).as(DeletedCol))
-    df.filter(col("after").isNotNull || col("before").isNotNull) // drop tombstones
-      .filter(col("op") =!= lit("t"))                            // drop truncates (SMT :208-213)
-      .select(payloadCols ++ sysCols ++ passthrough.map(col): _*)
+    val filtered =
+      if (preFiltered) df
+      else df.filter(col("after").isNotNull || col("before").isNotNull) // drop tombstones
+        .filter(col("op") =!= lit("t"))                                 // drop truncates (SMT :208-213)
+    filtered.select(payloadCols ++ sysCols ++ passthrough.map(col): _*)
   }
 
   /** D5: synthetic primary key — `CONCAT_WS('|', pk...)` (reference `staging.py:240-242`). */

@@ -178,8 +178,7 @@ object TextOps {
       col(idCol),
       concat_ws(",",
         transform(
-          slice(array_sort(array_distinct(
-            transform(TextFunctions.shingles(tokensCol(col(textCol)), 3), md5Hash60(_)))), 1, k),
+          TextFunctions.md5ShingleBottomK(tokensCol(col(textCol)), 3, k),
           _.cast("string"))).as("fingerprint"))
 
   /** The scale-path fingerprint: one-pass xxh64 bottom-k over hashed shingles
@@ -198,15 +197,5 @@ object TextOps {
    * have bit b set in their hash.
    */
   def simhash60(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    df.select(col(idCol), transform(tokensCol(col(textCol)), md5Hash60(_)).as("hs"))
-      .select(
-        col(idCol),
-        aggregate(
-          sequence(lit(0), lit(59)),
-          lit(0L),
-          (acc, b) => acc + when(
-            size(filter(col("hs"),
-              h => call_function("shiftright", h, b).bitwiseAND(lit(1L)) === lit(1L))) * 2
-              > size(col("hs")),
-            call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))).as("simhash"))
+    df.select(col(idCol), TextFunctions.simhash60Md5(tokensCol(col(textCol))).as("simhash"))
 }

@@ -236,10 +236,32 @@ object VectorOps {
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
     val dsub = dim / m
-    (0 until m).map { s =>
-      val sub = corpus.select(col(idCol), slice(col(vecCol), s * dsub + 1, dsub).as("sub"))
-      kmeansFit(sub, k, iters, idCol, "sub")
-    }.toArray
+    // seed every subspace from the k smallest-id vectors (deterministic)
+    val seedVecs = corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(k)
+      .collect().map(_.getSeq[Float](1).toArray)
+    var books = Array.tabulate(m)(s =>
+      seedVecs.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub)))
+    // ALL subspaces train in ONE aggregation pass per iteration: assignment is the same
+    // L2 PqEncode the encoder uses (not per-subspace jobs — m× fewer Spark jobs), and the
+    // update shuffles only (sub, code, pos, partial sum/count) — ≤ m·k·dsub = k·dim rows
+    // per task after map-side combine, corpus-size-independent.
+    for (_ <- 1 to iters) {
+      val rows = corpus
+        .select(VectorFunctions.pqEncode(col(vecCol), books).as("codes"),
+          posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .select(expr(s"CAST(pos div $dsub AS INT)").as("sub"),
+          expr(s"pos % $dsub").as("i"),
+          expr(s"codes[CAST(pos div $dsub AS INT)]").as("code"), col("x"))
+        .groupBy("sub", "code", "i").agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      rows.foreach { r =>
+        val (sub, code, i) = (r.getAs[Int]("sub"), r.getAs[Int]("code"), r.getAs[Int]("i"))
+        next(sub)(code)(i) = (r.getAs[Double]("sx") / r.getAs[Long]("cnt")).toFloat
+      }
+      books = next
+    }
+    books
   }
 
   /**
