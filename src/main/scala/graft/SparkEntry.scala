@@ -444,6 +444,24 @@ object SparkEntry {
     "doc_quality" -> ((s, dir) => TextOps.qualityScore(t(s, dir, "documents"))),
     "doc_tokens" -> ((s, dir) => TextOps.tokenStats(t(s, dir, "documents"))),
 
+    // unigram log-probability score (the CCNet-style LM-free perplexity proxy): corpus
+    // token frequencies broadcast back onto the token stream — no shuffle for the probe,
+    // one groupBy(doc) exchange. Per-token log10 goes through DECIMAL(18,8) before the
+    // sum so both engines add EXACTLY (fp sum order differs; ulp-level log10 differences
+    // are absorbed by the 1e-8 quantization).
+    "doc_unigram_logprob" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokensCol(col("text"))).as("token"))
+      val freq = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val total = toks.agg(count(lit(1)).as("total"))
+      toks.join(broadcast(freq), "token").crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          round((sum(log(10.0, col("cnt").cast(DoubleType) / col("total"))
+            .cast(DecimalType(18, 8))).cast(DoubleType) / count(lit(1))), 4).as("avg_logprob"))
+    }),
+
     // ---- training-data ops: corpus shaping (sampling / packing / contamination) ---------------
 
     // deterministic stratified downsampling: content-hash buckets, per-language rates —
@@ -908,6 +926,18 @@ object SparkEntry {
         |  CASE WHEN b.n_tokens > 0 THEN ROUND(b.n_distinct / CAST(b.n_tokens AS DOUBLE), 4) ELSE 0.0 END AS distinct_ratio,
         |  CASE WHEN b.n_tokens > 1 THEN ROUND(COALESCE(t2.top_bigram_n, 0) / CAST(b.n_tokens - 1 AS DOUBLE), 4) ELSE 0.0 END AS top_bigram_frac
         |FROM base b LEFT JOIN top t2 ON b.doc_id = t2.doc_id""".stripMargin,
+
+    "doc_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |freq AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+        |tot AS (SELECT COUNT(*) AS total FROM toks)
+        |SELECT t.doc_id, COUNT(*) AS n_tokens,
+        |  ROUND(CAST(SUM(CAST(LOG10(CAST(f.cnt AS DOUBLE) / t2.total) AS DECIMAL(18,8))) AS DOUBLE)
+        |    / COUNT(*), 4) AS avg_logprob
+        |FROM toks t JOIN freq f USING (token) CROSS JOIN tot t2
+        |GROUP BY t.doc_id""".stripMargin,
 
     "doc_normalize" ->
       """WITH noisy AS (SELECT doc_id,

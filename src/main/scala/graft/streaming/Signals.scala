@@ -15,9 +15,13 @@ import org.apache.spark.sql.SparkSession
  *    arrives THROUGH the change stream like any other event, so the runner extracts signals
  *    from the staged signal table after the stream drains.
  *
- * Either channel resolves to a list of tables to blocking-snapshot; the runner backfills
- * them via the source's batch path and lets LWW dedupe absorb any overlap (exactly the
- * reference's blocking-snapshot semantics).
+ * Either channel resolves to a list of tables to snapshot; the runner backfills them via
+ * the source's batch path and lets LWW dedupe absorb any overlap. Both signal types
+ * (`BLOCKING` and `INCREMENTAL`, `executor.py:244-264`) resolve to this same plan: in the
+ * bounded-run model the backfill is a batch job either way, its reads are already chunked
+ * (the source's parallel byte-range splits play Debezium's incremental-snapshot chunks),
+ * and the order-based LWW dedupe IS the DBLog watermark dedup — a streamed change to a
+ * backfilled key wins regardless of arrival interleaving.
  */
 object Signals {
 

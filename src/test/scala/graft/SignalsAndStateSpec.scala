@@ -56,6 +56,23 @@ class SignalsAndStateSpec extends SparkSpec {
     assert(new java.io.File(stagedB).list().toSet == filesBefore) // no re-staged backfill
   }
 
+  test("INCREMENTAL-type signals backfill like BLOCKING (both resolve to the batch path)") {
+    val base = Files.createTempDirectory("graft-siginc").toString
+    val spool = s"$base/spool"
+    writeSpool(spool, "000.jsonl", Seq(
+      env("s.a", "c", """{"id":1,"v":"a1"}""", 1),
+      env("s.b", "c", """{"k":9,"w":"b1"}""", 2)))
+    Signals.writeSignalFile(s"$base/sig.json", Seq("s.b"), id = "sig-inc",
+      snapshotType = "INCREMENTAL")
+    assert(Signals.readSignalFile(s"$base/sig.json").get.snapshotType == "INCREMENTAL")
+    val res = CdcRunner.run(spark, RunConfig(
+      spoolDir = spool, workDir = s"$base/work", outDir = s"$base/out",
+      includeTables = Some(Set("s.a")),
+      primaryKeys = Map("s_a" -> Seq("id"), "s_b" -> Seq("k")),
+      signalFile = Some(s"$base/sig.json")))
+    assert(res.tables.keySet == Set("s_a", "s_b") && res.tables("s_b") == 1L)
+  }
+
   test("source-table signal ids persist: staged signal rows fire exactly once") {
     val base = Files.createTempDirectory("graft-sigonce").toString
     val spool = s"$base/spool"
