@@ -453,7 +453,9 @@ object SparkEntry {
       val toks = t(s, dir, "documents")
         .select(col("doc_id"), explode(TextOps.tokensCol(col("text"))).as("token"))
       val freq = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
-      val total = toks.agg(count(lit(1)).as("total"))
+      // total token count folds off the tiny frequency table — NOT a third
+      // tokenize-and-explode pass over the corpus
+      val total = freq.agg(sum(col("cnt")).as("total"))
       toks.join(broadcast(freq), "token").crossJoin(broadcast(total))
         .groupBy("doc_id")
         .agg(
@@ -822,7 +824,7 @@ object SparkEntry {
 
     "doc_stratified_sample" ->
       """WITH b AS (SELECT doc_id, lang,
-        |  CAST('0x' || substring(md5(text), 1, 4) AS INT) % 100 AS bucket,
+        |  CAST('0x' || substring(md5(COALESCE(text, CAST(doc_id AS VARCHAR))), 1, 4) AS INT) % 100 AS bucket,
         |  CASE WHEN lang = 'en' THEN 50 WHEN lang = 'zh' THEN 100 ELSE 20 END AS keep_pct
         |  FROM documents)
         |SELECT doc_id, lang, bucket, keep_pct FROM b WHERE bucket < keep_pct""".stripMargin,
@@ -943,7 +945,7 @@ object SparkEntry {
       """WITH noisy AS (SELECT doc_id,
         |  text || '  cafe' || chr(769) || chr(9) || '(x) ' AS text FROM documents),
         |n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(text),
-        |  '[ \t\n\r\f]+', ' ', 'g'), '[\x00-\x1f\x7f]', '', 'g')) AS norm FROM noisy)
+        |  '[\x00-\x08\x0b\x0e-\x1f\x7f]', '', 'g'), '[ \t\n\r\f]+', ' ', 'g')) AS norm FROM noisy)
         |SELECT doc_id, md5(norm) AS norm_md5, CAST(length(norm) AS BIGINT) AS n_chars_norm
         |FROM n""".stripMargin,
 

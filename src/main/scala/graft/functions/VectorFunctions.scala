@@ -176,7 +176,11 @@ object VectorExpressions {
     override protected def nullSafeEval(a: Any): Any = {
       val v = floats(a)
       val m = codebooks.length
-      val dsub = v.length / m
+      val dsub = codebooks(0)(0).length
+      // fail loudly on shape mismatch — silently truncated dimensions encode plausible
+      // but wrong codes (same discipline as BandHashesExpr's degenerate-banding check)
+      require(v.length == m * dsub,
+        s"pq_encode: vector dim ${v.length} != m*dsub = ${m * dsub}")
       val codes = new Array[Int](m)
       var s = 0
       while (s < m) {
@@ -185,8 +189,7 @@ object VectorExpressions {
         while (j < book.length) {
           val ct = book(j)
           var d = 0.0; var i = 0
-          val n = math.min(ct.length, dsub)
-          while (i < n) {
+          while (i < dsub) {
             val diff = v(s * dsub + i).toDouble - ct(i)
             d += diff * diff; i += 1
           }
@@ -215,7 +218,9 @@ object VectorExpressions {
       val q = floats(a)
       val m = codebooks.length
       val k = codebooks(0).length
-      val dsub = q.length / m
+      val dsub = codebooks(0)(0).length
+      require(q.length == m * dsub,
+        s"pq_lut: query dim ${q.length} != m*dsub = ${m * dsub}")
       val lut = new Array[Float](m * k)
       var s = 0
       while (s < m) {
@@ -223,8 +228,7 @@ object VectorExpressions {
         while (j < k) {
           val ct = codebooks(s)(j)
           var acc = 0.0; var i = 0
-          val n = math.min(ct.length, dsub)
-          while (i < n) { acc += q(s * dsub + i).toDouble * ct(i); i += 1 }
+          while (i < dsub) { acc += q(s * dsub + i).toDouble * ct(i); i += 1 }
           lut(s * k + j) = acc.toFloat
           j += 1
         }

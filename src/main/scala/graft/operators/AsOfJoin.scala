@@ -67,11 +67,15 @@ object AsOfJoin {
       .orderBy(col(timeCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried0 = last(col("__r"), ignoreNulls = true).over(w)
-    val carried = tolerance match {
+    val carried1 = tolerance match {
       case Some(tol) =>
         when(col(timeCol).cast("long") - carried0.getField(timeCol).cast("long") <= tol, carried0)
       case None => carried0
     }
+    // SQL equi-join semantics: a NULL key never matches (Window.partitionBy would
+    // otherwise group all NULL-key rows into one partition and match them to each other,
+    // diverging from the ASOF JOIN oracle)
+    val carried = when(keys.map(col(_).isNotNull).reduce(_ && _), carried1)
     u.withColumn("__match", carried)
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++

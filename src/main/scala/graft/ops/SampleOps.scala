@@ -42,7 +42,10 @@ object SampleOps {
     val pct = rates.foldLeft(lit(defaultPct)) { case (acc, (stratum, p)) =>
       when(col(strataCol) === stratum, lit(p)).otherwise(acc)
     }
-    df.select(col(idCol), col(strataCol), hashBucket(col(textCol)).as("bucket"), pct.as("keep_pct"))
+    // NULL text must not silently vanish at every rate (md5(NULL) -> NULL bucket -> NULL
+    // filter): fall back to the id, keeping the decision deterministic for those rows too
+    val key = coalesce(col(textCol), col(idCol).cast("string"))
+    df.select(col(idCol), col(strataCol), hashBucket(key).as("bucket"), pct.as("keep_pct"))
       .filter(col("bucket") < col("keep_pct"))
   }
 

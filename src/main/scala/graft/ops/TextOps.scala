@@ -105,11 +105,15 @@ object TextOps {
    * full text through the comparator.
    */
   def normalizeText(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // collapse whitespace FIRST (so "a\nb" keeps its word break), then strip what's left
-    // of the control range; explicit class instead of \s — Java and RE2 disagree on \x0B
+    // strip NON-whitespace controls FIRST, then collapse whitespace runs — the other
+    // order turns "a  b" into "a  b" (the deleted control leaves two adjacent
+    // spaces the collapse already passed), breaking the single-space invariant.
+    // Whitespace controls (\t\n\r\f) are excluded from the strip so "a\nb" keeps its
+    // word break for the collapse. Explicit classes — Java and RE2 disagree on \s vs \x0B.
     val norm = trim(regexp_replace(
-      regexp_replace(graft.functions.TextFunctions.nfc(col(textCol)), "[ \\t\\n\\r\\f]+", " "),
-      "[\\x00-\\x1f\\x7f]", ""))
+      regexp_replace(graft.functions.TextFunctions.nfc(col(textCol)),
+        "[\\x00-\\x08\\x0b\\x0e-\\x1f\\x7f]", ""),
+      "[ \\t\\n\\r\\f]+", " "))
     df.select(
       col(idCol),
       md5(norm).as("norm_md5"),

@@ -290,6 +290,10 @@ object VectorOps {
     val normCorpus = l2Normalized(corpus, vecCol)
     val normQueries = l2Normalized(queries, vecCol)
     val books = trained.getOrElse(pqTrain(normCorpus, m, kCode, idCol = idCol, vecCol = vecCol))
+    // ADC stride comes from the ACTUAL codebook size, never the kCode parameter — a
+    // pre-trained model with a different k (or a seed-starved tiny corpus) must not read
+    // the LUT at the wrong stride (silently wrong scores) or past its end
+    val stride = books(0).length
     val enc = normCorpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
       VectorFunctions.pqEncode(col(vecCol), books).as("codes"))
     val q = normQueries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
@@ -297,7 +301,7 @@ object VectorOps {
     val adcScored = enc.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("q_vec"), col("c_vec"),
-        VectorFunctions.pqAdcDot(col("codes"), col("lut"), kCode).as("sim"))
+        VectorFunctions.pqAdcDot(col("codes"), col("lut"), stride).as("sim"))
     // ADC shortlist (bounded-heap aggregate), then exact rerank of shortlist rows only
     val short = adcScored.groupBy(col("query_id"))
       .agg(graft.functions.TopKFunctions.topKByScore(col("sim"), col("neighbor_id"),

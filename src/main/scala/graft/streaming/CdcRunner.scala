@@ -260,7 +260,8 @@ object CdcRunner {
     }
     if (signals.nonEmpty) { // backfill staged successfully: retire the signals
       Signals.markProcessed(processedPath, signals.map(_.id).toSet)
-      cfg.signalFile.foreach(Signals.consumeSignalFile)
+      cfg.signalFile.foreach(f =>
+        Signals.consumeSignalFile(f, tag = fileSignals.map(_.id).mkString("_")))
     }
 
     // ---- post-process: union-of-epochs read, dedupe policy, export (SURVEY §3.1 steps 8-9)

@@ -85,20 +85,28 @@ object Signals {
     (0 until root.size()).map(root.get(_).asText()).toSet
   }
 
-  /** Record signal ids as processed (called only after the backfill staged successfully). */
+  /** Record signal ids as processed (called only after the backfill staged successfully).
+    * Written via temp-file + atomic rename: this file gates re-backfills, so a crash
+    * mid-write must never leave a truncated JSON that fails every subsequent run. */
   def markProcessed(path: String, ids: Set[String]): Unit = {
     if (ids.isEmpty) return
     val all = (loadProcessedIds(path) ++ ids).toSeq.sorted
     def q(s: String) = "\"" + CsvEscape.json(s) + "\""
-    Option(Paths.get(path).getParent).foreach(Files.createDirectories(_))
-    Files.writeString(Paths.get(path), all.map(q).mkString("[", ", ", "]"))
+    val target = Paths.get(path)
+    Option(target.getParent).foreach(Files.createDirectories(_))
+    val tmp = target.resolveSibling("." + target.getFileName.toString + ".tmp")
+    Files.writeString(tmp, all.map(q).mkString("[", ", ", "]"))
+    Files.move(tmp, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Retire a consumed file-channel signal: rename aside (audit trail beats deletion). */
-  def consumeSignalFile(path: String): Unit = {
+  /** Retire a consumed file-channel signal: rename aside with the signal id in the name,
+    * so successive signals at the same path never clobber each other's audit record. */
+  def consumeSignalFile(path: String, tag: String = ""): Unit = {
     val p = Paths.get(path)
+    val suffix = if (tag.isEmpty) "" else "." + tag.replaceAll("[^A-Za-z0-9._-]", "_")
     if (Files.exists(p))
-      Files.move(p, p.resolveSibling(p.getFileName.toString + ".consumed"),
+      Files.move(p, p.resolveSibling(p.getFileName.toString + ".consumed" + suffix),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 }

@@ -213,7 +213,9 @@ class TextOpsSpec extends SparkSpec {
       (2L, "caf\u00e9"),    // precomposed é — must normalize identically to doc 1
       (3L, "a \t\r\n  b"), // whitespace run -> single space
       (4L, "x\u0000y\u0007z"), // non-whitespace controls stripped, letters merge
-      (5L, "  padded  ")).toDF("doc_id", "text")
+      (5L, "  padded  "),
+      (6L, "a \u0007 b")          // control inside a space run must not leave "a  b"
+    ).toDF("doc_id", "text")
     val out = TextOps.normalizeText(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> (r.getAs[String]("norm_md5"), r.getAs[Long]("n_chars_norm"))).toMap
     assert(out(1L) == out(2L))       // canonical equivalence detected
@@ -221,6 +223,7 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L)._2 == 3L)         // "a b"
     assert(out(4L)._2 == 3L)         // "xyz"
     assert(out(5L)._2 == 6L)         // "padded"
+    assert(out(6L)._2 == 3L)         // "a b" — strip-then-collapse order
   }
 
   test("tokenStats counts tokens/chars/bpe estimate") {

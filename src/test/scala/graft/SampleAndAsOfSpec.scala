@@ -40,6 +40,17 @@ class SampleAndAsOfSpec extends SparkSpec {
     assert(outTight(1L).isEmpty && outTight(3L).isEmpty && outTight(2L).contains(110.0))
   }
 
+  test("asofBackward: NULL keys never match (SQL equi-join semantics)") {
+    val l = Seq((Some("A"), 10L, 1L), (None, 10L, 2L))
+      .toDF("sym", "t", "trade_id").select(col("sym"), col("t"), col("trade_id"))
+    val r = Seq((Some("A"), 5L, 100.0), (None, 5L, 666.0))
+      .toDF("sym", "t", "px").select(col("sym"), col("t"), col("px"))
+    val out = AsOfJoin.asofBackward(l, r, Seq("sym"), "t", Seq("px"))
+      .collect().map(x => x.getAs[Long]("trade_id") -> Option(x.getAs[Any]("asof_px"))).toMap
+    assert(out(1L).contains(100.0))
+    assert(out(2L).isEmpty) // NULL key: no match, matching the ASOF JOIN oracle
+  }
+
   test("asofBackward preserves every left row exactly once") {
     val out = AsOfJoin.asofBackward(trades, quotes, Seq("sym"), "t", Seq("px"))
     assert(out.count() == trades.count())

@@ -44,7 +44,8 @@ class SignalsAndStateSpec extends SparkSpec {
     // consumption (ADVICE r2): the signal fired once — the file is retired aside and the
     // id recorded, so a third run does NOT re-backfill (append mode would duplicate rows)
     assert(!Files.exists(Paths.get(s"$base/signal.json")))
-    assert(Files.exists(Paths.get(s"$base/signal.json.consumed")))
+    // retired aside with the signal id in the name (no clobbering across signals)
+    assert(new java.io.File(base).list().exists(_.startsWith("signal.json.consumed")))
     assert(Signals.loadProcessedIds(s"$base/work/processed_signals.json") == Set("sig-1"))
     val stagedB = s"$base/work/staging/s_b"
     val filesBefore = new java.io.File(stagedB).list().toSet
