@@ -340,6 +340,24 @@ object SparkEntry {
           max(col("ms")).as("end_ms"))
     }),
 
+    // funnel: per-user signup -> first subsequent purchase with conversion flag and
+    // latency — the ordered-sequence analytic; conditional aggregation over one keyed
+    // join (no window, no per-user sort)
+    "ev_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ms", unix_millis(col("ts")))
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ms")).as("signup_ms"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ms").as("purchase_ms"))
+      signups.join(purchases, Seq("user_id"), "left")
+        .groupBy(col("user_id"), col("signup_ms"))
+        .agg(min(when(col("purchase_ms") >= col("signup_ms"), col("purchase_ms")))
+          .as("first_purchase_ms"))
+        .select(col("user_id"), col("signup_ms"), col("first_purchase_ms"),
+          col("first_purchase_ms").isNotNull.as("converted"),
+          (col("first_purchase_ms") - col("signup_ms")).as("latency_ms"))
+    }),
+
     // as-of join (point-in-time lookup): every event attached to the user's latest
     // signup at or before it — union-merge plan (one exchange + one ordered window pass,
     // no range-join blowup); oracle = DuckDB's native ASOF LEFT JOIN
@@ -812,6 +830,19 @@ object SparkEntry {
         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, COUNT(*) AS n_events,
         |  MIN(ms) AS start_ms, MAX(ms) AS end_ms
         |FROM s GROUP BY user_id, session_idx""".stripMargin,
+
+    "ev_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ms FROM events),
+        |s AS (SELECT user_id, MIN(ms) AS signup_ms FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (SELECT user_id, ms FROM e WHERE event_type = 'purchase'),
+        |agg AS (SELECT s.user_id, s.signup_ms,
+        |    MIN(CASE WHEN p.ms >= s.signup_ms THEN p.ms END) AS first_purchase_ms
+        |  FROM s LEFT JOIN p USING (user_id) GROUP BY 1, 2)
+        |SELECT user_id, signup_ms, first_purchase_ms,
+        |  first_purchase_ms IS NOT NULL AS converted,
+        |  first_purchase_ms - signup_ms AS latency_ms
+        |FROM agg""".stripMargin,
 
     "ev_asof_join" ->
       """WITH e AS (SELECT event_id, user_id,

@@ -207,7 +207,15 @@ object DedupOps {
       textCol: String = "text",
       idCol: String = "doc_id",
       shingleN: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      /** Skew guard for the inverted-index join: a shingle occurring in `d` documents
+        * generates d² candidate rows, so one boilerplate shingle shared by 1% of a
+        * billion-doc corpus would alone emit 10¹⁴ pairs. Capping document frequency
+        * drops stop-shingles from the index, so both candidacy and the intersection
+        * count come from sub-cap shingles — the reported jaccard is then a LOWER BOUND
+        * and pairs whose overlap is pure boilerplate drop out (the point of the cap).
+        * None = no cap, bit-exact with the naive oracle. */
+      maxDocFrequency: Option[Long] = None): DataFrame = {
     // Count-based exact Jaccard: |A∩B| is computed by COUNTING shared shingle hashes in the
     // inverted-index self-join — the shuffle carries (hash, id) pairs and the aggregation
     // (id_a, id_b) counters; the shingle sets themselves never cross the exchange. Set sizes
@@ -216,7 +224,12 @@ object DedupOps {
       array_distinct(
         TextFunctions.shingleHashes(TextFunctions.tokens(col(textCol)), shingleN)).as("sh"))
     val sizes = sh.select(col("id"), size(col("sh")).as("n"))
-    val inv = sh.select(col("id"), explode(col("sh")).as("h"))
+    val inv0 = sh.select(col("id"), explode(col("sh")).as("h"))
+    val inv = maxDocFrequency.fold(inv0) { cap =>
+      val hot = inv0.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") > cap)
+        .select("h")
+      inv0.join(broadcast(hot), Seq("h"), "left_anti")
+    }
     val a = inv.select(col("h"), col("id").as("id_a")).repartition(col("h"))
     val b = inv.select(col("h"), col("id").as("id_b"))
     val jac = col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))

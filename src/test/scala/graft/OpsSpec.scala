@@ -40,6 +40,24 @@ class DedupOpsSpec extends SparkSpec {
     assert(!pairs.contains((4L, 5L)))
   }
 
+  test("ngramJaccardPairs maxDocFrequency drops boilerplate-only pairs, keeps real overlap") {
+    // docs 1/2/3 share rare content shingles; every doc shares the hot boilerplate
+    val boiler = "copyright notice all rights reserved by the site"
+    val wide = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta $boiler"),
+      (2L, s"alpha beta gamma delta epsilon zeta $boiler"),
+      (3L, s"totally different unique content here now $boiler"),
+      (4L, s"another unrelated document body text thing $boiler")
+    ).toDF("doc_id", "text")
+    val uncapped = DedupOps.ngramJaccardPairs(wide, threshold = 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 6) // boilerplate alone links every pair
+    // cap at 2: shingles in >2 docs leave the index; only the real near-dup pair survives
+    val capped = DedupOps.ngramJaccardPairs(wide, threshold = 0.05, maxDocFrequency = Some(2L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)))
+  }
+
   test("lshBandsFor: banding tracks the threshold via the (1/b)^(1/r) midpoint rule") {
     // the S-curve midpoint (1/b)^(1/r) must sit at or below the threshold
     def midpoint(k: Int, b: Int) = math.pow(1.0 / b, b.toDouble / k)
