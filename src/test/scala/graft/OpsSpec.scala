@@ -191,6 +191,20 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall >= 0.75, s"PQ recall $recall under expected headroom")
   }
 
+  test("pqTopK with a pre-trained model of different k: stride from the model, not the param") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 4)
+    // train k=32 codebooks, then call with the DEFAULT kCode=16 — the ADC stride must
+    // come from the model (regression: the old code read the LUT at the wrong stride)
+    val books = VectorOps.pqTrain(e, m = 8, k = 32, iters = 1)
+    val out = VectorOps.pqTopK(e, q, k = 3, trained = Some(books))
+    val exact = VectorOps.bruteForceTopK(e, q, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"mis-strided ADC would collapse recall; got $recall")
+  }
+
   test("ANN recall on real embeddings: LSH and IVF beat their gate floors with margin") {
     // deterministic (seeded planes, fixed testdata): recall measured here documents the
     // actual headroom above the driver-gate floors (LSH 0.5, IVF 0.25)

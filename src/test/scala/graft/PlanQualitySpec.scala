@@ -98,6 +98,21 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("ev_funnel: conditional-aggregation funnel — keyed exchanges only, no window") {
+    val p = plan("ev_funnel")
+    assert(!p.contains("Window"))
+    val keys = "hashpartitioning\\(([a-z_]+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys == Set("user_id"), s"unexpected shuffle keys $keys")
+  }
+
+  test("doc_unigram_logprob: frequency table broadcasts onto the probe (no token join shuffle)") {
+    val p = plan("doc_unigram_logprob")
+    // the freq AGGREGATION shuffles on token (build side, inherent); the probe join must
+    // be broadcast — a sort-merge join would shuffle the full token stream a second time
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("cdc-spool batch read: large files split into parallel byte ranges") {
     val base = java.nio.file.Files.createTempDirectory("graft-split-plan").toString
     val lines = (1 to 200).map(i => s"""{"table":"t","op":"c","after":{"id":$i},"source":{"ts_ms":$i}}""")
