@@ -415,6 +415,48 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("quality_score"), col("top_bigram_frac"))
     }),
 
+    // capstone v3 — the WHOLE corpus-preparation recipe as one declarative plan:
+    // canonicalize → exact-dedup on canonical text → near-dup canonical survivors →
+    // quality + repetition + unigram-log-prob gates → deterministic stratified sample →
+    // token-budget packing. Every stage is an oracle-proven operator; Catalyst plans the
+    // composition end to end (shared scans, broadcasts, single window per stage).
+    "doc_corpus_prepare_v3" -> ((s, dir) => {
+      val d0 = t(s, dir, "documents")
+      val keep = d0.groupBy(md5(TextOps.normalizeTextCol(col("text"))).as("m"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val clusters = DedupOps.duplicateClusters(
+        DedupOps.minhashLshVerifiedPairs(d0, threshold = 0.2))
+      val dropNear = clusters.filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("doc_id"))
+      val quality = TextOps.qualityScore(d0, keep = Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("quality_score"))
+      val repetition = TextOps.repetitionScore(d0)
+        .select(col("doc_id"), col("top_bigram_frac"))
+      val toksE = d0.select(col("doc_id"), explode(TextOps.tokensCol(col("text"))).as("token"))
+      val freq = toksE.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val total = freq.agg(sum(col("cnt")).as("total"))
+      val lp = toksE.join(broadcast(freq), "token").crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(round((sum(log(10.0, col("cnt").cast(DoubleType) / col("total"))
+          .cast(DecimalType(18, 8))).cast(DoubleType) / count(lit(1))), 4).as("avg_logprob"))
+      val ntok = d0.select(col("doc_id"),
+        size(TextOps.tokensCol(col("text"))).cast("long").as("n_tokens"),
+        SampleOps.hashBucket(col("text")).as("bucket"))
+      val samplePct = when(col("lang") === "en", 50)
+        .when(col("lang") === "zh", 100).otherwise(20)
+      val survivors = d0.select(col("doc_id"))
+        .join(keep, "doc_id")
+        .join(dropNear, Seq("doc_id"), "left_anti")
+        .join(quality, "doc_id").join(repetition, "doc_id")
+        .join(lp, "doc_id").join(ntok, "doc_id")
+        .filter(col("quality_score") >= 0.55 && col("top_bigram_frac") <= 0.08 &&
+          col("avg_logprob") >= -1.5 && col("bucket") < samplePct)
+      SampleOps.packGreedy(
+        survivors.select(col("doc_id"), col("lang"), col("quality_score"),
+          col("avg_logprob"), col("n_tokens")),
+        tokenCol = "n_tokens", budget = 2048L)
+    }),
+
     "doc_minhash_lsh" -> ((s, dir) =>
       DedupOps.minhashLshVerifiedPairs(t(s, dir, "documents"), threshold = 0.2)),
 
@@ -607,6 +649,58 @@ object SparkEntry {
     "doc_ngram_jaccard" -> jaccardPairsOracle,
 
     "doc_minhash_lsh" -> jaccardPairsOracle,
+
+    "doc_corpus_prepare_v3" ->
+      (s"WITH RECURSIVE pr AS ($jaccardPairsOracle),\n" +
+        """edges AS (SELECT id_a AS src, id_b AS dst FROM pr UNION SELECT id_b, id_a FROM pr),
+          |reach(id, r) AS (
+          |  SELECT src, src FROM edges GROUP BY src
+          |  UNION
+          |  SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id),
+          |clus AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+          |drop_near AS (SELECT id AS doc_id FROM clus WHERE id <> cluster_id),
+          |norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(text),
+          |  '[\x00-\x08\x0b\x0e-\x1f\x7f]', '', 'g'), '[ \t\n\r\f]+', ' ', 'g')) AS n FROM documents),
+          |keep AS (SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY md5(n)),
+          |tk AS (SELECT doc_id, lang, text,
+          |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks FROM documents),
+          |qm AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS n_tok,
+          |  CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','on','for','with','as','at'))) AS DOUBLE) AS n_stop FROM tk),
+          |q AS (SELECT doc_id, ROUND((CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 0.5 ELSE 0.0 END)
+          |    + (CASE WHEN n_tok > 0 THEN (n_stop / n_tok) * 0.5 ELSE 0.0 END), 4) AS quality_score FROM qm),
+          |rbase AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+          |  CASE WHEN len(toks) < 2 THEN [] ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END AS bigrams FROM tk),
+          |rbg AS (SELECT doc_id, u.bg AS bg, COUNT(*) AS c FROM rbase, unnest(rbase.bigrams) AS u(bg) GROUP BY 1, 2),
+          |rtop AS (SELECT doc_id, MAX(c) AS top_bigram_n FROM rbg GROUP BY doc_id),
+          |rep AS (SELECT b.doc_id,
+          |  CASE WHEN b.n_tokens > 1 THEN ROUND(COALESCE(t2.top_bigram_n, 0) / CAST(b.n_tokens - 1 AS DOUBLE), 4) ELSE 0.0 END AS top_bigram_frac
+          |  FROM rbase b LEFT JOIN rtop t2 ON b.doc_id = t2.doc_id),
+          |tok2 AS (SELECT doc_id, unnest(toks) AS token FROM tk),
+          |freq AS (SELECT token, COUNT(*) AS cnt FROM tok2 GROUP BY token),
+          |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq),
+          |lp AS (SELECT t.doc_id,
+          |  ROUND(CAST(SUM(CAST(LOG10(CAST(f.cnt AS DOUBLE) / t2.total) AS DECIMAL(18,8))) AS DOUBLE)
+          |    / COUNT(*), 4) AS avg_logprob
+          |  FROM tok2 t JOIN freq f USING (token) CROSS JOIN tot t2 GROUP BY t.doc_id),
+          |nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+          |  CAST('0x' || substring(md5(text), 1, 4) AS INT) % 100 AS bucket FROM tk),
+          |surv AS (SELECT d.doc_id, tk.lang, q.quality_score, lp.avg_logprob, nt.n_tokens
+          |  FROM documents d
+          |  JOIN keep USING (doc_id)
+          |  JOIN tk ON tk.doc_id = d.doc_id
+          |  JOIN q ON q.doc_id = d.doc_id
+          |  JOIN rep ON rep.doc_id = d.doc_id
+          |  JOIN lp ON lp.doc_id = d.doc_id
+          |  JOIN nt ON nt.doc_id = d.doc_id
+          |  WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_near)
+          |    AND q.quality_score >= 0.55 AND rep.top_bigram_frac <= 0.08
+          |    AND lp.avg_logprob >= -1.5
+          |    AND nt.bucket < (CASE WHEN tk.lang = 'en' THEN 50 WHEN tk.lang = 'zh' THEN 100 ELSE 20 END)),
+          |w AS (SELECT doc_id, lang, quality_score, avg_logprob, n_tokens,
+          |  CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS tokens_before FROM surv)
+          |SELECT doc_id, lang, quality_score, avg_logprob, n_tokens, tokens_before,
+          |  tokens_before // 2048 AS bin_id FROM w""".stripMargin),
 
     "doc_dup_clusters" ->
       (s"WITH RECURSIVE pr AS ($jaccardPairsOracle),\n" +

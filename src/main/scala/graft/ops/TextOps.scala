@@ -96,24 +96,23 @@ object TextOps {
       .withColumn("split", when(col("bucket") < trainPct, "train").otherwise("test"))
   }
 
-  /**
-   * Text canonicalization: Unicode NFC (combining marks composed), control characters
-   * stripped, whitespace runs collapsed to single spaces, edges trimmed — the standard
-   * cleanup pass before hashing/dedup so byte-different renderings of the same text
-   * can't defeat exact dedup. A narrow map (native NFC expression + codegen'd regexps);
-   * emits the normalized text plus its digest/length so verification never ships the
-   * full text through the comparator.
-   */
-  def normalizeText(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // strip NON-whitespace controls FIRST, then collapse whitespace runs — the other
-    // order turns "a  b" into "a  b" (the deleted control leaves two adjacent
-    // spaces the collapse already passed), breaking the single-space invariant.
-    // Whitespace controls (\t\n\r\f) are excluded from the strip so "a\nb" keeps its
-    // word break for the collapse. Explicit classes — Java and RE2 disagree on \s vs \x0B.
-    val norm = trim(regexp_replace(
-      regexp_replace(graft.functions.TextFunctions.nfc(col(textCol)),
+  /** Text canonicalization (the standard cleanup before hashing/dedup, so byte-different
+    * renderings of the same text can't defeat exact dedup): the canonical-text expression
+    * itself, shared by [[normalizeText]] and composed
+    * pipelines that dedupe on canonicalized content).
+    * Strip NON-whitespace controls FIRST, then collapse whitespace runs: the other order
+    * turns "a <ctrl> b" into "a  b" (the deleted control leaves two adjacent spaces the
+    * collapse already passed), breaking the single-space invariant. Whitespace controls
+    * (tab/LF/CR/FF) are excluded from the strip so "a\nb" keeps its word break for the
+    * collapse. Explicit classes: Java and RE2 disagree on \s vs vertical tab. */
+  def normalizeTextCol(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(graft.functions.TextFunctions.nfc(c),
         "[\\x00-\\x08\\x0b\\x0e-\\x1f\\x7f]", ""),
       "[ \\t\\n\\r\\f]+", " "))
+
+  def normalizeText(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val norm = normalizeTextCol(col(textCol))
     df.select(
       col(idCol),
       md5(norm).as("norm_md5"),
