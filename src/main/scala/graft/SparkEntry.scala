@@ -160,10 +160,23 @@ object SparkEntry {
 
     // sketch aggregates for 100 TB profiling: HLL distinct counts + t-digest-style
     // approximate percentiles (implementations differ across engines -> rows-only check)
+    // sketch values are engine-specific (HLL/KLL impls differ), so the gate is a
+    // SELF-VERIFYING verdict row, like the ANN gates: per group, the HLL estimate must
+    // sit within 5% of the exact distinct count and the approx median within 2% of the
+    // exact median — the DuckDB oracle pins the expected verdict booleans.
     "q_approx_sketch" -> ((s, dir) => {
-      t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+      val li = t(s, dir, "lineitem")
+      val per = li.groupBy(col("l_returnflag")).agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median_price"))
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_median"))
+      per.agg(
+        count(lit(1)).as("n_groups"),
+        (max(abs(col("approx_parts") - col("exact_parts")).cast(DoubleType) /
+          col("exact_parts")) <= 0.05).as("hll_ok"),
+        (max(abs(col("approx_median") - col("exact_median")) / col("exact_median")) <= 0.02)
+          .as("pctl_ok"))
     }),
 
     // ---- CDC operator inventory (SURVEY §2) ---------------------------------------------------
@@ -879,6 +892,10 @@ object SparkEntry {
         |  ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS p95_price,
         |  ROUND(quantile_cont(l_discount, 0.25), 2) AS p25_discount
         |FROM lineitem""".stripMargin,
+
+    "q_approx_sketch" ->
+      """SELECT CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_groups,
+        |  TRUE AS hll_ok, TRUE AS pctl_ok FROM lineitem""".stripMargin,
 
     "cdc_anti_join" ->
       """SELECT user_id, event_id FROM events e1
