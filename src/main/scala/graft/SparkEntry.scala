@@ -371,6 +371,19 @@ object SparkEntry {
           (col("first_purchase_ms") - col("signup_ms")).as("latency_ms"))
     }),
 
+    // weekly cohort retention: users cohorted by first-active ISO week, distinct-user
+    // counts per (cohort, week offset). Both sides shuffle once on user_id (co-partitioned
+    // join), then one exchange on the small (cohort, offset) key space
+    "ev_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+      val cohort = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+      ev.distinct().join(cohort, "user_id")
+        .groupBy(col("cohort_week"),
+          (datediff(col("week"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // as-of join (point-in-time lookup): every event attached to the user's latest
     // signup at or before it — union-merge plan (one exchange + one ordered window pass,
     // no range-join blowup); oracle = DuckDB's native ASOF LEFT JOIN
@@ -564,6 +577,24 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_tokens"))
       SampleOps.packGreedy(stats, tokenCol = "n_tokens", budget = 2048L)
     }),
+
+    // C4-style line-level boilerplate removal: the corpus is single-line, so compose
+    // observable multi-line docs — two boilerplate footers shared by every doc (frequency
+    // > maxDocs, removed) plus a per-doc ref line (unique, kept); originals are kept or
+    // dropped purely by their cross-document frequency, identically in both engines
+    "doc_line_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("text",
+        concat_ws("\n", col("text"),
+          lit("Subscribe to our newsletter!"),
+          lit("(c) 2026 Example Corp"),
+          concat(lit("ref#"), col("doc_id"))))
+      DedupOps.lineDedup(d)
+    }),
+
+    // deterministic epoch shuffle: seeded-hash shard + intra-shard order, reproducible
+    // under re-runs/re-partitioning (vs orderBy(rand())); one exchange + per-shard sort
+    "doc_shuffle_shards" -> ((s, dir) =>
+      SampleOps.shuffleShards(t(s, dir, "documents"), nShards = 8, seed = "graft")),
 
     // benchmark-contamination screen: fraction of each corpus doc's distinct trigrams that
     // appear in the benchmark set (src0 plays the eval set); benchmark inventory broadcasts
@@ -955,6 +986,16 @@ object SparkEntry {
         |  first_purchase_ms - signup_ms AS latency_ms
         |FROM agg""".stripMargin,
 
+    "ev_retention" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week FROM events),
+        |c AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, week FROM e)
+        |SELECT c.cohort_week, CAST((a.week - c.cohort_week) // 7 AS INT) AS week_offset,
+        |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+
     "ev_asof_join" ->
       """WITH e AS (SELECT event_id, user_id,
         |    CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ms FROM events),
@@ -1012,6 +1053,30 @@ object SparkEntry {
         |  ROUND(CAST(COUNT(*) AS DOUBLE) / n_shingles, 6) AS contaminated_frac
         |FROM corp c JOIN bench b ON c.shingle = b.shingle
         |GROUP BY c.doc_id, c.n_shingles""".stripMargin,
+
+    "doc_line_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |    text || chr(10) || 'Subscribe to our newsletter!' || chr(10) || '(c) 2026 Example Corp'
+        |         || chr(10) || 'ref#' || CAST(doc_id AS VARCHAR) AS text FROM documents),
+        |l AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM d),
+        |ln AS (SELECT doc_id, unnest(arr) AS line FROM l),
+        |fr AS (SELECT list(h) AS freqs FROM (
+        |    SELECT md5(line) AS h FROM ln GROUP BY md5(line) HAVING COUNT(DISTINCT doc_id) > 2)),
+        |k AS (SELECT l.doc_id, l.arr,
+        |    list_filter(l.arr, x -> NOT list_contains(fr.freqs, md5(x))) AS kept
+        |  FROM l CROSS JOIN fr)
+        |SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_lines, CAST(len(kept) AS BIGINT) AS n_kept,
+        |  md5(array_to_string(kept, chr(10))) AS clean_md5
+        |FROM k""".stripMargin,
+
+    "doc_shuffle_shards" ->
+      """WITH h AS (SELECT doc_id,
+        |    md5('graft:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |s AS (SELECT doc_id, h,
+        |    CAST(CAST('0x' || substring(h, 1, 4) AS INT) % 8 AS INT) AS shard FROM h)
+        |SELECT doc_id, shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS ord
+        |FROM s""".stripMargin,
 
     "doc_top_tokens" ->
       """WITH toks AS (

@@ -241,4 +241,35 @@ object DedupOps {
       .filter(jac >= threshold)
       .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard"))
   }
+
+  /**
+   * Line-level boilerplate removal (the C4 recipe: drop every line that occurs in more
+   * than `maxDocs` distinct documents — navigation chrome, cookie banners, copyright
+   * footers). Two passes, both cheap at 100 TB:
+   *
+   *  1. frequency count: lines collapse to md5 digests BEFORE the exchange, so the
+   *     aggregation shuffles 16-byte hashes + doc ids, never text;
+   *  2. rebuild: the frequent set (boilerplate is small by nature — lines repeated across
+   *     >maxDocs documents) folds to a single array and is broadcast back onto the corpus,
+   *     so the rebuild is a pure map over the scan: document text never crosses an
+   *     exchange, and there is no per-line join or re-group to reassemble documents.
+   *
+   * Returns (idCol, n_lines, n_kept, clean_md5) where clean_md5 digests the surviving
+   * lines joined by \n in their original order (md5("") for fully-boilerplate docs).
+   */
+  def lineDedup(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      maxDocs: Int = 2): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val freq = df.select(col(idCol), explode(lines).as("line"))
+      .groupBy(md5(col("line")).as("h"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .where(col("nd") > maxDocs)
+      .agg(collect_list(col("h")).as("freqs"))
+    val kept = filter(lines, l => !array_contains(col("freqs"), md5(l)))
+    df.crossJoin(broadcast(freq))
+      .select(col(idCol),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept"),
+        md5(concat_ws("\n", kept)).as("clean_md5"))
+  }
 }

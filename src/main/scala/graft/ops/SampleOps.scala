@@ -131,4 +131,24 @@ object SampleOps {
       .withColumn("contaminated_frac",
         round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
   }
+
+  /**
+   * Deterministic training-order shuffle + sharding: every row gets a shard and an
+   * intra-shard position from a seeded hash of its id. A pure function of (seed, id) —
+   * re-runs, re-partitioning and incremental appends reproduce the identical order (what
+   * `orderBy(rand())` can never give you), and the md5 is uniform, so shards are balanced
+   * by construction with no skew handling needed. Changing the seed is a full epoch
+   * re-shuffle. Plan shape: one exchange on the shard id + an in-partition sort per shard
+   * (each shard is one training file, sized by `nShards` to fit a task at the target SF).
+   */
+  def shuffleShards(df: DataFrame, idCol: String = "doc_id", nShards: Int = 8,
+      seed: String = "graft"): DataFrame = {
+    require(nShards > 0)
+    val h = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    df.select(col(idCol), h.as("h"),
+        (conv(substring(h, 1, 4), 16, 10).cast("int") % nShards).as("shard"))
+      .withColumn("ord",
+        row_number().over(Window.partitionBy("shard").orderBy(col("h"), col(idCol))).cast("long"))
+      .drop("h")
+  }
 }

@@ -98,6 +98,35 @@ class DedupOpsSpec extends SparkSpec {
     val pairs = DedupOps.simhashPairs(docs, maxHamming = 0).collect()
     assert(pairs.exists(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L))
   }
+
+  test("lineDedup: cross-doc frequent lines drop, unique lines survive in order") {
+    val boiler = "subscribe now"
+    val multi = Seq(
+      (1L, s"alpha\n$boiler\nbravo"),
+      (2L, s"$boiler\ncharlie"),
+      (3L, s"delta\n$boiler"),
+      (4L, boiler) // fully-boilerplate doc: still emitted, md5 of empty rebuild
+    ).toDF("doc_id", "text")
+    val out = DedupOps.lineDedup(multi, maxDocs = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"), r.getAs[String]("clean_md5"))).toMap
+    assert(out(1L)._1 == 3L && out(1L)._2 == 2L)
+    assert(out(2L) == (2L, 1L, md5Hex("charlie")))
+    assert(out(3L) == (2L, 1L, md5Hex("delta")))
+    assert(out(4L) == (1L, 0L, md5Hex(""))) // no doc vanishes from the output
+    assert(out(1L)._3 == md5Hex("alpha\nbravo")) // original order, not sorted
+  }
+
+  test("lineDedup: below-threshold corpus is untouched (empty frequent set)") {
+    val multi = Seq((1L, "a\nb"), (2L, "b\nc")).toDF("doc_id", "text") // b in 2 docs <= maxDocs
+    val out = DedupOps.lineDedup(multi, maxDocs = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_kept")).toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L))
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
 }
 
 class VectorOpsSpec extends SparkSpec {

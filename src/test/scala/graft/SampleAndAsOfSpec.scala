@@ -117,4 +117,23 @@ class SampleAndAsOfSpec extends SparkSpec {
     assert(out(1L) == (3L, 2L))
     assert(!out.contains(2L)) // clean docs don't surface
   }
+
+  test("shuffleShards: deterministic, balanced-ish, dense per-shard order") {
+    val docs = (1L to 200L).toDF("doc_id")
+    val a = SampleOps.shuffleShards(docs, nShards = 4, seed = "s1").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"), r.getAs[Long]("ord")))
+    val b = SampleOps.shuffleShards(docs.repartition(7), nShards = 4, seed = "s1").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"), r.getAs[Long]("ord")))
+    assert(a.sortBy(_._1).sameElements(b.sortBy(_._1))) // repartition-invariant
+    val byShard = a.groupBy(_._2)
+    assert(byShard.keySet == Set(0, 1, 2, 3))
+    byShard.values.foreach { rows => // ord is a dense 1..n permutation within each shard
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.size))
+      assert(rows.size > 20) // uniform hash: no shard starves (expected 50 each)
+    }
+    // a different seed is a genuinely different epoch order
+    val c = SampleOps.shuffleShards(docs, nShards = 4, seed = "s2").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"), r.getAs[Long]("ord")))
+    assert(!a.sortBy(_._1).sameElements(c.sortBy(_._1)))
+  }
 }
