@@ -372,16 +372,19 @@ object SparkEntry {
     }),
 
     // weekly cohort retention: users cohorted by first-active ISO week, distinct-user
-    // counts per (cohort, week offset). Both sides shuffle once on user_id (co-partitioned
-    // join), then one exchange on the small (cohort, offset) key space
+    // counts per (cohort, week offset). ONE exchange on user_id computes the cohort AND
+    // the distinct active weeks together (collect_set absorbs the would-be distinct +
+    // self-join), then one exchange on the tiny (cohort, offset) key space; each user
+    // contributes a distinct week at most once, so count(1) IS the distinct-user count
     "ev_retention" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
+      val perUser = t(s, dir, "events")
         .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
-      val cohort = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
-      ev.distinct().join(cohort, "user_id")
+        .groupBy("user_id")
+        .agg(min(col("week")).as("cohort_week"), collect_set(col("week")).as("weeks"))
+      perUser.select(col("cohort_week"), explode(col("weeks")).as("week"))
         .groupBy(col("cohort_week"),
           (datediff(col("week"), col("cohort_week")) / 7).cast("int").as("week_offset"))
-        .agg(countDistinct(col("user_id")).as("n_users"))
+        .agg(count(lit(1)).as("n_users"))
     }),
 
     // as-of join (point-in-time lookup): every event attached to the user's latest

@@ -113,6 +113,34 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("doc_line_dedup: frequent set broadcasts; the rebuild is a pure map over the scan") {
+    val p = plan("doc_line_dedup")
+    // only the line-frequency aggregation may shuffle (md5 digests + the fold to one
+    // array); document text must re-enter via a broadcast, never an exchange or re-group
+    assert(p.contains("BroadcastNestedLoopJoin"), s"frequent set must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+    val keys = "hashpartitioning\\(([a-z_0-9#]+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    // the digest grouping expression (md5(line)) is the only permitted shuffle key —
+    // never the raw line or the document text
+    assert(keys.forall(k => k.startsWith("_groupingexpression") || k.startsWith("h#")),
+      s"only the digest agg may shuffle, got $keys")
+    assert(!p.contains("hashpartitioning(line") && !p.contains("hashpartitioning(text"))
+  }
+
+  test("doc_shuffle_shards: one exchange on the shard id + in-partition sort") {
+    val p = plan("doc_shuffle_shards")
+    val keys = "hashpartitioning\\(([a-z_]+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys == Set("shard"), s"unexpected shuffle keys $keys")
+    assert(!p.contains("rangepartitioning"), "must not global-sort the corpus")
+  }
+
+  test("ev_retention: single user_id exchange feeds cohort AND activity (no self-join)") {
+    val p = plan("ev_retention")
+    assert(!p.contains("Join"), s"retention must not self-join:\n$p")
+    val keys = "hashpartitioning\\(([a-z_]+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys == Set("user_id", "cohort_week"), s"unexpected shuffle keys $keys")
+  }
+
   test("cdc-spool batch read: large files split into parallel byte ranges") {
     val base = java.nio.file.Files.createTempDirectory("graft-split-plan").toString
     val lines = (1 to 200).map(i => s"""{"table":"t","op":"c","after":{"id":$i},"source":{"ts_ms":$i}}""")
