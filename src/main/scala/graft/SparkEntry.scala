@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
 
 import graft.operators.Cdc
 import graft.ops.{DedupOps, MultimodalOps, SampleOps, TextOps, VectorOps}
@@ -125,6 +126,25 @@ object SparkEntry {
           sum(dec(col("l_extendedprice"), 12, 2) * (lit(1) - dec(col("l_discount"), 4, 2)))
             .cast(DoubleType).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
+    }),
+
+    // multi-level aggregate via ROLLUP: Spark plans one Expand (x3 grouping sets) feeding
+    // a single partially-aggregated exchange — three GROUP BYs for the price of one scan.
+    // Rollup NULLs are disambiguated from data NULLs by grouping() and rendered 'ALL' so
+    // the cross-engine compare never sorts raw NULL keys
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01"))
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).as("g1"),
+          grouping(col("l_linestatus")).as("g2"),
+          sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+          count(lit(1)).as("count_order"))
+        .select(
+          when(col("g1") === 1, lit("ALL")).otherwise(col("l_returnflag")).as("returnflag"),
+          when(col("g2") === 1, lit("ALL")).otherwise(col("l_linestatus")).as("linestatus"),
+          col("sum_qty"), col("count_order"))
     }),
 
     "q3_top_customers" -> ((s, dir) => {
@@ -387,6 +407,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // time-series resample + forward fill: each user's daily value series re-gridded to a
+    // dense day grid (sequence + explode; no calendar table join) with gaps carried
+    // forward by last(ignoreNulls) over the per-user ordered window. Per-row values
+    // quantize to DECIMAL(18,8) before the sum so both engines add exactly. Shuffles:
+    // one (user, day) agg + the per-user window — grid rows never exceed span-days/user
+    "ev_gapfill" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("value").cast(DecimalType(18, 8)).as("v"))
+        .groupBy("user_id", "day").agg(sum(col("v")).cast(DoubleType).as("day_value"))
+      val grid = daily.groupBy("user_id")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          last(col("day_value"), ignoreNulls = true).over(w).as("filled_value"),
+          col("day_value").isNull.as("is_gap"))
+    }),
+
     // as-of join (point-in-time lookup): every event attached to the user's latest
     // signup at or before it — union-merge plan (one exchange + one ordered window pass,
     // no range-join blowup); oracle = DuckDB's native ASOF LEFT JOIN
@@ -579,6 +621,17 @@ object SparkEntry {
       val stats = TextOps.tokenStats(d, keep = Seq("lang"))
         .select(col("doc_id"), col("lang"), col("n_tokens"))
       SampleOps.packGreedy(stats, tokenCol = "n_tokens", budget = 2048L)
+    }),
+
+    // incremental-ingestion dedup: docs with id%3==0 play the already-ingested corpus
+    // (present only as their digest index); the batch re-offers every doc plus an
+    // id-shifted copy (batch-internal dupes). Admitted = novel digests, min-id survivor
+    "doc_incremental_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val index = d.filter(col("doc_id") % 3 === 0).select(md5(col("text")).as("content_md5"))
+      val batch = d.select(col("doc_id"), col("text"))
+        .union(d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      DedupOps.incrementalDedup(batch, index)
     }),
 
     // C4-style line-level boilerplate removal: the corpus is single-line, so compose
@@ -832,6 +885,15 @@ object SparkEntry {
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
+    "q_rollup" ->
+      """SELECT
+        |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+        |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
     "q3_top_customers" ->
       """SELECT c.c_custkey, c.c_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
@@ -999,6 +1061,19 @@ object SparkEntry {
         |FROM a JOIN c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
 
+    "ev_gapfill" ->
+      """WITH d AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE) AS day_value
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM d GROUP BY 1),
+        |g AS (SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM s)
+        |SELECT g.user_id, g.day,
+        |  last_value(d.day_value IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+        |  d.day_value IS NULL AS is_gap
+        |FROM g LEFT JOIN d ON g.user_id = d.user_id AND g.day = d.day""".stripMargin,
+
     "ev_asof_join" ->
       """WITH e AS (SELECT event_id, user_id,
         |    CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ms FROM events),
@@ -1056,6 +1131,14 @@ object SparkEntry {
         |  ROUND(CAST(COUNT(*) AS DOUBLE) / n_shingles, 6) AS contaminated_frac
         |FROM corp c JOIN bench b ON c.shingle = b.shingle
         |GROUP BY c.doc_id, c.n_shingles""".stripMargin,
+
+    "doc_incremental_dedup" ->
+      """WITH idx AS (SELECT md5(text) AS content_md5 FROM documents WHERE doc_id % 3 = 0),
+        |b AS (SELECT doc_id, text FROM documents
+        |      UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |s AS (SELECT md5(text) AS content_md5, MIN(doc_id) AS doc_id FROM b GROUP BY 1)
+        |SELECT s.doc_id, s.content_md5 FROM s
+        |WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.content_md5 = s.content_md5)""".stripMargin,
 
     "doc_line_dedup" ->
       """WITH d AS (SELECT doc_id,

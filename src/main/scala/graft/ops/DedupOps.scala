@@ -243,6 +243,29 @@ object DedupOps {
   }
 
   /**
+   * Incremental exact dedup for continuous ingestion: admit a new batch's documents only
+   * if (a) the content digest is absent from the existing corpus index and (b) the row is
+   * the batch-internal survivor (min id per digest). This is the shape that keeps dedup
+   * O(batch) instead of O(corpus) per run at 100 TB: the corpus is represented by its
+   * digest index (16-byte md5 + id — ~1/4000th of the text), the batch collapses to
+   * digests before any join, and the anti-join probes the index without ever rereading or
+   * reshuffling corpus text. Persist the index bucketed by `content_md5`
+   * ([[graft.sinks.Bucketing.writeBucketed]]) and the probe side alone shuffles — the
+   * index side of the sort-merge anti-join reads co-located buckets exchange-free.
+   * The updated index is `admitted ∪ index` (append the admitted digests to the bucketed
+   * index table; no rewrite).
+   *
+   * @param index existing corpus index with a `content_md5` column
+   * @return admitted rows: (idCol, content_md5), min id per novel digest
+   */
+  def incrementalDedup(batch: DataFrame, index: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    batch.select(col(idCol), md5(col(textCol)).as("content_md5"))
+      .groupBy("content_md5").agg(min(col(idCol)).as(idCol))
+      .join(index.select("content_md5"), Seq("content_md5"), "left_anti")
+      .select(col(idCol), col("content_md5"))
+
+  /**
    * Line-level boilerplate removal (the C4 recipe: drop every line that occurs in more
    * than `maxDocs` distinct documents — navigation chrome, cookie banners, copyright
    * footers). Two passes, both cheap at 100 TB:

@@ -99,6 +99,19 @@ class DedupOpsSpec extends SparkSpec {
     assert(pairs.exists(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L))
   }
 
+  test("incrementalDedup: novel digests only, batch-internal min-id survivor") {
+    val index = Seq("old doc").toDF("text").select(md5(col("text")).as("content_md5"))
+    val batch = Seq(
+      (10L, "old doc"),    // already ingested -> rejected
+      (11L, "new doc"),    // novel
+      (12L, "new doc"),    // batch-internal dup of 11 -> collapsed
+      (13L, "another new") // novel
+    ).toDF("doc_id", "text")
+    val out = DedupOps.incrementalDedup(batch, index).collect()
+      .map(_.getAs[Long]("doc_id")).sorted
+    assert(out.toSeq == Seq(11L, 13L))
+  }
+
   test("lineDedup: cross-doc frequent lines drop, unique lines survive in order") {
     val boiler = "subscribe now"
     val multi = Seq(
