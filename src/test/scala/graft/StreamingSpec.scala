@@ -203,6 +203,50 @@ class StreamingSpec extends SparkSpec {
     assert(StagingCatalog.table(spark, root, "c_t").count() == 6)
   }
 
+  test("ingest-dedup stream: cross-batch digest index; resumed run admits only novel docs") {
+    import graft.streaming.IngestDedup
+    val base = Files.createTempDirectory("graft-ingest").toString
+    val (src, idx, out, ckpt) = (s"$base/src", s"$base/index", s"$base/out", s"$base/ckpt")
+    writeSpool(src, "000.json", Seq(
+      """{"doc_id":1,"text":"alpha"}""",
+      """{"doc_id":2,"text":"beta"}""",
+      """{"doc_id":3,"text":"beta"}""")) // batch-internal dup
+    writeSpool(src, "001.json", Seq(
+      """{"doc_id":4,"text":"beta"}""",  // cross-batch dup -> rejected by the index
+      """{"doc_id":5,"text":"gamma"}"""))
+    def ingest(): Unit = {
+      val docs = spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1").json(src)
+      IngestDedup.start(docs, idx, out, ckpt).awaitTermination()
+    }
+    ingest()
+    def admittedTexts() = spark.read.parquet(out).select("text")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(admittedTexts() == Seq("alpha", "beta", "gamma"))
+    // a later file arrives; the resumed run (same checkpoint + index) admits only delta
+    writeSpool(src, "002.json", Seq(
+      """{"doc_id":6,"text":"gamma"}""",
+      """{"doc_id":7,"text":"delta"}"""))
+    ingest()
+    assert(admittedTexts() == Seq("alpha", "beta", "delta", "gamma"))
+  }
+
+  test("ingest applyBatch replay converges (a batch's own digests can't reject it)") {
+    import graft.streaming.IngestDedup
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-ingest2").toString
+    val (idx, out) = (s"$base/index", s"$base/out")
+    val b = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    assert(IngestDedup.applyBatch(b, 7L, idx, out) == 2L)
+    // crash-replay of the same batch id: re-admits the same rows instead of seeing its
+    // own digests in the index and overwriting the batch directory with nothing
+    assert(IngestDedup.applyBatch(b, 7L, idx, out) == 2L)
+    assert(spark.read.parquet(s"$out/batch=7").count() == 2)
+    // a LATER batch still dedupes against those digests (duplicate index rows harmless)
+    val b2 = Seq((3L, "alpha"), (4L, "gamma")).toDF("doc_id", "text")
+    assert(IngestDedup.applyBatch(b2, 8L, idx, out) == 1L)
+  }
+
   test("streaming dedupe of replayed events via dropDuplicatesWithinWatermark") {
     // delivery is at-least-once (§2.7); replays can also be absorbed IN the stream when a
     // bounded dedupe window suffices, complementing the batch LWW dedupe
