@@ -391,6 +391,15 @@ object SparkEntry {
           (col("first_purchase_ms") - col("signup_ms")).as("latency_ms"))
     }),
 
+    // event-type pivot: long->wide per-user counts; explicit pivot values keep the output
+    // schema static (no driver-side distinct scan), Expand-free single aggregation
+    "ev_pivot" -> ((s, dir) => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      t(s, dir, "events").groupBy("user_id")
+        .pivot("event_type", types).agg(count(lit(1)))
+        .select(col("user_id") +: types.map(c => coalesce(col(c), lit(0L)).as(s"n_$c")): _*)
+    }),
+
     // weekly cohort retention: users cohorted by first-active ISO week, distinct-user
     // counts per (cohort, week offset). ONE exchange on user_id computes the cohort AND
     // the distinct active weeks together (collect_set absorbs the would-be distinct +
@@ -570,6 +579,15 @@ object SparkEntry {
         concat(col("text"), lit("  cafe\u0301\t(x) ")))
       TextOps.normalizeText(noisy)
     }),
+
+    // token-window chunking (doc -> embedding units): narrow map + explode, zero shuffle;
+    // small window/stride so the ragged-tail and overlap arithmetic is observable at sf0.01
+    "doc_chunk" -> ((s, dir) =>
+      TextOps.chunkTokens(t(s, dir, "documents"), window = 12, stride = 8)),
+
+    // top-5 TF-IDF terms per doc: map-side-combined (doc,token) tf, vocabulary-sized df
+    // broadcast back, one ranking window; decimal-quantized scores, token tie-break
+    "doc_tfidf" -> ((s, dir) => TextOps.tfidfTopK(t(s, dir, "documents"), k = 5)),
 
     "doc_langid" -> ((s, dir) => TextOps.langId(t(s, dir, "documents"))),
     "doc_quality" -> ((s, dir) => TextOps.qualityScore(t(s, dir, "documents"))),
@@ -1051,6 +1069,15 @@ object SparkEntry {
         |  first_purchase_ms - signup_ms AS latency_ms
         |FROM agg""".stripMargin,
 
+    "ev_pivot" ->
+      """SELECT user_id,
+        |  CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+        |  CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+        |  CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+        |  CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+        |  CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error
+        |FROM events GROUP BY user_id""".stripMargin,
+
     "ev_retention" ->
       """WITH e AS (SELECT user_id,
         |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week FROM events),
@@ -1241,6 +1268,33 @@ object SparkEntry {
         |  '[\x00-\x08\x0b\x0e-\x1f\x7f]', '', 'g'), '[ \t\n\r\f]+', ' ', 'g')) AS norm FROM noisy)
         |SELECT doc_id, md5(norm) AS norm_md5, CAST(length(norm) AS BIGINT) AS n_chars_norm
         |FROM n""".stripMargin,
+
+    "doc_chunk" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, toks, unnest(range(0, len(toks), 8)) AS start
+        |  FROM t WHERE len(toks) > 0)
+        |SELECT doc_id, CAST(start // 8 AS INT) AS chunk_id,
+        |  array_to_string(toks[start+1 : start+12], ' ') AS chunk_text,
+        |  CAST(least(len(toks) - start, 12) AS BIGINT) AS n_chunk_tokens
+        |FROM c""".stripMargin,
+
+    "doc_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.token, CAST(tf.tf AS BIGINT) AS tf,
+        |    ROUND(CAST(CAST(tf.tf * (LN(CAST(1 + n.n_docs AS DOUBLE) / (1 + df.df)) + 1.0)
+        |      AS DECIMAL(18,8)) AS DOUBLE), 6) AS tfidf
+        |  FROM tf JOIN df USING (token) CROSS JOIN n),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, token ASC) AS rank FROM s)
+        |SELECT doc_id, token, tf, tfidf, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 5""".stripMargin,
 
     "doc_langid" ->
       """WITH t AS (SELECT doc_id,

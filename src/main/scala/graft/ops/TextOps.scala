@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.functions.TextFunctions
 
 /**
@@ -117,6 +118,54 @@ object TextOps {
       col(idCol),
       md5(norm).as("norm_md5"),
       length(norm).cast("long").as("n_chars_norm"))
+  }
+
+  /**
+   * Token-window chunking (the doc→embedding-unit splitter): overlapping windows of
+   * `window` tokens every `stride` tokens, in document order. Pure narrow map + explode —
+   * no shuffle, no state; chunking a 100 TB corpus runs at scan speed and the output
+   * partitions inherit the input's. Empty docs emit no chunks. The final window is the
+   * ragged tail (length `n_chunk_tokens` ≤ window); a window whose start is past the end
+   * never exists because starts stop at the last token index.
+   */
+  def chunkTokens(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      window: Int = 96, stride: Int = 64): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window)
+    df.select(col(idCol), tokensCol(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(stride))).as("start"))
+      .select(col(idCol),
+        (col("start") / stride).cast("int").as("chunk_id"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(window))).as("chunk_text"),
+        least(size(col("toks")) - col("start"), lit(window)).cast("long").as("n_chunk_tokens"))
+  }
+
+  /**
+   * Top-k TF-IDF terms per document (smooth idf, sklearn convention:
+   * ln((1+N)/(1+df)) + 1). The (doc, token) term-frequency aggregation partial-combines
+   * map-side (a document's tokens are co-located in its own row, so the exchange carries
+   * ~distinct pairs, not the token stream); document frequencies re-aggregate off that
+   * table (vocabulary-sized) and broadcast back; ranking is one window over the doc key.
+   * Scores quantize to DECIMAL(18,8) before ranking so libm ulp differences can't flip
+   * cross-engine order; ties break by token.
+   */
+  def tfidfTopK(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol), explode(tokensCol(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = df.select(countDistinct(col(idCol)).as("n_docs"))
+    val score = round((col("tf") *
+      (log((lit(1) + col("n_docs")).cast("double") / (lit(1) + col("df"))) + lit(1.0)))
+      .cast(DecimalType(18, 8)).cast("double"), 6)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("token").asc)
+    tf.join(broadcast(dfreq), "token").crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("token"), col("tf"), score.as("tfidf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("tfidf"), col("rank"))
   }
 
   /** Email pattern shared with the oracle — RE2- and Java-regex compatible subset. */

@@ -371,6 +371,38 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L).getAs[Double]("top_bigram_frac") == 0.0)
   }
 
+  test("chunkTokens: overlapping windows, ragged tail, empty docs emit nothing") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "only three tokens"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.chunkTokens(docs, window = 4, stride = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id")) ->
+        (r.getAs[String]("chunk_text"), r.getAs[Long]("n_chunk_tokens"))).toMap
+    assert(out((1L, 0)) == ("t1 t2 t3 t4", 4L))
+    assert(out((1L, 1)) == ("t4 t5 t6 t7", 4L)) // stride 3 < window 4: one-token overlap
+    assert(out((1L, 2)) == ("t7 t8 t9 t10", 4L))
+    assert(out((1L, 3)) == ("t10", 1L))          // ragged tail, start at last token
+    assert(out((2L, 0)) == ("only three tokens", 3L))
+    assert(!out.keys.exists(_._1 == 3L))         // empty doc -> no chunks
+    assert(out.size == 5)
+  }
+
+  test("tfidfTopK: rare terms outrank common ones; rank dense per doc; ties by token") {
+    val docs = Seq(
+      (1L, "common common rare"),
+      (2L, "common filler words"),
+      (3L, "common other stuff")).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopK(docs, k = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank")) -> r.getAs[String]("token")).toMap
+    // doc 1: common tf=2 x idf-floor 1.0 = 2.0 beats rare 1 x (ln(4/2)+1) ~ 1.69 —
+    // the smooth-idf floor keeps high-tf ubiquitous terms competitive by design
+    assert(out((1L, 1)) == "common")
+    assert(out((1L, 2)) == "rare")
+    assert(out((2L, 1)) == "filler") // tie with 'words' broken alphabetically
+    assert(out((2L, 2)) == "words")
+  }
+
   test("simhash60 bit votes: identical docs agree, near-identical docs are hamming-close") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
