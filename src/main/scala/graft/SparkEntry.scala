@@ -641,6 +641,23 @@ object SparkEntry {
       SampleOps.packGreedy(stats, tokenCol = "n_tokens", budget = 2048L)
     }),
 
+    // dataset-release diff: the 'after' snapshot drops id%7 docs, edits id%5 texts and
+    // adds id-shifted copies of id%11 — every change class observable; digests-only join
+    "doc_snapshot_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val after = d.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .union(d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      DedupOps.snapshotDiff(d, after)
+    }),
+
+    // corpus-percentile length buckets (curriculum mixing) — broadcast thresholds, map
+    // assignment; NOT a global NTILE sort
+    "doc_length_buckets" -> ((s, dir) =>
+      SampleOps.percentileBuckets(t(s, dir, "documents"), valueCol = "n_chars")),
+
     // incremental-ingestion dedup: docs with id%3==0 play the already-ingested corpus
     // (present only as their digest index); the batch re-offers every doc plus an
     // id-shifted copy (batch-internal dupes). Admitted = novel digests, min-id survivor
@@ -1158,6 +1175,29 @@ object SparkEntry {
         |  ROUND(CAST(COUNT(*) AS DOUBLE) / n_shingles, 6) AS contaminated_frac
         |FROM corp c JOIN bench b ON c.shingle = b.shingle
         |GROUP BY c.doc_id, c.n_shingles""".stripMargin,
+
+    "doc_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS md5_before FROM documents),
+        |b0 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        |       FROM documents WHERE doc_id % 7 <> 0
+        |       UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 11 = 0),
+        |b AS (SELECT doc_id, md5(text) AS md5_after FROM b0),
+        |j AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |    CASE WHEN a.doc_id IS NULL THEN 'added'
+        |         WHEN b.doc_id IS NULL THEN 'removed'
+        |         WHEN a.md5_before <> b.md5_after THEN 'changed'
+        |         ELSE 'unchanged' END AS change,
+        |    a.md5_before, b.md5_after
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT doc_id, change, md5_before, md5_after FROM j
+        |WHERE change <> 'unchanged'""".stripMargin,
+
+    "doc_length_buckets" ->
+      """WITH thr AS (SELECT quantile_cont(n_chars, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS thr
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CAST(len(list_filter(thr.thr, t -> t <= n_chars)) AS INT) AS bucket
+        |FROM documents CROSS JOIN thr""".stripMargin,
 
     "doc_incremental_dedup" ->
       """WITH idx AS (SELECT md5(text) AS content_md5 FROM documents WHERE doc_id % 3 = 0),

@@ -266,6 +266,26 @@ object DedupOps {
       .select(col(idCol), col("content_md5"))
 
   /**
+   * Corpus snapshot diff (dataset versioning): added / removed / changed documents
+   * between two releases, compared by content digest. Each side collapses to
+   * (id, 16-byte md5) BEFORE the full-outer join, so snapshot text never shuffles; with
+   * both releases persisted bucketed by id ([[graft.sinks.Bucketing.writeBucketed]]) the
+   * diff is exchange-free. Unchanged rows are dropped in the same plan — the output is
+   * the (small) changeset a release pipeline audits or ships as a delta.
+   */
+  def snapshotDiff(before: DataFrame, after: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    before.select(col(idCol), md5(col(textCol)).as("md5_before"))
+      .join(after.select(col(idCol), md5(col(textCol)).as("md5_after")), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("md5_before").isNull, "added")
+          .when(col("md5_after").isNull, "removed")
+          .when(col("md5_before") =!= col("md5_after"), "changed")
+          .otherwise("unchanged").as("change"),
+        col("md5_before"), col("md5_after"))
+      .filter(col("change") =!= "unchanged")
+
+  /**
    * Line-level boilerplate removal (the C4 recipe: drop every line that occurs in more
    * than `maxDocs` distinct documents — navigation chrome, cookie banners, copyright
    * footers). Two passes, both cheap at 100 TB:

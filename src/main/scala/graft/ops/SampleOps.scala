@@ -133,6 +133,23 @@ object SampleOps {
   }
 
   /**
+   * Percentile bucketing (curriculum / length-mixing buckets): rows bucketed by which
+   * corpus-level quantile thresholds they clear. The scalable alternative to a global
+   * NTILE window (which is one giant sort): thresholds come from the exact `percentile`
+   * aggregate (ObjectHashAggregate over value counts — partials compress to DISTINCT
+   * values per partition, not rows), broadcast back, and assignment is a pure map.
+   * Bucket i holds rows above the i-th threshold; `probs.size + 1` buckets total.
+   */
+  def percentileBuckets(df: DataFrame, valueCol: String, idCol: String = "doc_id",
+      probs: Seq[Double] = (1 to 9).map(_ / 10.0)): DataFrame = {
+    val thr = df.agg(
+      expr(s"percentile($valueCol, array(${probs.mkString(",")}))").as("thr"))
+    df.crossJoin(broadcast(thr))
+      .select(col(idCol), col(valueCol),
+        size(filter(col("thr"), t => t <= col(valueCol))).cast("int").as("bucket"))
+  }
+
+  /**
    * Deterministic training-order shuffle + sharding: every row gets a shard and an
    * intra-shard position from a seeded hash of its id. A pure function of (seed, id) —
    * re-runs, re-partitioning and incremental appends reproduce the identical order (what

@@ -99,6 +99,14 @@ class DedupOpsSpec extends SparkSpec {
     assert(pairs.exists(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L))
   }
 
+  test("snapshotDiff: added/removed/changed classified, unchanged dropped") {
+    val before = Seq((1L, "same"), (2L, "old"), (3L, "gone")).toDF("doc_id", "text")
+    val after = Seq((1L, "same"), (2L, "new"), (4L, "fresh")).toDF("doc_id", "text")
+    val out = DedupOps.snapshotDiff(before, after).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("change")).toMap
+    assert(out == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
   test("incrementalDedup: novel digests only, batch-internal min-id survivor") {
     val index = Seq("old doc").toDF("text").select(md5(col("text")).as("content_md5"))
     val batch = Seq(

@@ -141,6 +141,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(keys == Set("user_id", "cohort_week"), s"unexpected shuffle keys $keys")
   }
 
+  test("doc_chunk: chunking is a pure narrow map (no exchange)") {
+    val p = plan("doc_chunk")
+    assert(!p.contains("Exchange"), s"chunking must not shuffle, got:\n$p")
+  }
+
+  test("doc_tfidf: df table broadcasts back onto tf (no second token-stream shuffle)") {
+    val p = plan("doc_tfidf")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("partial_count"), "tf aggregation must map-side combine")
+  }
+
+  test("ev_pivot: a single keyed aggregation, no Expand") {
+    val p = plan("ev_pivot")
+    assert(!p.contains("Expand"), "explicit pivot values must not expand rows")
+    val keys = "hashpartitioning\\(([a-z_]+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys == Set("user_id"), s"unexpected shuffle keys $keys")
+  }
+
   test("cdc-spool batch read: large files split into parallel byte ranges") {
     val base = java.nio.file.Files.createTempDirectory("graft-split-plan").toString
     val lines = (1 to 200).map(i => s"""{"table":"t","op":"c","after":{"id":$i},"source":{"ts_ms":$i}}""")

@@ -118,6 +118,16 @@ class SampleAndAsOfSpec extends SparkSpec {
     assert(!out.contains(2L)) // clean docs don't surface
   }
 
+  test("percentileBuckets: deciles of a uniform ramp land ~10% per bucket, monotone") {
+    val rows = (1L to 100L).map(i => (i, i * 10)).toDF("doc_id", "n_chars")
+    val out = SampleOps.percentileBuckets(rows, valueCol = "n_chars").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("bucket")).toMap
+    assert(out(1L) == 0 && out(100L) == 9)
+    assert((1L until 100L).forall(i => out(i) <= out(i + 1))) // monotone in the value
+    val sizes = out.values.groupBy(identity).view.mapValues(_.size)
+    assert(sizes.values.forall(s => s >= 9 && s <= 11)) // ~uniform deciles
+  }
+
   test("shuffleShards: deterministic, balanced-ish, dense per-shard order") {
     val docs = (1L to 200L).toDF("doc_id")
     val a = SampleOps.shuffleShards(docs, nShards = 4, seed = "s1").collect()
