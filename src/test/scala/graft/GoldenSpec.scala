@@ -314,4 +314,44 @@ class GoldenSpec extends SparkSpec {
     assert(r2.tables.keySet == Set("inventory_sales", "inventory_products"))
     assert(r2.tables("inventory_products") == 1L)
   }
+
+  /**
+   * Replica of `heartbeat-incremental-chained` (01 full load + 02 changes): the heartbeat
+   * table `kbc.heartbeat` is NOT special-cased — it rides the standard pipeline as a tiny
+   * synced table whose single row LWW-collapses, op `r` after the snapshot run and `u`
+   * after the chained update run (golden CSVs `kbc_heartbeat.csv`: `1,r,false,0` →
+   * `1,u,false,0`), alongside the untouched sales table. The heartbeat UPDATE is what
+   * keeps the source's WAL advancing when sales is quiet — the run must still export the
+   * quiet table from its prior staging without duplicating rows.
+   */
+  test("heartbeat-incremental-chained: heartbeat rows LWW-collapse, r -> u across runs") {
+    val base = Files.createTempDirectory("graft-golden3").toString
+    val spool = s"$base/spool"
+    Files.createDirectories(Paths.get(spool))
+    Files.write(Paths.get(spool, "000.jsonl"), Seq(
+      """{"table":"inventory.sales","op":"r","after":{"createdate":"2023-01-01","sku":"a"},"before":null,"source":{"ts_ms":1}}""",
+      """{"table":"kbc.heartbeat","op":"r","after":{"id":1,"last_heartbeat":"2023-01-01T00:00:00Z"},"before":null,"source":{"ts_ms":2}}""").asJava)
+    val cfg = RunConfig(spoolDir = spool, workDir = s"$base/work", outDir = s"$base/out",
+      primaryKeys = Map("inventory_sales" -> Seq("createdate"), "kbc_heartbeat" -> Seq("id")))
+    val r1 = CdcRunner.run(spark, cfg)
+    assert(r1.tables == Map("inventory_sales" -> 1L, "kbc_heartbeat" -> 1L))
+    def hbLines() = readCsvDir(s"$base/out/tables/kbc_heartbeat.csv")
+    val hb1 = hbLines()
+    assert(hb1.length == 1 && hb1.head.contains(",r,"))
+
+    // run 02: only heartbeat beats (sales quiet) — one deduped 'u' row, no sales dupes
+    Files.write(Paths.get(spool, "001.jsonl"), Seq(
+      """{"table":"kbc.heartbeat","op":"u","after":{"id":1,"last_heartbeat":"2023-01-02T00:00:00Z"},"before":{"id":1},"source":{"ts_ms":3}}""",
+      """{"table":"kbc.heartbeat","op":"u","after":{"id":1,"last_heartbeat":"2023-01-03T00:00:00Z"},"before":{"id":1},"source":{"ts_ms":4}}""").asJava)
+    val r2 = CdcRunner.run(spark, cfg)
+    val hb2 = hbLines()
+    assert(hb2.length == 1 && hb2.head.contains(",u,") && hb2.head.contains("2023-01-03"))
+    assert(r2.tables("inventory_sales") == 1L) // quiet table intact, not duplicated
+  }
+
+  private def readCsvDir(dir: String): Seq[String] = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".csv")).sortBy(_.getName)
+    files.flatMap(f => Files.readAllLines(f.toPath).asScala).toSeq
+  }
 }
