@@ -1213,7 +1213,7 @@ object SparkEntry {
         |         || chr(10) || 'ref#' || CAST(doc_id AS VARCHAR) AS text FROM documents),
         |l AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM d),
         |ln AS (SELECT doc_id, unnest(arr) AS line FROM l),
-        |fr AS (SELECT list(h) AS freqs FROM (
+        |fr AS (SELECT COALESCE(list(h), []) AS freqs FROM (
         |    SELECT md5(line) AS h FROM ln GROUP BY md5(line) HAVING COUNT(DISTINCT doc_id) > 2)),
         |k AS (SELECT l.doc_id, l.arr,
         |    list_filter(l.arr, x -> NOT list_contains(fr.freqs, md5(x))) AS kept

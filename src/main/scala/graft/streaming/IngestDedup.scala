@@ -45,17 +45,42 @@ object IngestDedup {
   }
 
   /** One idempotent batch application: admit novel docs, write them to `outDir/batch=<id>`,
-    * append their digests to the index. Safe to call again with the same `batchId`. */
+    * append their digests to the index. Safe to call again with the same `batchId`.
+    *
+    * The index, output and checkpoint directories form ONE unit — restarting with a fresh
+    * checkpoint against a used index would replay batch ids whose digests already exist
+    * under other ids, silently re-admitting duplicates and overwriting old batch
+    * directories. An index that is AHEAD of the incoming batch id proves exactly that,
+    * and fails loudly instead. */
   def applyBatch(batch: DataFrame, batchId: Long, indexDir: String, outDir: String,
       textCol: String = "text", idCol: String = "doc_id"): Long = {
     val spark = batch.sparkSession
-    val prior = index(spark, indexDir).filter(col("batch_id") =!= batchId)
-    val admitted = DedupOps.incrementalDedup(batch, prior.select("content_md5"), textCol, idCol)
-    val rows = batch.join(admitted.select(idCol), Seq(idCol), "left_semi")
-    rows.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-    admitted.select(col("content_md5"), lit(batchId).as("batch_id"))
-      .write.mode("append").parquet(indexDir)
-    spark.read.parquet(s"$outDir/batch=$batchId").count()
+    val idx = index(spark, indexDir)
+    val ahead = idx.agg(max(col("batch_id")).as("m")).collect().head
+    if (!ahead.isNullAt(0) && ahead.getLong(0) > batchId)
+      throw new IllegalStateException(
+        s"digest index at $indexDir has batch_id ${ahead.getLong(0)} > incoming $batchId: " +
+          "the stream's checkpoint was reset independently of the index — restore the " +
+          "checkpoint or start a fresh index/output pair")
+    val prior = idx.filter(col("batch_id") =!= batchId)
+    // an at-least-once upstream can repeat an id (even with conflicting content); collapse
+    // to ONE deterministic version per id first — min digest, so replays pick the same
+    // version — which makes id functionally determine digest for everything below
+    val hashed = batch.withColumn("content_md5", md5(col(textCol)))
+    val minDigest = hashed.groupBy(col(idCol)).agg(min(col("content_md5")).as("content_md5"))
+    val uniq = hashed.join(minDigest, Seq(idCol, "content_md5"), "left_semi")
+      .dropDuplicates(idCol) // survivors of identical (id, digest) repeats are equal rows
+    // admitted is tiny (ids + digests) and read three times below — keep it materialized
+    // so the index probe and the batch digest scan run once, not per action
+    val admitted = DedupOps.incrementalDedup(uniq, prior.select("content_md5"), textCol, idCol)
+      .persist()
+    try {
+      val rows = uniq.join(admitted.select(idCol), Seq(idCol), "left_semi")
+      rows.drop("content_md5").write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      admitted.select(col("content_md5"), lit(batchId).as("batch_id"))
+        .write.mode("append").parquet(indexDir)
+      admitted.count()
+    } finally admitted.unpersist()
   }
 
   /** Wire the ingestion into a streaming query (bounded run: AvailableNow). */

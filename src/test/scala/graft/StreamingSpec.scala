@@ -247,6 +247,29 @@ class StreamingSpec extends SparkSpec {
     assert(IngestDedup.applyBatch(b2, 8L, idx, out) == 1L)
   }
 
+  test("ingest applyBatch: duplicate ids can't smuggle rejected digests; index-ahead run fails loudly") {
+    import graft.streaming.IngestDedup
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-ingest3").toString
+    val (idx, out) = (s"$base/index", s"$base/out")
+    // id 42 arrives twice with CONFLICTING content: the min-digest rule resolves it to
+    // 'y' (md5('y') < md5('x')) deterministically, which then dedupes against 41's 'y' —
+    // so only (41,'y') is admitted, and 'x' is neither written nor falsely indexed
+    val b = Seq((41L, "y"), (42L, "x"), (42L, "y")).toDF("doc_id", "text")
+    assert(IngestDedup.applyBatch(b, 0L, idx, out) == 1L)
+    val rows = spark.read.parquet(s"$out/batch=0").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).sorted.toSeq
+    assert(rows == Seq(41L -> "y"))
+    // 'x' lost the id-42 conflict, so it must still be admissible later
+    assert(IngestDedup.applyBatch(Seq((43L, "x")).toDF("doc_id", "text"), 1L, idx, out) == 1L)
+    // a checkpoint reset (batch ids restarting behind the index) must fail, not silently
+    // re-admit and overwrite
+    val e = intercept[IllegalStateException] {
+      IngestDedup.applyBatch(Seq((50L, "z")).toDF("doc_id", "text"), -1L, idx, out)
+    }
+    assert(e.getMessage.contains("checkpoint was reset"))
+  }
+
   test("streaming dedupe of replayed events via dropDuplicatesWithinWatermark") {
     // delivery is at-least-once (§2.7); replays can also be absorbed IN the stream when a
     // bounded dedupe window suffices, complementing the batch LWW dedupe
