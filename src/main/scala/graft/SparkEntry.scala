@@ -641,6 +641,43 @@ object SparkEntry {
       SampleOps.packGreedy(stats, tokenCol = "n_tokens", budget = 2048L)
     }),
 
+    // incremental NEAR-dup admission, self-verifying verdict gate (like the ANN gates):
+    // src0 docs play the ingested corpus (present only as minhash sigs); the batch is the
+    // other sources plus PLANTED near-copies of indexed docs (one appended token,
+    // jaccard >> threshold). The verdict asserts (a) every planted copy was rejected,
+    // (b) no admitted doc is an exact-shingle near-dup of the index at threshold+margin
+    // (margin 0.6 where banding detection is ~1-6e-7, so recall noise can't flip the row)
+    "doc_incremental_neardup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = d.filter(col("source") === "src0")
+      val indexSigs = DedupOps.minhashSigs(corpus)
+      val planted = corpus.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat(col("text"), lit(" extra")).as("text"))
+      val batch = d.filter(col("source") =!= "src0").select(col("doc_id"), col("text"))
+        .union(planted)
+      val admitted = DedupOps.nearDupAdmission(batch, indexSigs, threshold = 0.4)
+      // exact-Jaccard audit of the admitted set vs the index (shared-shingle counting,
+      // candidate-bounded like ngramJaccardPairs — never |admitted| x |index|)
+      def shingleSets(df: DataFrame) = df.select(col("doc_id").as("id"), array_distinct(
+        TextFunctions.shingleHashes(TextFunctions.tokens(col("text")), 3)).as("sh"))
+      val aSh = shingleSets(batch.join(admitted.select(col("id").as("doc_id")), "doc_id"))
+      val iSh = shingleSets(corpus)
+      val inter = aSh.select(col("id"), size(col("sh")).as("n_a"), explode(col("sh")).as("h"))
+        .join(iSh.select(col("id").as("ing_id"), size(col("sh")).as("n_i"), explode(col("sh")).as("h")), "h")
+        .groupBy("id", "ing_id", "n_a", "n_i").agg(count(lit(1)).as("inter"))
+      val dirty = inter.filter(
+        col("inter").cast("double") / (col("n_a") + col("n_i") - col("inter")) >= 0.6)
+      val nPlanted = planted.count()
+      val plantedAdmitted = admitted.filter(col("id") >= 5000000L).count()
+      admitted.agg(count(lit(1)).as("n_admitted"))
+        .select(
+          lit(nPlanted).as("n_planted"),
+          lit(plantedAdmitted == 0).as("planted_rejected_ok"),
+          lit(dirty.isEmpty).as("admitted_clean_ok"),
+          (col("n_admitted") > 0).as("some_admitted_ok"))
+    }),
+
     // dataset-release diff: the 'after' snapshot drops id%7 docs, edits id%5 texts and
     // adds id-shifted copies of id%11 — every change class observable; digests-only join
     "doc_snapshot_diff" -> ((s, dir) => {
@@ -1175,6 +1212,11 @@ object SparkEntry {
         |  ROUND(CAST(COUNT(*) AS DOUBLE) / n_shingles, 6) AS contaminated_frac
         |FROM corp c JOIN bench b ON c.shingle = b.shingle
         |GROUP BY c.doc_id, c.n_shingles""".stripMargin,
+
+    "doc_incremental_neardup" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+        |  TRUE AS planted_rejected_ok, TRUE AS admitted_clean_ok, TRUE AS some_admitted_ok
+        |FROM documents WHERE source = 'src0' AND doc_id % 2 = 0""".stripMargin,
 
     "doc_snapshot_diff" ->
       """WITH a AS (SELECT doc_id, md5(text) AS md5_before FROM documents),

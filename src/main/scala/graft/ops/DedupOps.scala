@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -264,6 +264,54 @@ object DedupOps {
       .groupBy("content_md5").agg(min(col(idCol)).as(idCol))
       .join(index.select("content_md5"), Seq("content_md5"), "left_anti")
       .select(col(idCol), col("content_md5"))
+
+  /** MinHash signatures for a corpus — the compact (id, 64-long sig) representation a
+    * near-dup index persists instead of text (~512 bytes/doc regardless of doc size). */
+  def minhashSigs(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      shingleN: Int = 3, k: Int = 64): DataFrame =
+    df.select(col(idCol).as("id"),
+      TextFunctions.minhashLong(
+        TextFunctions.shingleHashes(TextFunctions.tokens(col(textCol)), shingleN), k).as("sig"))
+
+  /**
+   * Incremental NEAR-dup admission (the LSH analog of [[incrementalDedup]]): a new batch
+   * is screened against the signature index of everything already ingested, in O(batch)
+   * work — the corpus never re-shingles, re-hashes or re-pairs. Banding blocks the probe
+   * exactly like [[minhashLshPairs]]: the cross join carries (band, band_hash, id) rows
+   * only, signatures attach once per distinct candidate, and the accept/reject measure is
+   * signature agreement ≥ threshold. Index bands are a cheap narrow projection of the
+   * compact sig table (persist them bucketed by (band, band_hash) to skip even that map
+   * at scale). Intra-batch near-dups are rejected greedily (the larger id of each
+   * detected pair loses — deterministic, possibly over-rejecting along chains, the
+   * standard C4-style compromise; run [[duplicateClusters]] offline for exact
+   * per-component survivors).
+   *
+   * @param indexSigs (id, sig) of the ingested corpus, as produced by [[minhashSigs]];
+   *                  append each admitted batch's output to it
+   * @return admitted (id, sig) rows
+   */
+  def nearDupAdmission(batch: DataFrame, indexSigs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", shingleN: Int = 3, k: Int = 64, bands: Int = 0,
+      threshold: Double = 0.4): DataFrame = {
+    val nBands = if (bands > 0) bands else lshBandsFor(k, threshold)
+    def bandsOf(sigs: DataFrame): DataFrame = sigs.select(col("id"),
+      posexplode(TextFunctions.bandHashesFast(col("sig"), nBands)).as(Seq("band", "band_hash")))
+    val est = (sa: Column, sb: Column) =>
+      size(filter(zip_with(sa, sb, _ === _), x => x)).cast("double") / k
+    val batchSigs = minhashSigs(batch, textCol, idCol, shingleN, k)
+    val idxBands = bandsOf(indexSigs).select(col("band"), col("band_hash"), col("id").as("ing_id"))
+    val candidates = bandsOf(batchSigs).repartition(col("band"), col("band_hash"))
+      .join(idxBands, Seq("band", "band_hash"))
+      .select(col("id"), col("ing_id")).distinct()
+    val rejectedByIndex = candidates
+      .join(batchSigs, "id")
+      .join(indexSigs.select(col("id").as("ing_id"), col("sig").as("ing_sig")), "ing_id")
+      .filter(est(col("sig"), col("ing_sig")) >= threshold)
+      .select("id").distinct()
+    val rejectedIntra = minhashLshPairs(batch, textCol, idCol, shingleN, k, bands, threshold)
+      .select(col("id_b").as("id")).distinct() // id_b > id_a: min id of each pair survives
+    batchSigs.join(rejectedByIndex.union(rejectedIntra).distinct(), Seq("id"), "left_anti")
+  }
 
   /**
    * Corpus snapshot diff (dataset versioning): added / removed / changed documents

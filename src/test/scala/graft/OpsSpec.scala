@@ -99,6 +99,20 @@ class DedupOpsSpec extends SparkSpec {
     assert(pairs.exists(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L))
   }
 
+  test("nearDupAdmission: index near-dups rejected, intra-batch min-id survives, novel admitted") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today and tomorrow"
+    val index = DedupOps.minhashSigs(Seq((100L, base)).toDF("doc_id", "text"))
+    val batch = Seq(
+      (1L, base + " extra"), // near-dup of the INDEXED doc -> rejected
+      (2L, "entirely different words describing completely other subject matter and themes here now"),
+      (3L, "entirely different words describing completely other subject matter and themes here today"),
+      (4L, "unrelated short standalone content nothing shared with any other document at all")
+    ).toDF("doc_id", "text")
+    val admitted = DedupOps.nearDupAdmission(batch, index, threshold = 0.4)
+      .collect().map(_.getAs[Long]("id")).sorted.toSeq
+    assert(admitted == Seq(2L, 4L)) // 1 lost to the index; 3 lost the intra-batch pair to 2
+  }
+
   test("snapshotDiff: added/removed/changed classified, unchanged dropped") {
     val before = Seq((1L, "same"), (2L, "old"), (3L, "gone")).toDF("doc_id", "text")
     val after = Seq((1L, "same"), (2L, "new"), (4L, "fresh")).toDF("doc_id", "text")
