@@ -93,4 +93,64 @@ object IngestDedup {
         applyBatch(batch, batchId, indexDir, outDir, textCol, idCol): Unit
       }
       .start()
+
+  // ---- NEAR-dup ingestion: same idempotence design over the MinHash signature index ----
+
+  private val SigIndexSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("sig", org.apache.spark.sql.types.ArrayType(LongType)),
+    StructField("batch_id", LongType)))
+
+  private def sigIndex(spark: SparkSession, dir: String): DataFrame = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(SigIndexSchema).parquet(dir)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], SigIndexSchema)
+  }
+
+  /**
+   * One idempotent NEAR-dup batch application ([[graft.ops.DedupOps.nearDupAdmission]]
+   * against the persisted signature index): O(batch) LSH screening per micro-batch, the
+   * ingested corpus present only as its 512-byte/doc signatures. Identical replay
+   * contract to [[applyBatch]] — per-batch overwrite, batch-tagged index rows excluded
+   * from their own (re)application, loud failure when the index is ahead of the stream.
+   * Determinism under replay holds because minhash, banding and the greedy intra-batch
+   * tie-break are all pure functions of content.
+   */
+  def applyBatchNear(batch: DataFrame, batchId: Long, indexDir: String, outDir: String,
+      textCol: String = "text", idCol: String = "doc_id", threshold: Double = 0.4): Long = {
+    val spark = batch.sparkSession
+    val idx = sigIndex(spark, indexDir)
+    val ahead = idx.agg(max(col("batch_id")).as("m")).collect().head
+    if (!ahead.isNullAt(0) && ahead.getLong(0) > batchId)
+      throw new IllegalStateException(
+        s"signature index at $indexDir has batch_id ${ahead.getLong(0)} > incoming $batchId: " +
+          "the stream's checkpoint was reset independently of the index — restore the " +
+          "checkpoint or start a fresh index/output pair")
+    val prior = idx.filter(col("batch_id") =!= batchId).select(col("id"), col("sig"))
+    val hashed = batch.withColumn("content_md5", md5(col(textCol)))
+    val minDigest = hashed.groupBy(col(idCol)).agg(min(col("content_md5")).as("content_md5"))
+    val uniq = hashed.join(minDigest, Seq(idCol, "content_md5"), "left_semi")
+      .dropDuplicates(idCol).drop("content_md5")
+    val admitted = DedupOps.nearDupAdmission(uniq, prior, textCol, idCol, threshold = threshold)
+      .persist()
+    try {
+      val rows = uniq.join(admitted.select(col("id").as(idCol)), Seq(idCol), "left_semi")
+      rows.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      admitted.select(col("id"), col("sig"), lit(batchId).as("batch_id"))
+        .write.mode("append").parquet(indexDir)
+      admitted.count()
+    } finally admitted.unpersist()
+  }
+
+  /** Near-dup ingestion as a bounded streaming query (AvailableNow). */
+  def startNear(docs: DataFrame, indexDir: String, outDir: String, checkpointDir: String,
+      textCol: String = "text", idCol: String = "doc_id", threshold: Double = 0.4): StreamingQuery =
+    docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatchNear(batch, batchId, indexDir, outDir, textCol, idCol, threshold): Unit
+      }
+      .start()
 }

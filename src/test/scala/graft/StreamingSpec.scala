@@ -270,6 +270,26 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("checkpoint was reset"))
   }
 
+  test("near-dup ingest stream: later batches screened against the signature index; replay converges") {
+    import graft.streaming.IngestDedup
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-ingest4").toString
+    val (idx, out) = (s"$base/index", s"$base/out")
+    val doc = "the quick brown fox jumps over the lazy dog again and again today and tomorrow"
+    val b0 = Seq((1L, doc)).toDF("doc_id", "text")
+    assert(IngestDedup.applyBatchNear(b0, 0L, idx, out) == 1L)
+    // batch 1: a near-copy of the INGESTED doc (one appended token) and a novel doc
+    val b1 = Seq(
+      (2L, doc + " extra"),
+      (3L, "entirely different words describing completely other subject matter and themes")
+    ).toDF("doc_id", "text")
+    assert(IngestDedup.applyBatchNear(b1, 1L, idx, out) == 1L)
+    assert(spark.read.parquet(s"$out/batch=1").collect().map(_.getAs[Long]("doc_id")).toSeq == Seq(3L))
+    // crash-replay of batch 1: its own signatures must not reject it
+    assert(IngestDedup.applyBatchNear(b1, 1L, idx, out) == 1L)
+    assert(spark.read.parquet(s"$out/batch=1").count() == 1)
+  }
+
   test("streaming dedupe of replayed events via dropDuplicatesWithinWatermark") {
     // delivery is at-least-once (§2.7); replays can also be absorbed IN the stream when a
     // bounded dedupe window suffices, complementing the batch LWW dedupe
