@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Cdc
+import graft.ops.DedupOps
 
 /**
  * Property tests for last-write-wins dedupe (SURVEY §5 port strategy), over seeded random
@@ -80,6 +81,57 @@ class DedupePropertiesSpec extends SparkSpec {
       val exact = pairSet(DedupOps.ngramJaccardPairs(docs, threshold = 0.3))
       assert(verified == exact, s"seed=$seed verified=$verified exact=$exact")
       assert(exact.nonEmpty, s"seed=$seed produced no near-dup pairs — weak test")
+    }
+  }
+
+  test("incremental dedup over random splits == batch dedup of the whole corpus") {
+    // feeding a corpus through incrementalDedup in arbitrary batch splits must admit
+    // exactly one id per distinct text, regardless of where the splits fall — the
+    // property that makes continuous ingestion equivalent to a from-scratch rebuild
+    import org.apache.spark.sql.functions.{col, md5}
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val texts = (0 until 30).map(_ => s"doc ${rnd.nextInt(12)}") // forced collisions
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val cut = rnd.nextInt(docs.length + 1)
+      val (b1, b2) = docs.splitAt(cut)
+      var index = spark.emptyDataset[String].toDF("content_md5")
+      var admitted = Set.empty[String]
+      for (b <- Seq(b1, b2).filter(_.nonEmpty)) {
+        val adm = DedupOps.incrementalDedup(b.toDF("doc_id", "text"), index)
+        admitted ++= adm.collect().map(_.getAs[String]("content_md5"))
+        index = index.union(adm.select("content_md5"))
+      }
+      val whole = docs.toDF("doc_id", "text")
+        .select(md5(col("text")).as("m")).distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(admitted == whole, s"seed=$seed cut=$cut")
+    }
+  }
+
+  test("lineDedup: rebuild digests equal a direct per-doc reconstruction, any maxDocs") {
+    import org.apache.spark.sql.functions.{col, md5, concat_ws}
+    val words = Seq("alpha", "beta", "gamma", "delta")
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (0 until 10).map { i =>
+        (i.toLong, Seq.fill(1 + rnd.nextInt(5))(words(rnd.nextInt(words.size))).mkString("\n"))
+      }
+      val maxDocs = 1 + rnd.nextInt(4)
+      // reference model: count distinct docs per line, filter, rejoin — computed in memory
+      val lineDocs = docs.flatMap { case (id, t) => t.split("\n").map(_ -> id) }
+        .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).distinct.size }
+      val frequent = lineDocs.filter(_._2 > maxDocs).keySet
+      val expect = docs.map { case (id, t) =>
+        id -> t.split("\n").filterNot(frequent).mkString("\n")
+      }.toMap
+      val out = DedupOps.lineDedup(docs.toDF("doc_id", "text"), maxDocs = maxDocs)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_md5")).toMap
+      for ((id, cleaned) <- expect) {
+        val expectedMd5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(cleaned.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(out(id) == expectedMd5, s"seed=$seed maxDocs=$maxDocs doc=$id")
+      }
     }
   }
 
