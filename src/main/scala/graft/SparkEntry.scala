@@ -147,6 +147,20 @@ object SparkEntry {
           col("sum_qty"), col("count_order"))
     }),
 
+    // the correlated-subquery pattern (orders above their customer's average), written
+    // decorrelated: one custkey exchange feeds the aggregate AND the probe join. The
+    // comparison is price*n > sum in exact DECIMAL — algebraically identical to
+    // price > avg but with no division, so no fp boundary can disagree across engines
+    "q_above_avg_orders" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val sums = o.groupBy("o_custkey").agg(
+        sum(dec(col("o_totalprice"))).as("sum_price"), count(lit(1)).as("n_orders"))
+      o.join(sums, "o_custkey")
+        .filter(dec(col("o_totalprice")) * col("n_orders") > col("sum_price"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          dec(col("o_totalprice")).cast(DoubleType).as("totalprice"), col("n_orders"))
+    }),
+
     "q3_top_customers" -> ((s, dir) => {
       val c = t(s, dir, "customer"); val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
       c.join(o, c("c_custkey") === o("o_custkey"))
@@ -965,6 +979,15 @@ object SparkEntry {
         |  COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_above_avg_orders" ->
+      """WITH s AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price,
+        |    COUNT(*) AS n FROM orders GROUP BY 1)
+        |SELECT o.o_orderkey, o.o_custkey,
+        |  CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+        |  CAST(s.n AS BIGINT) AS n_orders
+        |FROM orders o JOIN s USING (o_custkey)
+        |WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) * s.n > s.sum_price""".stripMargin,
 
     "q3_top_customers" ->
       """SELECT c.c_custkey, c.c_name,
