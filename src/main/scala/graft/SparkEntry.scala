@@ -682,13 +682,17 @@ object SparkEntry {
         .groupBy("id", "ing_id", "n_a", "n_i").agg(count(lit(1)).as("inter"))
       val dirty = inter.filter(
         col("inter").cast("double") / (col("n_a") + col("n_i") - col("inter")) >= 0.6)
-      val nPlanted = planted.count()
-      val plantedAdmitted = admitted.filter(col("id") >= 5000000L).count()
-      admitted.agg(count(lit(1)).as("n_admitted"))
+      // verdict computed IN-PLAN (like q_approx_sketch): one lazy single-row plan, no
+      // eager driver actions at query-construction time
+      admitted.agg(count(lit(1)).as("n_admitted"),
+          coalesce(sum(when(col("id") >= 5000000L, 1L).otherwise(0L)), lit(0L))
+            .as("n_planted_admitted"))
+        .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
+        .crossJoin(dirty.agg(count(lit(1)).as("n_dirty")))
         .select(
-          lit(nPlanted).as("n_planted"),
-          lit(plantedAdmitted == 0).as("planted_rejected_ok"),
-          lit(dirty.isEmpty).as("admitted_clean_ok"),
+          col("n_planted"),
+          (col("n_planted_admitted") === 0).as("planted_rejected_ok"),
+          (col("n_dirty") === 0).as("admitted_clean_ok"),
           (col("n_admitted") > 0).as("some_admitted_ok"))
     }),
 

@@ -292,15 +292,28 @@ object DedupOps {
    */
   def nearDupAdmission(batch: DataFrame, indexSigs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", shingleN: Int = 3, k: Int = 64, bands: Int = 0,
-      threshold: Double = 0.4): DataFrame = {
+      threshold: Double = 0.4): DataFrame =
+    nearDupAdmissionSigs(minhashSigs(batch, textCol, idCol, shingleN, k), indexSigs,
+      k, bands, threshold)
+
+  /**
+   * Signature-level core of [[nearDupAdmission]]: everything below the shingle/minhash
+   * step needs only (id, sig) — callers that already hold (or persisted) the batch
+   * signatures pass them here, so text is tokenized and hashed exactly once per batch
+   * (the streaming path [[graft.streaming.IngestDedup.applyBatchNear]] caches `batchSigs`
+   * for this reason; both the index probe and the intra-batch self-join then reuse the
+   * materialized signatures instead of re-deriving them from text).
+   */
+  def nearDupAdmissionSigs(batchSigs: DataFrame, indexSigs: DataFrame, k: Int = 64,
+      bands: Int = 0, threshold: Double = 0.4): DataFrame = {
     val nBands = if (bands > 0) bands else lshBandsFor(k, threshold)
     def bandsOf(sigs: DataFrame): DataFrame = sigs.select(col("id"),
       posexplode(TextFunctions.bandHashesFast(col("sig"), nBands)).as(Seq("band", "band_hash")))
     val est = (sa: Column, sb: Column) =>
       size(filter(zip_with(sa, sb, _ === _), x => x)).cast("double") / k
-    val batchSigs = minhashSigs(batch, textCol, idCol, shingleN, k)
+    val batchBands = bandsOf(batchSigs)
     val idxBands = bandsOf(indexSigs).select(col("band"), col("band_hash"), col("id").as("ing_id"))
-    val candidates = bandsOf(batchSigs).repartition(col("band"), col("band_hash"))
+    val candidates = batchBands.repartition(col("band"), col("band_hash"))
       .join(idxBands, Seq("band", "band_hash"))
       .select(col("id"), col("ing_id")).distinct()
     val rejectedByIndex = candidates
@@ -308,7 +321,18 @@ object DedupOps {
       .join(indexSigs.select(col("id").as("ing_id"), col("sig").as("ing_sig")), "ing_id")
       .filter(est(col("sig"), col("ing_sig")) >= threshold)
       .select("id").distinct()
-    val rejectedIntra = minhashLshPairs(batch, textCol, idCol, shingleN, k, bands, threshold)
+    // intra-batch pairs from the SAME signature table (no re-hash of text): banded
+    // self-join, estimate verify, greedy larger-id rejection
+    val intraCandidates = batchBands.select(col("band"), col("band_hash"), col("id").as("id_a"))
+      .repartition(col("band"), col("band_hash"))
+      .join(batchBands.select(col("band"), col("band_hash"), col("id").as("id_b")),
+        Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val rejectedIntra = intraCandidates
+      .join(batchSigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(batchSigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .filter(est(col("sig_a"), col("sig_b")) >= threshold)
       .select(col("id_b").as("id")).distinct() // id_b > id_a: min id of each pair survives
     batchSigs.join(rejectedByIndex.union(rejectedIntra).distinct(), Seq("id"), "left_anti")
   }

@@ -270,6 +270,21 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("checkpoint was reset"))
   }
 
+  test("ingest applyBatch: NULL text is the empty document — admitted once, deduped after") {
+    import graft.streaming.IngestDedup
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-ingest5").toString
+    val (idx, out) = (s"$base/index", s"$base/out")
+    val b0 = Seq((1L, null: String), (2L, "real text")).toDF("doc_id", "text")
+    assert(IngestDedup.applyBatch(b0, 0L, idx, out) == 2L) // null doc written, not dropped
+    val texts = spark.read.parquet(s"$out/batch=0").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(texts(1L) == "") // normalized to the empty document
+    // later null/empty docs dedupe against it like any other content class
+    val b1 = Seq((3L, null: String), (4L, "")).toDF("doc_id", "text")
+    assert(IngestDedup.applyBatch(b1, 1L, idx, out) == 0L)
+  }
+
   test("near-dup ingest stream: later batches screened against the signature index; replay converges") {
     import graft.streaming.IngestDedup
     import spark.implicits._
