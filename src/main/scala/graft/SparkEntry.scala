@@ -405,6 +405,15 @@ object SparkEntry {
           (col("first_purchase_ms") - col("signup_ms")).as("latency_ms"))
     }),
 
+    // semi-structured payload extraction: the events-table analog of the envelope parse —
+    // single-field get_json_object probes (codegen'd, no full from_json struct
+    // materialization per the cdc_unwrap lesson), then an ordinary keyed aggregate
+    "ev_props_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))),
+
     // event-type pivot: long->wide per-user counts; explicit pivot values keep the output
     // schema static (no driver-side distinct scan), Expand-free single aggregation
     "ev_pivot" -> ((s, dir) => {
@@ -1149,6 +1158,12 @@ object SparkEntry {
         |  first_purchase_ms IS NOT NULL AS converted,
         |  first_purchase_ms - signup_ms AS latency_ms
         |FROM agg""".stripMargin,
+
+    "ev_props_extract" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "ev_pivot" ->
       """SELECT user_id,
