@@ -42,6 +42,7 @@ object GraftExtensions {
     "graft_band_hashes" -> (es => BandHashesExpr(es(0), intArg(es(1), "bands"))),
     "graft_min_k_hashes" -> (es => MinKHashesLong(es(0), intArg(es(1), "k"))),
     "graft_simhash" -> (es => SimHash64(es(0))),
+    "graft_nfc"     -> (es => NfcNormalize(es(0))),
     // numeric order/score/tiebreak args are widened here so SQL callers can pass INT/FLOAT
     // columns; the aggregates themselves then type-check strictly at analysis
     "graft_latest_struct" -> (es =>

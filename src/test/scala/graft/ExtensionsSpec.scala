@@ -22,6 +22,11 @@ class ExtensionsSpec extends SparkSpec {
     assert(sig(0).getSeq[Long](0) == sig(1).getSeq[Long](0))
     assert(sig(0).getLong(1) == sig(1).getLong(1))
 
+    // NFC canonicalization: decomposed e + combining acute (5 chars) composes to 4
+    val nfc = spark.sql("SELECT length(graft_nfc('cafe\\u0301')) AS n, length('cafe\\u0301') AS raw")
+      .collect()
+    assert(nfc(0).getInt(1) == 5 && nfc(0).getInt(0) == 4)
+
     Seq((1, "old", 1L), (1, "new", 2L), (2, "only", 5L))
       .toDF("id", "v", "ord").createOrReplaceTempView("events")
     val latest = spark.sql(
