@@ -160,6 +160,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(keys == Set("user_id"), s"unexpected shuffle keys $keys")
   }
 
+  test("doc_incremental_neardup: banded blocking joins, no sort-merge on text") {
+    val p = plan("doc_incremental_neardup")
+    // candidate generation must shuffle on the (band, band_hash) blocking key
+    assert(p.contains("hashpartitioning(band"), "banded candidate join missing")
+    // the exact-dedup probe and verdict joins stay hash/broadcast — a sort-merge join
+    // over text columns would mean documents are being shuffled for comparison
+    assert(!p.contains("Sort [text"), s"text must never sort/shuffle for comparison")
+  }
+
   test("cdc-spool batch read: large files split into parallel byte ranges") {
     val base = java.nio.file.Files.createTempDirectory("graft-split-plan").toString
     val lines = (1 to 200).map(i => s"""{"table":"t","op":"c","after":{"id":$i},"source":{"ts_ms":$i}}""")

@@ -305,6 +305,29 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/batch=1").count() == 1)
   }
 
+  test("ingest -> chunk -> shard: the streaming corpus pipeline composes end to end") {
+    import graft.streaming.IngestDedup
+    import graft.ops.{SampleOps, TextOps}
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graft-e2e").toString
+    val (src, idx, out, ckpt) = (s"$base/src", s"$base/index", s"$base/out", s"$base/ckpt")
+    writeSpool(src, "000.json", Seq(
+      """{"doc_id":1,"text":"one two three four five six"}""",
+      """{"doc_id":2,"text":"one two three four five six"}""",
+      """{"doc_id":3,"text":"seven eight nine ten eleven twelve thirteen"}"""))
+    val docs = spark.readStream.schema("doc_id LONG, text STRING").json(src)
+    IngestDedup.start(docs, idx, out, ckpt).awaitTermination()
+    val corpus = spark.read.parquet(out)
+    assert(corpus.count() == 2) // dedupe happened in-stream
+    // downstream batch stages run unchanged over the ingested store
+    val chunks = TextOps.chunkTokens(corpus, window = 4, stride = 4)
+    assert(chunks.count() == 4) // 6 tokens -> 2 chunks, 7 tokens -> 2 chunks
+    val shards = SampleOps.shuffleShards(chunks
+      .select((col("doc_id") * 100 + col("chunk_id")).as("doc_id")), nShards = 2)
+    assert(shards.count() == 4)
+    assert(shards.select("shard").distinct().count() <= 2)
+  }
+
   test("streaming dedupe of replayed events via dropDuplicatesWithinWatermark") {
     // delivery is at-least-once (§2.7); replays can also be absorbed IN the stream when a
     // bounded dedupe window suffices, complementing the batch LWW dedupe
