@@ -405,6 +405,24 @@ object SparkEntry {
           (col("first_purchase_ms") - col("signup_ms")).as("latency_ms"))
     }),
 
+    // outlier detection: per-type population z-scores from EXACT decimal moments (n, Σv,
+    // Σv²) — the tiny stats table broadcasts back, so scoring is a pure map; the decimal
+    // sums cast to double identically in both engines, making every derived z identical
+    "ev_zscore" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), dec(col("value"), 12, 6).as("v"))
+      val stats = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("v")).cast(DoubleType).as("s1"),
+        sum(col("v") * col("v")).cast(DoubleType).as("s2"))
+      val mean = col("s1") / col("n")
+      val z = round((col("v").cast(DoubleType) - mean) /
+        sqrt(col("s2") / col("n") - mean * mean), 4)
+      ev.join(broadcast(stats), "event_type")
+        .select(col("event_id"), col("event_type"), z.as("z"))
+        .filter(abs(col("z")) > 2.0)
+    }),
+
     // semi-structured payload extraction: the events-table analog of the envelope parse —
     // single-field get_json_object probes (codegen'd, no full from_json struct
     // materialization per the cdc_unwrap lesson), then an ordinary keyed aggregate
@@ -1158,6 +1176,17 @@ object SparkEntry {
         |  first_purchase_ms IS NOT NULL AS converted,
         |  first_purchase_ms - signup_ms AS latency_ms
         |FROM agg""".stripMargin,
+
+    "ev_zscore" ->
+      """WITH e AS (SELECT event_id, event_type, CAST(value AS DECIMAL(12,6)) AS v FROM events),
+        |st AS (SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(v) AS DOUBLE) AS s1, CAST(SUM(v*v) AS DOUBLE) AS s2
+        |  FROM e GROUP BY 1),
+        |sc AS (SELECT e.event_id, e.event_type,
+        |    ROUND((CAST(e.v AS DOUBLE) - st.s1/st.n)
+        |      / sqrt(st.s2/st.n - (st.s1/st.n)*(st.s1/st.n)), 4) AS z
+        |  FROM e JOIN st USING (event_type))
+        |SELECT event_id, event_type, z FROM sc WHERE abs(z) > 2.0""".stripMargin,
 
     "ev_props_extract" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
