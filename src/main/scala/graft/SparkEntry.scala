@@ -411,13 +411,18 @@ object SparkEntry {
     "ev_zscore" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("event_type"), dec(col("value"), 12, 6).as("v"))
-      val stats = ev.groupBy("event_type").agg(
-        count(lit(1)).as("n"),
-        sum(col("v")).cast(DoubleType).as("s1"),
-        sum(col("v") * col("v")).cast(DoubleType).as("s2"))
       val mean = col("s1") / col("n")
-      val z = round((col("v").cast(DoubleType) - mean) /
-        sqrt(col("s2") / col("n") - mean * mean), 4)
+      // degenerate (constant / singleton) groups are dropped on the VARIANCE, before any
+      // sqrt: fp cancellation can land var 1 ulp negative, where DuckDB's sqrt hard-errors
+      // while Spark emits NaN (which abs(z) > 2 would KEEP) — the same var > 0 predicate
+      // on identical doubles excludes them identically in both engines
+      val stats = ev.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(col("v")).cast(DoubleType).as("s1"),
+          sum(col("v") * col("v")).cast(DoubleType).as("s2"))
+        .withColumn("variance", col("s2") / col("n") - mean * mean)
+        .filter(col("variance") > 0)
+      val z = round((col("v").cast(DoubleType) - mean) / sqrt(col("variance")), 4)
       ev.join(broadcast(stats), "event_type")
         .select(col("event_id"), col("event_type"), z.as("z"))
         .filter(abs(col("z")) > 2.0)
@@ -426,11 +431,17 @@ object SparkEntry {
     // semi-structured payload extraction: the events-table analog of the envelope parse —
     // single-field get_json_object probes (codegen'd, no full from_json struct
     // materialization per the cdc_unwrap lesson), then an ordinary keyed aggregate
-    "ev_props_extract" -> ((s, dir) =>
+    // the extracted string is validated as an INTEGER before the cast in BOTH engines:
+    // DuckDB's CAST('1.7' AS BIGINT) rounds where Spark's returns NULL (the verify-skill
+    // trap), so the shared regex gate is what keeps the pair equivalent on any data
+    "ev_props_extract" -> ((s, dir) => {
+      val ks = get_json_object(col("props"), "$.k")
       t(s, dir, "events")
-        .select(col("event_type"), get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .select(col("event_type"),
+          when(ks.rlike("^-?[0-9]+$"), ks.cast(LongType)).as("k"))
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))),
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+    }),
 
     // event-type pivot: long->wide per-user counts; explicit pivot values keep the output
     // schema static (no driver-side distinct scan), Expand-free single aggregation
@@ -1179,20 +1190,25 @@ object SparkEntry {
 
     "ev_zscore" ->
       """WITH e AS (SELECT event_id, event_type, CAST(value AS DECIMAL(12,6)) AS v FROM events),
-        |st AS (SELECT event_type, COUNT(*) AS n,
+        |st0 AS (SELECT event_type, COUNT(*) AS n,
         |    CAST(SUM(v) AS DOUBLE) AS s1, CAST(SUM(v*v) AS DOUBLE) AS s2
         |  FROM e GROUP BY 1),
+        |st AS (SELECT *, s2/n - (s1/n)*(s1/n) AS variance FROM st0 WHERE s2/n - (s1/n)*(s1/n) > 0),
         |sc AS (SELECT e.event_id, e.event_type,
-        |    ROUND((CAST(e.v AS DOUBLE) - st.s1/st.n)
-        |      / sqrt(st.s2/st.n - (st.s1/st.n)*(st.s1/st.n)), 4) AS z
+        |    ROUND((CAST(e.v AS DOUBLE) - st.s1/st.n) / sqrt(st.variance), 4) AS z
         |  FROM e JOIN st USING (event_type))
         |SELECT event_id, event_type, z FROM sc WHERE abs(z) > 2.0""".stripMargin,
 
     "ev_props_extract" ->
-      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
-        |FROM events GROUP BY event_type""".stripMargin,
+      """WITH e AS (SELECT event_type,
+        |    CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS ks
+        |  FROM events),
+        |k AS (SELECT event_type,
+        |    CASE WHEN regexp_matches(ks, '^-?[0-9]+$') THEN CAST(ks AS BIGINT) END AS k
+        |  FROM e)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k, CAST(MAX(k) AS BIGINT) AS max_k
+        |FROM k GROUP BY event_type""".stripMargin,
 
     "ev_pivot" ->
       """SELECT user_id,
