@@ -55,6 +55,15 @@ object AsOfJoin {
       tolerance: Option[Column] = None,
       prefix: String = "asof_"): DataFrame = {
     require(rightVals.nonEmpty, "asofBackward: at least one right value column")
+    // fail with a clear message instead of an analysis error / silently-wrong carry when
+    // the left side already uses an internal or output name (ADVICE r3)
+    val internal = Seq("__side", "__r", "__match")
+    val outputs = rightVals.map(v => s"$prefix$v")
+    val collisions = left.columns.toSeq.intersect(internal ++ outputs)
+    require(collisions.isEmpty,
+      s"asofBackward: left column(s) ${collisions.mkString(", ")} collide with reserved " +
+        s"internal names (${internal.mkString(", ")}) or prefixed outputs " +
+        s"(${outputs.mkString(", ")}); rename them or choose another prefix")
     val leftCols = left.columns.toSeq
     val l = left.withColumn("__side", lit(1))
     val r = right

@@ -259,8 +259,16 @@ object CdcRunner {
         filtersOf(cfg))
     }
     if (signals.nonEmpty) { // backfill staged successfully: retire the signals
+      // The processed-ids record lands only AFTER the backfill's staging append succeeded,
+      // so a crash between the two re-runs the backfill next invocation — at-least-once,
+      // absorbed by LWW dedupe (replayed rows carry the same positions); in APPEND mode
+      // the replay appends duplicates, the same §2.7 window as a replayed micro-batch.
       Signals.markProcessed(processedPath, signals.map(_.id).toSet)
-      cfg.signalFile.foreach(f =>
+      // retire ONLY a file whose signals were actually resolved THIS run (ADVICE r3):
+      // consuming on source-table signals alone would rename aside an unprocessed file
+      // written after readSignalFile ran — and with an empty tag the rename target would
+      // clobber the prior audit record
+      if (fileSignals.nonEmpty) cfg.signalFile.foreach(f =>
         Signals.consumeSignalFile(f, tag = fileSignals.map(_.id).mkString("_")))
     }
 

@@ -90,7 +90,11 @@ object IngestDedup {
           "checkpoint was reset independently of the index — restore the checkpoint or " +
           "start a fresh index/output pair")
     }
-    val prior = readIndex(spark, indexDir, schema).filter(col("batch_id") =!= batchId)
+    // index entries with a NULL batch_id (parquet appended by external tooling, or
+    // predating the batch_id column) must still REJECT duplicates: `=!=` alone is
+    // three-valued and would silently drop them from the probe (ADVICE r3)
+    val prior = readIndex(spark, indexDir, schema)
+      .filter(col("batch_id").isNull || col("batch_id") =!= lit(batchId))
     // NULL text = the empty document (one content class, like any other); an
     // at-least-once upstream can also repeat an id with conflicting content — collapse
     // to ONE deterministic version per id (min digest, replay-stable), which makes id

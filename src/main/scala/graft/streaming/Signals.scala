@@ -87,7 +87,14 @@ object Signals {
 
   /** Record signal ids as processed (called only after the backfill staged successfully).
     * Written via temp-file + atomic rename: this file gates re-backfills, so a crash
-    * mid-write must never leave a truncated JSON that fails every subsequent run. */
+    * mid-write must never leave a truncated JSON that fails every subsequent run.
+    *
+    * At-least-once window (ADVICE r3, documented contract): the backfill's staging append
+    * and this record are two writes — a crash between them re-resolves the signal and
+    * re-runs the backfill on the next run. LWW-deduped modes absorb the replay (same
+    * positions ⇒ same winners); APPEND mode appends duplicate rows, exactly the §2.7
+    * at-least-once window a replayed micro-batch already has. Making it exactly-once
+    * would require a transactional sink for the staging append itself. */
   def markProcessed(path: String, ids: Set[String]): Unit = {
     if (ids.isEmpty) return
     val all = (loadProcessedIds(path) ++ ids).toSeq.sorted

@@ -51,6 +51,19 @@ class SampleAndAsOfSpec extends SparkSpec {
     assert(out(2L).isEmpty) // NULL key: no match, matching the ASOF JOIN oracle
   }
 
+  test("asofBackward: reserved/output name collisions fail loudly (ADVICE r3)") {
+    val clash1 = trades.withColumn("__side", lit(0))
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoin.asofBackward(clash1, quotes, Seq("sym"), "t", Seq("px"))
+    }
+    assert(e1.getMessage.contains("__side"))
+    val clash2 = trades.withColumn("asof_px", lit(0.0))
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.asofBackward(clash2, quotes, Seq("sym"), "t", Seq("px"))
+    }
+    assert(e2.getMessage.contains("asof_px"))
+  }
+
   test("asofBackward preserves every left row exactly once") {
     val out = AsOfJoin.asofBackward(trades, quotes, Seq("sym"), "t", Seq("px"))
     assert(out.count() == trades.count())

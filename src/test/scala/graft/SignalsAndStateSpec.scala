@@ -116,6 +116,31 @@ class SignalsAndStateSpec extends SparkSpec {
     assert(!new java.io.File(s"$base/out/tables/kbc_signals.csv").exists())
   }
 
+  test("signal file untouched when only source-table signals resolved this run (ADVICE r3)") {
+    val base = Files.createTempDirectory("graft-sigguard").toString
+    val spool = s"$base/spool"
+    writeSpool(spool, "000.jsonl", Seq(
+      env("s.a", "c", """{"id":1,"v":"a1"}""", 1),
+      env("s.c", "c", """{"k":7,"w":"c1"}""", 2),
+      env("kbc.signals", "c",
+        """{"id":"sig-src","type":"execute-snapshot","data":"{\"type\": \"BLOCKING\", \"data-collections\": [\"s.c\"]}"}""", 3)))
+    // the configured file path holds a signal whose id is ALREADY processed, so
+    // fileSignals resolves empty this run — but the source-table signal still fires
+    Signals.writeSignalFile(s"$base/signal.json", Seq("s.c"), id = "sig-old")
+    Signals.markProcessed(s"$base/work/processed_signals.json", Set("sig-old"))
+    val res = CdcRunner.run(spark, RunConfig(
+      spoolDir = spool, workDir = s"$base/work", outDir = s"$base/out",
+      includeTables = Some(Set("s.a")),
+      primaryKeys = Map("s_a" -> Seq("id"), "s_c" -> Seq("k")),
+      signalFile = Some(s"$base/signal.json"), signalTable = Some("kbc.signals")))
+    assert(res.tables("s_c") == 1L) // the source-table signal fired its backfill
+    // a file whose signals resolved to NOTHING this run must stay in place — not be
+    // renamed aside unprocessed, and not clobber a prior audit record with a bare
+    // '.consumed' name
+    assert(Files.exists(Paths.get(s"$base/signal.json")))
+    assert(!new java.io.File(base).list().exists(_.startsWith("signal.json.consumed")))
+  }
+
   test("read-only mode rejects the source-table signal channel") {
     val e = intercept[IllegalArgumentException] {
       CdcRunner.run(spark, RunConfig(spoolDir = "/nonexistent", workDir = "/tmp/x",

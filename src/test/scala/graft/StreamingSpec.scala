@@ -285,6 +285,22 @@ class StreamingSpec extends SparkSpec {
     assert(IngestDedup.applyBatch(b1, 1L, idx, out) == 0L)
   }
 
+  test("ingest applyBatch: NULL-batch_id index entries still reject duplicates (ADVICE r3)") {
+    import graft.streaming.IngestDedup
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, md5}
+    val base = Files.createTempDirectory("graft-ingest6").toString
+    val (idx, out) = (s"$base/index", s"$base/out")
+    // index parquet appended by external tooling / predating the batch_id column
+    Seq("alpha").toDF("text")
+      .select(md5(col("text")).as("content_md5"), lit(null).cast("long").as("batch_id"))
+      .write.parquet(idx)
+    val b = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    assert(IngestDedup.applyBatch(b, 0L, idx, out) == 1L) // NULL-tagged entry still rejects
+    assert(spark.read.parquet(s"$out/batch=0").collect()
+      .map(_.getAs[Long]("doc_id")).toSeq == Seq(2L))
+  }
+
   test("near-dup ingest stream: later batches screened against the signature index; replay converges") {
     import graft.streaming.IngestDedup
     import spark.implicits._
