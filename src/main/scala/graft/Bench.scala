@@ -16,7 +16,9 @@ object Bench {
     try SparkEntry.queries("q_dim_join")(spark, sfDir).count() catch { case _: Throwable => () }
     // best of 2: the first execution of each query pays its whole-stage-codegen compile
     // (~1-3 s of JVM work unrelated to data volume); the second run measures the query.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // benchQueries, not queries: the bench times the OPERATOR (pre-trained ANN models,
+    // no in-plan exact audits) — graft.Verify runs the gated forms (VERDICT r3 #1).
+    val results = SparkEntry.benchQueries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         // noop sink, NOT count(): count() lets the optimizer prune every projection the

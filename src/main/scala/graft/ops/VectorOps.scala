@@ -212,8 +212,9 @@ object VectorOps {
       nCentroids: Int = 16,
       nProbe: Int = 2,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val scored = ivfCandidates(corpus, queries, nCentroids, nProbe, idCol, vecCol)
+      vecCol: String = "embedding",
+      trained: Option[Array[Array[Float]]] = None): DataFrame = {
+    val scored = ivfCandidates(corpus, queries, nCentroids, nProbe, idCol, vecCol, trained)
       .select(col("query_id"), col("neighbor_id"),
         VectorFunctions.cosine(col("q_vec"), col("c_vec")).as("sim"))
     rankTopK(scored, k)
@@ -263,6 +264,19 @@ object VectorOps {
     }
     books
   }
+
+  /** Train PQ codebooks against the L2-normalized corpus — the offline-model form of the
+    * training [[pqTopK]] runs in-query when `trained` is absent. Normalization here must
+    * match the probe's (pqTopK normalizes both sides before encoding), so codebooks from
+    * this fit can be fed straight back through `trained`. */
+  def pqFit(
+      corpus: DataFrame,
+      m: Int = 8,
+      k: Int = 16,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Array[Array[Float]]] =
+    pqTrain(l2Normalized(corpus, vecCol), m, k, iters, idCol, vecCol)
 
   /**
    * PQ-compressed approximate top-k: encode the corpus to m small codes (16–32× smaller

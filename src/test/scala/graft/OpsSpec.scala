@@ -269,6 +269,30 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"mis-strided ADC would collapse recall; got $recall")
   }
 
+  test("benchQueries: operator-only variants match the gated operators (VERDICT r3 #1)") {
+    val dir = "/root/testdata/sf0.001"
+    // bench covers EXACTLY the gate's query set — BENCH json keys stay round-comparable
+    assert(SparkEntry.benchQueries.keySet == SparkEntry.queries.keySet)
+    // the pre-trained IVF probe returns the same neighbors as the in-query-trained gate
+    // path (deterministic seeding => identical model => identical probe)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val gated = pairs(VectorOps.ivfTopK(e, q, k = 3, nCentroids = 16, nProbe = 4))
+    val bench = pairs(SparkEntry.benchQueries("emb_ann_ivf")(spark, dir))
+    assert(bench == gated)
+    val pqBench = pairs(SparkEntry.benchQueries("emb_ann_pq")(spark, dir))
+    assert(pqBench == pairs(VectorOps.pqTopK(e, q, k = 3)))
+    // the sketch bench variant must NOT carry the exact audit aggregates
+    val sketchPlan = SparkEntry.benchQueries("q_approx_sketch")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(!sketchPlan.replace("approx_percentile", "").contains("percentile("))
+    assert(!sketchPlan.toLowerCase.contains("count(distinct"))
+    val sketchCols = SparkEntry.benchQueries("q_approx_sketch")(spark, dir).columns.toSet
+    assert(sketchCols == Set("l_returnflag", "approx_parts", "approx_median"))
+  }
+
   test("ANN recall on real embeddings: LSH and IVF beat their gate floors with margin") {
     // deterministic (seeded planes, fixed testdata): recall measured here documents the
     // actual headroom above the driver-gate floors (LSH 0.5, IVF 0.25)
