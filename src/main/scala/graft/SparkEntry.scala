@@ -184,12 +184,17 @@ object SparkEntry {
           sum(dec(col("s_acctbal"))).cast(DoubleType).as("sum_acctbal"))
     }),
 
-    // exact interpolated percentiles (oracle: DuckDB quantile_cont)
+    // exact interpolated percentiles (oracle: DuckDB quantile_cont). Inputs are quantized
+    // to DECIMAL(18,2) BEFORE the percentile (VERDICT r3 #2): Percentile's aggregation
+    // buffer holds every distinct value, so over a continuous double column its state
+    // grows with the corpus — the decimal grid bounds distinct values by the VALUE RANGE
+    // (×100), corpus-size-independent. The data's values are 2-dp already, so the
+    // quantization is lossless and the oracle stays bit-identical.
     "q_percentiles" -> ((s, dir) => {
       t(s, dir, "lineitem").agg(
-        round(expr("percentile(l_quantity, 0.5)"), 2).as("median_qty"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95_price"),
-        round(expr("percentile(l_discount, 0.25)"), 2).as("p25_discount"))
+        round(expr("percentile(CAST(l_quantity AS DECIMAL(18,2)), 0.5)"), 2).as("median_qty"),
+        round(expr("percentile(CAST(l_extendedprice AS DECIMAL(18,2)), 0.95)"), 2).as("p95_price"),
+        round(expr("percentile(CAST(l_discount AS DECIMAL(18,2)), 0.25)"), 2).as("p25_discount"))
     }),
 
     // sketch aggregates for 100 TB profiling: HLL distinct counts + t-digest-style

@@ -139,11 +139,18 @@ object SampleOps {
    * aggregate (ObjectHashAggregate over value counts — partials compress to DISTINCT
    * values per partition, not rows), broadcast back, and assignment is a pure map.
    * Bucket i holds rows above the i-th threshold; `probs.size + 1` buckets total.
+   *
+   * The percentile input is quantized to a DECIMAL(18,2) grid first (VERDICT r3 #2):
+   * `Percentile`'s buffer is a value→count map, so a CONTINUOUS value column would grow
+   * its state with the corpus (distinct ≈ rows) and merge it on one reducer. On the
+   * decimal grid distinct values are bounded by the value RANGE (×100) regardless of
+   * row count — and a 0.005 threshold shift cannot change which rows clear it, because
+   * row values sit on the same grid (integers/2-dp data are quantized losslessly).
    */
   def percentileBuckets(df: DataFrame, valueCol: String, idCol: String = "doc_id",
       probs: Seq[Double] = (1 to 9).map(_ / 10.0)): DataFrame = {
     val thr = df.agg(
-      expr(s"percentile($valueCol, array(${probs.mkString(",")}))").as("thr"))
+      expr(s"percentile(CAST($valueCol AS DECIMAL(18,2)), array(${probs.mkString(",")}))").as("thr"))
     df.crossJoin(broadcast(thr))
       .select(col(idCol), col(valueCol),
         size(filter(col("thr"), t => t <= col(valueCol))).cast("int").as("bucket"))

@@ -20,6 +20,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.toLowerCase.contains("readschema: struct<l_orderkey")) // pruned: no unused cols
   }
 
+  test("exact percentiles aggregate over a bounded DECIMAL grid, not raw doubles (VERDICT r3 #2)") {
+    // Percentile state is a value→count map: a continuous double column makes it O(rows);
+    // the decimal(18,2) cast bounds distinct keys by the value range, corpus-independent
+    for (q <- Seq("q_percentiles", "doc_length_buckets")) {
+      val p = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan.toString
+      assert(p.contains("decimal(18,2)"), s"$q percentile input not on the decimal grid:\n$p")
+      assert(p.contains("percentile"), s"$q lost its exact percentile")
+    }
+  }
+
   test("q_dim_join: dimension joins broadcast") {
     val p = plan("q_dim_join")
     assert(p.contains("BroadcastHashJoin"))
