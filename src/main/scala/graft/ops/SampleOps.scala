@@ -78,21 +78,50 @@ object SampleOps {
    * packing used to batch documents into training sequences. Documents longer than the
    * budget occupy their own bin(s) by construction.
    *
-   * Same single-exchange shape as [[quotaSample]]: partition by stratum, one ordered
-   * window pass computes the running sum; no iteration, no driver state.
+   * Two-level distributed prefix sum (VERDICT r3 #3 — the naive form partitions its window
+   * by stratum alone, so ONE reducer walks an entire language):
+   *  1. rows range-partition on `(stratum, id)` into `shards` CONTIGUOUS id ranges; a
+   *     window per `(stratum, shard)` computes the shard-local exclusive prefix sum, so
+   *     each task sorts ~n/shards rows regardless of stratum skew;
+   *  2. the per-(stratum, shard) token totals — at most `shards` rows per stratum — get
+   *     their own exclusive running sum over the shard order and broadcast back as each
+   *     shard's starting offset.
+   * Because shards are contiguous in id, `offset + local prefix` IS the global prefix sum:
+   * bin ids are bit-identical to the single-window form (and invariant to the sampled
+   * range boundaries), just computed with shard-level parallelism. Cost: a range exchange
+   * + a hash exchange instead of one hash exchange — both fully parallel.
    */
   def packGreedy(
       df: DataFrame,
       tokenCol: String,
       budget: Long,
       strataCol: String = "lang",
-      idCol: String = "doc_id"): DataFrame = {
-    val w = Window.partitionBy(col(strataCol)).orderBy(col(idCol).asc)
+      idCol: String = "doc_id",
+      shards: Int = 0): DataFrame = {
+    val n = if (shards > 0) shards
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    // spark_partition_id after an explicit range repartition = the contiguous shard id;
+    // AQE does not coalesce user-specified repartitions, and the final bin ids do not
+    // depend on WHERE the sampled boundaries fall (any contiguous split gives the same
+    // global prefix), so retries/plan changes cannot flip an assignment
+    val sharded = df.repartitionByRange(n, col(strataCol), col(idCol).asc)
+      .withColumn("__shard", spark_partition_id())
+    val w = Window.partitionBy(col(strataCol), col("__shard")).orderBy(col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("tokens_before",
-        (sum(col(tokenCol)).over(w) - col(tokenCol)).cast("long"))
+    val local = sharded.withColumn("__local_before",
+      (sum(col(tokenCol)).over(w) - col(tokenCol)).cast("long"))
+    val offsets = local.groupBy(col(strataCol), col("__shard"))
+      .agg(sum(col(tokenCol)).cast("long").as("__shard_tokens"))
+      .withColumn("__offset", coalesce(
+        sum(col("__shard_tokens")).over(Window.partitionBy(col(strataCol))
+          .orderBy(col("__shard").asc).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)).cast("long"))
+      .select(col(strataCol), col("__shard"), col("__offset"))
+    local.join(broadcast(offsets), Seq(strataCol, "__shard"))
+      .withColumn("tokens_before", col("__local_before") + col("__offset"))
       // `div` = exact integral division (no double rounding at petabyte token counts)
       .withColumn("bin_id", expr(s"tokens_before div ${budget}L"))
+      .drop("__shard", "__local_before", "__offset")
   }
 
   /**

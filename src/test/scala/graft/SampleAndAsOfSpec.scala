@@ -116,6 +116,30 @@ class SampleAndAsOfSpec extends SparkSpec {
     assert(out(5L) == 0L) // separate stratum restarts
   }
 
+  test("packGreedy: sharded two-level prefix == single-window form, incl. one-language skew") {
+    import org.apache.spark.sql.expressions.Window
+    // a skewed corpus: one language holds ~90% of rows (the case that used to serialize)
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 3000L).map { id =>
+      (id, if (id % 10 == 0) "de" else "en", (rnd.nextInt(500) + 1).toLong)
+    }
+    val sized = rows.toDF("doc_id", "lang", "n_tokens")
+    def bins(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("tokens_before"), r.getAs[Long]("bin_id"))).toMap
+    // reference: the exact single-window global prefix sum
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val reference = bins(sized
+      .withColumn("tokens_before", (sum(col("n_tokens")).over(w) - col("n_tokens")).cast("long"))
+      .withColumn("bin_id", expr("tokens_before div 2048")))
+    // sharded forms: shard counts above, at, and below the row count must all agree
+    for (shards <- Seq(2, 7, 32)) {
+      val got = bins(SampleOps.packGreedy(sized, tokenCol = "n_tokens", budget = 2048L,
+        shards = shards))
+      assert(got == reference, s"sharded packGreedy(shards=$shards) diverged")
+    }
+  }
+
   test("contamination: overlap fraction vs the benchmark shingle inventory") {
     val corpus = Seq(
       (1L, "one two three four five"),   // shares trigrams with bench doc
