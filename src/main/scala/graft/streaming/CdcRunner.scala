@@ -276,39 +276,73 @@ object CdcRunner {
     // the signal table is control-channel plumbing, never an output table
     val tableNames = graft.operators.StagingCatalog.tables(stagingRoot)
       .filterNot(t => signalTableId.contains(t))
-    var counts = Map.empty[String, Long]
-    var schemas = Map.empty[String, StructType]
-    var lastPos = 0L
-    val outTables = s"${cfg.outDir}/tables"
-    for (table <- tableNames) {
-      val staged = spark.read.option("mergeSchema", "true").parquet(s"$stagingRoot/$table")
-      val deduped =
-        if (cfg.mode == "dedupe")
-          Cdc.dedupeLastWins(staged, cfg.primaryKeys.getOrElse(table, Seq.empty))
-        else staged.orderBy(col(Cdc.OrderCol)) // append mode keeps every event, ordered
-      val payloadCols = deduped.columns.filterNot(c => Cdc.SystemCols.contains(c))
-      val normalized = Cdc.normalizeColumns(
-        deduped.select((payloadCols ++ Cdc.SystemCols.filter(deduped.columns.contains)).map(col): _*))
-      // output contract: KBC__EVENT_TIMESTAMP_MS is epoch millis (§1.2) — the wire path
-      // decodes the logical Timestamp to TimestampType, so convert back for export
-      val ordered = (normalized.schema.find(_.name == "KBC__EVENT_TIMESTAMP_MS") match {
-        case Some(f) if f.dataType == TimestampType =>
-          normalized.withColumn("KBC__EVENT_TIMESTAMP_MS", unix_millis(col("KBC__EVENT_TIMESTAMP_MS")))
-        case _ => normalized
-      }).persist() // count + CSV write share one dedupe computation
-      counts += table -> ordered.count()
-      schemas += table -> ordered.schema
-      val maxPos = staged.agg(max(col(Cdc.OrderCol))).collect().head.getLong(0)
-      lastPos = math.max(lastPos, maxPos + 1)
-      CsvManifestSink.writeCsv(ordered, outTables, table)
-      ordered.unpersist()
-      CsvManifestSink.writeManifest(ordered.schema, outTables, table,
-        cfg.primaryKeys.getOrElse(table, Seq.empty), incremental = cfg.mode == "dedupe")
-    }
+    val results = exportTables(spark, stagingRoot, tableNames, cfg)
+    val counts = results.map(r => r.table -> r.rows).toMap
+    val schemas = results.map(r => r.table -> r.schema).toMap
+    val lastPos = (results.map(_.maxPos + 1) :+ 0L).max
     val offsetBlob = graft.sinks.OffsetStore.encodeBase64(
       Map(graft.sinks.OffsetStore.spoolOffsetEntry("graft", "spool", lastPos)))
     CsvManifestSink.writeState(cfg.outDir, lastPos, schemas, Some(offsetBlob))
     RunResult(counts, lastPos, cfg.outDir, stats.snapshot)
+  }
+
+  private[graft] final case class TableExport(table: String, rows: Long, maxPos: Long,
+      schema: StructType)
+
+  /**
+   * Dedupe + export every staged table with ONE Spark action per table, tables running
+   * concurrently on a small driver pool (VERDICT r3 #4 — the old loop issued `count()` +
+   * `max().collect()` + the CSV write sequentially per table: 3 jobs each, serialized, so
+   * hundreds of tables bottlenecked on the driver loop while the cluster idled between
+   * jobs).
+   *
+   *  - row count and max position ride the CSV-export job as `observe()` metrics
+   *    (CollectMetrics accumulates during the write — no second computation, no persist);
+   *  - max position is observed on the EXPORT rows, which is sound because LWW keeps each
+   *    key's latest row, so the globally-latest staged row always survives (and append
+   *    mode exports every row);
+   *  - the pool runs table jobs concurrently (Spark schedulers are thread-safe); stages of
+   *    different tables interleave across the cluster instead of running back to back.
+   */
+  private[graft] def exportTables(spark: SparkSession, stagingRoot: String,
+      tableNames: Seq[String], cfg: RunConfig): Seq[TableExport] = {
+    if (tableNames.isEmpty) return Nil
+    val outTables = s"${cfg.outDir}/tables"
+    val orderOut = Cdc.OutputRenames(Cdc.OrderCol)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(tableNames.size, 4))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val futures = tableNames.map { table =>
+      scala.concurrent.Future {
+        val staged = spark.read.option("mergeSchema", "true").parquet(s"$stagingRoot/$table")
+        val deduped =
+          if (cfg.mode == "dedupe")
+            Cdc.dedupeLastWins(staged, cfg.primaryKeys.getOrElse(table, Seq.empty))
+          else staged.orderBy(col(Cdc.OrderCol)) // append mode keeps every event, ordered
+        val payloadCols = deduped.columns.filterNot(c => Cdc.SystemCols.contains(c))
+        val normalized = Cdc.normalizeColumns(
+          deduped.select((payloadCols ++ Cdc.SystemCols.filter(deduped.columns.contains)).map(col): _*))
+        // output contract: KBC__EVENT_TIMESTAMP_MS is epoch millis (§1.2) — the wire path
+        // decodes the logical Timestamp to TimestampType, so convert back for export
+        val ordered = normalized.schema.find(_.name == "KBC__EVENT_TIMESTAMP_MS") match {
+          case Some(f) if f.dataType == TimestampType =>
+            normalized.withColumn("KBC__EVENT_TIMESTAMP_MS", unix_millis(col("KBC__EVENT_TIMESTAMP_MS")))
+          case _ => normalized
+        }
+        val obs = org.apache.spark.sql.Observation(s"graft_post_$table")
+        val observed = ordered.observe(obs,
+          count(lit(1)).as("n_rows"), max(col(orderOut).cast(LongType)).as("max_pos"))
+        CsvManifestSink.writeCsv(observed, outTables, table) // the single action per table
+        CsvManifestSink.writeManifest(ordered.schema, outTables, table,
+          cfg.primaryKeys.getOrElse(table, Seq.empty), incremental = cfg.mode == "dedupe")
+        val m = obs.get
+        TableExport(table, m("n_rows").asInstanceOf[Long],
+          Option(m("max_pos")).map(_.asInstanceOf[Long]).getOrElse(-1L), ordered.schema)
+      }
+    }
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures), scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
   }
 
   /** Envelope metadata (table routing, op, source ts) — parsed with a pruned schema so the

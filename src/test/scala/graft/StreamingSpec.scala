@@ -27,6 +27,45 @@ class StreamingSpec extends SparkSpec {
     files.flatMap(f => Files.readAllLines(f.toPath).asScala).toSeq
   }
 
+  test("exportTables: one Spark action per table — counts/max-pos ride the write (VERDICT r3 #4)") {
+    import org.apache.spark.sql.util.QueryExecutionListener
+    import org.apache.spark.sql.execution.QueryExecution
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-export").toString
+    val staging = s"$base/staging"
+    // 3 staged tables; t1 has a dup key (order 5 must win and 5 must be the reported pos)
+    Seq((1L, "a", 3L), (1L, "a5", 5L), (2L, "b", 4L)).toDF("id", "v", "kbc__batch_event_order")
+      .write.parquet(s"$staging/t1")
+    Seq((7L, "x", 10L)).toDF("id", "v", "kbc__batch_event_order").write.parquet(s"$staging/t2")
+    Seq((8L, "y", 20L), (9L, "z", 21L)).toDF("id", "v", "kbc__batch_event_order")
+      .write.parquet(s"$staging/t3")
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        seen.add(funcName)
+      override def onFailure(funcName: String, qe: QueryExecution, ex: Exception): Unit =
+        seen.add(funcName)
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val res = CdcRunner.exportTables(spark, staging, Seq("t1", "t2", "t3"),
+        RunConfig(spoolDir = "unused", workDir = base, outDir = s"$base/out",
+          primaryKeys = Map("t1" -> Seq("id"), "t2" -> Seq("id"), "t3" -> Seq("id"))))
+      val byTable = res.map(r => r.table -> r).toMap
+      assert(byTable("t1").rows == 2L && byTable("t1").maxPos == 5L) // winner row carries max pos
+      assert(byTable("t2").rows == 1L && byTable("t2").maxPos == 10L)
+      assert(byTable("t3").rows == 2L && byTable("t3").maxPos == 21L)
+      assert(readCsvDir(s"$base/out/tables/t1.csv").sorted.head.startsWith("1,a5,"))
+      // the listener bus is async — wait for the three write executions to be reported
+      val deadline = System.currentTimeMillis() + 10000
+      while (System.currentTimeMillis() < deadline && seen.size < 3) Thread.sleep(100)
+      assert(seen.size >= 3, s"expected 3 write executions, saw: $seen")
+      // the pin: NO per-table count()/collect() actions — metrics ride the write via observe()
+      assert(!seen.asScala.exists(f => f == "count" || f == "collect"),
+        s"separate driver actions crept back into post-processing: $seen")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("bounded run: snapshot + updates + delete + schema drift -> deduped CSV, manifest, state") {
     val base = Files.createTempDirectory("graft-cdc").toString
     val spool = s"$base/spool"
