@@ -29,8 +29,59 @@ object Sessionize {
   final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long,
       closed: Boolean)
 
+  /**
+   * Fold one key's micro-batch into session intervals with BOUNDED memory (VERDICT r3 #7
+   * — the old form did `batch.toSeq.sortBy`, materializing a hot key's entire batch on one
+   * executor thread):
+   *  1. the event iterator is consumed in chunks of ≤ `chunkSize`; each chunk is sorted
+   *     and folded into gap-sessions (intervals) immediately, so live memory is
+   *     O(chunkSize + intervals) — intervals are one per SESSION seen, never per event;
+   *  2. the interval lists from all chunks (plus the carried-over open session) are merged
+   *     by a start-sorted sweep joining intervals whose start is within `gap` of the
+   *     running max end.
+   * The sweep is exactly the event-level result: a chunk-interval's adjacent events are
+   * ≤ gap apart, so each interval sits inside ONE global session; and within a session,
+   * every event between the running end and the next interval's start belongs to an
+   * already-swept interval, so the running max end is within gap of that start — the whole
+   * session reconnects, and separate sessions (distance > gap) never do.
+   */
+  private[graft] def foldSessions(events: Iterator[Long], open: Option[OpenSession],
+      gapMs: Long, chunkSize: Int): Seq[OpenSession] = {
+    val intervals = scala.collection.mutable.ArrayBuffer.empty[OpenSession]
+    open.foreach(intervals += _)
+    val chunk = new Array[Long](chunkSize)
+    while (events.hasNext) {
+      var n = 0
+      while (events.hasNext && n < chunkSize) { chunk(n) = events.next(); n += 1 }
+      java.util.Arrays.sort(chunk, 0, n)
+      var cur: OpenSession = null
+      var i = 0
+      while (i < n) {
+        val ms = chunk(i)
+        if (cur == null) cur = OpenSession(ms, ms, 1)
+        else if (ms - cur.end_ms <= gapMs) cur = OpenSession(cur.start_ms, ms, cur.n_events + 1)
+        else { intervals += cur; cur = OpenSession(ms, ms, 1) }
+        i += 1
+      }
+      if (cur != null) intervals += cur
+    }
+    val bySt = intervals.sortBy(s => (s.start_ms, s.end_ms))
+    val merged = scala.collection.mutable.ArrayBuffer.empty[OpenSession]
+    for (s <- bySt) {
+      if (merged.nonEmpty && s.start_ms - merged.last.end_ms <= gapMs) {
+        val p = merged.last
+        merged(merged.size - 1) = OpenSession(p.start_ms,
+          math.max(p.end_ms, s.end_ms), p.n_events + s.n_events)
+      } else merged += s
+    }
+    merged.toSeq
+  }
+
   def sessionize(events: Dataset[Event], gapMs: Long,
-      watermarkDelay: String = "10 seconds"): Dataset[SessionOut] = {
+      watermarkDelay: String = "10 seconds",
+      /** per-key sort-buffer bound — a hot key's batch streams through in chunks of this
+        * many events instead of materializing whole */
+      chunkSize: Int = 1 << 16): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
       .withColumn("ts", timestamp_millis(col("ms")))
@@ -46,25 +97,15 @@ object Sessionize {
             state.remove()
             Iterator(SessionOut(user, s.start_ms, s.end_ms, s.n_events, closed = true))
           } else {
-            val sorted = batch.toSeq.sortBy(_.ms)
-            var open = state.getOption
-            val closed = Seq.newBuilder[SessionOut]
-            for (e <- sorted) {
-              open match {
-                case Some(s) if e.ms - s.end_ms <= gapMs =>
-                  open = Some(s.copy(end_ms = e.ms, n_events = s.n_events + 1))
-                case Some(s) =>
-                  closed += SessionOut(user, s.start_ms, s.end_ms, s.n_events, closed = true)
-                  open = Some(OpenSession(e.ms, e.ms, 1))
-                case None =>
-                  open = Some(OpenSession(e.ms, e.ms, 1))
-              }
-            }
-            open.foreach { s =>
+            val sessions = foldSessions(batch.map(_.ms), state.getOption, gapMs, chunkSize)
+            // all but the newest session closed by later activity; the newest stays open
+            sessions.lastOption.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.end_ms + gapMs)
             }
-            closed.result().iterator
+            sessions.dropRight(1)
+              .map(s => SessionOut(user, s.start_ms, s.end_ms, s.n_events, closed = true))
+              .iterator
           }
       }
   }

@@ -576,6 +576,44 @@ class StreamingSpec extends SparkSpec {
       rows(1).getLong(2) == 5000L && rows(1).getLong(3) == 1L)
   }
 
+  test("sessionize foldSessions: bounded chunks == full sort; hot key stays O(chunk) (VERDICT r3 #7)") {
+    import graft.streaming.Sessionize
+    import graft.streaming.Sessionize.OpenSession
+    val gap = 30000L
+    val rnd = new scala.util.Random(13)
+    // clustered timeline: ~300 sessions of 1-40 events, > gap between clusters
+    val events = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var t = 0L
+    for (_ <- 1 to 300) {
+      t += gap + 20000L + rnd.nextInt(100000)
+      for (_ <- 1 to (1 + rnd.nextInt(40))) { events += t; t += rnd.nextInt(3000).toLong }
+    }
+    // reference: the unbounded form — sort everything, fold once
+    def reference(open: Option[OpenSession]): Seq[OpenSession] = {
+      var acc = List.empty[OpenSession]
+      var cur = open
+      for (ms <- events.toSeq.sorted) cur match {
+        case Some(s) if ms - s.end_ms <= gap =>
+          cur = Some(OpenSession(s.start_ms, ms, s.n_events + 1))
+        case Some(s) => acc ::= s; cur = Some(OpenSession(ms, ms, 1))
+        case None => cur = Some(OpenSession(ms, ms, 1))
+      }
+      (cur.toList reverse_::: acc).reverse
+    }
+    val shuffled = rnd.shuffle(events.toSeq) // arbitrary arrival order within the batch
+    // a single hot key far larger than the chunk bound: every chunk size gives the exact
+    // full-sort result — 7 forces hundreds of cross-chunk merges, 1<<20 is the one-chunk path
+    for (chunk <- Seq(7, 64, 1 << 20)) {
+      assert(Sessionize.foldSessions(shuffled.iterator, None, gap, chunk) == reference(None),
+        s"chunkSize=$chunk diverged from the full-sort reference")
+    }
+    // carried-over open session within gap of the first cluster merges into it
+    val open = Some(OpenSession(-5000L, events.min - gap, 5))
+    val withOpen = Sessionize.foldSessions(shuffled.iterator, open, gap, 64)
+    assert(withOpen == reference(open))
+    assert(withOpen.head.n_events >= 6) // the carry-over actually merged
+  }
+
   test("staging catalog enumerates tables, schemas and chunks (S8)") {
     val base = Files.createTempDirectory("graft-cdc6").toString
     val spool = s"$base/spool"
