@@ -135,6 +135,55 @@ class JdbcEndToEndSpec extends SparkSpec {
     assert(!manifest.toLowerCase.contains("price"))
   }
 
+  test("live loop: spool-tail writer feeds a maxWaitMs run, idle stop after quiesce (VERDICT r3 #5)") {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    import graft.sources.SpoolTailWriter
+    import graft.streaming.CdcRunner
+    import graft.streaming.CdcRunner.RunConfig
+    conn // force db setup
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE LIVE_CHANGES(SEQ INT NOT NULL PRIMARY KEY, OP VARCHAR(1), " +
+      "ID INT, NAME VARCHAR(20))")
+    st.execute("INSERT INTO LIVE_CHANGES VALUES (1, 'c', 1, 'alpha')")
+    st.execute("INSERT INTO LIVE_CHANGES VALUES (2, 'c', 2, 'beta')")
+    val base = Files.createTempDirectory("graft-liveloop").toString
+    val spool = s"$base/spool"
+    // the daemon tails the change table on its own connection, appending envelope files
+    // while the run below is already consuming — the full live loop, no live DB engine
+    val tailConn = java.sql.DriverManager.getConnection("jdbc:derby:memory:graftdb")
+    val writer = new SpoolTailWriter(tailConn, "APP.LIVE_CHANGES", "SEQ", spool,
+      tableId = "app.live", opCol = Some("OP"), pollMs = 50L)
+    val pumpConn = java.sql.DriverManager.getConnection("jdbc:derby:memory:graftdb")
+    val pump = new Thread(() => {
+      val ps = pumpConn.createStatement()
+      Thread.sleep(600)
+      ps.execute("INSERT INTO LIVE_CHANGES VALUES (3, 'u', 1, 'alpha2')")
+      Thread.sleep(600)
+      ps.execute("INSERT INTO LIVE_CHANGES VALUES (4, 'c', 3, 'gamma')")
+      ps.execute("INSERT INTO LIVE_CHANGES VALUES (5, 'd', 2, 'beta')")
+    })
+    pump.start()
+    val t0 = System.currentTimeMillis()
+    val res = CdcRunner.run(spark, RunConfig(
+      spoolDir = spool, workDir = s"$base/work", outDir = s"$base/out",
+      primaryKeys = Map("app_live" -> Seq("id")), maxWaitMs = Some(2500)))
+    val elapsed = System.currentTimeMillis() - t0
+    pump.join(); writer.close()
+    // every change-table row crossed the spool, INCLUDING those committed mid-run
+    assert(writer.emittedCount == 5L, s"writer emitted ${writer.emittedCount}")
+    assert(res.tables == Map("app_live" -> 3L))
+    // the idle stop fired only after the writer went quiet (last append ~1.2s in)
+    assert(elapsed >= 1200 + 2500, s"idle stop fired before the writer quiesced (${elapsed}ms)")
+    // golden survivor set: u beats c for pk1, pk2 ends deleted, pk3 stream-only insert
+    val csv = Option(new java.io.File(s"$base/out/tables/app_live.csv").listFiles()).get
+      .filter(_.getName.endsWith(".csv"))
+      .flatMap(f => Files.readAllLines(f.toPath).asScala).sorted
+    assert(csv.exists(l => l.startsWith("1,alpha2,u,") && l.contains(",false")))
+    assert(csv.exists(l => l.startsWith("2,beta,d,") && l.contains(",true")))
+    assert(csv.exists(l => l.startsWith("3,gamma,c,") && l.contains(",false")))
+  }
+
   test("D4 first-run dedupe policy: effectiveMode forces a pure snapshot run") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
