@@ -333,8 +333,13 @@ object CdcRunner {
         val observed = ordered.observe(obs,
           count(lit(1)).as("n_rows"), max(col(orderOut).cast(LongType)).as("max_pos"))
         CsvManifestSink.writeCsv(observed, outTables, table) // the single action per table
+        // manifest primary key = the EFFECTIVE dedupe key: with no configured pkey the D9
+        // fallback keys on every payload column, and the reference's no-pkey golden
+        // manifests list exactly that (`simple-incremental-no-pkey-dedupe/...*.manifest`)
+        val cfgPk = cfg.primaryKeys.getOrElse(table, Seq.empty)
+        val manifestPk = if (cfg.mode == "dedupe") Cdc.effectivePks(staged, cfgPk) else cfgPk
         CsvManifestSink.writeManifest(ordered.schema, outTables, table,
-          cfg.primaryKeys.getOrElse(table, Seq.empty), incremental = cfg.mode == "dedupe")
+          manifestPk, incremental = cfg.mode == "dedupe")
         val m = obs.get
         TableExport(table, m("n_rows").asInstanceOf[Long],
           Option(m("max_pos")).map(_.asInstanceOf[Long]).getOrElse(-1L), ordered.schema)

@@ -149,6 +149,79 @@ class GoldenSpec extends SparkSpec {
       ",,2013-09-23 22:38:30,,,,,,d,true,3"))
   }
 
+  /**
+   * Replica of `simple-incremental-no-pkey-dedupe` (ex_mysql_cdc, 01 full load +
+   * 02 inserts/updates/deletes), driving D9 through the FULL runner: the 12-column
+   * `inventory.nopkey` table has NO primary key, so the dedupe key is every payload
+   * column, the manifest's `primary_key` lists all twelve, and — MySQL semantics — the
+   * delete's `before` image carries the complete row, so the `d,true` row is fully
+   * populated (not NULL-padded like the Postgres pk-only goldens).
+   */
+  test("simple-incremental-no-pkey-dedupe: D9 through the runner, both golden phases") {
+    val allCols = Seq("usergender", "usercity", "usersentiment", "zipcode", "sku",
+      "createdate", "category", "price", "county", "countycode", "userstate", "categorygroup")
+    def payload(vals: Seq[String]): String =
+      allCols.zip(vals).map { case (c, v) =>
+        if (c == "usersentiment") s""""$c":$v""" else s""""$c":"$v""""
+      }.mkString("{", ",", "}")
+    // the five snapshot rows of the reference's `no_pkey.sql` fixture
+    val snap = Seq(
+      Seq("Female", "Mize", "-1", "39153", "SKU1", "2013-09-23 22:38:29", "Cameras", "708.00000", "Smith", "28129", "Mississippi", "Electronics"),
+      Seq("Male", "The Lakes", "1", "89124", "SKU2", "2013-09-23 22:38:30", "Televisions", "1546.00000", "Clark", "32003", "Nevada", "Electronics"),
+      Seq("Male", "Baldwin", "1", "21020", "ZD111483", "2013-09-23 22:38:31", "Loose Stones", "1262.00000", "Baltimore", "24005", "Maryland", "Jewelry"),
+      Seq("Female", "Archbald", "1", "18501", "ZD111395", "2013-09-23 22:38:32", "Stereo", "104.00000", "Lackawanna", "42069", "Pennsylvania", "Electronics"),
+      Seq("Male", "Berea", "0", "44127", "ZD111451", "2013-09-23 22:38:33", "Earings", "1007.00000", "Cuyahoga", "39035", "Ohio", "Jewelry"))
+    def normalized(outDir: String): Seq[String] = {
+      val lines = Option(new java.io.File(outDir).listFiles()).get
+        .filter(_.getName.endsWith(".csv"))
+        .flatMap(f => Files.readAllLines(f.toPath).asScala)
+        .sortBy(_.split(",", -1).last.toLong)
+      lines.zipWithIndex.map { case (l, i) =>
+        val f = l.split(",", -1)
+        (f.patch(13, Nil, 1).dropRight(1) :+ i.toString).mkString(",") // drop ts, renumber order
+      }.toSeq
+    }
+
+    // ---- 01 full load: 5 snapshot reads, every row survives (each is its own key)
+    val base1 = Files.createTempDirectory("graft-nopkey1").toString
+    Files.createDirectories(Paths.get(s"$base1/spool"))
+    Files.write(Paths.get(s"$base1/spool", "000.jsonl"), snap.zipWithIndex.map { case (r, i) =>
+      s"""{"table":"inventory.nopkey","op":"r","after":${payload(r)},"before":null,"source":{"ts_ms":${1000 + i}}}"""
+    }.asJava)
+    // NO primaryKeys entry: the runner must fall back to all-payload-columns (D9)
+    CdcRunner.run(spark, RunConfig(spoolDir = s"$base1/spool", workDir = s"$base1/work",
+      outDir = s"$base1/out"))
+    assert(normalized(s"$base1/out/tables/inventory_nopkey.csv") == Seq(
+      "Female,Mize,-1,39153,SKU1,2013-09-23 22:38:29,Cameras,708.00000,Smith,28129,Mississippi,Electronics,r,false,0",
+      "Male,The Lakes,1,89124,SKU2,2013-09-23 22:38:30,Televisions,1546.00000,Clark,32003,Nevada,Electronics,r,false,1",
+      "Male,Baldwin,1,21020,ZD111483,2013-09-23 22:38:31,Loose Stones,1262.00000,Baltimore,24005,Maryland,Jewelry,r,false,2",
+      "Female,Archbald,1,18501,ZD111395,2013-09-23 22:38:32,Stereo,104.00000,Lackawanna,42069,Pennsylvania,Electronics,r,false,3",
+      "Male,Berea,0,44127,ZD111451,2013-09-23 22:38:33,Earings,1007.00000,Cuyahoga,39035,Ohio,Jewelry,r,false,4"))
+    // the manifest's primary key is the EFFECTIVE key: all twelve payload columns
+    val manifest = Files.readString(Paths.get(s"$base1/out/tables/inventory_nopkey.csv.manifest"))
+    assert(manifest.contains(""""primary_key": [""" + allCols.map("\"" + _ + "\"").mkString(",") + "]"),
+      s"manifest pk not the D9 effective key:\n$manifest")
+
+    // ---- 02 inserts/updates/deletes (per-run staging, like the reference's phase 02):
+    // 2 inserts, SKU1 price update (MySQL full before image), SKU2 delete (full before)
+    val base2 = Files.createTempDirectory("graft-nopkey2").toString
+    Files.createDirectories(Paths.get(s"$base2/spool"))
+    val sku1new = Seq("Female", "Mize", "-1", "39153", "SKU1", "2013-09-23 22:38:29", "Cameras", "249.99000", "Smith", "28129", "Mississippi", "Electronics")
+    val events = Seq(
+      s"""{"table":"inventory.nopkey","op":"c","after":${payload(Seq("Male", "New York", "1", "10001", "SKU10", "2023-01-01", "Electronics", "199.99000", "New York", "NY", "NY", "Electronics"))},"before":null,"source":{"ts_ms":2001}}""",
+      s"""{"table":"inventory.nopkey","op":"c","after":${payload(Seq("Female", "Los Angeles", "5", "90001", "SKU20", "2023-01-02", "Books", "14.99000", "Los Angeles", "CA", "CA", "Books"))},"before":null,"source":{"ts_ms":2002}}""",
+      s"""{"table":"inventory.nopkey","op":"u","after":${payload(sku1new)},"before":${payload(snap.head)},"source":{"ts_ms":2003}}""",
+      s"""{"table":"inventory.nopkey","op":"d","after":null,"before":${payload(snap(1))},"source":{"ts_ms":2004}}""")
+    Files.write(Paths.get(s"$base2/spool", "000.jsonl"), events.asJava)
+    CdcRunner.run(spark, RunConfig(spoolDir = s"$base2/spool", workDir = s"$base2/work",
+      outDir = s"$base2/out"))
+    assert(normalized(s"$base2/out/tables/inventory_nopkey.csv") == Seq(
+      "Male,New York,1,10001,SKU10,2023-01-01,Electronics,199.99000,New York,NY,NY,Electronics,c,false,0",
+      "Female,Los Angeles,5,90001,SKU20,2023-01-02,Books,14.99000,Los Angeles,CA,CA,Books,c,false,1",
+      "Female,Mize,-1,39153,SKU1,2013-09-23 22:38:29,Cameras,249.99000,Smith,28129,Mississippi,Electronics,u,false,2",
+      "Male,The Lakes,1,89124,SKU2,2013-09-23 22:38:30,Televisions,1546.00000,Clark,32003,Nevada,Electronics,d,true,3"))
+  }
+
   test("schema-drift-chained/02: ALTER ADD + DROP mid-run, 6-row golden (append mode)") {
     // Replica of `ex_postgres_cdc/tests/functional/schema-drift-chained/
     // 02_inserts_updates_deletes_alter`: 2 inserts, update, delete, ALTER ADD COLUMN
