@@ -65,14 +65,30 @@ object JdbcSnapshot {
       upperBound: Option[Long] = None,
       numPartitions: Int = 2,                   // reference snapshot.max.threads default
       fetchSize: Int = 10240,                   // reference snapshot.fetch.size default
-      driver: Option[String] = None)            // JDBC driver class, when not url-derivable
+      driver: Option[String] = None,            // JDBC driver class, when not url-derivable
+      /** SSH seam (`ssh_utils.py` analog): maps the url's host:port to a local forward;
+        * None = direct connection. See [[PortForward]]/[[SocketRelay]]. */
+      tunnel: Option[PortForward] = None)
+
+  /** Rewrite the JDBC url's `//host:port` through the tunnel's local forward — identity
+    * without a tunnel; a tunnel over a url with no network endpoint (e.g. embedded Derby)
+    * is a config error, reported as such. */
+  def effectiveUrl(url: String, tunnel: Option[PortForward]): String = tunnel match {
+    case None => url
+    case Some(t) =>
+      val hostPort = "//([^/:,@?]+):(\\d+)".r
+      val m = hostPort.findFirstMatchIn(url).getOrElse(throw new IllegalArgumentException(
+        s"tunnel configured but the JDBC url has no //host:port endpoint: $url"))
+      val (lh, lp) = t.forward(m.group(1), m.group(2).toInt)
+      url.substring(0, m.start) + s"//$lh:$lp" + url.substring(m.end)
+  }
 
   /** S2: run the bounded snapshot read. The statement (override or projected SELECT) goes in
     * as a dbtable subquery so Catalyst still pushes filters/pruning into it. */
   def read(spark: SparkSession, cfg: SnapshotConfig): DataFrame = {
     val stmt = snapshotStatement(cfg.table, cfg.statementOverride, cfg.includeColumns)
     var r = spark.read.format("jdbc")
-      .option("url", cfg.url)
+      .option("url", effectiveUrl(cfg.url, cfg.tunnel))
       .option("dbtable", s"($stmt) snapshot_src")
       .option("user", cfg.user)
       .option("password", cfg.password)

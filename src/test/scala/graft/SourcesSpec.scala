@@ -34,6 +34,52 @@ class JdbcSnapshotSpec extends AnyFunSuite {
       "SELECT id, name FROM inv.sales")
   }
 
+  test("SSH seam: effectiveUrl routes the endpoint through the tunnel hook (VERDICT r3 #8)") {
+    import graft.sources.PortForward
+    var asked: (String, Int) = null
+    val stub = new PortForward {
+      override def forward(h: String, p: Int): (String, Int) = { asked = (h, p); ("127.0.0.1", 15432) }
+    }
+    // host:port rewritten, everything else (scheme, db, params) preserved verbatim
+    assert(effectiveUrl("jdbc:postgresql://db.internal:5432/prod?ssl=false", Some(stub)) ==
+      "jdbc:postgresql://127.0.0.1:15432/prod?ssl=false")
+    assert(asked == ("db.internal", 5432))
+    // no tunnel = identity; tunnel over an embedded url = config error, not silence
+    assert(effectiveUrl("jdbc:derby:memory:graftdb", None) == "jdbc:derby:memory:graftdb")
+    intercept[IllegalArgumentException](effectiveUrl("jdbc:derby:memory:graftdb", Some(stub)))
+  }
+
+  test("SocketRelay: local forward pipes both directions across connections (VERDICT r3 #8)") {
+    import java.net.{InetAddress, ServerSocket, Socket}
+    import graft.sources.SocketRelay
+    // a trivial TCP upper-case echo server plays the remote database endpoint
+    val target = new ServerSocket(0, 5, InetAddress.getLoopbackAddress)
+    val echo = new Thread(() =>
+      try while (true) {
+        val s = target.accept()
+        new Thread(() => {
+          val in = s.getInputStream; val out = s.getOutputStream
+          var b = in.read()
+          while (b >= 0) { out.write(Character.toUpperCase(b)); out.flush(); b = in.read() }
+          s.close()
+        }).start()
+      } catch { case _: Exception => () })
+    echo.setDaemon(true); echo.start()
+    val relay = new SocketRelay
+    try {
+      val (lh, lp) = relay.forward("127.0.0.1", target.getLocalPort)
+      assert(lp != target.getLocalPort) // genuinely a second listener, not a passthrough
+      for (msg <- Seq("select 1", "tunnel me")) { // multiple sequential connections
+        val c = new Socket(lh, lp)
+        c.getOutputStream.write(msg.getBytes("UTF-8")); c.getOutputStream.flush()
+        c.shutdownOutput()
+        val got = new String(c.getInputStream.readAllBytes(), "UTF-8")
+        c.close()
+        assert(got == msg.toUpperCase, s"relay mangled '$msg' -> '$got'")
+      }
+    } finally { relay.close(); target.close() }
+  }
+
   test("base type converters incl. mysql bit(1) special case (§1.3b)") {
     assert(PostgresBaseTypes.of("bigint") == "INTEGER")
     assert(PostgresBaseTypes.of("NUMERIC") == "NUMERIC")
