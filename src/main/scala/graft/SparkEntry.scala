@@ -785,6 +785,20 @@ object SparkEntry {
     "doc_shuffle_shards" -> ((s, dir) =>
       SampleOps.shuffleShards(t(s, dir, "documents"), nShards = 8, seed = "graft")),
 
+    // BM25 lexical top-k retrieval (the keyword half of the retrieval stack, next to the
+    // ANN operators): three fixed keyword queries against the corpus; per-term scores
+    // quantize to DECIMAL(18,8) pre-sum so DuckDB reproduces ranks bit-for-bit
+    "doc_bm25_topk" -> ((s, dir) =>
+      TextOps.bm25TopK(t(s, dir, "documents"),
+        Seq("q1" -> "spark join window", "q2" -> "vector hash merge", "q3" -> "customer query"),
+        k = 10)),
+
+    // training-mixture construction: 50/25/25 en/de/fr token mixture, binding stratum kept
+    // whole, others hash-downsampled — deterministic membership, corpus never shuffled
+    "doc_mixture_sample" -> ((s, dir) =>
+      SampleOps.mixtureSample(t(s, dir, "documents"),
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25))),
+
     // benchmark-contamination screen: fraction of each corpus doc's distinct trigrams that
     // appear in the benchmark set (src0 plays the eval set); benchmark inventory broadcasts
     "doc_contamination" -> ((s, dir) => {
@@ -1339,6 +1353,46 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS tokens_before
         |  FROM tk)
         |SELECT doc_id, lang, n_tokens, tokens_before, tokens_before // 2048 AS bin_id FROM w""".stripMargin,
+
+    // BM25: identical formula with the SAME double-op order — composite constants appear
+    // as (1.2 + 1.0)/(1.0 - 0.75) so both engines fold them with the same IEEE ops, and
+    // per-term scores quantize to DECIMAL(18,8) before the sum (fp-sum-order safety)
+    "doc_bm25_topk" ->
+      """WITH q(query_id, query_text) AS (VALUES
+        |  ('q1', 'spark join window'), ('q2', 'vector hash merge'), ('q3', 'customer query')),
+        |tok AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |qt AS (SELECT query_id, unnest(list_distinct(
+        |  list_filter(string_split_regex(lower(query_text), '[^\p{L}\p{N}]+'), x -> x <> ''))) AS token
+        |  FROM q),
+        |tf AS (SELECT doc_id, len(t) AS dl, unnest(t) AS token FROM tok),
+        |tfc AS (SELECT doc_id, token, MAX(dl) AS dl, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(len(t)) AS BIGINT) AS sum_dl FROM tok),
+        |dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tfc GROUP BY 1),
+        |scored AS (
+        |  SELECT qt.query_id, tfc.doc_id,
+        |    ROUND(CAST(SUM(CAST(
+        |      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tfc.tf * (1.2 + 1.0) /
+        |      (tfc.tf + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(tfc.dl * n_docs AS DOUBLE) / sum_dl))
+        |    AS DECIMAL(18,8))) AS DOUBLE), 6) AS score
+        |  FROM tfc JOIN qt USING (token) JOIN dfreq USING (token) CROSS JOIN stats
+        |  GROUP BY 1, 2)
+        |SELECT query_id, doc_id, score FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 10""".stripMargin,
+
+    // mixture sampling: same rate formula with the same double-op order; membership is the
+    // shared 20-bit md5 bucket rendering
+    "doc_mixture_sample" ->
+      """WITH w(lang, wt) AS (VALUES ('en', 0.5), ('de', 0.25), ('fr', 0.25)),
+        |totals AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS t FROM documents
+        |  WHERE lang IN ('en', 'de', 'fr') GROUP BY 1),
+        |o AS (SELECT MIN(CAST(t AS DOUBLE) / wt) AS o FROM totals JOIN w USING (lang)),
+        |rates AS (SELECT totals.lang, wt * o.o / CAST(t AS DOUBLE) AS rate
+        |  FROM totals JOIN w USING (lang) CROSS JOIN o)
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d JOIN rates r ON d.lang = r.lang
+        |WHERE CAST('0x' || substring(md5(d.text), 1, 5) AS BIGINT) < r.rate * 1048576.0""".stripMargin,
 
     "doc_contamination" ->
       """WITH t AS (SELECT doc_id, source,

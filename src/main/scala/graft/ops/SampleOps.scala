@@ -162,6 +162,44 @@ object SampleOps {
   }
 
   /**
+   * Training-mixture construction: choose per-stratum deterministic keep-rates so the
+   * OUTPUT token mixture hits the target weights, scaled to the largest corpus the input
+   * supports — the binding stratum (smallest `T_s/w_s`) is kept whole and every other
+   * stratum downsamples to match: `rate_s = w_s·O/T_s` with `O = min_s T_s/w_s`. Strata
+   * absent from `weights` are dropped. This is the "mix 50% web, 25% code, 25% books by
+   * tokens" step of every pre-training data recipe; rates hold in expectation (membership
+   * is per-document), with the usual content-hash determinism — a document's membership
+   * never changes across re-runs, re-partitions, or incremental growth.
+   *
+   * Plan shape: one tiny per-stratum total aggregation, a scalar min, rates broadcast
+   * back, then a narrow hash filter — the corpus itself is never shuffled. The membership
+   * hash uses a 20-bit md5 bucket (finer than [[hashBucket]]'s percent grid, so small
+   * rates stay accurate) with the same cross-engine rendering.
+   */
+  def mixtureSample(
+      df: DataFrame,
+      weights: Map[String, Double],
+      strataCol: String = "lang",
+      tokenCol: String = "n_chars",
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0), "mixtureSample: positive weights")
+    val weightOf = weights.foldLeft(lit(Double.NaN)) { case (acc, (s, w)) =>
+      when(col(strataCol) === s, lit(w)).otherwise(acc)
+    }
+    val totals = df.filter(col(strataCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(strataCol)).agg(sum(col(tokenCol)).cast("long").as("__t"))
+      .withColumn("__w", weightOf)
+    val o = totals.agg(min(col("__t").cast("double") / col("__w")).as("__o"))
+    val rates = totals.crossJoin(broadcast(o))
+      .select(col(strataCol), (col("__w") * col("__o") / col("__t").cast("double")).as("__rate"))
+    val bucket20 = conv(substring(md5(col(textCol)), 1, 5), 16, 10).cast("long")
+    df.join(broadcast(rates), strataCol)
+      .filter(bucket20 < col("__rate") * 1048576.0)
+      .select(col(idCol), col(strataCol), col(tokenCol))
+  }
+
+  /**
    * Percentile bucketing (curriculum / length-mixing buckets): rows bucketed by which
    * corpus-level quantile thresholds they clear. The scalable alternative to a global
    * NTILE window (which is one giant sort): thresholds come from the exact `percentile`

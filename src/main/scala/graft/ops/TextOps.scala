@@ -168,6 +168,57 @@ object TextOps {
       .select(col(idCol), col("token"), col("tf"), col("tfidf"), col("rank"))
   }
 
+  /**
+   * BM25 lexical top-k retrieval (Robertson/Sparck-Jones; the keyword half of every
+   * retrieval stack next to the ANN operators): for each query, the top `k` documents by
+   * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with the positive idf
+   * `ln(1 + (N−df+0.5)/(df+0.5))`.
+   *
+   * Plan shape for 100 TB: the (doc, token) term-frequency aggregation partial-combines
+   * map-side and carries the document length WITH it (no doc-length self-join); document
+   * frequencies are needed only for QUERY terms, so the vocabulary-sized df table is
+   * semi-joined down to |query terms| rows and broadcast together with the corpus stats
+   * (N, Σdl) — the probe never shuffles on anything but the (query, doc) score key, and
+   * ranking is the bounded-heap [[graft.functions.TopKFunctions.topKByScore]] (≤ k rows
+   * per query cross the final exchange, no sort).
+   *
+   * avgdl enters as `dl·N/Σdl` (exact longs, one double division) and per-term scores
+   * quantize to DECIMAL(18,8) before the sum so cross-engine fp drift can't flip ranks.
+   */
+  def bm25TopK(df: DataFrame, queries: Seq[(String, String)], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(queries.nonEmpty)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qtok = broadcast(queries.toDF("query_id", "query_text")
+      .select(col("query_id"), explode(array_distinct(tokensCol(col("query_text")))).as("token")))
+    // (doc, token) tf with the doc length riding along — no separate length join
+    val tf = df
+      .select(col(idCol), size(tokensCol(col(textCol))).cast("long").as("dl"),
+        explode(tokensCol(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val stats = broadcast(df.select(size(tokensCol(col(textCol))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")))
+    // df only for query terms: vocabulary table semi-joins down to |query terms| rows
+    val dfreq = broadcast(tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .join(qtok.select("token").distinct(), Seq("token"), "left_semi"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val norm = col("tf") + lit(k1) *
+      (lit(1.0 - b) + lit(b) * (col("dl") * col("n_docs")).cast("double") / col("sum_dl"))
+    val term = (idf * col("tf") * lit(k1 + 1.0) / norm).cast(DecimalType(18, 8))
+    val scored = tf.join(qtok, "token").join(dfreq, "token").crossJoin(stats)
+      .groupBy(col("query_id"), col(idCol))
+      .agg(round(sum(term).cast("double"), 6).as("score"))
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKFunctions.topKByScore(col("score"), col(idCol),
+        struct(col(idCol), col("score")), k).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col(s"t.$idCol").as(idCol), col("t.score").as("score"))
+  }
+
   /** Email pattern shared with the oracle — RE2- and Java-regex compatible subset. */
   val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 

@@ -465,6 +465,36 @@ class TextOpsSpec extends SparkSpec {
   }
 }
 
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.TextOps
+
+  test("bm25TopK: exact-match doc outranks partial matches; k bounds each query") {
+    val docs = Seq(
+      (1L, "spark join window spark join window"),       // all three terms, repeated
+      (2L, "spark filter scan filter scan"),             // one term
+      (3L, "join window table window join"),             // two terms
+      (4L, "completely unrelated words here entirely"),  // zero terms
+      (5L, "spark join window")                          // all terms, shorter doc
+    ).toDF("doc_id", "text")
+    val out = TextOps.bm25TopK(docs, Seq("qa" -> "spark join window"), k = 3).collect()
+    assert(out.length == 3) // k bound, and doc 4 can never appear (no matching term)
+    val ranked = out.sortBy(r => -r.getAs[Double]("score")).map(_.getAs[Long]("doc_id"))
+    assert(!ranked.contains(4L))
+    // docs 1 and 5 carry every query term; the single-term doc 2 must rank below both
+    assert(ranked.indexOf(2L) == -1 || ranked.indexOf(2L) > ranked.indexOf(1L))
+    assert(out.forall(_.getAs[Double]("score") > 0.0))
+  }
+
+  test("bm25TopK: idf suppresses ubiquitous terms") {
+    // 'common' appears in every doc, 'rare' in one: the rare-term doc must win that query
+    val docs = (1L to 20L).map(i => (i, if (i == 7L) "common rare" else "common filler"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bm25TopK(docs, Seq("q" -> "rare"), k = 5).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(7L))
+  }
+}
+
 class BucketingSpec extends SparkSpec {
   import spark.implicits._
 

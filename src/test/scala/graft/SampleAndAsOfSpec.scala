@@ -116,6 +116,29 @@ class SampleAndAsOfSpec extends SparkSpec {
     assert(out(5L) == 0L) // separate stratum restarts
   }
 
+  test("mixtureSample: binding stratum kept whole, others downsample toward target shares") {
+    val rnd = new scala.util.Random(19)
+    val docs = (1L to 3000L).map { id =>
+      val lang = if (id % 4 == 0) "de" else if (id % 4 == 1) "fr" else "en" // en ~50% of rows
+      (id, s"doc $id ${rnd.nextInt(1 << 20)}", lang, 100L)
+    }.toDF("doc_id", "text", "lang", "n_chars")
+    val out = SampleOps.mixtureSample(docs, Map("en" -> 0.4, "de" -> 0.3, "fr" -> 0.3))
+    val kept = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val in = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // binding stratum = min T/w: de and fr tie (~750 each / 0.3) — both fully kept
+    assert(kept("de") == in("de") && kept("fr") == in("fr"))
+    // en downsamples to ~ w_en * O / T_en = 0.4 * 2500 / 1500 of its docs (uniform tokens)
+    val expectedEn = 0.4 * (in("de") / 0.3) / in("en")
+    assert(math.abs(kept("en").toDouble / in("en") - expectedEn) < 0.05,
+      s"en keep rate ${kept("en").toDouble / in("en")} vs target $expectedEn")
+    // unlisted strata never pass; membership is deterministic across re-runs
+    assert(!kept.contains("zh"))
+    assert(SampleOps.mixtureSample(docs, Map("en" -> 0.4, "de" -> 0.3, "fr" -> 0.3))
+      .collect().map(_.getLong(0)).toSet == out.collect().map(_.getLong(0)).toSet)
+  }
+
   test("packGreedy: sharded two-level prefix == single-window form, incl. one-language skew") {
     import org.apache.spark.sql.expressions.Window
     // a skewed corpus: one language holds ~90% of rows (the case that used to serialize)
