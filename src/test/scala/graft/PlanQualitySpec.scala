@@ -99,11 +99,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"sampling must not shuffle, got:\n$p")
   }
 
-  test("doc_quota_sample: one exchange on the group key only") {
+  test("doc_quota_sample: bounded-heap aggregate, no per-group sort (VERDICT r3 #5)") {
     val p = plan("doc_quota_sample")
     val keys = "hashpartitioning\\(([a-z_]+)".r.findAllMatchIn(p).map(_.group(1)).toSet
     assert(keys == Set("source"), s"unexpected shuffle keys $keys")
     assert(!p.contains("SortMergeJoin"), "quota sample must not self-join")
+    // the quota is a map-side partial bounded heap — a mega-group never serializes in a
+    // window sort (ObjectHashAggregate, ≤ quota rows per group cross the exchange)
+    assert(p.contains("ObjectHashAggregate"), s"expected the bounded-heap aggregate:\n$p")
+    assert(!p.contains("Window"), s"ROW_NUMBER window crept back:\n$p")
   }
 
   test("doc_pack_greedy: per-shard windows, offsets broadcast (VERDICT r3 #3)") {
