@@ -20,14 +20,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.toLowerCase.contains("readschema: struct<l_orderkey")) // pruned: no unused cols
   }
 
-  test("exact percentiles aggregate over a bounded DECIMAL grid, not raw doubles (VERDICT r3 #2)") {
-    // Percentile state is a value→count map: a continuous double column makes it O(rows);
-    // the decimal(18,2) cast bounds distinct keys by the value range, corpus-independent
-    for (q <- Seq("q_percentiles", "doc_length_buckets")) {
-      val p = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan.toString
-      assert(p.contains("decimal(18,2)"), s"$q percentile input not on the decimal grid:\n$p")
-      assert(p.contains("percentile"), s"$q lost its exact percentile")
-    }
+  test("exact percentiles aggregate over a bounded value grid, not raw doubles (VERDICT r3 #2)") {
+    // Percentile state is a value→count map: a continuous double column makes it O(rows).
+    // q_percentiles quantizes to a CENTS-LONG grid (range-bounded keys, long hashing);
+    // percentileBuckets quantizes to DECIMAL(18,2) — both corpus-size-independent.
+    val pq = SparkEntry.queries("q_percentiles")(spark, dir).queryExecution.optimizedPlan.toString
+    assert(pq.contains("percentile(cast(round("), s"q_percentiles not on the cents grid:\n$pq")
+    assert(!"percentile\\(l_".r.findFirstIn(pq).isDefined, s"raw-double percentile input:\n$pq")
+    val pb = SparkEntry.queries("doc_length_buckets")(spark, dir).queryExecution.optimizedPlan.toString
+    assert(pb.contains("decimal(18,2)"), s"doc_length_buckets percentile input not on the decimal grid:\n$pb")
+    assert(pb.contains("percentile"), "doc_length_buckets lost its exact percentile")
   }
 
   test("q_dim_join: dimension joins broadcast") {
