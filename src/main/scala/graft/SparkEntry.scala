@@ -782,6 +782,16 @@ object SparkEntry {
       DedupOps.lineDedup(d)
     }),
 
+    // exact duplicated-span detection (Lee et al. 2022 ExactSubstr semantics at fixed
+    // window k): runs of consecutive duplicated 12-token windows = shared substrings
+    "doc_span_dedup" -> ((s, dir) =>
+      DedupOps.spanDedupStats(t(s, dir, "documents"), k = 12)),
+
+    // exact heavy hitters (tokens above 0.5% of all occurrences) via the two-phase
+    // local-candidates-then-exact-recount scheme — the tail never shuffles
+    "doc_heavy_hitters" -> ((s, dir) =>
+      TextOps.heavyHitters(t(s, dir, "documents"), invPhi = 200)),
+
     // deterministic epoch shuffle: seeded-hash shard + intra-shard order, reproducible
     // under re-runs/re-partitioning (vs orderBy(rand())); one exchange + per-shard sort
     "doc_shuffle_shards" -> ((s, dir) =>
@@ -856,6 +866,33 @@ object SparkEntry {
         .withColumn("sim", round(col("sim"), 4))
     }),
 
+    // SemDeDup (k-means-blocked semantic dedup) as a self-verifying gate: 20 planted
+    // exact copies (larger ids, cosine 1.0 with their source, same cell by construction)
+    // must all drop; the kept set must contain NO in-cell pair at sim>=eps (the greedy
+    // keep-lowest-id invariant, audited by an independent pairwise pass); cluster
+    // blocking must actually split the space (max cell < 80% of corpus)
+    "emb_semdedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = e.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      val corpus = e.unionByName(planted)
+      val res = VectorOps.semDeDup(corpus, eps = 0.99, nClusters = 8, iters = 3)
+      val counts = res.agg(
+        count(lit(1)).as("n_vectors"),
+        sum(when(col("vec_id") >= 100000, 1L).otherwise(0L)).as("n_planted"),
+        sum(when(col("vec_id") >= 100000 && !col("kept"), 1L).otherwise(0L)).as("n_planted_dropped"))
+      val keptVecs = res.filter(col("kept")).join(corpus, "vec_id")
+      val viol = VectorOps.cosineNearDupPairsExact(keptVecs, threshold = 0.99, blockCol = "cell")
+        .agg(count(lit(1)).as("n_viol"))
+      val cells = res.groupBy("cell").agg(count(lit(1)).as("nc"))
+        .agg(max(col("nc")).as("max_cell"), sum(col("nc")).as("n_tot"))
+      counts.crossJoin(viol).crossJoin(cells).select(
+        col("n_vectors"), col("n_planted"),
+        (col("n_planted_dropped") === col("n_planted")).as("planted_dropped_ok"),
+        (col("n_viol") === 0).as("kept_independent_ok"),
+        (col("max_cell") < col("n_tot") * 0.8).as("bounded_ok"))
+    }),
+
     // ---- training-data ops: multimodal plumbing -----------------------------------------------
 
     // frame sampling through the REAL mapPartitions row-expansion path (binary slices);
@@ -924,6 +961,13 @@ object SparkEntry {
       val books = pqModels.getOrElseUpdate(dir, VectorOps.pqFit(e, m = 8, k = 16))
       VectorOps.pqTopK(e, e.filter(col("vec_id") < 8), k = 3, m = 8, kCode = 16,
         shortlist = 64, trained = Some(books))
+    }),
+
+    "emb_semdedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = ivfModels.getOrElseUpdate(dir + "#semdedup8",
+        VectorOps.kmeansFit(e, 8, iters = 3))
+      VectorOps.semDeDup(e, eps = 0.99, nClusters = 8, trained = Some(model))
     }))
 
   /** Exact distinct-3-gram-shingle Jaccard pairs ≥ 0.2 — the shared oracle for the
@@ -1463,6 +1507,36 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_lines, CAST(len(kept) AS BIGINT) AS n_kept,
         |  md5(array_to_string(kept, chr(10))) AS clean_md5
         |FROM k""".stripMargin,
+
+    "doc_span_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks FROM documents),
+        |w AS (SELECT doc_id, u.i AS win_idx, list_aggregate(toks[u.i:u.i+11], 'string_agg', ' ') AS win
+        |  FROM t, unnest(CASE WHEN len(toks) < 12 THEN [] ELSE range(1, len(toks)-10) END) AS u(i)),
+        |dup AS (SELECT win FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) > 1),
+        |m AS (SELECT w.doc_id, w.win_idx, (d2.win IS NOT NULL) AS is_dup
+        |  FROM w LEFT JOIN dup d2 ON d2.win = w.win),
+        |runs AS (SELECT doc_id, win_idx - ROW_NUMBER() OVER (PARTITION BY doc_id, is_dup ORDER BY win_idx) AS grp
+        |  FROM m WHERE is_dup),
+        |mr AS (SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS max_dup_run FROM
+        |  (SELECT doc_id, grp, COUNT(*) AS cnt FROM runs GROUP BY 1, 2) GROUP BY 1),
+        |st AS (SELECT doc_id, COUNT(*) AS n_windows,
+        |  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows FROM m GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(st.n_windows, 0) AS n_windows,
+        |  COALESCE(st.n_dup_windows, 0) AS n_dup_windows, COALESCE(mr.max_dup_run, 0) AS max_dup_run
+        |FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id LEFT JOIN mr ON mr.doc_id = d.doc_id""".stripMargin,
+
+    "doc_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |tot AS (SELECT COUNT(*) AS n_total FROM toks)
+        |SELECT token, COUNT(*) AS n FROM toks CROSS JOIN tot
+        |GROUP BY token, tot.n_total HAVING COUNT(*) * 200 > tot.n_total""".stripMargin,
+
+    "emb_semdedup" ->
+      """SELECT COUNT(*) + 20 AS n_vectors, CAST(20 AS BIGINT) AS n_planted,
+        |  TRUE AS planted_dropped_ok, TRUE AS kept_independent_ok, TRUE AS bounded_ok
+        |FROM embeddings""".stripMargin,
 
     "doc_shuffle_shards" ->
       """WITH h AS (SELECT doc_id,

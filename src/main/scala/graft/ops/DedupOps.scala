@@ -387,4 +387,54 @@ object DedupOps {
         size(kept).cast("long").as("n_kept"),
         md5(concat_ws("\n", kept)).as("clean_md5"))
   }
+
+  /**
+   * Exact duplicated-span detection (the ExactSubstr idea of Lee et al. 2022,
+   * "Deduplicating Training Data Makes Language Models Better", re-expressed for Spark):
+   * a span is duplicated when the same `k`-token window appears in more than one document.
+   * Maximal duplicated substrings of ≥ `k` tokens surface as *runs* of consecutive
+   * duplicated windows, so per-doc we report the window counts plus the longest run
+   * (a run of `r` windows covers a shared span of `r + k - 1` tokens).
+   *
+   * 100 TB shape — the suffix-array of the reference papers is replaced by pure
+   * shuffle-friendly relational algebra:
+   *
+   *  - windows are hashed to 64 bits immediately after tokenization, so every exchange
+   *    carries `(hash, doc_id, win_idx)` — 20-byte rows, never window text;
+   *  - the duplicated-hash set is one hash-partitioned `countDistinct(doc_id) > 1`
+   *    aggregation (map-side combined) — no inverted-index materialization;
+   *  - run detection is the classic gaps-and-islands window over `(doc, win_idx)`:
+   *    one exchange on `doc_id`, state bounded by a doc's own window count.
+   *
+   * Returns (idCol, n_windows, n_dup_windows, max_dup_run) for EVERY input document
+   * (docs shorter than `k` tokens report zeros).
+   */
+  def spanDedupStats(df: DataFrame, k: Int = 12, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = df
+      .select(col(idCol), posexplode(
+        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), k)).as(Seq("win_idx", "win")))
+      .select(col(idCol), col("win_idx"), xxhash64(col("win")).as("h"))
+    val dupH = wins.groupBy("h").agg(countDistinct(col(idCol)).as("nd"))
+      .where(col("nd") > 1).select(col("h"), lit(true).as("is_dup"))
+    val marked = wins.join(dupH, Seq("h"), "left")
+      .select(col(idCol), col("win_idx"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
+    // gaps-and-islands: consecutive duplicated win_idx values share (win_idx - rank)
+    val byDup = Window.partitionBy(col(idCol), col("is_dup")).orderBy(col("win_idx"))
+    val runs = marked.where(col("is_dup"))
+      .withColumn("grp", col("win_idx") - row_number().over(byDup))
+      .groupBy(col(idCol), col("grp")).agg(count(lit(1)).as("run_len"))
+      .groupBy(idCol).agg(max(col("run_len")).as("max_dup_run"))
+    val stats = marked.groupBy(idCol).agg(
+      count(lit(1)).as("n_windows"),
+      sum(col("is_dup").cast("long")).as("n_dup_windows"))
+    df.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .join(runs, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"))
+  }
 }

@@ -307,4 +307,42 @@ object TextOps {
    */
   def simhash60(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     df.select(col(idCol), TextFunctions.simhash60Md5(tokensCol(col(textCol))).as("simhash"))
+
+  /**
+   * EXACT corpus-level heavy hitters: every token whose global count `c` satisfies
+   * `c * invPhi > N` (frequency strictly above 1/invPhi of all token occurrences).
+   * Integer arithmetic on both sides of the gate keeps the threshold bit-identical
+   * across engines — no float-boundary ambiguity.
+   *
+   * Exactness at scale WITHOUT shuffling the long tail (the two-phase
+   * candidate-then-recount scheme of Misra–Gries-style streaming summaries):
+   *
+   *  1. candidate phase — per-partition token counting in a local hash map
+   *     (`mapPartitions`: genuinely per-partition imperative state, the documented
+   *     last-resort case), emitting tokens locally above `n_p / invPhi`. By the averaging
+   *     argument, any global heavy hitter is locally heavy in ≥ 1 partition, so the
+   *     candidate set is a guaranteed superset — nothing is ever missed. Zero shuffle;
+   *     only the (tiny) candidate list moves.
+   *  2. exact phase — tokens are filtered to the broadcast candidate set BEFORE the
+   *     `groupBy`, so the one exchange carries candidate occurrences only, never the
+   *     tail. The exact recount then applies the strict global gate.
+   *
+   * Returns (token, n) for the true heavy hitters — exact, not approximate.
+   */
+  def heavyHitters(df: DataFrame, invPhi: Int = 200, textCol: String = "text"): DataFrame = {
+    val toks = df.select(explode(tokensCol(col(textCol))).as("token"))
+    import toks.sparkSession.implicits._
+    val cands = toks.as[String].mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      var n = 0L
+      it.foreach { t => n += 1; counts.update(t, counts.getOrElse(t, 0L) + 1L) }
+      counts.iterator.collect { case (t, c) if c * invPhi >= n => t }
+    }.toDF("token").distinct()
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(broadcast(cands), Seq("token"), "left_semi")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .where(col("n") * invPhi > col("n_total"))
+      .select(col("token"), col("n"))
+  }
 }

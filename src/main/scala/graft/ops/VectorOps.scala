@@ -373,4 +373,39 @@ object VectorOps {
         VectorFunctions.cosine(col("vec_a"), col("vec_b")).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /**
+   * SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+   * semantic deduplication"): cluster the embedding space with k-means, then inside each
+   * cluster drop every vector that has an ε-similar neighbor with a smaller id (greedy
+   * keep-lowest-id — deterministic, and leaves a kept set with NO in-cluster pair at
+   * `sim >= eps`, the invariant the gate query audits). Cross-cluster near-duplicates are
+   * the method's documented recall loss — that is what makes it tractable at scale.
+   *
+   * 100 TB shape: training is [[kmeansFit]] (O(k·dim·tasks) exchanges, model-only on the
+   * driver) or a pre-`trained` model shipped into the plan; assignment is one codegen'd
+   * narrow map; the pairwise compare is blocked per cell exactly like
+   * [[cosineNearDupPairsExact]], so work is Σ|cell|², never |corpus|². The drop set
+   * shuffles bare ids.
+   *
+   * Returns (idCol, cell, kept) for every input vector.
+   */
+  def semDeDup(
+      df: DataFrame,
+      eps: Double,
+      nClusters: Int = 16,
+      iters: Int = 5,
+      trained: Option[Array[Array[Float]]] = None,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val centroids = trained.getOrElse(kmeansFit(df, nClusters, iters, idCol, vecCol))
+    val assigned = df.select(col(idCol), col(vecCol),
+      VectorFunctions.nearestCentroids(col(vecCol), centroids, 1).getItem(0).as("cell"))
+    val dropped = cosineNearDupPairsExact(assigned, eps, blockCol = "cell",
+      idCol = idCol, vecCol = vecCol)
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("__drop", lit(true))
+    assigned.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cell"), not(coalesce(col("__drop"), lit(false))).as("kept"))
+  }
 }

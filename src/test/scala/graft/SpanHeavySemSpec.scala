@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{DedupOps, TextOps, VectorOps}
+
+/**
+ * Specs for the round-4 additions: exact duplicated-span detection (ExactSubstr-style,
+ * Lee et al. 2022), exact two-phase heavy hitters, and SemDeDup (Abbas et al. 2023).
+ */
+class SpanHeavySemSpec extends SparkSpec {
+  import spark.implicits._
+
+  // -- spanDedupStats -------------------------------------------------------------------
+
+  private def words(n: Int, tag: String): String =
+    (0 until n).map(i => s"$tag$i").mkString(" ")
+
+  test("spanDedupStats: planted shared span surfaces as one maximal run; short docs zero") {
+    // doc 1 and doc 2 share a 20-token span (k=12 → 9 duplicated windows in a single run);
+    // doc 3 is unique; doc 4 is too short to have any window.
+    val shared = words(20, "s")
+    val docs = Seq(
+      (1L, words(15, "a") + " " + shared + " " + words(15, "b")),
+      (2L, words(11, "c") + " " + shared + " " + words(3, "d")),
+      (3L, words(60, "u")),
+      (4L, words(5, "tiny"))).toDF("doc_id", "text")
+    val r = DedupOps.spanDedupStats(docs, k = 12)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+
+    val Seq(d1, d2, d3, d4) = r.toSeq
+    // 20-token shared span → 20 - 12 + 1 = 9 duplicated windows, consecutive
+    assert(d1 == ((1L, 39L, 9L, 9L)), s"doc1: $d1") // 50 tokens → 39 windows
+    assert(d2 == ((2L, 23L, 9L, 9L)), s"doc2: $d2") // 34 tokens → 23 windows
+    assert(d3._3 == 0L && d3._4 == 0L && d3._2 == 49L, s"doc3: $d3")
+    assert(d4 == ((4L, 0L, 0L, 0L)), s"doc4: $d4")
+  }
+
+  test("spanDedupStats: two disjoint shared spans produce separate runs, max is the longer") {
+    val sA = words(14, "x") // 3 windows at k=12
+    val sB = words(16, "y") // 5 windows at k=12
+    val docs = Seq(
+      (1L, sA + " " + words(20, "m") + " " + sB),
+      (2L, sA + " " + words(20, "n") + " " + sB)).toDF("doc_id", "text")
+    val r = DedupOps.spanDedupStats(docs, k = 12)
+      .as[(Long, Long, Long, Long)].collect()
+    r.foreach { case (_, _, nDup, maxRun) =>
+      assert(nDup == 8L, s"expected 3+5 dup windows, got $nDup")
+      assert(maxRun == 5L, s"expected max run 5, got $maxRun")
+    }
+  }
+
+  test("spanDedupStats: exchanges never carry window text") {
+    val docs = Seq((1L, words(40, "w"))).toDF("doc_id", "text")
+    val plan = DedupOps.spanDedupStats(docs, k = 12).queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+    // every aggregate below the final per-doc stats groups hashes/ids, not strings
+    def aggInputs(p: LogicalPlan): Seq[String] = p.collect { case a: Aggregate =>
+      a.groupingExpressions.map(_.dataType.simpleString)
+    }.flatten
+    assert(!aggInputs(plan).contains("string"),
+      "a shuffle-grouping key is a raw string — window text must be hashed before exchange")
+  }
+
+  // -- heavyHitters ---------------------------------------------------------------------
+
+  test("heavyHitters: exact vs naive on skewed data, invariant to partitioning") {
+    val rnd = new scala.util.Random(7)
+    // zipf-ish: token i appears ~ 3000/(i+1) times
+    val toks = (0 until 40).flatMap(i => Seq.fill(3000 / (i + 1))(s"tok$i"))
+    val shuffled = rnd.shuffle(toks)
+    val docs = shuffled.grouped(50).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+
+    val total = toks.size
+    val expected = toks.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * 50 > total }.toMap
+
+    for (nPart <- Seq(1, 3, 8)) {
+      val got = TextOps.heavyHitters(docs.repartition(nPart), invPhi = 50)
+        .as[(String, Long)].collect().toMap
+      assert(got == expected, s"nPart=$nPart: got ${got.size}, expected ${expected.size}")
+    }
+  }
+
+  test("heavyHitters: phase-2 exchange carries only candidate tokens (semi-join before groupBy)") {
+    val docs = Seq((1L, "a a a b c")).toDF("doc_id", "text")
+    val plan = TextOps.heavyHitters(docs, invPhi = 3).queryExecution.executedPlan
+    assert(plan.toString.contains("BroadcastHashJoin"),
+      "candidate filter should broadcast into the recount scan")
+  }
+
+  // -- semDeDup -------------------------------------------------------------------------
+
+  private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+  test("semDeDup: exact copy drops, orthogonal vectors keep, greedy keeps lowest id") {
+    // two tight groups far apart; ids chosen so the keeper is always the smallest
+    val data = Seq(
+      (1L, vec(1, 0, 0, 0)), (5L, vec(1, 0, 0, 0)),          // copies → 5 drops
+      (2L, vec(0.99, 0.141, 0, 0)),                           // near 1 → drops if same cell
+      (10L, vec(0, 0, 1, 0)), (11L, vec(0, 0, 0, 1))).toDF("vec_id", "embedding")
+    val r = VectorOps.semDeDup(data, eps = 0.999, nClusters = 2, iters = 3)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(r(1L), "lowest id of the duplicate group must be kept")
+    assert(!r(5L), "exact copy with larger id must drop")
+    assert(r(10L) && r(11L), "orthogonal vectors must be kept")
+  }
+
+  test("semDeDup: kept set has no in-cell pair above eps (greedy invariant)") {
+    val rnd = new scala.util.Random(13)
+    def noisy(base: Array[Float]) =
+      base.map(x => x + (rnd.nextDouble() * 0.02 - 0.01).toFloat)
+    val base = Array.fill(4)(Array.fill(8)(rnd.nextFloat()))
+    val data = (0 until 60).map(i => (i.toLong, noisy(base(i % 4)))).toDF("vec_id", "embedding")
+    val res = VectorOps.semDeDup(data, eps = 0.95, nClusters = 4, iters = 3)
+    val kept = res.filter(col("kept")).join(data, "vec_id")
+    val viol = VectorOps.cosineNearDupPairsExact(kept, threshold = 0.95, blockCol = "cell").count()
+    assert(viol == 0L, s"$viol kept in-cell pairs above eps")
+    // and something actually deduped: 60 noisy copies of 4 bases can't all survive
+    assert(res.filter(col("kept")).count() < 30, "near-copies should have been dropped")
+  }
+}
