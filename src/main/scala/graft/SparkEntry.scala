@@ -792,6 +792,11 @@ object SparkEntry {
     "doc_heavy_hitters" -> ((s, dir) =>
       TextOps.heavyHitters(t(s, dir, "documents"), invPhi = 200)),
 
+    // DSIR importance weights (hashed-unigram likelihood ratio vs the lang='en' target
+    // slice) — the data-SELECTION stage next to the dedup/quality gates
+    "doc_dsir_weights" -> ((s, dir) =>
+      SampleOps.dsirWeights(t(s, dir, "documents"), isTarget = col("lang") === "en")),
+
     // deterministic epoch shuffle: seeded-hash shard + intra-shard order, reproducible
     // under re-runs/re-partitioning (vs orderBy(rand())); one exchange + per-shard sort
     "doc_shuffle_shards" -> ((s, dir) =>
@@ -1537,6 +1542,25 @@ object SparkEntry {
       """SELECT COUNT(*) + 20 AS n_vectors, CAST(20 AS BIGINT) AS n_planted,
         |  TRUE AS planted_dropped_ok, TRUE AS kept_independent_ok, TRUE AS bounded_ok
         |FROM embeddings""".stripMargin,
+
+    "doc_dsir_weights" ->
+      """WITH toks AS (SELECT doc_id, (lang = 'en') AS is_target,
+        |  unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |b AS (SELECT doc_id, is_target,
+        |  CAST('0x' || substring(md5(token), 1, 15) AS BIGINT) % 64 AS bucket FROM toks),
+        |g AS (SELECT bucket, COUNT(*) AS n_raw,
+        |  CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS n_tgt FROM b GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_raw) AS BIGINT) AS t_raw, CAST(SUM(n_tgt) AS BIGINT) AS t_tgt FROM g),
+        |lr AS (SELECT bucket,
+        |  CAST(LOG10(CAST(g.n_tgt + 1 AS DOUBLE) / (tot.t_tgt + 64))
+        |     - LOG10(CAST(g.n_raw + 1 AS DOUBLE) / (tot.t_raw + 64)) AS DECIMAL(18,8)) AS lr
+        |  FROM g CROSS JOIN tot),
+        |pd AS (SELECT doc_id, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        |w AS (SELECT pd.doc_id, ROUND(CAST(SUM(pd.c * lr.lr) AS DOUBLE), 4) AS dsir_weight
+        |  FROM pd JOIN lr USING (bucket) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(w.dsir_weight, 0.0) AS dsir_weight
+        |FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id""".stripMargin,
 
     "doc_shuffle_shards" ->
       """WITH h AS (SELECT doc_id,

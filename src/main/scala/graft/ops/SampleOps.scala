@@ -251,4 +251,45 @@ object SampleOps {
         row_number().over(Window.partitionBy("shard").orderBy(col("h"), col(idCol))).cast("long"))
       .drop("h")
   }
+
+  /**
+   * DSIR importance weights (Xie et al. 2023, "Data Selection for Language Models via
+   * Importance Resampling"): score every raw document by how target-like its hashed
+   * n-gram profile is. Token occurrences hash into `nBuckets` buckets; target and raw
+   * corpora each induce a Laplace-smoothed multinomial over buckets; a document's weight
+   * is its per-bucket count vector dotted with the per-bucket log-likelihood ratio
+   * `log p_target(b) − log p_raw(b)` (log10 — a constant factor off the paper's ln,
+   * which no downstream ranking/threshold can see). Selection = rank or threshold on
+   * the weight (compose with [[stratifiedSample]]/[[quotaSample]] for the resample step).
+   *
+   * 100 TB shape: two token-level aggregations with map-side combine — one on `bucket`
+   * (the global distributions: ≤ `nBuckets` rows out), one on `(doc, bucket)` (a doc's
+   * profile) — and the `nBuckets`-row ratio table broadcasts back; nothing else moves.
+   * Cross-engine exactness: buckets come from the md5-60bit hash (same literal in the
+   * DuckDB oracle) and per-bucket ratios quantize to DECIMAL(18,8) before the per-doc
+   * sum, the repo-standard discipline for float aggregation across engines.
+   *
+   * Returns (idCol, dsir_weight) for every input document; token-free docs weigh 0.0.
+   */
+  def dsirWeights(df: DataFrame, isTarget: Column, nBuckets: Int = 64,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val buck = df.select(col(idCol), isTarget.as("is_target"),
+        explode(TextOps.tokensCol(col(textCol))).as("token"))
+      .select(col(idCol), col("is_target"),
+        pmod(TextOps.md5Hash60(col("token")), lit(nBuckets.toLong)).as("bucket"))
+    val global = buck.groupBy("bucket").agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("n_tgt"))
+    val tot = global.agg(sum(col("n_raw")).as("t_raw"), sum(col("n_tgt")).as("t_tgt"))
+    val lr = global.crossJoin(broadcast(tot)).select(col("bucket"),
+      (log(10.0, (col("n_tgt") + 1).cast(DoubleType) / (col("t_tgt") + nBuckets)) -
+        log(10.0, (col("n_raw") + 1).cast(DoubleType) / (col("t_raw") + nBuckets)))
+        .cast(DecimalType(18, 8)).as("lr"))
+    val perDoc = buck.groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("c"))
+      .join(broadcast(lr), "bucket")
+      .groupBy(idCol).agg(round(sum(col("c") * col("lr")).cast(DoubleType), 4).as("dsir_weight"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("dsir_weight"), lit(0.0)).as("dsir_weight"))
+  }
 }

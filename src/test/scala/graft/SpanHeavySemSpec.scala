@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{DedupOps, TextOps, VectorOps}
+import graft.ops.{DedupOps, SampleOps, TextOps, VectorOps}
 
 /**
  * Specs for the round-4 additions: exact duplicated-span detection (ExactSubstr-style,
@@ -118,5 +118,31 @@ class SpanHeavySemSpec extends SparkSpec {
     assert(viol == 0L, s"$viol kept in-cell pairs above eps")
     // and something actually deduped: 60 noisy copies of 4 bases can't all survive
     assert(res.filter(col("kept")).count() < 30, "near-copies should have been dropped")
+  }
+
+  // -- dsirWeights ----------------------------------------------------------------------
+
+  test("dsirWeights: target-vocabulary docs score above off-target; stable under repartition") {
+    // two disjoint vocabularies; target = A-speakers. A fresh doc written in vocabulary A
+    // must outweigh one written in vocabulary B.
+    val vocabA = (0 until 30).map(i => s"alpha$i")
+    val vocabB = (0 until 30).map(i => s"beta$i")
+    val rnd = new scala.util.Random(11)
+    def doc(v: Seq[String]) = Seq.fill(40)(v(rnd.nextInt(v.size))).mkString(" ")
+    val rows = (0 until 20).map(i => (i.toLong, doc(vocabA), true)) ++
+      (20 until 40).map(i => (i.toLong, doc(vocabB), false)) ++
+      Seq((100L, doc(vocabA), false), (101L, doc(vocabB), false), (102L, "", false))
+    val df = rows.toDF("doc_id", "text", "tgt")
+
+    val w = SampleOps.dsirWeights(df, isTarget = col("tgt"))
+      .as[(Long, Double)].collect().toMap
+    assert(w(100L) > w(101L), s"A-vocab doc ${w(100L)} must outweigh B-vocab doc ${w(101L)}")
+    assert(w(100L) > 0 && w(101L) < 0, "sign should follow the likelihood ratio")
+    assert(w(102L) == 0.0, "token-free doc weighs 0.0")
+    assert(w.size == 43, "every input doc gets a weight")
+
+    val w2 = SampleOps.dsirWeights(df.repartition(7), isTarget = col("tgt"))
+      .as[(Long, Double)].collect().toMap
+    assert(w2 == w, "weights must be partitioning-invariant")
   }
 }
