@@ -412,26 +412,29 @@ object DedupOps {
   def spanDedupStats(df: DataFrame, k: Int = 12, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wins = df
-      .select(col(idCol), posexplode(
-        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), k)).as(Seq("win_idx", "win")))
-      .select(col(idCol), col("win_idx"), xxhash64(col("win")).as("h"))
+    // windows come pre-hashed from the one-pass native ShingleHashes (token hashes
+    // computed once, k-window hash = XXH64 chain) — the string-building HOF variant
+    // interpreted at ~10× the cost and shipped window text into the first projection
+    val wins = df.select(col(idCol), posexplode(
+      TextFunctions.shingleHashes(TextFunctions.tokens(col(textCol)), k)).as(Seq("win_idx", "h")))
     val dupH = wins.groupBy("h").agg(countDistinct(col(idCol)).as("nd"))
       .where(col("nd") > 1).select(col("h"), lit(true).as("is_dup"))
     val marked = wins.join(dupH, Seq("h"), "left")
       .select(col(idCol), col("win_idx"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
-    // gaps-and-islands: consecutive duplicated win_idx values share (win_idx - rank)
+    // gaps-and-islands: consecutive duplicated win_idx values share (win_idx - rank);
+    // non-dup rows take grp = -1 so ONE two-level aggregation yields window counts,
+    // dup counts, and the longest run together (no stats-vs-runs branch re-evaluation)
     val byDup = Window.partitionBy(col(idCol), col("is_dup")).orderBy(col("win_idx"))
-    val runs = marked.where(col("is_dup"))
-      .withColumn("grp", col("win_idx") - row_number().over(byDup))
-      .groupBy(col(idCol), col("grp")).agg(count(lit(1)).as("run_len"))
-      .groupBy(idCol).agg(max(col("run_len")).as("max_dup_run"))
-    val stats = marked.groupBy(idCol).agg(
-      count(lit(1)).as("n_windows"),
-      sum(col("is_dup").cast("long")).as("n_dup_windows"))
+    val perRun = marked
+      .withColumn("grp",
+        when(col("is_dup"), col("win_idx") - row_number().over(byDup)).otherwise(lit(-1L)))
+      .groupBy(col(idCol), col("is_dup"), col("grp")).agg(count(lit(1)).as("c"))
+    val stats = perRun.groupBy(idCol).agg(
+      sum(col("c")).as("n_windows"),
+      sum(when(col("is_dup"), col("c")).otherwise(0L)).as("n_dup_windows"),
+      max(when(col("is_dup"), col("c")).otherwise(0L)).as("max_dup_run"))
     df.select(col(idCol))
       .join(stats, Seq(idCol), "left")
-      .join(runs, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_windows"), lit(0L)).as("n_windows"),
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
