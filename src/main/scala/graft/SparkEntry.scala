@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 
 import graft.operators.Cdc
-import graft.ops.{DedupOps, MultimodalOps, SampleOps, TextOps, VectorOps}
+import graft.ops.{DedupOps, MultimodalOps, RetrievalOps, SampleOps, TextOps, VectorOps}
 import graft.functions.TextFunctions
 
 /**
@@ -810,6 +810,14 @@ object SparkEntry {
         Seq("q1" -> "spark join window", "q2" -> "vector hash merge", "q3" -> "customer query"),
         k = 10)),
 
+    // hybrid retrieval: BM25 and cosine top-10 lists fused by Reciprocal Rank Fusion —
+    // each query carries a text and a query-vector id; fusion touches only ranked lists
+    "doc_hybrid_rrf" -> ((s, dir) =>
+      RetrievalOps.hybridRrfTopK(t(s, dir, "documents"), t(s, dir, "embeddings"),
+        Seq(("q1", "spark join window", 1L), ("q2", "vector hash merge", 2L),
+          ("q3", "customer query", 3L)),
+        k = 5, kPer = 10)),
+
     // training-mixture construction: 50/25/25 en/de/fr token mixture, binding stratum kept
     // whole, others hash-downsampled — deterministic membership, corpus never shuffled
     "doc_mixture_sample" -> ((s, dir) =>
@@ -1433,6 +1441,45 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT query_id, doc_id, score FROM scored
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 10""".stripMargin,
+
+    "doc_hybrid_rrf" ->
+      """WITH q(query_id, query_text, qvec) AS (VALUES
+        |  ('q1', 'spark join window', 1), ('q2', 'vector hash merge', 2), ('q3', 'customer query', 3)),
+        |tok AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |qt AS (SELECT query_id, unnest(list_distinct(
+        |  list_filter(string_split_regex(lower(query_text), '[^\p{L}\p{N}]+'), x -> x <> ''))) AS token
+        |  FROM q),
+        |tf AS (SELECT doc_id, len(t) AS dl, unnest(t) AS token FROM tok),
+        |tfc AS (SELECT doc_id, token, MAX(dl) AS dl, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(len(t)) AS BIGINT) AS sum_dl FROM tok),
+        |dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tfc GROUP BY 1),
+        |scored AS (
+        |  SELECT qt.query_id, tfc.doc_id,
+        |    ROUND(CAST(SUM(CAST(
+        |      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tfc.tf * (1.2 + 1.0) /
+        |      (tfc.tf + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(tfc.dl * n_docs AS DOUBLE) / sum_dl))
+        |    AS DECIMAL(18,8))) AS DOUBLE), 6) AS score
+        |  FROM tfc JOIN qt USING (token) JOIN dfreq USING (token) CROSS JOIN stats
+        |  GROUP BY 1, 2),
+        |lexr AS (SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS lex_rank
+        |  FROM scored QUALIFY lex_rank <= 10),
+        |annx AS (SELECT q.query_id, c.vec_id AS doc_id,
+        |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |      list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+        |      c.vec_id ASC) AS ann_rank
+        |  FROM q JOIN embeddings qe ON qe.vec_id = q.qvec
+        |       JOIN embeddings c ON c.vec_id <> q.qvec
+        |  QUALIFY ann_rank <= 10),
+        |f AS (SELECT COALESCE(l.query_id, a.query_id) AS query_id,
+        |    COALESCE(l.doc_id, a.doc_id) AS doc_id,
+        |    COALESCE(1.0/(60 + l.lex_rank), 0.0) + COALESCE(1.0/(60 + a.ann_rank), 0.0) AS rrf
+        |  FROM lexr l FULL OUTER JOIN annx a ON a.query_id = l.query_id AND a.doc_id = l.doc_id)
+        |SELECT query_id, doc_id, ROUND(rrf, 6) AS rrf_score,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS fused_rank
+        |FROM f QUALIFY fused_rank <= 5""".stripMargin,
 
     // mixture sampling: same rate formula with the same double-op order; membership is the
     // shared 20-bit md5 bucket rendering

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{DedupOps, SampleOps, TextOps, VectorOps}
+import graft.ops.{DedupOps, RetrievalOps, SampleOps, TextOps, VectorOps}
 
 /**
  * Specs for the round-4 additions: exact duplicated-span detection (ExactSubstr-style,
@@ -144,5 +144,35 @@ class SpanHeavySemSpec extends SparkSpec {
     val w2 = SampleOps.dsirWeights(df.repartition(7), isTarget = col("tgt"))
       .as[(Long, Double)].collect().toMap
     assert(w2 == w, "weights must be partitioning-invariant")
+  }
+
+  // -- hybridRrfTopK --------------------------------------------------------------------
+
+  test("hybridRrfTopK: both-list docs outrank single-list docs; RRF arithmetic exact") {
+    // doc 10: lexical AND vector match; doc 11: lexical only; doc 12: vector only;
+    // the rest are noise. Query vector id 0 is the query's own embedding.
+    val docs = Seq(
+      (10L, "needle needle needle haystack"),
+      (11L, "needle needle needle needle thread"),
+      (12L, "completely unrelated prose"),
+      (13L, "more filler text here"),
+      (14L, "other filler text again")).toDF("doc_id", "text")
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val emb = Seq(
+      (0L, v(1, 0, 0)),        // the query vector
+      (10L, v(0.98, 0.2, 0)),  // close
+      (11L, v(0, 1, 0)),       // orthogonal
+      (12L, v(0.9, 0.43, 0)),  // close-ish
+      (13L, v(0, 0, 1)), (14L, v(0, 0.7, 0.7))).toDF("vec_id", "embedding")
+
+    val r = RetrievalOps.hybridRrfTopK(docs, emb,
+        Seq(("q", "needle haystack", 0L)), k = 5, kPer = 3)
+      .as[(String, Long, Double, Long)].collect().sortBy(_._4)
+    assert(r.head._2 == 10L, s"doc in both lists must fuse to rank 1, got ${r.toSeq}")
+    // doc 10 is lexical rank 1 (two query terms) and vector rank 1 → 2/(60+1)
+    assert(math.abs(r.head._3 - math.floor(2.0 / 61 * 1e6) / 1e6) < 1.6e-6,
+      s"RRF score of a double rank-1 should be ~2/61, got ${r.head._3}")
+    val ids = r.map(_._2).toSet
+    assert(ids.contains(11L) && ids.contains(12L), "single-list docs still retrieved")
   }
 }
