@@ -510,6 +510,20 @@ object SparkEntry {
         signups, keys = Seq("user_id"), timeCol = "ms", rightVals = Seq("signup_id"))
     }),
 
+    // bounded interval join (the range companion to as-of): errors within a day AFTER
+    // each click by the same user — range folded into the join key via time buckets
+    "ev_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ms", unix_millis(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ms"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ms"))
+      graft.operators.IntervalJoin.intervalJoin(clicks, errors,
+          keys = Seq("user_id"), timeCol = "ms", lo = 1L, hi = 86400000L)
+        .select(col("event_id").as("click_id"), col("r_event_id").as("error_id"),
+          (col("r_ms") - col("ms")).as("dt_ms"))
+    }),
+
     // vocabulary: corpus-wide token frequencies, top 50
     "doc_top_tokens" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1380,6 +1394,14 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
         |SELECT e.event_id, e.user_id, e.ms, s.signup_id AS asof_signup_id
         |FROM e ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ms >= s.ms""".stripMargin,
+
+    "ev_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ms FROM events)
+        |SELECT l.event_id AS click_id, r.event_id AS error_id, (r.ms - l.ms) AS dt_ms
+        |FROM e l JOIN e r ON r.user_id = l.user_id
+        |  AND l.event_type = 'click' AND r.event_type = 'error'
+        |  AND r.ms >= l.ms + 1 AND r.ms <= l.ms + 86400000""".stripMargin,
 
     "doc_stratified_sample" ->
       """WITH b AS (SELECT doc_id, lang,

@@ -175,4 +175,36 @@ class SpanHeavySemSpec extends SparkSpec {
     val ids = r.map(_._2).toSet
     assert(ids.contains(11L) && ids.contains(12L), "single-list docs still retrieved")
   }
+
+  // -- intervalJoin ---------------------------------------------------------------------
+
+  test("intervalJoin: equals the naive range join on random data, window edges inclusive") {
+    val rnd = new scala.util.Random(5)
+    val left = (0 until 300).map(i =>
+      (i.toLong, rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong)).toDF("lid", "k", "t")
+    val right = (0 until 300).map(i =>
+      (i.toLong, rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong)).toDF("rid", "k", "t")
+    for ((lo, hi) <- Seq((1L, 50L), (0L, 37L), (-20L, 20L))) {
+      val got = graft.operators.IntervalJoin
+        .intervalJoin(left, right, Seq("k"), "t", lo, hi)
+        .select("lid", "r_rid").as[(Long, Long)].collect().toSet
+      val want = left.as("l").join(right.as("r"),
+          col("l.k") === col("r.k") &&
+            col("r.t") >= col("l.t") + lo && col("r.t") <= col("l.t") + hi)
+        .select(col("lid"), col("rid")).as[(Long, Long)].collect().toSet
+      assert(got == want, s"window [$lo,$hi]: ${got.size} vs ${want.size} pairs")
+    }
+  }
+
+  test("intervalJoin: no duplicate pairs, prefixed outputs, collision guard") {
+    val left = Seq((1L, 1L, 100L)).toDF("lid", "k", "t")
+    val right = Seq((9L, 1L, 120L)).toDF("rid", "k", "t")
+    val out = graft.operators.IntervalJoin.intervalJoin(left, right, Seq("k"), "t", 0L, 50L)
+    assert(out.columns.sorted.toSeq == Seq("k", "lid", "r_rid", "r_t", "t"))
+    assert(out.count() == 1L, "exactly one pair, found in exactly one bucket")
+    val clash = Seq((1L, 1L, 100L, "x")).toDF("lid", "k", "t", "r_t")
+    intercept[IllegalArgumentException] {
+      graft.operators.IntervalJoin.intervalJoin(clash, right, Seq("k"), "t", 0L, 50L)
+    }
+  }
 }
