@@ -207,6 +207,45 @@ class PlanQualitySpec extends SparkSpec {
     assert(df.rdd.getNumPartitions >= 4) // one file, many ranges
   }
 
+  test("ev_interval_join: range rides the join KEY (equi-join on buckets, no nested loop)") {
+    val p = plan("ev_interval_join")
+    assert(p.contains("__ij_bucket") || p.contains("hashpartitioning"),
+      s"bucketed equi-join missing:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join degenerated to a pair-materializing plan:\n$p")
+  }
+
+  test("doc_dsir_weights: ratio table broadcasts onto the doc profiles (token side never sorts)") {
+    val p = plan("doc_dsir_weights")
+    assert(p.contains("BroadcastExchange"), "64-row ratio table must broadcast")
+    // the bucket-keyed ratio join must be broadcast — a sort-merge on `bucket` would
+    // sort the token-derived profile stream; the only SMJ allowed is the final
+    // doc-cardinality re-attach of zero-token docs (keys = doc_id)
+    assert(!"SortMergeJoin \\[bucket".r.findFirstIn(p).isDefined,
+      s"ratio join sort-merges on bucket:\n$p")
+  }
+
+  test("doc_heavy_hitters: recount joins the broadcast candidate set (tail never shuffles)") {
+    val p = plan("doc_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), "candidate semi-join must broadcast")
+    assert(p.contains("LeftSemi"), "phase-2 filter must be a semi-join")
+  }
+
+  test("doc_span_dedup: window hashes (longs) in every exchange, never window text") {
+    val p = SparkEntry.queries("doc_span_dedup")(spark, dir).queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val groupTypes = p.collect { case a: Aggregate =>
+      a.groupingExpressions.map(_.dataType.simpleString) }.flatten
+    assert(!groupTypes.contains("string"), s"string grouping key in span dedup:\n$groupTypes")
+  }
+
+  test("emb_semdedup bench variant: pairwise compare blocked per cell (repartition on cell)") {
+    val p = SparkEntry.benchQueries("emb_semdedup")(spark, dir).queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(block") || p.contains("hashpartitioning(cell"),
+      s"cell-blocked exchange missing:\n$p")
+    assert(!p.contains("CartesianProduct"), "semdedup must never go all-pairs")
+  }
+
   test("partition pruning: partitioned parquet scans only the matching partition") {
     val base = java.nio.file.Files.createTempDirectory("graft-pp").toString
     spark.read.parquet(s"$dir/events.parquet")
