@@ -560,10 +560,9 @@ object SparkEntry {
         DedupOps.minhashLshVerifiedPairs(d, threshold = 0.2))
       val dropIds = clusters.filter(col("id") =!= col("cluster_id"))
         .select(col("id").as("doc_id"))
-      val quality = TextOps.qualityScore(d).select(col("doc_id"), col("quality_score"))
-      val repetition = TextOps.repetitionScore(d).select(col("doc_id"), col("top_bigram_frac"))
-      d.join(dropIds, Seq("doc_id"), "left_anti")
-        .join(quality, "doc_id").join(repetition, "doc_id")
+      // quality + repetition from ONE TextSignals scan (same oracle-pinned arithmetic)
+      TextOps.docSignals(d, keep = Seq("lang"))
+        .join(dropIds, Seq("doc_id"), "left_anti")
         .filter(col("quality_score") >= 0.55 && col("top_bigram_frac") <= 0.08)
         .select(col("doc_id"), col("lang"), col("quality_score"), col("top_bigram_frac"))
     }),
@@ -581,10 +580,9 @@ object SparkEntry {
         DedupOps.minhashLshVerifiedPairs(d0, threshold = 0.2))
       val dropNear = clusters.filter(col("id") =!= col("cluster_id"))
         .select(col("id").as("doc_id"))
-      val quality = TextOps.qualityScore(d0, keep = Seq("lang"))
-        .select(col("doc_id"), col("lang"), col("quality_score"))
-      val repetition = TextOps.repetitionScore(d0)
-        .select(col("doc_id"), col("top_bigram_frac"))
+      // quality + repetition + token count + sampling bucket: ONE TextSignals scan
+      // (was three branches, each re-tokenizing, plus repetition's two exchanges)
+      val sig = TextOps.docSignals(d0, keep = Seq("lang"))
       val toksE = d0.select(col("doc_id"), explode(TextOps.tokensCol(col("text"))).as("token"))
       val freq = toksE.groupBy("token").agg(count(lit(1)).as("cnt"))
       val total = freq.agg(sum(col("cnt")).as("total"))
@@ -592,16 +590,12 @@ object SparkEntry {
         .groupBy("doc_id")
         .agg(round((sum(log(10.0, col("cnt").cast(DoubleType) / col("total"))
           .cast(DecimalType(18, 8))).cast(DoubleType) / count(lit(1))), 4).as("avg_logprob"))
-      val ntok = d0.select(col("doc_id"),
-        size(TextOps.tokensCol(col("text"))).cast("long").as("n_tokens"),
-        SampleOps.hashBucket(col("text")).as("bucket"))
       val samplePct = when(col("lang") === "en", 50)
         .when(col("lang") === "zh", 100).otherwise(20)
-      val survivors = d0.select(col("doc_id"))
+      val survivors = sig
         .join(keep, "doc_id")
         .join(dropNear, Seq("doc_id"), "left_anti")
-        .join(quality, "doc_id").join(repetition, "doc_id")
-        .join(lp, "doc_id").join(ntok, "doc_id")
+        .join(lp, "doc_id")
         .filter(col("quality_score") >= 0.55 && col("top_bigram_frac") <= 0.08 &&
           col("avg_logprob") >= -1.5 && col("bucket") < samplePct)
       SampleOps.packGreedy(

@@ -91,6 +91,68 @@ object TextExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /**
+   * `text_signals(tokens)` → struct(n_tokens, n_distinct, n_stop, top_bigram_n): every
+   * per-document token statistic the quality/repetition filters need, in ONE pass over
+   * the token array. The composable route evaluated the interpreted tokenizer + HOF
+   * chain once per derived signal (quality, repetition and token counting each re-walked
+   * the array), and repetition's top-bigram count paid an explode + two keyed exchanges —
+   * here the bigram frequency map is per-document local state, so the whole signal set is
+   * a narrow map over the corpus scan.
+   *
+   * Semantics are EXACTLY the algebraic forms they replace (the oracle queries pin this):
+   * `n_distinct` is bytewise string distinctness (= `array_distinct`), `n_stop` counts
+   * occurrences contained in `stopwords` (= `filter(isin)`), and `top_bigram_n` is the max
+   * multiplicity of [[ShingleHashes]]-hashed bigrams (same Seed1 token hash + Seed2 chain,
+   * so counts agree bit-for-bit with the exploded variant). Docs with < 2 tokens report 0.
+   */
+  case class TextSignals(child: Expression, stopwords: Seq[String])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("n_distinct", LongType, nullable = false),
+      StructField("n_stop", LongType, nullable = false),
+      StructField("top_bigram_n", LongType, nullable = false)))
+    override def nullIntolerant: Boolean = true
+    @transient private lazy val stopSet: java.util.HashSet[UTF8String] = {
+      val s = new java.util.HashSet[UTF8String](stopwords.size * 2)
+      stopwords.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }
+    override protected def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      val distinct = new java.util.HashSet[UTF8String](m * 2)
+      var nStop = 0L
+      val th = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        val s = arr.getUTF8String(i)
+        if (s != null) {
+          distinct.add(s)
+          if (stopSet.contains(s)) nStop += 1
+          th(i) = hash(s, Seed1)
+        }
+        i += 1
+      }
+      var top = 0L
+      if (m >= 2) {
+        val counts = new java.util.HashMap[java.lang.Long, java.lang.Long](m * 2)
+        var j = 0
+        while (j <= m - 2) {
+          var h = Seed2
+          h = XXH64.hashLong(th(j), h)
+          h = XXH64.hashLong(th(j + 1), h)
+          val c = counts.merge(h, 1L, (x, y) => x + y)
+          if (c > top) top = c
+          j += 1
+        }
+      }
+      new GenericInternalRow(Array[Any](m.toLong, distinct.size.toLong, nStop, top))
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** `minhash_long(hashes, k)` — MinHash signature over pre-hashed elements (see
     * [[MinHashSignature]]; same double-hashing construction, longs in). */
   case class MinHashSignatureLong(child: Expression, k: Int)
@@ -378,6 +440,8 @@ object TextFunctions {
 
   /** One-pass hashed shingles + consumers over pre-hashed arrays (the fast path). */
   def shingleHashes(toks: Column, n: Int): Column   = column(ShingleHashes(expression(toks), n))
+  def textSignals(toks: Column, stopwords: Seq[String]): Column =
+    column(TextSignals(expression(toks), stopwords))
   def minhashLong(hashes: Column, k: Int): Column   = column(MinHashSignatureLong(expression(hashes), k))
   def bandHashesFast(sig: Column, bands: Int): Column = column(BandHashesExpr(expression(sig), bands))
   def minKHashesLong(hashes: Column, k: Int): Column = column(MinKHashesLong(expression(hashes), k))

@@ -67,16 +67,23 @@ object TextOps {
    */
   def qualityScore(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       keep: Seq[String] = Nil): DataFrame = {
-    val toks = tokensCol(col(textCol))
-    val nTok = size(toks).cast("double")
-    val nChar = length(col(textCol)).cast("double")
-    val nStop = size(filter(toks, t => t.isin(Stopwords: _*))).cast("double")
-    val nSpace = (length(col(textCol)) - length(regexp_replace(col(textCol), " ", ""))).cast("double")
-    df.select(
+    // one-pass native signals in a SEPARATE projection: CollapseProject keeps expensive
+    // expressions single-evaluation when referenced more than once, so the tokenizer +
+    // signal pass runs once per row (the inline form re-ran it per derived column)
+    val base = df.select(
       Seq(col(idCol)) ++ keep.map(col) ++ Seq(
-        nTok.cast("long").as("n_tokens"),
-        when(nTok > 0, round(nChar / nTok, 4)).otherwise(0.0).as("mean_token_len"),
-        when(nChar > 0, round(nSpace / nChar, 4)).otherwise(0.0).as("space_ratio"),
+        TextFunctions.textSignals(tokensCol(col(textCol)), Stopwords).as("__sig"),
+        length(col(textCol)).cast("double").as("__nchar"),
+        (length(col(textCol)) - length(regexp_replace(col(textCol), " ", "")))
+          .cast("double").as("__nspace")): _*)
+    val nTok = col("__sig.n_tokens").cast("double")
+    val nStop = col("__sig.n_stop").cast("double")
+    base.select(
+      Seq(col(idCol)) ++ keep.map(col) ++ Seq(
+        col("__sig.n_tokens").as("n_tokens"),
+        when(nTok > 0, round(col("__nchar") / nTok, 4)).otherwise(0.0).as("mean_token_len"),
+        when(col("__nchar") > 0, round(col("__nspace") / col("__nchar"), 4))
+          .otherwise(0.0).as("space_ratio"),
         when(nTok > 0, round(nStop / nTok, 4)).otherwise(0.0).as("stopword_ratio"),
         round(
           when(nTok >= 5 && nTok <= 100000, lit(0.5)).otherwise(lit(0.0)) +
@@ -95,6 +102,35 @@ object TextOps {
     val bucket = (conv(substring(md5(col(textCol)), 1, 4), 16, 10).cast("int") % 100).as("bucket")
     df.select(col(idCol), bucket)
       .withColumn("split", when(col("bucket") < trainPct, "train").otherwise("test"))
+  }
+
+  /**
+   * One-scan combined signal extraction for composed pipelines: quality score, repetition
+   * fraction, token count and the deterministic sampling bucket, all from a single
+   * [[graft.functions.TextExpressions.TextSignals]] pass — a capstone that consumed
+   * [[qualityScore]], [[repetitionScore]] and [[tokenStats]] as separate branches paid
+   * three corpus scans (each with its own interpreted tokenize) for signals one narrow
+   * map produces together. Arithmetic is identical to the standalone operators, so
+   * composing this keeps their oracle-pinned values bit-for-bit.
+   */
+  def docSignals(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      keep: Seq[String] = Nil): DataFrame = {
+    val base = df.select(
+      Seq(col(idCol)) ++ keep.map(col) ++ Seq(
+        TextFunctions.textSignals(tokensCol(col(textCol)), Stopwords).as("__sig"),
+        SampleOps.hashBucket(col(textCol)).as("bucket")): _*)
+    val nTok = col("__sig.n_tokens").cast("double")
+    val nStop = col("__sig.n_stop").cast("double")
+    base.select(
+      Seq(col(idCol)) ++ keep.map(col) ++ Seq(
+        col("__sig.n_tokens").as("n_tokens"),
+        round(
+          when(nTok >= 5 && nTok <= 100000, lit(0.5)).otherwise(lit(0.0)) +
+            when(nTok > 0, (nStop / nTok) * 0.5).otherwise(lit(0.0)), 4).as("quality_score"),
+        when(col("__sig.n_tokens") > 1,
+          round(col("__sig.top_bigram_n") / (col("__sig.n_tokens") - 1).cast("double"), 4))
+          .otherwise(0.0).as("top_bigram_frac"),
+        col("bucket")): _*)
   }
 
   /** Text canonicalization (the standard cleanup before hashing/dedup, so byte-different
@@ -247,27 +283,20 @@ object TextOps {
    * via explode → count so the shuffle carries (doc_id, bigram-hash) pairs, never texts.
    */
   def repetitionScore(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val toks = tokensCol(col(textCol))
-    // bigrams as ONE-PASS hashes, not string-built HOF shingles: only counts leave this
-    // operator, and hashed bigrams count identically — the interpreted `transform(sequence,
-    // slice+array_join)` chain gets RE-EVALUATED per exploded row by the downstream
-    // Generate (the known pathology; measured 45x on the composed corpus-clean plan)
+    // the whole signal set — including the per-doc top-bigram multiplicity — is ONE
+    // narrow pass (TextSignals keeps the bigram frequency map as per-document local
+    // state); the former explode + two keyed exchanges + join shape paid two shuffles
+    // of the bigram stream for a per-document statistic
     val base = df.select(col(idCol),
-      size(toks).cast("long").as("n_tokens"),
-      size(array_distinct(toks)).cast("long").as("n_distinct"),
-      TextFunctions.shingleHashes(toks, 2).as("bigrams"))
-    val top = base
-      .select(col(idCol), explode(col("bigrams")).as("bg"))
-      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol)).agg(max(col("c")).as("top_bigram_n"))
-    base.drop("bigrams").join(top, Seq(idCol), "left")
-      .select(
-        col(idCol), col("n_tokens"),
-        when(col("n_tokens") > 0, round(col("n_distinct") / col("n_tokens").cast("double"), 4))
-          .otherwise(0.0).as("distinct_ratio"),
-        when(col("n_tokens") > 1,
-          round(coalesce(col("top_bigram_n"), lit(0L)) / (col("n_tokens") - 1).cast("double"), 4))
-          .otherwise(0.0).as("top_bigram_frac"))
+      TextFunctions.textSignals(tokensCol(col(textCol)), Stopwords).as("__sig"))
+    base.select(
+      col(idCol), col("__sig.n_tokens").as("n_tokens"),
+      when(col("__sig.n_tokens") > 0,
+        round(col("__sig.n_distinct") / col("__sig.n_tokens").cast("double"), 4))
+        .otherwise(0.0).as("distinct_ratio"),
+      when(col("__sig.n_tokens") > 1,
+        round(col("__sig.top_bigram_n") / (col("__sig.n_tokens") - 1).cast("double"), 4))
+        .otherwise(0.0).as("top_bigram_frac"))
   }
 
   /** First 60 bits of md5 as a long — the hash shared with the DuckDB oracles

@@ -207,4 +207,58 @@ class SpanHeavySemSpec extends SparkSpec {
       graft.operators.IntervalJoin.intervalJoin(clash, right, Seq("k"), "t", 0L, 50L)
     }
   }
+
+  // -- TextSignals ----------------------------------------------------------------------
+
+  test("TextSignals: one-pass signals equal an independent reference on random docs") {
+    val rnd = new scala.util.Random(23)
+    val vocab = (0 until 12).map(i => s"w$i") ++ TextOps.Stopwords.take(5)
+    val docs = (0 until 40).map { i =>
+      val n = rnd.nextInt(30) // includes 0- and 1-token docs
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+
+    // independent reference: plain Scala over the same tokenization
+    def ref(text: String): (Long, Long, Long, Long) = {
+      val toks = text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq
+      val bigrams = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val top = if (bigrams.isEmpty) 0L
+        else bigrams.groupBy(identity).values.map(_.size).max.toLong
+      (toks.size.toLong, toks.distinct.size.toLong,
+        toks.count(TextOps.Stopwords.contains).toLong, top)
+    }
+
+    val got = df.select(col("doc_id"),
+        graft.functions.TextFunctions.textSignals(
+          TextOps.tokensCol(col("text")), TextOps.Stopwords).as("s"))
+      .select(col("doc_id"), col("s.n_tokens"), col("s.n_distinct"),
+        col("s.n_stop"), col("s.top_bigram_n"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map { case (id, a, b, c, d) => id -> ((a, b, c, d)) }.toMap
+
+    docs.foreach { case (id, text) =>
+      assert(got(id) == ref(text), s"doc $id '$text': got ${got(id)}, want ${ref(text)}")
+    }
+  }
+
+  test("quality/repetition keep their values through the TextSignals rewrite (narrow plans)") {
+    val docs = Seq(
+      (1L, "the quick brown fox and the lazy dog and the quick brown fox"),
+      (2L, "a b"), (3L, ""), (4L, "one")).toDF("doc_id", "text")
+    val q = TextOps.qualityScore(docs).as[(Long, Long, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    // doc 1: 13 tokens, stopwords {the,the,and,the,and} = 5 → 0.5 + 5/13*0.5
+    assert(q(1L)._2 == 13L)
+    assert(math.abs(q(1L)._6 - math.rint((0.5 + 5.0 / 13 * 0.5) * 1e4) / 1e4) < 1e-9)
+    assert(q(3L)._2 == 0L && q(3L)._6 == 0.0)
+    val r = TextOps.repetitionScore(docs).as[(Long, Long, Double, Double)]
+      .collect().map(x => x._1 -> x).toMap
+    // doc 1: bigram "the quick" ×2 = top, 12 bigrams, frac = 2/12
+    assert(math.abs(r(1L)._4 - math.rint(2.0 / 12 * 1e4) / 1e4) < 1e-9, s"${r(1L)}")
+    assert(r(4L)._4 == 0.0 && r(3L)._4 == 0.0)
+    // and the plans are narrow: no exchange anywhere in repetitionScore now
+    val plan = TextOps.repetitionScore(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"repetitionScore must be a narrow map:\n$plan")
+  }
 }
