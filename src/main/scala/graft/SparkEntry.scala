@@ -192,11 +192,17 @@ object SparkEntry {
     // DECIMAL(18,2) representation (measured 3.8 s → 2.3 s at sf0.1). The data is 2-dp
     // already, so quantization is lossless; interpolation over scaled integers divided
     // back by 100 reproduces the unscaled percentile exactly (linearity).
+    // exact percentiles on the cents grid via the DISTRIBUTED histogram (VERDICT r3 #2
+    // follow-up): no value→count aggregation buffer, the histogram is the dataframe
     "q_percentiles" -> ((s, dir) => {
-      t(s, dir, "lineitem").agg(
-        round(expr("percentile(CAST(round(l_quantity * 100) AS BIGINT), 0.5) / 100"), 2).as("median_qty"),
-        round(expr("percentile(CAST(round(l_extendedprice * 100) AS BIGINT), 0.95) / 100"), 2).as("p95_price"),
-        round(expr("percentile(CAST(round(l_discount * 100) AS BIGINT), 0.25) / 100"), 2).as("p25_discount"))
+      SampleOps.exactPercentiles(t(s, dir, "lineitem"), Seq(
+          ("mq", round(col("l_quantity") * 100), 0.5),
+          ("pp", round(col("l_extendedprice") * 100), 0.95),
+          ("pd", round(col("l_discount") * 100), 0.25)))
+        .select(
+          round(col("mq") / 100, 2).as("median_qty"),
+          round(col("pp") / 100, 2).as("p95_price"),
+          round(col("pd") / 100, 2).as("p25_discount"))
     }),
 
     // sketch aggregates for 100 TB profiling: HLL distinct counts + t-digest-style

@@ -253,6 +253,54 @@ object SampleOps {
   }
 
   /**
+   * EXACT percentiles over grid-valued (long) columns as a DISTRIBUTED histogram, not an
+   * aggregation-buffer value map: Spark's `percentile` holds every distinct value+count in
+   * one buffer and merges whole maps onto a single reducer — with a ~10⁵-entry grid that
+   * is a multi-MB serialized blob per task. Here the histogram IS the dataframe:
+   *
+   *  1. one scan stacks the requested columns into `(cid, value)` and aggregates
+   *     `(cid, value) → count` with map-side combine (the only corpus-sized exchange);
+   *  2. a cumulative-count window per cid orders only the DISTINCT grid values
+   *     (histogram-sized, tiny rows — no serialized map ever exists);
+   *  3. the interpolation replicates `PercentileBase.getPercentile` arithmetic exactly —
+   *     `pos = p·(N−1)`, value-at-index = smallest v with cumulative count ≥ i+1,
+   *     `(ceil−pos)·low + (pos−floor)·high` with the equal-index/equal-key shortcuts —
+   *     so results are bit-identical to the built-in (and to the DuckDB oracle).
+   *
+   * Returns ONE row with a double column per spec `(name, gridColumn, p)`.
+   */
+  def exactPercentiles(df: DataFrame, specs: Seq[(String, Column, Double)]): DataFrame = {
+    require(specs.nonEmpty)
+    val stacked = df.select(explode(array(specs.zipWithIndex.map { case ((_, c, _), i) =>
+      struct(lit(i).as("cid"), c.cast("long").as("v")) }: _*)).as("s"))
+      .select(col("s.cid").as("cid"), col("s.v").as("v"))
+    val hist = stacked.where(col("v").isNotNull)
+      .groupBy(col("cid"), col("v")).agg(count(lit(1)).as("c"))
+    val tot = hist.groupBy("cid").agg(sum(col("c")).as("n"))
+    val wCum = Window.partitionBy(col("cid")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pCol = specs.zipWithIndex.foldLeft(lit(0.0)) { case (acc, ((_, _, p), i)) =>
+      when(col("cid") === i, lit(p)).otherwise(acc) }
+    val pos = pCol * (col("n") - 1)
+    val lower = floor(pos)
+    val higher = ceil(pos)
+    val perCid = hist.withColumn("cum", sum(col("c")).over(wCum))
+      .join(broadcast(tot), "cid")
+      .groupBy(col("cid"))
+      .agg(
+        min(when(col("cum") >= lower + 1, col("v"))).as("lv"),
+        min(when(col("cum") >= higher + 1, col("v"))).as("hv"),
+        first(pos).as("pos"), first(lower).as("lo"), first(higher).as("hi"))
+      .select(col("cid"),
+        when(col("lo") === col("hi") || col("lv") === col("hv"), col("lv").cast("double"))
+          .otherwise((col("hi") - col("pos")) * col("lv") + (col("pos") - col("lo")) * col("hv"))
+          .as("pct"))
+    val outs = specs.zipWithIndex.map { case ((name, _, _), i) =>
+      max(when(col("cid") === i, col("pct"))).as(name) }
+    perCid.agg(outs.head, outs.tail: _*)
+  }
+
+  /**
    * DSIR importance weights (Xie et al. 2023, "Data Selection for Language Models via
    * Importance Resampling"): score every raw document by how target-like its hashed
    * n-gram profile is. Token occurrences hash into `nBuckets` buckets; target and raw

@@ -20,13 +20,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.toLowerCase.contains("readschema: struct<l_orderkey")) // pruned: no unused cols
   }
 
-  test("exact percentiles aggregate over a bounded value grid, not raw doubles (VERDICT r3 #2)") {
-    // Percentile state is a value→count map: a continuous double column makes it O(rows).
-    // q_percentiles quantizes to a CENTS-LONG grid (range-bounded keys, long hashing);
-    // percentileBuckets quantizes to DECIMAL(18,2) — both corpus-size-independent.
+  test("exact percentiles: distributed histogram, no Percentile value-map buffer (VERDICT r3 #2)") {
+    // q_percentiles: the histogram IS the dataframe — a hash aggregation on (cid, value)
+    // plus a histogram-sized cumulative window; the Percentile aggregate (whole value→count
+    // map per buffer, merged on one reducer) must not appear at all.
     val pq = SparkEntry.queries("q_percentiles")(spark, dir).queryExecution.optimizedPlan.toString
-    assert(pq.contains("percentile(cast(round("), s"q_percentiles not on the cents grid:\n$pq")
-    assert(!"percentile\\(l_".r.findFirstIn(pq).isDefined, s"raw-double percentile input:\n$pq")
+    assert(!pq.contains("percentile("), s"q_percentiles still uses the Percentile buffer:\n$pq")
+    val phys = plan("q_percentiles")
+    assert(phys.contains("HashAggregate"), "histogram must hash-aggregate with partial combine")
+    // percentileBuckets keeps the built-in but on a bounded DECIMAL(18,2) grid
     val pb = SparkEntry.queries("doc_length_buckets")(spark, dir).queryExecution.optimizedPlan.toString
     assert(pb.contains("decimal(18,2)"), s"doc_length_buckets percentile input not on the decimal grid:\n$pb")
     assert(pb.contains("percentile"), "doc_length_buckets lost its exact percentile")

@@ -261,4 +261,27 @@ class SpanHeavySemSpec extends SparkSpec {
     val plan = TextOps.repetitionScore(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"repetitionScore must be a narrow map:\n$plan")
   }
+
+  // -- exactPercentiles -----------------------------------------------------------------
+
+  test("exactPercentiles: histogram form equals the Percentile built-in on random grids") {
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 6) {
+      val n = 1 + rnd.nextInt(500) // includes tiny N where interpolation edges matter
+      val vals = Seq.fill(n)(rnd.nextInt(40).toLong)
+      val df = vals.map(Tuple1(_)).toDF("v")
+      val ps = Seq(0.0, 0.25, 0.5, 0.95, 1.0)
+      val got = SampleOps.exactPercentiles(df,
+          ps.zipWithIndex.map { case (p, i) => (s"p$i", col("v"), p) })
+        .collect()(0)
+      val want = df.agg(
+          expr(s"percentile(v, 0.0)"), expr(s"percentile(v, 0.25)"),
+          expr(s"percentile(v, 0.5)"), expr(s"percentile(v, 0.95)"),
+          expr(s"percentile(v, 1.0)"))
+        .collect()(0)
+      for (i <- ps.indices)
+        assert(got.getDouble(i) == want.getDouble(i),
+          s"trial $trial n=$n p=${ps(i)}: ${got.getDouble(i)} != ${want.getDouble(i)}")
+    }
+  }
 }
