@@ -229,22 +229,28 @@ object TextOps {
     import spark.implicits._
     val qtok = broadcast(queries.toDF("query_id", "query_text")
       .select(col("query_id"), explode(array_distinct(tokensCol(col("query_text")))).as("token")))
-    // tokenize ONCE into (doc, token) pairs; everything else derives from the tf table.
-    // Projecting size(tokens) beside the explode would re-evaluate the interpreted
-    // tokenizer HOF per EXPLODED row (the Generate pathology; measured 4.7 s vs 0.4 s at
-    // sf0.1) — instead dl = Σtf via an unordered window over the already-aggregated table.
-    val pairs = df.select(col(idCol), explode(tokensCol(col(textCol))).as("token"))
-    val tf = pairs.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-      .withColumn("dl", sum(col("tf")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
+    // tokens materialize in a pre-Generate projection (CollapseProject keeps the expensive
+    // tokenizer single-evaluation), so dl = size(tokens) rides each exploded pair WITHOUT
+    // re-running the HOF per exploded row (the Generate pathology; measured 4.7 s vs
+    // 0.4 s at sf0.1). The broadcast query-term semi-join then prunes the token stream
+    // BEFORE any aggregation: the only corpus-sized exchange the old shape had — the full
+    // (doc, token) tf groupBy + per-doc dl window — never happens; only query-term
+    // occurrences (|matching docs| · |query terms| rows) are ever shuffled.
+    val toksDf = df.select(col(idCol), tokensCol(col(textCol)).as("__toks"))
+    val pairs = toksDf.select(col(idCol), size(col("__toks")).cast("long").as("dl"),
+      explode(col("__toks")).as("token"))
+    val qpairs = pairs.join(broadcast(qtok.select("token").distinct()), Seq("token"), "left_semi")
+    val tf = qpairs.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
     // N counts ALL documents (empty ones too — they have no tf rows but weight avgdl);
-    // Σdl = Σtf, so neither stat re-tokenizes the corpus
+    // Σdl needs the full token count, which the pruned stream no longer carries — it
+    // comes from a second NARROW pass (sum of per-doc sizes, no explode, no exchange):
+    // an extra scan is the right trade against shuffling the whole token stream
     val stats = broadcast(
       df.agg(count(lit(1)).as("n_docs"))
-        .crossJoin(tf.agg(sum(col("tf")).cast("long").as("sum_dl"))))
-    // df only for query terms: vocabulary table semi-joins down to |query terms| rows
-    val dfreq = broadcast(tf.groupBy("token").agg(count(lit(1)).as("df"))
-      .join(qtok.select("token").distinct(), Seq("token"), "left_semi"))
+        .crossJoin(toksDf.agg(sum(size(col("__toks"))).cast("long").as("sum_dl"))))
+    // document frequency for query terms, from the pruned stream (distinct docs per term)
+    val dfreq = broadcast(tf.groupBy("token").agg(count(lit(1)).as("df")))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
     val norm = col("tf") + lit(k1) *
