@@ -811,6 +811,11 @@ object SparkEntry {
     "doc_dsir_weights" -> ((s, dir) =>
       SampleOps.dsirWeights(t(s, dir, "documents"), isTarget = col("lang") === "en")),
 
+    // CMS heavy-hitter profile: the approximate path for unbounded vocabularies, audited
+    // in-gate against the exact two-phase heavy hitters (never-underestimate + eps*N bound)
+    "doc_cms_heavy" -> ((s, dir) =>
+      TextOps.cmsHeavyVerdict(t(s, dir, "documents"), invPhi = 200)),
+
     // deterministic epoch shuffle: seeded-hash shard + intra-shard order, reproducible
     // under re-runs/re-partitioning (vs orderBy(rand())); one exchange + per-shard sort
     "doc_shuffle_shards" -> ((s, dir) =>
@@ -1606,6 +1611,14 @@ object SparkEntry {
         |tot AS (SELECT COUNT(*) AS n_total FROM toks)
         |SELECT token, COUNT(*) AS n FROM toks CROSS JOIN tot
         |GROUP BY token, tot.n_total HAVING COUNT(*) * 200 > tot.n_total""".stripMargin,
+
+    "doc_cms_heavy" ->
+      """WITH toks AS (SELECT unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |tot AS (SELECT COUNT(*) AS n_total FROM toks),
+        |hh AS (SELECT token, COUNT(*) AS n FROM toks CROSS JOIN tot
+        |  GROUP BY token, tot.n_total HAVING COUNT(*) * 200 > tot.n_total)
+        |SELECT COUNT(*) AS n_heavy, TRUE AS overestimate_ok, TRUE AS bound_ok FROM hh""".stripMargin,
 
     "emb_semdedup" ->
       """SELECT COUNT(*) + 20 AS n_vectors, CAST(20 AS BIGINT) AS n_planted,

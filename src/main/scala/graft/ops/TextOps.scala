@@ -364,6 +364,36 @@ object TextOps {
    *
    * Returns (token, n) for the true heavy hitters — exact, not approximate.
    */
+  /**
+   * Count-Min-Sketch heavy-hitter profile, as a self-verifying verdict row: the
+   * APPROXIMATE path for when even the per-partition candidate sets of [[heavyHitters]]
+   * are too large (unbounded vocabularies — URLs, n-grams, ids). The sketch aggregates
+   * distributedly (built-in `count_min_sketch`, mergeable partial buffers) and ONLY the
+   * few-hundred-KB sketch lands on the driver — the model-to-driver pattern the ANN
+   * operators use. The verdict audits the sketch against the exact [[heavyHitters]]
+   * output at test scale: CMS must never underestimate (structural guarantee) and must
+   * stay within `eps·N` of the true counts (the paper bound; deterministic here because
+   * the seed is fixed).
+   */
+  def cmsHeavyVerdict(df: DataFrame, invPhi: Int = 200, eps: Double = 0.0001,
+      confidence: Double = 0.99, seed: Int = 42, textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(explode(tokensCol(col(textCol))).as("token"))
+    val row = toks.agg(
+      expr(s"count_min_sketch(token, ${eps}d, ${confidence}d, $seed)").as("cms"),
+      count(lit(1)).as("n_total")).collect()(0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
+    val nTotal = row.getLong(1)
+    val heavy = heavyHitters(df, invPhi, textCol).as[(String, Long)].collect()
+    val bound = math.ceil(eps * nTotal).toLong
+    val overOk = heavy.forall { case (t, n) => cms.estimateCount(t) >= n }
+    val boundOk = heavy.forall { case (t, n) => cms.estimateCount(t) <= n + bound }
+    Seq((heavy.length.toLong, overOk, boundOk))
+      .toDF("n_heavy", "overestimate_ok", "bound_ok")
+  }
+
   def heavyHitters(df: DataFrame, invPhi: Int = 200, textCol: String = "text"): DataFrame = {
     val toks = df.select(explode(tokensCol(col(textCol))).as("token"))
     import toks.sparkSession.implicits._

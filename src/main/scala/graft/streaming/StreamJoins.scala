@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Stream-stream joins with bounded state — the streaming counterparts of the batch
+ * operators in [[graft.operators.IntervalJoin]] / [[graft.operators.AsOfJoin]].
+ */
+object StreamJoins {
+
+  /**
+   * Watermarked stream-stream INTERVAL join: pair left rows with right rows of the same
+   * key whose event time falls in `[leftTs + lo, leftTs + hi]`. This is the native
+   * Structured Streaming shape (`withWatermark` on both sides + a time-range join
+   * condition): Spark derives each side's state-eviction bound from the range itself, so
+   * state holds only `watermark + (hi − lo)` worth of rows per side — the streaming
+   * equivalent of the batch operator's bucket locality. Inner-join matches emit as soon
+   * as both sides arrive; state cleanup lags by the watermark delay.
+   *
+   * Column names must be disjoint across the two sides (streams usually are after their
+   * `select`s); the caller names key and timestamp columns explicitly.
+   */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      loMs: Long,
+      hiMs: Long,
+      watermark: String = "30 seconds"): DataFrame = {
+    require(hiMs > loMs, s"intervalJoin: empty window [$loMs, $hiMs]")
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) + expr(s"interval $loMs milliseconds") &&
+          col(rightTs) <= col(leftTs) + expr(s"interval $hiMs milliseconds"))
+  }
+}

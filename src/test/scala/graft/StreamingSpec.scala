@@ -541,6 +541,55 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq(2L, 2L))
   }
 
+  test("stream-stream interval join: watermarked native join equals the batch bucketed operator") {
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft-ssij").toString
+    val spool = s"$base/spool"
+    // clicks and errors per user; pairs = error within (0, 60s] after a click
+    val events = Seq( // (user, kind, id, tsMs)
+      (1, "click", 10, 1000L), (1, "error", 20, 30000L),  // pair (10,20)
+      (1, "error", 21, 62000L),                           // 61s after click 10 — out
+      (2, "click", 11, 5000L), (2, "error", 22, 5500L),   // pair (11,22)
+      (3, "error", 23, 8000L),                            // error before any click — no pair
+      (3, "click", 12, 9000L),
+      (2, "click", 13, 70000L), (2, "error", 24, 80000L)) // pair (13,24); (11,24) out (75s)
+    writeSpool(spool, "000.jsonl", events.map { case (u, k, id, ts) =>
+      env("j.ev", "c", s"""{"user":$u,"kind":"$k","id":$id}""", null, ts)
+    })
+    def side(kind: String, keyAs: String, tsAs: String, idAs: String) =
+      spark.readStream.format("cdc-spool").option("path", spool).load()
+        .select(
+          get_json_object(col("value"), "$.after.user").cast("long").as(keyAs),
+          get_json_object(col("value"), "$.after.kind").as("k"),
+          get_json_object(col("value"), "$.after.id").cast("long").as(idAs),
+          timestamp_millis(get_json_object(col("value"), "$.source.ts_ms").cast("long")).as(tsAs))
+        .where(col("k") === kind).drop("k")
+    val joined = graft.streaming.StreamJoins.intervalJoin(
+      side("click", "l_user", "l_ts", "click_id"),
+      side("error", "r_user", "r_ts", "error_id"),
+      "l_user", "r_user", "l_ts", "r_ts", loMs = 1L, hiMs = 60000L)
+      .select(col("click_id"), col("error_id"))
+    val q = joined.writeStream.format("memory").queryName("ssij").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ckpt").start()
+    q.awaitTermination()
+    val got = spark.sql("SELECT * FROM ssij").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // batch reference: the bucketed IntervalJoin over the same rows
+    import spark.implicits._
+    val clicks = events.filter(_._2 == "click").map(e => (e._3.toLong, e._1.toLong, e._4))
+      .toDF("click_id", "user", "ms")
+    val errors = events.filter(_._2 == "error").map(e => (e._3.toLong, e._1.toLong, e._4))
+      .toDF("error_id", "user", "ms")
+    val want = graft.operators.IntervalJoin
+      .intervalJoin(clicks, errors, Seq("user"), "ms", 1L, 60000L)
+      .select(col("click_id"), col("r_error_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == want, s"stream $got vs batch $want")
+    assert(got == Set((10L, 20L), (11L, 22L), (13L, 24L)))
+  }
+
   test("flatMapGroupsWithState sessionization: state persists across micro-batches") {
     import graft.streaming.Sessionize
     val base = Files.createTempDirectory("graft-fmgs").toString
