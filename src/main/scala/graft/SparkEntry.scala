@@ -801,6 +801,15 @@ object SparkEntry {
     "doc_span_dedup" -> ((s, dir) =>
       DedupOps.spanDedupStats(t(s, dir, "documents"), k = 12)),
 
+    // incremental span-dedup admission: batch docs screened against the persisted
+    // window-hash index of the ingested corpus (src0), O(batch) semi-join probe
+    "doc_incremental_spandedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val index = DedupOps.windowHashes(d.filter(col("source") === "src0"), k = 12)
+      DedupOps.spanAdmission(d.filter(col("source") =!= "src0"), index,
+        k = 12, maxSharedFrac = 0.5)
+    }),
+
     // exact heavy hitters (tokens above 0.5% of all occurrences) via the two-phase
     // local-candidates-then-exact-recount scheme — the tail never shuffles
     "doc_heavy_hitters" -> ((s, dir) =>
@@ -1619,6 +1628,23 @@ object SparkEntry {
         |hh AS (SELECT token, COUNT(*) AS n FROM toks CROSS JOIN tot
         |  GROUP BY token, tot.n_total HAVING COUNT(*) * 200 > tot.n_total)
         |SELECT COUNT(*) AS n_heavy, TRUE AS overestimate_ok, TRUE AS bound_ok FROM hh""".stripMargin,
+
+    "doc_incremental_spandedup" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks FROM documents),
+        |w AS (SELECT doc_id, source, u.win FROM t, unnest(CASE WHEN len(toks) < 12 THEN []
+        |  ELSE list_transform(range(1, len(toks)-10), i -> list_aggregate(toks[i:i+11], 'string_agg', ' ')) END) AS u(win)),
+        |iw AS (SELECT DISTINCT win FROM w WHERE source = 'src0'),
+        |bw AS (SELECT doc_id, win FROM w WHERE source <> 'src0'),
+        |sh AS (SELECT bw.doc_id, COUNT(*) AS n_shared FROM bw JOIN iw ON iw.win = bw.win GROUP BY 1),
+        |nw AS (SELECT doc_id, CAST(CASE WHEN len(toks) < 12 THEN 0 ELSE len(toks) - 11 END AS BIGINT) AS n_windows
+        |  FROM t WHERE source <> 'src0')
+        |SELECT nw.doc_id, nw.n_windows, COALESCE(sh.n_shared, 0) AS n_shared,
+        |  CASE WHEN nw.n_windows > 0
+        |    THEN ROUND(COALESCE(sh.n_shared, 0) / CAST(nw.n_windows AS DOUBLE), 6) ELSE 0.0 END AS shared_frac,
+        |  (CASE WHEN nw.n_windows > 0
+        |    THEN ROUND(COALESCE(sh.n_shared, 0) / CAST(nw.n_windows AS DOUBLE), 6) ELSE 0.0 END) <= 0.5 AS admitted
+        |FROM nw LEFT JOIN sh ON sh.doc_id = nw.doc_id""".stripMargin,
 
     "emb_semdedup" ->
       """SELECT COUNT(*) + 20 AS n_vectors, CAST(20 AS BIGINT) AS n_planted,

@@ -262,6 +262,33 @@ class SpanHeavySemSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"repetitionScore must be a narrow map:\n$plan")
   }
 
+  // -- spanAdmission --------------------------------------------------------------------
+
+  test("spanAdmission: stitched-from-corpus docs reject, novel docs admit, index dups harmless") {
+    val corpusSpanA = words(30, "ca")
+    val corpusSpanB = words(30, "cb")
+    val corpus = Seq((1L, corpusSpanA), (2L, corpusSpanB)).toDF("doc_id", "text")
+    val index = DedupOps.windowHashes(corpus, k = 12)
+    val batch = Seq(
+      (10L, corpusSpanA + " " + corpusSpanB),  // pure stitch of seen spans → reject
+      (11L, words(40, "novel")),               // fully novel → admit
+      (12L, corpusSpanA + " " + words(60, "x")), // minority overlap → admit
+      (13L, words(5, "tiny"))).toDF("doc_id", "text") // no windows → admit
+    // duplicate index rows must not inflate shared counts (left-semi probe)
+    val dupIndex = index.union(index)
+    for (ix <- Seq(index, dupIndex)) {
+      val r = DedupOps.spanAdmission(batch, ix, k = 12, maxSharedFrac = 0.5)
+        .select("doc_id", "admitted", "shared_frac")
+        .as[(Long, Boolean, Double)].collect().map(x => x._1 -> ((x._2, x._3))).toMap
+      assert(!r(10L)._1, s"stitched doc must reject: ${r(10L)}")
+      // 60 tokens → 49 windows; 2×19 within-span windows shared, the 11 seam windows novel
+      assert(r(10L)._2 == math.rint(38.0 / 49 * 1e6) / 1e6, s"stitch frac: ${r(10L)}")
+      assert(r(11L)._1 && r(11L)._2 == 0.0, s"novel doc: ${r(11L)}")
+      assert(r(12L)._1, s"minority-overlap doc must admit: ${r(12L)}")
+      assert(r(13L)._1 && r(13L)._2 == 0.0, s"short doc: ${r(13L)}")
+    }
+  }
+
   // -- exactPercentiles -----------------------------------------------------------------
 
   test("exactPercentiles: histogram form equals the Percentile built-in on random grids") {
