@@ -1009,7 +1009,15 @@ object SparkEntry {
       val model = ivfModels.getOrElseUpdate(dir + "#semdedup8",
         VectorOps.kmeansFit(e, 8, iters = 3))
       VectorOps.semDeDup(e, eps = 0.99, nClusters = 8, trained = Some(model))
-    }))
+    }),
+
+    // the sketch build IS the operator at scale; the gate's exact heavy-hitter audit
+    // (three more tokenize scans + driver probes) stays in Verify only
+    "doc_cms_heavy" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextOps.tokensCol(col("text"))).as("token"))
+        .agg(expr("count_min_sketch(token, 0.0001d, 0.99d, 42)").as("cms"),
+          count(lit(1)).as("n_total"))))
 
   /** Exact distinct-3-gram-shingle Jaccard pairs ≥ 0.2 — the shared oracle for the
     * minhash-LSH (verified) and inverted-index pair queries, and the edge list for the
@@ -1642,8 +1650,8 @@ object SparkEntry {
         |SELECT nw.doc_id, nw.n_windows, COALESCE(sh.n_shared, 0) AS n_shared,
         |  CASE WHEN nw.n_windows > 0
         |    THEN ROUND(COALESCE(sh.n_shared, 0) / CAST(nw.n_windows AS DOUBLE), 6) ELSE 0.0 END AS shared_frac,
-        |  (CASE WHEN nw.n_windows > 0
-        |    THEN ROUND(COALESCE(sh.n_shared, 0) / CAST(nw.n_windows AS DOUBLE), 6) ELSE 0.0 END) <= 0.5 AS admitted
+        |  CASE WHEN nw.n_windows > 0
+        |    THEN COALESCE(sh.n_shared, 0) / CAST(nw.n_windows AS DOUBLE) <= 0.5 ELSE TRUE END AS admitted
         |FROM nw LEFT JOIN sh ON sh.doc_id = nw.doc_id""".stripMargin,
 
     "emb_semdedup" ->

@@ -409,49 +409,6 @@ object DedupOps {
    * Returns (idCol, n_windows, n_dup_windows, max_dup_run) for EVERY input document
    * (docs shorter than `k` tokens report zeros).
    */
-  /** Distinct k-token window hashes of a corpus — the persisted index artifact for
-    * [[spanAdmission]] (8 bytes per distinct window; append each admitted batch's
-    * hashes, bucket by `h` so the probe join is exchange-free at scale). */
-  def windowHashes(df: DataFrame, k: Int = 12, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame =
-    df.select(explode(
-      TextFunctions.shingleHashes(TextFunctions.tokens(col(textCol)), k)).as("h")).distinct()
-
-  /**
-   * Incremental SPAN-dedup admission — the ExactSubstr analog of [[incrementalDedup]]
-   * (exact) and [[nearDupAdmission]] (MinHash), completing the incremental-ingest family:
-   * a new document is rejected when more than `maxSharedFrac` of its k-token windows
-   * already exist in the ingested corpus (it is mostly stitched from already-seen spans —
-   * the memorization-risk shape doc-level hashes can't see, because no single prior doc
-   * need be similar).
-   *
-   * O(batch): the corpus never re-tokenizes — the batch's window hashes semi-join the
-   * persisted index (multiplicity-safe: a left-semi probe counts each batch window once
-   * no matter how the index side is stored). Window counts come from a separate narrow
-   * map so nothing batch-sized shuffles twice.
-   *
-   * @param indexHashes window-hash index with column `h`, as produced by [[windowHashes]]
-   * @return (idCol, n_windows, n_shared, shared_frac, admitted) for every batch doc;
-   *         docs shorter than `k` tokens have no windows and are always admitted
-   */
-  def spanAdmission(batch: DataFrame, indexHashes: DataFrame, k: Int = 12,
-      maxSharedFrac: Double = 0.5, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val nw = batch.select(col(idCol),
-      size(TextFunctions.shingleHashes(TextFunctions.tokens(col(textCol)), k))
-        .cast("long").as("n_windows"))
-    val wins = batch.select(col(idCol), explode(
-      TextFunctions.shingleHashes(TextFunctions.tokens(col(textCol)), k)).as("h"))
-    val shared = wins.join(indexHashes.select("h"), Seq("h"), "left_semi")
-      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
-    nw.join(shared, Seq(idCol), "left")
-      .select(col(idCol), col("n_windows"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
-      .withColumn("shared_frac", when(col("n_windows") > 0,
-        round(col("n_shared") / col("n_windows").cast("double"), 6)).otherwise(0.0))
-      .withColumn("admitted", col("shared_frac") <= maxSharedFrac)
-  }
-
   def spanDedupStats(df: DataFrame, k: Int = 12, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -482,5 +439,51 @@ object DedupOps {
         coalesce(col("n_windows"), lit(0L)).as("n_windows"),
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
         coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"))
+  }
+
+  /** Distinct k-token window hashes of a corpus — the persisted index artifact for
+    * [[spanAdmission]] (8 bytes per distinct window; append each admitted batch's
+    * hashes, bucket by `h` so the probe join is exchange-free at scale). */
+  def windowHashes(df: DataFrame, k: Int = 12, textCol: String = "text"): DataFrame =
+    df.select(explode(
+      TextFunctions.shingleHashes(TextFunctions.tokens(col(textCol)), k)).as("h")).distinct()
+
+  /**
+   * Incremental SPAN-dedup admission — the ExactSubstr analog of [[incrementalDedup]]
+   * (exact) and [[nearDupAdmission]] (MinHash), completing the incremental-ingest family:
+   * a new document is rejected when more than `maxSharedFrac` of its k-token windows
+   * already exist in the ingested corpus (it is mostly stitched from already-seen spans —
+   * the memorization-risk shape doc-level hashes can't see, because no single prior doc
+   * need be similar).
+   *
+   * O(batch): the corpus never re-tokenizes — the batch's window hashes semi-join the
+   * persisted index (multiplicity-safe: a left-semi probe counts each batch window once
+   * no matter how the index side is stored). Window counts come from a separate narrow
+   * map so nothing batch-sized shuffles twice. The admit decision compares the UNROUNDED
+   * fraction (the reported `shared_frac` rounds to 6 dp for display/oracle parity — at
+   * ≥10⁶ windows a doc just over the threshold would otherwise round back onto it).
+   *
+   * @param indexHashes window-hash index with column `h`, as produced by [[windowHashes]]
+   * @return (idCol, n_windows, n_shared, shared_frac, admitted) for every batch doc;
+   *         docs shorter than `k` tokens have no windows and are always admitted
+   */
+  def spanAdmission(batch: DataFrame, indexHashes: DataFrame, k: Int = 12,
+      maxSharedFrac: Double = 0.5, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val nw = batch.select(col(idCol),
+      size(TextFunctions.shingleHashes(TextFunctions.tokens(col(textCol)), k))
+        .cast("long").as("n_windows"))
+    val wins = batch.select(col(idCol), explode(
+      TextFunctions.shingleHashes(TextFunctions.tokens(col(textCol)), k)).as("h"))
+    val shared = wins.join(indexHashes.select("h"), Seq("h"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+    val frac = col("n_shared") / col("n_windows").cast("double")
+    nw.join(shared, Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        when(col("n_windows") > 0, round(frac, 6)).otherwise(0.0))
+      .withColumn("admitted",
+        when(col("n_windows") > 0, frac <= maxSharedFrac).otherwise(lit(true)))
   }
 }

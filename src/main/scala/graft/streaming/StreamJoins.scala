@@ -13,10 +13,12 @@ object StreamJoins {
    * Watermarked stream-stream INTERVAL join: pair left rows with right rows of the same
    * key whose event time falls in `[leftTs + lo, leftTs + hi]`. This is the native
    * Structured Streaming shape (`withWatermark` on both sides + a time-range join
-   * condition): Spark derives each side's state-eviction bound from the range itself, so
-   * state holds only `watermark + (hi − lo)` worth of rows per side — the streaming
-   * equivalent of the batch operator's bucket locality. Inner-join matches emit as soon
-   * as both sides arrive; state cleanup lags by the watermark delay.
+   * condition): Spark derives each side's state-eviction bound from the range itself —
+   * a left row is droppable once the right watermark passes `leftTs + hi`, so the left
+   * side holds ≈ `watermark + hi` worth of rows and the right ≈ `watermark − lo` (for an
+   * "about an hour later" join, that is an hour of left state — size the watermark with
+   * `hi` in mind). Inner-join matches emit as soon as both sides arrive; state cleanup
+   * lags by the watermark delay.
    *
    * Column names must be disjoint across the two sides (streams usually are after their
    * `select`s); the caller names key and timestamp columns explicitly.
