@@ -914,14 +914,17 @@ object SparkEntry {
     // blocking must actually split the space (max cell < 80% of corpus)
     "emb_semdedup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      // planted ids start past the real id range (max+1), so they can never collide
+      // with genuine vectors at any scale factor
+      val plantBase = e.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1
       val planted = e.filter(col("vec_id") < 20)
-        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+        .select((col("vec_id") + plantBase).as("vec_id"), col("embedding"))
       val corpus = e.unionByName(planted)
       val res = VectorOps.semDeDup(corpus, eps = 0.99, nClusters = 8, iters = 3)
       val counts = res.agg(
         count(lit(1)).as("n_vectors"),
-        sum(when(col("vec_id") >= 100000, 1L).otherwise(0L)).as("n_planted"),
-        sum(when(col("vec_id") >= 100000 && !col("kept"), 1L).otherwise(0L)).as("n_planted_dropped"))
+        sum(when(col("vec_id") >= plantBase, 1L).otherwise(0L)).as("n_planted"),
+        sum(when(col("vec_id") >= plantBase && !col("kept"), 1L).otherwise(0L)).as("n_planted_dropped"))
       val keptVecs = res.filter(col("kept")).join(corpus, "vec_id")
       val viol = VectorOps.cosineNearDupPairsExact(keptVecs, threshold = 0.99, blockCol = "cell")
         .agg(count(lit(1)).as("n_viol"))

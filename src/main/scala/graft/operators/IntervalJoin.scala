@@ -39,8 +39,10 @@ object IntervalJoin {
       lo: Long,
       hi: Long,
       prefix: String = "r_"): DataFrame = {
-    require(hi > lo, s"intervalJoin: empty window [$lo, $hi]")
-    val w = hi - lo
+    // lo == hi is the valid degenerate "exact offset" window — bucket width clamps to 1
+    // (each left row still explodes to <= 2 buckets: the offset's and its neighbor's)
+    require(hi >= lo, s"intervalJoin: empty window [$lo, $hi]")
+    val w = math.max(hi - lo, 1L)
     // exact floor division for longs (pmod keeps it correct for negative times):
     // (t - (t mod w)) is exactly divisible, so the double division is exact below 2^53
     def fdiv(c: org.apache.spark.sql.Column) = ((c - pmod(c, lit(w))) / w).cast("long")

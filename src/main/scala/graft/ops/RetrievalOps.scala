@@ -41,6 +41,7 @@ object RetrievalOps {
       vecIdCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     require(queries.nonEmpty)
+    require(queries.map(_._1).distinct.size == queries.size, "duplicate query ids")
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -51,7 +52,10 @@ object RetrievalOps {
       row_number().over(wLex).as("lex_rank"))
 
     val qmap = broadcast(queries.map(q => (q._1, q._3)).toDF("qid", "qvec_id"))
-    val qvecs = emb.join(qmap, col(vecIdCol) === col("qvec_id"))
+    // DISTINCT query vectors: two queries may share one — the ANN runs once per vector
+    // and the qmap re-join below fans its ranked list out to every query using it
+    // (duplicate qvecs rows would instead double every heap entry, halving ANN depth)
+    val qvecs = emb.join(qmap.select("qvec_id").distinct(), col(vecIdCol) === col("qvec_id"))
       .select(col(vecIdCol), col(vecCol))
     val ann = VectorOps.bruteForceTopK(emb, qvecs, kPer, idCol = vecIdCol, vecCol = vecCol)
     val wAnn = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("neighbor_id").asc)

@@ -65,6 +65,25 @@ object TextOps {
    * composite [0,1] score. Mirrors the usual pre-training quality filters (C4/Gopher-style
    * length + symbol + stopword heuristics) as pure column algebra.
    */
+  // Derived-signal column algebra over the `__sig` struct — ONE definition shared by
+  // qualityScore / repetitionScore / docSignals so composed and standalone forms can
+  // never drift apart (the capstones' oracle agreement depends on bit-identical math).
+  private def sigNTok: Column = col("__sig.n_tokens").cast("double")
+  private def qualityScoreCol: Column = {
+    val nStop = col("__sig.n_stop").cast("double")
+    round(
+      when(sigNTok >= 5 && sigNTok <= 100000, lit(0.5)).otherwise(lit(0.0)) +
+        when(sigNTok > 0, (nStop / sigNTok) * 0.5).otherwise(lit(0.0)), 4)
+  }
+  private def topBigramFracCol: Column =
+    when(col("__sig.n_tokens") > 1,
+      round(col("__sig.top_bigram_n") / (col("__sig.n_tokens") - 1).cast("double"), 4))
+      .otherwise(0.0)
+  private def distinctRatioCol: Column =
+    when(col("__sig.n_tokens") > 0,
+      round(col("__sig.n_distinct") / col("__sig.n_tokens").cast("double"), 4))
+      .otherwise(0.0)
+
   def qualityScore(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       keep: Seq[String] = Nil): DataFrame = {
     // one-pass native signals in a SEPARATE projection: CollapseProject keeps expensive
@@ -76,18 +95,15 @@ object TextOps {
         length(col(textCol)).cast("double").as("__nchar"),
         (length(col(textCol)) - length(regexp_replace(col(textCol), " ", "")))
           .cast("double").as("__nspace")): _*)
-    val nTok = col("__sig.n_tokens").cast("double")
     val nStop = col("__sig.n_stop").cast("double")
     base.select(
       Seq(col(idCol)) ++ keep.map(col) ++ Seq(
         col("__sig.n_tokens").as("n_tokens"),
-        when(nTok > 0, round(col("__nchar") / nTok, 4)).otherwise(0.0).as("mean_token_len"),
+        when(sigNTok > 0, round(col("__nchar") / sigNTok, 4)).otherwise(0.0).as("mean_token_len"),
         when(col("__nchar") > 0, round(col("__nspace") / col("__nchar"), 4))
           .otherwise(0.0).as("space_ratio"),
-        when(nTok > 0, round(nStop / nTok, 4)).otherwise(0.0).as("stopword_ratio"),
-        round(
-          when(nTok >= 5 && nTok <= 100000, lit(0.5)).otherwise(lit(0.0)) +
-            when(nTok > 0, (nStop / nTok) * 0.5).otherwise(lit(0.0)), 4).as("quality_score")): _*)
+        when(sigNTok > 0, round(nStop / sigNTok, 4)).otherwise(0.0).as("stopword_ratio"),
+        qualityScoreCol.as("quality_score")): _*)
   }
 
   /**
@@ -119,17 +135,11 @@ object TextOps {
       Seq(col(idCol)) ++ keep.map(col) ++ Seq(
         TextFunctions.textSignals(tokensCol(col(textCol)), Stopwords).as("__sig"),
         SampleOps.hashBucket(col(textCol)).as("bucket")): _*)
-    val nTok = col("__sig.n_tokens").cast("double")
-    val nStop = col("__sig.n_stop").cast("double")
     base.select(
       Seq(col(idCol)) ++ keep.map(col) ++ Seq(
         col("__sig.n_tokens").as("n_tokens"),
-        round(
-          when(nTok >= 5 && nTok <= 100000, lit(0.5)).otherwise(lit(0.0)) +
-            when(nTok > 0, (nStop / nTok) * 0.5).otherwise(lit(0.0)), 4).as("quality_score"),
-        when(col("__sig.n_tokens") > 1,
-          round(col("__sig.top_bigram_n") / (col("__sig.n_tokens") - 1).cast("double"), 4))
-          .otherwise(0.0).as("top_bigram_frac"),
+        qualityScoreCol.as("quality_score"),
+        topBigramFracCol.as("top_bigram_frac"),
         col("bucket")): _*)
   }
 
@@ -297,12 +307,8 @@ object TextOps {
       TextFunctions.textSignals(tokensCol(col(textCol)), Stopwords).as("__sig"))
     base.select(
       col(idCol), col("__sig.n_tokens").as("n_tokens"),
-      when(col("__sig.n_tokens") > 0,
-        round(col("__sig.n_distinct") / col("__sig.n_tokens").cast("double"), 4))
-        .otherwise(0.0).as("distinct_ratio"),
-      when(col("__sig.n_tokens") > 1,
-        round(col("__sig.top_bigram_n") / (col("__sig.n_tokens") - 1).cast("double"), 4))
-        .otherwise(0.0).as("top_bigram_frac"))
+      distinctRatioCol.as("distinct_ratio"),
+      topBigramFracCol.as("top_bigram_frac"))
   }
 
   /** First 60 bits of md5 as a long — the hash shared with the DuckDB oracles
@@ -403,7 +409,10 @@ object TextOps {
       it.foreach { t => n += 1; counts.update(t, counts.getOrElse(t, 0L) + 1L) }
       counts.iterator.collect { case (t, c) if c * invPhi >= n => t }
     }.toDF("token").distinct()
-    val total = toks.agg(count(lit(1)).as("n_total"))
+    // total occurrences as a NARROW sum of per-doc sizes — re-evaluating the exploded
+    // stream for a count would be a third full tokenize+explode scan
+    val total = df.agg(
+      coalesce(sum(size(tokensCol(col(textCol))).cast("long")), lit(0L)).as("n_total"))
     toks.join(broadcast(cands), Seq("token"), "left_semi")
       .groupBy("token").agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(total))

@@ -377,10 +377,15 @@ object VectorOps {
   /**
    * SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale through
    * semantic deduplication"): cluster the embedding space with k-means, then inside each
-   * cluster drop every vector that has an ε-similar neighbor with a smaller id (greedy
-   * keep-lowest-id — deterministic, and leaves a kept set with NO in-cluster pair at
-   * `sim >= eps`, the invariant the gate query audits). Cross-cluster near-duplicates are
-   * the method's documented recall loss — that is what makes it tractable at scale.
+   * cluster drop every vector that has an ε-similar neighbor with a smaller id. This is
+   * the PAIRWISE-DOMINANCE rule — one distributed pass, deterministic, and it leaves a
+   * kept set with NO in-cluster pair at `sim >= eps` (the invariant the gate audits) —
+   * but on similarity CHAINS (1~2, 2~3, 1≁3) it drops both 2 and 3 where a sequential
+   * greedy keeps 3: the same conservative over-drop [[graft.ops.DedupOps.nearDupAdmission]]
+   * documents as the standard C4-style compromise. Run
+   * [[graft.ops.DedupOps.duplicateClusters]] offline for exact per-component survivors.
+   * Cross-cluster near-duplicates are the method's documented recall loss — that is what
+   * makes it tractable at scale.
    *
    * 100 TB shape: training is [[kmeansFit]] (O(k·dim·tasks) exchanges, model-only on the
    * driver) or a pre-`trained` model shipped into the plan; assignment is one codegen'd
