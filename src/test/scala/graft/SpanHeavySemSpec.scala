@@ -196,6 +196,34 @@ class SpanHeavySemSpec extends SparkSpec {
     }
   }
 
+  test("intervalJoin: degenerate lo==hi exact-offset window matches the naive join") {
+    val left = Seq((1L, 1L, 100L), (2L, 1L, 200L)).toDF("lid", "k", "t")
+    val right = Seq((9L, 1L, 150L), (8L, 1L, 250L), (7L, 1L, 100L)).toDF("rid", "k", "t")
+    val got = graft.operators.IntervalJoin.intervalJoin(left, right, Seq("k"), "t", 50L, 50L)
+      .select("lid", "r_rid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 9L), (2L, 8L)), s"exact +50 offsets: $got")
+  }
+
+  test("hybridRrfTopK: two queries sharing one query vector get full-depth identical ANN ranks") {
+    val docs = Seq((10L, "alpha beta"), (11L, "gamma delta"), (12L, "epsilon zeta"))
+      .toDF("doc_id", "text")
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val emb = Seq((0L, v(1, 0)), (10L, v(0.9, 0.44)), (11L, v(0.7, 0.71)), (12L, v(0, 1)))
+      .toDF("vec_id", "embedding")
+    val r = RetrievalOps.hybridRrfTopK(docs, emb,
+        Seq(("qa", "alpha", 0L), ("qb", "gamma", 0L)), k = 3, kPer = 3)
+      .as[(String, Long, Double, Long)].collect()
+    val byQ = r.groupBy(_._1)
+    // no duplicated doc within a query's fused list (the shared-vector fan-out bug)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._2).distinct.length == rows.length, s"$q has duplicate docs: ${rows.toSeq}")
+    }
+    // ANN contributions identical: docs lexically matched by neither query rank the same
+    val aOnly = byQ("qa").filter(_._2 == 12L).map(x => (x._3, x._4)).toSeq
+    val bOnly = byQ("qb").filter(_._2 == 12L).map(x => (x._3, x._4)).toSeq
+    assert(aOnly == bOnly, s"shared vector must give identical ANN-only entries: $aOnly vs $bOnly")
+  }
+
   test("intervalJoin: no duplicate pairs, prefixed outputs, collision guard") {
     val left = Seq((1L, 1L, 100L)).toDF("lid", "k", "t")
     val right = Seq((9L, 1L, 120L)).toDF("rid", "k", "t")
