@@ -53,6 +53,9 @@ object IngestDedup {
     StructField("sig", ArrayType(LongType)),
     StructField("batch_id", LongType)))
 
+  val SpanIndexSchema: StructType = StructType(Seq(
+    StructField("h", LongType), StructField("batch_id", LongType)))
+
   private def readIndex(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -146,6 +149,23 @@ object IngestDedup {
         } finally sigs.unpersist()
     }(_.select(col(idCol).as("id"), col("sig")))
 
+  /** One idempotent SPAN-dedup batch application ([[graft.ops.DedupOps.spanAdmission]]
+    * against the persisted window-hash index): docs stitched mostly from already-seen
+    * k-token spans are rejected, O(batch) per micro-batch. Screening is index-only
+    * (intra-batch stitching is not checked — the exact/near stages ahead of it in the
+    * family handle same-batch duplication); admitted docs' distinct window hashes append
+    * to the index, and the probe is multiplicity-safe so compaction never has to dedupe. */
+  def applyBatchSpan(batch: DataFrame, batchId: Long, indexDir: String, outDir: String,
+      textCol: String = "text", idCol: String = "doc_id", k: Int = 12,
+      maxSharedFrac: Double = 0.5): Long =
+    runBatch(batch, batchId, indexDir, outDir, SpanIndexSchema, textCol, idCol) {
+      (uniq, prior) =>
+        DedupOps.spanAdmission(uniq, prior.select("h"), k, maxSharedFrac, textCol, idCol)
+          .filter(col("admitted"))
+          .select(col(idCol))
+          .join(uniq, Seq(idCol)) // reattach text: the index projection re-windows it
+    }(adm => DedupOps.windowHashes(adm, k, textCol))
+
   /** Wire the exact-dedup ingestion into a streaming query (bounded run: AvailableNow). */
   def start(docs: DataFrame, indexDir: String, outDir: String, checkpointDir: String,
       textCol: String = "text", idCol: String = "doc_id"): StreamingQuery =
@@ -165,6 +185,18 @@ object IngestDedup {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatchNear(batch, batchId, indexDir, outDir, textCol, idCol, threshold): Unit
+      }
+      .start()
+
+  /** Span-dedup ingestion as a bounded streaming query (AvailableNow). */
+  def startSpan(docs: DataFrame, indexDir: String, outDir: String, checkpointDir: String,
+      textCol: String = "text", idCol: String = "doc_id", k: Int = 12,
+      maxSharedFrac: Double = 0.5): StreamingQuery =
+    docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatchSpan(batch, batchId, indexDir, outDir, textCol, idCol, k, maxSharedFrac): Unit
       }
       .start()
 }

@@ -360,6 +360,29 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/batch=1").count() == 1)
   }
 
+  test("span-dedup ingest stream: stitched docs rejected against the window index; replay converges") {
+    import graft.streaming.IngestDedup
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-ingest5").toString
+    val (idx, out) = (s"$base/index", s"$base/out")
+    def words(n: Int, tag: String) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val b0 = Seq((1L, words(30, "pa")), (2L, words(30, "pb"))).toDF("doc_id", "text")
+    assert(IngestDedup.applyBatchSpan(b0, 0L, idx, out) == 2L)
+    // batch 1: a stitch of the two ingested spans (reject), a novel doc (admit),
+    // and a doc not similar to ANY single prior doc but mostly built from seen spans
+    val b1 = Seq(
+      (3L, words(30, "pa") + " " + words(30, "pb")),
+      (4L, words(40, "novel"))).toDF("doc_id", "text")
+    assert(IngestDedup.applyBatchSpan(b1, 1L, idx, out) == 1L)
+    assert(spark.read.parquet(s"$out/batch=1").collect().map(_.getAs[Long]("doc_id")).toSeq == Seq(4L))
+    // crash-replay of batch 1: its own window hashes must not reject it
+    assert(IngestDedup.applyBatchSpan(b1, 1L, idx, out) == 1L)
+    assert(spark.read.parquet(s"$out/batch=1").count() == 1)
+    // admitted doc's windows joined the index: a later copy of doc 4 now rejects
+    val b2 = Seq((5L, words(40, "novel") + " tail")).toDF("doc_id", "text")
+    assert(IngestDedup.applyBatchSpan(b2, 2L, idx, out) == 0L)
+  }
+
   test("ingest -> chunk -> shard: the streaming corpus pipeline composes end to end") {
     import graft.streaming.IngestDedup
     import graft.ops.{SampleOps, TextOps}
