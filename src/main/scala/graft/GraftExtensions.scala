@@ -43,6 +43,9 @@ object GraftExtensions {
     "graft_min_k_hashes" -> (es => MinKHashesLong(es(0), intArg(es(1), "k"))),
     "graft_simhash" -> (es => SimHash64(es(0))),
     "graft_nfc"     -> (es => NfcNormalize(es(0))),
+    // one-pass per-doc token statistics struct (n_tokens, n_distinct, n_stop,
+    // top_bigram_n) with the library's standard stopword set
+    "graft_text_signals" -> (es => TextSignals(es(0), graft.ops.TextOps.Stopwords)),
     // numeric order/score/tiebreak args are widened here so SQL callers can pass INT/FLOAT
     // columns; the aggregates themselves then type-check strictly at analysis
     "graft_latest_struct" -> (es =>

@@ -41,6 +41,13 @@ class ExtensionsSpec extends SparkSpec {
         |  SELECT g, explode(graft_top_k(s, nid, struct(nid, s), 2)) AS t FROM cands GROUP BY g)""".stripMargin)
       .collect().map(_.getLong(1))
     assert(topk.toSeq == Seq(12L, 10L)) // best-first
+
+    // one-pass text-signals struct: "the the fox the fox" → 5 tokens, 2 distinct,
+    // 3 stopwords, top bigram ("the fox") ×2
+    val sigs = spark.sql(
+      """SELECT graft_text_signals(split('the the fox the fox', ' ')) AS s""").collect()(0)
+      .getStruct(0)
+    assert((sigs.getLong(0), sigs.getLong(1), sigs.getLong(2), sigs.getLong(3)) == ((5L, 2L, 3L, 2L)))
   }
 
   test("aggregate builders widen numeric args; mistyped payload fails at analysis") {
