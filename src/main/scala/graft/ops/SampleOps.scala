@@ -330,13 +330,20 @@ object SampleOps {
       count(lit(1)).as("n_raw"),
       sum(when(col("is_target"), 1L).otherwise(0L)).as("n_tgt"))
     val tot = global.agg(sum(col("n_raw")).as("t_raw"), sum(col("n_tgt")).as("t_tgt"))
+    // log10(), NOT log(10, x): Spark's two-arg log evaluates ln(x)/ln(10) while DuckDB's
+    // LOG10 is the libm log10 — the ulp-level difference, amplified by per-doc bucket
+    // counts, flipped 8-dp quantizations at sf0.1. Both engines' log10 pair exactly.
     val lr = global.crossJoin(broadcast(tot)).select(col("bucket"),
-      (log(10.0, (col("n_tgt") + 1).cast(DoubleType) / (col("t_tgt") + nBuckets)) -
-        log(10.0, (col("n_raw") + 1).cast(DoubleType) / (col("t_raw") + nBuckets)))
+      (log10((col("n_tgt") + 1).cast(DoubleType) / (col("t_tgt") + nBuckets)) -
+        log10((col("n_raw") + 1).cast(DoubleType) / (col("t_raw") + nBuckets)))
         .cast(DecimalType(18, 8)).as("lr"))
+    // the count must be a NARROW decimal before the multiply: long (= decimal(20,0))
+    // times decimal(18,8) overflows precision 38 and Spark silently drops the product
+    // to scale 7, rounding every term — decimal(10,0) keeps the full 8-dp scale
     val perDoc = buck.groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("c"))
       .join(broadcast(lr), "bucket")
-      .groupBy(idCol).agg(round(sum(col("c") * col("lr")).cast(DoubleType), 4).as("dsir_weight"))
+      .groupBy(idCol).agg(round(
+        sum(col("c").cast(DecimalType(10, 0)) * col("lr")).cast(DoubleType), 4).as("dsir_weight"))
     df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("dsir_weight"), lit(0.0)).as("dsir_weight"))
   }
