@@ -825,6 +825,16 @@ object SparkEntry {
     "doc_cms_heavy" -> ((s, dir) =>
       TextOps.cmsHeavyVerdict(t(s, dir, "documents"), invPhi = 200)),
 
+    // raw-crawl text extraction: docs wrapped in deterministic synthetic markup, then
+    // script/style blocks dropped, tags stripped, entities decoded, whitespace collapsed
+    "doc_markup_strip" -> ((s, dir) => {
+      val wrapped = t(s, dir, "documents").withColumn("text",
+        concat(lit("<html><head><style>body { color: red; }</style></head><body><h1>Doc "),
+          col("doc_id"), lit("</h1><p>"), col("text"),
+          lit(" &amp; more &lt;tags&gt;</p><script>var x = 1;</script></body></html>")))
+      TextOps.markupStrip(wrapped)
+    }),
+
     // deterministic epoch shuffle: seeded-hash shard + intra-shard order, reproducible
     // under re-runs/re-partitioning (vs orderBy(rand())); one exchange + per-shard sort
     "doc_shuffle_shards" -> ((s, dir) =>
@@ -1648,6 +1658,22 @@ object SparkEntry {
         |hh AS (SELECT token, COUNT(*) AS n FROM toks CROSS JOIN tot
         |  GROUP BY token, tot.n_total HAVING COUNT(*) * 200 > tot.n_total)
         |SELECT COUNT(*) AS n_heavy, TRUE AS overestimate_ok, TRUE AS bound_ok FROM hh""".stripMargin,
+
+    "doc_markup_strip" ->
+      """WITH w AS (SELECT doc_id,
+        |  '<html><head><style>body { color: red; }</style></head><body><h1>Doc ' || CAST(doc_id AS VARCHAR)
+        |    || '</h1><p>' || text || ' &amp; more &lt;tags&gt;</p><script>var x = 1;</script></body></html>' AS raw
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, raw,
+        |  regexp_replace(raw, '(?i)<(script|style)[^>]*>[^<]*(</(script|style)>|$)', ' ', 'g') AS a FROM w),
+        |s2 AS (SELECT doc_id, raw, regexp_replace(a, '<[^>]*>', ' ', 'g') AS b FROM s1),
+        |s3 AS (SELECT doc_id, raw, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |  b, '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'), '&#39;', '''', 'g'), '&amp;', '&', 'g') AS c
+        |  FROM s2),
+        |s4 AS (SELECT doc_id, raw, trim(regexp_replace(c, '[ \t\n\r\f]+', ' ', 'g')) AS clean FROM s3)
+        |SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_chars_raw,
+        |  CAST(length(clean) AS BIGINT) AS n_chars_text, clean AS extracted
+        |FROM s4""".stripMargin,
 
     "doc_incremental_spandedup" ->
       """WITH t AS (SELECT doc_id, source,

@@ -293,6 +293,29 @@ object TextOps {
       md5(regexp_replace(col(textCol), EmailRegex, "<EMAIL>")).as("scrubbed_md5"))
 
   /**
+   * Markup stripping — the raw-crawl → text extraction step ahead of every other text
+   * op: drop `<script>`/`<style>` blocks with their contents, strip remaining tags,
+   * decode the common entities, collapse whitespace. Pure codegen'd `regexp_replace`
+   * chain (a narrow map at scan speed, like [[piiScrub]]); the regex dialect sticks to
+   * the RE2/Java-compatible subset so the DuckDB oracle applies the identical pipeline.
+   * Returns the extracted text plus before/after lengths (the markup-density signal
+   * crawl filters threshold on).
+   */
+  def markupStrip(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val noBlocks = regexp_replace(col(textCol),
+      "(?i)<(script|style)[^>]*>[^<]*(</(script|style)>|$)", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    // &amp; decodes LAST: the other way round, "&amp;lt;" would double-decode to "<"
+    val decoded = regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      noTags, "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"), "&amp;", "&")
+    val clean = trim(regexp_replace(decoded, "[ \\t\\n\\r\\f]+", " "))
+    df.select(col(idCol),
+      length(col(textCol)).cast("long").as("n_chars_raw"),
+      length(clean).cast("long").as("n_chars_text"),
+      clean.as("extracted"))
+  }
+
+  /**
    * Repetition scoring (Gopher-style quality filters): distinct-token ratio and the
    * top-bigram fraction (share of all word bigrams taken by the most frequent one) —
    * high values flag boilerplate/spam/looping generations. The bigram mode is computed

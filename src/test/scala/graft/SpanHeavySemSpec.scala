@@ -317,6 +317,25 @@ class SpanHeavySemSpec extends SparkSpec {
     }
   }
 
+  // -- markupStrip ----------------------------------------------------------------------
+
+  test("markupStrip: blocks dropped with contents, tags stripped, entities decode once") {
+    val docs = Seq(
+      (1L, "<html><body><p>Hello <b>world</b></p><script>evil(); </script></body></html>"),
+      (2L, "a &amp;lt; b &amp; c &lt;tag&gt;"), // &amp;lt; must NOT double-decode to <
+      (3L, "plain text no markup at all"),
+      (4L, "<style type='text/css'>p { x }</style>visible")).toDF("doc_id", "text")
+    val r = TextOps.markupStrip(docs).select("doc_id", "extracted")
+      .as[(Long, String)].collect().toMap
+    assert(r(1L) == "Hello world", s"got '${r(1L)}'")
+    assert(r(2L) == "a &lt; b & c <tag>", s"got '${r(2L)}'")
+    assert(r(3L) == "plain text no markup at all")
+    assert(r(4L) == "visible", s"style block + contents must vanish: '${r(4L)}'")
+    // narrow map: no exchange
+    val plan = TextOps.markupStrip(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "markupStrip must run at scan speed")
+  }
+
   // -- exactPercentiles -----------------------------------------------------------------
 
   test("exactPercentiles: histogram form equals the Percentile built-in on random grids") {
