@@ -888,13 +888,13 @@ object SparkEntry {
     "emb_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 8)
-      // 16-table OR-amplification at 4 planes lands ~70% of the corpus in the union
-      // (measured stable across sf) — 85% still fails degenerate one-bucket hashing
-      val cap = math.max(480L, (e.count() * 0.85).toLong)
       val exact = VectorOps.bruteForceTopK(e, q, k = 3)
       val cands = VectorOps.lshCandidates(e, q, nPlanes = 4, nTables = 16)
       val approx = VectorOps.lshTopK(e, q, k = 3, nPlanes = 4, nTables = 16)
-      VectorOps.annRecallGate(exact, approx, cands, recallFloor = 0.5, candCap = cap)
+      // 16-table OR-amplification at 4 planes lands ~70% of the corpus in the union
+      // (measured stable across sf) — 85% still fails degenerate one-bucket hashing
+      VectorOps.annRecallGate(exact, approx, cands, recallFloor = 0.5,
+        candCapFloor = 480L, candCapFrac = 0.85, corpus = e)
     }),
 
     // PQ: 16-centroid codebooks over 8 subspaces -> 8 codes/vector (16x smaller than the
@@ -912,13 +912,13 @@ object SparkEntry {
     "emb_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 8)
-      // nProbe/nCentroids = 25% of the corpus expected; 60% leaves skew room while
-      // still failing a degenerate everything-in-one-cell clustering
-      val cap = math.max(400L, (e.count() * 0.6).toLong)
       val exact = VectorOps.bruteForceTopK(e, q, k = 3)
       val cands = VectorOps.ivfCandidates(e, q, nCentroids = 16, nProbe = 4)
       val approx = VectorOps.ivfTopK(e, q, k = 3, nCentroids = 16, nProbe = 4)
-      VectorOps.annRecallGate(exact, approx, cands, recallFloor = 0.25, candCap = cap)
+      // nProbe/nCentroids = 25% of the corpus expected; 60% leaves skew room while
+      // still failing a degenerate everything-in-one-cell clustering
+      VectorOps.annRecallGate(exact, approx, cands, recallFloor = 0.25,
+        candCapFloor = 400L, candCapFrac = 0.6, corpus = e)
     }),
 
     "emb_dedup_cosine" -> ((s, dir) => {
@@ -1665,10 +1665,14 @@ object SparkEntry {
         |    || '</h1><p>' || text || ' &amp; more &lt;tags&gt;</p><script>var x = 1;</script></body></html>' AS raw
         |  FROM documents),
         |s1 AS (SELECT doc_id, raw,
-        |  regexp_replace(raw, '(?i)<(script|style)[^>]*>[^<]*(</(script|style)>|$)', ' ', 'g') AS a FROM w),
+        |  regexp_replace(regexp_replace(raw,
+        |    '(?is)<script(\s[^>]*)?>.*?(</script\s*>|$)', ' ', 'g'),
+        |    '(?is)<style(\s[^>]*)?>.*?(</style\s*>|$)', ' ', 'g') AS a FROM w),
         |s2 AS (SELECT doc_id, raw, regexp_replace(a, '<[^>]*>', ' ', 'g') AS b FROM s1),
         |s3 AS (SELECT doc_id, raw, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |  b, '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'), '&#39;', '''', 'g'), '&amp;', '&', 'g') AS c
+        |  regexp_replace(regexp_replace(
+        |  b, '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |  '&#39;', '''', 'g'), '&apos;', '''', 'g'), '&amp;', '&', 'g') AS c
         |  FROM s2),
         |s4 AS (SELECT doc_id, raw, trim(regexp_replace(c, '[ \t\n\r\f]+', ' ', 'g')) AS clean FROM s3)
         |SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_chars_raw,

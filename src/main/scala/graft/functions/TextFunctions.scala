@@ -124,6 +124,8 @@ object TextExpressions {
       val m = arr.numElements()
       val distinct = new java.util.HashSet[UTF8String](m * 2)
       var nStop = 0L
+      var sawNull = false // array_distinct counts NULL as one distinct element — the
+      // library tokenizer never emits it, but the SQL surface admits arbitrary arrays
       val th = new Array[Long](m)
       var i = 0
       while (i < m) {
@@ -132,7 +134,7 @@ object TextExpressions {
           distinct.add(s)
           if (stopSet.contains(s)) nStop += 1
           th(i) = hash(s, Seed1)
-        }
+        } else sawNull = true
         i += 1
       }
       var top = 0L
@@ -148,7 +150,8 @@ object TextExpressions {
           j += 1
         }
       }
-      new GenericInternalRow(Array[Any](m.toLong, distinct.size.toLong, nStop, top))
+      new GenericInternalRow(Array[Any](m.toLong,
+        distinct.size.toLong + (if (sawNull) 1L else 0L), nStop, top))
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }

@@ -302,12 +302,19 @@ object TextOps {
    * crawl filters threshold on).
    */
   def markupStrip(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val noBlocks = regexp_replace(col(textCol),
-      "(?i)<(script|style)[^>]*>[^<]*(</(script|style)>|$)", " ")
+    // per-tag lazy dotall blocks (no backreference — RE2 has none): `(\s[^>]*)?>` ends
+    // the tag NAME so `<styles>`/`<style-guide>` are not block openers, `.*?` spans `<`
+    // inside JS/CSS bodies, and the `|$` alternative still swallows unterminated blocks
+    def dropBlock(c: Column, tag: String): Column =
+      regexp_replace(c, s"(?is)<$tag(\\s[^>]*)?>.*?(</$tag\\s*>|$$)", " ")
+    val noBlocks = dropBlock(dropBlock(col(textCol), "script"), "style")
     val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
-    // &amp; decodes LAST: the other way round, "&amp;lt;" would double-decode to "<"
+    // &amp; decodes LAST: the other way round, "&amp;lt;" would double-decode to "<";
+    // &nbsp; becomes a plain space ahead of the whitespace collapse
     val decoded = regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      noTags, "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"), "&amp;", "&")
+      regexp_replace(regexp_replace(
+        noTags, "&nbsp;", " "), "&lt;", "<"), "&gt;", ">"), "&quot;", "\""),
+      "&#39;", "'"), "&apos;", "'"), "&amp;", "&")
     val clean = trim(regexp_replace(decoded, "[ \\t\\n\\r\\f]+", " "))
     df.select(col(idCol),
       length(col(textCol)).cast("long").as("n_chars_raw"),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
@@ -109,7 +109,34 @@ object VectorOps {
       approxTopK: DataFrame,
       candidates: DataFrame,
       recallFloor: Double,
-      candCap: Long): DataFrame = {
+      candCap: Long): DataFrame =
+    annRecallGateImpl(exactTopK, approxTopK, candidates, recallFloor, lit(candCap))
+
+  /** Corpus-relative boundedness: cap = max(floor, |corpus| · frac), computed IN-PLAN
+    * (no eager count action) — an absolute cap is wrong at any other scale factor when
+    * the candidate set is a corpus fraction by construction (ivf: nProbe/nCentroids). */
+  def annRecallGate(
+      exactTopK: DataFrame,
+      approxTopK: DataFrame,
+      candidates: DataFrame,
+      recallFloor: Double,
+      candCapFloor: Long,
+      candCapFrac: Double,
+      corpus: DataFrame): DataFrame = {
+    val cap = greatest(lit(candCapFloor).cast("double"),
+      col("__n_corpus") * candCapFrac)
+    annRecallGateImpl(
+      exactTopK, approxTopK, candidates, recallFloor, cap,
+      Some(broadcast(corpus.agg(count(lit(1)).as("__n_corpus")))))
+  }
+
+  private def annRecallGateImpl(
+      exactTopK: DataFrame,
+      approxTopK: DataFrame,
+      candidates: DataFrame,
+      recallFloor: Double,
+      candCap: Column,
+      corpusCount: Option[DataFrame] = None): DataFrame = {
     val hits = exactTopK.select("query_id", "neighbor_id")
       .join(approxTopK.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"), "left_semi")
       .agg(count(lit(1)).as("n_hits"))
@@ -117,7 +144,8 @@ object VectorOps {
       .agg(countDistinct(col("query_id")).as("n_queries"), count(lit(1)).as("n_exact"))
     val candAgg = candidates.groupBy("query_id").agg(count(lit(1)).as("nc"))
       .agg(max(col("nc")).as("max_cand"))
-    exactAgg.crossJoin(hits).crossJoin(candAgg).select(
+    val joined = corpusCount.foldLeft(exactAgg.crossJoin(hits).crossJoin(candAgg))(_ crossJoin _)
+    joined.select(
       col("n_queries"),
       (col("n_hits") >= col("n_exact") * recallFloor).as("recall_ok"),
       (col("max_cand") < candCap).as("bounded_ok"))

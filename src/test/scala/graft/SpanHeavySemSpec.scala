@@ -322,15 +322,19 @@ class SpanHeavySemSpec extends SparkSpec {
   test("markupStrip: blocks dropped with contents, tags stripped, entities decode once") {
     val docs = Seq(
       (1L, "<html><body><p>Hello <b>world</b></p><script>evil(); </script></body></html>"),
-      (2L, "a &amp;lt; b &amp; c &lt;tag&gt;"), // &amp;lt; must NOT double-decode to <
+      (2L, "a &amp;lt; b &amp; c &lt;tag&gt; d&nbsp;e"), // &amp;lt; must NOT double-decode
       (3L, "plain text no markup at all"),
-      (4L, "<style type='text/css'>p { x }</style>visible")).toDF("doc_id", "text")
+      (4L, "<style type='text/css'>p { x }</style>visible"),
+      (5L, "before <script>if (a < b) { document.write(\"<i>x</i>\"); }</script> after"),
+      (6L, "<styles>not a style block</styles> kept")).toDF("doc_id", "text")
     val r = TextOps.markupStrip(docs).select("doc_id", "extracted")
       .as[(Long, String)].collect().toMap
     assert(r(1L) == "Hello world", s"got '${r(1L)}'")
-    assert(r(2L) == "a &lt; b & c <tag>", s"got '${r(2L)}'")
+    assert(r(2L) == "a &lt; b & c <tag> d e", s"got '${r(2L)}'")
     assert(r(3L) == "plain text no markup at all")
     assert(r(4L) == "visible", s"style block + contents must vanish: '${r(4L)}'")
+    assert(r(5L) == "before after", s"'<' inside JS must not leak code: '${r(5L)}'")
+    assert(r(6L) == "not a style block kept", s"<styles> is not a block opener: '${r(6L)}'")
     // narrow map: no exchange
     val plan = TextOps.markupStrip(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), "markupStrip must run at scan speed")

@@ -368,8 +368,9 @@ class StreamingSpec extends SparkSpec {
     def words(n: Int, tag: String) = (0 until n).map(i => s"$tag$i").mkString(" ")
     val b0 = Seq((1L, words(30, "pa")), (2L, words(30, "pb"))).toDF("doc_id", "text")
     assert(IngestDedup.applyBatchSpan(b0, 0L, idx, out) == 2L)
-    // batch 1: a stitch of the two ingested spans (reject), a novel doc (admit),
-    // and a doc not similar to ANY single prior doc but mostly built from seen spans
+    // batch 1: a cross-doc stitch of the two ingested spans (the case doc-level
+    // similarity misses — no single prior doc covers it; span screening rejects it)
+    // and a fully novel doc (admit)
     val b1 = Seq(
       (3L, words(30, "pa") + " " + words(30, "pb")),
       (4L, words(40, "novel"))).toDF("doc_id", "text")
