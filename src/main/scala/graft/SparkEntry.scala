@@ -175,6 +175,24 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // TPC-H Q5 shape: the 5-way join-order showcase — dims broadcast (region filter
+    // applied BEFORE the broadcast), facts shuffle once on their join keys, the date
+    // filter reaches the orders scan
+    "q5_region_revenue" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier"); val nat = t(s, dir, "nation"); val reg = t(s, dir, "region")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg.filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice"), 12, 2) * (lit(1) - dec(col("l_discount"), 4, 2)))
+          .cast(DoubleType).as("revenue"))
+    }),
+
     "q_dim_join" -> ((s, dir) => {
       val sup = t(s, dir, "supplier"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
       sup.join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
@@ -1226,6 +1244,19 @@ object SparkEntry {
         |WHERE o.o_orderstatus = 'F'
         |GROUP BY c.c_custkey, c.c_name
         |ORDER BY revenue DESC, c.c_custkey LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
 
     "q_dim_join" ->
       """SELECT r_name, COUNT(*) AS n_suppliers,

@@ -40,6 +40,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q5_region_revenue: dims broadcast, date filter reaches the orders scan") {
+    val p = plan("q5_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), "nation/region must broadcast")
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"),
+      s"date range must push to the orders scan:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("cdc_dedupe_lww: ObjectHashAggregate on both sides, no sort") {
     val p = plan("cdc_dedupe_lww")
     assert(p.contains("ObjectHashAggregate"))
