@@ -843,6 +843,10 @@ object SparkEntry {
     "doc_cms_heavy" -> ((s, dir) =>
       TextOps.cmsHeavyVerdict(t(s, dir, "documents"), invPhi = 200)),
 
+    // PMI collocation mining: adjacent-pair pointwise mutual information at min-count 5
+    "doc_pmi_pairs" -> ((s, dir) =>
+      TextOps.pmiPairs(t(s, dir, "documents"), minCount = 5)),
+
     // raw-crawl text extraction: docs wrapped in deterministic synthetic markup, then
     // script/style blocks dropped, tags stripped, entities decoded, whitespace collapsed
     "doc_markup_strip" -> ((s, dir) => {
@@ -1689,6 +1693,23 @@ object SparkEntry {
         |hh AS (SELECT token, COUNT(*) AS n FROM toks CROSS JOIN tot
         |  GROUP BY token, tot.n_total HAVING COUNT(*) * 200 > tot.n_total)
         |SELECT COUNT(*) AS n_heavy, TRUE AS overestimate_ok, TRUE AS bound_ok FROM hh""".stripMargin,
+
+    "doc_pmi_pairs" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks FROM documents),
+        |uni AS (SELECT unnest(toks) AS tok FROM t),
+        |uc AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY 1),
+        |nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_u FROM uni),
+        |bg AS (SELECT u.bg FROM t, unnest(CASE WHEN len(toks) < 2 THEN []
+        |  ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END) AS u(bg)),
+        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b FROM bg),
+        |bc AS (SELECT bg AS pair, COUNT(*) AS n_pair FROM bg GROUP BY 1 HAVING COUNT(*) >= 5),
+        |sp AS (SELECT pair, n_pair, string_split(pair, ' ')[1] AS tok_a, string_split(pair, ' ')[2] AS tok_b FROM bc)
+        |SELECT sp.pair, sp.n_pair,
+        |  ROUND(LOG10((CAST(sp.n_pair AS DOUBLE) * nu.n_u * nu.n_u) /
+        |    (CAST(nb.n_b AS DOUBLE) * a.c * b.c)), 6) AS pmi
+        |FROM sp JOIN uc a ON a.tok = sp.tok_a JOIN uc b ON b.tok = sp.tok_b
+        |CROSS JOIN nu CROSS JOIN nb""".stripMargin,
 
     "doc_markup_strip" ->
       """WITH w AS (SELECT doc_id,

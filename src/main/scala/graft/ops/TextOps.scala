@@ -293,6 +293,44 @@ object TextOps {
       md5(regexp_replace(col(textCol), EmailRegex, "<EMAIL>")).as("scrubbed_md5"))
 
   /**
+   * PMI (pointwise mutual information) collocation mining over adjacent token pairs —
+   * the corpus-statistics op behind phrase/tokenizer-vocabulary engineering:
+   * `pmi(a,b) = log10( P(ab) / (P(a)·P(b)) )` with bigram and unigram probabilities from
+   * the corpus itself, reported for every pair at or above `minCount` (the standard
+   * low-frequency guard — PMI explodes on hapax pairs).
+   *
+   * 100 TB shape: two counting aggregations with map-side combine (unigrams are
+   * vocabulary-bounded; the bigram stream shuffles once like the vocabulary op, then the
+   * `minCount` filter prunes to the collocation set BEFORE any join), plus two
+   * vocabulary-side joins and two broadcast scalars. The PMI ratio is composed with a
+   * FIXED operand order — `((c_ab·N_u)·N_u) / ((N_b·c_a)·c_b)` — so the double arithmetic
+   * is bit-identical across engines; a single log10 with no summation needs no decimal
+   * quantization.
+   */
+  def pmiPairs(df: DataFrame, minCount: Long = 5, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val toksDf = df.select(tokensCol(col(textCol)).as("__toks"))
+    val uni = toksDf.select(explode(col("__toks")).as("tok"))
+    val uc = uni.groupBy("tok").agg(count(lit(1)).as("c"))
+    // both totals from narrow size sums — no second explode pass
+    val nu = broadcast(toksDf.agg(sum(size(col("__toks")).cast("long")).as("n_u")))
+    val nb = broadcast(toksDf.agg(
+      sum(greatest(size(col("__toks")) - 1, lit(0)).cast("long")).as("n_b")))
+    val bc = toksDf.select(explode(TextFunctions.shingles(col("__toks"), 2)).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val sp = bc
+      .withColumn("tok_a", split(col("pair"), " ").getItem(0))
+      .withColumn("tok_b", split(col("pair"), " ").getItem(1))
+    sp.join(uc.select(col("tok").as("tok_a"), col("c").as("c_a")), "tok_a")
+      .join(uc.select(col("tok").as("tok_b"), col("c").as("c_b")), "tok_b")
+      .crossJoin(nu).crossJoin(nb)
+      .select(col("pair"), col("n_pair"),
+        round(log10((col("n_pair").cast(DoubleType) * col("n_u") * col("n_u")) /
+          (col("n_b").cast(DoubleType) * col("c_a") * col("c_b"))), 6).as("pmi"))
+  }
+
+  /**
    * Markup stripping — the raw-crawl → text extraction step ahead of every other text
    * op: drop `<script>`/`<style>` blocks with their contents, strip remaining tags,
    * decode the common entities, collapse whitespace. Pure codegen'd `regexp_replace`

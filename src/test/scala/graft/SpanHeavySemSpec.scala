@@ -317,6 +317,26 @@ class SpanHeavySemSpec extends SparkSpec {
     }
   }
 
+  // -- pmiPairs -------------------------------------------------------------------------
+
+  test("pmiPairs: perfect collocations score high, independent pairs near zero") {
+    val rnd = new scala.util.Random(41)
+    // "san francisco" always adjacent; "the" and "cat" co-occur only by chance
+    val fillers = Seq("the", "cat", "dog", "runs", "fast", "slow", "red", "blue")
+    val docs = (0 until 50).map { i =>
+      val noise = Seq.fill(40)(fillers(rnd.nextInt(fillers.size)))
+      (i.toLong, (noise.take(20) ++ Seq("san", "francisco") ++ noise.drop(20)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val r = TextOps.pmiPairs(docs, minCount = 5)
+      .as[(String, Long, Double)].collect().map(x => x._1 -> x._3).toMap
+    assert(r.contains("san francisco"), s"collocation missing from ${r.keys.toSeq.sorted}")
+    val sf = r("san francisco")
+    val chance = r.view.filterKeys(k => !k.contains("san") && !k.contains("francisco")).values
+    assert(chance.nonEmpty && chance.forall(_ < sf - 0.5),
+      s"perfect collocation ($sf) must dominate chance pairs (max ${chance.max})")
+    assert(math.abs(chance.map(math.abs).max) < 0.7, "independent pairs should sit near pmi 0")
+  }
+
   // -- markupStrip ----------------------------------------------------------------------
 
   test("markupStrip: blocks dropped with contents, tags stripped, entities decode once") {
