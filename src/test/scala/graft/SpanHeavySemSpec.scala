@@ -360,6 +360,37 @@ class SpanHeavySemSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), "markupStrip must run at scan speed")
   }
 
+  // -- round-4 pipeline composition -----------------------------------------------------
+
+  test("markup -> signals -> span-screen -> DSIR: the extraction pipeline composes in one flow") {
+    // raw "crawl": markup-wrapped docs; 2 and 3 share a long span; target slice = tag 'en'
+    def words(n: Int, tag: String) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val span = words(25, "shared")
+    val raw = Seq(
+      (1L, s"<html><body><p>${words(40, "en")}</p></body></html>", "en"),
+      (2L, s"<p>${words(10, "a")} $span</p>", "en"),
+      (3L, s"<div>${words(10, "b")} $span</div>", "fr"),
+      (4L, s"<p>${words(30, "fr")}</p><script>x()</script>", "fr")).toDF("doc_id", "text", "lang")
+
+    val extracted = TextOps.markupStrip(raw).select(col("doc_id"), col("extracted").as("text"))
+      .join(raw.select("doc_id", "lang"), "doc_id")
+    // extraction removed every tag before the text ops see the corpus
+    assert(extracted.filter(col("text").contains("<")).count() == 0)
+
+    val sig = TextOps.docSignals(extracted, keep = Seq("lang"))
+    assert(sig.count() == 4 && sig.filter(col("n_tokens") > 0).count() == 4)
+
+    val spans = DedupOps.spanDedupStats(extracted, k = 12)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(spans(2L) > 0 && spans(3L) > 0, "shared span must surface after extraction")
+    assert(spans(1L) == 0 && spans(4L) == 0)
+
+    val weights = SampleOps.dsirWeights(extracted, isTarget = col("lang") === "en")
+      .as[(Long, Double)].collect().toMap
+    assert(weights(1L) > weights(4L), "en-vocabulary doc must outweigh fr-only doc")
+    assert(weights.size == 4)
+  }
+
   // -- exactPercentiles -----------------------------------------------------------------
 
   test("exactPercentiles: histogram form equals the Percentile built-in on random grids") {
