@@ -312,9 +312,10 @@ object TextOps {
     val toksDf = df.select(tokensCol(col(textCol)).as("__toks"))
     val uni = toksDf.select(explode(col("__toks")).as("tok"))
     val uc = uni.groupBy("tok").agg(count(lit(1)).as("c"))
-    // both totals from narrow size sums — no second explode pass
-    val nu = broadcast(toksDf.agg(sum(size(col("__toks")).cast("long")).as("n_u")))
-    val nb = broadcast(toksDf.agg(
+    // BOTH totals from ONE narrow size-sum pass (each agg branch would otherwise be its
+    // own whole-corpus tokenize scan — Spark does not dedupe common scan subtrees)
+    val totals = broadcast(toksDf.agg(
+      sum(size(col("__toks")).cast("long")).as("n_u"),
       sum(greatest(size(col("__toks")) - 1, lit(0)).cast("long")).as("n_b")))
     val bc = toksDf.select(explode(TextFunctions.shingles(col("__toks"), 2)).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("n_pair"))
@@ -324,7 +325,7 @@ object TextOps {
       .withColumn("tok_b", split(col("pair"), " ").getItem(1))
     sp.join(uc.select(col("tok").as("tok_a"), col("c").as("c_a")), "tok_a")
       .join(uc.select(col("tok").as("tok_b"), col("c").as("c_b")), "tok_b")
-      .crossJoin(nu).crossJoin(nb)
+      .crossJoin(totals)
       .select(col("pair"), col("n_pair"),
         round(log10((col("n_pair").cast(DoubleType) * col("n_u") * col("n_u")) /
           (col("n_b").cast(DoubleType) * col("c_a") * col("c_b"))), 6).as("pmi"))

@@ -43,7 +43,9 @@ class PlanQualitySpec extends SparkSpec {
   test("q5_region_revenue: dims broadcast, date filter reaches the orders scan") {
     val p = plan("q5_region_revenue")
     assert(p.contains("BroadcastHashJoin"), "nation/region must broadcast")
-    assert(p.contains("PushedFilters") && p.contains("o_orderdate"),
+    // the range must appear INSIDE a scan's PushedFilters (a post-scan Filter node also
+    // mentions o_orderdate, so contains("o_orderdate") alone would be vacuous)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
       s"date range must push to the orders scan:\n${p.take(2000)}")
     assert(!p.contains("CartesianProduct"))
   }

@@ -331,10 +331,11 @@ class SpanHeavySemSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().map(x => x._1 -> x._3).toMap
     assert(r.contains("san francisco"), s"collocation missing from ${r.keys.toSeq.sorted}")
     val sf = r("san francisco")
-    val chance = r.view.filterKeys(k => !k.contains("san") && !k.contains("francisco")).values
+    val chance = r.view.filterKeys(k => !k.contains("san") && !k.contains("francisco"))
+      .values.toSeq
     assert(chance.nonEmpty && chance.forall(_ < sf - 0.5),
       s"perfect collocation ($sf) must dominate chance pairs (max ${chance.max})")
-    assert(math.abs(chance.map(math.abs).max) < 0.7, "independent pairs should sit near pmi 0")
+    assert(chance.map(math.abs).max < 0.7, "independent pairs should sit near pmi 0")
   }
 
   // -- markupStrip ----------------------------------------------------------------------
@@ -364,7 +365,6 @@ class SpanHeavySemSpec extends SparkSpec {
 
   test("markup -> signals -> span-screen -> DSIR: the extraction pipeline composes in one flow") {
     // raw "crawl": markup-wrapped docs; 2 and 3 share a long span; target slice = tag 'en'
-    def words(n: Int, tag: String) = (0 until n).map(i => s"$tag$i").mkString(" ")
     val span = words(25, "shared")
     val raw = Seq(
       (1L, s"<html><body><p>${words(40, "en")}</p></body></html>", "en"),
