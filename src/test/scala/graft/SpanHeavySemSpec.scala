@@ -49,6 +49,38 @@ class SpanHeavySemSpec extends SparkSpec {
     }
   }
 
+  test("spanDedupStats: equals a naive reference on random corpora") {
+    val rnd = new scala.util.Random(17)
+    val vocab = (0 until 6).map(i => s"v$i") // tiny vocabulary → natural window collisions
+    for (trial <- 1 to 4) {
+      val k = 2 + rnd.nextInt(3)
+      val docs = (0 until 25).map { i =>
+        (i.toLong, Seq.fill(rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // naive reference over the same tokenization
+      val winsByDoc = docs.map { case (id, text) =>
+        val toks = text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq
+        id -> toks.sliding(k).filter(_.size == k).map(_.mkString(" ")).toVector
+      }.toMap
+      val docsOf = winsByDoc.toSeq.flatMap { case (id, ws) => ws.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      val want = winsByDoc.map { case (id, ws) =>
+        val dup = ws.map(w => docsOf(w) > 1)
+        val runs = dup.foldLeft(List.empty[Int]) {
+          case (acc, true) if acc.nonEmpty && acc.head > 0 => (acc.head + 1) :: acc.tail
+          case (acc, true) => 1 :: acc
+          case (acc, false) => 0 :: acc
+        }
+        id -> ((ws.size.toLong, dup.count(identity).toLong,
+          if (runs.isEmpty) 0L else runs.max.toLong))
+      }
+      val got = DedupOps.spanDedupStats(docs.toDF("doc_id", "text"), k)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got == want, s"trial $trial k=$k:\n got ${got.toSeq.sortBy(_._1)}\nwant ${want.toSeq.sortBy(_._1)}")
+    }
+  }
+
   test("spanDedupStats: exchanges never carry window text") {
     val docs = Seq((1L, words(40, "w"))).toDF("doc_id", "text")
     val plan = DedupOps.spanDedupStats(docs, k = 12).queryExecution.optimizedPlan
@@ -180,10 +212,11 @@ class SpanHeavySemSpec extends SparkSpec {
 
   test("intervalJoin: equals the naive range join on random data, window edges inclusive") {
     val rnd = new scala.util.Random(5)
+    // times include negatives: the exact floor-division bucketing must hold below zero
     val left = (0 until 300).map(i =>
-      (i.toLong, rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong)).toDF("lid", "k", "t")
+      (i.toLong, rnd.nextInt(8).toLong, (rnd.nextInt(1000) - 500).toLong)).toDF("lid", "k", "t")
     val right = (0 until 300).map(i =>
-      (i.toLong, rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong)).toDF("rid", "k", "t")
+      (i.toLong, rnd.nextInt(8).toLong, (rnd.nextInt(1000) - 500).toLong)).toDF("rid", "k", "t")
     for ((lo, hi) <- Seq((1L, 50L), (0L, 37L), (-20L, 20L))) {
       val got = graft.operators.IntervalJoin
         .intervalJoin(left, right, Seq("k"), "t", lo, hi)
