@@ -847,6 +847,11 @@ object SparkEntry {
     "doc_pmi_pairs" -> ((s, dir) =>
       TextOps.pmiPairs(t(s, dir, "documents"), minCount = 5)),
 
+    // compressibility quality signal (no oracle: zlib output is engine-specific — the
+    // driver records a rows-only check; semantics are property-pinned in ScalaTest)
+    "doc_compress_ratio" -> ((s, dir) =>
+      TextOps.compressionRatio(t(s, dir, "documents"))),
+
     // raw-crawl text extraction: docs wrapped in deterministic synthetic markup, then
     // script/style blocks dropped, tags stripped, entities decoded, whitespace collapsed
     "doc_markup_strip" -> ((s, dir) => {

@@ -156,6 +156,34 @@ object TextExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /**
+   * `deflate_ratio(text)` → compressed_bytes / raw_bytes under DEFLATE (JDK Deflater,
+   * fastest setting) — the compressibility quality signal: highly repetitive/templated
+   * text compresses far below natural prose, and near-random noise compresses above it.
+   * One pass over the UTF-8 bytes with a per-thread reusable Deflater; empty text → 1.0.
+   * Deterministic for a given input (fixed level, no dictionary), so thresholds are
+   * reproducible — but engine-specific (zlib output is not pinned cross-engine), which is
+   * why the query gate is rows-only + property-pinned rather than a DuckDB oracle.
+   */
+  case class DeflateRatio(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(a: Any): Any = {
+      val bytes = a.asInstanceOf[UTF8String].getBytes
+      if (bytes.isEmpty) return 1.0
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED, true)
+      try {
+        d.setInput(bytes); d.finish()
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        while (!d.finished()) total += d.deflate(buf)
+        total.toDouble / bytes.length
+      } finally d.end()
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** `minhash_long(hashes, k)` — MinHash signature over pre-hashed elements (see
     * [[MinHashSignature]]; same double-hashing construction, longs in). */
   case class MinHashSignatureLong(child: Expression, k: Int)
@@ -445,6 +473,7 @@ object TextFunctions {
   def shingleHashes(toks: Column, n: Int): Column   = column(ShingleHashes(expression(toks), n))
   def textSignals(toks: Column, stopwords: Seq[String]): Column =
     column(TextSignals(expression(toks), stopwords))
+  def deflateRatio(text: Column): Column = column(DeflateRatio(expression(text)))
   def minhashLong(hashes: Column, k: Int): Column   = column(MinHashSignatureLong(expression(hashes), k))
   def bandHashesFast(sig: Column, bands: Int): Column = column(BandHashesExpr(expression(sig), bands))
   def minKHashesLong(hashes: Column, k: Int): Column = column(MinKHashesLong(expression(hashes), k))

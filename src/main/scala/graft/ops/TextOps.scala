@@ -293,6 +293,22 @@ object TextOps {
       md5(regexp_replace(col(textCol), EmailRegex, "<EMAIL>")).as("scrubbed_md5"))
 
   /**
+   * Compressibility quality signal: per-doc DEFLATE ratio (compressed/raw bytes) plus a
+   * band classification — templated/looping text compresses far below natural prose
+   * (`low` band), encrypted/binary-ish noise above it (`high`). A pure narrow map (the
+   * native [[graft.functions.TextExpressions.DeflateRatio]] runs once per row at scan
+   * speed); the bands are the actionable output — rows-only driver check (zlib output is
+   * engine-specific) with the semantics property-pinned in ScalaTest.
+   */
+  def compressionRatio(df: DataFrame, lowBand: Double = 0.35, highBand: Double = 0.8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol),
+      round(TextFunctions.deflateRatio(col(textCol)), 4).as("deflate_ratio"))
+      .withColumn("band",
+        when(col("deflate_ratio") < lowBand, "low")
+          .when(col("deflate_ratio") > highBand, "high").otherwise("normal"))
+
+  /**
    * PMI (pointwise mutual information) collocation mining over adjacent token pairs —
    * the corpus-statistics op behind phrase/tokenizer-vocabulary engineering:
    * `pmi(a,b) = log10( P(ab) / (P(a)·P(b)) )` with bigram and unigram probabilities from

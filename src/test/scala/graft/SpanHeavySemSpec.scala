@@ -350,6 +350,28 @@ class SpanHeavySemSpec extends SparkSpec {
     }
   }
 
+  // -- compressionRatio -----------------------------------------------------------------
+
+  test("compressionRatio: repetitive text bands low, prose normal, noise high; deterministic") {
+    val rnd = new scala.util.Random(53)
+    val noise = Array.fill(4000)((rnd.nextInt(94) + 33).toChar).mkString // printable noise
+    val docs = Seq(
+      (1L, "spam spam spam " * 300),
+      (2L, "The quarterly report outlines revenue growth across several distinct markets, " +
+        "with notable regional variation in both volume and margin performance this year."),
+      (3L, noise),
+      (4L, "")).toDF("doc_id", "text")
+    val r = TextOps.compressionRatio(docs)
+      .as[(Long, Double, String)].collect().map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(r(1L)._2 == "low", s"looped text must band low: ${r(1L)}")
+    assert(r(2L)._2 == "normal", s"prose must band normal: ${r(2L)}")
+    assert(r(3L)._2 == "high", s"noise must band high: ${r(3L)}")
+    assert(r(4L)._1 == 1.0, "empty text ratio is 1.0 by definition")
+    val r2 = TextOps.compressionRatio(docs.repartition(3))
+      .as[(Long, Double, String)].collect().map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(r2 == r, "ratio must be deterministic under re-partitioning")
+  }
+
   // -- pmiPairs -------------------------------------------------------------------------
 
   test("pmiPairs: perfect collocations score high, independent pairs near zero") {
