@@ -46,6 +46,7 @@ object GraftExtensions {
     // one-pass per-doc token statistics struct (n_tokens, n_distinct, n_stop,
     // top_bigram_n) with the library's standard stopword set
     "graft_text_signals" -> (es => TextSignals(es(0), graft.ops.TextOps.Stopwords)),
+    "graft_deflate_ratio" -> (es => DeflateRatio(es(0))),
     // numeric order/score/tiebreak args are widened here so SQL callers can pass INT/FLOAT
     // columns; the aggregates themselves then type-check strictly at analysis
     "graft_latest_struct" -> (es =>

@@ -48,6 +48,11 @@ class ExtensionsSpec extends SparkSpec {
       """SELECT graft_text_signals(split('the the fox the fox', ' ')) AS s""").collect()(0)
       .getStruct(0)
     assert((sigs.getLong(0), sigs.getLong(1), sigs.getLong(2), sigs.getLong(3)) == ((5L, 2L, 3L, 2L)))
+
+    val dr = spark.sql(
+      "SELECT graft_deflate_ratio(repeat('spam ', 500)) AS lo, graft_deflate_ratio('') AS e")
+      .collect()(0)
+    assert(dr.getDouble(0) < 0.1 && dr.getDouble(1) == 1.0)
   }
 
   test("aggregate builders widen numeric args; mistyped payload fails at analysis") {
