@@ -172,16 +172,22 @@ object TextExpressions {
     override protected def nullSafeEval(a: Any): Any = {
       val bytes = a.asInstanceOf[UTF8String].getBytes
       if (bytes.isEmpty) return 1.0
-      val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED, true)
-      try {
-        d.setInput(bytes); d.finish()
-        val buf = new Array[Byte](8192)
-        var total = 0L
-        while (!d.finished()) total += d.deflate(buf)
-        total.toDouble / bytes.length
-      } finally d.end()
+      val d = DeflateRatio.deflater.get()
+      d.reset()
+      d.setInput(bytes); d.finish()
+      val buf = DeflateRatio.buffer.get()
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total.toDouble / bytes.length
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  object DeflateRatio {
+    // per-thread reuse: a fresh Deflater is ~256KB of native zlib state per row otherwise
+    private val deflater = ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+      new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED, true))
+    private val buffer = ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](8192))
   }
 
   /** `minhash_long(hashes, k)` — MinHash signature over pre-hashed elements (see

@@ -302,11 +302,19 @@ object TextOps {
    */
   def compressionRatio(df: DataFrame, lowBand: Double = 0.35, highBand: Double = 0.8,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    // deflate runs ONCE per row (two-step select barrier); null and empty docs get
+    // their OWN bands — a null ratio would otherwise fall through both when()s to
+    // "normal", and empty's sentinel 1.0 would read as incompressible noise
     df.select(col(idCol),
-      round(TextFunctions.deflateRatio(col(textCol)), 4).as("deflate_ratio"))
-      .withColumn("band",
-        when(col("deflate_ratio") < lowBand, "low")
-          .when(col("deflate_ratio") > highBand, "high").otherwise("normal"))
+        col(textCol).isNull.as("__isnull"),
+        (length(col(textCol)) === 0).as("__empty"),
+        round(TextFunctions.deflateRatio(col(textCol)), 4).as("deflate_ratio"))
+      .select(col(idCol), col("deflate_ratio"),
+        when(col("__isnull"), lit(null).cast("string"))
+          .when(col("__empty"), "empty")
+          .when(col("deflate_ratio") < lowBand, "low")
+          .when(col("deflate_ratio") > highBand, "high")
+          .otherwise("normal").as("band"))
 
   /**
    * PMI (pointwise mutual information) collocation mining over adjacent token pairs —

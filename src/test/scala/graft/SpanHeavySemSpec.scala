@@ -366,7 +366,7 @@ class SpanHeavySemSpec extends SparkSpec {
     assert(r(1L)._2 == "low", s"looped text must band low: ${r(1L)}")
     assert(r(2L)._2 == "normal", s"prose must band normal: ${r(2L)}")
     assert(r(3L)._2 == "high", s"noise must band high: ${r(3L)}")
-    assert(r(4L)._1 == 1.0, "empty text ratio is 1.0 by definition")
+    assert(r(4L) == ((1.0, "empty")), "empty text: sentinel ratio 1.0, its own band")
     val r2 = TextOps.compressionRatio(docs.repartition(3))
       .as[(Long, Double, String)].collect().map(x => x._1 -> ((x._2, x._3))).toMap
     assert(r2 == r, "ratio must be deterministic under re-partitioning")
