@@ -847,10 +847,36 @@ object SparkEntry {
     "doc_pmi_pairs" -> ((s, dir) =>
       TextOps.pmiPairs(t(s, dir, "documents"), minCount = 5)),
 
-    // compressibility quality signal (no oracle: zlib output is engine-specific — the
-    // driver records a rows-only check; semantics are property-pinned in ScalaTest)
-    "doc_compress_ratio" -> ((s, dir) =>
-      TextOps.compressionRatio(t(s, dir, "documents"))),
+    // compressibility quality signal, as a self-verifying verdict row (raw zlib output
+    // is engine-specific, so per-doc ratios can't be oracle-compared — instead the gate
+    // audits engine-independent invariants over the REAL per-doc operator output and the
+    // oracle pins them TRUE): corpus cardinalities match, every ratio is in (0, 1.05],
+    // appending a doc to itself never worsens its ratio (DEFLATE back-references the
+    // second copy), and planted repetitive/noise docs land in their bands
+    "doc_compress_ratio" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val per = TextOps.compressionRatio(d)
+      val dbl = d.select(col("doc_id"),
+        (col("text").isNull || length(col("text")) === 0).as("trivial"),
+        TextFunctions.deflateRatio(concat(col("text"), col("text"))).as("ratio2"))
+      val agg = per.join(dbl, "doc_id").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("band").isNull, 1L).otherwise(0L)).as("n_null"),
+        sum(when(col("band") === "empty", 1L).otherwise(0L)).as("n_empty"),
+        coalesce(min(when(!col("trivial"),
+          col("deflate_ratio") > 0.0 && col("deflate_ratio") <= 1.05)), lit(true))
+          .as("ratios_bounded_ok"),
+        coalesce(min(when(!col("trivial"),
+          col("ratio2") <= col("deflate_ratio") + 0.02)), lit(true)).as("doubling_ok"))
+      // planted probes exercise the same native expression the per-doc pass uses;
+      // thresholds match the band edges with the determinism pinned in ScalaTest
+      val rnd = new scala.util.Random(53)
+      val noise = Array.fill(4000)((rnd.nextInt(94) + 33).toChar).mkString
+      val probes = s.range(1).select(
+        (TextFunctions.deflateRatio(lit("spam spam spam " * 300)) < 0.35).as("planted_low_ok"),
+        (TextFunctions.deflateRatio(lit(noise)) > 0.8).as("planted_high_ok"))
+      agg.crossJoin(probes)
+    }),
 
     // raw-crawl text extraction: docs wrapped in deterministic synthetic markup, then
     // script/style blocks dropped, tags stripped, entities decoded, whitespace collapsed
@@ -961,16 +987,18 @@ object SparkEntry {
     "emb_semdedup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       // planted ids start past the real id range (max+1), so they can never collide
-      // with genuine vectors at any scale factor
-      val plantBase = e.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1
-      val planted = e.filter(col("vec_id") < 20)
-        .select((col("vec_id") + plantBase).as("vec_id"), col("embedding"))
+      // with genuine vectors at any scale factor; the max rides the plan as a broadcast
+      // scalar (no eager action at query-construction time), and the planted count is
+      // derived from the same vec_id < 20 predicate the oracle uses — never a literal
+      val mx = e.agg(max(col("vec_id")).as("__mx"))
+      val planted = e.filter(col("vec_id") < 20).crossJoin(broadcast(mx))
+        .select((col("vec_id") + col("__mx") + 1).as("vec_id"), col("embedding"))
       val corpus = e.unionByName(planted)
       val res = VectorOps.semDeDup(corpus, eps = 0.99, nClusters = 8, iters = 3)
-      val counts = res.agg(
+      val counts = res.crossJoin(broadcast(mx)).agg(
         count(lit(1)).as("n_vectors"),
-        sum(when(col("vec_id") >= plantBase, 1L).otherwise(0L)).as("n_planted"),
-        sum(when(col("vec_id") >= plantBase && !col("kept"), 1L).otherwise(0L)).as("n_planted_dropped"))
+        sum(when(col("vec_id") > col("__mx"), 1L).otherwise(0L)).as("n_planted"),
+        sum(when(col("vec_id") > col("__mx") && !col("kept"), 1L).otherwise(0L)).as("n_planted_dropped"))
       val keptVecs = res.filter(col("kept")).join(corpus, "vec_id")
       val viol = VectorOps.cosineNearDupPairsExact(keptVecs, threshold = 0.99, blockCol = "cell")
         .agg(count(lit(1)).as("n_viol"))
@@ -1699,6 +1727,16 @@ object SparkEntry {
         |  GROUP BY token, tot.n_total HAVING COUNT(*) * 200 > tot.n_total)
         |SELECT COUNT(*) AS n_heavy, TRUE AS overestimate_ok, TRUE AS bound_ok FROM hh""".stripMargin,
 
+    // zlib bytes are engine-specific, so the verdict checks engine-independent
+    // invariants of the per-doc ratio pass; cardinalities come from the raw table
+    "doc_compress_ratio" ->
+      """SELECT COUNT(*) AS n_docs,
+        |  COUNT(*) FILTER (WHERE text IS NULL) AS n_null,
+        |  COUNT(*) FILTER (WHERE text = '') AS n_empty,
+        |  TRUE AS ratios_bounded_ok, TRUE AS doubling_ok,
+        |  TRUE AS planted_low_ok, TRUE AS planted_high_ok
+        |FROM documents""".stripMargin,
+
     "doc_pmi_pairs" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks FROM documents),
@@ -1754,7 +1792,8 @@ object SparkEntry {
         |FROM nw LEFT JOIN sh ON sh.doc_id = nw.doc_id""".stripMargin,
 
     "emb_semdedup" ->
-      """SELECT COUNT(*) + 20 AS n_vectors, CAST(20 AS BIGINT) AS n_planted,
+      """SELECT COUNT(*) + COUNT(*) FILTER (WHERE vec_id < 20) AS n_vectors,
+        |  CAST(COUNT(*) FILTER (WHERE vec_id < 20) AS BIGINT) AS n_planted,
         |  TRUE AS planted_dropped_ok, TRUE AS kept_independent_ok, TRUE AS bounded_ok
         |FROM embeddings""".stripMargin,
 

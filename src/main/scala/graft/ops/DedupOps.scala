@@ -408,6 +408,14 @@ object DedupOps {
    *
    * Returns (idCol, n_windows, n_dup_windows, max_dup_run) for EVERY input document
    * (docs shorter than `k` tokens report zeros).
+   *
+   * Approximation bound: duplicate detection compares 64-bit window hashes, not window
+   * text — two DISTINCT windows colliding on XXH64 would count as duplicates. Expected
+   * spurious pairs over W distinct windows ≈ W²/2⁶⁵: negligible through ~10⁸ windows,
+   * and at 10¹⁰+ windows (the 100 TB regime) a handful of expected collisions makes
+   * this a tightly-bounded approximation rather than exact ExactSubstr semantics. Where
+   * exactness matters, verify candidate runs against token text the way
+   * [[minhashLshVerifiedPairs]] re-checks its candidates.
    */
   def spanDedupStats(df: DataFrame, k: Int = 12, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {

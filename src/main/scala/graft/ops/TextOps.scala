@@ -471,8 +471,11 @@ object TextOps {
    * few-hundred-KB sketch lands on the driver — the model-to-driver pattern the ANN
    * operators use. The verdict audits the sketch against the exact [[heavyHitters]]
    * output at test scale: CMS must never underestimate (structural guarantee) and must
-   * stay within `eps·N` of the true counts (the paper bound; deterministic here because
-   * the seed is fixed).
+   * stay within `2·eps·N` of the true counts. The paper bound is `eps·N` with
+   * probability `confidence` only — asserting it raw would let an unlucky (seed, data)
+   * pairing flip the gate red with no code bug, so the verdict widens to 2× (still far
+   * below any useful `1/invPhi` threshold). The gate is seed-pinned: a red here means
+   * re-check the seed/data pairing before suspecting the operator.
    */
   def cmsHeavyVerdict(df: DataFrame, invPhi: Int = 200, eps: Double = 0.0001,
       confidence: Double = 0.99, seed: Int = 42, textCol: String = "text"): DataFrame = {
@@ -486,7 +489,7 @@ object TextOps {
       new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
     val nTotal = row.getLong(1)
     val heavy = heavyHitters(df, invPhi, textCol).as[(String, Long)].collect()
-    val bound = math.ceil(eps * nTotal).toLong
+    val bound = 2L * math.ceil(eps * nTotal).toLong
     val overOk = heavy.forall { case (t, n) => cms.estimateCount(t) >= n }
     val boundOk = heavy.forall { case (t, n) => cms.estimateCount(t) <= n + bound }
     Seq((heavy.length.toLong, overOk, boundOk))

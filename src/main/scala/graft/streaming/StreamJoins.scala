@@ -33,7 +33,10 @@ object StreamJoins {
       loMs: Long,
       hiMs: Long,
       watermark: String = "30 seconds"): DataFrame = {
-    require(hiMs > loMs, s"intervalJoin: empty window [$loMs, $hiMs]")
+    // lo == hi is the exact-offset single-point window the batch IntervalJoin documents
+    // as valid (Spark's range condition accepts an equality band); only inverted bounds
+    // are truly empty
+    require(hiMs >= loMs, s"intervalJoin: inverted window [$loMs, $hiMs]")
     left.withWatermark(leftTs, watermark)
       .join(right.withWatermark(rightTs, watermark),
         col(leftKey) === col(rightKey) &&
