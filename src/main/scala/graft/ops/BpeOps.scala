@@ -55,11 +55,15 @@ object BpeOps {
     out.toArray
   }
 
+  /** Training output: the driver-side model (a model scalar — merges are the only
+    * state), the merge table `(rank, left, right, n)`, and the final segmentation of
+    * every distinct word (the training-time encode, which the verdict gate audits the
+    * standalone encoder against). */
+  final case class BpeTrainResult(model: BpeModel, merges: DataFrame, words: DataFrame)
+
   /**
-   * Train `nMerges` BPE merges over the corpus. Returns the merge table
-   * `(rank, left, right, n)` — n is the weighted pair count that won the round — and the
-   * final segmentation of every distinct word (the training-time encode, used by the
-   * verdict gate to audit the standalone encoder against).
+   * Train `nMerges` BPE merges over the corpus. `n` in the merge table is the weighted
+   * pair count that won the round.
    *
    * Ties break deterministically: highest count, then lexicographically smallest (left,
    * right) — mirrored bit-for-bit by the oracle's `ORDER BY n DESC, l, r LIMIT 1` for the
@@ -74,7 +78,7 @@ object BpeOps {
       df: DataFrame,
       nMerges: Int,
       textCol: String = "text",
-      checkpointEvery: Int = 16): (DataFrame, DataFrame) = {
+      checkpointEvery: Int = 16): BpeTrainResult = {
     val spark = df.sparkSession
     import spark.implicits._
     val base: Dataset[(String, Array[String], Long)] = wordCounts(df, textCol)
@@ -110,7 +114,7 @@ object BpeOps {
     val mergeDf = merges.toSeq.toDF("rank", "left", "right", "n")
     val finalWords = words.map { case (w, syms, c) => (w, syms.toSeq, c) }
       .toDF("word", "syms", "n")
-    (mergeDf, finalWords)
+    BpeTrainResult(BpeModel(merges.map(m => (m._2, m._3)).toSeq), mergeDf, finalWords)
   }
 
   /** Encode one word with the trained model: start from characters, repeatedly merge the
