@@ -1000,6 +1000,22 @@ object SparkEntry {
         candCapFloor = 400L, candCapFrac = 0.6, corpus = e)
     }),
 
+    // composed IVF-PQ (IVFADC): both models fit once and feed both the candidate set
+    // and the probe — the gate's recall/boundedness contract matches emb_ann_ivf
+    "emb_ann_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+      val cents = VectorOps.kmeansFit(e, 16, iters = 2)
+      val books = VectorOps.pqFit(e, m = 8, k = 16)
+      val exact = VectorOps.bruteForceTopK(e, q, k = 3)
+      val cands = VectorOps.ivfPqCandidates(e, q, nCentroids = 16, nProbe = 4, m = 8,
+        kCode = 16, trainedIvf = Some(cents), trainedPq = Some(books))
+      val approx = VectorOps.ivfPqTopK(e, q, k = 3, nCentroids = 16, nProbe = 4, m = 8,
+        kCode = 16, shortlist = 64, trainedIvf = Some(cents), trainedPq = Some(books))
+      VectorOps.annRecallGate(exact, approx, cands, recallFloor = 0.25,
+        candCapFloor = 400L, candCapFrac = 0.6, corpus = e)
+    }),
+
     "emb_dedup_cosine" -> ((s, dir) => {
       VectorOps.cosineNearDupPairsExact(t(s, dir, "embeddings"), threshold = 0.4, blockCol = "label")
         .withColumn("sim", round(col("sim"), 4))
@@ -1114,6 +1130,15 @@ object SparkEntry {
       val books = pqModels.getOrElseUpdate(dir, VectorOps.pqFit(e, m = 8, k = 16))
       VectorOps.pqTopK(e, e.filter(col("vec_id") < 8), k = 3, m = 8, kCode = 16,
         shortlist = 64, trained = Some(books))
+    }),
+
+    "emb_ann_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = ivfModels.getOrElseUpdate(dir, VectorOps.kmeansFit(e, 16, iters = 2))
+      val books = pqModels.getOrElseUpdate(dir, VectorOps.pqFit(e, m = 8, k = 16))
+      VectorOps.ivfPqTopK(e, e.filter(col("vec_id") < 8), k = 3, nCentroids = 16,
+        nProbe = 4, m = 8, kCode = 16, shortlist = 64,
+        trainedIvf = Some(cents), trainedPq = Some(books))
     }),
 
     "emb_semdedup" -> ((s, dir) => {
@@ -1278,6 +1303,9 @@ object SparkEntry {
       "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok, TRUE AS bounded_ok FROM embeddings WHERE vec_id < 8",
 
     "emb_ann_pq" ->
+      "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok, TRUE AS bounded_ok FROM embeddings WHERE vec_id < 8",
+
+    "emb_ann_ivfpq" ->
       "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok, TRUE AS bounded_ok FROM embeddings WHERE vec_id < 8",
 
     "q1_agg" ->

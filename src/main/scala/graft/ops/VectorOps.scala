@@ -354,6 +354,81 @@ object VectorOps {
     rankTopK(short, k)
   }
 
+  /**
+   * IVF-PQ composed index — the IVFADC scheme of Jégou et al. 2011 (TPAMI, §IV), the
+   * composition real billion-scale indexes ship: the IVF coarse quantizer restricts each
+   * query to its `nProbe` cells, candidates inside those cells are scored with the PQ
+   * ADC lookup (m array reads per pair) instead of the full dot product, and a
+   * per-query shortlist is reranked with the exact cosine.
+   *
+   * 100 TB shape: the stored index is (cell, codes) — 16-32x smaller than the raw
+   * vectors and partitioned by cell, so a probe reads nProbe/nCentroids of the
+   * compressed corpus and broadcasts only the queries (with their LUTs). Both models
+   * are offline artifacts fed through `trainedIvf`/`trainedPq`; in-query training here
+   * exists for the self-contained correctness gate.
+   *
+   * Cells are assigned in RAW vector space (matching [[ivfTopK]]); ADC runs in the
+   * L2-normalized space (matching [[pqTopK]]) so the inner product approximates cosine.
+   */
+  def ivfPqCandidates(
+      corpus: DataFrame,
+      queries: DataFrame,
+      nCentroids: Int = 16,
+      nProbe: Int = 2,
+      m: Int = 8,
+      kCode: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      trainedIvf: Option[Array[Array[Float]]] = None,
+      trainedPq: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
+    val centroids = trainedIvf.getOrElse(kmeansFit(corpus, nCentroids, iters = 2, idCol, vecCol))
+    val books = trainedPq.getOrElse(pqFit(corpus, m, kCode, idCol = idCol, vecCol = vecCol))
+    val stride = books(0).length
+    val enc = l2Normalized(
+      corpus.select(col(idCol), col(vecCol),
+        VectorFunctions.nearestCentroids(col(vecCol), centroids, 1).getItem(0).as("cell")),
+      vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("cell"),
+        VectorFunctions.pqEncode(col(vecCol), books).as("codes"))
+      .repartition(col("cell"))
+    val q = l2Normalized(
+      queries.select(col(idCol), col(vecCol),
+        VectorFunctions.nearestCentroids(col(vecCol), centroids, nProbe).as("cells")),
+      vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        VectorFunctions.pqLut(col(vecCol), books).as("lut"),
+        explode(col("cells")).as("cell"))
+    enc.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("q_vec"), col("c_vec"),
+        VectorFunctions.pqAdcDot(col("codes"), col("lut"), stride).as("sim"))
+  }
+
+  /** ADC shortlist (bounded heap) + exact rerank over [[ivfPqCandidates]]. */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 2,
+      m: Int = 8,
+      kCode: Int = 16,
+      shortlist: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      trainedIvf: Option[Array[Array[Float]]] = None,
+      trainedPq: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
+    val adc = ivfPqCandidates(corpus, queries, nCentroids, nProbe, m, kCode,
+      idCol, vecCol, trainedIvf, trainedPq)
+    val short = adc.groupBy(col("query_id"))
+      .agg(graft.functions.TopKFunctions.topKByScore(col("sim"), col("neighbor_id"),
+        struct(col("neighbor_id"), col("q_vec"), col("c_vec")), shortlist).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.neighbor_id").as("neighbor_id"),
+        VectorFunctions.cosine(col("t.q_vec"), col("t.c_vec")).as("sim"))
+    rankTopK(short, k)
+  }
+
   /** L2-normalize the vector column (norm computed once per row, not per element). */
   private def l2Normalized(df: DataFrame, vecCol: String): DataFrame =
     df.withColumn("__n", VectorFunctions.l2Norm(col(vecCol)))

@@ -269,6 +269,32 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"mis-strided ADC would collapse recall; got $recall")
   }
 
+  test("IVF-PQ: candidates bounded by probed cells, rerank recall beats the gate floor") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 8)
+    val cents = VectorOps.kmeansFit(e, 16, iters = 2)
+    val books = VectorOps.pqFit(e, m = 8, k = 16)
+    val n = e.count()
+    // candidate work is the probed corpus fraction (nProbe/nCentroids), never |corpus|
+    val cands = VectorOps.ivfPqCandidates(e, q, nCentroids = 16, nProbe = 4,
+      trainedIvf = Some(cents), trainedPq = Some(books))
+    val maxCand = cands.groupBy("query_id").count().agg(max("count")).first().getLong(0)
+    assert(maxCand < n * 0.6, s"candidates $maxCand not bounded vs corpus $n")
+    val got = VectorOps.ivfPqTopK(e, q, k = 3, nCentroids = 16, nProbe = 4,
+      trainedIvf = Some(cents), trainedPq = Some(books))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = VectorOps.bruteForceTopK(e, q, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    // composition recall ~= ivf recall x pq recall; floor with headroom over gate's 0.25
+    assert(recall >= 0.4, s"IVF-PQ recall $recall under expected headroom")
+    // determinism end to end
+    val again = VectorOps.ivfPqTopK(e, q, k = 3, nCentroids = 16, nProbe = 4,
+      trainedIvf = Some(cents), trainedPq = Some(books))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == again)
+  }
+
   test("benchQueries: operator-only variants match the gated operators (VERDICT r3 #1)") {
     val dir = "/root/testdata/sf0.001"
     // bench covers EXACTLY the gate's query set — BENCH json keys stay round-comparable
