@@ -1053,6 +1053,48 @@ object SparkEntry {
         (col("max_cell") < col("n_tot") * 0.8).as("bounded_ok"))
     }),
 
+    // SemDeDup with the paper's keep-FARTHEST-from-centroid representative policy: the
+    // same planted-copy contract as emb_semdedup (exact copies tie on centroid distance,
+    // so the id tie-break still drops every planted copy — dominated by its own source
+    // regardless of third parties), plus a policy audit: in every similar kept/dropped
+    // pair, the kept side must dominate under the (distance desc, id asc) total order
+    "emb_semdedup_far" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val mx = e.agg(max(col("vec_id")).as("__mx"))
+      val planted = e.filter(col("vec_id") < 20).crossJoin(broadcast(mx))
+        .select((col("vec_id") + col("__mx") + 1).as("vec_id"), col("embedding"))
+      val corpus = e.unionByName(planted)
+      val res = VectorOps.semDeDup(corpus, eps = 0.99, nClusters = 8, iters = 3,
+        keep = "farthest")
+      val counts = res.crossJoin(broadcast(mx)).agg(
+        count(lit(1)).as("n_vectors"),
+        sum(when(col("vec_id") > col("__mx"), 1L).otherwise(0L)).as("n_planted"),
+        sum(when(col("vec_id") > col("__mx") && !col("kept"), 1L).otherwise(0L))
+          .as("n_planted_dropped"))
+      val kd = res.join(corpus, "vec_id")
+      val viol = VectorOps.cosineNearDupPairsExact(kd.filter(col("kept")),
+        threshold = 0.99, blockCol = "cell").agg(count(lit(1)).as("n_viol"))
+      val flags = res.select(col("vec_id"), col("kept"), col("cdist"))
+      val domOk = VectorOps.cosineNearDupPairsExact(kd, threshold = 0.99, blockCol = "cell")
+        .join(flags.select(col("vec_id").as("id_a"), col("kept").as("kept_a"),
+          col("cdist").as("dist_a")), "id_a")
+        .join(flags.select(col("vec_id").as("id_b"), col("kept").as("kept_b"),
+          col("cdist").as("dist_b")), "id_b")
+        .filter(col("kept_a") =!= col("kept_b"))
+        .agg(coalesce(min(when(col("kept_a"),
+            col("dist_a") > col("dist_b") ||
+              (col("dist_a") === col("dist_b") && col("id_a") < col("id_b")))
+          .otherwise(
+            col("dist_b") > col("dist_a") ||
+              (col("dist_b") === col("dist_a") && col("id_b") < col("id_a")))),
+          lit(true)).as("dominance_ok"))
+      counts.crossJoin(viol).crossJoin(domOk).select(
+        col("n_vectors"), col("n_planted"),
+        (col("n_planted_dropped") === col("n_planted")).as("planted_dropped_ok"),
+        (col("n_viol") === 0).as("kept_independent_ok"),
+        col("dominance_ok"))
+    }),
+
     // ---- training-data ops: multimodal plumbing -----------------------------------------------
 
     // frame sampling through the REAL mapPartitions row-expansion path (binary slices);
@@ -1146,6 +1188,14 @@ object SparkEntry {
       val model = ivfModels.getOrElseUpdate(dir + "#semdedup8",
         VectorOps.kmeansFit(e, 8, iters = 3))
       VectorOps.semDeDup(e, eps = 0.99, nClusters = 8, trained = Some(model))
+    }),
+
+    "emb_semdedup_far" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = ivfModels.getOrElseUpdate(dir + "#semdedup8",
+        VectorOps.kmeansFit(e, 8, iters = 3))
+      VectorOps.semDeDup(e, eps = 0.99, nClusters = 8, trained = Some(model),
+        keep = "farthest")
     }),
 
     // the sketch build IS the operator at scale; the gate's exact heavy-hitter audit
@@ -1875,6 +1925,12 @@ object SparkEntry {
       """SELECT COUNT(*) + COUNT(*) FILTER (WHERE vec_id < 20) AS n_vectors,
         |  CAST(COUNT(*) FILTER (WHERE vec_id < 20) AS BIGINT) AS n_planted,
         |  TRUE AS planted_dropped_ok, TRUE AS kept_independent_ok, TRUE AS bounded_ok
+        |FROM embeddings""".stripMargin,
+
+    "emb_semdedup_far" ->
+      """SELECT COUNT(*) + COUNT(*) FILTER (WHERE vec_id < 20) AS n_vectors,
+        |  CAST(COUNT(*) FILTER (WHERE vec_id < 20) AS BIGINT) AS n_planted,
+        |  TRUE AS planted_dropped_ok, TRUE AS kept_independent_ok, TRUE AS dominance_ok
         |FROM embeddings""".stripMargin,
 
     "doc_dsir_weights" ->

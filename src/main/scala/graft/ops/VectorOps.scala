@@ -505,15 +505,43 @@ object VectorOps {
       iters: Int = 5,
       trained: Option[Array[Array[Float]]] = None,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      keep: String = "min_id"): DataFrame = {
+    require(keep == "min_id" || keep == "farthest", s"semDeDup: unknown keep policy '$keep'")
     val centroids = trained.getOrElse(kmeansFit(df, nClusters, iters, idCol, vecCol))
     val assigned = df.select(col(idCol), col(vecCol),
       VectorFunctions.nearestCentroids(col(vecCol), centroids, 1).getItem(0).as("cell"))
-    val dropped = cosineNearDupPairsExact(assigned, eps, blockCol = "cell",
-      idCol = idCol, vecCol = vecCol)
-      .select(col("id_b").as(idCol)).distinct()
+    // representative priority: `min_id` keeps the smallest id (a stable arbitrary pick);
+    // `farthest` keeps the vector farthest (cosine distance) from its cluster centroid —
+    // the paper's §3 choice, biasing kept data AWAY from the cluster's dense core.
+    // Both are pairwise dominance under a TOTAL order (priority desc, id asc), so the
+    // kept set never contains an in-cell pair at sim >= eps, either way.
+    val spark = df.sparkSession
+    val withDist =
+      if (keep == "min_id") assigned.withColumn("cdist", lit(0.0))
+      else {
+        import spark.implicits._
+        val centDf = centroids.zipWithIndex
+          .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "c_vec")
+        assigned.join(broadcast(centDf), Seq("cell"))
+          .withColumn("cdist",
+            lit(1.0) - VectorFunctions.cosine(col(vecCol), col("c_vec")))
+          .drop("c_vec")
+      }
+    val a = withDist.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+      col("cdist").as("dist_a")).repartition(col("cell"))
+    val b = withDist.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+      col("cdist").as("dist_b"))
+    val aDominates = col("dist_a") > col("dist_b") ||
+      (col("dist_a") === col("dist_b") && col("id_a") < col("id_b"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(VectorFunctions.cosine(col("vec_a"), col("vec_b")) >= eps)
+      .select(when(aDominates, col("id_b")).otherwise(col("id_a")).as(idCol))
+      .distinct()
       .withColumn("__drop", lit(true))
-    assigned.join(dropped, Seq(idCol), "left")
-      .select(col(idCol), col("cell"), not(coalesce(col("__drop"), lit(false))).as("kept"))
+    withDist.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("cdist"),
+        not(coalesce(col("__drop"), lit(false))).as("kept"))
   }
 }

@@ -152,6 +152,28 @@ class SpanHeavySemSpec extends SparkSpec {
     assert(res.filter(col("kept")).count() < 30, "near-copies should have been dropped")
   }
 
+  test("semDeDup keep policies: farthest keeps the rim vector that min_id drops; ties keep lowest id") {
+    // one cluster, three coplanar unit vectors: a at 0 deg (id 1), b at 7 deg (id 2,
+    // sim(a,b)=cos 7 deg = 0.9925 >= eps), c at -25 deg (id 3, similar to NOBODY at 0.99
+    // but pulling the centroid to ~-6 deg, so b is strictly farther from it than a)
+    val data = Seq(
+      (1L, vec(1, 0, 0, 0)),
+      (2L, vec(math.cos(0.1222), math.sin(0.1222), 0, 0)),
+      (3L, vec(math.cos(-0.4363), math.sin(-0.4363), 0, 0))).toDF("vec_id", "embedding")
+    val far = VectorOps.semDeDup(data, eps = 0.99, nClusters = 1, iters = 1, keep = "farthest")
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(far(2L) && !far(1L) && far(3L), s"farthest must keep the rim vector: $far")
+    val near = VectorOps.semDeDup(data, eps = 0.99, nClusters = 1, iters = 1)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(near(1L) && !near(2L) && near(3L), s"min_id must keep the smallest id: $near")
+    // exact copies tie on centroid distance -> id tie-break drops the larger id, so the
+    // planted-copy gate contract holds under BOTH policies
+    val copies = Seq((1L, vec(1, 0, 0, 0)), (9L, vec(1, 0, 0, 0))).toDF("vec_id", "embedding")
+    val fc = VectorOps.semDeDup(copies, eps = 0.99, nClusters = 1, iters = 1, keep = "farthest")
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(fc(1L) && !fc(9L), s"tie must keep the smaller id: $fc")
+  }
+
   // -- dsirWeights ----------------------------------------------------------------------
 
   test("dsirWeights: target-vocabulary docs score above off-target; stable under repartition") {
