@@ -878,6 +878,14 @@ object SparkEntry {
       agg.crossJoin(probes)
     }),
 
+    // KMV bottom-k sketch overlap between the en and non-en corpus halves: every output
+    // column (integer sketch stats + one exactly-rounded division) reproduces
+    // bit-for-bit in DuckDB — a FULL-oracle sketch, not a verdict row
+    "doc_kmv_overlap" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      DedupOps.kmvOverlap(d.filter(col("lang") === "en"), d.filter(col("lang") =!= "en"))
+    }),
+
     // distributed BPE tokenizer training: ONE corpus scan (word counts), then
     // vocabulary-bounded merge rounds. The verdict cross-checks round 1 in DuckDB
     // (same weighted pair counts, same count-then-lexicographic tie-break), pins the
@@ -1839,6 +1847,30 @@ object SparkEntry {
         |hh AS (SELECT token, COUNT(*) AS n FROM toks CROSS JOIN tot
         |  GROUP BY token, tot.n_total HAVING COUNT(*) * 200 > tot.n_total)
         |SELECT COUNT(*) AS n_heavy, TRUE AS overestimate_ok, TRUE AS bound_ok FROM hh""".stripMargin,
+
+    "doc_kmv_overlap" ->
+      """WITH t AS (SELECT lang = 'en' AS is_a,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (SELECT is_a, unnest(CASE WHEN len(toks) < 3 THEN []
+        |    ELSE list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        |  FROM t),
+        |h AS (SELECT is_a, CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) AS h FROM sh),
+        |sa AS (SELECT DISTINCT h FROM h WHERE is_a ORDER BY h LIMIT 256),
+        |sb AS (SELECT DISTINCT h FROM h WHERE NOT is_a ORDER BY h LIMIT 256),
+        |u AS (SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb) ORDER BY h LIMIT 256),
+        |st AS (SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM sa) AS n_a,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM sb) AS n_b,
+        |  COALESCE((SELECT MAX(h) FROM sa), -1) AS a_kth_min,
+        |  COALESCE((SELECT MAX(h) FROM sb), -1) AS b_kth_min,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS n_union,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM u
+        |     WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)) AS n_shared)
+        |SELECT CAST(256 AS BIGINT) AS k, n_a, n_b, a_kth_min, b_kth_min, n_union, n_shared,
+        |  CASE WHEN n_union = 0 THEN 0.0
+        |       ELSE CAST(n_shared AS DOUBLE) / n_union END AS est_jaccard
+        |FROM st""".stripMargin,
 
     // round-1 of BPE training is fully DuckDB-expressible (weighted adjacent char-pair
     // counts over the ASCII word-frequency table, count-desc then lexicographic

@@ -358,6 +358,49 @@ object DedupOps {
       .filter(col("change") =!= "unchanged")
 
   /**
+   * KMV (bottom-k) sketch overlap between two corpora — the constant-size estimator for
+   * "how much does my training data overlap that benchmark / that other snapshot" when
+   * the exact distinct-shingle join ([[graft.ops.SampleOps.contaminationScreen]]-style)
+   * is too heavy to run routinely (Beyer et al. 2007, "On synopses for distinct-value
+   * estimation under multiset operations"; the theta-sketch set algebra generalizes it).
+   *
+   * Each side reduces to its k smallest DISTINCT 60-bit shingle hashes — a collectible
+   * model artifact like the ANN codebooks (k longs, not data) — and the union sketch
+   * U = bottom-k(A ∪ B) estimates `jaccard ≈ |U ∩ A ∩ B| / |U|`. Distinct-then-take-k
+   * is one hash-only shuffle per side (8-byte rows after map-side combine) + a
+   * TakeOrdered; sketches of immutable corpora should be persisted and reused — the
+   * compare itself is then free.
+   *
+   * Uses [[graft.ops.TextOps.md5Hash60]], so a SQL engine reproduces every output
+   * column bit-for-bit (integer hashes; the one division is exactly-rounded IEEE in
+   * both engines). Returns a single row:
+   * (k, n_a, n_b, a_kth_min, b_kth_min, n_union, n_shared, est_jaccard).
+   */
+  def kmvOverlap(a: DataFrame, b: DataFrame, k: Int = 256, shingleN: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    def sketch(df: DataFrame): Array[Long] =
+      df.select(explode(
+          TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleN)).as("sh"))
+        .select(TextOps.md5Hash60(col("sh")).as("h"))
+        .distinct().orderBy("h").limit(k)
+        .as[Long].collect()
+    val hA = sketch(a)
+    val hB = sketch(b)
+    val union = (hA ++ hB).distinct.sorted.take(k)
+    val setA = hA.toSet
+    val setB = hB.toSet
+    val nShared = union.count(h => setA(h) && setB(h))
+    val est = if (union.isEmpty) 0.0 else nShared.toDouble / union.length
+    Seq((k.toLong, hA.length.toLong, hB.length.toLong,
+      if (hA.isEmpty) -1L else hA.last, if (hB.isEmpty) -1L else hB.last,
+      union.length.toLong, nShared.toLong, est))
+      .toDF("k", "n_a", "n_b", "a_kth_min", "b_kth_min", "n_union", "n_shared",
+        "est_jaccard")
+  }
+
+  /**
    * Line-level boilerplate removal (the C4 recipe: drop every line that occurs in more
    * than `maxDocs` distinct documents — navigation chrome, cookie banners, copyright
    * footers). Two passes, both cheap at 100 TB:

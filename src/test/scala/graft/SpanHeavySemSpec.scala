@@ -372,6 +372,34 @@ class SpanHeavySemSpec extends SparkSpec {
     }
   }
 
+  // -- kmvOverlap -----------------------------------------------------------------------
+
+  test("kmvOverlap: estimator tracks exact Jaccard; sketch stats bounded by k; deterministic") {
+    // engineered overlap: side B's docs are exact copies of side A's back half, so the
+    // true shingle Jaccard is ~1/3 (10 shared docs of 30 distinct-doc contents)
+    def doc(id: Long, from: Int) = (id, (from until from + 60).map(i => s"w$i").mkString(" "))
+    val a = (0 until 20).map(i => doc(i, i * 50)).toDF("doc_id", "text")
+    val b = (0 until 20).map(i => doc(100 + i, 500 + i * 50)).toDF("doc_id", "text")
+    val r = DedupOps.kmvOverlap(a, b, k = 128).collect()(0)
+    def shingleSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(graft.functions.TextFunctions.shingles(
+          graft.functions.TextFunctions.tokens(col("text")), 3)).as("sh"))
+        .distinct().as[String].collect().toSet
+    val sa = shingleSet(a); val sb = shingleSet(b)
+    val exact = (sa intersect sb).size.toDouble / (sa union sb).size
+    val est = r.getAs[Double]("est_jaccard")
+    // KMV stderr at k=128 is ~sqrt(j(1-j)/k) ~ 0.04; 0.15 is generous determinism-safe room
+    assert(math.abs(est - exact) < 0.15, s"est $est vs exact $exact")
+    assert(r.getAs[Long]("n_a") == 128 && r.getAs[Long]("n_b") == 128 &&
+      r.getAs[Long]("n_union") == 128)
+    assert(r.getAs[Long]("a_kth_min") > 0 && r.getAs[Long]("n_shared") <= 128)
+    assert(DedupOps.kmvOverlap(a, b, k = 128).collect()(0) == r, "sketch must be deterministic")
+    // disjoint corpora estimate zero
+    val z = DedupOps.kmvOverlap(a, (0 until 5).map(i => doc(500 + i, 100000 + i * 60))
+      .toDF("doc_id", "text"), k = 64).collect()(0)
+    assert(z.getAs[Long]("n_shared") == 0 && z.getAs[Double]("est_jaccard") == 0.0)
+  }
+
   // -- compressionRatio -----------------------------------------------------------------
 
   test("compressionRatio: repetitive text bands low, prose normal, noise high; deterministic") {
