@@ -35,6 +35,12 @@ object CdcRunner {
       workDir: String,                       // staging parquet + checkpoint live here across runs
       outDir: String,                        // out/tables/*.csv[, .manifest], state.json
       mode: String = "dedupe",               // "dedupe" | "append" (D4 policy)
+      /** The reference's four `destination.load_type`s (`configuration.py:169-184`) map
+        * onto two independent axes — dedupe (full_load/incremental_load) and the
+        * manifest's incremental flag (incremental_load/append_incremental) — which
+        * `mode` alone conflates: plain "dedupe" = incremental_load, plain "append" =
+        * append_full. Set this to pick the other two combinations. */
+      loadType: Option[String] = None,
       primaryKeys: Map[String, Seq[String]] = Map.empty, // per-table; empty -> D9 fallback
       /** Admission control, in offset units = spool bytes (`max.batch.size` analog). */
       maxBytesPerTrigger: Option[Long] = None,
@@ -116,8 +122,11 @@ object CdcRunner {
       snapshotTsMs: Long = System.currentTimeMillis(),
       stats: SyncStats = new SyncStats): RunResult = {
     import graft.sources.JdbcSnapshot
+    val dedupes = cfg.loadType
+      .map(lt => lt == "full_load" || lt == "incremental_load")
+      .getOrElse(cfg.mode == "dedupe")
     val mode = JdbcSnapshot.effectiveMode(
-      JdbcSnapshot.parseMode(snapshotMode), isFirstRun, dedupe = cfg.mode == "dedupe")
+      JdbcSnapshot.parseMode(snapshotMode), isFirstRun, dedupe = dedupes)
     val stagingRoot = s"${cfg.workDir}/staging"
     val registry = new SchemaRegistry(s"${cfg.workDir}/schemas.json")
     if (mode.doSnapshot && snapshots.nonEmpty) {
@@ -312,11 +321,17 @@ object CdcRunner {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(tableNames.size, 4))
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val loadType = cfg.loadType.getOrElse(
+      if (cfg.mode == "dedupe") "incremental_load" else "append_full")
+    require(Set("full_load", "incremental_load", "append_incremental", "append_full")(loadType),
+      s"unknown load_type '$loadType'")
+    val dedupe = loadType == "full_load" || loadType == "incremental_load"
+    val incremental = loadType == "incremental_load" || loadType == "append_incremental"
     val futures = tableNames.map { table =>
       scala.concurrent.Future {
         val staged = spark.read.option("mergeSchema", "true").parquet(s"$stagingRoot/$table")
         val deduped =
-          if (cfg.mode == "dedupe")
+          if (dedupe)
             Cdc.dedupeLastWins(staged, cfg.primaryKeys.getOrElse(table, Seq.empty))
           else staged.orderBy(col(Cdc.OrderCol)) // append mode keeps every event, ordered
         val payloadCols = deduped.columns.filterNot(c => Cdc.SystemCols.contains(c))
@@ -337,9 +352,9 @@ object CdcRunner {
         // fallback keys on every payload column, and the reference's no-pkey golden
         // manifests list exactly that (`simple-incremental-no-pkey-dedupe/...*.manifest`)
         val cfgPk = cfg.primaryKeys.getOrElse(table, Seq.empty)
-        val manifestPk = if (cfg.mode == "dedupe") Cdc.effectivePks(staged, cfgPk) else cfgPk
+        val manifestPk = if (dedupe) Cdc.effectivePks(staged, cfgPk) else cfgPk
         CsvManifestSink.writeManifest(ordered.schema, outTables, table,
-          manifestPk, incremental = cfg.mode == "dedupe")
+          manifestPk, incremental = incremental)
         val m = obs.get
         TableExport(table, m("n_rows").asInstanceOf[Long],
           Option(m("max_pos")).map(_.asInstanceOf[Long]).getOrElse(-1L), ordered.schema)

@@ -150,6 +150,78 @@ class GoldenSpec extends SparkSpec {
   }
 
   /**
+   * Replica of `incremental-append-chained` (ex_mysql_cdc, 01 simple-full-load +
+   * 02 inserts/updates/deletes): `load_type: append_incremental` keeps EVERY event as
+   * its own row — the update surfaces as a `u` row next to the original and the delete
+   * as a fully-populated `d,true` row (MySQL full before image), no dedupe anywhere.
+   * Golden rows from `02_inserts_updates_deletes/expected/data/out/tables/
+   * inventory_sales.csv`; normalization mirrors the harness (drop
+   * KBC__EVENT_TIMESTAMP_MS, renumber order).
+   */
+  test("incremental-append-chained: every event its own row, update+delete appended") {
+    def payload(usergender: String, usercity: String, sentiment: Int, zip: String,
+        sku: String, cd: String, cat: String, price: String, county: String,
+        cc: String, state: String, cg: String): String =
+      s"""{"usergender":"$usergender","usercity":"$usercity","usersentiment":$sentiment,""" +
+        s""""zipcode":"$zip","sku":"$sku","createdate":"$cd","category":"$cat",""" +
+        s""""price":"$price","county":"$county","countycode":"$cc","userstate":"$state",""" +
+        s""""categorygroup":"$cg"}"""
+    val snap = Seq(
+      payload("Female", "Mize", -1, "39153", "SKU1", "2013-09-23 22:38:29", "Cameras", "708.00000", "Smith", "28129", "Mississippi", "Electronics"),
+      payload("Male", "The Lakes", 1, "89124", "SKU2", "2013-09-23 22:38:30", "Televisions", "1546.00000", "Clark", "32003", "Nevada", "Electronics"),
+      payload("Male", "Baldwin", 1, "21020", "ZD111483", "2013-09-23 22:38:31", "Loose Stones", "1262.00000", "Baltimore", "24005", "Maryland", "Jewelry"),
+      payload("Female", "Archbald", 1, "18501", "ZD111395", "2013-09-23 22:38:32", "Stereo", "104.00000", "Lackawanna", "42069", "Pennsylvania", "Electronics"),
+      payload("Male", "Berea", 0, "44127", "ZD111451", "2013-09-23 22:38:33", "Earings", "1007.00000", "Cuyahoga", "39035", "Ohio", "Jewelry"))
+    def normalized(outDir: String): Seq[String] = {
+      val lines = Option(new java.io.File(outDir).listFiles()).get
+        .filter(_.getName.endsWith(".csv"))
+        .flatMap(f => Files.readAllLines(f.toPath).asScala)
+        .sortBy(_.split(",", -1).last.toLong)
+      lines.zipWithIndex.map { case (l, i) =>
+        val f = l.split(",", -1)
+        (f.patch(13, Nil, 1).dropRight(1) :+ i.toString).mkString(",") // drop ts, renumber
+      }.toSeq
+    }
+
+    // ---- 01 simple-full-load: five snapshot reads, appended in order
+    val base1 = Files.createTempDirectory("graft-append1").toString
+    Files.createDirectories(Paths.get(s"$base1/spool"))
+    Files.write(Paths.get(s"$base1/spool", "000.jsonl"), snap.zipWithIndex.map { case (p, i) =>
+      s"""{"table":"inventory.sales","op":"r","after":$p,"before":null,"source":{"ts_ms":${1000 + i}}}"""
+    }.asJava)
+    CdcRunner.run(spark, RunConfig(spoolDir = s"$base1/spool", workDir = s"$base1/work",
+      outDir = s"$base1/out", mode = "append", loadType = Some("append_incremental")))
+    assert(normalized(s"$base1/out/tables/inventory_sales.csv") == Seq(
+      "Female,Mize,-1,39153,SKU1,2013-09-23 22:38:29,Cameras,708.00000,Smith,28129,Mississippi,Electronics,r,false,0",
+      "Male,The Lakes,1,89124,SKU2,2013-09-23 22:38:30,Televisions,1546.00000,Clark,32003,Nevada,Electronics,r,false,1",
+      "Male,Baldwin,1,21020,ZD111483,2013-09-23 22:38:31,Loose Stones,1262.00000,Baltimore,24005,Maryland,Jewelry,r,false,2",
+      "Female,Archbald,1,18501,ZD111395,2013-09-23 22:38:32,Stereo,104.00000,Lackawanna,42069,Pennsylvania,Electronics,r,false,3",
+      "Male,Berea,0,44127,ZD111451,2013-09-23 22:38:33,Earings,1007.00000,Cuyahoga,39035,Ohio,Jewelry,r,false,4"))
+
+    // ---- 02 chained: 2 inserts + 1 update + 1 delete (full MySQL before image)
+    val base2 = Files.createTempDirectory("graft-append2").toString
+    val upd = payload("Female", "Mize", -1, "39153", "SKU1", "2013-09-23 22:38:29", "Cameras", "249.99000", "Smith", "28129", "Mississippi", "Electronics")
+    val delBefore = payload("Male", "The Lakes", 1, "89124", "SKU2", "2013-09-23 22:38:30", "Televisions", "1546.00000", "Clark", "32003", "Nevada", "Electronics")
+    val events = Seq(
+      s"""{"table":"inventory.sales","op":"c","after":${payload("Male", "New York", 1, "10001", "SKU10", "2023-01-01", "Electronics", "199.99000", "New York", "NY", "NY", "Electronics")},"before":null,"source":{"ts_ms":2001}}""",
+      s"""{"table":"inventory.sales","op":"c","after":${payload("Female", "Los Angeles", 5, "90001", "SKU20", "2023-01-02", "Books", "14.99000", "Los Angeles", "CA", "CA", "Books")},"before":null,"source":{"ts_ms":2002}}""",
+      s"""{"table":"inventory.sales","op":"u","after":$upd,"before":$delBefore,"source":{"ts_ms":2003}}""",
+      s"""{"table":"inventory.sales","op":"d","after":null,"before":$delBefore,"source":{"ts_ms":2004}}""")
+    Files.createDirectories(Paths.get(s"$base2/spool"))
+    Files.write(Paths.get(s"$base2/spool", "000.jsonl"), events.asJava)
+    CdcRunner.run(spark, RunConfig(spoolDir = s"$base2/spool", workDir = s"$base2/work",
+      outDir = s"$base2/out", mode = "append", loadType = Some("append_incremental")))
+    assert(normalized(s"$base2/out/tables/inventory_sales.csv") == Seq(
+      "Male,New York,1,10001,SKU10,2023-01-01,Electronics,199.99000,New York,NY,NY,Electronics,c,false,0",
+      "Female,Los Angeles,5,90001,SKU20,2023-01-02,Books,14.99000,Los Angeles,CA,CA,Books,c,false,1",
+      "Female,Mize,-1,39153,SKU1,2013-09-23 22:38:29,Cameras,249.99000,Smith,28129,Mississippi,Electronics,u,false,2",
+      "Male,The Lakes,1,89124,SKU2,2013-09-23 22:38:30,Televisions,1546.00000,Clark,32003,Nevada,Electronics,d,true,3"))
+    // manifest: incremental append, no primary key pinned
+    val manifest = Files.readString(Paths.get(s"$base2/out/tables/inventory_sales.csv.manifest"))
+    assert(manifest.contains("\"incremental\": true") || manifest.contains("\"incremental\":true"))
+  }
+
+  /**
    * Replica of `simple-incremental-no-pkey-dedupe` (ex_mysql_cdc, 01 full load +
    * 02 inserts/updates/deletes), driving D9 through the FULL runner: the 12-column
    * `inventory.nopkey` table has NO primary key, so the dedupe key is every payload
