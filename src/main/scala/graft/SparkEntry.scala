@@ -1865,11 +1865,18 @@ object SparkEntry {
         |  COALESCE((SELECT MAX(h) FROM sa), -1) AS a_kth_min,
         |  COALESCE((SELECT MAX(h) FROM sb), -1) AS b_kth_min,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS n_union,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM u WHERE h IN (SELECT h FROM sa)) AS n_in_a,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM u WHERE h IN (SELECT h FROM sb)) AS n_in_b,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM u
         |     WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)) AS n_shared)
-        |SELECT CAST(256 AS BIGINT) AS k, n_a, n_b, a_kth_min, b_kth_min, n_union, n_shared,
+        |SELECT CAST(256 AS BIGINT) AS k, n_a, n_b, a_kth_min, b_kth_min, n_union,
+        |  n_in_a, n_in_b, n_shared,
         |  CASE WHEN n_union = 0 THEN 0.0
-        |       ELSE CAST(n_shared AS DOUBLE) / n_union END AS est_jaccard
+        |       ELSE CAST(n_shared AS DOUBLE) / n_union END AS est_jaccard,
+        |  CASE WHEN n_in_a = 0 THEN 0.0
+        |       ELSE CAST(n_shared AS DOUBLE) / n_in_a END AS est_containment_a,
+        |  CASE WHEN n_in_b = 0 THEN 0.0
+        |       ELSE CAST(n_shared AS DOUBLE) / n_in_b END AS est_containment_b
         |FROM st""".stripMargin,
 
     // round-1 of BPE training is fully DuckDB-expressible (weighted adjacent char-pair

@@ -371,10 +371,15 @@ object DedupOps {
    * TakeOrdered; sketches of immutable corpora should be persisted and reused — the
    * compare itself is then free.
    *
+   * Beyond Jaccard, the union sketch also yields the DIRECTIONAL containment estimates
+   * (`|A∩B| / |B| ≈ n_shared / |U ∩ B|` and mirrored) — the contamination question
+   * ("what fraction of benchmark B appears in training set A") that a symmetric
+   * Jaccard hides when the corpora differ by orders of magnitude.
+   *
    * Uses [[graft.ops.TextOps.md5Hash60]], so a SQL engine reproduces every output
-   * column bit-for-bit (integer hashes; the one division is exactly-rounded IEEE in
-   * both engines). Returns a single row:
-   * (k, n_a, n_b, a_kth_min, b_kth_min, n_union, n_shared, est_jaccard).
+   * column bit-for-bit (integer hashes; the divisions are exactly-rounded IEEE in
+   * both engines). Returns a single row: (k, n_a, n_b, a_kth_min, b_kth_min, n_union,
+   * n_in_a, n_in_b, n_shared, est_jaccard, est_containment_a, est_containment_b).
    */
   def kmvOverlap(a: DataFrame, b: DataFrame, k: Int = 256, shingleN: Int = 3,
       textCol: String = "text"): DataFrame = {
@@ -391,13 +396,16 @@ object DedupOps {
     val union = (hA ++ hB).distinct.sorted.take(k)
     val setA = hA.toSet
     val setB = hB.toSet
+    val nInA = union.count(setA)
+    val nInB = union.count(setB)
     val nShared = union.count(h => setA(h) && setB(h))
-    val est = if (union.isEmpty) 0.0 else nShared.toDouble / union.length
+    def ratio(num: Int, den: Int): Double = if (den == 0) 0.0 else num.toDouble / den
     Seq((k.toLong, hA.length.toLong, hB.length.toLong,
       if (hA.isEmpty) -1L else hA.last, if (hB.isEmpty) -1L else hB.last,
-      union.length.toLong, nShared.toLong, est))
-      .toDF("k", "n_a", "n_b", "a_kth_min", "b_kth_min", "n_union", "n_shared",
-        "est_jaccard")
+      union.length.toLong, nInA.toLong, nInB.toLong, nShared.toLong,
+      ratio(nShared, union.length), ratio(nShared, nInA), ratio(nShared, nInB)))
+      .toDF("k", "n_a", "n_b", "a_kth_min", "b_kth_min", "n_union", "n_in_a", "n_in_b",
+        "n_shared", "est_jaccard", "est_containment_a", "est_containment_b")
   }
 
   /**

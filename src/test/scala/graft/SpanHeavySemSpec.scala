@@ -398,6 +398,12 @@ class SpanHeavySemSpec extends SparkSpec {
     val z = DedupOps.kmvOverlap(a, (0 until 5).map(i => doc(500 + i, 100000 + i * 60))
       .toDF("doc_id", "text"), k = 64).collect()(0)
     assert(z.getAs[Long]("n_shared") == 0 && z.getAs[Double]("est_jaccard") == 0.0)
+    // directional containment: a strict subset corpus is FULLY contained (exactly 1.0 —
+    // every union-sketch member of B is in A), while A's own containment stays partial
+    val sub = (0 until 5).map(i => doc(900 + i, 500 + i * 50)).toDF("doc_id", "text")
+    val c = DedupOps.kmvOverlap(a, sub, k = 128).collect()(0)
+    assert(c.getAs[Double]("est_containment_b") == 1.0, s"subset must be fully contained: $c")
+    assert(c.getAs[Double]("est_containment_a") < 0.9)
   }
 
   // -- compressionRatio -----------------------------------------------------------------
