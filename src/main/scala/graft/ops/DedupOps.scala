@@ -366,10 +366,12 @@ object DedupOps {
    *
    * Each side reduces to its k smallest DISTINCT 60-bit shingle hashes — a collectible
    * model artifact like the ANN codebooks (k longs, not data) — and the union sketch
-   * U = bottom-k(A ∪ B) estimates `jaccard ≈ |U ∩ A ∩ B| / |U|`. Distinct-then-take-k
-   * is one hash-only shuffle per side (8-byte rows after map-side combine) + a
-   * TakeOrdered; sketches of immutable corpora should be persisted and reused — the
-   * compare itself is then free.
+   * U = bottom-k(A ∪ B) estimates `jaccard ≈ |U ∩ A ∩ B| / |U|`. Both sketches build
+   * in ONE job: the sides union under a flag, distinct over (side, hash) is the single
+   * exchange (9-byte rows after map-side combine), and a bounded-heap top-k aggregate
+   * ([[graft.functions.TopKFunctions.topKByScore]]) folds each side to k longs — no
+   * per-side re-scan, no TakeOrdered over the distinct set. Sketches of immutable
+   * corpora should be persisted and reused — the compare itself is then free.
    *
    * Beyond Jaccard, the union sketch also yields the DIRECTIONAL containment estimates
    * (`|A∩B| / |B| ≈ n_shared / |U ∩ B|` and mirrored) — the contamination question
@@ -385,14 +387,26 @@ object DedupOps {
       textCol: String = "text"): DataFrame = {
     val spark = a.sparkSession
     import spark.implicits._
-    def sketch(df: DataFrame): Array[Long] =
-      df.select(explode(
-          TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleN)).as("sh"))
-        .select(TextOps.md5Hash60(col("sh")).as("h"))
-        .distinct().orderBy("h").limit(k)
-        .as[Long].collect()
-    val hA = sketch(a)
-    val hB = sketch(b)
+    // per-row bottom-k FIRST (native one-pass Md5ShingleBottomK): the corpus bottom-k is
+    // necessarily inside every row's own bottom-k, so each doc contributes <= k hashes to
+    // the distinct exchange instead of its full shingle stream — exact, and the same
+    // md5-60 values the oracle computes from shingle strings
+    def hashes(df: DataFrame, side: Boolean): DataFrame =
+      df.select(lit(side).as("is_a"), explode(
+        TextFunctions.md5ShingleBottomK(
+          TextFunctions.tokens(col(textCol)), shingleN, k)).as("h"))
+    // constant score + hash tiebreak = exact bottom-k by hash under the aggregate's
+    // (score DESC, tiebreak ASC) order — no double-rounding of 60-bit hashes
+    val sketches = hashes(a, side = true).unionByName(hashes(b, side = false))
+      .distinct()
+      .groupBy("is_a")
+      .agg(graft.functions.TopKFunctions.topKByScore(
+        lit(0.0), col("h"), struct(col("h")), k).as("sk"))
+      .collect()
+      .map(r => r.getBoolean(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0)).toArray.sorted).toMap
+    val hA = sketches.getOrElse(true, Array.empty[Long])
+    val hB = sketches.getOrElse(false, Array.empty[Long])
     val union = (hA ++ hB).distinct.sorted.take(k)
     val setA = hA.toSet
     val setB = hB.toSet
