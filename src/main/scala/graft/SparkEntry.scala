@@ -912,6 +912,26 @@ object SparkEntry {
       first.crossJoin(mono).crossJoin(audit)
     }),
 
+    // BPE ENCODE as a per-doc gated query (the 100 TB path: broadcast model, narrow
+    // map). Oracle leverage: concatenating a word's subword tokens rebuilds the word,
+    // so the digest of the concatenated token stream equals the digest of the
+    // concatenated WORD stream — which DuckDB computes from the raw text; token counts
+    // bound per row (>= one per word, <= one per char) ride as pinned booleans
+    "doc_bpe_encode" -> ((s, dir) => {
+      val model = bpeModels.getOrElseUpdate(dir,
+        graft.ops.BpeOps.bpeTrain(t(s, dir, "documents"), nMerges = 30).model)
+      val toks = TextOps.tokensCol(col("text"))
+      graft.ops.BpeOps.bpeEncode(t(s, dir, "documents"), model)
+        .join(t(s, dir, "documents").select(col("doc_id"),
+          coalesce(size(toks).cast("long"), lit(0L)).as("n_words"),
+          length(concat_ws("", toks)).cast("long").as("n_word_chars")), "doc_id")
+        .select(col("doc_id"),
+          md5(concat_ws("", col("bpe_tokens"))).as("stream_md5"),
+          col("n_words"),
+          (col("n_bpe_tokens") >= col("n_words")).as("at_least_one_per_word"),
+          (col("n_bpe_tokens") <= col("n_word_chars")).as("at_most_one_per_char"))
+    }),
+
     // raw-crawl text extraction: docs wrapped in deterministic synthetic markup, then
     // script/style blocks dropped, tags stripped, entities decoded, whitespace collapsed
     "doc_markup_strip" -> ((s, dir) => {
@@ -1895,6 +1915,17 @@ object SparkEntry {
         |  CAST(30 AS BIGINT) AS n_merges, TRUE AS counts_nonincreasing_ok,
         |  TRUE AS roundtrip_ok, TRUE AS encoder_matches_training_ok
         |FROM pairs ORDER BY n DESC, l, r LIMIT 1""".stripMargin,
+
+    // encode gate: the concatenated subword stream rebuilds the concatenated word
+    // stream, so its digest is computable from raw text alone; count bounds pinned
+    "doc_bpe_encode" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id, md5(COALESCE(list_aggregate(toks, 'string_agg', ''), '')) AS stream_md5,
+        |  CAST(COALESCE(len(toks), 0) AS BIGINT) AS n_words,
+        |  TRUE AS at_least_one_per_word, TRUE AS at_most_one_per_char
+        |FROM t""".stripMargin,
 
     // zlib bytes are engine-specific, so the verdict checks engine-independent
     // invariants of the per-doc ratio pass; cardinalities come from the raw table

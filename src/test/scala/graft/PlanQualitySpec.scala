@@ -232,6 +232,18 @@ class PlanQualitySpec extends SparkSpec {
       s"interval join degenerated to a pair-materializing plan:\n$p")
   }
 
+  test("emb_ann_ivfpq probe: queries broadcast with LUTs, corpus partitions by cell, no pair materialization") {
+    // the BENCH variant (pre-trained models) is the plan a user runs at scale
+    val p = SparkEntry.benchQueries("emb_ann_ivfpq")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"), "query+LUT side must broadcast")
+    assert("hashpartitioning\\(cell".r.findFirstIn(p).isDefined,
+      s"corpus codes must partition by cell:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "IVF-PQ must never materialize the full pair square")
+    assert(p.contains("ObjectHashAggregate"), "shortlist must be the bounded-heap aggregate")
+  }
+
   test("doc_dsir_weights: ratio table broadcasts onto the doc profiles (token side never sorts)") {
     val p = plan("doc_dsir_weights")
     assert(p.contains("BroadcastExchange"), "64-row ratio table must broadcast")
