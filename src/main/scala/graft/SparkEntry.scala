@@ -1134,6 +1134,26 @@ object SparkEntry {
         .select(col("doc_id"), col("frame_idx"), md5(hex(col("frame_bytes"))).as("frame_md5"))
     }),
 
+    // REAL image math over raw grayscale buffers (the post-decode half of an image
+    // pipeline — implementable without codecs): integer-arithmetic nearest-neighbor
+    // resize, byte-exact against the oracle's hex-pair reconstruction
+    "mm_resize" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("blob", encode(col("text"), "UTF-8"))
+      MultimodalOps.resizeNearest(d.select(col("doc_id"), col("blob")), "blob", "doc_id")
+        .select(col("doc_id"), col("src_h"),
+          when(col("resized").isNotNull,
+            concat_ws(",", transform(sequence(lit(0), lit(63)),
+              i => conv(hex(col("resized")).substr(i * 2 + 1, lit(2)), 16, 10))))
+            .as("pixels"))
+    }),
+
+    // perceptual near-dup fingerprint (aHash over the 8x8 thumbnail) — the image analog
+    // of SimHash, 60-bit for signed-long safety in both engines
+    "mm_ahash" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("blob", encode(col("text"), "UTF-8"))
+      MultimodalOps.aHash(d.select(col("doc_id"), col("blob")), "blob", "doc_id")
+    }),
+
     "mm_media_meta" -> ((s, dir) => {
       val d = t(s, dir, "documents").withColumn("blob", encode(col("text"), "UTF-8"))
       val meta = MultimodalOps.withMediaMeta(d, "blob")
@@ -2211,5 +2231,37 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
         |  CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
         |  CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    // byte-exact resize reconstruction from the blob's hex rendering: pixel p of the
+    // 8x8 thumbnail reads source byte ((p//8)*h//8)*32 + (p%8)*4 (integer math on both
+    // sides); DuckDB can't substring a BLOB, so bytes address via hex pairs
+    "mm_resize" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) // 32 AS h FROM documents),
+        |px AS (SELECT doc_id, r.range AS p,
+        |    CAST(('0x' || substring(hx,
+        |      CAST(2 * ((((r.range // 8) * h) // 8) * 32 + (r.range % 8) * 4) + 1 AS INT),
+        |      2)) AS INT) AS v
+        |  FROM b CROSS JOIN range(64) r WHERE h >= 1),
+        |agg AS (SELECT doc_id, string_agg(CAST(v AS VARCHAR), ',' ORDER BY p) AS pixels
+        |  FROM px GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(COALESCE(b.h, 0) AS INT) AS src_h, agg.pixels
+        |FROM b LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    "mm_ahash" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) // 32 AS h FROM documents),
+        |px AS (SELECT doc_id, r.range AS p,
+        |    CAST(('0x' || substring(hx,
+        |      CAST(2 * ((((r.range // 8) * h) // 8) * 32 + (r.range % 8) * 4) + 1 AS INT),
+        |      2)) AS INT) AS v
+        |  FROM b CROSS JOIN range(64) r WHERE h >= 1),
+        |m AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) // 64 AS mean FROM px GROUP BY doc_id),
+        |hsh AS (SELECT px.doc_id,
+        |    CAST(SUM(CASE WHEN px.v > m.mean AND px.p < 60
+        |      THEN (CAST(1 AS BIGINT) << CAST(px.p AS INT)) ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM px JOIN m USING (doc_id) GROUP BY px.doc_id)
+        |SELECT b.doc_id, CAST(COALESCE(b.h, 0) AS INT) AS src_h, hsh.ahash
+        |FROM b LEFT JOIN hsh USING (doc_id)""".stripMargin)
 }

@@ -7,9 +7,11 @@ import org.apache.spark.sql.types._
 /**
  * Multimodal-column plumbing: image/audio/video ride through the pipeline as opaque `binary`
  * columns with a typed metadata struct alongside. The Spark-side machinery — schema, batch
- * iteration via `mapPartitions`, partition sizing — is real; the actual media decode is a
- * clearly-marked deterministic STUB (no image/audio codecs in this environment). Swapping the
- * stub for a real decoder (JNI/ffmpeg/ImageIO) changes only the body of [[decodeStub]].
+ * iteration via `mapPartitions`, partition sizing — is real, and the POST-decode image ops
+ * ([[resizeNearest]], [[aHash]]) are real byte-level implementations over raw grayscale
+ * buffers. Only the codec-format decode is a clearly-marked deterministic STUB (no
+ * image/audio codecs in this environment); swapping it for a real decoder (JNI/ffmpeg/
+ * ImageIO) changes only the body of [[decodeStub]].
  */
 object MultimodalOps {
 
@@ -76,6 +78,80 @@ object MultimodalOps {
           val from = math.min(i * frameLen, bytes.length)
           val until = math.min(from + frameLen, bytes.length)
           Row(r.get(idIdx), i, java.util.Arrays.copyOfRange(bytes, from, until))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /**
+   * REAL image math, no codec required: nearest-neighbor resize of a RAW grayscale
+   * buffer (row-major, fixed `srcW` columns, height = bytes/srcW truncated). This is the
+   * post-decode half of an image pipeline — the part that IS implementable in this
+   * environment — and the distributed shape is the production one: per-partition byte
+   * work in `mapPartitions`, no driver involvement, output rows carry only the
+   * `dstW·dstH`-byte thumbnails. Buffers shorter than one source row resize to NULL.
+   *
+   * All arithmetic is integer (`srcY = y·srcH div dstH`, `srcX = x·srcW div dstW`), so a
+   * SQL oracle reproduces every output byte exactly from the hex rendering of the blob.
+   */
+  def resizeNearest(df: DataFrame, binCol: String, idCol: String,
+      srcW: Int = 32, dstW: Int = 8, dstH: Int = 8): DataFrame = {
+    require(srcW > 0 && dstW > 0 && dstH > 0)
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("src_h", IntegerType, nullable = false),
+      StructField("resized", BinaryType, nullable = true)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        val srcH = if (bytes == null) 0 else bytes.length / srcW
+        val resized =
+          if (srcH < 1) null
+          else Array.tabulate(dstH * dstW) { p =>
+            val (y, x) = (p / dstW, p % dstW)
+            bytes((y * srcH / dstH) * srcW + (x * srcW / dstW))
+          }
+        Row(r.get(idIdx), srcH, resized)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /**
+   * Average-hash (aHash) perceptual fingerprint over the 8×8 [[resizeNearest]] thumbnail:
+   * bit b is set iff pixel b exceeds the 64-pixel integer mean. The image-near-dup analog
+   * of SimHash — near-identical images land within a few bits, so the same
+   * chunk-pigeonhole blocking dedupes image corpora without pairwise compares. 60 bits
+   * (pixels 0-59 of the threshold mask) so the value — like every other gate hash —
+   * stays in signed-long-safe territory for both engines.
+   */
+  def aHash(df: DataFrame, binCol: String, idCol: String, srcW: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("src_h", IntegerType, nullable = false),
+      StructField("ahash", LongType, nullable = true)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        val srcH = if (bytes == null) 0 else bytes.length / srcW
+        if (srcH < 1) Row(r.get(idIdx), srcH, null)
+        else {
+          val px = Array.tabulate(64) { p =>
+            val (y, x) = (p / 8, p % 8)
+            bytes((y * srcH / 8) * srcW + (x * srcW / 8)) & 0xFF
+          }
+          val mean = px.sum / 64
+          var h = 0L
+          var b = 0
+          while (b < 60) { if (px(b) > mean) h |= (1L << b); b += 1 }
+          Row(r.get(idIdx), srcH, h)
         }
       }
     }

@@ -565,6 +565,41 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(dec == dec2)
   }
 
+  test("resizeNearest: known 32x2 buffer resizes to exact nearest-neighbor bytes; short buffers null") {
+    // two source rows: row0 = 0..31, row1 = 100..131; dstH=8 maps y 0-3 -> src row 0, y 4-7 -> row 1
+    val buf = (0 until 32).map(_.toByte).toArray ++ (0 until 32).map(i => (100 + i).toByte)
+    val df = Seq((1L, buf), (2L, Array[Byte](1, 2, 3)), (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "blob")
+    val r = MultimodalOps.resizeNearest(df, "blob", "doc_id").collect()
+      .map(x => x.getLong(0) -> ((x.getInt(1), Option(x.getAs[Array[Byte]](2))))).toMap
+    assert(r(1L)._1 == 2)
+    val px = r(1L)._2.get
+    assert(px.length == 64)
+    // y*2/8 = 0 for y<4 (src row 0), 1 for y>=4; x*32/8 = 4x
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val expected = (if (y < 4) 0 else 100) + 4 * x
+      assert((px(y * 8 + x) & 0xFF) == expected, s"pixel ($y,$x)")
+    }
+    assert(r(2L) == ((0, None)), "sub-row buffer must resize to NULL")
+    assert(r(3L) == ((0, None)), "null blob must resize to NULL")
+  }
+
+  test("aHash: identical buffers collide, small perturbations stay within a few bits, inversion flips far") {
+    def gradient(seed: Int): Array[Byte] =
+      Array.tabulate(32 * 32)(i => (((i * 7 + seed) % 251)).toByte)
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val base = gradient(0)
+    val noisy = base.clone(); (0 until 10).foreach(i => noisy(i * 97) = (noisy(i * 97) + 2).toByte)
+    val inverted = base.map(b => (255 - (b & 0xFF)).toByte)
+    val df = Seq((1L, base), (2L, base.clone()), (3L, noisy), (4L, inverted))
+      .toDF("doc_id", "blob")
+    val h = MultimodalOps.aHash(df, "blob", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(h(1L) == h(2L), "identical buffers must collide")
+    assert(hamming(h(1L), h(3L)) <= 6, s"near-identical image drifted ${hamming(h(1L), h(3L))} bits")
+    assert(hamming(h(1L), h(4L)) >= 20, s"inverted image too close: ${hamming(h(1L), h(4L))} bits")
+  }
+
   test("sampleFrames explodes one row per sampled frame with sliced payload") {
     val df = Seq((1L, "abcdefghij")).toDF("doc_id", "text") // 10 bytes -> 10%30+1 = 11 frames
       .withColumn("blob", encode(col("text"), "UTF-8"))
