@@ -1154,6 +1154,13 @@ object SparkEntry {
       MultimodalOps.aHash(d.select(col("doc_id"), col("blob")), "blob", "doc_id")
     }),
 
+    // audio-modality features over raw 8-bit PCM: integer-exact energy/peak/ZCR — the
+    // primitives behind silence/clipping/voicedness filters on audio corpora
+    "mm_audio_features" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("blob", encode(col("text"), "UTF-8"))
+      MultimodalOps.audioFeatures(d.select(col("doc_id"), col("blob")), "blob", "doc_id")
+    }),
+
     "mm_media_meta" -> ((s, dir) => {
       val d = t(s, dir, "documents").withColumn("blob", encode(col("text"), "UTF-8"))
       val meta = MultimodalOps.withMediaMeta(d, "blob")
@@ -2247,6 +2254,24 @@ object SparkEntry {
         |agg AS (SELECT doc_id, string_agg(CAST(v AS VARCHAR), ',' ORDER BY p) AS pixels
         |  FROM px GROUP BY doc_id)
         |SELECT b.doc_id, CAST(COALESCE(b.h, 0) AS INT) AS src_h, agg.pixels
+        |FROM b LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    "mm_audio_features" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n FROM documents),
+        |s AS (SELECT doc_id, u.p,
+        |    CAST(('0x' || substring(hx, CAST(2 * u.p + 1 AS INT), 2)) AS INT) - 128 AS v
+        |  FROM b, unnest(range(0, n)) AS u(p) WHERE n > 0),
+        |zc AS (SELECT doc_id, v, p,
+        |    CASE WHEN (v >= 0) <> (lag(v) OVER (PARTITION BY doc_id ORDER BY p) >= 0)
+        |      THEN 1 ELSE 0 END AS flip FROM s),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |    CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS energy,
+        |    CAST(MAX(ABS(v)) AS INT) AS peak,
+        |    CAST(SUM(flip) AS BIGINT) AS n_zero_cross
+        |  FROM zc GROUP BY doc_id)
+        |SELECT b.doc_id, COALESCE(agg.n_samples, 0) AS n_samples,
+        |  agg.energy, agg.peak, agg.n_zero_cross
         |FROM b LEFT JOIN agg USING (doc_id)""".stripMargin,
 
     "mm_ahash" ->

@@ -158,6 +158,52 @@ object MultimodalOps {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /**
+   * Audio feature extraction over RAW 8-bit unsigned PCM (sample = byte − 128): total
+   * energy (Σ s², the RMS numerator), peak amplitude, and zero-crossing count — the
+   * integer-exact primitives behind the real audio-corpus filters (silence detection =
+   * low energy, clipping = peak at rail, voicedness = ZCR band). Per-partition byte
+   * loops in `mapPartitions`, one output row per blob; all arithmetic is integer so a
+   * SQL oracle reproduces every value from the blob's hex rendering. Codec-format
+   * decode (mp3/flac) is upstream and remains the documented stub seam.
+   */
+  def audioFeatures(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("energy", LongType, nullable = true),
+      StructField("peak", IntegerType, nullable = true),
+      StructField("n_zero_cross", LongType, nullable = true)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        if (bytes == null || bytes.isEmpty) Row(r.get(idIdx), 0L, null, null, null)
+        else {
+          var i = 0
+          var energy = 0L
+          var peak = 0
+          var zc = 0L
+          var prevNonNeg = true
+          while (i < bytes.length) {
+            val s = (bytes(i) & 0xFF) - 128
+            energy += s.toLong * s
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            val nonNeg = s >= 0
+            if (i > 0 && nonNeg != prevNonNeg) zc += 1
+            prevNonNeg = nonNeg
+            i += 1
+          }
+          Row(r.get(idIdx), bytes.length.toLong, energy, peak, zc)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   def decodeMedia(df: DataFrame, binCol: String, idCol: String): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(

@@ -600,6 +600,21 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(hamming(h(1L), h(4L)) >= 20, s"inverted image too close: ${hamming(h(1L), h(4L))} bits")
   }
 
+  test("audioFeatures: square wave, silence, and clipped rail compute hand-checked integer features") {
+    val square = Array.tabulate(100)(i => (if (i % 2 == 0) 228 else 28).toByte) // s = +-100
+    val silence = Array.fill(50)(128.toByte)                                    // s = 0
+    val clipped = Array.fill(10)(255.toByte)                                    // s = 127 rail
+    val df = Seq((1L, square), (2L, silence), (3L, clipped),
+      (4L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "blob")
+    val r = MultimodalOps.audioFeatures(df, "blob", "doc_id").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) == 100 && r(1L).getLong(2) == 100L * 100 * 100 &&
+      r(1L).getInt(3) == 100 && r(1L).getLong(4) == 99, s"square: ${r(1L)}")
+    assert(r(2L).getLong(2) == 0 && r(2L).getInt(3) == 0 && r(2L).getLong(4) == 0)
+    assert(r(3L).getInt(3) == 127, "full-rail bytes must read as peak 127 (clipping detect)")
+    assert(r(4L).getLong(1) == 0 && r(4L).isNullAt(2), "null blob: zero samples, null features")
+  }
+
   test("sampleFrames explodes one row per sampled frame with sliced payload") {
     val df = Seq((1L, "abcdefghij")).toDF("doc_id", "text") // 10 bytes -> 10%30+1 = 11 frames
       .withColumn("blob", encode(col("text"), "UTF-8"))
