@@ -1154,6 +1154,13 @@ object SparkEntry {
       MultimodalOps.aHash(d.select(col("doc_id"), col("blob")), "blob", "doc_id")
     }),
 
+    // image near-dup pairs: aHash + 15-bit-chunk pigeonhole blocking (the SimHash
+    // scheme on the image modality) — candidates from an equality join, never pairwise
+    "mm_ahash_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("blob", encode(col("text"), "UTF-8"))
+      MultimodalOps.aHashPairs(d.select(col("doc_id"), col("blob")), "blob", "doc_id")
+    }),
+
     // audio-modality features over raw 8-bit PCM: integer-exact energy/peak/ZCR — the
     // primitives behind silence/clipping/voicedness filters on audio corpora
     "mm_audio_features" -> ((s, dir) => {
@@ -2255,6 +2262,27 @@ object SparkEntry {
         |  FROM px GROUP BY doc_id)
         |SELECT b.doc_id, CAST(COALESCE(b.h, 0) AS INT) AS src_h, agg.pixels
         |FROM b LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    "mm_ahash_pairs" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) // 32 AS h FROM documents),
+        |px AS (SELECT doc_id, r.range AS p,
+        |    CAST(('0x' || substring(hx,
+        |      CAST(2 * ((((r.range // 8) * h) // 8) * 32 + (r.range % 8) * 4) + 1 AS INT),
+        |      2)) AS INT) AS v
+        |  FROM b CROSS JOIN range(64) r WHERE h >= 1),
+        |m AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) // 64 AS mean FROM px GROUP BY doc_id),
+        |hs AS (SELECT px.doc_id AS id,
+        |    CAST(SUM(CASE WHEN px.v > m.mean AND px.p < 60
+        |      THEN (CAST(1 AS BIGINT) << CAST(px.p AS INT)) ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM px JOIN m USING (doc_id) GROUP BY px.doc_id),
+        |ch AS (SELECT id, ahash, c.range AS c,
+        |    (ahash >> CAST(c.range * 15 AS INT)) & 32767 AS v
+        |  FROM hs CROSS JOIN range(4) c),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.ahash AS h_a, b.ahash AS h_b
+        |  FROM ch a JOIN ch b ON a.c = b.c AND a.v = b.v AND a.id < b.id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(h_a, h_b)) <= 3""".stripMargin,
 
     "mm_audio_features" ->
       """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,

@@ -204,6 +204,35 @@ object MultimodalOps {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /**
+   * Image near-duplicate PAIRS from [[aHash]] fingerprints, pairwise-compare-free: the
+   * 60-bit hash splits into four 15-bit chunks, and by pigeonhole any pair within
+   * `maxHamming` ≤ 3 bits agrees on at least one chunk — so candidates come from an
+   * equality JOIN on (chunk#, chunk value) and only candidates pay the `bit_count`
+   * hamming check. The same blocking scheme the text side uses for SimHash, applied to
+   * the image modality; at corpus scale the join shuffles (id, hash) rows only.
+   */
+  def aHashPairs(df: DataFrame, binCol: String, idCol: String,
+      maxHamming: Int = 3, srcW: Int = 32): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4x15-bit chunk blocking guarantees recall only through hamming 3")
+    val h = aHash(df, binCol, idCol, srcW).filter(col("ahash").isNotNull)
+      .select(col(idCol).as("id"), col("ahash"))
+    val ch = h.select(col("id"), col("ahash"), explode(array((0 until 4).map(c =>
+        struct(lit(c).as("c"),
+          shiftright(col("ahash"), c * 15).bitwiseAND(lit(0x7FFFL)).as("v"))): _*)).as("k"))
+      .select(col("id"), col("ahash"), col("k.c").as("c"), col("k.v").as("v"))
+    val a = ch.select(col("c"), col("v"), col("id").as("id_a"), col("ahash").as("h_a"))
+      .repartition(col("c"), col("v"))
+    val b = ch.select(col("c"), col("v"), col("id").as("id_b"), col("ahash").as("h_b"))
+    a.join(b, Seq("c", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("h_a"), col("h_b")).distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   def decodeMedia(df: DataFrame, binCol: String, idCol: String): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(

@@ -615,6 +615,26 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(r(4L).getLong(1) == 0 && r(4L).isNullAt(2), "null blob: zero samples, null features")
   }
 
+  test("aHashPairs: planted near-identical images pair within hamming bound, distinct images don't") {
+    def gradient(seed: Int): Array[Byte] =
+      Array.tabulate(32 * 32)(i => (((i * 7 + seed * 31) % 251)).toByte)
+    val base = gradient(0)
+    val noisy = base.clone(); (0 until 8).foreach(i => noisy(i * 113) = (noisy(i * 113) + 2).toByte)
+    val df = Seq((1L, base), (2L, base.clone()), (3L, noisy), (4L, gradient(5)), (5L, gradient(9)))
+      .toDF("doc_id", "blob")
+    val pairs = MultimodalOps.aHashPairs(df, "blob", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 0, s"exact copies must pair at 0: $pairs")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
+      s"near-identical image must pair within the bound: $pairs")
+    assert(!pairs.keySet.exists { case (x, y) => Set(x, y).contains(4L) && Set(x, y).contains(5L) },
+      s"independent gradients must not pair: $pairs")
+    // blocked plan: no cartesian/nested-loop pair materialization
+    val p = MultimodalOps.aHashPairs(df, "blob", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("sampleFrames explodes one row per sampled frame with sliced payload") {
     val df = Seq((1L, "abcdefghij")).toDF("doc_id", "text") // 10 bytes -> 10%30+1 = 11 frames
       .withColumn("blob", encode(col("text"), "UTF-8"))
