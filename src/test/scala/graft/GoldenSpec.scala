@@ -461,6 +461,54 @@ class GoldenSpec extends SparkSpec {
   }
 
   /**
+   * Replica of `simple-incremental-chained-read_only` (ex_mysql_cdc, 01 full load →
+   * 02 changes → 03 table addition): `ro_mode: true` with `load_type: append_full`.
+   * Read-only mode forbids writing to the source, so the 03 backfill snapshot signal
+   * must arrive via the FILE channel (the only one allowed,
+   * `mysql_extractor.py:187-193`) — the source-TABLE channel is rejected at config
+   * time. Events append (no dedupe), each run staging only its own events.
+   */
+  test("simple-incremental-chained-read_only: append_full chain, file-channel table addition") {
+    val base = Files.createTempDirectory("graft-rochain").toString
+    val spool = s"$base/spool"
+    Files.createDirectories(Paths.get(spool))
+    val cfg = RunConfig(spoolDir = spool, workDir = s"$base/work", outDir = s"$base/out",
+      mode = "append", loadType = Some("append_full"), readOnly = true)
+
+    // 01: full load, two snapshot reads
+    Files.write(Paths.get(spool, "000.jsonl"), Seq(
+      """{"table":"inventory.sales","op":"r","after":{"createdate":"2023-01-01","sku":"a"},"before":null,"source":{"ts_ms":1}}""",
+      """{"table":"inventory.sales","op":"r","after":{"createdate":"2023-01-02","sku":"b"},"before":null,"source":{"ts_ms":2}}""").asJava)
+    val r1 = CdcRunner.run(spark, cfg)
+    assert(r1.tables == Map("inventory_sales" -> 2L))
+
+    // 02: chained changes append as their own rows (no dedupe in append_full);
+    // checkpoint resumes, the new spool file is the delta
+    Files.write(Paths.get(spool, "001.jsonl"), Seq(
+      """{"table":"inventory.sales","op":"u","after":{"createdate":"2023-01-01","sku":"a2"},"before":{"createdate":"2023-01-01"},"source":{"ts_ms":3}}""",
+      """{"table":"inventory.sales","op":"d","after":null,"before":{"createdate":"2023-01-02"},"source":{"ts_ms":4}}""").asJava)
+    val r2 = CdcRunner.run(spark, cfg)
+    assert(r2.tables == Map("inventory_sales" -> 4L), s"got ${r2.tables}")
+    val lines = readCsvDir(s"$base/out/tables/inventory_sales.csv")
+    assert(lines.exists(_.contains(",u,")) && lines.exists(_.contains(",d,")),
+      s"append_full keeps the change rows verbatim: $lines")
+    val manifest = Files.readString(Paths.get(s"$base/out/tables/inventory_sales.csv.manifest"))
+    assert(manifest.contains("\"incremental\": false"))
+
+    // 03: table addition — backfill requested through the FILE signal channel
+    Files.writeString(Paths.get(s"$base/signal.json"),
+      """{"type":"execute-snapshot","data":{"data-collections":["inventory.products"]}}""")
+    Files.write(Paths.get(spool, "002.jsonl"), Seq(
+      """{"table":"inventory.products","op":"r","after":{"id":1,"name":"widget"},"before":null,"source":{"ts_ms":5}}""").asJava)
+    val r3 = CdcRunner.run(spark, cfg.copy(signalFile = Some(s"$base/signal.json")))
+    assert(r3.tables.contains("inventory_products"))
+    // the source-table signal channel is REJECTED in read-only mode
+    intercept[IllegalArgumentException] {
+      CdcRunner.run(spark, cfg.copy(signalTable = Some("kbc.signals")))
+    }
+  }
+
+  /**
    * Replica of `heartbeat-incremental-chained` (01 full load + 02 changes): the heartbeat
    * table `kbc.heartbeat` is NOT special-cased — it rides the standard pipeline as a tiny
    * synced table whose single row LWW-collapses, op `r` after the snapshot run and `u`

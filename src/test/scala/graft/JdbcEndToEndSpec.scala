@@ -135,6 +135,66 @@ class JdbcEndToEndSpec extends SparkSpec {
     assert(!manifest.toLowerCase.contains("price"))
   }
 
+  /**
+   * Replica of `full-load-statement-overrides` (ex_mysql_cdc functional): a THREE-table
+   * full load under `load_type: append_full` where two tables carry
+   * `snapshot_statements` overrides — sales keeps only `usersentiment = 1` (3 of 5
+   * golden rows), products only `id > 103` (104-109), nopkey snapshots unfiltered —
+   * exercising S3 per-table through the full runner rather than the scan alone.
+   */
+  test("full-load-statement-overrides: per-table snapshot statements through the runner") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import graft.streaming.CdcRunner
+    import graft.streaming.CdcRunner.{RunConfig, SnapshotSource}
+    conn // force db setup
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE OSALES(SENTIMENT INT, SKU VARCHAR(16) NOT NULL PRIMARY KEY, " +
+      "PRICE DECIMAL(10,5))")
+    Seq((-1, "SKU1", "708.00000"), (1, "SKU2", "1546.00000"), (1, "ZD111483", "1262.00000"),
+      (1, "ZD111395", "104.00000"), (0, "ZD111451", "1007.00000"))
+      .foreach { case (s, k, p) => st.execute(s"INSERT INTO OSALES VALUES ($s, '$k', $p)") }
+    st.execute("CREATE TABLE OPRODUCTS(ID INT NOT NULL PRIMARY KEY, NAME VARCHAR(30))")
+    (101 to 109).foreach(i => st.execute(s"INSERT INTO OPRODUCTS VALUES ($i, 'prod$i')"))
+    st.execute("CREATE TABLE ONOPKEY(TAG VARCHAR(10))")
+    (1 to 5).foreach(i => st.execute(s"INSERT INTO ONOPKEY VALUES ('tag$i')"))
+
+    val base = Files.createTempDirectory("graft-stmtoverride").toString
+    Files.createDirectories(Paths.get(s"$base/spool"))
+    val res = CdcRunner.runWithSnapshot(spark,
+      RunConfig(spoolDir = s"$base/spool", workDir = s"$base/work", outDir = s"$base/out",
+        mode = "append", loadType = Some("append_full"),
+        primaryKeys = Map("app_osales" -> Seq("sku"), "app_oproducts" -> Seq("id"))),
+      snapshotMode = "initial",
+      snapshots = Seq(
+        SnapshotSource("app.osales", SnapshotConfig(url, "APP.OSALES",
+          driver = Some(DerbyDriver),
+          statementOverride = Some("SELECT * FROM APP.OSALES WHERE SENTIMENT = 1"))),
+        SnapshotSource("app.oproducts", SnapshotConfig(url, "APP.OPRODUCTS",
+          driver = Some(DerbyDriver),
+          statementOverride = Some("SELECT * FROM APP.OPRODUCTS WHERE ID > 103"))),
+        SnapshotSource("app.onopkey", SnapshotConfig(url, "APP.ONOPKEY",
+          driver = Some(DerbyDriver)))),
+      isFirstRun = true, snapshotTsMs = 1000L)
+    assert(res.tables == Map("app_osales" -> 3L, "app_oproducts" -> 6L, "app_onopkey" -> 5L))
+
+    def rows(table: String): Seq[String] =
+      Option(new java.io.File(s"$base/out/tables/$table.csv").listFiles()).get
+        .filter(_.getName.endsWith(".csv"))
+        .flatMap(f => Files.readAllLines(f.toPath).asScala).toSeq.sorted
+    val sales = rows("app_osales")
+    assert(sales.forall(_.startsWith("1,")), s"only sentiment=1 rows may snapshot: $sales")
+    assert(sales.exists(_.contains("SKU2,1546.00000")) &&
+      !sales.exists(_.contains("SKU1")), "the override filter shapes the export")
+    val products = rows("app_oproducts")
+    assert(products.map(_.split(",")(0).toInt).forall(_ > 103), s"id>103 only: $products")
+    assert(rows("app_onopkey").size == 5, "unfiltered table snapshots fully")
+    // append_full: snapshot rows keep op 'r', manifest not incremental
+    assert(sales.forall(_.contains(",r,")))
+    val manifest = Files.readString(Paths.get(s"$base/out/tables/app_osales.csv.manifest"))
+    assert(manifest.contains("\"incremental\": false"))
+  }
+
   test("live loop: spool-tail writer feeds a maxWaitMs run, idle stop after quiesce (VERDICT r3 #5)") {
     import java.nio.file.Files
     import scala.jdk.CollectionConverters._
