@@ -612,6 +612,19 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(got == want, s"stream $got vs batch $want")
     assert(got == Set((10L, 20L), (11L, 22L), (13L, 24L)))
+
+    // API parity with the batch operator (ADVICE r4): the single-point lo==hi window is
+    // VALID (exact-offset match); only inverted bounds reject
+    graft.streaming.StreamJoins.intervalJoin(
+      side("click", "l_user", "l_ts", "click_id"),
+      side("error", "r_user", "r_ts", "error_id"),
+      "l_user", "r_user", "l_ts", "r_ts", loMs = 500L, hiMs = 500L) // must not throw
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamJoins.intervalJoin(
+        side("click", "l_user", "l_ts", "click_id"),
+        side("error", "r_user", "r_ts", "error_id"),
+        "l_user", "r_user", "l_ts", "r_ts", loMs = 2L, hiMs = 1L)
+    }
   }
 
   test("flatMapGroupsWithState sessionization: state persists across micro-batches") {
