@@ -1168,6 +1168,13 @@ object SparkEntry {
       MultimodalOps.audioFeatures(d.select(col("doc_id"), col("blob")), "blob", "doc_id")
     }),
 
+    // segment-granularity audio features (what silence segmentation / VAD consume):
+    // one row per 256-sample window, explode-shaped mapPartitions like frame sampling
+    "mm_audio_windows" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("blob", encode(col("text"), "UTF-8"))
+      MultimodalOps.audioWindows(d.select(col("doc_id"), col("blob")), "blob", "doc_id")
+    }),
+
     "mm_media_meta" -> ((s, dir) => {
       val d = t(s, dir, "documents").withColumn("blob", encode(col("text"), "UTF-8"))
       val meta = MultimodalOps.withMediaMeta(d, "blob")
@@ -2301,6 +2308,21 @@ object SparkEntry {
         |SELECT b.doc_id, COALESCE(agg.n_samples, 0) AS n_samples,
         |  agg.energy, agg.peak, agg.n_zero_cross
         |FROM b LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    "mm_audio_windows" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n FROM documents),
+        |s AS (SELECT doc_id, u.p, CAST(u.p // 256 AS INT) AS win_idx,
+        |    CAST(('0x' || substring(hx, CAST(2 * u.p + 1 AS INT), 2)) AS INT) - 128 AS v
+        |  FROM b, unnest(range(0, n)) AS u(p) WHERE n > 0),
+        |zc AS (SELECT doc_id, win_idx, v, p,
+        |    CASE WHEN (v >= 0) <> (lag(v) OVER (PARTITION BY doc_id, win_idx ORDER BY p) >= 0)
+        |      THEN 1 ELSE 0 END AS flip FROM s)
+        |SELECT doc_id, win_idx, CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS energy,
+        |  CAST(MAX(ABS(v)) AS INT) AS peak,
+        |  CAST(SUM(flip) AS BIGINT) AS n_zero_cross
+        |FROM zc GROUP BY doc_id, win_idx""".stripMargin,
 
     "mm_ahash" ->
       """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,

@@ -233,6 +233,56 @@ object MultimodalOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /**
+   * Windowed audio features: [[audioFeatures]] at segment granularity — one row per
+   * fixed-`windowSize` PCM window, which is what silence SEGMENTATION (trim leading/
+   * trailing quiet, split on long pauses) and voice-activity gating actually consume.
+   * Row expansion happens inside `mapPartitions` (explode-shaped, like [[sampleFrames]]);
+   * zero crossings count only within a window, so every window's features are
+   * independent of its neighbors (stable under any re-partitioning).
+   */
+  def audioWindows(df: DataFrame, binCol: String, idCol: String,
+      windowSize: Int = 256): DataFrame = {
+    require(windowSize > 0)
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("win_idx", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("energy", LongType, nullable = false),
+      StructField("peak", IntegerType, nullable = false),
+      StructField("n_zero_cross", LongType, nullable = false)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        if (bytes == null || bytes.isEmpty) Iterator.empty
+        else (0 until (bytes.length + windowSize - 1) / windowSize).iterator.map { w =>
+          val from = w * windowSize
+          val until = math.min(from + windowSize, bytes.length)
+          var i = from
+          var energy = 0L
+          var peak = 0
+          var zc = 0L
+          var prevNonNeg = true
+          while (i < until) {
+            val s = (bytes(i) & 0xFF) - 128
+            energy += s.toLong * s
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            val nonNeg = s >= 0
+            if (i > from && nonNeg != prevNonNeg) zc += 1
+            prevNonNeg = nonNeg
+            i += 1
+          }
+          Row(r.get(idIdx), w, (until - from).toLong, energy, peak, zc)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   def decodeMedia(df: DataFrame, binCol: String, idCol: String): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(

@@ -635,6 +635,23 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("audioWindows: windows tile the signal, silence and loud segments separate, ZCR window-local") {
+    // 600 samples at windowSize=256 -> windows of 256, 256, 88; first window silent,
+    // second a +-100 square wave, third flat loud
+    val signal = Array.fill(256)(128.toByte) ++
+      Array.tabulate(256)(i => (if (i % 2 == 0) 228 else 28).toByte) ++
+      Array.fill(88)(228.toByte)
+    val df = Seq((1L, signal)).toDF("doc_id", "blob")
+    val w = MultimodalOps.audioWindows(df, "blob", "doc_id").collect()
+      .map(r => r.getInt(1) -> ((r.getLong(2), r.getLong(3), r.getInt(4), r.getLong(5)))).toMap
+    assert(w.keySet == Set(0, 1, 2))
+    assert(w(0) == ((256L, 0L, 0, 0L)), s"silent window: ${w(0)}")
+    assert(w(1) == ((256L, 256L * 100 * 100, 100, 255L)), s"square window: ${w(1)}")
+    assert(w(2)._1 == 88L && w(2)._3 == 100 && w(2)._4 == 0L, s"flat window: ${w(2)}")
+    // ZCR is window-local: the boundary sample pair (silence->square) counts in NO window
+    assert(w.values.map(_._4).sum == 255L)
+  }
+
   test("sampleFrames explodes one row per sampled frame with sliced payload") {
     val df = Seq((1L, "abcdefghij")).toDF("doc_id", "text") // 10 bytes -> 10%30+1 = 11 frames
       .withColumn("blob", encode(col("text"), "UTF-8"))
