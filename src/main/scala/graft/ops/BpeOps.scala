@@ -117,6 +117,22 @@ object BpeOps {
     BpeTrainResult(BpeModel(merges.map(m => (m._2, m._3)).toSeq), mergeDf, finalWords)
   }
 
+  /** Persist a trained model as a parquet merge table `(rank, left, right)` — the
+    * offline-artifact contract the ANN codebooks and dedup indexes follow: train once at
+    * sample scale, ship the artifact into every encode plan. */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, model: BpeModel, path: String): Unit = {
+    import spark.implicits._
+    model.merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): BpeModel = {
+    import spark.implicits._
+    BpeModel(spark.read.parquet(path).orderBy("rank")
+      .select("left", "right").as[(String, String)].collect().toSeq)
+  }
+
   /** Encode one word with the trained model: start from characters, repeatedly merge the
     * LOWEST-RANK pair present (left-to-right within a rank) until none applies — the
     * standard BPE encoder, provably equal to replaying the merge list in rank order

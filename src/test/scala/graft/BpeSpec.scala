@@ -90,6 +90,19 @@ class BpeSpec extends SparkSpec {
       Seq(("ab", Seq("ab"), 3L)))
   }
 
+  test("model round-trips through the parquet artifact; loaded model encodes identically") {
+    val trained = BpeOps.bpeTrain(corpus, nMerges = 12)
+    val path = java.nio.file.Files.createTempDirectory("graft-bpe-model").toString + "/model"
+    BpeOps.saveModel(spark, trained.model, path)
+    val loaded = BpeOps.loadModel(spark, path)
+    assert(loaded.merges == trained.model.merges, "merge list must survive the artifact")
+    val a = BpeOps.bpeEncode(corpus, trained.model).orderBy("doc_id")
+      .as[(Long, Seq[String], Long)].collect().toSeq
+    val b = BpeOps.bpeEncode(corpus, loaded).orderBy("doc_id")
+      .as[(Long, Seq[String], Long)].collect().toSeq
+    assert(a == b)
+  }
+
   test("checkpointed rounds (checkpointEvery=2) produce identical merges") {
     val a = BpeOps.bpeTrain(corpus, nMerges = 9, checkpointEvery = 2).merges
       .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
