@@ -12,7 +12,8 @@ import graft.streaming.CdcRunner.RunConfig
  * Usage:
  *   spark-submit --class graft.CdcCli <jar> \
  *     --spool <dir> --work <dir> --out <dir> \
- *     [--mode APPEND|DEDUPE] [--pk table=col1,col2]... [--max-batch-bytes n] \
+ *     [--mode APPEND|DEDUPE] [--load-type full_load|incremental_load|append_incremental|append_full] \
+ *     [--pk table=col1,col2]... [--max-batch-bytes n] \
  *     [--stop-at-pos n] [--stop-at-file f] [--max-wait-ms n] [--max-duration-ms n] \
  *     [--signal-file path] [--signal-table t] [--read-only] \
  *     [--include-cols t=c1,c2] [--exclude-cols t=c3] \
@@ -23,7 +24,8 @@ object CdcCli {
 
   final case class Args(
       spool: String = null, work: String = null, out: String = null,
-      mode: String = "dedupe", pks: Map[String, Seq[String]] = Map.empty,
+      mode: String = "dedupe", loadType: Option[String] = None,
+      pks: Map[String, Seq[String]] = Map.empty,
       maxBatchBytes: Option[Long] = None, stopAtPos: Option[Long] = None,
       stopAtFile: Option[String] = None,
       include: Option[Set[String]] = None, snapshotTables: Seq[String] = Nil,
@@ -44,6 +46,12 @@ object CdcCli {
       case "--work" :: v :: t => loop(t, acc.copy(work = v))
       case "--out" :: v :: t => loop(t, acc.copy(out = v))
       case "--mode" :: v :: t => loop(t, acc.copy(mode = v.toLowerCase))
+      // the reference's destination.load_type; implies the dedupe/append branch AND the
+      // manifest incremental flag (two independent axes --mode alone conflates)
+      case "--load-type" :: v :: t =>
+        val lt = v.toLowerCase
+        loop(t, acc.copy(loadType = Some(lt),
+          mode = if (lt == "full_load" || lt == "incremental_load") "dedupe" else "append"))
       case "--pk" :: v :: t =>
         val Array(table, cols) = v.split("=", 2)
         loop(t, acc.copy(pks = acc.pks + (table -> cols.split(",").toSeq)))
@@ -91,6 +99,7 @@ object CdcCli {
     try {
       val res = CdcRunner.run(spark, RunConfig(
         spoolDir = a.spool, workDir = a.work, outDir = a.out, mode = a.mode,
+        loadType = a.loadType,
         primaryKeys = a.pks, maxBytesPerTrigger = a.maxBatchBytes, stopAtPos = a.stopAtPos,
         stopAtFile = a.stopAtFile,
         includeTables = a.include, snapshotTables = a.snapshotTables,

@@ -148,6 +148,14 @@ class CdcCliSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](CdcCli.parseArgs(Seq("--bogus", "v")))
     intercept[IllegalArgumentException](CdcCli.parseArgs(Seq("--spool", "/s")))
 
+    // --load-type implies the dedupe/append branch alongside the manifest flag
+    val ai = CdcCli.parseArgs(Seq("--spool", "/s", "--work", "/w", "--out", "/o",
+      "--load-type", "append_incremental"))
+    assert(ai.loadType.contains("append_incremental") && ai.mode == "append")
+    val fl = CdcCli.parseArgs(Seq("--spool", "/s", "--work", "/w", "--out", "/o",
+      "--load-type", "FULL_LOAD"))
+    assert(fl.loadType.contains("full_load") && fl.mode == "dedupe")
+
     val b = CdcCli.parseArgs(Seq(
       "--spool", "/s", "--work", "/w", "--out", "/o",
       "--signal-file", "/sig.json", "--read-only", "--max-wait-ms", "5000",
