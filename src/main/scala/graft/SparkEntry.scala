@@ -1044,6 +1044,40 @@ object SparkEntry {
         candCapFloor = 400L, candCapFrac = 0.6, corpus = e)
     }),
 
+    // distributed PCA: one treeAggregate moment pass + driver Jacobi; the verdict audits
+    // the model ON THE CORPUS — per-component variance of the projected vectors must
+    // equal the eigenvalues (the basis really diagonalizes the corpus covariance),
+    // basis orthonormal, eigenvalues non-increasing, captured variance sane
+    "emb_pca" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val kC = 8
+      val model = VectorOps.pcaFit(e, k = kC)
+      val dim = model.mean.length
+      val ortho = (0 until kC).forall(i => (0 until kC).forall { j =>
+        val dot = (0 until dim).map(d => model.basis(i)(d) * model.basis(j)(d)).sum
+        math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9
+      })
+      val nonInc = model.eigenvalues.zip(model.eigenvalues.tail)
+        .forall { case (a, b) => b <= a + 1e-12 }
+      val trace = model.eigenvalues.sum // top-k portion of total variance
+      val capture = model.eigenvalues.forall(_ >= -1e-9) && trace >= 0.0
+      val proj = VectorOps.pcaProject(e, model)
+      val varExprs = (0 until kC).map(c =>
+        var_pop(col("components").getItem(c).cast("double")).as(s"v$c"))
+      val varOk = (0 until kC).map(c =>
+          abs(col(s"v$c") - model.eigenvalues(c)) <=
+            greatest(lit(model.eigenvalues(c) * 1e-3), lit(1e-6)))
+        .reduce(_ && _)
+      val audit = proj.agg(varExprs.head, varExprs.tail: _*)
+        .select(varOk.as("variance_match_ok"))
+      e.agg(count(lit(1)).as("n_vectors")).crossJoin(audit).select(
+        col("n_vectors"), lit(kC.toLong).as("k"),
+        lit(ortho).as("basis_orthonormal_ok"),
+        lit(nonInc).as("eigvals_nonincreasing_ok"),
+        col("variance_match_ok"),
+        lit(capture).as("capture_ok"))
+    }),
+
     "emb_dedup_cosine" -> ((s, dir) => {
       VectorOps.cosineNearDupPairsExact(t(s, dir, "embeddings"), threshold = 0.4, blockCol = "label")
         .withColumn("sim", round(col("sim"), 4))
@@ -1191,6 +1225,7 @@ object SparkEntry {
   private val ivfModels = scala.collection.concurrent.TrieMap.empty[String, Array[Array[Float]]]
   private val pqModels = scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Float]]]]
   private val bpeModels = scala.collection.concurrent.TrieMap.empty[String, graft.ops.BpeOps.BpeModel]
+  private val pcaModels = scala.collection.concurrent.TrieMap.empty[String, VectorOps.PcaModel]
 
   /**
    * Bench-facing variants (VERDICT r3 #1): the same operators as `queries`, WITHOUT the
@@ -1265,6 +1300,13 @@ object SparkEntry {
         VectorOps.kmeansFit(e, 8, iters = 3))
       VectorOps.semDeDup(e, eps = 0.99, nClusters = 8, trained = Some(model),
         keep = "farthest")
+    }),
+
+    // fit is the offline step; the 100 TB path is the broadcast projection map
+    "emb_pca" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = pcaModels.getOrElseUpdate(dir, VectorOps.pcaFit(e, k = 8))
+      VectorOps.pcaProject(e, model)
     }),
 
     // the sketch build IS the operator at scale; the gate's exact heavy-hitter audit
@@ -2036,6 +2078,12 @@ object SparkEntry {
       """SELECT COUNT(*) + COUNT(*) FILTER (WHERE vec_id < 20) AS n_vectors,
         |  CAST(COUNT(*) FILTER (WHERE vec_id < 20) AS BIGINT) AS n_planted,
         |  TRUE AS planted_dropped_ok, TRUE AS kept_independent_ok, TRUE AS bounded_ok
+        |FROM embeddings""".stripMargin,
+
+    "emb_pca" ->
+      """SELECT COUNT(*) AS n_vectors, CAST(8 AS BIGINT) AS k,
+        |  TRUE AS basis_orthonormal_ok, TRUE AS eigvals_nonincreasing_ok,
+        |  TRUE AS variance_match_ok, TRUE AS capture_ok
         |FROM embeddings""".stripMargin,
 
     "emb_semdedup_far" ->

@@ -429,6 +429,123 @@ object VectorOps {
     rankTopK(short, k)
   }
 
+  /** PCA model: per-dimension mean, principal axes (rows, descending eigenvalue), and
+    * the eigenvalues (component variances). A model scalar — dim + k·dim + k doubles. */
+  final case class PcaModel(mean: Array[Double], basis: Array[Array[Double]],
+      eigenvalues: Array[Double])
+
+  /**
+   * Distributed PCA over the embedding column — the whitening/dimension-reduction step
+   * that precedes ANN indexing and semantic dedup in real embedding pipelines. The
+   * corpus-sized work is ONE `treeAggregate` pass accumulating fixed-size moment
+   * buffers (n, Σx, upper-triangular Σxxᵀ — dim·(dim+3)/2 doubles per task, merged in a
+   * tree; the MLlib RowMatrix shape): no shuffle of vectors, only the dim² covariance
+   * reaches the driver. Eigen-decomposition is a deterministic cyclic Jacobi sweep on
+   * the driver (64×64 here — microseconds); axis SIGN is fixed deterministically
+   * (largest-|coordinate| positive) so models reproduce bit-for-bit run to run.
+   */
+  def pcaFit(df: DataFrame, k: Int, vecCol: String = "embedding"): PcaModel = {
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    require(k >= 1 && k <= dim, s"pcaFit: k=$k outside 1..$dim")
+    val tri = dim * (dim + 1) / 2
+    // buffer layout: [0]=n, [1..dim]=sum, [dim+1..]=upper-tri sum of products
+    val zero = new Array[Double](1 + dim + tri)
+    val agg = df.select(col(vecCol)).rdd.treeAggregate(zero)(
+      seqOp = (b, row) => {
+        val v = row.getSeq[Float](0)
+        b(0) += 1
+        var i = 0
+        var t = 1 + dim
+        while (i < dim) {
+          val xi = v(i).toDouble
+          b(1 + i) += xi
+          var j = i
+          while (j < dim) { b(t) += xi * v(j); t += 1; j += 1 }
+          i += 1
+        }
+        b
+      },
+      combOp = (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+    val n = agg(0)
+    require(n > 1, "pcaFit: need at least 2 vectors")
+    val mean = Array.tabulate(dim)(i => agg(1 + i) / n)
+    val cov = Array.ofDim[Double](dim, dim)
+    var t = 1 + dim
+    for (i <- 0 until dim; j <- i until dim) {
+      val c = agg(t) / n - mean(i) * mean(j)
+      cov(i)(j) = c; cov(j)(i) = c
+      t += 1
+    }
+    val (vals, vecs) = jacobiEigen(cov)
+    val order = vals.indices.sortBy(i => -vals(i)).take(k)
+    val basis = order.map { idx =>
+      val ax = Array.tabulate(dim)(d => vecs(d)(idx))
+      // deterministic sign: the largest-|coordinate| entry is positive
+      val m = ax.indices.maxBy(i => (math.abs(ax(i)), -i))
+      if (ax(m) < 0) ax.map(-_) else ax
+    }.toArray
+    PcaModel(mean, basis, order.map(vals).toArray)
+  }
+
+  /** Cyclic Jacobi eigen-decomposition of a symmetric matrix (deterministic sweep order,
+    * fixed iteration cap). Returns (eigenvalues, eigenvector columns). */
+  private[graft] def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-14) {
+      off = 0.0
+      for (p <- 0 until n - 1; q <- p + 1 until n) {
+        off += a(p)(q) * a(p)(q)
+        if (math.abs(a(p)(q)) > 1e-18) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          val tSign = if (theta >= 0) 1.0 else -1.0
+          val tt = tSign / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(tt * tt + 1.0)
+          val s = tt * c
+          for (i <- 0 until n) {
+            val aip = a(i)(p); val aiq = a(i)(q)
+            a(i)(p) = c * aip - s * aiq
+            a(i)(q) = s * aip + c * aiq
+          }
+          for (i <- 0 until n) {
+            val api = a(p)(i); val aqi = a(q)(i)
+            a(p)(i) = c * api - s * aqi
+            a(q)(i) = s * api + c * aqi
+          }
+          for (i <- 0 until n) {
+            val vip = v(i)(p); val viq = v(i)(q)
+            v(i)(p) = c * vip - s * viq
+            v(i)(q) = s * vip + c * viq
+          }
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  /** Project embeddings onto a trained [[PcaModel]] — a broadcast narrow map (the basis
+    * rides the closure); optional whitening divides each component by √eigenvalue. */
+  def pcaProject(df: DataFrame, model: PcaModel, whiten: Boolean = false,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val proj = udf { v: Seq[Float] =>
+      model.basis.zipWithIndex.map { case (ax, c) =>
+        var s = 0.0
+        var i = 0
+        while (i < ax.length) { s += ax(i) * (v(i) - model.mean(i)); i += 1 }
+        val out = if (whiten && model.eigenvalues(c) > 1e-12)
+          s / math.sqrt(model.eigenvalues(c)) else s
+        out.toFloat
+      }.toSeq
+    }
+    df.select(col(idCol), proj(col(vecCol)).as("components"))
+  }
+
   /** L2-normalize the vector column (norm computed once per row, not per element). */
   private def l2Normalized(df: DataFrame, vecCol: String): DataFrame =
     df.withColumn("__n", VectorFunctions.l2Norm(col(vecCol)))

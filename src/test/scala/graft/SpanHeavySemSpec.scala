@@ -372,6 +372,43 @@ class SpanHeavySemSpec extends SparkSpec {
     }
   }
 
+  // -- PCA ------------------------------------------------------------------------------
+
+  test("jacobiEigen: known symmetric matrices decompose exactly") {
+    val (vals, _) = VectorOps.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(vals.sorted.zip(Seq(1.0, 3.0)).forall { case (a, b) => math.abs(a - b) < 1e-12 },
+      vals.toSeq.toString)
+    val (v3, _) = VectorOps.jacobiEigen(
+      Array(Array(4.0, 0.0, 0.0), Array(0.0, 9.0, 0.0), Array(0.0, 0.0, 1.0)))
+    assert(v3.sorted.toSeq == Seq(1.0, 4.0, 9.0))
+  }
+
+  test("pcaFit recovers a planted principal axis; whitened components have unit variance") {
+    val rnd = new scala.util.Random(7)
+    // spread along (1,1,0,0)/sqrt2 with small noise on dim 2
+    val rows = (0 until 400).map { i =>
+      val tv = rnd.nextGaussian() * 5.0
+      val n = rnd.nextGaussian() * 0.1
+      (i.toLong, Array((tv / math.sqrt(2)).toFloat, (tv / math.sqrt(2)).toFloat, n.toFloat, 0f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val m = VectorOps.pcaFit(df, k = 2)
+    val ax = m.basis(0)
+    assert(math.abs(math.abs(ax(0)) - 1 / math.sqrt(2)) < 0.02 &&
+      math.abs(math.abs(ax(1)) - 1 / math.sqrt(2)) < 0.02 &&
+      math.abs(ax(2)) < 0.05, s"axis ${ax.toSeq}")
+    assert(m.eigenvalues(0) > 100 * m.eigenvalues(1), "planted direction must dominate")
+    // deterministic model run to run
+    val m2 = VectorOps.pcaFit(df, k = 2)
+    assert(m.basis.map(_.toSeq).toSeq == m2.basis.map(_.toSeq).toSeq)
+    // whitening: unit variance per component
+    val w = VectorOps.pcaProject(df, m, whiten = true)
+      .select((0 until 2).map(c => var_pop(col("components").getItem(c).cast("double"))): _*)
+      .collect()(0)
+    assert(math.abs(w.getDouble(0) - 1.0) < 0.01 && math.abs(w.getDouble(1) - 1.0) < 0.01,
+      s"whitened variances: $w")
+  }
+
   // -- kmvOverlap -----------------------------------------------------------------------
 
   test("kmvOverlap: estimator tracks exact Jaccard; sketch stats bounded by k; deterministic") {
