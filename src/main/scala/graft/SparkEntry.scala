@@ -1202,6 +1202,15 @@ object SparkEntry {
       MultimodalOps.audioFeatures(d.select(col("doc_id"), col("blob")), "blob", "doc_id")
     }),
 
+    // video-level near-dup: sampled frames -> per-frame aHash -> pigeonhole-blocked
+    // frame pairs -> rollup to video pairs sharing near-dup frames (re-upload/clip
+    // detection); frame bytes never shuffle, only 8-byte fingerprints reach the join
+    "mm_frame_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("blob", encode(col("text"), "UTF-8"))
+      MultimodalOps.frameNearDup(d.select(col("doc_id"), col("blob")), "blob", "doc_id",
+        everyN = 5)
+    }),
+
     // segment-granularity audio features (what silence segmentation / VAD consume):
     // one row per 256-sample window, explode-shaped mapPartitions like frame sampling
     "mm_audio_windows" -> ((s, dir) => {
@@ -2338,6 +2347,42 @@ object SparkEntry {
         |  FROM ch a JOIN ch b ON a.c = b.c AND a.v = b.v AND a.id < b.id)
         |SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INT) AS hamming
         |FROM cand WHERE bit_count(xor(h_a, h_b)) <= 3""".stripMargin,
+
+    // frame slicing (mm_frame_sample's CTE chain) composed with per-frame aHash
+    // reconstruction (mm_ahash_pairs' pixel algebra) — the oracle mirrors the provable
+    // chunk blocking so it stays an equality join too
+    "mm_frame_dedup" ->
+      """WITH d AS (SELECT doc_id, encode(text) AS blob FROM documents),
+        |m AS (SELECT doc_id, hex(blob) AS hexb, CAST(octet_length(blob) AS BIGINT) AS n,
+        |  CAST(octet_length(blob) % 30 + 1 AS INT) AS n_frames FROM d),
+        |f AS (SELECT doc_id, hexb, n, n_frames,
+        |  GREATEST(1, n // n_frames) AS frame_len FROM m),
+        |fr AS (SELECT doc_id, CAST(u.i AS INT) AS frame_idx,
+        |    substring(hexb, CAST(LEAST(u.i * frame_len, n) * 2 + 1 AS INT),
+        |      CAST(LEAST(frame_len, n - LEAST(u.i * frame_len, n)) * 2 AS INT)) AS fhx
+        |  FROM f, unnest(range(0, CAST(n_frames AS BIGINT), 5)) AS u(i)),
+        |b AS (SELECT doc_id, frame_idx, fhx, length(fhx) // 2 // 32 AS h FROM fr),
+        |px AS (SELECT doc_id, frame_idx, r.range AS p,
+        |    CAST(('0x' || substring(fhx,
+        |      CAST(2 * ((((r.range // 8) * h) // 8) * 32 + (r.range % 8) * 4) + 1 AS INT),
+        |      2)) AS INT) AS v
+        |  FROM b CROSS JOIN range(64) r WHERE h >= 1),
+        |mn AS (SELECT doc_id, frame_idx, CAST(SUM(v) AS BIGINT) // 64 AS mean
+        |  FROM px GROUP BY doc_id, frame_idx),
+        |hs AS (SELECT px.doc_id, px.frame_idx,
+        |    CAST(SUM(CASE WHEN px.v > mn.mean AND px.p < 60
+        |      THEN (CAST(1 AS BIGINT) << CAST(px.p AS INT)) ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM px JOIN mn USING (doc_id, frame_idx) GROUP BY px.doc_id, px.frame_idx),
+        |ch AS (SELECT doc_id, frame_idx, ahash, c.range AS c,
+        |    (ahash >> CAST(c.range * 15 AS INT)) & 32767 AS v
+        |  FROM hs CROSS JOIN range(4) c),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, a.frame_idx AS fa, a.ahash AS h_a,
+        |    b.doc_id AS id_b, b.frame_idx AS fb, b.ahash AS h_b
+        |  FROM ch a JOIN ch b ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_shared,
+        |  CAST(MIN(bit_count(xor(h_a, h_b))) AS INT) AS min_hamming
+        |FROM cand WHERE bit_count(xor(h_a, h_b)) <= 3
+        |GROUP BY id_a, id_b""".stripMargin,
 
     "mm_audio_features" ->
       """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,

@@ -283,6 +283,43 @@ object MultimodalOps {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /**
+   * Video-level near-duplicate detection by frame-fingerprint overlap: [[sampleFrames]]
+   * (every `everyN`-th frame) → per-frame [[aHash]] → the 4×15-bit-chunk pigeonhole
+   * blocking from [[aHashPairs]] at FRAME granularity → roll up to video pairs with the
+   * count of near-dup frame pairs and the closest hamming distance. This is the standard
+   * re-upload/clip detection shape for video corpora: two videos sharing many near-dup
+   * frames are cuts of the same footage even when no single frame matches exactly.
+   *
+   * Scale: frame payloads never shuffle — the narrow sampleFrames→aHash chain reduces
+   * each frame to an 8-byte fingerprint before the only exchange (the chunk equality
+   * join), and only candidate pairs pay the `bit_count` check. Frames shorter than one
+   * thumbnail source row (aHash NULL) drop out before the join.
+   */
+  def frameNearDup(df: DataFrame, binCol: String, idCol: String, everyN: Int = 1,
+      maxHamming: Int = 3, srcW: Int = 32): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4x15-bit chunk blocking guarantees recall only through hamming 3")
+    val frames = sampleFrames(df, binCol, idCol, everyN)
+      .select(struct(col(idCol).as("doc"), col("frame_idx").as("f")).as("fid"),
+        col("frame_bytes"))
+    val h = aHash(frames, "frame_bytes", "fid", srcW).filter(col("ahash").isNotNull)
+    val ch = h.select(col("fid"), col("ahash"), explode(array((0 until 4).map(c =>
+        struct(lit(c).as("c"),
+          shiftright(col("ahash"), c * 15).bitwiseAND(lit(0x7FFFL)).as("v"))): _*)).as("k"))
+      .select(col("fid"), col("ahash"), col("k.c").as("c"), col("k.v").as("v"))
+    val a = ch.select(col("c"), col("v"), col("fid").as("fid_a"), col("ahash").as("h_a"))
+      .repartition(col("c"), col("v"))
+    val b = ch.select(col("c"), col("v"), col("fid").as("fid_b"), col("ahash").as("h_b"))
+    a.join(b, Seq("c", "v"))
+      .filter(col("fid_a.doc") < col("fid_b.doc"))
+      .select(col("fid_a"), col("fid_b"), col("h_a"), col("h_b")).distinct()
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("fid_a.doc").as("id_a"), col("fid_b.doc").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"), min(col("hamming")).as("min_hamming"))
+  }
+
   def decodeMedia(df: DataFrame, binCol: String, idCol: String): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(

@@ -652,6 +652,24 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(w.values.map(_._4).sum == 255L)
   }
 
+  test("frameNearDup: re-uploaded video pairs on shared frames, flat video doesn't, plan blocked") {
+    // 2045 bytes -> 2045%30+1 = 6 frames of 340 bytes (srcH = 10) each
+    def vid(seed: Int): Array[Byte] = Array.tabulate(2045)(i => ((i * 7 + seed * 31) % 251).toByte)
+    val a = vid(0)
+    val b = a.clone(); (0 until 8).foreach(i => b(i * 201) = (b(i * 201) + 2).toByte) // re-upload
+    val flat = Array.fill(2045)(90.toByte) // constant frames hash to 0, far from gradients
+    val df = Seq((1L, a), (2L, b), (3L, flat)).toDF("doc_id", "blob")
+    val q = MultimodalOps.frameNearDup(df, "blob", "doc_id")
+    val pairs = q.collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getInt(3)))).toMap
+    assert(pairs.contains((1L, 2L)), s"re-upload must pair: $pairs")
+    assert(pairs((1L, 2L))._1 >= 6, s"all 6 frame pairs shared: ${pairs((1L, 2L))}")
+    assert(pairs((1L, 2L))._2 <= 1, s"closest frames nearly exact: ${pairs((1L, 2L))}")
+    assert(!pairs.keySet.exists { case (x, y) => x == 3L || y == 3L },
+      s"flat video must not pair with gradients: $pairs")
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("sampleFrames explodes one row per sampled frame with sliced payload") {
     val df = Seq((1L, "abcdefghij")).toDF("doc_id", "text") // 10 bytes -> 10%30+1 = 11 frames
       .withColumn("blob", encode(col("text"), "UTF-8"))
