@@ -1016,6 +1016,18 @@ object SparkEntry {
       VectorOps.annRecallGate(exact, approx, short, recallFloor = 0.5, candCap = 480L)
     }),
 
+    // SQ8: one byte per dimension (4x compression, per-dim resolution — the cheap point
+    // before PQ's 16-32x), asymmetric scoring (query floats vs corpus codes, no decode),
+    // exact rerank of the <=64/query shortlist; recall floor mirrors emb_ann_pq
+    "emb_ann_sq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+      val exact = VectorOps.bruteForceTopK(e, q, k = 3)
+      val short = VectorOps.sqTopK(e, q, k = 64, shortlist = 64)
+      val approx = VectorOps.rankTopK(short, 3)
+      VectorOps.annRecallGate(exact, approx, short, recallFloor = 0.5, candCap = 480L)
+    }),
+
     "emb_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 8)
@@ -1234,6 +1246,7 @@ object SparkEntry {
   private val ivfModels = scala.collection.concurrent.TrieMap.empty[String, Array[Array[Float]]]
   private val pqModels = scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Float]]]]
   private val bpeModels = scala.collection.concurrent.TrieMap.empty[String, graft.ops.BpeOps.BpeModel]
+  private val sqModels = scala.collection.concurrent.TrieMap.empty[String, VectorOps.SqModel]
   private val pcaModels = scala.collection.concurrent.TrieMap.empty[String, VectorOps.PcaModel]
 
   /**
@@ -1285,6 +1298,13 @@ object SparkEntry {
       val books = pqModels.getOrElseUpdate(dir, VectorOps.pqFit(e, m = 8, k = 16))
       VectorOps.pqTopK(e, e.filter(col("vec_id") < 8), k = 3, m = 8, kCode = 16,
         shortlist = 64, trained = Some(books))
+    }),
+
+    "emb_ann_sq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = sqModels.getOrElseUpdate(dir, VectorOps.sqFit(e))
+      VectorOps.sqTopK(e, e.filter(col("vec_id") < 8), k = 3, shortlist = 64,
+        trained = Some(model))
     }),
 
     "emb_ann_ivfpq" -> ((s, dir) => {
@@ -1467,6 +1487,9 @@ object SparkEntry {
         |FROM shl""".stripMargin,
 
     "emb_ann_lsh" ->
+      "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok, TRUE AS bounded_ok FROM embeddings WHERE vec_id < 8",
+
+    "emb_ann_sq" ->
       "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok, TRUE AS bounded_ok FROM embeddings WHERE vec_id < 8",
 
     "emb_ann_ivf" ->

@@ -239,6 +239,80 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /**
+   * `sq_encode(vec)` — per-dimension 8-bit scalar quantization (FAISS's SQ8): code_i =
+   * round((x_i − min_i)/Δ_i) clamped to [0,255] with Δ_i = (max_i − min_i)/255. One byte
+   * per dimension ⇒ 4× smaller than float32 with per-dim resolution — the cheap point on
+   * the compression spectrum before PQ's 16–32×. Out-of-range values (a pre-trained model
+   * probed with drifted data) clamp to the rails instead of encoding garbage.
+   */
+  case class SqEncode(child: Expression, mins: Array[Float], deltas: Array[Float])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(a: Any): Any = {
+      val v = floats(a)
+      require(v.length == mins.length,
+        s"sq_encode: vector dim ${v.length} != model dim ${mins.length}")
+      val out = new Array[Byte](v.length)
+      var i = 0
+      while (i < v.length) {
+        val d = deltas(i)
+        val c = if (d <= 0f) 0 else math.round((v(i) - mins(i)) / d)
+        out(i) = math.max(0, math.min(255, c)).toByte
+        i += 1
+      }
+      out
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /**
+   * `sq_query(qvec)` — the query's asymmetric-distance coefficients against an SQ model,
+   * flattened to one float array: slot 0 holds `Σ_i q_i·min_i` and slot i+1 holds
+   * `q_i·Δ_i`, so `q · decode(codes) = arr[0] + Σ_i arr[i+1]·code_i` ([[SqAdcDot]]) —
+   * the query never quantizes and the corpus never decodes to floats.
+   */
+  case class SqQuery(child: Expression, mins: Array[Float], deltas: Array[Float])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(a: Any): Any = {
+      val q = floats(a)
+      require(q.length == mins.length,
+        s"sq_query: query dim ${q.length} != model dim ${mins.length}")
+      val arr = new Array[Float](q.length + 1)
+      var base = 0.0
+      var i = 0
+      while (i < q.length) {
+        base += q(i).toDouble * mins(i)
+        arr(i + 1) = q(i) * deltas(i)
+        i += 1
+      }
+      arr(0) = base.toFloat
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** `sq_adc_dot(codes, qarr)` — approximate `q · x` from SQ8 codes:
+    * `qarr[0] + Σ_i qarr[i+1]·(codes[i] & 0xFF)`. */
+  case class SqAdcDot(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val codes = a.asInstanceOf[Array[Byte]]
+      val qarr = floats(b)
+      var acc = qarr(0).toDouble
+      var i = 0
+      while (i < codes.length) { acc += qarr(i + 1).toDouble * (codes(i) & 0xFF); i += 1 }
+      acc
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** `pq_adc_dot(codes, lut)` — approximate `q · x` from PQ codes: `Σ_s lut[s·k + code_s]`. */
   case class PqAdcDot(left: Expression, right: Expression, k: Int)
       extends BinaryExpression with CodegenFallback {
@@ -275,6 +349,13 @@ object VectorFunctions {
 
   def nearestCentroids(v: Column, centroids: Array[Array[Float]], nProbe: Int): Column =
     column(NearestCentroids(expression(v), centroids, nProbe))
+
+  def sqEncode(v: Column, mins: Array[Float], deltas: Array[Float]): Column =
+    column(SqEncode(expression(v), mins, deltas))
+  def sqQuery(q: Column, mins: Array[Float], deltas: Array[Float]): Column =
+    column(SqQuery(expression(q), mins, deltas))
+  def sqAdcDot(codes: Column, qarr: Column): Column =
+    column(SqAdcDot(expression(codes), expression(qarr)))
 
   def pqEncode(v: Column, codebooks: Array[Array[Array[Float]]]): Column =
     column(PqEncode(expression(v), codebooks))

@@ -316,6 +316,71 @@ object VectorOps {
    * corpus is never shuffled: queries (with their LUTs) broadcast, the scan scores codes,
    * and only `shortlist` rows per query reach the exact rerank.
    */
+  /** Per-dimension 8-bit scalar-quantizer model: the corpus min/max of every dimension.
+    * A driver-side scalar (2·dim floats) like every other trained model here — ships by
+    * broadcast into both the encode and probe plans. */
+  final case class SqModel(mins: Array[Float], maxs: Array[Float]) {
+    def deltas: Array[Float] =
+      mins.indices.map(i => (maxs(i) - mins(i)) / 255f).toArray
+  }
+
+  /** Train the SQ8 model in ONE aggregation pass: posexplode + per-dim min/max — after
+    * map-side combine each task contributes ≤ dim rows, corpus-size-independent. Trains
+    * in the space it is given (callers normalize first; see [[sqFit]]). */
+  def sqTrain(corpus: DataFrame, vecCol: String = "embedding"): SqModel = {
+    val rows = corpus.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy("pos").collect()
+    SqModel(rows.map(_.getFloat(1)), rows.map(_.getFloat(2)))
+  }
+
+  /** Offline-model form of the training [[sqTopK]] runs in-query when `trained` is
+    * absent — normalization matches the probe's, so the model feeds straight back
+    * through `trained`. */
+  def sqFit(corpus: DataFrame, vecCol: String = "embedding"): SqModel =
+    sqTrain(l2Normalized(corpus, vecCol), vecCol)
+
+  /**
+   * SQ8-compressed approximate top-k (FAISS's IndexScalarQuantizer shape): the corpus
+   * stores one byte per dimension (4× smaller than float32, per-dim resolution — the
+   * cheap point on the compression spectrum before PQ's 16–32×), queries score codes
+   * asymmetrically (query floats against quantized corpus — [[VectorFunctions.sqAdcDot]]
+   * never decodes the corpus back to floats), and a per-query shortlist reranks with
+   * the exact cosine.
+   *
+   * The corpus never shuffles: queries broadcast with their precomputed ADC coefficient
+   * arrays, the scan scores byte codes in place, and only `shortlist` rows per query
+   * reach the exact rerank.
+   */
+  def sqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      shortlist: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      trained: Option[SqModel] = None): DataFrame = {
+    val normCorpus = l2Normalized(corpus, vecCol)
+    val normQueries = l2Normalized(queries, vecCol)
+    val model = trained.getOrElse(sqTrain(normCorpus, vecCol))
+    val deltas = model.deltas
+    val enc = normCorpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      VectorFunctions.sqEncode(col(vecCol), model.mins, deltas).as("codes"))
+    val q = normQueries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      VectorFunctions.sqQuery(col(vecCol), model.mins, deltas).as("qarr"))
+    val adcScored = enc.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("q_vec"), col("c_vec"),
+        VectorFunctions.sqAdcDot(col("codes"), col("qarr")).as("sim"))
+    val short = adcScored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKFunctions.topKByScore(col("sim"), col("neighbor_id"),
+        struct(col("neighbor_id"), col("q_vec"), col("c_vec")), shortlist).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.neighbor_id").as("neighbor_id"),
+        VectorFunctions.cosine(col("t.q_vec"), col("t.c_vec")).as("sim"))
+    rankTopK(short, k)
+  }
+
   def pqTopK(
       corpus: DataFrame,
       queries: DataFrame,

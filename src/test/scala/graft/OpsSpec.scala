@@ -255,6 +255,34 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall >= 0.75, s"PQ recall $recall under expected headroom")
   }
 
+  test("SQ8: codes compress 4x, ADC error within quantizer resolution, recall near-exact") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 8)
+    val model = VectorOps.sqFit(e)
+    val dim = e.select(size(col("embedding"))).first().getInt(0)
+    assert(model.mins.length == dim && model.maxs.length == dim) // dim bytes vs dim float32 = 4x
+    assert(model.mins.indices.forall(i => model.maxs(i) >= model.mins(i)))
+    // per-dim quantization error <= delta/2 => |adc - exact dot| <= sum |q_i|*delta_i/2;
+    // on normalized vectors that is well under the top-k score gaps: recall ~ exact
+    val got = VectorOps.sqTopK(e, q, k = 3, trained = Some(model)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = VectorOps.bruteForceTopK(e, q, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.9, s"SQ8 preserves per-dim resolution; recall $recall too low")
+    // in-query training path matches the pre-trained path (same model by construction)
+    val inQuery = VectorOps.sqTopK(e, q, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inQuery == got)
+    // degenerate constant dimension (delta 0) must encode 0, not divide by zero
+    val flat = Seq((1L, Array.fill(4)(0.5f)), (2L, Array.fill(4)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val m2 = VectorOps.sqFit(flat)
+    assert(m2.deltas.forall(_ == 0f))
+    assert(VectorOps.sqTopK(flat, flat.filter(col("vec_id") === 1L), k = 1,
+      trained = Some(m2)).collect().map(_.getLong(1)).toSeq == Seq(2L))
+  }
+
   test("pqTopK with a pre-trained model of different k: stride from the model, not the param") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 4)
