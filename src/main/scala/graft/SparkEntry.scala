@@ -704,6 +704,11 @@ object SparkEntry {
             .cast(DecimalType(18, 8))).cast(DoubleType) / count(lit(1))), 4).as("avg_logprob"))
     }),
 
+    // per-doc Shannon entropy of the token distribution (degenerate/looped text filter):
+    // H = log10(n) - (sum c*log10(c))/n over per-doc counts — (doc_id, token) count rows
+    // shuffle, texts never do; terms decimal-quantized per the cross-engine discipline
+    "doc_entropy" -> ((s, dir) => TextOps.tokenEntropy(t(s, dir, "documents"))),
+
     // ---- training-data ops: corpus shaping (sampling / packing / contamination) ---------------
 
     // deterministic stratified downsampling: content-hash buckets, per-language rates —
@@ -2221,6 +2226,19 @@ object SparkEntry {
         |    / COUNT(*), 4) AS avg_logprob
         |FROM toks t JOIN freq f USING (token) CROSS JOIN tot t2
         |GROUP BY t.doc_id""".stripMargin,
+
+    "doc_entropy" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |c AS (SELECT doc_id, token, COUNT(*) AS cnt FROM toks GROUP BY doc_id, token),
+        |a AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        |  SUM(CAST(CAST(cnt AS DOUBLE) * LOG10(CAST(cnt AS DOUBLE)) AS DECIMAL(18,8))) AS s
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  ROUND(CAST(CAST(LOG10(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,8)) AS DOUBLE)
+        |    - CAST(s AS DOUBLE) / n_tokens, 4) AS entropy10
+        |FROM a""".stripMargin,
 
     "doc_normalize" ->
       """WITH noisy AS (SELECT doc_id,

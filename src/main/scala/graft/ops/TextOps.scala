@@ -404,6 +404,25 @@ object TextOps {
       topBigramFracCol.as("top_bigram_frac"))
   }
 
+  /**
+   * Per-document token (Shannon) entropy in base 10 — the classic "is this text varied
+   * or degenerate" quality signal (near 0 = one token looped; log10(n) = all tokens
+   * distinct). Computed via the identity H = log10(n) − (Σ c·log10(c))/n over per-doc
+   * token counts, so the shuffle carries (doc_id, token) count rows, never texts, and
+   * the cross-engine discipline holds: each c·log10(c) term quantizes to DECIMAL(18,8)
+   * before the exact decimal SUM (fp addition order differs between engines).
+   */
+  def tokenEntropy(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol), explode(tokensCol(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum((col("cnt").cast("double") * log10(col("cnt").cast("double")))
+          .cast(DecimalType(18, 8))).as("__s"))
+      .select(col(idCol), col("n_tokens"),
+        round(log10(col("n_tokens").cast("double")).cast(DecimalType(18, 8)).cast("double")
+          - col("__s").cast("double") / col("n_tokens"), 4).as("entropy10"))
+
   /** First 60 bits of md5 as a long — the hash shared with the DuckDB oracles
     * (`CAST('0x' || substring(md5(x),1,15) AS BIGINT)`). 60 bits so the unsigned hex value
     * always fits a signed long. Pure built-ins, codegen'd. */

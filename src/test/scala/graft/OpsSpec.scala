@@ -471,6 +471,19 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L).getAs[Double]("top_bigram_frac") == 0.0)
   }
 
+  test("tokenEntropy: looped text ~0, all-distinct = log10(n), mixed in between") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),       // one token: H = 0
+      (2L, "a b c d e f g h i j"),                           // all distinct: H = log10(10) = 1
+      (3L, "x x y y")                                        // H = log10(4) - log10(2) = log10(2)
+    ).toDF("doc_id", "text")
+    val r = TextOps.tokenEntropy(df).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(r(1L) == ((8L, 0.0)), s"looped: ${r(1L)}")
+    assert(r(2L) == ((10L, 1.0)), s"distinct: ${r(2L)}")
+    assert(r(3L)._1 == 4L && math.abs(r(3L)._2 - 0.3010) < 1e-9, s"mixed: ${r(3L)}")
+  }
+
   test("chunkTokens: overlapping windows, ragged tail, empty docs emit nothing") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
