@@ -982,6 +982,38 @@ object SparkEntry {
         d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"))
     }),
 
+    // Bloom-filter decontamination (the deny-list-outgrows-the-broadcast form): the
+    // benchmark inventory compresses to Bloom bits and membership probes in the scan.
+    // Verdict audits the sketch against the exact screen ON THIS CORPUS: zero false
+    // negatives (Bloom guarantee — every exactly-contaminated shingle flags) and the
+    // over-report bounded by 3x the nominal fpp (seed-pinned deterministic filter: a
+    // red here means re-check the data/seed pairing before suspecting the operator)
+    "doc_bloom_contamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = d.filter(col("source") =!= "src0")
+      val bench = d.filter(col("source") === "src0")
+      val fpp = 0.01
+      val exact = SampleOps.contamination(corpus, bench)
+        .select(col("doc_id"), col("n_contaminated"))
+      val bloom = SampleOps.bloomContamination(corpus, bench, fpp = fpp)
+        .select(col("doc_id"), col("n_flagged"))
+      val probes = corpus
+        .select(size(array_distinct(graft.functions.TextFunctions.shingleHashes(
+          graft.functions.TextFunctions.tokens(col("text")), 3))).cast("long").as("ns"))
+        .agg(sum(col("ns")).as("total_probes"))
+      exact.join(bloom, Seq("doc_id"), "full_outer")
+        .select(coalesce(col("n_contaminated"), lit(0L)).as("ne"),
+          coalesce(col("n_flagged"), lit(0L)).as("nf"))
+        .agg(count(when(col("ne") > 0, 1)).as("n_docs_exact"),
+          coalesce(max(when(col("nf") < col("ne"), 1).otherwise(0)), lit(0)).as("fn"),
+          coalesce(sum(col("nf") - col("ne")), lit(0L)).as("extra"))
+        .crossJoin(broadcast(probes))
+        .select(col("n_docs_exact").cast("long").as("n_docs_exact"),
+          (col("fn") === 0).as("no_false_neg_ok"),
+          (col("extra").cast("double") <=
+            greatest(lit(50.0), col("total_probes") * 3 * fpp)).as("fp_bounded_ok"))
+    }),
+
     // ---- training-data ops: similarity search -------------------------------------------------
 
     "emb_ann_topk" -> ((s, dir) => {
@@ -1341,6 +1373,14 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       val model = pcaModels.getOrElseUpdate(dir, VectorOps.pcaFit(e, k = 8))
       VectorOps.pcaProject(e, model)
+    }),
+
+    // the user-facing screen is the Bloom probe alone; the exact-screen audit (a second
+    // full contamination pass + full-outer join) stays in Verify only
+    "doc_bloom_contamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      SampleOps.bloomContamination(
+        d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"))
     }),
 
     // the sketch build IS the operator at scale; the gate's exact heavy-hitter audit
@@ -1903,6 +1943,21 @@ object SparkEntry {
         |  ROUND(CAST(COUNT(*) AS DOUBLE) / n_shingles, 6) AS contaminated_frac
         |FROM corp c JOIN bench b ON c.shingle = b.shingle
         |GROUP BY c.doc_id, c.n_shingles""".stripMargin,
+
+    // n_docs_exact replicates the doc_contamination oracle's contaminated-doc count;
+    // the two booleans pin the sketch-vs-exact audit verdict
+    "doc_bloom_contamination" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (SELECT doc_id, source, list_distinct(CASE WHEN len(toks) < 3 THEN []
+        |  ELSE list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        |  FROM t),
+        |bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE source = 'src0'),
+        |corp AS (SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE source <> 'src0')
+        |SELECT CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_docs_exact,
+        |  TRUE AS no_false_neg_ok, TRUE AS fp_bounded_ok
+        |FROM corp c JOIN bench b ON c.shingle = b.shingle""".stripMargin,
 
     "doc_incremental_neardup" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,

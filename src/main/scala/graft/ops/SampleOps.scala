@@ -171,6 +171,45 @@ object SampleOps {
   }
 
   /**
+   * Sketch-based contamination screen — [[contamination]] with the benchmark inventory
+   * compressed into a Bloom filter instead of an exact broadcast set. The 100 TB case
+   * for this: a deny-list of 10⁹ shingle/URL/digest longs is an 8 GB exact broadcast
+   * side but ~1.2 GB of Bloom bits at 1% fpp; the probe stays a narrow scan (the filter
+   * deserializes once per executor and membership is an expression, not a join).
+   *
+   * Contract: NO false negatives — every exactly-contaminated shingle is flagged
+   * (Bloom guarantee), so this screen never under-reports; a small fpp fraction of
+   * clean shingles over-reports. The filter is deterministic for a given benchmark
+   * SET (seeded Murmur3, bit-OR insertion) regardless of order or partitioning.
+   */
+  def bloomContamination(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      shingleN: Int = 3,
+      fpp: Double = 0.01,
+      expectedItems: Long = 1L << 20,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.{SketchFunctions, TextFunctions}
+    def shingles(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ array_distinct(
+        TextFunctions.shingleHashes(TextFunctions.tokens(col(textCol)), shingleN)).as("sh"): _*)
+    // offline model-build step (one distinct + one filter aggregation over the
+    // benchmark side only); the corpus-side probe below never shuffles
+    val bloom = shingles(benchmark).select(explode(col("sh")).as("shingle")).distinct()
+      .stat.bloomFilter("shingle", expectedItems, fpp)
+    val bytes = SketchFunctions.toBytes(bloom)
+    shingles(corpus, col(idCol))
+      .select(col(idCol), size(col("sh")).cast("long").as("n_shingles"),
+        explode(col("sh")).as("shingle"))
+      .filter(SketchFunctions.bloomMightContainLong(col("shingle"), bytes))
+      .groupBy(col(idCol), col("n_shingles"))
+      .agg(count(lit(1)).as("n_flagged"))
+      .withColumn("flagged_frac",
+        round(col("n_flagged").cast("double") / col("n_shingles"), 6))
+  }
+
+  /**
    * Training-mixture construction: choose per-stratum deterministic keep-rates so the
    * OUTPUT token mixture hits the target weights, scaled to the largest corpus the input
    * supports — the binding stratum (smallest `T_s/w_s`) is kept whole and every other

@@ -178,6 +178,27 @@ class SampleAndAsOfSpec extends SparkSpec {
     assert(!out.contains(2L)) // clean docs don't surface
   }
 
+  test("bloomContamination: flags superset of exact screen, no false negatives, deterministic") {
+    val corpus = Seq(
+      (1L, "one two three four five"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three aaa bbb ccc ddd")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "zero one two three four")).toDF("doc_id", "text")
+    def m(df: org.apache.spark.sql.DataFrame, cnt: String) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long](cnt)).toMap
+    val exact = m(SampleOps.contamination(corpus, bench), "n_contaminated")
+    val flagged = m(SampleOps.bloomContamination(corpus, bench), "n_flagged")
+    // Bloom guarantee: every exactly-contaminated shingle flags
+    assert(exact.forall { case (id, ne) => flagged.getOrElse(id, 0L) >= ne },
+      s"false negative: exact=$exact flagged=$flagged")
+    assert(flagged == m(SampleOps.bloomContamination(corpus, bench), "n_flagged"),
+      "filter must be deterministic across builds")
+    // at fpp=0.01 on a handful of probes, over-reporting a clean doc is (pinned-seed)
+    // absent: the flag map IS the exact map here
+    assert(flagged == exact, s"exact=$exact flagged=$flagged")
+  }
+
   test("percentileBuckets: deciles of a uniform ramp land ~10% per bucket, monotone") {
     val rows = (1L to 100L).map(i => (i, i * 10)).toDF("doc_id", "n_chars")
     val out = SampleOps.percentileBuckets(rows, valueCol = "n_chars").collect()
