@@ -638,6 +638,11 @@ object SparkEntry {
     "doc_ngram_jaccard" -> ((s, dir) =>
       DedupOps.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.2)),
 
+    // asymmetric near-dup: containment |A∩B|/|A| flags doc-in-doc (quotes/subsets) that
+    // symmetric Jaccard misses when |B| >> |A|; either direction >= 0.5 surfaces the pair
+    "doc_containment" -> ((s, dir) =>
+      DedupOps.ngramContainmentPairs(t(s, dir, "documents"))),
+
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(t(s, dir, "documents"))),
 
     // near-dup clustering: connected components over the exact-verified pair graph; the
@@ -1411,6 +1416,22 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
 
     "doc_ngram_jaccard" -> jaccardPairsOracle,
+
+    "doc_containment" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |shl AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
+        |  ELSE list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh FROM t),
+        |sizes AS (SELECT doc_id, len(sh) AS n FROM shl),
+        |inv AS (SELECT doc_id, unnest(sh) AS h FROM shl),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b, CAST(p.inter AS BIGINT) AS inter,
+        |  ROUND(CAST(p.inter AS DOUBLE)/sa.n, 6) AS containment_a,
+        |  ROUND(CAST(p.inter AS DOUBLE)/sb.n, 6) AS containment_b
+        |FROM pairs p JOIN sizes sa ON sa.doc_id = p.id_a JOIN sizes sb ON sb.doc_id = p.id_b
+        |WHERE CAST(p.inter AS DOUBLE)/sa.n >= 0.5 OR CAST(p.inter AS DOUBLE)/sb.n >= 0.5""".stripMargin,
 
     "doc_minhash_lsh" -> jaccardPairsOracle,
 

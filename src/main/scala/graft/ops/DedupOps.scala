@@ -243,6 +243,46 @@ object DedupOps {
   }
 
   /**
+   * Directional n-gram containment pairs — doc-in-doc / quote detection. Containment
+   * C(A⊆B) = |A∩B|/|A| sits near 1 when A is substantially reproduced inside B even
+   * when symmetric Jaccard is tiny (|B| ≫ |A|) — the asymmetric near-dup signal that
+   * catches subset/quotation documents Jaccard-threshold dedup misses. Same count-based
+   * inverted-index shape as [[ngramJaccardPairs]] (shingle hashes shuffle, texts never;
+   * same boilerplate skew cap applies); a pair surfaces when EITHER direction reaches
+   * `threshold`, with both directions reported.
+   */
+  def ngramContainmentPairs(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleN: Int = 3,
+      threshold: Double = 0.5,
+      maxDocFrequency: Option[Long] = None): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(
+        TextFunctions.shingleHashes(TextFunctions.tokens(col(textCol)), shingleN)).as("sh"))
+    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+    val inv0 = sh.select(col("id"), explode(col("sh")).as("h"))
+    val inv = maxDocFrequency.fold(inv0) { cap =>
+      val hot = inv0.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") > cap)
+        .select("h")
+      inv0.join(broadcast(hot), Seq("h"), "left_anti")
+    }
+    val a = inv.select(col("h"), col("id").as("id_a")).repartition(col("h"))
+    val b = inv.select(col("h"), col("id").as("id_b"))
+    val contA = col("inter").cast("double") / col("n_a")
+    val contB = col("inter").cast("double") / col("n_b")
+    a.join(b, Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      .filter(contA >= threshold || contB >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter").cast("long").as("inter"),
+        round(contA, 6).as("containment_a"), round(contB, 6).as("containment_b"))
+  }
+
+  /**
    * Incremental exact dedup for continuous ingestion: admit a new batch's documents only
    * if (a) the content digest is absent from the existing corpus index and (b) the row is
    * the batch-internal survivor (min id per digest). This is the shape that keeps dedup

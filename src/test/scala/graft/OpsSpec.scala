@@ -40,6 +40,24 @@ class DedupOpsSpec extends SparkSpec {
     assert(!pairs.contains((4L, 5L)))
   }
 
+  test("ngramContainmentPairs: subset doc flags at containment ~1 where jaccard misses it") {
+    // doc 6 is a quote of doc 1's opening — fully contained, but the long host doc
+    // drags symmetric jaccard under any useful threshold
+    val host = "the quick brown fox jumps over the lazy dog " +
+      "while many additional words pad this host document far beyond the quoted span " +
+      "so that symmetric overlap becomes small even though the quote is verbatim"
+    val df = Seq((1L, host), (6L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.ngramContainmentPairs(df, threshold = 0.9).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 6L)
+    assert(r.getAs[Double]("containment_b") == 1.0, s"quote fully contained: $r")
+    assert(r.getAs[Double]("containment_a") < 0.5, s"host direction small: $r")
+    val jac = DedupOps.ngramJaccardPairs(df, threshold = 0.5).collect()
+    assert(jac.isEmpty, "symmetric jaccard at 0.5 must miss the subset pair")
+  }
+
   test("ngramJaccardPairs maxDocFrequency drops boilerplate-only pairs, keeps real overlap") {
     // docs 1/2/3 share rare content shingles; every doc shares the hot boilerplate
     val boiler = "copyright notice all rights reserved by the site"
