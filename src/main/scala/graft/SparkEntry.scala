@@ -459,6 +459,29 @@ object SparkEntry {
         .filter(abs(col("z")) > 2.0)
     }),
 
+    // per-key exponential moving average, horizon-truncated at 16 lags (the bounded-state
+    // form a production stream EWMA keeps): one window sort per key, 16 codegen'd lag()
+    // reads, no UDF. alpha = 0.5 makes every weight a power of two, so each product is
+    // EXACT double scaling and the explicit left-assoc addition chain evaluates
+    // bit-identically in both engines — no decimal quantization needed
+    "ev_ewma" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val terms = (0 until 16).map { k =>
+        val v = if (k == 0) col("value") else coalesce(lag(col("value"), k).over(w), lit(0.0))
+        v * lit(math.pow(0.5, k + 1))
+      }
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        // floor-quantize, don't round: the pre-quantization double is bit-identical in
+        // both engines (exact power-of-two scaling + pinned add order), and floor of an
+        // identical double is identical — ROUND's half-tie handling is not (observed
+        // x.xxxxxx5 ties flipping the 6th decimal between engines)
+        .withColumn("ewma",
+          (floor(terms.reduce(_ + _) * lit(1e6)).cast("double") / lit(1e6)))
+        .select(col("event_id"), col("user_id"), col("ewma"))
+    }),
+
     // semi-structured payload extraction: the events-table analog of the envelope parse —
     // single-field get_json_object probes (codegen'd, no full from_json struct
     // materialization per the cdc_unwrap lesson), then an ordinary keyed aggregate
@@ -1776,6 +1799,32 @@ object SparkEntry {
         |    ROUND((CAST(e.v AS DOUBLE) - st.s1/st.n) / sqrt(st.variance), 4) AS z
         |  FROM e JOIN st USING (event_type))
         |SELECT event_id, event_type, z FROM sc WHERE abs(z) > 2.0""".stripMargin,
+
+    // weights are 0.5^(k+1) written as exact decimal literals (powers of two parse to
+    // exact doubles); the + chain is left-associative in both engines, so the fp sum
+    // order is pinned and the values match bit-for-bit; FLOOR-quantized (not ROUND —
+    // half-tie handling differs between engines on exact decimal ties)
+    "ev_ewma" ->
+      """SELECT event_id, user_id, FLOOR((
+        |    value * 0.5
+        |  + COALESCE(lag(value, 1) OVER w, 0) * 0.25
+        |  + COALESCE(lag(value, 2) OVER w, 0) * 0.125
+        |  + COALESCE(lag(value, 3) OVER w, 0) * 0.0625
+        |  + COALESCE(lag(value, 4) OVER w, 0) * 0.03125
+        |  + COALESCE(lag(value, 5) OVER w, 0) * 0.015625
+        |  + COALESCE(lag(value, 6) OVER w, 0) * 0.0078125
+        |  + COALESCE(lag(value, 7) OVER w, 0) * 0.00390625
+        |  + COALESCE(lag(value, 8) OVER w, 0) * 0.001953125
+        |  + COALESCE(lag(value, 9) OVER w, 0) * 0.0009765625
+        |  + COALESCE(lag(value, 10) OVER w, 0) * 0.00048828125
+        |  + COALESCE(lag(value, 11) OVER w, 0) * 0.000244140625
+        |  + COALESCE(lag(value, 12) OVER w, 0) * 0.0001220703125
+        |  + COALESCE(lag(value, 13) OVER w, 0) * 0.00006103515625
+        |  + COALESCE(lag(value, 14) OVER w, 0) * 0.000030517578125
+        |  + COALESCE(lag(value, 15) OVER w, 0) * 0.0000152587890625
+        |  ) * 1000000.0) / 1000000.0 AS ewma
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
 
     "ev_props_extract" ->
       """WITH e AS (SELECT event_type,

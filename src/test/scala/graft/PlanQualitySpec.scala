@@ -34,6 +34,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(pb.contains("percentile"), "doc_length_buckets lost its exact percentile")
   }
 
+  test("ev_ewma: all 16 lags evaluate in ONE window (one sort, one exchange per key)") {
+    val p = plan("ev_ewma")
+    assert("(?s)Window".r.findAllIn(p).length == 1, s"lag chain split into multiple Window nodes:\n$p")
+    assert("hashpartitioning\\(user_id".r.findFirstIn(p).isDefined, p)
+    // EWMA of a constant series: ewma_t = v * (1 - 0.5^min(t,16)) — hand-check boundary
+    import spark.implicits._
+    val df = (1 to 20).map(i => (i.toLong, new java.sql.Timestamp(i * 1000L), 7L, 8.0))
+      .toDF("event_id", "ts", "user_id", "value").createOrReplaceTempView("__ewma_const")
+    val got = SparkEntry.queries("ev_ewma")(spark, dir) // plan shape only; values below
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val terms = (0 until 16).map { k =>
+      val v = if (k == 0) col("value") else coalesce(lag(col("value"), k).over(w), lit(0.0))
+      v * lit(math.pow(0.5, k + 1))
+    }
+    val vals = spark.table("__ewma_const")
+      .withColumn("ewma", terms.reduce(_ + _))
+      .orderBy("event_id").collect().map(_.getAs[Double]("ewma"))
+    assert(math.abs(vals(0) - 4.0) < 1e-12)                       // t=1: v/2
+    assert(math.abs(vals(3) - 8.0 * (1 - math.pow(0.5, 4))) < 1e-12)
+    assert(math.abs(vals(19) - 8.0 * (1 - math.pow(0.5, 16))) < 1e-12) // truncated horizon
+  }
+
   test("q_dim_join: dimension joins broadcast") {
     val p = plan("q_dim_join")
     assert(p.contains("BroadcastHashJoin"))
