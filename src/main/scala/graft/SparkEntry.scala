@@ -745,6 +745,11 @@ object SparkEntry {
       SampleOps.stratifiedSample(t(s, dir, "documents"),
         rates = Map("en" -> 50, "zh" -> 100), defaultPct = 20)),
 
+    // exactly-k uniform carve-out (eval-set sized, same members every re-run): k smallest
+    // content hashes via TakeOrderedAndProject — per-task k-row heaps, no global sort
+    "doc_uniform_take" -> ((s, dir) =>
+      SampleOps.uniformTakeK(t(s, dir, "documents"), k = 100)),
+
     // per-domain quota: keep the top-N docs of each source by quality (the web-corpus
     // domain cap); deterministic tie-break by doc_id
     "doc_quota_sample" -> ((s, dir) => {
@@ -2351,6 +2356,10 @@ object SparkEntry {
         |    / COUNT(*), 4) AS avg_logprob
         |FROM toks t JOIN freq f USING (token) CROSS JOIN tot t2
         |GROUP BY t.doc_id""".stripMargin,
+
+    "doc_uniform_take" ->
+      """SELECT doc_id, CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS h
+        |FROM documents ORDER BY h, doc_id LIMIT 100""".stripMargin,
 
     "doc_entropy" ->
       """WITH toks AS (SELECT doc_id,

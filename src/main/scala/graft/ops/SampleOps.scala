@@ -171,6 +171,26 @@ object SampleOps {
   }
 
   /**
+   * Exactly-k uniform sample, deterministic: the k smallest 60-bit content hashes win
+   * (ties broken by id). The fixed-size complement of the rate-based samplers — carving
+   * a 10k-doc eval set out of a corpus needs "exactly k, same k on every re-run", which
+   * per-row keep-rates can't give. Content-keyed like every sampler here: membership
+   * survives re-partitioning, re-ordering, and incremental re-runs.
+   *
+   * Plan shape: order-by + limit compiles to TakeOrderedAndProject — each task keeps a
+   * k-row heap over its partition and the driver merges `tasks·k` rows; no global sort,
+   * no full-corpus shuffle, texts never leave the scan projection.
+   */
+  def uniformTakeK(
+      df: DataFrame,
+      k: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol), TextOps.md5Hash60(col(textCol)).as("h"))
+      .orderBy(col("h"), col(idCol))
+      .limit(k)
+
+  /**
    * Sketch-based contamination screen — [[contamination]] with the benchmark inventory
    * compressed into a Bloom filter instead of an exact broadcast set. The 100 TB case
    * for this: a deny-list of 10⁹ shingle/URL/digest longs is an 8 GB exact broadcast

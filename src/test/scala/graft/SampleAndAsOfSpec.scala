@@ -178,6 +178,20 @@ class SampleAndAsOfSpec extends SparkSpec {
     assert(!out.contains(2L)) // clean docs don't surface
   }
 
+  test("uniformTakeK: exactly k, repartition-invariant membership, heap plan not global sort") {
+    val docs = (1L to 200L).map(i => (i, s"document number $i with content")).toDF("doc_id", "text")
+    val q = SampleOps.uniformTakeK(docs, k = 25)
+    val a = q.collect().map(_.getLong(0)).toSet
+    assert(a.size == 25)
+    val b = SampleOps.uniformTakeK(docs.repartition(7), k = 25).collect().map(_.getLong(0)).toSet
+    assert(a == b, "membership must survive re-partitioning")
+    // k=25 of 200: supersets nest — the k=10 carve-out is inside the k=25 one
+    val c = SampleOps.uniformTakeK(docs, k = 10).collect().map(_.getLong(0)).toSet
+    assert(c.subsetOf(a), "smaller carve-outs must nest inside larger ones")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"expected per-task heap + driver merge:\n$p")
+  }
+
   test("bloomContamination: flags superset of exact screen, no false negatives, deterministic") {
     val corpus = Seq(
       (1L, "one two three four five"),
