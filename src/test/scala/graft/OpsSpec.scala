@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{DedupOps, MultimodalOps, TextOps, VectorOps}
+import graft.ops.{DedupOps, ModelStore, MultimodalOps, TextOps, VectorOps}
 
 class DedupOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -339,6 +339,44 @@ class VectorOpsSpec extends SparkSpec {
       trainedIvf = Some(cents), trainedPq = Some(books))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == again)
+  }
+
+  test("ModelStore: every trained-model kind round-trips bit-exact and probes identically") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 4)
+    val base = java.nio.file.Files.createTempDirectory("modelstore").toString
+    // centroids
+    val cents = VectorOps.kmeansFit(e, 8, iters = 2)
+    ModelStore.saveCentroids(spark, cents, s"$base/cents")
+    val cents2 = ModelStore.loadCentroids(spark, s"$base/cents")
+    assert(cents.length == cents2.length &&
+      cents.zip(cents2).forall { case (a, b) => a.sameElements(b) })
+    // PQ codebooks
+    val books = VectorOps.pqFit(e, m = 8, k = 16)
+    ModelStore.savePqBooks(spark, books, s"$base/pq")
+    val books2 = ModelStore.loadPqBooks(spark, s"$base/pq")
+    assert(books.length == books2.length && books.zip(books2).forall { case (ba, bb) =>
+      ba.length == bb.length && ba.zip(bb).forall { case (a, b) => a.sameElements(b) } })
+    // SQ ranges
+    val sq = VectorOps.sqFit(e)
+    ModelStore.saveSqModel(spark, sq, s"$base/sq")
+    val sq2 = ModelStore.loadSqModel(spark, s"$base/sq")
+    assert(sq.mins.sameElements(sq2.mins) && sq.maxs.sameElements(sq2.maxs))
+    // PCA
+    val pca = VectorOps.pcaFit(e, k = 4)
+    ModelStore.savePcaModel(spark, pca, s"$base/pca")
+    val pca2 = ModelStore.loadPcaModel(spark, s"$base/pca")
+    assert(pca.mean.sameElements(pca2.mean) && pca.eigenvalues.sameElements(pca2.eigenvalues) &&
+      pca.basis.zip(pca2.basis).forall { case (a, b) => a.sameElements(b) })
+    // a loaded model probes identically to the in-memory one
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(VectorOps.sqTopK(e, q, k = 3, trained = Some(sq2))) ==
+      pairs(VectorOps.sqTopK(e, q, k = 3, trained = Some(sq))))
+    assert(pairs(VectorOps.ivfTopK(e, q, k = 3, nCentroids = 8, nProbe = 2,
+      trained = Some(cents2))) ==
+      pairs(VectorOps.ivfTopK(e, q, k = 3, nCentroids = 8, nProbe = 2,
+        trained = Some(cents))))
   }
 
   test("benchQueries: operator-only variants match the gated operators (VERDICT r3 #1)") {
