@@ -732,6 +732,12 @@ object SparkEntry {
             .cast(DecimalType(18, 8))).cast(DoubleType) / count(lit(1))), 4).as("avg_logprob"))
     }),
 
+    // longest repeated token n-gram per doc (intra-doc memorization/looping signal):
+    // one native-expression call per document, zero shuffle; representative pinned to
+    // the lexicographically smallest maximal repeat so both engines agree
+    "doc_longest_repeat" -> ((s, dir) =>
+      TextOps.longestRepeatedSpan(t(s, dir, "documents"))),
+
     // per-doc Shannon entropy of the token distribution (degenerate/looped text filter):
     // H = log10(n) - (sum c*log10(c))/n over per-doc counts — (doc_id, token) count rows
     // shuffle, texts never do; terms decimal-quantized per the cross-engine discipline
@@ -2360,6 +2366,25 @@ object SparkEntry {
     "doc_uniform_take" ->
       """SELECT doc_id, CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS h
         |FROM documents ORDER BY h, doc_id LIMIT 100""".stripMargin,
+
+    // the oracle brute-forces ALL n-gram lengths (O(n^2) per doc — fine at gate SF);
+    // Spark binary-searches the monotone "has repeat of length L" predicate per doc
+    "doc_longest_repeat" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |l AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 2),
+        |g AS (SELECT doc_id, CAST(r1.L AS INT) AS L,
+        |    array_to_string(toks[s.s+1 : s.s+CAST(r1.L AS INT)], ' ') AS gram
+        |  FROM l, unnest(range(1, n)) AS r1(L), unnest(range(0, n - r1.L + 1)) AS s(s)),
+        |rep AS (SELECT doc_id, L, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2),
+        |best AS (SELECT doc_id, MAX(L) AS rep_len FROM rep GROUP BY 1),
+        |pick AS (SELECT r.doc_id, r.L AS rep_len, r.gram, r.cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY r.doc_id ORDER BY r.gram) AS rn
+        |  FROM rep r JOIN best b ON r.doc_id = b.doc_id AND r.L = b.rep_len)
+        |SELECT doc_id, CAST(rep_len AS INT) AS rep_len, gram AS rep_text,
+        |  CAST(cnt AS BIGINT) AS n_occ
+        |FROM pick WHERE rn = 1""".stripMargin,
 
     "doc_entropy" ->
       """WITH toks AS (SELECT doc_id,

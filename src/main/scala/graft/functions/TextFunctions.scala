@@ -106,6 +106,84 @@ object TextExpressions {
    * multiplicity of [[ShingleHashes]]-hashed bigrams (same Seed1 token hash + Seed2 chain,
    * so counts agree bit-for-bit with the exploded variant). Docs with < 2 tokens report 0.
    */
+  /**
+   * `longest_repeat(tokens)` — the longest token n-gram occurring ≥2 times within the
+   * document (occurrences may overlap), with a deterministic representative: among the
+   * maximal-length repeated n-grams, the lexicographically smallest. The per-document
+   * memorization/looping risk signal (a long verbatim internal repeat is what loopy
+   * generations and boilerplate-stuffed pages look like).
+   *
+   * One expression call per document, zero shuffle. "Some n-gram of length L repeats"
+   * is monotone in L, so the maximal L binary-searches in O(log n) passes; each check
+   * hashes the L-grams of the doc into a set (exact string keys — no collision caveat).
+   * Returns NULL when no token repeats at all (all-distinct docs).
+   */
+  case class LongestRepeat(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("rep_len", IntegerType, nullable = false),
+      StructField("rep_text", StringType, nullable = false),
+      StructField("n_occ", LongType, nullable = false)))
+    override def nullIntolerant: Boolean = true
+    override def nullable: Boolean = true
+
+    /** Joined L-gram starting at `s` (single-space separator, matching the oracle's
+      * array_to_string). */
+    private def gram(toks: Array[UTF8String], s: Int, L: Int): String = {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i < L) {
+        if (i > 0) sb.append(' ')
+        sb.append(toks(s + i).toString)
+        i += 1
+      }
+      sb.toString
+    }
+
+    private def hasRepeat(toks: Array[UTF8String], L: Int): Boolean = {
+      val seen = new java.util.HashSet[String]((toks.length - L + 1) * 2)
+      var s = 0
+      while (s + L <= toks.length) {
+        if (!seen.add(gram(toks, s, L))) return true
+        s += 1
+      }
+      false
+    }
+
+    override protected def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val toks = new Array[UTF8String](n)
+      var i = 0
+      while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
+      if (n < 2 || toks.exists(_ == null)) return null
+      if (!hasRepeat(toks, 1)) return null
+      var lo = 1 // invariant: repeat exists at lo
+      var hi = n - 1
+      while (lo < hi) { // find max L with a repeat
+        val mid = (lo + hi + 1) / 2
+        if (hasRepeat(toks, mid)) lo = mid else hi = mid - 1
+      }
+      val counts = new java.util.HashMap[String, Long]()
+      var s = 0
+      while (s + lo <= n) {
+        counts.merge(gram(toks, s, lo), 1L, (x, y) => x + y)
+        s += 1
+      }
+      // tie-break in UTF-8 BYTE order (UTF8String.compareTo = memcmp), matching the
+      // oracle's VARCHAR MIN — Java String.compareTo is UTF-16 order, which differs
+      // beyond the BMP
+      var best: UTF8String = null
+      var bestCnt = 0L
+      counts.forEach { (g, c) =>
+        val u = UTF8String.fromString(g)
+        if (c >= 2 && (best == null || u.compareTo(best) < 0)) { best = u; bestCnt = c }
+      }
+      new GenericInternalRow(Array[Any](lo, best, bestCnt))
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class TextSignals(child: Expression, stopwords: Seq[String])
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = StructType(Seq(
@@ -477,6 +555,9 @@ object TextFunctions {
 
   /** One-pass hashed shingles + consumers over pre-hashed arrays (the fast path). */
   def shingleHashes(toks: Column, n: Int): Column   = column(ShingleHashes(expression(toks), n))
+  def longestRepeat(toks: Column): Column =
+    column(LongestRepeat(expression(toks)))
+
   def textSignals(toks: Column, stopwords: Seq[String]): Column =
     column(TextSignals(expression(toks), stopwords))
   def deflateRatio(text: Column): Column = column(DeflateRatio(expression(text)))

@@ -423,6 +423,23 @@ object TextOps {
         round(log10(col("n_tokens").cast("double")).cast(DecimalType(18, 8)).cast("double")
           - col("__s").cast("double") / col("n_tokens"), 4).as("entropy10"))
 
+  /**
+   * Longest repeated token n-gram per document — the memorization/looping risk signal
+   * (long verbatim internal repeats are what loopy generations and boilerplate-stuffed
+   * pages look like; ExactSubstr-style dedup reasons about the CROSS-doc version, this
+   * is the intra-doc one). One [[graft.functions.TextFunctions.longestRepeat]] expression
+   * call per document — zero shuffle, the maximal length binary-searched in O(log n)
+   * set-membership passes; docs with no repeated token at all drop out. Deterministic
+   * representative: lexicographically smallest (UTF-8 byte order) among the maximal
+   * repeats, with its occurrence count (overlaps counted).
+   */
+  def longestRepeatedSpan(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol), TextFunctions.longestRepeat(tokensCol(col(textCol))).as("__r"))
+      .filter(col("__r").isNotNull)
+      .select(col(idCol), col("__r.rep_len").as("rep_len"),
+        col("__r.rep_text").as("rep_text"), col("__r.n_occ").as("n_occ"))
+
   /** First 60 bits of md5 as a long — the hash shared with the DuckDB oracles
     * (`CAST('0x' || substring(md5(x),1,15) AS BIGINT)`). 60 bits so the unsigned hex value
     * always fits a signed long. Pure built-ins, codegen'd. */

@@ -527,6 +527,37 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L).getAs[Double]("top_bigram_frac") == 0.0)
   }
 
+  test("longestRepeatedSpan: equals naive all-lengths reference; no-repeat docs drop") {
+    def naive(text: String): Option[(Int, String, Long)] = {
+      val toks = text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+      val reps = for {
+        l <- 1 until toks.length
+        grams = toks.sliding(l).map(_.mkString(" ")).toSeq
+        counts = grams.groupBy(identity).view.mapValues(_.size.toLong).filter(_._2 >= 2)
+        if counts.nonEmpty
+      } yield (l, counts.keys.min, counts(counts.keys.min))
+      reps.lastOption
+    }
+    val texts = Seq(
+      1L -> "a b c a b c a b", // "a b c a b" repeats? no — longest is "a b c a b"? check vs naive
+      2L -> "x y z w",          // all distinct -> dropped
+      3L -> "spam spam spam spam",
+      4L -> "the quick fox saw the quick dog near the quick fox den",
+      5L -> "p q p q r p q p q")
+    val df = texts.toDF("doc_id", "text")
+    val got = TextOps.longestRepeatedSpan(df).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2), r.getLong(3)))).toMap
+    texts.foreach { case (id, text) =>
+      naive(text) match {
+        case Some(exp) => assert(got(id) == exp, s"doc $id: got ${got.get(id)} expected $exp")
+        case None      => assert(!got.contains(id), s"doc $id must drop (no repeat)")
+      }
+    }
+    // zero-shuffle plan: a scan-side projection, no exchange
+    val p = TextOps.longestRepeatedSpan(df).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"longestRepeatedSpan must not shuffle:\n$p")
+  }
+
   test("tokenEntropy: looped text ~0, all-distinct = log10(n), mixed in between") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam spam spam"),       // one token: H = 0
