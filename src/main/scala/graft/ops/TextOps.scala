@@ -435,7 +435,12 @@ object TextOps {
    */
   def longestRepeatedSpan(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
-    df.select(col(idCol), TextFunctions.longestRepeat(tokensCol(col(textCol))).as("__r"))
+    // explode(array(e)) makes the struct a GENERATOR OUTPUT — a real attribute, not an
+    // alias — so the isNotNull predicate cannot push below it and re-evaluate the
+    // expression in a Filter (the CollapseProject __sig trick alone doesn't survive
+    // predicate pushdown's alias substitution); exactly one eval per document
+    df.select(col(idCol),
+        explode(array(TextFunctions.longestRepeat(tokensCol(col(textCol))))).as("__r"))
       .filter(col("__r").isNotNull)
       .select(col(idCol), col("__r.rep_len").as("rep_len"),
         col("__r.rep_text").as("rep_text"), col("__r.n_occ").as("n_occ"))

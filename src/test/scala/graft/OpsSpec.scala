@@ -553,9 +553,13 @@ class TextOpsSpec extends SparkSpec {
         case None      => assert(!got.contains(id), s"doc $id must drop (no repeat)")
       }
     }
-    // zero-shuffle plan: a scan-side projection, no exchange
+    // zero-shuffle plan: a scan-side projection, no exchange; and the expensive
+    // expression survives optimization as EXACTLY ONE evaluation (the Generate barrier —
+    // without it, isNotNull pushdown re-evaluates it in a Filter)
     val p = TextOps.longestRepeatedSpan(df).queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"longestRepeatedSpan must not shuffle:\n$p")
+    val evals = "(?i)longestrepeat\\(".r.findAllIn(p).length
+    assert(evals == 1, s"expected exactly one longestRepeat eval, found $evals:\n$p")
   }
 
   test("tokenEntropy: looped text ~0, all-distinct = log10(n), mixed in between") {
