@@ -91,7 +91,7 @@ object TextOps {
     // signal pass runs once per row (the inline form re-ran it per derived column)
     val base = df.select(
       Seq(col(idCol)) ++ keep.map(col) ++ Seq(
-        TextFunctions.textSignals(tokensCol(col(textCol)), Stopwords).as("__sig"),
+        explode(array(TextFunctions.textSignals(tokensCol(col(textCol)), Stopwords))).as("__sig"),
         length(col(textCol)).cast("double").as("__nchar"),
         (length(col(textCol)) - length(regexp_replace(col(textCol), " ", "")))
           .cast("double").as("__nspace")): _*)
@@ -133,7 +133,7 @@ object TextOps {
       keep: Seq[String] = Nil): DataFrame = {
     val base = df.select(
       Seq(col(idCol)) ++ keep.map(col) ++ Seq(
-        TextFunctions.textSignals(tokensCol(col(textCol)), Stopwords).as("__sig"),
+        explode(array(TextFunctions.textSignals(tokensCol(col(textCol)), Stopwords))).as("__sig"),
         SampleOps.hashBucket(col(textCol)).as("bucket")): _*)
     base.select(
       Seq(col(idCol)) ++ keep.map(col) ++ Seq(
@@ -397,7 +397,7 @@ object TextOps {
     // state); the former explode + two keyed exchanges + join shape paid two shuffles
     // of the bigram stream for a per-document statistic
     val base = df.select(col(idCol),
-      TextFunctions.textSignals(tokensCol(col(textCol)), Stopwords).as("__sig"))
+      explode(array(TextFunctions.textSignals(tokensCol(col(textCol)), Stopwords))).as("__sig"))
     base.select(
       col(idCol), col("__sig.n_tokens").as("n_tokens"),
       distinctRatioCol.as("distinct_ratio"),

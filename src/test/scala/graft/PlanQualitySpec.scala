@@ -34,6 +34,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(pb.contains("percentile"), "doc_length_buckets lost its exact percentile")
   }
 
+  test("TextSignals evaluates once per scan branch — the Generate barrier holds under pushdown") {
+    // Before the explode(array(...)) barrier, predicate pushdown's alias substitution
+    // re-materialized TextSignals in Filters: 7/10/20 instances in the clean/clean_v2/
+    // prepare_v3 executed plans (each one a full tokenize + signal pass per row).
+    for ((q, cap) <- Seq("doc_corpus_clean" -> 1, "doc_corpus_clean_v2" -> 1,
+        "doc_corpus_prepare_v3" -> 2, "doc_quality" -> 1, "doc_repetition" -> 1,
+        "doc_quota_sample" -> 1)) {
+      val p = plan(q)
+      val n = "(?i)textsignals\\(".r.findAllIn(p).length
+      assert(n <= cap, s"$q: TextSignals re-evaluates ($n instances, cap $cap):\n$p")
+    }
+  }
+
   test("ev_ewma: all 16 lags evaluate in ONE window (one sort, one exchange per key)") {
     val p = plan("ev_ewma")
     assert("(?s)Window".r.findAllIn(p).length == 1, s"lag chain split into multiple Window nodes:\n$p")
