@@ -738,6 +738,12 @@ object SparkEntry {
     "doc_longest_repeat" -> ((s, dir) =>
       TextOps.longestRepeatedSpan(t(s, dir, "documents"))),
 
+    "doc_bigram_logprob" -> ((s, dir) =>
+      TextOps.bigramLogprob(t(s, dir, "documents"))),
+
+    "doc_ccnet_buckets" -> ((s, dir) =>
+      TextOps.ccnetBuckets(t(s, dir, "documents"))),
+
     // per-doc Shannon entropy of the token distribution (degenerate/looped text filter):
     // H = log10(n) - (sum c*log10(c))/n over per-doc counts — (doc_id, token) count rows
     // shuffle, texts never do; terms decimal-quantized per the cross-engine discipline
@@ -2362,6 +2368,55 @@ object SparkEntry {
         |    / COUNT(*), 4) AS avg_logprob
         |FROM toks t JOIN freq f USING (token) CROSS JOIN tot t2
         |GROUP BY t.doc_id""".stripMargin,
+
+    // interpolated bigram LM: per-occurrence quantized log terms summed per doc — the
+    // Spark side sums k * quantized(term) over distinct (doc,bigram), identical in
+    // decimal arithmetic
+    "doc_bigram_logprob" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS l
+        |  FROM documents),
+        |uni AS (SELECT unnest(l) AS w FROM toks),
+        |ufreq AS (SELECT w, COUNT(*) AS cu FROM uni GROUP BY w),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM uni),
+        |big AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(l)), i -> struct_pack(w1 := l[i], w2 := l[i+1]))) AS bg
+        |  FROM toks WHERE len(l) >= 2),
+        |bs AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM big),
+        |bfreq AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM bs GROUP BY w1, w2)
+        |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  ROUND(CAST(SUM(CAST(LOG10(
+        |      (0.5 * (CAST(f.cb AS DOUBLE) / u1.cu)) + (0.5 * (CAST(u2.cu AS DOUBLE) / t.total))
+        |    ) AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 4) AS avg_logprob
+        |FROM bs s JOIN bfreq f USING (w1, w2)
+        |JOIN ufreq u1 ON s.w1 = u1.w JOIN ufreq u2 ON s.w2 = u2.w CROSS JOIN tot t
+        |GROUP BY s.doc_id""".stripMargin,
+
+    // CCNet head/middle/tail terciles per language: discrete rank rule over the 1e-4
+    // score grid — integer comparisons only, no interpolation to drift cross-engine
+    "doc_ccnet_buckets" ->
+      """WITH toks AS (SELECT doc_id, lang,
+        |  unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |freq AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+        |tot AS (SELECT COUNT(*) AS total FROM toks),
+        |perdoc AS (SELECT t.doc_id, t.lang,
+        |    ROUND(CAST(SUM(CAST(LOG10(CAST(f.cnt AS DOUBLE) / t2.total) AS DECIMAL(18,8))) AS DOUBLE)
+        |      / COUNT(*), 4) AS avg_logprob
+        |  FROM toks t JOIN freq f USING (token) CROSS JOIN tot t2
+        |  GROUP BY t.doc_id, t.lang),
+        |grid AS (SELECT doc_id, lang, avg_logprob,
+        |    CAST(round(avg_logprob * 10000) AS BIGINT) AS g FROM perdoc),
+        |hist AS (SELECT lang, g, COUNT(*) AS c FROM grid GROUP BY lang, g),
+        |cum AS (SELECT lang, g, SUM(c) OVER (PARTITION BY lang ORDER BY g) AS cum FROM hist),
+        |n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM grid GROUP BY lang),
+        |thr AS (SELECT c.lang,
+        |    MIN(CASE WHEN c.cum >= CEIL(n.n / 3.0) THEN c.g END) AS t1,
+        |    MIN(CASE WHEN c.cum >= CEIL((n.n * 2) / 3.0) THEN c.g END) AS t2
+        |  FROM cum c JOIN n USING (lang) GROUP BY c.lang)
+        |SELECT g.doc_id, g.lang, g.avg_logprob,
+        |  CASE WHEN g.g > t.t2 THEN 'head' WHEN g.g > t.t1 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM grid g JOIN thr t USING (lang)""".stripMargin,
 
     "doc_uniform_take" ->
       """SELECT doc_id, CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS h

@@ -556,4 +556,97 @@ object TextOps {
       .where(col("n") * invPhi > col("n_total"))
       .select(col("token"), col("n"))
   }
+
+  /**
+   * Jelinek-Mercer interpolated bigram language-model score per document:
+   * `avg over bigrams of log10(lambda * P(w2|w1) + (1-lambda) * P(w2))`, the classic
+   * smoothed-LM fluency signal (higher = more natural text; the bigram term catches
+   * word-salad documents a unigram model scores as fluent).
+   *
+   * Scale shape: bigram construction is a pure NARROW map (`transform` over token-array
+   * indices — no posexplode + window, which would shuffle and sort the whole token
+   * stream by doc). The occurrence stream is collapsed to distinct `(doc, bigram)` rows
+   * with multiplicity `k` in ONE corpus-sized exchange; the bigram frequency table then
+   * folds off that aggregate (distinct-bigram-sized, never a second corpus shuffle) and
+   * joins back on the bigram key — at 100 TB that join is shuffle-hash over distinct
+   * tuples while the unigram table and the grand total broadcast. Per-occurrence
+   * log terms enter the sum as `k * quantized(log)` — exactly equal, in decimal
+   * arithmetic, to summing k quantized copies, which is what the DuckDB oracle does.
+   * The multiplicity is cast to DECIMAL(10,0) first: a raw long * DECIMAL(18,8) product
+   * overflows precision 38 and Spark silently drops the scale to 7.
+   */
+  def bigramLogprob(df: DataFrame, lambda: Double = 0.5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol), tokensCol(col(textCol)).as("__l"))
+    val ufreq = toks.select(explode(col("__l")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val total = ufreq.agg(sum(col("cu")).as("total"))
+    val big = toks.where(size(col("__l")) >= 2).select(col(idCol),
+        explode(expr("transform(sequence(1, size(__l) - 1), " +
+          "i -> struct(element_at(__l, i) AS w1, element_at(__l, i + 1) AS w2))")).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val perDoc = big.groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("k"))
+    val bfreq = perDoc.groupBy("w1", "w2").agg(sum(col("k")).as("cb"))
+    // fixed operand order, mirrored verbatim in the oracle SQL: lambda scaling by 0.5 is
+    // a power-of-two multiply (exact), the two ratios are single IEEE divisions
+    val p = (lit(lambda) * (col("cb").cast("double") / col("cu1"))) +
+      (lit(1.0 - lambda) * (col("cu2").cast("double") / col("total")))
+    perDoc.join(bfreq, Seq("w1", "w2"))
+      .join(broadcast(ufreq.select(col("w").as("w1"), col("cu").as("cu1"))), "w1")
+      .join(broadcast(ufreq.select(col("w").as("w2"), col("cu").as("cu2"))), "w2")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("k")).as("n_bigrams"),
+        round(sum(col("k").cast(DecimalType(10, 0)) *
+            log(10.0, p).cast(DecimalType(18, 8))).cast("double") / sum(col("k")), 4)
+          .as("avg_logprob"))
+  }
+
+  /**
+   * CCNet-style perplexity terciles (Wenzek et al., "CCNet: Extracting High Quality
+   * Monolingual Datasets from Web Crawl Data", 2020): per language, documents split into
+   * head / middle / tail by their LM score tercile — head = the most-fluent third, the
+   * standard curriculum / filtering knob for web-crawl corpora. The LM here is the
+   * corpus unigram model (identical arithmetic to the oracle-green unigram-logprob
+   * gate); the bucketing is what this operator adds.
+   *
+   * Cross-engine exactness: tercile thresholds use the DISCRETE rank rule (smallest
+   * grid value whose cumulative count reaches ceil(n/3), ceil(2n/3)) over the 1e-4
+   * score grid (`round(avg_logprob, 4) * 10000` as a long) — integer comparisons only,
+   * so no engine can disagree by a ulp the way interpolated percentiles can.
+   *
+   * Scale shape: the histogram is grid-sized (distinct score values per language, not
+   * docs), thresholds are a per-language row that broadcasts back, and assignment is a
+   * pure map. The per-doc score table feeds both the histogram and the final join —
+   * at 100 TB persist/checkpoint it between the two consumers.
+   */
+  def ccnetBuckets(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      langCol: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), col(langCol),
+      explode(tokensCol(col(textCol))).as("token"))
+    val freq = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    val perDoc = toks.join(broadcast(freq), "token").crossJoin(broadcast(total))
+      .groupBy(col(idCol), col(langCol))
+      .agg(round((sum(log(10.0, col("cnt").cast("double") / col("total"))
+        .cast(DecimalType(18, 8))).cast("double") / count(lit(1))), 4).as("avg_logprob"))
+      .withColumn("__g", round(col("avg_logprob") * 10000).cast("long"))
+    val hist = perDoc.groupBy(col(langCol), col("__g")).agg(count(lit(1)).as("c"))
+    val n = hist.groupBy(langCol).agg(sum(col("c")).as("n"))
+    val wCum = Window.partitionBy(col(langCol)).orderBy(col("__g"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = hist.withColumn("cum", sum(col("c")).over(wCum))
+      .join(broadcast(n), langCol)
+      .groupBy(col(langCol))
+      .agg(
+        min(when(col("cum") >= ceil(col("n") / 3.0), col("__g"))).as("t1"),
+        min(when(col("cum") >= ceil((col("n") * 2) / 3.0), col("__g"))).as("t2"))
+    perDoc.join(broadcast(thr), langCol)
+      .select(col(idCol), col(langCol), col("avg_logprob"),
+        when(col("__g") > col("t2"), lit("head"))
+          .when(col("__g") > col("t1"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
 }

@@ -47,6 +47,24 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("doc_bigram_logprob: narrow bigram construction, unigram tables broadcast") {
+    val p = plan("doc_bigram_logprob")
+    // bigrams come from a transform over the token array — a posexplode + lag window
+    // would shuffle AND sort the whole token stream by doc
+    assert(!p.contains("Window"), s"bigram construction fell back to a window:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"unigram frequency joins must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unbroadcast cross join:\n$p")
+  }
+
+  test("doc_ccnet_buckets: grid-sized histogram window, thresholds broadcast back") {
+    val p = plan("doc_ccnet_buckets")
+    // exactly one Window — the cumulative count over DISTINCT grid values per lang;
+    // a per-doc NTILE would sort every document on one reducer per language
+    assert("(?s)Window".r.findAllIn(p).length == 1, s"expected one histogram window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"threshold join must broadcast:\n$p")
+  }
+
   test("ev_ewma: all 16 lags evaluate in ONE window (one sort, one exchange per key)") {
     val p = plan("ev_ewma")
     assert("(?s)Window".r.findAllIn(p).length == 1, s"lag chain split into multiple Window nodes:\n$p")
