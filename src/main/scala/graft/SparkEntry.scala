@@ -439,6 +439,16 @@ object SparkEntry {
     // outlier detection: per-type population z-scores from EXACT decimal moments (n, Σv,
     // Σv²) — the tiny stats table broadcasts back, so scoring is a pure map; the decimal
     // sums cast to double identically in both engines, making every derived z identical
+    // per-key exact percentiles (latency-profile style p50/p95/p99) via the grouped
+    // distributed histogram — never the Percentile value-map buffer
+    "ev_percentiles" -> ((s, dir) =>
+      SampleOps.groupedExactPercentiles(t(s, dir, "events"), "event_type",
+          round(col("value") * 100), Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99)))
+        .select(col("event_type"),
+          round(col("p50") / 100, 2).as("p50"),
+          round(col("p95") / 100, 2).as("p95"),
+          round(col("p99") / 100, 2).as("p99"))),
+
     "ev_zscore" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("event_type"), dec(col("value"), 12, 6).as("v"))
@@ -674,6 +684,15 @@ object SparkEntry {
     "doc_dup_clusters" -> ((s, dir) =>
       DedupOps.duplicateClusters(
         DedupOps.minhashLshVerifiedPairs(t(s, dir, "documents"), threshold = 0.2))),
+
+    // quality-aware canonical selection: each dup cluster keeps its longest member
+    "doc_dup_keep_best" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      DedupOps.keepBest(
+        DedupOps.duplicateClusters(
+          DedupOps.minhashLshVerifiedPairs(d, threshold = 0.2)),
+        d, scoreCol = "n_chars")
+    }),
 
     // ---- training-data ops: text analysis -----------------------------------------------------
 
@@ -1536,6 +1555,21 @@ object SparkEntry {
           |  SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id)
           |SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id""".stripMargin),
 
+    "doc_dup_keep_best" ->
+      (s"WITH RECURSIVE pr AS ($jaccardPairsOracle),\n" +
+        """edges AS (SELECT id_a AS src, id_b AS dst FROM pr UNION SELECT id_b, id_a FROM pr),
+          |reach(id, r) AS (
+          |  SELECT src, src FROM edges GROUP BY src
+          |  UNION
+          |  SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id),
+          |cl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+          |scored AS (SELECT c.id, c.cluster_id, d.n_chars
+          |  FROM cl c JOIN documents d ON c.id = d.doc_id),
+          |best AS (SELECT cluster_id, id AS keep_id FROM scored
+          |  QUALIFY row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, id) = 1)
+          |SELECT s.id AS doc_id, s.cluster_id, b.keep_id, s.id = b.keep_id AS kept
+          |FROM scored s JOIN best b USING (cluster_id)""".stripMargin),
+
     "doc_corpus_clean_v2" ->
       (s"WITH RECURSIVE pr AS ($jaccardPairsOracle),\n" +
         """edges AS (SELECT id_a AS src, id_b AS dst FROM pr UNION SELECT id_b, id_a FROM pr),
@@ -1805,6 +1839,13 @@ object SparkEntry {
         |  first_purchase_ms IS NOT NULL AS converted,
         |  first_purchase_ms - signup_ms AS latency_ms
         |FROM agg""".stripMargin,
+
+    "ev_percentiles" ->
+      """SELECT event_type,
+        |  ROUND(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) / 100, 2) AS p50,
+        |  ROUND(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.95) / 100, 2) AS p95,
+        |  ROUND(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.99) / 100, 2) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "ev_zscore" ->
       """WITH e AS (SELECT event_id, event_type, CAST(value AS DECIMAL(12,6)) AS v FROM events),

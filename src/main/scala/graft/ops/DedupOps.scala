@@ -599,4 +599,29 @@ object DedupOps {
       .withColumn("admitted",
         when(col("n_windows") > 0, frac <= maxSharedFrac).otherwise(lit(true)))
   }
+
+  /**
+   * Quality-aware canonical selection over duplicate clusters: instead of the min-id
+   * survivor [[duplicateClusters]] pins, keep the member that maximizes `scoreCol`
+   * (ties break to the smallest id) — the "keep the longest / highest-quality copy"
+   * policy real corpus pipelines use, where near-dup clusters mix truncated and
+   * complete versions of a page. One row per cluster member with its cluster, the
+   * winning id, and a `kept` flag.
+   *
+   * Scale shape: the argmax is a single `max(struct(score, -id))` hash aggregate
+   * (no per-cluster sort window), and the winner table joins back on `cluster_id` —
+   * the same key the aggregate just partitioned by, so AQE reuses the exchange. The
+   * winner table scales with cluster count, so it is NOT broadcast.
+   */
+  def keepBest(clusters: DataFrame, docs: DataFrame, scoreCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val scored = clusters.join(
+      docs.select(col(idCol).as("id"), col(scoreCol).as("__s")), "id")
+    val best = scored.groupBy(col("cluster_id"))
+      .agg(max(struct(col("__s").as("s"), (-col("id")).as("nid"))).as("__b"))
+      .select(col("cluster_id"), (-col("__b.nid")).as("keep_id"))
+    scored.join(best, "cluster_id")
+      .select(col("id").as(idCol), col("cluster_id"), col("keep_id"),
+        (col("id") === col("keep_id")).as("kept"))
+  }
 }

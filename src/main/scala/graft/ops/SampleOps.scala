@@ -406,4 +406,41 @@ object SampleOps {
     df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("dsir_weight"), lit(0.0)).as("dsir_weight"))
   }
+
+  /**
+   * Per-key EXACT percentiles over grid-valued columns — the grouped form of
+   * [[exactPercentiles]], same distributed-histogram construction: one corpus-sized
+   * `(key, value) -> count` hash aggregate with map-side combine, a cumulative window
+   * over the DISTINCT grid values per key (histogram-sized, never a serialized
+   * value-map buffer), and the `PercentileBase.getPercentile` interpolation replicated
+   * bit-for-bit so DuckDB's `quantile_cont` agrees. One output row per key with a
+   * double column per `(name, p)`.
+   */
+  def groupedExactPercentiles(df: DataFrame, keyCol: String, value: Column,
+      probs: Seq[(String, Double)]): DataFrame = {
+    require(probs.nonEmpty)
+    val hist = df.select(col(keyCol), value.cast("long").as("v"))
+      .where(col("v").isNotNull)
+      .groupBy(col(keyCol), col("v")).agg(count(lit(1)).as("c"))
+    val tot = hist.groupBy(keyCol).agg(sum(col("c")).as("n"))
+    val wCum = Window.partitionBy(col(keyCol)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("c")).over(wCum))
+      .join(broadcast(tot), keyCol)
+    val aggs = probs.flatMap { case (name, p) =>
+      val pos = lit(p) * (col("n") - 1)
+      Seq(
+        min(when(col("cum") >= floor(pos) + 1, col("v"))).as(s"__lv_$name"),
+        min(when(col("cum") >= ceil(pos) + 1, col("v"))).as(s"__hv_$name"),
+        first(pos).as(s"__pos_$name"))
+    }
+    val interp = probs.map { case (name, _) =>
+      val lv = col(s"__lv_$name"); val hv = col(s"__hv_$name"); val pos = col(s"__pos_$name")
+      val lo = floor(pos); val hi = ceil(pos)
+      when(lo === hi || lv === hv, lv.cast("double"))
+        .otherwise((hi - pos) * lv + (pos - lo) * hv).as(name)
+    }
+    cum.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(keyCol) +: interp: _*)
+  }
 }

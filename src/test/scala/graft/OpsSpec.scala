@@ -177,6 +177,22 @@ class DedupOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 2L -> 2L))
   }
 
+  test("keepBest: cluster survivor = max score, ties to smallest id; kept flag per member") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("id", "cluster_id")
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 30L), (7L, 5L), (9L, 5L), (42L, 99L))
+      .toDF("doc_id", "n_chars") // 42 is not in any cluster and must not appear
+    val out = DedupOps.keepBest(clusters, docs, "n_chars").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out == Map(
+      1L -> ((1L, 2L, false)), 2L -> ((1L, 2L, true)), 3L -> ((1L, 2L, false)), // tie 2 vs 3
+      7L -> ((7L, 7L, true)), 9L -> ((7L, 7L, false))))
+    // argmax is a hash aggregate, never a per-cluster sort window
+    val p = DedupOps.keepBest(clusters, docs, "n_chars")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"keepBest grew a window:\n$p")
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString

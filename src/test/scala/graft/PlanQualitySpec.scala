@@ -47,6 +47,15 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("ev_percentiles: grouped histogram percentiles — no Percentile value-map buffer") {
+    val opt = SparkEntry.queries("ev_percentiles")(spark, dir).queryExecution.optimizedPlan.toString
+    assert(!opt.contains("percentile("), s"Percentile buffer leaked into ev_percentiles:\n$opt")
+    val p = plan("ev_percentiles")
+    assert(p.contains("HashAggregate"), "histogram must hash-aggregate with partial combine")
+    // one cumulative window over distinct grid values per key
+    assert("(?s)Window".r.findAllIn(p).length == 1, s"expected one histogram window:\n$p")
+  }
+
   test("doc_bigram_logprob: narrow bigram construction, unigram tables broadcast") {
     val p = plan("doc_bigram_logprob")
     // bigrams come from a transform over the token array — a posexplode + lag window

@@ -241,4 +241,22 @@ class SampleAndAsOfSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"), r.getAs[Long]("ord")))
     assert(!a.sortBy(_._1).sameElements(c.sortBy(_._1)))
   }
+
+  test("groupedExactPercentiles == Spark's Percentile built-in, per key") {
+    val rng = new scala.util.Random(7)
+    val df = (1 to 400).map { i =>
+      (s"k${i % 3}", (rng.nextInt(200) - 40).toLong) }.toDF("k", "v")
+    val got = SampleOps.groupedExactPercentiles(df, "k", col("v"),
+        Seq(("p25", 0.25), ("p50", 0.5), ("p95", 0.95))).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val exp = df.groupBy("k")
+      .agg(expr("percentile(v, array(0.25, 0.5, 0.95))").as("p")).collect()
+      .map(r => r.getString(0) -> {
+        val p = r.getSeq[Double](1); ((p(0), p(1), p(2))) }).toMap
+    assert(got == exp)
+    // the histogram form must never plan the Percentile value-map buffer
+    val plan = SampleOps.groupedExactPercentiles(df, "k", col("v"), Seq(("p50", 0.5)))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("percentile("), s"Percentile buffer leaked into:\n$plan")
+  }
 }
