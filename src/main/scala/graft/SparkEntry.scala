@@ -685,6 +685,10 @@ object SparkEntry {
       DedupOps.duplicateClusters(
         DedupOps.minhashLshVerifiedPairs(t(s, dir, "documents"), threshold = 0.2))),
 
+    // greedy k-center coreset: 8 diverse representatives by farthest-point traversal
+    "emb_kcenter" -> ((s, dir) =>
+      VectorOps.kcenterSelect(t(s, dir, "embeddings"), k = 8)),
+
     // quality-aware canonical selection: each dup cluster keeps its longest member
     "doc_dup_keep_best" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -780,6 +784,10 @@ object SparkEntry {
     // content hashes via TakeOrderedAndProject — per-task k-row heaps, no global sort
     "doc_uniform_take" -> ((s, dir) =>
       SampleOps.uniformTakeK(t(s, dir, "documents"), k = 100)),
+
+    // Efraimidis–Spirakis exact-k weighted sample: inclusion odds proportional to length
+    "doc_weighted_sample" -> ((s, dir) =>
+      SampleOps.weightedTakeK(t(s, dir, "documents"), k = 100)),
 
     // per-domain quota: keep the top-N docs of each source by quality (the web-corpus
     // domain cap); deterministic tie-break by doc_id
@@ -1554,6 +1562,22 @@ object SparkEntry {
           |  UNION
           |  SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id)
           |SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id""".stripMargin),
+
+    // replays the greedy traversal: same 1e-6 sim quantization, same min-id tie rule
+    "emb_kcenter" ->
+      """WITH RECURSIVE sel AS (
+        |  SELECT [(SELECT MIN(vec_id) FROM embeddings)] AS ids, 1 AS k
+        |  UNION ALL
+        |  SELECT list_append(ids, (
+        |      SELECT e.vec_id FROM embeddings e
+        |      WHERE NOT list_contains(s.ids, e.vec_id)
+        |      ORDER BY CAST(round((SELECT MAX(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))
+        |          FROM embeddings c WHERE list_contains(s.ids, c.vec_id)) * 1000000) AS BIGINT) ASC,
+        |        e.vec_id ASC
+        |      LIMIT 1)), k + 1
+        |  FROM sel s WHERE k < 8)
+        |SELECT CAST(u.i + 1 AS INT) AS rank, ids[CAST(u.i + 1 AS INT)] AS vec_id
+        |FROM (SELECT ids FROM sel WHERE k = 8) t, unnest(range(0, 8)) AS u(i)""".stripMargin,
 
     "doc_dup_keep_best" ->
       (s"WITH RECURSIVE pr AS ($jaccardPairsOracle),\n" +
@@ -2462,6 +2486,14 @@ object SparkEntry {
     "doc_uniform_take" ->
       """SELECT doc_id, CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS h
         |FROM documents ORDER BY h, doc_id LIMIT 100""".stripMargin,
+
+    "doc_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |    LN((CAST(CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS DOUBLE) + 1.0)
+        |      / 1152921504606846976.0) / n_chars AS key
+        |  FROM documents WHERE n_chars > 0)
+        |ORDER BY key DESC, doc_id LIMIT 100""".stripMargin,
 
     // the oracle brute-forces ALL n-gram lengths (O(n^2) per doc — fine at gate SF);
     // Spark binary-searches the monotone "has repeat of length L" predicate per doc

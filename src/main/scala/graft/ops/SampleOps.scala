@@ -191,6 +191,38 @@ object SampleOps {
       .limit(k)
 
   /**
+   * Exact-k WEIGHTED sample without replacement (Efraimidis–Spirakis A-ES): each row
+   * draws a deterministic uniform u from its content hash and ranks by `ln(u) / w` —
+   * the top k of that key are a weighted-without-replacement sample, each row's
+   * inclusion probability proportional to its weight (sample long/high-quality
+   * documents preferentially, the standard quality-weighted corpus draw). Content-hash
+   * randomness keeps the draw reproducible under re-partitioning and incremental
+   * growth, like every sampling decision here; rows with non-positive weight are
+   * excluded (they cannot rank).
+   *
+   * Scale shape: a narrow map + `orderBy(key).limit(k)` = TakeOrderedAndProject —
+   * per-partition bounded heaps merged on the driver, never a global sort. The raw
+   * double key is not in the output (membership is the result): a libm-vs-JVM `ln`
+   * ulp difference can only flip the cross-engine sample if two keys land within
+   * ~1e-15 of each other — adjacent 60-bit hash draws sit ~2^-60 apart in u-space,
+   * so the probability is negligible, and the sf sweep gates it.
+   */
+  def weightedTakeK(
+      df: DataFrame,
+      k: Int,
+      weightCol: String = "n_chars",
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val u = (TextOps.md5Hash60(col(textCol)).cast("double") + 1.0) /
+      lit(1.152921504606846976e18)
+    df.where(col(weightCol) > 0)
+      .select(col(idCol), col(weightCol), (log(u) / col(weightCol)).as("__key"))
+      .orderBy(col("__key").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col(weightCol))
+  }
+
+  /**
    * Sketch-based contamination screen — [[contamination]] with the benchmark inventory
    * compressed into a Bloom filter instead of an exact broadcast set. The 100 TB case
    * for this: a deny-list of 10⁹ shingle/URL/digest longs is an 8 GB exact broadcast

@@ -502,21 +502,27 @@ object VectorOps {
   /**
    * Distributed PCA over the embedding column — the whitening/dimension-reduction step
    * that precedes ANN indexing and semantic dedup in real embedding pipelines. The
-   * corpus-sized work is ONE `treeAggregate` pass accumulating fixed-size moment
-   * buffers (n, Σx, upper-triangular Σxxᵀ — dim·(dim+3)/2 doubles per task, merged in a
-   * tree; the MLlib RowMatrix shape): no shuffle of vectors, only the dim² covariance
-   * reaches the driver. Eigen-decomposition is a deterministic cyclic Jacobi sweep on
-   * the driver (64×64 here — microseconds); axis SIGN is fixed deterministically
-   * (largest-|coordinate| positive) so models reproduce bit-for-bit run to run.
+   * corpus-sized work is ONE pass accumulating fixed-size moment buffers (n, Σx,
+   * upper-triangular Σxxᵀ — dim·(dim+3)/2 doubles per task; the MLlib RowMatrix
+   * shape): no shuffle of vectors, only the dim² covariance reaches the driver.
+   * Partial buffers merge in PARTITION-ID ORDER through a fixed 1024-ary block tree
+   * (float addition is not associative; `treeAggregate`'s completion-order combine
+   * made the covariance — and thus the axes — vary in the last ulp run to run), so
+   * models reproduce bit-for-bit regardless of task timing. Eigen-decomposition is a
+   * deterministic cyclic Jacobi sweep on the driver (64×64 here — microseconds); axis
+   * SIGN is fixed deterministically (largest-|coordinate| positive).
    */
   def pcaFit(df: DataFrame, k: Int, vecCol: String = "embedding"): PcaModel = {
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     require(k >= 1 && k <= dim, s"pcaFit: k=$k outside 1..$dim")
     val tri = dim * (dim + 1) / 2
+    def add(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+    }
     // buffer layout: [0]=n, [1..dim]=sum, [dim+1..]=upper-tri sum of products
-    val zero = new Array[Double](1 + dim + tri)
-    val agg = df.select(col(vecCol)).rdd.treeAggregate(zero)(
-      seqOp = (b, row) => {
+    val partials = df.select(col(vecCol)).rdd.mapPartitionsWithIndex { (pid, it) =>
+      val b = new Array[Double](1 + dim + tri)
+      it.foreach { row =>
         val v = row.getSeq[Float](0)
         b(0) += 1
         var i = 0
@@ -528,9 +534,19 @@ object VectorOps {
           while (j < dim) { b(t) += xi * v(j); t += 1; j += 1 }
           i += 1
         }
-        b
-      },
-      combOp = (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+      }
+      if (b(0) == 0) Iterator.empty else Iterator((pid, b))
+    }
+    // deterministic reduction: blocks of 1024 partitions each sum in pid order on the
+    // cluster (bounds driver intake to numPartitions/1024 buffers), driver finishes in
+    // block order — same bits for any task schedule, and no 17KB·numPartitions collect.
+    val blocks = partials
+      .map { case (pid, b) => (pid >>> 10, (pid, b)) }
+      .groupByKey(math.max(1, partials.getNumPartitions >>> 10))
+      .mapValues(bufs => bufs.toArray.sortBy(_._1).map(_._2).reduce(add))
+      .collect().sortBy(_._1).map(_._2)
+    require(blocks.nonEmpty, "pcaFit: empty input")
+    val agg = blocks.reduce(add)
     val n = agg(0)
     require(n > 1, "pcaFit: need at least 2 vectors")
     val mean = Array.tabulate(dim)(i => agg(1 + i) / n)
@@ -725,5 +741,48 @@ object VectorOps {
     withDist.join(dropped, Seq(idCol), "left")
       .select(col(idCol), col("cell"), col("cdist"),
         not(coalesce(col("__drop"), lit(false))).as("kept"))
+  }
+
+  /**
+   * Greedy k-center coreset selection (farthest-point traversal, the classic 2-approx
+   * to the k-center objective): start from the smallest id, then repeatedly add the
+   * point FARTHEST from the current selection — here "farthest" = smallest maximum
+   * cosine similarity to any selected point. The standard diversity-sampling pass for
+   * picking a small representative subset of an embedding space (seed sets for
+   * active learning / dataset pruning / IVF initialization).
+   *
+   * Determinism & cross-engine exactness: each candidate's max-similarity is quantized
+   * to a 1e-6 grid before the argmin (ties then break to the smallest id), and the
+   * pairwise cosine is the same native expression the oracle-green `emb_dedup_cosine`
+   * gate bit-matches against DuckDB's `list_cosine_similarity`, so the whole traversal
+   * replays identically in the DuckDB recursive-CTE oracle.
+   *
+   * 100 TB shape: k driver rounds; each is ONE distributed `min(struct(simQ, id, vec))`
+   * all-reduce over the corpus — no shuffle of vectors, no pairwise materialization,
+   * selected centroids ride into the plan as broadcast literals (the model-to-driver
+   * pattern of the ANN family; only k vectors ever land on the driver). Cost is
+   * k scans (cache the input for iterative use); per-row work in round i is i codegen'd
+   * cosine evaluations.
+   */
+  def kcenterSelect(df: DataFrame, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val seed = df.agg(min(struct(col(idCol).as("id"), col(vecCol).as("v")))).collect()(0)
+      .getStruct(0)
+    var ids = Vector(seed.getLong(0))
+    var cents = Vector(seed.getSeq[Float](1))
+    while (ids.size < k) {
+      val maxSim = cents.map(c => VectorFunctions.cosine(col(vecCol), typedLit(c)))
+        .reduce(greatest(_, _))
+      val next = df.filter(!col(idCol).isInCollection(ids))
+        .agg(min(struct(round(maxSim * 1000000).cast("long").as("s"),
+          col(idCol).as("id"), col(vecCol).as("v"))).as("m"))
+        .select(col("m.id"), col("m.v")).collect()(0)
+      ids :+= next.getLong(0)
+      cents :+= next.getSeq[Float](1)
+    }
+    ids.zipWithIndex.map { case (id, i) => (i + 1, id) }.toDF("rank", idCol)
   }
 }

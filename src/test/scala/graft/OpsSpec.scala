@@ -438,6 +438,29 @@ class VectorOpsSpec extends SparkSpec {
       .groupBy("query_id").count().agg(max("count")).collect().head.getLong(0)
     assert(maxCand < 450, s"LSH candidates degenerate: $maxCand of ~500")
   }
+
+  test("kcenterSelect == naive farthest-point traversal (quantized sims, min-id ties)") {
+    val rng = new scala.util.Random(3)
+    val pts = (1L to 40L).map(i => (i, Array.fill(8)(rng.nextGaussian().toFloat)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def q6(x: Double): Long = math.round(x * 1000000)
+    var sel = Vector(1L)
+    while (sel.size < 5) {
+      val next = pts.filterNot(p => sel.contains(p._1))
+        .map { case (id, v) => (sel.map(s => q6(cos(v, pts(s.toInt - 1)._2))).max, id) }
+        .min
+      sel :+= next._2
+    }
+    val out = VectorOps.kcenterSelect(pts.toDF("vec_id", "embedding"), k = 5)
+      .orderBy("rank").collect().map(_.getLong(1)).toVector
+    assert(out == sel, s"traversal diverged: got $out, naive $sel")
+    assert(out.distinct.size == 5)
+  }
 }
 
 class TextOpsSpec extends SparkSpec {

@@ -242,6 +242,24 @@ class SampleAndAsOfSpec extends SparkSpec {
     assert(!a.sortBy(_._1).sameElements(c.sortBy(_._1)))
   }
 
+  test("weightedTakeK: heavy rows over-represented; bounded top-k plan; zero-weight excluded") {
+    val docs = (1L to 1000L).map(i =>
+      (i, s"text body number $i", if (i <= 100) 500L else 10L)).toDF("doc_id", "text", "n_chars")
+    val picked = SampleOps.weightedTakeK(docs, k = 100).collect().map(_.getLong(0))
+    assert(picked.length == 100 && picked.distinct.length == 100)
+    // heavy rows are 10% of the population but carry 50000/59000 of the weight
+    val heavy = picked.count(_ <= 100)
+    assert(heavy > 40, s"heavy class underrepresented: $heavy/100")
+    // determinism under re-partitioning (content-hash randomness, not rand())
+    val again = SampleOps.weightedTakeK(docs.repartition(7), k = 100).collect().map(_.getLong(0))
+    assert(picked.sorted.sameElements(again.sorted))
+    val withZero = docs.withColumn("n_chars",
+      when(col("doc_id") === 1L, 0L).otherwise(col("n_chars")))
+    assert(!SampleOps.weightedTakeK(withZero, k = 100).collect().map(_.getLong(0)).contains(1L))
+    val p = SampleOps.weightedTakeK(docs, k = 100).queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"weighted take lost its bounded top-k:\n$p")
+  }
+
   test("groupedExactPercentiles == Spark's Percentile built-in, per key") {
     val rng = new scala.util.Random(7)
     val df = (1 to 400).map { i =>
