@@ -664,6 +664,14 @@ object SparkEntry {
     "doc_minhash_lsh" -> ((s, dir) =>
       DedupOps.minhashLshVerifiedPairs(t(s, dir, "documents"), threshold = 0.2)),
 
+    // near-dup DECONTAMINATION: train split screened against the held-out split (the
+    // hashSplit 90/10 buckets), best-matching eval doc returned as evidence
+    "doc_cross_neardup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val bucket = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int") % 100
+      DedupOps.crossNearDup(d.filter(bucket < 90), d.filter(bucket >= 90), threshold = 0.2)
+    }),
+
     // 60-bit md5-based SimHash, oracle-reproducible bit-for-bit; the one-pass xxh64
     // SimHash64 used by simhashPairs at scale is property-pinned in FunctionsSpec
     "doc_simhash" -> ((s, dir) => TextOps.simhash60(t(s, dir, "documents"))),
@@ -1501,6 +1509,23 @@ object SparkEntry {
         |WHERE CAST(p.inter AS DOUBLE)/sa.n >= 0.5 OR CAST(p.inter AS DOUBLE)/sb.n >= 0.5""".stripMargin,
 
     "doc_minhash_lsh" -> jaccardPairsOracle,
+
+    // exact cross-split Jaccard pairs, best match per train doc (rounded-j DESC, id ASC)
+    "doc_cross_neardup" ->
+      """WITH s AS (SELECT doc_id, text, CAST('0x'||substring(md5(text),1,4) AS INT) % 100 AS b FROM documents),
+        |t AS (SELECT doc_id, b, list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks FROM s),
+        |shl AS (SELECT doc_id, b, list_distinct(CASE WHEN len(toks) < 3 THEN []
+        |  ELSE list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh FROM t),
+        |sizes AS (SELECT doc_id, len(sh) AS n FROM shl),
+        |pairs AS (SELECT a.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM (SELECT doc_id, unnest(sh) AS h FROM shl WHERE b < 90) a
+        |  JOIN (SELECT doc_id, unnest(sh) AS h FROM shl WHERE b >= 90) r ON a.h = r.h GROUP BY 1, 2),
+        |ver AS (SELECT p.id_a, p.id_b, ROUND(CAST(p.inter AS DOUBLE)/(sa.n + sb.n - p.inter), 6) AS j
+        |  FROM pairs p JOIN sizes sa ON sa.doc_id = p.id_a JOIN sizes sb ON sb.doc_id = p.id_b
+        |  WHERE CAST(p.inter AS DOUBLE)/(sa.n + sb.n - p.inter) >= 0.2)
+        |SELECT id_a AS doc_id, id_b AS match_id, j AS jaccard FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY j DESC, id_b ASC) AS rn FROM ver)
+        |WHERE rn = 1""".stripMargin,
 
     "doc_corpus_prepare_v3" ->
       (s"WITH RECURSIVE pr AS ($jaccardPairsOracle),\n" +

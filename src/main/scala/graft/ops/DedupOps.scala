@@ -132,6 +132,65 @@ object DedupOps {
   }
 
   /**
+   * Cross-corpus near-duplicate DECONTAMINATION (the GPT-3 appendix-C step): find every
+   * document in `train` whose exact distinct-shingle Jaccard with ANY `ref` document
+   * (held-out benchmark / eval split) reaches `threshold`, returning the best-matching
+   * ref doc as evidence — the rows a pipeline subtracts before training. Exact-match
+   * screens ([[graft.ops.SampleOps.contamination]]) miss paraphrased/trimmed leaks; this
+   * is the near-dup form over TWO corpora.
+   *
+   * Same blocked shape as [[minhashLshVerifiedPairs]] but the banded bucket join is
+   * train×ref (no self-pairs to suppress): candidates are (train, ref) id pairs sharing
+   * an LSH band bucket, verified with the true shingle-set Jaccard fetched per candidate.
+   * At 100 TB × a benchmark inventory the banding shuffle is O(rows) 24-byte tuples and
+   * the verify join is O(candidates) — the ref side is usually tiny but nothing here
+   * requires it (both sides stream through the same exchange).
+   *
+   * Best-match selection is a deterministic `min(struct(-jaccard₆, ref_id))` per train
+   * doc: highest rounded Jaccard wins, ties to the smallest ref id — an ordering a SQL
+   * oracle replays exactly. Output: (doc_id, match_id, jaccard), one row per
+   * contaminated train doc.
+   */
+  def crossNearDup(
+      train: DataFrame,
+      ref: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleN: Int = 3,
+      k: Int = 64,
+      bands: Int = 0, // 0 = derive from threshold via lshBandsFor
+      threshold: Double = 0.4): DataFrame = {
+    val nBands = if (bands > 0) bands else lshBandsFor(k, threshold)
+    def sigTable(df: DataFrame): DataFrame = df.select(
+      col(idCol).as("id"),
+      TextFunctions.shingleHashes(TextFunctions.tokens(col(textCol)), shingleN).as("shl"))
+      .select(col("id"), array_distinct(col("shl")).as("sh"),
+        TextFunctions.minhashLong(col("shl"), k).as("sig"))
+    def banded(sigs: DataFrame): DataFrame = sigs.select(col("id"),
+      posexplode(TextFunctions.bandHashesFast(col("sig"), nBands)).as(Seq("band", "band_hash")))
+    val trainSig = sigTable(train)
+    val refSig = sigTable(ref)
+    val candidates = banded(trainSig)
+      .select(col("band"), col("band_hash"), col("id").as("id_a"))
+      .repartition(col("band"), col("band_hash"))
+      .join(banded(refSig).select(col("band"), col("band_hash"), col("id").as("id_b")),
+        Seq("band", "band_hash"))
+      .select("id_a", "id_b").distinct()
+    val jac = col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))
+    val verified = candidates
+      .join(trainSig.select(col("id").as("id_a"), col("sh").as("sh_a"), size(col("sh")).as("n_a")), "id_a")
+      .join(refSig.select(col("id").as("id_b"), col("sh").as("sh_b"), size(col("sh")).as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"), col("n_a"), col("n_b"))
+      .filter(jac >= threshold)
+      .select(col("id_a"), col("id_b"), round(jac, 6).as("j"))
+    verified
+      .groupBy(col("id_a").as(idCol))
+      .agg(min(struct((-col("j")).as("nj"), col("id_b").as("ref"))).as("best"))
+      .select(col(idCol), col("best.ref").as("match_id"), (-col("best.nj")).as("jaccard"))
+  }
+
+  /**
    * SimHash near-duplicates: 64-bit fingerprint, blocked by its four 16-bit chunks
    * (any pair within Hamming distance 3 shares at least one intact chunk — pigeonhole),
    * verified with `bit_count(a^b) <= maxHamming`. Both phases are codegen'd built-ins.

@@ -99,6 +99,28 @@ class DedupOpsSpec extends SparkSpec {
     assert(verified((1L, 2L)) == 1.0)
   }
 
+  test("crossNearDup: cross-corpus screen finds planted leak, best-match ties to min ref id") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),       // leaked verbatim
+      (2L, "the quick brown fox jumps over the sleepy dog"),     // near-dup of ref 11
+      (3L, "completely different content about spark engines here")
+    ).toDF("doc_id", "text")
+    val ref = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog"),
+      (12L, "the quick brown fox jumps over the lazy dog"),      // same text, larger id
+      (13L, "unrelated benchmark question nothing shared at all whatsoever")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.crossNearDup(train, ref, threshold = 0.1, k = 64, bands = 32)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // doc 1 matches refs 11 AND 12 at jaccard 1.0 -> tie breaks to the SMALLER ref id
+    assert(out(1L) == ((11L, 1.0)), s"got ${out.get(1L)}")
+    // doc 2's best match is its near-dup (5 of 9 trigrams shared, like the jaccard spec)
+    assert(out(2L)._1 == 11L && out(2L)._2 == math.rint(5.0 / 9 * 1e6) / 1e6)
+    assert(!out.contains(3L), "clean doc must not be flagged")
+    // never self-pairs: ids common to both sides don't suppress legitimate matches
+    assert(out.size == 2)
+  }
+
   test("duplicateClusters: connected components resolve to min-id canonical survivor") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (10L, 4L)).toDF("id_a", "id_b")
     val out = DedupOps.duplicateClusters(pairs).collect()
