@@ -418,6 +418,27 @@ object SparkEntry {
           max(col("ms")).as("end_ms"))
     }),
 
+    // Markov next-event transition matrix within sessions (same 30-min gap rule as
+    // ev_sessionize): the behavioral-model/anomaly baseline every event pipeline keeps.
+    // lead() rides the SAME user-window sort as the gap test (a transition is valid iff
+    // the NEXT row does not open a new session), so the corpus-sized work is ONE
+    // exchange+sort on user_id; the (from,to) count and the per-from normalization
+    // window both run on |event types|^2 rows
+    "ev_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+      val gapMs = 30L * 60 * 1000
+      t(s, dir, "events")
+        .withColumn("ms", unix_millis(col("ts")))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .withColumn("next_ms", lead(col("ms"), 1).over(w))
+        .filter(col("next_type").isNotNull && col("next_ms") - col("ms") <= gapMs)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("prob", round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("from_type"))), 6))
+    }),
+
     // funnel: per-user signup -> first subsequent purchase with conversion flag and
     // latency — the ordered-sequence analytic; conditional aggregation over one keyed
     // join (no window, no per-user sort)
@@ -1875,6 +1896,21 @@ object SparkEntry {
         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, COUNT(*) AS n_events,
         |  MIN(ms) AS start_ms, MAX(ms) AS end_ms
         |FROM s GROUP BY user_id, session_idx""".stripMargin,
+
+    "ev_transitions" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ms FROM events),
+        |w AS (
+        |  SELECT event_type, ms,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS next_type,
+        |    LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS next_ms
+        |  FROM g),
+        |c AS (SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n FROM w
+        |  WHERE next_type IS NOT NULL AND next_ms - ms <= 1800000 GROUP BY 1, 2)
+        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+        |  ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS prob
+        |FROM c""".stripMargin,
 
     "ev_funnel" ->
       """WITH e AS (SELECT user_id, event_type,

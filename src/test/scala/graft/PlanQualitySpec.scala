@@ -208,6 +208,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(keys == Set("user_id"), s"unexpected shuffle keys $keys")
   }
 
+  test("ev_transitions: lead() reuses the one user-window sort; normalization is post-agg") {
+    val p = plan("ev_transitions")
+    // one corpus-sized exchange (user_id, for the lead window); the (from,to) count
+    // exchange carries map-side partial counts (|types|^2 per task, pinned below) and
+    // the per-from probability window runs on |types|^2 rows
+    val keys = "hashpartitioning\\(([a-z_]+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys == Set("user_id", "event_type", "from_type"), s"unexpected shuffle keys $keys")
+    assert(p.contains("partial_count"), s"transition count must combine map-side:\n$p")
+    // a second Sort on (user_id, session_idx) would mean the session lead lost the
+    // shared sort — both leads must sit in ONE Window operator
+    assert("Window \\[lag".r.findAllIn(p).size + "Window \\[lead".r.findAllIn(p).size <= 1,
+      s"window ops split — lead() not sharing the user sort:\n$p")
+  }
+
   test("doc_unigram_logprob: frequency table broadcasts onto the probe (no token join shuffle)") {
     val p = plan("doc_unigram_logprob")
     // the freq AGGREGATION shuffles on token (build side, inherent); the probe join must
