@@ -796,6 +796,15 @@ object SparkEntry {
     "doc_ccnet_buckets" -> ((s, dir) =>
       TextOps.ccnetBuckets(t(s, dir, "documents"))),
 
+    // trained-classifier labeling pass: multinomial NB fit on the hashSplit train
+    // bucket predicts lang for the held-out bucket (the fastText-filter shape; exact
+    // decimal scores, full vocab-x-label Laplace grid)
+    "doc_nb_langid" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val bucket = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int") % 100
+      TextOps.naiveBayesClassify(d.filter(bucket < 90), d.filter(bucket >= 90))
+    }),
+
     // per-doc Shannon entropy of the token distribution (degenerate/looped text filter):
     // H = log10(n) - (sum c*log10(c))/n over per-doc counts — (doc_id, token) count rows
     // shuffle, texts never do; terms decimal-quantized per the cross-engine discipline
@@ -2543,6 +2552,41 @@ object SparkEntry {
         |SELECT g.doc_id, g.lang, g.avg_logprob,
         |  CASE WHEN g.g > t.t2 THEN 'head' WHEN g.g > t.t1 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM grid g JOIN thr t USING (lang)""".stripMargin,
+
+    // full NB replay: Laplace grid over vocab x label (LEFT join gives unseen-in-class
+    // tokens their floor), decimal-quantized log terms, argmax by score DESC then label
+    "doc_nb_langid" ->
+      """WITH s AS (SELECT doc_id, lang, text,
+        |    CAST('0x'||substring(md5(text),1,4) AS INT) % 100 AS b FROM documents),
+        |trt AS (SELECT lang AS label,
+        |  unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS token
+        |  FROM s WHERE b < 90),
+        |freq AS (SELECT label, token, COUNT(*) AS cnt FROM trt GROUP BY 1, 2),
+        |tot AS (SELECT label, CAST(SUM(cnt) AS BIGINT) AS tot FROM freq GROUP BY 1),
+        |voc AS (SELECT COUNT(DISTINCT token) AS v FROM freq),
+        |vt AS (SELECT DISTINCT token FROM freq),
+        |lp AS (SELECT vt.token, t.label,
+        |    CAST(LOG10(CAST(COALESCE(f.cnt, 0) + 1 AS DOUBLE) / CAST(t.tot + voc.v AS DOUBLE))
+        |      AS DECIMAL(18,8)) AS lp
+        |  FROM vt CROSS JOIN tot t CROSS JOIN voc
+        |  LEFT JOIN freq f ON f.label = t.label AND f.token = vt.token),
+        |pri AS (SELECT lang AS label, COUNT(*) AS nd FROM s WHERE b < 90 GROUP BY 1),
+        |prilp AS (SELECT label,
+        |    CAST(LOG10(CAST(nd AS DOUBLE) / (SELECT CAST(SUM(nd) AS DOUBLE) FROM pri))
+        |      AS DECIMAL(18,8)) AS plp FROM pri),
+        |tet AS (SELECT doc_id, lang, token, COUNT(*) AS k FROM (
+        |    SELECT doc_id, lang,
+        |      unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS token
+        |    FROM s WHERE b >= 90) GROUP BY 1, 2, 3),
+        |sc AS (SELECT te.doc_id, te.lang, l.label,
+        |    SUM(CAST(te.k AS DECIMAL(10,0)) * l.lp) AS ssum
+        |  FROM tet te JOIN lp l USING (token) GROUP BY 1, 2, 3),
+        |best AS (SELECT sc.doc_id, sc.lang, sc.label,
+        |    ROW_NUMBER() OVER (PARTITION BY sc.doc_id
+        |      ORDER BY sc.ssum + p.plp DESC, sc.label ASC) AS rn
+        |  FROM sc JOIN prilp p USING (label))
+        |SELECT doc_id, lang, label AS pred_label, (label = lang) AS correct
+        |FROM best WHERE rn = 1""".stripMargin,
 
     "doc_uniform_take" ->
       """SELECT doc_id, CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS h

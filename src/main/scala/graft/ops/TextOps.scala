@@ -649,4 +649,58 @@ object TextOps {
           .when(col("__g") > col("t1"), lit("middle"))
           .otherwise(lit("tail")).as("bucket"))
   }
+
+  /**
+   * Multinomial Naive Bayes text classifier, trained AND applied distributed — the
+   * classic cheap corpus-labeling pass (fastText-style quality/language filters score
+   * billions of docs with models of exactly this shape). Training is one (label, token)
+   * count aggregation; scoring joins the complete vocab×label log-probability grid onto
+   * per-doc token counts. Laplace-smoothed: `P(tok|l) = (c(l,tok)+1)/(total_l+V)` —
+   * building the grid with a LEFT join is what gives unseen-WITHIN-class tokens their
+   * `1/(total_l+V)` floor (an inner join on per-class counts silently skews every class
+   * the token never appeared in). Out-of-vocabulary test tokens contribute to no class
+   * (both engines drop them in the same inner probe join); a test doc with zero
+   * in-vocab tokens is therefore absent from the output — at corpus scale those are
+   * noise rows a real pipeline drops anyway.
+   *
+   * Cross-engine exactness: every log10 term and the prior quantize to DECIMAL(18,8)
+   * before summation (the [[bigramLogprob]] discipline), so scores are exact decimal
+   * sums and the argmax (highest score, ties to the lexicographically smallest label)
+   * replays identically in SQL.
+   *
+   * Scale shape: the corpus-sized exchanges are the training count and the per-doc
+   * token count, both with map-side partial aggregation; the lp grid is V×L rows
+   * (vocab-bounded, broadcast here; switch the probe to a shuffle join past broadcast
+   * size) and the per-(doc,label) score aggregation carries L rows per distinct test
+   * (doc, token). Output: (doc_id, <labelCol>, pred_label, correct).
+   */
+  def naiveBayesClassify(train: DataFrame, test: DataFrame, labelCol: String = "lang",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val trTok = train.select(col(labelCol).as("label"),
+      explode(tokensCol(col(textCol))).as("token"))
+    val freq = trTok.groupBy("label", "token").agg(count(lit(1)).as("cnt"))
+    val totals = freq.groupBy("label").agg(sum(col("cnt")).as("tot"))
+    val vocab = freq.agg(countDistinct(col("token")).as("v"))
+    val priors = train.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("nd"))
+    val priorLp = priors.crossJoin(broadcast(priors.agg(sum(col("nd")).as("ndt"))))
+      .select(col("label"), log(10.0, col("nd").cast("double") / col("ndt"))
+        .cast(DecimalType(18, 8)).as("plp"))
+    val lp = freq.select(col("token")).distinct()
+      .crossJoin(broadcast(totals.crossJoin(vocab)))
+      .join(freq, Seq("label", "token"), "left")
+      .select(col("token"), col("label"),
+        log(10.0, (coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+          (col("tot") + col("v")).cast("double")).cast(DecimalType(18, 8)).as("lp"))
+    val teTok = test.select(col(idCol), col(labelCol),
+        explode(tokensCol(col(textCol))).as("token"))
+      .groupBy(col(idCol), col(labelCol), col("token")).agg(count(lit(1)).as("k"))
+    teTok.join(broadcast(lp), "token")
+      .groupBy(col(idCol), col(labelCol), col("label"))
+      .agg(sum(col("k").cast(DecimalType(10, 0)) * col("lp")).as("s"))
+      .join(broadcast(priorLp), "label")
+      .groupBy(col(idCol), col(labelCol))
+      .agg(min(struct((-(col("s") + col("plp"))).as("ns"), col("label").as("pl"))).as("b"))
+      .select(col(idCol), col(labelCol), col("b.pl").as("pred_label"),
+        (col("b.pl") === col(labelCol)).as("correct"))
+  }
 }

@@ -684,6 +684,48 @@ class TextOpsSpec extends SparkSpec {
   }
 }
 
+class NaiveBayesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("naiveBayesClassify: hand-computed NB with Laplace floor for unseen-in-class tokens") {
+    val train = Seq(
+      (1L, "aa aa bb", "x"), (2L, "aa bb bb", "x"),   // x: aa=3, bb=3, tot=6
+      (3L, "cc cc dd", "y"), (4L, "cc dd dd", "y")    // y: cc=3, dd=3, tot=6
+    ).toDF("doc_id", "text", "lang")
+    val test_ = Seq(
+      (10L, "aa bb aa", "x"),  // clearly x
+      (11L, "cc dd", "y"),     // clearly y
+      (12L, "aa cc", "x"),     // symmetric tokens -> score tie -> label 'x' (lex smallest)
+      (13L, "zz zz", "x")      // all OOV -> absent from output
+    ).toDF("doc_id", "text", "lang")
+    val out = TextOps.naiveBayesClassify(train, test_)
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getBoolean(3)))).toMap
+    assert(out(10L) == (("x", true)))
+    assert(out(11L) == (("y", true)))
+    // V=4; doc 12: P(aa|x)=(3+1)/10, P(cc|x)=(0+1)/10 (Laplace FLOOR), symmetric for y
+    // -> identical scores; tie must break to the lexicographically smallest label
+    assert(out(12L) == (("x", true)))
+    assert(!out.contains(13L), "all-OOV doc must be absent")
+    assert(out.size == 3)
+    // hand-check doc 10 wins by the exact smoothed ratio: x-score - y-score =
+    // 3*log10(4/10) - 3*log10(1/10) > 0 (priors equal) — i.e. x must win by floor math
+    val p = TextOps.naiveBayesClassify(train, test_).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "lp grid must broadcast onto the probe")
+  }
+
+  test("naiveBayesClassify: priors break vocabulary ties toward the majority class") {
+    // same token distribution in both classes; class y has 3x the documents -> prior wins
+    val train = Seq(
+      (1L, "tok tok", "x"),
+      (2L, "tok tok", "y"), (3L, "tok tok", "y"), (4L, "tok tok", "y")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextOps.naiveBayesClassify(train,
+        Seq((10L, "tok", "y")).toDF("doc_id", "text", "lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(10L) == "y")
+  }
+}
+
 class Bm25Spec extends SparkSpec {
   import spark.implicits._
   import graft.ops.TextOps
