@@ -470,6 +470,26 @@ object SparkEntry {
           round(col("p95") / 100, 2).as("p95"),
           round(col("p99") / 100, 2).as("p99"))),
 
+    // ROBUST outlier detection: median/MAD replace mean/stddev (ev_zscore's moments are
+    // themselves dragged by the outliers they hunt). Two grouped-histogram percentile
+    // passes on a DOUBLED integer grid — dd = |2g - 2*med| stays integer even when the
+    // even-count median lands on a half — so every comparison and the robust-z division
+    // are exact; per-type stats broadcast back, flagging is a pure map
+    "ev_anomaly_mad" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("g"))
+      val med = SampleOps.groupedExactPercentiles(ev, "event_type", col("g"), Seq(("m", 0.5)))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("dd", abs(col("g") * 2 - (col("m") * 2).cast("long")))
+      val mad = SampleOps.groupedExactPercentiles(dev, "event_type", col("dd"), Seq(("m2", 0.5)))
+      dev.join(broadcast(mad), "event_type")
+        .filter(col("m2") > 0 && col("dd") > lit(3) * col("m2"))
+        .select(col("event_id"), col("event_type"),
+          round(col("m") / 100, 2).as("med"),
+          round(col("m2") / 200, 4).as("mad"),
+          round(col("dd") / col("m2"), 4).as("rz"))
+    }),
+
     "ev_zscore" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("event_type"), dec(col("value"), 12, 6).as("v"))
@@ -1940,6 +1960,17 @@ object SparkEntry {
         |  ROUND(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.95) / 100, 2) AS p95,
         |  ROUND(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.99) / 100, 2) AS p99
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "ev_anomaly_mad" ->
+      """WITH e AS (SELECT event_id, event_type, CAST(round(value*100) AS BIGINT) AS g FROM events),
+        |med AS (SELECT event_type, quantile_cont(g, 0.5) AS m FROM e GROUP BY 1),
+        |d AS (SELECT e.event_id, e.event_type, ABS(2*e.g - CAST(2*med.m AS BIGINT)) AS dd, med.m
+        |  FROM e JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(dd, 0.5) AS m2 FROM d GROUP BY 1)
+        |SELECT d.event_id, d.event_type, ROUND(d.m/100, 2) AS med, ROUND(mad.m2/200, 4) AS mad,
+        |  ROUND(dd / mad.m2, 4) AS rz
+        |FROM d JOIN mad USING (event_type)
+        |WHERE mad.m2 > 0 AND dd > 3 * mad.m2""".stripMargin,
 
     "ev_zscore" ->
       """WITH e AS (SELECT event_id, event_type, CAST(value AS DECIMAL(12,6)) AS v FROM events),

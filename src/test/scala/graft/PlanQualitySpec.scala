@@ -222,6 +222,17 @@ class PlanQualitySpec extends SparkSpec {
       s"window ops split — lead() not sharing the user sort:\n$p")
   }
 
+  test("ev_anomaly_mad: per-type median/MAD stats broadcast back; flagging is a map") {
+    val p = plan("ev_anomaly_mad")
+    // both percentile passes reduce to per-type rows; they must re-enter as broadcasts —
+    // a sort-merge join would shuffle the event stream once per pass
+    assert(p.contains("BroadcastHashJoin"), s"stats must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+    // histogram aggregation, never the Percentile value-map buffer
+    assert(!SparkEntry.queries("ev_anomaly_mad")(spark, dir)
+      .queryExecution.optimizedPlan.toString.contains("percentile("))
+  }
+
   test("doc_unigram_logprob: frequency table broadcasts onto the probe (no token join shuffle)") {
     val p = plan("doc_unigram_logprob")
     // the freq AGGREGATION shuffles on token (build side, inherent); the probe join must
