@@ -782,6 +782,10 @@ object SparkEntry {
 
     "doc_langid" -> ((s, dir) => TextOps.langId(t(s, dir, "documents"))),
     "doc_quality" -> ((s, dir) => TextOps.qualityScore(t(s, dir, "documents"))),
+
+    // the Gopher rule TABLE (per-rule flags + conjunction verdict) at the published
+    // thresholds; zero shuffle, one tokenize pass behind the Generate barrier
+    "doc_gopher_quality" -> ((s, dir) => TextOps.gopherRules(t(s, dir, "documents"))),
     "doc_tokens" -> ((s, dir) => TextOps.tokenStats(t(s, dir, "documents"))),
 
     // unigram log-probability score (the CCNet-style LM-free perplexity proxy): corpus
@@ -2506,6 +2510,37 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
         |  md5(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS scrubbed_md5
         |FROM d""".stripMargin,
+
+    // rule comparisons on the ROUNDED 4dp ratios in both engines — no ulp can flip a flag
+    "doc_gopher_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |base AS (SELECT doc_id, text, toks, CAST(len(toks) AS BIGINT) AS n,
+        |  CASE WHEN len(toks) < 2 THEN [] ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END AS bigrams
+        |  FROM t),
+        |top AS (SELECT doc_id, MAX(c) AS tb FROM (
+        |  SELECT doc_id, u.bg, COUNT(*) AS c FROM base, unnest(base.bigrams) AS u(bg) GROUP BY 1, 2)
+        |  GROUP BY doc_id),
+        |m AS (SELECT b.doc_id, b.n AS n_words,
+        |  CASE WHEN b.n > 0 THEN ROUND(CAST(list_aggregate(list_transform(b.toks, x -> len(x)), 'sum') AS DOUBLE) / b.n, 4) ELSE 0.0 END AS mean_word_len,
+        |  CASE WHEN b.n > 0 THEN ROUND(CAST(len(list_filter(b.toks, x -> regexp_matches(x, '\p{L}'))) AS DOUBLE) / b.n, 4) ELSE 0.0 END AS alpha_frac,
+        |  CASE WHEN b.n > 0 THEN ROUND((CAST(len(b.text) - len(replace(b.text, '#', '')) AS DOUBLE)
+        |    + (len(b.text) - len(replace(b.text, '...', ''))) / 3.0) / b.n, 4) ELSE 0.0 END AS symbol_ratio,
+        |  CAST(len(list_filter(b.toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at'], x))) AS BIGINT) AS n_stop,
+        |  CASE WHEN b.n > 1 THEN ROUND(COALESCE(t2.tb, 0) / CAST(b.n - 1 AS DOUBLE), 4) ELSE 0.0 END AS top_bigram_frac
+        |  FROM base b LEFT JOIN top t2 ON b.doc_id = t2.doc_id)
+        |SELECT *,
+        |  (n_words >= 50 AND n_words <= 100000) AS wc_ok,
+        |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS mwl_ok,
+        |  (alpha_frac >= 0.8) AS alpha_ok,
+        |  (symbol_ratio <= 0.1) AS symbol_ok,
+        |  (n_stop >= 2) AS stop_ok,
+        |  (top_bigram_frac <= 0.18) AS bigram_ok,
+        |  (n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |   AND alpha_frac >= 0.8 AND symbol_ratio <= 0.1 AND n_stop >= 2
+        |   AND top_bigram_frac <= 0.18) AS pass
+        |FROM m""".stripMargin,
 
     "doc_repetition" ->
       """WITH t AS (SELECT doc_id,

@@ -651,6 +651,56 @@ object TextOps {
   }
 
   /**
+   * The Gopher quality-rule table (Rae et al. 2021, "Scaling Language Models: ...
+   * Gopher", table A1 — the rule set Dolma/RedPajama/FineWeb re-implement): per
+   * document, each heuristic gets its own boolean column plus the measured signal, and
+   * `pass` is their conjunction — pipelines keep the flags, not just the verdict, so a
+   * threshold change is a re-filter, not a re-scan. Rules over tokenized words: count
+   * bounds, mean word length band, alphabetic-word fraction, stopword-occurrence
+   * minimum; over raw text: #/ellipsis symbol-to-word ratio; repetition: top-bigram
+   * occurrence fraction (adaptation of Gopher's top-2-gram character share — the
+   * count-based measure [[repetitionScore]] already gates).
+   *
+   * Exactness: every ratio is one IEEE division of two integers, rounded to 4dp, and
+   * rules compare the ROUNDED value — both engines see identical bits, so no boolean
+   * can flip on a ulp. Scale shape: tokens materialize once behind the Generate
+   * barrier, everything else is a narrow map — zero shuffle, embarrassingly parallel.
+   */
+  def gopherRules(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2, maxTopBigramFrac: Double = 0.18): DataFrame = {
+    val base = df.select(col(idCol), col(textCol).as("__t"),
+      explode(array(tokensCol(col(textCol)))).as("__toks"))
+      .select(col(idCol), col("__t"), col("__toks"),
+        explode(array(TextFunctions.textSignals(col("__toks"), Stopwords))).as("__sig"))
+    val n = col("__sig.n_tokens")
+    val nD = n.cast("double")
+    val mwl = when(n > 0, round(expr(
+      "aggregate(__toks, 0L, (a, x) -> a + length(x))").cast("double") / nD, 4)).otherwise(0.0)
+    val alphaFrac = when(n > 0, round(
+      size(expr("filter(__toks, x -> x rlike '\\\\p{L}')")).cast("double") / nD, 4)).otherwise(0.0)
+    val nSymbols = (length(col("__t")) - length(regexp_replace(col("__t"), "#", ""))) +
+      ((length(col("__t")) - length(regexp_replace(col("__t"), "\\.\\.\\.", ""))) / 3)
+    val symbolRatio = when(n > 0, round(nSymbols.cast("double") / nD, 4)).otherwise(0.0)
+    val bigramFrac = when(n > 1,
+      round(col("__sig.top_bigram_n").cast("double") / (n - 1).cast("double"), 4)).otherwise(0.0)
+    base.select(col(idCol), n.as("n_words"), mwl.as("mean_word_len"),
+        alphaFrac.as("alpha_frac"), symbolRatio.as("symbol_ratio"),
+        col("__sig.n_stop").as("n_stop"), bigramFrac.as("top_bigram_frac"))
+      .withColumn("wc_ok", col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("mwl_ok",
+        col("mean_word_len") >= minMeanWordLen && col("mean_word_len") <= maxMeanWordLen)
+      .withColumn("alpha_ok", col("alpha_frac") >= minAlphaFrac)
+      .withColumn("symbol_ok", col("symbol_ratio") <= maxSymbolRatio)
+      .withColumn("stop_ok", col("n_stop") >= minStopHits)
+      .withColumn("bigram_ok", col("top_bigram_frac") <= maxTopBigramFrac)
+      .withColumn("pass", col("wc_ok") && col("mwl_ok") && col("alpha_ok") &&
+        col("symbol_ok") && col("stop_ok") && col("bigram_ok"))
+  }
+
+  /**
    * Multinomial Naive Bayes text classifier, trained AND applied distributed — the
    * classic cheap corpus-labeling pass (fastText-style quality/language filters score
    * billions of docs with models of exactly this shape). Training is one (label, token)

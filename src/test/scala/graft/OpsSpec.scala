@@ -684,6 +684,37 @@ class TextOpsSpec extends SparkSpec {
   }
 }
 
+class GopherRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gopherRules: each rule fires on its targeted violation; pass is the conjunction") {
+    // 200 words, stopwords present, every bigram distinct (the/of alternate with unique
+    // neighbors, so no bigram repeats and the repetition rule stays green)
+    val fifty = (1 to 50).map(i => s"the word$i of other$i").mkString(" ")
+    val docs = Seq(
+      (1L, fifty),                                     // clean -> pass
+      (2L, "too short the of"),                        // wc_ok = false
+      (3L, (1 to 60).map(_ => "a").mkString(" ")),     // mean word len 1 -> mwl_ok false
+      (4L, (1 to 30).map(_ => "the quick").mkString(" ") + " of"), // top bigram frac high
+      (5L, (1 to 60).map(i => s"w$i").mkString(" ")),  // zero stopwords -> stop_ok false
+      (6L, (1 to 60).map(i => s"word$i ###").mkString(" ") + " the of") // symbols
+    ).toDF("doc_id", "text")
+    val r = TextOps.gopherRules(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Boolean]("pass"), s"clean doc: ${r(1L)}")
+    assert(!r(2L).getAs[Boolean]("wc_ok") && !r(2L).getAs[Boolean]("pass"))
+    assert(!r(3L).getAs[Boolean]("mwl_ok"), s"${r(3L)}")
+    assert(!r(4L).getAs[Boolean]("bigram_ok"), s"${r(4L)}")
+    assert(!r(5L).getAs[Boolean]("stop_ok"))
+    assert(!r(6L).getAs[Boolean]("symbol_ok"), s"${r(6L)}")
+    // '#' never survives tokenization: the symbol rule must come from RAW text counts
+    assert(r(6L).getAs[Double]("symbol_ratio") > 0.1)
+    // zero-shuffle: the rule table is a pure map over the scan
+    val p = TextOps.gopherRules(docs).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"gopherRules must not shuffle:\n$p")
+  }
+}
+
 class NaiveBayesSpec extends SparkSpec {
   import spark.implicits._
 
