@@ -786,6 +786,10 @@ object SparkEntry {
     // the Gopher rule TABLE (per-rule flags + conjunction verdict) at the published
     // thresholds; zero shuffle, one tokenize pass behind the Generate barrier
     "doc_gopher_quality" -> ((s, dir) => TextOps.gopherRules(t(s, dir, "documents"))),
+
+    // corpus-health diagnostic: Zipf slope/intercept/R^2 over the top-1000 rank-
+    // frequency head (one corpus exchange, bounded-heap top-k, k-row regression)
+    "doc_zipf" -> ((s, dir) => TextOps.zipfFit(t(s, dir, "documents"))),
     "doc_tokens" -> ((s, dir) => TextOps.tokenStats(t(s, dir, "documents"))),
 
     // unigram log-probability score (the CCNet-style LM-free perplexity proxy): corpus
@@ -2510,6 +2514,29 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
         |  md5(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS scrubbed_md5
         |FROM d""".stripMargin,
+
+    // identical fixed operand-order chain: decimal sums -> double casts -> one
+    // least-squares expression; bit-identical up to the final 6dp round
+    "doc_zipf" ->
+      """WITH toks AS (SELECT
+        |  unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |freq AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY 1),
+        |top AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS r
+        |  FROM freq ORDER BY cnt DESC, token ASC LIMIT 1000),
+        |q AS (SELECT CAST(LOG10(CAST(r AS DOUBLE)) AS DECIMAL(18,8)) AS x,
+        |             CAST(LOG10(CAST(cnt AS DOUBLE)) AS DECIMAL(18,8)) AS y FROM top),
+        |s AS (SELECT COUNT(*) AS n,
+        |  CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |  CAST(SUM(x*y) AS DOUBLE) AS sxy, CAST(SUM(x*x) AS DOUBLE) AS sxx,
+        |  CAST(SUM(y*y) AS DOUBLE) AS syy FROM q)
+        |SELECT CAST(n AS BIGINT) AS n_ranks,
+        |  ROUND((CAST(n AS DOUBLE)*sxy - sx*sy) / (CAST(n AS DOUBLE)*sxx - sx*sx), 6) AS slope,
+        |  ROUND((sy - ((CAST(n AS DOUBLE)*sxy - sx*sy) / (CAST(n AS DOUBLE)*sxx - sx*sx)) * sx)
+        |    / CAST(n AS DOUBLE), 6) AS intercept,
+        |  ROUND((CAST(n AS DOUBLE)*sxy - sx*sy) * (CAST(n AS DOUBLE)*sxy - sx*sy)
+        |    / ((CAST(n AS DOUBLE)*sxx - sx*sx) * (CAST(n AS DOUBLE)*syy - sy*sy)), 6) AS r2
+        |FROM s""".stripMargin,
 
     // rule comparisons on the ROUNDED 4dp ratios in both engines — no ulp can flip a flag
     "doc_gopher_quality" ->

@@ -651,6 +651,46 @@ object TextOps {
   }
 
   /**
+   * Zipf-law fit over the corpus rank-frequency curve: least-squares slope/intercept/R²
+   * of `log10(freq)` against `log10(rank)` for the top `topK` tokens — the standard
+   * corpus-health diagnostic (natural language sits near slope −1; templated/generated
+   * text bends the head, OCR noise fattens the tail). Fitting the HEAD is the published
+   * practice and what keeps this scalable: the frequency aggregation is the only
+   * corpus-sized exchange, the top-k is a `TakeOrderedAndProject` bounded heap
+   * (deterministic `(freq DESC, token ASC)` order), and the regression runs over k rows.
+   *
+   * Cross-engine exactness: the log terms quantize to DECIMAL(18,8); their sums (and
+   * sums of their DECIMAL products — precision 38 is not exceeded at k ≤ 10⁶) are exact,
+   * cast to double identically, and every derived statistic is the same fixed
+   * operand-order expression chain in both engines, so slope/intercept/R² match
+   * bit-for-bit before the final 6dp round.
+   */
+  def zipfFit(df: DataFrame, topK: Int = 1000, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = df.select(explode(tokensCol(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val top = freq.orderBy(col("cnt").desc, col("token").asc).limit(topK)
+      .withColumn("r", row_number().over(Window.orderBy(col("cnt").desc, col("token").asc)))
+    val q = top.select(
+      log(10.0, col("r").cast("double")).cast(DecimalType(18, 8)).as("x"),
+      log(10.0, col("cnt").cast("double")).cast(DecimalType(18, 8)).as("y"))
+    val s = q.agg(count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("sx"), sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("y")).cast("double").as("sxy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      sum(col("y") * col("y")).cast("double").as("syy"))
+    val n = col("n").cast("double")
+    val num = n * col("sxy") - col("sx") * col("sy")
+    val denX = n * col("sxx") - col("sx") * col("sx")
+    val denY = n * col("syy") - col("sy") * col("sy")
+    val slope = num / denX
+    s.select(col("n").as("n_ranks"),
+      round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / n, 6).as("intercept"),
+      round(num * num / (denX * denY), 6).as("r2"))
+  }
+
+  /**
    * The Gopher quality-rule table (Rae et al. 2021, "Scaling Language Models: ...
    * Gopher", table A1 — the rule set Dolma/RedPajama/FineWeb re-implement): per
    * document, each heuristic gets its own boolean column plus the measured signal, and

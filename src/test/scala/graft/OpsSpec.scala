@@ -684,6 +684,24 @@ class TextOpsSpec extends SparkSpec {
   }
 }
 
+class ZipfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zipfFit recovers slope -1 / R2 ~ 1 on a planted Zipf corpus; bounded top-k plan") {
+    // token i appears floor(2000/i) times: an exact power-law with exponent -1
+    val words = (1 to 200).flatMap(i => Seq.fill(2000 / i)(f"tok$i%03d"))
+    val docs = words.grouped(50).zipWithIndex
+      .map { case (w, i) => (i.toLong, w.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+    val r = TextOps.zipfFit(docs, topK = 200).collect()(0)
+    assert(r.getAs[Long]("n_ranks") == 200)
+    val slope = r.getAs[Double]("slope")
+    assert(slope > -1.05 && slope < -0.93, s"slope $slope")
+    assert(r.getAs[Double]("r2") > 0.99, s"r2 ${r.getAs[Double]("r2")}")
+    val p = TextOps.zipfFit(docs).queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must be a bounded heap:\n$p")
+  }
+}
+
 class GopherRulesSpec extends SparkSpec {
   import spark.implicits._
 
