@@ -790,6 +790,23 @@ object SparkEntry {
     // corpus-health diagnostic: Zipf slope/intercept/R^2 over the top-1000 rank-
     // frequency head (one corpus exchange, bounded-heap top-k, k-row regression)
     "doc_zipf" -> ((s, dir) => TextOps.zipfFit(t(s, dir, "documents"))),
+
+    // per-source corpus datasheet (the "data card" table every corpus release ships):
+    // doc/lang counts, volume, exact-dup rate (distinct md5 over n), mean quality —
+    // one scan + one grouped aggregation; the two exact countDistincts expand the
+    // aggregate input 3x (inherent to exact dup/lang counting), digests not texts shuffle
+    "doc_source_report" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("text_md5", md5(col("text")))
+      TextOps.qualityScore(d, keep = Seq("source", "lang", "n_chars", "text_md5"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"),
+          round((count(lit(1)) - countDistinct(col("text_md5"))).cast("double") /
+            count(lit(1)), 4).as("dup_rate"),
+          round(sum(col("quality_score").cast(DecimalType(18, 4))).cast("double") /
+            count(lit(1)), 4).as("mean_quality"))
+    }),
     "doc_tokens" -> ((s, dir) => TextOps.tokenStats(t(s, dir, "documents"))),
 
     // unigram log-probability score (the CCNet-style LM-free perplexity proxy): corpus
@@ -2514,6 +2531,24 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
         |  md5(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS scrubbed_md5
         |FROM d""".stripMargin,
+
+    "doc_source_report" ->
+      """WITH t AS (SELECT source, lang, n_chars, md5(text) AS h,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (SELECT source, lang, n_chars, h,
+        |  CAST(len(toks) AS DOUBLE) AS n_tok,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','on','for','with','as','at'))) AS DOUBLE) AS n_stop
+        |  FROM t),
+        |q AS (SELECT source, lang, n_chars, h,
+        |  CAST(ROUND((CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 0.5 ELSE 0.0 END)
+        |    + (CASE WHEN n_tok > 0 THEN (n_stop / n_tok) * 0.5 ELSE 0.0 END), 4) AS DECIMAL(18,4)) AS qs
+        |  FROM m)
+        |SELECT source, COUNT(*) AS n_docs, CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  ROUND(CAST(COUNT(*) - COUNT(DISTINCT h) AS DOUBLE) / COUNT(*), 4) AS dup_rate,
+        |  ROUND(CAST(SUM(qs) AS DOUBLE) / COUNT(*), 4) AS mean_quality
+        |FROM q GROUP BY source""".stripMargin,
 
     // identical fixed operand-order chain: decimal sums -> double casts -> one
     // least-squares expression; bit-identical up to the final 6dp round
