@@ -1125,6 +1125,12 @@ object SparkEntry {
 
     // training-mixture construction: 50/25/25 en/de/fr token mixture, binding stratum kept
     // whole, others hash-downsampled — deterministic membership, corpus never shuffled
+    // UniMax-style temperature mixture: target shares p_l ∝ T_l^0.3 from the data
+    // itself (flattens toward uniform, lifts low-resource langs), binding stratum kept
+    // whole — the multilingual balance step before training
+    "doc_temperature_mixture" -> ((s, dir) =>
+      SampleOps.temperatureMixture(t(s, dir, "documents"), alpha = 0.3)),
+
     "doc_mixture_sample" -> ((s, dir) =>
       SampleOps.mixtureSample(t(s, dir, "documents"),
         Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25))),
@@ -2196,6 +2202,19 @@ object SparkEntry {
 
     // mixture sampling: same rate formula with the same double-op order; membership is the
     // shared 20-bit md5 bucket rendering
+    // weights quantize to DECIMAL(18,6) right after the one libm pow; the share
+    // denominator is an exact decimal sum, every later step pinned operand order
+    "doc_temperature_mixture" ->
+      """WITH tot AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS t FROM documents GROUP BY 1),
+        |w AS (SELECT lang, t, CAST(ROUND(pow(CAST(t AS DOUBLE), 0.3), 6) AS DECIMAL(18,6)) AS wq FROM tot),
+        |ws AS (SELECT SUM(wq) AS wsq FROM w),
+        |sh AS (SELECT lang, t, CAST(wq AS DOUBLE) / CAST(ws.wsq AS DOUBLE) AS p FROM w CROSS JOIN ws),
+        |o AS (SELECT MIN(CAST(t AS DOUBLE) / p) AS o FROM sh),
+        |rates AS (SELECT sh.lang, sh.p * o.o / CAST(sh.t AS DOUBLE) AS rate FROM sh CROSS JOIN o)
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d JOIN rates r ON d.lang = r.lang
+        |WHERE CAST('0x' || substring(md5(d.text), 1, 5) AS BIGINT) < r.rate * 1048576.0""".stripMargin,
+
     "doc_mixture_sample" ->
       """WITH w(lang, wt) AS (VALUES ('en', 0.5), ('de', 0.25), ('fr', 0.25)),
         |totals AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS t FROM documents

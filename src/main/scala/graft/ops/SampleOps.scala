@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /**
  * Corpus-shaping operators for training-data pipelines: deterministic stratified sampling,
@@ -293,6 +294,46 @@ object SampleOps {
     val o = totals.agg(min(col("__t").cast("double") / col("__w")).as("__o"))
     val rates = totals.crossJoin(broadcast(o))
       .select(col(strataCol), (col("__w") * col("__o") / col("__t").cast("double")).as("__rate"))
+    val bucket20 = conv(substring(md5(col(textCol)), 1, 5), 16, 10).cast("long")
+    df.join(broadcast(rates), strataCol)
+      .filter(bucket20 < col("__rate") * 1048576.0)
+      .select(col(idCol), col(strataCol), col(tokenCol))
+  }
+
+  /**
+   * Temperature-scaled multilingual mixture (the UniMax/XLM-R `p_l ∝ n_l^α` rule,
+   * Conneau et al. 2020): per-stratum target shares come from the DATA — token totals
+   * raised to `alpha` (α<1 flattens toward uniform, lifting low-resource languages;
+   * α=1 is natural proportions) — then the same binding-stratum construction as
+   * [[mixtureSample]]: the stratum with the smallest `T_s/p_s` is kept whole and every
+   * other downsamples to hit the target shares exactly.
+   *
+   * Cross-engine exactness: `pow` is the one libm call, so each weight quantizes to a
+   * 6dp DECIMAL immediately (the share denominator is then an exact decimal sum, not an
+   * order-dependent float sum); every later step is division/multiplication in a pinned
+   * operand order, bit-identical in both engines. Same scale shape as [[mixtureSample]]:
+   * one tiny per-stratum aggregation, rates broadcast back, narrow hash filter —
+   * the corpus never shuffles.
+   */
+  def temperatureMixture(
+      df: DataFrame,
+      alpha: Double = 0.3,
+      strataCol: String = "lang",
+      tokenCol: String = "n_chars",
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"temperatureMixture: alpha $alpha outside (0, 1]")
+    val totals = df.groupBy(col(strataCol))
+      .agg(sum(col(tokenCol)).cast("long").as("__t"))
+      .withColumn("__wq", round(pow(col("__t").cast("double"), lit(alpha)), 6)
+        .cast(DecimalType(18, 6)))
+    val wsum = totals.agg(sum(col("__wq")).as("__ws"))
+    val shares = totals.crossJoin(broadcast(wsum))
+      .select(col(strataCol), col("__t"),
+        (col("__wq").cast("double") / col("__ws").cast("double")).as("__p"))
+    val o = shares.agg(min(col("__t").cast("double") / col("__p")).as("__o"))
+    val rates = shares.crossJoin(broadcast(o))
+      .select(col(strataCol), (col("__p") * col("__o") / col("__t").cast("double")).as("__rate"))
     val bucket20 = conv(substring(md5(col(textCol)), 1, 5), 16, 10).cast("long")
     df.join(broadcast(rates), strataCol)
       .filter(bucket20 < col("__rate") * 1048576.0)

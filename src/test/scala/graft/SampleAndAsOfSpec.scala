@@ -260,6 +260,27 @@ class SampleAndAsOfSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"weighted take lost its bounded top-k:\n$p")
   }
 
+  test("temperatureMixture: low alpha flattens shares toward the low-resource stratum") {
+    // lang 'big' has ~16x the tokens of 'small'
+    val docs = ((1L to 800L).map(i => (i, s"big doc number $i text", "big", 100L)) ++
+      (1001L to 1050L).map(i => (i, s"small doc number $i text", "small", 100L)))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val out3 = SampleOps.temperatureMixture(docs, alpha = 0.3).collect()
+    val by3 = out3.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // the binding stratum under alpha<1 is the SMALL one: kept whole
+    assert(by3("small") == 50, s"small lang must be kept whole: $by3")
+    // big lang downsampled to hit p_big/p_small = 16^0.3 ~ 2.3 -> ~115 docs, far below
+    // its natural 800; sampling noise is content-hash driven, allow a wide band
+    assert(by3("big") < 200 && by3("big") > 60, s"big lang must flatten: $by3")
+    // alpha=1 reproduces natural proportions: every doc of both strata survives
+    val out1 = SampleOps.temperatureMixture(docs, alpha = 1.0).collect()
+    assert(out1.length == 850, s"alpha=1 must keep natural proportions, got ${out1.length}")
+    // content-hash determinism under re-partitioning
+    val again = SampleOps.temperatureMixture(docs.repartition(7), alpha = 0.3)
+      .collect().map(_.getLong(0)).sorted
+    assert(again.sameElements(out3.map(_.getLong(0)).sorted))
+  }
+
   test("groupedExactPercentiles == Spark's Percentile built-in, per key") {
     val rng = new scala.util.Random(7)
     val df = (1 to 400).map { i =>
