@@ -439,6 +439,38 @@ object SparkEntry {
           sum(col("n")).over(Window.partitionBy(col("from_type"))), 6))
     }),
 
+    // session anomaly scoring: avg log10 transition probability of each session under
+    // the corpus transition matrix (the ev_transitions model applied back) — rare event
+    // sequences surface as low scores. lag (gap/session numbering) and lead (next type)
+    // share ONE user-window sort; the matrix re-enters as a broadcast; per-occurrence
+    // log terms decimal-quantized so session sums are exact in both engines
+    "ev_session_score" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+      val gapMs = 30L * 60 * 1000
+      val ev = t(s, dir, "events")
+        .withColumn("ms", unix_millis(col("ts")))
+        .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ms").isNull || col("ms") - col("prev_ms") > gapMs, 1L).otherwise(0L))
+        .withColumn("session_idx",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .withColumn("next_ms", lead(col("ms"), 1).over(w))
+      val trans = ev.filter(col("next_type").isNotNull && col("next_ms") - col("ms") <= gapMs)
+        .select(col("user_id"), col("session_idx"),
+          col("event_type").as("from_type"), col("next_type").as("to_type"))
+      val matrix = trans.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        .withColumn("lp", log(10.0, col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("from_type"))))
+          .cast(DecimalType(18, 8)))
+      trans.join(broadcast(matrix.select(col("from_type"), col("to_type"), col("lp"))),
+          Seq("from_type", "to_type"))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_trans"),
+          round(sum(col("lp")).cast("double") / count(lit(1)), 4).as("avg_logprob"))
+    }),
+
     // funnel: per-user signup -> first subsequent purchase with conversion flag and
     // latency — the ordered-sequence analytic; conditional aggregation over one keyed
     // join (no window, no per-user sort)
@@ -1956,6 +1988,27 @@ object SparkEntry {
         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, COUNT(*) AS n_events,
         |  MIN(ms) AS start_ms, MAX(ms) AS end_ms
         |FROM s GROUP BY user_id, session_idx""".stripMargin,
+
+    "ev_session_score" ->
+      """WITH g AS (SELECT user_id, event_id, event_type,
+        |    CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ms FROM events),
+        |l AS (SELECT *,
+        |    LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS next_type,
+        |    LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS next_ms FROM g),
+        |s AS (SELECT *,
+        |    SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM l),
+        |tr AS (SELECT user_id, session_idx, event_type AS from_type, next_type AS to_type
+        |  FROM s WHERE next_type IS NOT NULL AND next_ms - ms <= 1800000),
+        |m AS (SELECT from_type, to_type, COUNT(*) AS n FROM tr GROUP BY 1, 2),
+        |lp AS (SELECT from_type, to_type,
+        |    CAST(LOG10(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE))
+        |      AS DECIMAL(18,8)) AS lp FROM m)
+        |SELECT t.user_id, CAST(t.session_idx AS BIGINT) AS session_idx, COUNT(*) AS n_trans,
+        |  ROUND(CAST(SUM(l2.lp) AS DOUBLE) / COUNT(*), 4) AS avg_logprob
+        |FROM tr t JOIN lp l2 USING (from_type, to_type) GROUP BY 1, 2""".stripMargin,
 
     "ev_transitions" ->
       """WITH g AS (
