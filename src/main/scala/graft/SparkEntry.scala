@@ -1246,6 +1246,38 @@ object SparkEntry {
       VectorOps.annRecallGate(exact, approx, short, recallFloor = 0.5, candCap = 480L)
     }),
 
+    // OPQ-style rotate-then-PQ (Ge et al. 2013, PCA-initialized): the self-verifying
+    // gate checks the two OPQ preconditions IN-PLAN — the trained basis is orthonormal
+    // (driver check on the model scalar) and cosine top-k is invariant under the pure
+    // rotation (exact top-k on rotated == exact top-k on original) — plus the usual
+    // recall/boundedness of PQ run in the rotated space
+    "emb_ann_opq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+      val model = VectorOps.opqFit(e)
+      val b = model.basis
+      val ortho = b.indices.forall(i => b.indices.forall { j =>
+        var s = 0.0; var d = 0; while (d < b(i).length) { s += b(i)(d) * b(j)(d); d += 1 }
+        math.abs(s - (if (i == j) 1.0 else 0.0)) < 1e-6
+      })
+      val rot = VectorOps.rotateFull(e, model)
+      val rotQ = VectorOps.rotateFull(q, model)
+      val exact = VectorOps.bruteForceTopK(e, q, k = 3)
+      val exactRot = VectorOps.bruteForceTopK(rot, rotQ, k = 3)
+      val short = VectorOps.pqTopK(rot, rotQ, k = 64, m = 8, kCode = 16, shortlist = 64)
+      val approx = VectorOps.rankTopK(short, 3)
+      val gate = VectorOps.annRecallGate(exact, approx, short, recallFloor = 0.5, candCap = 480L)
+      val inv = exact.select("query_id", "neighbor_id")
+        .join(exactRot.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_inv"))
+      val nEx = exact.agg(count(lit(1)).as("n_ex"))
+      gate.crossJoin(broadcast(inv)).crossJoin(broadcast(nEx))
+        .select(col("n_queries"), lit(ortho).as("basis_orthonormal_ok"),
+          (col("n_inv") === col("n_ex")).as("rotation_topk_ok"),
+          col("recall_ok"), col("bounded_ok"))
+    }),
+
     // SQ8: one byte per dimension (4x compression, per-dim resolution — the cheap point
     // before PQ's 16-32x), asymmetric scoring (query floats vs corpus codes, no decode),
     // exact rerank of the <=64/query shortlist; recall floor mirrors emb_ann_pq
@@ -1478,6 +1510,8 @@ object SparkEntry {
   private val bpeModels = scala.collection.concurrent.TrieMap.empty[String, graft.ops.BpeOps.BpeModel]
   private val sqModels = scala.collection.concurrent.TrieMap.empty[String, VectorOps.SqModel]
   private val pcaModels = scala.collection.concurrent.TrieMap.empty[String, VectorOps.PcaModel]
+  private val opqModels = scala.collection.concurrent.TrieMap
+    .empty[String, (VectorOps.PcaModel, Array[Array[Array[Float]]])]
 
   /**
    * Bench-facing variants (VERDICT r3 #1): the same operators as `queries`, WITHOUT the
@@ -1528,6 +1562,17 @@ object SparkEntry {
       val books = pqModels.getOrElseUpdate(dir, VectorOps.pqFit(e, m = 8, k = 16))
       VectorOps.pqTopK(e, e.filter(col("vec_id") < 8), k = 3, m = 8, kCode = 16,
         shortlist = 64, trained = Some(books))
+    }),
+
+    "emb_ann_opq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (model, books) = opqModels.getOrElseUpdate(dir, {
+        val m = VectorOps.opqFit(e)
+        (m, VectorOps.pqFit(VectorOps.rotateFull(e, m), m = 8, k = 16))
+      })
+      VectorOps.pqTopK(VectorOps.rotateFull(e, model),
+        VectorOps.rotateFull(e.filter(col("vec_id") < 8), model),
+        k = 3, m = 8, kCode = 16, shortlist = 64, trained = Some(books))
     }),
 
     "emb_ann_sq" -> ((s, dir) => {
@@ -1799,6 +1844,10 @@ object SparkEntry {
 
     "emb_ann_pq" ->
       "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok, TRUE AS bounded_ok FROM embeddings WHERE vec_id < 8",
+
+    "emb_ann_opq" ->
+      ("SELECT COUNT(*) AS n_queries, TRUE AS basis_orthonormal_ok, TRUE AS rotation_topk_ok, " +
+        "TRUE AS recall_ok, TRUE AS bounded_ok FROM embeddings WHERE vec_id < 8"),
 
     "emb_ann_ivfpq" ->
       "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok, TRUE AS bounded_ok FROM embeddings WHERE vec_id < 8",

@@ -627,6 +627,31 @@ object VectorOps {
     df.select(col(idCol), proj(col(vecCol)).as("components"))
   }
 
+  /** Full-dimension PCA basis as an OPQ-style rotation (Ge et al. 2013's PCA-initialized
+    * variant): aligning coordinates with the principal axes decorrelates the subspaces
+    * PQ quantizes independently, which is what cuts PQ distortion on correlated
+    * embeddings. Trains like [[pcaFit]] (one moment pass, deterministic Jacobi). */
+  def opqFit(df: DataFrame, vecCol: String = "embedding"): PcaModel =
+    pcaFit(df, k = df.select(size(col(vecCol))).first().getInt(0), vecCol)
+
+  /** Pure rotation by the model's orthonormal basis — NO centering, NO whitening (either
+    * would change dot products): norms and cosines are invariant, so the rotated space
+    * ranks identically and PQ can quantize it in place of the original. A broadcast
+    * narrow map like [[pcaProject]]; output keeps the input column name so ANN
+    * operators compose transparently. */
+  def rotateFull(df: DataFrame, model: PcaModel, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val proj = udf { v: Seq[Float] =>
+      model.basis.map { ax =>
+        var s = 0.0
+        var i = 0
+        while (i < ax.length) { s += ax(i) * v(i); i += 1 }
+        s.toFloat
+      }.toSeq
+    }
+    df.select(col(idCol), proj(col(vecCol)).as(vecCol))
+  }
+
   /** L2-normalize the vector column (norm computed once per row, not per element). */
   private def l2Normalized(df: DataFrame, vecCol: String): DataFrame =
     df.withColumn("__n", VectorFunctions.l2Norm(col(vecCol)))

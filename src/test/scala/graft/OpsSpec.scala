@@ -461,6 +461,30 @@ class VectorOpsSpec extends SparkSpec {
     assert(maxCand < 450, s"LSH candidates degenerate: $maxCand of ~500")
   }
 
+  test("opqFit/rotateFull: orthonormal full-dim basis, cosines invariant under rotation") {
+    val rng = new scala.util.Random(11)
+    val pts = (1L to 60L).map(i => (i, Array.fill(8)(rng.nextGaussian().toFloat)))
+    val df = pts.toDF("vec_id", "embedding")
+    val m = VectorOps.opqFit(df)
+    assert(m.basis.length == 8, "full-dimension rotation")
+    for (i <- m.basis.indices; j <- m.basis.indices) {
+      val dot = m.basis(i).zip(m.basis(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9, s"basis not orthonormal at ($i,$j)")
+    }
+    val rot = VectorOps.rotateFull(df, m).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    for (Seq((ia, va), (ib, vb)) <- pts.take(20).combinations(2).map(_.toSeq)) {
+      assert(math.abs(cos(va, vb) - cos(rot(ia), rot(ib))) < 1e-5,
+        s"cosine not preserved for ($ia,$ib)")
+    }
+  }
+
   test("kcenterSelect == naive farthest-point traversal (quantized sims, min-id ties)") {
     val rng = new scala.util.Random(3)
     val pts = (1L to 40L).map(i => (i, Array.fill(8)(rng.nextGaussian().toFloat)))
