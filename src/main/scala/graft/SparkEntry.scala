@@ -823,6 +823,26 @@ object SparkEntry {
     // frequency head (one corpus exchange, bounded-heap top-k, k-row regression)
     "doc_zipf" -> ((s, dir) => TextOps.zipfFit(t(s, dir, "documents"))),
 
+    // MOSS winnowing fingerprints (Schleimer et al. 2003): per window of 4 consecutive
+    // shingle hashes keep the minimum — positionally-robust selection with the
+    // guarantee that any shared run of >= w+n-1 tokens yields a shared fingerprint
+    // (bottom-k `doc_fingerprint` has no such locality guarantee). Zero shuffle: the
+    // positional hash array materializes once behind the Generate barrier, windows are
+    // a transform+slice chain, output explodes the distinct selections
+    // (md5-60 positional hashes here for the oracle, per the repo convention; the
+    // one-pass xxh64 `shingleHashes` kernel is the drop-in at 100 TB)
+    "doc_winnowing" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array(transform(
+            TextFunctions.shingles(TextOps.tokensCol(col("text")), 3),
+            s => TextOps.md5Hash60(s)))).as("hs"))
+        .filter(size(col("hs")) > 0)
+        .select(col("doc_id"), explode(array_distinct(
+          when(size(col("hs")) >= 4,
+            expr("transform(sequence(1, size(hs) - 3), i -> array_min(slice(hs, i, 4)))"))
+            .otherwise(array(array_min(col("hs")))))).as("fp"))),
+
     // per-source corpus datasheet (the "data card" table every corpus release ships):
     // doc/lang counts, volume, exact-dup rate (distinct md5 over n), mean quality —
     // one scan + one grouped aggregation; the two exact countDistincts expand the
@@ -2652,6 +2672,19 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
         |  md5(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS scrubbed_md5
         |FROM d""".stripMargin,
+
+    "doc_winnowing" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |shl AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN []
+        |  ELSE list_transform(range(1, len(toks)-1),
+        |    i -> CAST(('0x'||substring(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15)) AS BIGINT)) END AS hs
+        |  FROM t)
+        |SELECT doc_id, unnest(list_distinct(CASE
+        |  WHEN len(hs) >= 4 THEN list_transform(range(1, len(hs) - 2), i -> list_aggregate(hs[i:i+3], 'min'))
+        |  ELSE [list_aggregate(hs, 'min')] END)) AS fp
+        |FROM shl WHERE len(hs) > 0""".stripMargin,
 
     "doc_source_report" ->
       """WITH t AS (SELECT source, lang, n_chars, md5(text) AS h,

@@ -708,6 +708,32 @@ class TextOpsSpec extends SparkSpec {
   }
 }
 
+class WinnowingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("doc_winnowing: shared token run >= w+n-1 guarantees a shared fingerprint") {
+    import java.nio.file.Files
+    // write a tiny documents table and run the actual query entry
+    val dir = Files.createTempDirectory("graft-winnow").toString
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta unique1 tail1 more1 words1"),
+      (2L, "lead2 other2 alpha beta gamma delta epsilon zeta trailing2"), // shared 6-run
+      (3L, "nothing in common with the first documents at all here")
+    ).toDF("doc_id", "text")
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("doc_winnowing")(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // winnowing guarantee: a shared run of >= w+n-1 = 6 tokens (here 6: alpha..zeta,
+    // giving 4 shared shingles = one full window) must yield a common fingerprint
+    assert((out(1L) & out(2L)).nonEmpty, s"shared run must fingerprint: $out")
+    assert((out(1L) & out(3L)).isEmpty && (out(2L) & out(3L)).isEmpty)
+    // selection is a subset of each doc's windows: |fp| <= #windows = #shingles - 3
+    assert(out(1L).size <= 8 - 3 && out(2L).size <= 7 - 3)
+  }
+}
+
 class ZipfSpec extends SparkSpec {
   import spark.implicits._
 
