@@ -502,6 +502,22 @@ object SparkEntry {
           round(col("p95") / 100, 2).as("p95"),
           round(col("p99") / 100, 2).as("p99"))),
 
+    // daily active users with a mergeable sketch (the DAU/WAU profile): per-day
+    // approx_count_distinct(rsd 2%) next to the exact countDistinct as the in-plan
+    // audit (graft.Verify gate); the bench variant times the sketch alone. Day index is
+    // integer epoch-day division — engine- and timezone-neutral
+    "ev_daily_users" -> ((s, dir) => {
+      val per = t(s, dir, "events")
+        .select(expr("unix_millis(ts) div 86400000").as("day"), col("user_id"))
+        .groupBy("day").agg(
+          countDistinct(col("user_id")).as("exact"),
+          expr("approx_count_distinct(user_id, 0.02)").as("approx"))
+      per.agg(count(lit(1)).as("n_days"),
+          max(abs(col("approx") - col("exact")).cast("double") /
+            col("exact").cast("double")).as("max_rel"))
+        .select(col("n_days"), (col("max_rel") <= 0.1).as("sketch_ok"))
+    }),
+
     // ROBUST outlier detection: median/MAD replace mean/stddev (ev_zscore's moments are
     // themselves dragged by the outliers they hunt). Two grouped-histogram percentile
     // passes on a DOUBLED integer grid — dd = |2g - 2*med| stays integer even when the
@@ -1565,6 +1581,12 @@ object SparkEntry {
       DedupOps.nearDupAdmission(batch, indexSigs, threshold = 0.4)
     }),
 
+    // the sketch alone — the exact countDistinct twin is the Verify gate's audit
+    "ev_daily_users" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(expr("unix_millis(ts) div 86400000").as("day"), col("user_id"))
+        .groupBy("day").agg(expr("approx_count_distinct(user_id, 0.02)").as("approx"))),
+
     "emb_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       VectorOps.lshTopK(e, e.filter(col("vec_id") < 8), k = 3, nPlanes = 4, nTables = 16)
@@ -2113,6 +2135,10 @@ object SparkEntry {
         |  ROUND(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.95) / 100, 2) AS p95,
         |  ROUND(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.99) / 100, 2) AS p99
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "ev_daily_users" ->
+      """SELECT COUNT(DISTINCT CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000) AS n_days,
+        |  TRUE AS sketch_ok FROM events""".stripMargin,
 
     "ev_anomaly_mad" ->
       """WITH e AS (SELECT event_id, event_type, CAST(round(value*100) AS BIGINT) AS g FROM events),
