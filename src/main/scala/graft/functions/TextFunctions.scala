@@ -92,6 +92,77 @@ object TextExpressions {
   }
 
   /**
+   * `winnowing_fingerprints(tokens, n, w)` → `array<long>`: MOSS winnowing (Schleimer,
+   * Wilkerson & Aiken, SIGMOD 2003) in ONE allocation-lean pass — xxh64 word n-gram
+   * shingle hashes (same Seed1/Seed2 chain as [[ShingleHashes]], so the two kernels
+   * agree bit-for-bit on the hash sequence), then the minimum of every w-window of
+   * consecutive shingle hashes via a monotone deque (amortized O(1) per window; the HOF
+   * route copies a w-slice and rescans it per window, O(n·w) with per-element interpreted
+   * lambdas). Output is the DISTINCT selected fingerprints in first-occurrence order —
+   * exactly `array_distinct(transform(sequence…, i -> array_min(slice(hs, i, w))))` —
+   * with the winnowing guarantee: any shared token run of length >= w+n-1 between two
+   * documents yields at least one shared fingerprint. Degenerate shapes match the gated
+   * md5-60 oracle query (`SparkEntry` `doc_winnowing`): fewer than n tokens → empty
+   * array; fewer than w shingles → the single global minimum.
+   */
+  case class WinnowingFingerprints(child: Expression, n: Int, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(n > 0 && w > 0)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      if (m < n) return new GenericArrayData(Array.emptyLongArray)
+      // pass 1: per-token hashes (identical construction to ShingleHashes)
+      val th = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        val s = arr.getUTF8String(i)
+        th(i) = if (s == null) 0L else hash(s, Seed1)
+        i += 1
+      }
+      val nh = m - n + 1
+      val hs = new Array[Long](nh)
+      var j = 0
+      while (j < nh) {
+        var h = Seed2
+        var t = j
+        while (t < j + n) { h = XXH64.hashLong(th(t), h); t += 1 }
+        hs(j) = h
+        j += 1
+      }
+      if (nh < w) { // single short window: the global min
+        var mn = hs(0); var q = 1
+        while (q < nh) { if (hs(q) < mn) mn = hs(q); q += 1 }
+        return new GenericArrayData(Array(mn))
+      }
+      // pass 2: sliding-window min, monotone deque of indices (front = current min);
+      // equal values are KEPT so the min survives when an equal earlier index expires
+      val out = new java.util.ArrayList[Long](math.min(nh, 64))
+      val seen = new java.util.HashSet[java.lang.Long]()
+      val deque = new Array[Int](nh)
+      var head = 0; var tail = 0
+      var q = 0
+      while (q < nh) {
+        while (tail > head && hs(deque(tail - 1)) > hs(q)) tail -= 1
+        deque(tail) = q; tail += 1
+        if (deque(head) <= q - w) head += 1
+        if (q >= w - 1) {
+          val v: java.lang.Long = hs(deque(head))
+          if (seen.add(v)) out.add(v)
+        }
+        q += 1
+      }
+      val res = new Array[Long](out.size)
+      var r = 0
+      while (r < res.length) { res(r) = out.get(r); r += 1 }
+      new GenericArrayData(res)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /**
    * `text_signals(tokens)` → struct(n_tokens, n_distinct, n_stop, top_bigram_n): every
    * per-document token statistic the quality/repetition filters need, in ONE pass over
    * the token array. The composable route evaluated the interpreted tokenizer + HOF
@@ -230,6 +301,55 @@ object TextExpressions {
       }
       new GenericInternalRow(Array[Any](m.toLong,
         distinct.size.toLong + (if (sawNull) 1L else 0L), nStop, top))
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /**
+   * `token_entropy_signals(tokens)` → struct(n_tokens, s): the per-document state the
+   * Shannon-entropy quality signal needs, computed WITHOUT the explode → groupBy(doc,
+   * token) → groupBy(doc) double exchange (entropy of a document depends only on that
+   * document — shipping corpus-sized (doc_id, token) count rows through two shuffles for
+   * a map-shaped quantity is pure waste at 100 TB). `s` = Σ over distinct tokens of
+   * `CAST(c·log10(c) AS DECIMAL(18,8))`, summed EXACTLY as decimals — the cross-engine
+   * discipline: each per-term double quantizes through Spark's own double→decimal cast
+   * semantics (`Double.toString`-canonical BigDecimal, setScale HALF_UP — what
+   * `Cast(DoubleType → DecimalType)` does) before an order-independent exact sum, so the
+   * result is bit-identical to the grouped aggregation the DuckDB oracle still runs.
+   * Declared DECIMAL(28,8) like Spark's `sum(decimal(18,8))` output. NULL for an empty
+   * token array (the grouped form emits no row for token-less docs).
+   */
+  case class TokenEntropySignals(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("s", DecimalType(28, 8), nullable = false)))
+    override def nullIntolerant: Boolean = true
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      if (m == 0) return null
+      val counts = new java.util.HashMap[UTF8String, Long](m * 2)
+      var nTok = 0L
+      var i = 0
+      while (i < m) {
+        val s = arr.getUTF8String(i)
+        if (s != null) { counts.merge(s, 1L, (x, y) => x + y); nTok += 1 }
+        i += 1
+      }
+      if (nTok == 0L) return null
+      var sum = java.math.BigDecimal.ZERO
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val c = it.next().toDouble
+        val term = c * java.lang.Math.log10(c)
+        // Spark's double→decimal cast: canonical-string BigDecimal, then HALF_UP to scale
+        sum = sum.add(java.math.BigDecimal.valueOf(term)
+          .setScale(8, java.math.RoundingMode.HALF_UP))
+      }
+      new GenericInternalRow(Array[Any](nTok,
+        org.apache.spark.sql.types.Decimal(sum, 28, 8)))
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
@@ -555,6 +675,10 @@ object TextFunctions {
 
   /** One-pass hashed shingles + consumers over pre-hashed arrays (the fast path). */
   def shingleHashes(toks: Column, n: Int): Column   = column(ShingleHashes(expression(toks), n))
+  def winnowing(toks: Column, n: Int, w: Int): Column =
+    column(WinnowingFingerprints(expression(toks), n, w))
+  def tokenEntropySignals(toks: Column): Column =
+    column(TokenEntropySignals(expression(toks)))
   def longestRepeat(toks: Column): Column =
     column(LongestRepeat(expression(toks)))
 

@@ -132,6 +132,45 @@ object DedupOps {
   }
 
   /**
+   * Fingerprint-blocked near-duplicate PAIRS over any per-document fingerprint stream —
+   * the consumer of MOSS winnowing output (Schleimer et al. 2003 §4: rank pairs by how
+   * many selected fingerprints they share; winnowing's guarantee makes any shared token
+   * run of >= w+n-1 tokens contribute at least one shared fingerprint, so long verbatim
+   * overlaps CANNOT be missed — the locality property bottom-k sketches lack).
+   *
+   * Input: one row per (doc, fingerprint), fingerprints already distinct per doc.
+   * Shape at 100 TB: document-frequency cap first (a fingerprint shared by > `dfCap`
+   * docs is boilerplate — joining through it creates df² pair candidates for evidence
+   * that contributes 1 to a count; the same stop-key discipline as the inverted-index
+   * Jaccard path), then a self-equi-join on the fingerprint (shuffles 16-byte id/fp
+   * rows only), count shared per pair, keep pairs with >= `minShared`. Overlap score =
+   * n_shared / min(|A|,|B|) over the POST-cap fingerprint sets (both sides of the
+   * ratio see the same universe, so boilerplate removal can't push it above 1).
+   */
+  def fingerprintPairs(
+      fps: DataFrame,
+      idCol: String = "doc_id",
+      fpCol: String = "fp",
+      minShared: Int = 2,
+      dfCap: Int = 20): DataFrame = {
+    val dfCounts = fps.groupBy(col(fpCol)).agg(count(lit(1)).as("__df"))
+    val keep = fps.join(dfCounts.filter(col("__df") <= dfCap), Seq(fpCol))
+      .select(col(idCol), col(fpCol))
+    val sizes = keep.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val a = keep.select(col(fpCol), col(idCol).as("id_a")).repartition(col(fpCol))
+    val b = keep.select(col(fpCol), col(idCol).as("id_b"))
+    a.join(b, Seq(fpCol))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(sizes.select(col(idCol).as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        round(col("n_shared").cast("double") / least(col("n_a"), col("n_b")), 6)
+          .as("overlap"))
+  }
+
+  /**
    * Cross-corpus near-duplicate DECONTAMINATION (the GPT-3 appendix-C step): find every
    * document in `train` whose exact distinct-shingle Jaccard with ANY `ref` document
    * (held-out benchmark / eval split) reaches `threshold`, returning the best-matching

@@ -413,6 +413,24 @@ object TextOps {
    * before the exact decimal SUM (fp addition order differs between engines).
    */
   def tokenEntropy(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    // entropy of a document depends only on that document: the per-doc token-count map is
+    // LOCAL state inside one native expression call, so the plan is a narrow map over the
+    // scan — zero Exchange (the former explode → groupBy(doc,token) → groupBy(doc) shape
+    // shipped the whole tokenized corpus through two shuffles for a map-shaped quantity).
+    // explode(array(e)) pins the struct as a generator output so the isNotNull filter
+    // cannot re-evaluate the expression below the Generate (same barrier as longestRepeat)
+    df.select(col(idCol),
+        explode(array(TextFunctions.tokenEntropySignals(tokensCol(col(textCol))))).as("__e"))
+      .filter(col("__e").isNotNull)
+      .select(col(idCol), col("__e.n_tokens").as("n_tokens"),
+        round(log10(col("__e.n_tokens").cast("double")).cast(DecimalType(18, 8)).cast("double")
+          - col("__e.s").cast("double") / col("__e.n_tokens"), 4).as("entropy10"))
+
+  /** The exchange-based formulation of [[tokenEntropy]] (explode → two keyed shuffles) —
+    * kept as the property cross-check twin for the zero-shuffle kernel, mirroring the
+    * DuckDB oracle's shape term for term. */
+  private[graft] def tokenEntropyGrouped(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
     df.select(col(idCol), explode(tokensCol(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("cnt"))
       .groupBy(col(idCol))

@@ -139,6 +139,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges.nonEmpty && !exchanges.exists(_.split("\n")(0).contains("text")))
   }
 
+  test("doc_entropy: per-row kernel, zero Exchange (VERDICT r5 #3)") {
+    // entropy is a map-shaped quantity: the former explode → groupBy(doc,token) →
+    // groupBy(doc) shape pushed the tokenized corpus through two shuffles for it
+    val p = plan("doc_entropy")
+    assert(!p.contains("Exchange"), s"doc_entropy must be a pure map, got:\n$p")
+  }
+
+  test("doc_winnowing bench kernel: zero Exchange; pairs shuffle fingerprints, never text") {
+    val pk = SparkEntry.benchQueries("doc_winnowing")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!pk.contains("Exchange"), s"winnowing kernel must be a pure map, got:\n$pk")
+    assert(pk.contains("winnowingfingerprints") || pk.contains("WinnowingFingerprints"),
+      s"bench form must run the native kernel:\n$pk")
+    for (p <- Seq(plan("doc_winnowing_pairs"),
+        SparkEntry.benchQueries("doc_winnowing_pairs")(spark, dir)
+          .queryExecution.executedPlan.toString)) {
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+      val exchanges = p.split("Exchange").drop(1)
+      assert(exchanges.nonEmpty && !exchanges.exists(_.split("\n")(0).contains("text")),
+        s"text column crossed an exchange:\n$p")
+    }
+  }
+
   test("doc_simhash / doc_fingerprint gate queries stay narrow maps (no exchange)") {
     for (q <- Seq("doc_simhash", "doc_fingerprint")) {
       val p = plan(q)
