@@ -930,6 +930,9 @@ object SparkEntry {
     "doc_bigram_logprob" -> ((s, dir) =>
       TextOps.bigramLogprob(t(s, dir, "documents"))),
 
+    "doc_kn_logprob" -> ((s, dir) =>
+      TextOps.knLogprob(t(s, dir, "documents"))),
+
     "doc_ccnet_buckets" -> ((s, dir) =>
       TextOps.ccnetBuckets(t(s, dir, "documents"))),
 
@@ -2954,6 +2957,31 @@ object SparkEntry {
         |    ) AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 4) AS avg_logprob
         |FROM bs s JOIN bfreq f USING (w1, w2)
         |JOIN ufreq u1 ON s.w1 = u1.w JOIN ufreq u2 ON s.w2 = u2.w CROSS JOIN tot t
+        |GROUP BY s.doc_id""".stripMargin,
+
+    // interpolated Kneser-Ney bigram LM (D = 0.75): every model table folds off the
+    // bigram-type table; operand order mirrors TextOps.knLogprob verbatim, constants
+    // cast to DOUBLE so DuckDB never routes 0.75 through DECIMAL arithmetic
+    "doc_kn_logprob" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS l
+        |  FROM documents),
+        |big AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(l)), i -> struct_pack(w1 := l[i], w2 := l[i+1]))) AS bg
+        |  FROM toks WHERE len(l) >= 2),
+        |bs AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM big),
+        |bfreq AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM bs GROUP BY w1, w2),
+        |ls AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS c1, CAST(COUNT(*) AS BIGINT) AS n1p
+        |  FROM bfreq GROUP BY w1),
+        |cs AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS ct FROM bfreq GROUP BY w2),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntypes FROM bfreq)
+        |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  ROUND(CAST(SUM(CAST(LOG10(
+        |      (GREATEST(CAST(f.cb AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0.0 AS DOUBLE)) / ls.c1)
+        |      + (((CAST(0.75 AS DOUBLE) * ls.n1p) / ls.c1) * (CAST(cs.ct AS DOUBLE) / t.ntypes))
+        |    ) AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 4) AS avg_logprob
+        |FROM bs s JOIN bfreq f USING (w1, w2)
+        |JOIN ls ON s.w1 = ls.w1 JOIN cs ON s.w2 = cs.w2 CROSS JOIN tot t
         |GROUP BY s.doc_id""".stripMargin,
 
     // CCNet head/middle/tail terciles per language: discrete rank rule over the 1e-4

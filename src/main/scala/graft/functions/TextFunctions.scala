@@ -184,10 +184,14 @@ object TextExpressions {
    * memorization/looping risk signal (a long verbatim internal repeat is what loopy
    * generations and boilerplate-stuffed pages look like).
    *
-   * One expression call per document, zero shuffle. "Some n-gram of length L repeats"
-   * is monotone in L, so the maximal L binary-searches in O(log n) passes; each check
-   * hashes the L-grams of the doc into a set (exact string keys — no collision caveat).
-   * Returns NULL when no token repeats at all (all-distinct docs).
+   * One expression call per document, zero shuffle. The maximal repeat length comes
+   * from a token-level suffix automaton (Blumer et al. 1985 construction, O(n) states
+   * and transitions): after propagating endpos sizes up the suffix-link tree, the
+   * answer is the largest `len(v)` over states with count >= 2 — one linear build
+   * instead of the previous O(n·L·log n) binary search of hashing passes. A single
+   * exact counting pass at that length then picks the representative (exact string
+   * keys — no collision caveat). Returns NULL when no token repeats at all
+   * (all-distinct docs).
    */
   case class LongestRepeat(child: Expression)
       extends UnaryExpression with CodegenFallback {
@@ -211,14 +215,70 @@ object TextExpressions {
       sb.toString
     }
 
-    private def hasRepeat(toks: Array[UTF8String], L: Int): Boolean = {
-      val seen = new java.util.HashSet[String]((toks.length - L + 1) * 2)
-      var s = 0
-      while (s + L <= toks.length) {
-        if (!seen.add(gram(toks, s, L))) return true
-        s += 1
+    /** Maximal L such that some token L-gram occurs >= 2 times (overlaps allowed),
+      * 0 when every token is distinct. Suffix automaton over interned token ids:
+      * each non-clone state is born with endpos count 1, counts propagate to suffix
+      * links in decreasing-len order (counting sort — len <= n), and a state reached
+      * by >= 2 end positions witnesses every length up to its `len`. */
+    private def maxRepeatLen(ids: Array[Int]): Int = {
+      val n = ids.length
+      val cap = 2 * n + 4
+      val len = new Array[Int](cap)
+      val link = new Array[Int](cap)
+      val cnt = new Array[Long](cap)
+      val trans = new Array[java.util.HashMap[Integer, Integer]](cap)
+      trans(0) = new java.util.HashMap[Integer, Integer](4)
+      link(0) = -1
+      var size = 1
+      var last = 0
+      var i = 0
+      while (i < n) {
+        val c: Integer = ids(i)
+        val cur = size; size += 1
+        len(cur) = len(last) + 1
+        cnt(cur) = 1L
+        trans(cur) = new java.util.HashMap[Integer, Integer](4)
+        var p = last
+        while (p != -1 && !trans(p).containsKey(c)) { trans(p).put(c, cur); p = link(p) }
+        if (p == -1) link(cur) = 0
+        else {
+          val q = trans(p).get(c).intValue
+          if (len(p) + 1 == len(q)) link(cur) = q
+          else {
+            val clone = size; size += 1
+            len(clone) = len(p) + 1
+            link(clone) = link(q)
+            cnt(clone) = 0L
+            trans(clone) = new java.util.HashMap[Integer, Integer](trans(q))
+            while (p != -1 && trans(p).get(c) != null && trans(p).get(c).intValue == q) {
+              trans(p).put(c, clone); p = link(p)
+            }
+            link(q) = clone
+            link(cur) = clone
+          }
+        }
+        last = cur
+        i += 1
       }
-      false
+      // endpos counts: bucket states by len, sweep decreasing
+      val byLen = new Array[Int](n + 2)
+      var v = 1
+      while (v < size) { byLen(len(v)) += 1; v += 1 }
+      var l = 1
+      while (l <= n) { byLen(l) += byLen(l - 1); l += 1 }
+      val order = new Array[Int](size - 1)
+      v = 1
+      while (v < size) { byLen(len(v)) -= 1; order(byLen(len(v))) = v; v += 1 }
+      var best = 0
+      var k = order.length - 1
+      while (k >= 0) {
+        val s = order(k)
+        if (cnt(s) >= 2L && len(s) > best) best = len(s)
+        if (link(s) > 0) cnt(link(s)) += cnt(s)
+        else if (link(s) == 0) () // root absorbs the rest
+        k -= 1
+      }
+      best
     }
 
     override protected def nullSafeEval(a: Any): Any = {
@@ -228,13 +288,17 @@ object TextExpressions {
       var i = 0
       while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
       if (n < 2 || toks.exists(_ == null)) return null
-      if (!hasRepeat(toks, 1)) return null
-      var lo = 1 // invariant: repeat exists at lo
-      var hi = n - 1
-      while (lo < hi) { // find max L with a repeat
-        val mid = (lo + hi + 1) / 2
-        if (hasRepeat(toks, mid)) lo = mid else hi = mid - 1
+      val idOf = new java.util.HashMap[UTF8String, Integer](n * 2)
+      val ids = new Array[Int](n)
+      i = 0
+      while (i < n) {
+        var id = idOf.get(toks(i))
+        if (id == null) { id = idOf.size; idOf.put(toks(i), id) }
+        ids(i) = id.intValue
+        i += 1
       }
+      val lo = maxRepeatLen(ids)
+      if (lo == 0) return null
       val counts = new java.util.HashMap[String, Long]()
       var s = 0
       while (s + lo <= n) {

@@ -622,6 +622,61 @@ object TextOps {
   }
 
   /**
+   * Interpolated Kneser-Ney bigram language-model score per document (Kneser & Ney
+   * 1995; the interpolated form of Chen & Goodman 1999 with a fixed absolute discount
+   * D = 0.75):
+   *
+   *   P(w|v) = max(c(v,w) - D, 0) / c1(v)
+   *          + ((D * n1p(v)) / c1(v)) * (ct(w) / ntypes)
+   *
+   * Every statistic derives from the corpus bigram-TYPE table: `c1(v)` = bigram tokens
+   * starting with v, `n1p(v)` = distinct continuations of v (how much mass was
+   * discounted), `ct(w)` = distinct left contexts of w, `ntypes` = distinct bigram
+   * types. `ct/ntypes` is the continuation probability — the "how many novel contexts
+   * does w appear in" idea that makes KN the strongest n-gram smoother (a word frequent
+   * only inside one collocation gets a LOW backoff weight where raw-frequency
+   * interpolation, [[bigramLogprob]], overrates it).
+   *
+   * Scale shape: identical to [[bigramLogprob]] — bigram construction is a narrow
+   * `transform` map, ONE corpus-sized exchange collapses to distinct `(doc, bigram, k)`,
+   * and all four model tables fold off the bigram-type table (type-sized, never a second
+   * corpus shuffle); the per-word stat tables broadcast back. Float discipline: fixed
+   * operand order mirrored verbatim in the oracle (`cb - D` and `D * n1p` are exact in
+   * binary — D = 3/4; the three ratios are single IEEE divisions), `log10` paired with
+   * DuckDB `LOG10` (both libm log10 — the two-arg ln ratio differs by ulps), per-term
+   * DECIMAL(18,8) quantization with DECIMAL(10,0) multiplicities (the repo-standard sum
+   * discipline).
+   */
+  def knLogprob(df: DataFrame, discount: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1): $discount")
+    val toks = df.select(col(idCol), tokensCol(col(textCol)).as("__l"))
+    val big = toks.where(size(col("__l")) >= 2).select(col(idCol),
+        explode(expr("transform(sequence(1, size(__l) - 1), " +
+          "i -> struct(element_at(__l, i) AS w1, element_at(__l, i + 1) AS w2))")).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val perDoc = big.groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("k"))
+    val bfreq = perDoc.groupBy("w1", "w2").agg(sum(col("k")).as("cb"))
+    val leftStats = bfreq.groupBy("w1")
+      .agg(sum(col("cb")).as("c1"), count(lit(1)).as("n1p"))
+    val contStats = bfreq.groupBy("w2").agg(count(lit(1)).as("ct"))
+    val ntypes = bfreq.agg(count(lit(1)).as("ntypes"))
+    val p = (greatest(col("cb").cast("double") - lit(discount), lit(0.0)) / col("c1")) +
+      (((lit(discount) * col("n1p")) / col("c1")) *
+        (col("ct").cast("double") / col("ntypes")))
+    perDoc.join(bfreq, Seq("w1", "w2"))
+      .join(broadcast(leftStats), "w1")
+      .join(broadcast(contStats), "w2")
+      .crossJoin(broadcast(ntypes))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("k")).as("n_bigrams"),
+        round(sum(col("k").cast(DecimalType(10, 0)) *
+            log10(p).cast(DecimalType(18, 8))).cast("double") / sum(col("k")), 4)
+          .as("avg_logprob"))
+  }
+
+  /**
    * CCNet-style perplexity terciles (Wenzek et al., "CCNet: Extracting High Quality
    * Monolingual Datasets from Web Crawl Data", 2020): per language, documents split into
    * head / middle / tail by their LM score tercile — head = the most-fluent third, the

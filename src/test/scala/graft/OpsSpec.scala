@@ -647,6 +647,45 @@ class TextOpsSpec extends SparkSpec {
     assert(evals == 1, s"expected exactly one longestRepeat eval, found $evals:\n$p")
   }
 
+  test("knLogprob: matches hand-computed interpolated Kneser-Ney values (D = 0.75)") {
+    // corpus: doc1 = "a b a b" -> bigrams (a,b)x2, (b,a)x1; doc2 = "a c" -> (a,c)x1
+    // bfreq: (a,b)=2 (b,a)=1 (a,c)=1; ntypes=3
+    // ls: a->(c1=3, n1p=2), b->(c1=1, n1p=1); cs: a=1 b=1 c=1
+    // P(b|a) = 1.25/3 + (1.5/3)*(1/3) = 0.58333...; P(a|b) = 0.25 + 0.75*(1/3) = 0.5
+    // P(c|a) = 0.25/3 + (1.5/3)*(1/3) = 0.25
+    val df = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextOps.knLogprob(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val exp1 = (2 * math.log10(0.58333333333333333) + math.log10(0.5)) / 3
+    assert(got(1L)._1 == 3L)
+    assert(math.abs(got(1L)._2 - math.rint(exp1 * 10000) / 10000) < 1e-9, s"doc1: ${got(1L)}")
+    assert(got(2L) == ((1L, math.rint(math.log10(0.25) * 10000) / 10000)), s"doc2: ${got(2L)}")
+  }
+
+  test("longestRepeatedSpan: suffix-automaton length equals naive on random small-alphabet docs") {
+    // small alphabet + length up to 60 stresses the automaton's clone path hard;
+    // the naive reference recomputes every length by hashing
+    def naiveMaxLen(toks: Array[String]): Int =
+      (1 until toks.length).filter { l =>
+        val grams = toks.sliding(l).map(_.mkString(" ")).toSeq
+        grams.distinct.size < grams.size
+      }.lastOption.getOrElse(0)
+    val rnd = new scala.util.Random(42)
+    val docs = (1L to 120L).map { id =>
+      val n = 2 + rnd.nextInt(59)
+      val alpha = 2 + rnd.nextInt(4)
+      id -> Array.fill(n)(('a' + rnd.nextInt(alpha)).toChar.toString)
+    }
+    val df = docs.map { case (id, ts) => (id, ts.mkString(" ")) }.toDF("doc_id", "text")
+    val got = TextOps.longestRepeatedSpan(df).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    docs.foreach { case (id, ts) =>
+      val exp = naiveMaxLen(ts)
+      if (exp == 0) assert(!got.contains(id), s"doc $id must drop")
+      else assert(got(id) == exp, s"doc $id: got ${got.get(id)} expected len $exp")
+    }
+  }
+
   test("tokenEntropy: looped text ~0, all-distinct = log10(n), mixed in between") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam spam spam"),       // one token: H = 0
