@@ -13,7 +13,15 @@ object Profile {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val base = Files.createTempDirectory("graft-tp").toString
     Files.createDirectories(Paths.get(s"$base/spool"))
-    val ev0 = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    val ev0raw = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    // ts has shipped as nanos-long (legacy conf) and as TIMESTAMP_NTZ micros; normalize
+    val ev0 = ev0raw.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        ev0raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        ev0raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => ev0raw
+    }
     val ev = (0 until 10).map(i => ev0.withColumn("event_id", col("event_id") + lit(i.toLong * 1000000))).reduce(_ unionByName _)
     val n = ev.count()
     val lines = ev.select(to_json(struct(
@@ -24,7 +32,7 @@ object Profile {
       when(col("event_type") === "error",
         struct(col("event_id"), col("user_id"), lit(null).cast("string").as("event_type"),
           lit(null).cast("double").as("value"))).otherwise(lit(null)).as("before"),
-      struct((col("ts") / 1000000L).cast("long").as("ts_ms")).as("source"))).as("v"))
+      struct(unix_millis(col("ts")).as("ts_ms")).as("source"))).as("v"))
       .collect().map(_.getString(0))
     Files.write(Paths.get(s"$base/spool/000.jsonl"), java.util.Arrays.asList(lines: _*))
     val t0 = System.nanoTime()

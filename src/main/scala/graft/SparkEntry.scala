@@ -47,14 +47,19 @@ object SparkEntry {
       explode(TextFunctions.winnowing(TextOps.tokensCol(col("text")), 3, 4)).as("fp"))
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark 4 refuses
-    // (PARQUET_TYPE_ILLEGAL); read it as a nanos long and convert to micros TimestampType
-    // here so every query downstream sees a plain timestamp column.
+    // Driver testdata has shipped `ts` as parquet TIMESTAMP(NANOS) (which vanilla Spark 4
+    // refuses — PARQUET_TYPE_ILLEGAL — so it reads as a nanos long under the legacy conf)
+    // and, since the 2026-08-13 regeneration, as TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    // (which Spark infers as TIMESTAMP_NTZ). Normalize BOTH to plain TimestampType here —
+    // session timezone is UTC everywhere (Verify/SparkSpec), so the NTZ cast is the
+    // identity on the epoch value — and every query downstream sees one timestamp type.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df0 = s.read.parquet(s"$dir/$name.parquet")
-    if (df0.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
-      df0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df0
+    df0.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) => df0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) => df0.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df0
+    }
   }
 
   private def dec(c: Column, p: Int = 18, s: Int = 2): Column = c.cast(DecimalType(p, s))

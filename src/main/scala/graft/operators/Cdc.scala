@@ -138,6 +138,39 @@ object Cdc {
       .select(df.columns.map(col): _*)
   }
 
+  /**
+   * SCD Type-2 history build from an ordered change stream (Kimball slowly-changing-
+   * dimension type 2): collapse consecutive rows whose tracked attribute is unchanged,
+   * then derive half-open `[valid_from, valid_to)` validity intervals per key —
+   * `valid_to` = the next change's `valid_from`, NULL (open interval) for the current
+   * row, plus a per-key `version` counter. The reference only materializes the
+   * latest-state table (LWW dedupe, `staging.py:245-282`); Type-2 is the standard
+   * warehouse companion built from the SAME ordered stream, so it belongs in the same
+   * operator family.
+   *
+   * Scale: ONE exchange+sort on the key — `lag` (change detection), `lead`
+   * (`valid_to`) and `row_number` (`version`) all ride the identical
+   * `(keys, orderCols)` window, and the change filter between them preserves the
+   * partitioning and sort order, so Catalyst plans a single shuffle. State per key is
+   * O(1) streaming through the sorted run — no per-key buffering.
+   *
+   * @param orderCols total order within a key (first column becomes `valid_from`);
+   *                  callers append a tiebreaker (e.g. event_id) for determinism.
+   */
+  def scd2History(df: DataFrame, keys: Seq[String], attr: String,
+      orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols.map(col): _*)
+    df
+      .withColumn("__prev", lag(col(attr), 1).over(w))
+      .where(col("__prev").isNull || col("__prev") =!= col(attr))
+      .withColumn("valid_from", col(orderCols.head))
+      .withColumn("valid_to", lead(col(orderCols.head), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .withColumn("version", row_number().over(w).cast(LongType))
+      .select((keys.map(col) :+ col(attr)) ++
+        Seq(col("valid_from"), col("valid_to"), col("is_current"), col("version")): _*)
+  }
+
   /** D1 window form — identical semantics via `row_number`; kept for parity with the reference's
     * formulation (`staging.py:245-259`) and for cases needing the loser rows too. */
   def dedupeLastWinsWindow(df: DataFrame, pks: Seq[String], orderCol: String = OrderCol): DataFrame = {

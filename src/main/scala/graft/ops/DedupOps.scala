@@ -592,6 +592,36 @@ object DedupOps {
   }
 
   /**
+   * C4-style per-source boilerplate removal (Raffel et al. 2020 §2.2 applied at the
+   * source granularity): a line is boilerplate iff it occurs in more than `maxDocs`
+   * DISTINCT documents of the SAME source (nav bars, footers, cookie banners are
+   * source-templated — a line legitimately shared across different sources is content,
+   * not chrome, so the global [[lineDedup]] rule would over-strip).
+   *
+   * Scale: the frequency pass shuffles (source, line-md5) pairs — never text — and the
+   * per-source boilerplate sets are tiny (template lines per site), so they broadcast
+   * back as one array per source; the strip itself is a narrow map. At 100 TB this is
+   * one digest-sized exchange + a broadcast hash join on `source`.
+   */
+  def boilerplateStrip(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      srcCol: String = "source", maxDocs: Int = 2): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val freq = df.select(col(srcCol), col(idCol), explode(lines).as("line"))
+      .groupBy(col(srcCol), md5(col("line")).as("h"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .where(col("nd") > maxDocs)
+      .groupBy(col(srcCol))
+      .agg(collect_list(col("h")).as("__bp"))
+    val bp = coalesce(col("__bp"), array().cast("array<string>"))
+    val kept = filter(lines, l => !array_contains(bp, md5(l)))
+    df.join(broadcast(freq), Seq(srcCol), "left")
+      .select(col(idCol), col(srcCol),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept"),
+        md5(concat_ws("\n", kept)).as("clean_md5"))
+  }
+
+  /**
    * Exact duplicated-span detection (the ExactSubstr idea of Lee et al. 2022,
    * "Deduplicating Training Data Makes Language Models Better", re-expressed for Spark):
    * a span is duplicated when the same `k`-token window appears in more than one document.

@@ -107,6 +107,32 @@ object TextOps {
   }
 
   /**
+   * Flesch readability scoring (Flesch 1948 reading-ease; Kincaid et al. 1975 grade
+   * level) with the standard heuristic syllable counter — a syllable is a maximal run
+   * of `[aeiouy]` in the lowercased text. A curation pipeline uses the score as a
+   * cheap complexity signal next to [[qualityScore]] (e.g. CCNet-style bucketing by
+   * audience level). Sentences = maximal runs of `[.!?]`; words = the shared
+   * tokenizer. All three counts clamp to >= 1 so the ratios stay defined on
+   * punctuation-free or empty docs. Narrow per-row map — zero shuffle at any scale.
+   */
+  def readability(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val base = df.select(col(idCol),
+      greatest(size(tokensCol(col(textCol))), lit(1)).cast("double").as("__w"),
+      greatest(size(expr(s"regexp_extract_all($textCol, '[.!?]+', 0)")), lit(1))
+        .cast("double").as("__s"),
+      greatest(size(expr(s"regexp_extract_all(lower($textCol), '[aeiouy]+', 0)")), lit(1))
+        .cast("double").as("__syl"))
+    base.select(col(idCol),
+      col("__w").cast("long").as("n_words"),
+      col("__s").cast("long").as("n_sentences"),
+      col("__syl").cast("long").as("n_syllables"),
+      round(lit(206.835) - lit(1.015) * col("__w") / col("__s")
+        - lit(84.6) * col("__syl") / col("__w"), 4).as("flesch_ease"),
+      round(lit(0.39) * col("__w") / col("__s")
+        + lit(11.8) * col("__syl") / col("__w") - lit(15.59), 4).as("fk_grade"))
+  }
+
+  /**
    * Stable train/test split by content hash: bucket = first 16 bits of md5(text) mod 100.
    * Hash-based (not RNG) splitting is the reproducible way to partition training corpora —
    * membership is a pure function of content, invariant under re-runs, re-partitioning and

@@ -46,6 +46,42 @@ object VectorOps {
   }
 
   /**
+   * Matryoshka coarse-to-fine retrieval (Kusupati et al. 2022, MRL): stage 1 scans only
+   * the first `prefixDims` dimensions (MRL-trained embeddings front-load information, so
+   * the prefix is itself a valid lower-dim embedding) and keeps `coarseK` candidates per
+   * query; stage 2 re-scores ONLY those candidates at full dimension. Deterministic both
+   * stages (cosine desc, id tiebreak), so the whole two-stage pipeline is
+   * oracle-replayable — unlike the recall-gated ANN family.
+   *
+   * Scale: the dominant cost — the full-corpus scan — drops by dims/prefixDims (8× here);
+   * a production layout stores the prefix as its OWN parquet column so stage 1's scan
+   * prunes to prefix bytes only (columnar IO, not just CPU). Stage 2 touches
+   * |queries|·coarseK rows: the full-vector lookup joins on neighbor id against the
+   * corpus, the (small) query set re-enters broadcast.
+   */
+  def mrlRerankTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      prefixDims: Int = 8,
+      coarseK: Int = 24,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    def prefix(df: DataFrame) =
+      df.select(col(idCol), slice(col(vecCol), 1, prefixDims).as(vecCol))
+    val coarse = bruteForceTopK(prefix(corpus), prefix(queries), coarseK, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val rescored = coarse
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosine(col("q_vec"), col("c_vec")).as("sim"))
+    rankTopK(rescored, k)
+  }
+
+  /**
    * Multi-table (OR-amplified) hyperplane-LSH candidate pairs: `nTables` independent plane
    * sets (deterministic seeds), a pair is a candidate if it collides in ANY table. Collision
    * probability per table is p^nPlanes with p = 1 - θ/π, so recall amplifies as
