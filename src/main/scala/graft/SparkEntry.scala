@@ -274,6 +274,10 @@ object SparkEntry {
           .as("pctl_ok"))
     }),
 
+    // RFM customer segmentation: distributed histogram quintiles (integer-exact type-1
+    // thresholds, no partitionless ntile window), broadcast threshold join
+    "q_rfm" -> ((s, dir) => SampleOps.rfmSegments(t(s, dir, "orders"))),
+
     // ---- CDC operator inventory (SURVEY §2) ---------------------------------------------------
 
     // P1+P2+P8: envelope unwrap with delete rewrite + system columns
@@ -305,6 +309,19 @@ object SparkEntry {
       val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
         col("event_id").as("KBC__BATCH_EVENT_ORDER"))
       Cdc.dedupeLastWins(ev, Seq.empty, orderCol = "KBC__BATCH_EVENT_ORDER")
+    }),
+
+    // SCD Type-2 companion to the LWW latest-state table: validity intervals per key
+    // from the same ordered change stream — one exchange+sort carries lag (change
+    // detection), lead (valid_to) and row_number (version)
+    "cdc_scd2" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"),
+          col("event_id"))
+      Cdc.scd2History(ev, keys = Seq("user_id"), attr = "event_type",
+          orderCols = Seq("ms", "event_id"))
+        .withColumnRenamed("valid_from", "valid_from_ms")
+        .withColumnRenamed("valid_to", "valid_to_ms")
     }),
 
     // D6+P6+E2+E3: schema-epoch union with NULL padding for drifted columns
@@ -861,6 +878,10 @@ object SparkEntry {
     "doc_langid" -> ((s, dir) => TextOps.langId(t(s, dir, "documents"))),
     "doc_quality" -> ((s, dir) => TextOps.qualityScore(t(s, dir, "documents"))),
 
+    // Flesch reading-ease / Flesch-Kincaid grade with the vowel-run syllable heuristic —
+    // narrow per-row map, zero shuffle
+    "doc_readability" -> ((s, dir) => TextOps.readability(t(s, dir, "documents"))),
+
     // the Gopher rule TABLE (per-rule flags + conjunction verdict) at the published
     // thresholds; zero shuffle, one tokenize pass behind the Generate barrier
     "doc_gopher_quality" -> ((s, dir) => TextOps.gopherRules(t(s, dir, "documents"))),
@@ -1074,6 +1095,18 @@ object SparkEntry {
       DedupOps.lineDedup(d)
     }),
 
+    // per-SOURCE boilerplate strip (C4 rule at source granularity): a line is chrome iff
+    // it repeats across >2 docs of the SAME source — planted source-templated footers are
+    // removed, the per-doc ref line survives; cross-source sharing alone doesn't strip
+    "doc_boilerplate" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("text",
+        concat_ws("\n", col("text"),
+          concat(lit("From "), col("source"), lit(" newsroom")),
+          lit("All rights reserved."),
+          concat(lit("ref#"), col("doc_id"))))
+      DedupOps.boilerplateStrip(d)
+    }),
+
     // exact duplicated-span detection (Lee et al. 2022 ExactSubstr semantics at fixed
     // window k): runs of consecutive duplicated 12-token windows = shared substrings
     "doc_span_dedup" -> ((s, dir) =>
@@ -1280,6 +1313,17 @@ object SparkEntry {
     "emb_ann_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       VectorOps.bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 3)
+        .withColumn("sim", round(col("sim"), 4))
+    }),
+
+    // Matryoshka coarse-to-fine (Kusupati et al. 2022): prefix-dim coarse scan (8 of 64
+    // dims), exact full-dim rerank of the 24 survivors — BOTH stages deterministic
+    // (cosine desc, id tiebreak), so unlike the recall-gated ANN family the whole
+    // two-stage pipeline hash-matches a DuckDB replay
+    "emb_mrl_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      VectorOps.mrlRerankTopK(e, e.filter(col("vec_id") < 8), k = 3,
+          prefixDims = 8, coarseK = 24)
         .withColumn("sim", round(col("sim"), 4))
     }),
 
@@ -2130,6 +2174,66 @@ object SparkEntry {
         |  '[' || user_id || ',' || (user_id + 10) || ')' AS int4range_render
         |FROM c""".stripMargin,
 
+    "cdc_scd2" ->
+      """WITH g AS (SELECT user_id, event_type, event_id,
+        |    CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ms FROM events),
+        |o AS (SELECT *, LAG(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM g),
+        |c AS (SELECT * FROM o WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, ms AS valid_from_ms,
+        |  LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS valid_to_ms,
+        |  (LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL) AS is_current,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ms, event_id) AS BIGINT) AS version
+        |FROM c""".stripMargin,
+
+    // integer-exact type-1 quintile thresholds (t_i = min v with 5*cum >= i*n) — zero
+    // floating-point interpolation, so both engines agree bit-for-bit
+    "q_rfm" ->
+      """WITH per AS (SELECT o_custkey, MAX(o_orderdate) AS last_d, COUNT(*) AS frequency,
+        |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS mon FROM orders GROUP BY 1),
+        |ref AS (SELECT MAX(o_orderdate) AS ref_d FROM orders),
+        |base AS (SELECT o_custkey,
+        |    CAST(date_diff('day', CAST(last_d AS DATE), CAST(ref_d AS DATE)) AS BIGINT) AS recency_days,
+        |    CAST(frequency AS BIGINT) AS frequency,
+        |    CAST(mon * 100 AS BIGINT) AS cents
+        |  FROM per CROSS JOIN ref),
+        |st AS (SELECT 0 AS cid, recency_days AS v FROM base
+        |  UNION ALL SELECT 1, frequency FROM base
+        |  UNION ALL SELECT 2, cents FROM base),
+        |h AS (SELECT cid, v, COUNT(*) AS c FROM st GROUP BY 1, 2),
+        |n AS (SELECT cid, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY 1),
+        |cu AS (SELECT h.cid, h.v,
+        |    CAST(SUM(h.c) OVER (PARTITION BY h.cid ORDER BY h.v) AS BIGINT) AS cum, n.n
+        |  FROM h JOIN n USING (cid)),
+        |th AS (SELECT cid,
+        |    MIN(CASE WHEN cum * 5 >= n THEN v END) AS t1,
+        |    MIN(CASE WHEN cum * 5 >= n * 2 THEN v END) AS t2,
+        |    MIN(CASE WHEN cum * 5 >= n * 3 THEN v END) AS t3,
+        |    MIN(CASE WHEN cum * 5 >= n * 4 THEN v END) AS t4
+        |  FROM cu GROUP BY 1),
+        |tr AS (SELECT
+        |    MAX(CASE WHEN cid = 0 THEN t1 END) AS r1, MAX(CASE WHEN cid = 0 THEN t2 END) AS r2,
+        |    MAX(CASE WHEN cid = 0 THEN t3 END) AS r3, MAX(CASE WHEN cid = 0 THEN t4 END) AS r4,
+        |    MAX(CASE WHEN cid = 1 THEN t1 END) AS f1, MAX(CASE WHEN cid = 1 THEN t2 END) AS f2,
+        |    MAX(CASE WHEN cid = 1 THEN t3 END) AS f3, MAX(CASE WHEN cid = 1 THEN t4 END) AS f4,
+        |    MAX(CASE WHEN cid = 2 THEN t1 END) AS m1, MAX(CASE WHEN cid = 2 THEN t2 END) AS m2,
+        |    MAX(CASE WHEN cid = 2 THEN t3 END) AS m3, MAX(CASE WHEN cid = 2 THEN t4 END) AS m4
+        |  FROM th)
+        |SELECT b.o_custkey, b.recency_days, b.frequency,
+        |  CAST(b.cents AS DOUBLE) / 100 AS monetary,
+        |  CAST(1 + (b.recency_days < r1)::INT + (b.recency_days < r2)::INT
+        |         + (b.recency_days < r3)::INT + (b.recency_days < r4)::INT AS INT) AS r_score,
+        |  CAST(1 + (b.frequency > f1)::INT + (b.frequency > f2)::INT
+        |         + (b.frequency > f3)::INT + (b.frequency > f4)::INT AS INT) AS f_score,
+        |  CAST(1 + (b.cents > m1)::INT + (b.cents > m2)::INT
+        |         + (b.cents > m3)::INT + (b.cents > m4)::INT AS INT) AS m_score,
+        |  CAST((1 + (b.recency_days < r1)::INT + (b.recency_days < r2)::INT
+        |          + (b.recency_days < r3)::INT + (b.recency_days < r4)::INT) * 100
+        |     + (1 + (b.frequency > f1)::INT + (b.frequency > f2)::INT
+        |          + (b.frequency > f3)::INT + (b.frequency > f4)::INT) * 10
+        |     + (1 + (b.cents > m1)::INT + (b.cents > m2)::INT
+        |          + (b.cents > m3)::INT + (b.cents > m4)::INT) AS INT) AS rfm
+        |FROM base b CROSS JOIN tr""".stripMargin,
+
     // cents-long grid like the Spark side; interpolation over scaled integers /100 is the
     // unscaled percentile exactly
     "q_percentiles" ->
@@ -2559,6 +2663,23 @@ object SparkEntry {
         |    list_filter(l.arr, x -> NOT list_contains(fr.freqs, md5(x))) AS kept
         |  FROM l CROSS JOIN fr)
         |SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_lines, CAST(len(kept) AS BIGINT) AS n_kept,
+        |  md5(array_to_string(kept, chr(10))) AS clean_md5
+        |FROM k""".stripMargin,
+
+    "doc_boilerplate" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    text || chr(10) || 'From ' || source || ' newsroom' || chr(10) || 'All rights reserved.'
+        |         || chr(10) || 'ref#' || CAST(doc_id AS VARCHAR) AS text FROM documents),
+        |l AS (SELECT doc_id, source, string_split(text, chr(10)) AS arr FROM d),
+        |ln AS (SELECT doc_id, source, unnest(arr) AS line FROM l),
+        |fr AS (SELECT source, COALESCE(list(h), []) AS freqs FROM (
+        |    SELECT source, md5(line) AS h FROM ln
+        |    GROUP BY source, md5(line) HAVING COUNT(DISTINCT doc_id) > 2) GROUP BY source),
+        |k AS (SELECT l.doc_id, l.source, l.arr,
+        |    list_filter(l.arr, x -> NOT list_contains(COALESCE(fr.freqs, []), md5(x))) AS kept
+        |  FROM l LEFT JOIN fr USING (source))
+        |SELECT doc_id, source, CAST(len(arr) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
         |  md5(array_to_string(kept, chr(10))) AS clean_md5
         |FROM k""".stripMargin,
 
@@ -3163,6 +3284,22 @@ object SparkEntry {
         |      + (CASE WHEN n_tok > 0 THEN (n_stop / n_tok) * 0.5 ELSE 0.0 END), 4) AS quality_score
         |FROM m""".stripMargin,
 
+    // formula term order mirrors the Spark expression exactly (left-assoc a*b/c) so the
+    // double bits agree before ROUND
+    "doc_readability" ->
+      """WITH m AS (SELECT doc_id,
+        |  CAST(GREATEST(len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')), 1) AS DOUBLE) AS w,
+        |  CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE) AS s,
+        |  CAST(GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS DOUBLE) AS syl
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(w AS BIGINT) AS n_words,
+        |  CAST(s AS BIGINT) AS n_sentences,
+        |  CAST(syl AS BIGINT) AS n_syllables,
+        |  ROUND(206.835 - 1.015 * w / s - 84.6 * syl / w, 4) AS flesch_ease,
+        |  ROUND(0.39 * w / s + 11.8 * syl / w - 15.59, 4) AS fk_grade
+        |FROM m""".stripMargin,
+
     "doc_tokens" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS BIGINT) AS n_tokens,
@@ -3178,6 +3315,24 @@ object SparkEntry {
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
         |  ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
         |           c.vec_id) <= 3""".stripMargin,
+
+    "emb_mrl_rerank" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+        |coarse AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(CAST(q.embedding[1:8] AS DOUBLE[]),
+        |                                    CAST(c.embedding[1:8] AS DOUBLE[])) DESC,
+        |             c.vec_id) <= 24)
+        |SELECT co.query_id, co.neighbor_id,
+        |  ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS sim
+        |FROM coarse co
+        |JOIN embeddings c ON c.vec_id = co.neighbor_id
+        |JOIN q ON q.vec_id = co.query_id
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY co.query_id
+        |  ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+        |           co.neighbor_id) <= 3""".stripMargin,
 
     "emb_dedup_cosine" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

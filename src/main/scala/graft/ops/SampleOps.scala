@@ -365,6 +365,70 @@ object SampleOps {
   }
 
   /**
+   * RFM (recency / frequency / monetary) quintile segmentation — the classic
+   * customer-value profile (Hughes 1994) computed the 100 TB way: per-key aggregates,
+   * then quintile thresholds from a DISTRIBUTED value histogram, then a broadcast
+   * threshold join. No global sort and no `ntile` (a partitionless window funnels every
+   * key through one task); the histogram's state is bounded by distinct metric values,
+   * not row count.
+   *
+   * Thresholds are type-1 (lower-value) quantiles kept in INTEGER arithmetic —
+   * `t_i = min v with 5·cum(v) ≥ i·n` — so both engines agree bit-for-bit with zero
+   * floating-point interpolation (recency and frequency are integers; money sits on the
+   * exact cents grid). Scores: quintile rank with ties sharing the lower bucket, 5 =
+   * best (most recent / most frequent / highest spend).
+   */
+  def rfmSegments(df: DataFrame, custCol: String = "o_custkey",
+      dateCol: String = "o_orderdate", amountCol: String = "o_totalprice"): DataFrame = {
+    val per = df.groupBy(col(custCol)).agg(
+      max(col(dateCol)).as("__last"),
+      count(lit(1)).as("frequency"),
+      sum(col(amountCol).cast(DecimalType(12, 2))).as("__mon"))
+    val ref = df.agg(max(col(dateCol)).as("__ref"))
+    val base = per.crossJoin(broadcast(ref)).select(
+      col(custCol),
+      datediff(col("__ref"), col("__last")).cast("long").as("recency_days"),
+      col("frequency"),
+      (col("__mon") * 100).cast("long").as("__cents"))
+    val stacked = base.select(explode(array(
+        struct(lit(0).as("cid"), col("recency_days").as("v")),
+        struct(lit(1).as("cid"), col("frequency").as("v")),
+        struct(lit(2).as("cid"), col("__cents").as("v")))).as("s"))
+      .select(col("s.cid").as("cid"), col("s.v").as("v"))
+    val hist = stacked.groupBy(col("cid"), col("v")).agg(count(lit(1)).as("c"))
+    val tot = hist.groupBy("cid").agg(sum(col("c")).as("n"))
+    val wCum = Window.partitionBy(col("cid")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("c")).over(wCum)).join(broadcast(tot), "cid")
+    val th = cum.groupBy(col("cid")).agg(
+      min(when(col("cum") * 5 >= col("n"), col("v"))).as("t1"),
+      min(when(col("cum") * 5 >= col("n") * 2, col("v"))).as("t2"),
+      min(when(col("cum") * 5 >= col("n") * 3, col("v"))).as("t3"),
+      min(when(col("cum") * 5 >= col("n") * 4, col("v"))).as("t4"))
+    def pick(cid: Int, t: String, as: String) =
+      max(when(col("cid") === cid, col(t))).as(as)
+    val thRow = th.agg(
+      pick(0, "t1", "r1"), pick(0, "t2", "r2"), pick(0, "t3", "r3"), pick(0, "t4", "r4"),
+      pick(1, "t1", "f1"), pick(1, "t2", "f2"), pick(1, "t3", "f3"), pick(1, "t4", "f4"),
+      pick(2, "t1", "m1"), pick(2, "t2", "m2"), pick(2, "t3", "m3"), pick(2, "t4", "m4"))
+    def lowerBetter(v: Column, ts: Seq[Column]) =
+      ts.foldLeft(lit(1))((acc, t) => acc + (v < t).cast("int")).cast("int")
+    def higherBetter(v: Column, ts: Seq[Column]) =
+      ts.foldLeft(lit(1))((acc, t) => acc + (v > t).cast("int")).cast("int")
+    base.crossJoin(broadcast(thRow))
+      .withColumn("r_score", lowerBetter(col("recency_days"),
+        Seq(col("r1"), col("r2"), col("r3"), col("r4"))))
+      .withColumn("f_score", higherBetter(col("frequency"),
+        Seq(col("f1"), col("f2"), col("f3"), col("f4"))))
+      .withColumn("m_score", higherBetter(col("__cents"),
+        Seq(col("m1"), col("m2"), col("m3"), col("m4"))))
+      .select(col(custCol), col("recency_days"), col("frequency"),
+        (col("__cents").cast("double") / 100).as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).cast("int").as("rfm"))
+  }
+
+  /**
    * Deterministic training-order shuffle + sharding: every row gets a shard and an
    * intra-shard position from a seeded hash of its id. A pure function of (seed, id) —
    * re-runs, re-partitioning and incremental appends reproduce the identical order (what

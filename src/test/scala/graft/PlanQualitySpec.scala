@@ -120,6 +120,44 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window"))
   }
 
+  test("cdc_scd2: lag/lead/row_number share ONE keyed exchange+sort") {
+    val p = plan("cdc_scd2")
+    val shuffles = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(shuffles == 1, s"scd2 must shuffle once on the key, got $shuffles:\n${p.take(2000)}")
+    assert(!p.contains("Exchange SinglePartition"), "no global window allowed")
+  }
+
+  test("q_rfm: histogram quintiles + broadcast thresholds — no partitionless ntile window") {
+    val p = plan("q_rfm")
+    assert(!p.contains("ntile"), "ntile implies a global sort window")
+    // the only SinglePartition exchanges feed scalar/threshold rows (12 longs), never
+    // the per-customer table: the threshold join must be a broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"thresholds must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("doc_readability: narrow per-row map, zero Exchange") {
+    val p = plan("doc_readability")
+    assert(!p.contains("Exchange"), s"readability must be a pure map, got:\n$p")
+  }
+
+  test("doc_boilerplate: per-source freq sets broadcast back; exchanges carry digests only") {
+    val p = plan("doc_boilerplate")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "boilerplate sets must broadcast")
+    assert(!p.contains("SortMergeJoin"), "strip join must not sort-merge the corpus")
+  }
+
+  test("emb_mrl_rerank: coarse scan unshuffled; rerank joins the bounded candidate set") {
+    val p = plan("emb_mrl_rerank")
+    // coarse stage: corpus never hash-partitioned on its own id for the scan
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+    assert(p.contains("ObjectHashAggregate"), "both top-k stages use the bounded heap")
+    assert(!p.contains("Window") && !p.contains("row_number"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("ann brute force: corpus never shuffled, ranking is a bounded-heap aggregate") {
     val p = plan("emb_ann_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Cdc
+import graft.ops.{DedupOps, SampleOps, TextOps, VectorOps}
+
+/** Property specs for the round-6 operator batch: SCD2 history, RFM segmentation,
+  * readability scoring, MRL rerank, per-source boilerplate strip. */
+class Scd2RfmSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("scd2History: intervals tile each key's timeline, one open current row per key") {
+    import spark.implicits._
+    val ev = Seq(
+      // (user, type, ms, id): changes at 10 (a), 30 (b), 50 (a); 20/40 are no-ops
+      (1L, "a", 10L, 1L), (1L, "a", 20L, 2L), (1L, "b", 30L, 3L),
+      (1L, "b", 40L, 4L), (1L, "a", 50L, 5L),
+      (2L, "x", 5L, 6L)).toDF("user_id", "event_type", "ms", "event_id")
+    val h = Cdc.scd2History(ev, Seq("user_id"), "event_type", Seq("ms", "event_id"))
+      .orderBy("user_id", "version").collect()
+    assert(h.length == 4) // 3 versions for user 1, 1 for user 2
+    val u1 = h.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getString(1)).toSeq == Seq("a", "b", "a"))
+    assert(u1.map(_.getLong(2)).toSeq == Seq(10L, 30L, 50L)) // valid_from
+    // half-open tiling: valid_to(k) == valid_from(k+1); last row open + current
+    assert(u1.init.map(_.getLong(3)).toSeq == u1.tail.map(_.getLong(2)).toSeq)
+    assert(u1.last.isNullAt(3) && u1.last.getBoolean(4))
+    assert(u1.init.forall(!_.getBoolean(4)))
+    // consecutive versions always differ in the tracked attribute
+    assert(u1.init.zip(u1.tail).forall { case (a, b) => a.getString(1) != b.getString(1) })
+    assert(h.filter(_.getLong(0) == 2L).head.getBoolean(4))
+  }
+
+  test("rfmSegments: scores in 1..5, monotone in the underlying metric, rfm composes") {
+    val seg = SampleOps.rfmSegments(
+      spark.read.parquet(s"$dir/orders.parquet")).cache()
+    val rows = seg.collect()
+    assert(rows.nonEmpty)
+    for (c <- Seq("r_score", "f_score", "m_score"))
+      assert(seg.filter(col(c) < 1 || col(c) > 5).isEmpty, s"$c out of range")
+    // monotone: sort by monetary — m_score never decreases as monetary increases
+    val byMon = rows.sortBy(_.getAs[Double]("monetary")).map(_.getAs[Int]("m_score"))
+    assert(byMon.zip(byMon.tail).forall { case (a, b) => a <= b })
+    val byFreq = rows.sortBy(_.getAs[Long]("frequency")).map(_.getAs[Int]("f_score"))
+    assert(byFreq.zip(byFreq.tail).forall { case (a, b) => a <= b })
+    // recency: LOWER recency_days never gets a lower r_score
+    val byRec = rows.sortBy(-_.getAs[Long]("recency_days")).map(_.getAs[Int]("r_score"))
+    assert(byRec.zip(byRec.tail).forall { case (a, b) => a <= b })
+    assert(rows.forall(r => r.getAs[Int]("rfm") ==
+      r.getAs[Int]("r_score") * 100 + r.getAs[Int]("f_score") * 10 + r.getAs[Int]("m_score")))
+    seg.unpersist()
+  }
+
+  test("readability: hand-checked counts and formula on a known sentence") {
+    import spark.implicits._
+    // "The cat sat on the mat. It was flat!" — 9 words, 2 sentences,
+    // vowel runs: e,a,a,o,e,a,i,a,a = 9 syllables
+    val d = Seq((1L, "The cat sat on the mat. It was flat!")).toDF("doc_id", "text")
+    val r = TextOps.readability(d).collect().head
+    assert(r.getAs[Long]("n_words") == 9L)
+    assert(r.getAs[Long]("n_sentences") == 2L)
+    assert(r.getAs[Long]("n_syllables") == 9L)
+    val w = 9.0; val s = 2.0; val syl = 9.0
+    assert(math.abs(r.getAs[Double]("flesch_ease") -
+      BigDecimal(206.835 - 1.015 * w / s - 84.6 * syl / w)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // empty text clamps every count to 1 — ratios stay defined
+    val e = TextOps.readability(Seq((2L, "")).toDF("doc_id", "text")).collect().head
+    assert(e.getAs[Long]("n_words") == 1L && e.getAs[Long]("n_sentences") == 1L)
+  }
+
+  test("mrlRerankTopK: k rows per query; high recall on prefix-dominant (MRL-like) vectors") {
+    // MRL's contract is front-loaded information: the prefix is itself a valid
+    // embedding. The synthetic corpus has no such training, so build the MRL-like
+    // variant by damping the tail dims — recall vs exact full-dim top-k must then be
+    // high (on raw synthetic vectors an 8-dim prefix is legitimately uninformative).
+    val damped = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("embedding", expr(
+        "transform(embedding, (x, i) -> IF(i < 8, x, CAST(x * 0.05 AS FLOAT)))"))
+    val q = damped.filter(col("vec_id") < 8)
+    val exact = VectorOps.bruteForceTopK(damped, q, k = 3)
+    val mrl = VectorOps.mrlRerankTopK(damped, q, k = 3, prefixDims = 8, coarseK = 24)
+    assert(mrl.groupBy("query_id").count().filter(col("count") =!= 3).isEmpty)
+    val hits = mrl.join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val total = exact.count()
+    assert(hits.toDouble / total >= 0.8,
+      s"MRL recall ${hits.toDouble / total} below floor (hits=$hits total=$total)")
+    // rerank sims are EXACT full-dim cosines: every kept pair's sim matches brute force
+    val joined = mrl.join(exact.withColumnRenamed("sim", "exact_sim"),
+      Seq("query_id", "neighbor_id"))
+    assert(joined.filter(abs(col("sim") - col("exact_sim")) > 1e-12).isEmpty)
+  }
+
+  test("boilerplateStrip: per-source counting — cross-source sharing alone never strips") {
+    import spark.implicits._
+    // srcA has 4 docs sharing "FOOTER-A" (stripped, nd=4>2); srcB has 2 docs sharing
+    // "SHARED" with 2 srcA docs (4 docs globally — but nd<=2 per source, kept)
+    val d = Seq(
+      (1L, "one\nFOOTER-A\nSHARED", "srcA"), (2L, "two\nFOOTER-A\nSHARED", "srcA"),
+      (3L, "three\nFOOTER-A", "srcA"), (4L, "four\nFOOTER-A", "srcA"),
+      (5L, "five\nSHARED", "srcB"), (6L, "six\nSHARED", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val out = DedupOps.boilerplateStrip(d).orderBy("doc_id").collect()
+    // doc 1: 3 lines, FOOTER-A stripped, SHARED kept (per-source nd=2 <= 2)
+    assert(out(0).getAs[Long]("n_lines") == 3L && out(0).getAs[Long]("n_kept") == 2L)
+    assert(out(4).getAs[Long]("n_kept") == 2L, "srcB SHARED must be kept")
+    // global lineDedup WOULD strip SHARED (4 docs > 2) — the per-source rule is distinct
+    val global = DedupOps.lineDedup(d).orderBy("doc_id").collect()
+    assert(global(4).getAs[Long]("n_kept") == 1L)
+  }
+}
