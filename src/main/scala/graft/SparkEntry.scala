@@ -177,6 +177,25 @@ object SparkEntry {
           col("sum_qty"), col("count_order"))
     }),
 
+    // full CUBE (2^n grouping sets in ONE scan — Expand x4 into a single partially-
+    // aggregated exchange); grouping-id bitmask disambiguates cube NULLs from data NULLs
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01"))
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).as("g1"),
+          grouping(col("l_linestatus")).as("g2"),
+          sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+          sum(dec(col("l_extendedprice"), 12, 2)).cast(DoubleType).as("sum_price"),
+          count(lit(1)).as("count_order"))
+        .select(
+          when(col("g1") === 1, lit("ALL")).otherwise(col("l_returnflag")).as("returnflag"),
+          when(col("g2") === 1, lit("ALL")).otherwise(col("l_linestatus")).as("linestatus"),
+          (col("g1") * 2 + col("g2")).cast("int").as("gid"),
+          col("sum_qty"), col("sum_price"), col("count_order"))
+    }),
+
     // the correlated-subquery pattern (orders above their customer's average), written
     // decorrelated: one custkey exchange feeds the aggregate AND the probe join. The
     // comparison is price*n > sum in exact DECIMAL — algebraically identical to
@@ -1256,6 +1275,15 @@ object SparkEntry {
           ("q3", "customer query", 3L)),
         k = 5, kPer = 10)),
 
+    // NDCG@10 of the BM25 ranking — the retrieval-EVAL operator: graded relevance
+    // derived from the data (distinct query terms present), discounts from a fixed
+    // shared decimal table (zero libm), ideal ranking over the full corpus via the
+    // bounded heap
+    "doc_bm25_ndcg" -> ((s, dir) =>
+      RetrievalOps.ndcgAtK(t(s, dir, "documents"),
+        Seq("q1" -> "spark join window", "q2" -> "vector hash merge", "q3" -> "customer query"),
+        k = 10)),
+
     // training-mixture construction: 50/25/25 en/de/fr token mixture, binding stratum kept
     // whole, others hash-downsampled — deterministic membership, corpus never shuffled
     // UniMax-style temperature mixture: target shares p_l ∝ T_l^0.3 from the data
@@ -1315,6 +1343,12 @@ object SparkEntry {
       VectorOps.bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 3)
         .withColumn("sim", round(col("sim"), 4))
     }),
+
+    // blocked k-NN graph + mutual-kNN marking: the shared primitive under graph dedup /
+    // clustering / diversity selection; pair space confined to the coarse-partition
+    // blocks, per-vertex bounded heap, mutual flag via an id-only edge self-join
+    "emb_knn_graph" -> ((s, dir) =>
+      VectorOps.knnGraphBlocked(t(s, dir, "embeddings"), k = 4)),
 
     // Matryoshka coarse-to-fine (Kusupati et al. 2022): prefix-dim coarse scan (8 of 64
     // dims), exact full-dim rerank of the 24 survivors — BOTH stages deterministic
@@ -2063,6 +2097,17 @@ object SparkEntry {
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
 
+    "q_cube" ->
+      """SELECT
+        |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+        |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
     "q_above_avg_orders" ->
       """WITH s AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price,
         |    COUNT(*) AS n FROM orders GROUP BY 1)
@@ -2519,6 +2564,61 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT query_id, doc_id, score FROM scored
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 10""".stripMargin,
+
+    // same BM25 pipeline as doc_bm25_topk feeding the NDCG@10 metric; the discount
+    // table is the identical fixed-decimal literal list as RetrievalOps.NdcgDiscounts
+    "doc_bm25_ndcg" ->
+      """WITH q(query_id, query_text) AS (VALUES
+        |  ('q1', 'spark join window'), ('q2', 'vector hash merge'), ('q3', 'customer query')),
+        |disc(rank, d) AS (VALUES
+        |  (1, CAST(1.00000000 AS DECIMAL(18,8))), (2, CAST(0.63092975 AS DECIMAL(18,8))),
+        |  (3, CAST(0.50000000 AS DECIMAL(18,8))), (4, CAST(0.43067656 AS DECIMAL(18,8))),
+        |  (5, CAST(0.38685281 AS DECIMAL(18,8))), (6, CAST(0.35620719 AS DECIMAL(18,8))),
+        |  (7, CAST(0.33333333 AS DECIMAL(18,8))), (8, CAST(0.31546488 AS DECIMAL(18,8))),
+        |  (9, CAST(0.30103000 AS DECIMAL(18,8))), (10, CAST(0.28906483 AS DECIMAL(18,8)))),
+        |tok AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS t
+        |  FROM documents),
+        |qterms AS (SELECT query_id, list_distinct(
+        |  list_filter(string_split_regex(lower(query_text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS qt
+        |  FROM q),
+        |qt AS (SELECT query_id, unnest(qt) AS token FROM qterms),
+        |tf AS (SELECT doc_id, len(t) AS dl, unnest(t) AS token FROM tok),
+        |tfc AS (SELECT doc_id, token, MAX(dl) AS dl, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(len(t)) AS BIGINT) AS sum_dl FROM tok),
+        |dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tfc GROUP BY 1),
+        |scored AS (
+        |  SELECT qt.query_id, tfc.doc_id,
+        |    ROUND(CAST(SUM(CAST(
+        |      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tfc.tf * (1.2 + 1.0) /
+        |      (tfc.tf + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(tfc.dl * n_docs AS DOUBLE) / sum_dl))
+        |    AS DECIMAL(18,8))) AS DOUBLE), 6) AS score
+        |  FROM tfc JOIN qt USING (token) JOIN dfreq USING (token) CROSS JOIN stats
+        |  GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM scored
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) <= 10),
+        |rel AS (SELECT qs.query_id, tok.doc_id,
+        |    len(list_filter(list_distinct(tok.t), x -> list_contains(qs.qt, x))) AS rel
+        |  FROM tok CROSS JOIN qterms qs),
+        |dcg AS (SELECT r.query_id,
+        |    SUM(CAST(CAST(rel.rel AS DECIMAL(18,8)) * disc.d AS DECIMAL(18,8))) AS dcg
+        |  FROM ranked r
+        |  JOIN rel ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id
+        |  JOIN disc ON disc.rank = r.rank GROUP BY 1),
+        |ideal AS (SELECT query_id, rel,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id ASC) AS rank
+        |  FROM rel
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id ASC) <= 10),
+        |idcg AS (SELECT query_id,
+        |    SUM(CAST(CAST(rel AS DECIMAL(18,8)) * d AS DECIMAL(18,8))) AS idcg
+        |  FROM ideal JOIN disc USING (rank) GROUP BY 1)
+        |SELECT dcg.query_id, CAST(dcg.dcg AS DOUBLE) AS dcg, CAST(idcg.idcg AS DOUBLE) AS idcg,
+        |  CASE WHEN idcg.idcg > 0
+        |    THEN ROUND(CAST(dcg.dcg AS DOUBLE) / CAST(idcg.idcg AS DOUBLE), 4)
+        |    ELSE 0.0 END AS ndcg
+        |FROM dcg JOIN idcg USING (query_id)""".stripMargin,
 
     "doc_hybrid_rrf" ->
       """WITH q(query_id, query_text, qvec) AS (VALUES
@@ -3315,6 +3415,16 @@ object SparkEntry {
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
         |  ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
         |           c.vec_id) <= 3""".stripMargin,
+
+    "emb_knn_graph" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS s
+        |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |knn AS (SELECT src, dst, s FROM p
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) <= 4)
+        |SELECT k.src, k.dst, ROUND(k.s, 4) AS sim, (r.src IS NOT NULL) AS mutual
+        |FROM knn k LEFT JOIN knn r ON r.src = k.dst AND r.dst = k.src""".stripMargin,
 
     "emb_mrl_rerank" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import graft.functions.TopKFunctions
 
 /**
@@ -74,5 +75,74 @@ object RetrievalOps {
       .select(col("query_id"), col(s"t.$idCol").as(idCol),
         round(col("t.rrf"), 6).as("rrf_score"),
         (col("pos") + lit(1L)).cast("long").as("fused_rank"))
+  }
+
+  /** NDCG position discounts `1/log2(rank+1)` for ranks 1..10 as FIXED decimal
+    * constants — the literal table is shared with the oracle SQL, so the whole metric
+    * is exact decimal arithmetic with zero libm calls to disagree across engines. */
+  private[graft] val NdcgDiscounts: Seq[String] = Seq(
+    "1.00000000", "0.63092975", "0.50000000", "0.43067656", "0.38685281",
+    "0.35620719", "0.33333333", "0.31546488", "0.30103000", "0.28906483")
+
+  /**
+   * NDCG@k retrieval evaluation of the BM25 ranking (Järvelin & Kekäläinen 2002) — the
+   * eval half of the retrieval stack: a pipeline that tunes retrieval needs the metric
+   * computed IN the engine, over the same corpus it retrieves from. Graded relevance is
+   * derived deterministically from the data (rel(d,q) = |distinct query terms present
+   * in d|, 0..|terms|), DCG uses the fixed [[NdcgDiscounts]] table, and IDCG ranks the
+   * FULL corpus by relevance (bounded heap), so ndcg < 1 whenever BM25's tf/length
+   * weighting disagrees with raw term coverage.
+   *
+   * Scale: the ranked list is |queries|·k rows (window over it is free); the ideal side
+   * is one broadcast-queries scan of the corpus into a k-bounded heap per query — no
+   * corpus shuffle anywhere; every sum is exact DECIMAL(18,8).
+   */
+  def ndcgAtK(
+      docs: DataFrame,
+      queries: Seq[(String, String)],
+      k: Int = 10,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k <= NdcgDiscounts.length, s"discount table covers ranks 1..${NdcgDiscounts.length}")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val discount = array(NdcgDiscounts.map(d =>
+      lit(new java.math.BigDecimal(d)).cast(DecimalType(18, 8))): _*)
+
+    val q = broadcast(queries.toDF("query_id", "query_text")
+      .select(col("query_id"), array_distinct(TextOps.tokensCol(col("query_text"))).as("qterms")))
+    val rel = size(array_intersect(array_distinct(TextOps.tokensCol(col(textCol))),
+      col("qterms")))
+
+    // realized DCG: rank the BM25 top-k (tiny: |queries|*k rows) and join its docs' text
+    val ranked = TextOps.bm25TopK(docs, queries, k, textCol = textCol, idCol = idCol)
+    val wR = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col(idCol).asc)
+    val dcg = ranked
+      .withColumn("rank", row_number().over(wR))
+      .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+      .join(q, Seq("query_id"))
+      .groupBy(col("query_id"))
+      .agg(sum((rel.cast(DecimalType(18, 8)) * element_at(discount, col("rank")))
+        .cast(DecimalType(18, 8))).as("__dcg"))
+
+    // ideal DCG: best-possible rel ordering over the WHOLE corpus, k-bounded heap
+    val idcg = docs.select(col(idCol), col(textCol)).crossJoin(q)
+      .select(col("query_id"), col(idCol), rel.cast("double").as("__rel"))
+      .groupBy(col("query_id"))
+      .agg(TopKFunctions.topKByScore(col("__rel"), col(idCol),
+        struct(col("__rel")), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .groupBy(col("query_id"))
+      .agg(sum((col("t.__rel").cast(DecimalType(18, 8)) *
+        element_at(discount, (col("pos") + 1).cast("int")))
+        .cast(DecimalType(18, 8))).as("__idcg"))
+
+    dcg.join(idcg, Seq("query_id"))
+      .select(col("query_id"),
+        col("__dcg").cast(DoubleType).as("dcg"),
+        col("__idcg").cast(DoubleType).as("idcg"),
+        when(col("__idcg") > 0,
+          round(col("__dcg").cast(DoubleType) / col("__idcg").cast(DoubleType), 4))
+          .otherwise(0.0).as("ndcg"))
   }
 }

@@ -82,6 +82,36 @@ object VectorOps {
   }
 
   /**
+   * Blocked k-NN graph construction with mutual-edge marking — the shared primitive under
+   * graph-based dedup, clustering and diversity selection. Scoring is confined to a
+   * blocking key (here a coarse partition label — the IVF-centroid analogue), so the
+   * pair space is Σ|block|² instead of N²; per-vertex ranking is the bounded heap
+   * (≤ k rows per vertex cross any exchange), and the mutual-kNN flag (the standard
+   * symmetrization that prunes hub edges) is a self-join of the k·N edge list on ids —
+   * never vectors. At 100 TB the block key comes from a trained coarse quantizer and
+   * each block co-locates via its hash partition; nothing here is all-pairs.
+   */
+  def knnGraphBlocked(
+      df: DataFrame,
+      k: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      blockCol: String = "label"): DataFrame = {
+    val a = df.select(col(blockCol).as("__b"), col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val b = df.select(col(blockCol).as("__b"), col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = a.join(b, Seq("__b"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosine(col("q_vec"), col("c_vec")).as("sim"))
+    val knn = rankTopK(scored, k)
+    knn.as("e")
+      .join(knn.select(col("query_id").as("__rq"), col("neighbor_id").as("__rn")),
+        col("e.query_id") === col("__rn") && col("e.neighbor_id") === col("__rq"), "left")
+      .select(col("e.query_id").as("src"), col("e.neighbor_id").as("dst"),
+        round(col("e.sim"), 4).as("sim"), col("__rq").isNotNull.as("mutual"))
+  }
+
+  /**
    * Multi-table (OR-amplified) hyperplane-LSH candidate pairs: `nTables` independent plane
    * sets (deterministic seeds), a pair is a candidate if it collides in ANY table. Collision
    * probability per table is p^nPlanes with p = 1 - θ/π, so recall amplifies as

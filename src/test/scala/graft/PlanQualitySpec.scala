@@ -158,6 +158,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_cube: 2^n grouping sets from ONE scan — a single Expand, partial aggregation") {
+    val p = plan("q_cube")
+    assert("(?i)expand".r.findAllIn(p).length >= 1, s"cube must plan Expand:\n${p.take(1500)}")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      "cube must partially aggregate before the exchange")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"cube must read the fact table once, got $scans scans")
+  }
+
+  test("emb_knn_graph: pair space blocked on the coarse key; ranking bounded-heap; " +
+      "mutual join carries ids only") {
+    val p = plan("emb_knn_graph")
+    assert(p.contains("ObjectHashAggregate"), "per-vertex top-k must be the bounded heap")
+    assert(!p.contains("CartesianProduct"), "blocking must prevent all-pairs")
+    assert(!p.contains("Window") && !p.contains("row_number"))
+  }
+
   test("ann brute force: corpus never shuffled, ranking is a bounded-heap aggregate") {
     val p = plan("emb_ann_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))

