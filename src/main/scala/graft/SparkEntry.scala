@@ -343,6 +343,23 @@ object SparkEntry {
         .withColumnRenamed("valid_to", "valid_to_ms")
     }),
 
+    // incremental SCD2 maintenance: history from the early half + scd2Merge of the late
+    // half must equal the full-stream recompute — the oracle IS the full-stream SQL, so
+    // the O(batch + touched-keys) path is gated against the semantics it must preserve
+    "cdc_scd2_incremental" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"),
+          col("event_id"))
+      val mid = ev.agg(((min(col("ms")) + max(col("ms"))) / 2).cast("long").as("__mid"))
+      val evM = ev.crossJoin(broadcast(mid))
+      val early = evM.filter(col("ms") <= col("__mid")).drop("__mid")
+      val late = evM.filter(col("ms") > col("__mid")).drop("__mid")
+      val history = Cdc.scd2History(early, Seq("user_id"), "event_type", Seq("ms", "event_id"))
+      Cdc.scd2Merge(history, late, Seq("user_id"), "event_type", Seq("ms", "event_id"))
+        .withColumnRenamed("valid_from", "valid_from_ms")
+        .withColumnRenamed("valid_to", "valid_to_ms")
+    }),
+
     // D6+P6+E2+E3: schema-epoch union with NULL padding for drifted columns
     "cdc_chunk_union" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -1344,6 +1361,12 @@ object SparkEntry {
         .withColumn("sim", round(col("sim"), 4))
     }),
 
+    // one auditable Lloyd step of spherical k-means: broadcast seeds, argmax-cosine
+    // assignment into a 1-bounded heap, (cluster, dim) mean cells with DECIMAL(18,8)
+    // per-term quantization — the training loop is this operator iterated
+    "emb_kmeans_step" -> ((s, dir) =>
+      VectorOps.kmeansLloydStep(t(s, dir, "embeddings"), k = 8)),
+
     // blocked k-NN graph + mutual-kNN marking: the shared primitive under graph dedup /
     // clustering / diversity selection; pair space confined to the coarse-partition
     // blocks, per-vertex bounded heap, mutual flag via an id-only edge self-join
@@ -2229,6 +2252,34 @@ object SparkEntry {
         |  (LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL) AS is_current,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ms, event_id) AS BIGINT) AS version
         |FROM c""".stripMargin,
+
+    // the incremental path must REPRODUCE the full-stream semantics — same SQL as cdc_scd2
+    "cdc_scd2_incremental" ->
+      """WITH g AS (SELECT user_id, event_type, event_id,
+        |    CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ms FROM events),
+        |o AS (SELECT *, LAG(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM g),
+        |c AS (SELECT * FROM o WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, ms AS valid_from_ms,
+        |  LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS valid_to_ms,
+        |  (LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL) AS is_current,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ms, event_id) AS BIGINT) AS version
+        |FROM c""".stripMargin,
+
+    "emb_kmeans_step" ->
+      """WITH seeds AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS c
+        |  FROM embeddings WHERE vec_id < 8),
+        |sim AS (SELECT e.vec_id, s.cid, e.embedding,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(s.c AS DOUBLE[])) AS sim
+        |  FROM embeddings e CROSS JOIN seeds s),
+        |asg AS (SELECT vec_id, cid, embedding FROM sim
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1),
+        |px AS (SELECT a.cid, CAST(u.i AS INT) AS dim_idx,
+        |    CAST(a.embedding[CAST(u.i + 1 AS INT)] AS DECIMAL(18,8)) AS xq
+        |  FROM asg a, unnest(range(len(a.embedding))) AS u(i))
+        |SELECT cid, dim_idx,
+        |  ROUND(CAST(SUM(xq) AS DOUBLE) / COUNT(*), 6) AS mean_val,
+        |  CAST(COUNT(*) AS BIGINT) AS n_assigned
+        |FROM px GROUP BY 1, 2""".stripMargin,
 
     // integer-exact type-1 quintile thresholds (t_i = min v with 5*cum >= i*n) — zero
     // floating-point interpolation, so both engines agree bit-for-bit

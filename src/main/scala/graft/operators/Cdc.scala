@@ -171,6 +171,43 @@ object Cdc {
         Seq(col("valid_from"), col("valid_to"), col("is_current"), col("version")): _*)
   }
 
+  /**
+   * Incremental SCD Type-2 maintenance — the O(batch + touched-keys) path a warehouse
+   * runs per sync instead of recomputing [[scd2History]] over the full stream. Keys
+   * absent from the batch pass through UNTOUCHED (no read amplification of the
+   * history); for touched keys the stored history rows ARE the change points of the
+   * prior stream, so re-collapsing (change points ∪ batch events) reproduces the
+   * full-stream result exactly: collapse(collapse(A) ∪ B) = collapse(A ∪ B) whenever
+   * every batch event orders after the key's history (the CDC in-order guarantee) —
+   * the last change point carries the attribute state the first batch event must be
+   * compared against.
+   *
+   * Scale: one semi/anti-join of the history on batch keys (batch side broadcasts in
+   * the common small-sync case) + [[scd2History]] over |touched change points| +
+   * |batch| rows. Nothing corpus-sized shuffles.
+   *
+   * @param history prior [[scd2History]] output for the same (keys, attr)
+   * @param batch   new events with the same key/attr/order columns
+   */
+  def scd2Merge(history: DataFrame, batch: DataFrame, keys: Seq[String], attr: String,
+      orderCols: Seq[String]): DataFrame = {
+    val keyCols = keys.map(col)
+    val batchKeys = batch.select(keyCols: _*).distinct()
+    val untouched = history.join(broadcast(batchKeys), keys, "left_anti")
+    // stored rows -> pseudo-events at their change position; secondary order columns
+    // beyond the first are unknown for stored rows — use a value ordering BEFORE any
+    // real event at the same primary order (change points were the FIRST event at
+    // their position with that attribute, by construction)
+    val touched = history.join(broadcast(batchKeys), keys, "left_semi")
+    val pseudo = touched.select(
+      (keyCols :+ col(attr) :+ col("valid_from").as(orderCols.head)) ++
+        orderCols.tail.map(c => lit(Long.MinValue).as(c)): _*)
+    val replay = scd2History(
+      pseudo.unionByName(batch.select((keyCols :+ col(attr)) ++ orderCols.map(col): _*)),
+      keys, attr, orderCols)
+    untouched.unionByName(replay)
+  }
+
   /** D1 window form — identical semantics via `row_number`; kept for parity with the reference's
     * formulation (`staging.py:245-259`) and for cases needing the loser rows too. */
   def dedupeLastWinsWindow(df: DataFrame, pks: Seq[String], orderCol: String = OrderCol): DataFrame = {

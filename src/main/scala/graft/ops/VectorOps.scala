@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.functions.VectorFunctions
 
 /**
@@ -79,6 +80,42 @@ object VectorOps {
       .select(col("query_id"), col("neighbor_id"),
         VectorFunctions.cosine(col("q_vec"), col("c_vec")).as("sim"))
     rankTopK(rescored, k)
+  }
+
+  /**
+   * One deterministic Lloyd iteration of spherical k-means (assignment by max cosine —
+   * the natural metric for embedding pipelines — tie to the smaller centroid id; update
+   * = per-dimension mean of the assigned vectors). Exposed as a single auditable step:
+   * the training loop is this operator iterated, and every piece is exactly
+   * replayable — per-row terms quantize to DECIMAL(18,8) before the mean's sum, so no
+   * fp-accumulation-order can disagree across engines or partitionings.
+   *
+   * Scale: seeds broadcast (k vectors), assignment is a narrow map into a 1-bounded
+   * heap, the update aggregates (cluster, dim) cells — state k·d regardless of corpus
+   * size, with map-side partial sums.
+   */
+  def kmeansLloydStep(
+      df: DataFrame,
+      k: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val seeds = df.filter(col(idCol) < k)
+      .select(col(idCol).cast("int").as("cid"), col(vecCol).as("c_vec"))
+    val assigned = df.crossJoin(broadcast(seeds))
+      .select(col(idCol), col("cid"), col(vecCol),
+        VectorFunctions.cosine(col(vecCol), col("c_vec")).as("sim"))
+      .groupBy(col(idCol))
+      .agg(graft.functions.TopKFunctions.topKByScore(col("sim"), col("cid").cast("long"),
+        struct(col("cid"), col(vecCol).as("v")), 1).as("top"))
+      .select(col("top").getItem(0).getField("cid").as("cid"),
+        col("top").getItem(0).getField("v").as("v"))
+    assigned
+      .select(col("cid"), posexplode(col("v")).as(Seq("dim_idx", "x")))
+      .groupBy(col("cid"), col("dim_idx"))
+      .agg(sum(col("x").cast(DecimalType(18, 8))).as("__s"), count(lit(1)).as("n_assigned"))
+      .select(col("cid"), col("dim_idx").cast("int").as("dim_idx"),
+        round(col("__s").cast("double") / col("n_assigned"), 6).as("mean_val"),
+        col("n_assigned"))
   }
 
   /**

@@ -32,6 +32,43 @@ class Scd2RfmSpec extends SparkSpec {
     assert(h.filter(_.getLong(0) == 2L).head.getBoolean(4))
   }
 
+  test("scd2Merge: incremental maintenance equals full recompute at every split point") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "a", 10L, 1L), (1L, "a", 20L, 2L), (1L, "b", 30L, 3L), (1L, "a", 50L, 5L),
+      (2L, "x", 5L, 6L), (2L, "y", 45L, 7L),
+      (3L, "q", 60L, 8L)).toDF("user_id", "event_type", "ms", "event_id")
+    val full = Cdc.scd2History(ev, Seq("user_id"), "event_type", Seq("ms", "event_id"))
+    for (split <- Seq(0L, 15L, 30L, 47L, 100L)) {
+      val history = Cdc.scd2History(ev.filter(col("ms") <= split),
+        Seq("user_id"), "event_type", Seq("ms", "event_id"))
+      val merged = Cdc.scd2Merge(history, ev.filter(col("ms") > split),
+        Seq("user_id"), "event_type", Seq("ms", "event_id"))
+      assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty,
+        s"split=$split: incremental path diverged from full recompute")
+    }
+  }
+
+  test("kmeansLloydStep: assignment is argmax-cosine; means are exact on a known case") {
+    import spark.implicits._
+    // seeds = ids 0,1 (axis-aligned); vectors 2..4 assign by cosine; cluster 0 gets
+    // {seed0, v2}, cluster 1 gets {seed1, v3, v4}
+    val e = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(4f, 1f)), (3L, Array(1f, 4f)), (4L, Array(0f, 2f)))
+      .toDF("vec_id", "embedding")
+    val step = VectorOps.kmeansLloydStep(e, k = 2).orderBy("cid", "dim_idx").collect()
+    assert(step.length == 4)
+    val c0 = step.filter(_.getInt(0) == 0)
+    assert(c0.forall(_.getAs[Long]("n_assigned") == 2L))
+    assert(c0.map(_.getAs[Double]("mean_val")).toSeq == Seq(2.5, 0.5)) // mean of (1,0),(4,1)
+    val c1 = step.filter(_.getInt(0) == 1)
+    assert(c1.forall(_.getAs[Long]("n_assigned") == 3L))
+    assert(c1.map(_.getAs[Double]("mean_val")).toSeq ==
+      Seq(BigDecimal(1.0 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(7.0 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
+
   test("rfmSegments: scores in 1..5, monotone in the underlying metric, rfm composes") {
     val seg = SampleOps.rfmSegments(
       spark.read.parquet(s"$dir/orders.parquet")).cache()
