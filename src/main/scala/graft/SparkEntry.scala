@@ -741,6 +741,33 @@ object SparkEntry {
 
     // bounded interval join (the range companion to as-of): errors within a day AFTER
     // each click by the same user — range folded into the join key via time buckets
+    // multi-touch attribution (first / last / linear) — conversions pair with their
+    // 7-day lookback touches through the BUCKETED interval join (never an unbounded
+    // per-user cartesian), then per-conversion windows rank first/last and the linear
+    // credit quantizes to DECIMAL(18,8) before the per-channel sum
+    "ev_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events").withColumn("ms", unix_millis(col("ts")))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("conv_id"), col("user_id"), col("ms"))
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ms"))
+      val pairs = graft.operators.IntervalJoin.intervalJoin(conv, touches,
+        keys = Seq("user_id"), timeCol = "ms", lo = -604800000L, hi = -1L)
+      val wC = Window.partitionBy(col("conv_id"))
+      val scored = pairs
+        .withColumn("rf", row_number().over(wC.orderBy(col("r_ms"), col("r_event_id"))))
+        .withColumn("rl", row_number().over(wC.orderBy(col("r_ms").desc, col("r_event_id").desc)))
+        .withColumn("n", count(lit(1)).over(wC))
+      scored.groupBy(col("r_event_type").as("channel"))
+        .agg(
+          sum(when(col("rf") === 1, 1L).otherwise(0L)).as("first_touch"),
+          sum(when(col("rl") === 1, 1L).otherwise(0L)).as("last_touch"),
+          round(sum((lit(1.0) / col("n")).cast(DecimalType(18, 8))).cast(DoubleType), 6)
+            .as("linear_credit"),
+          count(lit(1)).as("n_touches"))
+    }),
+
     "ev_interval_join" -> ((s, dir) => {
       val ev = t(s, dir, "events").withColumn("ms", unix_millis(col("ts")))
       val clicks = ev.filter(col("event_type") === "click")
@@ -2546,6 +2573,25 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
         |SELECT e.event_id, e.user_id, e.ms, s.signup_id AS asof_signup_id
         |FROM e ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ms >= s.ms""".stripMargin,
+
+    "ev_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ms FROM events),
+        |conv AS (SELECT event_id AS conv_id, user_id, ms FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT * FROM e WHERE event_type <> 'purchase'),
+        |p AS (SELECT c.conv_id, t.event_id, t.event_type, t.ms AS t_ms
+        |  FROM conv c JOIN t ON t.user_id = c.user_id
+        |    AND t.ms >= c.ms - 604800000 AND t.ms <= c.ms - 1),
+        |f AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY t_ms, event_id) AS rf,
+        |    ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY t_ms DESC, event_id DESC) AS rl,
+        |    COUNT(*) OVER (PARTITION BY conv_id) AS n FROM p)
+        |SELECT event_type AS channel,
+        |  CAST(SUM(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_touch,
+        |  CAST(SUM(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch,
+        |  ROUND(CAST(SUM(CAST(1.0 / n AS DECIMAL(18,8))) AS DOUBLE), 6) AS linear_credit,
+        |  COUNT(*) AS n_touches
+        |FROM f GROUP BY 1""".stripMargin,
 
     "ev_interval_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type,

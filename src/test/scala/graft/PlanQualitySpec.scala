@@ -158,6 +158,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("ev_attribution: lookback pairing rides the bucketed interval join — no cartesian") {
+    val p = plan("ev_attribution")
+    assert(p.contains("__ij_bucket") || p.contains("hashpartitioning(user_id"),
+      s"pairs must come from the bucketed equi-join:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), "range must ride the join key")
+  }
+
   test("q_cube: 2^n grouping sets from ONE scan — a single Expand, partial aggregation") {
     val p = plan("q_cube")
     assert("(?i)expand".r.findAllIn(p).length >= 1, s"cube must plan Expand:\n${p.take(1500)}")
