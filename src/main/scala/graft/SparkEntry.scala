@@ -741,6 +741,11 @@ object SparkEntry {
 
     // bounded interval join (the range companion to as-of): errors within a day AFTER
     // each click by the same user — range folded into the join key via time buckets
+    // Welch two-sample t-test (click vs view on value): exact decimal moments in one
+    // pass, identical double formula both engines — the A/B experimentation readout
+    "ev_ab_ttest" -> ((s, dir) =>
+      SampleOps.welchTTest(t(s, dir, "events"), "event_type", "value", "click", "view")),
+
     // multi-touch attribution (first / last / linear) — conversions pair with their
     // 7-day lookback touches through the BUCKETED interval join (never an unbounded
     // per-user cartesian), then per-conversion windows rank first/last and the linear
@@ -1730,6 +1735,14 @@ object SparkEntry {
         everyN = 5)
     }),
 
+    // shot-boundary detection: consecutive-frame aHash jumps >= 8 bits mark scene cuts;
+    // exchanges carry (id, frame_idx, hash) rows only, never frame bytes
+    "mm_scene_cuts" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("blob", encode(col("text"), "UTF-8"))
+      MultimodalOps.sceneCuts(d.select(col("doc_id"), col("blob")), "blob", "doc_id",
+        everyN = 1, minHamming = 8)
+    }),
+
     // segment-granularity audio features (what silence segmentation / VAD consume):
     // one row per 256-sample window, explode-shaped mapPartitions like frame sampling
     "mm_audio_windows" -> ((s, dir) => {
@@ -2573,6 +2586,37 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
         |SELECT e.event_id, e.user_id, e.ms, s.signup_id AS asof_signup_id
         |FROM e ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ms >= s.ms""".stripMargin,
+
+    // formula structure mirrors SampleOps.welchTTest term for term
+    "ev_ab_ttest" ->
+      """WITH m AS (SELECT event_type AS g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,8))) AS s1,
+        |    -- DECIMAL(19,8) forces DuckDB's int128 multiply path (18-digit operands
+        |    -- would square in int64 and overflow); the product value is identical
+        |    SUM(CAST(CAST(value AS DECIMAL(19,8)) * CAST(value AS DECIMAL(19,8)) AS DECIMAL(28,10))) AS s2
+        |  FROM events WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+        |  GROUP BY 1),
+        |r AS (SELECT
+        |    MAX(CASE WHEN g = 'click' THEN n END) AS n_a,
+        |    MAX(CASE WHEN g = 'click' THEN s1 END) AS s1a,
+        |    MAX(CASE WHEN g = 'click' THEN s2 END) AS s2a,
+        |    MAX(CASE WHEN g = 'view' THEN n END) AS n_b,
+        |    MAX(CASE WHEN g = 'view' THEN s1 END) AS s1b,
+        |    MAX(CASE WHEN g = 'view' THEN s2 END) AS s2b
+        |  FROM m),
+        |c AS (SELECT n_a, n_b,
+        |    CAST(s1a AS DOUBLE) / n_a AS mean_a,
+        |    CAST(s1b AS DOUBLE) / n_b AS mean_b,
+        |    (CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) / n_a) / (n_a - 1) AS va,
+        |    (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) / n_b) / (n_b - 1) AS vb
+        |  FROM r),
+        |s AS (SELECT *, va / n_a + vb / n_b AS se2 FROM c)
+        |SELECT n_a, n_b, ROUND(mean_a, 4) AS mean_a, ROUND(mean_b, 4) AS mean_b,
+        |  ROUND((mean_a - mean_b) / sqrt(se2), 4) AS t_stat,
+        |  ROUND(se2 * se2 / ((va / n_a) * (va / n_a) / (n_a - 1)
+        |                   + (vb / n_b) * (vb / n_b) / (n_b - 1)), 2) AS df_welch,
+        |  (ABS((mean_a - mean_b) / sqrt(se2)) > 1.96) AS significant
+        |FROM s""".stripMargin,
 
     "ev_attribution" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
@@ -3608,6 +3652,33 @@ object SparkEntry {
     // frame slicing (mm_frame_sample's CTE chain) composed with per-frame aHash
     // reconstruction (mm_ahash_pairs' pixel algebra) — the oracle mirrors the provable
     // chunk blocking so it stays an equality join too
+    "mm_scene_cuts" ->
+      """WITH d AS (SELECT doc_id, encode(text) AS blob FROM documents),
+        |m AS (SELECT doc_id, hex(blob) AS hexb, CAST(octet_length(blob) AS BIGINT) AS n,
+        |  CAST(octet_length(blob) % 30 + 1 AS INT) AS n_frames FROM d),
+        |f AS (SELECT doc_id, hexb, n, n_frames,
+        |  GREATEST(1, n // n_frames) AS frame_len FROM m),
+        |fr AS (SELECT doc_id, CAST(u.i AS INT) AS frame_idx,
+        |    substring(hexb, CAST(LEAST(u.i * frame_len, n) * 2 + 1 AS INT),
+        |      CAST(LEAST(frame_len, n - LEAST(u.i * frame_len, n)) * 2 AS INT)) AS fhx
+        |  FROM f, unnest(range(0, CAST(n_frames AS BIGINT), 1)) AS u(i)),
+        |b AS (SELECT doc_id, frame_idx, fhx, length(fhx) // 2 // 32 AS h FROM fr),
+        |px AS (SELECT doc_id, frame_idx, r.range AS p,
+        |    CAST(('0x' || substring(fhx,
+        |      CAST(2 * ((((r.range // 8) * h) // 8) * 32 + (r.range % 8) * 4) + 1 AS INT),
+        |      2)) AS INT) AS v
+        |  FROM b CROSS JOIN range(64) r WHERE h >= 1),
+        |mn AS (SELECT doc_id, frame_idx, CAST(SUM(v) AS BIGINT) // 64 AS mean
+        |  FROM px GROUP BY doc_id, frame_idx),
+        |hs AS (SELECT px.doc_id, px.frame_idx,
+        |    CAST(SUM(CASE WHEN px.v > mn.mean AND px.p < 60
+        |      THEN (CAST(1 AS BIGINT) << CAST(px.p AS INT)) ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM px JOIN mn USING (doc_id, frame_idx) GROUP BY px.doc_id, px.frame_idx),
+        |lagd AS (SELECT doc_id, frame_idx, ahash,
+        |    LAG(ahash) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev FROM hs)
+        |SELECT doc_id, frame_idx, CAST(bit_count(xor(ahash, prev)) AS INT) AS hamming
+        |FROM lagd WHERE prev IS NOT NULL AND bit_count(xor(ahash, prev)) >= 8""".stripMargin,
+
     "mm_frame_dedup" ->
       """WITH d AS (SELECT doc_id, encode(text) AS blob FROM documents),
         |m AS (SELECT doc_id, hex(blob) AS hexb, CAST(octet_length(blob) AS BIGINT) AS n,

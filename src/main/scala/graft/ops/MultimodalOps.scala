@@ -320,6 +320,29 @@ object MultimodalOps {
       .agg(count(lit(1)).as("n_shared"), min(col("hamming")).as("min_hamming"))
   }
 
+  /**
+   * Temporal scene segmentation over the sampled frame sequence: a CUT is a frame whose
+   * perceptual aHash jumps >= `minHamming` bits from the previous sampled frame of the
+   * same video — the classic shot-boundary heuristic run entirely on the 64-bit hashes,
+   * so the corpus-sized exchange carries (id, frame_idx, long) rows, never frame bytes.
+   * One keyed window per video (frames are already per-video contiguous after the
+   * sample); downstream keyframe extraction reads exactly the cut frames.
+   */
+  def sceneCuts(df: DataFrame, binCol: String, idCol: String, everyN: Int = 1,
+      minHamming: Int = 8, srcW: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = sampleFrames(df, binCol, idCol, everyN)
+      .select(struct(col(idCol).as("doc"), col("frame_idx").as("f")).as("fid"),
+        col("frame_bytes"))
+    val h = aHash(frames, "frame_bytes", "fid", srcW).filter(col("ahash").isNotNull)
+    val w = Window.partitionBy(col("fid.doc")).orderBy(col("fid.f"))
+    h.withColumn("__prev", lag(col("ahash"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .withColumn("hamming", bit_count(col("ahash").bitwiseXOR(col("__prev"))).cast("int"))
+      .filter(col("hamming") >= minHamming)
+      .select(col("fid.doc").as(idCol), col("fid.f").as("frame_idx"), col("hamming"))
+  }
+
   def decodeMedia(df: DataFrame, binCol: String, idCol: String): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /**
  * Corpus-shaping operators for training-data pipelines: deterministic stratified sampling,
@@ -426,6 +426,46 @@ object SampleOps {
         (col("__cents").cast("double") / 100).as("monetary"),
         col("r_score"), col("f_score"), col("m_score"),
         (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).cast("int").as("rfm"))
+  }
+
+  /**
+   * Welch two-sample t-test between two groups (unequal variances — the experimentation
+   * / A-B readout every event pipeline ends in). Moments come from ONE exact pass:
+   * per-row values quantize to DECIMAL(18,8) (squares to DECIMAL(28,10)) so Σx and Σx²
+   * are exact decimals immune to fp sum order, then mean/variance/t/df evaluate in an
+   * identical double formula on both engines (sqrt is IEEE correctly-rounded — same
+   * bits). State is two rows of moments; the corpus never shuffles (map-side partial
+   * aggregation into a 2-group hash aggregate).
+   */
+  def welchTTest(df: DataFrame, groupCol: String, valueCol: String,
+      a: String, b: String): DataFrame = {
+    val xq = col(valueCol).cast(DecimalType(18, 8))
+    val moments = df.filter(col(groupCol).isin(a, b) && col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), xq.as("__x"),
+        (xq * xq).cast(DecimalType(28, 10)).as("__x2"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("s1"), sum(col("__x2")).as("s2"))
+    def pick(g: String, c: String, as: String) =
+      max(when(col("__g") === g, col(c))).as(as)
+    val r = moments.agg(
+      pick(a, "n", "n_a"), pick(a, "s1", "s1a"), pick(a, "s2", "s2a"),
+      pick(b, "n", "n_b"), pick(b, "s1", "s1b"), pick(b, "s2", "s2b"))
+    val meanA = col("s1a").cast(DoubleType) / col("n_a")
+    val meanB = col("s1b").cast(DoubleType) / col("n_b")
+    val varA = (col("s2a").cast(DoubleType) -
+      col("s1a").cast(DoubleType) * col("s1a").cast(DoubleType) / col("n_a")) / (col("n_a") - 1)
+    val varB = (col("s2b").cast(DoubleType) -
+      col("s1b").cast(DoubleType) * col("s1b").cast(DoubleType) / col("n_b")) / (col("n_b") - 1)
+    val se2 = varA / col("n_a") + varB / col("n_b")
+    val t = (meanA - meanB) / sqrt(se2)
+    val dfW = se2 * se2 /
+      ((varA / col("n_a")) * (varA / col("n_a")) / (col("n_a") - 1) +
+       (varB / col("n_b")) * (varB / col("n_b")) / (col("n_b") - 1))
+    r.select(
+      col("n_a"), col("n_b"),
+      round(meanA, 4).as("mean_a"), round(meanB, 4).as("mean_b"),
+      round(t, 4).as("t_stat"), round(dfW, 2).as("df_welch"),
+      (abs(t) > 1.96).as("significant"))
   }
 
   /**

@@ -161,6 +161,37 @@ class Scd2RfmSpec extends SparkSpec {
     assert(real.getAs[Double]("idcg") >= real.getAs[Double]("dcg"))
   }
 
+  test("welchTTest: hand-computed statistic, sign flips under group swap") {
+    import spark.implicits._
+    val d = (Seq(1.0, 2.0, 3.0, 4.0).map(("a", _)) ++ Seq(2.0, 4.0, 6.0).map(("b", _)))
+      .toDF("g", "v")
+    val r = SampleOps.welchTTest(d, "g", "v", "a", "b").collect().head
+    // mean_a 2.5, var_a 5/3; mean_b 4, var_b 4; se2 = 5/12 + 4/3 = 1.75
+    // t = -1.5/sqrt(1.75) = -1.1339; df = 1.75^2/((5/12)^2/3 + (4/3)^2/2) = 3.23
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 3L)
+    assert(math.abs(r.getAs[Double]("t_stat") - -1.1339) < 1e-4)
+    assert(math.abs(r.getAs[Double]("df_welch") - 3.23) < 0.01)
+    assert(!r.getAs[Boolean]("significant"))
+    val s = SampleOps.welchTTest(d, "g", "v", "b", "a").collect().head
+    assert(math.abs(s.getAs[Double]("t_stat") + r.getAs[Double]("t_stat")) < 1e-9)
+  }
+
+  test("sceneCuts: thresholded lag-hamming, invariant under repartitioning") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("blob", encode(col("text"), "UTF-8"))
+      .select(col("doc_id"), col("blob"))
+    val cuts = graft.ops.MultimodalOps.sceneCuts(d, "blob", "doc_id", everyN = 1,
+      minHamming = 8)
+    val rows = cuts.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Int]("hamming") >= 8))
+    assert(rows.forall(_.getAs[Int]("frame_idx") >= 1), "frame 0 has no predecessor")
+    // window correctness must not depend on physical partitioning
+    val re = graft.ops.MultimodalOps.sceneCuts(d.repartition(13), "blob", "doc_id",
+      everyN = 1, minHamming = 8)
+    assert(cuts.exceptAll(re).isEmpty && re.exceptAll(cuts).isEmpty)
+  }
+
   test("boilerplateStrip: per-source counting — cross-source sharing alone never strips") {
     import spark.implicits._
     // srcA has 4 docs sharing "FOOTER-A" (stripped, nd=4>2); srcB has 2 docs sharing
