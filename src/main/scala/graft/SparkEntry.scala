@@ -1735,6 +1735,14 @@ object SparkEntry {
         everyN = 5)
     }),
 
+    // energy-threshold VAD: active windows (integer mean-energy test) merge into speech
+    // segments via gaps-and-islands; exchanges carry window stats, never audio bytes
+    "mm_audio_vad" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("blob", encode(col("text"), "UTF-8"))
+      MultimodalOps.audioVad(d.select(col("doc_id"), col("blob")), "blob", "doc_id",
+        windowSize = 256, meanEnergyThr = 400L)
+    }),
+
     // shot-boundary detection: consecutive-frame aHash jumps >= 8 bits mark scene cuts;
     // exchanges carry (id, frame_idx, hash) rows only, never frame bytes
     "mm_scene_cuts" -> ((s, dir) => {
@@ -3729,6 +3737,24 @@ object SparkEntry {
         |SELECT b.doc_id, COALESCE(agg.n_samples, 0) AS n_samples,
         |  agg.energy, agg.peak, agg.n_zero_cross
         |FROM b LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    "mm_audio_vad" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n FROM documents),
+        |s AS (SELECT doc_id, u.p, CAST(u.p // 256 AS INT) AS win_idx,
+        |    CAST(('0x' || substring(hx, CAST(2 * u.p + 1 AS INT), 2)) AS INT) - 128 AS v
+        |  FROM b, unnest(range(0, n)) AS u(p) WHERE n > 0),
+        |wnd AS (SELECT doc_id, win_idx, CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |    CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS energy
+        |  FROM s GROUP BY doc_id, win_idx),
+        |act AS (SELECT doc_id, win_idx, energy FROM wnd WHERE energy > 400 * n_samples),
+        |g AS (SELECT *, win_idx - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY win_idx) AS grp
+        |  FROM act)
+        |SELECT doc_id, CAST(MIN(win_idx) AS INT) AS start_win,
+        |  CAST(MAX(win_idx) AS INT) AS end_win,
+        |  CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |  CAST(SUM(energy) AS BIGINT) AS total_energy
+        |FROM g GROUP BY doc_id, grp""".stripMargin,
 
     "mm_audio_windows" ->
       """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,

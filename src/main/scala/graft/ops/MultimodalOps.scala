@@ -343,6 +343,30 @@ object MultimodalOps {
       .select(col("fid.doc").as(idCol), col("fid.f").as("frame_idx"), col("hamming"))
   }
 
+  /**
+   * Energy-threshold voice-activity detection: a window is ACTIVE iff its mean
+   * per-sample energy clears the threshold (kept in pure integer arithmetic:
+   * `energy > thr * n_samples` — no fp boundary), and consecutive active windows merge
+   * into speech segments via the gaps-and-islands rewrite (`win_idx - row_number` is
+   * constant within a run). The exchange carries window STATS rows, never audio bytes;
+   * segments per recording are bounded by window count. Downstream ASR sampling reads
+   * exactly the segment spans.
+   */
+  def audioVad(df: DataFrame, binCol: String, idCol: String, windowSize: Int = 256,
+      meanEnergyThr: Long = 400L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val active = audioWindows(df, binCol, idCol, windowSize)
+      .filter(col("energy") > lit(meanEnergyThr) * col("n_samples"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("win_idx"))
+    active.withColumn("__grp", col("win_idx") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("win_idx")).cast("int").as("start_win"),
+        max(col("win_idx")).cast("int").as("end_win"),
+        count(lit(1)).as("n_windows"),
+        sum(col("energy")).as("total_energy"))
+      .drop("__grp")
+  }
+
   def decodeMedia(df: DataFrame, binCol: String, idCol: String): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(

@@ -192,6 +192,25 @@ class Scd2RfmSpec extends SparkSpec {
     assert(cuts.exceptAll(re).isEmpty && re.exceptAll(cuts).isEmpty)
   }
 
+  test("audioVad: segments are maximal runs — separated by real gaps, energies add up") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("blob", encode(col("text"), "UTF-8"))
+      .select(col("doc_id"), col("blob"))
+    val seg = graft.ops.MultimodalOps.audioVad(d, "blob", "doc_id").collect()
+    assert(seg.nonEmpty)
+    assert(seg.forall(r => r.getAs[Int]("start_win") <= r.getAs[Int]("end_win")))
+    assert(seg.forall(r => r.getAs[Long]("n_windows") ==
+      r.getAs[Int]("end_win") - r.getAs[Int]("start_win") + 1L), "segments are contiguous")
+    // maximality: consecutive segments of one doc never touch (else they'd have merged)
+    seg.groupBy(_.getLong(0)).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("start_win"))
+      sorted.init.zip(sorted.tail).foreach { case (a, b) =>
+        assert(b.getAs[Int]("start_win") > a.getAs[Int]("end_win") + 1,
+          s"adjacent segments must merge: $a $b")
+      }
+    }
+  }
+
   test("boilerplateStrip: per-source counting — cross-source sharing alone never strips") {
     import spark.implicits._
     // srcA has 4 docs sharing "FOOTER-A" (stripped, nd=4>2); srcB has 2 docs sharing
