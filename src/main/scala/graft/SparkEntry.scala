@@ -297,6 +297,34 @@ object SparkEntry {
     // thresholds, no partitionless ntile window), broadcast threshold join
     "q_rfm" -> ((s, dir) => SampleOps.rfmSegments(t(s, dir, "orders"))),
 
+    // THE canonical top-N-per-group, done the scale-correct way: bounded-heap aggregate
+    // (≤ 3 rows per key cross the exchange) instead of a row_number window that shuffles
+    // and sorts every order under its customer
+    "q_topn_per_group" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.select(col("o_custkey"), col("o_orderkey"), dec(col("o_totalprice"), 12, 2).as("__p"))
+        .groupBy(col("o_custkey"))
+        .agg(graft.functions.TopKFunctions.topKByScore(col("__p").cast(DoubleType),
+          col("o_orderkey"), struct(col("o_orderkey"), col("__p")), 3).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("o_custkey"), (col("pos") + 1).cast("int").as("rank"),
+          col("t.o_orderkey").as("o_orderkey"),
+          col("t.__p").cast(DoubleType).as("totalprice"))
+    }),
+
+    // cohort LTV triangle: (first-activity week) x (week offset) distinct users + exact
+    // decimal revenue — epoch-week indexes are integer division on epoch-millis, TZ-free
+    "ev_cohort_ltv" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr("unix_millis(ts) div 604800000").as("wk"),
+          dec(col("value"), 18, 2).as("__v"))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      ev.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).cast("int").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          sum(col("__v")).cast(DoubleType).as("revenue"))
+    }),
+
     // ---- CDC operator inventory (SURVEY §2) ---------------------------------------------------
 
     // P1+P2+P8: envelope unwrap with delete rewrite + system columns
@@ -2300,6 +2328,26 @@ object SparkEntry {
         |  (LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL) AS is_current,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ms, event_id) AS BIGINT) AS version
         |FROM c""".stripMargin,
+
+    "q_topn_per_group" ->
+      """SELECT o_custkey, CAST(rn AS INT) AS rank, o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS totalprice
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin,
+
+    "ev_cohort_ltv" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 604800000 AS wk,
+        |    CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY 1)
+        |SELECT c.cohort_wk, CAST(e.wk - c.cohort_wk AS INT) AS week_offset,
+        |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+        |  CAST(SUM(e.v) AS DOUBLE) AS revenue
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     // the incremental path must REPRODUCE the full-stream semantics — same SQL as cdc_scd2
     "cdc_scd2_incremental" ->

@@ -166,6 +166,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "range must ride the join key")
   }
 
+  test("q_topn_per_group: bounded-heap aggregate, never a row_number sort window") {
+    val p = plan("q_topn_per_group")
+    assert(p.contains("ObjectHashAggregate"), "top-N must be the bounded heap")
+    assert(!p.contains("Window") && !p.contains("row_number"),
+      s"no per-key sort window allowed:\n${p.take(1500)}")
+  }
+
   test("q_cube: 2^n grouping sets from ONE scan — a single Expand, partial aggregation") {
     val p = plan("q_cube")
     assert("(?i)expand".r.findAllIn(p).length >= 1, s"cube must plan Expand:\n${p.take(1500)}")
