@@ -1421,6 +1421,15 @@ object SparkEntry {
         .withColumn("sim", round(col("sim"), 4))
     }),
 
+    // fixed-iteration PageRank over the directed kNN edge list: each iteration is one
+    // (dst, long) digest shuffle + node-keyed aggregate; ranks are BIGINT 1e-12 units
+    // with floor division — zero floating point, bit-identical in any engine
+    "emb_pagerank" -> ((s, dir) => {
+      val edges = VectorOps.knnEdges(t(s, dir, "embeddings"), k = 4)
+      graft.ops.GraphOps.pageRank(edges, iters = 3, dampingPct = 85)
+        .select(col("id").as("vec_id"), col("rank_e12"))
+    }),
+
     // one auditable Lloyd step of spherical k-means: broadcast seeds, argmax-cosine
     // assignment into a 1-bounded heap, (cluster, dim) mean cells with DECIMAL(18,8)
     // per-term quantization — the training loop is this operator iterated
@@ -3612,6 +3621,34 @@ object SparkEntry {
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
         |  ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
         |           c.vec_id) <= 3""".stripMargin,
+
+    // 3 unrolled fixed-point PageRank iterations over the replayed kNN edges — BIGINT
+    // 1e-12 units with floor division, zero floating point
+    "emb_pagerank" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS s
+        |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |knn AS (SELECT src, dst FROM p
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) <= 4),
+        |nodes AS (SELECT DISTINCT id FROM
+        |  (SELECT src AS id FROM knn UNION ALL SELECT dst AS id FROM knn)),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM knn GROUP BY 1),
+        |r0 AS (SELECT id, 1000000000000 // nn.n AS r FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT k.dst, CAST(SUM(r.r // d.deg) AS BIGINT) AS s
+        |  FROM knn k JOIN r0 r ON r.id = k.src JOIN deg d ON d.src = k.src GROUP BY 1),
+        |r1 AS (SELECT nodes.id, (150000000000 // nn.n) + ((85 * COALESCE(c.s, 0)) // 100) AS r
+        |  FROM nodes LEFT JOIN c1 c ON c.dst = nodes.id CROSS JOIN nn),
+        |c2 AS (SELECT k.dst, CAST(SUM(r.r // d.deg) AS BIGINT) AS s
+        |  FROM knn k JOIN r1 r ON r.id = k.src JOIN deg d ON d.src = k.src GROUP BY 1),
+        |r2 AS (SELECT nodes.id, (150000000000 // nn.n) + ((85 * COALESCE(c.s, 0)) // 100) AS r
+        |  FROM nodes LEFT JOIN c2 c ON c.dst = nodes.id CROSS JOIN nn),
+        |c3 AS (SELECT k.dst, CAST(SUM(r.r // d.deg) AS BIGINT) AS s
+        |  FROM knn k JOIN r2 r ON r.id = k.src JOIN deg d ON d.src = k.src GROUP BY 1),
+        |r3 AS (SELECT nodes.id, (150000000000 // nn.n) + ((85 * COALESCE(c.s, 0)) // 100) AS r
+        |  FROM nodes LEFT JOIN c3 c ON c.dst = nodes.id CROSS JOIN nn)
+        |SELECT id AS vec_id, CAST(r AS BIGINT) AS rank_e12 FROM r3""".stripMargin,
 
     "emb_knn_graph" ->
       """WITH p AS (

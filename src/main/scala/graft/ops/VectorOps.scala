@@ -128,7 +128,10 @@ object VectorOps {
    * never vectors. At 100 TB the block key comes from a trained coarse quantizer and
    * each block co-locates via its hash partition; nothing here is all-pairs.
    */
-  def knnGraphBlocked(
+  /** The directed k-NN edge list (src, dst, sim) of [[knnGraphBlocked]] without the
+    * mutual-marking self-join — the input shape for graph algorithms over the
+    * similarity structure ([[GraphOps.pageRank]]). */
+  def knnEdges(
       df: DataFrame,
       k: Int = 4,
       idCol: String = "vec_id",
@@ -140,7 +143,18 @@ object VectorOps {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         VectorFunctions.cosine(col("q_vec"), col("c_vec")).as("sim"))
-    val knn = rankTopK(scored, k)
+    rankTopK(scored, k)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"), col("sim"))
+  }
+
+  def knnGraphBlocked(
+      df: DataFrame,
+      k: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      blockCol: String = "label"): DataFrame = {
+    val knn = knnEdges(df, k, idCol, vecCol, blockCol)
+      .select(col("src").as("query_id"), col("dst").as("neighbor_id"), col("sim"))
     knn.as("e")
       .join(knn.select(col("query_id").as("__rq"), col("neighbor_id").as("__rn")),
         col("e.query_id") === col("__rn") && col("e.neighbor_id") === col("__rq"), "left")

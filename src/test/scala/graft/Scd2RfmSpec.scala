@@ -211,6 +211,22 @@ class Scd2RfmSpec extends SparkSpec {
     }
   }
 
+  test("pageRank: uniform on a cycle, hub dominates a star, mass conserved to floor loss") {
+    import spark.implicits._
+    // 4-cycle: symmetric -> all ranks equal
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val rc = graft.ops.GraphOps.pageRank(cycle, iters = 3).collect()
+    assert(rc.map(_.getLong(1)).distinct.length == 1, "cycle ranks must be uniform")
+    // star: 1..4 -> 0 plus a back-edge 0 -> 1; hub 0 outranks all leaves
+    val star = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (0L, 1L)).toDF("src", "dst")
+    val rs = graft.ops.GraphOps.pageRank(star, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(l => rs(0L) > rs(l)), s"hub must dominate: $rs")
+    // mass: starts at 1e12, each floor division loses < 1 unit per node/edge per iter
+    val total = rc.map(_.getLong(1)).sum
+    assert(total <= 1000000000000L && total > 999999999900L, s"mass off: $total")
+  }
+
   test("boilerplateStrip: per-source counting — cross-source sharing alone never strips") {
     import spark.implicits._
     // srcA has 4 docs sharing "FOOTER-A" (stripped, nd=4>2); srcB has 2 docs sharing
