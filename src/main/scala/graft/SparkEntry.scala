@@ -769,6 +769,25 @@ object SparkEntry {
 
     // bounded interval join (the range companion to as-of): errors within a day AFTER
     // each click by the same user — range folded into the join key via time buckets
+    // mergeable-sketch rollup — THE 100 TB pre-aggregation pattern: per-day DataSketches
+    // HLL sketches (buildable incrementally, stored instead of raw ids) union to weekly
+    // estimates WITHOUT re-reading raw data; the gate audits every weekly estimate
+    // against the exact distinct count (re-derivable at this SF) and pins the verdict
+    "ev_sketch_rollup" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(expr("unix_millis(ts) div 86400000").as("day"), col("user_id"))
+      val daily = ev.groupBy(col("day"))
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      val weekly = daily.groupBy(expr("day div 7").as("week"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"))
+      val exact = ev.select(expr("day div 7").as("week"), col("user_id"))
+        .groupBy("week").agg(countDistinct(col("user_id")).as("exact_users"))
+      weekly.join(exact, "week")
+        .agg(count(lit(1)).as("n_weeks"),
+          (max(abs(col("approx_users") - col("exact_users")).cast(DoubleType) /
+            col("exact_users")) <= 0.05).as("sketch_ok"))
+    }),
+
     // Welch two-sample t-test (click vs view on value): exact decimal moments in one
     // pass, identical double formula both engines — the A/B experimentation readout
     "ev_ab_ttest" -> ((s, dir) =>
@@ -2651,6 +2670,14 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
         |SELECT e.event_id, e.user_id, e.ms, s.signup_id AS asof_signup_id
         |FROM e ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ms >= s.ms""".stripMargin,
+
+    // sketch impls are engine-specific -> verdict-row gate: the oracle pins week count
+    // and the 5%-accuracy boolean
+    "ev_sketch_rollup" ->
+      """WITH e AS (SELECT CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000 AS day,
+        |    user_id FROM events)
+        |SELECT CAST(COUNT(DISTINCT day // 7) AS BIGINT) AS n_weeks, TRUE AS sketch_ok
+        |FROM e""".stripMargin,
 
     // formula structure mirrors SampleOps.welchTTest term for term
     "ev_ab_ttest" ->
