@@ -388,6 +388,32 @@ object SparkEntry {
         .withColumnRenamed("valid_to", "valid_to_ms")
     }),
 
+    // incremental materialized-view maintenance: the delta algebra of the upsert/delete
+    // stream (insert +v, update +v-prev, delete -prev) summed per key must TELESCOPE to
+    // the final live state — maintained and recomputed values are both emitted and the
+    // oracle hash-pins the identity row by row
+    "cdc_mv_maintain" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), dec(col("value"), 18, 2).as("v"),
+          (col("event_type") === "error").as("is_del"), col("event_id"))
+      val deltas = Cdc.upsertDeltas(ev, Seq("user_id"), "v", col("is_del"), Seq("event_id"))
+      val maintained = deltas.groupBy(col("user_id"))
+        .agg(sum(col("delta")).as("__m"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+      val finalState = ev.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"),
+          when(col("is_del"), lit(BigDecimal(0)).cast(DecimalType(18, 2)))
+            .otherwise(col("v")).as("__f"))
+      maintained.join(finalState, "user_id")
+        .select(col("user_id"),
+          col("__m").cast(DoubleType).as("maintained"),
+          col("__f").cast(DoubleType).as("final_state"),
+          (col("__m") === col("__f")).as("consistent"))
+    }),
+
     // D6+P6+E2+E3: schema-epoch union with NULL padding for drifted columns
     "cdc_chunk_union" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -2670,6 +2696,26 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
         |SELECT e.event_id, e.user_id, e.ms, s.signup_id AS asof_signup_id
         |FROM e ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ms >= s.ms""".stripMargin,
+
+    "cdc_mv_maintain" ->
+      """WITH e AS (SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v,
+        |    (event_type = 'error') AS is_del, event_id
+        |  FROM events WHERE value IS NOT NULL),
+        |l AS (SELECT *, LAG(v) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_v,
+        |    LAG(is_del) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_del FROM e),
+        |d AS (SELECT user_id,
+        |    CASE WHEN (prev_v IS NULL OR prev_del) AND is_del THEN CAST(0 AS DECIMAL(18,2))
+        |         WHEN (prev_v IS NULL OR prev_del) THEN v
+        |         WHEN is_del THEN -prev_v
+        |         ELSE v - prev_v END AS delta FROM l),
+        |m AS (SELECT user_id, SUM(delta) AS m FROM d GROUP BY 1),
+        |f AS (SELECT user_id,
+        |    CASE WHEN is_del THEN CAST(0 AS DECIMAL(18,2)) ELSE v END AS f
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |    FROM e) WHERE rn = 1)
+        |SELECT m.user_id, CAST(m.m AS DOUBLE) AS maintained,
+        |  CAST(f.f AS DOUBLE) AS final_state, (m.m = f.f) AS consistent
+        |FROM m JOIN f USING (user_id)""".stripMargin,
 
     // sketch impls are engine-specific -> verdict-row gate: the oracle pins week count
     // and the 5%-accuracy boolean

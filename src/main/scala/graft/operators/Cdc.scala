@@ -208,6 +208,34 @@ object Cdc {
     untouched.unionByName(replay)
   }
 
+  /**
+   * Incremental materialized-view maintenance, step 1: derive the EXACT delta stream of
+   * a keyed upsert/delete sequence (the before-image algebra Debezium envelopes carry;
+   * here reconstructed from the ordered stream itself when the source omits
+   * before-images). Per key, ordered by `orderCols`:
+   *
+   *   - dead state (first event, or predecessor was a delete) + delete  → no-op (0)
+   *   - dead state + upsert → INSERT: `+value`
+   *   - live state + delete → DELETE: `-prev_value`
+   *   - live state + upsert → UPDATE: `+value - prev_value`
+   *
+   * Σ delta per key telescopes to the final live value (0 if dead) — so a SUM-shaped
+   * materialized view updates from deltas alone, never re-reading the base table. The
+   * window shares ONE keyed exchange+sort; deltas stay exact DECIMALs.
+   */
+  def upsertDeltas(df: DataFrame, keys: Seq[String], valueCol: String,
+      deleteCol: Column, orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols.map(col): _*)
+    val prevV = lag(col(valueCol), 1).over(w)
+    val prevDel = lag(deleteCol, 1).over(w)
+    val dead = prevV.isNull || prevDel
+    df.withColumn("delta",
+      when(dead && deleteCol, lit(0).cast(df.schema(valueCol).dataType))
+        .when(dead, col(valueCol))
+        .when(deleteCol, -prevV)
+        .otherwise(col(valueCol) - prevV))
+  }
+
   /** D1 window form — identical semantics via `row_number`; kept for parity with the reference's
     * formulation (`staging.py:245-259`) and for cases needing the loser rows too. */
   def dedupeLastWinsWindow(df: DataFrame, pks: Seq[String], orderCol: String = OrderCol): DataFrame = {

@@ -69,6 +69,26 @@ class Scd2RfmSpec extends SparkSpec {
         BigDecimal(7.0 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
   }
 
+  test("upsertDeltas: sum telescopes to final live state through deletes and re-inserts") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    // key 1: ins 10, upd 25, DEL, re-ins 7, upd 9  -> final 9
+    // key 2: ins 5, DEL                            -> final 0
+    // key 3: DEL on dead state (no-op), ins 4      -> final 4
+    val ev = Seq(
+      (1L, 10.0, false, 1L), (1L, 25.0, false, 2L), (1L, 25.0, true, 3L),
+      (1L, 7.0, false, 4L), (1L, 9.0, false, 5L),
+      (2L, 5.0, false, 6L), (2L, 5.0, true, 7L),
+      (3L, 99.0, true, 8L), (3L, 4.0, false, 9L))
+      .toDF("user_id", "value", "is_del", "event_id")
+      .select(col("user_id"), col("value").cast(DecimalType(18, 2)).as("v"),
+        col("is_del"), col("event_id"))
+    val m = Cdc.upsertDeltas(ev, Seq("user_id"), "v", col("is_del"), Seq("event_id"))
+      .groupBy("user_id").agg(sum(col("delta")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+    assert(m == Map(1L -> 9.0, 2L -> 0.0, 3L -> 4.0), s"telescoping broken: $m")
+  }
+
   test("rfmSegments: scores in 1..5, monotone in the underlying metric, rfm composes") {
     val seg = SampleOps.rfmSegments(
       spark.read.parquet(s"$dir/orders.parquet")).cache()
