@@ -297,6 +297,32 @@ object SparkEntry {
     // thresholds, no partitionless ntile window), broadcast threshold join
     "q_rfm" -> ((s, dir) => SampleOps.rfmSegments(t(s, dir, "orders"))),
 
+    // data-quality audit battery (the expectations pattern): referential integrity via
+    // anti-join (dim side broadcasts), domain/range/null/uniqueness checks as counting
+    // aggregates — one row per constraint with its violation count
+    "q_dq_audit" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer"); val l = t(s, dir, "lineitem")
+      val ri = o.join(broadcast(c.select(col("c_custkey"))),
+          o("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("orders_custkey_in_customer").as("check_name"), col("n_violations"))
+      val rng = l.filter(col("l_quantity") < 0 || col("l_quantity") > 60)
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("lineitem_quantity_range").as("check_name"), col("n_violations"))
+      val dom = o.filter(!col("o_orderstatus").isin("F", "O", "P"))
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("orders_status_domain").as("check_name"), col("n_violations"))
+      val uniq = c.groupBy(col("c_custkey")).agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > 1)
+        .agg(coalesce(sum(col("__c") - 1), lit(0L)).cast("long").as("n_violations"))
+        .select(lit("customer_custkey_unique").as("check_name"), col("n_violations"))
+      val nn = l.filter(col("l_shipdate").isNull)
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("lineitem_shipdate_not_null").as("check_name"), col("n_violations"))
+      ri.unionByName(rng).unionByName(dom).unionByName(uniq).unionByName(nn)
+        .withColumn("pass", col("n_violations") === 0)
+    }),
+
     // THE canonical top-N-per-group, done the scale-correct way: bounded-heap aggregate
     // (≤ 3 rows per key cross the exchange) instead of a row_number window that shuffles
     // and sorts every order under its customer
@@ -2382,6 +2408,22 @@ object SparkEntry {
         |  (LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL) AS is_current,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ms, event_id) AS BIGINT) AS version
         |FROM c""".stripMargin,
+
+    "q_dq_audit" ->
+      """WITH checks(check_name, n_violations) AS (
+        |  SELECT 'orders_custkey_in_customer',
+        |    CAST((SELECT COUNT(*) FROM orders o
+        |      WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+        |  UNION ALL SELECT 'lineitem_quantity_range',
+        |    CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity < 0 OR l_quantity > 60) AS BIGINT)
+        |  UNION ALL SELECT 'orders_status_domain',
+        |    CAST((SELECT COUNT(*) FROM orders WHERE o_orderstatus NOT IN ('F','O','P')) AS BIGINT)
+        |  UNION ALL SELECT 'customer_custkey_unique',
+        |    CAST((SELECT COALESCE(SUM(c - 1), 0) FROM
+        |      (SELECT COUNT(*) AS c FROM customer GROUP BY c_custkey HAVING COUNT(*) > 1)) AS BIGINT)
+        |  UNION ALL SELECT 'lineitem_shipdate_not_null',
+        |    CAST((SELECT COUNT(*) FROM lineitem WHERE l_shipdate IS NULL) AS BIGINT))
+        |SELECT check_name, n_violations, (n_violations = 0) AS pass FROM checks""".stripMargin,
 
     "q_topn_per_group" ->
       """SELECT o_custkey, CAST(rn AS INT) AS rank, o_orderkey,
