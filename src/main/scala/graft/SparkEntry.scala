@@ -297,6 +297,28 @@ object SparkEntry {
     // thresholds, no partitionless ntile window), broadcast threshold join
     "q_rfm" -> ((s, dir) => SampleOps.rfmSegments(t(s, dir, "orders"))),
 
+    // dedup-QA: recall of the LSH candidate generator against the EXACT jaccard>=0.5
+    // ground truth (the blocking must not lose true pairs — a silent banding bug shows
+    // up here as recall, not as a skewed estimate downstream). n_truth is exact and
+    // oracle-pinned; the candidate set is xxh64-engine-specific, so recall/boundedness
+    // gate as verdict booleans like the ANN family
+    "doc_dedup_eval" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val truth = DedupOps.ngramJaccardPairs(d, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val cand = DedupOps.minhashLshPairs(d, threshold = 0.2)
+        .select(col("id_a"), col("id_b"))
+      val hit = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+      val nT = truth.agg(count(lit(1)).as("n_truth"))
+      val nH = hit.agg(count(lit(1)).as("n_hit"))
+      val nC = cand.agg(count(lit(1)).as("n_cand"))
+      val nDocs = d.agg(count(lit(1)).as("n_docs"))
+      nT.crossJoin(nH).crossJoin(nC).crossJoin(nDocs)
+        .select(col("n_truth"),
+          (col("n_hit") === col("n_truth")).as("recall_ok"),
+          (col("n_cand") <= col("n_docs") * 20).as("cand_bounded"))
+    }),
+
     // TPC-H Q7 shape: bidirectional nation-pair shipping volume — both nation dims
     // broadcast against the one fact shuffle, pair filter in the join condition
     "q7_nation_volume" -> ((s, dir) => {
@@ -2438,6 +2460,22 @@ object SparkEntry {
         |  (LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL) AS is_current,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ms, event_id) AS BIGINT) AS version
         |FROM c""".stripMargin,
+
+    // n_truth = exact jaccard >= 0.5 pair count; recall/boundedness of the
+    // engine-specific LSH candidates pin as verdict booleans
+    "doc_dedup_eval" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |shl AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
+        |  ELSE list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh FROM t),
+        |sizes AS (SELECT doc_id, len(sh) AS n FROM shl),
+        |inv AS (SELECT doc_id, unnest(sh) AS h FROM shl),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_truth, TRUE AS recall_ok, TRUE AS cand_bounded
+        |FROM pairs p JOIN sizes sa ON sa.doc_id = p.id_a JOIN sizes sb ON sb.doc_id = p.id_b
+        |WHERE CAST(p.inter AS DOUBLE)/(sa.n + sb.n - p.inter) >= 0.5""".stripMargin,
 
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
