@@ -892,6 +892,18 @@ object SparkEntry {
             col("exact_users")) <= 0.05).as("sketch_ok"))
     }),
 
+    // RANGE window frame (value-based, not row-based): per-user rolling 1-hour sum —
+    // peers at equal ms share the frame by definition, exact decimal sums; one keyed
+    // exchange+sort like every other user window
+    "ev_range_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events").withColumn("ms", unix_millis(col("ts")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+        .rangeBetween(-3600000L, 0L)
+      ev.select(col("event_id"), col("user_id"), col("ms"),
+        sum(dec(col("value"), 18, 2)).over(w).cast(DoubleType).as("hour_sum"))
+    }),
+
     // Welch two-sample t-test (click vs view on value): exact decimal moments in one
     // pass, identical double formula both engines — the A/B experimentation readout
     "ev_ab_ttest" -> ((s, dir) =>
@@ -2827,6 +2839,14 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
         |SELECT e.event_id, e.user_id, e.ms, s.signup_id AS asof_signup_id
         |FROM e ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ms >= s.ms""".stripMargin,
+
+    "ev_range_window" ->
+      """SELECT event_id, user_id,
+        |  CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ms,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT)
+        |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
+        |FROM events""".stripMargin,
 
     "cdc_mv_maintain" ->
       """WITH e AS (SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v,
