@@ -892,6 +892,28 @@ object SparkEntry {
             col("exact_users")) <= 0.05).as("sketch_ok"))
     }),
 
+    // funnel latency readout: exact p50/p90 of signup->first-purchase time over
+    // converting users, via the distributed-histogram percentile (integer-ms grid)
+    "ev_funnel_latency" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("ms", unix_millis(col("ts")))
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ms")).as("signup_ms"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ms").as("purchase_ms"))
+      val lat = signups.join(purchases, Seq("user_id"), "left")
+        .groupBy(col("user_id"), col("signup_ms"))
+        .agg(min(when(col("purchase_ms") >= col("signup_ms"), col("purchase_ms")))
+          .as("fpms"))
+        .filter(col("fpms").isNotNull)
+        .select((col("fpms") - col("signup_ms")).as("lat"))
+      val pct = SampleOps.exactPercentiles(lat,
+        Seq(("p50", col("lat"), 0.5), ("p90", col("lat"), 0.9)))
+      lat.agg(count(lit(1)).as("n_converted")).crossJoin(broadcast(pct))
+        .select(col("n_converted"),
+          round(col("p50"), 2).as("p50_latency_ms"),
+          round(col("p90"), 2).as("p90_latency_ms"))
+    }),
+
     // RANGE window frame (value-based, not row-based): per-user rolling 1-hour sum —
     // peers at equal ms share the frame by definition, exact decimal sums; one keyed
     // exchange+sort like every other user window
@@ -2839,6 +2861,20 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
         |SELECT e.event_id, e.user_id, e.ms, s.signup_id AS asof_signup_id
         |FROM e ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ms >= s.ms""".stripMargin,
+
+    "ev_funnel_latency" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ms FROM events),
+        |s AS (SELECT user_id, MIN(ms) AS signup_ms FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |fp AS (SELECT s.user_id, s.signup_ms,
+        |    MIN(CASE WHEN p.ms >= s.signup_ms THEN p.ms END) AS fpms
+        |  FROM s LEFT JOIN e p ON p.user_id = s.user_id AND p.event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |lat AS (SELECT fpms - signup_ms AS lat FROM fp WHERE fpms IS NOT NULL)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+        |  ROUND(quantile_cont(lat, 0.5), 2) AS p50_latency_ms,
+        |  ROUND(quantile_cont(lat, 0.9), 2) AS p90_latency_ms
+        |FROM lat""".stripMargin,
 
     "ev_range_window" ->
       """SELECT event_id, user_id,
