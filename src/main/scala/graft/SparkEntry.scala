@@ -892,6 +892,22 @@ object SparkEntry {
             col("exact_users")) <= 0.05).as("sketch_ok"))
     }),
 
+    // behavioral user similarity: the event stream becomes a 5-dim type-count vector
+    // per user (exact integer components -> float lossless), then the SAME bounded-heap
+    // cosine top-k machinery as the embedding ANN family — operators compose across
+    // families; probe set = 5 users, corpus = all users
+    "ev_user_similarity" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val vecs = ev.groupBy(col("user_id"))
+        .agg(array(types.map(tp =>
+          sum(when(col("event_type") === tp, 1L).otherwise(0L)).cast("float")): _*)
+          .as("embedding"))
+        .select(col("user_id").as("vec_id"), col("embedding"))
+      VectorOps.bruteForceTopK(vecs, vecs.filter(col("vec_id") <= 5), k = 3)
+        .withColumn("sim", round(col("sim"), 4))
+    }),
+
     // funnel latency readout: exact p50/p90 of signup->first-purchase time over
     // converting users, via the distributed-histogram percentile (integer-ms grid)
     "ev_funnel_latency" -> ((s, dir) => {
@@ -2861,6 +2877,21 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
         |SELECT e.event_id, e.user_id, e.ms, s.signup_id AS asof_signup_id
         |FROM e ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ms >= s.ms""".stripMargin,
+
+    "ev_user_similarity" ->
+      """WITH v AS (SELECT user_id AS vec_id, CAST(list_value(
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END),
+        |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END),
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END),
+        |    SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END),
+        |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)) AS DOUBLE[]) AS emb
+        |  FROM events GROUP BY 1)
+        |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  ROUND(list_cosine_similarity(q.emb, c.emb), 4) AS sim
+        |FROM v q JOIN v c ON c.vec_id <> q.vec_id
+        |WHERE q.vec_id <= 5
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |  ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id) <= 3""".stripMargin,
 
     "ev_funnel_latency" ->
       """WITH e AS (SELECT user_id, event_type,
