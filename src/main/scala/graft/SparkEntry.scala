@@ -892,6 +892,34 @@ object SparkEntry {
             col("exact_users")) <= 0.05).as("sketch_ok"))
     }),
 
+    // session-path mining: the 10 most frequent session-opening 3-step paths under the
+    // same 30-min gap rule as ev_sessionize — the lead()s ride the ONE user-window sort,
+    // the path table is |distinct paths| rows before the tiny top-10
+    "ev_top_paths" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+      val gapMs = 30L * 60 * 1000
+      val sess = t(s, dir, "events")
+        .withColumn("ms", unix_millis(col("ts")))
+        .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ms").isNull || col("ms") - col("prev_ms") > gapMs, 1L).otherwise(0L))
+        .withColumn("session_idx",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      val wS = Window.partitionBy(col("user_id"), col("session_idx"))
+        .orderBy(col("ms"), col("event_id"))
+      val paths = sess.withColumn("rn", row_number().over(wS))
+        .filter(col("rn") <= 3)
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(concat_ws(">",
+          max(when(col("rn") === 1, col("event_type"))),
+          max(when(col("rn") === 2, col("event_type"))),
+          max(when(col("rn") === 3, col("event_type")))).as("path"))
+      paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(10)
+    }),
+
     // behavioral user similarity: the event stream becomes a 5-dim type-count vector
     // per user (exact integer components -> float lossless), then the SAME bounded-heap
     // cosine top-k machinery as the embedding ANN family — operators compose across
@@ -2877,6 +2905,23 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
         |SELECT e.event_id, e.user_id, e.ms, s.signup_id AS asof_signup_id
         |FROM e ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ms >= s.ms""".stripMargin,
+
+    "ev_top_paths" ->
+      """WITH g AS (SELECT user_id, event_id, event_type,
+        |    CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ms FROM events),
+        |l AS (SELECT *, LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM g),
+        |s AS (SELECT *, SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM l),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_idx
+        |    ORDER BY ms, event_id) AS rn FROM s),
+        |p AS (SELECT user_id, session_idx, concat_ws('>',
+        |    MAX(CASE WHEN rn = 1 THEN event_type END),
+        |    MAX(CASE WHEN rn = 2 THEN event_type END),
+        |    MAX(CASE WHEN rn = 3 THEN event_type END)) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY 1, 2)
+        |SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1
+        |QUALIFY ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path) <= 10""".stripMargin,
 
     "ev_user_similarity" ->
       """WITH v AS (SELECT user_id AS vec_id, CAST(list_value(
