@@ -166,6 +166,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "range must ride the join key")
   }
 
+  test("ev_user_similarity: derived vectors ride the ANN shape — broadcast probe set, " +
+      "bounded-heap ranking") {
+    val p = plan("ev_user_similarity")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+    assert(p.contains("ObjectHashAggregate"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ev_top_paths: session numbering + ranking share the user exchange") {
+    val p = plan("ev_top_paths")
+    val userShuffles = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(userShuffles <= 2,
+      s"path mining must not re-shuffle the events repeatedly, got $userShuffles:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_topn_per_group: bounded-heap aggregate, never a row_number sort window") {
     val p = plan("q_topn_per_group")
     assert(p.contains("ObjectHashAggregate"), "top-N must be the bounded heap")
