@@ -466,6 +466,26 @@ object SparkEntry {
         .withColumnRenamed("valid_to", "valid_to_ms")
     }),
 
+    // CDC stream-integrity audit: per binlog file, detect position gaps beyond the
+    // expected stride (planted by dropping every 1000th event) — the missed-events
+    // check an ingestion pipeline runs against its own offsets; one keyed window
+    "cdc_gap_audit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val staged = t(s, dir, "events")
+        .filter(col("event_id") % 1000 =!= 7)
+        .select(concat(lit("binlog.00000"), (col("event_id") % 3 + 1).cast(StringType))
+          .as("file"), col("event_id").as("pos"))
+      val w = Window.partitionBy(col("file")).orderBy(col("pos"))
+      staged.withColumn("__prev", lag(col("pos"), 1).over(w))
+        .groupBy(col("file"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("pos")).as("min_pos"), max(col("pos")).as("max_pos"),
+          sum(when(col("__prev").isNotNull && col("pos") - col("__prev") > 3, 1L)
+            .otherwise(0L)).as("n_gaps"),
+          coalesce(max(when(col("__prev").isNotNull, col("pos") - col("__prev"))), lit(0L))
+            .as("max_stride"))
+    }),
+
     // incremental materialized-view maintenance: the delta algebra of the upsert/delete
     // stream (insert +v, update +v-prev, delete -prev) summed per key must TELESCOPE to
     // the final live state — maintained and recomputed values are both emitted and the
@@ -2959,6 +2979,16 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT)
         |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
         |FROM events""".stripMargin,
+
+    "cdc_gap_audit" ->
+      """WITH s AS (SELECT 'binlog.00000' || CAST(event_id % 3 + 1 AS VARCHAR) AS file,
+        |    event_id AS pos FROM events WHERE event_id % 1000 <> 7),
+        |l AS (SELECT file, pos, LAG(pos) OVER (PARTITION BY file ORDER BY pos) AS prev FROM s)
+        |SELECT file, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  MIN(pos) AS min_pos, MAX(pos) AS max_pos,
+        |  CAST(SUM(CASE WHEN prev IS NOT NULL AND pos - prev > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+        |  CAST(COALESCE(MAX(CASE WHEN prev IS NOT NULL THEN pos - prev END), 0) AS BIGINT) AS max_stride
+        |FROM l GROUP BY 1""".stripMargin,
 
     "cdc_mv_maintain" ->
       """WITH e AS (SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v,
