@@ -1129,6 +1129,24 @@ object SparkEntry {
     // SimHash64 used by simhashPairs at scale is property-pinned in FunctionsSpec
     "doc_simhash" -> ((s, dir) => TextOps.simhash60(t(s, dir, "documents"))),
 
+    // blocking-balance audit over the simhash pigeonhole chunks: per 15-bit chunk, the
+    // bucket-size profile (distinct buckets, max occupancy, singletons) — the skew
+    // check that predicts candidate-join cost BEFORE running the pair stage; at 100 TB
+    // this is the observability view a blocking strategy ships with
+    "doc_block_audit" -> ((s, dir) => {
+      val sh = TextOps.simhash60(t(s, dir, "documents"))
+      val ch = sh.select(col("doc_id"), explode(array((0 until 4).map(c =>
+          struct(lit(c).as("chunk_idx"),
+            shiftright(col("simhash"), c * 15).bitwiseAND(lit(0x7FFFL)).as("v"))): _*)).as("k"))
+        .select(col("k.chunk_idx").as("chunk_idx"), col("k.v").as("v"))
+      ch.groupBy(col("chunk_idx"), col("v")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("chunk_idx"))
+        .agg(count(lit(1)).as("n_buckets"),
+          max(col("sz")).as("max_bucket"),
+          sum(when(col("sz") === 1, 1L).otherwise(0L)).as("n_singletons"),
+          sum(col("sz") * col("sz")).as("pair_cost"))
+    }),
+
     "doc_ngram_jaccard" -> ((s, dir) =>
       DedupOps.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.2)),
 
@@ -2359,6 +2377,29 @@ object SparkEntry {
           |FROM documents d JOIN q USING (doc_id) JOIN rep USING (doc_id)
           |WHERE d.doc_id NOT IN (SELECT id FROM dropids)
           |  AND q.quality_score >= 0.55 AND rep.top_bigram_frac <= 0.08""".stripMargin),
+
+    "doc_block_audit" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |h AS (SELECT doc_id, CAST(('0x' || substring(md5(u.tok), 1, 15)) AS BIGINT) AS h
+        |  FROM t, unnest(t.toks) AS u(tok)),
+        |bits AS (SELECT doc_id, r.range AS b,
+        |  SUM(CASE WHEN (h >> CAST(r.range AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h CROSS JOIN range(60) r GROUP BY 1, 2),
+        |sh AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |full_sh AS (SELECT d.doc_id, COALESCE(sh.simhash, CAST(0 AS BIGINT)) AS simhash
+        |  FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id),
+        |ch AS (SELECT doc_id, CAST(c.range AS INT) AS chunk_idx,
+        |    (simhash >> CAST(c.range * 15 AS INT)) & 32767 AS v
+        |  FROM full_sh CROSS JOIN range(4) c),
+        |bk AS (SELECT chunk_idx, v, CAST(COUNT(*) AS BIGINT) AS sz FROM ch GROUP BY 1, 2)
+        |SELECT chunk_idx, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |  CAST(MAX(sz) AS BIGINT) AS max_bucket,
+        |  CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+        |  CAST(SUM(sz * sz) AS BIGINT) AS pair_cost
+        |FROM bk GROUP BY 1""".stripMargin,
 
     "doc_simhash" ->
       """WITH t AS (SELECT doc_id,
