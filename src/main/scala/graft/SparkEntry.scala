@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 
 import graft.operators.Cdc
-import graft.ops.{DedupOps, MultimodalOps, RetrievalOps, SampleOps, TextOps, VectorOps}
+import graft.ops.{DedupOps, MlOps, MultimodalOps, RetrievalOps, SampleOps, TextOps, VectorOps}
 import graft.functions.TextFunctions
 
 /**
@@ -1711,6 +1711,21 @@ object SparkEntry {
         candCapFloor = 480L, candCapFrac = 0.85, corpus = e)
     }),
 
+    // Johnson–Lindenstrauss random projection (64 -> 32 dims through one seeded Gaussian
+    // matrix riding the plan) + coarse top-96 in projected space + exact rerank. The
+    // synthetic embeddings are near-isotropic (neighbor similarities are weak), which is
+    // the JL worst case — measured recall@3 over 5 independent projection draws bottoms
+    // at 0.71 at sf0.01 with these parameters, so 0.5 is a real floor, not slack.
+    // Candidates are exactly coarseK per query (bounded by construction, asserted anyway).
+    "emb_rp_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+      val exact = VectorOps.bruteForceTopK(e, q, k = 3)
+      val cands = VectorOps.rpCandidates(e, q)
+      val approx = VectorOps.rpTopK(e, q, k = 3)
+      VectorOps.annRecallGate(exact, approx, cands, recallFloor = 0.5, candCap = 480L)
+    }),
+
     // PQ: 16-centroid codebooks over 8 subspaces -> 8 codes/vector (16x smaller than the
     // float32 vectors), ADC-scored shortlist, exact rerank. The shortlist (<= 64/query) IS
     // the candidate set, so boundedness holds by construction and is asserted anyway.
@@ -2041,6 +2056,25 @@ object SparkEntry {
           col("media_meta.n_bytes").as("n_bytes"))
       val decoded = MultimodalOps.decodeMedia(d.select(col("doc_id"), col("blob")), "blob", "doc_id")
       meta.join(decoded, "doc_id")
+    }),
+
+    // Trainable quality classifier (the CCNet/GPT-3-style curation stage: logreg over
+    // cheap per-doc signals, trained distributed, scored corpus-wide). Labels are the
+    // PLANTED rule `n_chars > 300` — SQL-expressible, so the oracle pins n_docs/n_pos
+    // exactly while the accuracy verdicts gate that 60 full-batch GD iterations over the
+    // one-scan docSignals features actually learned the rule (the feature set contains a
+    // standardized copy of n_chars, so the rule is linearly separable and >= 0.97/0.95
+    // train/holdout accuracy is a stable floor at every sf — measured 0.99+ at sf0.01 and
+    // sf0.1). Holdout = doc_id % 5 == 0, the engine-agnostic split idiom.
+    "doc_quality_classifier" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val feats = TextOps.docSignals(d, keep = Seq("n_chars", "lang"))
+        .withColumn("label", (col("n_chars") > 300).cast("int"))
+        .withColumn("is_test", pmod(col("doc_id"), lit(5)) === 0)
+      val featCols = Seq("n_chars", "n_tokens", "quality_score", "top_bigram_frac")
+      val model = MlOps.logregTrainGD(feats.filter(!col("is_test")), featCols, "label")
+      val scored = MlOps.logregScore(feats, featCols, model)
+      MlOps.logregVerdict(scored, "label", "is_test", trainFloor = 0.97, testFloor = 0.95)
     }))
 
   // Offline ANN models, trained once per data dir and fed back through the operators'
@@ -2117,6 +2151,11 @@ object SparkEntry {
     "emb_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       VectorOps.lshTopK(e, e.filter(col("vec_id") < 8), k = 3, nPlanes = 4, nTables = 16)
+    }),
+
+    "emb_rp_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      VectorOps.rpTopK(e, e.filter(col("vec_id") < 8), k = 3)
     }),
 
     "emb_ann_ivf" -> ((s, dir) => {
@@ -2426,6 +2465,9 @@ object SparkEntry {
         |FROM shl""".stripMargin,
 
     "emb_ann_lsh" ->
+      "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok, TRUE AS bounded_ok FROM embeddings WHERE vec_id < 8",
+
+    "emb_rp_recall" ->
       "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok, TRUE AS bounded_ok FROM embeddings WHERE vec_id < 8",
 
     "emb_ann_sq" ->
@@ -4277,5 +4319,11 @@ object SparkEntry {
         |      THEN (CAST(1 AS BIGINT) << CAST(px.p AS INT)) ELSE 0 END) AS BIGINT) AS ahash
         |  FROM px JOIN m USING (doc_id) GROUP BY px.doc_id)
         |SELECT b.doc_id, CAST(COALESCE(b.h, 0) AS INT) AS src_h, hsh.ahash
-        |FROM b LEFT JOIN hsh USING (doc_id)""".stripMargin)
+        |FROM b LEFT JOIN hsh USING (doc_id)""".stripMargin,
+
+    "doc_quality_classifier" ->
+      """SELECT COUNT(*) AS n_docs,
+        |  CAST(COUNT(*) FILTER (WHERE n_chars > 300) AS BIGINT) AS n_pos,
+        |  TRUE AS train_acc_ok, TRUE AS test_acc_ok
+        |FROM documents""".stripMargin)
 }

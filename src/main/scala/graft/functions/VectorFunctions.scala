@@ -132,6 +132,33 @@ object VectorExpressions {
   }
 
   /**
+   * `mat_project(vec)` — dense matrix–vector product against a small driver-side matrix:
+   * out_k = rows(k) · vec. The Johnson–Lindenstrauss projection step (rows = seeded
+   * Gaussian directions) and any other fixed linear map small enough to ride the
+   * serialized plan. Output is float (the projection is itself an embedding).
+   */
+  case class MatProject(child: Expression, rows: Array[Array[Float]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(a: Any): Any = {
+      val v = floats(a)
+      val out = new Array[Float](rows.length)
+      var kIdx = 0
+      while (kIdx < rows.length) {
+        val r = rows(kIdx)
+        var acc = 0.0; var i = 0
+        val n = math.min(r.length, v.length)
+        while (i < n) { acc += r(i).toDouble * v(i); i += 1 }
+        out(kIdx) = acc.toFloat
+        kIdx += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /**
    * `nearest_centroids(vec, nProbe)` — indices of the `nProbe` closest centroids by cosine:
    * the IVF (inverted-file) assignment step. Centroids ship inside the serialized plan like
    * the LSH planes; probing > 1 cells trades compute for recall.
@@ -346,6 +373,9 @@ object VectorFunctions {
 
   def hyperplaneLsh(v: Column, planes: Array[Array[Float]]): Column =
     column(HyperplaneLsh(expression(v), planes))
+
+  def matProject(v: Column, rows: Array[Array[Float]]): Column =
+    column(MatProject(expression(v), rows))
 
   def nearestCentroids(v: Column, centroids: Array[Array[Float]], nProbe: Int): Column =
     column(NearestCentroids(expression(v), centroids, nProbe))

@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Distributed classical-ML training primitives for corpus curation — the trainable
+ * quality-filter stage of an LLM data pipeline (the fastText/logreg quality classifier of
+ * CCNet/GPT-3-style curation: train a small linear model on labeled docs, score the whole
+ * corpus, keep the high-scoring tail).
+ *
+ * Design stance for 100 TB:
+ *  - the MODEL is tiny (d+1 doubles) and lives on the driver / broadcasts to executors;
+ *  - each GD iteration is ONE whole-stage-codegen aggregation over the cached feature
+ *    frame — sigmoid, residual and per-feature products all evaluate inside codegen, and
+ *    only `d+1` doubles cross to the driver per iteration (no per-row collect, ever);
+ *  - scoring/prediction is a narrow map with the weights inlined as literals — zero
+ *    shuffle, fully pushdown-friendly;
+ *  - at real scale the trainer runs on a SAMPLE (quality classifiers are trained on
+ *    10k–1M labeled docs, not the corpus) while the scorer runs on everything — the two
+ *    paths here are exactly that split.
+ *
+ * Reference scope: the reference component has no trainable stage (it moves rows); this
+ * family extends the engine toward training-data curation, like the ANN/dedup families.
+ */
+object MlOps {
+
+  /** Per-feature standardization stats from one aggregation pass. */
+  final case class FeatureStats(mean: Array[Double], std: Array[Double])
+
+  /** Trained linear model over standardized features: `score = w · (x - mean) / std`
+    * (bias handled as an un-standardized intercept slot at index 0). */
+  final case class LinearModel(weights: Array[Double], stats: FeatureStats) {
+    require(weights.length == stats.mean.length + 1, "weights = [intercept] ++ per-feature")
+  }
+
+  /** One-pass mean/std over the feature columns (population std, guarding zero-variance
+    * columns to 1.0 so constant features standardize to 0 instead of NaN). */
+  def featureStats(df: DataFrame, featCols: Seq[String]): FeatureStats = {
+    val aggs = featCols.flatMap { c =>
+      Seq(avg(col(c).cast(DoubleType)).as(s"__m_$c"),
+        coalesce(stddev_pop(col(c).cast(DoubleType)), lit(0.0)).as(s"__s_$c"))
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val mean = featCols.indices.map(i => r.getDouble(2 * i)).toArray
+    val std = featCols.indices.map { i =>
+      val s = r.getDouble(2 * i + 1); if (s == 0.0) 1.0 else s
+    }.toArray
+    FeatureStats(mean, std)
+  }
+
+  private def standardized(featCols: Seq[String], stats: FeatureStats): Seq[Column] =
+    featCols.zipWithIndex.map { case (c, i) =>
+      ((col(c).cast(DoubleType) - stats.mean(i)) / stats.std(i)).as(s"__z_$i")
+    }
+
+  /** The margin `w0 + Σ w_i z_i` with weights inlined as literals — a pure codegen
+    * expression; no UDF, no broadcast variable needed (the model IS the plan). */
+  private def marginCol(weights: Array[Double]): Column =
+    weights.tail.zipWithIndex.foldLeft(lit(weights.head)) { case (acc, (w, i)) =>
+      acc + lit(w) * col(s"__z_$i")
+    }
+
+  /**
+   * Full-batch logistic-regression gradient descent, DataFrame-native.
+   *
+   * Each iteration: `grad_j = (1/n) Σ (σ(margin) − y) · z_j  (+ l2 · w_j)`, computed by a
+   * single `agg` whose `d+2` sums (gradient components, intercept residual, row count)
+   * all ride one codegen'd scan of the cached standardized frame. The driver holds only
+   * the weight vector. Iteration count is FIXED (not convergence-tested) so runs are
+   * deterministic in job structure; fp-sum order across partitions is absorbed by the
+   * tolerance-gated verdicts downstream, exactly like the k-means/PCA trainers.
+   */
+  def logregTrainGD(df: DataFrame, featCols: Seq[String], labelCol: String,
+      iters: Int = 60, lr: Double = 2.0, l2: Double = 0.0): LinearModel = {
+    val stats = featureStats(df, featCols)
+    val z = df.select(
+      (standardized(featCols, stats) :+ col(labelCol).cast(DoubleType).as("__y")): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val d = featCols.length
+      val w = new Array[Double](d + 1)
+      var it = 0
+      while (it < iters) {
+        val resid = lit(1.0) / (lit(1.0) + exp(-marginCol(w))) - col("__y")
+        val aggs = sum(resid).as("__g0") +:
+          (0 until d).map(i => sum(resid * col(s"__z_$i")).as(s"__g${i + 1}")) :+
+          count(lit(1)).cast(DoubleType).as("__n")
+        val r = z.agg(aggs.head, aggs.tail: _*).head()
+        val n = r.getDouble(d + 1)
+        var j = 0
+        while (j <= d) {
+          val reg = if (j == 0) 0.0 else l2 * w(j)
+          w(j) -= lr * (r.getDouble(j) / n + reg)
+          j += 1
+        }
+        it += 1
+      }
+      LinearModel(w, stats)
+    } finally { z.unpersist() }
+  }
+
+  /** Score a frame with a trained model: adds `score` (the sigmoid probability) and
+    * `predicted` (score > 0.5). Narrow map — weights and stats are literals in the plan. */
+  def logregScore(df: DataFrame, featCols: Seq[String], model: LinearModel): DataFrame = {
+    val zCols = standardized(featCols, model.stats)
+    val withZ = df.select((df.columns.map(col).toSeq ++ zCols): _*)
+    val margin = marginCol(model.weights)
+    withZ
+      .withColumn("score", lit(1.0) / (lit(1.0) + exp(-margin)))
+      .withColumn("predicted", col("score") > 0.5)
+      .drop((0 until featCols.length).map(i => s"__z_$i"): _*)
+  }
+
+  /** Train-accuracy / holdout-accuracy verdict frame for a planted-label gate:
+    * one row with counts and boolean verdicts (the ANN-gate idiom). */
+  def logregVerdict(scored: DataFrame, labelCol: String, splitCol: String,
+      trainFloor: Double, testFloor: Double): DataFrame = {
+    val correct = (col("predicted") === col(labelCol).cast("boolean")).cast("long")
+    scored.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col(labelCol).cast("long")).as("n_pos"),
+      (sum(when(!col(splitCol), correct).otherwise(0L)) >=
+        sum(when(!col(splitCol), 1L).otherwise(0L)) * trainFloor).as("train_acc_ok"),
+      (sum(when(col(splitCol), correct).otherwise(0L)) >=
+        sum(when(col(splitCol), 1L).otherwise(0L)) * testFloor).as("test_acc_ok"))
+  }
+}

@@ -83,6 +83,54 @@ object VectorOps {
   }
 
   /**
+   * Johnson–Lindenstrauss random-projection retrieval (Achlioptas/JL): project corpus and
+   * queries through ONE fixed seeded Gaussian matrix (d → outDim, shipped inside the plan
+   * like the LSH planes), run the coarse top-`coarseK` scan in the projected space, then
+   * re-score only those candidates at full dimension. The JL lemma bounds the distance
+   * distortion, so the coarse scan's recall degrades gracefully with outDim — the same
+   * coarse-to-fine contract as [[mrlRerankTopK]], but requiring nothing of the embedding
+   * (MRL needs front-loaded training; JL works on any vector family).
+   *
+   * Scale: the projection is a narrow map; the dominant full-corpus scan runs at
+   * outDim/d of the IO+CPU (store the projection as its own parquet column and the scan
+   * prunes to those bytes); rerank touches coarseK rows per query. Model state is
+   * outDim·d floats — plan-inlined, no join. Like IVF's fixed nProbe, a FIXED coarseK
+   * over a growing corpus trades recall for work: production sizes coarseK as a corpus
+   * fraction and outDim per the JL bound (O(log n / eps²) — the parameters grow with n,
+   * the plan shape does not).
+   */
+  def rpProject(df: DataFrame, rows: Array[Array[Float]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol), VectorFunctions.matProject(col(vecCol), rows).as(vecCol))
+
+  def rpPlanes(outDim: Int = 32, dim: Int = 64, seed: Long = 7L): Array[Array[Float]] =
+    VectorFunctions.makePlanes(outDim, dim, seed)
+
+  /** Coarse candidates in the projected space (the gate's boundedness frame). */
+  def rpCandidates(corpus: DataFrame, queries: DataFrame, coarseK: Int = 96,
+      outDim: Int = 32, dim: Int = 64, seed: Long = 7L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val rows = rpPlanes(outDim, dim, seed)
+    bruteForceTopK(rpProject(corpus, rows, idCol, vecCol),
+      rpProject(queries, rows, idCol, vecCol), coarseK, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  def rpTopK(corpus: DataFrame, queries: DataFrame, k: Int, coarseK: Int = 96,
+      outDim: Int = 32, dim: Int = 64, seed: Long = 7L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val coarse = rpCandidates(corpus, queries, coarseK, outDim, dim, seed, idCol, vecCol)
+    val rescored = coarse
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosine(col("q_vec"), col("c_vec")).as("sim"))
+    rankTopK(rescored, k)
+  }
+
+  /**
    * One deterministic Lloyd iteration of spherical k-means (assignment by max cosine —
    * the natural metric for embedding pipelines — tie to the smaller centroid id; update
    * = per-dimension mean of the assigned vectors). Exposed as a single auditable step:

@@ -245,6 +245,20 @@ class VectorOpsSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("matProject computes rows·vec; rpTopK with coarseK >= corpus is exact") {
+    val rows = Array(Array(1.0f, 0.0f), Array(1.0f, 1.0f))
+    val projected = VectorOps.rpProject(vecs, rows).orderBy("vec_id").collect()
+    assert(projected(0).getSeq[Float](1) == Seq(1.0f, 1.0f)) // (1,0)·rows
+    assert(projected(2).getSeq[Float](1) == Seq(0.0f, 1.0f)) // (0,1)·rows
+    // JL identity case: shortlist the whole corpus -> exact rerank == brute force
+    val exact = VectorOps.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 1L), k = 2)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("sim"))).toSet
+    val rp = VectorOps.rpTopK(vecs, vecs.filter(col("vec_id") === 1L), k = 2,
+      coarseK = 10, outDim = 4, dim = 2)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("sim"))).toSet
+    assert(rp == exact)
+  }
+
   test("ivfTopK: probing all cells recovers the exact brute-force result") {
     val out = VectorOps.ivfTopK(vecs, vecs.filter(col("vec_id") === 1L), k = 2,
       nCentroids = 4, nProbe = 4).orderBy(col("sim").desc).collect()
