@@ -1669,6 +1669,18 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("rank_e12"))
     }),
 
+    // market-basket graph analytics: parts co-ordered >= 2 times form undirected edges;
+    // triangle/wedge/clustering stats via DEGREE-ORDERED wedge joins (out-degree bounded
+    // by O(sqrt m) — the orientation that keeps power-law hubs from exploding a reducer).
+    // The count is orientation-invariant, so the id-ordered DuckDB 3-way join replays it
+    // exactly; pair expansion is bounded by basket size (TPC-H <= 7 parts/order).
+    "q_basket_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val edges = graft.ops.GraphOps.coOccurrenceEdges(li, "l_orderkey", "l_partkey",
+        minCount = 2)
+      graft.ops.GraphOps.triangleStats(edges)
+    }),
+
     // one auditable Lloyd step of spherical k-means: broadcast seeds, argmax-cosine
     // assignment into a 1-bounded heap, (cluster, dim) mean cells with DECIMAL(18,8)
     // per-term quantization — the training loop is this operator iterated
@@ -4098,6 +4110,23 @@ object SparkEntry {
         |r3 AS (SELECT nodes.id, (150000000000 // nn.n) + ((85 * COALESCE(c.s, 0)) // 100) AS r
         |  FROM nodes LEFT JOIN c3 c ON c.dst = nodes.id CROSS JOIN nn)
         |SELECT id AS vec_id, CAST(r AS BIGINT) AS rank_e12 FROM r3""".stripMargin,
+
+    // id-ordered triangle replay of the degree-ordered Spark plan (the count is
+    // orientation-invariant)
+    "q_basket_triangles" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT a.pk AS u, b.pk AS v FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+        |  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tri
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+        |  (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+        |  (SELECT n_tri FROM tri) AS n_triangles,
+        |  (SELECT CAST(CAST(3.0 * n_tri / (SELECT SUM(d * (d - 1) // 2) FROM deg)
+        |     AS DECIMAL(18,8)) AS DOUBLE) FROM tri) AS clustering""".stripMargin,
 
     "emb_knn_graph" ->
       """WITH p AS (

@@ -59,4 +59,80 @@ object GraphOps {
     }
     ranks.select(col("id"), col("r").as("rank_e12"))
   }
+
+  /**
+   * Co-occurrence edges from (group, item) memberships — the market-basket projection
+   * (parts co-ordered, users co-attending, docs sharing a shingle): undirected edges
+   * `(u < v)` between items sharing at least `minCount` groups.
+   *
+   * Scale: the per-group self-join is the only pair-expansion and is bounded by
+   * basket size squared (TPC-H baskets ≤ 7; web baskets are capped upstream like the
+   * df cap in ngramJaccard — pass `maxGroupSize` to enforce it here). The groupBy
+   * dedupes pairs map-side before the edge filter.
+   */
+  def coOccurrenceEdges(membership: DataFrame, groupCol: String, itemCol: String,
+      minCount: Long = 2L, maxGroupSize: Option[Int] = None): DataFrame = {
+    val m = membership.select(col(groupCol).as("__g"), col(itemCol).as("__i")).distinct()
+    val bounded = maxGroupSize match {
+      case Some(cap) =>
+        val sizes = m.groupBy("__g").agg(count(lit(1)).as("__gs")).filter(col("__gs") <= cap)
+        m.join(sizes.select("__g"), Seq("__g"), "left_semi")
+      case None => m
+    }
+    val b = bounded.select(col("__g"), col("__i").as("__j"))
+    bounded.join(b, "__g")
+      .filter(col("__i") < col("__j"))
+      .groupBy(col("__i").as("u"), col("__j").as("v"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCount)
+      .select(col("u"), col("v"))
+  }
+
+  /**
+   * Exact triangle count + wedge count + global clustering coefficient over undirected
+   * edges given as `(u < v)` rows — the degree-ordered wedge-join algorithm
+   * (Suri & Vassilvitskii 2011 / Cohen's MR triangles): re-orient every edge from its
+   * lower-(degree, id) endpoint to the higher one, enumerate wedges at the LOW-degree
+   * center only, and close them with a semi-join against the oriented edge table.
+   *
+   * Why orientation matters at 100 TB: wedges at a hub of degree d cost O(d²); ordering
+   * by degree bounds every node's OUT-degree by O(√m), so total wedge-join work is
+   * O(m^{3/2}) worst-case instead of Σ d² — the difference between a power-law graph
+   * finishing and one reducer receiving the square of the hub. The triangle COUNT is
+   * orientation-invariant (each triangle closes from exactly one of its three
+   * orientations), which is what lets the id-ordered DuckDB oracle replay it exactly.
+   *
+   * @return single row: n_nodes, n_edges, n_wedges (unordered, Σ C(deg,2)),
+   *         n_triangles, clustering = 3·triangles / wedges (DECIMAL(18,8)-quantized)
+   */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("u"), col("v")).distinct()
+    val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient by (degree, id): src = the smaller endpoint under that order
+    val dU = deg.select(col("n").as("u"), col("d").as("du"))
+    val dV = deg.select(col("n").as("v"), col("d").as("dv"))
+    val oriented = e.join(dU, "u").join(dV, "v")
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst")))
+          .otherwise(struct(col("v").as("src"), col("u").as("dst"))).as("o"))
+      .select(col("o.src").as("src"), col("o.dst").as("dst"))
+    // wedges centered at src (bounded out-degree), closed against the oriented edges
+    val w1 = oriented.select(col("src").as("c"), col("dst").as("a"))
+    val w2 = oriented.select(col("src").as("c"), col("dst").as("b"))
+    val wedges = w1.join(w2, "c").filter(col("a") < col("b"))
+    val closing = oriented.select(
+      least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+    val tri = wedges.join(closing, Seq("a", "b"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodeAgg = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    val edgeAgg = e.agg(count(lit(1)).as("n_edges"))
+    nodeAgg.crossJoin(edgeAgg).crossJoin(tri).select(
+      col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+      (lit(3.0) * col("n_triangles") / col("n_wedges"))
+        .cast(DecimalType(18, 8)).cast(DoubleType).as("clustering"))
+  }
 }

@@ -247,6 +247,37 @@ class Scd2RfmSpec extends SparkSpec {
     assert(total <= 1000000000000L && total > 999999999900L, s"mass off: $total")
   }
 
+  test("triangleStats: K4, triangle+tail, and a triangle-free star; degree-ordered == naive") {
+    import spark.implicits._
+    // K4: 4 nodes, 6 edges, C(4,2)·... wedges = 4·C(3,2)=12, triangles = 4, clustering = 1
+    val k4 = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)).toDF("u", "v")
+    val r1 = graft.ops.GraphOps.triangleStats(k4).head()
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3)) == ((4L, 6L, 12L, 4L)))
+    assert(r1.getDouble(4) == 1.0)
+    // triangle 1-2-3 with tail 3-4: wedges = 3 + C(3,2)... deg = (2,2,3,1) -> 1+1+3+0 = 5
+    val tail = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val r2 = graft.ops.GraphOps.triangleStats(tail).head()
+    assert((r2.getLong(2), r2.getLong(3)) == ((5L, 1L)))
+    // star: no triangles, clustering 0
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("u", "v")
+    assert(graft.ops.GraphOps.triangleStats(star).head().getLong(3) == 0L)
+  }
+
+  test("coOccurrenceEdges: minCount filters, maxGroupSize caps the basket blowup") {
+    import spark.implicits._
+    val m = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L), // basket 10: pairs (1,2)(1,3)(2,3)
+      (11L, 1L), (11L, 2L),            // (1,2) again -> co-count 2
+      (12L, 7L), (12L, 8L), (12L, 9L), (12L, 6L) // big basket, capped away below
+    ).toDF("g", "i")
+    val e = graft.ops.GraphOps.coOccurrenceEdges(m, "g", "i", minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e == Set((1L, 2L)))
+    val capped = graft.ops.GraphOps.coOccurrenceEdges(m, "g", "i", minCount = 1,
+      maxGroupSize = Some(3)).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L), (1L, 3L), (2L, 3L))) // basket 12 (size 4) dropped
+  }
+
   test("boilerplateStrip: per-source counting — cross-source sharing alone never strips") {
     import spark.implicits._
     // srcA has 4 docs sharing "FOOTER-A" (stripped, nd=4>2); srcB has 2 docs sharing
