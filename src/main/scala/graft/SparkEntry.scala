@@ -912,6 +912,33 @@ object SparkEntry {
             col("exact_users")) <= 0.05).as("sketch_ok"))
     }),
 
+    // mergeable QUANTILE rollup — the order-statistics companion to ev_sketch_rollup:
+    // per-day Munro–Paterson compactor summaries (custom TypedImperativeAggregate,
+    // O(k log n/k) state) union into a global summary by re-aggregating the STORED
+    // (v, w) pairs — no raw re-read, any merge order. The gate ranks each estimated
+    // quantile against the raw table and pins rank error <= 5% of n (k=128 measured
+    // 1.5% worst-case under shuffled merge orders).
+    "ev_quantile_sketch" -> ((s, dir) => {
+      import graft.functions.SketchFunctions
+      val ev = t(s, dir, "events")
+        .select(expr("unix_millis(ts) div 86400000").as("day"), col("value"))
+      val daily = ev.groupBy(col("day"))
+        .agg(SketchFunctions.quantileSketchAgg(col("value")).as("sk"))
+      val global = daily.select(explode(col("sk")).as("e"))
+        .agg(SketchFunctions.quantileSketchUnionAgg(col("e.v"), col("e.w")).as("sk"))
+      val qs = Seq(0.1, 0.5, 0.9, 0.99)
+      val est = global.select(qs.zipWithIndex.map { case (q, i) =>
+        SketchFunctions.sketchQuantile(col("sk"), q).as(s"__est_$i") }: _*)
+      val nDays = daily.agg(count(lit(1)).as("n_days"))
+      val aggs = count(lit(1)).as("n_events") +: qs.zipWithIndex.map { case (q, i) =>
+        (abs(sum(when(col("value") <= col(s"__est_$i"), 1L).otherwise(0L)) -
+          count(lit(1)).cast(DoubleType) * q) <=
+          count(lit(1)).cast(DoubleType) * 0.05).as(s"q${(q * 100).toInt}_ok")
+      }
+      ev.crossJoin(broadcast(est)).agg(aggs.head, aggs.tail: _*)
+        .crossJoin(broadcast(nDays))
+    }),
+
     // session-path mining: the 10 most frequent session-opening 3-step paths under the
     // same 30-min gap rule as ev_sessionize — the lead()s ride the ONE user-window sort,
     // the path table is |distinct paths| rows before the tiny top-10
@@ -3112,6 +3139,13 @@ object SparkEntry {
         |    user_id FROM events)
         |SELECT CAST(COUNT(DISTINCT day // 7) AS BIGINT) AS n_weeks, TRUE AS sketch_ok
         |FROM e""".stripMargin,
+
+    "ev_quantile_sketch" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  TRUE AS q10_ok, TRUE AS q50_ok, TRUE AS q90_ok, TRUE AS q99_ok,
+        |  (SELECT CAST(COUNT(DISTINCT CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000)
+        |     AS BIGINT) FROM events) AS n_days
+        |FROM events""".stripMargin,
 
     // formula structure mirrors SampleOps.welchTTest term for term
     "ev_ab_ttest" ->

@@ -129,6 +129,63 @@ class TextFunctionsSpec extends SparkSpec {
   }
 }
 
+class QuantileSketchSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.functions.{QuantileSketchBuf, SketchFunctions}
+
+  test("buffer: exact below capacity — every rank recoverable from the summary") {
+    val buf = new QuantileSketchBuf(128)
+    (1 to 100).reverse.foreach(v => buf.insert(v.toDouble, 0))
+    val s = buf.summary()
+    assert(s.length == 100 && s.forall(_._2 == 1L))
+    assert(s.map(_._1).toSeq == (1 to 100).map(_.toDouble))
+  }
+
+  test("buffer: weight conservation and bounded size under compaction") {
+    val buf = new QuantileSketchBuf(16)
+    (1 to 10000).foreach(v => buf.insert(v.toDouble, 0))
+    val s = buf.summary()
+    assert(s.map(_._2).sum == 10000L, "total weight must equal n")
+    assert(s.length <= 16 * 12, s"summary must stay O(k log n/k): ${s.length}")
+  }
+
+  test("buffer: merge bound — rank error stays under the MP envelope any merge order") {
+    val rng = new scala.util.Random(3)
+    val vals = Array.fill(20000)(rng.nextDouble() * 1000)
+    (0 until 3).foreach { trial =>
+      val parts = Array.fill(16)(new QuantileSketchBuf(128))
+      vals.zipWithIndex.foreach { case (v, i) => parts(i % 16).insert(v, 0) }
+      val order = new scala.util.Random(trial).shuffle((1 until 16).toList)
+      val g = parts(0)
+      order.foreach(i => g.mergeIn(parts(i)))
+      val sorted = vals.sorted
+      val s = g.summary()
+      val total = s.map(_._2).sum.toDouble
+      for (q <- Seq(0.1, 0.5, 0.9, 0.99)) {
+        var c = 0L
+        val est = s.find { case (_, w) => c += w; c >= q * total }.get._1
+        val rank = sorted.count(_ <= est)
+        assert(math.abs(rank - q * vals.length) <= 0.05 * vals.length,
+          s"trial $trial q=$q rank=$rank")
+      }
+    }
+  }
+
+  test("aggregate: build per group, union stored summaries, HOF quantile estimate") {
+    val df = (1 to 4000).map(i => (i % 4, i.toDouble)).toDF("g", "value")
+    val daily = df.groupBy("g").agg(SketchFunctions.quantileSketchAgg(col("value")).as("sk"))
+    assert(daily.count() == 4)
+    val global = daily.select(explode(col("sk")).as("e"))
+      .agg(SketchFunctions.quantileSketchUnionAgg(col("e.v"), col("e.w")).as("sk"))
+    val est = global.select(
+      SketchFunctions.sketchQuantile(col("sk"), 0.5).as("med"),
+      SketchFunctions.sketchQuantile(col("sk"), 0.99).as("p99")).head()
+    assert(math.abs(est.getDouble(0) - 2000.0) <= 200.0, s"median ${est.getDouble(0)}")
+    assert(math.abs(est.getDouble(1) - 3960.0) <= 200.0, s"p99 ${est.getDouble(1)}")
+  }
+}
+
 class ConnectTypesSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("connect type -> spark type mapping (SURVEY §1.3a)") {
     assert(SchemaElement("int32").sparkType == IntegerType)
