@@ -912,6 +912,28 @@ object SparkEntry {
             col("exact_users")) <= 0.05).as("sketch_ok"))
     }),
 
+    // Z-order (Morton) layout audit — the multi-dimensional clustering behind file
+    // skipping: interleave user and value-bucket bits, tile the z order, and emit each
+    // tile's bounding box (what parquet min/max stats would record per file). Tight
+    // boxes in BOTH dims = predicates on EITHER dim prune tiles. ntile over the total z
+    // order is the oracle-replayable stand-in for the sampled range partitioning that
+    // LayoutOps.zorderRepartition uses at scale (one shuffle, no global sort point).
+    "ev_zorder_layout" -> ((s, dir) => {
+      import graft.ops.LayoutOps
+      val ev = t(s, dir, "events")
+        .select(col("event_id"),
+          pmod(col("user_id"), lit(256)).as("ub"),
+          least(floor(col("value") / 4).cast("long"), lit(255L)).as("vb"))
+      val w = Window.orderBy(col("z"), col("event_id"))
+      ev.withColumn("z", LayoutOps.zValue(col("ub"), col("vb")))
+        .withColumn("tile", ntile(16).over(w))
+        .groupBy(col("tile"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("ub")).as("min_u"), max(col("ub")).as("max_u"),
+          min(col("vb")).as("min_v"), max(col("vb")).as("max_v"))
+        .orderBy(col("tile"))
+    }),
+
     // mergeable QUANTILE rollup — the order-statistics companion to ev_sketch_rollup:
     // per-day Munro–Paterson compactor summaries (custom TypedImperativeAggregate,
     // O(k log n/k) state) union into a global summary by re-aggregating the STORED
@@ -3139,6 +3161,20 @@ object SparkEntry {
         |    user_id FROM events)
         |SELECT CAST(COUNT(DISTINCT day // 7) AS BIGINT) AS n_weeks, TRUE AS sketch_ok
         |FROM e""".stripMargin,
+
+    "ev_zorder_layout" -> {
+      val zTerms = (0 until 8).map(i =>
+        s"(((ub >> $i) & 1) << ${2 * i + 1}) + (((vb >> $i) & 1) << ${2 * i})")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT event_id, user_id % 256 AS ub,
+         |    LEAST(CAST(FLOOR(value / 4) AS BIGINT), 255) AS vb FROM events),
+         |z AS (SELECT event_id, ub, vb, $zTerms AS z FROM e),
+         |tl AS (SELECT *, NTILE(16) OVER (ORDER BY z, event_id) AS tile FROM z)
+         |SELECT CAST(tile AS INT) AS tile, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(MIN(ub) AS BIGINT) AS min_u, CAST(MAX(ub) AS BIGINT) AS max_u,
+         |  CAST(MIN(vb) AS BIGINT) AS min_v, CAST(MAX(vb) AS BIGINT) AS max_v
+         |FROM tl GROUP BY tile ORDER BY tile""".stripMargin
+    },
 
     "ev_quantile_sketch" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_events,

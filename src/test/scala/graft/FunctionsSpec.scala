@@ -186,6 +186,35 @@ class QuantileSketchSpec extends SparkSpec {
   }
 }
 
+class LayoutOpsSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.ops.LayoutOps
+
+  test("zValue interleaves bits: a at odd positions, b at even") {
+    val df = Seq((1L, 0L), (0L, 1L), (3L, 0L), (0L, 3L), (255L, 255L))
+      .toDF("a", "b")
+      .select(LayoutOps.zValue(col("a"), col("b")).as("z"))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(2L, 1L, 10L, 5L, 65535L))
+  }
+
+  test("zorderRepartition: tighter per-partition bounding boxes than the input layout") {
+    val rng = new scala.util.Random(7)
+    val df = (1 to 4000).map(_ => (rng.nextInt(256).toLong, rng.nextInt(256).toLong))
+      .toDF("a", "b").repartition(8)
+    def avgArea(d: org.apache.spark.sql.DataFrame): Double = {
+      val b = LayoutOps.partitionBounds(d, "a", "b")
+        .select(((col("max_a") - col("min_a")) * (col("max_b") - col("min_b")))
+          .cast("double").as("area"))
+      b.agg(avg(col("area"))).head().getDouble(0)
+    }
+    val before = avgArea(df)
+    val after = avgArea(LayoutOps.zorderRepartition(df, "a", "b", 8))
+    // 8 z-range partitions of a 256x256 space: boxes must shrink by a large factor
+    assert(after < before / 3, s"before=$before after=$after")
+  }
+}
+
 class ConnectTypesSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("connect type -> spark type mapping (SURVEY §1.3a)") {
     assert(SchemaElement("int32").sparkType == IntegerType)
