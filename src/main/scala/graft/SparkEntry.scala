@@ -210,6 +210,24 @@ object SparkEntry {
           dec(col("o_totalprice")).cast(DoubleType).as("totalprice"), col("n_orders"))
     }),
 
+    // TPC-H Q22 shape: broadcast scalar stats (division-free above-average predicate,
+    // the q_above_avg_orders trick) + broadcast-able ANTI join against orders — the
+    // "well-funded customers with no urgent order" report. One exchange on the anti join's
+    // build side; the scalar aggregate broadcasts.
+    "q22_lost_customers" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val stats = c.filter(dec(col("c_acctbal")) > 0)
+        .agg(sum(dec(col("c_acctbal"))).as("__s"), count(lit(1)).as("__n"))
+      c.crossJoin(broadcast(stats))
+        .filter(dec(col("c_acctbal")) * col("__n") > col("__s"))
+        .join(o.filter(col("o_orderpriority") === "1-URGENT"),
+          c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_custs"),
+          sum(dec(col("c_acctbal"))).cast(DoubleType).as("total_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     "q3_top_customers" -> ((s, dir) => {
       val c = t(s, dir, "customer"); val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
       c.join(o, c("c_custkey") === o("o_custkey"))
@@ -428,6 +446,28 @@ object SparkEntry {
     // plain LWW result (associativity of last-write-wins) — oracle = the same window SQL
     "cdc_dedupe_salted" -> ((s, dir) =>
       Cdc.dedupeLastWinsSalted(unwrapped(s, dir), Seq("user_id"), orderCol = "KBC__POS")),
+
+    // Debezium transaction-metadata END markers rebuilt from the event stream: per
+    // transaction (synthesized as 50-events-per-tx over the binlog order) the event
+    // count, first/last position and per-collection counts — the exact payload of the
+    // transaction topic's END event (id, event_count, data_collections). Two-level
+    // partial->final aggregation: per-(tx, collection) cells shuffle once, the rollup
+    // state per tx is bounded by the distinct-collection count, and the collection list
+    // is sort_array'd so collect_list's arrival order can't leak into the result.
+    "cdc_tx_boundaries" -> ((s, dir) => {
+      val u = unwrapped(s, dir)
+        .withColumn("tx_id", expr("KBC__POS div 50"))
+        .withColumn("coll", coalesce(col("event_type"), lit("deleted")))
+      val perColl = u.groupBy(col("tx_id"), col("coll"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("KBC__POS")).as("mn"), max(col("KBC__POS")).as("mx"))
+      perColl.groupBy(col("tx_id")).agg(
+        sum(col("cnt")).as("event_count"),
+        min(col("mn")).as("first_pos"), max(col("mx")).as("last_pos"),
+        array_join(sort_array(collect_list(
+          concat_ws(":", col("coll"), col("cnt")))), ",").as("data_collections"))
+        .orderBy(col("tx_id"))
+    }),
 
     // D9: no-pkey fallback — key = all non-system columns
     "cdc_dedupe_nopk" -> ((s, dir) => {
@@ -2590,6 +2630,17 @@ object SparkEntry {
         |FROM orders o JOIN s USING (o_custkey)
         |WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) * s.n > s.sum_price""".stripMargin,
 
+    "q22_lost_customers" ->
+      """WITH s AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sp, COUNT(*) AS n
+        |  FROM customer WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0)
+        |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_custs,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer c, s
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * s.n > s.sp
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q3_top_customers" ->
       """SELECT c.c_custkey, c.c_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
@@ -2632,6 +2683,15 @@ object SparkEntry {
         |  op AS "KBC__OPERATION", ts_ms AS "KBC__EVENT_TIMESTAMP_MS", file AS "KBC__FILE",
         |  pos AS "KBC__POS", deleted AS "KBC__DELETED"
         |FROM d WHERE rn = 1""".stripMargin),
+
+    "cdc_tx_boundaries" -> (unwrapOracle +
+      """, x AS (SELECT *, pos // 50 AS tx_id, COALESCE(et, 'deleted') AS coll FROM u),
+        |pc AS (SELECT tx_id, coll, COUNT(*) AS cnt, MIN(pos) AS mn, MAX(pos) AS mx
+        |  FROM x GROUP BY 1, 2)
+        |SELECT tx_id, CAST(SUM(cnt) AS BIGINT) AS event_count,
+        |  CAST(MIN(mn) AS BIGINT) AS first_pos, CAST(MAX(mx) AS BIGINT) AS last_pos,
+        |  string_agg(coll || ':' || cnt, ',' ORDER BY coll || ':' || cnt) AS data_collections
+        |FROM pc GROUP BY tx_id ORDER BY tx_id""".stripMargin),
 
     "cdc_dedupe_salted" -> (unwrapOracle +
       """, d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn FROM u)
