@@ -367,6 +367,44 @@ object SparkEntry {
         .agg(count(lit(1)).as("custdist"))
     }),
 
+    // TPC-H Q17 shape: "small-quantity order revenue" — the correlated scalar subquery
+    // (avg quantity per part) DECORRELATED into a per-part aggregate joined back to the
+    // fact. Division-free predicate: qty * n * 5 < sum_qty  ⇔  qty < 0.2 * avg(qty), in
+    // exact DECIMAL so no fp boundary can disagree across engines. The brand dim filter
+    // broadcasts BEFORE the fact join, so only the two brands' lineitems ever shuffle;
+    // the per-part stats table is |parts-of-2-brands| rows — AQE broadcasts it back.
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").filter(col("p_brand").isin("Brand#4", "Brand#2"))
+        .select(col("p_partkey"), col("p_brand"))
+      val lq = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val stats = lq.groupBy(col("l_partkey").as("__pk"))
+        .agg(sum(dec(col("l_quantity"), 12, 2)).as("__sq"), count(lit(1)).as("__nq"))
+      lq.join(stats, col("l_partkey") === col("__pk"))
+        .filter(dec(col("l_quantity"), 12, 2) * col("__nq") * 5 < col("__sq"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_small"),
+          sum(dec(col("l_extendedprice"), 12, 2)).cast(DoubleType).as("revenue"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // TPC-H Q18 shape: "large-volume orders" — a HAVING filter on a grouped fact produces
+    // a TINY key set (top ~1% of orders), which then drives the probe joins back to
+    // orders/customer. At 100 TB the grouped+filtered side collapses to thousands of rows
+    // → AQE turns both probe joins into broadcasts; the full fact shuffles exactly once
+    // (for its own group-by).
+    "q18_large_orders" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem"); val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      val big = l.groupBy(col("l_orderkey"))
+        .agg(sum(dec(col("l_quantity"), 12, 2)).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      o.join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          dec(col("o_totalprice")).cast(DoubleType).as("totalprice"),
+          col("sum_qty").cast(DoubleType).as("sum_qty"))
+    }),
+
     // data-quality audit battery (the expectations pattern): referential integrity via
     // anti-join (dim side broadcasts), domain/range/null/uniqueness checks as counting
     // aggregates — one row per constraint with its violation count
@@ -2799,6 +2837,29 @@ object SparkEntry {
         |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         |  GROUP BY 1)
         |GROUP BY 1""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """WITH lq AS (
+        |  SELECT l.*, p.p_brand FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_brand IN ('Brand#4', 'Brand#2')),
+        |s AS (SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+        |  COUNT(*) AS nq FROM lq GROUP BY 1)
+        |SELECT lq.p_brand, CAST(COUNT(*) AS BIGINT) AS n_small,
+        |  CAST(SUM(CAST(lq.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM lq JOIN s USING (l_partkey)
+        |WHERE CAST(lq.l_quantity AS DECIMAL(12,2)) * s.nq * 5 < s.sq
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250)
+        |SELECT c.c_custkey, c.c_name, o.o_orderkey,
+        |  CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+        |  CAST(big.sum_qty AS DOUBLE) AS sum_qty
+        |FROM orders o JOIN big ON o.o_orderkey = big.l_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
 
     "q_dq_audit" ->
       """WITH checks(check_name, n_violations) AS (
