@@ -405,6 +405,58 @@ object SparkEntry {
           col("sum_qty").cast(DoubleType).as("sum_qty"))
     }),
 
+    // Join-key skew audit — the pre-flight a 100 TB shuffle plan runs BEFORE committing
+    // to a partitioning: per-key counts in one exchange, then four scalar moments.
+    //   skew_ratio   = max_c / mean_c       (>> 1 ⇒ hot key; AQE skew-join or salt)
+    //   amplification = n_keys·Σc² / n²     (expected join fan-out vs uniform keys — the
+    //                                        Σc² term is exactly the pair cost a self-join
+    //                                        or same-key join would materialize)
+    // Integer moments stay exact LONGs; the two ratios are single fixed-operand-order
+    // double divisions, bit-identical cross-engine.
+    "q_skew_audit" -> ((s, dir) => {
+      val ec = t(s, dir, "events").groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      ec.agg(count(lit(1)).as("n_keys"), sum(col("c")).cast("long").as("n_rows"),
+          max(col("c")).as("max_c"),
+          sum(col("c") * col("c")).cast("long").as("pair_cost"))
+        .select(col("n_keys"), col("n_rows"), col("max_c"), col("pair_cost"),
+          round(col("max_c").cast(DoubleType) * col("n_keys") / col("n_rows"), 6)
+            .as("skew_ratio"),
+          round(col("pair_cost").cast(DoubleType) * col("n_keys")
+            / (col("n_rows") * col("n_rows")), 6).as("amplification"))
+    }),
+
+    // Column profiler (the data-card / ingestion-QA one-pass): null count, exact distinct,
+    // typed min/max per column — ONE scan, ONE aggregate row, unpivoted to a row per
+    // column with `stack`. Numeric min/max land in (min_num, max_num), strings in
+    // (min_str, max_str); the other pair is NULL. countDistinct over 5 columns in one agg
+    // plans as Expand (5× rows pre-shuffle) — the standard exact-profile trade; the HLL
+    // variant for wider tables is `q_approx_sketch`.
+    "q_profile" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.agg(
+          count(lit(1)).as("n"),
+          count(col("o_orderkey")).as("nn1"), countDistinct(col("o_orderkey")).as("nd1"),
+          min(col("o_orderkey")).cast(DoubleType).as("mn1"),
+          max(col("o_orderkey")).cast(DoubleType).as("mx1"),
+          count(col("o_custkey")).as("nn2"), countDistinct(col("o_custkey")).as("nd2"),
+          min(col("o_custkey")).cast(DoubleType).as("mn2"),
+          max(col("o_custkey")).cast(DoubleType).as("mx2"),
+          count(col("o_totalprice")).as("nn3"), countDistinct(col("o_totalprice")).as("nd3"),
+          min(dec(col("o_totalprice"))).cast(DoubleType).as("mn3"),
+          max(dec(col("o_totalprice"))).cast(DoubleType).as("mx3"),
+          count(col("o_orderstatus")).as("nn4"), countDistinct(col("o_orderstatus")).as("nd4"),
+          min(col("o_orderstatus")).as("mn4"), max(col("o_orderstatus")).as("mx4"),
+          count(col("o_orderpriority")).as("nn5"), countDistinct(col("o_orderpriority")).as("nd5"),
+          min(col("o_orderpriority")).as("mn5"), max(col("o_orderpriority")).as("mx5"))
+        .selectExpr("""stack(5,
+          'o_orderkey',      n - nn1, nd1, mn1, mx1, CAST(NULL AS STRING), CAST(NULL AS STRING),
+          'o_custkey',       n - nn2, nd2, mn2, mx2, CAST(NULL AS STRING), CAST(NULL AS STRING),
+          'o_totalprice',    n - nn3, nd3, mn3, mx3, CAST(NULL AS STRING), CAST(NULL AS STRING),
+          'o_orderstatus',   n - nn4, nd4, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn4, mx4,
+          'o_orderpriority', n - nn5, nd5, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn5, mx5
+          ) AS (col_name, n_nulls, n_distinct, min_num, max_num, min_str, max_str)""")
+    }),
+
     // data-quality audit battery (the expectations pattern): referential integrity via
     // anti-join (dim side broadcasts), domain/range/null/uniqueness checks as counting
     // aggregates — one row per constraint with its violation count
@@ -2860,6 +2912,45 @@ object SparkEntry {
         |  CAST(big.sum_qty AS DOUBLE) AS sum_qty
         |FROM orders o JOIN big ON o.o_orderkey = big.l_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+
+    "q_skew_audit" ->
+      """WITH ec AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows,
+        |  CAST(MAX(c) AS BIGINT) AS max_c, CAST(SUM(c*c) AS BIGINT) AS pair_cost FROM ec)
+        |SELECT n_keys, n_rows, max_c, pair_cost,
+        |  ROUND(CAST(max_c AS DOUBLE) * n_keys / n_rows, 6) AS skew_ratio,
+        |  ROUND(CAST(pair_cost AS DOUBLE) * n_keys / (n_rows * n_rows), 6) AS amplification
+        |FROM m""".stripMargin,
+
+    "q_profile" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM orders)
+        |SELECT 'o_orderkey' AS col_name,
+        |  CAST(n.n - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+        |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+        |  CAST(MIN(o_orderkey) AS DOUBLE) AS min_num, CAST(MAX(o_orderkey) AS DOUBLE) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |FROM orders, n GROUP BY n.n
+        |UNION ALL
+        |SELECT 'o_custkey', CAST(n.n - COUNT(o_custkey) AS BIGINT),
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+        |  CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE), NULL, NULL
+        |FROM orders, n GROUP BY n.n
+        |UNION ALL
+        |SELECT 'o_totalprice', CAST(n.n - COUNT(o_totalprice) AS BIGINT),
+        |  CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+        |  CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+        |  CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), NULL, NULL
+        |FROM orders, n GROUP BY n.n
+        |UNION ALL
+        |SELECT 'o_orderstatus', CAST(n.n - COUNT(o_orderstatus) AS BIGINT),
+        |  CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), MIN(o_orderstatus), MAX(o_orderstatus)
+        |FROM orders, n GROUP BY n.n
+        |UNION ALL
+        |SELECT 'o_orderpriority', CAST(n.n - COUNT(o_orderpriority) AS BIGINT),
+        |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), MIN(o_orderpriority), MAX(o_orderpriority)
+        |FROM orders, n GROUP BY n.n""".stripMargin,
 
     "q_dq_audit" ->
       """WITH checks(check_name, n_violations) AS (
