@@ -1404,6 +1404,10 @@ object SparkEntry {
     // frequency head (one corpus exchange, bounded-heap top-k, k-row regression)
     "doc_zipf" -> ((s, dir) => TextOps.zipfFit(t(s, dir, "documents"))),
 
+    // Heaps'-law vocabulary growth V(n) = K·n^beta over 10 doc-id-ordered checkpoints —
+    // the corpus-level dedup-health twin of doc_zipf (duplication flattens beta)
+    "doc_heaps_fit" -> ((s, dir) => TextOps.heapsFit(t(s, dir, "documents"))),
+
     // MOSS winnowing fingerprints (Schleimer et al. 2003): per window of 4 consecutive
     // shingle hashes keep the minimum — positionally-robust selection with the
     // guarantee that any shared run of >= w+n-1 tokens yields a shared fingerprint
@@ -4048,6 +4052,36 @@ object SparkEntry {
         |  ROUND((CAST(n AS DOUBLE)*sxy - sx*sy) / (CAST(n AS DOUBLE)*sxx - sx*sx), 6) AS slope,
         |  ROUND((sy - ((CAST(n AS DOUBLE)*sxy - sx*sy) / (CAST(n AS DOUBLE)*sxx - sx*sx)) * sx)
         |    / CAST(n AS DOUBLE), 6) AS intercept,
+        |  ROUND((CAST(n AS DOUBLE)*sxy - sx*sy) * (CAST(n AS DOUBLE)*sxy - sx*sy)
+        |    / ((CAST(n AS DOUBLE)*sxx - sx*sx) * (CAST(n AS DOUBLE)*syy - sy*sy)), 6) AS r2
+        |FROM s""".stripMargin,
+
+    "doc_heaps_fit" ->
+      """WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+        |toks AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |fs AS (SELECT token, MIN(doc_id) AS fd FROM toks GROUP BY 1),
+        |tb AS (SELECT LEAST(9, (fd * 10) // (mx.mx + 1)) AS b, COUNT(*) AS nt
+        |  FROM fs, mx GROUP BY 1),
+        |wb AS (SELECT LEAST(9, (doc_id * 10) // (mx.mx + 1)) AS b,
+        |  SUM(len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> ''))) AS nw
+        |  FROM documents, mx GROUP BY 1),
+        |pts AS (SELECT b,
+        |  SUM(COALESCE(nt, 0)) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum_types,
+        |  SUM(COALESCE(nw, 0)) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM tb FULL OUTER JOIN wb USING (b)),
+        |q AS (SELECT CAST(LOG10(CAST(cum_tokens AS DOUBLE)) AS DECIMAL(18,8)) AS x,
+        |             CAST(LOG10(CAST(cum_types AS DOUBLE)) AS DECIMAL(18,8)) AS y
+        |  FROM pts WHERE cum_types > 0 AND cum_tokens > 0),
+        |s AS (SELECT COUNT(*) AS n,
+        |  CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |  CAST(SUM(x*y) AS DOUBLE) AS sxy, CAST(SUM(x*x) AS DOUBLE) AS sxx,
+        |  CAST(SUM(y*y) AS DOUBLE) AS syy FROM q)
+        |SELECT CAST(n AS BIGINT) AS n_ckpts,
+        |  ROUND((CAST(n AS DOUBLE)*sxy - sx*sy) / (CAST(n AS DOUBLE)*sxx - sx*sx), 6) AS beta,
+        |  ROUND((sy - ((CAST(n AS DOUBLE)*sxy - sx*sy) / (CAST(n AS DOUBLE)*sxx - sx*sx)) * sx)
+        |    / CAST(n AS DOUBLE), 6) AS log10_k,
         |  ROUND((CAST(n AS DOUBLE)*sxy - sx*sy) * (CAST(n AS DOUBLE)*sxy - sx*sy)
         |    / ((CAST(n AS DOUBLE)*sxx - sx*sx) * (CAST(n AS DOUBLE)*syy - sy*sy)), 6) AS r2
         |FROM s""".stripMargin,

@@ -790,6 +790,59 @@ object TextOps {
   }
 
   /**
+   * Heaps'-law vocabulary-growth fit: V(n) ≈ K·n^β — distinct vocabulary size as a
+   * function of cumulative corpus tokens, the companion diagnostic to [[zipfFit]]
+   * (natural corpora grow with β ≈ 0.4–0.6; duplicated corpora flatten β toward 0,
+   * synthetic/noisy ones push it toward 1 — so β is a dedup-health signal at the corpus
+   * level). Observation points come from `nCkpts` doc-id-ordered checkpoints; the log-log
+   * least-squares machinery is [[zipfFit]]'s, with the same DECIMAL(18,8) quantization.
+   *
+   * Scale shape: no running "distinct so far" is ever computed per prefix — a token's
+   * first occurrence (min doc_id per token) is a single corpus-sized aggregation, after
+   * which cumulative types per checkpoint is a cumulative sum over `nCkpts` bucket rows
+   * (bounded state); cumulative tokens likewise from per-doc token counts. Two
+   * exchanges total (token min-doc, bucket rollup), both carrying tiny rows.
+   */
+  def heapsFit(df: DataFrame, nCkpts: Int = 10, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mx = df.agg(max(col(idCol)).as("__mx"))
+    // bucket i = docs with doc_id in (mx*i/n, mx*(i+1)/n] — integer `div` (not `/`,
+    // which is fractional in both engines) so both engines bucket identically
+    def bucket(c: Column) = least(lit((nCkpts - 1).toLong),
+      call_function("div", c.cast("long") * nCkpts, col("__mx") + 1)).cast("long")
+    val toks = df.select(col(idCol), explode(tokensCol(col(textCol))).as("token"))
+    val firstSeen = toks.groupBy(col("token")).agg(min(col(idCol)).as("__fd"))
+    val typesPerB = firstSeen.crossJoin(broadcast(mx))
+      .groupBy(bucket(col("__fd")).as("b")).agg(count(lit(1)).as("nt"))
+    val tokensPerB = df.select(col(idCol), size(tokensCol(col(textCol))).cast("long").as("ntok"))
+      .crossJoin(broadcast(mx))
+      .groupBy(bucket(col(idCol)).as("b")).agg(sum(col("ntok")).as("nw"))
+    val w = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = typesPerB.join(tokensPerB, Seq("b"), "full_outer")
+      .select(col("b"), coalesce(col("nt"), lit(0L)).as("nt"), coalesce(col("nw"), lit(0L)).as("nw"))
+      .select(col("b"), sum(col("nt")).over(w).as("cum_types"), sum(col("nw")).over(w).as("cum_tokens"))
+      .filter(col("cum_types") > 0 && col("cum_tokens") > 0)
+    val q = pts.select(
+      log(10.0, col("cum_tokens").cast("double")).cast(DecimalType(18, 8)).as("x"),
+      log(10.0, col("cum_types").cast("double")).cast(DecimalType(18, 8)).as("y"))
+    val s = q.agg(count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("sx"), sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("y")).cast("double").as("sxy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      sum(col("y") * col("y")).cast("double").as("syy"))
+    val n = col("n").cast("double")
+    val num = n * col("sxy") - col("sx") * col("sy")
+    val denX = n * col("sxx") - col("sx") * col("sx")
+    val denY = n * col("syy") - col("sy") * col("sy")
+    val slope = num / denX
+    s.select(col("n").as("n_ckpts"),
+      round(slope, 6).as("beta"),
+      round((col("sy") - slope * col("sx")) / n, 6).as("log10_k"),
+      round(num * num / (denX * denY), 6).as("r2"))
+  }
+
+  /**
    * The Gopher quality-rule table (Rae et al. 2021, "Scaling Language Models: ...
    * Gopher", table A1 — the rule set Dolma/RedPajama/FineWeb re-implement): per
    * document, each heuristic gets its own boolean column plus the measured signal, and
