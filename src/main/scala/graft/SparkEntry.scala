@@ -4077,14 +4077,17 @@ object SparkEntry {
         |s AS (SELECT COUNT(*) AS n,
         |  CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
         |  CAST(SUM(x*y) AS DOUBLE) AS sxy, CAST(SUM(x*x) AS DOUBLE) AS sxx,
-        |  CAST(SUM(y*y) AS DOUBLE) AS syy FROM q)
+        |  CAST(SUM(y*y) AS DOUBLE) AS syy FROM q),
+        |d AS (SELECT n, sx, sy, sxy, sxx, syy,
+        |  CAST(n AS DOUBLE)*sxy - sx*sy AS num,
+        |  CAST(n AS DOUBLE)*sxx - sx*sx AS denx,
+        |  CAST(n AS DOUBLE)*syy - sy*sy AS deny FROM s),
+        |sl AS (SELECT *, CASE WHEN sxy IS NULL OR denx = 0 THEN 0.0 ELSE num/denx END AS slope FROM d)
         |SELECT CAST(n AS BIGINT) AS n_ckpts,
-        |  ROUND((CAST(n AS DOUBLE)*sxy - sx*sy) / (CAST(n AS DOUBLE)*sxx - sx*sx), 6) AS beta,
-        |  ROUND((sy - ((CAST(n AS DOUBLE)*sxy - sx*sy) / (CAST(n AS DOUBLE)*sxx - sx*sx)) * sx)
-        |    / CAST(n AS DOUBLE), 6) AS log10_k,
-        |  ROUND((CAST(n AS DOUBLE)*sxy - sx*sy) * (CAST(n AS DOUBLE)*sxy - sx*sy)
-        |    / ((CAST(n AS DOUBLE)*sxx - sx*sx) * (CAST(n AS DOUBLE)*syy - sy*sy)), 6) AS r2
-        |FROM s""".stripMargin,
+        |  ROUND(slope, 6) AS beta,
+        |  ROUND((sy - slope * sx) / CAST(n AS DOUBLE), 6) AS log10_k,
+        |  ROUND(CASE WHEN denx = 0 OR deny = 0 THEN 0.0 ELSE num*num/(denx*deny) END, 6) AS r2
+        |FROM sl""".stripMargin,
 
     // rule comparisons on the ROUNDED 4dp ratios in both engines — no ulp can flip a flag
     "doc_gopher_quality" ->

@@ -835,11 +835,14 @@ object TextOps {
     val num = n * col("sxy") - col("sx") * col("sy")
     val denX = n * col("sxx") - col("sx") * col("sx")
     val denY = n * col("syy") - col("sy") * col("sy")
-    val slope = num / denX
+    // a SATURATED vocabulary (every checkpoint sees the same V) is a legitimate input —
+    // y is constant, denY = 0: beta/r2 are 0 by convention, not a divide-by-zero
+    val slope = when(col("sxy").isNull || denX === 0.0, lit(0.0)).otherwise(num / denX)
     s.select(col("n").as("n_ckpts"),
       round(slope, 6).as("beta"),
       round((col("sy") - slope * col("sx")) / n, 6).as("log10_k"),
-      round(num * num / (denX * denY), 6).as("r2"))
+      round(when(denX === 0.0 || denY === 0.0, lit(0.0))
+        .otherwise(num * num / (denX * denY)), 6).as("r2"))
   }
 
   /**

@@ -803,6 +803,25 @@ class ZipfSpec extends SparkSpec {
     val p = TextOps.zipfFit(docs).queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), s"top-k must be a bounded heap:\n$p")
   }
+
+  test("heapsFit: beta ~ 1 on an all-new-tokens corpus, ~ 0 on a fixed vocabulary") {
+    // every doc introduces 10 brand-new tokens: V(n) = n exactly -> beta = 1, r2 = 1
+    val growing = (0L until 100L)
+      .map(i => (i, (0 until 10).map(j => s"w${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val g = TextOps.heapsFit(growing).collect()(0)
+    assert(g.getAs[Long]("n_ckpts") == 10)
+    val betaG = g.getAs[Double]("beta")
+    assert(betaG > 0.97 && betaG < 1.03, s"beta $betaG")
+    assert(g.getAs[Double]("r2") > 0.999)
+
+    // fixed 10-token vocabulary repeated in every doc: V saturates at checkpoint 0 -> beta 0
+    val flat = (0L until 100L)
+      .map(i => (i, (0 until 10).map(j => s"fix$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val f = TextOps.heapsFit(flat).collect()(0)
+    assert(math.abs(f.getAs[Double]("beta")) < 1e-9)
+  }
 }
 
 class GopherRulesSpec extends SparkSpec {
