@@ -1392,6 +1392,16 @@ object SparkEntry {
     "doc_langid" -> ((s, dir) => TextOps.langId(t(s, dir, "documents"))),
     "doc_quality" -> ((s, dir) => TextOps.qualityScore(t(s, dir, "documents"))),
 
+    // Exact ROC-AUC of the rule-based quality score against the planted n_chars>300
+    // label — the threshold-free eval every trained quality filter ships with. Grouped
+    // Mann-Whitney rank-sum with half-credit ties: state is bounded by the score's 4dp
+    // grid, not the corpus (see MlOps.groupedAuc); numer2/n_pos/n_neg exact LONGs.
+    "doc_quality_auc" -> ((s, dir) => {
+      val scored = TextOps.qualityScore(t(s, dir, "documents"), keep = Seq("n_chars"))
+        .withColumn("label", (col("n_chars") > 300).cast("int"))
+      MlOps.groupedAuc(scored, "quality_score", "label")
+    }),
+
     // Flesch reading-ease / Flesch-Kincaid grade with the vowel-run syllable heuristic —
     // narrow per-row map, zero shuffle
     "doc_readability" -> ((s, dir) => TextOps.readability(t(s, dir, "documents"))),
@@ -4369,6 +4379,27 @@ object SparkEntry {
         |  ROUND((CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 0.5 ELSE 0.0 END)
         |      + (CASE WHEN n_tok > 0 THEN (n_stop / n_tok) * 0.5 ELSE 0.0 END), 4) AS quality_score
         |FROM m""".stripMargin,
+
+    "doc_quality_auc" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id, n_chars, CAST(len(toks) AS DOUBLE) AS n_tok,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','on','for','with','as','at'))) AS DOUBLE) AS n_stop
+        |  FROM t),
+        |sc AS (SELECT
+        |  ROUND((CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 0.5 ELSE 0.0 END)
+        |      + (CASE WHEN n_tok > 0 THEN (n_stop / n_tok) * 0.5 ELSE 0.0 END), 4) AS s,
+        |  CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS label FROM m),
+        |g AS (SELECT s, CAST(SUM(label) AS BIGINT) AS pos,
+        |  CAST(COUNT(*) - SUM(label) AS BIGINT) AS neg FROM sc GROUP BY 1),
+        |c AS (SELECT pos, neg, COALESCE(SUM(neg) OVER
+        |  (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg FROM g)
+        |SELECT CAST(SUM(pos) AS BIGINT) AS n_pos, CAST(SUM(neg) AS BIGINT) AS n_neg,
+        |  CAST(SUM(pos * (cumneg * 2 + neg)) AS BIGINT) AS numer2,
+        |  ROUND(CAST(SUM(pos * (cumneg * 2 + neg)) AS DOUBLE)
+        |    / (SUM(pos) * SUM(neg) * 2), 6) AS auc
+        |FROM c""".stripMargin,
 
     // formula term order mirrors the Spark expression exactly (left-assoc a*b/c) so the
     // double bits agree before ROUND

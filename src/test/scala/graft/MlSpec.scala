@@ -60,4 +60,17 @@ class MlSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("groupedAuc: 1.0 on perfect separation, 0.0 reversed, 0.5 all-tied, ties half-credit") {
+    import spark.implicits._
+    def auc(rows: Seq[(Double, Int)]): Double =
+      MlOps.groupedAuc(rows.toDF("s", "label"), "s", "label").head().getAs[Double]("auc")
+    val perfect = (1 to 10).map(i => (i.toDouble, if (i > 5) 1 else 0))
+    assert(auc(perfect) == 1.0)
+    assert(auc(perfect.map { case (s, l) => (s, 1 - l) }) == 0.0)
+    assert(auc((1 to 10).map(i => (7.0, if (i > 5) 1 else 0))) == 0.5)
+    // hand-computed with one tie block: scores pos={3,2}, neg={2,1}:
+    // pairs: (3>2)=1, (3>1)=1, (2=2)=0.5, (2>1)=1 -> AUC = 3.5/4 = 0.875
+    assert(auc(Seq((3.0, 1), (2.0, 1), (2.0, 0), (1.0, 0))) == 0.875)
+  }
 }
