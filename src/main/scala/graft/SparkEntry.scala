@@ -64,6 +64,9 @@ object SparkEntry {
 
   private def dec(c: Column, p: Int = 18, s: Int = 2): Column = c.cast(DecimalType(p, s))
 
+  /** Source pairs for the JSD shift check — shared by the query and its generated oracle. */
+  private val JsdPairs = Seq(("src0", "src1"), ("src0", "src19"), ("src5", "src7"))
+
   // ---------------------------------------------------------------------------------------------
   // CDC: simulated Debezium envelope stream over the `events` table.
   // op mapping: signup→c, purchase→u, error→d (delete), else r; entity pk = user_id;
@@ -1417,6 +1420,12 @@ object SparkEntry {
     // Heaps'-law vocabulary growth V(n) = K·n^beta over 10 doc-id-ordered checkpoints —
     // the corpus-level dedup-health twin of doc_zipf (duplication flattens beta)
     "doc_heaps_fit" -> ((s, dir) => TextOps.heapsFit(t(s, dir, "documents"))),
+
+    // Jensen-Shannon divergence between per-source unigram distributions — the
+    // distribution-shift check before mixture re-weighting; one corpus exchange,
+    // vocab-sized pair joins, per-term DECIMAL(18,12) quantization
+    "doc_js_divergence" -> ((s, dir) =>
+      TextOps.jsDivergence(t(s, dir, "documents"), JsdPairs)),
 
     // MOSS winnowing fingerprints (Schleimer et al. 2003): per window of 4 consecutive
     // shingle hashes keep the minimum — positionally-robust selection with the
@@ -4098,6 +4107,31 @@ object SparkEntry {
         |  ROUND((sy - slope * sx) / CAST(n AS DOUBLE), 6) AS log10_k,
         |  ROUND(CASE WHEN denx = 0 OR deny = 0 THEN 0.0 ELSE num*num/(denx*deny) END, 6) AS r2
         |FROM sl""".stripMargin,
+
+    "doc_js_divergence" -> {
+      val head =
+        """WITH toks AS (SELECT source AS src,
+          |  unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS token
+          |  FROM documents),
+          |cnt AS (SELECT src, token, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+          |tot AS (SELECT src, SUM(c) AS n FROM cnt GROUP BY 1),
+          |freq AS (SELECT cnt.src, token, CAST(c AS DOUBLE)/n AS p FROM cnt JOIN tot USING (src))
+          |""".stripMargin
+      head + JsdPairs.map { case (a, b) =>
+        s"""SELECT '$a' AS src_a, '$b' AS src_b,
+           |  CAST(COUNT(CASE WHEN pa > 0 AND pb > 0 THEN 1 END) AS BIGINT) AS n_common,
+           |  ROUND(CAST(SUM(ta) + SUM(tb) AS DOUBLE) / 2, 8) AS jsd_nats
+           |FROM (
+           |  SELECT pa, pb,
+           |    CASE WHEN pa > 0 THEN CAST(pa * ln((pa * 2) / (pa + pb)) AS DECIMAL(18,12))
+           |         ELSE CAST(0 AS DECIMAL(18,12)) END AS ta,
+           |    CASE WHEN pb > 0 THEN CAST(pb * ln((pb * 2) / (pa + pb)) AS DECIMAL(18,12))
+           |         ELSE CAST(0 AS DECIMAL(18,12)) END AS tb
+           |  FROM (SELECT COALESCE(fa.p, 0) AS pa, COALESCE(fb.p, 0) AS pb
+           |    FROM (SELECT token, p FROM freq WHERE src = '$a') fa
+           |    FULL OUTER JOIN (SELECT token, p FROM freq WHERE src = '$b') fb USING (token)))""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
 
     // rule comparisons on the ROUNDED 4dp ratios in both engines — no ulp can flip a flag
     "doc_gopher_quality" ->

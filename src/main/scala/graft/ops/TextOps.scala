@@ -790,6 +790,46 @@ object TextOps {
   }
 
   /**
+   * Jensen–Shannon divergence between per-source unigram distributions — the
+   * distribution-shift detector a mixture pipeline runs before re-weighting sources
+   * (JSD is symmetric, bounded by ln 2 in nats, and defined even where supports
+   * differ, unlike raw KL). For each requested source pair:
+   * JSD = ½·Σ p·ln(2p/(p+q)) + ½·Σ q·ln(2q/(p+q)), zero-termed where a side is absent.
+   *
+   * Scale shape: ONE corpus-sized exchange builds the (source, token) counts; every
+   * pair join afterwards is vocabulary-sized (and skew-free — token is the key). Each
+   * per-token term is computed in a FIXED operand order and quantized to
+   * DECIMAL(18,12) before the sum, so the aggregate is fp-order-free and the final
+   * figure reproduces bit-for-bit cross-engine (the unigram-logprob discipline).
+   */
+  def jsDivergence(df: DataFrame, pairs: Seq[(String, String)],
+      textCol: String = "text", srcCol: String = "source"): DataFrame = {
+    val cnt = df.select(col(srcCol).as("src"), explode(tokensCol(col(textCol))).as("token"))
+      .groupBy(col("src"), col("token")).agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("src")).agg(sum(col("c")).as("n"))
+    val freq = cnt.join(tot, "src")
+      .select(col("src"), col("token"), (col("c").cast("double") / col("n")).as("p"))
+    val dec12 = DecimalType(18, 12)
+    val perPair = pairs.map { case (a, b) =>
+      val fa = freq.filter(col("src") === a).select(col("token"), col("p").as("pa"))
+      val fb = freq.filter(col("src") === b).select(col("token"), col("p").as("pb"))
+      val j = fa.join(fb, Seq("token"), "full_outer")
+        .select(coalesce(col("pa"), lit(0.0)).as("pa"), coalesce(col("pb"), lit(0.0)).as("pb"))
+      val den = col("pa") + col("pb")
+      val termA = when(col("pa") > 0,
+        (col("pa") * log((col("pa") * 2) / den)).cast(dec12)).otherwise(lit(0).cast(dec12))
+      val termB = when(col("pb") > 0,
+        (col("pb") * log((col("pb") * 2) / den)).cast(dec12)).otherwise(lit(0).cast(dec12))
+      j.agg(
+          count(when(col("pa") > 0 && col("pb") > 0, 1)).as("n_common"),
+          sum(termA).as("sa"), sum(termB).as("sb"))
+        .select(lit(a).as("src_a"), lit(b).as("src_b"), col("n_common"),
+          round((col("sa") + col("sb")).cast("double") / 2, 8).as("jsd_nats"))
+    }
+    perPair.reduce(_ unionAll _)
+  }
+
+  /**
    * Heaps'-law vocabulary-growth fit: V(n) ≈ K·n^β — distinct vocabulary size as a
    * function of cumulative corpus tokens, the companion diagnostic to [[zipfFit]]
    * (natural corpora grow with β ≈ 0.4–0.6; duplicated corpora flatten β toward 0,

@@ -822,6 +822,22 @@ class ZipfSpec extends SparkSpec {
     val f = TextOps.heapsFit(flat).collect()(0)
     assert(math.abs(f.getAs[Double]("beta")) < 1e-9)
   }
+
+  test("jsDivergence: 0 on identical sources, ln 2 on disjoint, symmetric") {
+    val docs = Seq(
+      ("a", "alpha beta gamma delta"), ("b", "alpha beta gamma delta"),
+      ("c", "epsilon zeta eta theta"),
+      ("d", "alpha alpha beta gamma")
+    ).toDF("source", "text").withColumn("doc_id", monotonically_increasing_id())
+    val r = TextOps.jsDivergence(docs, Seq(("a", "b"), ("a", "c"), ("a", "d"), ("d", "a")))
+      .collect().map(x => (x.getAs[String]("src_a"), x.getAs[String]("src_b"),
+        x.getAs[Long]("n_common"), x.getAs[Double]("jsd_nats"))).toSeq
+    val m = r.map { case (a, b, _, j) => (a, b) -> j }.toMap
+    assert(m(("a", "b")) == 0.0)
+    assert(math.abs(m(("a", "c")) - math.log(2)) < 1e-6)     // disjoint supports
+    assert(m(("a", "d")) == m(("d", "a")))                    // symmetry
+    assert(r.find { case (a, b, _, _) => a == "a" && b == "c" }.get._3 == 0L)
+  }
 }
 
 class GopherRulesSpec extends SparkSpec {
