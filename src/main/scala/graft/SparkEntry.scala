@@ -1862,6 +1862,14 @@ object SparkEntry {
         .withColumn("sim", round(col("sim"), 4))
     }),
 
+    // MMR diversity re-rank of the cosine shortlist (Carbonell & Goldstein 1998) —
+    // verdict gate: leads with exact top-1, kOut members all from the shortlist, and
+    // average pairwise cosine no higher than the plain top-k's (diversity never worse)
+    "emb_mmr_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      VectorOps.mmrGate(e, e.filter(col("vec_id") < 8), kCand = 24, kOut = 8, lambdaPct = 50)
+    }),
+
     // fixed-iteration PageRank over the directed kNN edge list: each iteration is one
     // (dst, long) digest shuffle + node-keyed aggregate; ranks are BIGINT 1e-12 units
     // with floor division — zero floating point, bit-identical in any engine
@@ -2680,6 +2688,10 @@ object SparkEntry {
 
     "emb_ann_lsh" ->
       "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok, TRUE AS bounded_ok FROM embeddings WHERE vec_id < 8",
+
+    "emb_mmr_rerank" ->
+      ("SELECT COUNT(*) AS n_queries, TRUE AS first_ok, TRUE AS size_subset_ok, " +
+        "TRUE AS diversity_ok FROM embeddings WHERE vec_id < 8"),
 
     "emb_rp_recall" ->
       "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok, TRUE AS bounded_ok FROM embeddings WHERE vec_id < 8",

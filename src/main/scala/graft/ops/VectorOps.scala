@@ -83,6 +83,121 @@ object VectorOps {
   }
 
   /**
+   * Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998) of a cosine
+   * shortlist — the diversity stage of retrieval-augmented pipelines: greedily pick
+   * `kOut` of `kCand` candidates maximizing
+   * `lambda·sim(q,d) − (1−lambda)·max_{s∈selected} sim(d,s)`,
+   * so near-duplicate passages don't crowd out coverage. Deterministic end-to-end:
+   * candidates enter in (sim DESC, id ASC) order, the first pick is the exact top-1,
+   * and score ties break toward the smaller id.
+   *
+   * Scale shape: the expensive part is the existing [[bruteForceTopK]] shortlist scan
+   * (or any ANN drop-in); the greedy itself touches kCand vectors PER QUERY in one
+   * grouped row — a bounded O(kOut·kCand) loop with no shuffle beyond the shortlist's
+   * own group-by. The per-group closure is the documented exception to the no-UDF rule
+   * (iterative argmax over state has no built-in form; one invocation per QUERY, not
+   * per row, each over ≤ kCand candidates).
+   */
+  def mmrRerank(
+      corpus: DataFrame,
+      queries: DataFrame,
+      kCand: Int = 24,
+      kOut: Int = 8,
+      lambdaPct: Int = 50,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val lam = lambdaPct / 100.0
+    val short = bruteForceTopK(corpus, queries, kCand, idCol, vecCol)
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v")), Seq("neighbor_id"))
+    val grouped = short.groupBy(col("query_id"))
+      .agg(sort_array(collect_list(struct((col("sim") * -1).as("negsim"),
+        col("neighbor_id"), col("__v").as("v")))).as("cands"))
+    val greedy = udf { (cands: Seq[org.apache.spark.sql.Row]) =>
+      val n = cands.length
+      val sims = cands.map(r => -r.getDouble(0)).toArray
+      val ids = cands.map(_.getLong(1)).toArray
+      val vecs = cands.map(_.getSeq[Float](2).toArray).toArray
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val k = math.min(kOut, n)
+      val picked = Array.fill(n)(false)
+      val maxSim = Array.fill(n)(Double.NegativeInfinity)
+      val sel = scala.collection.mutable.ArrayBuffer[Int](0) // index 0 = exact top-1
+      picked(0) = true
+      while (sel.length < k) {
+        val last = vecs(sel.last)
+        var bi = -1; var bs = Double.NegativeInfinity; var bid = Long.MaxValue
+        var i = 0
+        while (i < n) {
+          if (!picked(i)) {
+            val s = cos(vecs(i), last)
+            if (s > maxSim(i)) maxSim(i) = s
+            val score = lam * sims(i) - (1 - lam) * maxSim(i)
+            if (score > bs || (score == bs && ids(i) < bid)) { bs = score; bi = i; bid = ids(i) }
+          }
+          i += 1
+        }
+        picked(bi) = true; sel += bi
+      }
+      sel.toSeq.zipWithIndex.map { case (i, r) => (r + 1, ids(i), sims(i)) }
+    }
+    grouped.select(col("query_id"), explode(greedy(col("cands"))).as("m"))
+      .select(col("query_id"), col("m._1").as("rank"), col("m._2").as("neighbor_id"),
+        col("m._3").as("sim"))
+  }
+
+  /** Self-verifying verdict for [[mmrRerank]] (the ANN-gate idiom — the greedy's
+    * JVM doubles aren't oracle-replayable, its invariants are): per query the MMR set
+    * must (a) lead with the exact top-1, (b) have exactly kOut members drawn from the
+    * shortlist, and (c) be no less diverse than the plain top-kOut — average pairwise
+    * cosine within the MMR set ≤ that of the top-k set (+1e-9 for ties). */
+  def mmrGate(
+      corpus: DataFrame,
+      queries: DataFrame,
+      kCand: Int = 24,
+      kOut: Int = 8,
+      lambdaPct: Int = 50,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val sel = mmrRerank(corpus, queries, kCand, kOut, lambdaPct, idCol, vecCol)
+    val topk = bruteForceTopK(corpus, queries, kOut, idCol, vecCol)
+    def avgPairSim(set: DataFrame): DataFrame = {
+      val v = set.select(col("query_id"), col("neighbor_id"))
+        .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v")), Seq("neighbor_id"))
+      val a = v.select(col("query_id"), col("neighbor_id").as("ia"), col("__v").as("va"))
+      val b = v.select(col("query_id"), col("neighbor_id").as("ib"), col("__v").as("vb"))
+      a.join(b, Seq("query_id")).filter(col("ia") < col("ib"))
+        .groupBy(col("query_id"))
+        .agg(avg(VectorFunctions.cosine(col("va"), col("vb"))).as("aps"))
+    }
+    val top1 = rankTopK(
+      topk.select(col("query_id"), col("neighbor_id"), col("sim")), 1)
+      .select(col("query_id"), col("neighbor_id").as("best_id"))
+    val firstOk = sel.filter(col("rank") === 1)
+      .join(top1, Seq("query_id"))
+      .agg(count(lit(1)).as("__n1"), sum(when(col("neighbor_id") === col("best_id"), 1L)
+        .otherwise(0L)).as("__ok1"))
+    val sizeSubset = sel.join(
+        bruteForceTopK(corpus, queries, kCand, idCol, vecCol)
+          .select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("__ns"))
+      .agg(count(lit(1)).as("n_queries"), min(col("__ns")).as("__mn"), max(col("__ns")).as("__mx"))
+    val div = avgPairSim(sel).withColumnRenamed("aps", "aps_mmr")
+      .join(avgPairSim(topk).withColumnRenamed("aps", "aps_topk"), Seq("query_id"))
+      .agg(sum(when(col("aps_mmr") <= col("aps_topk") + 1e-9, 1L).otherwise(0L)).as("__okd"),
+        count(lit(1)).as("__nd"))
+    sizeSubset.crossJoin(firstOk).crossJoin(div).select(
+      col("n_queries"),
+      (col("__ok1") === col("__n1") && col("__n1") === col("n_queries")).as("first_ok"),
+      (col("__mn") === kOut && col("__mx") === kOut).as("size_subset_ok"),
+      (col("__okd") === col("__nd") && col("__nd") === col("n_queries")).as("diversity_ok"))
+  }
+
+  /**
    * Johnson–Lindenstrauss random-projection retrieval (Achlioptas/JL): project corpus and
    * queries through ONE fixed seeded Gaussian matrix (d → outDim, shipped inside the plan
    * like the LSH planes), run the coarse top-`coarseK` scan in the projected space, then

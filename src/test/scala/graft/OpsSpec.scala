@@ -230,6 +230,26 @@ class VectorOpsSpec extends SparkSpec {
     (4L, Array(-1.0f, 0.0f), 1)
   ).toDF("vec_id", "embedding", "label")
 
+  test("mmrRerank: picks the diverse candidate over the near-duplicate; leads with top-1") {
+    // query = [1,0]; candidate 2 is top-1 (cos .92), candidate 1 its near-duplicate
+    // (cos(1,2) ~ .9989, query cos .90), candidate 3 equally relevant as 1 (cos .90) but
+    // on the other side (cos(2,3) ~ .657). After picking 2, MMR at lambda=50 scores
+    // 1 at .5(.90-.9989) < 0 and 3 at .5(.90-.657) > 0 — plain top-2 {2,1}, MMR {2,3}.
+    val corpus = Seq(
+      (1L, Array(0.9f, 0.436f)),
+      (2L, Array(0.92f, 0.392f)),
+      (3L, Array(0.9f, -0.436f))
+    ).toDF("vec_id", "embedding")
+    val q = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val sel = VectorOps.mmrRerank(corpus, q, kCand = 3, kOut = 2, lambdaPct = 50)
+      .orderBy("rank").collect()
+    assert(sel.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(2L, 3L))
+    val gate = VectorOps.mmrGate(corpus, q, kCand = 3, kOut = 2, lambdaPct = 50).head()
+    assert(gate.getAs[Long]("n_queries") == 1L)
+    assert(gate.getAs[Boolean]("first_ok") && gate.getAs[Boolean]("size_subset_ok")
+      && gate.getAs[Boolean]("diversity_ok"))
+  }
+
   test("bruteForceTopK ranks by cosine, excludes self") {
     val out = VectorOps.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 1L), k = 2)
       .orderBy(col("sim").desc).collect()
