@@ -1862,6 +1862,12 @@ object SparkEntry {
         .withColumn("sim", round(col("sim"), 4))
     }),
 
+    // Per-label centroid cosine matrix — class separation / embedding drift audit;
+    // cos(mean_a, mean_b) = cos(sum_a, sum_b), so exact decimal sums + one pinned
+    // double division make this a FULL oracle (no verdict needed)
+    "emb_centroid_profile" -> ((s, dir) =>
+      VectorOps.centroidProfile(t(s, dir, "embeddings"))),
+
     // MMR diversity re-rank of the cosine shortlist (Carbonell & Goldstein 1998) —
     // verdict gate: leads with exact top-1, kOut members all from the shortlist, and
     // average pairwise cosine no higher than the plain top-k's (diversity never worse)
@@ -2692,6 +2698,25 @@ object SparkEntry {
     "emb_mmr_rerank" ->
       ("SELECT COUNT(*) AS n_queries, TRUE AS first_ok, TRUE AS size_subset_ok, " +
         "TRUE AS diversity_ok FROM embeddings WHERE vec_id < 8"),
+
+    "emb_centroid_profile" ->
+      """WITH el AS (SELECT label AS lbl, generate_subscripts(embedding, 1) AS i,
+        |  unnest(embedding) AS x FROM embeddings),
+        |s AS (SELECT lbl, i,
+        |  SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,8))) AS s FROM el GROUP BY 1, 2),
+        |cnt AS (SELECT label AS lbl, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY 1),
+        |nrm AS (SELECT lbl,
+        |  SUM(CAST(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) AS DECIMAL(28,10))) AS nn
+        |  FROM s GROUP BY 1),
+        |dt AS (SELECT a.lbl AS la, b.lbl AS lb,
+        |  SUM(CAST(CAST(a.s AS DOUBLE) * CAST(b.s AS DOUBLE) AS DECIMAL(28,10))) AS dot
+        |  FROM s a JOIN s b USING (i) WHERE a.lbl < b.lbl GROUP BY 1, 2)
+        |SELECT la AS label_a, lb AS label_b, ca.n AS n_a, cb.n AS n_b,
+        |  ROUND(CAST(dot AS DOUBLE)
+        |    / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))), 6) AS centroid_cosine
+        |FROM dt
+        |JOIN nrm na ON na.lbl = dt.la JOIN nrm nb ON nb.lbl = dt.lb
+        |JOIN cnt ca ON ca.lbl = dt.la JOIN cnt cb ON cb.lbl = dt.lb""".stripMargin,
 
     "emb_rp_recall" ->
       "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok, TRUE AS bounded_ok FROM embeddings WHERE vec_id < 8",

@@ -83,6 +83,43 @@ object VectorOps {
   }
 
   /**
+   * Per-label centroid similarity profile — the class-separation / embedding-drift
+   * diagnostic (compare two checkpoints' embedding spaces, or audit whether labels are
+   * geometrically distinguishable before training a probe). Uses the identity
+   * cos(mean_a, mean_b) = cos(sum_a, sum_b) — counts cancel — so NO decimal division
+   * ever happens: per-(label, dim) element sums are exact DECIMAL(18,8) (floats widen
+   * exactly to double first), the dim-wise products quantize to DECIMAL(28,10) before
+   * their sums, and the one double division + sqrt pair at the end is fixed operand
+   * order. Bit-identical cross-engine — a FULL oracle, unlike the PCA verdict.
+   *
+   * Scale: one corpus exchange on (label, dim) — |labels|·dims cells regardless of
+   * corpus size; everything after is label²·dims at most.
+   */
+  def centroidProfile(df: DataFrame, labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    val d8 = DecimalType(18, 8); val d10 = DecimalType(28, 10)
+    val sums = df.select(col(labelCol).as("lbl"), posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy(col("lbl"), col("i"))
+      .agg(sum(col("x").cast("double").cast(d8)).as("s"))
+    val counts = df.groupBy(col(labelCol).as("lbl")).agg(count(lit(1)).as("n"))
+    val norms = sums.groupBy(col("lbl"))
+      .agg(sum((col("s").cast("double") * col("s").cast("double")).cast(d10)).as("nn"))
+    val a = sums.select(col("lbl").as("la"), col("i"), col("s").as("sa"))
+    val b = sums.select(col("lbl").as("lb"), col("i"), col("s").as("sb"))
+    a.join(b, Seq("i")).filter(col("la") < col("lb"))
+      .groupBy(col("la"), col("lb"))
+      .agg(sum((col("sa").cast("double") * col("sb").cast("double")).cast(d10)).as("dot"))
+      .join(norms.select(col("lbl").as("la"), col("nn").as("na")), Seq("la"))
+      .join(norms.select(col("lbl").as("lb"), col("nn").as("nb")), Seq("lb"))
+      .join(counts.select(col("lbl").as("la"), col("n").as("n_a")), Seq("la"))
+      .join(counts.select(col("lbl").as("lb"), col("n").as("n_b")), Seq("lb"))
+      .select(col("la").as("label_a"), col("lb").as("label_b"), col("n_a"), col("n_b"),
+        round(col("dot").cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+          .as("centroid_cosine"))
+  }
+
+  /**
    * Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998) of a cosine
    * shortlist — the diversity stage of retrieval-augmented pipelines: greedily pick
    * `kOut` of `kCand` candidates maximizing
