@@ -318,6 +318,12 @@ object SparkEntry {
     // thresholds, no partitionless ntile window), broadcast threshold join
     "q_rfm" -> ((s, dir) => SampleOps.rfmSegments(t(s, dir, "orders"))),
 
+    // Pareto 80/20 concentration cut: how many top customers carry 80% of revenue —
+    // value-histogram cumulative (state bounded by the cents grid, not key count),
+    // exact integer boundary arithmetic
+    "q_pareto_cut" -> ((s, dir) =>
+      SampleOps.paretoCut(t(s, dir, "orders"), "o_custkey", col("o_totalprice"))),
+
     // dedup-QA: recall of the LSH candidate generator against the EXACT jaccard>=0.5
     // ground truth (the blocking must not lose true pairs — a silent banding bug shows
     // up here as recall, not as a skewed estimate downstream). n_truth is exact and
@@ -2972,6 +2978,20 @@ object SparkEntry {
         |  CAST(big.sum_qty AS DOUBLE) AS sum_qty
         |FROM orders o JOIN big ON o.o_orderkey = big.l_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+
+    "q_pareto_cut" ->
+      """WITH pk AS (SELECT o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |h AS (SELECT v, COUNT(*) AS nc, v * COUNT(*) AS sv FROM pk GROUP BY 1),
+        |c AS (SELECT v, nc, sv,
+        |  SUM(sv) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING) AS cum,
+        |  SUM(nc) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING) AS cumc FROM h),
+        |tt AS (SELECT CAST(SUM(v) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS n_keys FROM pk)
+        |SELECT n_keys, t AS total_cents, v AS v_star_cents,
+        |  CAST(cumc - nc + ((t*4+4)//5 - (cum - sv) + v - 1)//v AS BIGINT) AS n_top,
+        |  ROUND(CAST(cumc - nc + ((t*4+4)//5 - (cum - sv) + v - 1)//v AS DOUBLE) / n_keys, 6) AS top_frac
+        |FROM c, tt WHERE cum >= (t*4+4)//5 AND cum - sv < (t*4+4)//5""".stripMargin,
 
     "q_skew_audit" ->
       """WITH ec AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),

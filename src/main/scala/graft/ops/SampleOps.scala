@@ -620,4 +620,39 @@ object SampleOps {
     cum.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
       .select(col(keyCol) +: interp: _*)
   }
+
+  /**
+   * Pareto concentration cut — "how many top keys carry `pctNum/pctDen` of the total
+   * value" (the 80/20 audit: revenue concentration, token-budget concentration by
+   * source, storage by table). Distributed the value-histogram way: one keyed
+   * aggregation to per-key totals on an exact integer grid (`cents` of the DECIMAL
+   * sum), a value-histogram rollup, and a cumulative over the GRID rows in
+   * descending-value order — the window's state is bounded by the value range, never
+   * the key count (the percentile/RFM discipline). The crossing row is unique
+   * (`cum ≥ target` and `cum − sv < target`), the partial count at the boundary value
+   * is exact integer ceil-division, and the two output ratios are single pinned double
+   * divisions.
+   */
+  def paretoCut(df: DataFrame, keyCol: String, valueCol: Column,
+      pctNum: Int = 4, pctDen: Int = 5): DataFrame = {
+    val perKey = df.groupBy(col(keyCol))
+      .agg((sum(valueCol.cast(DecimalType(18, 2))) * 100).cast("long").as("v"))
+    val hist = perKey.groupBy(col("v"))
+      .agg(count(lit(1)).as("nc"), (col("v") * count(lit(1))).as("sv"))
+    val w = Window.orderBy(col("v").desc).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.select(col("v"), col("nc"), col("sv"),
+      sum(col("sv")).over(w).as("cum"), sum(col("nc")).over(w).as("cumc"))
+    val tot = perKey.agg(sum(col("v")).as("t"), count(lit(1)).as("n_keys"))
+    val target = expr(s"(t * $pctNum + ${pctDen - 1}) div $pctDen")
+    cum.crossJoin(broadcast(tot))
+      .filter(col("cum") >= target && col("cum") - col("sv") < target)
+      .select(col("n_keys"), col("t").as("total_cents"), col("v").as("v_star_cents"),
+        (col("cumc") - col("nc") +
+          expr("(((t * " + pctNum + " + " + (pctDen - 1) + ") div " + pctDen +
+            ") - (cum - sv) + v - 1) div v")).as("n_top"),
+        round((col("cumc") - col("nc") +
+          expr("(((t * " + pctNum + " + " + (pctDen - 1) + ") div " + pctDen +
+            ") - (cum - sv) + v - 1) div v")).cast(DoubleType) / col("n_keys"), 6)
+          .as("top_frac"))
+  }
 }
