@@ -324,6 +324,47 @@ object SparkEntry {
     "q_pareto_cut" -> ((s, dir) =>
       SampleOps.paretoCut(t(s, dir, "orders"), "o_custkey", col("o_totalprice"))),
 
+    // Benford first-digit audit — the synthetic/fabricated-numbers detector for a value
+    // column: observed first-significant-digit distribution vs Benford's log10(1+1/d),
+    // per-digit chi-square contribution. 9-row output; ONE counting aggregate over the
+    // scan (first digit from the DECIMAL string render — no float log in the bucketing);
+    // expected shares enter as a FIXED 6dp decimal table so both engines' chi-square
+    // terms are the same pinned doubles. Natural multi-magnitude data (prices) tracks
+    // Benford; a uniform generator (this testdata) visibly does not — chi2 says which.
+    "q_benford" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      // Benford expected shares, round(log10(1+1/d), 6), d = 1..9 — shared literal table
+      val exp9 = Seq(0.30103, 0.176091, 0.124939, 0.09691, 0.079181,
+        0.066947, 0.057992, 0.051153, 0.045757)
+      val expCol = element_at(array(exp9.map(lit): _*), col("digit").cast("int"))
+      val digits = o.select(substring(dec(col("o_totalprice")).cast("string"), 1, 1)
+          .cast("long").as("digit"))
+        .filter(col("digit").between(1, 9))
+      val n = digits.agg(count(lit(1)).as("n_total"))
+      val dev = col("n_obs").cast(DoubleType) - expCol * col("n_total")
+      digits.groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+        .crossJoin(broadcast(n))
+        .select(col("digit"), col("n_obs"), col("n_total"),
+          round(col("n_obs").cast(DoubleType) / col("n_total"), 6).as("obs_share"),
+          expCol.as("exp_share"),
+          // dev*dev, not pow(dev,2): libm pow is not bit-pinned across engines
+          round(dev * dev / (expCol * col("n_total")), 6).as("chi2_term"))
+        .orderBy(col("digit"))
+    }),
+
+    // Hour-of-week activity heatmap — the seasonality profile behind load forecasting
+    // and anomaly baselines: events per (day-of-week, hour-of-day) cell, integer epoch
+    // arithmetic only (1970-01-01 = Thursday, so dow = (epoch_day + 4) % 7 with Sunday=0
+    // — identical in any engine, no timezone/calendar library involved)
+    "ev_hour_of_week" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.select(expr("unix_millis(ts) div 86400000").as("d"),
+          expr("(unix_millis(ts) div 3600000) % 24").as("hour"))
+        .select(expr("(d + 4) % 7").as("dow"), col("hour"))
+        .groupBy(col("dow"), col("hour"))
+        .agg(count(lit(1)).as("n_events"))
+    }),
+
     // dedup-QA: recall of the LSH candidate generator against the EXACT jaccard>=0.5
     // ground truth (the blocking must not lose true pairs — a silent banding bug shows
     // up here as recall, not as a skewed estimate downstream). n_truth is exact and
@@ -1868,6 +1909,12 @@ object SparkEntry {
         .withColumn("sim", round(col("sim"), 4))
     }),
 
+    // Per-class outlier exemplar: the vector least aligned with its label centroid
+    // (mislabel/contamination triage); narrow scoring map, decimal-quantized per-row
+    // HOF sums make it a FULL oracle
+    "emb_class_outliers" -> ((s, dir) =>
+      VectorOps.classOutliers(t(s, dir, "embeddings"))),
+
     // Per-label centroid cosine matrix — class separation / embedding drift audit;
     // cos(mean_a, mean_b) = cos(sum_a, sum_b), so exact decimal sums + one pinned
     // double division make this a FULL oracle (no verdict needed)
@@ -2705,6 +2752,28 @@ object SparkEntry {
       ("SELECT COUNT(*) AS n_queries, TRUE AS first_ok, TRUE AS size_subset_ok, " +
         "TRUE AS diversity_ok FROM embeddings WHERE vec_id < 8"),
 
+    "emb_class_outliers" ->
+      """WITH el AS (SELECT vec_id, label AS lbl, generate_subscripts(embedding, 1) AS i,
+        |  unnest(embedding) AS x FROM embeddings),
+        |s AS (SELECT lbl, i, SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,8))) AS s
+        |  FROM el GROUP BY 1, 2),
+        |snrm AS (SELECT lbl,
+        |  SUM(CAST(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) AS DECIMAL(28,10))) AS nn
+        |  FROM s GROUP BY 1),
+        |dots AS (SELECT vec_id, el.lbl,
+        |  SUM(CAST(CAST(x AS DOUBLE) * CAST(s.s AS DOUBLE) AS DECIMAL(28,12))) AS dotv,
+        |  SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS nv
+        |  FROM el JOIN s ON el.lbl = s.lbl AND el.i = s.i GROUP BY 1, 2),
+        |c AS (SELECT vec_id, dots.lbl,
+        |  CASE WHEN nv = 0 THEN 0.0 ELSE ROUND(CAST(dotv AS DOUBLE)
+        |    / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nn AS DOUBLE))), 6) END AS cos
+        |  FROM dots JOIN snrm ON snrm.lbl = dots.lbl),
+        |cnt AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n_members FROM c GROUP BY 1)
+        |SELECT c.lbl AS label, vec_id AS outlier_id, cos AS centroid_cosine, n_members
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lbl ORDER BY cos ASC, vec_id ASC) AS rn
+        |  FROM c) c JOIN cnt ON cnt.lbl = c.lbl
+        |WHERE rn = 1""".stripMargin,
+
     "emb_centroid_profile" ->
       """WITH el AS (SELECT label AS lbl, generate_subscripts(embedding, 1) AS i,
         |  unnest(embedding) AS x FROM embeddings),
@@ -2992,6 +3061,34 @@ object SparkEntry {
         |  CAST(cumc - nc + ((t*4+4)//5 - (cum - sv) + v - 1)//v AS BIGINT) AS n_top,
         |  ROUND(CAST(cumc - nc + ((t*4+4)//5 - (cum - sv) + v - 1)//v AS DOUBLE) / n_keys, 6) AS top_frac
         |FROM c, tt WHERE cum >= (t*4+4)//5 AND cum - sv < (t*4+4)//5""".stripMargin,
+
+    "q_benford" ->
+      """WITH d AS (SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders),
+        |f AS (SELECT digit FROM d WHERE digit BETWEEN 1 AND 9),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM f),
+        |g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM f GROUP BY 1),
+        |e(digit, exp_share) AS (VALUES
+        |  (1, CAST(0.30103 AS DOUBLE)), (2, CAST(0.176091 AS DOUBLE)),
+        |  (3, CAST(0.124939 AS DOUBLE)), (4, CAST(0.09691 AS DOUBLE)),
+        |  (5, CAST(0.079181 AS DOUBLE)), (6, CAST(0.066947 AS DOUBLE)),
+        |  (7, CAST(0.057992 AS DOUBLE)), (8, CAST(0.051153 AS DOUBLE)),
+        |  (9, CAST(0.045757 AS DOUBLE)))
+        |SELECT digit, n_obs, n_total,
+        |  ROUND(CAST(n_obs AS DOUBLE) / n_total, 6) AS obs_share, exp_share,
+        |  ROUND(dev * dev / (exp_share * n_total), 6) AS chi2_term
+        |FROM (SELECT g.digit, n_obs, n_total, exp_share,
+        |  CAST(n_obs AS DOUBLE) - exp_share * n_total AS dev
+        |  FROM g JOIN e USING (digit), n)
+        |ORDER BY digit""".stripMargin,
+
+    "ev_hour_of_week" ->
+      """WITH b AS (SELECT
+        |  CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000 AS d,
+        |  (CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 3600000) % 24 AS hour
+        |  FROM events)
+        |SELECT (d + 4) % 7 AS dow, hour, COUNT(*) AS n_events
+        |FROM b GROUP BY 1, 2""".stripMargin,
 
     "q_skew_audit" ->
       """WITH ec AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),

@@ -120,6 +120,53 @@ object VectorOps {
   }
 
   /**
+   * Per-class outlier exemplar — for every label, the vector with the LOWEST cosine to
+   * its class centroid: the mislabel/contamination audit a labeled embedding corpus
+   * runs before training (the flagged exemplars are what a human reviews first).
+   *
+   * Exactness without a verdict: centroid direction = the per-(label, dim) DECIMAL
+   * element-sum (counts cancel in cosine, as in [[centroidProfile]]); each row's dot
+   * and norm accumulate DECIMAL(28,12)-quantized per-dim double products INSIDE a
+   * per-row `zip_with`/`aggregate` HOF — order-free exact sums, so the DuckDB oracle
+   * reproduces them through an explode+GROUP BY with the same quantization. One double
+   * division per row at the end, argmin via `min(struct(cos, id))`.
+   *
+   * Scale: label sums are a |labels|·dims aggregate; the scoring pass is a NARROW map
+   * (sums broadcast back as per-label arrays) — the corpus never shuffles for this
+   * per-row quantity; the argmin is an ordinary grouped aggregate.
+   */
+  def classOutliers(df: DataFrame, labelCol: String = "label",
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val d8 = DecimalType(18, 8); val d10 = DecimalType(28, 10); val d12 = DecimalType(28, 12)
+    val sums = df.select(col(labelCol).as("lbl"), posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy(col("lbl"), col("i"))
+      .agg(sum(col("x").cast("double").cast(d8)).as("s"))
+    val perLabel = sums.groupBy(col("lbl")).agg(
+      transform(array_sort(collect_list(struct(col("i"),
+        col("s").cast("double").as("sd")))), e => e.getField("sd")).as("sarr"),
+      sum((col("s").cast("double") * col("s").cast("double")).cast(d10)).as("nn"))
+    val zero = lit(0).cast(d12)
+    val dot = aggregate(
+      zip_with(col(vecCol), col("sarr"),
+        (a, b) => (a.cast("double") * b).cast(d12)),
+      zero, (acc, x) => (acc + x).cast(d12))
+    val nv = aggregate(
+      transform(col(vecCol), a => (a.cast("double") * a.cast("double")).cast(d12)),
+      zero, (acc, x) => (acc + x).cast(d12))
+    val scored = df.join(broadcast(perLabel), col(labelCol) === col("lbl"))
+      .select(col(labelCol), col(idCol), dot.as("dotv"), nv.as("nv"), col("nn"))
+      .select(col(labelCol), col(idCol),
+        when(col("nv") === 0, lit(0.0)).otherwise(
+          round(col("dotv").cast("double")
+            / (sqrt(col("nv").cast("double")) * sqrt(col("nn").cast("double"))), 6))
+          .as("cos"))
+    scored.groupBy(col(labelCol))
+      .agg(min(struct(col("cos"), col(idCol))).as("m"), count(lit(1)).as("n_members"))
+      .select(col(labelCol), col(s"m.$idCol").as("outlier_id"),
+        col("m.cos").as("centroid_cosine"), col("n_members"))
+  }
+
+  /**
    * Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998) of a cosine
    * shortlist — the diversity stage of retrieval-augmented pipelines: greedily pick
    * `kOut` of `kCand` candidates maximizing
