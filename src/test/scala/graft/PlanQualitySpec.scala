@@ -472,6 +472,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "semdedup must never go all-pairs")
   }
 
+  test("q17: brand dim broadcasts BEFORE the fact join (two-brand lineitems only)") {
+    val p = plan("q17_small_qty_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"part dim must broadcast:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("In(p_brand"),
+      s"brand filter must reach the part scan:\n$p")
+  }
+
+  test("emb_class_outliers: scoring is a broadcast join (corpus never shuffles for its own score)") {
+    val p = plan("emb_class_outliers")
+    assert(p.contains("BroadcastHashJoin"), s"per-label sums must broadcast back:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-side sort-merge:\n$p")
+    // exchanges: label-sum aggregate, per-label rollup, final argmin — all on label/(label,i)
+    val keys = "hashpartitioning\\(([a-z_]+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys.subsetOf(Set("lbl", "label")), s"unexpected shuffle keys $keys:\n$p")
+  }
+
+  test("doc_quality_auc: grouped AUC aggregates BEFORE the ordered window (grid-bounded state)") {
+    val p = plan("doc_quality_auc")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, s"expected the cumulative window:\n$p")
+    // the window input must be the grouped (score -> pos/neg) aggregate, not raw rows
+    assert(p.substring(winIdx).contains("HashAggregate") ||
+      p.substring(0, winIdx).split("\n").count(_.contains("HashAggregate")) >= 2,
+      s"window must consume grouped rows, not the corpus:\n$p")
+  }
+
   test("partition pruning: partitioned parquet scans only the matching partition") {
     val base = java.nio.file.Files.createTempDirectory("graft-pp").toString
     spark.read.parquet(s"$dir/events.parquet")
