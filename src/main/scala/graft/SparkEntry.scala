@@ -352,6 +352,39 @@ object SparkEntry {
         .orderBy(col("digit"))
     }),
 
+    // Three-step STRICT-ORDER funnel (view -> click -> purchase): earliest-completion
+    // semantics via running windows — step N's qualifying timestamp only counts when a
+    // step-(N-1) completion exists STRICTLY earlier. ONE user exchange + ONE sort carry
+    // all three steps (the running mins and the per-user rollup share the (user, ts)
+    // window spec, and the final group-by reuses the partitioning). Equal-timestamp
+    // events can't flip the outcome (the < predicate is value-based), so the result is
+    // tie-order-free and exactly reproducible.
+    "ev_funnel3" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), expr("unix_millis(ts)").as("ms"),
+          col("event_id"))
+      val before = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val perUser = e
+        .withColumn("s1run", min(when(col("event_type") === "view", col("ms"))).over(before))
+        .withColumn("q2ms",
+          when(col("event_type") === "click" && col("s1run") < col("ms"), col("ms")))
+        .withColumn("s2run", min(col("q2ms")).over(before))
+        .withColumn("q3ms",
+          when(col("event_type") === "purchase" && col("s2run") < col("ms"), col("ms")))
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ms"))).as("s1"),
+          min(col("q2ms")).as("s2"), min(col("q3ms")).as("s3"))
+      perUser.agg(
+          count(col("s1")).as("n_view"),
+          count(col("s2")).as("n_click_after"),
+          count(col("s3")).as("n_purchase_after"))
+        .select(col("n_view"), col("n_click_after"), col("n_purchase_after"),
+          round(col("n_click_after").cast(DoubleType) / col("n_view"), 6).as("rate_12"),
+          round(col("n_purchase_after").cast(DoubleType) / col("n_view"), 6).as("rate_13"))
+    }),
+
     // Hour-of-week activity heatmap — the seasonality profile behind load forecasting
     // and anomaly baselines: events per (day-of-week, hour-of-day) cell, integer epoch
     // arithmetic only (1970-01-01 = Thursday, so dow = (epoch_day + 4) % 7 with Sunday=0
@@ -3081,6 +3114,27 @@ object SparkEntry {
         |  CAST(n_obs AS DOUBLE) - exp_share * n_total AS dev
         |  FROM g JOIN e USING (digit), n)
         |ORDER BY digit""".stripMargin,
+
+    "ev_funnel3" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ms, event_id FROM events),
+        |w1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN ms END) OVER
+        |  (PARTITION BY user_id ORDER BY ms, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS s1run FROM e),
+        |w2 AS (SELECT *, CASE WHEN event_type = 'click' AND s1run < ms THEN ms END AS q2ms FROM w1),
+        |w3 AS (SELECT *, MIN(q2ms) OVER
+        |  (PARTITION BY user_id ORDER BY ms, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS s2run FROM w2),
+        |w4 AS (SELECT *, CASE WHEN event_type = 'purchase' AND s2run < ms THEN ms END AS q3ms FROM w3),
+        |pu AS (SELECT user_id,
+        |  MIN(CASE WHEN event_type = 'view' THEN ms END) AS s1,
+        |  MIN(q2ms) AS s2, MIN(q3ms) AS s3 FROM w4 GROUP BY 1)
+        |SELECT CAST(COUNT(s1) AS BIGINT) AS n_view,
+        |  CAST(COUNT(s2) AS BIGINT) AS n_click_after,
+        |  CAST(COUNT(s3) AS BIGINT) AS n_purchase_after,
+        |  ROUND(CAST(COUNT(s2) AS DOUBLE) / COUNT(s1), 6) AS rate_12,
+        |  ROUND(CAST(COUNT(s3) AS DOUBLE) / COUNT(s1), 6) AS rate_13
+        |FROM pu""".stripMargin,
 
     "ev_hour_of_week" ->
       """WITH b AS (SELECT

@@ -498,6 +498,32 @@ class PlanQualitySpec extends SparkSpec {
       s"window must consume grouped rows, not the corpus:\n$p")
   }
 
+  test("ev_funnel3: strict ordering enforced; one user exchange + one sort for all steps") {
+    // planted users: 1 completes in order; 2 has purchase BEFORE click (step 3 must not
+    // count); 3 views only; 4 clicks before any view (step 2 must not count)
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 1000L, 1L, "view"), (2L, 2000L, 1L, "click"), (3L, 3000L, 1L, "purchase"),
+      (4L, 1000L, 2L, "view"), (5L, 1500L, 2L, "purchase"), (6L, 2000L, 2L, "click"),
+      (7L, 1000L, 3L, "view"),
+      (8L, 500L, 4L, "click"), (9L, 1000L, 4L, "view"), (10L, 1500L, 4L, "purchase"))
+    val base = java.nio.file.Files.createTempDirectory("graft-f3").toString
+    rows.toDF("event_id", "ms", "user_id", "event_type")
+      .select(col("event_id"), timestamp_millis(col("ms")).as("ts"),
+        col("user_id"), col("event_type"))
+      .write.mode("overwrite").parquet(s"$base/events.parquet")
+    val r = SparkEntry.queries("ev_funnel3")(spark, base).head()
+    assert(r.getAs[Long]("n_view") == 4L)
+    assert(r.getAs[Long]("n_click_after") == 2L)      // users 1 and 2 (click after view)
+    assert(r.getAs[Long]("n_purchase_after") == 1L)   // only user 1 is in strict order
+    // user 4: purchase at 1500 > view at 1000, but its click (500) precedes the view —
+    // no qualifying step-2, so step-3 must not fire either (covered by n_purchase_after)
+    val p = plan("ev_funnel3")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size >= 1)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"funnel3 must be join-free:\n$p")
+  }
+
   test("partition pruning: partitioned parquet scans only the matching partition") {
     val base = java.nio.file.Files.createTempDirectory("graft-pp").toString
     spark.read.parquet(s"$dir/events.parquet")
