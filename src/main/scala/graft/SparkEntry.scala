@@ -324,6 +324,13 @@ object SparkEntry {
     "q_pareto_cut" -> ((s, dir) =>
       SampleOps.paretoCut(t(s, dir, "orders"), "o_custkey", col("o_totalprice"))),
 
+    // One-pass Poisson bootstrap CI for mean order value (Chamandy et al.): deterministic
+    // md5-draw multiplicities vs fixed integer CDF thresholds; nReplicas aggregate cells
+    // of state; rank-statistic CI over replica means
+    "q_bootstrap_ci" -> ((s, dir) =>
+      SampleOps.poissonBootstrapCi(t(s, dir, "orders"), col("o_orderkey"),
+        col("o_totalprice"))),
+
     // Benford first-digit audit — the synthetic/fabricated-numbers detector for a value
     // column: observed first-significant-digit distribution vs Benford's log10(1+1/d),
     // per-digit chi-square contribution. 9-row output; ONE counting aggregate over the
@@ -3094,6 +3101,28 @@ object SparkEntry {
         |  CAST(cumc - nc + ((t*4+4)//5 - (cum - sv) + v - 1)//v AS BIGINT) AS n_top,
         |  ROUND(CAST(cumc - nc + ((t*4+4)//5 - (cum - sv) + v - 1)//v AS DOUBLE) / n_keys, 6) AS top_frac
         |FROM c, tt WHERE cum >= (t*4+4)//5 AND cum - sv < (t*4+4)//5""".stripMargin,
+
+    "q_bootstrap_ci" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS VARCHAR) AS k,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM orders),
+        |rep AS (SELECT k, v, r FROM base, UNNEST(generate_series(0, 49)) AS t(r)),
+        |drawn AS (SELECT r, v,
+        |  CAST('0x' || substring(md5(k || ':' || CAST(r AS VARCHAR)), 1, 15) AS BIGINT) AS u
+        |  FROM rep),
+        |mult AS (SELECT r, v, CASE
+        |  WHEN u < 424136118829305329 THEN 0 WHEN u < 848272237658610659 THEN 1
+        |  WHEN u < 1060340297073263324 THEN 2 WHEN u < 1131029650211480879 THEN 3
+        |  WHEN u < 1148701988496035267 THEN 4 WHEN u < 1152236456152946145 THEN 5
+        |  WHEN u < 1152825534095764625 THEN 6 WHEN u < 1152909688087595836 THEN 7
+        |  ELSE 8 END AS c FROM drawn),
+        |means AS (SELECT r, CAST(SUM(c * v) AS DOUBLE) / SUM(c) AS m FROM mult GROUP BY 1),
+        |ranked AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m, r) AS rk FROM means),
+        |pt AS (SELECT CAST(SUM(v) AS BIGINT) AS tv, CAST(COUNT(*) AS BIGINT) AS n FROM base)
+        |SELECT n AS n_rows, CAST(50 AS BIGINT) AS n_replicas,
+        |  ROUND(CAST(tv AS DOUBLE) / n / 100, 6) AS mean,
+        |  ROUND(MIN(CASE WHEN rk = 2 THEN m END) / 100, 6) AS ci_lo,
+        |  ROUND(MIN(CASE WHEN rk = 49 THEN m END) / 100, 6) AS ci_hi
+        |FROM ranked, pt WHERE rk IN (2, 49) GROUP BY n, tv""".stripMargin,
 
     "q_benford" ->
       """WITH d AS (SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS BIGINT) AS digit

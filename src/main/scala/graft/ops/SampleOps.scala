@@ -622,6 +622,54 @@ object SampleOps {
   }
 
   /**
+   * Poisson bootstrap confidence interval (Chamandy et al. 2012, "Estimating Uncertainty
+   * for Massive Data Streams" — the Google one-pass bootstrap): every row enters replica
+   * `r` with multiplicity ~ Poisson(1), drawn DETERMINISTICALLY from the row key + replica
+   * index, so the whole resampling plan is reproducible and oracle-replayable. Inclusion
+   * counts come from a 60-bit md5 draw compared against FIXED integer CDF thresholds
+   * (floor(F_Poisson(k) · 2^60) — pure LONG comparisons, no floating-point boundary can
+   * disagree). One pass over rows×replicas with map-side combine: the aggregate state is
+   * `nReplicas` cells regardless of corpus size, and the CI is a rank-statistic over the
+   * replica means (type-1, ties by replica id). The classic bootstrap resamples n rows
+   * WITH replacement n times — undistributable; Poissonization makes each row's draw
+   * independent, which is exactly what a shared-nothing scan needs.
+   */
+  def poissonBootstrapCi(df: DataFrame, keyCol: Column, valueCol: Column,
+      nReplicas: Int = 50): DataFrame = {
+    // floor(CDF_Poisson(1)(k) * 2^60), k = 0..7; draws >= t7 get multiplicity 8 (the
+    // tail mass beyond 8 is < 1e-5 of 2^60 — the truncation is part of the operator's
+    // spec, identical in both engines)
+    val T = Seq(424136118829305329L, 848272237658610659L, 1060340297073263324L,
+      1131029650211480879L, 1148701988496035267L, 1152236456152946145L,
+      1152825534095764625L, 1152909688087595836L)
+    val base = df.select(keyCol.cast("string").as("__k"),
+      (valueCol.cast(DecimalType(18, 2)) * 100).cast("long").as("__v"))
+    val rep = base.select(col("__k"), col("__v"),
+      explode(sequence(lit(0), lit(nReplicas - 1))).as("r"))
+    val u = graft.ops.TextOps.md5Hash60(concat(col("__k"), lit(":"), col("r").cast("string")))
+    val mult = T.zipWithIndex.foldRight(lit(8): Column) {
+      case ((t, i), acc) => when(u < t, lit(i)).otherwise(acc)
+    }.cast("long")
+    val means = rep.select(col("r"), mult.as("__c"), col("__v"))
+      .groupBy(col("r"))
+      .agg(sum(col("__c") * col("__v")).as("sv"), sum(col("__c")).as("sk"))
+      .select(col("r"), (col("sv").cast(DoubleType) / col("sk")).as("m"))
+    val loRk = math.max(1, math.ceil(0.025 * nReplicas).toInt)
+    val hiRk = math.ceil(0.975 * nReplicas).toInt
+    val ranked = means.withColumn("rk",
+      row_number().over(Window.orderBy(col("m"), col("r"))))
+    val point = base.agg(sum(col("__v")).as("tv"), count(lit(1)).as("n"))
+    ranked.filter(col("rk") === loRk || col("rk") === hiRk)
+      .agg(min(when(col("rk") === loRk, col("m"))).as("mlo"),
+        min(when(col("rk") === hiRk, col("m"))).as("mhi"))
+      .crossJoin(broadcast(point))
+      .select(col("n").as("n_rows"), lit(nReplicas.toLong).as("n_replicas"),
+        round(col("tv").cast(DoubleType) / col("n") / 100, 6).as("mean"),
+        round(col("mlo") / 100, 6).as("ci_lo"),
+        round(col("mhi") / 100, 6).as("ci_hi"))
+  }
+
+  /**
    * Pareto concentration cut — "how many top keys carry `pctNum/pctDen` of the total
    * value" (the 80/20 audit: revenue concentration, token-budget concentration by
    * source, storage by table). Distributed the value-histogram way: one keyed

@@ -4,6 +4,25 @@ import org.apache.spark.sql.functions._
 import graft.operators.AsOfJoin
 import graft.ops.SampleOps
 
+class BootstrapSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("poissonBootstrapCi: degenerate on constant values; brackets the mean otherwise") {
+    // constant value: every replica mean IS the value -> ci_lo = mean = ci_hi exactly
+    val const = (1L to 400L).map(i => (i, 25.0)).toDF("id", "v")
+    val c = graft.ops.SampleOps.poissonBootstrapCi(const, col("id"), col("v")).head()
+    assert(c.getAs[Double]("mean") == 25.0)
+    assert(c.getAs[Double]("ci_lo") == 25.0 && c.getAs[Double]("ci_hi") == 25.0)
+
+    // spread values: the interval must bracket the point estimate and have positive width
+    val spread = (1L to 400L).map(i => (i, (i % 97).toDouble + 1)).toDF("id", "v")
+    val s = graft.ops.SampleOps.poissonBootstrapCi(spread, col("id"), col("v")).head()
+    assert(s.getAs[Double]("ci_lo") < s.getAs[Double]("mean"))
+    assert(s.getAs[Double]("mean") < s.getAs[Double]("ci_hi"))
+    assert(s.getAs[Long]("n_rows") == 400L)
+  }
+}
+
 class SampleAndAsOfSpec extends SparkSpec {
   import spark.implicits._
 
