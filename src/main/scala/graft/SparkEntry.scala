@@ -2431,6 +2431,12 @@ object SparkEntry {
       graft.ops.BpeOps.bpeEncode(t(s, dir, "documents"), model)
     }),
 
+    // the bench draws bootstrap multiplicities from codegen'd xxhash64 — the scale form;
+    // the md5-60 draw stays the Verify gate (same 60-bit thresholds, same rank CI)
+    "q_bootstrap_ci" -> ((s, dir) =>
+      SampleOps.poissonBootstrapCi(t(s, dir, "orders"), col("o_orderkey"),
+        col("o_totalprice"), md5Draw = false)),
+
     // the bench times the one-pass xxh64 monotone-deque winnowing kernel — the form a
     // 100 TB run ships; the md5-60 HOF twin stays the Verify gate (VERDICT r5 #2)
     "doc_winnowing" -> ((s, dir) => winnowingKernelFps(s, dir)),

@@ -635,7 +635,7 @@ object SampleOps {
    * independent, which is exactly what a shared-nothing scan needs.
    */
   def poissonBootstrapCi(df: DataFrame, keyCol: Column, valueCol: Column,
-      nReplicas: Int = 50): DataFrame = {
+      nReplicas: Int = 50, md5Draw: Boolean = true): DataFrame = {
     // floor(CDF_Poisson(1)(k) * 2^60), k = 0..7; draws >= t7 get multiplicity 8 (the
     // tail mass beyond 8 is < 1e-5 of 2^60 — the truncation is part of the operator's
     // spec, identical in both engines)
@@ -646,7 +646,12 @@ object SampleOps {
       (valueCol.cast(DecimalType(18, 2)) * 100).cast("long").as("__v"))
     val rep = base.select(col("__k"), col("__v"),
       explode(sequence(lit(0), lit(nReplicas - 1))).as("r"))
-    val u = graft.ops.TextOps.md5Hash60(concat(col("__k"), lit(":"), col("r").cast("string")))
+    // md5 is the ORACLE draw (DuckDB-reproducible); the scale path draws the same 60-bit
+    // uniform from codegen'd xxhash64 (measured 3.5x faster at sf0.1 — the md5-twin
+    // pattern every engine-specific-hash operator here follows)
+    val u = if (md5Draw)
+      graft.ops.TextOps.md5Hash60(concat(col("__k"), lit(":"), col("r").cast("string")))
+    else shiftrightunsigned(xxhash64(col("__k"), col("r")), 4)
     val mult = T.zipWithIndex.foldRight(lit(8): Column) {
       case ((t, i), acc) => when(u < t, lit(i)).otherwise(acc)
     }.cast("long")

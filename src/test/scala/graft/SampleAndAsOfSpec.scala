@@ -20,6 +20,12 @@ class BootstrapSpec extends SparkSpec {
     assert(s.getAs[Double]("ci_lo") < s.getAs[Double]("mean"))
     assert(s.getAs[Double]("mean") < s.getAs[Double]("ci_hi"))
     assert(s.getAs[Long]("n_rows") == 400L)
+
+    // the xxh64 scale draw satisfies the same invariants (values differ — different PRNG)
+    val f = graft.ops.SampleOps.poissonBootstrapCi(spread, col("id"), col("v"),
+      md5Draw = false).head()
+    assert(f.getAs[Double]("ci_lo") < f.getAs[Double]("mean"))
+    assert(f.getAs[Double]("mean") < f.getAs[Double]("ci_hi"))
   }
 }
 
