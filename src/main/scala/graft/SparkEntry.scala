@@ -495,6 +495,41 @@ object SparkEntry {
           col("sum_qty").cast(DoubleType).as("sum_qty"))
     }),
 
+    // TPC-H Q10 shape: returned-item revenue top-20 — 3-way fact join with the flag
+    // filter pushed to the lineitem scan, customer dim enriches AFTER the aggregate
+    // (the aggregate's key set is small), top-k via bounded heap not a global sort
+    "q10_returned_revenue" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
+      l.filter(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(dec(col("l_extendedprice"), 12, 2) * (lit(1) - dec(col("l_discount"), 4, 2)))
+          .as("rev"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("rev").cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q15 shape: top supplier(s) by quarterly revenue — the correlated
+    // `revenue = (SELECT MAX ...)` DECORRELATED into a broadcast scalar max joined
+    // against the same aggregated view (computed once, reused for max AND probe)
+    "q15_top_supplier" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem"); val sup = t(s, dir, "supplier")
+      val rev = l.filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dec(col("l_extendedprice"), 12, 2) * (lit(1) - dec(col("l_discount"), 4, 2)))
+          .as("total_rev"))
+      val mx = rev.agg(max(col("total_rev")).as("__mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_rev") === col("__mx"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast(DoubleType).as("total_revenue"))
+    }),
+
     // Join-key skew audit — the pre-flight a 100 TB shuffle plan runs BEFORE committing
     // to a partitioning: per-key counts in one exchange, then four scalar moments.
     //   skew_ratio   = max_c / mean_c       (>> 1 ⇒ hot key; AQE skew-join or salt)
@@ -3093,6 +3128,26 @@ object SparkEntry {
         |  CAST(big.sum_qty AS DOUBLE) AS sum_qty
         |FROM orders o JOIN big ON o.o_orderkey = big.l_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+
+    "q10_returned_revenue" ->
+      """WITH r AS (SELECT o.o_custkey,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS rev
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_returnflag = 'R' GROUP BY 1)
+        |SELECT c.c_custkey, c.c_name, c.c_mktsegment, CAST(rev AS DOUBLE) AS revenue
+        |FROM r JOIN customer c ON r.o_custkey = c.c_custkey
+        |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)""".stripMargin,
 
     "q_pareto_cut" ->
       """WITH pk AS (SELECT o_custkey,
