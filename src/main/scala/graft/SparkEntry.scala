@@ -67,6 +67,40 @@ object SparkEntry {
   /** Source pairs for the JSD shift check — shared by the query and its generated oracle. */
   private val JsdPairs = Seq(("src0", "src1"), ("src0", "src19"), ("src5", "src7"))
 
+  /** Full Naive-Bayes train+score replay in DuckDB (Laplace grid, decimal log terms,
+    * deterministic argmax) — shared by the per-doc gate and the confusion rollup. */
+  private val nbReplayCte =
+    """WITH s AS (SELECT doc_id, lang, text,
+      |    CAST('0x'||substring(md5(text),1,4) AS INT) % 100 AS b FROM documents),
+      |trt AS (SELECT lang AS label,
+      |  unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS token
+      |  FROM s WHERE b < 90),
+      |freq AS (SELECT label, token, COUNT(*) AS cnt FROM trt GROUP BY 1, 2),
+      |tot AS (SELECT label, CAST(SUM(cnt) AS BIGINT) AS tot FROM freq GROUP BY 1),
+      |voc AS (SELECT COUNT(DISTINCT token) AS v FROM freq),
+      |vt AS (SELECT DISTINCT token FROM freq),
+      |lp AS (SELECT vt.token, t.label,
+      |    CAST(LOG10(CAST(COALESCE(f.cnt, 0) + 1 AS DOUBLE) / CAST(t.tot + voc.v AS DOUBLE))
+      |      AS DECIMAL(18,8)) AS lp
+      |  FROM vt CROSS JOIN tot t CROSS JOIN voc
+      |  LEFT JOIN freq f ON f.label = t.label AND f.token = vt.token),
+      |pri AS (SELECT lang AS label, COUNT(*) AS nd FROM s WHERE b < 90 GROUP BY 1),
+      |prilp AS (SELECT label,
+      |    CAST(LOG10(CAST(nd AS DOUBLE) / (SELECT CAST(SUM(nd) AS DOUBLE) FROM pri))
+      |      AS DECIMAL(18,8)) AS plp FROM pri),
+      |tet AS (SELECT doc_id, lang, token, COUNT(*) AS k FROM (
+      |    SELECT doc_id, lang,
+      |      unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS token
+      |    FROM s WHERE b >= 90) GROUP BY 1, 2, 3),
+      |sc AS (SELECT te.doc_id, te.lang, l.label,
+      |    SUM(CAST(te.k AS DECIMAL(10,0)) * l.lp) AS ssum
+      |  FROM tet te JOIN lp l USING (token) GROUP BY 1, 2, 3),
+      |best AS (SELECT sc.doc_id, sc.lang, sc.label,
+      |    ROW_NUMBER() OVER (PARTITION BY sc.doc_id
+      |      ORDER BY sc.ssum + p.plp DESC, sc.label ASC) AS rn
+      |  FROM sc JOIN prilp p USING (label))
+      |""".stripMargin
+
   // ---------------------------------------------------------------------------------------------
   // CDC: simulated Debezium envelope stream over the `events` table.
   // op mapping: signup→c, purchase→u, error→d (delete), else r; entity pk = user_id;
@@ -1628,6 +1662,17 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       val bucket = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int") % 100
       TextOps.naiveBayesClassify(d.filter(bucket < 90), d.filter(bucket >= 90))
+    }),
+
+    // NB confusion matrix — the per-class error breakdown behind the accuracy number
+    // (which wrong language absorbs the misclassifications); same train/score replay,
+    // |langs|² rollup
+    "doc_nb_confusion" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val bucket = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int") % 100
+      TextOps.naiveBayesClassify(d.filter(bucket < 90), d.filter(bucket >= 90))
+        .groupBy(col("lang"), col("pred_label"))
+        .agg(count(lit(1)).as("n"))
     }),
 
     // per-doc Shannon entropy of the token distribution (degenerate/looped text filter):
@@ -4566,38 +4611,13 @@ object SparkEntry {
 
     // full NB replay: Laplace grid over vocab x label (LEFT join gives unseen-in-class
     // tokens their floor), decimal-quantized log terms, argmax by score DESC then label
-    "doc_nb_langid" ->
-      """WITH s AS (SELECT doc_id, lang, text,
-        |    CAST('0x'||substring(md5(text),1,4) AS INT) % 100 AS b FROM documents),
-        |trt AS (SELECT lang AS label,
-        |  unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS token
-        |  FROM s WHERE b < 90),
-        |freq AS (SELECT label, token, COUNT(*) AS cnt FROM trt GROUP BY 1, 2),
-        |tot AS (SELECT label, CAST(SUM(cnt) AS BIGINT) AS tot FROM freq GROUP BY 1),
-        |voc AS (SELECT COUNT(DISTINCT token) AS v FROM freq),
-        |vt AS (SELECT DISTINCT token FROM freq),
-        |lp AS (SELECT vt.token, t.label,
-        |    CAST(LOG10(CAST(COALESCE(f.cnt, 0) + 1 AS DOUBLE) / CAST(t.tot + voc.v AS DOUBLE))
-        |      AS DECIMAL(18,8)) AS lp
-        |  FROM vt CROSS JOIN tot t CROSS JOIN voc
-        |  LEFT JOIN freq f ON f.label = t.label AND f.token = vt.token),
-        |pri AS (SELECT lang AS label, COUNT(*) AS nd FROM s WHERE b < 90 GROUP BY 1),
-        |prilp AS (SELECT label,
-        |    CAST(LOG10(CAST(nd AS DOUBLE) / (SELECT CAST(SUM(nd) AS DOUBLE) FROM pri))
-        |      AS DECIMAL(18,8)) AS plp FROM pri),
-        |tet AS (SELECT doc_id, lang, token, COUNT(*) AS k FROM (
-        |    SELECT doc_id, lang,
-        |      unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS token
-        |    FROM s WHERE b >= 90) GROUP BY 1, 2, 3),
-        |sc AS (SELECT te.doc_id, te.lang, l.label,
-        |    SUM(CAST(te.k AS DECIMAL(10,0)) * l.lp) AS ssum
-        |  FROM tet te JOIN lp l USING (token) GROUP BY 1, 2, 3),
-        |best AS (SELECT sc.doc_id, sc.lang, sc.label,
-        |    ROW_NUMBER() OVER (PARTITION BY sc.doc_id
-        |      ORDER BY sc.ssum + p.plp DESC, sc.label ASC) AS rn
-        |  FROM sc JOIN prilp p USING (label))
-        |SELECT doc_id, lang, label AS pred_label, (label = lang) AS correct
-        |FROM best WHERE rn = 1""".stripMargin,
+    "doc_nb_langid" -> (nbReplayCte +
+      """SELECT doc_id, lang, label AS pred_label, (label = lang) AS correct
+        |FROM best WHERE rn = 1""".stripMargin),
+
+    "doc_nb_confusion" -> (nbReplayCte +
+      """SELECT lang, label AS pred_label, COUNT(*) AS n
+        |FROM best WHERE rn = 1 GROUP BY 1, 2""".stripMargin),
 
     "doc_uniform_take" ->
       """SELECT doc_id, CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS h
