@@ -1717,6 +1717,29 @@ object SparkEntry {
       SampleOps.packGreedy(stats, tokenCol = "n_tokens", budget = 2048L)
     }),
 
+    // packing-efficiency audit: per-(stratum) fill/waste profile of the greedy packer —
+    // the batch-efficiency number a training job reports (pad tokens = wasted FLOPs).
+    // Rolls the per-doc pack assignment up to bins, then to one row per stratum:
+    // full bins (every bin but the open tail can exceed budget only by its last doc's
+    // spill, so fill is capped at budget for the waste calc), exact integer token sums.
+    "doc_pack_efficiency" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val stats = TextOps.tokenStats(d, keep = Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+      val budget = 2048L
+      val bins = SampleOps.packGreedy(stats, tokenCol = "n_tokens", budget = budget)
+        .groupBy(col("lang"), col("bin_id"))
+        .agg(sum(col("n_tokens")).cast("long").as("fill"), count(lit(1)).as("n_docs"))
+      bins.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_bins"), sum(col("n_docs")).as("n_docs"),
+          sum(col("fill")).as("tokens"),
+          sum(least(col("fill"), lit(budget))).as("capped_fill"),
+          max(col("fill")).as("max_fill"))
+        .select(col("lang"), col("n_bins"), col("n_docs"), col("tokens"), col("max_fill"),
+          round(col("capped_fill").cast(DoubleType) / (col("n_bins") * budget), 6)
+            .as("fill_ratio"))
+    }),
+
     // incremental NEAR-dup admission, self-verifying verdict gate (like the ANN gates):
     // src0 docs play the ingested corpus (present only as minhash sigs); the batch is the
     // other sources plus PLANTED near-copies of indexed docs (one appended token,
@@ -3852,6 +3875,21 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS tokens_before
         |  FROM tk)
         |SELECT doc_id, lang, n_tokens, tokens_before, tokens_before // 2048 AS bin_id FROM w""".stripMargin,
+
+    "doc_pack_efficiency" ->
+      """WITH tk AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |w AS (SELECT doc_id, lang, n_tokens,
+        |  CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS tokens_before
+        |  FROM tk),
+        |bins AS (SELECT lang, tokens_before // 2048 AS bin_id,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS fill, COUNT(*) AS n_docs FROM w GROUP BY 1, 2)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_bins, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(SUM(fill) AS BIGINT) AS tokens, CAST(MAX(fill) AS BIGINT) AS max_fill,
+        |  ROUND(CAST(SUM(LEAST(fill, 2048)) AS DOUBLE) / (COUNT(*) * 2048), 6) AS fill_ratio
+        |FROM bins GROUP BY 1""".stripMargin,
 
     // BM25: identical formula with the SAME double-op order — composite constants appear
     // as (1.2 + 1.0)/(1.0 - 0.75) so both engines fold them with the same IEEE ops, and
