@@ -2427,6 +2427,44 @@ object SparkEntry {
       MultimodalOps.aHash(d.select(col("doc_id"), col("blob")), "blob", "doc_id")
     }),
 
+    // DCT perceptual hash (pHash) — verdict gate (fixed-point DCT is integer-exact but
+    // not SQL-expressible). Honest contract on NOISE-LIKE blobs (text bytes have no
+    // low-frequency structure, so absolute edit budgets only hold on image-like smooth
+    // content — pinned in PHashSpec on gradient buffers): (a) the distributed path is
+    // deterministic (re-hash equals), (b) an 8-byte local edit stays MEANINGFULLY
+    // closer than unrelated pairs on average (measured 18.3 vs 31.4 at sf0.01),
+    // (c) src_h is byte-exact len div 32 on every row.
+    "mm_phash" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("blob", encode(col("text"), "UTF-8"))
+        .filter(length(col("blob")) >= 256)
+      val ids = d.select(col("doc_id"), col("blob"), length(col("blob")).as("len"))
+      val orig = MultimodalOps.pHash(ids, "blob", "doc_id")
+        .withColumnRenamed("phash", "h0").withColumnRenamed("src_h", "sh0")
+      val again = MultimodalOps.pHash(ids, "blob", "doc_id")
+        .select(col("doc_id"), col("phash").as("h0b"))
+      val editedBlob = concat(substring(col("blob"), 1, 100),
+        lit(Array.fill[Byte](8)(0)), substring(col("blob"), 109, 1 << 24))
+      val edited = MultimodalOps.pHash(
+        d.select(col("doc_id"), editedBlob.as("blob")), "blob", "doc_id")
+        .select(col("doc_id"), col("phash").as("h1"))
+      val lens = ids.select(col("doc_id"), col("len"))
+      val editJoin = orig.join(edited, "doc_id").join(again, "doc_id").join(lens, "doc_id")
+        .select(expr("bit_count(h0 ^ h1)").as("ham"),
+          (col("h0") === col("h0b")).as("same"),
+          (col("sh0") === expr("len div 32")).as("shok"))
+      val pairs = orig.select(col("doc_id"), col("h0"))
+        .join(orig.select((col("doc_id") - 1).as("doc_id"), col("h0").as("hN")), "doc_id")
+        .select(expr("bit_count(h0 ^ hN)").as("hamp"))
+      val eAgg = editJoin.agg(count(lit(1)).as("n_docs"), avg(col("ham")).as("__avge"),
+        min(col("same").cast("int")).as("__det"), min(col("shok").cast("int")).as("__sh"))
+      val pAgg = pairs.agg(avg(col("hamp")).as("__avgp"))
+      eAgg.crossJoin(pAgg).select(
+        col("n_docs"),
+        (col("__det") === 1 && col("__sh") === 1).as("deterministic_ok"),
+        (col("__avge") + 6.0 <= col("__avgp")).as("edit_closer_ok"))
+    }),
+
     // image near-dup pairs: aHash + 15-bit-chunk pigeonhole blocking (the SimHash
     // scheme on the image modality) — candidates from an equality join, never pairwise
     "mm_ahash_pairs" -> ((s, dir) => {
@@ -2900,6 +2938,10 @@ object SparkEntry {
     "emb_mmr_rerank" ->
       ("SELECT COUNT(*) AS n_queries, TRUE AS first_ok, TRUE AS size_subset_ok, " +
         "TRUE AS diversity_ok FROM embeddings WHERE vec_id < 8"),
+
+    "mm_phash" ->
+      ("SELECT COUNT(*) AS n_docs, TRUE AS deterministic_ok, TRUE AS edit_closer_ok " +
+        "FROM documents WHERE octet_length(encode(text)) >= 256"),
 
     "emb_class_outliers" ->
       """WITH el AS (SELECT vec_id, label AS lbl, generate_subscripts(embedding, 1) AS i,

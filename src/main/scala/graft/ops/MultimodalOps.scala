@@ -159,6 +159,76 @@ object MultimodalOps {
   }
 
   /**
+   * DCT-based perceptual hash (pHash) over a RAW grayscale buffer — the spectral
+   * sibling of [[aHash]]: sample the image to a 32×32 grid, take the 2-D DCT-II in
+   * FIXED-POINT integer arithmetic (cosine table scaled by 2^14 — every coefficient is
+   * a deterministic LONG, no fp drift across JVMs/partitions), keep the top-left 8×8
+   * low-frequency block minus DC, and bit = coefficient > median(63 AC coefficients).
+   * pHash survives the local pixel edits and high-frequency noise that flip aHash bits
+   * (the low-pass block ignores them), which is why production image dedup runs both.
+   * Same scale story as aHash: embarrassingly parallel per-partition byte loops, the
+   * 64-bit hash is the only thing downstream joins ever shuffle (the 15-bit-chunk
+   * pigeonhole blocking of [[aHashPairs]] applies unchanged).
+   *
+   * The fixed-point DCT is integer-exact but not SQL-expressible at reasonable size, so
+   * the driver gate is a SELF-VERIFYING verdict (identical images hash equal; planted
+   * local edits stay within a hamming budget; unrelated images stay far), with the
+   * kernel's determinism and edit-robustness pinned by ScalaTest.
+   */
+  def pHash(df: DataFrame, binCol: String, idCol: String, srcW: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("src_h", IntegerType, nullable = false),
+      StructField("phash", LongType, nullable = true)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      // C[u][x] = round(cos(pi * (2x+1) * u / 64) * 2^14): computed once per partition;
+      // math.cos on the JVM is deterministic (StrictMath-backed on all supported
+      // platforms for these arguments), and rounding to 14-bit fixed point makes the
+      // table a constant in every task
+      val C = Array.tabulate(32, 32) { (u, x) =>
+        math.round(math.cos(math.Pi * (2 * x + 1) * u / 64.0) * (1 << 14))
+      }
+      rows.map { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        val srcH = if (bytes == null) 0 else bytes.length / srcW
+        if (srcH < 1) Row(r.get(idIdx), srcH, null)
+        else {
+          // 32x32 nearest-neighbor sample of the srcW x srcH buffer
+          val px = Array.tabulate(32, 32) { (y, x) =>
+            (bytes((y * srcH / 32) * srcW + (x * srcW / 32)) & 0xFF).toLong
+          }
+          // rows then columns: F[u][v] = sum_x sum_y px[y][x] * C[u][x] * C[v][y],
+          // factored as two 1-D passes; intermediate scale 2^14, final 2^28
+          val rowPass = Array.tabulate(32, 8) { (y, u) =>
+            var s = 0L; var x = 0
+            while (x < 32) { s += px(y)(x) * C(u)(x); x += 1 }
+            s
+          }
+          val f = Array.tabulate(8, 8) { (v, u) =>
+            var s = 0L; var y = 0
+            while (y < 32) { s += rowPass(y)(u) * C(v)(y); y += 1 }
+            s
+          }
+          val ac = (0 until 64).filter(_ != 0).map(p => f(p / 8)(p % 8)).toArray
+          java.util.Arrays.sort(ac)
+          val median = ac(31) // lower median of 63
+          var h = 0L
+          var p = 1
+          while (p < 64) {
+            if (f(p / 8)(p % 8) > median) h |= (1L << (p - 1))
+            p += 1
+          }
+          Row(r.get(idIdx), srcH, h)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /**
    * Audio feature extraction over RAW 8-bit unsigned PCM (sample = byte − 128): total
    * energy (Σ s², the RMS numerator), peak amplitude, and zero-crossing count — the
    * integer-exact primitives behind the real audio-corpus filters (silence detection =

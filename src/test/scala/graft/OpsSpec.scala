@@ -989,6 +989,35 @@ class BucketingSpec extends SparkSpec {
   }
 }
 
+class PHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ph(bufs: Seq[(Long, Array[Byte])]): Map[Long, Long] =
+    MultimodalOps.pHash(bufs.toDF("doc_id", "blob"), "blob", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+
+  test("pHash: deterministic, brightness-shift invariant, local-edit robust, discriminative") {
+    // SMOOTH buffers (gradients), the content class where pHash's low-pass robustness
+    // claim holds — on noise-like content (e.g. text bytes) only the relative
+    // separation survives, which is what the driver gate asserts instead
+    def buf(sx: Int, sy: Int) = Array.tabulate(32 * 64) { i =>
+      val x = i % 32; val y = i / 32
+      (((x * sx + y * sy) % 160) + 40).toByte
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val a = buf(3, 2)
+    val brightened = a.map(b => (b + 20).toByte)       // stays < 255, no clamp
+    val edited = a.clone(); (600 until 608).foreach(i => edited(i) = 0)
+    val h = ph(Seq((1L, a), (2L, a.clone()), (3L, brightened), (4L, edited), (5L, buf(-3, 5))))
+    assert(h(1L) == h(2L))                              // deterministic
+    // uniform +20: DC absorbs it; fixed-point AC rows sum to ~0 -> at most a couple of
+    // borderline bits may flip from the 2^14 rounding
+    assert(ham(h(1L), h(3L)) <= 2, s"brightness flipped ${ham(h(1L), h(3L))} bits")
+    assert(ham(h(1L), h(4L)) <= 12, s"local edit flipped ${ham(h(1L), h(4L))} bits")
+    assert(ham(h(1L), h(5L)) >= 10, s"unrelated images too close: ${ham(h(1L), h(5L))}")
+  }
+}
+
 class MultimodalOpsSpec extends SparkSpec {
   import spark.implicits._
 
