@@ -2218,6 +2218,27 @@ object SparkEntry {
         candCapFloor = 400L, candCapFrac = 0.6, corpus = e)
     }),
 
+    // IVF cell-balance audit — doc_block_audit's vector-side twin: profile the coarse
+    // quantizer's cell occupancy BEFORE committing to it (a collapsed clustering makes
+    // every probe a full scan). Occupancy values are kmeans-engine-specific, so the
+    // gate pins mass conservation (assignments sum to the corpus — catches dropped
+    // rows), spread (> 1 cell used), and non-degeneracy (no cell holds everything).
+    "emb_ivf_balance" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val centroids = VectorOps.kmeansFit(e, 16, iters = 2)
+      val cells = e.select(graft.functions.VectorFunctions
+          .nearestCentroids(col("embedding"), centroids, 1).getItem(0).as("cell"))
+        .groupBy(col("cell")).agg(count(lit(1)).as("sz"))
+      val n = e.agg(count(lit(1)).as("n_vectors"))
+      cells.agg(sum(col("sz")).as("__mass"), count(lit(1)).as("__used"),
+          max(col("sz")).as("__mx"), sum(col("sz") * col("sz")).as("__cost"))
+        .crossJoin(broadcast(n))
+        .select(col("n_vectors"),
+          (col("__mass") === col("n_vectors")).as("mass_ok"),
+          (col("__used") > 1).as("spread_ok"),
+          (col("__mx") < col("n_vectors")).as("nondegenerate_ok"))
+    }),
+
     // composed IVF-PQ (IVFADC): both models fit once and feed both the candidate set
     // and the probe — the gate's recall/boundedness contract matches emb_ann_ivf
     "emb_ann_ivfpq" -> ((s, dir) => {
@@ -2942,6 +2963,10 @@ object SparkEntry {
     "mm_phash" ->
       ("SELECT COUNT(*) AS n_docs, TRUE AS deterministic_ok, TRUE AS edit_closer_ok " +
         "FROM documents WHERE octet_length(encode(text)) >= 256"),
+
+    "emb_ivf_balance" ->
+      ("SELECT COUNT(*) AS n_vectors, TRUE AS mass_ok, TRUE AS spread_ok, " +
+        "TRUE AS nondegenerate_ok FROM embeddings"),
 
     "emb_class_outliers" ->
       """WITH el AS (SELECT vec_id, label AS lbl, generate_subscripts(embedding, 1) AS i,
