@@ -1493,6 +1493,14 @@ object SparkEntry {
     "doc_containment" -> ((s, dir) =>
       DedupOps.ngramContainmentPairs(t(s, dir, "documents"))),
 
+    // dedup-threshold sensitivity curve: pair counts per 0.1 jaccard band (from a low
+    // 0.05 floor) — the tuning artifact that says what a threshold move costs BEFORE
+    // re-running the dedup; same inverted-index pass, one extra bucket rollup
+    "doc_jaccard_histogram" -> ((s, dir) =>
+      DedupOps.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.05)
+        .select(floor(col("jaccard") * 10).cast("long").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))),
+
     "doc_fingerprint" -> ((s, dir) => TextOps.fingerprint(t(s, dir, "documents"))),
 
     // near-dup clustering: connected components over the exact-verified pair graph; the
@@ -2729,9 +2737,9 @@ object SparkEntry {
   /** Exact distinct-3-gram-shingle Jaccard pairs ≥ 0.2 — the shared oracle for the
     * minhash-LSH (verified) and inverted-index pair queries, and the edge list for the
     * cluster oracle's transitive closure. */
-  private val jaccardPairsOracle =
-    """WITH t AS (SELECT doc_id,
-      |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+  private def jaccardPairsOracleAt(threshold: Double): String =
+    s"""WITH t AS (SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), x -> x <> '') AS toks
       |  FROM documents),
       |shl AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
       |  ELSE list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh FROM t),
@@ -2741,11 +2749,18 @@ object SparkEntry {
       |  FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
       |SELECT p.id_a, p.id_b, ROUND(CAST(p.inter AS DOUBLE)/(sa.n + sb.n - p.inter), 6) AS jaccard
       |FROM pairs p JOIN sizes sa ON sa.doc_id = p.id_a JOIN sizes sb ON sb.doc_id = p.id_b
-      |WHERE CAST(p.inter AS DOUBLE)/(sa.n + sb.n - p.inter) >= 0.2""".stripMargin
+      |WHERE CAST(p.inter AS DOUBLE)/(sa.n + sb.n - p.inter) >= $threshold""".stripMargin
+
+  private val jaccardPairsOracle = jaccardPairsOracleAt(0.2)
 
   def oracleSql: Map[String, String] = Map(
 
     "doc_ngram_jaccard" -> jaccardPairsOracle,
+
+    "doc_jaccard_histogram" ->
+      (s"WITH pr AS (${jaccardPairsOracleAt(0.05)})\n" +
+        "SELECT CAST(FLOOR(jaccard * 10) AS BIGINT) AS bucket, COUNT(*) AS n_pairs " +
+        "FROM pr GROUP BY 1"),
 
     "doc_containment" ->
       """WITH t AS (SELECT doc_id,
