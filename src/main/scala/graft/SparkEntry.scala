@@ -564,6 +564,108 @@ object SparkEntry {
           col("total_rev").cast(DoubleType).as("total_revenue"))
     }),
 
+    // TPC-H Q4 shape: priority count over an EXISTS — the correlated EXISTS becomes a
+    // LEFT SEMI join, so the (huge) lineitem side contributes at most one match per
+    // order and never widens the row. The date filter prunes the orders scan FIRST;
+    // only the surviving quarter's orderkeys shuffle for the semi probe.
+    "q4_exists_priority" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
+      o.filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1996-04-01"))
+        .join(l.filter(col("l_returnflag") === "R").select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q12 shape: one fact→dim join feeding a CONDITIONAL aggregate pair — both
+    // priority classes come out of a single pass (no second scan, no self-join); the
+    // ship-year predicate prunes the lineitem scan before the join.
+    "q12_priority_lines" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // TPC-H Q14 shape: promo-revenue share — conditional-aggregate ratio over one
+    // month's fact joined to the part dim. Sums stay exact DECIMAL; ONE double division
+    // at the end (identical operand bits in both engines), so the percentage is
+    // reproducible. The month filter reaches the lineitem scan; part broadcasts.
+    "q14_promo_share" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_type"))
+      val rev = dec(col("l_extendedprice"), 12, 2) * (lit(1) - dec(col("l_discount"), 4, 2))
+      l.filter(col("l_shipdate") >= lit("1996-03-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(sum(when(col("p_type") === "PROMO", rev).otherwise(dec(lit(0), 12, 2)))
+            .as("__promo"),
+          sum(rev).as("__total"))
+        .select(col("__promo").cast(DoubleType).as("promo_revenue"),
+          col("__total").cast(DoubleType).as("total_revenue"),
+          round(col("__promo").cast(DoubleType) * 100
+            / col("__total").cast(DoubleType), 6).as("promo_share_pct"))
+    }),
+
+    // TPC-H Q19 shape: disjunctive (OR-of-ANDs) predicate over a fact⋈dim join.
+    // Catalyst extracts the common conjuncts from the OR branches and pushes them INTO
+    // both scans (l_quantity <= 30 on lineitem; p_size BETWEEN 1 AND 40 + the 3-brand
+    // IN-list on part), so the join only sees rows that can satisfy SOME branch; the
+    // full disjunction then evaluates post-join on that reduced set. The part side
+    // broadcasts after its filter.
+    "q19_disjunctive" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val b1 = col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)
+      val b2 = col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 20)
+      val b3 = col("p_brand") === "Brand#3" && col("p_size").between(1, 40) &&
+        col("l_quantity").between(20, 30)
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(b1 || b2 || b3)
+        .agg(sum(dec(col("l_extendedprice"), 12, 2)
+            * (lit(1) - dec(col("l_discount"), 4, 2)))
+          .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q21 shape: "suppliers who kept orders waiting" — the EXISTS/NOT-EXISTS pair
+    // becomes LEFT SEMI + LEFT ANTI joins against two narrow PROJECTIONS of the same
+    // fact (orderkey, suppkey[, flag] — payload never re-shuffles). All three legs hash
+    // on l_orderkey, so one exchange layout serves the semi, the anti and the probe;
+    // the supplier dim broadcasts onto the (tiny) aggregated result.
+    "q21_waiting_supplier" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val sup = t(s, dir, "supplier")
+      val l1 = l.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val others = l.select(col("l_orderkey").as("o2_ok"), col("l_suppkey").as("o2_sk"))
+      val othersR = l.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o3_ok"), col("l_suppkey").as("o3_sk"))
+      l1.join(o.filter(col("o_orderstatus") === "F").select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(others,
+          col("l_orderkey") === col("o2_ok") && col("l_suppkey") =!= col("o2_sk"),
+          "left_semi")
+        .join(othersR,
+          col("l_orderkey") === col("o3_ok") && col("l_suppkey") =!= col("o3_sk"),
+          "left_anti")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(10)
+    }),
+
     // Join-key skew audit — the pre-flight a 100 TB shuffle plan runs BEFORE committing
     // to a partitioning: per-key counts in one exchange, then four scalar moments.
     //   skew_ratio   = max_c / mean_c       (>> 1 ⇒ hot key; AQE skew-join or salt)
@@ -3298,6 +3400,60 @@ object SparkEntry {
         |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)""".stripMargin,
+
+    "q4_exists_priority" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q12_priority_lines" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q14_promo_share" ->
+      """WITH j AS (SELECT p_type,
+        |  CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'),
+        |a AS (SELECT
+        |  SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(12,2)) END) AS promo,
+        |  SUM(rev) AS total FROM j)
+        |SELECT CAST(promo AS DOUBLE) AS promo_revenue,
+        |  CAST(total AS DOUBLE) AS total_revenue,
+        |  ROUND(CAST(promo AS DOUBLE) * 100 / CAST(total AS DOUBLE), 6) AS promo_share_pct
+        |FROM a""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 40 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      """WITH l1 AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM l1
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+        |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
 
     "q_pareto_cut" ->
       """WITH pk AS (SELECT o_custkey,
