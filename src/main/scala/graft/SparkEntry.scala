@@ -439,6 +439,61 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"))
     }),
 
+    // CUSUM changepoint scan over the daily event-count series (Page 1954 mean-shift
+    // form): S_i = Σ_{j≤i}(c_j − mean), peak |S| marks the most likely shift point.
+    // DIVISION-FREE: S_scaled_i = n·cum_i − pos_i·total is the same statistic scaled
+    // by n — pure BIGINT arithmetic, so both engines agree to the bit and the one
+    // double division at the end is reproducible. Scale shape: the only corpus-sized
+    // work is the per-day count (one exchange); the windows run on the collapsed
+    // daily series (10 years = 3.7k rows — driver-scale by construction), so the
+    // single-partition window is a non-issue at 100 TB.
+    "ev_cusum" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(expr("unix_millis(ts) div 86400000").as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("c"))
+      val tot = daily.agg(count(lit(1)).as("__n"), sum(col("c")).cast("long").as("__total"))
+      val w = Window.orderBy(col("day"))
+      val scored = daily.crossJoin(broadcast(tot))
+        .withColumn("cum", sum(col("c")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("pos", row_number().over(w))
+        .withColumn("s_scaled", col("__n") * col("cum") - col("pos") * col("__total"))
+      scored
+        .withColumn("is_peak",
+          row_number().over(Window.orderBy(abs(col("s_scaled")).desc, col("day"))) === 1)
+        .select(col("day"), col("c").as("n_events"), col("s_scaled").cast("long").as("s_scaled"),
+          round(col("s_scaled").cast(DoubleType) / col("__n"), 6).as("cusum"),
+          col("is_peak"))
+    }),
+
+    // Additive seasonal decomposition of the daily series (STL-lite): trend = 7-day
+    // centered moving average, seasonal = day-of-week mean of the detrended values,
+    // residual = remainder. EXACT-RATIONAL pipeline: detrended is kept as the integer
+    // 7c − s7 (denominator 7 implicit), the dow means as integer (Σ, count) pairs —
+    // every output is one double division of exact integers, rounded at 6, so the
+    // engines cannot drift. Edge days (first/last 3) have no full window → NULL trend,
+    // excluded from the seasonal fit, NULL residual — same rule both sides. Same
+    // 100 TB shape as ev_cusum: one exchange for the daily counts, everything after
+    // runs on the collapsed series; the 7-row dow table broadcasts back.
+    "ev_seasonal_decompose" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(expr("unix_millis(ts) div 86400000").as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      val det = daily
+        .withColumn("s7", when(count(lit(1)).over(w) === 7, sum(col("c")).over(w)))
+        .withColumn("detr", lit(7) * col("c") - col("s7"))
+        .withColumn("dow", expr("(day + 4) % 7"))
+      val season = det.filter(col("detr").isNotNull)
+        .groupBy(col("dow"))
+        .agg(sum(col("detr")).cast("long").as("__ss"), count(lit(1)).as("__cnt"))
+      det.join(broadcast(season), Seq("dow"), "left")
+        .select(col("day"), col("dow"), col("c").as("n_events"),
+          round(col("s7").cast(DoubleType) / 7, 6).as("trend"),
+          round(col("__ss").cast(DoubleType) / (lit(7) * col("__cnt")), 6).as("seasonal"),
+          round((col("detr") * col("__cnt") - col("__ss")).cast(DoubleType)
+            / (lit(7) * col("__cnt")), 6).as("residual"))
+    }),
+
     // dedup-QA: recall of the LSH candidate generator against the EXACT jaccard>=0.5
     // ground truth (the blocking must not lose true pairs — a silent banding bug shows
     // up here as recall, not as a skewed estimate downstream). n_truth is exact and
@@ -3539,6 +3594,35 @@ object SparkEntry {
         |  FROM events)
         |SELECT (d + 4) % 7 AS dow, hour, COUNT(*) AS n_events
         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "ev_cusum" ->
+      """WITH d AS (SELECT CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000 AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS total FROM d),
+        |s AS (SELECT day, c,
+        |  CAST(SUM(c) OVER (ORDER BY day) AS BIGINT) AS cum,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS pos FROM d),
+        |sc AS (SELECT day, c, n.n * s.cum - s.pos * n.total AS s_scaled, n.n AS nn
+        |  FROM s, n)
+        |SELECT day, c AS n_events, CAST(s_scaled AS BIGINT) AS s_scaled,
+        |  ROUND(CAST(s_scaled AS DOUBLE) / nn, 6) AS cusum,
+        |  (ROW_NUMBER() OVER (ORDER BY ABS(s_scaled) DESC, day) = 1) AS is_peak
+        |FROM sc""".stripMargin,
+
+    "ev_seasonal_decompose" ->
+      """WITH d AS (SELECT CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000 AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+        |w AS (SELECT day, c,
+        |  CASE WHEN COUNT(*) OVER win = 7 THEN CAST(SUM(c) OVER win AS BIGINT) END AS s7
+        |  FROM d WINDOW win AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |det AS (SELECT day, c, s7, 7 * c - s7 AS detr, (day + 4) % 7 AS dow FROM w),
+        |sea AS (SELECT dow, CAST(SUM(detr) AS BIGINT) AS ss, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM det WHERE detr IS NOT NULL GROUP BY 1)
+        |SELECT det.day, det.dow, det.c AS n_events,
+        |  ROUND(CAST(det.s7 AS DOUBLE) / 7, 6) AS trend,
+        |  ROUND(CAST(sea.ss AS DOUBLE) / (7 * sea.cnt), 6) AS seasonal,
+        |  ROUND(CAST(det.detr * sea.cnt - sea.ss AS DOUBLE) / (7 * sea.cnt), 6) AS residual
+        |FROM det LEFT JOIN sea USING (dow)""".stripMargin,
 
     "q_skew_audit" ->
       """WITH ec AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),
