@@ -1738,6 +1738,13 @@ object SparkEntry {
     // frequency head (one corpus exchange, bounded-heap top-k, k-row regression)
     "doc_zipf" -> ((s, dir) => TextOps.zipfFit(t(s, dir, "documents"))),
 
+    "doc_burstiness" -> ((s, dir) => TextOps.burstiness(t(s, dir, "documents"))),
+
+    "doc_distinct_ngrams" -> ((s, dir) => TextOps.distinctNgrams(t(s, dir, "documents"))),
+
+    "doc_fightin_words" -> ((s, dir) =>
+      TextOps.fightinWords(t(s, dir, "documents"), targetSource = "src0")),
+
     // Heaps'-law vocabulary growth V(n) = K·n^beta over 10 doc-id-ordered checkpoints —
     // the corpus-level dedup-health twin of doc_zipf (duplication flattens beta)
     "doc_heaps_fit" -> ((s, dir) => TextOps.heapsFit(t(s, dir, "documents"))),
@@ -4777,6 +4784,63 @@ object SparkEntry {
         |  ROUND((CAST(n AS DOUBLE)*sxy - sx*sy) * (CAST(n AS DOUBLE)*sxy - sx*sy)
         |    / ((CAST(n AS DOUBLE)*sxx - sx*sx) * (CAST(n AS DOUBLE)*syy - sy*sy)), 6) AS r2
         |FROM s""".stripMargin,
+
+    "doc_burstiness" ->
+      """WITH tk AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |c AS (SELECT doc_id, token, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+        |n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+        |m AS (SELECT token, CAST(SUM(c) AS BIGINT) AS tf, CAST(COUNT(*) AS BIGINT) AS df,
+        |  CAST(SUM(c*c) AS BIGINT) AS sc2 FROM c GROUP BY 1)
+        |SELECT token, tf, df,
+        |  ROUND(CAST(tf AS DOUBLE) / df, 6) AS burst,
+        |  ROUND(CAST(n.n * sc2 - tf * tf AS DOUBLE) / (n.n * tf), 6) AS vmr
+        |FROM m, n WHERE tf >= 5""".stripMargin,
+
+    "doc_distinct_ngrams" ->
+      """WITH t AS (SELECT source,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |u AS (SELECT source, 1 AS n, unnest(toks) AS gram FROM t),
+        |b AS (SELECT source, 2 AS n, unnest(CASE WHEN len(toks) >= 2
+        |  THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |  ELSE [] END) AS gram FROM t),
+        |a AS (SELECT * FROM u UNION ALL SELECT * FROM b),
+        |g AS (SELECT source, n, gram, COUNT(*) AS c FROM a GROUP BY 1, 2, 3),
+        |r AS (SELECT source, n, CAST(SUM(c) AS BIGINT) AS occ,
+        |  CAST(COUNT(*) AS BIGINT) AS types FROM g GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(SUM(CASE WHEN n = 1 THEN occ END) AS BIGINT) AS n_unigrams,
+        |  CAST(SUM(CASE WHEN n = 1 THEN types END) AS BIGINT) AS d1_types,
+        |  ROUND(CAST(SUM(CASE WHEN n = 1 THEN types END) AS DOUBLE)
+        |    / SUM(CASE WHEN n = 1 THEN occ END), 6) AS distinct1,
+        |  CAST(SUM(CASE WHEN n = 2 THEN occ END) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(CASE WHEN n = 2 THEN types END) AS BIGINT) AS d2_types,
+        |  ROUND(CAST(SUM(CASE WHEN n = 2 THEN types END) AS DOUBLE)
+        |    / SUM(CASE WHEN n = 2 THEN occ END), 6) AS distinct2
+        |FROM r GROUP BY 1""".stripMargin,
+
+    "doc_fightin_words" ->
+      """WITH tk AS (SELECT (source = 'src0') AS t,
+        |  unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |c AS (SELECT token,
+        |  CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS y1,
+        |  CAST(SUM(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS y2 FROM tk GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(y1) AS BIGINT) AS n1, CAST(SUM(y2) AS BIGINT) AS n2,
+        |  CAST(COUNT(*) AS BIGINT) AS v FROM c),
+        |sc AS (SELECT token, y1, y2,
+        |  CAST(LOG10((y1 + 0.5) / (n1 + CAST(v AS DOUBLE) * 0.5 - y1 - 0.5))
+        |     - LOG10((y2 + 0.5) / (n2 + CAST(v AS DOUBLE) * 0.5 - y2 - 0.5)) AS DECIMAL(18,8)) AS d,
+        |  CAST((LOG10((y1 + 0.5) / (n1 + CAST(v AS DOUBLE) * 0.5 - y1 - 0.5))
+        |      - LOG10((y2 + 0.5) / (n2 + CAST(v AS DOUBLE) * 0.5 - y2 - 0.5)))
+        |    / SQRT(1.0 / (y1 + 0.5) + 1.0 / (y2 + 0.5)) AS DECIMAL(18,8)) AS z
+        |  FROM c, tt)
+        |SELECT token, y1, y2, ROUND(CAST(d AS DOUBLE), 6) AS log_odds,
+        |  ROUND(CAST(z AS DOUBLE), 6) AS zscore, rank
+        |FROM (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY z DESC, token ASC) AS INT) AS rank
+        |  FROM sc) WHERE rank <= 20""".stripMargin,
 
     "doc_heaps_fit" ->
       """WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),

@@ -988,4 +988,116 @@ object TextOps {
       .select(col(idCol), col(labelCol), col("b.pl").as("pred_label"),
         (col("b.pl") === col(labelCol)).as("correct"))
   }
+
+  /**
+   * Per-token burstiness profile (Church & Gale 1995): how CLUMPED is each token's
+   * usage across documents? Two standard statistics per token with `tf >= minTf`:
+   *
+   *  - `burst` = tf / df — mean occurrences per CONTAINING document (1.0 = the token
+   *    never repeats within a doc; high = it clusters in few docs — a topical or
+   *    boilerplate marker, where content words burst and function words don't);
+   *  - `vmr` — variance-to-mean ratio of the per-document count over ALL N docs
+   *    (zeros included): Poisson scatter gives vmr ≈ 1, bursty tokens ≫ 1. Computed
+   *    DIVISION-FREE from integer moments: vmr = (N·Σc² − tf²) / (N·tf), so both
+   *    engines agree to the bit before the one rounded double division.
+   *
+   * Scale shape: the (doc, token) count aggregation partial-combines map-side (a doc's
+   * tokens co-locate in its row) and is the ONLY corpus-sized exchange; the token-level
+   * moment fold runs off that table (vocabulary-sized) and the N scalar broadcasts.
+   */
+  def burstiness(df: DataFrame, minTf: Long = 5, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val tf = df.select(col(idCol), explode(tokensCol(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("c"))
+    val nDocs = df.select(countDistinct(col(idCol)).as("__n"))
+    tf.groupBy(col("token"))
+      .agg(sum(col("c")).cast("long").as("tf"), count(lit(1)).as("df"),
+        sum(col("c") * col("c")).cast("long").as("__sc2"))
+      .filter(col("tf") >= minTf)
+      .crossJoin(broadcast(nDocs))
+      .select(col("token"), col("tf"), col("df"),
+        round(col("tf").cast("double") / col("df"), 6).as("burst"),
+        round((col("__n") * col("__sc2") - col("tf") * col("tf")).cast("double")
+          / (col("__n") * col("tf")), 6).as("vmr"))
+  }
+
+  /**
+   * Distinct-n diversity per source (the distinct-1/distinct-2 metric of Li et al.
+   * 2016): fraction of unigram and bigram OCCURRENCES that are unique types — the
+   * standard repetitiveness/diversity rollup for a corpus slice (templated or
+   * model-generated text collapses distinct-2 long before distinct-1 moves).
+   *
+   * ONE corpus pass: unigrams and bigrams unify into a single (n, gram) stream via a
+   * narrow `transform`+`concat` map (no posexplode/window), so one exchange keyed
+   * (source, n, gram) — partial-combined map-side — feeds a source×n-sized fold.
+   * All counts are exact LONGs; the two ratios are single rounded double divisions.
+   */
+  def distinctNgrams(df: DataFrame, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val grams = df.select(col(sourceCol), tokensCol(col(textCol)).as("__l"))
+      .select(col(sourceCol), explode(concat(
+        expr("transform(__l, w -> struct(1 AS n, w AS g))"),
+        // the ELSE branch must be a TYPED empty array<struct<n,g>> — slice of a
+        // same-typed array is the cheapest way to spell one
+        expr("CASE WHEN size(__l) >= 2 THEN transform(sequence(1, size(__l) - 1), " +
+          "i -> struct(2 AS n, concat(element_at(__l, i), ' ', element_at(__l, i + 1)) AS g)) " +
+          "ELSE slice(transform(__l, w -> struct(2 AS n, w AS g)), 1, 0) END"))).as("ng"))
+      .select(col(sourceCol), col("ng.n").as("n"), col("ng.g").as("g"))
+    grams.groupBy(col(sourceCol), col("n"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(sourceCol), col("n"))
+      .agg(sum(col("c")).cast("long").as("occ"), count(lit(1)).as("types"))
+      .groupBy(col(sourceCol))
+      .agg(sum(when(col("n") === 1, col("occ"))).cast("long").as("n_unigrams"),
+        sum(when(col("n") === 1, col("types"))).cast("long").as("d1_types"),
+        sum(when(col("n") === 2, col("occ"))).cast("long").as("n_bigrams"),
+        sum(when(col("n") === 2, col("types"))).cast("long").as("d2_types"))
+      .select(col(sourceCol), col("n_unigrams"), col("d1_types"),
+        round(col("d1_types").cast("double") / col("n_unigrams"), 6).as("distinct1"),
+        col("n_bigrams"), col("d2_types"),
+        round(col("d2_types").cast("double") / col("n_bigrams"), 6).as("distinct2"))
+  }
+
+  /**
+   * "Fightin' words" (Monroe, Colaresi & Quinn 2008): per-token log-odds-ratio of a
+   * TARGET slice against the rest of the corpus, with a Dirichlet prior and a z-score
+   * that penalizes rare-token noise — the principled over-representation detector a
+   * pipeline runs to characterize a source (or catch spam/contamination signatures)
+   * where raw frequency ratios explode on singletons.
+   *
+   *   δ_t = log10((y1+α)/(n1+α0−y1−α)) − log10((y2+α)/(n2+α0−y2−α)),
+   *   σ²_t ≈ 1/(y1+α) + 1/(y2+α),   z_t = δ_t/√σ²_t,   α = 0.5, α0 = α·V.
+   *
+   * Float discipline: α = 0.5 keeps every operand exact in binary (integer + half);
+   * the two ratios and two variance terms are single IEEE divisions in fixed operand
+   * order; z quantizes to DECIMAL(18,8) BEFORE the rank so libm log10 ulp differences
+   * cannot flip cross-engine order (the [[tfidfTopK]] rule). Scale shape: one
+   * corpus-sized exchange to (is_target, token) counts — map-side combined — then
+   * everything is vocabulary-sized with broadcast scalars.
+   */
+  def fightinWords(df: DataFrame, targetSource: String, topK: Int = 20,
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = df.select((col(sourceCol) === targetSource).as("t"),
+        explode(tokensCol(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(when(col("t"), 1L).otherwise(0L)).as("y1"),
+        sum(when(col("t"), 0L).otherwise(1L)).as("y2"))
+    val tot = cnt.agg(sum(col("y1")).cast("long").as("n1"),
+      sum(col("y2")).cast("long").as("n2"), count(lit(1)).as("v"))
+    val a = lit(0.5)
+    val a0 = col("v").cast("double") * 0.5
+    val delta =
+      log(10.0, (col("y1") + a) / (col("n1") + a0 - col("y1") - a)) -
+        log(10.0, (col("y2") + a) / (col("n2") + a0 - col("y2") - a))
+    val z = delta / sqrt(lit(1.0) / (col("y1") + a) + lit(1.0) / (col("y2") + a))
+    val scored = cnt.crossJoin(broadcast(tot))
+      .select(col("token"), col("y1"), col("y2"),
+        delta.cast(DecimalType(18, 8)).as("__d"), z.cast(DecimalType(18, 8)).as("__z"))
+    scored
+      .withColumn("rank", row_number().over(Window.orderBy(col("__z").desc, col("token").asc)))
+      .filter(col("rank") <= topK)
+      .select(col("token"), col("y1"), col("y2"),
+        round(col("__d").cast("double"), 6).as("log_odds"),
+        round(col("__z").cast("double"), 6).as("zscore"), col("rank"))
+  }
 }
