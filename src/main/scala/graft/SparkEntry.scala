@@ -2277,6 +2277,11 @@ object SparkEntry {
     "emb_knn_graph" -> ((s, dir) =>
       VectorOps.knnGraphBlocked(t(s, dir, "embeddings"), k = 4)),
 
+    "emb_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      VectorOps.hardNegatives(e, e.filter(col("vec_id") < 8))
+    }),
+
     // Matryoshka coarse-to-fine (Kusupati et al. 2022): prefix-dim coarse scan (8 of 64
     // dims), exact full-dim rerank of the 24 survivors — BOTH stages deterministic
     // (cosine desc, id tiebreak), so unlike the recall-gated ANN family the whole
@@ -5263,6 +5268,20 @@ object SparkEntry {
         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) <= 4)
         |SELECT k.src, k.dst, ROUND(k.s, 4) AS sim, (r.src IS NOT NULL) AS mutual
         |FROM knn k LEFT JOIN knn r ON r.src = k.dst AND r.dst = k.src""".stripMargin,
+
+    "emb_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS anchor_id, embedding, label FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT q.anchor_id, c.vec_id AS cand_id, (c.label = q.label) AS same,
+        |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim
+        |  FROM q JOIN embeddings c ON c.vec_id <> q.anchor_id),
+        |p AS (SELECT anchor_id, cand_id, sim FROM s WHERE same
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY sim DESC, cand_id) = 1),
+        |n AS (SELECT anchor_id, cand_id, sim FROM s WHERE NOT same
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY sim DESC, cand_id) = 1)
+        |SELECT p.anchor_id, p.cand_id AS pos_id, ROUND(p.sim, 4) AS sim_pos,
+        |  n.cand_id AS neg_id, ROUND(n.sim, 4) AS sim_neg,
+        |  ROUND(p.sim - n.sim, 4) AS margin
+        |FROM p JOIN n USING (anchor_id)""".stripMargin,
 
     "emb_mrl_rerank" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),

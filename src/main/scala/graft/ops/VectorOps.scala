@@ -47,6 +47,42 @@ object VectorOps {
   }
 
   /**
+   * Hard-negative mining for contrastive / metric-learning training sets: for each
+   * anchor, the single most similar SAME-label vector (the positive) and the single
+   * most similar DIFFERENT-label vector (the hard negative), plus the margin between
+   * them — the anchor rows with small or negative margin are exactly the ones a
+   * triplet-loss batch builder wants first.
+   *
+   * ONE corpus scan: anchors broadcast, similarities stream, and both extremes come out
+   * of a single aggregation via conditional `max(struct(sim, -id))` (no window, no
+   * second pass; the negated id makes the tie-break "smallest id" inside a max).
+   * At 100 TB with a corpus-sized anchor set, swap the broadcast cross for an ANN
+   * candidate stage ([[ivfTopK]] / [[lshTopK]]) and keep this exact scorer as the
+   * reranker over candidates — the aggregation shape is unchanged.
+   */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", labelCol: String = "label"): DataFrame = {
+    val a = anchors.select(col(idCol).as("anchor_id"), col(vecCol).as("a_vec"),
+      col(labelCol).as("a_label"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("c_vec"),
+      col(labelCol).as("c_label"))
+    val scored = c.crossJoin(broadcast(a))
+      .filter(col("cand_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("cand_id"),
+        (col("c_label") === col("a_label")).as("same"),
+        VectorFunctions.cosine(col("a_vec"), col("c_vec")).as("sim"))
+    scored.groupBy(col("anchor_id"))
+      .agg(
+        max(when(col("same"), struct(col("sim"), (-col("cand_id")).as("nid")))).as("p"),
+        max(when(!col("same"), struct(col("sim"), (-col("cand_id")).as("nid")))).as("n"))
+      .filter(col("p").isNotNull && col("n").isNotNull)
+      .select(col("anchor_id"),
+        (-col("p.nid")).as("pos_id"), round(col("p.sim"), 4).as("sim_pos"),
+        (-col("n.nid")).as("neg_id"), round(col("n.sim"), 4).as("sim_neg"),
+        round(col("p.sim") - col("n.sim"), 4).as("margin"))
+  }
+
+  /**
    * Matryoshka coarse-to-fine retrieval (Kusupati et al. 2022, MRL): stage 1 scans only
    * the first `prefixDims` dimensions (MRL-trained embeddings front-load information, so
    * the prefix is itself a valid lower-dim embedding) and keeps `coarseK` candidates per
