@@ -832,6 +832,14 @@ object SparkEntry {
     // P1+P2+P8: envelope unwrap with delete rewrite + system columns
     "cdc_unwrap" -> ((s, dir) => unwrapped(s, dir)),
 
+    // Debezium outbox EventRouter contract: route by aggregate type, skip deletes,
+    // per-(topic, key) contiguous sequence in binlog order (Kafka's per-partition
+    // ordering guarantee — and the scale-safe window key)
+    "cdc_outbox_route" -> ((s, dir) =>
+      Cdc.outboxRoute(unwrapped(s, dir), routeCol = "event_type", keyCol = "user_id")
+        .select(col("topic"), col("user_id"), col("seq"), col("event_id"),
+          col("value"), col("KBC__POS"))),
+
     // D1+D2+D5+D7: last-write-wins dedupe over the arrival total order (binlog pos)
     "cdc_dedupe_lww" -> ((s, dir) =>
       Cdc.dedupeLastWins(unwrapped(s, dir), Seq("user_id"), orderCol = "KBC__POS")),
@@ -2677,6 +2685,15 @@ object SparkEntry {
       MultimodalOps.audioFeatures(d.select(col("doc_id"), col("blob")), "blob", "doc_id")
     }),
 
+    // Shazam-style constellation match: strided-band peaks -> (band-pair, dt, energy
+    // quantum) integer fingerprints -> df-capped equality join -> offset-histogram vote
+    "mm_audio_fingerprint" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("blob", encode(col("text"), "UTF-8"))
+      val fp = MultimodalOps.audioFingerprints(
+        d.select(col("doc_id"), col("blob")), "blob", "doc_id")
+      MultimodalOps.audioFingerprintMatches(fp)
+    }),
+
     // video-level near-dup: sampled frames -> per-frame aHash -> pigeonhole-blocked
     // frame pairs -> rollup to video pairs sharing near-dup frames (re-upload/clip
     // detection); frame bytes never shuffle, only 8-byte fingerprints reach the join
@@ -3301,6 +3318,14 @@ object SparkEntry {
         |  op AS "KBC__OPERATION", ts_ms AS "KBC__EVENT_TIMESTAMP_MS", file AS "KBC__FILE",
         |  pos AS "KBC__POS", deleted AS "KBC__DELETED"
         |FROM u""".stripMargin),
+
+    "cdc_outbox_route" -> (unwrapOracle +
+      """, r AS (SELECT 'outbox.event.' || et AS topic, user_id, event_id, v, pos
+        |  FROM u WHERE op <> 'd')
+        |SELECT topic, user_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY topic, user_id ORDER BY pos) AS BIGINT) AS seq,
+        |  event_id, v AS "value", pos AS "KBC__POS"
+        |FROM r""".stripMargin),
 
     "cdc_dedupe_lww" -> (unwrapOracle +
       """, d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos DESC) AS rn FROM u)
@@ -5445,6 +5470,30 @@ object SparkEntry {
         |SELECT b.doc_id, COALESCE(agg.n_samples, 0) AS n_samples,
         |  agg.energy, agg.peak, agg.n_zero_cross
         |FROM b LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    "mm_audio_fingerprint" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n FROM documents),
+        |s AS (SELECT doc_id, CAST(u.p // 64 AS INT) AS w, CAST(u.p % 8 AS INT) AS band,
+        |    CAST(('0x' || substring(hx, CAST(2 * u.p + 1 AS INT), 2)) AS INT) - 128 AS v
+        |  FROM b, unnest(range(0, n)) AS u(p) WHERE n > 0),
+        |be AS (SELECT doc_id, w, band, CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS e
+        |  FROM s GROUP BY 1, 2, 3),
+        |pk AS (SELECT doc_id, w, band AS pb, e FROM be
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id, w ORDER BY e DESC, band) = 1),
+        |fp AS (SELECT a.doc_id, a.w AS t,
+        |    CAST(((a.pb * 8 + c.pb) * 4 + (c.w - a.w)) * 32 + LEAST(31, a.e // 1024) AS INT) AS f
+        |  FROM pk a JOIN pk c ON c.doc_id = a.doc_id AND c.w - a.w BETWEEN 1 AND 3),
+        |keep AS (SELECT f FROM (SELECT f, COUNT(DISTINCT doc_id) AS d FROM fp GROUP BY 1)
+        |  WHERE d <= 20),
+        |k AS (SELECT fp.* FROM fp JOIN keep USING (f)),
+        |votes AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.t - y.t AS dt,
+        |    CAST(COUNT(*) AS BIGINT) AS votes
+        |  FROM k x JOIN k y ON x.f = y.f AND x.doc_id < y.doc_id GROUP BY 1, 2, 3)
+        |SELECT * FROM (SELECT id_a, id_b, votes AS n_matches, CAST(dt AS INT) AS dt
+        |  FROM votes
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY id_a, id_b ORDER BY votes DESC, dt) = 1)
+        |WHERE n_matches >= 2""".stripMargin,
 
     "mm_audio_vad" ->
       """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,

@@ -310,4 +310,26 @@ object Cdc {
 
   /** P8: table identifier normalization, dots → underscores (`AppendDbConverter.java:27`). */
   def safeTableId(topicSchemaTable: String): String = topicSchemaTable.replace('.', '_')
+
+  /**
+   * Outbox event routing (the Debezium EventRouter SMT contract, debezium.io outbox
+   * pattern docs): change rows of an append-only outbox table route to
+   * `<topicPrefix>.<aggregate type>`; DELETE events are skipped (outbox rows are often
+   * purged right after insert — the router must not emit tombstones downstream). Each
+   * routed row gets a contiguous per-(topic, aggregate key) sequence in change-log
+   * order — exactly Kafka's ordering contract (order is guaranteed per topic PARTITION,
+   * i.e. per key, never per topic), which is also what makes this scale: the window
+   * partitions on (route, key) — the same key space the producer would hash-partition
+   * by — so no single route ever serializes through one task.
+   */
+  def outboxRoute(unwrapped: DataFrame, routeCol: String, keyCol: String,
+      topicPrefix: String = "outbox.event", posCol: String = "KBC__POS",
+      opCol: String = "KBC__OPERATION"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("topic"), col(keyCol)).orderBy(col(posCol))
+    unwrapped
+      .filter(col(opCol) =!= lit("d"))
+      .withColumn("topic", concat(lit(topicPrefix + "."), col(routeCol)))
+      .withColumn("seq", row_number().over(w).cast(LongType))
+  }
 }

@@ -455,4 +455,97 @@ object MultimodalOps {
     }
     spark.createDataFrame(rdd, outSchema)
   }
+
+  /**
+   * Constellation audio fingerprints (the Wang 2003 / Shazam scheme, on the repo's
+   * deterministic PCM proxy): per fixed window, 8 strided band energies (a real
+   * deployment swaps in FFT bins — the peak-pick + pair-hash machinery downstream is
+   * identical); the per-window PEAK band anchors pairs with the peaks of the next
+   * 1..`maxDt` windows, and each pair packs into a small integer fingerprint
+   * `((b_anchor·8 + b_target)·4 + dt)·32 + min(31, e_anchor / eDiv)` — band pair,
+   * time delta, and a coarse anchor-energy quantum. ALL-INTEGER arithmetic end-to-end
+   * (energies are exact LONG sums of squares, the quantizer is integer division), so
+   * the fingerprint stream is bit-reproducible in any engine.
+   *
+   * Per-row narrow work (mapPartitions, no shuffle): output is the (id, t, f)
+   * fingerprint stream, ~one row per window pair — hundreds of bytes per media item,
+   * which is what ships to the match join at 100 TB, never the PCM itself.
+   */
+  def audioFingerprints(df: DataFrame, binCol: String, idCol: String,
+      windowSize: Int = 64, maxDt: Int = 3, eDiv: Long = 1024L): DataFrame = {
+    require(windowSize >= 8 && maxDt >= 1)
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("t", IntegerType, nullable = false),
+      StructField("f", IntegerType, nullable = false)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        if (bytes == null || bytes.isEmpty) Iterator.empty
+        else {
+          val nWin = (bytes.length + windowSize - 1) / windowSize
+          // (peak band, peak band energy) per window; ties -> lowest band index
+          val peaks = Array.tabulate(nWin) { w =>
+            val from = w * windowSize
+            val until = math.min(from + windowSize, bytes.length)
+            val e = new Array[Long](8)
+            var i = from
+            while (i < until) {
+              val s = (bytes(i) & 0xFF) - 128
+              e(i % 8) += s.toLong * s
+              i += 1
+            }
+            var best = 0
+            var b = 1
+            while (b < 8) { if (e(b) > e(best)) best = b; b += 1 }
+            (best, e(best))
+          }
+          (0 until nWin).iterator.flatMap { w =>
+            val (b1, e1) = peaks(w)
+            val q = math.min(31L, e1 / eDiv).toInt
+            (1 to maxDt).iterator
+              .filter(dt => w + dt < nWin)
+              .map { dt =>
+                val b2 = peaks(w + dt)._1
+                Row(r.get(idIdx), w, ((b1 * 8 + b2) * 4 + dt) * 32 + q)
+              }
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /**
+   * Fingerprint MATCH join over an [[audioFingerprints]] stream: candidate doc pairs
+   * come from equality on the fingerprint value, and the match score is the classic
+   * offset-histogram vote — matching fingerprints of a true copy/overlap agree on ONE
+   * time offset, so the max vote over `dt = t_a − t_b` separates real matches from
+   * coincidental band collisions. Degenerate fingerprints (present in > `dfCap` docs)
+   * are dropped before the join — the same document-frequency cap that bounds the text
+   * side's inverted-index joins, and what keeps the pair fan-out linear at 100 TB; the
+   * join itself carries 12-byte (id, t, f) rows only.
+   */
+  def audioFingerprintMatches(fp: DataFrame, idCol: String = "doc_id",
+      dfCap: Int = 20, minVotes: Long = 2L): DataFrame = {
+    val keep = fp.groupBy(col("f"))
+      .agg(countDistinct(col(idCol)).as("__d"))
+      .filter(col("__d") <= dfCap)
+      .select(col("f"))
+    val kept = fp.join(keep, Seq("f"), "left_semi")
+    val a = kept.select(col("f"), col(idCol).as("id_a"), col("t").as("t_a"))
+    val b = kept.select(col("f"), col(idCol).as("id_b"), col("t").as("t_b"))
+    a.join(b, Seq("f"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), (col("t_a") - col("t_b")).as("dt"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(struct(col("votes"), (-col("dt")).as("ndt"))).as("m"))
+      .select(col("id_a"), col("id_b"), col("m.votes").as("n_matches"),
+        (-col("m.ndt")).cast("int").as("dt"))
+      .filter(col("n_matches") >= minVotes)
+  }
 }

@@ -1123,6 +1123,24 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(w.values.map(_._4).sum == 255L)
   }
 
+  test("audioFingerprints + matches: one-window-shifted copy matches at a single offset with full votes") {
+    // each 64-byte window puts ALL energy in one strided band -> peak band = b exactly
+    def win(b: Int): Array[Byte] =
+      Array.tabulate(64)(i => (if (i % 8 == b) 255 else 128).toByte)
+    val a = win(1) ++ win(2) ++ win(3) ++ win(4)
+    val b = win(7) ++ win(1) ++ win(2) ++ win(3) ++ win(4) // same signal, 1 window later
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "blob")
+    val fp = MultimodalOps.audioFingerprints(df, "blob", "doc_id")
+    val counts = fp.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 6L, 2L -> 9L), s"pair fan-out per doc: $counts") // C(4 win, dt<=3), C(5 win, dt<=3)
+    val m = MultimodalOps.audioFingerprintMatches(fp).collect()
+    assert(m.length == 1, s"exactly the copy pair must match: ${m.toSeq}")
+    assert(m.head.getLong(0) == 1L && m.head.getLong(1) == 2L &&
+      m.head.getLong(2) == 6L && m.head.getInt(3) == -1,
+      s"all 6 fingerprints vote for the single true offset -1: ${m.head}")
+  }
+
   test("frameNearDup: re-uploaded video pairs on shared frames, flat video doesn't, plan blocked") {
     // 2045 bytes -> 2045%30+1 = 6 frames of 340 bytes (srcH = 10) each
     def vid(seed: Int): Array[Byte] = Array.tabulate(2045)(i => ((i * 7 + seed * 31) % 251).toByte)
