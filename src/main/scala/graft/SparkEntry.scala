@@ -451,9 +451,14 @@ object SparkEntry {
       val daily = t(s, dir, "events")
         .select(expr("unix_millis(ts) div 86400000").as("day"))
         .groupBy(col("day")).agg(count(lit(1)).as("c"))
-      val tot = daily.agg(count(lit(1)).as("__n"), sum(col("c")).cast("long").as("__total"))
       val w = Window.orderBy(col("day"))
-      val scored = daily.crossJoin(broadcast(tot))
+      // n/total as whole-frame windows over the SAME collapsed series (not a separate
+      // aggregate + cross join, which would re-scan the events table for two scalars)
+      val wAll = Window.partitionBy(lit(0))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val scored = daily
+        .withColumn("__n", count(lit(1)).over(wAll))
+        .withColumn("__total", sum(col("c")).over(wAll).cast("long"))
         .withColumn("cum", sum(col("c")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
         .withColumn("pos", row_number().over(w))
         .withColumn("s_scaled", col("__n") * col("cum") - col("pos") * col("__total"))
@@ -483,10 +488,14 @@ object SparkEntry {
         .withColumn("s7", when(count(lit(1)).over(w) === 7, sum(col("c")).over(w)))
         .withColumn("detr", lit(7) * col("c") - col("s7"))
         .withColumn("dow", expr("(day + 4) % 7"))
-      val season = det.filter(col("detr").isNotNull)
-        .groupBy(col("dow"))
-        .agg(sum(col("detr")).cast("long").as("__ss"), count(lit(1)).as("__cnt"))
-      det.join(broadcast(season), Seq("dow"), "left")
+      // dow means as windows over the SAME collapsed series (a groupBy + join-back
+      // would recompute the whole daily/trend subtree for a 7-row table); sum/count
+      // skip the NULL edge detr values, so the fit stays interior-days-only
+      val wd = Window.partitionBy(col("dow"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      det
+        .withColumn("__ss", sum(col("detr")).over(wd).cast("long"))
+        .withColumn("__cnt", count(col("detr")).over(wd))
         .select(col("day"), col("dow"), col("c").as("n_events"),
           round(col("s7").cast(DoubleType) / 7, 6).as("trend"),
           round(col("__ss").cast(DoubleType) / (lit(7) * col("__cnt")), 6).as("seasonal"),
@@ -2689,8 +2698,11 @@ object SparkEntry {
     // quantum) integer fingerprints -> df-capped equality join -> offset-histogram vote
     "mm_audio_fingerprint" -> ((s, dir) => {
       val d = t(s, dir, "documents").withColumn("blob", encode(col("text"), "UTF-8"))
+      // persist the fingerprint stream: the match join reads it four ways (df-cap
+      // aggregate + both join sides) and the PCM scan behind it must not re-run —
+      // at 100 TB the fingerprints are a persisted table, this is the in-session twin
       val fp = MultimodalOps.audioFingerprints(
-        d.select(col("doc_id"), col("blob")), "blob", "doc_id")
+        d.select(col("doc_id"), col("blob")), "blob", "doc_id").persist()
       MultimodalOps.audioFingerprintMatches(fp)
     }),
 

@@ -524,6 +524,58 @@ class PlanQualitySpec extends SparkSpec {
       s"funnel3 must be join-free:\n$p")
   }
 
+  test("q19_disjunctive: common conjuncts of the OR branches push into BOTH scans") {
+    val p = plan("q19_disjunctive")
+    // lineitem scan gets the union of the quantity bands, part scan the brand/size bands
+    assert(p.contains("PushedFilters: [IsNotNull(l_partkey), Or(Or(And(GreaterThanOrEqual(l_quantity"),
+      s"lineitem scan lost the extracted quantity disjunction:\n$p")
+    assert("PushedFilters: \\[IsNotNull\\(p_size\\), GreaterThanOrEqual\\(p_size,1\\), IsNotNull\\(p_partkey\\), Or\\(Or\\(And\\(EqualTo\\(p_brand".r
+      .findFirstIn(p).isDefined, s"part scan lost the extracted brand/size disjunction:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "part dim must broadcast")
+  }
+
+  test("q21_waiting_supplier: semi+anti chain over narrow fact projections") {
+    val p = plan("q21_waiting_supplier")
+    assert("LeftSemi".r.findAllIn(p).size == 2 && p.contains("LeftAnti"),
+      s"EXISTS/NOT EXISTS must plan as two semi + one anti join:\n$p")
+    // every lineitem leg reads <= 3 columns — payload never enters the joins
+    val schemas = "ReadSchema: struct<[^>]*".r.findAllIn(p).toList
+      .filter(_.contains("l_orderkey"))
+    assert(schemas.nonEmpty && schemas.forall(_.count(_ == ':') <= 4),
+      s"a lineitem scan reads too many columns:\n$schemas")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must be a bounded heap, not a global sort")
+  }
+
+  test("q4_exists_priority: EXISTS plans as left-semi with the date filter at the scan") {
+    val p = plan("q4_exists_priority")
+    assert(p.contains("LeftSemi"), s"EXISTS must become a semi join:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") || p.contains("o_orderdate#"),
+      s"date filter must reach the orders scan:\n$p")
+  }
+
+  test("ev_cusum / ev_seasonal_decompose: ONE events scan — scalars/dow-means ride the collapsed series") {
+    for (q <- Seq("ev_cusum", "ev_seasonal_decompose")) {
+      val p = plan(q)
+      assert("events\\.parquet".r.findAllIn(p).size == 1,
+        s"$q re-scans the events table for derived statistics:\n$p")
+    }
+  }
+
+  test("emb_hard_negatives: one corpus scan, anchors broadcast, both extremes in one aggregate") {
+    val p = plan("emb_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"), "anchor set must broadcast")
+    assert(!p.contains("Window"), "extremes must come from the aggregate, not a window sort")
+    assert("partial_max".r.findAllIn(p).size == 2,
+      s"positive and negative extremes must partial-combine map-side:\n$p")
+  }
+
+  test("mm_audio_fingerprint: fingerprint stream persists — the PCM pass runs once") {
+    val p = plan("mm_audio_fingerprint")
+    assert(p.contains("InMemoryTableScan"),
+      s"fingerprint RDD must be persisted across the df-cap and join branches:\n$p")
+    assert(!p.contains("CartesianProduct"), "match join must stay key-equality blocked")
+  }
+
   test("partition pruning: partitioned parquet scans only the matching partition") {
     val base = java.nio.file.Files.createTempDirectory("graft-pp").toString
     spark.read.parquet(s"$dir/events.parquet")
