@@ -2299,6 +2299,16 @@ object SparkEntry {
       VectorOps.hardNegatives(e, e.filter(col("vec_id") < 8))
     }),
 
+    "emb_knn_label_eval" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      VectorOps.knnLabelEval(e, e.filter(col("vec_id") < 64))
+    }),
+
+    "emb_knn_calibration" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      VectorOps.knnCalibration(VectorOps.knnLabelEval(e, e.filter(col("vec_id") < 64)))
+    }),
+
     // Matryoshka coarse-to-fine (Kusupati et al. 2022): prefix-dim coarse scan (8 of 64
     // dims), exact full-dim rerank of the 24 survivors — BOTH stages deterministic
     // (cosine desc, id tiebreak), so unlike the recall-gated ANN family the whole
@@ -5305,6 +5315,38 @@ object SparkEntry {
         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) <= 4)
         |SELECT k.src, k.dst, ROUND(k.s, 4) AS sim, (r.src IS NOT NULL) AS mutual
         |FROM knn k LEFT JOIN knn r ON r.src = k.dst AND r.dst = k.src""".stripMargin,
+
+    "emb_knn_label_eval" ->
+      """WITH q AS (SELECT vec_id AS anchor_id, embedding, label FROM embeddings WHERE vec_id < 64),
+        |nn AS (SELECT q.anchor_id, c.label AS nlabel,
+        |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim
+        |  FROM q JOIN embeddings c ON c.vec_id <> q.anchor_id
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.anchor_id ORDER BY sim DESC, c.vec_id) <= 5),
+        |v AS (SELECT anchor_id, nlabel, CAST(COUNT(*) AS BIGINT) AS v FROM nn GROUP BY 1, 2),
+        |p AS (SELECT anchor_id, nlabel AS pred_label, v AS votes FROM v
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY v DESC, nlabel) = 1)
+        |SELECT p.anchor_id, q.label AS true_label, CAST(p.pred_label AS INT) AS pred_label,
+        |  p.votes, (q.label = p.pred_label) AS correct
+        |FROM p JOIN q USING (anchor_id)""".stripMargin,
+
+    "emb_knn_calibration" ->
+      """WITH q AS (SELECT vec_id AS anchor_id, embedding, label FROM embeddings WHERE vec_id < 64),
+        |nn AS (SELECT q.anchor_id, c.label AS nlabel,
+        |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim
+        |  FROM q JOIN embeddings c ON c.vec_id <> q.anchor_id
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.anchor_id ORDER BY sim DESC, c.vec_id) <= 5),
+        |v AS (SELECT anchor_id, nlabel, CAST(COUNT(*) AS BIGINT) AS v FROM nn GROUP BY 1, 2),
+        |p AS (SELECT anchor_id, nlabel AS pred_label, v AS votes FROM v
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY v DESC, nlabel) = 1),
+        |e AS (SELECT p.votes, CASE WHEN q.label = p.pred_label THEN 1 ELSE 0 END AS c
+        |  FROM p JOIN q USING (anchor_id)),
+        |g AS (SELECT votes, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS nc,
+        |  CAST(SUM((votes - 5*c) * (votes - 5*c)) AS BIGINT) AS sbt FROM e GROUP BY 1)
+        |SELECT votes, ROUND(CAST(votes AS DOUBLE) / 5, 6) AS confidence,
+        |  n AS n_anchors, nc AS n_correct,
+        |  ROUND(CAST(nc AS DOUBLE) / n, 6) AS accuracy,
+        |  ROUND(CAST(sbt AS DOUBLE) / (25 * n), 6) AS brier
+        |FROM g""".stripMargin,
 
     "emb_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS anchor_id, embedding, label FROM embeddings WHERE vec_id < 8),

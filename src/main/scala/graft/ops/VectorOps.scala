@@ -83,6 +83,66 @@ object VectorOps {
   }
 
   /**
+   * Leave-one-out k-NN label probe — the standard "are these embeddings any good"
+   * evaluation: each anchor's label is predicted by majority vote of its k nearest
+   * OTHER vectors (ties → higher vote count, then smaller label id), and compared to
+   * the true label. Output per anchor: true/predicted label, the winning vote count
+   * (the exact-rational confidence `votes/k` feeds [[knnCalibration]]).
+   *
+   * Anchors broadcast against one corpus scan; top-k per anchor is the bounded-heap
+   * [[rankTopK]] (no global sort); the vote rollup and argmax ride one anchor-keyed
+   * aggregation. Unlike [[knnGraphBlocked]] this must NOT block on the label — the
+   * label is the quantity under test — so corpus-sized anchor sets swap the broadcast
+   * stage for ANN candidates, like [[hardNegatives]].
+   */
+  def knnLabelEval(corpus: DataFrame, anchors: DataFrame, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val a = anchors.select(col(idCol).as("query_id"), col(vecCol).as("a_vec"),
+      col(labelCol).as("true_label"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      col(labelCol).as("n_label"))
+    val scored = c.crossJoin(broadcast(a.select(col("query_id"), col("a_vec"))))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosine(col("a_vec"), col("c_vec")).as("sim"))
+    val top = rankTopK(scored, k)
+      .join(c.select(col("neighbor_id"), col("n_label")), "neighbor_id")
+    top.groupBy(col("query_id"), col("n_label")).agg(count(lit(1)).as("v"))
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("v"), (-col("n_label")).as("nl"))).as("m"))
+      .join(broadcast(a.select(col("query_id"), col("true_label"))), "query_id")
+      .select(col("query_id").as("anchor_id"), col("true_label"),
+        (-col("m.nl")).cast("int").as("pred_label"), col("m.v").as("votes"),
+        (col("true_label") === -col("m.nl")).as("correct"))
+  }
+
+  /**
+   * Reliability/calibration audit of the [[knnLabelEval]] probe: bin anchors by the
+   * winner's vote share `votes/k`, and per bin report size, mean confidence and
+   * empirical accuracy; plus the (shared) Brier numerator. EVERY statistic is an exact
+   * integer ratio — confidence is votes/k, accuracy a count ratio, and the per-anchor
+   * Brier term `(votes − k·correct)²/k²` has integer numerator — so the whole audit is
+   * bit-replayable cross-engine with no probability model in sight. Bins are the vote
+   * counts themselves (k+1 possible), so state is k-bounded however many anchors flow in.
+   */
+  def knnCalibration(evalRows: DataFrame, k: Int = 5): DataFrame = {
+    evalRows
+      .withColumn("__c", when(col("correct"), 1L).otherwise(0L))
+      .withColumn("__bt", (col("votes") - lit(k) * col("__c"))
+        * (col("votes") - lit(k) * col("__c")))
+      .groupBy(col("votes"))
+      .agg(count(lit(1)).as("n_anchors"), sum(col("__c")).cast("long").as("n_correct"),
+        sum(col("__bt")).cast("long").as("__sbt"))
+      .select(col("votes"),
+        round(col("votes").cast("double") / k, 6).as("confidence"),
+        col("n_anchors"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_anchors"), 6).as("accuracy"),
+        round(col("__sbt").cast("double") / (lit(k.toLong * k) * col("n_anchors")), 6)
+          .as("brier"))
+  }
+
+  /**
    * Matryoshka coarse-to-fine retrieval (Kusupati et al. 2022, MRL): stage 1 scans only
    * the first `prefixDims` dimensions (MRL-trained embeddings front-load information, so
    * the prefix is itself a valid lower-dim embedding) and keeps `coarseK` candidates per
