@@ -439,6 +439,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"))
     }),
 
+    // Lorenz/Gini concentration of per-user activity — the "how skewed is engagement"
+    // audit (and the statistic behind fair-sampling decisions). Computed off the COUNT
+    // HISTOGRAM, not the sorted user list: users with equal counts occupy a contiguous
+    // ascending-rank run [r+1, r+nk], so Σ rank·value folds to
+    // 2S = Σ_v v·(2·nk·r + nk·(nk+1)) over DISTINCT count values — state bounded by
+    // the count-value grid (small ints), never |users|; G = 2S/(n·T) − (n+1)/n.
+    // Pure BIGINT until two fixed-order double divisions. Shape: one exchange for
+    // per-user counts, a tiny histogram exchange, a bounded cumulative window.
+    "ev_gini" -> ((s, dir) => {
+      val uc = t(s, dir, "events").groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      val h = uc.groupBy(col("c").as("v")).agg(count(lit(1)).as("nk"))
+      val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+      h.withColumn("r", coalesce(sum(col("nk")).over(w), lit(0L)))
+        .agg(
+          sum(col("v") * (lit(2) * col("nk") * col("r") + col("nk") * (col("nk") + 1)))
+            .cast("long").as("__2s"),
+          sum(col("nk")).cast("long").as("n_users"),
+          sum(col("v") * col("nk")).cast("long").as("total_events"))
+        .select(col("n_users"), col("total_events"),
+          round(col("__2s").cast(DoubleType) / (col("n_users") * col("total_events"))
+            - (col("n_users") + 1).cast(DoubleType) / col("n_users"), 6).as("gini"))
+    }),
+
     // CUSUM changepoint scan over the daily event-count series (Page 1954 mean-shift
     // form): S_i = Σ_{j≤i}(c_j − mean), peak |S| marks the most likely shift point.
     // DIVISION-FREE: S_scaled_i = n·cum_i − pos_i·total is the same statistic scaled
@@ -3653,6 +3676,18 @@ object SparkEntry {
         |  FROM events)
         |SELECT (d + 4) % 7 AS dow, hour, COUNT(*) AS n_events
         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "ev_gini" ->
+      """WITH uc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+        |h AS (SELECT c AS v, CAST(COUNT(*) AS BIGINT) AS nk FROM uc GROUP BY 1),
+        |cum AS (SELECT v, nk, COALESCE(CAST(SUM(nk) OVER
+        |  (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS r
+        |  FROM h),
+        |a AS (SELECT CAST(SUM(v * (2 * nk * r + nk * (nk + 1))) AS BIGINT) AS s2,
+        |  CAST(SUM(nk) AS BIGINT) AS n, CAST(SUM(v * nk) AS BIGINT) AS t FROM cum)
+        |SELECT n AS n_users, t AS total_events,
+        |  ROUND(CAST(s2 AS DOUBLE) / (n * t) - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+        |FROM a""".stripMargin,
 
     "ev_cusum" ->
       """WITH d AS (SELECT CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000 AS day,

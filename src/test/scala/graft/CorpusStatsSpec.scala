@@ -76,4 +76,25 @@ class CorpusStatsSpec extends SparkSpec {
     // sanity: the src0-heavy token 'a' must outrank the src1-heavy token 'd'
     assert(out.indexOf("a") >= 0 && !expectedOrder.contains("d"))
   }
+
+  test("ev_gini histogram form == naive sorted-rank Gini; 0 for uniform activity") {
+    import java.sql.Timestamp
+    def giniOf(counts: Seq[Int]): Double = {
+      val rows = counts.zipWithIndex.flatMap { case (c, u) =>
+        (0 until c).map(i =>
+          (u.toLong * 1000 + i, new Timestamp(1700000000000L + i * 1000), u.toLong, "view", 1.0, "{}"))
+      }
+      val base = java.nio.file.Files.createTempDirectory("graft-gini").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$base/events.parquet")
+      SparkEntry.queries("ev_gini")(spark, base).head().getAs[Double]("gini")
+    }
+    assert(giniOf(Seq(5, 5, 5, 5)) == 0.0, "uniform activity must give Gini 0")
+    // naive reference for [1,2,3,4]: sorted ascending, G = 2*Σ i*c_i/(n*T) - (n+1)/n
+    val cs = Seq(1, 2, 3, 4)
+    val s = cs.sorted.zipWithIndex.map { case (c, i) => (i + 1).toLong * c }.sum
+    val expected = BigDecimal(2.0 * s / (cs.size.toLong * cs.sum) - (cs.size + 1.0) / cs.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(giniOf(cs) == expected)
+  }
 }
