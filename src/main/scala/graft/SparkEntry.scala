@@ -2783,18 +2783,19 @@ object SparkEntry {
     // Trainable quality classifier (the CCNet/GPT-3-style curation stage: logreg over
     // cheap per-doc signals, trained distributed, scored corpus-wide). Labels are the
     // PLANTED rule `n_chars > 300` — SQL-expressible, so the oracle pins n_docs/n_pos
-    // exactly while the accuracy verdicts gate that 60 full-batch GD iterations over the
-    // one-scan docSignals features actually learned the rule (the feature set contains a
-    // standardized copy of n_chars, so the rule is linearly separable and >= 0.97/0.95
-    // train/holdout accuracy is a stable floor at every sf — measured 0.99+ at sf0.01 and
-    // sf0.1). Holdout = doc_id % 5 == 0, the engine-agnostic split idiom.
+    // exactly while the accuracy verdicts gate that the penalized-Newton trainer (8
+    // full-data passes, quadratic convergence — the scale form; 60-iteration GD remains
+    // as the spec'd reference trainer) over the one-scan docSignals features actually
+    // learned the rule (the feature set contains a standardized copy of n_chars, so the
+    // rule is linearly separable and >= 0.97/0.95 train/holdout accuracy is a stable
+    // floor at every sf). Holdout = doc_id % 5 == 0, the engine-agnostic split idiom.
     "doc_quality_classifier" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val feats = TextOps.docSignals(d, keep = Seq("n_chars", "lang"))
         .withColumn("label", (col("n_chars") > 300).cast("int"))
         .withColumn("is_test", pmod(col("doc_id"), lit(5)) === 0)
       val featCols = Seq("n_chars", "n_tokens", "quality_score", "top_bigram_frac")
-      val model = MlOps.logregTrainGD(feats.filter(!col("is_test")), featCols, "label")
+      val model = MlOps.logregTrainNewton(feats.filter(!col("is_test")), featCols, "label")
       val scored = MlOps.logregScore(feats, featCols, model)
       MlOps.logregVerdict(scored, "label", "is_test", trainFloor = 0.97, testFloor = 0.95)
     }))

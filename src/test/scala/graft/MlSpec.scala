@@ -43,6 +43,25 @@ class MlSpec extends SparkSpec {
     assert(norm(reg) < norm(free))
   }
 
+  test("Newton trainer separates the same rule in 8 passes and agrees with GD predictions") {
+    val df = separable(500)
+    val newton = MlOps.logregTrainNewton(df, Seq("x1", "x2"), "label")
+    val scoredN = MlOps.logregScore(df, Seq("x1", "x2"), newton)
+    val accN = scoredN.agg(avg((col("predicted") === (col("label") === 1)).cast("double")))
+      .head().getDouble(0)
+    assert(accN == 1.0, s"Newton train accuracy $accN")
+    // ridge keeps the separable-data weights finite (unpenalized MLE diverges here)
+    assert(newton.weights.forall(w => java.lang.Double.isFinite(w) && math.abs(w) < 1e4),
+      s"weights must stay finite under separation: ${newton.weights.toSeq}")
+    // and the decision boundary matches the 60-iteration GD reference everywhere
+    val gd = MlOps.logregTrainGD(df, Seq("x1", "x2"), "label")
+    val scoredG = MlOps.logregScore(df, Seq("x1", "x2"), gd)
+      .select(col("id"), col("predicted").as("pg"))
+    val disagree = scoredN.select(col("id"), col("predicted"))
+      .join(scoredG, "id").filter(col("predicted") =!= col("pg")).count()
+    assert(disagree == 0L, s"$disagree predictions differ between Newton and GD")
+  }
+
   test("verdict frame counts positives and splits train/holdout correctly") {
     val df = separable(200).withColumn("is_test", pmod(col("id"), lit(4)) === 0)
     val model = MlOps.logregTrainGD(df.filter(!col("is_test")), Seq("x1", "x2"), "label")
