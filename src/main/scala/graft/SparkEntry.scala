@@ -1685,6 +1685,15 @@ object SparkEntry {
     "doc_ngram_jaccard" -> ((s, dir) =>
       DedupOps.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.2)),
 
+    // edit-distance verification of the Jaccard candidates: normalized Levenshtein
+    // certifies textual closeness where set-similarity is order-blind; O(len²) DP and
+    // the payload join both paid per CANDIDATE pair only
+    "doc_edit_verify" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      DedupOps.editVerifiedPairs(d,
+        DedupOps.ngramJaccardPairs(d, threshold = 0.2))
+    }),
+
     // asymmetric near-dup: containment |A∩B|/|A| flags doc-in-doc (quotes/subsets) that
     // symmetric Jaccard misses when |B| >> |A|; either direction >= 0.5 surfaces the pair
     "doc_containment" -> ((s, dir) =>
@@ -2988,6 +2997,18 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
 
     "doc_ngram_jaccard" -> jaccardPairsOracle,
+
+    "doc_edit_verify" ->
+      (s"""WITH cand AS (${jaccardPairsOracleAt(0.2)})
+        |SELECT * FROM (
+        |  SELECT c.id_a, c.id_b,
+        |    CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+        |    ROUND(1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+        |      / GREATEST(length(da.text), length(db.text)), 6) AS edit_sim
+        |  FROM cand c
+        |  JOIN documents da ON da.doc_id = c.id_a
+        |  JOIN documents db ON db.doc_id = c.id_b)
+        |WHERE edit_sim >= 0.2""").stripMargin,
 
     "doc_jaccard_histogram" ->
       (s"WITH pr AS (${jaccardPairsOracleAt(0.05)})\n" +

@@ -341,6 +341,32 @@ object DedupOps {
   }
 
   /**
+   * Character-level edit-distance VERIFICATION of candidate near-dup pairs — the final
+   * precision stage after set-similarity blocking: shingle Jaccard is order-insensitive
+   * (it can't tell a reshuffled document from an edited one), while normalized
+   * Levenshtein certifies actual textual closeness. `edit_sim = 1 − dist/max(len)`,
+   * computed by the codegen'd built-in (dynamic-programming kernel, no UDF) and
+   * identical in any engine — integers until one rounded division.
+   *
+   * Scale shape: the O(len_a·len_b) DP — and the ONE place where payloads join — is
+   * paid strictly per CANDIDATE pair, so total cost is bounded by the blocking stage's
+   * output (df-capped/banded upstream), never |corpus|². The texts reach the pair set
+   * through two id-keyed joins; at 100 TB each is a shuffle-hash join on the id.
+   */
+  def editVerifiedPairs(df: DataFrame, pairs: DataFrame, minSim: Double = 0.2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(textCol).as("__ta"))
+    val b = df.select(col(idCol).as("id_b"), col(textCol).as("__tb"))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(a, "id_a").join(b, "id_b")
+      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .withColumn("edit_sim", round(lit(1.0) - col("edit_dist").cast("double") /
+        greatest(length(col("__ta")), length(col("__tb"))), 6))
+      .filter(col("edit_sim") >= minSim)
+      .select(col("id_a"), col("id_b"), col("edit_dist"), col("edit_sim"))
+  }
+
+  /**
    * Directional n-gram containment pairs — doc-in-doc / quote detection. Containment
    * C(A⊆B) = |A∩B|/|A| sits near 1 when A is substantially reproduced inside B even
    * when symmetric Jaccard is tiny (|B| ≫ |A|) — the asymmetric near-dup signal that
