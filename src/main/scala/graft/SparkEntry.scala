@@ -439,6 +439,54 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"))
     }),
 
+    // The NOT IN vs NOT EXISTS null-semantics pin (the classic silent-wrong-answer
+    // trap): a single NULL in the subquery makes `NOT IN` never-true (three-valued
+    // logic) while `NOT EXISTS` keeps matching — here the NULLIF plants exactly one
+    // NULL, so n_not_in = 0 but n_not_exists counts customer 7's orders. Spark plans
+    // the NOT IN as a NULL-AWARE anti join (pinned in PlanQualitySpec) — the O(n·m)
+    // fallback older engines hit is avoided while semantics stay ANSI.
+    "q_null_semantics" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("__ns_orders")
+      t(s, dir, "customer").createOrReplaceTempView("__ns_customer")
+      s.sql("""
+        SELECT
+          (SELECT COUNT(*) FROM __ns_orders
+             WHERE o_custkey IN (SELECT nullif(c_custkey, 7) FROM __ns_customer)) AS n_in,
+          (SELECT COUNT(*) FROM __ns_orders
+             WHERE o_custkey NOT IN (SELECT nullif(c_custkey, 7) FROM __ns_customer)) AS n_not_in,
+          (SELECT COUNT(*) FROM __ns_orders o WHERE NOT EXISTS
+             (SELECT 1 FROM __ns_customer c WHERE nullif(c.c_custkey, 7) = o.o_custkey)) AS n_not_exists,
+          (SELECT COUNT(*) FROM __ns_orders) AS n_orders
+      """)
+    }),
+
+    // Mixture re-balancing PLANNER (the step before doc_mixture_sample actually
+    // draws): per source, current token mass vs a uniform target share, and the
+    // sampling plan as INTEGER epochs + residual rate (upsampling a scarce source is
+    // floor(rate) full passes plus one fractional pass — the Pile/DoReMi idiom).
+    // n_epochs = total // (K·n_i) in pure BIGINT; only the two reporting ratios are
+    // rounded doubles. One exchange to per-source token sums; the grand total rides a
+    // whole-frame window over the K source rows.
+    "doc_mixture_plan" -> ((s, dir) => {
+      val perSrc = t(s, dir, "documents")
+        .select(col("source"), size(TextOps.tokensCol(col("text"))).cast("long").as("__nt"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).cast("long").as("n_tokens"))
+      val wAll = Window.partitionBy(lit(0))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      perSrc
+        .withColumn("__total", sum(col("n_tokens")).over(wAll).cast("long"))
+        .withColumn("__k", count(lit(1)).over(wAll))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast(DoubleType) / col("__total"), 6).as("current_share"),
+          round(lit(1.0) / col("__k"), 6).as("target_share"),
+          // `div`, not `/`: Spark's / on longs is double division — a quotient that
+          // rounds up to an integer would floor wrong; div is exact integral division
+          expr("__total div (__k * n_tokens)").as("n_epochs"),
+          round((col("__total") % (col("__k") * col("n_tokens"))).cast(DoubleType)
+            / (col("__k") * col("n_tokens")), 6).as("resid_rate"))
+    }),
+
     // Lorenz/Gini concentration of per-user activity — the "how skewed is engagement"
     // audit (and the statistic behind fair-sampling decisions). Computed off the COUNT
     // HISTOGRAM, not the sorted user list: users with equal counts occupy a contiguous
@@ -3698,6 +3746,28 @@ object SparkEntry {
         |  FROM events)
         |SELECT (d + 4) % 7 AS dow, hour, COUNT(*) AS n_events
         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "q_null_semantics" ->
+      """SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        |     WHERE o_custkey IN (SELECT nullif(c_custkey, 7) FROM customer)) AS n_in,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        |     WHERE o_custkey NOT IN (SELECT nullif(c_custkey, 7) FROM customer)) AS n_not_in,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o WHERE NOT EXISTS
+        |     (SELECT 1 FROM customer c WHERE nullif(c.c_custkey, 7) = o.o_custkey)) AS n_not_exists,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders""".stripMargin,
+
+    "doc_mixture_plan" ->
+      """WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS k FROM s)
+        |SELECT source, n_docs, n_tokens,
+        |  ROUND(CAST(n_tokens AS DOUBLE) / total, 6) AS current_share,
+        |  ROUND(1.0 / k, 6) AS target_share,
+        |  total // (k * n_tokens) AS n_epochs,
+        |  ROUND(CAST(total % (k * n_tokens) AS DOUBLE) / (k * n_tokens), 6) AS resid_rate
+        |FROM s, t""".stripMargin,
 
     "ev_gini" ->
       """WITH uc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),

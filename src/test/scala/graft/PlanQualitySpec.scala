@@ -576,6 +576,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "match join must stay key-equality blocked")
   }
 
+  test("q_null_semantics: NOT IN plans as a NULL-AWARE broadcast anti join") {
+    val p = plan("q_null_semantics")
+    // the trailing `true` is BroadcastHashJoinExec.isNullAwareAntiJoin — ANSI NOT IN
+    // semantics WITHOUT the O(n·m) BroadcastNestedLoop fallback
+    assert(p.contains("LeftAnti, BuildRight, true"),
+      s"NOT IN lost the null-aware anti-join plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"NOT IN fell back to the nested-loop plan:\n$p")
+  }
+
   test("partition pruning: partitioned parquet scans only the matching partition") {
     val base = java.nio.file.Files.createTempDirectory("graft-pp").toString
     spark.read.parquet(s"$dir/events.parquet")
