@@ -1452,6 +1452,45 @@ object SparkEntry {
     // boxes in BOTH dims = predicates on EITHER dim prune tiles. ntile over the total z
     // order is the oracle-replayable stand-in for the sampled range partitioning that
     // LayoutOps.zorderRepartition uses at scale (one shuffle, no global sort point).
+    // File-skipping LAYOUT audit — the decision artifact behind "sort before you
+    // write": partition the table two ways (arrival order = deterministic event-id
+    // range blocks; key order = repartitionByRange on user_id, the REAL layout-writer
+    // path), collect per-file min/max zone maps, and measure how many files a point
+    // lookup must touch under each layout. Arrival-layout numbers are exact and
+    // oracle-pinned; the range layout's file boundaries come from Spark's range
+    // sampler (nondeterministic), so it gates as verdicts: ≥4× fewer files touched on
+    // average and ≤4 files worst-case. The audit shape is all small: zone maps are
+    // |files| rows and broadcast onto the probe set.
+    "ev_layout_skip_audit" -> ((s, dir) => {
+      val nF = 64
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"))
+      val stats = ev.agg(max(col("event_id")).as("__mx"))
+      val natZone = ev.crossJoin(broadcast(stats))
+        .select(expr(s"(event_id * $nF) div (__mx + 1)").as("file"), col("user_id"))
+        .groupBy(col("file"))
+        .agg(min(col("user_id")).as("mn"), max(col("user_id")).as("mx"))
+      val rngZone = ev.repartitionByRange(nF, col("user_id"))
+        .select(col("user_id"), spark_partition_id().as("file"))
+        .groupBy(col("file"))
+        .agg(min(col("user_id")).as("mn"), max(col("user_id")).as("mx"))
+      val probes = ev.select(col("user_id")).distinct()
+        .filter(pmod(col("user_id"), lit(97)) === 0)
+      def touched(zone: DataFrame) = probes.crossJoin(broadcast(zone))
+        .filter(col("user_id").between(col("mn"), col("mx")))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).cast("long").as("tc"), count(lit(1)).as("np"),
+          max(col("c")).as("mc"))
+      val nat = touched(natZone).select(col("tc").as("nat_tc"), col("np").as("nat_np"))
+      val rng = touched(rngZone)
+        .select(col("tc").as("rng_tc"), col("np").as("rng_np"), col("mc").as("rng_mc"))
+      nat.crossJoin(rng).select(
+        lit(nF).as("n_files"), col("nat_np").as("n_probes"),
+        round(col("nat_tc").cast(DoubleType) / col("nat_np"), 6).as("nat_avg_files"),
+        (col("rng_tc").cast(DoubleType) / col("rng_np") * 4 <=
+          col("nat_tc").cast(DoubleType) / col("nat_np")).as("range_avg_4x_ok"),
+        (col("rng_mc") <= 4).as("range_max_files_ok"))
+    }),
+
     "ev_zorder_layout" -> ((s, dir) => {
       import graft.ops.LayoutOps
       val ev = t(s, dir, "events")
@@ -3746,6 +3785,18 @@ object SparkEntry {
         |  FROM events)
         |SELECT (d + 4) % 7 AS dow, hour, COUNT(*) AS n_events
         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "ev_layout_skip_audit" ->
+      """WITH st AS (SELECT MAX(event_id) AS mx FROM events),
+        |nat AS (SELECT (event_id * 64) // (mx + 1) AS f, user_id FROM events, st),
+        |nf AS (SELECT f, MIN(user_id) AS mn, MAX(user_id) AS mxu FROM nat GROUP BY 1),
+        |pr AS (SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0),
+        |tc AS (SELECT p.user_id, CAST(COUNT(*) AS BIGINT) AS c FROM pr p
+        |  JOIN nf ON p.user_id BETWEEN nf.mn AND nf.mxu GROUP BY 1)
+        |SELECT CAST(64 AS INT) AS n_files, CAST(COUNT(*) AS BIGINT) AS n_probes,
+        |  ROUND(CAST(SUM(c) AS DOUBLE) / COUNT(*), 6) AS nat_avg_files,
+        |  TRUE AS range_avg_4x_ok, TRUE AS range_max_files_ok
+        |FROM tc""".stripMargin,
 
     "q_null_semantics" ->
       """SELECT
