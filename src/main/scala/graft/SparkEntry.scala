@@ -439,6 +439,64 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"))
     }),
 
+    // Set-operation BAG semantics pin: INTERSECT ALL keeps min(multiplicity) per value
+    // and EXCEPT ALL subtracts multiplicities — distinct-set counts sit alongside so
+    // the difference is visible in one row. Spark plans these as aggregate+join (no
+    // sort), same as the repo's other exchanges.
+    "q_set_ops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      val b = o.filter(col("o_orderpriority") === "2-HIGH").select(col("o_custkey"))
+      def cnt(df: DataFrame, name: String) = df.agg(count(lit(1)).as(name))
+      cnt(a.intersect(b), "n_intersect")
+        .crossJoin(broadcast(cnt(a.intersectAll(b), "n_intersect_all")))
+        .crossJoin(broadcast(cnt(a.except(b), "n_except")))
+        .crossJoin(broadcast(cnt(a.exceptAll(b), "n_except_all")))
+    }),
+
+    // Truncated-page near-dup screen (a real crawl artifact: the same page captured at
+    // different lengths): group by the 200-char PREFIX hash, flag groups whose full
+    // texts differ — prefix-equal but full-distinct is exactly the truncation
+    // signature exact dedup misses. Planted truncated copies (every 7th doc) make the
+    // signature observable on the synthetic corpus. One exchange on the prefix hash;
+    // text never shuffles (hashes only).
+    "doc_prefix_dups" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          substring(col("text"), 1, 250).as("text"))
+      d.union(planted)
+        .select(col("doc_id"), md5(substring(col("text"), 1, 200)).as("prefix_md5"),
+          md5(col("text")).as("full_md5"))
+        .groupBy(col("prefix_md5"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("full_md5")).as("n_distinct_full"),
+          min(col("doc_id")).as("keeper_id"))
+        .filter(col("n_docs") >= 2)
+        .select(col("prefix_md5"), col("n_docs"), col("n_distinct_full"),
+          col("keeper_id"), (col("n_distinct_full") > 1).as("is_truncation_group"))
+    }),
+
+    // Embedding-table QA: norm distribution per label (zero/degenerate vectors break
+    // cosine math downstream; norm drift across labels flags a bad encoder batch).
+    // Per-row norm quantizes to DECIMAL(18,8) BEFORE the aggregate — sums of decimals
+    // are exact, so min/max/mean replay bit-identically in any engine.
+    "emb_norm_audit" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val norm = sqrt(expr(
+        "aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * x)"))
+        .cast(DecimalType(18, 8))
+      e.select(col("label"), norm.as("__n"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("__n") === 0, 1L).otherwise(0L)).as("n_zero"),
+          round(min(col("__n")).cast(DoubleType), 6).as("min_norm"),
+          round(max(col("__n")).cast(DoubleType), 6).as("max_norm"),
+          // exact decimal SUM first, ONE double division after (decimal/long division
+          // scale rules differ across engines)
+          round(sum(col("__n")).cast(DoubleType) / count(lit(1)), 6).as("mean_norm"))
+    }),
+
     // The NOT IN vs NOT EXISTS null-semantics pin (the classic silent-wrong-answer
     // trap): a single NULL in the subquery makes `NOT IN` never-true (three-valued
     // logic) while `NOT EXISTS` keeps matching — here the NULLIF plants exactly one
@@ -3785,6 +3843,38 @@ object SparkEntry {
         |  FROM events)
         |SELECT (d + 4) % 7 AS dow, hour, COUNT(*) AS n_events
         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "q_set_ops" ->
+      """WITH a AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |b AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS n_intersect,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)) AS n_intersect_all,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS n_except,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)) AS n_except_all""".stripMargin,
+
+    "doc_prefix_dups" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substring(text, 1, 250) FROM documents WHERE doc_id % 7 = 0),
+        |h AS (SELECT doc_id, md5(substring(text, 1, 200)) AS prefix_md5, md5(text) AS full_md5 FROM u)
+        |SELECT prefix_md5, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT full_md5) AS BIGINT) AS n_distinct_full,
+        |  MIN(doc_id) AS keeper_id,
+        |  (COUNT(DISTINCT full_md5) > 1) AS is_truncation_group
+        |FROM h GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
+
+    "emb_norm_audit" ->
+      """WITH n AS (SELECT label,
+        |  CAST(SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS DECIMAL(18,8)) AS nr
+        |  FROM embeddings)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(CASE WHEN nr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  ROUND(CAST(MIN(nr) AS DOUBLE), 6) AS min_norm,
+        |  ROUND(CAST(MAX(nr) AS DOUBLE), 6) AS max_norm,
+        |  ROUND(CAST(SUM(nr) AS DOUBLE) / COUNT(*), 6) AS mean_norm
+        |FROM n GROUP BY 1""".stripMargin,
 
     "ev_layout_skip_audit" ->
       """WITH st AS (SELECT MAX(event_id) AS mx FROM events),
