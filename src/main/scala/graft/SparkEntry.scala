@@ -2599,6 +2599,87 @@ object SparkEntry {
         candCapFloor = 400L, candCapFrac = 0.6, corpus = e)
     }),
 
+    // IVF recall-vs-nProbe curve — the tuning artifact an ANN deployment reads before
+    // fixing its probe budget. Monotonicity is a TRUE INVARIANT (top-nProbe centroid
+    // lists nest, so candidate sets nest, and a global-top-k member found in a subset
+    // survives in every superset — at most k−1 vectors anywhere beat it); the floor
+    // verdict matches emb_ann_ivf's. All four probes share one trained quantizer and
+    // one exact reference — no collect, the whole curve is one unioned plan.
+    "emb_ivf_recall_curve" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+      val model = VectorOps.kmeansFit(e, 16, iters = 2)
+      val exact = VectorOps.bruteForceTopK(e, q, k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val per = Seq(1, 2, 4, 8).map { np =>
+        VectorOps.ivfTopK(e, q, k = 3, nCentroids = 16, nProbe = np,
+            trained = Some(model))
+          .select(col("query_id"), col("neighbor_id"))
+          .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(np).as("np"), col("hits"))
+      }.reduce(_ union _)
+      per.crossJoin(broadcast(exact.agg(count(lit(1)).as("__ne"))))
+        .agg(max(col("__ne")).as("n_exact"),
+          max(when(col("np") === 1, col("hits"))).as("__h1"),
+          max(when(col("np") === 2, col("hits"))).as("__h2"),
+          max(when(col("np") === 4, col("hits"))).as("__h4"),
+          max(when(col("np") === 8, col("hits"))).as("__h8"))
+        .select(col("n_exact"),
+          (col("__h1") <= col("__h2") && col("__h2") <= col("__h4") &&
+            col("__h4") <= col("__h8")).as("mono_ok"),
+          (col("__h8").cast(DoubleType) >= col("n_exact") * 0.25).as("recall8_ok"))
+    }),
+
+    // A/B-test POWER planner per metric stream: from the observed variance, the
+    // per-arm sample size for a 5% relative minimum-detectable-effect at α=0.05
+    // (two-sided) / 80% power — n = 2σ²(z_{α/2}+z_β)²/δ². Moments ride the repo's
+    // exact-decimal discipline (same as ev_ab_ttest); the z-constant is the fixed
+    // literal 7.8489 ≈ (1.959964+0.841621)². Reported as a rounded double (no ceil —
+    // a boundary-sensitive integer would be the one non-reproducible bit).
+    "ev_power_analysis" -> ((s, dir) => {
+      val xq = col("value").cast(DecimalType(18, 8))
+      val m = t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), xq.as("__x"),
+          (xq * xq).cast(DecimalType(28, 10)).as("__x2"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("__x")).as("__s1"), sum(col("__x2")).as("__s2"))
+      val mean = col("__s1").cast(DoubleType) / col("n")
+      val vr = (col("__s2").cast(DoubleType) -
+        col("__s1").cast(DoubleType) * col("__s1").cast(DoubleType) / col("n")) / (col("n") - 1)
+      val mde = mean * 0.05
+      m.select(col("event_type"), col("n"),
+        round(mean, 4).as("mean"), round(vr, 4).as("variance"),
+        round(lit(2.0) * vr * 7.8489 / (mde * mde), 2).as("n_per_arm"))
+    }),
+
+    // Bot/automation screen from inter-event timing: a scripted client's gaps are
+    // near-constant, a human's are overdispersed. Per user (≥ 5 gaps): mean gap and
+    // the squared coefficient of variation cv² = (n·Σg² − (Σg)²)/(Σg)² — SCALE-FREE
+    // and division-free to the last rounded step (gaps are exact epoch-ms LONGs).
+    // Poisson arrivals give cv² ≈ 1; cv² < 0.1 flags metronome regularity. One
+    // user-keyed window for the lag, one user-keyed aggregate — same exchange.
+    "ev_bot_score" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+      val gaps = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+        .withColumn("g", col("ms") - lag(col("ms"), 1).over(w))
+        .filter(col("g").isNotNull)
+      // g² of a month-long ms gap is ~7e18 — a LONG sum overflows, so the moments run
+      // in DECIMAL (DuckDB's BIGINT sums auto-promote to HUGEINT; this is the twin)
+      val gd = col("g").cast(DecimalType(18, 0))
+      val num = (col("n_gaps") * col("__sg2") - col("__sg") * col("__sg")).cast(DoubleType)
+      val den = (col("__sg") * col("__sg")).cast(DoubleType)
+      gaps.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"), sum(gd).as("__sg"), sum(gd * gd).as("__sg2"))
+        .filter(col("n_gaps") >= 5)
+        .select(col("user_id"), col("n_gaps"),
+          round(col("__sg").cast(DoubleType) / col("n_gaps"), 2).as("mean_gap_ms"),
+          round(num / den, 4).as("cv2"),
+          (num / den < 0.1).as("is_regular"))
+    }),
+
     // IVF cell-balance audit — doc_block_audit's vector-side twin: profile the coarse
     // quantizer's cell occupancy BEFORE committing to it (a collapsed clustering makes
     // every probe a full scan). Occupancy values are kmeans-engine-specific, so the
@@ -3843,6 +3924,36 @@ object SparkEntry {
         |  FROM events)
         |SELECT (d + 4) % 7 AS dow, hour, COUNT(*) AS n_events
         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "emb_ivf_recall_curve" ->
+      """SELECT CAST(24 AS BIGINT) AS n_exact, TRUE AS mono_ok, TRUE AS recall8_ok""",
+
+    "ev_power_analysis" ->
+      """WITH m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(CAST(value AS DECIMAL(18,8))) AS s1,
+        |  -- DECIMAL(19,8): int128 multiply path (18-digit operands square in int64
+        |  -- and overflow); the product value is identical
+        |  SUM(CAST(CAST(value AS DECIMAL(19,8)) * CAST(value AS DECIMAL(19,8)) AS DECIMAL(28,10))) AS s2
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n, ROUND(CAST(s1 AS DOUBLE) / n, 4) AS mean,
+        |  ROUND((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1), 4) AS variance,
+        |  ROUND(2.0 * ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) * 7.8489
+        |    / ((CAST(s1 AS DOUBLE) / n * 0.05) * (CAST(s1 AS DOUBLE) / n * 0.05)), 2) AS n_per_arm
+        |FROM m""".stripMargin,
+
+    "ev_bot_score" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ms FROM events),
+        |g AS (SELECT user_id,
+        |  ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS g FROM e),
+        |f AS (SELECT user_id, g FROM g WHERE g IS NOT NULL),
+        |m AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, SUM(g) AS sg, SUM(g*g) AS sg2
+        |  FROM f GROUP BY 1)
+        |SELECT user_id, n AS n_gaps,
+        |  ROUND(CAST(sg AS DOUBLE) / n, 2) AS mean_gap_ms,
+        |  ROUND(CAST(n * sg2 - sg * sg AS DOUBLE) / CAST(sg * sg AS DOUBLE), 4) AS cv2,
+        |  (CAST(n * sg2 - sg * sg AS DOUBLE) / CAST(sg * sg AS DOUBLE) < 0.1) AS is_regular
+        |FROM m WHERE n >= 5""".stripMargin,
 
     "q_set_ops" ->
       """WITH a AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
