@@ -47,6 +47,11 @@ object GraftExtensions {
     // top_bigram_n) with the library's standard stopword set
     "graft_text_signals" -> (es => TextSignals(es(0), graft.ops.TextOps.Stopwords)),
     "graft_deflate_ratio" -> (es => DeflateRatio(es(0))),
+    // round-6 additions: the one-pass winnowing kernel and the zero-shuffle entropy
+    // signals, so SQL callers get the same scale forms as the DataFrame API
+    "graft_winnowing" -> (es =>
+      WinnowingFingerprints(es(0), intArg(es(1), "n"), intArg(es(2), "w"))),
+    "graft_token_entropy" -> (es => TokenEntropySignals(es(0))),
     // numeric order/score/tiebreak args are widened here so SQL callers can pass INT/FLOAT
     // columns; the aggregates themselves then type-check strictly at analysis
     "graft_latest_struct" -> (es =>

@@ -27,6 +27,14 @@ class ExtensionsSpec extends SparkSpec {
       .collect()
     assert(nfc(0).getInt(1) == 5 && nfc(0).getInt(0) == 4)
 
+    // winnowing kernel + entropy signals from SQL (the round-6 scale forms)
+    val win = spark.sql(
+      """SELECT size(graft_winnowing(split('a b c d e f g h i j', ' '), 3, 4)) AS nf,
+        |       graft_token_entropy(split('a a b b', ' ')).n_tokens AS nt FROM (SELECT 1)""".stripMargin)
+      .collect()
+    assert(win(0).getInt(0) > 0, "winnowing must emit fingerprints")
+    assert(win(0).getLong(1) == 4L, "entropy signals must count tokens")
+
     Seq((1, "old", 1L), (1, "new", 2L), (2, "only", 5L))
       .toDF("id", "v", "ord").createOrReplaceTempView("events")
     val latest = spark.sql(

@@ -738,4 +738,47 @@ class StreamingSpec extends SparkSpec {
     val staged = spark.read.parquet(s"$base/work/staging/x_t")
     assert(staged.count() == 7)
   }
+
+  test("streaming anomaly flags == batch twin across a multi-batch split; baselines precede the flag") {
+    import graft.streaming.Anomaly
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-anom").toString
+    val src = s"$base/src"
+    def line(uid: Long, eid: Long, ms: Long, v: Double) =
+      s"""{"user_id":$uid,"event_id":$eid,"ms":$ms,"value":$v}"""
+    // user 1: 10 alternating baseline values (variance > 0), then post-split arrivals
+    // including one outlier; user 2: constant values — zero variance can never score
+    val batch1 = (0 until 10).map(i => line(1L, i, i, if (i % 2 == 0) 9.0 else 11.0)) ++
+      Seq(line(2L, 100L, 0L, 5.0), line(2L, 101L, 1L, 5.0))
+    val batch2 = Seq(line(1L, 10L, 10L, 10.0), line(1L, 11L, 11L, 9.0),
+      line(1L, 12L, 12L, 100.0), // the anomaly — scored against PRE-outlier moments
+      line(1L, 13L, 13L, 10.0),
+      line(2L, 102L, 2L, 99.0))  // outlier on a zero-variance baseline: unscorable
+    writeSpool(src, "000.json", batch1)
+    writeSpool(src, "001.json", batch2)
+    // FileStreamSource orders batches by modification time — force 000 before 001
+    // (same-millisecond writes would make the split order nondeterministic)
+    Files.setLastModifiedTime(Paths.get(src, "001.json"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(Paths.get(src, "000.json")).toMillis + 10000))
+    val obs = spark.readStream.schema("user_id LONG, event_id LONG, ms LONG, value DOUBLE")
+      .option("maxFilesPerTrigger", "1").json(src).as[Anomaly.Obs]
+    val q = Anomaly.flags(obs).writeStream.format("memory").queryName("anom")
+      .outputMode("update")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("anom").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("z"))).toSet
+    // exactly the planted outlier — with the state built in the EARLIER batch
+    assert(streamed.map(_._1) == Set(12L), s"flags: $streamed")
+    assert(streamed.head._2 > 3.0)
+    // the batch twin over the full static data produces the identical (id, z) set —
+    // both fold the same floats in the same (ms, event_id) order
+    val static = spark.read.schema("user_id LONG, event_id LONG, ms LONG, value DOUBLE")
+      .json(src)
+    val batch = Anomaly.batchFlags(static).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("z"))).toSet
+    assert(batch == streamed, s"streaming $streamed != batch $batch")
+  }
 }
