@@ -2654,6 +2654,36 @@ object SparkEntry {
         round(lit(2.0) * vr * 7.8489 / (mde * mde), 2).as("n_per_arm"))
     }),
 
+    // Survival-analysis hazard table (the Kaplan-Meier life table without the
+    // cumulative product — every column stays an EXACT integer or one rounded ratio):
+    // per user, lifespan = last−first event day; users still active in the final 3
+    // days of the observation window are right-CENSORED (they leave the risk set
+    // without counting as churn). Per distinct lifespan t: n_risk = users with
+    // lifespan ≥ t, n_churn = uncensored deaths at t, hazard = n_churn/n_risk.
+    // Shape: one user-keyed exchange to lifespans, then a histogram + descending
+    // cumulative bounded by the DAY GRID (≤ window length), never |users|.
+    "ev_survival_hazard" -> ((s, dir) => {
+      val life = t(s, dir, "events")
+        .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("d"))
+        .groupBy(col("user_id"))
+        .agg(min(col("d")).as("__f"), max(col("d")).as("__l"))
+      val wAll = Window.partitionBy(lit(0))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val marked = life
+        .withColumn("__end", max(col("__l")).over(wAll))
+        .select((col("__l") - col("__f")).as("t"),
+          (col("__l") >= col("__end") - 2).as("__cens"))
+      val grid = marked.groupBy(col("t"))
+        .agg(count(lit(1)).as("__n_at"),
+          sum(when(!col("__cens"), 1L).otherwise(0L)).as("n_churn"))
+      val wDesc = Window.orderBy(col("t").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      grid
+        .withColumn("n_risk", sum(col("__n_at")).over(wDesc).cast("long"))
+        .select(col("t"), col("n_risk"), col("n_churn"),
+          round(col("n_churn").cast(DoubleType) / col("n_risk"), 6).as("hazard"))
+    }),
+
     // Bot/automation screen from inter-event timing: a scripted client's gaps are
     // near-constant, a human's are overdispersed. Per user (≥ 5 gaps): mean gap and
     // the squared coefficient of variation cv² = (n·Σg² − (Σg)²)/(Σg)² — SCALE-FREE
@@ -3940,6 +3970,22 @@ object SparkEntry {
         |  ROUND(2.0 * ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) * 7.8489
         |    / ((CAST(s1 AS DOUBLE) / n * 0.05) * (CAST(s1 AS DOUBLE) / n * 0.05)), 2) AS n_per_arm
         |FROM m""".stripMargin,
+
+    "ev_survival_hazard" ->
+      """WITH life AS (SELECT user_id,
+        |  MIN(CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000) AS f,
+        |  MAX(CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000) AS l
+        |  FROM events GROUP BY 1),
+        |e AS (SELECT MAX(l) AS endd FROM life),
+        |m AS (SELECT l - f AS t, (l >= e.endd - 2) AS cens FROM life, e),
+        |g AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_at,
+        |  CAST(SUM(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS BIGINT) AS n_churn
+        |  FROM m GROUP BY 1)
+        |SELECT t, CAST(SUM(n_at) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk,
+        |  n_churn,
+        |  ROUND(CAST(n_churn AS DOUBLE) /
+        |    CAST(SUM(n_at) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS BIGINT), 6) AS hazard
+        |FROM g""".stripMargin,
 
     "ev_bot_score" ->
       """WITH e AS (SELECT user_id, event_id,
