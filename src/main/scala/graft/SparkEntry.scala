@@ -2599,6 +2599,34 @@ object SparkEntry {
         candCapFloor = 400L, candCapFrac = 0.6, corpus = e)
     }),
 
+    // Clustering-quality eval: PURITY of the k-means assignment against the held
+    // labels (Σ over clusters of the majority-label count, / N) plus cluster-usage
+    // stats — the embedding-space health check run before trusting any
+    // cluster-structured op (semdedup, IVF). Assignments are kmeans-engine-specific,
+    // so the gate is verdict-style: exact mass conservation, better-than-chance
+    // purity, and no collapsed clustering. One narrow assignment map (broadcast
+    // centroids), one (cluster,label)-keyed exchange, label-count-bounded folds.
+    "emb_cluster_purity" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = VectorOps.kmeansFit(e, 10, iters = 3)
+      val assigned = e.select(col("label"),
+        graft.functions.VectorFunctions.nearestCentroids(col("embedding"), model, 1)
+          .getItem(0).as("cluster"))
+      val cells = assigned.groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("c"))
+      val perCluster = cells.groupBy(col("cluster"))
+        .agg(sum(col("c")).cast("long").as("n"), max(col("c")).cast("long").as("maj"))
+      perCluster.agg(
+          sum(col("n")).cast("long").as("n_vecs"),
+          count(lit(1)).as("n_clusters_used"),
+          sum(col("maj")).cast("long").as("__m"))
+        .crossJoin(broadcast(e.select(countDistinct(col("label")).as("__nl"))))
+        .select(col("n_vecs"),
+          (col("n_clusters_used") >= 2).as("not_collapsed_ok"),
+          // strictly better than the 1/|labels| chance rate
+          (col("__m").cast(DoubleType) * col("__nl") > col("n_vecs").cast(DoubleType))
+            .as("purity_above_chance_ok"))
+    }),
+
     // IVF recall-vs-nProbe curve — the tuning artifact an ANN deployment reads before
     // fixing its probe budget. Monotonicity is a TRUE INVARIANT (top-nProbe centroid
     // lists nest, so candidate sets nest, and a global-top-k member found in a subset
@@ -3957,6 +3985,10 @@ object SparkEntry {
 
     "emb_ivf_recall_curve" ->
       """SELECT CAST(24 AS BIGINT) AS n_exact, TRUE AS mono_ok, TRUE AS recall8_ok""",
+
+    "emb_cluster_purity" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs, TRUE AS not_collapsed_ok,
+        |  TRUE AS purity_above_chance_ok FROM embeddings""".stripMargin,
 
     "ev_power_analysis" ->
       """WITH m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
