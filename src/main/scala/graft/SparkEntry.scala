@@ -2599,6 +2599,34 @@ object SparkEntry {
         candCapFloor = 400L, candCapFrac = 0.6, corpus = e)
     }),
 
+    // Duplication–length correlation — the curation diagnostic behind "does dedup
+    // bias the corpus": Pearson r between a doc's exact-dup copy count and its
+    // length. Every moment is a BIGINT sum of integers (copy counts × n_chars), so
+    // the correlation is one fixed-order double expression over exact operands.
+    // Shape: md5-group sizes (text never shuffles — the hash joins back on itself),
+    // then a single 6-sum fold.
+    "doc_dup_length_corr" -> ((s, dir) => {
+      val d0 = t(s, dir, "documents").select(col("doc_id"), col("text"), col("n_chars"))
+      // the synthetic corpus has no exact dups — plant copies of every 5th doc (the
+      // doc_prefix_dups idiom) so the copy-count variable has variance
+      val d = d0.union(d0.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("n_chars")))
+      val grp = d.groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("x"))
+      val m = d.select(md5(col("text")).as("h"), col("n_chars").as("y"))
+        .join(grp, "h")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).cast("long").as("sx"), sum(col("y")).cast("long").as("sy"),
+          sum(col("x") * col("y")).cast("long").as("sxy"),
+          sum(col("x") * col("x")).cast("long").as("sxx"),
+          sum(col("y") * col("y")).cast("long").as("syy"))
+      val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+      val den2 = (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType) *
+        (col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType)
+      m.select(col("n").as("n_docs"),
+        when(col("n") > 1 && den2 > 0, round(num / sqrt(den2), 6))
+          .as("corr_copies_chars"))
+    }),
+
     // Clustering-quality eval: PURITY of the k-means assignment against the held
     // labels (Σ over clusters of the majority-label count, / N) plus cluster-usage
     // stats — the embedding-space health check run before trusting any
@@ -3989,6 +4017,23 @@ object SparkEntry {
     "emb_cluster_purity" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs, TRUE AS not_collapsed_ok,
         |  TRUE AS purity_above_chance_ok FROM embeddings""".stripMargin,
+
+    "doc_dup_length_corr" ->
+      """WITH u AS (SELECT doc_id, text, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, n_chars FROM documents WHERE doc_id % 5 = 0),
+        |g AS (SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS x FROM u GROUP BY 1),
+        |j AS (SELECT g.x, u.n_chars AS y FROM u JOIN g ON md5(u.text) = g.h),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |  CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx,
+        |  CAST(SUM(y*y) AS BIGINT) AS syy FROM j)
+        |SELECT n AS n_docs,
+        |  CASE WHEN n > 1 AND CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE) > 0
+        |    THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / SQRT(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+        |  END AS corr_copies_chars
+        |FROM m""".stripMargin,
 
     "ev_power_analysis" ->
       """WITH m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
