@@ -2599,6 +2599,48 @@ object SparkEntry {
         candCapFloor = 400L, candCapFrac = 0.6, corpus = e)
     }),
 
+    // Histogram-based join-cardinality prediction — the pre-flight a 100 TB join runs
+    // BEFORE committing cluster time: |A ⋈ B| = Σ_k cA(k)·cB(k) over the two key
+    // histograms (key-count-sized, tiny next to the join), then the actual join row
+    // count alongside — the `cardinality_match` bit is the audit that the estimator
+    // (and the stats feeding a cost-based optimizer) is exact, not approximate.
+    "q_join_cost_audit" -> ((s, dir) => {
+      val ce = t(s, dir, "events").groupBy(col("user_id").as("k"))
+        .agg(count(lit(1)).as("ca"))
+      val co = t(s, dir, "orders").groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("cb"))
+      val pred = ce.join(co, "k")
+        .agg(count(lit(1)).as("n_keys_common"),
+          sum(col("ca") * col("cb")).cast("long").as("predicted_rows"))
+      val actual = t(s, dir, "events")
+        .join(t(s, dir, "orders"), col("user_id") === col("o_custkey"))
+        .agg(count(lit(1)).as("actual_rows"))
+      pred.crossJoin(broadcast(actual))
+        .select(col("n_keys_common"), col("predicted_rows"), col("actual_rows"),
+          (col("predicted_rows") === col("actual_rows")).as("cardinality_match"))
+    }),
+
+    // Quality-budget tradeoff curve — "keep everything scoring ≥ s: how many docs and
+    // tokens do I get": descending cumulative over the SCORE GRID (quality scores
+    // round to 4dp, so state is grid-bounded like q_pareto_cut — never a corpus-sized
+    // rank window). The curve is what picks the retention threshold before a 100 TB
+    // filter pass.
+    "doc_quality_budget" -> ((s, dir) => {
+      val q = TextOps.qualityScore(t(s, dir, "documents"))
+        .select(col("quality_score"), col("n_tokens"))
+      val g = q.groupBy(col("quality_score"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("long").as("__tk"))
+      val wDesc = Window.orderBy(col("quality_score").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy(lit(0))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      g.withColumn("cum_docs", sum(col("n_docs")).over(wDesc).cast("long"))
+        .withColumn("cum_tokens", sum(col("__tk")).over(wDesc).cast("long"))
+        .withColumn("__tot", sum(col("__tk")).over(wAll).cast("long"))
+        .select(col("quality_score"), col("n_docs"), col("cum_docs"), col("cum_tokens"),
+          round(col("cum_tokens").cast(DoubleType) / col("__tot"), 6).as("frac_tokens"))
+    }),
+
     // Duplication–length correlation — the curation diagnostic behind "does dedup
     // bias the corpus": Pearson r between a doc's exact-dup copy count and its
     // length. Every moment is a BIGINT sum of integers (copy counts × n_chars), so
@@ -4017,6 +4059,39 @@ object SparkEntry {
     "emb_cluster_purity" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs, TRUE AS not_collapsed_ok,
         |  TRUE AS purity_above_chance_ok FROM embeddings""".stripMargin,
+
+    "q_join_cost_audit" ->
+      """WITH ce AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS ca FROM events GROUP BY 1),
+        |co AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS cb FROM orders GROUP BY 1),
+        |p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys_common,
+        |  CAST(SUM(ca * cb) AS BIGINT) AS predicted_rows FROM ce JOIN co USING (k)),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
+        |  FROM events e JOIN orders o ON e.user_id = o.o_custkey)
+        |SELECT n_keys_common, predicted_rows, actual_rows,
+        |  (predicted_rows = actual_rows) AS cardinality_match
+        |FROM p, a""".stripMargin,
+
+    "doc_quality_budget" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(toks) AS DOUBLE) AS n_tok,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','on','for','with','as','at'))) AS DOUBLE) AS n_stop
+        |  FROM t),
+        |sc AS (SELECT n_tokens,
+        |  ROUND((CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 0.5 ELSE 0.0 END)
+        |      + (CASE WHEN n_tok > 0 THEN (n_stop / n_tok) * 0.5 ELSE 0.0 END), 4) AS quality_score
+        |  FROM m),
+        |g AS (SELECT quality_score, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS tk FROM sc GROUP BY 1),
+        |c AS (SELECT quality_score, n_docs,
+        |  CAST(SUM(n_docs) OVER (ORDER BY quality_score DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs,
+        |  CAST(SUM(tk) OVER (ORDER BY quality_score DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+        |  CAST(SUM(tk) OVER () AS BIGINT) AS tot FROM g)
+        |SELECT quality_score, n_docs, cum_docs, cum_tokens,
+        |  ROUND(CAST(cum_tokens AS DOUBLE) / tot, 6) AS frac_tokens
+        |FROM c""".stripMargin,
 
     "doc_dup_length_corr" ->
       """WITH u AS (SELECT doc_id, text, n_chars FROM documents
