@@ -2298,6 +2298,31 @@ object SparkEntry {
       first.crossJoin(mono).crossJoin(audit)
     }),
 
+    // Tokenizer FERTILITY per language (subword tokens per word) — the multilingual
+    // tokenizer-efficiency metric (a language with fertility ≫ 1 pays more context
+    // budget per sentence; the number drives vocab-size and mixture decisions).
+    // Word/doc counts are oracle-exact; the fertility value needs the trained merges
+    // (not SQL-replayable), so it gates through the encode invariants: ≥1 token per
+    // word, ≤ the per-word char bound.
+    "doc_bpe_fertility" -> ((s, dir) => {
+      val model = bpeModels.getOrElseUpdate(dir,
+        graft.ops.BpeOps.bpeTrain(t(s, dir, "documents"), nMerges = 30).model)
+      val d = t(s, dir, "documents")
+      val toks = TextOps.tokensCol(col("text"))
+      val base = d.select(col("doc_id"), col("lang"),
+        coalesce(size(toks).cast("long"), lit(0L)).as("__w"),
+        length(concat_ws("", toks)).cast("long").as("__wc"))
+      graft.ops.BpeOps.bpeEncode(d, model)
+        .join(base, "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__w")).cast("long").as("n_words"),
+          sum(col("n_bpe_tokens")).cast("long").as("__nb"),
+          sum(col("__wc")).cast("long").as("__nc"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          (col("__nb") >= col("n_words")).as("fertility_ge_1_ok"),
+          (col("__nb") <= col("__nc")).as("fertility_le_chars_ok"))
+    }),
+
     // BPE ENCODE as a per-doc gated query (the 100 TB path: broadcast model, narrow
     // map). Oracle leverage: concatenating a word's subword tokens rebuilds the word,
     // so the digest of the concatenated token stream equals the digest of the
@@ -2750,6 +2775,27 @@ object SparkEntry {
       m.select(col("event_type"), col("n"),
         round(mean, 4).as("mean"), round(vr, 4).as("variance"),
         round(lit(2.0) * vr * 7.8489 / (mde * mde), 2).as("n_per_arm"))
+    }),
+
+    // Forecast BACKTEST with the seasonal-naive baseline (predict today = same
+    // weekday last week) — the sanity floor every real forecaster must beat, and the
+    // backtest harness is the deliverable: per-day absolute/percentage errors over
+    // the evaluable window, all from exact integer counts (MAE/MAPE are the only
+    // rounded divisions). Self-joining the DAILY series on day−7 is collapsed-series
+    // work; the corpus contributes one count exchange.
+    "ev_forecast_backtest" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(expr("unix_millis(ts) div 86400000").as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("c"))
+      val pred = daily.select((col("day") + 7).as("day"), col("c").as("pred"))
+      daily.join(pred, "day")
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("c") - col("pred"))).cast("long").as("__sae"),
+          sum((abs(col("c") - col("pred")).cast(DoubleType) / col("c"))
+            .cast(DecimalType(18, 8))).as("__sape"))
+        .select(col("n_days"),
+          round(col("__sae").cast(DoubleType) / col("n_days"), 4).as("mae"),
+          round(col("__sape").cast(DoubleType) / col("n_days"), 6).as("mape"))
     }),
 
     // Survival-analysis hazard table (the Kaplan-Meier life table without the
@@ -4121,6 +4167,26 @@ object SparkEntry {
         |  ROUND((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1), 4) AS variance,
         |  ROUND(2.0 * ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) * 7.8489
         |    / ((CAST(s1 AS DOUBLE) / n * 0.05) * (CAST(s1 AS DOUBLE) / n * 0.05)), 2) AS n_per_arm
+        |FROM m""".stripMargin,
+
+    "doc_bpe_fertility" ->
+      """WITH t AS (SELECT lang,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(COALESCE(len(toks), 0)) AS BIGINT) AS n_words,
+        |  TRUE AS fertility_ge_1_ok, TRUE AS fertility_le_chars_ok
+        |FROM t GROUP BY 1""".stripMargin,
+
+    "ev_forecast_backtest" ->
+      """WITH d AS (SELECT CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000 AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+        |j AS (SELECT a.c, p.c AS pred FROM d a JOIN d p ON p.day + 7 = a.day),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(ABS(c - pred)) AS BIGINT) AS sae,
+        |  SUM(CAST(CAST(ABS(c - pred) AS DOUBLE) / c AS DECIMAL(18,8))) AS sape FROM j)
+        |SELECT n_days, ROUND(CAST(sae AS DOUBLE) / n_days, 4) AS mae,
+        |  ROUND(CAST(sape AS DOUBLE) / n_days, 6) AS mape
         |FROM m""".stripMargin,
 
     "ev_survival_hazard" ->
