@@ -62,7 +62,12 @@ object Bench {
         catch { case _: Throwable => -1.0 }
       }
       val first = once()
-      name -> (if (first < 0) first else math.min(first, once()))
+      val best = if (first < 0) first else math.min(first, once())
+      // drop persisted frames between queries (outside the timed region): a query that
+      // legitimately persists (the audio fingerprint stream) must not squeeze every
+      // LATER query's executor memory — a full-sweep run once inflated the cdc tail 3×
+      spark.catalog.clearCache()
+      name -> best
     }
     val calAfter = calibrate(spark)
     val loadAvg = java.lang.management.ManagementFactory
