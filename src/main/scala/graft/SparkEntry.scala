@@ -2782,6 +2782,37 @@ object SparkEntry {
         round(lit(2.0) * vr * 7.8489 / (mde * mde), 2).as("n_per_arm"))
     }),
 
+    // Per-user PATH PERPLEXITY — the bigram-LM discipline applied to behavior: score
+    // each user's event-type transition stream against the CORPUS transition model
+    // (maximum-likelihood P(next|cur) from the global counts); low average logprob =
+    // an unusual navigation pattern (fraud/bot/broken-client triage, the behavioral
+    // twin of doc_bigram_logprob). Exactness: the per-transition log10 quantizes to
+    // DECIMAL(18,8) and multiplies integer multiplicities — the repo's LM sum
+    // discipline, bit-replayable. Shape: one user-keyed window builds transitions,
+    // the transition model is |types|² and broadcasts back.
+    "ev_path_perplexity" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+      val tr = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type").as("cur"),
+          unix_millis(col("ts")).as("ms"))
+        .withColumn("nxt", lead(col("cur"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+      val perUser = tr.groupBy(col("user_id"), col("cur"), col("nxt"))
+        .agg(count(lit(1)).as("k"))
+      val model = perUser.groupBy(col("cur"), col("nxt"))
+        .agg(sum(col("k")).cast("long").as("cb"))
+      val fromTot = model.groupBy(col("cur")).agg(sum(col("cb")).cast("long").as("cf"))
+      val lp = log(10.0, col("cb").cast(DoubleType) / col("cf"))
+        .cast(DecimalType(18, 8))
+      perUser
+        .join(broadcast(model), Seq("cur", "nxt"))
+        .join(broadcast(fromTot), Seq("cur"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("k")).cast("long").as("n_transitions"),
+          round(sum(col("k").cast(DecimalType(10, 0)) * lp).cast(DoubleType)
+            / sum(col("k")), 4).as("avg_logprob"))
+    }),
+
     // Forecast BACKTEST with the seasonal-naive baseline (predict today = same
     // weekday last week) — the sanity floor every real forecaster must beat, and the
     // backtest harness is the deliverable: per-day absolute/percentage errors over
@@ -4188,6 +4219,24 @@ object SparkEntry {
         |  CAST(SUM(COALESCE(len(toks), 0)) AS BIGINT) AS n_words,
         |  TRUE AS fertility_ge_1_ok, TRUE AS fertility_le_chars_ok
         |FROM t GROUP BY 1""".stripMargin,
+
+    "ev_path_perplexity" ->
+      """WITH e AS (SELECT user_id, event_id, event_type AS cur,
+        |  CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ms FROM events),
+        |tr AS (SELECT user_id, cur,
+        |  LEAD(cur) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS nxt FROM e),
+        |f AS (SELECT user_id, cur, nxt FROM tr WHERE nxt IS NOT NULL),
+        |pu AS (SELECT user_id, cur, nxt, CAST(COUNT(*) AS BIGINT) AS k FROM f GROUP BY 1, 2, 3),
+        |mdl AS (SELECT cur, nxt, CAST(SUM(k) AS BIGINT) AS cb FROM pu GROUP BY 1, 2),
+        |ft AS (SELECT cur, CAST(SUM(cb) AS BIGINT) AS cf FROM mdl GROUP BY 1),
+        |lp AS (SELECT mdl.cur, mdl.nxt,
+        |  CAST(LOG10(CAST(cb AS DOUBLE) / cf) AS DECIMAL(18,8)) AS lp
+        |  FROM mdl JOIN ft USING (cur))
+        |SELECT pu.user_id, CAST(SUM(pu.k) AS BIGINT) AS n_transitions,
+        |  ROUND(CAST(SUM(CAST(pu.k AS DECIMAL(10,0)) * lp.lp) AS DOUBLE) / SUM(pu.k), 4)
+        |    AS avg_logprob
+        |FROM pu JOIN lp ON lp.cur = pu.cur AND lp.nxt = pu.nxt
+        |GROUP BY 1""".stripMargin,
 
     "ev_forecast_backtest" ->
       """WITH d AS (SELECT CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000 AS day,
