@@ -2797,8 +2797,11 @@ object SparkEntry {
           unix_millis(col("ts")).as("ms"))
         .withColumn("nxt", lead(col("cur"), 1).over(w))
         .filter(col("nxt").isNotNull)
+      // persist the collapsed (user, cur, nxt, k) table: the model, the from-totals
+      // and the final scoring all fold off it — without this the user-window pass
+      // over the raw events would run three times (bench clears cache per query)
       val perUser = tr.groupBy(col("user_id"), col("cur"), col("nxt"))
-        .agg(count(lit(1)).as("k"))
+        .agg(count(lit(1)).as("k")).persist()
       val model = perUser.groupBy(col("cur"), col("nxt"))
         .agg(sum(col("k")).cast("long").as("cb"))
       val fromTot = model.groupBy(col("cur")).agg(sum(col("cb")).cast("long").as("cf"))

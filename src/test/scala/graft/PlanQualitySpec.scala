@@ -586,6 +586,19 @@ class PlanQualitySpec extends SparkSpec {
       s"NOT IN fell back to the nested-loop plan:\n$p")
   }
 
+  test("ev_survival_hazard / doc_quality_budget: one corpus scan, windows ride collapsed grids") {
+    for ((q, tbl) <- Seq("ev_survival_hazard" -> "events", "doc_quality_budget" -> "documents")) {
+      val p = plan(q)
+      assert(s"$tbl\\.parquet".r.findAllIn(p).size == 1, s"$q re-scans $tbl:\n$p")
+    }
+  }
+
+  test("ev_path_perplexity: the transition table persists — the user-window pass runs once") {
+    val p = plan("ev_path_perplexity")
+    assert(p.contains("InMemoryTableScan"),
+      s"per-user transitions must be cached across model/from-total/scoring branches:\n$p")
+  }
+
   test("partition pruning: partitioned parquet scans only the matching partition") {
     val base = java.nio.file.Files.createTempDirectory("graft-pp").toString
     spark.read.parquet(s"$dir/events.parquet")
