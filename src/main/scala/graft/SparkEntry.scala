@@ -2512,6 +2512,17 @@ object SparkEntry {
       graft.ops.GraphOps.triangleStats(edges)
     }),
 
+    // Community detection on the same co-occurrence graph: 3 synchronous LPA rounds
+    // with deterministic majority/tie rules — exactly replayable in SQL by unrolling
+    // the rounds (no randomized visit order, the classic LPA nondeterminism, is ever
+    // introduced)
+    "q_basket_communities" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val edges = graft.ops.GraphOps.coOccurrenceEdges(li, "l_orderkey", "l_partkey",
+        minCount = 2)
+      graft.ops.GraphOps.labelPropagation(edges, rounds = 3)
+    }),
+
     // one auditable Lloyd step of spherical k-means: broadcast seeds, argmax-cosine
     // assignment into a 1-bounded heap, (cluster, dim) mean cells with DECIMAL(18,8)
     // per-term quantization — the training loop is this operator iterated
@@ -6011,6 +6022,26 @@ object SparkEntry {
         |  (SELECT n_tri FROM tri) AS n_triangles,
         |  (SELECT CAST(CAST(3.0 * n_tri / (SELECT SUM(d * (d - 1) // 2) FROM deg)
         |     AS DECIMAL(18,8)) AS DOUBLE) FROM tri) AS clustering""".stripMargin,
+
+    "q_basket_communities" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT a.pk AS u, b.pk AS v FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |und AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+        |l0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
+        |r1 AS (SELECT und.a, l0.label, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM und JOIN l0 ON l0.node = und.b GROUP BY 1, 2),
+        |l1 AS (SELECT a AS node, label FROM r1
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY a ORDER BY c DESC, label) = 1),
+        |r2 AS (SELECT und.a, l1.label, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM und JOIN l1 ON l1.node = und.b GROUP BY 1, 2),
+        |l2 AS (SELECT a AS node, label FROM r2
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY a ORDER BY c DESC, label) = 1),
+        |r3 AS (SELECT und.a, l2.label, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM und JOIN l2 ON l2.node = und.b GROUP BY 1, 2),
+        |l3 AS (SELECT a AS node, label FROM r3
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY a ORDER BY c DESC, label) = 1)
+        |SELECT node, label AS community FROM l3""".stripMargin,
 
     "emb_knn_graph" ->
       """WITH p AS (

@@ -135,4 +135,29 @@ object GraphOps {
       (lit(3.0) * col("n_triangles") / col("n_wedges"))
         .cast(DecimalType(18, 8)).cast(DoubleType).as("clustering"))
   }
+
+  /**
+   * Synchronous label propagation (Raghavan et al. 2007) with DETERMINISTIC update
+   * rules — every node starts as its own community, and each fixed round relabels
+   * every node to its neighbors' majority label (count desc, then smallest label):
+   * no randomized order, no early stopping, so the result is exactly reproducible
+   * (and SQL-replayable by unrolling the rounds). Fixed `rounds` bounds the plan like
+   * the k-means/pagerank trainers; each round is one edge-keyed join + two grouped
+   * aggregations — label payloads are single longs, the graph never re-materializes.
+   */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    val und = edges.select(col("u").as("a"), col("v").as("b"))
+      .union(edges.select(col("v").as("a"), col("u").as("b")))
+    var labels = und.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      labels = und
+        .join(labels.select(col("node").as("b"), col("label")), "b")
+        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("a"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("a").as("node"), (-col("m.nl")).as("label"))
+    }
+    labels.select(col("node"), col("label").as("community"))
+  }
 }
