@@ -2684,6 +2684,32 @@ object SparkEntry {
           (col("predicted_rows") === col("actual_rows")).as("cardinality_match"))
     }),
 
+    // Dataset CARD — the one-row summary a dataset release ships (HF dataset-card
+    // numbers): sizes, language/source spread, English share, mean quality (per-doc
+    // scores quantized to DECIMAL before the sum, so the mean replays bit-identically)
+    // and the near-dup pair count off the exact Jaccard machinery. Every statistic
+    // reuses an already-gated operator; the card is their broadcast join.
+    "doc_dataset_card" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val base = d.select(col("lang"), col("source"),
+          size(TextOps.tokensCol(col("text"))).cast("long").as("__nt"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).cast("long").as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("__en"))
+      val q = TextOps.qualityScore(d)
+        .agg(sum(col("quality_score").cast(DecimalType(18, 8))).as("__qs"),
+          count(lit(1)).as("__qn"))
+      val nd = DedupOps.ngramJaccardPairs(d, threshold = 0.2)
+        .agg(count(lit(1)).as("n_neardup_pairs"))
+      base.crossJoin(broadcast(q)).crossJoin(broadcast(nd))
+        .select(col("n_docs"), col("n_tokens"), col("n_langs"), col("n_sources"),
+          round(col("n_tokens").cast(DoubleType) / col("n_docs"), 2).as("mean_doc_tokens"),
+          round(col("__en").cast(DoubleType) / col("n_docs"), 4).as("en_share"),
+          round(col("__qs").cast(DoubleType) / col("__qn"), 4).as("mean_quality"),
+          col("n_neardup_pairs"))
+    }),
+
     // Quality-budget tradeoff curve — "keep everything scoring ≥ s: how many docs and
     // tokens do I get": descending cumulative over the SCORE GRID (quality scores
     // round to 4dp, so state is grid-bounded like q_pareto_cut — never a corpus-sized
@@ -4172,6 +4198,31 @@ object SparkEntry {
         |SELECT n_keys_common, predicted_rows, actual_rows,
         |  (predicted_rows = actual_rows) AS cardinality_match
         |FROM p, a""".stripMargin,
+
+    "doc_dataset_card" ->
+      (s"""WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_neardup_pairs
+        |  FROM (${jaccardPairsOracleAt(0.2)})),
+        |tq AS (SELECT lang, source,
+        |  list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(COALESCE(len(toks), 0)) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en FROM tq),
+        |qm AS (SELECT CAST(len(toks) AS DOUBLE) AS n_tok,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','on','for','with','as','at'))) AS DOUBLE) AS n_stop
+        |  FROM tq),
+        |qs AS (SELECT SUM(CAST(
+        |    ROUND((CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 0.5 ELSE 0.0 END)
+        |      + (CASE WHEN n_tok > 0 THEN (n_stop / n_tok) * 0.5 ELSE 0.0 END), 4)
+        |    AS DECIMAL(18,8))) AS sq, CAST(COUNT(*) AS BIGINT) AS qn FROM qm)
+        |SELECT b.n_docs, b.n_tokens, b.n_langs, b.n_sources,
+        |  ROUND(CAST(b.n_tokens AS DOUBLE) / b.n_docs, 2) AS mean_doc_tokens,
+        |  ROUND(CAST(b.en AS DOUBLE) / b.n_docs, 4) AS en_share,
+        |  ROUND(CAST(qs.sq AS DOUBLE) / qs.qn, 4) AS mean_quality,
+        |  nd.n_neardup_pairs
+        |FROM b, qs, nd""").stripMargin,
 
     "doc_quality_budget" ->
       """WITH t AS (SELECT doc_id, text,
