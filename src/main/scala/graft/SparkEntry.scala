@@ -467,6 +467,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"))
     }),
 
+    // Chi-square test of INDEPENDENCE (market segment ⊥ order priority?) — the
+    // contingency-table companion to q_benford's goodness-of-fit: observed cell
+    // counts are exact LONGs, expected = row·col/n enters each term in ONE fixed
+    // operand order, and the statistic + dof come out of a cell-grid-bounded fold
+    // (|segments|·|priorities| cells, never row-scale state).
+    "q_chi2_independence" -> ((s, dir) => {
+      val j = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("o_orderpriority").as("pri"))
+      val cells = j.groupBy(col("seg"), col("pri")).agg(count(lit(1)).as("o"))
+      val rowT = cells.groupBy(col("seg")).agg(sum(col("o")).cast("long").as("rt"))
+      val colT = cells.groupBy(col("pri")).agg(sum(col("o")).cast("long").as("ct"))
+      val n = cells.agg(sum(col("o")).cast("long").as("n"))
+      val e = col("rt").cast(DoubleType) * col("ct") / col("n")
+      val dev = col("o").cast(DoubleType) - e
+      cells.join(broadcast(rowT), "seg").join(broadcast(colT), "pri")
+        .crossJoin(broadcast(n))
+        .agg(
+          sum((dev * dev / e).cast(DecimalType(18, 8))).as("__chi2"),
+          countDistinct(col("seg")).as("__r"), countDistinct(col("pri")).as("__c"))
+        .select(round(col("__chi2").cast(DoubleType), 4).as("chi2"),
+          ((col("__r") - 1) * (col("__c") - 1)).as("dof"))
+    }),
+
     // Set-operation BAG semantics pin: INTERSECT ALL keeps min(multiplicity) per value
     // and EXCEPT ALL subtracts multiplicities — distinct-set counts sit alongside so
     // the difference is visible in one row. Spark plans these as aggregate+join (no
@@ -4343,6 +4369,23 @@ object SparkEntry {
         |  ROUND(CAST(n * sg2 - sg * sg AS DOUBLE) / CAST(sg * sg AS DOUBLE), 4) AS cv2,
         |  (CAST(n * sg2 - sg * sg AS DOUBLE) / CAST(sg * sg AS DOUBLE) < 0.1) AS is_regular
         |FROM m WHERE n >= 5""".stripMargin,
+
+    "q_chi2_independence" ->
+      """WITH j AS (SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |cells AS (SELECT seg, pri, CAST(COUNT(*) AS BIGINT) AS o FROM j GROUP BY 1, 2),
+        |rt AS (SELECT seg, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT pri, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+        |n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+        |terms AS (SELECT
+        |  CAST((CAST(o AS DOUBLE) - CAST(rt.rt AS DOUBLE) * ct.ct / n.n)
+        |     * (CAST(o AS DOUBLE) - CAST(rt.rt AS DOUBLE) * ct.ct / n.n)
+        |     / (CAST(rt.rt AS DOUBLE) * ct.ct / n.n) AS DECIMAL(18,8)) AS term,
+        |  cells.seg, cells.pri
+        |  FROM cells JOIN rt USING (seg) JOIN ct USING (pri), n)
+        |SELECT ROUND(CAST(SUM(term) AS DOUBLE), 4) AS chi2,
+        |  CAST((COUNT(DISTINCT seg) - 1) * (COUNT(DISTINCT pri) - 1) AS BIGINT) AS dof
+        |FROM terms""".stripMargin,
 
     "q_set_ops" ->
       """WITH a AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
