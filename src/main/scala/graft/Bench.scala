@@ -65,8 +65,12 @@ object Bench {
       val best = if (first < 0) first else math.min(first, once())
       // drop persisted frames between queries (outside the timed region): a query that
       // legitimately persists (the audio fingerprint stream) must not squeeze every
-      // LATER query's executor memory — a full-sweep run once inflated the cdc tail 3×
+      // LATER query's executor memory — a full-sweep run once inflated the cdc tail 3×.
+      // The explicit gc drains the previous query's garbage debt on our time, not the
+      // next query's timed region (observed ±35% per-query swings across full sweeps
+      // without it, with the calibration sentinel green — the pressure is JVM-internal).
       spark.catalog.clearCache()
+      System.gc()
       name -> best
     }
     val calAfter = calibrate(spark)
