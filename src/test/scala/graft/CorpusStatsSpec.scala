@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import graft.ops.TextOps
 
 /** Burstiness, distinct-n diversity and fightin'-words log-odds vs naive references. */
@@ -96,5 +97,51 @@ class CorpusStatsSpec extends SparkSpec {
     val expected = BigDecimal(2.0 * s / (cs.size.toLong * cs.sum) - (cs.size + 1.0) / cs.size)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(giniOf(cs) == expected)
+  }
+
+  /** Events fixture: one event per (user, day) pair given as (user, day). */
+  private def eventsFixture(rows: Seq[(Long, Long)]): String = {
+    import java.sql.Timestamp
+    val base = java.nio.file.Files.createTempDirectory("graft-evfix").toString
+    rows.zipWithIndex.map { case ((u, d), i) =>
+      (i.toLong, new Timestamp(d * 86400000L), u, "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$base/events.parquet")
+    base
+  }
+
+  test("ev_cusum: a flat series has zero CUSUM everywhere; a planted level shift peaks at the shift") {
+    val flat = eventsFixture((0L until 14L).map(d => (d % 3, d))) // 1 event/day
+    val rows = SparkEntry.queries("ev_cusum")(spark, flat).collect()
+    assert(rows.forall(_.getAs[Long]("s_scaled") == 0L), "flat series must have S=0")
+    // days 0-6: 1/day; days 7-13: 3/day -> most negative S at day 6 (pre-shift trough)
+    val shifted = eventsFixture(
+      (0L until 7L).map(d => (0L, d)) ++
+        (7L until 14L).flatMap(d => Seq((0L, d), (1L, d), (2L, d))))
+    val peak = SparkEntry.queries("ev_cusum")(spark, shifted)
+      .filter(col("is_peak")).head()
+    assert(peak.getAs[Long]("day") == 6L, s"changepoint must sit at the shift: $peak")
+  }
+
+  test("ev_forecast_backtest: perfectly weekly-periodic series backtests to zero error") {
+    val base = eventsFixture((0L until 28L).flatMap(d =>
+      (0L until (d % 7) + 1).map(u => (u, d)))) // count(day) = dow+1, exactly periodic
+    val r = SparkEntry.queries("ev_forecast_backtest")(spark, base).head()
+    assert(r.getAs[Long]("n_days") == 21L)
+    assert(r.getAs[Double]("mae") == 0.0 && r.getAs[Double]("mape") == 0.0)
+  }
+
+  test("ev_survival_hazard: everyone active at the end is censored — zero hazard mass") {
+    // all users span the full window -> lifespan = max, all censored
+    val allActive = eventsFixture((0L until 5L).flatMap(u => Seq((u, 0L), (u, 20L))))
+    val rows = SparkEntry.queries("ev_survival_hazard")(spark, allActive).collect()
+    assert(rows.forall(_.getAs[Long]("n_churn") == 0L), s"censored users can't churn: ${rows.toSeq}")
+    // one early-vanishing user churns at its lifespan with everyone still at risk above it
+    val churn = eventsFixture(
+      (0L until 4L).flatMap(u => Seq((u, 0L), (u, 20L))) ++ Seq((9L, 0L), (9L, 5L)))
+    val h = SparkEntry.queries("ev_survival_hazard")(spark, churn).collect()
+      .map(r => r.getAs[Long]("t") -> ((r.getAs[Long]("n_risk"), r.getAs[Long]("n_churn")))).toMap
+    assert(h(5L) == ((5L, 1L)), s"lifespan-5 churner against the full risk set: $h")
+    assert(h(20L) == ((4L, 0L)), s"survivors censored: $h")
   }
 }
