@@ -2879,6 +2879,45 @@ object SparkEntry {
             / sum(col("k")), 4).as("avg_logprob"))
     }),
 
+    // Workload DRIFT between observation halves: Jensen-Shannon divergence of the
+    // (dow, hour) activity distributions, first half vs second half — the time-side
+    // twin of doc_js_divergence (same per-term DECIMAL(18,12) ln quantization, same
+    // zero-termed full-outer shape), over a 168-cell grid so every post-count step is
+    // constant-size. The midpoint is integer-derived from the data, no wall clock.
+    "ev_load_shift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(expr("unix_millis(ts) div 86400000").as("d"),
+          expr("(unix_millis(ts) div 3600000) % 24").as("hour"))
+      // collapse to the (day, hour) grid FIRST — the midpoint window and the half
+      // split then ride ≤ |days|·24 rows, and the corpus pays exactly one exchange
+      val grid = ev.groupBy(col("d"), col("hour")).agg(count(lit(1)).as("c"))
+      val wAll = Window.partitionBy(lit(0))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val marked = grid
+        .withColumn("__mn", min(col("d")).over(wAll))
+        .withColumn("__mx", max(col("d")).over(wAll))
+        .withColumn("h1", col("d") < expr("(__mn + __mx + 1) div 2"))
+      val cells = marked
+        .groupBy(expr("(d + 4) % 7").as("dow"), col("hour"))
+        .agg(sum(when(col("h1"), col("c")).otherwise(0L)).cast("long").as("ca"),
+          sum(when(!col("h1"), col("c")).otherwise(0L)).cast("long").as("cb"))
+      val tot = cells.agg(sum(col("ca")).cast("long").as("na"),
+        sum(col("cb")).cast("long").as("nb"))
+      val dec12 = DecimalType(18, 12)
+      val pa = col("ca").cast(DoubleType) / col("na")
+      val pb = col("cb").cast(DoubleType) / col("nb")
+      val den = pa + pb
+      val termA = when(col("ca") > 0, (pa * log((pa * 2) / den)).cast(dec12))
+        .otherwise(lit(0).cast(dec12))
+      val termB = when(col("cb") > 0, (pb * log((pb * 2) / den)).cast(dec12))
+        .otherwise(lit(0).cast(dec12))
+      cells.crossJoin(broadcast(tot))
+        .agg(count(when(col("ca") > 0 && col("cb") > 0, 1)).as("n_common_cells"),
+          sum(termA).as("__sa"), sum(termB).as("__sb"))
+        .select(col("n_common_cells"),
+          round((col("__sa") + col("__sb")).cast(DoubleType) / 2, 8).as("jsd_nats"))
+    }),
+
     // Forecast BACKTEST with the seasonal-naive baseline (predict today = same
     // weekday last week) — the sanity floor every real forecaster must beat, and the
     // backtest harness is the deliverable: per-day absolute/percentage errors over
@@ -4328,6 +4367,28 @@ object SparkEntry {
         |    AS avg_logprob
         |FROM pu JOIN lp ON lp.cur = pu.cur AND lp.nxt = pu.nxt
         |GROUP BY 1""".stripMargin,
+
+    "ev_load_shift" ->
+      """WITH ev AS (SELECT CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000 AS d,
+        |  (CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 3600000) % 24 AS hour FROM events),
+        |grid AS (SELECT d, hour, CAST(COUNT(*) AS BIGINT) AS c FROM ev GROUP BY 1, 2),
+        |mid AS (SELECT (MIN(d) + MAX(d) + 1) // 2 AS m FROM grid),
+        |cells AS (SELECT (d + 4) % 7 AS dow, hour,
+        |  CAST(SUM(CASE WHEN d < mid.m THEN c ELSE 0 END) AS BIGINT) AS ca,
+        |  CAST(SUM(CASE WHEN d >= mid.m THEN c ELSE 0 END) AS BIGINT) AS cb
+        |  FROM grid, mid GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM cells),
+        |terms AS (SELECT ca, cb,
+        |  CASE WHEN ca > 0 THEN CAST((CAST(ca AS DOUBLE) / na)
+        |    * LN(((CAST(ca AS DOUBLE) / na) * 2) / ((CAST(ca AS DOUBLE) / na) + (CAST(cb AS DOUBLE) / nb)))
+        |    AS DECIMAL(18,12)) ELSE CAST(0 AS DECIMAL(18,12)) END AS ta,
+        |  CASE WHEN cb > 0 THEN CAST((CAST(cb AS DOUBLE) / nb)
+        |    * LN(((CAST(cb AS DOUBLE) / nb) * 2) / ((CAST(ca AS DOUBLE) / na) + (CAST(cb AS DOUBLE) / nb)))
+        |    AS DECIMAL(18,12)) ELSE CAST(0 AS DECIMAL(18,12)) END AS tb
+        |  FROM cells, tot)
+        |SELECT CAST(COUNT(CASE WHEN ca > 0 AND cb > 0 THEN 1 END) AS BIGINT) AS n_common_cells,
+        |  ROUND(CAST(SUM(ta) + SUM(tb) AS DOUBLE) / 2, 8) AS jsd_nats
+        |FROM terms""".stripMargin,
 
     "ev_forecast_backtest" ->
       """WITH d AS (SELECT CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000 AS day,
