@@ -780,5 +780,45 @@ class StreamingSpec extends SparkSpec {
     val batch = Anomaly.batchFlags(static).collect()
       .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("z"))).toSet
     assert(batch == streamed, s"streaming $streamed != batch $batch")
+
+    // RESUME: restartable runs over the SAME checkpoint (foreachBatch parquet sink —
+    // the memory sink refuses checkpoint recovery) must carry moment state forward:
+    // the old flag is never re-emitted, and a fresh outlier scores against state
+    // built across PREVIOUS runs
+    val flagsDir = s"$base/flags"
+    def runDurable(): Unit = {
+      val q = Anomaly.flags(
+          spark.readStream.schema("user_id LONG, event_id LONG, ms LONG, value DOUBLE")
+            .option("maxFilesPerTrigger", "1").json(src).as[Anomaly.Obs])
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Anomaly.Flag], _: Long) =>
+          b.write.mode("append").parquet(flagsDir): Unit
+        }
+        .outputMode("update")
+        .option("checkpointLocation", s"$base/ckpt2")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def flagged(): Set[(Long, Long)] = spark.read.parquet(flagsDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toSet
+    runDurable() // files 000+001 through a fresh checkpoint
+    assert(flagged() == Set((1L, 12L)), s"initial durable run: ${flagged()}")
+    // a later file with a NEW user's baseline + an unremarkable user-1 arrival
+    writeSpool(src, "002.json",
+      (20 until 31).map(i => line(3L, 100L + i, 100L + i, if (i % 2 == 0) 9.0 else 11.0)) ++
+        Seq(line(1L, 14L, 14L, 9.0)))
+    Files.setLastModifiedTime(Paths.get(src, "002.json"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(Paths.get(src, "001.json")).toMillis + 10000))
+    runDurable()
+    assert(flagged() == Set((1L, 12L)), s"resume must not re-flag or mis-flag: ${flagged()}")
+    // and a final outlier for user 3 flags against the PREVIOUS run's baseline
+    writeSpool(src, "003.json", Seq(line(3L, 200L, 200L, 100.0)))
+    Files.setLastModifiedTime(Paths.get(src, "003.json"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(Paths.get(src, "002.json")).toMillis + 10000))
+    runDurable()
+    assert(flagged() == Set((1L, 12L), (3L, 200L)),
+      s"user 3's outlier must flag against state from the PREVIOUS run: ${flagged()}")
   }
 }
