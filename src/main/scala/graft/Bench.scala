@@ -39,7 +39,12 @@ object Bench {
     // per-query numbers measure steady-state execution rather than first-job startup.
     spark.range(1L << 20).selectExpr("sum(id)").collect()
     try SparkEntry.queries("q_dim_join")(spark, sfDir).count() catch { case _: Throwable => () }
-    calibrate(spark) // pays the calibration query's own codegen compile; not recorded
+    // two unrecorded rounds: the first pays codegen compile, the second C2-tier JIT —
+    // with one round the "before" sample measured warm-up, not machine load (observed
+    // 0.17-0.21s before vs 0.08-0.12s after the sweep on a quiet box, tripping the
+    // sentinel on cold-start rather than on co-located load, which is its one job)
+    calibrate(spark)
+    calibrate(spark)
     val calBefore = calibrate(spark)
     // optional subset scoping for local iteration (mirrors Verify's SPARK_GRAFT_ONLY)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
