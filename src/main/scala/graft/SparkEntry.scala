@@ -2879,6 +2879,25 @@ object SparkEntry {
             / sum(col("k")), 4).as("avg_logprob"))
     }),
 
+    // DAU/WAU stickiness — the engagement ratio product analytics reads daily: for
+    // each day, distinct actives that day over distinct actives in the trailing 7
+    // days. Exact distinct via the DEDUPLICATED (day, user) pair table (one corpus
+    // exchange); the trailing window is a bounded 7× fan-out of that pair table
+    // against the broadcast day grid — never a distinct-over-window on raw events.
+    "ev_stickiness" -> ((s, dir) => {
+      val ud = t(s, dir, "events")
+        .select(expr("unix_millis(ts) div 86400000").as("d"), col("user_id"))
+        .distinct()
+      val days = ud.select(col("d").as("day")).distinct()
+      val dau = ud.groupBy(col("d").as("day")).agg(count(lit(1)).as("dau"))
+      val wau = ud.join(broadcast(days),
+          col("d").between(col("day") - 6, col("day")))
+        .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          round(col("dau").cast(DoubleType) / col("wau"), 6).as("stickiness"))
+    }),
+
     // Workload DRIFT between observation halves: Jensen-Shannon divergence of the
     // (dow, hour) activity distributions, first half vs second half — the time-side
     // twin of doc_js_divergence (same per-term DECIMAL(18,12) ln quantization, same
@@ -4367,6 +4386,17 @@ object SparkEntry {
         |    AS avg_logprob
         |FROM pu JOIN lp ON lp.cur = pu.cur AND lp.nxt = pu.nxt
         |GROUP BY 1""".stripMargin,
+
+    "ev_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT
+        |  CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000 AS d, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT d AS day FROM ud),
+        |dau AS (SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+        |wau AS (SELECT days.day, CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS wau
+        |  FROM ud JOIN days ON ud.d BETWEEN days.day - 6 AND days.day GROUP BY 1)
+        |SELECT day, dau, wau, ROUND(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+        |FROM dau JOIN wau USING (day)""".stripMargin,
 
     "ev_load_shift" ->
       """WITH ev AS (SELECT CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000 AS d,
