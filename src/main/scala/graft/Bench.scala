@@ -11,8 +11,49 @@ object Bench {
   // the repo's reference hardware (local[32]); a run where either calibration sample
   // exceeds 1.3x the reference is marked "tainted": true in BENCH.json so the consumer
   // knows the numbers measure the machine, not the queries. Re-pin on hardware change.
+  //
+  // Sentinel v2 (r7): endpoint-only calibration cannot see a MID-sweep transient — the
+  // r6 driver artifact shipped doc_bpe_encode at 7.0s (real 0.76s) with tainted:false
+  // because both endpoints were quiet. Two additional defenses:
+  //   1. the calibration probe is re-run every CalEvery queries; a deviating sample
+  //      marks every query since the previous sample as suspect (load arrives and
+  //      leaves between samples, so the whole span is unreliable);
+  //   2. each query is compared against its value in the committed BENCH.json — any
+  //      entry >RequeryFactor x its history is an outlier regardless of calibration.
+  // Suspects and outliers are re-run in isolation after the sweep (min of the two
+  // measurements is recorded — the smaller one had less co-located interference) and
+  // listed under "requeried" in the artifact. If the suspect set exceeds the requery
+  // budget the run is tainted outright: the machine was loaded for most of the sweep.
   private[graft] val CalibrationRef = 0.150 // seconds, quiet-box local[32], min-of-2
   private[graft] val TaintFactor = 1.3
+  private[graft] val CalEvery = 25 // queries between interleaved calibration samples
+  private[graft] val RequeryFactor = 3.0 // vs committed history
+  private[graft] val RequeryFloor = 0.3 // s; ignore 3x blips on sub-noise entries
+  private[graft] val RequeryBudget = 40 // max isolated re-runs before declaring taint
+
+  /** Pure span logic so the injected-load scenario is unit-testable: given calibration
+    * samples as (queriesCompletedWhenTaken, seconds) — including the before-sample at
+    * position 0 and the after-sample at position n — return the indices of queries
+    * falling in a span adjacent to a deviating sample. A span is suspect if the sample
+    * at EITHER end deviates: load present at a boundary may have covered the span. */
+  private[graft] def suspectSpans(
+      samples: Seq[(Int, Double)], ref: Double, taint: Double): Set[Int] = {
+    val bad = samples.map { case (_, s) => s > ref * taint }
+    samples.sliding(2).zipWithIndex.flatMap {
+      case (Seq((lo, _), (hi, _)), i) if bad(i) || bad(i + 1) => lo until hi
+      case _ => Nil
+    }.toSet
+  }
+
+  /** Pure outlier logic: entries whose sweep time exceeds RequeryFactor x their value
+    * in the committed artifact (and an absolute floor, so 0.05s->0.16s noise on tiny
+    * queries does not trigger isolated re-runs). */
+  private[graft] def historyOutliers(
+      times: Seq[(String, Double)], history: Map[String, Double],
+      factor: Double = RequeryFactor, floor: Double = RequeryFloor): Seq[String] =
+    times.collect {
+      case (name, t) if t > floor && history.get(name).exists(h => h > 0 && t > h * factor) => name
+    }
 
   private def calibrate(spark: SparkSession): Double = {
     def once(): Double = {
@@ -25,6 +66,21 @@ object Bench {
     // co-located load raises the minimum too)
     math.min(once(), once())
   }
+
+  /** Committed per-query history from the previous artifact (BENCH.json in the repo
+    * working tree). Missing/unparsable file -> empty map -> no history requeries. */
+  private[graft] def loadHistory(path: String): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val q = om.readTree(txt).get("queries")
+      if (q == null) Map.empty
+      else {
+        val it = q.fields(); val b = Map.newBuilder[String, Double]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+        b.result()
+      }
+    } catch { case _: Throwable => Map.empty }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -49,25 +105,28 @@ object Bench {
     // optional subset scoping for local iteration (mirrors Verify's SPARK_GRAFT_ONLY)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only match {
+    val selected = (only match {
       case Some(names) => SparkEntry.benchQueries.filter { case (n, _) => names(n) }
       case None => SparkEntry.benchQueries
+    }).toSeq
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    val history = loadHistory(sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", outPath))
+
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      // noop sink, NOT count(): count() lets the optimizer prune every projection the
+      // count doesn't need, so map-shaped queries (unwrap, quality, normalize …) would
+      // measure only the scan; the noop sink forces full evaluation of every column.
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
     }
     // best of 2: the first execution of each query pays its whole-stage-codegen compile
     // (~1-3 s of JVM work unrelated to data volume); the second run measures the query.
     // benchQueries, not queries: the bench times the OPERATOR (pre-trained ANN models,
     // no in-plan exact audits) — graft.Verify runs the gated forms (VERDICT r3 #1).
-    val results = selected.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        // noop sink, NOT count(): count() lets the optimizer prune every projection the
-        // count doesn't need, so map-shaped queries (unwrap, quality, normalize …) would
-        // measure only the scan; the noop sink forces full evaluation of every column.
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
-      }
-      val first = once()
-      val best = if (first < 0) first else math.min(first, once())
+    def bestOf2(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val first = runOnce(fn)
+      val best = if (first < 0) first else math.min(first, runOnce(fn))
       // drop persisted frames between queries (outside the timed region): a query that
       // legitimately persists (the audio fingerprint stream) must not squeeze every
       // LATER query's executor memory — a full-sweep run once inflated the cdc tail 3×.
@@ -76,27 +135,61 @@ object Bench {
       // without it, with the calibration sentinel green — the pressure is JVM-internal).
       spark.catalog.clearCache()
       System.gc()
-      name -> best
+      best
+    }
+
+    val calSamples = scala.collection.mutable.ArrayBuffer[(Int, Double)]((0, calBefore))
+    val results = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    selected.zipWithIndex.foreach { case ((name, fn), i) =>
+      results += name -> bestOf2(fn)
+      if ((i + 1) % CalEvery == 0 && (i + 1) < selected.size)
+        calSamples += (((i + 1), calibrate(spark)))
     }
     val calAfter = calibrate(spark)
+    calSamples += ((selected.size, calAfter))
+
+    // --- sentinel v2 decision + isolated re-runs -------------------------------------
+    val suspects = suspectSpans(calSamples.toSeq, CalibrationRef, TaintFactor)
+    val outliers = historyOutliers(results.toSeq, history)
+    val byName = selected.map(_._1).zipWithIndex.toMap
+    // outliers first (they are individually evidenced), then span suspects
+    val wanted = (outliers ++ suspects.toSeq.sorted.map(selected(_)._1)).distinct
+      .filter(n => results(byName(n))._2 >= 0)
+    val overBudget = wanted.size > RequeryBudget
+    val requeried = wanted.take(RequeryBudget)
+    requeried.foreach { name =>
+      val i = byName(name)
+      val re = bestOf2(selected(i)._2)
+      // min of sweep-time and isolated-time: the smaller measurement had less
+      // co-located interference; an isolated re-run under NEW load must not replace a
+      // clean sweep value.
+      if (re >= 0) results(i) = name -> math.min(results(i)._2, re)
+    }
+
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    val tainted = math.max(calBefore, calAfter) > CalibrationRef * TaintFactor
+    val tainted = math.max(calBefore, calAfter) > CalibrationRef * TaintFactor || overBudget
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
+    val samplesJson = calSamples.map { case (n, s) => s"""{"after":$n,"s":$s}""" }
+      .mkString("[", ",", "]")
+    val requeriedJson = requeried.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       s""","calibration_before_s":$calBefore,"calibration_after_s":$calAfter""" +
-      s""","calibration_ref_s":$CalibrationRef,"load_avg":$loadAvg,"tainted":$tainted}"""
+      s""","calibration_ref_s":$CalibrationRef,"calibration_samples":$samplesJson""" +
+      s""","requeried":$requeriedJson,"load_avg":$loadAvg,"tainted":$tainted}"""
     println(line)
     if (tainted) System.err.println(
       f"[bench] TAINTED: calibration ${math.max(calBefore, calAfter)}%.3fs vs ref ${CalibrationRef}s " +
-        f"(>±${TaintFactor}x) — numbers reflect machine load, not query cost")
+        f"(>±${TaintFactor}x)${if (overBudget) s" or suspect set ${wanted.size} > budget $RequeryBudget" else ""}" +
+        " — numbers reflect machine load, not query cost")
+    if (requeried.nonEmpty) System.err.println(
+      s"[bench] re-ran ${requeried.size} suspect/outlier entries in isolation: ${requeried.mkString(", ")}")
     // Also write the metric to a file: sbt's log decoration around stdout made the driver's
     // parse of round 1's bench output unreliable (BENCH_r01 parsed:null).
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] write $out failed: ${e.getMessage}") }
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: ${e.getMessage}") }
     spark.stop()
   }
 }

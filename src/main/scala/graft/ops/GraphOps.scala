@@ -146,18 +146,27 @@ object GraphOps {
    * aggregations — label payloads are single longs, the graph never re-materializes.
    */
   def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    // persist: `und` is referenced twice (node seed + every round's join) and the label
+    // frame is rebuilt per round — without a lineage cut the plan doubles each round
+    // and analysis/codegen blow up for larger `rounds` (the BpeOps.bpeTrain idiom).
     val und = edges.select(col("u").as("a"), col("v").as("b"))
       .union(edges.select(col("v").as("a"), col("u").as("b")))
+      .persist()
     var labels = und.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
-    for (_ <- 1 to rounds) {
-      labels = und
-        .join(labels.select(col("node").as("b"), col("label")), "b")
-        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("c"))
-        .groupBy(col("a"))
-        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
-        .select(col("a").as("node"), (-col("m.nl")).as("label"))
-    }
-    labels.select(col("node"), col("label").as("community"))
+    try {
+      for (_ <- 1 to rounds) {
+        val prev = labels
+        labels = und
+          .join(labels.select(col("node").as("b"), col("label")), "b")
+          .groupBy(col("a"), col("label")).agg(count(lit(1)).as("c"))
+          .groupBy(col("a"))
+          .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+          .select(col("a").as("node"), (-col("m.nl")).as("label"))
+          .localCheckpoint(eager = true) // cut lineage; materializes the |V|-row state
+        prev.unpersist()
+      }
+      labels.select(col("node"), col("label").as("community"))
+    } finally und.unpersist()
   }
 }

@@ -110,4 +110,32 @@ class BpeSpec extends SparkSpec {
       .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
     assert(a == b)
   }
+
+  test("encode closure captures the broadcast handle, not the model (task size bounded)") {
+    // a production-shaped vocabulary: 50k merges, ~1.5 MB java-serialized
+    val bigModel = BpeOps.BpeModel(
+      (0 until 50000).map(i => (s"l$i", s"r$i")))
+    def javaSize(o: AnyRef): Int = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(o); oos.close()
+      bos.size()
+    }
+    val modelSize = javaSize(bigModel)
+    assert(modelSize > 500000, s"test premise: model should be large, was $modelSize")
+    val bc = spark.sparkContext.broadcast(bigModel)
+    try {
+      // what every task serializes is the closure — before the r7 broadcast fix this
+      // was modelSize+; with the fix it is the TorrentBroadcast stub (sub-kilobyte)
+      val closureSize = javaSize(BpeOps.encodeFn(bc))
+      assert(closureSize < 20000,
+        s"encode closure serialized to $closureSize bytes — it is capturing the model")
+      // and the broadcast path still encodes correctly
+      val out = BpeOps.bpeEncode(
+        Seq((1L, "l1r1 hello")).toDF("doc_id", "text"),
+        BpeOps.BpeModel(Seq(("l", "1"), ("l1", "r"), ("l1r", "1"))))
+        .as[(Long, Seq[String], Long)].collect().head
+      assert(out._2 == Seq("l1r1", "h", "e", "l", "l", "o") && out._3 == 6L)
+    } finally bc.destroy()
+  }
 }

@@ -200,10 +200,20 @@ class PlanQualitySpec extends SparkSpec {
 
   test("emb_knn_graph: pair space blocked on the coarse key; ranking bounded-heap; " +
       "mutual join carries ids only") {
+    // the final plan starts from the localCheckpointed N·k edge list (r7: the mutual
+    // self-join otherwise recomputes the whole pair scan + top-k twice) — so the
+    // mutual-join half is pinned here and the upstream edge pipeline is pinned from
+    // the knnEdges plan directly
     val p = plan("emb_knn_graph")
-    assert(p.contains("ObjectHashAggregate"), "per-vertex top-k must be the bounded heap")
+    assert(p.contains("Scan ExistingRDD"),
+      "mutual join must consume the checkpointed edge list, not recompute the pairs")
     assert(!p.contains("CartesianProduct"), "blocking must prevent all-pairs")
     assert(!p.contains("Window") && !p.contains("row_number"))
+    val edges = graft.ops.VectorOps.knnEdges(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"), k = 4)
+    val ep = edges.queryExecution.executedPlan.toString
+    assert(ep.contains("ObjectHashAggregate"), "per-vertex top-k must be the bounded heap")
+    assert(!ep.contains("CartesianProduct") && !ep.contains("Window") && !ep.contains("row_number"))
   }
 
   test("ann brute force: corpus never shuffled, ranking is a bounded-heap aggregate") {
