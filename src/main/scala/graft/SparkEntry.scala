@@ -584,6 +584,11 @@ object SparkEntry {
         .select(col("source"), size(TextOps.tokensCol(col("text"))).cast("long").as("__nt"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).cast("long").as("n_tokens"))
+        // a zero-token source needs no epochs AND divides into the plan below — Spark's
+        // `div` would yield NULL where DuckDB's `//` raises, a silent engine divergence
+        // on degenerate input (ADVICE r6). Excluded BEFORE k/total so both engines see
+        // the same mixture.
+        .filter(col("n_tokens") > 0)
       val wAll = Window.partitionBy(lit(0))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       perSrc
@@ -2538,6 +2543,15 @@ object SparkEntry {
       graft.ops.GraphOps.triangleStats(edges)
     }),
 
+    // the same triangle stats under the power-law guard: baskets above the group-size
+    // cap are EXCLUDED (Sigma |g|^2 per-group pair expansion must be bounded before a
+    // web-session corpus hits it), and the output row audits the cap's effect —
+    // n_dropped_groups baskets excluded at group_cap = 5 (TPC-H baskets reach 7, so
+    // the guard genuinely fires here, unlike the uncapped demo)
+    "q_basket_triangles_capped" -> ((s, dir) =>
+      graft.ops.GraphOps.triangleStatsCapped(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minCount = 2, maxGroupSize = 5)),
+
     // Community detection on the same co-occurrence graph: 3 synchronous LPA rounds
     // with deterministic majority/tie rules — exactly replayable in SQL by unrolling
     // the rounds (no randomized visit order, the classic LPA nondeterminism, is ever
@@ -2847,6 +2861,10 @@ object SparkEntry {
           (xq * xq).cast(DecimalType(28, 10)).as("__x2"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("__x")).as("__s1"), sum(col("__x2")).as("__s2"))
+        // an n=1 arm has no sample variance: (n-1)=0 divides to Infinity in Spark but
+        // diverges in DuckDB — degenerate groups are excluded in BOTH engines
+        // (ADVICE r6)
+        .filter(col("n") >= 2)
       val mean = col("__s1").cast(DoubleType) / col("n")
       val vr = (col("__s2").cast(DoubleType) -
         col("__s1").cast(DoubleType) * col("__s1").cast(DoubleType) / col("n")) / (col("n") - 1)
@@ -2871,11 +2889,14 @@ object SparkEntry {
           unix_millis(col("ts")).as("ms"))
         .withColumn("nxt", lead(col("cur"), 1).over(w))
         .filter(col("nxt").isNotNull)
-      // persist the collapsed (user, cur, nxt, k) table: the model, the from-totals
-      // and the final scoring all fold off it — without this the user-window pass
-      // over the raw events would run three times (bench clears cache per query)
+      // materialize the collapsed (user, cur, nxt, k) table: the model, the from-totals
+      // and the final scoring all fold off it — without this the user-window pass over
+      // the raw events would run three times. localCheckpoint, NOT persist: a bare
+      // persist() in a returned plan leaks a cache entry the caller can never release
+      // (ADVICE r6); checkpoint blocks are freed by the ContextCleaner once the plan
+      // is garbage-collected
       val perUser = tr.groupBy(col("user_id"), col("cur"), col("nxt"))
-        .agg(count(lit(1)).as("k")).persist()
+        .agg(count(lit(1)).as("k")).localCheckpoint(eager = true)
       val model = perUser.groupBy(col("cur"), col("nxt"))
         .agg(sum(col("k")).cast("long").as("cb"))
       val fromTot = model.groupBy(col("cur")).agg(sum(col("cb")).cast("long").as("cf"))
@@ -3311,11 +3332,13 @@ object SparkEntry {
     // quantum) integer fingerprints -> df-capped equality join -> offset-histogram vote
     "mm_audio_fingerprint" -> ((s, dir) => {
       val d = t(s, dir, "documents").withColumn("blob", encode(col("text"), "UTF-8"))
-      // persist the fingerprint stream: the match join reads it four ways (df-cap
+      // materialize the fingerprint stream: the match join reads it four ways (df-cap
       // aggregate + both join sides) and the PCM scan behind it must not re-run —
-      // at 100 TB the fingerprints are a persisted table, this is the in-session twin
+      // at 100 TB the fingerprints are a persisted table, this is the in-session twin.
+      // localCheckpoint, not persist: no cache entry left for the caller to leak
+      // (ADVICE r6); blocks are ContextCleaner-released with the plan
       val fp = MultimodalOps.audioFingerprints(
-        d.select(col("doc_id"), col("blob")), "blob", "doc_id").persist()
+        d.select(col("doc_id"), col("blob")), "blob", "doc_id").localCheckpoint(eager = true)
       MultimodalOps.audioFingerprintMatches(fp)
     }),
 
@@ -4369,7 +4392,7 @@ object SparkEntry {
         |  -- DECIMAL(19,8): int128 multiply path (18-digit operands square in int64
         |  -- and overflow); the product value is identical
         |  SUM(CAST(CAST(value AS DECIMAL(19,8)) * CAST(value AS DECIMAL(19,8)) AS DECIMAL(28,10))) AS s2
-        |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1 HAVING COUNT(*) >= 2)
         |SELECT event_type, n, ROUND(CAST(s1 AS DOUBLE) / n, 4) AS mean,
         |  ROUND((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1), 4) AS variance,
         |  ROUND(2.0 * ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) * 7.8489
@@ -4551,7 +4574,8 @@ object SparkEntry {
     "doc_mixture_plan" ->
       """WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> ''))) AS BIGINT) AS n_tokens
-        |  FROM documents GROUP BY 1),
+        |  FROM documents GROUP BY 1
+        |  HAVING SUM(len(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> ''))) > 0),
         |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS k FROM s)
         |SELECT source, n_docs, n_tokens,
         |  ROUND(CAST(n_tokens AS DOUBLE) / total, 6) AS current_share,
@@ -6223,6 +6247,25 @@ object SparkEntry {
         |  (SELECT n_tri FROM tri) AS n_triangles,
         |  (SELECT CAST(CAST(3.0 * n_tri / (SELECT SUM(d * (d - 1) // 2) FROM deg)
         |     AS DECIMAL(18,8)) AS DOUBLE) FROM tri) AS clustering""".stripMargin,
+
+    "q_basket_triangles_capped" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |gs AS (SELECT ok, CAST(COUNT(*) AS BIGINT) AS n FROM pp GROUP BY 1),
+        |keep AS (SELECT pp.ok, pp.pk FROM pp JOIN gs USING (ok) WHERE gs.n <= 5),
+        |e AS (SELECT a.pk AS u, b.pk AS v FROM keep a JOIN keep b ON a.ok = b.ok AND a.pk < b.pk
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+        |  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tri
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+        |  (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+        |  (SELECT n_tri FROM tri) AS n_triangles,
+        |  (SELECT CAST(CAST(3.0 * n_tri / (SELECT SUM(d * (d - 1) // 2) FROM deg)
+        |     AS DECIMAL(18,8)) AS DOUBLE) FROM tri) AS clustering,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM gs WHERE n > 5) AS n_dropped_groups,
+        |  CAST(5 AS INT) AS group_cap""".stripMargin,
 
     "q_basket_communities" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

@@ -473,7 +473,12 @@ object MultimodalOps {
    */
   def audioFingerprints(df: DataFrame, binCol: String, idCol: String,
       windowSize: Int = 64, maxDt: Int = 3, eDiv: Long = 1024L): DataFrame = {
-    require(windowSize >= 8 && maxDt >= 1)
+    // windowSize must be a multiple of 8: the strided band is the ABSOLUTE byte index
+    // mod 8, so a non-multiple window would drift the band phase between windows —
+    // the "strided band" design and the DuckDB oracle both assume phase-aligned
+    // windows (ADVICE r6: the >= 8 guard alone left that contract implicit)
+    require(windowSize >= 8 && windowSize % 8 == 0 && maxDt >= 1,
+      s"windowSize must be a positive multiple of 8, got $windowSize")
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
       df.schema(idCol),
