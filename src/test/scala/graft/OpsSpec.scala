@@ -966,6 +966,84 @@ class Bm25Spec extends SparkSpec {
 class BucketingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("compactBucketed: appended small files collapse, layout and join stay exchange-free") {
+    val base = java.nio.file.Files.createTempDirectory("graft-bkt-compact").toString
+    def batch(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i.toLong % 50, s"f$i")).toDF("user_id", "payload")
+    graft.sinks.Bucketing.writeBucketed(batch(1, 250), "bktc_facts", s"$base/facts",
+      Seq("user_id"), 8)
+    // three incremental appends — the small-file accretion an admission index suffers
+    graft.sinks.Bucketing.appendBucketed(batch(251, 500), "bktc_facts", Seq("user_id"), 8)
+    graft.sinks.Bucketing.appendBucketed(batch(501, 750), "bktc_facts", Seq("user_id"), 8)
+    graft.sinks.Bucketing.appendBucketed(batch(751, 1000), "bktc_facts", Seq("user_id"), 8)
+    val dims = (0 to 49).map(i => (i.toLong, s"u$i")).toDF("user_id", "name")
+    graft.sinks.Bucketing.writeBucketed(dims, "bktc_dims", s"$base/dims", Seq("user_id"), 8)
+    def files() = new java.io.File(s"$base/facts").listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    def rows() = spark.table("bktc_facts").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val (filesBefore, rowsBefore) = (files(), rows())
+    assert(filesBefore >= 4 * 8, s"appends should accrete files, got $filesBefore")
+    try {
+      graft.sinks.Bucketing.compactBucketed(spark, "bktc_facts", s"$base/facts",
+        Seq("user_id"), 8)
+      assert(files() == 8, s"compaction should leave 1 file/bucket, got ${files()}")
+      assert(rows() == rowsBefore, "compaction must not change the data")
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val joined = spark.sql(
+          """SELECT f.user_id, f.payload, d.name
+            |FROM bktc_facts f JOIN bktc_dims d ON f.user_id = d.user_id""".stripMargin)
+        assert(joined.count() == 1000)
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"bucket layout must survive compaction (exchange-free join), got:\n$plan")
+        assert(plan.contains("Bucketed: true"))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bktc_facts")
+      spark.sql("DROP TABLE IF EXISTS bktc_dims")
+    }
+  }
+
+  test("compactIndexDir: admission decisions identical pre/post compaction, markers survive") {
+    import graft.streaming.IngestDedup
+    val base = java.nio.file.Files.createTempDirectory("graft-idx-compact").toString
+    val (idxA, outA) = (s"$base/indexA", s"$base/outA") // control: never compacted
+    val (idxB, outB) = (s"$base/indexB", s"$base/outB") // compacted mid-stream
+    def b(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    val batches = Seq(
+      0L -> b(1L -> "alpha", 2L -> "beta"),
+      1L -> b(3L -> "beta", 4L -> "gamma"), // beta rejected
+      2L -> b(5L -> "delta", 6L -> "alpha")) // alpha rejected
+    batches.foreach { case (id, df) =>
+      assert(IngestDedup.applyBatch(df, id, idxA, outA) ==
+        IngestDedup.applyBatch(df, id, idxB, outB))
+    }
+    def idxFiles(dir: String) = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val before = idxFiles(idxB)
+    assert(before >= 3, s"3 appended batches should have >=3 files, got $before")
+    val after = graft.sinks.Bucketing.compactIndexDir(spark, idxB, IngestDedup.IndexSchema)
+    assert(after == 1 && idxFiles(idxB) == 1, s"expected 1 compacted file, got $after")
+    // batch markers (exactly-once bookkeeping) must survive the rewrite
+    assert(new java.io.File(idxB, "_batch_2").exists(),
+      "_batch_* markers must survive compaction")
+    // the compacted index must make byte-identical admission decisions: a mix of
+    // dup-of-batch0, dup-of-batch2 and fresh content
+    val b3 = b(7L -> "beta", 8L -> "delta", 9L -> "epsilon")
+    assert(IngestDedup.applyBatch(b3, 3L, idxA, outA) ==
+      IngestDedup.applyBatch(b3, 3L, idxB, outB))
+    def admitted(out: String) = spark.read.parquet(s"$out/batch=3")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).sorted.toSeq
+    assert(admitted(outA) == admitted(outB) && admitted(outB) == Seq(9L -> "epsilon"))
+    // and the index CONTENTS (digest, batch) are row-identical to the uncompacted one
+    def idxRows(dir: String) = spark.read.schema(IngestDedup.IndexSchema).parquet(dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(idxRows(idxA) == idxRows(idxB))
+  }
+
   test("joins between co-bucketed tables are exchange-free") {
     val base = java.nio.file.Files.createTempDirectory("graft-bkt").toString
     val facts = (1 to 1000).map(i => (i.toLong % 50, s"f$i")).toDF("user_id", "payload")
