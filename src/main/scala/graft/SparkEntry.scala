@@ -604,6 +604,32 @@ object SparkEntry {
             / (col("__k") * col("n_tokens")), 6).as("resid_rate"))
     }),
 
+    // SALTED skew-join rescue (VERDICT r6 #8: q_skew_audit measures skew, this DEMOS
+    // the fix): events join a per-type aggregate on event_type — 5 distinct keys, so a
+    // plain shuffle join runs at most 5 non-empty tasks no matter how many executors
+    // exist (low-cardinality structural skew; a hot-key corpus has the same shape with
+    // one giant partition). Rescue: the big side takes a DETERMINISTIC per-row salt
+    // (event_id % 16, oracle-replayable), the small side replicates across all 16
+    // salts, and the join key becomes (event_type, salt) — parallelism |keys|x16, each
+    // hot key's rows spread over 16 tasks. MERGE hint keeps the demo honest (the tiny
+    // dim would otherwise broadcast — the rescue matters when BOTH sides are too big
+    // for that). Above-mean test is division-free (value*n > sum as exact DECIMAL), so
+    // the salted plan hash-matches the unsalted DuckDB replay bit-for-bit.
+    "ev_skew_join_salted" -> ((s, dir) => {
+      val R = 16
+      val ev = t(s, dir, "events")
+      val dim = ev.groupBy(col("event_type"))
+        .agg(sum(col("value").cast(DecimalType(18, 8))).as("__s1"),
+          count(lit(1)).as("__n"))
+        .withColumn("__salt", explode(sequence(lit(0L), lit(R - 1L))))
+      ev.withColumn("__salt", pmod(col("event_id"), lit(R.toLong)))
+        .join(dim.hint("MERGE"), Seq("event_type", "__salt"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count(when(col("value").cast(DecimalType(18, 8)) * col("__n") > col("__s1"),
+            lit(1))).as("n_above_mean"))
+    }),
+
     // Lorenz/Gini concentration of per-user activity — the "how skewed is engagement"
     // audit (and the statistic behind fair-sampling decisions). Computed off the COUNT
     // HISTOGRAM, not the sorted user list: users with equal counts occupy a contiguous
@@ -4583,6 +4609,17 @@ object SparkEntry {
         |  total // (k * n_tokens) AS n_epochs,
         |  ROUND(CAST(total % (k * n_tokens) AS DOUBLE) / (k * n_tokens), 6) AS resid_rate
         |FROM s, t""".stripMargin,
+
+    // unsalted replay: the salt is a pure execution-layout device, so the oracle joins
+    // on event_type alone — identical results prove salting changed the plan, not the
+    // answer
+    "ev_skew_join_salted" ->
+      """WITH d AS (SELECT event_type, SUM(CAST(value AS DECIMAL(18,8))) AS s1,
+        |  CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1)
+        |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(CASE WHEN CAST(e.value AS DECIMAL(19,8)) * d.n
+        |    > CAST(d.s1 AS DECIMAL(38,8)) THEN 1 END) AS BIGINT) AS n_above_mean
+        |FROM events e JOIN d USING (event_type) GROUP BY 1""".stripMargin,
 
     "ev_gini" ->
       """WITH uc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),

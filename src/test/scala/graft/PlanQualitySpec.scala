@@ -216,6 +216,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(!ep.contains("CartesianProduct") && !ep.contains("Window") && !ep.contains("row_number"))
   }
 
+  test("ev_skew_join_salted: join keys carry the salt, no broadcast, no key-only exchange") {
+    val p = plan("ev_skew_join_salted")
+    // the whole point: the join must distribute on (event_type, __salt), never on the
+    // 5-value event_type alone — the salted key is what spreads a hot/low-cardinality
+    // key across R tasks instead of capping parallelism at |keys|
+    val smj = p.linesIterator.find(_.contains("SortMergeJoin")).getOrElse(
+      fail(s"expected the MERGE-hinted SortMergeJoin:\n${p.take(2000)}"))
+    assert(smj.contains("event_type") && smj.contains("__salt"),
+      s"join keys must include the salt, got: $smj")
+    assert(!p.contains("BroadcastHashJoin"),
+      "demo must exercise the shuffle-join rescue, not a broadcast")
+    // every exchange feeding the join carries the salt; only the FINAL per-type rollup
+    // may partition on event_type alone
+    val joinSideExchanges = p.split("\n").filter(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("__salt"))
+    assert(joinSideExchanges.length >= 2,
+      s"both join inputs must hash-partition on (event_type, __salt):\n${p.take(2000)}")
+  }
+
   test("ann brute force: corpus never shuffled, ranking is a bounded-heap aggregate") {
     val p = plan("emb_ann_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
@@ -579,10 +598,12 @@ class PlanQualitySpec extends SparkSpec {
       s"positive and negative extremes must partial-combine map-side:\n$p")
   }
 
-  test("mm_audio_fingerprint: fingerprint stream persists — the PCM pass runs once") {
+  test("mm_audio_fingerprint: fingerprint stream materializes once — the PCM pass runs once") {
+    // r7: localCheckpoint (Scan ExistingRDD), not persist — the materialization barrier
+    // is the same, with no catalog cache entry left for the caller to leak
     val p = plan("mm_audio_fingerprint")
-    assert(p.contains("InMemoryTableScan"),
-      s"fingerprint RDD must be persisted across the df-cap and join branches:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"fingerprint RDD must be checkpointed across the df-cap and join branches:\n$p")
     assert(!p.contains("CartesianProduct"), "match join must stay key-equality blocked")
   }
 
@@ -603,10 +624,11 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
-  test("ev_path_perplexity: the transition table persists — the user-window pass runs once") {
+  test("ev_path_perplexity: the transition table materializes once — the user-window pass runs once") {
+    // r7: localCheckpoint (Scan ExistingRDD), not persist — same barrier, no cache leak
     val p = plan("ev_path_perplexity")
-    assert(p.contains("InMemoryTableScan"),
-      s"per-user transitions must be cached across model/from-total/scoring branches:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"per-user transitions must be checkpointed across model/from-total/scoring branches:\n$p")
   }
 
   test("partition pruning: partitioned parquet scans only the matching partition") {
