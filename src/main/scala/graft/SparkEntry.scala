@@ -551,6 +551,39 @@ object SparkEntry {
           round(sum(col("__n")).cast(DoubleType) / count(lit(1)), 6).as("mean_norm"))
     }),
 
+    // Sampled exact silhouette (Rousseeuw 1987) over the label clustering: per probe
+    // anchor, a = mean cosine distance to its own label, b = min over other labels of
+    // the mean distance, s = (b-a)/max(a,b). The 64-probe sample keeps the pair space
+    // N x |probes| (linear in the corpus — full silhouette is N^2 by definition, so a
+    // production audit ALWAYS samples); per-pair distances quantize to DECIMAL(18,8)
+    // before the mean so both engines fold bit-identically. Corpus never shuffles —
+    // probes broadcast, same shape as the brute-force ANN scan.
+    "emb_silhouette" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") < 64)
+        .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+          col("embedding").as("q_vec"))
+      val pairs = e.select(col("vec_id").as("cand_id"), col("label").as("cand_label"),
+          col("embedding").as("c_vec"))
+        .crossJoin(broadcast(probes))
+        .filter(col("cand_id") =!= col("anchor_id"))
+        .select(col("anchor_id"), col("anchor_label"), col("cand_label"),
+          (lit(1.0) - graft.functions.VectorFunctions.cosine(col("q_vec"), col("c_vec")))
+            .cast(DecimalType(18, 8)).as("__d"))
+      val perLabel = pairs
+        .groupBy(col("anchor_id"), col("anchor_label"), col("cand_label"))
+        .agg((sum(col("__d")).cast(DoubleType) / count(lit(1))).as("__mean"))
+      val aDist = perLabel.filter(col("cand_label") === col("anchor_label"))
+        .select(col("anchor_id"), col("anchor_label").as("label"), col("__mean").as("__a"))
+      val bDist = perLabel.filter(col("cand_label") =!= col("anchor_label"))
+        .groupBy(col("anchor_id")).agg(min(col("__mean")).as("__b"))
+      aDist.join(bDist, Seq("anchor_id"))
+        .select(col("anchor_id"), col("label"),
+          round(col("__a"), 6).as("a_dist"), round(col("__b"), 6).as("b_dist"),
+          round((col("__b") - col("__a")) / greatest(col("__a"), col("__b")), 4)
+            .as("silhouette"))
+    }),
+
     // The NOT IN vs NOT EXISTS null-semantics pin (the classic silent-wrong-answer
     // trap): a single NULL in the subquery makes `NOT IN` never-true (three-valued
     // logic) while `NOT EXISTS` keeps matching — here the NULLIF plants exactly one
@@ -890,6 +923,55 @@ object SparkEntry {
           col("__total").cast(DoubleType).as("total_revenue"),
           round(col("__promo").cast(DoubleType) * 100
             / col("__total").cast(DoubleType), 6).as("promo_share_pct"))
+    }),
+
+    // TPC-H Q6 shape: the pure scan-side query — every predicate (date range, discount
+    // band, quantity cap) pushes to the parquet scan, no join, one partial-agg exchange
+    // of a single row. The 100 TB story is entirely PushedFilters + min/max row-group
+    // skipping on l_shipdate.
+    "q6_revenue_change" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice"), 12, 2) * dec(col("l_discount"), 4, 2))
+            .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_lines"))),
+
+    // TPC-H Q8 shape (market share): 5-way snowflake — every dimension leg (part type
+    // filter, region-filtered customers, supplier→nation names) broadcasts; the only
+    // big exchange is lineitem⋈orders on the order key. Share arithmetic stays exact
+    // DECIMAL until the final division.
+    "q8_market_share" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val n = t(s, dir, "nation")
+      val p = t(s, dir, "part").filter(col("p_type") === "MEDIUM").select(col("p_partkey"))
+      val rn = n.join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey")).select(col("n_nationkey"))
+      val custRegion = t(s, dir, "customer")
+        .join(broadcast(rn), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val suppNation = t(s, dir, "supplier")
+        .join(broadcast(n.select(col("n_nationkey").as("__snk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("__snk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val rev = dec(col("l_extendedprice"), 12, 2) * (lit(1) - dec(col("l_discount"), 4, 2))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o.select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("int").as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(custRegion), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("o_year"))
+        .agg(sum(when(col("supp_nation") === "NATION_3", rev)
+            .otherwise(dec(lit(0), 12, 2))).as("__n"),
+          sum(rev).as("__t"))
+        .select(col("o_year"),
+          col("__n").cast(DoubleType).as("nation_revenue"),
+          col("__t").cast(DoubleType).as("total_revenue"),
+          round(col("__n").cast(DoubleType) / col("__t").cast(DoubleType), 6).as("mkt_share"))
     }),
 
     // TPC-H Q19 shape: disjunctive (OR-of-ANDs) predicate over a fact⋈dim join.
@@ -1336,6 +1418,31 @@ object SparkEntry {
     // the NEXT row does not open a new session), so the corpus-sized work is ONE
     // exchange+sort on user_id; the (from,to) count and the per-from normalization
     // window both run on |event types|^2 rows
+    // Markov next-event prediction eval: argmax P(next|cur) from the transition counts
+    // (count desc, lexicographically-smallest tie-break — fully deterministic) scored
+    // back over the transitions (in-sample top-1 accuracy, the baseline any sequence
+    // model must beat). Model is |types|^2 and broadcasts; one user-window pass.
+    "ev_markov_eval" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+      val tr = t(s, dir, "events")
+        .withColumn("ms", unix_millis(col("ts")))
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("event_type").as("cur"), col("nxt"))
+      val best = tr.groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("c"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("cur")).orderBy(col("c").desc, col("nxt"))))
+        .filter(col("__rn") === 1)
+        .select(col("cur"), col("nxt").as("pred_next"))
+      tr.join(broadcast(best), Seq("cur"))
+        .groupBy(col("cur").as("event_type"), col("pred_next"))
+        .agg(count(lit(1)).as("n_transitions"),
+          count(when(col("nxt") === col("pred_next"), lit(1))).as("n_correct"))
+        .withColumn("accuracy",
+          round(col("n_correct").cast(DoubleType) / col("n_transitions"), 6))
+    }),
+
     "ev_transitions" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
@@ -2020,6 +2127,11 @@ object SparkEntry {
     "doc_burstiness" -> ((s, dir) => TextOps.burstiness(t(s, dir, "documents"))),
 
     "doc_distinct_ngrams" -> ((s, dir) => TextOps.distinctNgrams(t(s, dir, "documents"))),
+
+    // exact trigram decontamination screen vs the src0 reference slice (the data-card
+    // "13-gram overlap" test, n sized to this corpus); src0's own row pins novelty 0
+    "doc_ngram_novelty" -> ((s, dir) =>
+      TextOps.ngramNovelty(t(s, dir, "documents"), refSource = "src0", n = 3)),
 
     "doc_fightin_words" -> ((s, dir) =>
       TextOps.fightinWords(t(s, dir, "documents"), targetSource = "src0")),
@@ -4223,6 +4335,38 @@ object SparkEntry {
         |  ROUND(CAST(promo AS DOUBLE) * 100 / CAST(total AS DOUBLE), 6) AS promo_share_pct
         |FROM a""".stripMargin,
 
+    "q6_revenue_change" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q8_market_share" ->
+      """WITH rn AS (SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |sn AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey),
+        |j AS (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS rev,
+        |  sn.supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'MEDIUM'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN rn ON c_nationkey = rn.n_nationkey
+        |  JOIN sn ON l_suppkey = sn.s_suppkey)
+        |SELECT o_year,
+        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev
+        |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS nation_revenue,
+        |  CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+        |  ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev
+        |      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+        |    / CAST(SUM(rev) AS DOUBLE), 6) AS mkt_share
+        |FROM j GROUP BY 1""".stripMargin,
+
     "q19_disjunctive" ->
       """SELECT
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
@@ -4575,6 +4719,23 @@ object SparkEntry {
         |  ROUND(CAST(SUM(nr) AS DOUBLE) / COUNT(*), 6) AS mean_norm
         |FROM n GROUP BY 1""".stripMargin,
 
+    "emb_silhouette" ->
+      """WITH q AS (SELECT vec_id AS anchor_id, label AS anchor_label, embedding
+        |  FROM embeddings WHERE vec_id < 64),
+        |p AS (SELECT q.anchor_id, q.anchor_label, c.label AS cand_label,
+        |  CAST(1.0 - list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |    CAST(c.embedding AS DOUBLE[])) AS DECIMAL(18,8)) AS d
+        |  FROM q JOIN embeddings c ON c.vec_id <> q.anchor_id),
+        |m AS (SELECT anchor_id, anchor_label, cand_label,
+        |  CAST(SUM(d) AS DOUBLE) / COUNT(*) AS md FROM p GROUP BY 1, 2, 3),
+        |a AS (SELECT anchor_id, anchor_label AS label, md AS ad FROM m
+        |  WHERE cand_label = anchor_label),
+        |b AS (SELECT anchor_id, MIN(md) AS bd FROM m
+        |  WHERE cand_label <> anchor_label GROUP BY 1)
+        |SELECT a.anchor_id, a.label, ROUND(a.ad, 6) AS a_dist, ROUND(b.bd, 6) AS b_dist,
+        |  ROUND((b.bd - a.ad) / GREATEST(a.ad, b.bd), 4) AS silhouette
+        |FROM a JOIN b USING (anchor_id)""".stripMargin,
+
     "ev_layout_skip_audit" ->
       """WITH st AS (SELECT MAX(event_id) AS mx FROM events),
         |nat AS (SELECT (event_id * 64) // (mx + 1) AS f, user_id FROM events, st),
@@ -4891,6 +5052,24 @@ object SparkEntry {
         |SELECT t.user_id, CAST(t.session_idx AS BIGINT) AS session_idx, COUNT(*) AS n_trans,
         |  ROUND(CAST(SUM(l2.lp) AS DOUBLE) / COUNT(*), 4) AS avg_logprob
         |FROM tr t JOIN lp l2 USING (from_type, to_type) GROUP BY 1, 2""".stripMargin,
+
+    "ev_markov_eval" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ms FROM events),
+        |tr AS (
+        |  SELECT event_type AS cur,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS nxt
+        |  FROM g QUALIFY nxt IS NOT NULL),
+        |m AS (SELECT cur, nxt, COUNT(*) AS c FROM tr GROUP BY 1, 2),
+        |best AS (SELECT cur, nxt AS pred_next FROM m
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY cur ORDER BY c DESC, nxt) = 1)
+        |SELECT tr.cur AS event_type, b.pred_next,
+        |  CAST(COUNT(*) AS BIGINT) AS n_transitions,
+        |  CAST(COUNT(CASE WHEN tr.nxt = b.pred_next THEN 1 END) AS BIGINT) AS n_correct,
+        |  ROUND(CAST(COUNT(CASE WHEN tr.nxt = b.pred_next THEN 1 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS accuracy
+        |FROM tr JOIN best b ON b.cur = tr.cur GROUP BY 1, 2""".stripMargin,
 
     "ev_transitions" ->
       """WITH g AS (
@@ -5828,6 +6007,23 @@ object SparkEntry {
         |  ROUND(CAST(tf AS DOUBLE) / df, 6) AS burst,
         |  ROUND(CAST(n.n * sc2 - tf * tf AS DOUBLE) / (n.n * tf), 6) AS vmr
         |FROM m, n WHERE tf >= 5""".stripMargin,
+
+    "doc_ngram_novelty" ->
+      """WITH t AS (SELECT source,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT DISTINCT source, unnest(CASE WHEN len(toks) >= 3
+        |  THEN list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |  ELSE [] END) AS g FROM t),
+        |r AS (SELECT DISTINCT g FROM g WHERE source = 'src0'),
+        |s AS (SELECT g.source, CAST(COUNT(*) AS BIGINT) AS n_seen FROM g
+        |  JOIN r USING (g) GROUP BY 1),
+        |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_ngrams FROM g GROUP BY 1)
+        |SELECT tot.source, tot.n_ngrams,
+        |  CAST(COALESCE(s.n_seen, 0) AS BIGINT) AS n_seen_in_ref,
+        |  ROUND(1.0 - CAST(COALESCE(s.n_seen, 0) AS DOUBLE) / tot.n_ngrams, 6) AS novelty_rate
+        |FROM tot LEFT JOIN s ON s.source = tot.source""".stripMargin,
 
     "doc_distinct_ngrams" ->
       """WITH t AS (SELECT source,

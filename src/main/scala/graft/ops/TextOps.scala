@@ -1058,6 +1058,37 @@ object TextOps {
   }
 
   /**
+   * Exact n-gram novelty / decontamination audit — the "13-gram overlap" screen of the
+   * GPT-3/PaLM data cards (Brown et al. 2020 App. C), with n sized to this corpus's
+   * short documents: per source, the fraction of its DISTINCT n-grams that never occur
+   * in the REFERENCE slice (the held-out/eval corpus). novelty_rate ≈ 1 means the
+   * source is clean of the reference; the refSource's own row pins 0 as an invariant.
+   *
+   * Scale: the only wide ops are one distinct over (source, gram) and a LEFT SEMI
+   * probe of the reference gram set — both shuffle short gram strings (production
+   * would xxh64 them; the string form stays oracle-replayable), never documents.
+   */
+  def ngramNovelty(df: DataFrame, refSource: String = "src0", n: Int = 3,
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(n >= 1)
+    val grams = df.select(col(sourceCol), tokensCol(col(textCol)).as("__l"))
+      .select(col(sourceCol), explode(expr(
+        s"CASE WHEN size(__l) >= $n THEN transform(sequence(1, size(__l) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(__l, i, $n))) " +
+          "ELSE slice(transform(__l, w -> w), 1, 0) END")).as("g"))
+      .distinct()
+    val ref = grams.filter(col(sourceCol) === refSource).select(col("g"))
+    val seen = grams.join(ref, Seq("g"), "left_semi")
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("n_seen_in_ref"))
+    grams.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_ngrams"))
+      .join(seen, Seq(sourceCol), "left")
+      .select(col(sourceCol), col("n_ngrams"),
+        coalesce(col("n_seen_in_ref"), lit(0L)).as("n_seen_in_ref"),
+        round(lit(1.0) - coalesce(col("n_seen_in_ref"), lit(0L)).cast("double")
+          / col("n_ngrams"), 6).as("novelty_rate"))
+  }
+
+  /**
    * "Fightin' words" (Monroe, Colaresi & Quinn 2008): per-token log-odds-ratio of a
    * TARGET slice against the rest of the corpus, with a Dirichlet prior and a z-score
    * that penalizes rare-token noise — the principled over-representation detector a

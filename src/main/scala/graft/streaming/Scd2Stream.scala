@@ -68,6 +68,52 @@ object Scd2Stream {
       }
   }
 
+  /**
+   * The OTHER streaming twin (VERDICT r6 #9): drive the BATCH incremental merge
+   * ([[graft.operators.Cdc.scd2Merge]]) from Structured Streaming via `foreachBatch`,
+   * maintaining a PERSISTED dimension directory instead of operator state — the shape a
+   * warehouse uses when the history table must be a queryable parquet artifact between
+   * micro-batches (the state-based [[scd2]] keeps it inside the checkpoint).
+   *
+   * Layout under `dir`: `current/` (the history parquet), `_applied_<batchId>` marker
+   * files. Replay-safe: foreachBatch re-delivers the last uncommitted batch after a
+   * restart, so a batch id at or below the recorded maximum is skipped (the
+   * [[IngestDedup]] marker idiom). The swap (write `next/` → delete `current/` →
+   * rename) has the same documented non-atomic window as index compaction: a crash
+   * between delete and rename leaves the full merged copy in `next/` for restore.
+   * First batch bootstraps with [[graft.operators.Cdc.scd2History]].
+   */
+  def mergeBatchSink(dir: String, keys: Seq[String], attr: String,
+      orderCols: Seq[String]): (DataFrame, Long) => Unit = (batch, batchId) => {
+    val spark = batch.sparkSession
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val applied =
+      if (!fs.exists(base)) None
+      else fs.listStatus(base).iterator.map(_.getPath.getName)
+        .collect { case n if n.startsWith("_applied_") => n.stripPrefix("_applied_").toLong }
+        .maxOption
+    if (applied.forall(_ < batchId)) {
+      val current = new org.apache.hadoop.fs.Path(base, "current")
+      val next = new org.apache.hadoop.fs.Path(base, "next")
+      if (batch.isEmpty) { // nothing to merge; still record progress
+        fs.mkdirs(base)
+        fs.create(new org.apache.hadoop.fs.Path(base, s"_applied_$batchId"), true).close()
+      } else {
+        val merged =
+          if (fs.exists(current))
+            graft.operators.Cdc.scd2Merge(
+              spark.read.parquet(current.toString), batch, keys, attr, orderCols)
+          else graft.operators.Cdc.scd2History(batch, keys, attr, orderCols)
+        fs.delete(next, true)
+        merged.write.mode("overwrite").parquet(next.toString)
+        fs.delete(current, true)
+        fs.rename(next, current)
+        fs.create(new org.apache.hadoop.fs.Path(base, s"_applied_$batchId"), true).close()
+      }
+    }
+  }
+
   /** Convenience: run over a cdc-spool of envelopes carrying
     * `{"after":{"user_id":..,"event_type":..},"source":{"ts_ms":..}}`. */
   def fromSpool(spool: DataFrame): Dataset[Scd2Out] = {

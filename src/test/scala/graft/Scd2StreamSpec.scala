@@ -70,4 +70,62 @@ class Scd2StreamSpec extends SparkSpec {
     assert(lww.map(r => (r.getLong(0), r.getString(1), r.getLong(2))) ==
       Seq((7L, "a", 1000L), (7L, "b", 2000L), (7L, "c", 4000L), (8L, "x", 1500L)))
   }
+
+  test("foreachBatch + scd2Merge: persisted dimension == batch history across restart; replay is a no-op") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-scd2fb").toString
+    val (src, hist, ckpt) = (s"$base/src", s"$base/hist", s"$base/ckpt")
+    Files.createDirectories(Paths.get(src))
+    def writeFile(name: String, rows: Seq[(Long, String, Long, Long)], mtime: Long): Unit = {
+      val lines: java.util.List[String] = new java.util.ArrayList()
+      rows.foreach { case (u, a, ms, id) =>
+        lines.add(s"""{"user_id":$u,"event_type":"$a","ms":$ms,"event_id":$id}""") }
+      val p = Paths.get(src, name)
+      Files.write(p, lines)
+      p.toFile.setLastModified(mtime) // FileStreamSource orders by mtime
+    }
+    // time-ordered files — the CDC in-order-across-batches guarantee scd2Merge needs
+    writeFile("000.json", Seq((7L, "a", 1000L, 1L), (7L, "b", 2000L, 2L), (8L, "x", 1500L, 3L)),
+      1000000L)
+    writeFile("001.json", Seq((7L, "b", 3000L, 4L), (7L, "c", 4000L, 5L), (9L, "q", 3500L, 6L)),
+      2000000L)
+    val sink = Scd2Stream.mergeBatchSink(hist, Seq("user_id"), "event_type", Seq("ms", "event_id"))
+    def run(): Unit = {
+      val q = spark.readStream.schema("user_id LONG, event_type STRING, ms LONG, event_id LONG")
+        .option("maxFilesPerTrigger", "1").json(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(sink)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run() // two micro-batches (one per file), each an incremental scd2Merge
+    // restart with a later file: the checkpoint resumes, only the delta merges
+    writeFile("002.json", Seq((8L, "y", 5000L, 7L), (7L, "c", 6000L, 8L), (10L, "z", 5500L, 9L)),
+      3000000L)
+    run()
+    def snapshot() = spark.read.parquet(s"$hist/current").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("valid_from"), Option(r.getAs[java.lang.Long]("valid_to")).map(_.longValue),
+        r.getAs[Boolean]("is_current"), r.getAs[Long]("version")))
+      .sortBy(t => (t._1, t._6)).toSeq
+    val all = Seq(
+      (7L, "a", 1000L, 1L), (7L, "b", 2000L, 2L), (8L, "x", 1500L, 3L),
+      (7L, "b", 3000L, 4L), (7L, "c", 4000L, 5L), (9L, "q", 3500L, 6L),
+      (8L, "y", 5000L, 7L), (7L, "c", 6000L, 8L), (10L, "z", 5500L, 9L))
+      .toDF("user_id", "event_type", "ms", "event_id")
+    val expected = graft.operators.Cdc
+      .scd2History(all, Seq("user_id"), "event_type", Seq("ms", "event_id")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("valid_from"), Option(r.getAs[java.lang.Long]("valid_to")).map(_.longValue),
+        r.getAs[Boolean]("is_current"), r.getAs[Long]("version")))
+      .sortBy(t => (t._1, t._6)).toSeq
+    val got = snapshot()
+    assert(got == expected, s"incremental merges must equal the batch history:\n$got\nvs\n$expected")
+    // a replayed (already-applied) batch id must not touch the dimension
+    sink(Seq((99L, "!!", 9999L, 99L)).toDF("user_id", "event_type", "ms", "event_id"), 0L)
+    assert(snapshot() == expected, "replayed batch id must be a no-op")
+    // and an idle restart (no new files) leaves it untouched too
+    run()
+    assert(snapshot() == expected)
+  }
 }
