@@ -1418,6 +1418,75 @@ object SparkEntry {
     // the NEXT row does not open a new session), so the corpus-sized work is ONE
     // exchange+sort on user_id; the (from,to) count and the per-from normalization
     // window both run on |event types|^2 rows
+    // Daily new-vs-returning split: first-seen day per user (one distinct + one keyed
+    // min), then the day grid folds active/new/returning counts — the standard growth
+    // accounting companion to ev_retention/ev_stickiness
+    "ev_new_vs_returning" -> ((s, dir) => {
+      val du = t(s, dir, "events")
+        .select(expr("unix_millis(ts) div 86400000").as("day"), col("user_id"))
+        .distinct()
+      val first = du.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+      du.join(first, Seq("user_id"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_active"),
+          count(when(col("day") === col("first_day"), lit(1))).as("n_new"))
+        .withColumn("n_returning", col("n_active") - col("n_new"))
+        .withColumn("new_rate", round(col("n_new").cast(DoubleType) / col("n_active"), 6))
+    }),
+
+    // Churn accounting across the span's two halves: active-in-A vs active-in-B user
+    // sets fold to one verdict row (churned = A\\B, retained = A∩B, new = B\\A) — the
+    // aggregate form of a cohort churn dashboard; integer midpoint is exact in both
+    // engines
+    "ev_churn" -> ((s, dir) => {
+      val du = t(s, dir, "events")
+        .select(expr("unix_millis(ts) div 86400000").as("day"), col("user_id"))
+      val mid = du.agg(expr("(min(day) + max(day) + 1) div 2").as("__mid"))
+      val flags = du.crossJoin(broadcast(mid))
+        .groupBy(col("user_id"))
+        .agg(max(when(col("day") < col("__mid"), 1L).otherwise(0L)).as("__a"),
+          max(when(col("day") >= col("__mid"), 1L).otherwise(0L)).as("__b"))
+      flags.agg(
+        sum(col("__a")).cast("long").as("n_active_first_half"),
+        sum(col("__b")).cast("long").as("n_active_second_half"),
+        sum(when(col("__a") === 1 && col("__b") === 0, 1L).otherwise(0L)).cast("long")
+          .as("n_churned"),
+        sum(when(col("__a") === 1 && col("__b") === 1, 1L).otherwise(0L)).cast("long")
+          .as("n_retained"),
+        sum(when(col("__a") === 0 && col("__b") === 1, 1L).otherwise(0L)).cast("long")
+          .as("n_new"))
+        .withColumn("churn_rate",
+          round(col("n_churned").cast(DoubleType) / col("n_active_first_half"), 6))
+    }),
+
+    // Inter-arrival time profile per event type (per-user consecutive gaps): mean/CV
+    // off exact DECIMAL(38,0) moment sums — gap squares overflow int64, and a
+    // bursty-vs-Poisson CV (>1 vs ≈1) is the standard traffic-shape diagnostic
+    "ev_interarrival" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ms"), col("event_id"))
+      val gaps = t(s, dir, "events")
+        .withColumn("ms", unix_millis(col("ts")))
+        .withColumn("__prev", lag(col("ms"), 1).over(w))
+        .filter(col("__prev").isNotNull)
+        .select(col("event_type"), (col("ms") - col("__prev")).as("__gap"))
+      gaps.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("__gap").cast(DecimalType(38, 0))).as("__s1"),
+          sum((col("__gap").cast(DecimalType(19, 0)) * col("__gap").cast(DecimalType(19, 0)))
+            .cast(DecimalType(38, 0))).as("__s2"))
+        .filter(col("n_gaps") >= 2)
+        .select(col("event_type"), col("n_gaps"),
+          round(col("__s1").cast(DoubleType) / col("n_gaps"), 4).as("mean_gap_ms"),
+          round(sqrt((col("__s2").cast(DoubleType) -
+              col("__s1").cast(DoubleType) * col("__s1").cast(DoubleType) / col("n_gaps"))
+            / (col("n_gaps") - 1)), 4).as("sd_gap_ms"),
+          round(sqrt((col("__s2").cast(DoubleType) -
+              col("__s1").cast(DoubleType) * col("__s1").cast(DoubleType) / col("n_gaps"))
+            / (col("n_gaps") - 1))
+            / (col("__s1").cast(DoubleType) / col("n_gaps")), 6).as("cv"))
+    }),
+
     // Markov next-event prediction eval: argmax P(next|cur) from the transition counts
     // (count desc, lexicographically-smallest tie-break — fully deterministic) scored
     // back over the transitions (in-sample top-1 accuracy, the baseline any sequence
@@ -1866,6 +1935,23 @@ object SparkEntry {
     // pass, identical double formula both engines — the A/B experimentation readout
     "ev_ab_ttest" -> ((s, dir) =>
       SampleOps.welchTTest(t(s, dir, "events"), "event_type", "value", "click", "view")),
+
+    // Sample-ratio-mismatch guardrail (the first check any A/B readout must pass):
+    // chi-square of the deterministic user_id%2 arm split against 50/50 — an SRM
+    // (chi2 over the 3.841 alpha=0.05 critical value) means the assignment is broken
+    // and every downstream metric is invalid. Exact integer counts; one double chi2.
+    "ev_ab_srm" -> ((s, dir) => {
+      val arms = t(s, dir, "events")
+        .select(col("user_id")).distinct()
+        .select(pmod(col("user_id"), lit(2L)).as("__arm"))
+        .agg(count(when(col("__arm") === 0, lit(1))).as("n_a"),
+          count(when(col("__arm") === 1, lit(1))).as("n_b"))
+      arms.select(col("n_a"), col("n_b"),
+        round(((col("n_a") - col("n_b")) * (col("n_a") - col("n_b"))).cast(DoubleType)
+          / (col("n_a") + col("n_b")), 6).as("chi2"),
+        (((col("n_a") - col("n_b")) * (col("n_a") - col("n_b"))).cast(DoubleType)
+          / (col("n_a") + col("n_b")) > 3.841).as("srm_detected"))
+    }),
 
     // multi-touch attribution (first / last / linear) — conversions pair with their
     // 7-day lookback touches through the BUCKETED interval join (never an unbounded
@@ -5052,6 +5138,65 @@ object SparkEntry {
         |SELECT t.user_id, CAST(t.session_idx AS BIGINT) AS session_idx, COUNT(*) AS n_trans,
         |  ROUND(CAST(SUM(l2.lp) AS DOUBLE) / COUNT(*), 4) AS avg_logprob
         |FROM tr t JOIN lp l2 USING (from_type, to_type) GROUP BY 1, 2""".stripMargin,
+
+    "ev_ab_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |a AS (SELECT
+        |  CAST(COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT) AS n_a,
+        |  CAST(COUNT(CASE WHEN user_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_b FROM u)
+        |SELECT n_a, n_b,
+        |  ROUND(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6) AS chi2,
+        |  (CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b) > 3.841)
+        |    AS srm_detected
+        |FROM a""".stripMargin,
+
+    "ev_new_vs_returning" ->
+      """WITH du AS (SELECT DISTINCT
+        |  CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000 AS day, user_id
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(day) AS first_day FROM du GROUP BY 1)
+        |SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active,
+        |  CAST(COUNT(CASE WHEN day = first_day THEN 1 END) AS BIGINT) AS n_new,
+        |  CAST(COUNT(*) - COUNT(CASE WHEN day = first_day THEN 1 END) AS BIGINT)
+        |    AS n_returning,
+        |  ROUND(CAST(COUNT(CASE WHEN day = first_day THEN 1 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS new_rate
+        |FROM du JOIN f USING (user_id) GROUP BY 1""".stripMargin,
+
+    "ev_churn" ->
+      """WITH d AS (SELECT CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000 AS day,
+        |  user_id FROM events),
+        |m AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM d),
+        |fl AS (SELECT user_id,
+        |  MAX(CASE WHEN day < m.mid THEN 1 ELSE 0 END) AS a,
+        |  MAX(CASE WHEN day >= m.mid THEN 1 ELSE 0 END) AS b
+        |  FROM d CROSS JOIN m GROUP BY 1),
+        |agg AS (SELECT CAST(SUM(a) AS BIGINT) AS n_active_first_half,
+        |  CAST(SUM(b) AS BIGINT) AS n_active_second_half,
+        |  CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+        |  CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |  CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |  FROM fl)
+        |SELECT *, ROUND(CAST(n_churned AS DOUBLE) / n_active_first_half, 6) AS churn_rate
+        |FROM agg""".stripMargin,
+
+    "ev_interarrival" ->
+      """WITH g AS (SELECT user_id, event_type, event_id,
+        |  CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ms FROM events),
+        |gp AS (SELECT event_type,
+        |  ms - LAG(ms) OVER (PARTITION BY user_id, event_type ORDER BY ms, event_id) AS gap
+        |  FROM g QUALIFY gap IS NOT NULL),
+        |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |  SUM(CAST(gap AS DECIMAL(38,0))) AS s1,
+        |  SUM(CAST(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS s2
+        |  FROM gp GROUP BY 1 HAVING COUNT(*) >= 2)
+        |SELECT event_type, n_gaps,
+        |  ROUND(CAST(s1 AS DOUBLE) / n_gaps, 4) AS mean_gap_ms,
+        |  ROUND(SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_gaps)
+        |    / (n_gaps - 1)), 4) AS sd_gap_ms,
+        |  ROUND(SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_gaps)
+        |    / (n_gaps - 1)) / (CAST(s1 AS DOUBLE) / n_gaps), 6) AS cv
+        |FROM a""".stripMargin,
 
     "ev_markov_eval" ->
       """WITH g AS (

@@ -216,6 +216,36 @@ class PlanQualitySpec extends SparkSpec {
     assert(!ep.contains("CartesianProduct") && !ep.contains("Window") && !ep.contains("row_number"))
   }
 
+  test("q6_revenue_change: every predicate reaches the parquet scan; no join, no wide exchange") {
+    val p = plan("q6_revenue_change")
+    // the PushedFilters list is display-truncated, so pin its visible prefix plus the
+    // full predicate set on the Filter line
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), " +
+      "IsNotNull(l_quantity), GreaterThanOrEqual"),
+      s"predicates must push to the scan:\n${p.take(1500)}")
+    val filterLine = p.linesIterator.find(_.trim.startsWith("+- Filter")).getOrElse("")
+    assert(filterLine.contains("l_shipdate") && filterLine.contains("l_discount")
+      && filterLine.contains("l_quantity"), s"all three predicates expected: $filterLine")
+    assert(!p.contains("Join"), "Q6 has no join")
+    assert(p.contains("partial_sum"), "single-row agg must partial-combine map-side")
+  }
+
+  test("q8_market_share: all dimension legs broadcast; the only big exchange is lineitem-orders") {
+    val p = plan("q8_market_share")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3,
+      s"part/customer-region/supplier-nation legs must broadcast, got $broadcasts:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("emb_silhouette: corpus never shuffles — probes broadcast into the pair scan") {
+    val p = plan("emb_silhouette")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 64-probe side must broadcast")
+    assert(!p.contains("Exchange hashpartitioning(cand_id"),
+      "the corpus must not shuffle by id")
+  }
+
   test("ev_skew_join_salted: join keys carry the salt, no broadcast, no key-only exchange") {
     val p = plan("ev_skew_join_salted")
     // the whole point: the join must distribute on (event_type, __salt), never on the
