@@ -29,7 +29,12 @@ object Bench {
   private[graft] val CalEvery = 25 // queries between interleaved calibration samples
   private[graft] val RequeryFactor = 3.0 // vs committed history
   private[graft] val RequeryFloor = 0.3 // s; ignore 3x blips on sub-noise entries
-  private[graft] val RequeryBudget = 40 // max isolated re-runs before declaring taint
+  // Max isolated re-runs before declaring taint. One deviating mid-sweep sample
+  // suspects BOTH adjacent spans (2 x CalEvery = 50 queries), so the budget must
+  // cover a single transient plus history outliers — 64 ≈ one transient's spans + a
+  // dozen outliers. Two or more separated transients (≥100 suspects) exceed it and
+  // taint: at that point the machine was loaded for most of the sweep.
+  private[graft] val RequeryBudget = 64
 
   /** Pure span logic so the injected-load scenario is unit-testable: given calibration
     * samples as (queriesCompletedWhenTaken, seconds) — including the before-sample at
@@ -53,6 +58,23 @@ object Bench {
       factor: Double = RequeryFactor, floor: Double = RequeryFloor): Seq[String] =
     times.collect {
       case (name, t) if t > floor && history.get(name).exists(h => h > 0 && t > h * factor) => name
+    }
+
+  /** Span triage: a deviating calibration sample marks 2 x CalEvery queries as
+    * POTENTIALLY contaminated, but most of them usually measured fine (a load burst is
+    * shorter than a span). Per-query history adjudicates each member: a span query
+    * within SpanClearFactor of its committed time is CLEARED (its sweep value stands);
+    * only confirmed-slow members — and span queries with no history to compare
+    * against — go to the isolated re-run. Without this, one transient sample blows any
+    * reasonable requery budget (observed: 2 bursts -> 100+ suspects -> tainted even
+    * though 90% of the span matched history). */
+  private[graft] val SpanClearFactor = 1.5
+  private[graft] def confirmSuspects(
+      suspects: Set[Int], times: Seq[(String, Double)], history: Map[String, Double],
+      factor: Double = SpanClearFactor): Set[Int] =
+    suspects.filter { i =>
+      val (name, t) = times(i)
+      history.get(name).forall(h => h <= 0 || t > h * factor)
     }
 
   private def calibrate(spark: SparkSession): Double = {
@@ -149,7 +171,8 @@ object Bench {
     calSamples += ((selected.size, calAfter))
 
     // --- sentinel v2 decision + isolated re-runs -------------------------------------
-    val suspects = suspectSpans(calSamples.toSeq, CalibrationRef, TaintFactor)
+    val suspects = confirmSuspects(
+      suspectSpans(calSamples.toSeq, CalibrationRef, TaintFactor), results.toSeq, history)
     val outliers = historyOutliers(results.toSeq, history)
     val byName = selected.map(_._1).zipWithIndex.toMap
     // outliers first (they are individually evidenced), then span suspects

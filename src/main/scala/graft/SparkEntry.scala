@@ -663,6 +663,33 @@ object SparkEntry {
             lit(1))).as("n_above_mean"))
     }),
 
+    // Customer spend percentile within market segment — the percent_rank window shape
+    // (a per-SEGMENT sort, the one window family the repo otherwise avoids for top-k;
+    // here the full rank IS the deliverable). DECIMAL spend keeps ties exact across
+    // engines; the custkey tiebreak makes every rank deterministic.
+    "q_spend_percentile" -> ((s, dir) => {
+      val spend = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(sum(dec(col("o_totalprice"), 12, 2)).as("__spend"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("__spend"), col("c_custkey"))
+      spend.select(col("c_custkey"), col("c_mktsegment"),
+        col("__spend").cast(DoubleType).as("total_spend"),
+        round(percent_rank().over(w), 6).as("spend_pct"))
+    }),
+
+    // Native session_window API pin: Spark's built-in gap-session aggregation (the
+    // streaming-ready form) must reproduce the LAG/SUM-over-breaks sessionization the
+    // repo builds by hand (ev_sessionize) — the oracle replays exactly that manual
+    // construction, so the two definitions are mutually gated
+    "ev_session_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), unix_millis(col("w.start")).as("start_ms"),
+          unix_millis(col("w.end")).as("end_ms"), col("n_events"))),
+
     // Lorenz/Gini concentration of per-user activity — the "how skewed is engagement"
     // audit (and the statistic behind fair-sampling decisions). Computed off the COUNT
     // HISTOGRAM, not the sorted user list: users with equal counts occupy a contiguous
@@ -5138,6 +5165,28 @@ object SparkEntry {
         |SELECT t.user_id, CAST(t.session_idx AS BIGINT) AS session_idx, COUNT(*) AS n_trans,
         |  ROUND(CAST(SUM(l2.lp) AS DOUBLE) / COUNT(*), 4) AS avg_logprob
         |FROM tr t JOIN lp l2 USING (from_type, to_type) GROUP BY 1, 2""".stripMargin,
+
+    "q_spend_percentile" ->
+      """WITH sp AS (SELECT c_custkey, c_mktsegment,
+        |  SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2)
+        |SELECT c_custkey, c_mktsegment, CAST(spend AS DOUBLE) AS total_spend,
+        |  ROUND(PERCENT_RANK() OVER (PARTITION BY c_mktsegment ORDER BY spend, c_custkey), 6)
+        |    AS spend_pct
+        |FROM sp""".stripMargin,
+
+    "ev_session_window" ->
+      """WITH g AS (SELECT user_id,
+        |  CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ms FROM events),
+        |o AS (SELECT user_id, ms,
+        |  CASE WHEN LAG(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+        |    OR ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms) > 1800000
+        |    THEN 1 ELSE 0 END AS brk FROM g),
+        |s AS (SELECT user_id, ms, SUM(brk) OVER (PARTITION BY user_id ORDER BY ms
+        |  ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+        |SELECT user_id, MIN(ms) AS start_ms, MAX(ms) + 1800000 AS end_ms,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "ev_ab_srm" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),

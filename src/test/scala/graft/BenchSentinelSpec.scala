@@ -53,6 +53,19 @@ class BenchSentinelSpec extends AnyFunSuite {
     assert(Bench.historyOutliers(sweep, hist) == Seq("a"))
   }
 
+  test("span triage: history clears span members that measured fine; keeps slow + unknown") {
+    val hist = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0)
+    val sweep = Seq(
+      "a" -> 1.1, // in span, matches history -> cleared
+      "b" -> 2.0, // in span, 2x history -> confirmed suspect
+      "c" -> 1.2, // not in span -> untouched either way
+      "d" -> 0.5) // in span, NO history -> stays suspect (cannot adjudicate)
+    val spans = Set(0, 1, 3)
+    assert(Bench.confirmSuspects(spans, sweep, hist) == Set(1, 3))
+    // no history at all: every span member stays (the conservative default)
+    assert(Bench.confirmSuspects(spans, sweep, Map.empty) == spans)
+  }
+
   test("history outliers: zero/negative history values never divide into a flag") {
     val hist = Map("a" -> 0.0, "b" -> -1.0)
     assert(Bench.historyOutliers(Seq("a" -> 5.0, "b" -> 5.0), hist).isEmpty)
