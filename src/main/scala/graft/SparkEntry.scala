@@ -663,6 +663,46 @@ object SparkEntry {
             lit(1))).as("n_above_mean"))
     }),
 
+    // k-anonymity audit over the quasi-identifier (event_type, day, value-decade
+    // bucket): group sizes k; rows in k<5 groups are re-identification risks — the
+    // privacy preflight a training-data release runs before shipping event logs.
+    // Exact integer fold over the bounded QI grid.
+    "ev_k_anonymity" -> ((s, dir) => {
+      val qi = t(s, dir, "events").select(col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("day"),
+        floor(col("value") / 100).cast("long").as("vbucket"))
+      qi.groupBy(col("event_type"), col("day"), col("vbucket"))
+        .agg(count(lit(1)).as("k"))
+        .agg(count(lit(1)).as("n_groups"),
+          min(col("k")).as("min_k"),
+          count(when(col("k") < 5, lit(1))).as("n_small_groups"),
+          sum(when(col("k") < 5, col("k")).otherwise(0L)).cast("long").as("n_rows_at_risk"),
+          sum(col("k")).cast("long").as("n_rows"))
+        .withColumn("risk_rate",
+          round(col("n_rows_at_risk").cast(DoubleType) / col("n_rows"), 6))
+    }),
+
+    // Two-NN intrinsic-dimension estimate (Facco et al. 2017, Sci. Rep.): per probe,
+    // the ratio mu = d2/d1 of its two nearest cosine distances; ID = n / (ln10 *
+    // sum(log10 mu)) — the MLE under the Pareto likelihood. Embedding QA: an ID far
+    // below the ambient 64 dims means the encoder collapsed the space. Per-probe log
+    // terms quantize to DECIMAL(18,8) (the LM discipline) so the fold is exact; the
+    // probe scan is the brute-force shape (corpus never shuffles, probes broadcast).
+    "emb_intrinsic_dim" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val top2 = VectorOps.bruteForceTopK(e, e.filter(col("vec_id") < 64), k = 2)
+      val mu = top2.groupBy(col("query_id"))
+        .agg(min(col("sim")).as("__s2"), max(col("sim")).as("__s1"))
+        .filter(col("__s1") < 1.0 && col("__s2") < col("__s1")) // drop exact-dup/tied probes
+        .select(log(10.0, (lit(1.0) - col("__s2")) / (lit(1.0) - col("__s1")))
+          .cast(DecimalType(18, 8)).as("__lg"))
+      mu.agg(count(lit(1)).as("n_probes"), sum(col("__lg")).as("__slg"))
+        .select(col("n_probes"),
+          round(col("__slg").cast(DoubleType), 6).as("sum_log10_mu"),
+          round(col("n_probes").cast(DoubleType)
+            / (lit(2.302585092994046) * col("__slg").cast(DoubleType)), 4).as("id_hat"))
+    }),
+
     // Customer spend percentile within market segment — the percent_rank window shape
     // (a per-SEGMENT sort, the one window family the repo otherwise avoids for top-k;
     // here the full rank IS the deliverable). DECIMAL spend keeps ties exact across
@@ -5165,6 +5205,35 @@ object SparkEntry {
         |SELECT t.user_id, CAST(t.session_idx AS BIGINT) AS session_idx, COUNT(*) AS n_trans,
         |  ROUND(CAST(SUM(l2.lp) AS DOUBLE) / COUNT(*), 4) AS avg_logprob
         |FROM tr t JOIN lp l2 USING (from_type, to_type) GROUP BY 1, 2""".stripMargin,
+
+    "ev_k_anonymity" ->
+      """WITH qi AS (SELECT event_type,
+        |  CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000 AS day,
+        |  CAST(FLOOR(value / 100) AS BIGINT) AS vbucket FROM events),
+        |g AS (SELECT event_type, day, vbucket, CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM qi GROUP BY 1, 2, 3),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(MIN(k) AS BIGINT) AS min_k,
+        |  CAST(COUNT(CASE WHEN k < 5 THEN 1 END) AS BIGINT) AS n_small_groups,
+        |  CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+        |  CAST(SUM(k) AS BIGINT) AS n_rows FROM g)
+        |SELECT *, ROUND(CAST(n_rows_at_risk AS DOUBLE) / n_rows, 6) AS risk_rate
+        |FROM a""".stripMargin,
+
+    "emb_intrinsic_dim" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 64),
+        |nn AS (SELECT q.qid,
+        |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS s
+        |  FROM q JOIN embeddings c ON c.vec_id <> q.qid
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY s DESC, c.vec_id) <= 2),
+        |m AS (SELECT qid, MAX(s) AS s1, MIN(s) AS s2 FROM nn GROUP BY 1),
+        |l AS (SELECT CAST(LOG10((1.0 - s2) / (1.0 - s1)) AS DECIMAL(18,8)) AS lg FROM m
+        |  WHERE s1 < 1.0 AND s2 < s1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+        |  ROUND(CAST(SUM(lg) AS DOUBLE), 6) AS sum_log10_mu,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE) / (2.302585092994046 * CAST(SUM(lg) AS DOUBLE)), 4)
+        |    AS id_hat
+        |FROM l""".stripMargin,
 
     "q_spend_percentile" ->
       """WITH sp AS (SELECT c_custkey, c_mktsegment,
