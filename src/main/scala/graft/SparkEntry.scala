@@ -1398,6 +1398,32 @@ object SparkEntry {
           .as("int4range_render"))
     }),
 
+    // §2.6 v3: the MySQL golden renderings v1/v2 didn't cover
+    // (`ex_mysql_cdc/tests/functional/all-data-types/expected/.../inventory_all_data_types.csv`,
+    // type mapping `ex_mysql_cdc/src/extractor/mysql_extractor.py:22-60`):
+    // ENUM → the member string, SET → comma-joined members in definition order (the
+    // Debezium bitmask decode), BIT(8) → base64 of the raw byte ('qg==' for 0xAA in
+    // the golden), BINARY(8) → base64 of the ZERO-PADDED fixed-width bytes
+    // ('qgAAAAAAAAA=' — right-padding is the fixed-BINARY contract), BIT(1) → BOOLEAN
+    // (the declared special case), YEAR → plain int
+    "cdc_type_render_v3" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val byteHex = lpad(hex(col("user_id") % 256), 2, "0")
+      val mask = col("event_id") % 8
+      ev.select(
+        col("event_id"),
+        element_at(array(lit("x"), lit("y"), lit("z")),
+          (col("event_id") % 3 + 1).cast(IntegerType)).as("enum_render"),
+        concat_ws(",",
+          when(mask.bitwiseAND(1) > 0, lit("a")),
+          when(mask.bitwiseAND(2) > 0, lit("b")),
+          when(mask.bitwiseAND(4) > 0, lit("c"))).as("set_render"),
+        base64(unhex(byteHex)).as("bit8_render"),
+        base64(unhex(concat(byteHex, lit("00000000000000")))).as("binary8_render"),
+        (col("event_id") % 2 === 1).as("bit1_bool_render"),
+        year(col("ts")).cast(IntegerType).as("year_render"))
+    }),
+
     // S7+K2: CSV sink/scan roundtrip — headerless write with KBC__NULL null sentinel, typed
     // read back with explicit schema (`db_common/staging.py:458-460`, nullstr handling)
     "cdc_csv_roundtrip" -> ((s, dir) => {
@@ -4347,6 +4373,22 @@ object SparkEntry {
         |      + date_part('minute', CAST(ts AS TIMESTAMP)) * 60
         |      + date_part('second', CAST(ts AS TIMESTAMP))) * 1000 AS BIGINT) AS ms_of_day
         |FROM events""".stripMargin,
+
+    "cdc_type_render_v3" ->
+      """WITH c AS (SELECT event_id, user_id, ts,
+        |  lpad(to_hex(user_id % 256), 2, '0') AS bh, event_id % 8 AS mask
+        |  FROM events)
+        |SELECT event_id,
+        |  list_extract(['x','y','z'], CAST(event_id % 3 + 1 AS INT)) AS enum_render,
+        |  concat_ws(',',
+        |    CASE WHEN mask & 1 > 0 THEN 'a' END,
+        |    CASE WHEN mask & 2 > 0 THEN 'b' END,
+        |    CASE WHEN mask & 4 > 0 THEN 'c' END) AS set_render,
+        |  to_base64(unhex(bh)) AS bit8_render,
+        |  to_base64(unhex(bh || '00000000000000')) AS binary8_render,
+        |  (event_id % 2 = 1) AS bit1_bool_render,
+        |  CAST(year(CAST(ts AS TIMESTAMP)) AS INT) AS year_render
+        |FROM c""".stripMargin,
 
     "cdc_type_render_v2" ->
       """WITH c AS (SELECT event_id, ts,
