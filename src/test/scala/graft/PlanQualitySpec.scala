@@ -265,6 +265,18 @@ class PlanQualitySpec extends SparkSpec {
       s"both join inputs must hash-partition on (event_type, __salt):\n${p.take(2000)}")
   }
 
+  test("emb_knn_graph_ivf: both sides exchange on the quantizer cell, never all-pairs") {
+    // pinned through the GATE query (the graph operator localCheckpoints its edge list,
+    // which would hide the upstream pipeline from the executed plan): pair generation
+    // must shuffle corpus and probe sides on __cell, top-k is the bounded heap
+    val p = plan("emb_knn_graph_ivf")
+    assert(p.contains("hashpartitioning(__cell"),
+      s"pair join must distribute on the trained cell id:\n${p.take(2000)}")
+    assert(p.contains("ObjectHashAggregate"), "per-vertex top-k must be the bounded heap")
+    assert(!p.contains("CartesianProduct"), "quantizer blocking must prevent all-pairs")
+    assert(!p.contains("Window") && !p.contains("row_number"))
+  }
+
   test("ann brute force: corpus never shuffled, ranking is a bounded-heap aggregate") {
     val p = plan("emb_ann_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
