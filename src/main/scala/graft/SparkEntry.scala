@@ -551,6 +551,34 @@ object SparkEntry {
           round(sum(col("__n")).cast(DoubleType) / count(lit(1)), 6).as("mean_norm"))
     }),
 
+    // Embedding drift monitor: per-label centroid of the first id-half vs the second
+    // (deployment-time batches), cosine similarity between the two centroids — the
+    // encoder-drift check a feature store runs between embedding refreshes. Mean cells
+    // fold as exact DECIMAL(18,8) sums / counts; one final double cosine per label.
+    "emb_centroid_shift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val mid = e.agg(expr("(min(vec_id) + max(vec_id) + 1) div 2").as("__mid"))
+      val cells = e.crossJoin(broadcast(mid))
+        .select(col("label"), (col("vec_id") < col("__mid")).as("__first"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("__first"), col("pos"))
+        .agg((sum(col("x").cast(DecimalType(18, 8))).cast(DoubleType) / count(lit(1)))
+          .as("m"))
+      val a = cells.filter(col("__first")).select(col("label"), col("pos"), col("m").as("ma"))
+      val b = cells.filter(!col("__first")).select(col("label"), col("pos"), col("m").as("mb"))
+      a.join(b, Seq("label", "pos"))
+        .select(col("label"),
+          (col("ma") * col("mb")).cast(DecimalType(28, 12)).as("__dot"),
+          (col("ma") * col("ma")).cast(DecimalType(28, 12)).as("__na"),
+          (col("mb") * col("mb")).cast(DecimalType(28, 12)).as("__nb"))
+        .groupBy(col("label"))
+        .agg(sum(col("__dot")).as("__d"), sum(col("__na")).as("__a"), sum(col("__nb")).as("__b"))
+        .select(col("label"),
+          round(col("__d").cast(DoubleType)
+            / (sqrt(col("__a").cast(DoubleType)) * sqrt(col("__b").cast(DoubleType))), 6)
+            .as("centroid_cosine"))
+    }),
+
     // Sampled exact silhouette (Rousseeuw 1987) over the label clustering: per probe
     // anchor, a = mean cosine distance to its own label, b = min over other labels of
     // the mean distance, s = (b-a)/max(a,b). The 64-probe sample keeps the pair space
@@ -1039,6 +1067,24 @@ object SparkEntry {
           col("__n").cast(DoubleType).as("nation_revenue"),
           col("__t").cast(DoubleType).as("total_revenue"),
           round(col("__n").cast(DoubleType) / col("__t").cast(DoubleType), 6).as("mkt_share"))
+    }),
+
+    // Year-over-year revenue growth: yearly DECIMAL-exact totals, one lag window over
+    // the YEAR-sized aggregate (never over fact rows) — the dashboard staple that shows
+    // the window-after-aggregate pattern
+    "q_yoy_growth" -> ((s, dir) => {
+      val yearly = t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg(sum(dec(col("o_totalprice"), 12, 2)).as("__rev"),
+          count(lit(1)).as("n_orders"))
+      val w = Window.partitionBy(lit(0)).orderBy(col("o_year"))
+      yearly
+        .withColumn("__prev", lag(col("__rev"), 1).over(w))
+        .select(col("o_year"), col("n_orders"),
+          col("__rev").cast(DoubleType).as("revenue"),
+          round(when(col("__prev").isNotNull,
+            (col("__rev") - col("__prev")).cast(DoubleType) / col("__prev").cast(DoubleType) * 100), 4)
+            .as("yoy_growth_pct"))
     }),
 
     // TPC-H Q19 shape: disjunctive (OR-of-ANDs) predicate over a fact⋈dim join.
@@ -2028,6 +2074,28 @@ object SparkEntry {
     // pass, identical double formula both engines — the A/B experimentation readout
     "ev_ab_ttest" -> ((s, dir) =>
       SampleOps.welchTTest(t(s, dir, "events"), "event_type", "value", "click", "view")),
+
+    // Daily purchase-conversion rate with the Wilson 95% score interval — the
+    // small-n-safe CI (a normal interval goes negative near 0) every conversion
+    // dashboard should use; exact integer counts, one closed-form double per day
+    "ev_conversion_wilson" -> ((s, dir) => {
+      val z2 = 1.959964 * 1.959964
+      val d = t(s, dir, "events")
+        .select(expr("unix_millis(ts) div 86400000").as("day"),
+          col("user_id"), col("event_type"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(when(col("event_type") === "purchase", col("user_id"))).as("n_conv"))
+      val n = col("n_users").cast(DoubleType)
+      val p = col("n_conv").cast(DoubleType) / n
+      val center = (p + lit(z2) / (lit(2.0) * n)) / (lit(1.0) + lit(z2) / n)
+      val half = (lit(1.959964) * sqrt(p * (lit(1.0) - p) / n
+        + lit(z2) / (lit(4.0) * n * n))) / (lit(1.0) + lit(z2) / n)
+      d.select(col("day"), col("n_users"), col("n_conv"),
+        round(p, 6).as("conv_rate"),
+        round(center - half, 6).as("wilson_lo"),
+        round(center + half, 6).as("wilson_hi"))
+    }),
 
     // Sample-ratio-mismatch guardrail (the first check any A/B readout must pass):
     // chi-square of the deterministic user_id%2 arm split against 50/50 — an SRM
@@ -5298,6 +5366,48 @@ object SparkEntry {
         |SELECT user_id, MIN(ms) AS start_ms, MAX(ms) + 1800000 AS end_ms,
         |  CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "ev_conversion_wilson" ->
+      """WITH d AS (SELECT CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000 AS day,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS BIGINT)
+        |    AS n_conv
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT *, CAST(n_conv AS DOUBLE) / n_users AS p,
+        |  3.841458881296 AS z2, 1.959964 AS z, CAST(n_users AS DOUBLE) AS n FROM d)
+        |SELECT day, n_users, n_conv, ROUND(p, 6) AS conv_rate,
+        |  ROUND((p + z2/(2*n))/(1 + z2/n)
+        |    - (z * sqrt(p*(1-p)/n + z2/(4*n*n)))/(1 + z2/n), 6) AS wilson_lo,
+        |  ROUND((p + z2/(2*n))/(1 + z2/n)
+        |    + (z * sqrt(p*(1-p)/n + z2/(4*n*n)))/(1 + z2/n), 6) AS wilson_hi
+        |FROM c""".stripMargin,
+
+    "emb_centroid_shift" ->
+      """WITH m AS (SELECT (MIN(vec_id) + MAX(vec_id) + 1) // 2 AS mid FROM embeddings),
+        |x AS (SELECT label, (vec_id < m.mid) AS fh,
+        |  generate_subscripts(embedding, 1) AS pos,
+        |  CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,8)) AS x
+        |  FROM embeddings CROSS JOIN m),
+        |cells AS (SELECT label, fh, pos, CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mv
+        |  FROM x GROUP BY 1, 2, 3),
+        |j AS (SELECT a.label, CAST(a.mv * b.mv AS DECIMAL(28,12)) AS dot,
+        |  CAST(a.mv * a.mv AS DECIMAL(28,12)) AS na, CAST(b.mv * b.mv AS DECIMAL(28,12)) AS nb
+        |  FROM cells a JOIN cells b ON a.label = b.label AND a.pos = b.pos
+        |  WHERE a.fh AND NOT b.fh)
+        |SELECT label, ROUND(CAST(SUM(dot) AS DOUBLE)
+        |  / (sqrt(CAST(SUM(na) AS DOUBLE)) * sqrt(CAST(SUM(nb) AS DOUBLE))), 6)
+        |  AS centroid_cosine
+        |FROM j GROUP BY 1""".stripMargin,
+
+    "q_yoy_growth" ->
+      """WITH y AS (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT o_year, n_orders, CAST(rev AS DOUBLE) AS revenue,
+        |  ROUND(CAST(rev - LAG(rev) OVER (ORDER BY o_year) AS DOUBLE)
+        |    / CAST(LAG(rev) OVER (ORDER BY o_year) AS DOUBLE) * 100, 4) AS yoy_growth_pct
+        |FROM y""".stripMargin,
 
     "ev_ab_srm" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
