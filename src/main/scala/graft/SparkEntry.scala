@@ -1069,6 +1069,31 @@ object SparkEntry {
           round(col("__n").cast(DoubleType) / col("__t").cast(DoubleType), 6).as("mkt_share"))
     }),
 
+    // Per-brand revenue trend: closed-form OLS slope over the (brand, year) revenue
+    // grid — regression PER GROUP from exact DECIMAL moment sums (n, Σx, Σy, Σxy, Σx²
+    // fold in one aggregate; the only doubles are the final slope division). The
+    // group-local twin of the corpus-level zipf/heaps fits.
+    "q_brand_trend" -> ((s, dir) => {
+      val byYear = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), year(col("l_shipdate")).cast("int").as("y"))
+        .agg(sum(dec(col("l_extendedprice"), 12, 2) * (lit(1) - dec(col("l_discount"), 4, 2)))
+          .as("rev"))
+      byYear.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_years"),
+          sum(col("y")).as("__sx"),
+          sum(col("rev")).as("__sy"),
+          sum(col("y") * col("rev")).as("__sxy"),
+          sum(col("y").cast("long") * col("y")).as("__sx2"))
+        .filter(col("n_years") >= 2)
+        .select(col("p_brand"), col("n_years"),
+          col("__sy").cast(DoubleType).as("total_revenue"),
+          round((col("n_years") * col("__sxy") - col("__sx") * col("__sy")).cast(DoubleType)
+            / (col("n_years") * col("__sx2") - col("__sx") * col("__sx")).cast(DoubleType), 4)
+            .as("trend_slope"))
+    }),
+
     // Year-over-year revenue growth: yearly DECIMAL-exact totals, one lag window over
     // the YEAR-sized aggregate (never over fact rows) — the dashboard staple that shows
     // the window-after-aggregate pattern
@@ -3768,6 +3793,31 @@ object SparkEntry {
       meta.join(decoded, "doc_id")
     }),
 
+    // Per-media byte-entropy QA: Shannon entropy (bits/byte) of each blob's byte
+    // histogram — near 0 flags constant/corrupt payloads, near 8 flags encrypted or
+    // already-compressed media that downstream codecs should skip. Entropy folds from
+    // INTEGER counts (H = log2 T - (Σ c·log2 c)/T) with per-term c·log10(c) quantized
+    // to DECIMAL(18,8) — log10 of an exact integer is the same double in both engines,
+    // the token-entropy discipline. Byte explode is hex-pair chunking (2M rows at
+    // sf0.01), grouped map-side.
+    "mm_byte_entropy" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("__hex", hex(encode(col("text"), "UTF-8")))
+      val counts = d.select(col("doc_id"),
+          explode(expr("transform(sequence(1, length(__hex) div 2), " +
+            "i -> substring(__hex, 2*i - 1, 2))")).as("b"))
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      val log2_10 = 3.321928094887362 // 1/log10(2): converts log10 folds to bits
+      counts.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_distinct_bytes"),
+          sum(col("c")).cast("long").as("n_bytes"),
+          sum((col("c").cast(DoubleType) * log(10.0, col("c").cast(DoubleType)))
+            .cast(DecimalType(18, 8))).as("__sclgc"))
+        .select(col("doc_id"), col("n_bytes"), col("n_distinct_bytes"),
+          round((log(10.0, col("n_bytes").cast(DoubleType))
+            - col("__sclgc").cast(DoubleType) / col("n_bytes")) * log2_10, 4)
+            .as("entropy_bits"))
+    }),
+
     // Trainable quality classifier (the CCNet/GPT-3-style curation stage: logreg over
     // cheap per-doc signals, trained distributed, scored corpus-wide). Labels are the
     // PLANTED rule `n_chars > 300` — SQL-expressible, so the oracle pins n_docs/n_pos
@@ -5398,6 +5448,32 @@ object SparkEntry {
         |  / (sqrt(CAST(SUM(na) AS DOUBLE)) * sqrt(CAST(SUM(nb) AS DOUBLE))), 6)
         |  AS centroid_cosine
         |FROM j GROUP BY 1""".stripMargin,
+
+    "q_brand_trend" ->
+      """WITH by AS (SELECT p_brand, CAST(year(l_shipdate) AS INT) AS y,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+        |m AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_years,
+        |  SUM(y) AS sx, SUM(rev) AS sy, SUM(y * rev) AS sxy, SUM(CAST(y AS BIGINT) * y) AS sx2
+        |  FROM by GROUP BY 1 HAVING COUNT(*) >= 2)
+        |SELECT p_brand, n_years, CAST(sy AS DOUBLE) AS total_revenue,
+        |  ROUND(CAST(n_years * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n_years * sx2 - sx * sx AS DOUBLE), 4) AS trend_slope
+        |FROM m""".stripMargin,
+
+    "mm_byte_entropy" ->
+      """WITH h AS (SELECT doc_id, to_hex(CAST(encode(text) AS BLOB)) AS hx FROM documents),
+        |b AS (SELECT doc_id, substring(hx, 2*i - 1, 2) AS b
+        |  FROM h, unnest(range(1, len(hx) // 2 + 1)) AS u(i)),
+        |c AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct_bytes,
+        |  CAST(SUM(c) AS BIGINT) AS n_bytes,
+        |  SUM(CAST(CAST(c AS DOUBLE) * LOG10(CAST(c AS DOUBLE)) AS DECIMAL(18,8))) AS slgc
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, n_bytes, n_distinct_bytes,
+        |  ROUND((LOG10(CAST(n_bytes AS DOUBLE)) - CAST(slgc AS DOUBLE) / n_bytes)
+        |    * 3.321928094887362, 4) AS entropy_bits
+        |FROM a""".stripMargin,
 
     "q_yoy_growth" ->
       """WITH y AS (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
