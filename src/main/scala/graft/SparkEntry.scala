@@ -1069,6 +1069,29 @@ object SparkEntry {
           round(col("__n").cast(DoubleType) / col("__t").cast(DoubleType), 6).as("mkt_share"))
     }),
 
+    // Full nation-trade matrix (the TPC-H Q7 shape generalized from one pair to all
+    // 25x25): revenue by (customer nation, supplier nation) — both nation legs
+    // broadcast, the one big exchange is lineitem-orders; DECIMAL-exact cells
+    "q_nation_matrix" -> ((s, dir) => {
+      val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val custN = t(s, dir, "customer")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val suppN = t(s, dir, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val rev = dec(col("l_extendedprice"), 12, 2) * (lit(1) - dec(col("l_discount"), 4, 2))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("cust_nation"), col("supp_nation"))
+        .agg(count(lit(1)).as("n_lines"), sum(rev).as("__rev"))
+        .select(col("cust_nation"), col("supp_nation"), col("n_lines"),
+          col("__rev").cast(DoubleType).as("revenue"))
+    }),
+
     // Per-brand revenue trend: closed-form OLS slope over the (brand, year) revenue
     // grid — regression PER GROUP from exact DECIMAL moment sums (n, Σx, Σy, Σxy, Σx²
     // fold in one aggregate; the only doubles are the final slope division). The
@@ -1596,6 +1619,20 @@ object SparkEntry {
           count(when(col("day") === col("first_day"), lit(1))).as("n_new"))
         .withColumn("n_returning", col("n_active") - col("n_new"))
         .withColumn("new_rate", round(col("n_new").cast(DoubleType) / col("n_active"), 6))
+    }),
+
+    // Dormancy histogram: days since each user's last activity, folded to a
+    // (days_dormant, n_users) grid — the re-engagement targeting view (who to win
+    // back) that complements the churn/retention accounting; exact integer day math
+    "ev_dormancy" -> ((s, dir) => {
+      val d = t(s, dir, "events")
+        .select(expr("unix_millis(ts) div 86400000").as("day"), col("user_id"))
+      val maxDay = d.agg(max(col("day")).as("__maxd"))
+      d.groupBy(col("user_id")).agg(max(col("day")).as("__last"))
+        .crossJoin(broadcast(maxDay))
+        .select((col("__maxd") - col("__last")).as("days_dormant"))
+        .groupBy(col("days_dormant"))
+        .agg(count(lit(1)).as("n_users"))
     }),
 
     // Churn accounting across the span's two halves: active-in-A vs active-in-B user
@@ -5448,6 +5485,28 @@ object SparkEntry {
         |  / (sqrt(CAST(SUM(na) AS DOUBLE)) * sqrt(CAST(SUM(nb) AS DOUBLE))), 6)
         |  AS centroid_cosine
         |FROM j GROUP BY 1""".stripMargin,
+
+    "ev_dormancy" ->
+      """WITH d AS (SELECT CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000 AS day,
+        |  user_id FROM events),
+        |m AS (SELECT MAX(day) AS maxd FROM d),
+        |l AS (SELECT user_id, MAX(day) AS last FROM d GROUP BY 1)
+        |SELECT m.maxd - l.last AS days_dormant, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM l CROSS JOIN m GROUP BY 1""".stripMargin,
+
+    "q_nation_matrix" ->
+      """WITH cn AS (SELECT c_custkey, n_name AS cust_nation FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |sn AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT cust_nation, supp_nation, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN cn ON o_custkey = c_custkey
+        |JOIN sn ON l_suppkey = s_suppkey
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_brand_trend" ->
       """WITH by AS (SELECT p_brand, CAST(year(l_shipdate) AS INT) AS y,
