@@ -1635,6 +1635,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // Cumulative-user growth curve: first-seen day per user folds to per-day signup
+    // counts, then one cumulative window over the DAY GRID (30 rows — never over
+    // users); the classic top-of-dashboard metric
+    "ev_cumulative_users" -> ((s, dir) => {
+      val first = t(s, dir, "events")
+        .select(expr("unix_millis(ts) div 86400000").as("day"), col("user_id"))
+        .groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+        .groupBy(col("first_day").as("day")).agg(count(lit(1)).as("n_new_users"))
+      val w = Window.partitionBy(lit(0)).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      first.withColumn("cumulative_users", sum(col("n_new_users")).over(w).cast("long"))
+    }),
+
     // Churn accounting across the span's two halves: active-in-A vs active-in-B user
     // sets fold to one verdict row (churned = A\\B, retained = A∩B, new = B\\A) — the
     // aggregate form of a cohort churn dashboard; integer midpoint is exact in both
@@ -5485,6 +5498,17 @@ object SparkEntry {
         |  / (sqrt(CAST(SUM(na) AS DOUBLE)) * sqrt(CAST(SUM(nb) AS DOUBLE))), 6)
         |  AS centroid_cosine
         |FROM j GROUP BY 1""".stripMargin,
+
+    "ev_cumulative_users" ->
+      """WITH f AS (SELECT user_id,
+        |  MIN(CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000) AS first_day
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS n_new_users
+        |  FROM f GROUP BY 1)
+        |SELECT day, n_new_users,
+        |  CAST(SUM(n_new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS cumulative_users
+        |FROM d""".stripMargin,
 
     "ev_dormancy" ->
       """WITH d AS (SELECT CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000 AS day,
