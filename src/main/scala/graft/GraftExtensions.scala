@@ -52,6 +52,9 @@ object GraftExtensions {
     "graft_winnowing" -> (es =>
       WinnowingFingerprints(es(0), intArg(es(1), "n"), intArg(es(2), "w"))),
     "graft_token_entropy" -> (es => TokenEntropySignals(es(0))),
+    // round-7 addition: Jaro-Winkler similarity (DuckDB-parity semantics) for
+    // entity-resolution blocking joins from SQL
+    "graft_jaro_winkler" -> (es => JaroWinklerSim(es(0), es(1))),
     // numeric order/score/tiebreak args are widened here so SQL callers can pass INT/FLOAT
     // columns; the aggregates themselves then type-check strictly at analysis
     "graft_latest_struct" -> (es =>

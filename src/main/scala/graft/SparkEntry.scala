@@ -1187,6 +1187,115 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // TPC-H Q9 shape: product-type profit by nation and year — the LIKE-filtered part dim
+    // semi-joins the fact FIRST (broadcast, so only matching lineitems ever shuffle), the
+    // order-year and supplier-nation dims broadcast after. One fact shuffle total (the
+    // group-by); at 100 TB the p_name filter prunes ~1/|colors| of the fact before any
+    // exchange. (No partsupp table in this corpus, so profit = revenue, same plan shape.)
+    "q9_product_profit" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name").as("nation"))
+      val p = t(s, dir, "part").filter(col("p_name").contains("red"))
+        .select(col("p_partkey"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(o.select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup.select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("nation"), col("o_year"))
+        .agg(sum(dec(col("l_extendedprice"), 12, 2) * (lit(1) - dec(col("l_discount"), 4, 2)))
+          .cast(DoubleType).as("sum_profit"))
+    }),
+
+    // TPC-H Q11 shape: "important" keys — a grouped value HAVING a share of the GLOBAL
+    // total. The scalar (total, n) pair is a second aggregate over the same grouped frame
+    // (reused, not rescanned), joined back as a 1-row broadcast; the predicate is the
+    // scale-invariant division-free exact-DECIMAL form value·n·2 > total·3 (i.e. value >
+    // 1.5× the mean part value), so no fp boundary can disagree and the selected fraction
+    // is stable across SF. At 100 TB: one fact shuffle for the group-by; the global total
+    // is a tree-reduce.
+    "q11_important_parts" -> ((s, dir) => {
+      val v = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(dec(col("l_extendedprice"), 12, 2) * (lit(1) - dec(col("l_discount"), 4, 2)))
+          .as("__value"))
+      val total = v.agg(sum(col("__value")).as("__total"), count(lit(1)).as("__n"))
+      v.crossJoin(total)
+        .filter(col("__value") * col("__n") * 2 > col("__total") * 3)
+        .select(col("l_partkey"), col("__value").cast(DoubleType).as("part_value"))
+    }),
+
+    // TPC-H Q16 shape: supplier count per part descriptor with a NOT-IN supplier
+    // exclusion — the exclusion list broadcasts as a left_anti, the part dim broadcasts
+    // pre-shuffle, and the only exchange is the final distinct-count group-by. Exact
+    // countDistinct (the key set per group is |suppliers|-bounded).
+    "q16_supplier_cnt" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#4" && col("p_type") =!= "ECONOMY")
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // TPC-H Q20 shape: the nested semi-join chain — suppliers who shipped > 25% of some
+    // forecast part's 1997 volume. Inner per-(supp,part) and per-part aggregates share the
+    // same LIKE-pruned fact slice (one shuffle each, both tiny post-agg → AQE broadcasts
+    // the join between them); the surviving supplier keys semi-join the dim. The share
+    // predicate is division-free exact DECIMAL (qty*4 > total).
+    "q20_excess_suppliers" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name").as("nation"))
+      val p = t(s, dir, "part").filter(col("p_name").startsWith("small"))
+        .select(col("p_partkey"))
+      val slice = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1997)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+        .select(col("l_partkey"), col("l_suppkey"), dec(col("l_quantity"), 12, 2).as("__q"))
+      val spq = slice.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("__q")).as("__sq"))
+      val pt = slice.groupBy(col("l_partkey").as("__pk"))
+        .agg(sum(col("__q")).as("__tq"))
+      spq.join(pt, col("l_partkey") === col("__pk"))
+        .filter(col("__sq") * 4 > col("__tq"))
+        .select(col("l_suppkey")).distinct()
+        .join(sup.select(col("s_suppkey"), col("s_name"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("nation"))
+    }),
+
+    // Autocorrelation function of the daily event series at lags 1..7 — the time-series
+    // QA primitive (seasonality/persistence detector) under EXACT integer arithmetic:
+    // with u_t = n*x_t - S (n days, S total events, x integer counts), acf_k =
+    // Σ u_t·u_{t+k} / Σ u_t² — every sum is a BIGINT fold over the COLLAPSED daily series
+    // (~30 rows; 100 TB of events reduce to |days| rows in the one group-by exchange),
+    // and the final ratio is one fixed-operand-order double division rounded to 6.
+    "ev_acf" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val tot = daily.agg(count(lit(1)).as("__n"), sum(col("x")).cast("long").as("__s"))
+      val w = Window.orderBy(col("day"))
+      val u = daily.crossJoin(tot)
+        .select((col("__n") * col("x") - col("__s")).cast("long").as("u"), col("day"))
+      val withLeads = u.select(
+        col("u") +: (1 to 7).map(k => lead(col("u"), k).over(w).as(s"u$k")): _*)
+      withLeads
+        .select(expr("stack(7, 1, u*u1, 2, u*u2, 3, u*u3, 4, u*u4, 5, u*u5, 6, u*u6, 7, u*u7)")
+          .as(Seq("lag", "prod")))
+        .groupBy(col("lag"))
+        .agg(sum(col("prod")).cast("long").as("num"))
+        .crossJoin(u.agg(sum(col("u") * col("u")).cast("long").as("den")))
+        .select(col("lag"),
+          round(col("num").cast(DoubleType) / col("den"), 6).as("acf"))
+    }),
+
     // Join-key skew audit — the pre-flight a 100 TB shuffle plan runs BEFORE committing
     // to a partitioning: per-key counts in one exchange, then four scalar moments.
     //   skew_ratio   = max_c / mean_c       (>> 1 ⇒ hot key; AQE skew-join or salt)
@@ -2991,6 +3100,16 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("rank_e12"))
     }),
 
+    // HITS hubs/authorities on the same directed kNN graph — the OTHER eigenvector
+    // centrality (a node is a good hub if it points at good authorities and vice versa;
+    // on a kNN graph high authority = a density peak many neighborhoods agree on). Exact
+    // unnormalized integer sweeps, replayed in SQL by unrolling — see GraphOps.hits.
+    "emb_hits" -> ((s, dir) => {
+      val edges = VectorOps.knnEdges(t(s, dir, "embeddings"), k = 4)
+      graft.ops.GraphOps.hits(edges, iters = 2)
+        .select(col("id").as("vec_id"), col("hub"), col("auth"))
+    }),
+
     // market-basket graph analytics: parts co-ordered >= 2 times form undirected edges;
     // triangle/wedge/clustering stats via DEGREE-ORDERED wedge joins (out-degree bounded
     // by O(sqrt m) — the orientation that keeps power-law hubs from exploding a reducer).
@@ -3011,6 +3130,25 @@ object SparkEntry {
     "q_basket_triangles_capped" -> ((s, dir) =>
       graft.ops.GraphOps.triangleStatsCapped(t(s, dir, "lineitem"),
         "l_orderkey", "l_partkey", minCount = 2, maxGroupSize = 5)),
+
+    // Entity resolution over the vocabulary-bounded distinct-name dictionary: block on
+    // the first name token (the classic ER blocking key), score within-block pairs with
+    // the NATIVE Jaro-Winkler expression (DuckDB-parity semantics — see
+    // TextExpressions.JaroWinklerSim), keep pairs above threshold. Scale shape: the
+    // entity dictionary is |vocabulary|-bounded (64 names at every SF here — it grows
+    // sublinearly with the corpus), the pair space is Σ|block|² over that dictionary,
+    // and the raw corpus only ever contributes through the initial distinct.
+    "q_er_part_names" -> ((s, dir) => {
+      val names = t(s, dir, "part").select(col("p_name").as("name")).distinct()
+        .withColumn("blk", split(col("name"), " ").getItem(0))
+      val right = names.select(col("name").as("name_b"), col("blk").as("__blk2"))
+      names.select(col("name").as("name_a"), col("blk"))
+        .join(right, col("blk") === col("__blk2") && col("name_a") < col("name_b"))
+        .select(col("name_a"), col("name_b"),
+          TextFunctions.jaroWinkler(col("name_a"), col("name_b")).as("__s"))
+        .filter(col("__s") >= 0.84)
+        .select(col("name_a"), col("name_b"), round(col("__s"), 4).as("sim"))
+    }),
 
     // Community detection on the same co-occurrence graph: 3 synchronous LPA rounds
     // with deterministic majority/tie rules — exactly replayable in SQL by unrolling
@@ -4751,6 +4889,73 @@ object SparkEntry {
         |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
         |      AND l3.l_returnflag = 'R')
         |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_profit
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q11_important_parts" ->
+      """WITH v AS (SELECT l_partkey,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS value
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_partkey, CAST(value AS DOUBLE) AS part_value
+        |FROM v, (SELECT SUM(value) AS t, COUNT(*) AS n FROM v) tt
+        |WHERE value * tt.n * 2 > tt.t * 3""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """SELECT p.p_brand, p.p_type, p.p_size,
+        |  CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#4' AND p.p_type <> 'ECONOMY'
+        |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q20_excess_suppliers" ->
+      """WITH slice AS (
+        |  SELECT l_partkey, l_suppkey, CAST(l_quantity AS DECIMAL(12,2)) AS q
+        |  FROM lineitem
+        |  WHERE year(l_shipdate) = 1997
+        |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')),
+        |spq AS (SELECT l_partkey, l_suppkey, SUM(q) AS sq FROM slice GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey, SUM(q) AS tq FROM slice GROUP BY 1)
+        |SELECT s.s_name, n.n_name AS nation
+        |FROM supplier s
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE s.s_suppkey IN (
+        |  SELECT spq.l_suppkey FROM spq JOIN pt ON spq.l_partkey = pt.l_partkey
+        |  WHERE spq.sq * 4 > pt.tq)""".stripMargin,
+
+    "ev_acf" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s FROM daily),
+        |u AS (SELECT day, CAST(tot.n * x - tot.s AS BIGINT) AS u FROM daily, tot),
+        |leads AS (SELECT u,
+        |  lead(u, 1) OVER (ORDER BY day) AS u1, lead(u, 2) OVER (ORDER BY day) AS u2,
+        |  lead(u, 3) OVER (ORDER BY day) AS u3, lead(u, 4) OVER (ORDER BY day) AS u4,
+        |  lead(u, 5) OVER (ORDER BY day) AS u5, lead(u, 6) OVER (ORDER BY day) AS u6,
+        |  lead(u, 7) OVER (ORDER BY day) AS u7 FROM u),
+        |den AS (SELECT CAST(SUM(u * u) AS BIGINT) AS den FROM u),
+        |pr AS (
+        |  SELECT 1 AS lag, u * u1 AS prod FROM leads UNION ALL
+        |  SELECT 2, u * u2 FROM leads UNION ALL
+        |  SELECT 3, u * u3 FROM leads UNION ALL
+        |  SELECT 4, u * u4 FROM leads UNION ALL
+        |  SELECT 5, u * u5 FROM leads UNION ALL
+        |  SELECT 6, u * u6 FROM leads UNION ALL
+        |  SELECT 7, u * u7 FROM leads)
+        |SELECT lag, ROUND(CAST(num AS DOUBLE) / den, 6) AS acf
+        |FROM (SELECT lag, CAST(SUM(prod) AS BIGINT) AS num FROM pr GROUP BY 1), den""".stripMargin,
 
     "q_pareto_cut" ->
       """WITH pk AS (SELECT o_custkey,
@@ -7037,6 +7242,34 @@ object SparkEntry {
         |r3 AS (SELECT nodes.id, (150000000000 // nn.n) + ((85 * COALESCE(c.s, 0)) // 100) AS r
         |  FROM nodes LEFT JOIN c3 c ON c.dst = nodes.id CROSS JOIN nn)
         |SELECT id AS vec_id, CAST(r AS BIGINT) AS rank_e12 FROM r3""".stripMargin,
+
+    "emb_hits" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS s
+        |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |knn AS (SELECT src, dst FROM p
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) <= 4),
+        |nodes AS (SELECT DISTINCT id FROM
+        |  (SELECT src AS id FROM knn UNION ALL SELECT dst AS id FROM knn)),
+        |a1 AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS a FROM knn GROUP BY 1),
+        |a1f AS (SELECT id, COALESCE(a, 0) AS a FROM nodes LEFT JOIN a1 ON a1.dst = nodes.id),
+        |h1 AS (SELECT src, CAST(SUM(a) AS BIGINT) AS h FROM knn JOIN a1f ON a1f.id = knn.dst GROUP BY 1),
+        |h1f AS (SELECT id, COALESCE(h, 0) AS h FROM nodes LEFT JOIN h1 ON h1.src = nodes.id),
+        |a2 AS (SELECT dst, CAST(SUM(h) AS BIGINT) AS a FROM knn JOIN h1f ON h1f.id = knn.src GROUP BY 1),
+        |a2f AS (SELECT id, COALESCE(a, 0) AS a FROM nodes LEFT JOIN a2 ON a2.dst = nodes.id),
+        |h2 AS (SELECT src, CAST(SUM(a) AS BIGINT) AS h FROM knn JOIN a2f ON a2f.id = knn.dst GROUP BY 1),
+        |h2f AS (SELECT id, COALESCE(h, 0) AS h FROM nodes LEFT JOIN h2 ON h2.src = nodes.id)
+        |SELECT h2f.id AS vec_id, CAST(h2f.h AS BIGINT) AS hub, CAST(a2f.a AS BIGINT) AS auth
+        |FROM h2f JOIN a2f ON a2f.id = h2f.id""".stripMargin,
+
+    "q_er_part_names" ->
+      """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+        |b AS (SELECT name, split_part(name, ' ', 1) AS blk FROM names)
+        |SELECT a.name AS name_a, b2.name AS name_b,
+        |  ROUND(jaro_winkler_similarity(a.name, b2.name), 4) AS sim
+        |FROM b a JOIN b b2 ON a.blk = b2.blk AND a.name < b2.name
+        |WHERE jaro_winkler_similarity(a.name, b2.name) >= 0.84""".stripMargin,
 
     // id-ordered triangle replay of the degree-ordered Spark plan (the count is
     // orientation-invariant)

@@ -61,6 +61,44 @@ object GraphOps {
   }
 
   /**
+   * Fixed-iteration HITS hubs/authorities (Kleinberg 1999, "Authoritative sources in a
+   * hyperlinked environment") in EXACT integer arithmetic: starting from h₀ = 1, each
+   * sweep alternates a(i) = Σ_{j→i} h(j) then h(i) = Σ_{i→j} a(j). Per-iteration
+   * normalization is deliberately dropped — it only rescales, and the unnormalized
+   * scores after a fixed sweep count stay exact BIGINTs every engine reproduces
+   * bit-for-bit (growth bound: value ≤ (Δin·Δout)^iters · |V|, ~1e13 for iters = 2 on a
+   * 1e5-node kNN graph — far inside BIGINT). Callers needing [0,1] scores divide by the
+   * max once at the end.
+   *
+   * Scale: per sweep two shuffles of (key, long) digests; vertex state is |V| rows,
+   * edges never collect. Fixed iteration count keeps the plan finite (checkpoint each
+   * sweep at cluster scale, as in pageRank).
+   *
+   * @param edges directed (src, dst) rows; multi-edges count once per row
+   * @return (id, hub, auth) — exact unnormalized scores after `iters` sweeps
+   */
+  def hits(edges: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1)
+    val e = edges.select(col("src"), col("dst"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    var hubs = nodes.select(col("id"), lit(1L).as("h"))
+    var auth = nodes.select(col("id"), lit(0L).as("a"))
+    for (_ <- 1 to iters) {
+      val aNew = e.join(hubs.withColumnRenamed("id", "__hid"), e("src") === col("__hid"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("__a"))
+      auth = nodes.join(aNew, nodes("id") === aNew("dst"), "left")
+        .select(nodes("id"), coalesce(col("__a"), lit(0L)).as("a"))
+      val hNew = e.join(auth.withColumnRenamed("id", "__aid"), e("dst") === col("__aid"))
+        .groupBy(col("src")).agg(sum(col("a")).as("__h"))
+      hubs = nodes.join(hNew, nodes("id") === hNew("src"), "left")
+        .select(nodes("id"), coalesce(col("__h"), lit(0L)).as("h"))
+    }
+    hubs.join(auth.select(col("id").as("__id2"), col("a")), col("id") === col("__id2"))
+      .select(col("id"), col("h").cast("long").as("hub"), col("a").cast("long").as("auth"))
+  }
+
+  /**
    * Co-occurrence edges from (group, item) memberships — the market-basket projection
    * (parts co-ordered, users co-attending, docs sharing a shingle): undirected edges
    * `(u < v)` between items sharing at least `minCount` groups.

@@ -59,6 +59,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out == Seq("hello", "world", "42x"))
   }
 
+  test("jaroWinkler: canonical values, DuckDB-parity edge semantics, symmetry") {
+    def jw(a: String, b: String): Double =
+      Seq((a, b)).toDF("a", "b")
+        .select(TextFunctions.jaroWinkler(col("a"), col("b"))).collect().head.getDouble(0)
+    // canonical published examples (match DuckDB 1.0 bit-for-bit)
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-15)
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333333332) < 1e-15)
+    assert(jw("same", "same") == 1.0)
+    // DuckDB convention: either side empty => 0.0 (even both-empty)
+    assert(jw("", "") == 0.0 && jw("", "a") == 0.0 && jw("a", "") == 0.0)
+    // no match at all
+    assert(jw("abc", "xyz") == 0.0)
+    // prefix bonus only above the 0.7 jaro boundary; symmetry
+    for ((a, b) <- Seq(("small ring", "small rng"), ("CRATE", "TRACE"), ("ab", "ba")))
+      assert(jw(a, b) == jw(b, a))
+    // null in -> null out
+    val n = Seq((None: Option[String], "x")).toDF("a", "b")
+    assert(n.select(TextFunctions.jaroWinkler(col("a"), col("b"))).collect().head.isNullAt(0))
+  }
+
   test("shingleHashes: m tokens -> m-n+1 hashes; equal docs hash equal; short docs empty") {
     val df = Seq("a b c d e", "a b c d e", "a b").toDF("text")
       .select(TextFunctions.shingleHashes(TextFunctions.tokens(col("text")), 3).as("sh"))
