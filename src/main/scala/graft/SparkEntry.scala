@@ -3989,20 +3989,18 @@ object SparkEntry {
     // the token-entropy discipline. Byte explode is hex-pair chunking (2M rows at
     // sf0.01), grouped map-side.
     "mm_byte_entropy" -> ((s, dir) => {
-      val d = t(s, dir, "documents").withColumn("__hex", hex(encode(col("text"), "UTF-8")))
-      val counts = d.select(col("doc_id"),
-          explode(expr("transform(sequence(1, length(__hex) div 2), " +
-            "i -> substring(__hex, 2*i - 1, 2))")).as("b"))
-        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      // ZERO-shuffle form (r7 rewrite of the hex-explode + two-aggregate plan, the same
+      // move as the r6 token-entropy fix): the 256-cell byte histogram folds per row
+      // inside ByteEntropySignals, quantization bit-identical to the grouped plan the
+      // DuckDB oracle still replays (sum of per-count DECIMAL(18,8) HALF_UP terms).
       val log2_10 = 3.321928094887362 // 1/log10(2): converts log10 folds to bits
-      counts.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_distinct_bytes"),
-          sum(col("c")).cast("long").as("n_bytes"),
-          sum((col("c").cast(DoubleType) * log(10.0, col("c").cast(DoubleType)))
-            .cast(DecimalType(18, 8))).as("__sclgc"))
-        .select(col("doc_id"), col("n_bytes"), col("n_distinct_bytes"),
-          round((log(10.0, col("n_bytes").cast(DoubleType))
-            - col("__sclgc").cast(DoubleType) / col("n_bytes")) * log2_10, 4)
+      t(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), TextFunctions.byteEntropySignals(col("text")).as("__b"))
+        .select(col("doc_id"), col("__b.n_bytes").as("n_bytes"),
+          col("__b.n_distinct_bytes").as("n_distinct_bytes"),
+          round((log(10.0, col("__b.n_bytes").cast(DoubleType))
+            - col("__b.slgc").cast(DoubleType) / col("__b.n_bytes")) * log2_10, 4)
             .as("entropy_bits"))
     }),
 

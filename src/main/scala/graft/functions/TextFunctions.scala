@@ -766,6 +766,51 @@ object TextExpressions {
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
   }
+
+  /**
+   * `byte_entropy_signals(text)` → struct(n_bytes, n_distinct_bytes, slgc): the byte-level
+   * entropy ingredients of a document in ONE pass over its UTF-8 bytes — a 256-cell
+   * histogram on the UTF8String's own bytes (no hex render, no per-byte explode, no
+   * shuffle; the grouped formulation this replaces exchanged |corpus bytes| rows). The
+   * `slgc` term replicates the oracle-shared quantization EXACTLY: per distinct byte,
+   * c·log10(c) computed as c·(ln c / ln 10) (Spark's `log(10, x)` form), quantized to
+   * DECIMAL(18,8) via the same shortest-double-repr HALF_UP rounding as Spark's
+   * double→decimal Cast, then summed exactly. Caller derives
+   * entropy_bits = (log10(n) − slgc/n)·log2(10), identical to the grouped plan.
+   */
+  case class ByteEntropySignals(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("n_distinct_bytes", LongType, nullable = false),
+      StructField("slgc", DecimalType(18, 8), nullable = false)))
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(a: Any): Any = {
+      val s = a.asInstanceOf[UTF8String]
+      val bytes = s.getBytes
+      val counts = new Array[Int](256)
+      var i = 0
+      while (i < bytes.length) { counts(bytes(i) & 0xff) += 1; i += 1 }
+      val ln10 = Math.log(10.0)
+      var nd = 0L
+      var sum = java.math.BigDecimal.ZERO
+      var v = 0
+      while (v < 256) {
+        val c = counts(v)
+        if (c > 0) {
+          nd += 1
+          if (c > 1) {
+            val term = c.toDouble * (Math.log(c.toDouble) / ln10)
+            sum = sum.add(java.math.BigDecimal.valueOf(term)
+              .setScale(8, java.math.RoundingMode.HALF_UP))
+          }
+        }
+        v += 1
+      }
+      new GenericInternalRow(Array[Any](bytes.length.toLong, nd, Decimal(sum, 18, 8)))
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
 }
 
 /** Column-level text API: tokenization, shingling, fingerprints, LSH banding. */
@@ -810,6 +855,7 @@ object TextFunctions {
   def bandHashesFast(sig: Column, bands: Int): Column = column(BandHashesExpr(expression(sig), bands))
   def minKHashesLong(hashes: Column, k: Int): Column = column(MinKHashesLong(expression(hashes), k))
   def jaroWinkler(a: Column, b: Column): Column = column(JaroWinklerSim(expression(a), expression(b)))
+  def byteEntropySignals(text: Column): Column = column(ByteEntropySignals(expression(text)))
 
   /**
    * LSH band hashes from a minhash signature: `bands` hashes, each over `rows = k/bands`
