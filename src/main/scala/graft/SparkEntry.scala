@@ -3131,6 +3131,59 @@ object SparkEntry {
       graft.ops.GraphOps.triangleStatsCapped(t(s, dir, "lineitem"),
         "l_orderkey", "l_partkey", minCount = 2, maxGroupSize = 5)),
 
+    // Association rules on the basket graph (Agrawal & Srikant 1994's support/confidence
+    // plus lift): pair supports from the basket-bounded self-join (|basket|² expansion,
+    // TPC-H ≤ 7; cap upstream via maxGroupSize for power-law corpora), item supports one
+    // group-by, lift = n_ab·N / (n_a·n_b) as a single fixed-operand-order double
+    // division over exact integer counts. The support floor (n_ab ≥ 2) keeps the rule
+    // table |frequent-pairs|-bounded — the thing that makes it shippable at 100 TB.
+    "q_basket_lift" -> ((s, dir) => {
+      val pp = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val nB = pp.select(col("ok")).distinct().agg(count(lit(1)).as("__nb"))
+      val item = pp.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+      val pairs = pp.as("a").join(pp.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+      pairs
+        .join(item.select(col("pk").as("__pa"), col("c").as("n_a")), col("part_a") === col("__pa"))
+        .join(item.select(col("pk").as("__pb"), col("c").as("n_b")), col("part_b") === col("__pb"))
+        .crossJoin(nB)
+        .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
+          round(col("n_ab").cast(DoubleType) * col("__nb") / (col("n_a") * col("n_b")), 6)
+            .as("lift"),
+          round(col("n_ab").cast(DoubleType) / col("n_a"), 6).as("confidence"))
+    }),
+
+    // Theil-Sen robust trend (Theil 1950 / Sen 1968): the median of all pairwise slopes
+    // of the daily-revenue series — the estimator a 30%-outlier day can't move, unlike
+    // the OLS q_brand_trend. The series collapses to |days| rows first (the only fact
+    // exchange); the pair table is C(|days|,2) tiny rows; each slope is ONE double
+    // division of exact integer (e4-quantized revenue, epoch-day) differences, so both
+    // engines order identical doubles; the median picks by row_number (mean of the two
+    // middles when even).
+    "ev_theil_sen" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(dec(col("value"), 18, 4)).as("__rev"))
+        .select(datediff(col("day"), lit("1970-01-01")).cast("long").as("d"),
+          (col("__rev") * 10000).cast("long").as("y"))
+      val slopes = daily.as("a").join(daily.as("b"), col("a.d") < col("b.d"))
+        .select(((col("b.y") - col("a.y")).cast(DoubleType) / (col("b.d") - col("a.d")))
+          .as("slope"))
+      val w = Window.orderBy(col("slope"))
+      val ranked = slopes.select(col("slope"), row_number().over(w).as("rn"))
+      val stats = slopes.agg(count(lit(1)).as("__n"))
+      ranked.crossJoin(stats)
+        .filter(col("rn") === expr("(__n + 1) div 2") || col("rn") === expr("(__n + 2) div 2"))
+        .agg(count(lit(1)).as("__k"), sum(col("slope")).as("__s"),
+          first(col("__n")).as("n_pairs"))
+        .select(col("n_pairs").cast("long").as("n_pairs"),
+          round((col("__s") / col("__k")) / 10000.0, 6).as("slope_per_day"))
+    }),
+
     // Entity resolution over the vocabulary-bounded distinct-name dictionary: block on
     // the first name token (the classic ER blocking key), score within-block pairs with
     // the NATIVE Jaro-Winkler expression (DuckDB-parity semantics — see
@@ -7260,6 +7313,34 @@ object SparkEntry {
         |h2f AS (SELECT id, COALESCE(h, 0) AS h FROM nodes LEFT JOIN h2 ON h2.src = nodes.id)
         |SELECT h2f.id AS vec_id, CAST(h2f.h AS BIGINT) AS hub, CAST(a2f.a AS BIGINT) AS auth
         |FROM h2f JOIN a2f ON a2f.id = h2f.id""".stripMargin,
+
+    "q_basket_lift" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |nb AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM pp),
+        |item AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS c FROM pp GROUP BY 1),
+        |pr AS (SELECT a.pk AS part_a, b.pk AS part_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT pr.part_a, pr.part_b, pr.n_ab, ia.c AS n_a, ib.c AS n_b,
+        |  ROUND(CAST(pr.n_ab AS DOUBLE) * nb.n / (ia.c * ib.c), 6) AS lift,
+        |  ROUND(CAST(pr.n_ab AS DOUBLE) / ia.c, 6) AS confidence
+        |FROM pr JOIN item ia ON pr.part_a = ia.pk
+        |JOIN item ib ON pr.part_b = ib.pk CROSS JOIN nb""".stripMargin,
+
+    "ev_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |slopes AS (SELECT CAST(b.y - a.y AS DOUBLE) / (b.d - a.d) AS slope
+        |  FROM daily a JOIN daily b ON a.d < b.d),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM slopes),
+        |ranked AS (SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn FROM slopes)
+        |SELECT n.n AS n_pairs,
+        |  ROUND((SUM(slope) / COUNT(*)) / 10000.0, 6) AS slope_per_day
+        |FROM ranked, n
+        |WHERE rn = (n.n + 1) // 2 OR rn = (n.n + 2) // 2
+        |GROUP BY 1""".stripMargin,
 
     "q_er_part_names" ->
       """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
