@@ -673,6 +673,38 @@ class PlanQualitySpec extends SparkSpec {
       s"per-user transitions must be checkpointed across model/from-total/scoring branches:\n$p")
   }
 
+  test("mm_byte_entropy: per-row native histogram, zero Exchange (r7 rewrite)") {
+    val p = plan("mm_byte_entropy")
+    assert(!p.contains("Exchange"), s"byte entropy must be a pure map, got:\n$p")
+    assert(p.toLowerCase.contains("byteentropysignals"),
+      s"must run the native 256-cell histogram kernel:\n$p")
+  }
+
+  test("q9_product_profit: LIKE-pruned part semi-join and both dims broadcast") {
+    val p = plan("q9_product_profit")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // part semi-join + supplier + nation legs all broadcast; only lineitem-orders and
+    // the final group-by may exchange fact-scale rows
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"part/supplier/nation legs must broadcast:\n$p")
+  }
+
+  test("q_er_part_names: blocked equi-join runs the native jaro-winkler, no all-pairs") {
+    val p = plan("q_er_part_names")
+    assert(p.toLowerCase.contains("jarowinklersim"),
+      s"scoring must be the native expression:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair space must be blocked on the first-token key:\n$p")
+  }
+
+  test("q_basket_lift: pair expansion basket-bounded; no cartesian anywhere") {
+    val p = plan("q_basket_lift")
+    assert(!p.contains("CartesianProduct"))
+    // the only nested-loop is the 1-row global-count broadcast
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"only the 1-row N broadcast may nested-loop:\n$p")
+  }
+
   test("partition pruning: partitioned parquet scans only the matching partition") {
     val base = java.nio.file.Files.createTempDirectory("graft-pp").toString
     spark.read.parquet(s"$dir/events.parquet")
