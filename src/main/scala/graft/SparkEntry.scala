@@ -3131,6 +3131,49 @@ object SparkEntry {
       graft.ops.GraphOps.triangleStatsCapped(t(s, dir, "lineitem"),
         "l_orderkey", "l_partkey", minCount = 2, maxGroupSize = 5)),
 
+    // GROUPING SETS — the third grouping-lattice shape next to q_rollup/q_cube: two
+    // disjoint single-column groupings plus the grand total from ONE scan (a single
+    // Expand of 3× rows pre-shuffle), the standard multi-dim summary-table builder.
+    "q_grouping_sets" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.groupingSets(
+          Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")), Seq()),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast(DoubleType).as("revenue"))
+    }),
+
+    // k-core decomposition of the basket graph (Seidman 1983): 4 bounded peel rounds at
+    // k = 2 — the dense-subgraph extractor (spam rings, duplicate farms, power-user
+    // cliques). The fixed round budget makes the fixpoint SQL-replayable by unrolling;
+    // survivors carry their in-core degree.
+    "q_basket_kcore" -> ((s, dir) => {
+      val edges = graft.ops.GraphOps.coOccurrenceEdges(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minCount = 2)
+      graft.ops.GraphOps.kCore(edges, k = 2, rounds = 4)
+    }),
+
+    // The window-function surface in ONE gated query: lag/lead, ntile, percent_rank,
+    // cume_dist, first/last value (full-frame), and a running count — all sharing ONE
+    // keyed exchange+sort (the partitionBy(priority).orderBy(key) spec), the property
+    // PlanQualitySpec pins for cdc_scd2. Ratio outputs are exact-ordinal ratios rounded
+    // once; everything else is integral.
+    "q_window_suite" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
+      val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+          lead(col("o_orderkey"), 1).over(w).as("next_key"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          first(col("o_orderkey")).over(w).as("first_key"),
+          last(col("o_orderkey")).over(wAll).as("last_key"),
+          count(lit(1)).over(wRun).as("running_n"))
+    }),
+
     // Association rules on the basket graph (Agrawal & Srikant 1994's support/confidence
     // plus lift): pair supports from the basket-bounded self-join (|basket|² expansion,
     // TPC-H ≤ 7; cap upstream via maxGroupSize for power-law corpora), item supports one
@@ -7313,6 +7356,42 @@ object SparkEntry {
         |h2f AS (SELECT id, COALESCE(h, 0) AS h FROM nodes LEFT JOIN h2 ON h2.src = nodes.id)
         |SELECT h2f.id AS vec_id, CAST(h2f.h AS BIGINT) AS hub, CAST(a2f.a AS BIGINT) AS auth
         |FROM h2f JOIN a2f ON a2f.id = h2f.id""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin,
+
+    "q_basket_kcore" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS (SELECT a.pk AS u, b.pk AS v FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |u0 AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        |k1 AS (SELECT u FROM u0 GROUP BY 1 HAVING COUNT(*) >= 2),
+        |u1 AS (SELECT a.u, a.v FROM u0 a JOIN k1 x ON a.u = x.u JOIN k1 y ON a.v = y.u),
+        |k2 AS (SELECT u FROM u1 GROUP BY 1 HAVING COUNT(*) >= 2),
+        |u2 AS (SELECT a.u, a.v FROM u1 a JOIN k2 x ON a.u = x.u JOIN k2 y ON a.v = y.u),
+        |k3 AS (SELECT u FROM u2 GROUP BY 1 HAVING COUNT(*) >= 2),
+        |u3 AS (SELECT a.u, a.v FROM u2 a JOIN k3 x ON a.u = x.u JOIN k3 y ON a.v = y.u),
+        |k4 AS (SELECT u FROM u3 GROUP BY 1 HAVING COUNT(*) >= 2),
+        |u4 AS (SELECT a.u, a.v FROM u3 a JOIN k4 x ON a.u = x.u JOIN k4 y ON a.v = y.u)
+        |SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS degree FROM u4 GROUP BY 1""".stripMargin,
+
+    "q_window_suite" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  lag(o_orderkey, 1) OVER w AS prev_key,
+        |  lead(o_orderkey, 1) OVER w AS next_key,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  ROUND(percent_rank() OVER w, 6) AS pr,
+        |  ROUND(cume_dist() OVER w, 6) AS cd,
+        |  first_value(o_orderkey) OVER w AS first_key,
+        |  last_value(o_orderkey) OVER
+        |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key,
+        |  CAST(COUNT(*) OVER
+        |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)""".stripMargin,
 
     "q_basket_lift" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

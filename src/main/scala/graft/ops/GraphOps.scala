@@ -99,6 +99,42 @@ object GraphOps {
   }
 
   /**
+   * Bounded-round k-core peeling (Seidman 1983, "Network structure and minimum degree"):
+   * repeatedly drop nodes with degree < k and the edges touching them. A fixed `rounds`
+   * budget replaces the data-dependent fixpoint so the plan is finite and every engine
+   * replays it by unrolling (the true core is reached when a round removes nothing;
+   * callers pick rounds ≥ observed convergence depth — peel depth, not diameter, and
+   * in practice tiny).
+   *
+   * Scale: each round is one degree aggregate + two semi-joins on the shrinking edge
+   * set; the per-round localCheckpoint cuts the doubling lineage (labelPropagation
+   * idiom). Nothing ever collects.
+   *
+   * @param edges undirected (u, v) rows, u < v, deduplicated
+   * @return (id, degree) for nodes surviving `rounds` peels, with their degree in the
+   *         surviving subgraph
+   */
+  def kCore(edges: DataFrame, k: Int = 3, rounds: Int = 4): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    // each round's localCheckpoint materializes the shrinking edge set and frees its
+    // predecessor — the returned aggregate references only the LAST checkpoint (which
+    // the session GCs once the caller's action completes)
+    var e = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to rounds) {
+      val prev = e
+      val keep = e.groupBy(col("u")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k).select(col("u").as("__keep"))
+      e = e.join(keep, col("u") === col("__keep"), "left_semi")
+        .join(keep.select(col("__keep").as("__keep2")), col("v") === col("__keep2"), "left_semi")
+        .localCheckpoint(eager = true)
+      prev.unpersist()
+    }
+    e.groupBy(col("u").as("id")).agg(count(lit(1)).as("degree"))
+  }
+
+  /**
    * Co-occurrence edges from (group, item) memberships — the market-basket projection
    * (parts co-ordered, users co-attending, docs sharing a shingle): undirected edges
    * `(u < v)` between items sharing at least `minCount` groups.

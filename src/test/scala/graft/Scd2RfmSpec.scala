@@ -247,6 +247,29 @@ class Scd2RfmSpec extends SparkSpec {
     assert(total <= 1000000000000L && total > 999999999900L, s"mass off: $total")
   }
 
+  test("hits: star hub is the hub, targets are the authorities; exact integer scores") {
+    import spark.implicits._
+    // 0 points at 1..3; 4 also points at 1. Authorities: 1 (indeg 2), 2, 3; hubs: 0, 4.
+    val g = Seq((0L, 1L), (0L, 2L), (0L, 3L), (4L, 1L)).toDF("src", "dst")
+    val r = graft.ops.GraphOps.hits(g, iters = 2).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    // sweep 1: a = indeg -> a(1)=2, a(2)=a(3)=1; h(0)=4, h(4)=2, targets h=0
+    // sweep 2: a(1)=h(0)+h(4)=6, a(2)=a(3)=4; h(0)=14, h(4)=6
+    assert(r(0L) == ((14L, 0L)) && r(4L) == ((6L, 0L)), s"hubs wrong: $r")
+    assert(r(1L) == ((0L, 6L)) && r(2L) == ((0L, 4L)) && r(3L) == ((0L, 4L)), s"auths wrong: $r")
+  }
+
+  test("kCore: triangle survives k=2 peeling, tails and whiskers drop; degrees in-core") {
+    import spark.implicits._
+    // triangle 1-2-3, tail 3-4, whisker 4-5: k=2 peel removes 5 then 4, keeps the triangle
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val r = graft.ops.GraphOps.kCore(g, k = 2, rounds = 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"2-core wrong: $r")
+    // k=3: nothing survives (no node has degree 3 in the survivors)
+    assert(graft.ops.GraphOps.kCore(g, k = 3, rounds = 3).count() == 0L)
+  }
+
   test("triangleStats: K4, triangle+tail, and a triangle-free star; degree-ordered == naive") {
     import spark.implicits._
     // K4: 4 nodes, 6 edges, C(4,2)·... wedges = 4·C(3,2)=12, triangles = 4, clustering = 1
