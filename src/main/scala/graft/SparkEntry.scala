@@ -3131,6 +3131,78 @@ object SparkEntry {
       graft.ops.GraphOps.triangleStatsCapped(t(s, dir, "lineitem"),
         "l_orderkey", "l_partkey", minCount = 2, maxGroupSize = 5)),
 
+    // Referential-integrity pre-flight: orphan counts for every fact→dim relation in the
+    // star, each an anti-join that AQE turns into broadcast-null-aware or shuffled-hash
+    // as the dim size dictates. THE audit to run before committing a 100 TB join plan —
+    // orphans silently vanish from inner joins and corrupt every downstream aggregate.
+    "q_fk_audit" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val sup = t(s, dir, "supplier")
+      val p = t(s, dir, "part"); val n = t(s, dir, "nation")
+      def audit(rel: String, child: DataFrame, key: String, parent: DataFrame, pkey: String) = {
+        val nc = child.agg(count(lit(1)).as("__n"))
+        val no = child.join(parent.select(col(pkey)), col(key) === col(pkey), "left_anti")
+          .agg(count(lit(1)).as("__o"))
+        nc.crossJoin(no).select(lit(rel).as("relation"),
+          col("__n").as("n_child"), col("__o").as("n_orphans"))
+      }
+      audit("lineitem->orders", l, "l_orderkey", o, "o_orderkey")
+        .unionAll(audit("lineitem->part", l, "l_partkey", p, "p_partkey"))
+        .unionAll(audit("lineitem->supplier", l, "l_suppkey", sup, "s_suppkey"))
+        .unionAll(audit("orders->customer", o, "o_custkey", c, "c_custkey"))
+        .unionAll(audit("customer->nation", c.select(col("c_nationkey").cast("long").as("ck")),
+          "ck", n.select(col("n_nationkey").cast("long").as("nk")), "nk"))
+    }),
+
+    // Exact equi-width histogram of a money column — 20 integer-boundary bins over the
+    // e2-quantized value: bin = (c−min)·20 div (max−min+1), every boundary an exact
+    // integer comparison (no float binning drift between engines). One scan for the
+    // (min, max, n) scalars, one for the counts; the scalar row broadcasts back.
+    "q_value_histogram" -> ((s, dir) => {
+      val v = t(s, dir, "orders").select((dec(col("o_totalprice")) * 100).cast("long").as("c"))
+      val st = v.agg(min(col("c")).as("__mn"), max(col("c")).as("__mx"))
+      v.crossJoin(st)
+        .select(expr("((c - __mn) * 20) div (__mx - __mn + 1)").as("bin"),
+          col("__mn"), col("__mx"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), first(col("__mn")).as("min_cents"),
+          first(col("__mx")).as("max_cents"))
+    }),
+
+    // Pearson correlation matrix over the lineitem measures — EXACT integer moments
+    // (e2/e4-quantized Σx, Σy, Σxy, Σx², Σy² as wide DECIMALs, one scan, one aggregate
+    // row) unpivoted to a row per pair; the r formula is evaluated in doubles from the
+    // exactly-agreed moments in ONE fixed operand order, so both engines emit identical
+    // bits before the final round.
+    "q_corr_matrix" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").select(
+        (dec(col("l_quantity")) * 100).cast("long").cast(DecimalType(18, 0)).as("x1"),
+        (dec(col("l_extendedprice")) * 100).cast("long").cast(DecimalType(18, 0)).as("x2"),
+        (dec(col("l_discount"), 6, 4) * 10000).cast("long").cast(DecimalType(18, 0)).as("x3"))
+      val m = l.agg(
+        count(lit(1)).cast(DecimalType(18, 0)).as("n"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"), sum(col("x3")).as("s3"),
+        sum(col("x1") * col("x1")).as("q1"), sum(col("x2") * col("x2")).as("q2"),
+        sum(col("x3") * col("x3")).as("q3"),
+        sum(col("x1") * col("x2")).as("p12"), sum(col("x1") * col("x3")).as("p13"),
+        sum(col("x2") * col("x3")).as("p23"))
+      def r(sx: String, sy: String, qx: String, qy: String, pxy: String) =
+        round((col("n").cast(DoubleType) * col(pxy).cast(DoubleType)
+            - col(sx).cast(DoubleType) * col(sy).cast(DoubleType))
+          / (sqrt(col("n").cast(DoubleType) * col(qx).cast(DoubleType)
+              - col(sx).cast(DoubleType) * col(sx).cast(DoubleType))
+            * sqrt(col("n").cast(DoubleType) * col(qy).cast(DoubleType)
+              - col(sy).cast(DoubleType) * col(sy).cast(DoubleType))), 6)
+      m.select(
+          r("s1", "s2", "q1", "q2", "p12").as("r12"),
+          r("s1", "s3", "q1", "q3", "p13").as("r13"),
+          r("s2", "s3", "q2", "q3", "p23").as("r23"))
+        .selectExpr("""stack(3,
+          'quantity~extendedprice', r12,
+          'quantity~discount',      r13,
+          'extendedprice~discount', r23) AS (pair, r)""")
+    }),
+
     // GROUPING SETS — the third grouping-lattice shape next to q_rollup/q_cube: two
     // disjoint single-column groupings plus the grand total from ONE scan (a single
     // Expand of 3× rows pre-shuffle), the standard multi-dim summary-table builder.
@@ -7356,6 +7428,55 @@ object SparkEntry {
         |h2f AS (SELECT id, COALESCE(h, 0) AS h FROM nodes LEFT JOIN h2 ON h2.src = nodes.id)
         |SELECT h2f.id AS vec_id, CAST(h2f.h AS BIGINT) AS hub, CAST(a2f.a AS BIGINT) AS auth
         |FROM h2f JOIN a2f ON a2f.id = h2f.id""".stripMargin,
+
+    "q_fk_audit" ->
+      """SELECT 'lineitem->orders' AS relation,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans
+        |UNION ALL SELECT 'lineitem->part',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |   WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+        |UNION ALL SELECT 'lineitem->supplier',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |   WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+        |UNION ALL SELECT 'orders->customer',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |UNION ALL SELECT 'customer->nation',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+        |   WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))""".stripMargin,
+
+    "q_value_histogram" ->
+      """WITH v AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM orders),
+        |st AS (SELECT CAST(MIN(c) AS BIGINT) AS mn, CAST(MAX(c) AS BIGINT) AS mx FROM v)
+        |SELECT ((c - mn) * 20) // (mx - mn + 1) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |  mn AS min_cents, mx AS max_cents
+        |FROM v, st GROUP BY 1, 3, 4""".stripMargin,
+
+    "q_corr_matrix" ->
+      """WITH l AS (SELECT
+        |  CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x1,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x2,
+        |  CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT) AS x3 FROM lineitem),
+        |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |  CAST(SUM(x1) AS DOUBLE) AS s1, CAST(SUM(x2) AS DOUBLE) AS s2,
+        |  CAST(SUM(x3) AS DOUBLE) AS s3,
+        |  CAST(SUM(x1*x1) AS DOUBLE) AS q1, CAST(SUM(x2*x2) AS DOUBLE) AS q2,
+        |  CAST(SUM(x3*x3) AS DOUBLE) AS q3,
+        |  CAST(SUM(x1*x2) AS DOUBLE) AS p12, CAST(SUM(x1*x3) AS DOUBLE) AS p13,
+        |  CAST(SUM(x2*x3) AS DOUBLE) AS p23 FROM l)
+        |SELECT 'quantity~extendedprice' AS pair,
+        |  ROUND((n*p12 - s1*s2)/(sqrt(n*q1 - s1*s1)*sqrt(n*q2 - s2*s2)), 6) AS r FROM m
+        |UNION ALL SELECT 'quantity~discount',
+        |  ROUND((n*p13 - s1*s3)/(sqrt(n*q1 - s1*s1)*sqrt(n*q3 - s3*s3)), 6) FROM m
+        |UNION ALL SELECT 'extendedprice~discount',
+        |  ROUND((n*p23 - s2*s3)/(sqrt(n*q2 - s2*s2)*sqrt(n*q3 - s3*s3)), 6) FROM m""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
