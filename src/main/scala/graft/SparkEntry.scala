@@ -3131,6 +3131,60 @@ object SparkEntry {
       graft.ops.GraphOps.triangleStatsCapped(t(s, dir, "lineitem"),
         "l_orderkey", "l_partkey", minCount = 2, maxGroupSize = 5)),
 
+    // TPC-H Q2 shape: min-cost supplier per part — the correlated argmin subquery
+    // DECORRELATED into a per-part min aggregate joined back on (part, min) equality
+    // (ties keep all witnesses, exactly Q2's semantics). The supplier side is snowflake-
+    // filtered (region→nation→supplier, all broadcast); the fact-derived link table
+    // (distinct (part, supp) pairs) stands in for partsupp. Completes the 22-shape
+    // TPC-H lattice (Q1-Q22 all represented).
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val links = t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey")).distinct()
+      val nr = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name").as("nation"))
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), dec(col("s_acctbal")).as("__acct"),
+          col("nation"))
+      val p = t(s, dir, "part").filter(col("p_size") === 15)
+        .select(col("p_partkey"), col("p_brand"))
+      val cand = links.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+      val minC = cand.groupBy(col("p_partkey").as("__pk")).agg(min(col("__acct")).as("__min"))
+      cand.join(minC, col("p_partkey") === col("__pk") && col("__acct") === col("__min"))
+        .select(col("p_partkey"), col("p_brand"), col("s_name"), col("nation"),
+          col("__acct").cast(DoubleType).as("acctbal"))
+    }),
+
+    // IQR outlier fences per group (the Tukey box-plot rule): Q1/Q3 as exact type-1
+    // quantiles on the e4-quantized value grid (rank selection over the per-group value
+    // histogram — state bounded by the grid, never the corpus), fences evaluated as the
+    // INTEGER comparisons 2v < 5·q1 − 3·q3 / 2v > 5·q3 − 3·q1 (≡ v outside
+    // Q1−1.5·IQR..Q3+1.5·IQR with no fractional boundary to disagree on).
+    "ev_iqr_outliers" -> ((s, dir) => {
+      val v = t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), (dec(col("value"), 18, 4) * 10000).cast("long").as("c"))
+      val hist = v.groupBy(col("event_type"), col("c")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("event_type"))
+      val cum = hist.select(col("event_type"), col("c"), col("cnt"),
+        sum(col("cnt")).over(w).as("cum"), sum(col("cnt")).over(wAll).as("tot"))
+      val fences = cum.groupBy(col("event_type"))
+        .agg(first(col("tot")).as("n"),
+          min(when(col("cum") >= expr("(tot + 3) div 4"), col("c"))).as("q1"),
+          min(when(col("cum") >= expr("(3 * tot + 3) div 4"), col("c"))).as("q3"))
+      hist.join(fences.select(col("event_type").as("__et"), col("n"), col("q1"), col("q3")),
+          col("event_type") === col("__et"))
+        .groupBy(col("event_type"))
+        .agg(first(col("n")).as("n"), first(col("q1")).as("q1_e4"), first(col("q3")).as("q3_e4"),
+          sum(when(col("c") * 2 < col("q1") * 5 - col("q3") * 3
+              || col("c") * 2 > col("q3") * 5 - col("q1") * 3, col("cnt"))
+            .otherwise(lit(0L))).cast("long").as("n_outliers"))
+    }),
+
     // Referential-integrity pre-flight: orphan counts for every fact→dim relation in the
     // star, each an anti-join that AQE turns into broadcast-null-aware or shuffled-hash
     // as the dim size dictates. THE audit to run before committing a 100 TB join plan —
@@ -7428,6 +7482,39 @@ object SparkEntry {
         |h2f AS (SELECT id, COALESCE(h, 0) AS h FROM nodes LEFT JOIN h2 ON h2.src = nodes.id)
         |SELECT h2f.id AS vec_id, CAST(h2f.h AS BIGINT) AS hub, CAST(a2f.a AS BIGINT) AS auth
         |FROM h2f JOIN a2f ON a2f.id = h2f.id""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH links AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |sup AS (SELECT s_suppkey, s_name, CAST(s_acctbal AS DECIMAL(18,2)) AS acct,
+        |    n.n_name AS nation
+        |  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey WHERE r.r_name = 'AMERICA'),
+        |cand AS (SELECT p.p_partkey, p.p_brand, sup.s_name, sup.nation, sup.acct
+        |  FROM links JOIN part p ON links.l_partkey = p.p_partkey AND p.p_size = 15
+        |  JOIN sup ON links.l_suppkey = sup.s_suppkey)
+        |SELECT p_partkey, p_brand, s_name, nation, CAST(acct AS DOUBLE) AS acctbal
+        |FROM cand c
+        |WHERE acct = (SELECT MIN(acct) FROM cand c2 WHERE c2.p_partkey = c.p_partkey)"""
+        .stripMargin,
+
+    "ev_iqr_outliers" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |hist AS (SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY 1, 2),
+        |cum AS (SELECT event_type, c, cnt,
+        |  SUM(cnt) OVER (PARTITION BY event_type ORDER BY c
+        |    ROWS UNBOUNDED PRECEDING) AS cum,
+        |  SUM(cnt) OVER (PARTITION BY event_type) AS tot FROM hist),
+        |f AS (SELECT event_type, CAST(MAX(tot) AS BIGINT) AS n,
+        |  CAST(MIN(CASE WHEN cum >= (tot + 3) // 4 THEN c END) AS BIGINT) AS q1,
+        |  CAST(MIN(CASE WHEN cum >= (3 * tot + 3) // 4 THEN c END) AS BIGINT) AS q3
+        |  FROM cum GROUP BY 1)
+        |SELECT h.event_type, f.n, f.q1 AS q1_e4, f.q3 AS q3_e4,
+        |  CAST(SUM(CASE WHEN h.c * 2 < f.q1 * 5 - f.q3 * 3
+        |    OR h.c * 2 > f.q3 * 5 - f.q1 * 3 THEN h.cnt ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM hist h JOIN f ON h.event_type = f.event_type
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
 
     "q_fk_audit" ->
       """SELECT 'lineitem->orders' AS relation,
