@@ -3131,6 +3131,52 @@ object SparkEntry {
       graft.ops.GraphOps.triangleStatsCapped(t(s, dir, "lineitem"),
         "l_orderkey", "l_partkey", minCount = 2, maxGroupSize = 5)),
 
+    // Vocabulary-coverage curve (the tokenizer-budget metric: what fraction of corpus
+    // tokens does a top-k vocabulary cover — 1−coverage is the OOV rate a k-entry
+    // tokenizer pays). One corpus exchange (token counts); ranking and the cumulative
+    // run on the VOCABULARY-bounded count table; checkpoints at k ∈ {5,10,20,30}.
+    "doc_vocab_coverage" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val tot = counts.agg(sum(col("c")).cast("long").as("__t"))
+      val w = Window.orderBy(col("c").desc, col("tok"))
+      counts.select(col("c"), row_number().over(w).as("rn"))
+        .select(col("rn"), sum(col("c"))
+          .over(Window.orderBy(col("rn"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long").as("covered"))
+        .filter(col("rn").isin(5, 10, 20, 30))
+        .crossJoin(tot)
+        .select(col("rn").cast("int").as("vocab_k"), col("covered"),
+          round(col("covered").cast(DoubleType) / col("__t"), 6).as("coverage"))
+    }),
+
+    // Decile gain chart (the marketing-analytics lift table): customers ranked by exact
+    // e2-quantized spend, split into 10 equal-count bins by INTEGER rank arithmetic
+    // (decile = ((rn−1)·10) div n — no percentile float boundary), per-decile revenue
+    // share + cumulative share as single fixed-order divisions. Rank ties broken by key
+    // so both engines assign identical bins. State: |customers| rank rows, 10-row output.
+    "q_decile_lift" -> ((s, dir) => {
+      val pk = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("v"))
+      val w = Window.orderBy(col("v").desc, col("o_custkey"))
+      val n = pk.agg(count(lit(1)).as("__n"), sum(col("v")).as("__t"))
+      pk.select(col("v"), row_number().over(w).as("rn"))
+        .crossJoin(n)
+        .select(expr("((rn - 1) * 10) div __n").as("decile"), col("v"), col("__t"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("v")).cast("long").as("rev_cents"),
+          first(col("__t")).as("__t"))
+        .select(col("decile"), col("n_cust"), col("rev_cents"),
+          round(col("rev_cents").cast(DoubleType) / col("__t"), 6).as("share"),
+          round(sum(col("rev_cents"))
+              .over(Window.orderBy(col("decile"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast(DoubleType) / col("__t"), 6).as("cum_share"))
+    }),
+
     // TPC-H Q2 shape: min-cost supplier per part — the correlated argmin subquery
     // DECORRELATED into a per-part min aggregate joined back on (part, min) equality
     // (ties keep all witnesses, exactly Q2's semantics). The supplier side is snowflake-
@@ -7482,6 +7528,36 @@ object SparkEntry {
         |h2f AS (SELECT id, COALESCE(h, 0) AS h FROM nodes LEFT JOIN h2 ON h2.src = nodes.id)
         |SELECT h2f.id AS vec_id, CAST(h2f.h AS BIGINT) AS hub, CAST(a2f.a AS BIGINT) AS auth
         |FROM h2f JOIN a2f ON a2f.id = h2f.id""".stripMargin,
+
+    "doc_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+        |    x -> x <> '')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM c),
+        |r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rn FROM c),
+        |cum AS (SELECT rn, CAST(SUM(c) OVER (ORDER BY rn
+        |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS covered FROM r)
+        |SELECT CAST(rn AS INT) AS vocab_k, covered,
+        |  ROUND(CAST(covered AS DOUBLE) / t.t, 6) AS coverage
+        |FROM cum, t WHERE rn IN (5, 10, 20, 30)""".stripMargin,
+
+    "q_decile_lift" ->
+      """WITH pk AS (SELECT o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS t FROM pk),
+        |r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v DESC, o_custkey) AS rn FROM pk),
+        |d AS (SELECT ((rn - 1) * 10) // n.n AS decile, v, n.t FROM r, n),
+        |g AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |  CAST(SUM(v) AS BIGINT) AS rev_cents, CAST(MAX(t) AS BIGINT) AS t
+        |  FROM d GROUP BY 1)
+        |SELECT decile, n_cust, rev_cents,
+        |  ROUND(CAST(rev_cents AS DOUBLE) / t, 6) AS share,
+        |  ROUND(CAST(SUM(rev_cents) OVER (ORDER BY decile
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / t, 6) AS cum_share
+        |FROM g""".stripMargin,
 
     "q2_min_cost_supplier" ->
       """WITH links AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),

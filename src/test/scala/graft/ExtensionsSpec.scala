@@ -61,6 +61,12 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT graft_deflate_ratio(repeat('spam ', 500)) AS lo, graft_deflate_ratio('') AS e")
       .collect()(0)
     assert(dr.getDouble(0) < 0.1 && dr.getDouble(1) == 1.0)
+
+    // round-7: Jaro-Winkler from SQL (DuckDB-parity semantics)
+    val jw = spark.sql(
+      "SELECT graft_jaro_winkler('martha', 'marhta') AS a, graft_jaro_winkler('', '') AS e")
+      .collect()(0)
+    assert(math.abs(jw.getDouble(0) - 0.9611111111111111) < 1e-15 && jw.getDouble(1) == 0.0)
   }
 
   test("aggregate builders widen numeric args; mistyped payload fails at analysis") {

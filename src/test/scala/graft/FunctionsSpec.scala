@@ -59,6 +59,20 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out == Seq("hello", "world", "42x"))
   }
 
+  test("byteEntropySignals: known histograms, quantization matches the grouped plan") {
+    def sig(s: String) = Seq(s).toDF("t")
+      .select(TextFunctions.byteEntropySignals(col("t")).as("b"))
+      .select(col("b.n_bytes"), col("b.n_distinct_bytes"), col("b.slgc").cast("double"))
+      .collect().head
+    val a = sig("aaaa") // 4 identical bytes: slgc = 4*log10(4), entropy 0 bits
+    assert(a.getLong(0) == 4L && a.getLong(1) == 1L)
+    assert(math.abs(a.getDouble(2) - 2.40823997) < 1e-8)
+    val b = sig("abcd") // uniform over 4 bytes: slgc = 0 (each count 1)
+    assert(b.getLong(0) == 4L && b.getLong(1) == 4L && b.getDouble(2) == 0.0)
+    val u = sig("\u00e9") // e-acute = 2 UTF-8 bytes, both distinct
+    assert(u.getLong(0) == 2L && u.getLong(1) == 2L)
+  }
+
   test("jaroWinkler: canonical values, DuckDB-parity edge semantics, symmetry") {
     def jw(a: String, b: String): Double =
       Seq((a, b)).toDF("a", "b")
