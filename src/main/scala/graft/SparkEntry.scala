@@ -695,6 +695,39 @@ object SparkEntry {
     // bucket): group sizes k; rows in k<5 groups are re-identification risks — the
     // privacy preflight a training-data release runs before shipping event logs.
     // Exact integer fold over the bounded QI grid.
+    // l-diversity audit (Machanavajjhala et al. 2007) — k-anonymity's companion: a
+    // quasi-identifier group can be k-large yet leak if every row shares ONE sensitive
+    // value. Same QI grouping as ev_k_anonymity, sensitive attribute = user_id;
+    // l = distinct sensitive values per group; groups at l = 1 are fully identifying.
+    "ev_l_diversity" -> ((s, dir) => {
+      val qi = t(s, dir, "events").select(col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("day"),
+        floor(col("value") / 100).cast("long").as("vbucket"), col("user_id"))
+      qi.groupBy(col("event_type"), col("day"), col("vbucket"))
+        .agg(count(lit(1)).as("k"), countDistinct(col("user_id")).as("l"))
+        .agg(count(lit(1)).as("n_groups"), min(col("l")).as("min_l"),
+          count(when(col("l") === 1, lit(1))).as("n_l1_groups"),
+          sum(when(col("l") === 1, col("k")).otherwise(0L)).cast("long")
+            .as("n_rows_identified"),
+          sum(col("k")).cast("long").as("n_rows"))
+        .withColumn("identified_rate",
+          round(col("n_rows_identified").cast(DoubleType) / col("n_rows"), 6))
+    }),
+
+    // Longest daily-activity streak per user — the gaps-and-islands shape (island key =
+    // day − row_number over the per-user day sequence) on the deduplicated (user, day)
+    // table; output collapses to the streak-length histogram. One user-keyed
+    // exchange+sort; islands never materialize beyond their per-user rows.
+    "ev_streaks" -> ((s, dir) => {
+      val ud = t(s, dir, "events")
+        .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day")).distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val streaks = ud.select(col("user_id"), (col("day") - row_number().over(w)).as("grp"))
+        .groupBy(col("user_id"), col("grp")).agg(count(lit(1)).as("len"))
+      streaks.groupBy(col("user_id")).agg(max(col("len")).as("max_streak"))
+        .groupBy(col("max_streak")).agg(count(lit(1)).as("n_users"))
+    }),
+
     "ev_k_anonymity" -> ((s, dir) => {
       val qi = t(s, dir, "events").select(col("event_type"),
         expr("unix_millis(ts) div 86400000").as("day"),
@@ -5886,6 +5919,30 @@ object SparkEntry {
         |SELECT t.user_id, CAST(t.session_idx AS BIGINT) AS session_idx, COUNT(*) AS n_trans,
         |  ROUND(CAST(SUM(l2.lp) AS DOUBLE) / COUNT(*), 4) AS avg_logprob
         |FROM tr t JOIN lp l2 USING (from_type, to_type) GROUP BY 1, 2""".stripMargin,
+
+    "ev_l_diversity" ->
+      """WITH qi AS (SELECT event_type,
+        |  CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000 AS day,
+        |  CAST(FLOOR(value / 100) AS BIGINT) AS vbucket, user_id FROM events),
+        |g AS (SELECT event_type, day, vbucket, CAST(COUNT(*) AS BIGINT) AS k,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS l FROM qi GROUP BY 1, 2, 3),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(MIN(l) AS BIGINT) AS min_l,
+        |  CAST(COUNT(CASE WHEN l = 1 THEN 1 END) AS BIGINT) AS n_l1_groups,
+        |  CAST(SUM(CASE WHEN l = 1 THEN k ELSE 0 END) AS BIGINT) AS n_rows_identified,
+        |  CAST(SUM(k) AS BIGINT) AS n_rows FROM g)
+        |SELECT *, ROUND(CAST(n_rows_identified AS DOUBLE) / n_rows, 6) AS identified_rate
+        |FROM a""".stripMargin,
+
+    "ev_streaks" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |  CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000 AS day FROM events),
+        |i AS (SELECT user_id,
+        |  day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp FROM ud),
+        |s AS (SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len FROM i GROUP BY 1, 2),
+        |m AS (SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak FROM s GROUP BY 1)
+        |SELECT max_streak, CAST(COUNT(*) AS BIGINT) AS n_users FROM m GROUP BY 1"""
+        .stripMargin,
 
     "ev_k_anonymity" ->
       """WITH qi AS (SELECT event_type,
