@@ -2486,6 +2486,13 @@ object SparkEntry {
     "doc_ngram_jaccard" -> ((s, dir) =>
       DedupOps.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.2)),
 
+    // the SAME exact pairs via PPJoin prefix filtering (Xiao et al. 2008): sorted-set
+    // prefixes bound candidacy BEFORE the inverted-index join instead of df-capping hot
+    // shingles after — exact at any threshold, candidate space shrinking as t grows;
+    // gated by the identical naive-SQL oracle as doc_ngram_jaccard
+    "doc_ngram_jaccard_prefix" -> ((s, dir) =>
+      DedupOps.ngramJaccardPrefix(t(s, dir, "documents"), threshold = 0.2)),
+
     // edit-distance verification of the Jaccard candidates: normalized Levenshtein
     // certifies textual closeness where set-similarity is order-blind; O(len²) DP and
     // the payload join both paid per CANDIDATE pair only
@@ -4524,6 +4531,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
 
     "doc_ngram_jaccard" -> jaccardPairsOracle,
+
+    "doc_ngram_jaccard_prefix" -> jaccardPairsOracle,
 
     "doc_edit_verify" ->
       (s"""WITH cand AS (${jaccardPairsOracleAt(0.2)})

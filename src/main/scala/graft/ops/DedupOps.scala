@@ -341,6 +341,50 @@ object DedupOps {
   }
 
   /**
+   * PPJoin-style prefix-filtered exact Jaccard pairs (Xiao, Wang, Lin, Yu 2008,
+   * "Efficient similarity joins for near duplicate detection"): with each shingle set
+   * SORTED in one global canonical order, Jaccard(A,B) ≥ t forces A and B to share a
+   * token within their first |X| − ⌈t·|X|⌉ + 1 tokens (else the best-case overlap
+   * already falls short) — so the inverted index holds PREFIXES only, cutting the d²
+   * candidate blowup at its source instead of dropping hot shingles after the fact
+   * (the `maxDocFrequency` cap of [[ngramJaccardPairs]], whose result is a lower
+   * bound; this variant stays EXACT). Candidates then verify with a full
+   * `array_intersect` — the only stage where whole sets cross an exchange, and it is
+   * candidate-bounded. Higher thresholds shrink prefixes (t = 0.8 indexes ~20% of each
+   * set); the canonical order here is ascending hash — swapping in ascending global
+   * frequency (classic PPJoin) further rarifies prefixes without touching correctness.
+   *
+   * Output is identical to [[ngramJaccardPairs]] (same oracle replays both).
+   */
+  def ngramJaccardPrefix(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0)
+    val sh = df.select(col(idCol).as("id"),
+      array_sort(array_distinct(
+        TextFunctions.shingleHashes(TextFunctions.tokens(col(textCol)), shingleN))).as("sh"))
+    val pref = sh.select(col("id"), col("sh"), size(col("sh")).as("n"),
+      expr(s"slice(sh, 1, greatest(size(sh) - cast(ceil($threshold * size(sh)) as int) + 1, 0))")
+        .as("pref"))
+    val inv = pref.select(col("id"), explode(col("pref")).as("h"))
+    val cand = inv.select(col("h"), col("id").as("id_a")).repartition(col("h"))
+      .join(inv.select(col("h"), col("id").as("id_b")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val jac = col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))
+    cand
+      .join(pref.select(col("id").as("id_a"), col("sh").as("__sha"), col("n").as("n_a")), "id_a")
+      .join(pref.select(col("id").as("id_b"), col("sh").as("__shb"), col("n").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        size(array_intersect(col("__sha"), col("__shb"))).as("inter"))
+      .filter(jac >= threshold)
+      .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard"))
+  }
+
+  /**
    * Character-level edit-distance VERIFICATION of candidate near-dup pairs — the final
    * precision stage after set-similarity blocking: shingle Jaccard is order-insensitive
    * (it can't tell a reshuffled document from an edited one), while normalized

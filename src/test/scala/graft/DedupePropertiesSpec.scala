@@ -84,6 +84,33 @@ class DedupePropertiesSpec extends SparkSpec {
     }
   }
 
+  test("ngramJaccardPrefix == ngramJaccardPairs at every threshold (prefix-filter completeness)") {
+    import graft.ops.DedupOps
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta",
+      "iota", "kappa", "lam", "mu", "nu", "xi", "omic", "pi", "rho", "sigma")
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed + 40)
+      val bases = (0 until 12).map { i =>
+        (i.toLong, Seq.fill(10 + rnd.nextInt(15))(words(rnd.nextInt(words.size))).mkString(" "))
+      }
+      val mutated = bases.take(6).map { case (id, text) =>
+        val toks = text.split(" ")
+        toks(rnd.nextInt(toks.length)) = words(rnd.nextInt(words.size))
+        (id + 100, toks.mkString(" "))
+      }
+      val docs = (bases ++ mutated).toDF("doc_id", "text")
+      def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard"))).toSet
+      for (t <- Seq(0.2, 0.5, 0.8)) {
+        val exact = pairSet(DedupOps.ngramJaccardPairs(docs, threshold = t))
+        val prefix = pairSet(DedupOps.ngramJaccardPrefix(docs, threshold = t))
+        assert(prefix == exact, s"seed=$seed t=$t prefix=$prefix exact=$exact")
+      }
+      assert(pairSet(DedupOps.ngramJaccardPairs(docs, threshold = 0.2)).nonEmpty,
+        s"seed=$seed produced no pairs — weak test")
+    }
+  }
+
   test("incremental dedup over random splits == batch dedup of the whole corpus") {
     // feeding a corpus through incrementalDedup in arbitrary batch splits must admit
     // exactly one id per distinct text, regardless of where the splits fall — the
