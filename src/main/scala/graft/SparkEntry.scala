@@ -2709,6 +2709,63 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // per-class precision/recall/F1 from the SAME confusion counts (the metric table a
+    // model card ships): all three are single fixed-order divisions of exact integers —
+    // F1 in its division-free-denominator form 2·tp/(n_pred + n_act), so no chained
+    // rounding of precision/recall feeds it. |classes|-bounded state.
+    "doc_nb_prf" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val bucket = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int") % 100
+      val cm = TextOps.naiveBayesClassify(d.filter(bucket < 90), d.filter(bucket >= 90))
+        .groupBy(col("lang"), col("pred_label"))
+        .agg(count(lit(1)).as("n"))
+      val act = cm.groupBy(col("lang"))
+        .agg(sum(col("n")).cast("long").as("n_act"),
+          sum(when(col("lang") === col("pred_label"), col("n")).otherwise(0L))
+            .cast("long").as("tp"))
+      val pred = cm.groupBy(col("pred_label").as("__cls"))
+        .agg(sum(col("n")).cast("long").as("n_pred"))
+      act.join(pred, col("lang") === col("__cls"), "left")
+        .select(col("lang"), col("tp"), col("n_act"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          when(coalesce(col("n_pred"), lit(0L)) > 0,
+            round(col("tp").cast(DoubleType) / col("n_pred"), 6)).as("prec"),
+          round(col("tp").cast(DoubleType) / col("n_act"), 6).as("recall"),
+          round(lit(2.0) * col("tp") / (coalesce(col("n_pred"), lit(0L)) + col("n_act")), 6)
+            .as("f1"))
+    }),
+
+    // Population Stability Index (the model-monitoring drift metric next to the
+    // information-theoretic ev_load_shift JSD): value distribution binned on the SHARED
+    // integer cents grid (10 equal-width bins from the global min/max), first half-month
+    // vs second compared by Σ (p−q)·ln(p/q). Per-bin terms DECIMAL(18,12)-quantized
+    // before the sum (the JSD discipline — libm 1-ulp differences can't flip the
+    // rounded artifact); bins empty on either side are excluded and counted.
+    "ev_psi" -> ((s, dir) => {
+      val e = t(s, dir, "events").filter(col("value").isNotNull)
+        .select((dec(col("value"), 18, 4) * 10000).cast("long").as("c"),
+          (dayofmonth(col("ts")) <= 15).as("__h1"))
+      val st = e.agg(min(col("c")).as("__mn"), max(col("c")).as("__mx"))
+      val binned = e.crossJoin(st)
+        .select(expr("((c - __mn) * 10) div (__mx - __mn + 1)").as("bin"), col("__h1"))
+        .groupBy(col("bin"))
+        .agg(sum(when(col("__h1"), 1L).otherwise(0L)).cast("long").as("n1"),
+          sum(when(!col("__h1"), 1L).otherwise(0L)).cast("long").as("n2"))
+      val tot = binned.agg(sum(col("n1")).cast("long").as("__t1"),
+        sum(col("n2")).cast("long").as("__t2"), count(lit(1)).as("__nb"))
+      binned.crossJoin(tot)
+        .select(col("n1"), col("n2"), col("__t1"), col("__t2"), col("__nb"),
+          when(col("n1") > 0 && col("n2") > 0,
+            ((col("n1").cast(DoubleType) / col("__t1") - col("n2").cast(DoubleType) / col("__t2"))
+              * log(col("n1").cast(DoubleType) / col("__t1")
+                / (col("n2").cast(DoubleType) / col("__t2"))))
+              .cast(DecimalType(18, 12))).as("__term"))
+        .agg(first(col("__t1")).as("n_first_half"), first(col("__t2")).as("n_second_half"),
+          first(col("__nb")).as("n_bins"),
+          count(col("__term")).as("n_bins_used"),
+          round(sum(col("__term")).cast(DoubleType), 6).as("psi"))
+    }),
+
     // per-doc Shannon entropy of the token distribution (degenerate/looped text filter):
     // H = log10(n) - (sum c*log10(c))/n over per-doc counts — (doc_id, token) count rows
     // shuffle, texts never do; terms decimal-quantized per the cross-engine discipline
@@ -7380,6 +7437,39 @@ object SparkEntry {
     "doc_nb_confusion" -> (nbReplayCte +
       """SELECT lang, label AS pred_label, COUNT(*) AS n
         |FROM best WHERE rn = 1 GROUP BY 1, 2""".stripMargin),
+
+    "doc_nb_prf" -> (nbReplayCte +
+      """, cm AS (SELECT lang, label AS pred_label, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM best WHERE rn = 1 GROUP BY 1, 2),
+        |act AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_act,
+        |  CAST(SUM(CASE WHEN lang = pred_label THEN n ELSE 0 END) AS BIGINT) AS tp
+        |  FROM cm GROUP BY 1),
+        |prd AS (SELECT pred_label AS cls, CAST(SUM(n) AS BIGINT) AS n_pred FROM cm GROUP BY 1)
+        |SELECT act.lang, act.tp, act.n_act, CAST(COALESCE(prd.n_pred, 0) AS BIGINT) AS n_pred,
+        |  CASE WHEN COALESCE(prd.n_pred, 0) > 0
+        |    THEN ROUND(CAST(act.tp AS DOUBLE) / prd.n_pred, 6) END AS prec,
+        |  ROUND(CAST(act.tp AS DOUBLE) / act.n_act, 6) AS recall,
+        |  ROUND(2.0 * act.tp / (COALESCE(prd.n_pred, 0) + act.n_act), 6) AS f1
+        |FROM act LEFT JOIN prd ON act.lang = prd.cls""".stripMargin),
+
+    "ev_psi" ->
+      """WITH e AS (SELECT CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS c,
+        |    (day(CAST(ts AS TIMESTAMP)) <= 15) AS h1
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (SELECT CAST(MIN(c) AS BIGINT) AS mn, CAST(MAX(c) AS BIGINT) AS mx FROM e),
+        |b AS (SELECT ((c - mn) * 10) // (mx - mn + 1) AS bin, h1 FROM e, st),
+        |g AS (SELECT bin, CAST(SUM(CASE WHEN h1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(SUM(CASE WHEN NOT h1 THEN 1 ELSE 0 END) AS BIGINT) AS n2 FROM b GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1, CAST(SUM(n2) AS BIGINT) AS t2,
+        |  CAST(COUNT(*) AS BIGINT) AS nb FROM g),
+        |terms AS (SELECT CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |    CAST((CAST(n1 AS DOUBLE)/t1 - CAST(n2 AS DOUBLE)/t2)
+        |      * LN(CAST(n1 AS DOUBLE)/t1 / (CAST(n2 AS DOUBLE)/t2)) AS DECIMAL(18,12))
+        |  END AS term FROM g, tt)
+        |SELECT tt.t1 AS n_first_half, tt.t2 AS n_second_half, tt.nb AS n_bins,
+        |  CAST(COUNT(term) AS BIGINT) AS n_bins_used,
+        |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi
+        |FROM terms, tt GROUP BY 1, 2, 3""".stripMargin,
 
     "doc_uniform_take" ->
       """SELECT doc_id, CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS h
