@@ -695,6 +695,18 @@ object SparkEntry {
     // bucket): group sizes k; rows in k<5 groups are re-identification risks — the
     // privacy preflight a training-data release runs before shipping event logs.
     // Exact integer fold over the bounded QI grid.
+    // Mann-Whitney U between purchase and click values — the NONPARAMETRIC two-sample
+    // test next to ev_ab_ttest's Welch t: exact integer 2U and tie moment via the
+    // grouped rank-sum (state bounded by the e4 score grid), z as one fixed-order
+    // double expression.
+    "ev_mannwhitney" -> ((s, dir) =>
+      MlOps.mannWhitney(
+        t(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "click") && col("value").isNotNull)
+          .select((dec(col("value"), 18, 4) * 10000).cast("long").as("s"),
+            when(col("event_type") === "purchase", 1).otherwise(0).as("label")),
+        "s", "label")),
+
     // l-diversity audit (Machanavajjhala et al. 2007) — k-anonymity's companion: a
     // quasi-identifier group can be k-large yet leak if every row shares ONE sensitive
     // value. Same QI grouping as ev_k_anonymity, sensitive attribute = user_id;
@@ -5985,6 +5997,25 @@ object SparkEntry {
         |SELECT t.user_id, CAST(t.session_idx AS BIGINT) AS session_idx, COUNT(*) AS n_trans,
         |  ROUND(CAST(SUM(l2.lp) AS DOUBLE) / COUNT(*), 4) AS avg_logprob
         |FROM tr t JOIN lp l2 USING (from_type, to_type) GROUP BY 1, 2""".stripMargin,
+
+    "ev_mannwhitney" ->
+      """WITH v AS (SELECT CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+        |  FROM events WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+        |g AS (SELECT s, CAST(SUM(label) AS BIGINT) AS pos,
+        |  CAST(COUNT(*) - SUM(label) AS BIGINT) AS neg FROM v GROUP BY 1),
+        |c AS (SELECT pos, neg, COALESCE(SUM(neg) OVER (ORDER BY s
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg FROM g),
+        |a AS (SELECT CAST(SUM(pos) AS BIGINT) AS n1, CAST(SUM(neg) AS BIGINT) AS n2,
+        |  CAST(SUM(pos * (cumneg * 2 + neg)) AS BIGINT) AS u2,
+        |  CAST(SUM((pos+neg)*(pos+neg)*(pos+neg) - (pos+neg)) AS BIGINT) AS tie3 FROM c)
+        |SELECT n1, n2, u2, tie3,
+        |  ROUND(CAST(u2 - n1*n2 AS DOUBLE)
+        |    / (2.0 * sqrt((CAST(n1 AS DOUBLE) * n2 / 12.0)
+        |      * (CAST(n1 + n2 + 1 AS DOUBLE)
+        |        - CAST(tie3 AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))), 6)
+        |    AS z
+        |FROM a""".stripMargin,
 
     "ev_l_diversity" ->
       """WITH qi AS (SELECT event_type,

@@ -225,6 +225,36 @@ object MlOps {
    * numerator so the half-credit tie term needs no fraction); AUC itself is one
    * fixed-operand-order double division.
    */
+  /**
+   * Mann-Whitney U test (Mann & Whitney 1947) between the labelCol = 1 and = 0 samples
+   * of scoreCol — the nonparametric two-sample location test (no normality assumption,
+   * unlike [[ev_ab_ttest]]'s Welch t). Same grouped rank-sum machinery as
+   * [[groupedAuc]]: `u2` = 2·U with half-credit ties is an EXACT integer, as is the
+   * tie-correction moment Σ(t³−t); the normal-approximation z is then ONE
+   * fixed-operand-order double expression both engines reproduce bit-for-bit.
+   * State is bounded by the score grid (here e4-quantized), never the corpus.
+   */
+  def mannWhitney(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.groupBy(col(scoreCol).as("__s"))
+      .agg(sum(col(labelCol).cast("long")).as("__pos"),
+        (count(lit(1)) - sum(col(labelCol).cast("long"))).as("__neg"))
+    val w = Window.orderBy(col("__s")).rowsBetween(Window.unboundedPreceding, -1)
+    val t = col("__pos") + col("__neg")
+    g.withColumn("__cumneg", coalesce(sum(col("__neg")).over(w), lit(0L)))
+      .agg(sum(col("__pos")).as("n1"), sum(col("__neg")).as("n2"),
+        sum(col("__pos") * (col("__cumneg") * 2 + col("__neg"))).as("u2"),
+        sum(t * t * t - t).as("tie3"))
+      .select(col("n1"), col("n2"),
+        col("u2").cast("long").as("u2"), col("tie3").cast("long").as("tie3"),
+        round((col("u2") - col("n1") * col("n2")).cast(DoubleType)
+          / (lit(2.0) * sqrt((col("n1").cast(DoubleType) * col("n2") / 12.0)
+            * ((col("n1") + col("n2") + 1).cast(DoubleType)
+              - col("tie3").cast(DoubleType)
+                / ((col("n1") + col("n2")).cast(DoubleType)
+                  * (col("n1") + col("n2") - 1))))), 6).as("z"))
+  }
+
   def groupedAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = df.groupBy(col(scoreCol).as("__s"))
