@@ -3213,6 +3213,59 @@ object SparkEntry {
     // centrality (a node is a good hub if it points at good authorities and vice versa;
     // on a kNN graph high authority = a density peak many neighborhoods agree on). Exact
     // unnormalized integer sweeps, replayed in SQL by unrolling — see GraphOps.hits.
+    // Davies-Bouldin components (Davies & Bouldin 1979) — the third clustering-eval
+    // metric next to purity and silhouette: per-label cosine scatter (mean member→
+    // centroid distance) and the worst (sᵢ+sⱼ)/dᵢⱼ ratio against every other centroid.
+    // All vector algebra rides the exact-decimal sum discipline of emb_centroid_profile
+    // (cos(x,Σ) = cos(x,mean)); per-member terms DECIMAL(18,8)-quantized so the fold is
+    // engine-exact; the k×k ratio grid is tiny. Per-label rows, no cross-row double sum.
+    "emb_davies_bouldin" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val el = e.select(col("vec_id"), col("label").as("lbl"),
+          posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("lbl"), col("i"), col("x").cast(DoubleType).as("x"))
+      val sums = el.groupBy(col("lbl"), col("i"))
+        .agg(sum(col("x").cast(DecimalType(18, 8))).as("sv"))
+      val nn = sums.groupBy(col("lbl"))
+        .agg(sum((col("sv").cast(DoubleType) * col("sv").cast(DoubleType))
+          .cast(DecimalType(28, 10))).as("nn"))
+      val mem = el
+        .join(broadcast(sums.select(col("lbl").as("__l"), col("i").as("__i"),
+          col("sv").cast(DoubleType).as("__sv"))),
+          col("lbl") === col("__l") && col("i") === col("__i"))
+        .groupBy(col("vec_id"), col("lbl"))
+        .agg(sum((col("x") * col("__sv")).cast(DecimalType(28, 10))).as("__dot"),
+          sum((col("x") * col("x")).cast(DecimalType(28, 10))).as("__xx"))
+      val scat = mem
+        .join(broadcast(nn.select(col("lbl").as("__l2"), col("nn"))), col("lbl") === col("__l2"))
+        .select(col("lbl"),
+          (lit(1.0) - col("__dot").cast(DoubleType)
+            / (sqrt(col("__xx").cast(DoubleType)) * sqrt(col("nn").cast(DoubleType))))
+            .cast(DecimalType(18, 8)).as("__td"))
+        .groupBy(col("lbl"))
+        .agg((sum(col("__td")).cast(DoubleType) / count(lit(1))).as("__s"),
+          count(lit(1)).as("n"))
+      val cd = sums.select(col("lbl").as("la"), col("i"), col("sv").cast(DoubleType).as("sa"))
+        .join(sums.select(col("lbl").as("lb"), col("i"), col("sv").cast(DoubleType).as("sb")),
+          "i")
+        .filter(col("la") =!= col("lb"))
+        .groupBy(col("la"), col("lb"))
+        .agg(sum((col("sa") * col("sb")).cast(DecimalType(28, 10))).as("__dab"))
+        .join(broadcast(nn.select(col("lbl").as("la"), col("nn").as("__nna"))), "la")
+        .join(broadcast(nn.select(col("lbl").as("lb"), col("nn").as("__nnb"))), "lb")
+        .select(col("la"), col("lb"),
+          (lit(1.0) - col("__dab").cast(DoubleType)
+            / (sqrt(col("__nna").cast(DoubleType)) * sqrt(col("__nnb").cast(DoubleType))))
+            .as("__d"))
+      cd.join(scat.select(col("lbl").as("la"), col("__s").as("__si")), "la")
+        .join(scat.select(col("lbl").as("lb"), col("__s").as("__sj")), "lb")
+        .groupBy(col("la"))
+        .agg(max((col("__si") + col("__sj")) / col("__d")).as("__r"))
+        .join(scat.select(col("lbl").as("la"), col("__s"), col("n")), "la")
+        .select(col("la").as("label"), col("n"),
+          round(col("__s"), 6).as("scatter"), round(col("__r"), 6).as("db_component"))
+    }),
+
     "emb_hits" -> ((s, dir) => {
       val edges = VectorOps.knnEdges(t(s, dir, "embeddings"), k = 4)
       graft.ops.GraphOps.hits(edges, iters = 2)
@@ -4862,6 +4915,34 @@ object SparkEntry {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lbl ORDER BY cos ASC, vec_id ASC) AS rn
         |  FROM c) c JOIN cnt ON cnt.lbl = c.lbl
         |WHERE rn = 1""".stripMargin,
+
+    "emb_davies_bouldin" ->
+      """WITH el AS (SELECT vec_id, label AS lbl, generate_subscripts(embedding, 1) AS i,
+        |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |s AS (SELECT lbl, i, SUM(CAST(x AS DECIMAL(18,8))) AS sv FROM el GROUP BY 1, 2),
+        |nn AS (SELECT lbl,
+        |  SUM(CAST(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) AS DECIMAL(28,10))) AS nn
+        |  FROM s GROUP BY 1),
+        |mem AS (SELECT el.vec_id, el.lbl,
+        |  SUM(CAST(el.x * CAST(s.sv AS DOUBLE) AS DECIMAL(28,10))) AS dot,
+        |  SUM(CAST(el.x * el.x AS DECIMAL(28,10))) AS xx
+        |  FROM el JOIN s ON el.lbl = s.lbl AND el.i = s.i GROUP BY 1, 2),
+        |scat AS (SELECT m.lbl,
+        |  CAST(SUM(CAST(1.0 - CAST(m.dot AS DOUBLE)
+        |    / (sqrt(CAST(m.xx AS DOUBLE)) * sqrt(CAST(nn.nn AS DOUBLE)))
+        |    AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS sc,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM mem m JOIN nn ON nn.lbl = m.lbl GROUP BY 1),
+        |cd AS (SELECT a.lbl AS la, b.lbl AS lb,
+        |  SUM(CAST(CAST(a.sv AS DOUBLE) * CAST(b.sv AS DOUBLE) AS DECIMAL(28,10))) AS dab
+        |  FROM s a JOIN s b ON a.i = b.i AND a.lbl <> b.lbl GROUP BY 1, 2),
+        |dd AS (SELECT la, lb, 1.0 - CAST(dab AS DOUBLE)
+        |    / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS d
+        |  FROM cd JOIN nn na ON na.lbl = cd.la JOIN nn nb ON nb.lbl = cd.lb)
+        |SELECT dd.la AS label, sa.n, ROUND(sa.sc, 6) AS scatter,
+        |  ROUND(MAX((sa.sc + sb.sc) / dd.d), 6) AS db_component
+        |FROM dd JOIN scat sa ON sa.lbl = dd.la JOIN scat sb ON sb.lbl = dd.lb
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "emb_centroid_profile" ->
       """WITH el AS (SELECT label AS lbl, generate_subscripts(embedding, 1) AS i,
