@@ -3293,6 +3293,24 @@ object SparkEntry {
       graft.ops.GraphOps.triangleStatsCapped(t(s, dir, "lineitem"),
         "l_orderkey", "l_partkey", minCount = 2, maxGroupSize = 5)),
 
+    // Yule's K vocabulary richness (Yule 1944) + hapax profile — the repetitiveness
+    // characteristic K = 10⁴·(Σf² − N)/N² over the token frequency spectrum: every
+    // moment an exact integer from ONE vocabulary-bounded aggregate, the final K a
+    // fixed-order double expression (N² formed in doubles so the formula survives
+    // N > 3·10⁹ tokens).
+    "doc_yule_k" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      counts.agg(sum(col("c")).cast("long").as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          sum(col("c") * col("c")).cast("long").as("__s2"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).cast("long").as("hapax"))
+        .select(col("n_tokens"), col("vocab"), col("hapax"),
+          round(lit(10000.0) * (col("__s2") - col("n_tokens"))
+            / (col("n_tokens").cast(DoubleType) * col("n_tokens")), 6).as("yule_k"))
+    }),
+
     // Vocabulary-coverage curve (the tokenizer-budget metric: what fraction of corpus
     // tokens does a top-k vocabulary cover — 1−coverage is the OOV rate a k-entry
     // tokenizer pays). One corpus exchange (token counts); ranking and the cumulative
@@ -3363,6 +3381,60 @@ object SparkEntry {
       cand.join(minC, col("p_partkey") === col("__pk") && col("__acct") === col("__min"))
         .select(col("p_partkey"), col("p_brand"), col("s_name"), col("nation"),
           col("__acct").cast(DoubleType).as("acctbal"))
+    }),
+
+    // Events ops-dashboard capstone (the ev-side twin of doc_dataset_card): volume,
+    // reach, cadence, latest-day DAU (argmax via struct ordering), engagement and
+    // conversion rates — one row composed from already-gated primitives, each rate a
+    // single fixed-order division of exact counts.
+    "ev_health_card" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val base = e.agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(to_date(col("ts"))).as("n_days"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).cast("long").as("__err"),
+        countDistinct(when(col("event_type") === "signup", col("user_id"))).as("__ns"),
+        countDistinct(when(col("event_type") === "purchase", col("user_id"))).as("__np"))
+      val dau = e.select(to_date(col("ts")).as("d"), col("user_id"))
+        .groupBy(col("d")).agg(countDistinct(col("user_id")).as("u"))
+        .agg(max(struct(col("d"), col("u"))).as("__m"))
+        .select(col("__m.u").as("dau_last_day"))
+      base.crossJoin(dau)
+        .select(col("n_events"), col("n_users"), col("n_days"), col("dau_last_day"),
+          round(col("n_events").cast(DoubleType) / col("n_users"), 6).as("events_per_user"),
+          round(col("__err").cast(DoubleType) / col("n_events"), 6).as("error_rate"),
+          round(col("__np").cast(DoubleType) / col("__ns"), 6).as("signup_to_purchase"))
+    }),
+
+    // PERCENTILE_DISC vs PERCENTILE_CONT with EXACT arithmetic — the classic
+    // cross-engine divergence (interpolation in floats never hash-matches) done right:
+    // disc = type-1 rank selection on the e4 grid; cont's linear interpolation
+    // v_k + (v_{k+1} − v_k)·frac runs ENTIRELY in integers by carrying the result in
+    // e4·100 units (r = (n−1)·p splits as 100·k + rem, so cont_e6 = v1·100 +
+    // (v2 − v1)·rem exactly). Histogram rank selection per group — grid-bounded state.
+    "ev_percentile_cont" -> ((s, dir) => {
+      val v = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_type"), (dec(col("value"), 18, 4) * 10000).cast("long").as("c"))
+      val hist = v.groupBy(col("event_type"), col("c")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.select(col("event_type"), col("c"), col("cnt"),
+        sum(col("cnt")).over(w).as("cum"),
+        sum(col("cnt")).over(Window.partitionBy(col("event_type"))).as("n"))
+      def rankVal(rankExpr: String) =
+        min(when(col("cum") >= expr(rankExpr), col("c")))
+      val agged = cum.groupBy(col("event_type")).agg(
+        first(col("n")).as("n"),
+        (for (p <- Seq(50, 90, 99)) yield Seq(
+          rankVal(s"((n - 1) * $p) div 100 + 1").as(s"v1_$p"),
+          rankVal(s"least(((n - 1) * $p) div 100 + 2, n)").as(s"v2_$p"),
+          rankVal(s"($p * n + 99) div 100").as(s"disc_$p"),
+          first(expr(s"((n - 1) * $p) % 100")).as(s"rem_$p"))).flatten: _*)
+      agged.selectExpr("event_type", "n", s"""stack(3,
+          50, disc_50, v1_50 * 100 + (v2_50 - v1_50) * rem_50,
+          90, disc_90, v1_90 * 100 + (v2_90 - v1_90) * rem_90,
+          99, disc_99, v1_99 * 100 + (v2_99 - v1_99) * rem_99
+        ) AS (p, disc_e4, cont_e6)""")
     }),
 
     // IQR outlier fences per group (the Tukey box-plot rule): Q1/Q3 as exact type-1
@@ -7797,6 +7869,18 @@ object SparkEntry {
         |SELECT h2f.id AS vec_id, CAST(h2f.h AS BIGINT) AS hub, CAST(a2f.a AS BIGINT) AS auth
         |FROM h2f JOIN a2f ON a2f.id = h2f.id""".stripMargin,
 
+    "doc_yule_k" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+        |    x -> x <> '')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1)
+        |SELECT CAST(SUM(c) AS BIGINT) AS n_tokens, CAST(COUNT(*) AS BIGINT) AS vocab,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |  ROUND(10000.0 * (SUM(c*c) - SUM(c))
+        |    / (CAST(SUM(c) AS DOUBLE) * SUM(c)), 6) AS yule_k
+        |FROM c""".stripMargin,
+
     "doc_vocab_coverage" ->
       """WITH toks AS (
         |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
@@ -7840,6 +7924,53 @@ object SparkEntry {
         |FROM cand c
         |WHERE acct = (SELECT MIN(acct) FROM cand c2 WHERE c2.p_partkey = c.p_partkey)"""
         .stripMargin,
+
+    "ev_health_card" ->
+      """WITH base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS err,
+        |  CAST(COUNT(DISTINCT CASE WHEN event_type = 'signup' THEN user_id END) AS BIGINT) AS ns,
+        |  CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS BIGINT) AS np
+        |  FROM events),
+        |d AS (SELECT CAST(ts AS DATE) AS d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS u
+        |  FROM events GROUP BY 1),
+        |last AS (SELECT u AS dau_last_day FROM d ORDER BY d DESC LIMIT 1)
+        |SELECT n_events, n_users, n_days, dau_last_day,
+        |  ROUND(CAST(n_events AS DOUBLE) / n_users, 6) AS events_per_user,
+        |  ROUND(CAST(err AS DOUBLE) / n_events, 6) AS error_rate,
+        |  ROUND(CAST(np AS DOUBLE) / ns, 6) AS signup_to_purchase
+        |FROM base, last""".stripMargin,
+
+    "ev_percentile_cont" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |hist AS (SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY 1, 2),
+        |cum AS (SELECT event_type, c, cnt,
+        |  SUM(cnt) OVER (PARTITION BY event_type ORDER BY c
+        |    ROWS UNBOUNDED PRECEDING) AS cum,
+        |  SUM(cnt) OVER (PARTITION BY event_type) AS n FROM hist),
+        |a AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(MIN(CASE WHEN cum >= ((n-1)*50)//100 + 1 THEN c END) AS BIGINT) AS v1_50,
+        |  CAST(MIN(CASE WHEN cum >= LEAST(((n-1)*50)//100 + 2, n) THEN c END) AS BIGINT) AS v2_50,
+        |  CAST(MIN(CASE WHEN cum >= (50*n + 99)//100 THEN c END) AS BIGINT) AS disc_50,
+        |  CAST(MAX(((n-1)*50) % 100) AS BIGINT) AS rem_50,
+        |  CAST(MIN(CASE WHEN cum >= ((n-1)*90)//100 + 1 THEN c END) AS BIGINT) AS v1_90,
+        |  CAST(MIN(CASE WHEN cum >= LEAST(((n-1)*90)//100 + 2, n) THEN c END) AS BIGINT) AS v2_90,
+        |  CAST(MIN(CASE WHEN cum >= (90*n + 99)//100 THEN c END) AS BIGINT) AS disc_90,
+        |  CAST(MAX(((n-1)*90) % 100) AS BIGINT) AS rem_90,
+        |  CAST(MIN(CASE WHEN cum >= ((n-1)*99)//100 + 1 THEN c END) AS BIGINT) AS v1_99,
+        |  CAST(MIN(CASE WHEN cum >= LEAST(((n-1)*99)//100 + 2, n) THEN c END) AS BIGINT) AS v2_99,
+        |  CAST(MIN(CASE WHEN cum >= (99*n + 99)//100 THEN c END) AS BIGINT) AS disc_99,
+        |  CAST(MAX(((n-1)*99) % 100) AS BIGINT) AS rem_99
+        |  FROM cum GROUP BY 1)
+        |SELECT event_type, n, 50 AS p, disc_50 AS disc_e4,
+        |  v1_50*100 + (v2_50-v1_50)*rem_50 AS cont_e6 FROM a
+        |UNION ALL SELECT event_type, n, 90, disc_90,
+        |  v1_90*100 + (v2_90-v1_90)*rem_90 FROM a
+        |UNION ALL SELECT event_type, n, 99, disc_99,
+        |  v1_99*100 + (v2_99-v1_99)*rem_99 FROM a""".stripMargin,
 
     "ev_iqr_outliers" ->
       """WITH v AS (SELECT event_type,
