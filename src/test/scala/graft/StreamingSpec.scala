@@ -785,6 +785,39 @@ class StreamingSpec extends SparkSpec {
     assert(staged.count() == 7)
   }
 
+  test("streaming streaks == batch gaps-and-islands twin across ordered batch splits") {
+    import graft.streaming.Streaks
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-streak").toString
+    val src = s"$base/src"
+    def line(uid: Long, day: Long) = s"""{"user_id":$uid,"day":$day}"""
+    // u1: 1,2,3 then 4,6 -> max streak 4; u2: 1,3 then 4,5 -> 3..5 = 3;
+    // u3 appears only in batch 2 -> 1; batch 2 carries a duplicate and a LATE day for
+    // u1 (3 again) which the in-order contract ignores
+    writeSpool(src, "000.json", Seq(line(1, 1), line(1, 2), line(1, 3), line(2, 1), line(2, 3)))
+    writeSpool(src, "001.json", Seq(line(1, 4), line(1, 4), line(1, 3), line(1, 6),
+      line(2, 4), line(2, 5), line(3, 9)))
+    Files.setLastModifiedTime(Paths.get(src, "001.json"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(Paths.get(src, "000.json")).toMillis + 10000))
+    val days = spark.readStream.schema("user_id LONG, day LONG")
+      .option("maxFilesPerTrigger", "1").json(src).as[Streaks.DayObs]
+    val q = Streaks.streaks(days).writeStream.format("memory").queryName("streaks")
+      .outputMode("update")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // max_len is monotone per user, so the final value is the max over emitted rows
+    val streamed = spark.table("streaks").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (u, rows) => u -> rows.map(_.getAs[Long]("max_len")).max }
+    assert(streamed == Map(1L -> 4L, 2L -> 3L, 3L -> 1L), s"streamed: $streamed")
+    val batch = Streaks.batchMaxStreaks(
+        spark.read.schema("user_id LONG, day LONG").json(src))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("max_streak")).toMap
+    assert(batch == streamed, s"streaming $streamed != batch $batch")
+  }
+
   test("streaming anomaly flags == batch twin across a multi-batch split; baselines precede the flag") {
     import graft.streaming.Anomaly
     import spark.implicits._
