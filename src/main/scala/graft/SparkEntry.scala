@@ -731,8 +731,13 @@ object SparkEntry {
     // table; output collapses to the streak-length histogram. One user-keyed
     // exchange+sort; islands never materialize beyond their per-user rows.
     "ev_streaks" -> ((s, dir) => {
+      // repartition on user_id BEFORE the distinct: HashPartitioning(user_id) satisfies
+      // the (user_id, day) clustering, so dedup, islanding window and both group-bys
+      // all ride this ONE exchange (distinct() alone would partition on (user_id, day)
+      // and force a second user-keyed exchange for the window)
       val ud = t(s, dir, "events")
-        .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day")).distinct()
+        .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+        .repartition(col("user_id")).distinct()
       val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
       val streaks = ud.select(col("user_id"), (col("day") - row_number().over(w)).as("grp"))
         .groupBy(col("user_id"), col("grp")).agg(count(lit(1)).as("len"))

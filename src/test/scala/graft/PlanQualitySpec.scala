@@ -705,6 +705,29 @@ class PlanQualitySpec extends SparkSpec {
       s"only the 1-row N broadcast may nested-loop:\n$p")
   }
 
+  test("ev_percentile_cont: histogram rank selection, no Percentile value-map buffer") {
+    val opt = SparkEntry.queries("ev_percentile_cont")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(!opt.contains("percentile("), s"must not use the Percentile buffer:\n$opt")
+    val p = plan("ev_percentile_cont")
+    assert(p.contains("HashAggregate"), "histogram must hash-aggregate")
+  }
+
+  test("ev_streaks: the user exchange is shared by the window and both group-bys") {
+    // HashPartitioning(user_id) satisfies the (user_id, grp) clustering, so islanding,
+    // streak lengths and the per-user max all ride ONE keyed exchange; the final
+    // histogram group-by is the only other exchange
+    val p = plan("ev_streaks")
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(userExchanges == 1, s"expected exactly one user-keyed exchange:\n$p")
+  }
+
+  test("emb_davies_bouldin: dim sums and norms broadcast back; no cartesian") {
+    val p = plan("emb_davies_bouldin")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"), s"k*d sum table must broadcast:\n$p")
+  }
+
   test("partition pruning: partitioned parquet scans only the matching partition") {
     val base = java.nio.file.Files.createTempDirectory("graft-pp").toString
     spark.read.parquet(s"$dir/events.parquet")
