@@ -728,6 +728,48 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"k*d sum table must broadcast:\n$p")
   }
 
+  test("dynamic partition pruning: a dim-filtered join prunes fact partitions at runtime") {
+    // the 100 TB star-join staple: the selective dim side's keys become a runtime
+    // partition filter on the partitioned fact scan — no static predicate needed
+    val base = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    spark.read.parquet(s"$dir/events.parquet")
+      .write.mode("overwrite").partitionBy("event_type").parquet(s"$base/ev")
+    val fact = spark.read.parquet(s"$base/ev")
+    // the dim must be a source with a VISIBLE selective predicate (a constant-folded
+    // LocalRelation defeats DPP's hasSelectivePredicate check)
+    spark.createDataFrame(Seq(("purchase", 1), ("click", 2), ("view", 3)))
+      .toDF("etype", "x").write.mode("overwrite").parquet(s"$base/dim")
+    val dim = spark.read.parquet(s"$base/dim").filter(col("x") === 1)
+    val q = fact.join(dim, col("event_type") === col("etype"))
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning") || p.contains("DynamicPruning"),
+      s"expected a dynamic pruning filter on the partitioned fact scan:\n$p")
+    assert(q.count() > 0)
+  }
+
+  test("runtime bloom-filter join: selective join side injects a row-level filter") {
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // injection targets SHUFFLE joins (a broadcast join already prunes at the probe)
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val big = spark.read.parquet(s"$dir/lineitem.parquet")
+      val sel = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val q = big.join(sel, col("l_orderkey") === col("o_orderkey"))
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") || opt.contains("bloom_filter_agg"),
+        s"expected an injected runtime bloom filter:\n$opt")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("partition pruning: partitioned parquet scans only the matching partition") {
     val base = java.nio.file.Files.createTempDirectory("graft-pp").toString
     spark.read.parquet(s"$dir/events.parquet")
