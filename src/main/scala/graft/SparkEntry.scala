@@ -3298,6 +3298,25 @@ object SparkEntry {
       graft.ops.GraphOps.triangleStatsCapped(t(s, dir, "lineitem"),
         "l_orderkey", "l_partkey", minCount = 2, maxGroupSize = 5)),
 
+    // LSH banding S-curve advisor (MMDS §3.4.3) for the library's threshold-derived
+    // banding at k = 64, t = 0.5 (⇒ r = 4, b = 16 via lshBandsFor): candidate
+    // probability p(s) = 1 − (1 − s⁴)¹⁶ over the similarity grid — the table an
+    // operator picks its banding from BEFORE paying a corpus-sized candidate join.
+    // Powers are EXPLICIT squarings (never Math.pow), so both engines produce the same
+    // IEEE bits at every grid point.
+    "doc_lsh_scurve" -> ((s, dir) => {
+      val grid = s.range(1, 20).toDF("s20")
+      grid.select((col("s20").cast(DoubleType) / 20).as("jaccard"))
+        .withColumn("__x", col("jaccard") * col("jaccard") * col("jaccard") * col("jaccard"))
+        .withColumn("__y", lit(1.0) - col("__x"))
+        .withColumn("__y2", col("__y") * col("__y"))
+        .withColumn("__y4", col("__y2") * col("__y2"))
+        .withColumn("__y8", col("__y4") * col("__y4"))
+        .withColumn("__y16", col("__y8") * col("__y8"))
+        .select(col("jaccard"), lit(16).as("bands"), lit(4).as("rows_per_band"),
+          round(lit(1.0) - col("__y16"), 6).as("p_candidate"))
+    }),
+
     // Yule's K vocabulary richness (Yule 1944) + hapax profile — the repetitiveness
     // characteristic K = 10⁴·(Σf² − N)/N² over the token frequency spectrum: every
     // moment an exact integer from ONE vocabulary-bounded aggregate, the final K a
@@ -7873,6 +7892,17 @@ object SparkEntry {
         |h2f AS (SELECT id, COALESCE(h, 0) AS h FROM nodes LEFT JOIN h2 ON h2.src = nodes.id)
         |SELECT h2f.id AS vec_id, CAST(h2f.h AS BIGINT) AS hub, CAST(a2f.a AS BIGINT) AS auth
         |FROM h2f JOIN a2f ON a2f.id = h2f.id""".stripMargin,
+
+    "doc_lsh_scurve" ->
+      """WITH g AS (SELECT CAST(x AS DOUBLE) / 20 AS jaccard FROM range(1, 20) t(x)),
+        |c AS (SELECT jaccard, jaccard*jaccard*jaccard*jaccard AS x4 FROM g),
+        |y AS (SELECT jaccard, 1.0 - x4 AS y FROM c),
+        |y2 AS (SELECT jaccard, y*y AS y2 FROM y),
+        |y4 AS (SELECT jaccard, y2*y2 AS y4 FROM y2),
+        |y8 AS (SELECT jaccard, y4*y4 AS y8 FROM y4),
+        |y16 AS (SELECT jaccard, y8*y8 AS y16 FROM y8)
+        |SELECT jaccard, 16 AS bands, 4 AS rows_per_band,
+        |  ROUND(1.0 - y16, 6) AS p_candidate FROM y16""".stripMargin,
 
     "doc_yule_k" ->
       """WITH toks AS (
