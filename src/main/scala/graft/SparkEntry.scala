@@ -3356,6 +3356,28 @@ object SparkEntry {
           round(col("covered").cast(DoubleType) / col("__t"), 6).as("coverage"))
     }),
 
+    // ABC inventory classification (the 80/95 Pareto tiering): customers ranked by
+    // exact e2 spend, class boundaries as PURE INTEGER comparisons on the cumulative
+    // (cum·5 ≤ total·4 ⇒ A, cum·20 ≤ total·19 ⇒ B, else C) — no percentage float can
+    // disagree; ties broken by key so both engines tier identically.
+    "q_abc_class" -> ((s, dir) => {
+      val pk = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("v"))
+      val w = Window.orderBy(col("v").desc, col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = pk.agg(sum(col("v")).as("__t"))
+      pk.select(col("v"), sum(col("v")).over(w).as("cum"))
+        .crossJoin(tot)
+        .select(col("v"), col("__t"),
+          when(col("cum") * 5 <= col("__t") * 4, "A")
+            .when(col("cum") * 20 <= col("__t") * 19, "B")
+            .otherwise("C").as("cls"))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("v")).cast("long").as("rev_cents"),
+          round(sum(col("v")).cast(DoubleType) / first(col("__t")), 6).as("share"))
+    }),
+
     // Decile gain chart (the marketing-analytics lift table): customers ranked by exact
     // e2-quantized spend, split into 10 equal-count bins by INTEGER rank arithmetic
     // (decile = ((rn−1)·10) div n — no percentile float boundary), per-decile revenue
@@ -7929,6 +7951,21 @@ object SparkEntry {
         |SELECT CAST(rn AS INT) AS vocab_k, covered,
         |  ROUND(CAST(covered AS DOUBLE) / t.t, 6) AS coverage
         |FROM cum, t WHERE rn IN (5, 10, 20, 30)""".stripMargin,
+
+    "q_abc_class" ->
+      """WITH pk AS (SELECT o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(SUM(v) AS BIGINT) AS t FROM pk),
+        |c AS (SELECT v, t.t,
+        |  CAST(SUM(v) OVER (ORDER BY v DESC, o_custkey ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cum FROM pk, t),
+        |cls AS (SELECT v, t,
+        |  CASE WHEN cum * 5 <= t * 4 THEN 'A'
+        |       WHEN cum * 20 <= t * 19 THEN 'B' ELSE 'C' END AS cls FROM c)
+        |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_cust, CAST(SUM(v) AS BIGINT) AS rev_cents,
+        |  ROUND(CAST(SUM(v) AS DOUBLE) / MAX(t), 6) AS share
+        |FROM cls GROUP BY 1""".stripMargin,
 
     "q_decile_lift" ->
       """WITH pk AS (SELECT o_custkey,
