@@ -270,6 +270,54 @@ class Scd2RfmSpec extends SparkSpec {
     assert(graft.ops.GraphOps.kCore(g, k = 3, rounds = 3).count() == 0L)
   }
 
+  test("kCore == driver-side reference peeling on random graphs (property)") {
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed * 13)
+      val n = 20 + rnd.nextInt(10)
+      val edges = (for {
+        u <- 0L until n
+        v <- (u + 1) until n if rnd.nextDouble() < 0.15
+      } yield (u, v)).distinct
+      val k = 2 + rnd.nextInt(2)
+      // reference: peel to the true fixpoint
+      var adj = edges
+      var changed = true
+      while (changed) {
+        val deg = adj.flatMap { case (u, v) => Seq(u, v) }.groupBy(identity).map { case (x, g) => x -> g.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = adj.filter { case (u, v) => keep(u) && keep(v) }
+        changed = next.size != adj.size
+        adj = next
+      }
+      val refDeg = adj.flatMap { case (u, v) => Seq(u, v) }.groupBy(identity)
+        .map { case (x, g) => x -> g.size.toLong }
+      val got = graft.ops.GraphOps.kCore(edges.toDF("u", "v"), k = k, rounds = n)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == refDeg, s"seed=$seed k=$k got=$got ref=$refDeg")
+    }
+  }
+
+  test("mannWhitney == brute-force U with half-credit ties on random samples (property)") {
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed * 7)
+      val xs = Seq.fill(15 + rnd.nextInt(20))(rnd.nextInt(12).toLong) // heavy ties
+      val ys = Seq.fill(15 + rnd.nextInt(20))(rnd.nextInt(12).toLong)
+      // brute 2U: each (x, y) pair contributes 2 if x > y, 1 if tied, 0 otherwise
+      val u2ref = (for (x <- xs; y <- ys)
+        yield if (x > y) 2L else if (x == y) 1L else 0L).sum
+      val df = (xs.map(v => (v, 1)) ++ ys.map(v => (v, 0))).toDF("s", "label")
+      val row = graft.ops.MlOps.mannWhitney(df, "s", "label").collect().head
+      assert(row.getAs[Long]("n1") == xs.size && row.getAs[Long]("n2") == ys.size)
+      assert(row.getAs[Long]("u2") == u2ref, s"seed=$seed u2=${row.getAs[Long]("u2")} ref=$u2ref")
+      // tie moment: sum over distinct values of t^3 - t across the pooled sample
+      val tie3ref = (xs ++ ys).groupBy(identity).values
+        .map(g => g.size.toLong).map(t => t * t * t - t).sum
+      assert(row.getAs[Long]("tie3") == tie3ref)
+    }
+  }
+
   test("triangleStats: K4, triangle+tail, and a triangle-free star; degree-ordered == naive") {
     import spark.implicits._
     // K4: 4 nodes, 6 edges, C(4,2)·... wedges = 4·C(3,2)=12, triangles = 4, clustering = 1
