@@ -298,6 +298,53 @@ class Scd2RfmSpec extends SparkSpec {
     }
   }
 
+  test("hits == driver-side reference sweeps on random directed graphs (property)") {
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed * 31)
+      val n = 12 + rnd.nextInt(8)
+      val edges = (for {
+        u <- 0L until n; v <- 0L until n
+        if u != v && rnd.nextDouble() < 0.12
+      } yield (u, v)).distinct
+      if (edges.nonEmpty) {
+        val nodes = edges.flatMap { case (u, v) => Seq(u, v) }.distinct
+        var h = nodes.map(_ -> 1L).toMap
+        var a = nodes.map(_ -> 0L).toMap
+        for (_ <- 1 to 2) {
+          a = nodes.map(x => x -> edges.collect { case (u, v) if v == x => h(u) }.sum).toMap
+          h = nodes.map(x => x -> edges.collect { case (u, v) if u == x => a(v) }.sum).toMap
+        }
+        val got = graft.ops.GraphOps.hits(edges.toDF("src", "dst"), iters = 2)
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        assert(got == nodes.map(x => x -> ((h(x), a(x)))).toMap, s"seed=$seed")
+      }
+    }
+  }
+
+  test("byteEntropySignals == naive histogram + BigDecimal quantization (property)") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed * 5)
+      val s = new String(Array.fill(50 + rnd.nextInt(200))((32 + rnd.nextInt(95)).toChar))
+      val bytes = s.getBytes("UTF-8")
+      val counts = bytes.groupBy(identity).map { case (_, g) => g.length }
+      val ln10 = Math.log(10.0)
+      val refSlgc = counts.filter(_ > 1).map { c =>
+        java.math.BigDecimal.valueOf(c.toDouble * (Math.log(c.toDouble) / ln10))
+          .setScale(8, java.math.RoundingMode.HALF_UP)
+      }.foldLeft(java.math.BigDecimal.ZERO)(_ add _)
+      val row = Seq(s).toDF("t")
+        .select(TextFunctions.byteEntropySignals(col("t")).as("b"))
+        .select(col("b.n_bytes"), col("b.n_distinct_bytes"), col("b.slgc")).collect().head
+      assert(row.getLong(0) == bytes.length.toLong)
+      assert(row.getLong(1) == counts.size.toLong)
+      assert(row.getDecimal(2).compareTo(refSlgc) == 0,
+        s"seed=$seed got=${row.getDecimal(2)} ref=$refSlgc")
+    }
+  }
+
   test("mannWhitney == brute-force U with half-credit ties on random samples (property)") {
     import spark.implicits._
     for (seed <- 1 to 5) {
