@@ -35,6 +35,61 @@ object Bench {
   // dozen outliers. Two or more separated transients (≥100 suspects) exceed it and
   // taint: at that point the machine was loaded for most of the sweep.
   private[graft] val RequeryBudget = 64
+  // Sentinel v3 (r8): steady MODERATE load defeats v2 — the r7 driver artifact shipped
+  // +23% total (load_avg 5.58) with tainted:false because uniform ~1.2-2.5x inflation
+  // stays under the 1.3x calibration line on most samples and under the 3x per-query
+  // requery factor on most entries. Aggregate defense: after the sweep, compute the
+  // MEDIAN per-query ratio vs committed history (median, not mean — one legitimate
+  // regression or a new slow query must not trip it; only a fleet-wide shift moves the
+  // median). If it exceeds DriftMedianFactor, the whole sweep is drift-suspect: extend
+  // the requery set to EVERY entry above DriftRequeryFactor x its history (budget
+  // rules unchanged — overflow taints). If the median ratio is STILL above the line
+  // after the isolated re-runs, the machine was loaded throughout — taint outright.
+  private[graft] val DriftMedianFactor = 1.25
+  private[graft] val DriftRequeryFactor = 1.5
+  // Guard against acting on a statistically meaningless median: scoped local runs
+  // (SPARK_GRAFT_BENCH_ONLY with a handful of queries) and first-ever runs of mostly
+  // new queries skip the aggregate check rather than taint on noise.
+  private[graft] val DriftMinSamples = 20
+
+  /** Median of per-query sweep-time / committed-history ratios (entries above the
+    * noise floor with positive history only). None when fewer than `minSamples`
+    * comparable entries exist — the aggregate check abstains rather than guessing. */
+  private[graft] def medianHistoryRatio(
+      times: Seq[(String, Double)], history: Map[String, Double],
+      minSamples: Int = DriftMinSamples, floor: Double = RequeryFloor): Option[Double] = {
+    val ratios = times.flatMap { case (n, t) =>
+      history.get(n).collect { case h if h > 0 && math.max(t, h) > floor => t / h }
+    }.sorted
+    if (ratios.size < minSamples) None
+    else Some(
+      if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+      else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2)
+  }
+
+  /** The sentinel's full requery/taint decision as a pure function of the sweep —
+    * calibration spans (v2), per-query history outliers (v2), and the aggregate-drift
+    * extension (v3) — so every path incl. budget overflow is unit-testable. */
+  private[graft] final case class SentinelPlan(
+      requery: Seq[String], overBudget: Boolean,
+      aggregateDrift: Boolean, medianRatio: Option[Double])
+  private[graft] def sentinelPlan(
+      calSamples: Seq[(Int, Double)], times: Seq[(String, Double)],
+      history: Map[String, Double], budget: Int = RequeryBudget): SentinelPlan = {
+    val suspects = confirmSuspects(
+      suspectSpans(calSamples, CalibrationRef, TaintFactor), times, history)
+    val outliers = historyOutliers(times, history)
+    val med = medianHistoryRatio(times, history)
+    val drift = med.exists(_ > DriftMedianFactor)
+    val driftNames =
+      if (drift) historyOutliers(times, history, DriftRequeryFactor, RequeryFloor)
+      else Nil
+    val idx = times.map(_._1).zipWithIndex.toMap
+    // outliers first (individually evidenced), then span suspects, then drift extras
+    val wanted = (outliers ++ suspects.toSeq.sorted.map(times(_)._1) ++ driftNames)
+      .distinct.filter(n => times(idx(n))._2 >= 0)
+    SentinelPlan(wanted.take(budget), wanted.size > budget, drift, med)
+  }
 
   /** Pure span logic so the injected-load scenario is unit-testable: given calibration
     * samples as (queriesCompletedWhenTaken, seconds) — including the before-sample at
@@ -170,16 +225,10 @@ object Bench {
     val calAfter = calibrate(spark)
     calSamples += ((selected.size, calAfter))
 
-    // --- sentinel v2 decision + isolated re-runs -------------------------------------
-    val suspects = confirmSuspects(
-      suspectSpans(calSamples.toSeq, CalibrationRef, TaintFactor), results.toSeq, history)
-    val outliers = historyOutliers(results.toSeq, history)
+    // --- sentinel v2+v3 decision + isolated re-runs ----------------------------------
+    val plan = sentinelPlan(calSamples.toSeq, results.toSeq, history)
     val byName = selected.map(_._1).zipWithIndex.toMap
-    // outliers first (they are individually evidenced), then span suspects
-    val wanted = (outliers ++ suspects.toSeq.sorted.map(selected(_)._1)).distinct
-      .filter(n => results(byName(n))._2 >= 0)
-    val overBudget = wanted.size > RequeryBudget
-    val requeried = wanted.take(RequeryBudget)
+    val requeried = plan.requery
     requeried.foreach { name =>
       val i = byName(name)
       val re = bestOf2(selected(i)._2)
@@ -188,25 +237,38 @@ object Bench {
       // clean sweep value.
       if (re >= 0) results(i) = name -> math.min(results(i)._2, re)
     }
+    // v3 post-check: if the median ratio vs history is STILL above the drift line after
+    // the isolated re-runs, the load never drained — the artifact measures the machine.
+    val medAfter = medianHistoryRatio(results.toSeq, history)
+    val residualDrift = plan.aggregateDrift && medAfter.exists(_ > DriftMedianFactor)
 
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    val tainted = math.max(calBefore, calAfter) > CalibrationRef * TaintFactor || overBudget
+    val tainted = math.max(calBefore, calAfter) > CalibrationRef * TaintFactor ||
+      plan.overBudget || residualDrift
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val samplesJson = calSamples.map { case (n, s) => s"""{"after":$n,"s":$s}""" }
       .mkString("[", ",", "]")
     val requeriedJson = requeried.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val medJson = medAfter.map(m => f"$m%.4f").getOrElse("null")
+    val medSweepJson = plan.medianRatio.map(m => f"$m%.4f").getOrElse("null")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       s""","calibration_before_s":$calBefore,"calibration_after_s":$calAfter""" +
       s""","calibration_ref_s":$CalibrationRef,"calibration_samples":$samplesJson""" +
-      s""","requeried":$requeriedJson,"load_avg":$loadAvg,"tainted":$tainted}"""
+      s""","requeried":$requeriedJson,"median_history_ratio_sweep":$medSweepJson""" +
+      s""","median_history_ratio":$medJson,"aggregate_drift":${plan.aggregateDrift}""" +
+      s""","load_avg":$loadAvg,"tainted":$tainted}"""
     println(line)
     if (tainted) System.err.println(
       f"[bench] TAINTED: calibration ${math.max(calBefore, calAfter)}%.3fs vs ref ${CalibrationRef}s " +
-        f"(>±${TaintFactor}x)${if (overBudget) s" or suspect set ${wanted.size} > budget $RequeryBudget" else ""}" +
+        f"(>±${TaintFactor}x)${if (plan.overBudget) s" or suspect set > budget $RequeryBudget" else ""}" +
+        s"${if (residualDrift) f" or median history ratio ${medAfter.get}%.2fx persists post-requery (>$DriftMedianFactor%.2fx)" else ""}" +
         " — numbers reflect machine load, not query cost")
+    if (plan.aggregateDrift) System.err.println(
+      f"[bench] aggregate drift: sweep median ratio ${plan.medianRatio.get}%.2fx vs committed history — " +
+        s"extended requery set to every entry >${DriftRequeryFactor}x history")
     if (requeried.nonEmpty) System.err.println(
       s"[bench] re-ran ${requeried.size} suspect/outlier entries in isolation: ${requeried.mkString(", ")}")
     // Also write the metric to a file: sbt's log decoration around stdout made the driver's

@@ -279,9 +279,13 @@ object Cdc {
   def assignEventOrder(df: DataFrame, sortCols: Seq[Column]): DataFrame = {
     val ranged = df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
     val schema = StructType(ranged.schema.fields :+ StructField(OrderCol, LongType, nullable = false))
-    // persist the sorted RDD: the counts pass and the numbering pass must see the SAME
-    // partitioning/ordering (and the sort is paid once, not twice)
-    val sorted = ranged.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (NOT a bare persist) the sorted RDD: the counts pass and the
+    // numbering pass must see the SAME partitioning/ordering (and the sort is paid
+    // once, not twice). A bare persist() leaks a MEMORY_AND_DISK entry per call — the
+    // returned DataFrame closes over the RDD and the caller can never unpersist it;
+    // checkpoint blocks are freed by the ContextCleaner once the plan is GC'd
+    // (same idiom as ev_path_perplexity, ADVICE r6).
+    val sorted = ranged.rdd.localCheckpoint()
     val counts = sorted.mapPartitionsWithIndex(
       (i, it) => Iterator((i, it.size)), preservesPartitioning = true).collect().sortBy(_._1)
     val offsets = counts.map(_._2.toLong).scanLeft(0L)(_ + _)

@@ -71,6 +71,92 @@ class BenchSentinelSpec extends AnyFunSuite {
     assert(Bench.historyOutliers(Seq("a" -> 5.0, "b" -> 5.0), hist).isEmpty)
   }
 
+  // --- sentinel v3: aggregate drift (VERDICT r7 #1) --------------------------------
+  // The r7 driver artifact: +23% total, load_avg 5.58, 12 entries >2x history, yet
+  // tainted:false — steady moderate load stays under the 1.3x calibration line and the
+  // 3x per-query requery factor. These specs replay that shape through the pure
+  // sentinelPlan and assert the aggregate path now catches it.
+
+  private def uniformSweep(n: Int, histVal: Double, inflate: Double): (Seq[(String, Double)], Map[String, Double]) = {
+    val names = (1 to n).map(i => s"q$i")
+    (names.map(_ -> histVal * inflate), names.map(_ -> histVal).toMap)
+  }
+
+  test("v3: uniformly 1.6x-inflated sweep under quiet calibration triggers the aggregate requery path") {
+    val (sweep, hist) = uniformSweep(100, histVal = 1.0, inflate = 1.6)
+    val calm = Seq((0, quiet), (50, quiet), (100, quiet))
+    val p = Bench.sentinelPlan(calm, sweep, hist)
+    // v2 alone would requery nothing: no span deviates, nothing is >3x history
+    assert(Bench.suspectSpans(calm, ref, taint).isEmpty)
+    assert(Bench.historyOutliers(sweep, hist).isEmpty)
+    // v3: median ratio 1.6 > 1.25 -> every entry >1.5x history goes to isolated re-run
+    assert(p.aggregateDrift)
+    assert(p.medianRatio.exists(m => math.abs(m - 1.6) < 1e-9))
+    assert(p.requery.size == Bench.RequeryBudget && p.overBudget)
+  }
+
+  test("v3: the r7 shape — moderate median drift, a tail of >1.5x entries, budget respected") {
+    // 60 entries near history (1.2x, under the per-entry requery line), 20 at 2.3x:
+    // median 1.2x... make it 1.3x so the median crosses the 1.25 line like r7's +23%.
+    val base = (1 to 60).map(i => s"ok$i" -> 1.3)
+    val slow = (1 to 20).map(i => s"slow$i" -> 2.3)
+    val hist = (base ++ slow).map { case (n, _) => n -> 1.0 }.toMap
+    val sweep = base ++ slow
+    val calm = Seq((0, quiet), (40, quiet), (80, quiet))
+    val p = Bench.sentinelPlan(calm, sweep, hist)
+    assert(p.aggregateDrift)
+    // only the confirmed >1.5x tail is re-run (20 entries), not the 1.3x bulk
+    assert(p.requery.toSet == slow.map(_._1).toSet)
+    assert(!p.overBudget)
+  }
+
+  test("v3: one legitimate 10x regression among quiet entries does NOT move the median") {
+    val (okSweep, hist0) = uniformSweep(60, histVal = 1.0, inflate = 1.02)
+    val sweep = okSweep :+ ("regressed" -> 10.0)
+    val hist = hist0 + ("regressed" -> 1.0)
+    val p = Bench.sentinelPlan(Seq((0, quiet), (61, quiet)), sweep, hist)
+    assert(!p.aggregateDrift) // median ~1.02: the fleet is fine
+    assert(p.requery == Seq("regressed")) // but the outlier still re-runs (v2 path)
+  }
+
+  test("v3: median abstains below DriftMinSamples comparable entries (scoped local runs)") {
+    val (sweep, hist) = uniformSweep(Bench.DriftMinSamples - 1, 1.0, 2.0)
+    assert(Bench.medianHistoryRatio(sweep, hist).isEmpty)
+    val p = Bench.sentinelPlan(Seq((0, quiet), (19, quiet)), sweep, hist)
+    assert(!p.aggregateDrift)
+  }
+
+  test("v3: sub-floor entries and history-less entries excluded from the median") {
+    // 25 tiny entries wildly inflated but under the 0.3s floor on both sides + 25
+    // genuine entries at 1.0x -> median 1.0, no drift
+    val tiny = (1 to 25).map(i => s"t$i" -> 0.09)
+    val real = (1 to 25).map(i => s"r$i" -> 1.0)
+    val hist = (tiny.map { case (n, _) => n -> 0.03 } ++ real).toMap
+    val m = Bench.medianHistoryRatio(tiny ++ real, hist)
+    assert(m.exists(v => math.abs(v - 1.0) < 1e-9))
+  }
+
+  test("RequeryBudget overflow taints (VERDICT r7 #3): suspect set beyond budget -> overBudget") {
+    // two separated transients each suspect 2 spans of 50 with no history to clear
+    // them: 200 suspects >> budget 64
+    val names = (0 until 200).map(i => s"q$i")
+    val sweep = names.map(_ -> 1.0)
+    val samples = Seq((0, quiet), (50, loaded), (100, quiet), (150, loaded), (200, quiet))
+    val p = Bench.sentinelPlan(samples, sweep, Map.empty)
+    assert(p.overBudget)
+    assert(p.requery.size == Bench.RequeryBudget)
+    // and the requery list is a prefix of the wanted set, never beyond the budget
+    assert(p.requery.toSet.subsetOf(names.toSet))
+  }
+
+  test("v3: failed queries (t<0) never enter the requery list even under drift") {
+    val (okSweep, hist0) = uniformSweep(30, 1.0, 1.6)
+    val sweep = okSweep :+ ("broken" -> -1.0)
+    val hist = hist0 + ("broken" -> 1.0)
+    val p = Bench.sentinelPlan(Seq((0, quiet), (31, quiet)), sweep, hist)
+    assert(p.aggregateDrift && !p.requery.contains("broken"))
+  }
+
   test("loadHistory parses the committed artifact shape and tolerates garbage") {
     val dir = java.nio.file.Files.createTempDirectory("benchhist")
     val good = dir.resolve("BENCH.json")
