@@ -3515,6 +3515,9 @@ object SparkEntry {
     // star, each an anti-join that AQE turns into broadcast-null-aware or shuffled-hash
     // as the dim size dictates. THE audit to run before committing a 100 TB join plan —
     // orphans silently vanish from inner joins and corrupt every downstream aggregate.
+    // NULL semantics are pinned cross-engine (ADVICE r7): the oracle uses NOT EXISTS,
+    // whose treatment of NULL child keys (counted as orphans) and NULL parent keys
+    // (never match) is identical to left_anti — a NOT IN oracle would diverge on both.
     "q_fk_audit" -> ((s, dir) => {
       val l = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
       val c = t(s, dir, "customer"); val sup = t(s, dir, "supplier")
@@ -3598,11 +3601,19 @@ object SparkEntry {
     // k-core decomposition of the basket graph (Seidman 1983): 4 bounded peel rounds at
     // k = 2 — the dense-subgraph extractor (spam rings, duplicate farms, power-user
     // cliques). The fixed round budget makes the fixpoint SQL-replayable by unrolling;
-    // survivors carry their in-core degree.
+    // survivors carry their in-core degree. requireConverged (ADVICE r7) embeds an
+    // assert_true(|E_r| == |E_r+1|) in the plan: if the corpus ever needs another peel
+    // the query RAISES instead of silently shipping a non-core the same-depth oracle
+    // would happily co-sign. That assert did its job immediately: the r7 gate ran
+    // rounds=4 and was green at BOTH scale factors, yet the sf0.1 basket graph needs
+    // FIVE peels (7146 -> 726 -> 110 -> 20 -> 8 -> 6 directed edges) — the "2-core"
+    // both engines agreed on contained two nodes outside the true core. rounds=8 is
+    // 1.6x the observed depth; extra rounds on a converged set are no-op semi-joins
+    // over a six-row table.
     "q_basket_kcore" -> ((s, dir) => {
       val edges = graft.ops.GraphOps.coOccurrenceEdges(t(s, dir, "lineitem"),
         "l_orderkey", "l_partkey", minCount = 2)
-      graft.ops.GraphOps.kCore(edges, k = 2, rounds = 4)
+      graft.ops.GraphOps.kCore(edges, k = 2, rounds = 8, requireConverged = true)
     }),
 
     // The window-function surface in ONE gated query: lag/lead, ntile, percent_rank,
@@ -8063,27 +8074,31 @@ object SparkEntry {
         |FROM hist h JOIN f ON h.event_type = f.event_type
         |GROUP BY 1, 2, 3, 4""".stripMargin,
 
+    // NOT EXISTS, not NOT IN (ADVICE r7): NOT IN diverges from the Spark side's
+    // left_anti when keys are NULL (a NULL child key makes NOT IN evaluate to NULL and
+    // a NULL in the parent set zeroes the orphan count); NOT EXISTS with an equality
+    // correlate matches anti-join semantics exactly, NULLs included.
     "q_fk_audit" ->
       """SELECT 'lineitem->orders' AS relation,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child,
-        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
-        |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE l.l_orderkey = o.o_orderkey)) AS n_orphans
         |UNION ALL SELECT 'lineitem->part',
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
-        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
-        |   WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM part p WHERE l.l_partkey = p.p_partkey))
         |UNION ALL SELECT 'lineitem->supplier',
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
-        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
-        |   WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE l.l_suppkey = s.s_suppkey))
         |UNION ALL SELECT 'orders->customer',
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
-        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
-        |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE o.o_custkey = c.c_custkey))
         |UNION ALL SELECT 'customer->nation',
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
-        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
-        |   WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))""".stripMargin,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+        |   WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE c.c_nationkey = n.n_nationkey))""".stripMargin,
 
     "q_value_histogram" ->
       """WITH v AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
@@ -8119,19 +8134,31 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin,
 
     "q_basket_kcore" ->
-      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-        |e0 AS (SELECT a.pk AS u, b.pk AS v FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk
+      // AS MATERIALIZED throughout: each unrolled round references the previous round
+      // THREE times (k_i once, the two semi-join sides once each); DuckDB inlines
+      // plain CTEs, so an 8-round unroll re-plans the base scan 3^8 times and dies on
+      // "Too many open files" — materialization makes each round compute once.
+      """WITH pp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT a.pk AS u, b.pk AS v FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk
         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-        |u0 AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
-        |k1 AS (SELECT u FROM u0 GROUP BY 1 HAVING COUNT(*) >= 2),
-        |u1 AS (SELECT a.u, a.v FROM u0 a JOIN k1 x ON a.u = x.u JOIN k1 y ON a.v = y.u),
-        |k2 AS (SELECT u FROM u1 GROUP BY 1 HAVING COUNT(*) >= 2),
-        |u2 AS (SELECT a.u, a.v FROM u1 a JOIN k2 x ON a.u = x.u JOIN k2 y ON a.v = y.u),
-        |k3 AS (SELECT u FROM u2 GROUP BY 1 HAVING COUNT(*) >= 2),
-        |u3 AS (SELECT a.u, a.v FROM u2 a JOIN k3 x ON a.u = x.u JOIN k3 y ON a.v = y.u),
-        |k4 AS (SELECT u FROM u3 GROUP BY 1 HAVING COUNT(*) >= 2),
-        |u4 AS (SELECT a.u, a.v FROM u3 a JOIN k4 x ON a.u = x.u JOIN k4 y ON a.v = y.u)
-        |SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS degree FROM u4 GROUP BY 1""".stripMargin,
+        |u0 AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        |k1 AS MATERIALIZED (SELECT u FROM u0 GROUP BY 1 HAVING COUNT(*) >= 2),
+        |u1 AS MATERIALIZED (SELECT a.u, a.v FROM u0 a JOIN k1 x ON a.u = x.u JOIN k1 y ON a.v = y.u),
+        |k2 AS MATERIALIZED (SELECT u FROM u1 GROUP BY 1 HAVING COUNT(*) >= 2),
+        |u2 AS MATERIALIZED (SELECT a.u, a.v FROM u1 a JOIN k2 x ON a.u = x.u JOIN k2 y ON a.v = y.u),
+        |k3 AS MATERIALIZED (SELECT u FROM u2 GROUP BY 1 HAVING COUNT(*) >= 2),
+        |u3 AS MATERIALIZED (SELECT a.u, a.v FROM u2 a JOIN k3 x ON a.u = x.u JOIN k3 y ON a.v = y.u),
+        |k4 AS MATERIALIZED (SELECT u FROM u3 GROUP BY 1 HAVING COUNT(*) >= 2),
+        |u4 AS MATERIALIZED (SELECT a.u, a.v FROM u3 a JOIN k4 x ON a.u = x.u JOIN k4 y ON a.v = y.u),
+        |k5 AS MATERIALIZED (SELECT u FROM u4 GROUP BY 1 HAVING COUNT(*) >= 2),
+        |u5 AS MATERIALIZED (SELECT a.u, a.v FROM u4 a JOIN k5 x ON a.u = x.u JOIN k5 y ON a.v = y.u),
+        |k6 AS MATERIALIZED (SELECT u FROM u5 GROUP BY 1 HAVING COUNT(*) >= 2),
+        |u6 AS MATERIALIZED (SELECT a.u, a.v FROM u5 a JOIN k6 x ON a.u = x.u JOIN k6 y ON a.v = y.u),
+        |k7 AS MATERIALIZED (SELECT u FROM u6 GROUP BY 1 HAVING COUNT(*) >= 2),
+        |u7 AS MATERIALIZED (SELECT a.u, a.v FROM u6 a JOIN k7 x ON a.u = x.u JOIN k7 y ON a.v = y.u),
+        |k8 AS MATERIALIZED (SELECT u FROM u7 GROUP BY 1 HAVING COUNT(*) >= 2),
+        |u8 AS MATERIALIZED (SELECT a.u, a.v FROM u7 a JOIN k8 x ON a.u = x.u JOIN k8 y ON a.v = y.u)
+        |SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS degree FROM u8 GROUP BY 1""".stripMargin,
 
     "q_window_suite" ->
       """SELECT o_orderkey, o_orderpriority,

@@ -714,19 +714,23 @@ object TextExpressions {
    * `jaro_winkler(a, b)` → DOUBLE in [0, 1]: Jaro similarity (Jaro 1989 — matches within
    * a window of ⌊max(|a|,|b|)/2⌋−1, half-counted transpositions) plus the Winkler prefix
    * bonus (Winkler 1990 — +ℓ·0.1·(1−jaro) for the common prefix ℓ ≤ 4, applied only when
-   * jaro > 0.7). Exactly the semantics DuckDB 1.0's `jaro_winkler_similarity` ships
-   * (probed on 20k random cases, 0 mismatches at 1e-12; either side empty ⇒ 0.0), so
-   * entity-resolution queries gate cross-engine on the rounded score. One pass over the
-   * two char sequences with two boolean scratch arrays; the O(|a|·window) inner loop is
-   * the canonical algorithm — no regex, no allocation beyond scratch.
+   * jaro > 0.7). Operates on the UTF8String's raw UTF-8 BYTES, not UTF-16 chars —
+   * exactly the semantics DuckDB 1.0's `jaro_winkler_similarity` ships (DuckDB treats
+   * strings as byte sequences: 'éb' vs 'eb' is 0.0, ADVICE r7; probed on 20k random
+   * ASCII cases, 0 mismatches at 1e-12; either side empty ⇒ 0.0), so entity-resolution
+   * queries gate cross-engine on the rounded score for arbitrary input. Byte
+   * iteration means a multi-byte codepoint matches per-byte — identical to char
+   * semantics on ASCII, and identical to the oracle everywhere. One pass over the two
+   * byte arrays with two boolean scratch arrays; the O(|a|·window) inner loop is the
+   * canonical algorithm — no regex, no allocation beyond scratch.
    */
   case class JaroWinklerSim(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
     override def nullIntolerant: Boolean = true
     override protected def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[UTF8String].toString
-      val b = r.asInstanceOf[UTF8String].toString
+      val a = l.asInstanceOf[UTF8String].getBytes
+      val b = r.asInstanceOf[UTF8String].getBytes
       val la = a.length; val lb = b.length
       if (la == 0 || lb == 0) return 0.0d
       val window = math.max(math.max(la, lb) / 2 - 1, 0)
@@ -738,7 +742,7 @@ object TextExpressions {
         var j = lo
         var found = false
         while (j <= hi && !found) {
-          if (!mb(j) && a.charAt(i) == b.charAt(j)) { ma(i) = true; mb(j) = true; m += 1; found = true }
+          if (!mb(j) && a(i) == b(j)) { ma(i) = true; mb(j) = true; m += 1; found = true }
           j += 1
         }
         i += 1
@@ -748,7 +752,7 @@ object TextExpressions {
       while (i < la) {
         if (ma(i)) {
           while (!mb(j)) j += 1
-          if (a.charAt(i) != b.charAt(j)) t += 1
+          if (a(i) != b(j)) t += 1
           j += 1
         }
         i += 1
@@ -758,7 +762,7 @@ object TextExpressions {
       if (jaro > 0.7) {
         var p = 0
         val maxP = math.min(4, math.min(la, lb))
-        while (p < maxP && a.charAt(p) == b.charAt(p)) p += 1
+        while (p < maxP && a(p) == b(p)) p += 1
         jaro + p * 0.1 * (1.0 - jaro)
       } else jaro
     }

@@ -104,7 +104,12 @@ object GraphOps {
    * budget replaces the data-dependent fixpoint so the plan is finite and every engine
    * replays it by unrolling (the true core is reached when a round removes nothing;
    * callers pick rounds ≥ observed convergence depth — peel depth, not diameter, and
-   * in practice tiny).
+   * in practice tiny). With `requireConverged` the plan EMBEDS the fixpoint proof
+   * (ADVICE r7: a fixed budget alone cannot detect non-convergence — on data needing
+   * more peels the reported core silently includes outside nodes): one extra peel is
+   * planned and an `assert_true(|E_rounds| == |E_rounds+1|)` over the broadcast edge
+   * counts raises at execution time if the budget was too small, so a gate can never
+   * ship a non-core. Costs one additional peel round; output schema unchanged.
    *
    * Scale: each round is one degree aggregate + two semi-joins on the shrinking edge
    * set; the per-round localCheckpoint cuts the doubling lineage (labelPropagation
@@ -114,7 +119,8 @@ object GraphOps {
    * @return (id, degree) for nodes surviving `rounds` peels, with their degree in the
    *         surviving subgraph
    */
-  def kCore(edges: DataFrame, k: Int = 3, rounds: Int = 4): DataFrame = {
+  def kCore(edges: DataFrame, k: Int = 3, rounds: Int = 4,
+      requireConverged: Boolean = false): DataFrame = {
     require(k >= 1 && rounds >= 1)
     // lazy localCheckpoints: each round's edge set still materializes exactly once (on
     // the caller's first action) and cuts the doubling lineage, but without paying one
@@ -123,14 +129,26 @@ object GraphOps {
     var e = edges.select(col("u"), col("v"))
       .union(edges.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(eager = false)
-    for (_ <- 1 to rounds) {
-      val keep = e.groupBy(col("u")).agg(count(lit(1)).as("__d"))
+    def peel(cur: DataFrame): DataFrame = {
+      val keep = cur.groupBy(col("u")).agg(count(lit(1)).as("__d"))
         .filter(col("__d") >= k).select(col("u").as("__keep"))
-      e = e.join(keep, col("u") === col("__keep"), "left_semi")
+      cur.join(keep, col("u") === col("__keep"), "left_semi")
         .join(keep.select(col("__keep").as("__keep2")), col("v") === col("__keep2"), "left_semi")
         .localCheckpoint(eager = false)
     }
-    e.groupBy(col("u").as("id")).agg(count(lit(1)).as("degree"))
+    for (_ <- 1 to rounds) e = peel(e)
+    val res = e.groupBy(col("u").as("id")).agg(count(lit(1)).as("degree"))
+    if (!requireConverged) res
+    else {
+      // a non-empty non-converged result always has rows, so the asserting filter is
+      // evaluated whenever it matters (an empty edge set trivially converges: one more
+      // peel of nothing is nothing)
+      val conv = e.agg(count(lit(1)).as("__n_r")).crossJoin(peel(e).agg(count(lit(1)).as("__n_r1")))
+      res.crossJoin(broadcast(conv))
+        .filter(assert_true(col("__n_r") === col("__n_r1"),
+          lit(s"kCore: not converged after rounds=$rounds — raise the budget")).isNull)
+        .select(col("id"), col("degree"))
+    }
   }
 
   /**

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import org.apache.spark.storage.StorageLevel
 
 /**
@@ -233,6 +233,11 @@ object MlOps {
    * tie-correction moment Σ(t³−t); the normal-approximation z is then ONE
    * fixed-operand-order double expression both engines reproduce bit-for-bit.
    * State is bounded by the score grid (here e4-quantized), never the corpus.
+   * The u2/tie3 moments accumulate as DECIMAL(38,0), not LONG (ADVICE r7): t³ wraps a
+   * long once any score bucket exceeds ~2²¹ rows and u2 once n1·n2 exceeds 2⁶³ —
+   * corpus-scale sizes, not edge cases. The exported u2/tie3 columns cast to long at
+   * the end (null rather than wraparound when genuinely out of range); z computes off
+   * the exact decimals directly, so it stays correct even past the long boundary.
    */
   def mannWhitney(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -240,17 +245,19 @@ object MlOps {
       .agg(sum(col(labelCol).cast("long")).as("__pos"),
         (count(lit(1)) - sum(col(labelCol).cast("long"))).as("__neg"))
     val w = Window.orderBy(col("__s")).rowsBetween(Window.unboundedPreceding, -1)
-    val t = col("__pos") + col("__neg")
+    val dec38 = DecimalType(38, 0)
+    val t = (col("__pos") + col("__neg")).cast(dec38)
     g.withColumn("__cumneg", coalesce(sum(col("__neg")).over(w), lit(0L)))
       .agg(sum(col("__pos")).as("n1"), sum(col("__neg")).as("n2"),
-        sum(col("__pos") * (col("__cumneg") * 2 + col("__neg"))).as("u2"),
-        sum(t * t * t - t).as("tie3"))
+        sum(col("__pos").cast(dec38)
+          * (col("__cumneg").cast(dec38) * 2 + col("__neg"))).as("__u2d"),
+        sum(t * t * t - t).as("__tie3d"))
       .select(col("n1"), col("n2"),
-        col("u2").cast("long").as("u2"), col("tie3").cast("long").as("tie3"),
-        round((col("u2") - col("n1") * col("n2")).cast(DoubleType)
+        col("__u2d").cast("long").as("u2"), col("__tie3d").cast("long").as("tie3"),
+        round((col("__u2d") - col("n1").cast(dec38) * col("n2")).cast(DoubleType)
           / (lit(2.0) * sqrt((col("n1").cast(DoubleType) * col("n2") / 12.0)
             * ((col("n1") + col("n2") + 1).cast(DoubleType)
-              - col("tie3").cast(DoubleType)
+              - col("__tie3d").cast(DoubleType)
                 / ((col("n1") + col("n2")).cast(DoubleType)
                   * (col("n1") + col("n2") - 1))))), 6).as("z"))
   }

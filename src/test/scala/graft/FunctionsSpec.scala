@@ -91,6 +91,13 @@ class TextFunctionsSpec extends SparkSpec {
     // null in -> null out
     val n = Seq((None: Option[String], "x")).toDF("a", "b")
     assert(n.select(TextFunctions.jaroWinkler(col("a"), col("b"))).collect().head.isNullAt(0))
+    // non-ASCII: DuckDB operates on UTF-8 BYTES, not codepoints (ADVICE r7) — values
+    // below probed against DuckDB 1.0 jaro_winkler_similarity this round
+    assert(jw("éb", "eb") == 0.0) // 'éb' vs 'eb': no byte aligns within the window
+    assert(math.abs(jw("café", "cafe") - 0.8483333333333334) < 1e-15)
+    assert(math.abs(jw("naïve", "naive") - 0.8577777777777779) < 1e-14)
+    assert(math.abs(jw("日本語", "日本誤") - 0.9555555555555556) < 1e-14)
+    assert(math.abs(jw("éé", "ée") - 0.7777777777777778) < 1e-15)
   }
 
   test("shingleHashes: m tokens -> m-n+1 hashes; equal docs hash equal; short docs empty") {
