@@ -569,6 +569,29 @@ object VectorOps {
     mutualFlag(knn)
   }
 
+  /** The directed (src, dst, sim) edge list of [[knnGraphQuantized]] without the
+    * mutual-marking self-join — the scale-path input for graph algorithms
+    * ([[GraphOps.pageRank]], [[GraphOps.hits]]) over the similarity structure, the IVF
+    * twin of [[knnEdges]] (VERDICT r7 #3: the fixed-label edges upsample superlinearly
+    * by construction; these stay ~linear because cell count grows with N). */
+  def knnEdgesQuantized(
+      df: DataFrame,
+      k: Int = 4,
+      targetCellSize: Int = 64,
+      minCells: Int = 8,
+      nProbe: Int = 2,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      trained: Option[Array[Array[Float]]] = None): DataFrame = {
+    val centroids = trained.getOrElse(
+      kmeansFit(df, quantizerCells(df.count(), targetCellSize, minCells), iters, idCol, vecCol))
+    val assigned = df.select(col(idCol), col(vecCol),
+      VectorFunctions.nearestCentroids(col(vecCol), centroids, 1).getItem(0).as("__cell"))
+    rankTopK(quantizedPairs(assigned, centroids, nProbe, idCol, vecCol), k)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"), col("sim"))
+  }
+
   /**
    * The block-occupancy contract as one auditable verdict row (the ANN-gate idiom —
    * quantizer-dependent edges can't hash-match a DuckDB replay, so the gate pins the
