@@ -63,4 +63,10 @@ for k, v in sorted(results.items()):
         fails += 1
     print(f"{status:4} {k:22} {v}")
 print(f"\n{len(results) - fails}/{len(results)} pass")
+# optional JSON artifact (CORRECTNESS_*.json shape): --json <path>
+if "--json" in sys.argv:
+    out = sys.argv[sys.argv.index("--json") + 1]
+    with open(out, "w") as f:
+        json.dump({"sf_dir": sfdir, "n": len(results), "pass": len(results) - fails,
+                   "queries": results}, f, indent=1, sort_keys=True)
 sys.exit(1 if fails else 0)

@@ -80,11 +80,37 @@ object IngestDedup {
     fs.create(p, true).close()
   }
 
+  /** Auto-compaction trip point: when a batch leaves the index with more than this many
+    * data files, [[graft.sinks.Bucketing.compactIndexDir]] rewrites them down to
+    * size-targeted files (markers untouched — admission bookkeeping survives). Each
+    * micro-batch appends ~one file per shuffle partition, so an unattended long-running
+    * ingest otherwise accretes thousands of small files and every probe pays the
+    * open/footer cost per file (VERDICT r7 #6). 64 ≈ compaction every few dozen batches
+    * at streaming batch sizes — O(index) rewrite work amortized across them; admission
+    * decisions are provably unaffected (probe is a set join; BucketingSpec pins
+    * decision-identity across an auto-triggered mid-stream compaction). */
+  val DefaultAutoCompactFiles = 64
+
+  private def maybeCompact(spark: SparkSession, indexDir: String, schema: StructType,
+      autoCompactFiles: Int): Unit = {
+    if (autoCompactFiles <= 0) return
+    val p = new Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val nData = fs.listStatus(p).count { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (nData > autoCompactFiles) {
+      graft.sinks.Bucketing.compactIndexDir(spark, indexDir, schema): Unit
+    }
+  }
+
   /** The shared idempotent batch skeleton: guard, normalize, collapse, admit, write.
     * `admit(uniq, priorIndex)` returns the admitted rows keyed by `idCol`;
     * `toIndex` projects them to the index payload (batch_id is appended here). */
   private def runBatch(batch: DataFrame, batchId: Long, indexDir: String, outDir: String,
-      schema: StructType, textCol: String, idCol: String)(
+      schema: StructType, textCol: String, idCol: String, autoCompactFiles: Int = 0)(
       admit: (DataFrame, DataFrame) => DataFrame)(toIndex: DataFrame => DataFrame): Long = {
     val spark = batch.sparkSession
     recordedMax(spark, indexDir).filter(_ > batchId).foreach { m =>
@@ -116,15 +142,20 @@ object IngestDedup {
       toIndex(admitted).withColumn("batch_id", lit(batchId))
         .write.mode("append").parquet(indexDir)
       recordBatch(spark, indexDir, batchId)
-      admitted.count()
+      val n = admitted.count()
+      // after the batch is fully recorded: a crash mid-compaction leaves a valid index
+      // (compactIndexDir's read->tmp->swap ordering) and the marker already exists
+      maybeCompact(spark, indexDir, schema, autoCompactFiles)
+      n
     } finally admitted.unpersist()
   }
 
   /** One idempotent EXACT-dedup batch application: admit novel digests, write the rows to
     * `outDir/batch=<id>`, append digests to the index. Safe to re-run with the same id. */
   def applyBatch(batch: DataFrame, batchId: Long, indexDir: String, outDir: String,
-      textCol: String = "text", idCol: String = "doc_id"): Long =
-    runBatch(batch, batchId, indexDir, outDir, IndexSchema, textCol, idCol) {
+      textCol: String = "text", idCol: String = "doc_id",
+      autoCompactFiles: Int = DefaultAutoCompactFiles): Long =
+    runBatch(batch, batchId, indexDir, outDir, IndexSchema, textCol, idCol, autoCompactFiles) {
       (uniq, prior) =>
         DedupOps.incrementalDedup(uniq, prior.select("content_md5"), textCol, idCol)
     }(_.select("content_md5"))
@@ -135,8 +166,9 @@ object IngestDedup {
     * ONCE (the signature table is cached across the probe, the intra-batch self-join and
     * the write). */
   def applyBatchNear(batch: DataFrame, batchId: Long, indexDir: String, outDir: String,
-      textCol: String = "text", idCol: String = "doc_id", threshold: Double = 0.4): Long =
-    runBatch(batch, batchId, indexDir, outDir, SigIndexSchema, textCol, idCol) {
+      textCol: String = "text", idCol: String = "doc_id", threshold: Double = 0.4,
+      autoCompactFiles: Int = DefaultAutoCompactFiles): Long =
+    runBatch(batch, batchId, indexDir, outDir, SigIndexSchema, textCol, idCol, autoCompactFiles) {
       (uniq, prior) =>
         val sigs = DedupOps.minhashSigs(uniq, textCol, idCol).persist()
         try {
@@ -157,8 +189,9 @@ object IngestDedup {
     * to the index, and the probe is multiplicity-safe so compaction never has to dedupe. */
   def applyBatchSpan(batch: DataFrame, batchId: Long, indexDir: String, outDir: String,
       textCol: String = "text", idCol: String = "doc_id", k: Int = 12,
-      maxSharedFrac: Double = 0.5): Long =
-    runBatch(batch, batchId, indexDir, outDir, SpanIndexSchema, textCol, idCol) {
+      maxSharedFrac: Double = 0.5,
+      autoCompactFiles: Int = DefaultAutoCompactFiles): Long =
+    runBatch(batch, batchId, indexDir, outDir, SpanIndexSchema, textCol, idCol, autoCompactFiles) {
       (uniq, prior) =>
         DedupOps.spanAdmission(uniq, prior.select("h"), k, maxSharedFrac, textCol, idCol)
           .filter(col("admitted"))

@@ -1044,6 +1044,51 @@ class BucketingSpec extends SparkSpec {
     assert(idxRows(idxA) == idxRows(idxB))
   }
 
+  test("auto-compaction (VERDICT r7 #6): mid-stream trigger leaves admission decisions identical") {
+    import graft.streaming.IngestDedup
+    val base = java.nio.file.Files.createTempDirectory("graft-idx-autocompact").toString
+    val (idxA, outA) = (s"$base/indexA", s"$base/outA") // control: auto-compaction off
+    val (idxB, outB) = (s"$base/indexB", s"$base/outB") // trip point 2 -> fires mid-stream
+    def b(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    def idxFiles(dir: String) = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    // six batches with duplicates referencing content admitted BEFORE and AFTER the
+    // compactions fire: every admission decision must be blind to the rewrite
+    val batches = Seq(
+      0L -> b(1L -> "alpha", 2L -> "beta"),
+      1L -> b(3L -> "gamma", 4L -> "beta"), // beta rejected (pre-compaction index)
+      2L -> b(5L -> "delta", 6L -> "alpha"), // alpha rejected; trips compaction (3 files > 2)
+      3L -> b(7L -> "gamma", 8L -> "epsilon"), // gamma rejected via the COMPACTED files
+      4L -> b(9L -> "zeta", 10L -> "delta"), // delta rejected; may trip again
+      5L -> b(11L -> "epsilon", 12L -> "eta")) // epsilon rejected post-second-compaction
+    batches.foreach { case (id, df) =>
+      assert(IngestDedup.applyBatch(df, id, idxA, outA, autoCompactFiles = 0) ==
+        IngestDedup.applyBatch(df, id, idxB, outB, autoCompactFiles = 2),
+        s"admission count diverged at batch $id")
+    }
+    // the threshold actually fired: B holds fewer data files than A's six appends,
+    // while the bookkeeping markers all survived the rewrites
+    assert(idxFiles(idxA) >= 6, s"control should accrete >=6 files, got ${idxFiles(idxA)}")
+    assert(idxFiles(idxB) <= 3, s"auto-compaction should bound files, got ${idxFiles(idxB)}")
+    (0L to 5L).foreach(i => assert(new java.io.File(idxB, s"_batch_$i").exists(),
+      s"_batch_$i marker must survive auto-compaction"))
+    // index CONTENTS identical to the never-compacted control (digest, batch) rows
+    def idxRows(dir: String) = spark.read.schema(IngestDedup.IndexSchema).parquet(dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(idxRows(idxA) == idxRows(idxB))
+    // and per-batch admitted outputs byte-identical
+    (0L to 5L).foreach { i =>
+      def admitted(out: String) = spark.read.parquet(s"$out/batch=$i")
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).sorted.toSeq
+      assert(admitted(outA) == admitted(outB), s"admitted rows diverged at batch $i")
+    }
+    // replay safety survives compaction too: re-applying the last batch (the
+    // foreachBatch crash-replay case) converges to the same output — its own index
+    // entries cannot reject it, compacted or not
+    val replayed = IngestDedup.applyBatch(batches(5)._2, 5L, idxB, outB, autoCompactFiles = 2)
+    assert(replayed == 1L, s"replayed batch 5 should re-admit 1 row, got $replayed")
+  }
+
   test("joins between co-bucketed tables are exchange-free") {
     val base = java.nio.file.Files.createTempDirectory("graft-bkt").toString
     val facts = (1 to 1000).map(i => (i.toLong % 50, s"f$i")).toDF("user_id", "payload")
