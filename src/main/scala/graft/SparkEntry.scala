@@ -1230,9 +1230,15 @@ object SparkEntry {
           col("l_orderkey") === col("o3_ok") && col("l_suppkey") =!= col("o3_sk"),
           "left_anti")
         .groupBy(col("l_suppkey"))
-        .agg(count(lit(1)).as("numwait"))
+        .agg(count(lit(1)).as("__w"))
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .select(col("s_name"), col("numwait"))
+        // TPC-H Q21 groups by s_name, and the grains genuinely differ when names
+        // duplicate across suppkeys (the sf1 upsample clones suppliers name-intact —
+        // caught by the r8 sf1 subset gate): keep the corpus-sized count keyed on
+        // l_suppkey (map-side combine on the fact exchange), then re-aggregate the
+        // tiny per-supplier result at name grain exactly as the SQL does
+        .groupBy(col("s_name"))
+        .agg(sum(col("__w")).cast("long").as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(10)
     }),

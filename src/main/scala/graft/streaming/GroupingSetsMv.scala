@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * Incrementally maintained GROUPING SETS summary of an append-only stream — the
+ * streaming twin of the `q_grouping_sets` batch shape (per-dim1 rows, per-dim2 rows,
+ * grand total, from one Expand), and the multi-grain sibling of the single-grain
+ * delta-algebra MV in `cdc_mv_maintain`.
+ *
+ * Each micro-batch aggregates ONLY ITS OWN rows through the same 3× Expand the batch
+ * query uses, then merges the delta into the running summary by (grouping_id, dims)
+ * key-sum. count and DECIMAL sum are associative-exact, so at every batch boundary
+ * maintained ≡ recomputed-from-scratch, bit for bit — no approximation drift, and
+ * derived metrics (avg = s/n) finalize at read time. The summary table is
+ * grain-bounded (|dim1| + |dim2| + 1 rows), never corpus-sized.
+ *
+ * Replay safety (foreachBatch is at-least-once) is by STATE VERSIONING, not
+ * coordination — the IngestDedup idiom adapted to a merge that is NOT idempotent by
+ * itself (summing the same delta twice double-counts): batch b reads the newest
+ * version < b, merges, and overwrites `v=<b>`. A crash-replay of batch b re-reads the
+ * SAME predecessor version — its own half-written output can never feed its merge —
+ * recomputes the same merge, and the overwrite converges. Versions older than
+ * `retain` are pruned after a successful write (the newest version always survives).
+ *
+ * Scale: the per-batch Expand is 3× the BATCH (not the corpus), the merge joins a
+ * grain-bounded state table, and the rewrite cost is O(grain) per batch. At 100 TB
+ * grains (billions of keys) the state table would live bucketed by the dim key
+ * ([[graft.sinks.Bucketing]]) so the merge co-locates; the summary here is the
+ * dashboard-grain use-case where O(grain) rewrite is trivially cheap.
+ */
+object GroupingSetsMv {
+
+  /** One batch's contribution through the same lattice as `q_grouping_sets`:
+    * (gid, d1, d2, n, s) — gid = grouping_id(d1, d2): 1 = group-by-d1 rows (d2
+    * nulled), 2 = group-by-d2 rows, 3 = grand total. */
+  def batchSummary(df: DataFrame, d1: String, d2: String, measure: String): DataFrame =
+    df.groupingSets(Seq(Seq(col(d1)), Seq(col(d2)), Seq()), col(d1), col(d2))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum(col(measure).cast(DecimalType(18, 2))).as("s"))
+      .select(col("gid"), col(d1), col(d2), col("n"), col("s"))
+
+  /** Associative key-sum merge of a batch delta into the running summary. */
+  private def merge(state: DataFrame, delta: DataFrame, d1: String, d2: String): DataFrame =
+    state.unionByName(delta)
+      .groupBy(col("gid"), col(d1), col(d2))
+      .agg(sum(col("n")).cast("long").as("n"),
+        sum(col("s")).cast(DecimalType(18, 2)).as("s"))
+
+  private def versions(spark: SparkSession, stateDir: String): Seq[Long] = {
+    val p = new Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).iterator.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.stripPrefix("v=").toLong }
+      .toSeq.sorted
+  }
+
+  /** Apply one micro-batch: read newest version < batchId, merge, overwrite
+    * `v=<batchId>`, prune. Returns the maintained summary row count. */
+  def applyBatch(batch: DataFrame, batchId: Long, stateDir: String,
+      d1: String, d2: String, measure: String, retain: Int = 2): Long = {
+    val spark = batch.sparkSession
+    val prior = versions(spark, stateDir).filter(_ < batchId).lastOption
+      .map(v => spark.read.parquet(s"$stateDir/v=$v"))
+    val delta = batchSummary(batch, d1, d2, measure)
+    val merged = prior.fold(delta)(st => merge(st, delta, d1, d2))
+    merged.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+    // prune AFTER the write: the newest pre-existing version is the crash fallback
+    val vs = versions(spark, stateDir)
+    val fs = new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    vs.dropRight(retain).foreach(v => fs.delete(new Path(stateDir, s"v=$v"), true))
+    spark.read.parquet(s"$stateDir/v=$batchId").count()
+  }
+
+  /** The maintained summary at its newest version, with read-time finalization
+    * (avg = s/n — derived metrics never live in state). */
+  def current(spark: SparkSession, stateDir: String): DataFrame = {
+    val v = versions(spark, stateDir).lastOption.getOrElse(
+      throw new IllegalStateException(s"no maintained summary at $stateDir"))
+    spark.read.parquet(s"$stateDir/v=$v")
+      .withColumn("avg", round(col("s").cast("double") / col("n"), 6))
+  }
+
+  /** Wire into a bounded streaming query (AvailableNow, the IngestDedup pattern). */
+  def start(stream: DataFrame, stateDir: String, checkpointDir: String,
+      d1: String, d2: String, measure: String): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, stateDir, d1, d2, measure): Unit
+      }
+      .start()
+}
