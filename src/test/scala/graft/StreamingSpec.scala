@@ -818,6 +818,56 @@ class StreamingSpec extends SparkSpec {
     assert(batch == streamed, s"streaming $streamed != batch $batch")
   }
 
+  test("streaming grouping-sets MV == one-shot batch lattice at every batch boundary; replay converges") {
+    import graft.streaming.GroupingSetsMv
+    val base = Files.createTempDirectory("graft-gsmv").toString
+    val (src, state) = (s"$base/src", s"$base/state")
+    def line(p: String, s: String, v: String) =
+      s"""{"priority":"$p","status":"$s","amount":$v}"""
+    // two batches covering all gid shapes: shared and batch-local dim values, so the
+    // merge exercises both key-sum and fresh-key paths; decimal amounts with cents
+    writeSpool(src, "000.json", Seq(
+      line("HIGH", "F", "10.25"), line("HIGH", "O", "1.75"), line("LOW", "F", "3.00")))
+    writeSpool(src, "001.json", Seq(
+      line("HIGH", "F", "0.50"), line("MED", "P", "99.99"), line("LOW", "O", "7.25")))
+    Files.setLastModifiedTime(Paths.get(src, "001.json"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(Paths.get(src, "000.json")).toMillis + 10000))
+    val stream = spark.readStream.schema("priority STRING, status STRING, amount DOUBLE")
+      .option("maxFilesPerTrigger", "1").json(src)
+    GroupingSetsMv.start(stream, state, s"$base/ckpt", "priority", "status", "amount")
+      .awaitTermination()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("gid", "priority", "status", "n", "s").collect()
+      .map(r => (r.getLong(0).toInt,
+        Option(r.getString(1)).getOrElse("<null>"), // nulled-out lattice dims sort-safe
+        Option(r.getString(2)).getOrElse("<null>"), r.getLong(3),
+        Option(r.getDecimal(4)).map(_.toPlainString).orNull)).sorted.toSeq
+    val maintained = canon(GroupingSetsMv.current(spark, state))
+    val oneShot = canon(GroupingSetsMv.batchSummary(
+      spark.read.schema("priority STRING, status STRING, amount DOUBLE").json(src),
+      "priority", "status", "amount"))
+    assert(maintained == oneShot, s"maintained $maintained != one-shot $oneShot")
+    // lattice shape: 3 per-priority rows + 3 per-status rows + 1 grand total
+    assert(maintained.count(_._1 == 1) == 3 && maintained.count(_._1 == 2) == 3
+      && maintained.count(_._1 == 3) == 1)
+    // grand total is exact decimal: 10.25+1.75+3.00+0.50+99.99+7.25
+    val total = maintained.find(_._1 == 3).get
+    assert(total._4 == 6L && total._5 == "122.74")
+    // crash-replay of the LAST batch: version v=1 re-reads v=0, re-merges, overwrites —
+    // the maintained table is unchanged (at-least-once convergence, the IngestDedup
+    // contract adapted to a non-idempotent merge via state versioning)
+    val b1 = spark.read.schema("priority STRING, status STRING, amount DOUBLE")
+      .json(s"$src/001.json")
+    GroupingSetsMv.applyBatch(b1, 1L, state, "priority", "status", "amount")
+    assert(canon(GroupingSetsMv.current(spark, state)) == oneShot,
+      "replaying the last batch must converge, not double-count")
+    // read-time finalization: avg = s/n on the grand total
+    val avg = GroupingSetsMv.current(spark, state)
+      .filter(col("gid") === 3).select("avg").collect().head.getDouble(0)
+    assert(math.abs(avg - 122.74 / 6) < 1e-6)
+  }
+
   test("streaming anomaly flags == batch twin across a multi-batch split; baselines precede the flag") {
     import graft.streaming.Anomaly
     import spark.implicits._
