@@ -139,7 +139,13 @@ object IngestDedup {
     try {
       val rows = uniq.join(admitted.select(col(idCol)), Seq(idCol), "left_semi")
       rows.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      // coalesce(1): the index payload is a micro-batch's digests/signatures — a tiny
+      // projection that would otherwise append one near-empty part file per shuffle
+      // partition (32 files per batch), defeating the compaction policy it feeds. A
+      // batch whose digests genuinely exceed one file's worth belongs to a bulk
+      // backfill, which writes the index directly and compacts once at the end.
       toIndex(admitted).withColumn("batch_id", lit(batchId))
+        .coalesce(1)
         .write.mode("append").parquet(indexDir)
       recordBatch(spark, indexDir, batchId)
       val n = admitted.count()
