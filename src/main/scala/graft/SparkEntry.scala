@@ -3749,6 +3749,39 @@ object SparkEntry {
       VectorOps.knnGraphQuantizedGate(t(s, dir, "embeddings"), k = 4,
         nProbe = 6, recallFloor = 0.65)),
 
+    // Graph-walk ANN (HNSW family, Malkov & Yashunin TPAMI 2018, reduced to 2 layers):
+    // entry layer = min-id representative per block seeding the beam, then 4 greedy
+    // beam-8 hops over the global exact k=8 NN graph. Fully deterministic given the
+    // graph (double sims compared raw, ties on id), so unlike the trained-quantizer
+    // paths this one hash-matches a DuckDB replay of the whole walk — the only ANN
+    // family with an EXACT oracle end-to-end. Per-query work after graph build is
+    // O(hops·beam·k) comparisons, independent of corpus size. The graph must be
+    // similarity-correlated: label-blocked edges put the true top-1 in another
+    // component for 15/16 probes here (recall 0) — hence global edges in the demo,
+    // knnEdgesQuantized as the linear-cost construction at scale.
+    "emb_graph_search" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      VectorOps.graphSearch(e, e.filter(col("vec_id") < 16), k = 8, beam = 8, hops = 4)
+    }),
+
+    // quality gate for the walk: how many of the 16 queries' TRUE nearest neighbors
+    // (exact brute-force top-1 over the whole corpus) does the graph walk retrieve in
+    // its final beam — the graph-ANN analogue of the IVF/PQ recall gates, and exactly
+    // reproducible because both sides are deterministic (16/16 at sf0.01, 15/16 at
+    // sf0.1 — the number itself is oracle-replayed, not thresholded)
+    "emb_graph_search_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 16)
+      val walk = VectorOps.graphSearch(e, qs, k = 8, beam = 8, hops = 4)
+        .select(col("query_id"), col("node_id"))
+      val exact = VectorOps.bruteForceTopK(e, qs, 1)
+        .select(col("query_id"), col("neighbor_id").as("node_id"))
+      exact.join(walk, Seq("query_id", "node_id"), "left_semi")
+        .agg(count(lit(1)).as("n_top1_found"))
+        .crossJoin(qs.agg(count(lit(1)).as("n_queries")))
+        .select(col("n_queries"), col("n_top1_found"))
+    }),
+
     // PageRank over the QUANTIZER-blocked kNN edges — the scale-path twin of
     // emb_pagerank (VERDICT r7 #3: the fixed-8-label edge list upsamples
     // superlinearly BY CONSTRUCTION — every label block grows 10x => pairs x100 —
@@ -4190,6 +4223,49 @@ object SparkEntry {
         .select(col("n_days"),
           round(col("__sae").cast(DoubleType) / col("n_days"), 4).as("mae"),
           round(col("__sape").cast(DoubleType) / col("n_days"), 6).as("mape"))
+    }),
+
+    // Holt-Winters additive triple exponential smoothing (level/trend/weekly season;
+    // Winters 1960) over the per-type daily series, h=1..7 forecasts — the classic
+    // forecaster the seasonal-naive backtest above is the floor for. EXACT integer
+    // recursion: counts scaled to 1e-6 units, smoothing constants as rational
+    // multiplies with truncating integer division (alpha=2/10, beta=1/10, gamma=3/10;
+    // Spark `div` and DuckDB `//` both truncate toward zero, so every intermediate is
+    // the identical BIGINT in both engines — no float drift over any series length).
+    // The recursion is inherently sequential PER KEY but keys are independent: the
+    // corpus contributes one count exchange to daily grain, then each series folds
+    // inside `aggregate` over its (window-length-bounded, ≤ a few thousand entries)
+    // array — the same collapsed-series shape as ev_seasonal_decompose. Init: level =
+    // first-week mean, trend = 0, season_i = y_i - level; fold starts at day 7.
+    "ev_holt_winters" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("event_type"), expr("unix_millis(ts) div 86400000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg((count(lit(1)) * lit(1000000L)).as("y"))
+      daily.groupBy(col("event_type"))
+        .agg(expr("transform(array_sort(collect_list(struct(day, y))), x -> x.y)").as("ys"))
+        .filter(size(col("ys")) >= 14)
+        .withColumn("lvl0", expr("aggregate(slice(ys, 1, 7), 0L, (a, x) -> a + x) div 7"))
+        .withColumn("fin", expr(
+          """aggregate(
+            |  slice(ys, 8, size(ys) - 7),
+            |  named_struct('lvl', lvl0, 'tr', 0L,
+            |    's', transform(slice(ys, 1, 7), x -> x - lvl0), 't', 7L),
+            |  (acc, y) -> named_struct(
+            |    'lvl', (2 * (y - element_at(acc.s, cast(acc.t % 7 as int) + 1))) div 10
+            |           + (8 * (acc.lvl + acc.tr)) div 10,
+            |    'tr', (((2 * (y - element_at(acc.s, cast(acc.t % 7 as int) + 1))) div 10
+            |           + (8 * (acc.lvl + acc.tr)) div 10) - acc.lvl) div 10
+            |          + (9 * acc.tr) div 10,
+            |    's', transform(acc.s, (v, j) -> IF(j = cast(acc.t % 7 as int),
+            |           (3 * (y - ((2 * (y - element_at(acc.s, cast(acc.t % 7 as int) + 1))) div 10
+            |                      + (8 * (acc.lvl + acc.tr)) div 10))) div 10
+            |           + (7 * element_at(acc.s, cast(acc.t % 7 as int) + 1)) div 10, v)),
+            |    't', acc.t + 1L))""".stripMargin))
+        .select(col("event_type"), explode(expr("sequence(1, 7)")).as("horizon"), col("fin"))
+        .select(col("event_type"), col("horizon"),
+          expr("fin.lvl + horizon * fin.tr + " +
+            "element_at(fin.s, cast((fin.t + horizon - 1) % 7 as int) + 1)").as("forecast_e6"))
     }),
 
     // Survival-analysis hazard table (the Kaplan-Meier life table without the
@@ -5863,6 +5939,45 @@ object SparkEntry {
         |SELECT n_days, ROUND(CAST(sae AS DOUBLE) / n_days, 4) AS mae,
         |  ROUND(CAST(sape AS DOUBLE) / n_days, 6) AS mape
         |FROM m""".stripMargin,
+
+    // the identical integer recursion as a recursive CTE: one row per (event_type,
+    // t) carrying (level, trend, season LIST); nested subqueries stage level' so
+    // trend'/season' reference it without recomputation — values still bit-identical
+    // to Spark's textually-substituted form because every op is exact BIGINT
+    "ev_holt_winters" ->
+      """WITH RECURSIVE
+        |d AS (SELECT event_type,
+        |    CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) * 1000000 AS y
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (SELECT event_type, y,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) - 1 AS t
+        |  FROM d),
+        |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nt FROM ser GROUP BY 1
+        |  HAVING COUNT(*) >= 14),
+        |lvl0 AS (SELECT event_type, CAST(SUM(y) AS BIGINT) // 7 AS lvl
+        |  FROM ser WHERE t < 7 GROUP BY 1),
+        |s0 AS (SELECT s.event_type, LIST(s.y - l.lvl ORDER BY s.t) AS sn
+        |  FROM ser s JOIN lvl0 l USING (event_type) WHERE s.t < 7 GROUP BY 1),
+        |rec AS (
+        |  SELECT n.event_type, l.lvl, CAST(0 AS BIGINT) AS tr, s0.sn, CAST(7 AS BIGINT) AS t
+        |  FROM n JOIN lvl0 l USING (event_type) JOIN s0 USING (event_type)
+        |  UNION ALL
+        |  SELECT event_type, lvl2 AS lvl,
+        |    (lvl2 - lvl1) // 10 + (9 * tr1) // 10 AS tr,
+        |    list_transform(range(1, 8), j -> CASE WHEN j = (t1 % 7) + 1
+        |      THEN (3 * (y - lvl2)) // 10 + (7 * si) // 10 ELSE sn1[CAST(j AS INT)] END) AS sn,
+        |    t1 + 1 AS t
+        |  FROM (
+        |    SELECT r.event_type, r.lvl AS lvl1, r.tr AS tr1, r.sn AS sn1, r.t AS t1, s.y,
+        |      r.sn[CAST(r.t % 7 AS INT) + 1] AS si,
+        |      (2 * (s.y - r.sn[CAST(r.t % 7 AS INT) + 1])) // 10
+        |        + (8 * (r.lvl + r.tr)) // 10 AS lvl2
+        |    FROM rec r JOIN ser s ON s.event_type = r.event_type AND s.t = r.t) x),
+        |fin AS (SELECT r.* FROM rec r JOIN n USING (event_type) WHERE r.t = n.nt)
+        |SELECT f.event_type, CAST(h.h AS INT) AS horizon,
+        |  f.lvl + h.h * f.tr + f.sn[CAST((f.t + h.h - 1) % 7 AS INT) + 1] AS forecast_e6
+        |FROM fin f CROSS JOIN (SELECT UNNEST(range(1, 8)) AS h) h""".stripMargin,
 
     "ev_survival_hazard" ->
       """WITH life AS (SELECT user_id,
@@ -8361,6 +8476,118 @@ object SparkEntry {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes, TRUE AS nodes_ok,
         |  TRUE AS pos_ok, TRUE AS bound_ok
         |FROM embeddings""".stripMargin,
+
+    // full replay of the 2-layer greedy walk: entry reps seed the beam -> 4 unrolled
+    // expand-and-keep-beam-8 hops over the global exact k=8 NN graph; deterministic
+    // because sims are compared raw (both engines compute the identical double) and
+    // ties break on node id
+    "emb_graph_search" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS s
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |knn AS (SELECT src, dst FROM p
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) <= 8),
+        |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 16),
+        |ev AS (SELECT vec_id AS node_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+        |reps AS (SELECT MIN(vec_id) AS node_id FROM embeddings GROUP BY label),
+        |s0 AS (SELECT q.query_id, r.node_id, list_cosine_similarity(q.qv, ev.nv) AS s
+        |  FROM q CROSS JOIN reps r JOIN ev ON ev.node_id = r.node_id),
+        |v0 AS (SELECT query_id, node_id FROM s0
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, node_id) <= 8),
+        |c1 AS (SELECT DISTINCT query_id, node_id FROM (
+        |    SELECT query_id, node_id FROM v0
+        |    UNION ALL SELECT v0.query_id, k.dst AS node_id FROM v0 JOIN knn k ON k.src = v0.node_id
+        |  ) u),
+        |s1 AS (SELECT c.query_id, c.node_id, list_cosine_similarity(q.qv, ev.nv) AS s
+        |  FROM c1 c JOIN q USING (query_id) JOIN ev USING (node_id)),
+        |v1 AS (SELECT query_id, node_id FROM s1
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, node_id) <= 8),
+        |c2 AS (SELECT DISTINCT query_id, node_id FROM (
+        |    SELECT query_id, node_id FROM v1
+        |    UNION ALL SELECT v1.query_id, k.dst AS node_id FROM v1 JOIN knn k ON k.src = v1.node_id
+        |  ) u),
+        |s2 AS (SELECT c.query_id, c.node_id, list_cosine_similarity(q.qv, ev.nv) AS s
+        |  FROM c2 c JOIN q USING (query_id) JOIN ev USING (node_id)),
+        |v2 AS (SELECT query_id, node_id FROM s2
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, node_id) <= 8),
+        |c3 AS (SELECT DISTINCT query_id, node_id FROM (
+        |    SELECT query_id, node_id FROM v2
+        |    UNION ALL SELECT v2.query_id, k.dst AS node_id FROM v2 JOIN knn k ON k.src = v2.node_id
+        |  ) u),
+        |s3 AS (SELECT c.query_id, c.node_id, list_cosine_similarity(q.qv, ev.nv) AS s
+        |  FROM c3 c JOIN q USING (query_id) JOIN ev USING (node_id)),
+        |v3 AS (SELECT query_id, node_id FROM s3
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, node_id) <= 8),
+        |c4 AS (SELECT DISTINCT query_id, node_id FROM (
+        |    SELECT query_id, node_id FROM v3
+        |    UNION ALL SELECT v3.query_id, k.dst AS node_id FROM v3 JOIN knn k ON k.src = v3.node_id
+        |  ) u),
+        |s4 AS (SELECT c.query_id, c.node_id, list_cosine_similarity(q.qv, ev.nv) AS s
+        |  FROM c4 c JOIN q USING (query_id) JOIN ev USING (node_id)),
+        |v4 AS (SELECT query_id, node_id, s FROM s4
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, node_id) <= 8)
+        |SELECT query_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, node_id) AS INT) AS ord,
+        |  node_id, ROUND(s, 4) AS sim_r
+        |FROM v4 WHERE node_id <> query_id""".stripMargin,
+
+    "emb_graph_search_recall" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS s
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |knn AS (SELECT src, dst FROM p
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) <= 8),
+        |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 16),
+        |ev AS (SELECT vec_id AS node_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+        |reps AS (SELECT MIN(vec_id) AS node_id FROM embeddings GROUP BY label),
+        |s0 AS (SELECT q.query_id, r.node_id, list_cosine_similarity(q.qv, ev.nv) AS s
+        |  FROM q CROSS JOIN reps r JOIN ev ON ev.node_id = r.node_id),
+        |v0 AS (SELECT query_id, node_id FROM s0
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, node_id) <= 8),
+        |c1 AS (SELECT DISTINCT query_id, node_id FROM (
+        |    SELECT query_id, node_id FROM v0
+        |    UNION ALL SELECT v0.query_id, k.dst AS node_id FROM v0 JOIN knn k ON k.src = v0.node_id
+        |  ) u),
+        |s1 AS (SELECT c.query_id, c.node_id, list_cosine_similarity(q.qv, ev.nv) AS s
+        |  FROM c1 c JOIN q USING (query_id) JOIN ev USING (node_id)),
+        |v1 AS (SELECT query_id, node_id FROM s1
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, node_id) <= 8),
+        |c2 AS (SELECT DISTINCT query_id, node_id FROM (
+        |    SELECT query_id, node_id FROM v1
+        |    UNION ALL SELECT v1.query_id, k.dst AS node_id FROM v1 JOIN knn k ON k.src = v1.node_id
+        |  ) u),
+        |s2 AS (SELECT c.query_id, c.node_id, list_cosine_similarity(q.qv, ev.nv) AS s
+        |  FROM c2 c JOIN q USING (query_id) JOIN ev USING (node_id)),
+        |v2 AS (SELECT query_id, node_id FROM s2
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, node_id) <= 8),
+        |c3 AS (SELECT DISTINCT query_id, node_id FROM (
+        |    SELECT query_id, node_id FROM v2
+        |    UNION ALL SELECT v2.query_id, k.dst AS node_id FROM v2 JOIN knn k ON k.src = v2.node_id
+        |  ) u),
+        |s3 AS (SELECT c.query_id, c.node_id, list_cosine_similarity(q.qv, ev.nv) AS s
+        |  FROM c3 c JOIN q USING (query_id) JOIN ev USING (node_id)),
+        |v3 AS (SELECT query_id, node_id FROM s3
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, node_id) <= 8),
+        |c4 AS (SELECT DISTINCT query_id, node_id FROM (
+        |    SELECT query_id, node_id FROM v3
+        |    UNION ALL SELECT v3.query_id, k.dst AS node_id FROM v3 JOIN knn k ON k.src = v3.node_id
+        |  ) u),
+        |s4 AS (SELECT c.query_id, c.node_id, list_cosine_similarity(q.qv, ev.nv) AS s
+        |  FROM c4 c JOIN q USING (query_id) JOIN ev USING (node_id)),
+        |v4 AS (SELECT query_id, node_id FROM s4
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, node_id) <= 8),
+        |exact AS (SELECT q.query_id, ev.node_id
+        |  FROM q JOIN ev ON ev.node_id <> q.query_id
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.query_id
+        |    ORDER BY list_cosine_similarity(q.qv, ev.nv) DESC, ev.node_id) = 1),
+        |found AS (SELECT e.query_id FROM exact e
+        |  JOIN v4 w ON w.query_id = e.query_id AND w.node_id = e.node_id)
+        |SELECT (SELECT COUNT(*) FROM q) AS n_queries,
+        |  (SELECT COUNT(*) FROM found) AS n_top1_found""".stripMargin,
 
     "emb_knn_label_eval" ->
       """WITH q AS (SELECT vec_id AS anchor_id, embedding, label FROM embeddings WHERE vec_id < 64),

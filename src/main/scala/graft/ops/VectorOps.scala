@@ -642,6 +642,90 @@ object VectorOps {
   }
 
   /**
+   * Graph-walk ANN: hierarchical greedy beam search over a prebuilt kNN graph — the
+   * third approximate-similarity family next to the partition-based (IVF) and
+   * hash-based (LSH) paths, after Malkov & Yashunin's HNSW (TPAMI 2018) reduced to two
+   * layers: a coarse entry layer (one representative per block — the min-id node, the
+   * analogue of HNSW's sparse upper layer) and the base kNN graph. Per query the walk
+   * scores the entry representatives, seeds the beam with the best `beam` of them,
+   * then runs `hops` rounds of expand-neighbors → keep the `beam` best (ties on id),
+   * carrying the beam forward so the search can never regress.
+   *
+   * Scale shape: ONCE the graph is built, per-query work is O(hops · beam · k) vector
+   * comparisons — independent of corpus size N; that independence is the entire reason
+   * graph ANN wins at billion scale. Each hop is an id-only join of the (tiny) beam
+   * against the k·N edge list (shuffled on src — at 100 TB the edge list is bucketed
+   * by src so hops probe co-located partitions), plus one vector join to score new
+   * candidates. The beam table (≤ beam · |queries| rows) is localCheckpointed per hop:
+   * it feeds both the expansion and the carry-forward union, and the lineage cut keeps
+   * hop h from re-running hops 1..h-1.
+   *
+   * The default graph is the EXACT global kNN (all-pairs, demo-scale — it is also what
+   * makes the walk end-to-end oracle-replayable); at scale pass `edgesOverride` =
+   * [[knnEdgesQuantized]] (linear-cost construction) — the search is agnostic to how
+   * the graph was built. The graph must NOT be blocked on a key uncorrelated with
+   * similarity: with label-blocked edges on this corpus the true top-1 sits in another
+   * component for 15 of 16 probes and greedy recall collapses to 0 — measured, which
+   * is why the demo builds global edges.
+   */
+  def graphSearch(
+      df: DataFrame,
+      queries: DataFrame,
+      k: Int = 8,
+      beam: Int = 8,
+      hops: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      blockCol: String = "label",
+      edgesOverride: Option[DataFrame] = None): DataFrame = {
+    val edges = edgesOverride.getOrElse {
+      val a = df.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      val b = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      val scored = a.crossJoin(b)
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          VectorFunctions.cosine(col("q_vec"), col("c_vec")).as("sim"))
+      rankTopK(scored, k)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+    }
+      .select(col("src"), col("dst")).localCheckpoint(eager = true)
+    val vecs = df.select(col(idCol).as("node_id"), col(vecCol).as("n_vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    // entry layer: one representative per block (min id) — the sparse upper layer; the
+    // top-`beam` reps seed the beam so the walk starts from several directions at once
+    val reps = df.groupBy(col(blockCol)).agg(min(col(idCol)).as("node_id"))
+      .select(col("node_id"))
+    // self is a legal WAYPOINT (a query that happens to be its block's entry
+    // representative must still enter through its own component) and is excluded only
+    // from the final result set — the standard ANN self-exclusion point
+    var frontier = {
+      val scored = reps.join(vecs, "node_id").crossJoin(broadcast(q))
+        .select(col("query_id"), col("node_id").as("neighbor_id"),
+          VectorFunctions.cosine(col("q_vec"), col("n_vec")).as("sim"))
+      rankTopK(scored, beam).select(col("query_id"), col("neighbor_id").as("node_id"))
+        .localCheckpoint(eager = true)
+    }
+    for (_ <- 1 to hops) {
+      val expanded = frontier.join(edges, frontier("node_id") === edges("src"))
+        .select(col("query_id"), col("dst").as("node_id"))
+      val cands = frontier.select("query_id", "node_id").union(expanded).distinct()
+      val scored = cands.join(vecs, "node_id").join(broadcast(q), "query_id")
+        .select(col("query_id"), col("node_id").as("neighbor_id"),
+          VectorFunctions.cosine(col("q_vec"), col("n_vec")).as("sim"))
+      frontier = rankTopK(scored, beam)
+        .select(col("query_id"), col("neighbor_id").as("node_id"))
+        .localCheckpoint(eager = true)
+    }
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("node_id"))
+    frontier.join(vecs, "node_id").join(broadcast(q), "query_id")
+      .filter(col("node_id") =!= col("query_id"))
+      .select(col("query_id"), col("node_id"),
+        VectorFunctions.cosine(col("q_vec"), col("n_vec")).as("sim"))
+      .withColumn("ord", row_number().over(w))
+      .select(col("query_id"), col("ord"), col("node_id"), round(col("sim"), 4).as("sim_r"))
+  }
+
+  /**
    * Multi-table (OR-amplified) hyperplane-LSH candidate pairs: `nTables` independent plane
    * sets (deterministic seeds), a pair is a candidate if it collides in ANY table. Collision
    * probability per table is p^nPlanes with p = 1 - θ/π, so recall amplifies as

@@ -131,6 +131,37 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r.getAs[Double]("mae") == 0.0 && r.getAs[Double]("mape") == 0.0)
   }
 
+  test("ev_holt_winters: constant series forecasts itself exactly; fold matches JVM reference") {
+    // constant 5/day over 28 days: level = 5e6 exactly, trend/seasons 0 -> every
+    // horizon forecasts 5e6 (all the truncating divisions are exact on multiples of 10)
+    val flat = eventsFixture((0L until 28L).flatMap(d => (0L until 5L).map(u => (u, d))))
+    val f = SparkEntry.queries("ev_holt_winters")(spark, flat).collect()
+    assert(f.length == 7)
+    assert(f.forall(_.getAs[Long]("forecast_e6") == 5000000L), f.toSeq.toString)
+
+    // arbitrary deterministic series vs a JVM reference of the identical recursion
+    val counts = (0L until 21L).map(d => (d * 3 % 5) + 1)
+    val varied = eventsFixture(
+      (0L until 21L).flatMap(d => (0L until counts(d.toInt)).map(u => (u, d))))
+    def hwRef(cs: Seq[Long]): Map[Int, Long] = {
+      val y = cs.map(_ * 1000000L)
+      val lvl0 = y.take(7).sum / 7
+      var lvl = lvl0; var tr = 0L; var t = 7
+      val s = y.take(7).map(_ - lvl0).toArray
+      for (yy <- y.drop(7)) {
+        val i = t % 7; val si = s(i)
+        val l2 = (2 * (yy - si)) / 10 + (8 * (lvl + tr)) / 10
+        val t2 = (l2 - lvl) / 10 + (9 * tr) / 10
+        s(i) = (3 * (yy - l2)) / 10 + (7 * si) / 10
+        lvl = l2; tr = t2; t += 1
+      }
+      (1 to 7).map(h => h -> (lvl + h * tr + s((t + h - 1) % 7))).toMap
+    }
+    val got = SparkEntry.queries("ev_holt_winters")(spark, varied).collect()
+      .map(r => r.getAs[Int]("horizon") -> r.getAs[Long]("forecast_e6")).toMap
+    assert(got == hwRef(counts), s"got $got expected ${hwRef(counts)}")
+  }
+
   test("ev_survival_hazard: everyone active at the end is censored — zero hazard mass") {
     // all users span the full window -> lifespan = max, all censored
     val allActive = eventsFixture((0L until 5L).flatMap(u => Seq((u, 0L), (u, 20L))))

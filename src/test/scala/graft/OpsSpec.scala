@@ -259,6 +259,35 @@ class VectorOpsSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("neighbor_id") != 1L))
   }
 
+  test("graphSearch: 2-layer greedy walk retrieves the exact top-1; self is waypoint not result") {
+    // two well-separated clusters of 5; the global k=4 NN graph keeps each cluster
+    // internally complete, so one hop from an entry rep reaches its whole cluster
+    def v(angleDeg: Double) = {
+      val a = math.toRadians(angleDeg)
+      Array(math.cos(a).toFloat, math.sin(a).toFloat)
+    }
+    val corpus = Seq(
+      (1L, v(0), 0), (2L, v(4), 0), (3L, v(9), 0), (4L, v(15), 0), (5L, v(22), 0),
+      (6L, v(90), 1), (7L, v(94), 1), (8L, v(99), 1), (9L, v(105), 1), (10L, v(112), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val queries = corpus.filter(col("vec_id").isin(1L, 6L, 10L))
+    val out = VectorOps.graphSearch(corpus, queries, k = 4, beam = 4, hops = 3).collect()
+    // no self in results; ord is 1..beam-ish dense per query
+    assert(out.forall(r => r.getAs[Long]("node_id") != r.getAs[Long]("query_id")))
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == Set(1L, 6L, 10L))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("ord")).sorted.toSeq == (1 to rs.length).toSeq)
+    }
+    // the walk's top-1 equals exact brute force for every query (query 1 is itself the
+    // label-0 entry rep — the self-as-waypoint case)
+    val exact = VectorOps.bruteForceTopK(corpus, queries, 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val walkTop = out.filter(_.getAs[Int]("ord") == 1)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("node_id")).toMap
+    assert(walkTop == exact, s"walk $walkTop vs exact $exact")
+  }
+
   test("cosineNearDupPairsExact finds aligned pair within block only") {
     val pairs = VectorOps.cosineNearDupPairsExact(vecs, threshold = 0.9, blockCol = "label")
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
