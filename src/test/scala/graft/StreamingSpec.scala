@@ -818,6 +818,41 @@ class StreamingSpec extends SparkSpec {
     assert(batch == streamed, s"streaming $streamed != batch $batch")
   }
 
+  test("streaming Holt-Winters == batch ev_holt_winters fold across an arbitrary batch split") {
+    import graft.streaming.HoltWinters
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-hw").toString
+    val src = s"$base/src"
+    // 16 days of deterministic nonuniform counts, split mid-series (day 9) — batch 2
+    // also replays day 5 late, which the in-order contract must drop
+    val counts = (0L until 16L).map(d => (d * 3 % 5) + 1)
+    def line(d: Long) = s"""{"event_type":"view","day":$d,"y":${counts(d.toInt)}}"""
+    writeSpool(src, "000.json", (0L until 9L).map(line))
+    writeSpool(src, "001.json", (9L until 16L).map(line) :+ line(5))
+    Files.setLastModifiedTime(Paths.get(src, "001.json"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(Paths.get(src, "000.json")).toMillis + 10000))
+    val daily = spark.readStream.schema("event_type STRING, day LONG, y LONG")
+      .option("maxFilesPerTrigger", "1").json(src).as[HoltWinters.DayCount]
+    val q = HoltWinters.holtWinters(daily).writeStream.format("memory").queryName("hw")
+      .outputMode("update")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val fin = spark.table("hw").collect().maxBy(_.getAs[Long]("n_days"))
+    assert(fin.getAs[Long]("n_days") == 16L)
+    val streamed = fin.getSeq[Long](fin.fieldIndex("forecasts"))
+    // batch twin: same daily counts as an events fixture through the oracle-gated query
+    val evBase = Files.createTempDirectory("graft-hw-batch").toString
+    (0L until 16L).flatMap(d => (0L until counts(d.toInt)).map(u => (u * 100 + d, d)))
+      .map { case (id, d) => (id, new java.sql.Timestamp(d * 86400000L), id, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$evBase/events.parquet")
+    val batch = SparkEntry.queries("ev_holt_winters")(spark, evBase).collect()
+      .sortBy(_.getAs[Int]("horizon")).map(_.getAs[Long]("forecast_e6")).toSeq
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+  }
+
   test("streaming grouping-sets MV == one-shot batch lattice at every batch boundary; replay converges") {
     import graft.streaming.GroupingSetsMv
     val base = Files.createTempDirectory("graft-gsmv").toString
