@@ -680,6 +680,32 @@ class PlanQualitySpec extends SparkSpec {
       s"must run the native 256-cell histogram kernel:\n$p")
   }
 
+  test("emb_graph_search: final walk segment joins the tiny beam via broadcasts only") {
+    // the hops are behind localCheckpoints (each beam is materialized, by design);
+    // the executed plan covers the last re-score: beam (ExistingRDD) gains vectors and
+    // query vectors through BROADCAST joins — the corpus must never shuffle or
+    // cartesian against the walk state
+    val p = plan("emb_graph_search")
+    assert(p.contains("Scan ExistingRDD"), "beam must be the checkpointed walk state")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"vecs and q sides must both broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"no corpus-scale join may appear in the walk segment:\n${p.take(2000)}")
+  }
+
+  test("ev_holt_winters: two exchanges (daily grain, series key), fold rides the projection") {
+    val p = plan("ev_holt_winters")
+    // corpus -> (type, day) counts -> per-type series: exactly the two keyed
+    // exchanges, with map-side partial aggregation below each; the HW recursion is a
+    // per-row `aggregate` in the projection — no window, no third shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"expected exactly 2 keyed exchanges:\n${p.take(2000)}")
+    assert(p.contains("partial_count") && p.contains("partial_collect_list"),
+      "both aggregations must combine map-side")
+    assert(!p.contains("Window"), "the fold must not be a window")
+    assert(!p.contains("user_id"), "scan must prune to ts+event_type")
+  }
+
   test("q9_product_profit: LIKE-pruned part semi-join and both dims broadcast") {
     val p = plan("q9_product_profit")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
