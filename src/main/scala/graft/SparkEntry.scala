@@ -3821,6 +3821,32 @@ object SparkEntry {
           (col("__mh") <= col("__sa")).as("bound_ok"))
     }),
 
+    // the SCALE form of the graph walk: edges from the TRAINED quantizer
+    // (knnEdgesQuantized — linear-cost construction) instead of the exact all-pairs
+    // demo graph; trained edges can't hash-match a DuckDB replay, so the gate is the
+    // verdict row (ANN-gate idiom): n_queries exact, walk recall vs the in-Spark
+    // exact top-1 above a floor, and the candidate bound that makes graph search
+    // graph-size-independent — the final beam can never exceed `beam` per query
+    "emb_graph_search_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 16)
+      val edges = VectorOps.knnEdgesQuantized(e, k = 8, nProbe = 6)
+      val walk = VectorOps.graphSearch(e, qs, k = 8, beam = 8, hops = 4,
+          edgesOverride = Some(edges))
+        .select(col("query_id"), col("node_id"))
+      val exact = VectorOps.bruteForceTopK(e, qs, 1)
+        .select(col("query_id"), col("neighbor_id").as("node_id"))
+      val hits = exact.join(walk, Seq("query_id", "node_id"), "left_semi")
+        .agg(count(lit(1)).as("__h"))
+      val beamMax = walk.groupBy("query_id").agg(count(lit(1)).as("__b"))
+        .agg(max(col("__b")).as("__bmax"))
+      val nQ = qs.agg(count(lit(1)).as("__nq"))
+      hits.crossJoin(beamMax).crossJoin(nQ).select(
+        col("__nq").as("n_queries"),
+        (col("__h") * 2 >= col("__nq")).as("recall_ok"),
+        (col("__bmax") <= 8L).as("bounded_ok"))
+    }),
+
     "emb_hard_negatives" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       VectorOps.hardNegatives(e, e.filter(col("vec_id") < 8))
@@ -8476,6 +8502,11 @@ object SparkEntry {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes, TRUE AS nodes_ok,
         |  TRUE AS pos_ok, TRUE AS bound_ok
         |FROM embeddings""".stripMargin,
+
+    "emb_graph_search_ivf" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok,
+        |  TRUE AS bounded_ok
+        |FROM embeddings WHERE vec_id < 16""".stripMargin,
 
     // full replay of the 2-layer greedy walk: entry reps seed the beam -> 4 unrolled
     // expand-and-keep-beam-8 hops over the global exact k=8 NN graph; deterministic
