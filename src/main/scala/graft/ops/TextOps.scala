@@ -357,6 +357,42 @@ object TextOps {
    * is bit-identical across engines; a single log10 with no summation needs no decimal
    * quantization.
    */
+  /**
+   * TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): PageRank over the
+   * word co-occurrence graph. Vocabulary = tokens with corpus count ≥ `minCount`
+   * (bounds the graph at the frequent-vocab size however large the corpus); edges =
+   * distinct UNDIRECTED adjacent-token pairs within that vocabulary (window 2, the
+   * paper's default); ranking = [[GraphOps.pageRank]]'s fixed-point integer recursion
+   * — every rank an exact BIGINT both engines reproduce bit-for-bit, ties on token.
+   *
+   * Scale shape: tokenize is the one corpus scan; everything after runs on
+   * vocabulary/pair tables bounded by the frequent vocab (Heaps-law sublinear in
+   * corpus size). Top-k selection is a sort-limit on the (tiny, post-aggregation)
+   * rank table, not a corpus operation.
+   */
+  def textRank(df: DataFrame, minCount: Long = 5, topK: Int = 50,
+      textCol: String = "text"): DataFrame = {
+    val toksDf = df.select(tokensCol(col(textCol)).as("__toks"))
+    val freq = toksDf.select(explode(col("__toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+    val pairs = toksDf
+      .select(explode(TextFunctions.shingles(col("__toks"), 2)).as("pair"))
+      .withColumn("a", split(col("pair"), " ").getItem(0))
+      .withColumn("b", split(col("pair"), " ").getItem(1))
+      .filter(col("a") =!= col("b"))
+      .join(freq.select(col("tok").as("a")), "a")
+      .join(freq.select(col("tok").as("b")), "b")
+      .select("a", "b")
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst"))).distinct()
+    GraphOps.pageRank(edges, iters = 3, dampingPct = 85)
+      .join(freq.select(col("tok").as("id"), col("c")), "id")
+      .orderBy(col("rank_e12").desc, col("id"))
+      .limit(topK)
+      .select(col("id").as("token"), col("rank_e12"), col("c").as("n_occurrences"))
+  }
+
   def pmiPairs(df: DataFrame, minCount: Long = 5, textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
     val toksDf = df.select(tokensCol(col(textCol)).as("__toks"))
