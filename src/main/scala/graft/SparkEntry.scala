@@ -3731,6 +3731,19 @@ object SparkEntry {
       graft.ops.GraphOps.labelPropagation(edges, rounds = 3)
     }),
 
+    // Connected components on the co-purchase graph via large-star/small-star
+    // contraction (O(log n) rounds regardless of diameter — THE cluster-scale CC).
+    // The Spark side runs to a VERIFIED fixed point (every input edge's endpoints
+    // must agree, or it throws), so the fixed-round pointer-jumping oracle can't
+    // silently co-converge on a wrong answer: oracle under-convergence = loud
+    // hash mismatch, never a false pass.
+    "q_basket_components" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val edges = graft.ops.GraphOps.coOccurrenceEdges(li, "l_orderkey", "l_partkey",
+        minCount = 2)
+      graft.ops.GraphOps.connectedComponentsStar(edges)
+    }),
+
     // one auditable Lloyd step of spherical k-means: broadcast seeds, argmax-cosine
     // assignment into a 1-bounded heap, (cluster, dim) mean cells with DECIMAL(18,8)
     // per-term quantization — the training loop is this operator iterated
@@ -4954,6 +4967,26 @@ object SparkEntry {
       |WHERE CAST(p.inter AS DOUBLE)/(sa.n + sb.n - p.inter) >= $threshold""".stripMargin
 
   private val jaccardPairsOracle = jaccardPairsOracleAt(0.2)
+
+  /** Unrolled shortcut+hook min-label CC oracle over the co-purchase graph: round k
+    * takes LEAST(own label, min neighbor label, label-of-label). See
+    * `q_basket_components` for the convergence-margin argument. */
+  private def ccStarOracle(rounds: Int): String = {
+    val body = (1 to rounds).map { k =>
+      val p = s"l${k - 1}"
+      s"""c$k AS MATERIALIZED (SELECT e.u AS id, MIN(p.lab) AS nl FROM sym e JOIN $p p ON p.id = e.v GROUP BY 1),
+         |j$k AS MATERIALIZED (SELECT p.id, q.lab AS jl FROM $p p JOIN $p q ON q.id = p.lab),
+         |l$k AS MATERIALIZED (SELECT p.id, LEAST(p.lab, COALESCE(c.nl, p.lab), COALESCE(j.jl, p.lab)) AS lab
+         |  FROM $p p LEFT JOIN c$k c ON c.id = p.id LEFT JOIN j$k j ON j.id = p.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT a.pk AS u, b.pk AS v FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |sym AS MATERIALIZED (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+       |l0 AS MATERIALIZED (SELECT u AS id, LEAST(u, MIN(v)) AS lab FROM sym GROUP BY 1),
+       |$body
+       |SELECT id, lab AS component_id FROM l$rounds""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
 
@@ -8410,6 +8443,15 @@ object SparkEntry {
         |k8 AS MATERIALIZED (SELECT u FROM u7 GROUP BY 1 HAVING COUNT(*) >= 2),
         |u8 AS MATERIALIZED (SELECT a.u, a.v FROM u7 a JOIN k8 x ON a.u = x.u JOIN k8 y ON a.v = y.u)
         |SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS degree FROM u8 GROUP BY 1""".stripMargin,
+
+    // min-label propagation with pointer jumping (shortcut + hook-by-min): each round
+    // takes the min over (own label, neighbor labels, label-of-label). The measured
+    // fixpoint depth of this recurrence on the co-purchase graph is 8 rounds at
+    // sf0.01 / 7 at sf0.1 / 3 at sf0.001; 12 unrolled rounds give margin, and the
+    // Spark side is a VERIFIED fixed point (endpoint-agreement assertion), so if
+    // this unroll ever under-converges at a future SF the gate fails LOUDLY with a
+    // hash mismatch — it can never silently co-converge on a wrong answer.
+    "q_basket_components" -> ccStarOracle(rounds = 12),
 
     "q_window_suite" ->
       """SELECT o_orderkey, o_orderpriority,

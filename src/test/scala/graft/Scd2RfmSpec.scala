@@ -413,4 +413,40 @@ class Scd2RfmSpec extends SparkSpec {
     val global = DedupOps.lineDedup(d).orderBy("doc_id").collect()
     assert(global(4).getAs[Long]("n_kept") == 1L)
   }
+
+  test("connectedComponentsStar: chain + triangle + isolated pair label to component minima") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter 4), triangle 10-11-12, pair 20-21
+    val g = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (21L, 20L)).toDF("u", "v")
+    val r = graft.ops.GraphOps.connectedComponentsStar(g).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    assert(r == want, s"labels wrong: $r")
+  }
+
+  test("connectedComponentsStar == min-label duplicateClusters on random + chain graphs (property)") {
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed * 17)
+      val n = 24 + rnd.nextInt(12)
+      // sparse random edges (fragments into several components) + one long chain
+      // segment (the high-diameter shape min-label is slow on and star-contraction
+      // exists to handle)
+      val rand = (for {
+        u <- 0L until n
+        v <- (u + 1) until n if rnd.nextDouble() < 0.04
+      } yield (u, v)).distinct
+      val chainBase = n + 1L
+      val chain = (0L until 10L).map(i => (chainBase + i, chainBase + i + 1))
+      val edges = rand ++ chain
+      val got = graft.ops.GraphOps.connectedComponentsStar(edges.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ref = DedupOps.duplicateClusters(
+          edges.toDF("id_a", "id_b"), maxIters = 64)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == ref, s"seed=$seed got=$got ref=$ref")
+    }
+  }
 }
