@@ -3701,6 +3701,117 @@ object SparkEntry {
           round((col("__s") / col("__k")) / 10000.0, 6).as("slope_per_day"))
     }),
 
+    // Mann-Kendall trend test over the daily revenue series — the SIGNIFICANCE
+    // companion to ev_theil_sen's Sen slope (the standard pairing for monotone-trend
+    // detection): S = Σ_{i<j} sign(y_j − y_i) is an exact integer over the day-pair
+    // table (bounded by days², never events), the tie-corrected variance ships as the
+    // exact integer var18 = 18·Var(S), and z is one fixed-operand-order double
+    // expression. The pair join is the same series-sized shape as ev_theil_sen.
+    "ev_mann_kendall" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(dec(col("value"), 18, 4)).as("__rev"))
+        .select(datediff(col("day"), lit("1970-01-01")).cast("long").as("d"),
+          (col("__rev") * 10000).cast("long").as("y"))
+      val sAgg = daily.as("a").join(daily.as("b"), col("a.d") < col("b.d"))
+        .agg(sum(when(col("b.y") > col("a.y"), 1L)
+          .when(col("b.y") < col("a.y"), -1L).otherwise(0L)).as("s"))
+      val ties = daily.groupBy("y").agg(count(lit(1)).as("__t"))
+        .agg(coalesce(sum(col("__t") * (col("__t") - 1) * (col("__t") * 2 + 5)), lit(0L))
+          .as("__tsum"))
+      daily.agg(count(lit(1)).as("n_days")).crossJoin(sAgg).crossJoin(ties)
+        .select(col("n_days"), col("s").cast("long").as("s"),
+          (col("n_days") * (col("n_days") - 1) * (col("n_days") * 2 + 5) - col("__tsum"))
+            .cast("long").as("var18"))
+        .select(col("n_days"), col("s"), col("var18"),
+          round(when(col("s") > 0,
+              (col("s") - 1).cast(DoubleType) / sqrt(col("var18") / lit(18.0)))
+            .when(col("s") < 0,
+              (col("s") + 1).cast(DoubleType) / sqrt(col("var18") / lit(18.0)))
+            .otherwise(lit(0.0)), 6).as("z"))
+    }),
+
+    // Pettitt change-point test (Pettitt 1979) on the daily revenue series: with
+    // DOUBLED midranks every U_t = Σ_{i≤t} rank2_i − t·(n+1) is an exact integer;
+    // the change day is argmax |U_t| (ties → earliest day), K ships exact, and the
+    // exponent of the p-value approximation is the exact scaled integer
+    // neg_log_e6 = (6·K²·10⁶) // (n³+n²) — p itself is exp of that quantized value,
+    // so the only cross-engine float op runs on identical inputs.
+    "ev_pettitt" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(dec(col("value"), 18, 4)).as("__rev"))
+        .select(datediff(col("day"), lit("1970-01-01")).cast("long").as("d"),
+          (col("__rev") * 10000).cast("long").as("y"))
+      val ranked = daily
+        .withColumn("__rk", rank().over(Window.orderBy(col("y"))))
+        .withColumn("__eq", count(lit(1)).over(Window.partitionBy(col("y"))))
+        .select(col("d"), (col("__rk") * 2 - 2 + col("__eq") + 1).cast("long").as("__r2"))
+      val wd = Window.orderBy(col("d"))
+      val u = ranked
+        .select(col("d"), row_number().over(wd).cast("long").as("__i"),
+          sum(col("__r2")).over(wd.rowsBetween(Window.unboundedPreceding, 0)).as("__cum"))
+        .crossJoin(daily.agg(count(lit(1)).as("n_days")))
+        .filter(col("__i") < col("n_days"))
+        .select(col("n_days"), col("d"),
+          (col("__cum") - col("__i") * (col("n_days") + 1)).cast("long").as("__u"))
+      u.orderBy(abs(col("__u")).desc, col("d")).limit(1)
+        .select(col("n_days"), col("d").as("change_d"), abs(col("__u")).as("k_abs"))
+        .withColumn("neg_log_e6",
+          expr("(6 * k_abs * k_abs * 1000000) div (n_days*n_days*n_days + n_days*n_days)"))
+        .withColumn("p_value",
+          round(exp(-col("neg_log_e6") / lit(1000000.0)), 6))
+    }),
+
+    // Kruskal-Wallis H across ALL FIVE event types on the e4 value grid — the k-group
+    // generalization of ev_mannwhitney (exact doubled rank sums + tie moment on the
+    // bounded score grid; per-group H terms DECIMAL(38,6)-quantized before the
+    // cross-group sum). See MlOps.kruskalWallis.
+    "ev_kruskal_wallis" -> ((s, dir) =>
+      MlOps.kruskalWallis(
+        t(s, dir, "events").filter(col("value").isNotNull)
+          .select((dec(col("value"), 18, 4) * 10000).cast("long").as("s"),
+            col("event_type")),
+        "s", "event_type")),
+
+    // Lagged cross-correlation (CCF) between the view and purchase daily-count
+    // series at lags −7..7 — "does one series lead the other?", the attribution
+    // screen before any causal claim. Same N-scaled centering as ev_acf
+    // (u = n·x − Σx), so every numerator is an exact integer fold; the denominator
+    // is fixed across lags (full-series variances) and r is one double division.
+    "ev_ccf" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      val tot = daily.agg(count(lit(1)).as("__n"),
+        sum(col("x")).cast("long").as("__sx"), sum(col("y")).cast("long").as("__sy"))
+      val w = Window.orderBy(col("day"))
+      val u = daily.crossJoin(tot)
+        .select(col("day"), (col("__n") * col("x") - col("__sx")).cast("long").as("ux"),
+          (col("__n") * col("y") - col("__sy")).cast("long").as("uy"))
+      val withLeads = u.select(
+        (Seq(col("ux"), col("uy"))
+          ++ (1 to 7).map(k => lead(col("ux"), k).over(w).as(s"ux$k"))
+          ++ (1 to 7).map(k => lead(col("uy"), k).over(w).as(s"uy$k"))): _*)
+      val terms = withLeads.select(expr(
+        "stack(15, " +
+          (-7 to 7).map {
+            case k if k < 0 => s"$k, uy * ux${-k}"
+            case 0          => "0, ux * uy"
+            case k          => s"$k, ux * uy$k"
+          }.mkString(", ") + ")").as(Seq("lag", "prod")))
+      terms.groupBy(col("lag"))
+        .agg(sum(col("prod")).cast("long").as("num"))
+        .crossJoin(u.agg(sum(col("ux") * col("ux")).cast("long").as("__dx"),
+          sum(col("uy") * col("uy")).cast("long").as("__dy")))
+        .select(col("lag"), col("num"),
+          round(col("num").cast(DoubleType)
+            / sqrt(col("__dx").cast(DoubleType) * col("__dy").cast(DoubleType)), 6)
+            .as("ccf"))
+    }),
+
     // Entity resolution over the vocabulary-bounded distinct-name dictionary: block on
     // the first name token (the classic ER blocking key), score within-block pairs with
     // the NATIVE Jaro-Winkler expression (DuckDB-parity semantics — see
@@ -3742,6 +3853,64 @@ object SparkEntry {
       val edges = graft.ops.GraphOps.coOccurrenceEdges(li, "l_orderkey", "l_partkey",
         minCount = 2)
       graft.ops.GraphOps.connectedComponentsStar(edges)
+    }),
+
+    // Item-item collaborative filtering: top-3 co-purchase neighbors per part by
+    // cosine² — score_e6 = n_ab²·10⁶ // (n_a·n_b) is an EXACT integer, so both the
+    // ranking and its ties (part_b asc) are engine-identical with no float compare.
+    // Scale shape: the support-floored pair table shuffles (part, part, count)
+    // digests only; the per-item top-k is one window over that bounded table.
+    "q_item_cf" -> ((s, dir) => {
+      val pp = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val item = pp.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+      val pairs = pp.join(pp.select(col("ok"), col("pk").as("pk2")), "ok")
+        .filter(col("pk") < col("pk2"))
+        .groupBy(col("pk"), col("pk2")).agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+      val sym = pairs.select(col("pk").as("part_a"), col("pk2").as("part_b"), col("n_ab"))
+        .union(pairs.select(col("pk2").as("part_a"), col("pk").as("part_b"), col("n_ab")))
+      val scored = sym
+        .join(item.select(col("pk").as("part_a"), col("c").as("n_a")), "part_a")
+        .join(item.select(col("pk").as("part_b"), col("c").as("n_b")), "part_b")
+        .withColumn("score_e6", expr("(n_ab * n_ab * 1000000) div (n_a * n_b)"))
+      scored.withColumn("__rn", row_number().over(
+          Window.partitionBy(col("part_a")).orderBy(col("score_e6").desc, col("part_b"))))
+        .filter(col("__rn") <= 3)
+        .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
+          col("score_e6").cast("long").as("score_e6"))
+    }),
+
+    // Apriori level-3 (Agrawal & Srikant 1994) over BRAND baskets: frequent triples
+    // generated ONLY through frequent-pair joins — support monotonicity bounds the
+    // candidate space by the frequent-pair table, never the item-triple cube; the
+    // pruning path cannot change the answer (every floor-support triple has all
+    // sub-pairs at the floor), which is exactly what lets the unpruned oracle replay
+    // it. Brand grain (25-value dimension) keeps support scale-stable where raw
+    // part-level triples go empty as the catalog outgrows the order count.
+    "q_basket_triples" -> ((s, dir) => {
+      val pp = t(s, dir, "lineitem")
+        .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("pk")).distinct()
+      val fp = pp.join(pp.select(col("ok"), col("pk").as("pk2")), "ok")
+        .filter(col("pk") < col("pk2"))
+        .groupBy(col("pk"), col("pk2")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") >= 20)
+        .select(col("pk").as("a"), col("pk2").as("b"))
+      val occAB = pp.select(col("ok"), col("pk").as("a"))
+        .join(pp.select(col("ok"), col("pk").as("b")), "ok")
+        .filter(col("a") < col("b"))
+        .join(fp, Seq("a", "b"), "left_semi")
+      val withC = occAB.join(pp.select(col("ok"), col("pk").as("c")), "ok")
+        .filter(col("b") < col("c"))
+        .join(fp.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+        .join(fp.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"), "left_semi")
+      withC.groupBy(col("a"), col("b"), col("c"))
+        .agg(count(lit(1)).as("n_abc"))
+        .filter(col("n_abc") >= 20)
+        .select(col("a").as("brand_a"), col("b").as("brand_b"), col("c").as("brand_c"),
+          col("n_abc"))
     }),
 
     // one auditable Lloyd step of spherical k-means: broadcast seeds, argmax-cosine
@@ -8495,6 +8664,124 @@ object SparkEntry {
         |FROM ranked, n
         |WHERE rn = (n.n + 1) // 2 OR rn = (n.n + 2) // 2
         |GROUP BY 1""".stripMargin,
+
+    "ev_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+        |sg AS (SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM daily a JOIN daily b ON a.d < b.d),
+        |ties AS (SELECT CAST(COALESCE(SUM(t*(t-1)*(t*2+5)), 0) AS BIGINT) AS tsum FROM
+        |  (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY y)),
+        |v AS (SELECT n.n_days, sg.s,
+        |  CAST(n.n_days*(n.n_days-1)*(n.n_days*2+5) - ties.tsum AS BIGINT) AS var18
+        |  FROM n, sg, ties)
+        |SELECT n_days, s, var18,
+        |  ROUND(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / SQRT(var18 / 18.0)
+        |             WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / SQRT(var18 / 18.0)
+        |             ELSE 0.0 END, 6) AS z
+        |FROM v""".stripMargin,
+
+    "ev_pettitt" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+        |rk AS (SELECT d, CAST(RANK() OVER (ORDER BY y) * 2 - 2
+        |    + COUNT(*) OVER (PARTITION BY y) + 1 AS BIGINT) AS r2 FROM daily),
+        |u AS (SELECT d, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS i,
+        |  CAST(SUM(r2) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM rk),
+        |uu AS (SELECT n.n_days, u.d, CAST(u.cum - u.i * (n.n_days + 1) AS BIGINT) AS uv
+        |  FROM u, n WHERE u.i < n.n_days),
+        |best AS (SELECT n_days, d AS change_d, CAST(ABS(uv) AS BIGINT) AS k_abs
+        |  FROM uu ORDER BY ABS(uv) DESC, d LIMIT 1)
+        |SELECT n_days, change_d, k_abs,
+        |  CAST((6 * k_abs * k_abs * 1000000) // (n_days*n_days*n_days + n_days*n_days) AS BIGINT) AS neg_log_e6,
+        |  ROUND(EXP(-(CAST((6 * k_abs * k_abs * 1000000) // (n_days*n_days*n_days + n_days*n_days) AS BIGINT) / 1000000.0)), 6) AS p_value
+        |FROM best""".stripMargin,
+
+    "ev_kruskal_wallis" ->
+      """WITH sc AS (SELECT CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS s, event_type AS g
+        |  FROM events WHERE value IS NOT NULL),
+        |gc AS (SELECT s, g, CAST(COUNT(*) AS BIGINT) AS c FROM sc GROUP BY 1, 2),
+        |ps AS (SELECT s, CAST(SUM(c) AS BIGINT) AS t FROM gc GROUP BY 1),
+        |rk AS (SELECT s, t, CAST(COALESCE(SUM(t) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2 + t + 1 AS BIGINT) AS r2 FROM ps),
+        |pg AS (SELECT gc.g, CAST(SUM(gc.c) AS BIGINT) AS ng,
+        |  CAST(SUM(CAST(gc.c AS DECIMAL(38,0)) * rk.r2) AS DECIMAL(38,0)) AS r2sum
+        |  FROM gc JOIN rk ON gc.s = rk.s GROUP BY 1),
+        |tm AS (SELECT CAST(SUM(CAST(t AS DECIMAL(38,0))*t*t - t) AS DECIMAL(38,0)) AS tie3,
+        |  CAST(SUM(t) AS BIGINT) AS n FROM ps),
+        |terms AS (SELECT g, ng,
+        |  CAST(CAST(r2sum AS DOUBLE) * CAST(r2sum AS DOUBLE) / (4.0 * ng) AS DECIMAL(38,6)) AS term FROM pg),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, SUM(term) AS tt FROM terms)
+        |SELECT tm.n, agg.k, CAST(tm.tie3 AS BIGINT) AS tie3,
+        |  ROUND(12.0 * CAST(agg.tt AS DOUBLE) / tm.n / (tm.n + 1) - 3.0 * (tm.n + 1), 6) AS h,
+        |  ROUND((12.0 * CAST(agg.tt AS DOUBLE) / tm.n / (tm.n + 1) - 3.0 * (tm.n + 1))
+        |    / (1.0 - CAST(tm.tie3 AS DOUBLE) / (CAST(tm.n AS DOUBLE) * tm.n * tm.n - tm.n)), 6) AS h_corrected
+        |FROM agg, tm""".stripMargin,
+
+    "ev_ccf" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |  CAST(SUM(y) AS BIGINT) AS sy FROM daily),
+        |u AS (SELECT day, CAST(tot.n * x - tot.sx AS BIGINT) AS ux,
+        |  CAST(tot.n * y - tot.sy AS BIGINT) AS uy FROM daily, tot),
+        |leads AS (SELECT ux, uy,
+        |  lead(ux, 1) OVER (ORDER BY day) AS ux1, lead(ux, 2) OVER (ORDER BY day) AS ux2,
+        |  lead(ux, 3) OVER (ORDER BY day) AS ux3, lead(ux, 4) OVER (ORDER BY day) AS ux4,
+        |  lead(ux, 5) OVER (ORDER BY day) AS ux5, lead(ux, 6) OVER (ORDER BY day) AS ux6,
+        |  lead(ux, 7) OVER (ORDER BY day) AS ux7,
+        |  lead(uy, 1) OVER (ORDER BY day) AS uy1, lead(uy, 2) OVER (ORDER BY day) AS uy2,
+        |  lead(uy, 3) OVER (ORDER BY day) AS uy3, lead(uy, 4) OVER (ORDER BY day) AS uy4,
+        |  lead(uy, 5) OVER (ORDER BY day) AS uy5, lead(uy, 6) OVER (ORDER BY day) AS uy6,
+        |  lead(uy, 7) OVER (ORDER BY day) AS uy7 FROM u),
+        |den AS (SELECT CAST(SUM(ux * ux) AS BIGINT) AS dx, CAST(SUM(uy * uy) AS BIGINT) AS dy FROM u),
+        |pr AS (
+        |  SELECT -7 AS lag, uy * ux7 AS prod FROM leads UNION ALL
+        |  SELECT -6, uy * ux6 FROM leads UNION ALL
+        |  SELECT -5, uy * ux5 FROM leads UNION ALL
+        |  SELECT -4, uy * ux4 FROM leads UNION ALL
+        |  SELECT -3, uy * ux3 FROM leads UNION ALL
+        |  SELECT -2, uy * ux2 FROM leads UNION ALL
+        |  SELECT -1, uy * ux1 FROM leads UNION ALL
+        |  SELECT 0, ux * uy FROM leads UNION ALL
+        |  SELECT 1, ux * uy1 FROM leads UNION ALL
+        |  SELECT 2, ux * uy2 FROM leads UNION ALL
+        |  SELECT 3, ux * uy3 FROM leads UNION ALL
+        |  SELECT 4, ux * uy4 FROM leads UNION ALL
+        |  SELECT 5, ux * uy5 FROM leads UNION ALL
+        |  SELECT 6, ux * uy6 FROM leads UNION ALL
+        |  SELECT 7, ux * uy7 FROM leads)
+        |SELECT lag, num, ROUND(CAST(num AS DOUBLE) / SQRT(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 6) AS ccf
+        |FROM (SELECT lag, CAST(SUM(prod) AS BIGINT) AS num FROM pr GROUP BY 1), den""".stripMargin,
+
+    "q_item_cf" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |item AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS c FROM pp GROUP BY 1),
+        |pr AS (SELECT a.pk AS pa, b.pk AS pb, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |sym AS (SELECT pa AS part_a, pb AS part_b, n_ab FROM pr
+        |  UNION ALL SELECT pb, pa, n_ab FROM pr),
+        |sc AS (SELECT s.part_a, s.part_b, s.n_ab, ia.c AS n_a, ib.c AS n_b,
+        |  CAST((s.n_ab * s.n_ab * 1000000) // (ia.c * ib.c) AS BIGINT) AS score_e6
+        |  FROM sym s JOIN item ia ON s.part_a = ia.pk JOIN item ib ON s.part_b = ib.pk)
+        |SELECT part_a, part_b, n_ab, n_a, n_b, score_e6 FROM sc
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY part_a ORDER BY score_e6 DESC, part_b) <= 3""".stripMargin,
+
+    "q_basket_triples" ->
+      """WITH pp AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS pk
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+        |SELECT a.pk AS brand_a, b.pk AS brand_b, c.pk AS brand_c, CAST(COUNT(*) AS BIGINT) AS n_abc
+        |FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk
+        |JOIN pp c ON b.ok = c.ok AND b.pk < c.pk
+        |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 20""".stripMargin,
 
     "q_er_part_names" ->
       """WITH names AS (SELECT DISTINCT p_name AS name FROM part),

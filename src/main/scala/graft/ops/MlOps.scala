@@ -276,4 +276,54 @@ object MlOps {
         round(col("numer2").cast(DoubleType)
           / (col("n_pos") * col("n_neg") * 2), 6).as("auc"))
   }
+
+  /**
+   * Kruskal-Wallis H test (Kruskal & Wallis 1952) — the k-group generalization of
+   * [[mannWhitney]]: does at least one group's score distribution sit apart?
+   * Same grouped-midrank machinery: state is the (score grid × k groups) table, never
+   * the corpus. Per score s (ascending): doubled midrank `2·cumBefore_s + t_s + 1`,
+   * so every per-group rank sum R2_g = 2·R_g is an EXACT DECIMAL(38,0); the tie
+   * moment Σ(t³−t) likewise. The per-group H term R2_g²/(4·n_g) is computed in IEEE
+   * double (deterministic given the exact R2_g on both engines) and quantized to
+   * DECIMAL(38,6) BEFORE the k-term cross-group sum — the repo's per-term
+   * quantization discipline, so the sum is order-free — and H itself is one
+   * fixed-operand-order double expression:
+   *   H = 12·T/N/(N+1) − 3·(N+1),  H_c = H / (1 − tie3/(N³−N)).
+   *
+   * @return one row: n, k (groups), tie3, h, h_corrected (both ROUND 6)
+   */
+  def kruskalWallis(df: DataFrame, scoreCol: String, groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec38 = DecimalType(38, 0)
+    val g = df.groupBy(col(scoreCol).as("__s"), col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val perScore = g.groupBy("__s").agg(sum("__c").as("__t"))
+    val w = Window.orderBy(col("__s")).rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perScore
+      .withColumn("__cum", coalesce(sum(col("__t")).over(w), lit(0L)))
+      .select(col("__s"), col("__t"), (col("__cum") * 2 + col("__t") + 1).as("__r2"))
+    val perGroup = g.join(ranked, "__s")
+      .groupBy("__g")
+      .agg(sum("__c").as("__ng"),
+        sum(col("__c").cast(dec38) * col("__r2")).as("__R2"))
+      // R2² in double is deterministic on both engines (exact decimal → double cast,
+      // then IEEE ×, /); quantize BEFORE the cross-group sum so order can't matter
+      .select(col("__ng"), col("__R2"),
+        (col("__R2").cast(DoubleType) * col("__R2").cast(DoubleType)
+          / (lit(4.0) * col("__ng"))).cast(DecimalType(38, 6)).as("__term"))
+    val tieM = perScore.agg(
+      sum(col("__t").cast(dec38) * col("__t") * col("__t") - col("__t")).as("__tie3"),
+      sum(col("__t")).as("__n"))
+    perGroup.agg(count(lit(1)).as("k"), sum(col("__term")).as("__T"))
+      .crossJoin(tieM)
+      .select(col("__n").cast("long").as("n"), col("k").cast("long").as("k"),
+        col("__tie3").cast("long").as("tie3"),
+        round(lit(12.0) * col("__T").cast(DoubleType) / col("__n") / (col("__n") + 1)
+          - lit(3.0) * (col("__n") + 1), 6).as("h"),
+        round((lit(12.0) * col("__T").cast(DoubleType) / col("__n") / (col("__n") + 1)
+          - lit(3.0) * (col("__n") + 1))
+          / (lit(1.0) - col("__tie3").cast(DoubleType)
+            / (col("__n").cast(DoubleType) * col("__n") * col("__n") - col("__n"))),
+          6).as("h_corrected"))
+  }
 }

@@ -365,6 +365,35 @@ class Scd2RfmSpec extends SparkSpec {
     }
   }
 
+  test("kruskalWallis: textbook midrank example with ties matches hand-computed H") {
+    import spark.implicits._
+    // pooled N=15, ties at 2,3,4,5 -> tie3 = 42; H = 3.595208, Hc = 3.640717 (by hand)
+    val df = (Seq(1L, 2, 3, 4, 10).map(v => (v, "a"))
+      ++ Seq(2L, 4, 4, 8).map(v => (v, "b"))
+      ++ Seq(5L, 5, 6, 12, 13, 3).map(v => (v, "c"))).toDF("s", "g")
+    val r = graft.ops.MlOps.kruskalWallis(df, "s", "g").collect().head
+    assert(r.getAs[Long]("n") == 15L && r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Long]("tie3") == 42L)
+    assert(math.abs(r.getAs[Double]("h") - 3.595208) < 1e-6)
+    assert(math.abs(r.getAs[Double]("h_corrected") - 3.640717) < 1e-6)
+  }
+
+  test("kruskalWallis two-group case is the Mann-Whitney z squared (asymptotic identity)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val xs = Seq.fill(40)(rnd.nextInt(9).toLong)
+    val ys = Seq.fill(35)(rnd.nextInt(9).toLong + 2)
+    val df = (xs.map(v => (v, "x")) ++ ys.map(v => (v, "y"))).toDF("s", "g")
+    val h = graft.ops.MlOps.kruskalWallis(df, "s", "g").collect().head.getAs[Double]("h_corrected")
+    val mw = graft.ops.MlOps.mannWhitney(
+      (xs.map(v => (v, 1)) ++ ys.map(v => (v, 0))).toDF("s", "label"), "s", "label")
+      .collect().head.getAs[Double]("z")
+    // H (tie-corrected, 2 groups) == z² up to the MW continuity correction (z uses
+    // |2U - n1 n2| - 2 in 2U units; drop it and the identity is exact) — tolerance
+    // covers that correction's O(1/sqrt(var)) effect
+    assert(math.abs(h - mw * mw) < 0.05, s"h=$h z^2=${mw * mw}")
+  }
+
   test("triangleStats: K4, triangle+tail, and a triangle-free star; degree-ordered == naive") {
     import spark.implicits._
     // K4: 4 nodes, 6 edges, C(4,2)·... wedges = 4·C(3,2)=12, triangles = 4, clustering = 1
