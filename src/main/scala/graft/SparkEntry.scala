@@ -3855,6 +3855,22 @@ object SparkEntry {
       graft.ops.GraphOps.connectedComponentsStar(edges)
     }),
 
+    // Multi-source BFS: hop distance from the top-5 co-purchase hubs (degree desc,
+    // id asc — deterministic) to a fixed 4-hop horizon. Frontier-based: each round
+    // joins ONLY the frontier against the edge table — the scale shape that holds
+    // when the reachable set is 10⁹ nodes (see GraphOps.multiSourceBfs).
+    "q_basket_bfs" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val edges = graft.ops.GraphOps.coOccurrenceEdges(li, "l_orderkey", "l_partkey",
+        minCount = 2)
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val hubs = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("__deg"))
+        .withColumn("__rn",
+          row_number().over(Window.orderBy(col("__deg").desc, col("id"))))
+        .filter(col("__rn") <= 5).select(col("id"))
+      graft.ops.GraphOps.multiSourceBfs(edges, hubs, rounds = 4)
+    }),
+
     // Item-item collaborative filtering: top-3 co-purchase neighbors per part by
     // cosine² — score_e6 = n_ab²·10⁶ // (n_a·n_b) is an EXACT integer, so both the
     // ranking and its ties (part_b asc) are engine-identical with no float compare.
@@ -8761,6 +8777,31 @@ object SparkEntry {
         |  SELECT 7, ux * uy7 FROM leads)
         |SELECT lag, num, ROUND(CAST(num AS DOUBLE) / SQRT(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 6) AS ccf
         |FROM (SELECT lag, CAST(SUM(prod) AS BIGINT) AS num FROM pr GROUP BY 1), den""".stripMargin,
+
+    "q_basket_bfs" ->
+      """WITH pp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT a.pk AS u, b.pk AS v FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |sym AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        |hubs AS (SELECT u AS id FROM (SELECT u, COUNT(*) AS deg FROM sym GROUP BY 1) t
+        |  QUALIFY ROW_NUMBER() OVER (ORDER BY deg DESC, u) <= 5),
+        |d0 AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS dist FROM hubs),
+        |n1 AS (SELECT DISTINCT e.v AS id FROM sym e JOIN d0 ON d0.id = e.u),
+        |d1 AS MATERIALIZED (SELECT * FROM d0 UNION ALL
+        |  SELECT n1.id, CAST(1 AS BIGINT) FROM n1 LEFT JOIN d0 ON d0.id = n1.id WHERE d0.id IS NULL),
+        |f1 AS (SELECT id FROM d1 WHERE dist = 1),
+        |n2 AS (SELECT DISTINCT e.v AS id FROM sym e JOIN f1 ON f1.id = e.u),
+        |d2 AS MATERIALIZED (SELECT * FROM d1 UNION ALL
+        |  SELECT n2.id, CAST(2 AS BIGINT) FROM n2 LEFT JOIN d1 ON d1.id = n2.id WHERE d1.id IS NULL),
+        |f2 AS (SELECT id FROM d2 WHERE dist = 2),
+        |n3 AS (SELECT DISTINCT e.v AS id FROM sym e JOIN f2 ON f2.id = e.u),
+        |d3 AS MATERIALIZED (SELECT * FROM d2 UNION ALL
+        |  SELECT n3.id, CAST(3 AS BIGINT) FROM n3 LEFT JOIN d2 ON d2.id = n3.id WHERE d2.id IS NULL),
+        |f3 AS (SELECT id FROM d3 WHERE dist = 3),
+        |n4 AS (SELECT DISTINCT e.v AS id FROM sym e JOIN f3 ON f3.id = e.u),
+        |d4 AS MATERIALIZED (SELECT * FROM d3 UNION ALL
+        |  SELECT n4.id, CAST(4 AS BIGINT) FROM n4 LEFT JOIN d3 ON d3.id = n4.id WHERE d3.id IS NULL)
+        |SELECT id, dist FROM d4""".stripMargin,
 
     "q_item_cf" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

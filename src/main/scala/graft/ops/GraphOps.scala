@@ -310,6 +310,47 @@ object GraphOps {
    * @return (id, component_id) for every edge-incident node;
    *         component_id = min node id of the component
    */
+  /**
+   * Multi-source BFS hop distance, FRONTIER-based: dist(v) = min #hops from any
+   * source, computed to a fixed `rounds` horizon (capped-radius semantics — the
+   * "within k hops of a hub" question itself, and what makes the op SQL-unrollable
+   * with no convergence budget to trust).
+   *
+   * Scale shape: each round joins ONLY the new frontier against the edge table —
+   * never the whole visited set — so total work is O(Σ frontier-adjacent edges)
+   * ≤ O(m·rounds) worst case and typically far less; the visited set only ever
+   * participates in the anti-join that keeps distances minimal. Frontier rows
+   * localCheckpoint per round (lineage cut); the union tree over `dist` stays
+   * `rounds` deep, which is bounded by construction.
+   *
+   * @param edges   undirected (u, v) rows
+   * @param sources (id) rows, distance-0 seeds
+   * @return (id, dist) for every node within `rounds` hops of a source
+   */
+  def multiSourceBfs(edges: DataFrame, sources: DataFrame, rounds: Int = 4): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+      .distinct().persist()
+    try {
+      var dist = sources.select(col("id")).distinct()
+        .select(col("id"), lit(0).cast("long").as("dist"))
+      var frontier = dist.localCheckpoint(eager = true)
+      var k = 1
+      while (k <= rounds) {
+        val reached = sym
+          .join(frontier.select(col("id").as("u")), "u")
+          .select(col("v").as("id")).distinct()
+        val newNodes = reached.join(dist, Seq("id"), "left_anti")
+          .select(col("id"), lit(k).cast("long").as("dist"))
+          .localCheckpoint(eager = true)
+        dist = dist.union(newNodes)
+        frontier = newNodes
+        k += 1
+      }
+      dist
+    } finally sym.unpersist()
+  }
+
   def connectedComponentsStar(edges: DataFrame, maxRounds: Int = 20,
       verify: Boolean = true): DataFrame = {
     val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined

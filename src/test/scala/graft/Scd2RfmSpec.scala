@@ -443,6 +443,21 @@ class Scd2RfmSpec extends SparkSpec {
     assert(global(4).getAs[Long]("n_kept") == 1L)
   }
 
+  test("multiSourceBfs: frontier distances with min-over-sources, horizon cap respected") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6-7 with sources {1, 6}: each node takes min hops to either
+    val g = (1L to 6L).map(i => (i, i + 1)).toDF("u", "v")
+    val src = Seq(1L, 6L).toDF("id")
+    val r = graft.ops.GraphOps.multiSourceBfs(g, src, rounds = 4).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L, 6L -> 0L, 7L -> 1L),
+      s"bfs wrong: $r")
+    // horizon 1: only sources + direct neighbors
+    val r1 = graft.ops.GraphOps.multiSourceBfs(g, Seq(1L).toDF("id"), rounds = 1).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r1 == Map(1L -> 0L, 2L -> 1L))
+  }
+
   test("connectedComponentsStar: chain + triangle + isolated pair label to component minima") {
     import spark.implicits._
     // chain 1-2-3-4-5 (diameter 4), triangle 10-11-12, pair 20-21
