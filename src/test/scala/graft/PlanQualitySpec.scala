@@ -807,4 +807,42 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("PushedFilters: [IsNotNull(event_type)"))
     assert(q.count() > 0)
   }
+
+  test("q_item_cf: one top-k window over the pair table; partial aggregation on the pair count") {
+    val p = plan("q_item_cf")
+    assert("(?s)Window \\[".r.findAllIn(p).length == 1,
+      s"expected exactly one window (the per-item top-k):\n$p")
+    // rank-limit pushdown: the row_number() <= 3 filter must reach a WindowGroupLimit
+    // (partial per-partition top-k BEFORE the exchange — the difference between
+    // shuffling k rows per item and shuffling the whole pair table at 100 TB)
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k must push down as WindowGroupLimit:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "pair counting must map-side combine")
+    assert(!p.toLowerCase.contains("cartesianproduct"), "no cartesian in the CF path")
+  }
+
+  test("ev_kruskal_wallis: corpus collapses to the score grid before any window") {
+    val p = plan("ev_kruskal_wallis")
+    // the only windows run over the GRID-sized frame (cumulative midranks), and the
+    // corpus-to-grid collapse is a hash aggregate with map-side combine
+    assert(p.contains("HashAggregate") &&
+      (p.contains("partial_count") || p.contains("partial_sum")),
+      s"grid collapse must hash-aggregate with partial combine:\n$p")
+    assert("(?s)Window".r.findAllIn(p).length == 1,
+      s"expected one cumulative window over the score grid:\n$p")
+  }
+
+  test("q_basket_triples: Apriori pruning survives as semi-joins in the optimized plan") {
+    val opt = SparkEntry.queries("q_basket_triples")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert("LeftSemi".r.findAllIn(opt).length >= 3,
+      s"expected the three frequent-pair semi-join prunes:\n$opt")
+  }
+
+  test("ev_ccf: all fifteen lags share one ordered window pass") {
+    val p = plan("ev_ccf")
+    assert("(?s)Window".r.findAllIn(p).length == 1,
+      s"the 14 leads must plan as ONE window over the day-ordered series:\n$p")
+  }
 }
