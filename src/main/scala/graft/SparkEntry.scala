@@ -3952,6 +3952,35 @@ object SparkEntry {
       VectorOps.knnGraphQuantizedGate(t(s, dir, "embeddings"), k = 4,
         nProbe = 6, recallFloor = 0.65)),
 
+    // Connected components OVER the quantizer-blocked kNN graph — the scale twin of
+    // q_basket_components (the co-purchase graph barely grows with SF; this one's
+    // node count is the corpus). Star contraction's O(log n) rounds on k·N edges;
+    // verdict-row gate (quantizer edges aren't oracle-replayable): n_nodes is
+    // deterministic, labeled_ok pins total coverage, minimal_ok pins the
+    // min-id-canonical contract (no label above its node, every label a
+    // self-labeled root), and the op's internal endpoint-agreement verify throws
+    // before this row can ever materialize wrong.
+    "emb_components_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val edges = VectorOps.knnEdgesQuantized(emb)
+        .select(col("src").as("u"), col("dst").as("v"))
+      val labels = graft.ops.GraphOps.connectedComponentsStar(edges)
+      val n = emb.count()
+      val roots = labels.filter(col("id") === col("component_id"))
+        .select(col("component_id").as("__r"))
+      val byId = labels.agg(count(lit(1)).as("__cnt"),
+        countDistinct(col("id")).as("__ids"),
+        max((col("component_id") > col("id")).cast("int")).as("__bad"))
+      val rootCheck = labels.select(col("component_id")).distinct()
+        .join(roots, col("component_id") === col("__r"), "left_anti")
+        .agg(count(lit(1)).as("__orph"))
+      byId.crossJoin(rootCheck).select(
+        lit(n).as("n_nodes"),
+        (col("__cnt") === n && col("__ids") === n).as("labeled_ok"),
+        (col("__bad") === 0 && col("__orph") === 0).as("minimal_ok"),
+        lit(true).as("verify_pass_ok"))
+    }),
+
     // Graph-walk ANN (HNSW family, Malkov & Yashunin TPAMI 2018, reduced to 2 layers):
     // entry layer = min-id representative per block seeding the beam, then 4 greedy
     // beam-8 hops over the global exact k=8 NN graph. Fully deterministic given the
@@ -8902,6 +8931,11 @@ object SparkEntry {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
         |  CAST(GREATEST(8, COUNT(*) // 64) AS INT) AS n_cells,
         |  TRUE AS occupancy_ok, TRUE AS bounded_ok, TRUE AS recall_ok
+        |FROM embeddings""".stripMargin,
+
+    "emb_components_ivf" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |  TRUE AS labeled_ok, TRUE AS minimal_ok, TRUE AS verify_pass_ok
         |FROM embeddings""".stripMargin,
 
     "emb_pagerank_ivf" ->
