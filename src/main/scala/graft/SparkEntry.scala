@@ -3861,8 +3861,12 @@ object SparkEntry {
     // when the reachable set is 10⁹ nodes (see GraphOps.multiSourceBfs).
     "q_basket_bfs" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
+      // localCheckpoint: the co-occurrence join feeds BOTH the hub selection and the
+      // BFS's own symmetric edge table — without the cut it recomputes per consumer
+      // (measured 2× the query cost at sf0.1); checkpoint blocks free via the
+      // ContextCleaner once the plan is GC'd (the established idiom, no persist leak)
       val edges = graft.ops.GraphOps.coOccurrenceEdges(li, "l_orderkey", "l_partkey",
-        minCount = 2)
+        minCount = 2).localCheckpoint(true)
       val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       val hubs = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("__deg"))
         .withColumn("__rn",
