@@ -3855,6 +3855,25 @@ object SparkEntry {
       graft.ops.GraphOps.connectedComponentsStar(edges)
     }),
 
+    // INCREMENTAL connected components (streaming/IncrementalCC): the co-purchase
+    // edges arrive in three deterministic waves against a persistent redirect store
+    // — each wave costs O(batch + touched roots), the graph-so-far present only as
+    // its labels. The final resolution must equal the one-shot batch CC, which is
+    // exactly what the shared q_basket_components oracle pins cross-engine.
+    "q_components_incremental" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val edges = graft.ops.GraphOps.coOccurrenceEdges(li, "l_orderkey", "l_partkey",
+        minCount = 2).localCheckpoint(true)
+      val store = java.nio.file.Files.createTempDirectory("graft-icc").toString
+      for (b <- 0 to 2)
+        graft.streaming.IncrementalCC.applyBatch(
+          edges.filter(pmod(col("u") + col("v"), lit(3)) === b), b.toLong, store)
+      val nodes = edges.select(col("u").as("id"))
+        .union(edges.select(col("v").as("id"))).distinct()
+      graft.streaming.IncrementalCC.resolve(
+        s.read.schema(graft.streaming.IncrementalCC.StoreSchema).parquet(store), nodes)
+    }),
+
     // Multi-source BFS: hop distance from the top-5 co-purchase hubs (degree desc,
     // id asc — deterministic) to a fixed 4-hop horizon. Frontier-based: each round
     // joins ONLY the frontier against the edge table — the scale shape that holds
@@ -8670,6 +8689,9 @@ object SparkEntry {
     // this unroll ever under-converges at a future SF the gate fails LOUDLY with a
     // hash mismatch — it can never silently co-converge on a wrong answer.
     "q_basket_components" -> ccStarOracle(rounds = 12),
+
+    // incremental CC must land on the one-shot batch answer — same oracle
+    "q_components_incremental" -> ccStarOracle(rounds = 12),
 
     "q_window_suite" ->
       """SELECT o_orderkey, o_orderpriority,
