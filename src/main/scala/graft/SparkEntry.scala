@@ -3731,6 +3731,71 @@ object SparkEntry {
             .otherwise(lit(0.0)), 6).as("z"))
     }),
 
+    // Kendall tau-b rank correlation between the daily event-count and daily revenue
+    // series — "do busy days earn more?" with no linearity assumption. S and both
+    // tie moments are exact integers over the day-pair table; tau is one
+    // fixed-operand-order double expression. Completes the rank-stat family
+    // (Mann-Whitney two-sample, Kruskal-Wallis k-sample, Mann-Kendall vs time).
+    "ev_kendall_tau" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"), (sum(dec(col("value"), 18, 4)) * 10000)
+          .cast("long").as("y"))
+        .select(datediff(col("day"), lit("1970-01-01")).cast("long").as("d"),
+          col("x").cast("long").as("x"), col("y"))
+      val sAgg = daily.as("a").join(daily.as("b"), col("a.d") < col("b.d"))
+        .agg(sum((when(col("b.x") > col("a.x"), 1L).when(col("b.x") < col("a.x"), -1L)
+            .otherwise(0L))
+          * (when(col("b.y") > col("a.y"), 1L).when(col("b.y") < col("a.y"), -1L)
+            .otherwise(0L))).as("s_tau"))
+      val tiesX = daily.groupBy("x").agg(count(lit(1)).as("__t"))
+        .agg(coalesce(sum(col("__t") * (col("__t") - 1)), lit(0L)).as("tx2"))
+      val tiesY = daily.groupBy("y").agg(count(lit(1)).as("__t"))
+        .agg(coalesce(sum(col("__t") * (col("__t") - 1)), lit(0L)).as("ty2"))
+      daily.agg(count(lit(1)).as("n_days")).crossJoin(sAgg)
+        .crossJoin(tiesX).crossJoin(tiesY)
+        .select(col("n_days"), col("s_tau").cast("long").as("s_tau"),
+          col("tx2").cast("long").as("tx2"), col("ty2").cast("long").as("ty2"),
+          round(col("s_tau").cast(DoubleType)
+            / sqrt((col("n_days") * (col("n_days") - 1) - col("tx2")).cast(DoubleType) / 2.0
+              * ((col("n_days") * (col("n_days") - 1) - col("ty2")).cast(DoubleType) / 2.0)),
+            6).as("tau_b"))
+    }),
+
+    // Spearman rho between the same two daily series: doubled midranks make every
+    // rank exact, the N-scaled centering (the ev_acf/ev_ccf trick, applied to rank
+    // vectors) makes all three moments exact integers, and rho is one division.
+    "ev_spearman" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"), (sum(dec(col("value"), 18, 4)) * 10000)
+          .cast("long").as("y"))
+        .select(datediff(col("day"), lit("1970-01-01")).cast("long").as("d"),
+          col("x").cast("long").as("x"), col("y"))
+      val rx = daily
+        .withColumn("__rk", rank().over(Window.orderBy(col("x"))))
+        .withColumn("__eq", count(lit(1)).over(Window.partitionBy(col("x"))))
+        .select(col("d"), (col("__rk") * 2 - 2 + col("__eq") + 1).cast("long").as("r2x"))
+      val ry = daily
+        .withColumn("__rk", rank().over(Window.orderBy(col("y"))))
+        .withColumn("__eq", count(lit(1)).over(Window.partitionBy(col("y"))))
+        .select(col("d").as("__d2"), (col("__rk") * 2 - 2 + col("__eq") + 1).cast("long").as("r2y"))
+      val r = rx.join(ry, col("d") === col("__d2")).select(col("d"), col("r2x"), col("r2y"))
+      val tot = r.agg(count(lit(1)).as("__n"), sum(col("r2x")).cast("long").as("__sx"),
+        sum(col("r2y")).cast("long").as("__sy"))
+      r.crossJoin(tot)
+        .select((col("__n") * col("r2x") - col("__sx")).cast("long").as("ux"),
+          (col("__n") * col("r2y") - col("__sy")).cast("long").as("uy"), col("__n"))
+        .agg(first(col("__n")).as("n_days"),
+          sum(col("ux") * col("uy")).cast("long").as("sxy"),
+          sum(col("ux") * col("ux")).cast("long").as("sxx"),
+          sum(col("uy") * col("uy")).cast("long").as("syy"))
+        .select(col("n_days").cast("long").as("n_days"), col("sxy"),
+          round(col("sxy").cast(DoubleType)
+            / sqrt(col("sxx").cast(DoubleType) * col("syy").cast(DoubleType)), 6)
+            .as("rho"))
+    }),
+
     // Pettitt change-point test (Pettitt 1979) on the daily revenue series: with
     // DOUBLED midranks every U_t = Σ_{i≤t} rank2_i − t·(n+1) is an exact integer;
     // the change day is argmax |U_t| (ties → earliest day), K ships exact, and the
@@ -8754,6 +8819,48 @@ object SparkEntry {
         |             WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / SQRT(var18 / 18.0)
         |             ELSE 0.0 END, 6) AS z
         |FROM v""".stripMargin,
+
+    "ev_kendall_tau" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS x,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+        |sg AS (SELECT CAST(SUM(
+        |    (CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END)
+        |  * (CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END)) AS BIGINT) AS s_tau
+        |  FROM daily a JOIN daily b ON a.d < b.d),
+        |tx AS (SELECT CAST(COALESCE(SUM(t*(t-1)), 0) AS BIGINT) AS tx2
+        |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY x)),
+        |ty AS (SELECT CAST(COALESCE(SUM(t*(t-1)), 0) AS BIGINT) AS ty2
+        |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY y))
+        |SELECT n.n_days, sg.s_tau, tx.tx2, ty.ty2,
+        |  ROUND(CAST(sg.s_tau AS DOUBLE)
+        |    / SQRT(CAST(n.n_days*(n.n_days-1) - tx.tx2 AS DOUBLE) / 2.0
+        |      * (CAST(n.n_days*(n.n_days-1) - ty.ty2 AS DOUBLE) / 2.0)), 6) AS tau_b
+        |FROM n, sg, tx, ty""".stripMargin,
+
+    "ev_spearman" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS x,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |rx AS (SELECT d, CAST(RANK() OVER (ORDER BY x) * 2 - 2
+        |  + COUNT(*) OVER (PARTITION BY x) + 1 AS BIGINT) AS r2x FROM daily),
+        |ry AS (SELECT d, CAST(RANK() OVER (ORDER BY y) * 2 - 2
+        |  + COUNT(*) OVER (PARTITION BY y) + 1 AS BIGINT) AS r2y FROM daily),
+        |r AS (SELECT rx.d, rx.r2x, ry.r2y FROM rx JOIN ry ON rx.d = ry.d),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(r2x) AS BIGINT) AS sx,
+        |  CAST(SUM(r2y) AS BIGINT) AS sy FROM r),
+        |u AS (SELECT CAST(tot.n * r2x - tot.sx AS BIGINT) AS ux,
+        |  CAST(tot.n * r2y - tot.sy AS BIGINT) AS uy FROM r, tot),
+        |m AS (SELECT CAST(SUM(ux*uy) AS BIGINT) AS sxy, CAST(SUM(ux*ux) AS BIGINT) AS sxx,
+        |  CAST(SUM(uy*uy) AS BIGINT) AS syy FROM u)
+        |SELECT tot.n AS n_days, m.sxy,
+        |  ROUND(CAST(m.sxy AS DOUBLE) / SQRT(CAST(m.sxx AS DOUBLE) * CAST(m.syy AS DOUBLE)), 6) AS rho
+        |FROM m, tot""".stripMargin,
 
     "ev_pettitt" ->
       """WITH daily AS (
