@@ -58,8 +58,11 @@ object Bench {
   private[graft] def medianHistoryRatio(
       times: Seq[(String, Double)], history: Map[String, Double],
       minSamples: Int = DriftMinSamples, floor: Double = RequeryFloor): Option[Double] = {
+    // t >= 0: a failed query carries t = -1; admitting it injects ratio -1.0 into the
+    // sorted median and can mask real aggregate drift (matches the t >= 0 filter the
+    // requery list already applies).
     val ratios = times.flatMap { case (n, t) =>
-      history.get(n).collect { case h if h > 0 && math.max(t, h) > floor => t / h }
+      history.get(n).collect { case h if t >= 0 && h > 0 && math.max(t, h) > floor => t / h }
     }.sorted
     if (ratios.size < minSamples) None
     else Some(
@@ -144,6 +147,29 @@ object Bench {
     math.min(once(), once())
   }
 
+  /** Endpoint calibration with transient forgiveness (r9): a single min-of-2 at the
+    * sweep BOUNDARIES can still catch a JVM transient rather than machine load —
+    * observed r9: before 0.26s (JIT not fully drained despite the two warm-up rounds)
+    * and after 0.38s (GC debt of the 294th query) on a box whose twelve MID-sweep
+    * samples all read 0.08-0.13s, tainting an otherwise-clean artifact; the r8 driver
+    * run shows the same 0.286s before-endpoint. Re-sample with a short drain pause
+    * until under the taint line or attempts run out, keeping the MINIMUM — sustained
+    * co-located load (the thing that actually corrupts a sweep) keeps every attempt
+    * above the line across ~10s and still taints; a one-instant blip is forgiven.
+    * Mid-sweep samples stay single min-of-2: they trigger budget-bounded requeries,
+    * not taint, so sensitivity there is free. */
+  private def calibrateStable(spark: SparkSession, attempts: Int = 4): Double = {
+    var best = calibrate(spark)
+    var i = 1
+    while (best > CalibrationRef * TaintFactor && i < attempts) {
+      Thread.sleep(2000)
+      System.gc()
+      best = math.min(best, calibrate(spark))
+      i += 1
+    }
+    best
+  }
+
   /** Committed per-query history from the previous artifact (BENCH.json in the repo
     * working tree). Missing/unparsable file -> empty map -> no history requeries. */
   private[graft] def loadHistory(path: String): Map[String, Double] =
@@ -178,7 +204,7 @@ object Bench {
     // sentinel on cold-start rather than on co-located load, which is its one job)
     calibrate(spark)
     calibrate(spark)
-    val calBefore = calibrate(spark)
+    val calBefore = calibrateStable(spark)
     // optional subset scoping for local iteration (mirrors Verify's SPARK_GRAFT_ONLY)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -222,7 +248,7 @@ object Bench {
       if ((i + 1) % CalEvery == 0 && (i + 1) < selected.size)
         calSamples += (((i + 1), calibrate(spark)))
     }
-    val calAfter = calibrate(spark)
+    val calAfter = calibrateStable(spark)
     calSamples += ((selected.size, calAfter))
 
     // --- sentinel v2+v3 decision + isolated re-runs ----------------------------------

@@ -2986,6 +2986,24 @@ object SparkEntry {
     "doc_textrank" -> ((s, dir) =>
       TextOps.textRank(t(s, dir, "documents"), minCount = 5, topK = 50)),
 
+    // INCREMENTAL TextRank (streaming/IncrementalTextRank): the corpus arrives in
+    // three deterministic waves against versioned unigram/pair count state — each
+    // wave tokenizes only ITSELF; the keyword ranking recomputes at read time on the
+    // Heaps-bounded vocabulary graph. Counts are associative sums and everything
+    // downstream is a pure function of them, so the maintained result is
+    // row-identical to the one-shot doc_textrank — the SAME oracle pins it.
+    "doc_textrank_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents").localCheckpoint(true)
+      val state = java.nio.file.Files.createTempDirectory("graft-itr").toString
+      for (b <- 0 to 2)
+        graft.streaming.IncrementalTextRank.applyBatch(
+          d.filter(pmod(col("doc_id"), lit(3)) === b), b.toLong, state)
+      val out = graft.streaming.IncrementalTextRank
+        .current(s, state, minCount = 5, topK = 50).localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(state))
+      out
+    }),
+
     // compressibility quality signal, as a self-verifying verdict row (raw zlib output
     // is engine-specific, so per-doc ratios can't be oracle-compared — instead the gate
     // audits engine-independent invariants over the REAL per-doc operator output and the
@@ -3935,8 +3953,13 @@ object SparkEntry {
           edges.filter(pmod(col("u") + col("v"), lit(3)) === b), b.toLong, store)
       val nodes = edges.select(col("u").as("id"))
         .union(edges.select(col("v").as("id"))).distinct()
-      graft.streaming.IncrementalCC.resolve(
-        s.read.schema(graft.streaming.IncrementalCC.StoreSchema).parquet(store), nodes)
+      val resolved = graft.streaming.IncrementalCC.resolve(
+        graft.streaming.IncrementalCC.readLabels(s, store), nodes)
+      // resolve localCheckpoints every round eagerly, so the result no longer reads
+      // the parquet store — delete it now (each gate/bench run used to leak one
+      // /tmp/graft-icc* directory per invocation)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(store))
+      resolved
     }),
 
     // Multi-source BFS: hop distance from the top-5 co-purchase hubs (degree desc,
@@ -4081,7 +4104,11 @@ object SparkEntry {
     // knnEdgesQuantized as the linear-cost construction at scale.
     "emb_graph_search" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      VectorOps.graphSearch(e, e.filter(col("vec_id") < 16), k = 8, beam = 8, hops = 4)
+      // exactGraph = true: the ORACLE DEMO form — the exact all-pairs graph is what
+      // makes the walk DuckDB-replayable end-to-end. The library DEFAULT is the
+      // linear-cost quantized graph (VERDICT r8 #2), gated by emb_graph_search_ivf.
+      VectorOps.graphSearch(e, e.filter(col("vec_id") < 16), k = 8, beam = 8, hops = 4,
+        exactGraph = true)
     }),
 
     // quality gate for the walk: how many of the 16 queries' TRUE nearest neighbors
@@ -4092,7 +4119,8 @@ object SparkEntry {
     "emb_graph_search_recall" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val qs = e.filter(col("vec_id") < 16)
-      val walk = VectorOps.graphSearch(e, qs, k = 8, beam = 8, hops = 4)
+      val walk = VectorOps.graphSearch(e, qs, k = 8, beam = 8, hops = 4,
+          exactGraph = true)
         .select(col("query_id"), col("node_id"))
       val exact = VectorOps.bruteForceTopK(e, qs, 1)
         .select(col("query_id"), col("neighbor_id").as("node_id"))
@@ -4611,6 +4639,49 @@ object SparkEntry {
         .select(col("event_type"), explode(expr("sequence(1, 7)")).as("horizon"), col("fin"))
         .select(col("event_type"), col("horizon"),
           expr("fin.lvl + horizon * fin.tr + " +
+            "element_at(fin.s, cast((fin.t + horizon - 1) % 7 as int) + 1)").as("forecast_e6"))
+    }),
+
+    // DAMPED-trend Holt-Winters (Gardner & McKenzie 1985) — the production-forecasting
+    // default: an un-damped linear trend extrapolates h·tr forever and overshoots at
+    // long horizons; damping multiplies the trend by φ = 9/10 at every step, so the
+    // forecast trend contribution is the CONVERGING sum Σ φ^j·tr. Same integer-exact
+    // discipline as ev_holt_winters: φ·tr is one more truncating rational multiply
+    // ((9·tr) div 10), the forecast damped sum is an ITERATED truncation
+    // (ft_{j+1} = (9·ft_j) div 10) — every intermediate the identical BIGINT in both
+    // engines. Same collapsed-series scale shape: one count exchange, per-key fold.
+    // Streaming twin: graft.streaming.HoltWinters(phiNum = 9).
+    "ev_holt_damped" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("event_type"), expr("unix_millis(ts) div 86400000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg((count(lit(1)) * lit(1000000L)).as("y"))
+      daily.groupBy(col("event_type"))
+        .agg(expr("transform(array_sort(collect_list(struct(day, y))), x -> x.y)").as("ys"))
+        .filter(size(col("ys")) >= 14)
+        .withColumn("lvl0", expr("aggregate(slice(ys, 1, 7), 0L, (a, x) -> a + x) div 7"))
+        .withColumn("fin", expr(
+          """aggregate(
+            |  slice(ys, 8, size(ys) - 7),
+            |  named_struct('lvl', lvl0, 'tr', 0L,
+            |    's', transform(slice(ys, 1, 7), x -> x - lvl0), 't', 7L),
+            |  (acc, y) -> named_struct(
+            |    'lvl', (2 * (y - element_at(acc.s, cast(acc.t % 7 as int) + 1))) div 10
+            |           + (8 * (acc.lvl + (9 * acc.tr) div 10)) div 10,
+            |    'tr', (((2 * (y - element_at(acc.s, cast(acc.t % 7 as int) + 1))) div 10
+            |           + (8 * (acc.lvl + (9 * acc.tr) div 10)) div 10) - acc.lvl) div 10
+            |          + (9 * ((9 * acc.tr) div 10)) div 10,
+            |    's', transform(acc.s, (v, j) -> IF(j = cast(acc.t % 7 as int),
+            |           (3 * (y - ((2 * (y - element_at(acc.s, cast(acc.t % 7 as int) + 1))) div 10
+            |                      + (8 * (acc.lvl + (9 * acc.tr) div 10)) div 10))) div 10
+            |           + (7 * element_at(acc.s, cast(acc.t % 7 as int) + 1)) div 10, v)),
+            |    't', acc.t + 1L))""".stripMargin))
+        .select(col("event_type"), explode(expr("sequence(1, 7)")).as("horizon"), col("fin"))
+        .select(col("event_type"), col("horizon"),
+          expr("fin.lvl + aggregate(sequence(1, horizon), " +
+            "named_struct('acc', 0L, 'ft', fin.tr), " +
+            "(a, j) -> named_struct('acc', a.acc + (9 * a.ft) div 10, " +
+            "'ft', (9 * a.ft) div 10)).acc + " +
             "element_at(fin.s, cast((fin.t + horizon - 1) % 7 as int) + 1)").as("forecast_e6"))
     }),
 
@@ -5273,6 +5344,43 @@ object SparkEntry {
   /** Unrolled shortcut+hook min-label CC oracle over the co-purchase graph: round k
     * takes LEAST(own label, min neighbor label, label-of-label). See
     * `q_basket_components` for the convergence-margin argument. */
+  /** Shared by `doc_textrank` and `doc_textrank_incremental`: the incremental form
+    * maintains the same counts the one-shot derives, so the final ranking is
+    * row-identical and one oracle gates both. */
+  private val textRankOracle: String =
+    """WITH t AS (SELECT
+      |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |uc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1 HAVING COUNT(*) >= 5),
+      |bg AS (SELECT u.bg FROM t, unnest(CASE WHEN len(toks) < 2 THEN []
+      |  ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END) AS u(bg)),
+      |pr0 AS (SELECT string_split(bg, ' ')[1] AS a, string_split(bg, ' ')[2] AS b FROM bg),
+      |pf AS (SELECT p.a, p.b FROM pr0 p JOIN uc x ON x.tok = p.a JOIN uc y ON y.tok = p.b
+      |  WHERE p.a <> p.b),
+      |knn AS (SELECT DISTINCT src, dst FROM (
+      |  SELECT a AS src, b AS dst FROM pf UNION ALL SELECT b AS src, a AS dst FROM pf)),
+      |nodes AS (SELECT DISTINCT id FROM
+      |  (SELECT src AS id FROM knn UNION ALL SELECT dst AS id FROM knn)),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+      |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM knn GROUP BY 1),
+      |r0 AS (SELECT id, 1000000000000 // nn.n AS r FROM nodes CROSS JOIN nn),
+      |c1 AS (SELECT k.dst, CAST(SUM(r.r // d.deg) AS BIGINT) AS s
+      |  FROM knn k JOIN r0 r ON r.id = k.src JOIN deg d ON d.src = k.src GROUP BY 1),
+      |r1 AS (SELECT nodes.id, (150000000000 // nn.n) + ((85 * COALESCE(c.s, 0)) // 100) AS r
+      |  FROM nodes LEFT JOIN c1 c ON c.dst = nodes.id CROSS JOIN nn),
+      |c2 AS (SELECT k.dst, CAST(SUM(r.r // d.deg) AS BIGINT) AS s
+      |  FROM knn k JOIN r1 r ON r.id = k.src JOIN deg d ON d.src = k.src GROUP BY 1),
+      |r2 AS (SELECT nodes.id, (150000000000 // nn.n) + ((85 * COALESCE(c.s, 0)) // 100) AS r
+      |  FROM nodes LEFT JOIN c2 c ON c.dst = nodes.id CROSS JOIN nn),
+      |c3 AS (SELECT k.dst, CAST(SUM(r.r // d.deg) AS BIGINT) AS s
+      |  FROM knn k JOIN r2 r ON r.id = k.src JOIN deg d ON d.src = k.src GROUP BY 1),
+      |r3 AS (SELECT nodes.id, (150000000000 // nn.n) + ((85 * COALESCE(c.s, 0)) // 100) AS r
+      |  FROM nodes LEFT JOIN c3 c ON c.dst = nodes.id CROSS JOIN nn)
+      |SELECT r3.id AS token, CAST(r3.r AS BIGINT) AS rank_e12, uc.c AS n_occurrences
+      |FROM r3 JOIN uc ON uc.tok = r3.id
+      |ORDER BY rank_e12 DESC, token LIMIT 50""".stripMargin
+
   private def ccStarOracle(rounds: Int): String = {
     val body = (1 to rounds).map { k =>
       val p = s"l${k - 1}"
@@ -6344,6 +6452,48 @@ object SparkEntry {
         |SELECT f.event_type, CAST(h.h AS INT) AS horizon,
         |  f.lvl + h.h * f.tr + f.sn[CAST((f.t + h.h - 1) % 7 AS INT) + 1] AS forecast_e6
         |FROM fin f CROSS JOIN (SELECT UNNEST(range(1, 8)) AS h) h""".stripMargin,
+
+    "ev_holt_damped" ->
+      """WITH RECURSIVE
+        |d AS (SELECT event_type,
+        |    CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) * 1000000 AS y
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (SELECT event_type, y,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) - 1 AS t
+        |  FROM d),
+        |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nt FROM ser GROUP BY 1
+        |  HAVING COUNT(*) >= 14),
+        |lvl0 AS (SELECT event_type, CAST(SUM(y) AS BIGINT) // 7 AS lvl
+        |  FROM ser WHERE t < 7 GROUP BY 1),
+        |s0 AS (SELECT s.event_type, LIST(s.y - l.lvl ORDER BY s.t) AS sn
+        |  FROM ser s JOIN lvl0 l USING (event_type) WHERE s.t < 7 GROUP BY 1),
+        |rec AS (
+        |  SELECT n.event_type, l.lvl, CAST(0 AS BIGINT) AS tr, s0.sn, CAST(7 AS BIGINT) AS t
+        |  FROM n JOIN lvl0 l USING (event_type) JOIN s0 USING (event_type)
+        |  UNION ALL
+        |  SELECT event_type, lvl2 AS lvl,
+        |    (lvl2 - lvl1) // 10 + (9 * phtr) // 10 AS tr,
+        |    list_transform(range(1, 8), j -> CASE WHEN j = (t1 % 7) + 1
+        |      THEN (3 * (y - lvl2)) // 10 + (7 * si) // 10 ELSE sn1[CAST(j AS INT)] END) AS sn,
+        |    t1 + 1 AS t
+        |  FROM (
+        |    SELECT r.event_type, r.lvl AS lvl1, r.tr AS tr1, r.sn AS sn1, r.t AS t1, s.y,
+        |      r.sn[CAST(r.t % 7 AS INT) + 1] AS si,
+        |      (9 * r.tr) // 10 AS phtr,
+        |      (2 * (s.y - r.sn[CAST(r.t % 7 AS INT) + 1])) // 10
+        |        + (8 * (r.lvl + (9 * r.tr) // 10)) // 10 AS lvl2
+        |    FROM rec r JOIN ser s ON s.event_type = r.event_type AND s.t = r.t) x),
+        |fin AS (SELECT r.* FROM rec r JOIN n USING (event_type) WHERE r.t = n.nt),
+        |ds AS (
+        |  SELECT event_type, CAST(1 AS BIGINT) AS h,
+        |    (9 * tr) // 10 AS ft, (9 * tr) // 10 AS acc FROM fin
+        |  UNION ALL
+        |  SELECT event_type, h + 1, (9 * ft) // 10, acc + (9 * ft) // 10
+        |  FROM ds WHERE h < 7)
+        |SELECT f.event_type, CAST(ds.h AS INT) AS horizon,
+        |  f.lvl + ds.acc + f.sn[CAST((f.t + ds.h - 1) % 7 AS INT) + 1] AS forecast_e6
+        |FROM fin f JOIN ds USING (event_type)""".stripMargin,
 
     "ev_survival_hazard" ->
       """WITH life AS (SELECT user_id,
@@ -7755,39 +7905,10 @@ object SparkEntry {
 
     // token graph + the same unrolled fixed-point PageRank as emb_pagerank (BIGINT
     // 1e-12 units, floor division) over the frequent-vocab co-occurrence edges
-    "doc_textrank" ->
-      """WITH t AS (SELECT
-        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |uc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
-        |  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1 HAVING COUNT(*) >= 5),
-        |bg AS (SELECT u.bg FROM t, unnest(CASE WHEN len(toks) < 2 THEN []
-        |  ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END) AS u(bg)),
-        |pr0 AS (SELECT string_split(bg, ' ')[1] AS a, string_split(bg, ' ')[2] AS b FROM bg),
-        |pf AS (SELECT p.a, p.b FROM pr0 p JOIN uc x ON x.tok = p.a JOIN uc y ON y.tok = p.b
-        |  WHERE p.a <> p.b),
-        |knn AS (SELECT DISTINCT src, dst FROM (
-        |  SELECT a AS src, b AS dst FROM pf UNION ALL SELECT b AS src, a AS dst FROM pf)),
-        |nodes AS (SELECT DISTINCT id FROM
-        |  (SELECT src AS id FROM knn UNION ALL SELECT dst AS id FROM knn)),
-        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
-        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM knn GROUP BY 1),
-        |r0 AS (SELECT id, 1000000000000 // nn.n AS r FROM nodes CROSS JOIN nn),
-        |c1 AS (SELECT k.dst, CAST(SUM(r.r // d.deg) AS BIGINT) AS s
-        |  FROM knn k JOIN r0 r ON r.id = k.src JOIN deg d ON d.src = k.src GROUP BY 1),
-        |r1 AS (SELECT nodes.id, (150000000000 // nn.n) + ((85 * COALESCE(c.s, 0)) // 100) AS r
-        |  FROM nodes LEFT JOIN c1 c ON c.dst = nodes.id CROSS JOIN nn),
-        |c2 AS (SELECT k.dst, CAST(SUM(r.r // d.deg) AS BIGINT) AS s
-        |  FROM knn k JOIN r1 r ON r.id = k.src JOIN deg d ON d.src = k.src GROUP BY 1),
-        |r2 AS (SELECT nodes.id, (150000000000 // nn.n) + ((85 * COALESCE(c.s, 0)) // 100) AS r
-        |  FROM nodes LEFT JOIN c2 c ON c.dst = nodes.id CROSS JOIN nn),
-        |c3 AS (SELECT k.dst, CAST(SUM(r.r // d.deg) AS BIGINT) AS s
-        |  FROM knn k JOIN r2 r ON r.id = k.src JOIN deg d ON d.src = k.src GROUP BY 1),
-        |r3 AS (SELECT nodes.id, (150000000000 // nn.n) + ((85 * COALESCE(c.s, 0)) // 100) AS r
-        |  FROM nodes LEFT JOIN c3 c ON c.dst = nodes.id CROSS JOIN nn)
-        |SELECT r3.id AS token, CAST(r3.r AS BIGINT) AS rank_e12, uc.c AS n_occurrences
-        |FROM r3 JOIN uc ON uc.tok = r3.id
-        |ORDER BY rank_e12 DESC, token LIMIT 50""".stripMargin,
+    "doc_textrank" -> textRankOracle,
+    // the incremental form maintains the same counts the one-shot derives — final
+    // resolution is row-identical, so the identical oracle gates it
+    "doc_textrank_incremental" -> textRankOracle,
 
     "doc_markup_strip" ->
       """WITH w AS (SELECT doc_id,

@@ -61,10 +61,26 @@ object GroupingSetsMv {
   }
 
   /** Apply one micro-batch: read newest version < batchId, merge, overwrite
-    * `v=<batchId>`, prune. Returns the maintained summary row count. */
+    * `v=<batchId>`, prune. Returns the maintained summary row count.
+    *
+    * Checkpoint-reset guard (the IncrementalCC `_batch_` idiom, expressed through the
+    * version directory itself — the newest version always survives pruning, so
+    * max(version) IS the max applied batch): an incoming batchId BELOW it means the
+    * stream's checkpoint was reset against a surviving state dir. Without the guard,
+    * batch 0 would merge against no prior (filter `_ < 0`), write v=0, and the prune
+    * would immediately delete it (dropRight keeps the numerically largest versions) —
+    * the batch's data silently dropped and later batches double-counting old state.
+    * batchId == max(version) is a legitimate crash-replay (it re-reads the same
+    * predecessor and overwrites convergently). */
   def applyBatch(batch: DataFrame, batchId: Long, stateDir: String,
       d1: String, d2: String, measure: String, retain: Int = 2): Long = {
     val spark = batch.sparkSession
+    versions(spark, stateDir).lastOption.filter(_ > batchId).foreach { m =>
+      throw new IllegalStateException(
+        s"summary state at $stateDir has applied batch_id $m > incoming $batchId: the " +
+          "stream's checkpoint was reset independently of the state dir — restore the " +
+          "checkpoint or start a fresh state dir")
+    }
     val prior = versions(spark, stateDir).filter(_ < batchId).lastOption
       .map(v => spark.read.parquet(s"$stateDir/v=$v"))
     val delta = batchSummary(batch, d1, d2, measure)

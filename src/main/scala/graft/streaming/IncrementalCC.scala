@@ -54,12 +54,51 @@ object IncrementalCC {
     * past this many the probe's per-file open cost dominates and the store flattens. */
   val DefaultAutoCompactFiles = 64
 
+  /** The label store as a DataFrame (empty if absent) — the PUBLIC read path: runs
+    * interrupted-compaction recovery first, so a consumer can never observe the
+    * mid-swap window as an empty store. Use this, not a raw `spark.read.parquet` on
+    * the store dir, to feed [[resolve]]. */
+  def readLabels(spark: SparkSession, dir: String): DataFrame = readStore(spark, dir)
+
   private def readStore(spark: SparkSession, dir: String): DataFrame = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.schema(StoreSchema).parquet(dir)
-    else spark.createDataFrame(
+    if (fs.exists(p)) {
+      recoverCompaction(fs, p)
+      spark.read.schema(StoreSchema).parquet(dir)
+    } else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StoreSchema)
+  }
+
+  /**
+   * Idempotent recovery from a compaction interrupted mid-swap. [[compactStore]]'s
+   * ordering is write `_compact_tmp` → delete old data files → rename tmp files in →
+   * delete tmp. A crash between the delete and the rename leaves a store whose only
+   * contents sit under an underscore-prefixed dir that parquet readers IGNORE — a
+   * bare read would return empty while the `_batch_` markers survive, so the reset
+   * guard would not trip and a crash-replayed batch would silently rebuild labels
+   * from nothing. Recovery runs on every read (single-writer discipline, same as the
+   * dedup indexes): a COMPLETE tmp (Spark's `_SUCCESS` marker present) holds the full
+   * rewrite, so finish the swap — delete any surviving old data files, rename tmp in;
+   * an INCOMPLETE tmp means the crash happened before the destructive phase started
+   * (deletion only begins after the tmp write returns), so the old data files are all
+   * intact — discard the tmp.
+   */
+  private def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem, p: Path): Unit = {
+    val tmp = new Path(p, "_compact_tmp")
+    if (!fs.exists(tmp)) return
+    if (fs.exists(new Path(tmp, "_SUCCESS"))) {
+      fs.listStatus(p).foreach { s =>
+        val name = s.getPath.getName
+        if (s.isFile && !name.startsWith("_") && !name.startsWith("."))
+          fs.delete(s.getPath, false)
+      }
+      fs.listStatus(tmp).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (s, i) =>
+          fs.rename(s.getPath, new Path(p, s"compact-$i-${s.getPath.getName}"))
+        }
+    }
+    fs.delete(tmp, true)
   }
 
   private def recordedMax(spark: SparkSession, dir: String): Option[Long] = {
@@ -181,9 +220,21 @@ object IncrementalCC {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return 0L
     val latest = recordedMax(spark, storeDir).getOrElse(Long.MaxValue)
+    // Group by (id, batch) — with a frozen sentinel standing in for NULL — NOT by id
+    // alone: Spark's min ignores NULLs, so `min(batch_id)` over an id carrying both a
+    // NULL-batch external-backfill row and a latest-batch row would collapse to
+    // batch_id = latest (dropping the backfill row from a crash-replay's probe), and
+    // any cross-batch min(parent) collapse would leak the latest batch's parent into
+    // rows a replay of that batch must not see. Keeping one row per (id, batch)
+    // preserves exclusion semantics exactly; duplicates WITHIN a batch (replays, which
+    // always agree) still collapse. Long.MinValue maps back to NULL after the agg.
     val all = readStore(spark, storeDir)
-      .groupBy(col("id")).agg(min(col("parent")).as("parent"),
-        min(col("batch_id")).as("batch_id"))
+      .groupBy(col("id"),
+        coalesce(col("batch_id"), lit(Long.MinValue)).as("__b"))
+      .agg(min(col("parent")).as("parent"))
+      .select(col("id"), col("parent"),
+        when(col("__b") === lit(Long.MinValue), lit(null).cast("long"))
+          .otherwise(col("__b")).as("batch_id"))
       .localCheckpoint(eager = true)
     val frozen = all.filter(col("batch_id").isNull || col("batch_id") < latest)
     val fresh = all.filter(col("batch_id") === latest)

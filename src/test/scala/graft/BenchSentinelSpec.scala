@@ -136,6 +136,20 @@ class BenchSentinelSpec extends AnyFunSuite {
     assert(m.exists(v => math.abs(v - 1.0) < 1e-9))
   }
 
+  test("v3: failed queries (t = -1) never enter the drift median (ADVICE r8)") {
+    // 30 genuinely-drifted entries at 1.4x + 25 failures carrying t = -1: admitting
+    // the failures would inject ratio -1.0 below the sorted median and mask the drift
+    val drifted = (1 to 30).map(i => s"d$i" -> 1.4)
+    val failed = (1 to 25).map(i => s"f$i" -> -1.0)
+    val hist = (drifted.map { case (n, _) => n -> 1.0 } ++
+      failed.map { case (n, _) => n -> 1.0 }).toMap
+    val m = Bench.medianHistoryRatio(drifted ++ failed, hist)
+    assert(m.exists(v => math.abs(v - 1.4) < 1e-9),
+      s"failures polluted the median: $m")
+    val p = Bench.sentinelPlan(Seq((0, quiet), (55, quiet)), drifted ++ failed, hist)
+    assert(p.aggregateDrift, "drift masked by failed entries")
+  }
+
   test("RequeryBudget overflow taints (VERDICT r7 #3): suspect set beyond budget -> overBudget") {
     // two separated transients each suspect 2 spans of 50 with no history to clear
     // them: 200 suspects >> budget 64

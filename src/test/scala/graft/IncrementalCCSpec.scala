@@ -24,8 +24,7 @@ class IncrementalCCSpec extends SparkSpec {
 
   private def resolveAll(storeDir: String, nodes: Seq[Long]): Map[Long, Long] =
     labelsOf(IncrementalCC.resolve(
-      spark.read.schema(IncrementalCC.StoreSchema).parquet(storeDir),
-      nodes.toDF("id")))
+      IncrementalCC.readLabels(spark, storeDir), nodes.toDF("id")))
 
   test("sequential batches track batch CC exactly, including cross-batch merges") {
     val store = tmpDir("icc-store")
@@ -118,6 +117,126 @@ class IncrementalCCSpec extends SparkSpec {
     IncrementalCC.applyBatch(Seq((0L, 9L)).toDF("u", "v"), 4L, store)
     val all = batchCC(batches.flatten ++ Seq((0L, 9L)))
     assert(resolveAll(store, Seq(0L, 1L, 2L, 4L, 8L, 9L)) == all)
+  }
+
+  test("start: spool-fed edge stream across a restart tracks batch CC; wiped checkpoint fails loudly") {
+    // VERDICT r8 #6: drive the foreachBatch continuous form through a REAL streaming
+    // query — bounded file-source waves, a mid-run stop/restart on the same
+    // checkpoint, then the marker-guard fault injection (checkpoint wiped, store
+    // surviving) which must surface as a loud stream failure, never silent rebuild.
+    val base = tmpDir("icc-stream")
+    val (src, store, ckpt) = (s"$base/src", s"$base/store", s"$base/ckpt")
+    def writeEdges(name: String, edges: Seq[(Long, Long)], mtime: Long): Unit = {
+      Files.createDirectories(java.nio.file.Paths.get(src))
+      val p = java.nio.file.Paths.get(src, name)
+      Files.write(p, edges.map { case (u, v) => s"""{"u":$u,"v":$v}""" }
+        .mkString("\n").getBytes)
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    def stream = spark.readStream.schema("u LONG, v LONG")
+      .option("maxFilesPerTrigger", "1").json(src)
+    val t0 = System.currentTimeMillis()
+    val wave1 = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    writeEdges("000.json", wave1, t0)
+    IncrementalCC.start(stream, store, ckpt).awaitTermination()
+    val n1 = wave1.flatMap(e => Seq(e._1, e._2)).distinct
+    assert(resolveAll(store, n1) == batchCC(wave1), "wave 1 diverged from batch CC")
+    // restart on the SAME checkpoint: only the two new files process, as new batches
+    val wave2 = Seq((20L, 21L))
+    val wave3 = Seq((3L, 20L), (11L, 21L)) // merges everything
+    writeEdges("001.json", wave2, t0 + 10000)
+    writeEdges("002.json", wave3, t0 + 20000)
+    IncrementalCC.start(stream, store, ckpt).awaitTermination()
+    val all = wave1 ++ wave2 ++ wave3
+    val nodes = all.flatMap(e => Seq(e._1, e._2)).distinct
+    assert(resolveAll(store, nodes) == batchCC(all), "post-restart divergence")
+    assert(resolveAll(store, nodes).values.toSet == Set(1L))
+    // fault injection: wipe the checkpoint, keep the store — the replayed batch 0
+    // arrives below the recorded max and the marker guard must kill the query
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    val q = IncrementalCC.start(stream, store, ckpt)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    val msgs = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("checkpoint was reset"), s"wrong failure: $msgs")
+    // the store is untouched by the rejected run
+    assert(resolveAll(store, nodes) == batchCC(all))
+  }
+
+  test("compaction crash window: a complete _compact_tmp with zero data files auto-restores") {
+    // simulate the non-atomic window in compactStore (ADVICE r8): crash AFTER the old
+    // data files were deleted but BEFORE the tmp files were renamed in — the store's
+    // only contents sit under _compact_tmp, which parquet readers ignore. A bare read
+    // would return empty while _batch_ markers survive, so a crash-replayed batch
+    // would silently rebuild labels from nothing. readStore must finish the swap.
+    val store = tmpDir("icc-crashA")
+    IncrementalCC.applyBatch(Seq((4L, 8L), (8L, 9L)).toDF("u", "v"), 0L, store)
+    IncrementalCC.applyBatch(Seq((1L, 9L)).toDF("u", "v"), 1L, store)
+    val before = resolveAll(store, Seq(1L, 4L, 8L, 9L))
+    assert(before.values.toSet == Set(1L))
+    val p = new org.apache.hadoop.fs.Path(store)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(p, "_compact_tmp")
+    fs.mkdirs(tmp)
+    // move every data file into the tmp (the full rewrite) and mark it complete
+    fs.listStatus(p).foreach { s =>
+      val n = s.getPath.getName
+      if (s.isFile && !n.startsWith("_") && !n.startsWith("."))
+        fs.rename(s.getPath, new org.apache.hadoop.fs.Path(tmp, n))
+    }
+    fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), true).close()
+    // resolution is restored, the tmp is gone, and a follow-up batch still applies
+    assert(resolveAll(store, Seq(1L, 4L, 8L, 9L)) == before, "recovery lost the store")
+    assert(!fs.exists(tmp))
+    IncrementalCC.applyBatch(Seq((0L, 4L)).toDF("u", "v"), 2L, store)
+    assert(resolveAll(store, Seq(0L, 1L, 4L, 8L, 9L)).values.toSet == Set(0L))
+  }
+
+  test("compaction crash window: an INCOMPLETE _compact_tmp is discarded, data files intact") {
+    // crash DURING the tmp write (no _SUCCESS): the destructive phase never started,
+    // so the old data files are authoritative and the junk tmp must be dropped
+    val store = tmpDir("icc-crashB")
+    IncrementalCC.applyBatch(Seq((1L, 2L), (2L, 3L)).toDF("u", "v"), 0L, store)
+    val before = resolveAll(store, Seq(1L, 2L, 3L))
+    val p = new org.apache.hadoop.fs.Path(store)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(p, "_compact_tmp")
+    fs.mkdirs(tmp)
+    val junk = fs.create(new org.apache.hadoop.fs.Path(tmp, "part-00000.parquet"), true)
+    junk.write(Array[Byte](0, 1, 2, 3)); junk.close()
+    assert(resolveAll(store, Seq(1L, 2L, 3L)) == before)
+    assert(!fs.exists(tmp), "incomplete tmp must be discarded on read")
+  }
+
+  test("compaction keeps NULL-batch backfill rows excluded-correctly under replay") {
+    // an id carrying BOTH a NULL-batch backfill redirect and a latest-batch redirect
+    // (ADVICE r8: min(batch_id) ignores NULLs and would collapse it to the latest
+    // batch, excluding the backfill row from a crash-replay's probe). After
+    // compaction the two rows must survive as separate (id, batch) grains: a replay
+    // of the latest batch still resolves through the backfill link.
+    val store = tmpDir("icc-backfill")
+    IncrementalCC.applyBatch(Seq((2L, 5L)).toDF("u", "v"), 0L, store)
+    IncrementalCC.applyBatch(Seq((1L, 5L)).toDF("u", "v"), 1L, store) // writes 2 -> 1 at batch 1
+    // external backfill: id 2 ALSO redirects to 1 via a NULL-batch row (agrees on the
+    // component minimum, as backfill must)
+    Seq((2L, 1L, Option.empty[Long])).toDF("id", "parent", "batch_id")
+      .write.mode("append").parquet(store)
+    IncrementalCC.compactStore(spark, store)
+    val rows = spark.read.schema(IncrementalCC.StoreSchema).parquet(store)
+      .filter(col("id") === 2L).collect()
+    assert(rows.exists(_.isNullAt(2)),
+      s"backfill row lost its NULL batch_id in compaction: ${rows.toSeq}")
+    // the replay probe of batch 1 (excludes batch_id == 1) must still see id 2's link
+    val replayView = spark.read.schema(IncrementalCC.StoreSchema).parquet(store)
+      .filter(col("batch_id").isNull || col("batch_id") =!= lit(1L))
+    val replayLabels = labelsOf(IncrementalCC.resolve(replayView, Seq(2L).toDF("id")))
+    assert(replayLabels == Map(2L -> 1L),
+      s"replay probe lost the backfill redirect: $replayLabels")
+    // and the normal view still resolves everything to the global minimum
+    assert(resolveAll(store, Seq(1L, 2L, 5L)).values.toSet == Set(1L))
   }
 
   test("auto-compaction trips on file count and preserves resolution") {

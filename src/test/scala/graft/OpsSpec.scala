@@ -271,7 +271,8 @@ class VectorOpsSpec extends SparkSpec {
       (6L, v(90), 1), (7L, v(94), 1), (8L, v(99), 1), (9L, v(105), 1), (10L, v(112), 1)
     ).toDF("vec_id", "embedding", "label")
     val queries = corpus.filter(col("vec_id").isin(1L, 6L, 10L))
-    val out = VectorOps.graphSearch(corpus, queries, k = 4, beam = 4, hops = 3).collect()
+    val out = VectorOps.graphSearch(corpus, queries, k = 4, beam = 4, hops = 3,
+      exactGraph = true).collect()
     // no self in results; ord is 1..beam-ish dense per query
     assert(out.forall(r => r.getAs[Long]("node_id") != r.getAs[Long]("query_id")))
     val byQ = out.groupBy(_.getAs[Long]("query_id"))
@@ -286,6 +287,35 @@ class VectorOpsSpec extends SparkSpec {
     val walkTop = out.filter(_.getAs[Int]("ord") == 1)
       .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("node_id")).toMap
     assert(walkTop == exact, s"walk $walkTop vs exact $exact")
+  }
+
+  test("graphSearch DEFAULT builds the quantized graph — no CartesianProduct in the plan") {
+    // VERDICT r8 #2: edgesOverride=None must take the linear-cost knnEdgesQuantized
+    // path, never the N² all-pairs build (that form now requires exactGraph = true).
+    def v(angleDeg: Double) = {
+      val a = math.toRadians(angleDeg)
+      Array(math.cos(a).toFloat, math.sin(a).toFloat)
+    }
+    val corpus = Seq(
+      (1L, v(0), 0), (2L, v(4), 0), (3L, v(9), 0), (4L, v(15), 0), (5L, v(22), 0),
+      (6L, v(90), 1), (7L, v(94), 1), (8L, v(99), 1), (9L, v(105), 1), (10L, v(112), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val queries = corpus.filter(col("vec_id").isin(1L, 6L))
+    val out = VectorOps.graphSearch(corpus, queries, k = 4, beam = 4, hops = 3)
+    // the walk's plan (graph build is localCheckpointed inside, so assert on the
+    // BUILD plan too): neither the default edge construction nor the walk may plan an
+    // unbroadcast cartesian product
+    val edgePlan = VectorOps.knnEdgesQuantized(corpus, k = 4)
+      .queryExecution.executedPlan.toString
+    assert(!edgePlan.contains("CartesianProduct"), s"quantized edge build plans a cartesian:\n$edgePlan")
+    val walkPlan = out.queryExecution.executedPlan.toString
+    assert(!walkPlan.contains("CartesianProduct"), s"default walk plans a cartesian:\n$walkPlan")
+    val rows = out.collect()
+    // sanity: every query returns ranked non-self results from the quantized graph
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("node_id") != r.getAs[Long]("query_id")))
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == Set(1L, 6L))
   }
 
   test("cosineNearDupPairsExact finds aligned pair within block only") {

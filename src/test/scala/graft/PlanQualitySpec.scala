@@ -840,6 +840,24 @@ class PlanQualitySpec extends SparkSpec {
       s"expected the three frequent-pair semi-join prunes:\n$opt")
   }
 
+  test("graphSearch default path: linear-cost quantized graph, no CartesianProduct anywhere (VERDICT r8 #2)") {
+    // the library default (edgesOverride = None, exactGraph = false) must build the
+    // graph through knnEdgesQuantized — the N² all-pairs form is demo-only behind an
+    // explicit exactGraph = true. Assert on BOTH plans the default composes: the edge
+    // construction (pre-checkpoint, so inspected directly) and the walk itself.
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val edgePlan = graft.ops.VectorOps.knnEdgesQuantized(e, k = 4)
+      .queryExecution.executedPlan.toString
+    assert(!edgePlan.contains("CartesianProduct"),
+      s"quantized edge build plans a cartesian product:\n$edgePlan")
+    val walk = graft.ops.VectorOps.graphSearch(e, e.filter(col("vec_id") < 4),
+      k = 4, beam = 4, hops = 2)
+    val walkPlan = walk.queryExecution.executedPlan.toString
+    assert(!walkPlan.contains("CartesianProduct"),
+      s"default graphSearch plans a cartesian product:\n$walkPlan")
+    assert(walk.limit(1).count() == 1, "default walk must produce results")
+  }
+
   test("ev_ccf: all fifteen lags share one ordered window pass") {
     val p = plan("ev_ccf")
     assert("(?s)Window".r.findAllIn(p).length == 1,

@@ -493,4 +493,38 @@ class Scd2RfmSpec extends SparkSpec {
       assert(got == ref, s"seed=$seed got=$got ref=$ref")
     }
   }
+
+  test("edgeSetStats: order/partition-insensitive fingerprint, discriminates real set changes") {
+    import spark.implicits._
+    val a = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("u", "v")
+    val shuffled = Seq((5L, 6L), (1L, 2L), (3L, 4L)).toDF("u", "v").repartition(7)
+    val b = Seq((1L, 2L), (3L, 4L), (5L, 7L)).toDF("u", "v")
+    val statsA = graft.ops.GraphOps.edgeSetStats(a)
+    assert(statsA == graft.ops.GraphOps.edgeSetStats(shuffled),
+      "fingerprint must not depend on row order or partitioning")
+    assert(statsA != graft.ops.GraphOps.edgeSetStats(b),
+      "a one-edge change must move the fingerprint")
+    assert(statsA._1 == 3L, "count is part of the comparison, not checksum alone")
+    // empty set: coalesce pins the digests so stats are defined, not NULL-poisoned
+    assert(graft.ops.GraphOps.edgeSetStats(a.limit(0)) == ((0L, 0L, 0L)))
+  }
+
+  test("connectedComponentsStar: a forced checksum collision fails LOUDLY, never returns wrong labels") {
+    import spark.implicits._
+    // A convergenceStats that reports every edge set as identical simulates the
+    // (~2^-128) double-digest collision: the loop falsely converges after one round.
+    // On a 12-chain one contraction round is nowhere near the fixpoint, so the
+    // endpoint-agreement verify MUST throw — the self-certifying backstop that makes
+    // the probabilistic fingerprint safe to use for convergence.
+    val chain = (1L to 11L).map(i => (i, i + 1)).toDF("u", "v")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.GraphOps.connectedComponentsStar(chain,
+        convergenceStats = _ => (0L, 0L, 0L)).collect()
+    }
+    assert(ex.getMessage.contains("labels disagree"))
+    // the honest fingerprint on the same graph converges to the right answer
+    val ok = graft.ops.GraphOps.connectedComponentsStar(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok == (1L to 12L).map(_ -> 1L).toMap)
+  }
 }

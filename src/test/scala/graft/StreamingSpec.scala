@@ -853,6 +853,47 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"streamed $streamed != batch $batch")
   }
 
+  test("streaming DAMPED Holt-Winters (phiNum=9) == batch ev_holt_damped fold across a split") {
+    import graft.streaming.HoltWinters
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-hwd").toString
+    val src = s"$base/src"
+    // a trending series (damping visibly diverges from the undamped form here):
+    // counts grow linearly with a weekly wobble
+    val counts = (0L until 16L).map(d => d + (d * 3 % 5) + 1)
+    def line(d: Long) = s"""{"event_type":"view","day":$d,"y":${counts(d.toInt)}}"""
+    writeSpool(src, "000.json", (0L until 6L).map(line))
+    writeSpool(src, "001.json", (6L until 16L).map(line))
+    Files.setLastModifiedTime(Paths.get(src, "001.json"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(Paths.get(src, "000.json")).toMillis + 10000))
+    val daily = spark.readStream.schema("event_type STRING, day LONG, y LONG")
+      .option("maxFilesPerTrigger", "1").json(src).as[HoltWinters.DayCount]
+    val q = HoltWinters.holtWinters(daily, phiNum = 9L)
+      .writeStream.format("memory").queryName("hwd")
+      .outputMode("update")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val fin = spark.table("hwd").collect().maxBy(_.getAs[Long]("n_days"))
+    assert(fin.getAs[Long]("n_days") == 16L)
+    val streamed = fin.getSeq[Long](fin.fieldIndex("forecasts"))
+    val evBase = Files.createTempDirectory("graft-hwd-batch").toString
+    (0L until 16L).flatMap(d => (0L until counts(d.toInt)).map(u => (u * 100 + d, d)))
+      .map { case (id, d) => (id, new java.sql.Timestamp(d * 86400000L), id, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$evBase/events.parquet")
+    val damped = SparkEntry.queries("ev_holt_damped")(spark, evBase).collect()
+      .sortBy(_.getAs[Int]("horizon")).map(_.getAs[Long]("forecast_e6")).toSeq
+    assert(streamed == damped, s"streamed $streamed != batch damped $damped")
+    // and damping actually bites on a trending series: the undamped twin forecasts
+    // strictly more trend at the long horizon
+    val undamped = SparkEntry.queries("ev_holt_winters")(spark, evBase).collect()
+      .sortBy(_.getAs[Int]("horizon")).map(_.getAs[Long]("forecast_e6")).toSeq
+    assert(damped.last < undamped.last,
+      s"damping had no effect: damped $damped vs undamped $undamped")
+  }
+
   test("streaming grouping-sets MV == one-shot batch lattice at every batch boundary; replay converges") {
     import graft.streaming.GroupingSetsMv
     val base = Files.createTempDirectory("graft-gsmv").toString
@@ -901,6 +942,45 @@ class StreamingSpec extends SparkSpec {
     val avg = GroupingSetsMv.current(spark, state)
       .filter(col("gid") === 3).select("avg").collect().head.getDouble(0)
     assert(math.abs(avg - 122.74 / 6) < 1e-6)
+    // checkpoint-reset guard (ADVICE r8): an incoming batch id BELOW the max applied
+    // version means the stream's checkpoint was wiped against a surviving state dir —
+    // without the guard, batch 0 would write v=0 and the prune would delete it
+    // immediately (silent data drop). Must fail loudly; state stays untouched.
+    val ex = intercept[IllegalStateException] {
+      GroupingSetsMv.applyBatch(b1, 0L, state, "priority", "status", "amount")
+    }
+    assert(ex.getMessage.contains("checkpoint"))
+    assert(canon(GroupingSetsMv.current(spark, state)) == oneShot,
+      "a rejected reset batch must not disturb the maintained state")
+  }
+
+  test("incremental TextRank == one-shot textRank at every boundary; replay converges; reset guard") {
+    import graft.streaming.IncrementalTextRank
+    val state = Files.createTempDirectory("graft-itr-spec").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .localCheckpoint(true)
+    def oneShot(upTo: Int) = graft.ops.TextOps.textRank(
+        docs.filter(org.apache.spark.sql.functions.pmod(col("doc_id"), lit(3)) <= upTo), minCount = 5, topK = 50)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    def maintained() = IncrementalTextRank.current(spark, state, minCount = 5, topK = 50)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    for (b <- 0 to 2) {
+      IncrementalTextRank.applyBatch(
+        docs.filter(org.apache.spark.sql.functions.pmod(col("doc_id"), lit(3)) === b), b.toLong, state)
+      assert(maintained() == oneShot(b),
+        s"maintained ranking diverged from one-shot after batch $b")
+    }
+    val fin = maintained()
+    // crash-replay of the last batch: re-reads v=1, re-merges, overwrites v=2 — equal
+    IncrementalTextRank.applyBatch(
+      docs.filter(org.apache.spark.sql.functions.pmod(col("doc_id"), lit(3)) === 2), 2L, state)
+    assert(maintained() == fin, "replaying the last batch must converge")
+    // checkpoint-reset guard: batch id below the max applied version fails loudly
+    val ex = intercept[IllegalStateException] {
+      IncrementalTextRank.applyBatch(
+        docs.filter(org.apache.spark.sql.functions.pmod(col("doc_id"), lit(3)) === 0), 0L, state)
+    }
+    assert(ex.getMessage.contains("checkpoint"))
   }
 
   test("streaming anomaly flags == batch twin across a multi-batch split; baselines precede the flag") {
