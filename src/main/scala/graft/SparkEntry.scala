@@ -3754,6 +3754,11 @@ object SparkEntry {
     // tie moments are exact integers over the day-pair table; tau is one
     // fixed-operand-order double expression. Completes the rank-stat family
     // (Mann-Whitney two-sample, Kruskal-Wallis k-sample, Mann-Kendall vs time).
+    // The day-pair self-join is O(days^2) BY CONSTRUCTION but bounded by the DAY
+    // GRID, never the corpus — like its ev_mann_kendall sibling: a decade is ~3.7k
+    // days => ~7M sign pairs, constant in corpus size (the corpus contributes one
+    // count exchange to daily grain). At truly long grids Knight's O(n log n)
+    // merge-sort inversion count is the known swap.
     "ev_kendall_tau" -> ((s, dir) => {
       val daily = t(s, dir, "events")
         .groupBy(to_date(col("ts")).as("day"))
