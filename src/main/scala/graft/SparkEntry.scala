@@ -4690,6 +4690,48 @@ object SparkEntry {
             "element_at(fin.s, cast((fin.t + horizon - 1) % 7 as int) + 1)").as("forecast_e6"))
     }),
 
+    // MULTIPLICATIVE Holt-Winters — completes the forecasting triple (additive,
+    // damped, multiplicative): seasonality as a RATIO around the level (the right
+    // model when weekly swing grows with traffic, e.g. a corpus that doubles —
+    // additive seasonals under-swing, multiplicative ones scale). Integer-exact via
+    // e6-scaled seasonal indices: deseasonalize = (y·10⁶) div sᵢ, reseasonalize =
+    // (lvl·sᵢ) div 10⁶, each ONE truncating BIGINT division identical under Spark
+    // `div` and DuckDB `//`. Bound: y ≤ ~10¹² (count·10⁶) keeps y·10⁶ ≤ 10¹⁸ < 2⁶³.
+    // Init: level = first-week mean, trend 0, sᵢ = (yᵢ·10⁶) div lvl0 (counts are
+    // positive, so lvl0 > 0 and every lvl2 stays positive).
+    "ev_holt_multiplicative" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("event_type"), expr("unix_millis(ts) div 86400000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg((count(lit(1)) * lit(1000000L)).as("y"))
+      daily.groupBy(col("event_type"))
+        .agg(expr("transform(array_sort(collect_list(struct(day, y))), x -> x.y)").as("ys"))
+        .filter(size(col("ys")) >= 14)
+        .withColumn("lvl0", expr("aggregate(slice(ys, 1, 7), 0L, (a, x) -> a + x) div 7"))
+        .withColumn("fin", expr(
+          """aggregate(
+            |  slice(ys, 8, size(ys) - 7),
+            |  named_struct('lvl', lvl0, 'tr', 0L,
+            |    's', transform(slice(ys, 1, 7), x -> (x * 1000000L) div lvl0), 't', 7L),
+            |  (acc, y) -> named_struct(
+            |    'lvl', (2 * ((y * 1000000L) div element_at(acc.s, cast(acc.t % 7 as int) + 1))) div 10
+            |           + (8 * (acc.lvl + acc.tr)) div 10,
+            |    'tr', (((2 * ((y * 1000000L) div element_at(acc.s, cast(acc.t % 7 as int) + 1))) div 10
+            |           + (8 * (acc.lvl + acc.tr)) div 10) - acc.lvl) div 10
+            |          + (9 * acc.tr) div 10,
+            |    's', transform(acc.s, (v, j) -> IF(j = cast(acc.t % 7 as int),
+            |           (3 * ((y * 1000000L) div
+            |                 ((2 * ((y * 1000000L) div element_at(acc.s, cast(acc.t % 7 as int) + 1))) div 10
+            |                  + (8 * (acc.lvl + acc.tr)) div 10))) div 10
+            |           + (7 * element_at(acc.s, cast(acc.t % 7 as int) + 1)) div 10, v)),
+            |    't', acc.t + 1L))""".stripMargin))
+        .select(col("event_type"), explode(expr("sequence(1, 7)")).as("horizon"), col("fin"))
+        .select(col("event_type"), col("horizon"),
+          expr("((fin.lvl + horizon * fin.tr) * " +
+            "element_at(fin.s, cast((fin.t + horizon - 1) % 7 as int) + 1)) div 1000000L")
+            .as("forecast_e6"))
+    }),
+
     // Survival-analysis hazard table (the Kaplan-Meier life table without the
     // cumulative product — every column stays an EXACT integer or one rounded ratio):
     // per user, lifespan = last−first event day; users still active in the final 3
@@ -6499,6 +6541,42 @@ object SparkEntry {
         |SELECT f.event_type, CAST(ds.h AS INT) AS horizon,
         |  f.lvl + ds.acc + f.sn[CAST((f.t + ds.h - 1) % 7 AS INT) + 1] AS forecast_e6
         |FROM fin f JOIN ds USING (event_type)""".stripMargin,
+
+    "ev_holt_multiplicative" ->
+      """WITH RECURSIVE
+        |d AS (SELECT event_type,
+        |    CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) * 1000000 AS y
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (SELECT event_type, y,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) - 1 AS t
+        |  FROM d),
+        |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nt FROM ser GROUP BY 1
+        |  HAVING COUNT(*) >= 14),
+        |lvl0 AS (SELECT event_type, CAST(SUM(y) AS BIGINT) // 7 AS lvl
+        |  FROM ser WHERE t < 7 GROUP BY 1),
+        |s0 AS (SELECT s.event_type, LIST((s.y * 1000000) // l.lvl ORDER BY s.t) AS sn
+        |  FROM ser s JOIN lvl0 l USING (event_type) WHERE s.t < 7 GROUP BY 1),
+        |rec AS (
+        |  SELECT n.event_type, l.lvl, CAST(0 AS BIGINT) AS tr, s0.sn, CAST(7 AS BIGINT) AS t
+        |  FROM n JOIN lvl0 l USING (event_type) JOIN s0 USING (event_type)
+        |  UNION ALL
+        |  SELECT event_type, lvl2 AS lvl,
+        |    (lvl2 - lvl1) // 10 + (9 * tr1) // 10 AS tr,
+        |    list_transform(range(1, 8), j -> CASE WHEN j = (t1 % 7) + 1
+        |      THEN (3 * ((y * 1000000) // lvl2)) // 10 + (7 * si) // 10
+        |      ELSE sn1[CAST(j AS INT)] END) AS sn,
+        |    t1 + 1 AS t
+        |  FROM (
+        |    SELECT r.event_type, r.lvl AS lvl1, r.tr AS tr1, r.sn AS sn1, r.t AS t1, s.y,
+        |      r.sn[CAST(r.t % 7 AS INT) + 1] AS si,
+        |      (2 * ((s.y * 1000000) // r.sn[CAST(r.t % 7 AS INT) + 1])) // 10
+        |        + (8 * (r.lvl + r.tr)) // 10 AS lvl2
+        |    FROM rec r JOIN ser s ON s.event_type = r.event_type AND s.t = r.t) x),
+        |fin AS (SELECT r.* FROM rec r JOIN n USING (event_type) WHERE r.t = n.nt)
+        |SELECT f.event_type, CAST(h.h AS INT) AS horizon,
+        |  ((f.lvl + h.h * f.tr) * f.sn[CAST((f.t + h.h - 1) % 7 AS INT) + 1]) // 1000000 AS forecast_e6
+        |FROM fin f CROSS JOIN (SELECT UNNEST(range(1, 8)) AS h) h""".stripMargin,
 
     "ev_survival_hazard" ->
       """WITH life AS (SELECT user_id,
