@@ -369,9 +369,40 @@ object GraphOps {
     (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
+  /** Driver-side union-find finish for a contracted edge set that FITS (bounded by
+    * [[connectedComponentsStar]]'s `localFinishEdges`, ~16 bytes/edge): min-id roots
+    * (union attaches the larger root under the smaller, so root ≡ component minimum —
+    * the same labels the distributed fixpoint produces), path-compressed finds. This
+    * is the standard two-phase shape (Kiveris et al. SoCC 2014 §6.2; GraphFrames'
+    * connectedComponents does the same small-graph switch): star contraction shrinks
+    * the edge set geometrically, so at any corpus scale the distributed phase runs
+    * O(log(E / threshold)) rounds and the tail — where per-round DATA cost is long
+    * since invisible under fixed scheduling overhead — finishes in zero jobs. */
+  private def localLabels(e: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    e.select(col("u"), col("v")).collect().foreach { row =>
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val spark = e.sparkSession
+    import spark.implicits._
+    parent.keys.toSeq.map(x => (x, find(x))).toDF("id", "component_id")
+  }
+
   def connectedComponentsStar(edges: DataFrame, maxRounds: Int = 20,
       verify: Boolean = true,
-      convergenceStats: DataFrame => (Long, Long, Long) = edgeSetStats): DataFrame = {
+      convergenceStats: DataFrame => (Long, Long, Long) = edgeSetStats,
+      localFinishEdges: Long = 200000L): DataFrame = {
     val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
     def truncate(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
@@ -412,21 +443,36 @@ object GraphOps {
     // two counts). `convergenceStats` is injectable so the forced-collision property
     // spec can prove the endpoint-agreement verify catches a false convergence.
     var curStats = convergenceStats(cur)
+    // Adaptive two-phase (r9): once the (strictly shrinking) edge set fits under
+    // `localFinishEdges` — checked for free, the fingerprint already carries the
+    // count — finish with driver-side union-find instead of iterating rounds whose
+    // cost is pure scheduling overhead. Contraction never drops a node (every
+    // non-root endpoint survives each round as a target or source), so labels from
+    // the contracted set cover exactly the input's nodes with the same component
+    // minima; the endpoint-agreement verify below still checks the result against
+    // the ORIGINAL edges either way. localFinishEdges = 0 forces the pure
+    // distributed path (the property specs pin it against the hybrid).
+    def fits(stats: (Long, Long, Long)): Boolean =
+      localFinishEdges > 0 && stats._1 <= localFinishEdges
+    var localDone: Option[DataFrame] = if (fits(curStats)) Some(localLabels(cur)) else None
     var converged = false
     var i = 0
-    while (!converged && i < maxRounds) {
+    while (localDone.isEmpty && !converged && i < maxRounds) {
       val next = truncate(smallStar(largeStar(cur)))
       val nextStats = convergenceStats(next)
       converged = nextStats == curStats
       cur = next
       curStats = nextStats
+      if (!converged && fits(curStats)) localDone = Some(localLabels(cur))
       i += 1
     }
-    require(converged, s"connectedComponentsStar: no fixed point within $maxRounds rounds")
+    if (localDone.isEmpty)
+      require(converged, s"connectedComponentsStar: no fixed point within $maxRounds rounds")
 
-    val labels = cur.select(col("u").as("id"), col("v").as("component_id"))
-      .union(cur.select(col("v").as("id"), col("v").as("component_id")))
-      .distinct()
+    val labels = localDone.getOrElse(
+      cur.select(col("u").as("id"), col("v").as("component_id"))
+        .union(cur.select(col("v").as("id"), col("v").as("component_id")))
+        .distinct())
     if (verify) {
       val la = labels.select(col("id").as("u"), col("component_id").as("__ca"))
       val lb = labels.select(col("id").as("v"), col("component_id").as("__cb"))

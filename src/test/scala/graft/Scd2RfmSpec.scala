@@ -517,14 +517,41 @@ class Scd2RfmSpec extends SparkSpec {
     // endpoint-agreement verify MUST throw — the self-certifying backstop that makes
     // the probabilistic fingerprint safe to use for convergence.
     val chain = (1L to 11L).map(i => (i, i + 1)).toDF("u", "v")
+    // localFinishEdges = 0: the collision scenario targets the DISTRIBUTED loop (the
+    // adaptive local finish never consults the fingerprint)
     val ex = intercept[IllegalArgumentException] {
       graft.ops.GraphOps.connectedComponentsStar(chain,
-        convergenceStats = _ => (0L, 0L, 0L)).collect()
+        convergenceStats = _ => (0L, 0L, 0L), localFinishEdges = 0L).collect()
     }
     assert(ex.getMessage.contains("labels disagree"))
     // the honest fingerprint on the same graph converges to the right answer
-    val ok = graft.ops.GraphOps.connectedComponentsStar(chain).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ok = graft.ops.GraphOps.connectedComponentsStar(chain, localFinishEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ok == (1L to 12L).map(_ -> 1L).toMap)
+  }
+
+  test("connectedComponentsStar: hybrid local finish == pure distributed on random graphs (property)") {
+    import spark.implicits._
+    // the default adaptive path (union-find once the contracted set fits) must be
+    // row-identical to the pure star-contraction fixpoint, including mid-contraction
+    // switches (threshold 4 forces several distributed rounds first on the chain)
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed * 31)
+      val n = 20 + rnd.nextInt(12)
+      val rand = (for {
+        u <- 0L until n
+        v <- (u + 1) until n if rnd.nextDouble() < 0.05
+      } yield (u, v)).distinct
+      val chain = (0L until 12L).map(i => (100L + i, 101L + i))
+      val edges = (rand ++ chain).toDF("u", "v")
+      val pure = graft.ops.GraphOps.connectedComponentsStar(edges, localFinishEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val hybridNow = graft.ops.GraphOps.connectedComponentsStar(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val hybridMid = graft.ops.GraphOps.connectedComponentsStar(edges, localFinishEdges = 4L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(hybridNow == pure, s"seed=$seed immediate local finish diverged")
+      assert(hybridMid == pure, s"seed=$seed mid-contraction local finish diverged")
+    }
   }
 }
