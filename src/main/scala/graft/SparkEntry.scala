@@ -2981,6 +2981,17 @@ object SparkEntry {
     "doc_pmi_pairs" -> ((s, dir) =>
       TextOps.pmiPairs(t(s, dir, "documents"), minCount = 5)),
 
+    // Benchmark decontamination (GPT-3 appendix-C rule, kept by Dolma/RefinedWeb):
+    // flag training docs sharing any 13-gram with the held-out eval slice
+    // (doc_id % 97 == 0 — ~1%, the benchmark-sized side, broadcast). md5-60 digests
+    // make the overlap DuckDB-replayable; xxh64 is the scale kernel as usual.
+    "doc_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextOps.decontaminate(
+        d.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(97)) === 0), n = 13)
+    }),
+
     // TextRank keyword extraction: integer PageRank over the frequent-vocab word
     // co-occurrence graph (window 2, undirected), top-50 by exact BIGINT rank
     "doc_textrank" -> ((s, dir) =>
@@ -5663,6 +5674,23 @@ object SparkEntry {
         |  FROM bits GROUP BY doc_id)
         |SELECT d.doc_id, COALESCE(sh.simhash, CAST(0 AS BIGINT)) AS simhash
         |FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id""".stripMargin,
+
+    "doc_decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 13 THEN []
+        |  ELSE list_transform(range(1, len(toks) - 11),
+        |    i -> CAST(('0x'||substring(md5(array_to_string(toks[i:i+12], ' ')),1,15)) AS BIGINT)) END) AS hs
+        |  FROM t),
+        |ev AS (SELECT DISTINCT u.h FROM g, unnest(g.hs) AS u(h) WHERE doc_id % 97 = 0),
+        |c AS (SELECT doc_id, hs FROM g WHERE doc_id % 97 <> 0),
+        |sh AS (SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM c, unnest(c.hs) AS u(h) JOIN ev ON ev.h = u.h GROUP BY 1)
+        |SELECT c.doc_id, CAST(len(c.hs) AS BIGINT) AS n_ngrams,
+        |  COALESCE(sh.n_shared, 0) AS n_shared,
+        |  COALESCE(sh.n_shared, 0) >= 1 AS contaminated
+        |FROM c LEFT JOIN sh USING (doc_id)""".stripMargin,
 
     "doc_fingerprint" ->
       """WITH t AS (SELECT doc_id,

@@ -617,6 +617,42 @@ object TextOps {
       .toDF("n_heavy", "overestimate_ok", "bound_ok")
   }
 
+  /**
+   * Benchmark decontamination — the eval-overlap gate every serious training-data
+   * pipeline runs before a corpus ships (the GPT-3 appendix-C rule, kept by Dolma/
+   * RefinedWeb: a training document is CONTAMINATED if it shares any n-gram, n = 13
+   * by default, with the held-out evaluation set). Per corpus doc: distinct n-gram
+   * count, how many of those appear anywhere in the eval set, and the contaminated
+   * flag. Uses [[md5Hash60]] digests so the DuckDB oracle replays the overlap
+   * exactly; the one-pass xxh64 kernel is the usual scale drop-in.
+   *
+   * Scale shape: the eval set is benchmark-sized by nature, so its distinct n-gram
+   * digest table broadcasts (~10M longs for a 100k-doc suite ⇒ ~80 MB — under the
+   * default broadcast threshold discipline; past that, the semi-join shuffles
+   * digests only, never text). The corpus contributes ONE tokenize+shingle scan;
+   * per-doc grams are `array_distinct`ed BEFORE the explode so the semi-join input
+   * is bounded by distinct grams, and short docs (< n tokens) surface with
+   * n_ngrams = 0 rather than vanishing.
+   */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, n: Int = 13,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def grams(df: DataFrame) = df.select(col(idCol),
+      array_distinct(transform(
+        TextFunctions.shingles(tokensCol(col(textCol)), n),
+        s => md5Hash60(s))).as("__hs"))
+    val evalHashes = grams(evalSet)
+      .select(explode(col("__hs")).as("__h")).distinct()
+    val cg = grams(corpus)
+    val totals = cg.select(col(idCol), size(col("__hs")).cast("long").as("n_ngrams"))
+    val shared = cg.select(col(idCol), explode(col("__hs")).as("__h"))
+      .join(broadcast(evalHashes), Seq("__h"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__shared"))
+    totals.join(shared, Seq(idCol), "left")
+      .select(col(idCol), col("n_ngrams"),
+        coalesce(col("__shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("__shared"), lit(0L)) >= 1L).as("contaminated"))
+  }
+
   def heavyHitters(df: DataFrame, invPhi: Int = 200, textCol: String = "text"): DataFrame = {
     val toks = df.select(explode(tokensCol(col(textCol))).as("token"))
     import toks.sparkSession.implicits._

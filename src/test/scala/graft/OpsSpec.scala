@@ -605,6 +605,26 @@ class VectorOpsSpec extends SparkSpec {
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("decontaminate: exact 13-gram overlap flags, 12-gram near-miss stays clean, short docs surface") {
+    val w = (1 to 30).map(i => s"w$i")
+    val evalSet = Seq((100L, w.take(13).mkString(" "))).toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains the eval 13-run verbatim inside a longer doc -> contaminated
+      (1L, ("x0 " + w.take(13).mkString(" ") + " x1 x2")),
+      // only the first 12 eval tokens then diverges -> NOT contaminated (the rule is
+      // a full n-gram match, not prefix similarity)
+      (2L, (w.take(12).mkString(" ") + " zzz " + w.slice(15, 25).mkString(" "))),
+      // shorter than 13 tokens -> zero n-grams, surfaced not dropped
+      (3L, "a b c")).toDF("doc_id", "text")
+    val out = TextOps.decontaminate(corpus, evalSet, n = 13).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_ngrams"), r.getAs[Long]("n_shared"), r.getAs[Boolean]("contaminated"))))
+      .toMap
+    assert(out(1L) == ((4L, 1L, true)), s"got ${out(1L)}")   // 16 tokens -> 4 distinct 13-grams
+    assert(out(2L)._2 == 0L && !out(2L)._3, s"near-miss flagged: ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, false)), s"short doc: ${out(3L)}")
+  }
+
   test("langId picks marker-heavy language, und when no markers") {
     val docs = Seq(
       (1L, "the cat and the dog of the house"),
