@@ -5220,6 +5220,18 @@ object SparkEntry {
       SampleOps.poissonBootstrapCi(t(s, dir, "orders"), col("o_orderkey"),
         col("o_totalprice"), md5Draw = false)),
 
+    // the bench times the slice-hash kernel (no n-gram string ever materializes) —
+    // the form a 100 TB run ships; the md5-60 string twin stays the Verify gate
+    // (the winnowing pairing). The win is NOT the digest: xxh64 over the same
+    // strings measured 19.4 s vs md5's 16.3 s — building ~40M 13-token strings is
+    // the cost the kernel removes.
+    "doc_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextOps.decontaminate(
+        d.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(97)) === 0), n = 13, kernel = true)
+    }),
+
     // the bench times the one-pass xxh64 monotone-deque winnowing kernel — the form a
     // 100 TB run ships; the md5-60 HOF twin stays the Verify gate (VERDICT r5 #2)
     "doc_winnowing" -> ((s, dir) => winnowingKernelFps(s, dir)),

@@ -623,8 +623,13 @@ object TextOps {
    * RefinedWeb: a training document is CONTAMINATED if it shares any n-gram, n = 13
    * by default, with the held-out evaluation set). Per corpus doc: distinct n-gram
    * count, how many of those appear anywhere in the eval set, and the contaminated
-   * flag. Uses [[md5Hash60]] digests so the DuckDB oracle replays the overlap
-   * exactly; the one-pass xxh64 kernel is the usual scale drop-in.
+   * flag. The default [[md5Hash60]] digest lets the DuckDB oracle replay the overlap
+   * exactly (the Verify gate's form); `kernel = true` is the 100 TB form, which is
+   * what the bench times (the winnowing md5/xxh64 pairing, VERDICT r5 #2). The
+   * kernel's win is NOT the digest: swapping md5 for xxhash64 over the same n-gram
+   * strings measured 19.4 s vs 16.3 s at sf0.1 — building ~40M 13-token strings IS
+   * the cost. The kernel hashes the token-array SLICE directly
+   * (`xxhash64(slice(toks, i, n))`), so no n-gram string ever materializes.
    *
    * Scale shape: the eval set is benchmark-sized by nature, so its distinct n-gram
    * digest table broadcasts (~10M longs for a 100k-doc suite ⇒ ~80 MB — under the
@@ -635,22 +640,36 @@ object TextOps {
    * n_ngrams = 0 rather than vanishing.
    */
   def decontaminate(corpus: DataFrame, evalSet: DataFrame, n: Int = 13,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    def grams(df: DataFrame) = df.select(col(idCol),
-      array_distinct(transform(
-        TextFunctions.shingles(tokensCol(col(textCol)), n),
-        s => md5Hash60(s))).as("__hs"))
+      textCol: String = "text", idCol: String = "doc_id",
+      kernel: Boolean = false): DataFrame = {
+    def grams(df: DataFrame) = {
+      val toks = df.select(col(idCol), tokensCol(col(textCol)).as("__toks"))
+      // CASE-guard, not sequence(1, greatest(...)): Spark's sequence DESCENDS when
+      // stop < start, so a short doc would produce slice position 0 and throw
+      if (kernel) toks.select(col(idCol), array_distinct(expr(
+        s"CASE WHEN size(__toks) < $n THEN CAST(array() AS array<bigint>) " +
+          s"ELSE transform(sequence(1, size(__toks) - ${n - 1}), " +
+          s"i -> xxhash64(slice(__toks, i, $n))) END")).as("__hs"))
+      else toks.select(col(idCol),
+        array_distinct(transform(
+          TextFunctions.shingles(col("__toks"), n),
+          s => md5Hash60(s))).as("__hs"))
+    }
+    // ONE corpus pass: a totals branch + a shared branch would each re-run the
+    // tokenize+shingle scan (Spark does not dedupe common scan subtrees — the
+    // pmiPairs lesson); explode_outer keeps short docs (null gram → n_ngrams 0)
+    // and the broadcast left join + conditional sum folds overlap counting into
+    // the same aggregation.
     val evalHashes = grams(evalSet)
       .select(explode(col("__hs")).as("__h")).distinct()
-    val cg = grams(corpus)
-    val totals = cg.select(col(idCol), size(col("__hs")).cast("long").as("n_ngrams"))
-    val shared = cg.select(col(idCol), explode(col("__hs")).as("__h"))
-      .join(broadcast(evalHashes), Seq("__h"), "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("__shared"))
-    totals.join(shared, Seq(idCol), "left")
-      .select(col(idCol), col("n_ngrams"),
-        coalesce(col("__shared"), lit(0L)).as("n_shared"),
-        (coalesce(col("__shared"), lit(0L)) >= 1L).as("contaminated"))
+      .withColumn("__hit", lit(1L))
+    grams(corpus).select(col(idCol), explode_outer(col("__hs")).as("__h"))
+      .join(broadcast(evalHashes), Seq("__h"), "left")
+      .groupBy(col(idCol)).agg(
+        count(col("__h")).as("n_ngrams"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_shared"))
+      .select(col(idCol), col("n_ngrams"), col("n_shared"),
+        (col("n_shared") >= 1L).as("contaminated"))
   }
 
   def heavyHitters(df: DataFrame, invPhi: Int = 200, textCol: String = "text"): DataFrame = {
