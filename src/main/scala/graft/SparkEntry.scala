@@ -2191,13 +2191,26 @@ object SparkEntry {
 
     "ev_zorder_layout" -> ((s, dir) => {
       import graft.ops.LayoutOps
+      import graft.operators.Cdc
+      // NO global-window ntile (a single-partition sort of the corpus at 100 TB):
+      // exact global rank via the assignEventOrder idiom (repartitionByRange on
+      // (z, event_id) + per-partition offsets), then the closed-form SQL ntile —
+      // first (n mod 16) tiles get ceil(n/16) rows, the rest floor(n/16) —
+      // bit-identical to NTILE(16) OVER (ORDER BY z, event_id) in both engines.
       val ev = t(s, dir, "events")
         .select(col("event_id"),
           pmod(col("user_id"), lit(256)).as("ub"),
           least(floor(col("value") / 4).cast("long"), lit(255L)).as("vb"))
-      val w = Window.orderBy(col("z"), col("event_id"))
-      ev.withColumn("z", LayoutOps.zValue(col("ub"), col("vb")))
-        .withColumn("tile", ntile(16).over(w))
+        .withColumn("z", LayoutOps.zValue(col("ub"), col("vb")))
+      val ranked = Cdc.assignEventOrder(ev, Seq(col("z"), col("event_id")))
+      val n = ranked.agg(count(lit(1)).as("__n"))
+      val rk = Cdc.OrderCol // 0-based global rank
+      ranked.crossJoin(broadcast(n))
+        .withColumn("tile", expr(
+          s"""CAST(CASE WHEN $rk < (__n % 16) * (__n div 16 + 1)
+             |  THEN $rk div (__n div 16 + 1) + 1
+             |  ELSE __n % 16 + ($rk - (__n % 16) * (__n div 16 + 1)) div (__n div 16) + 1
+             |END AS INT)""".stripMargin))
         .groupBy(col("tile"))
         .agg(count(lit(1)).as("n_rows"),
           min(col("ub")).as("min_u"), max(col("ub")).as("max_u"),
@@ -2983,13 +2996,15 @@ object SparkEntry {
 
     // Benchmark decontamination (GPT-3 appendix-C rule, kept by Dolma/RefinedWeb):
     // flag training docs sharing any 13-gram with the held-out eval slice
-    // (doc_id % 97 == 0 — ~1%, the benchmark-sized side, broadcast). md5-60 digests
-    // make the overlap DuckDB-replayable; xxh64 is the scale kernel as usual.
+    // (doc_id % 97 == 0 — ~1%, the benchmark-sized side, broadcast). kernel = false
+    // is THIS gate's explicit choice: md5-60 digests make the overlap
+    // DuckDB-replayable; the library DEFAULT is the slice-hash xxh64 kernel
+    // (the 100 TB form, what the bench times).
     "doc_decontaminate" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       TextOps.decontaminate(
         d.filter(pmod(col("doc_id"), lit(97)) =!= 0),
-        d.filter(pmod(col("doc_id"), lit(97)) === 0), n = 13)
+        d.filter(pmod(col("doc_id"), lit(97)) === 0), n = 13, kernel = false)
     }),
 
     // TextRank keyword extraction: integer PageRank over the frequent-vocab word
@@ -4708,8 +4723,12 @@ object SparkEntry {
     // e6-scaled seasonal indices: deseasonalize = (y·10⁶) div sᵢ, reseasonalize =
     // (lvl·sᵢ) div 10⁶, each ONE truncating BIGINT division identical under Spark
     // `div` and DuckDB `//`. Bound: y ≤ ~10¹² (count·10⁶) keeps y·10⁶ ≤ 10¹⁸ < 2⁶³.
-    // Init: level = first-week mean, trend 0, sᵢ = (yᵢ·10⁶) div lvl0 (counts are
-    // positive, so lvl0 > 0 and every lvl2 stays positive).
+    // Init: level = first-week mean, trend 0, sᵢ = (yᵢ·10⁶) div lvl0. Divisors are
+    // clamped `greatest(·, 1)` IDENTICALLY here and in the oracle (ADVICE r9 #2):
+    // a seasonal index can truncate to 0 under extreme skew (one init-week day's
+    // y·10⁶ < lvl0) and lvl2 can go non-positive on a steeply declining series —
+    // unclamped, ANSI Spark throws and DuckDB errors; clamped, both stay defined
+    // and bit-equal.
     "ev_holt_multiplicative" -> ((s, dir) => {
       val daily = t(s, dir, "events")
         .select(col("event_type"), expr("unix_millis(ts) div 86400000").as("day"))
@@ -4725,15 +4744,15 @@ object SparkEntry {
             |  named_struct('lvl', lvl0, 'tr', 0L,
             |    's', transform(slice(ys, 1, 7), x -> (x * 1000000L) div lvl0), 't', 7L),
             |  (acc, y) -> named_struct(
-            |    'lvl', (2 * ((y * 1000000L) div element_at(acc.s, cast(acc.t % 7 as int) + 1))) div 10
+            |    'lvl', (2 * ((y * 1000000L) div greatest(element_at(acc.s, cast(acc.t % 7 as int) + 1), 1L))) div 10
             |           + (8 * (acc.lvl + acc.tr)) div 10,
-            |    'tr', (((2 * ((y * 1000000L) div element_at(acc.s, cast(acc.t % 7 as int) + 1))) div 10
+            |    'tr', (((2 * ((y * 1000000L) div greatest(element_at(acc.s, cast(acc.t % 7 as int) + 1), 1L))) div 10
             |           + (8 * (acc.lvl + acc.tr)) div 10) - acc.lvl) div 10
             |          + (9 * acc.tr) div 10,
             |    's', transform(acc.s, (v, j) -> IF(j = cast(acc.t % 7 as int),
             |           (3 * ((y * 1000000L) div
-            |                 ((2 * ((y * 1000000L) div element_at(acc.s, cast(acc.t % 7 as int) + 1))) div 10
-            |                  + (8 * (acc.lvl + acc.tr)) div 10))) div 10
+            |                 greatest((2 * ((y * 1000000L) div greatest(element_at(acc.s, cast(acc.t % 7 as int) + 1), 1L))) div 10
+            |                  + (8 * (acc.lvl + acc.tr)) div 10, 1L))) div 10
             |           + (7 * element_at(acc.s, cast(acc.t % 7 as int) + 1)) div 10, v)),
             |    't', acc.t + 1L))""".stripMargin))
         .select(col("event_type"), explode(expr("sequence(1, 7)")).as("horizon"), col("fin"))
@@ -6604,13 +6623,13 @@ object SparkEntry {
         |  SELECT event_type, lvl2 AS lvl,
         |    (lvl2 - lvl1) // 10 + (9 * tr1) // 10 AS tr,
         |    list_transform(range(1, 8), j -> CASE WHEN j = (t1 % 7) + 1
-        |      THEN (3 * ((y * 1000000) // lvl2)) // 10 + (7 * si) // 10
+        |      THEN (3 * ((y * 1000000) // GREATEST(lvl2, 1))) // 10 + (7 * si) // 10
         |      ELSE sn1[CAST(j AS INT)] END) AS sn,
         |    t1 + 1 AS t
         |  FROM (
         |    SELECT r.event_type, r.lvl AS lvl1, r.tr AS tr1, r.sn AS sn1, r.t AS t1, s.y,
         |      r.sn[CAST(r.t % 7 AS INT) + 1] AS si,
-        |      (2 * ((s.y * 1000000) // r.sn[CAST(r.t % 7 AS INT) + 1])) // 10
+        |      (2 * ((s.y * 1000000) // GREATEST(r.sn[CAST(r.t % 7 AS INT) + 1], 1))) // 10
         |        + (8 * (r.lvl + r.tr)) // 10 AS lvl2
         |    FROM rec r JOIN ser s ON s.event_type = r.event_type AND s.t = r.t) x),
         |fin AS (SELECT r.* FROM rec r JOIN n USING (event_type) WHERE r.t = n.nt)

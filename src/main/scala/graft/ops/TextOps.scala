@@ -623,25 +623,30 @@ object TextOps {
    * RefinedWeb: a training document is CONTAMINATED if it shares any n-gram, n = 13
    * by default, with the held-out evaluation set). Per corpus doc: distinct n-gram
    * count, how many of those appear anywhere in the eval set, and the contaminated
-   * flag. The default [[md5Hash60]] digest lets the DuckDB oracle replay the overlap
-   * exactly (the Verify gate's form); `kernel = true` is the 100 TB form, which is
-   * what the bench times (the winnowing md5/xxh64 pairing, VERDICT r5 #2). The
-   * kernel's win is NOT the digest: swapping md5 for xxhash64 over the same n-gram
-   * strings measured 19.4 s vs 16.3 s at sf0.1 — building ~40M 13-token strings IS
-   * the cost. The kernel hashes the token-array SLICE directly
-   * (`xxhash64(slice(toks, i, n))`), so no n-gram string ever materializes.
+   * flag. The DEFAULT is the 100 TB slice-hash kernel (`kernel = true` — the
+   * graphSearch r8 #2 precedent: the scale form is the library default); the
+   * md5-60 string form (`kernel = false`) is the Verify gate's explicit choice so
+   * the DuckDB oracle can replay the overlap exactly (the winnowing md5/xxh64
+   * pairing, VERDICT r5 #2). The kernel's win is NOT the digest: swapping md5 for
+   * xxhash64 over the same n-gram strings measured 19.4 s vs 16.3 s at sf0.1 —
+   * building ~40M 13-token strings IS the cost. The kernel hashes the token-array
+   * SLICE directly (`xxhash64(slice(toks, i, n))`), so no n-gram string ever
+   * materializes.
    *
    * Scale shape: the eval set is benchmark-sized by nature, so its distinct n-gram
-   * digest table broadcasts (~10M longs for a 100k-doc suite ⇒ ~80 MB — under the
-   * default broadcast threshold discipline; past that, the semi-join shuffles
-   * digests only, never text). The corpus contributes ONE tokenize+shingle scan;
+   * digest table normally broadcasts (~10M longs for a 100k-doc suite ⇒ ~80 MB).
+   * The hint is deliberately NOT forced: AQE sees the digest table's actual
+   * post-shuffle size and converts to broadcast when it fits, while an oversized
+   * eval suite degrades to a shuffled join of digests only, never text (a forced
+   * broadcast would instead fail on driver/executor memory — ADVICE r9 #4).
+   * The corpus contributes ONE tokenize+shingle scan;
    * per-doc grams are `array_distinct`ed BEFORE the explode so the semi-join input
    * is bounded by distinct grams, and short docs (< n tokens) surface with
    * n_ngrams = 0 rather than vanishing.
    */
   def decontaminate(corpus: DataFrame, evalSet: DataFrame, n: Int = 13,
       textCol: String = "text", idCol: String = "doc_id",
-      kernel: Boolean = false): DataFrame = {
+      kernel: Boolean = true): DataFrame = {
     def grams(df: DataFrame) = {
       val toks = df.select(col(idCol), tokensCol(col(textCol)).as("__toks"))
       // CASE-guard, not sequence(1, greatest(...)): Spark's sequence DESCENDS when
@@ -663,8 +668,10 @@ object TextOps {
     val evalHashes = grams(evalSet)
       .select(explode(col("__hs")).as("__h")).distinct()
       .withColumn("__hit", lit(1L))
+    // no broadcast() hint: AQE converts to broadcast when the digest table fits,
+    // and an oversized eval suite degrades to a shuffle join instead of OOMing
     grams(corpus).select(col(idCol), explode_outer(col("__hs")).as("__h"))
-      .join(broadcast(evalHashes), Seq("__h"), "left")
+      .join(evalHashes, Seq("__h"), "left")
       .groupBy(col(idCol)).agg(
         count(col("__h")).as("n_ngrams"),
         coalesce(sum(col("__hit")), lit(0L)).as("n_shared"))

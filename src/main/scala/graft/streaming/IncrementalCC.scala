@@ -71,35 +71,17 @@ object IncrementalCC {
   }
 
   /**
-   * Idempotent recovery from a compaction interrupted mid-swap. [[compactStore]]'s
-   * ordering is write `_compact_tmp` → delete old data files → rename tmp files in →
-   * delete tmp. A crash between the delete and the rename leaves a store whose only
-   * contents sit under an underscore-prefixed dir that parquet readers IGNORE — a
-   * bare read would return empty while the `_batch_` markers survive, so the reset
-   * guard would not trip and a crash-replayed batch would silently rebuild labels
-   * from nothing. Recovery runs on every read (single-writer discipline, same as the
-   * dedup indexes): a COMPLETE tmp (Spark's `_SUCCESS` marker present) holds the full
-   * rewrite, so finish the swap — delete any surviving old data files, rename tmp in;
-   * an INCOMPLETE tmp means the crash happened before the destructive phase started
-   * (deletion only begins after the tmp write returns), so the old data files are all
-   * intact — discard the tmp.
+   * Idempotent recovery from a compaction interrupted mid-swap — delegates to the
+   * manifest protocol ([[graft.sinks.AtomicSwap]]): [[compactStore]] writes the
+   * rewrite under `_compact_tmp`, records a `_MANIFEST` (rename plan + the exact
+   * pre-existing files to delete), then executes rename-FIRST. Any crash point
+   * replays safely on the next read; in particular the ADVICE r9 #1 window — a
+   * crash between the swap finishing and the tmp drop, leaving a complete tmp with
+   * zero parquet files — now deletes the tmp only and can never empty the store
+   * while `_batch_` markers survive.
    */
-  private def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem, p: Path): Unit = {
-    val tmp = new Path(p, "_compact_tmp")
-    if (!fs.exists(tmp)) return
-    if (fs.exists(new Path(tmp, "_SUCCESS"))) {
-      fs.listStatus(p).foreach { s =>
-        val name = s.getPath.getName
-        if (s.isFile && !name.startsWith("_") && !name.startsWith("."))
-          fs.delete(s.getPath, false)
-      }
-      fs.listStatus(tmp).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .zipWithIndex.foreach { case (s, i) =>
-          fs.rename(s.getPath, new Path(p, s"compact-$i-${s.getPath.getName}"))
-        }
-    }
-    fs.delete(tmp, true)
-  }
+  private def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem, p: Path): Unit =
+    graft.sinks.AtomicSwap.finishSwap(fs, p)
 
   private def recordedMax(spark: SparkSession, dir: String): Option[Long] = {
     val p = new Path(dir)
@@ -246,16 +228,9 @@ object IncrementalCC {
     val tmp = new Path(p, "_compact_tmp")
     fs.delete(tmp, true)
     rewritten.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    fs.listStatus(p).foreach { s =>
-      val name = s.getPath.getName
-      if (s.isFile && !name.startsWith("_") && !name.startsWith("."))
-        fs.delete(s.getPath, false)
-    }
-    fs.listStatus(tmp).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .zipWithIndex.foreach { case (s, i) =>
-        fs.rename(s.getPath, new Path(p, s"compact-$i-${s.getPath.getName}"))
-      }
-    fs.delete(tmp, true)
+    // manifest-gated rename-first swap: new files move in under unique names, THEN
+    // the manifest's explicit old-file list is deleted — crash-safe at every point
+    graft.sinks.AtomicSwap.commitSwap(fs, p)
     n
   }
 

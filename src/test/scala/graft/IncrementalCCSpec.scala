@@ -211,6 +211,72 @@ class IncrementalCCSpec extends SparkSpec {
     assert(!fs.exists(tmp), "incomplete tmp must be discarded on read")
   }
 
+  test("compaction crash window: finished swap whose tmp drop was lost never empties the store (ADVICE r9 #1)") {
+    // the old recovery's blind spot: a crash lands AFTER the swap completed (new
+    // files renamed in, old files deleted) but BEFORE fs.delete(tmp) — the leftover
+    // tmp holds only _SUCCESS. Treating that as "complete rewrite, finish the swap"
+    // deleted every data file and renamed ZERO back: a silently emptied store with
+    // live _batch_ markers. Recovery must drop the tmp ONLY.
+    val store = tmpDir("icc-crashC")
+    IncrementalCC.applyBatch(Seq((4L, 8L), (8L, 9L)).toDF("u", "v"), 0L, store)
+    IncrementalCC.applyBatch(Seq((1L, 9L)).toDF("u", "v"), 1L, store)
+    val before = resolveAll(store, Seq(1L, 4L, 8L, 9L))
+    val p = new org.apache.hadoop.fs.Path(store)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(p, "_compact_tmp")
+    fs.mkdirs(tmp)
+    fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), true).close()
+    assert(resolveAll(store, Seq(1L, 4L, 8L, 9L)) == before,
+      "a _SUCCESS-only tmp emptied the store")
+    assert(!fs.exists(tmp))
+    // same window, manifest form: every MV already executed (srcs gone), every RM
+    // already deleted — recovery replays as no-ops and drops the tmp
+    fs.mkdirs(tmp)
+    fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), true).close()
+    val mf = fs.create(new org.apache.hadoop.fs.Path(tmp, "_MANIFEST"), true)
+    mf.write("MV part-gone.parquet compact-0-part-gone.parquet\nRM old-gone.parquet\n"
+      .getBytes("UTF-8")); mf.close()
+    assert(resolveAll(store, Seq(1L, 4L, 8L, 9L)) == before,
+      "a fully-executed manifest tmp emptied the store")
+    assert(!fs.exists(tmp))
+  }
+
+  test("compaction crash window: manifest mid-rename finishes exactly — multi-file swap loses nothing") {
+    // crash with SOME new files renamed in, some still in tmp, old files untouched:
+    // the old recovery deleted ALL data files (including the already-renamed new
+    // ones) before renaming the rest — losing them. The manifest replay must skip
+    // done MVs, finish the rest, then delete ONLY the listed old files.
+    val store = tmpDir("icc-crashD")
+    IncrementalCC.applyBatch(Seq((4L, 8L), (8L, 9L)).toDF("u", "v"), 0L, store)
+    IncrementalCC.applyBatch(Seq((1L, 9L)).toDF("u", "v"), 1L, store)
+    val before = resolveAll(store, Seq(1L, 4L, 8L, 9L))
+    val p = new org.apache.hadoop.fs.Path(store)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val olds = graft.sinks.AtomicSwap.dataFileNames(fs, p)
+    assert(olds.size >= 2, "need a multi-file store for this window")
+    // build a REAL rewrite in the tmp: move the current data files there (they ARE
+    // a complete equivalent rewrite), then replay a crash that renamed only the
+    // first one in
+    val tmp = new org.apache.hadoop.fs.Path(p, "_compact_tmp")
+    fs.mkdirs(tmp)
+    olds.foreach(n => fs.rename(new org.apache.hadoop.fs.Path(p, n),
+      new org.apache.hadoop.fs.Path(tmp, n)))
+    fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), true).close()
+    val sortedOlds = olds.sorted
+    val manifest = sortedOlds.zipWithIndex
+      .map { case (n, i) => s"MV $n compact-$i-$n" }.mkString("", "\n", "\n")
+    val mf = fs.create(new org.apache.hadoop.fs.Path(tmp, "_MANIFEST"), true)
+    mf.write(manifest.getBytes("UTF-8")); mf.close()
+    // simulate the crash: first MV already executed
+    fs.rename(new org.apache.hadoop.fs.Path(tmp, sortedOlds.head),
+      new org.apache.hadoop.fs.Path(p, s"compact-0-${sortedOlds.head}"))
+    assert(resolveAll(store, Seq(1L, 4L, 8L, 9L)) == before,
+      "mid-rename manifest replay lost store contents")
+    assert(!fs.exists(tmp))
+    assert(graft.sinks.AtomicSwap.dataFileNames(fs, p).size == olds.size,
+      "every rewrite file must survive the replay")
+  }
+
   test("compaction keeps NULL-batch backfill rows excluded-correctly under replay") {
     // an id carrying BOTH a NULL-batch backfill redirect and a latest-batch redirect
     // (ADVICE r8: min(batch_id) ignores NULLs and would collapse it to the latest

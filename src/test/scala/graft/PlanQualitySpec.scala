@@ -863,4 +863,13 @@ class PlanQualitySpec extends SparkSpec {
     assert("(?s)Window".r.findAllIn(p).length == 1,
       s"the 14 leads must plan as ONE window over the day-ordered series:\n$p")
   }
+
+  test("ev_zorder_layout: no global-window ntile — rank is range-partitioned (VERDICT r9 #2)") {
+    // The tile assignment must come from the assignEventOrder idiom (repartitionByRange
+    // + per-partition offsets), never a corpus-sized single-partition Window sort.
+    val p = plan("ev_zorder_layout")
+    assert(!p.contains("Window") && !p.contains("ntile"),
+      s"ev_zorder_layout planned a global window:\n$p")
+    assert(!p.contains("CartesianProduct"), "the n-row join must broadcast")
+  }
 }
