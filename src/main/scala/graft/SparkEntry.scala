@@ -3007,6 +3007,32 @@ object SparkEntry {
         d.filter(pmod(col("doc_id"), lit(97)) === 0), n = 13, kernel = false)
     }),
 
+    // INCREMENTAL decontamination (streaming/IncrementalDecontaminate): the eval
+    // digest store is maintained as state (two eval waves, novel digests only),
+    // then the corpus streams in three deterministic waves — each wave tokenizes
+    // only ITSELF and probes the store. A doc's flag row is a pure function of
+    // (doc text, eval digest set), so the unioned per-batch rows are row-identical
+    // to one-shot doc_decontaminate — the SAME oracle pins it. kernel = false is
+    // this gate's explicit md5-60 choice (library default stays the slice kernel).
+    "doc_decontaminate_incremental" -> ((s, dir) => {
+      import graft.streaming.IncrementalDecontaminate
+      val d = t(s, dir, "documents").localCheckpoint(true)
+      val evalSet = d.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val corpus = d.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      val root = java.nio.file.Files.createTempDirectory("graft-idec").toString
+      for (b <- 0 to 1)
+        IncrementalDecontaminate.addEvalBatch(
+          evalSet.filter(pmod(col("doc_id"), lit(2)) === b), b.toLong,
+          s"$root/eval", kernel = false)
+      for (b <- 0 to 2)
+        IncrementalDecontaminate.applyBatch(
+          corpus.filter(pmod(col("doc_id"), lit(3)) === b), b.toLong,
+          s"$root/eval", s"$root/out", kernel = false)
+      val out = IncrementalDecontaminate.results(s, s"$root/out").localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      out
+    }),
+
     // TextRank keyword extraction: integer PageRank over the frequent-vocab word
     // co-occurrence graph (window 2, undirected), top-50 by exact BIGINT rank
     "doc_textrank" -> ((s, dir) =>
@@ -5433,6 +5459,27 @@ object SparkEntry {
   /** Unrolled shortcut+hook min-label CC oracle over the co-purchase graph: round k
     * takes LEAST(own label, min neighbor label, label-of-label). See
     * `q_basket_components` for the convergence-margin argument. */
+  /** Shared by `doc_decontaminate` and `doc_decontaminate_incremental`: a doc's flag
+    * row is a pure function of (doc text, eval digest set), so the incremental form's
+    * unioned per-batch rows are row-identical to the one-shot and one oracle gates
+    * both. */
+  private val decontaminateOracle: String =
+    """WITH t AS (SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 13 THEN []
+      |  ELSE list_transform(range(1, len(toks) - 11),
+      |    i -> CAST(('0x'||substring(md5(array_to_string(toks[i:i+12], ' ')),1,15)) AS BIGINT)) END) AS hs
+      |  FROM t),
+      |ev AS (SELECT DISTINCT u.h FROM g, unnest(g.hs) AS u(h) WHERE doc_id % 97 = 0),
+      |c AS (SELECT doc_id, hs FROM g WHERE doc_id % 97 <> 0),
+      |sh AS (SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      |  FROM c, unnest(c.hs) AS u(h) JOIN ev ON ev.h = u.h GROUP BY 1)
+      |SELECT c.doc_id, CAST(len(c.hs) AS BIGINT) AS n_ngrams,
+      |  COALESCE(sh.n_shared, 0) AS n_shared,
+      |  COALESCE(sh.n_shared, 0) >= 1 AS contaminated
+      |FROM c LEFT JOIN sh USING (doc_id)""".stripMargin
+
   /** Shared by `doc_textrank` and `doc_textrank_incremental`: the incremental form
     * maintains the same counts the one-shot derives, so the final ranking is
     * row-identical and one oracle gates both. */
@@ -5706,22 +5753,8 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(sh.simhash, CAST(0 AS BIGINT)) AS simhash
         |FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id""".stripMargin,
 
-    "doc_decontaminate" ->
-      """WITH t AS (SELECT doc_id,
-        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 13 THEN []
-        |  ELSE list_transform(range(1, len(toks) - 11),
-        |    i -> CAST(('0x'||substring(md5(array_to_string(toks[i:i+12], ' ')),1,15)) AS BIGINT)) END) AS hs
-        |  FROM t),
-        |ev AS (SELECT DISTINCT u.h FROM g, unnest(g.hs) AS u(h) WHERE doc_id % 97 = 0),
-        |c AS (SELECT doc_id, hs FROM g WHERE doc_id % 97 <> 0),
-        |sh AS (SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
-        |  FROM c, unnest(c.hs) AS u(h) JOIN ev ON ev.h = u.h GROUP BY 1)
-        |SELECT c.doc_id, CAST(len(c.hs) AS BIGINT) AS n_ngrams,
-        |  COALESCE(sh.n_shared, 0) AS n_shared,
-        |  COALESCE(sh.n_shared, 0) >= 1 AS contaminated
-        |FROM c LEFT JOIN sh USING (doc_id)""".stripMargin,
+    "doc_decontaminate" -> decontaminateOracle,
+    "doc_decontaminate_incremental" -> decontaminateOracle,
 
     "doc_fingerprint" ->
       """WITH t AS (SELECT doc_id,

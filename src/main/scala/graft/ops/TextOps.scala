@@ -644,22 +644,28 @@ object TextOps {
    * is bounded by distinct grams, and short docs (< n tokens) surface with
    * n_ngrams = 0 rather than vanishing.
    */
+  /** Per-doc DISTINCT n-gram digests — the shared front half of [[decontaminate]]
+    * and [[graft.streaming.IncrementalDecontaminate]] (one tokenize pass; the
+    * kernel form hashes token-array slices so no n-gram string materializes). */
+  private[graft] def decontaminateGrams(df: DataFrame, n: Int, textCol: String,
+      idCol: String, kernel: Boolean): DataFrame = {
+    val toks = df.select(col(idCol), tokensCol(col(textCol)).as("__toks"))
+    // CASE-guard, not sequence(1, greatest(...)): Spark's sequence DESCENDS when
+    // stop < start, so a short doc would produce slice position 0 and throw
+    if (kernel) toks.select(col(idCol), array_distinct(expr(
+      s"CASE WHEN size(__toks) < $n THEN CAST(array() AS array<bigint>) " +
+        s"ELSE transform(sequence(1, size(__toks) - ${n - 1}), " +
+        s"i -> xxhash64(slice(__toks, i, $n))) END")).as("__hs"))
+    else toks.select(col(idCol),
+      array_distinct(transform(
+        TextFunctions.shingles(col("__toks"), n),
+        s => md5Hash60(s))).as("__hs"))
+  }
+
   def decontaminate(corpus: DataFrame, evalSet: DataFrame, n: Int = 13,
       textCol: String = "text", idCol: String = "doc_id",
       kernel: Boolean = true): DataFrame = {
-    def grams(df: DataFrame) = {
-      val toks = df.select(col(idCol), tokensCol(col(textCol)).as("__toks"))
-      // CASE-guard, not sequence(1, greatest(...)): Spark's sequence DESCENDS when
-      // stop < start, so a short doc would produce slice position 0 and throw
-      if (kernel) toks.select(col(idCol), array_distinct(expr(
-        s"CASE WHEN size(__toks) < $n THEN CAST(array() AS array<bigint>) " +
-          s"ELSE transform(sequence(1, size(__toks) - ${n - 1}), " +
-          s"i -> xxhash64(slice(__toks, i, $n))) END")).as("__hs"))
-      else toks.select(col(idCol),
-        array_distinct(transform(
-          TextFunctions.shingles(col("__toks"), n),
-          s => md5Hash60(s))).as("__hs"))
-    }
+    def grams(df: DataFrame) = decontaminateGrams(df, n, textCol, idCol, kernel)
     // ONE corpus pass: a totals branch + a shared branch would each re-run the
     // tokenize+shingle scan (Spark does not dedupe common scan subtrees — the
     // pmiPairs lesson); explode_outer keeps short docs (null gram → n_ngrams 0)

@@ -983,6 +983,55 @@ class StreamingSpec extends SparkSpec {
     assert(ex.getMessage.contains("checkpoint"))
   }
 
+  test("incremental decontamination == one-shot at every boundary; replay idempotent; reset guard") {
+    import graft.streaming.IncrementalDecontaminate
+    import org.apache.spark.sql.functions.pmod
+    val root = Files.createTempDirectory("graft-idec-spec").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .localCheckpoint(true)
+    val evalSet = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .sortBy(_._1).toSeq
+    // eval store in two waves; a replayed wave re-derives the SAME admission against
+    // the same prior state (IngestDedup convention) — duplicate rows, set-identical
+    val novelCounts = (0 to 1).map { b =>
+      IncrementalDecontaminate.addEvalBatch(
+        evalSet.filter(pmod(col("doc_id"), lit(2)) === b), b.toLong, s"$root/eval")
+    }
+    val replayNovel = IncrementalDecontaminate.addEvalBatch(
+      evalSet.filter(pmod(col("doc_id"), lit(2)) === 1), 1L, s"$root/eval")
+    assert(replayNovel == novelCounts(1),
+      "an eval-wave replay must re-derive exactly its original admission")
+    def oneShot(upTo: Int) = canon(graft.ops.TextOps.decontaminate(
+      corpus.filter(pmod(col("doc_id"), lit(3)) <= upTo), evalSet))
+    def maintained() = canon(IncrementalDecontaminate.results(spark, s"$root/out"))
+    for (b <- 0 to 2) {
+      IncrementalDecontaminate.applyBatch(
+        corpus.filter(pmod(col("doc_id"), lit(3)) === b), b.toLong, s"$root/eval", s"$root/out")
+      assert(maintained() == oneShot(b),
+        s"maintained flags diverged from one-shot after batch $b")
+    }
+    val fin = maintained()
+    // crash-replay of the last corpus batch overwrites its own batch dir — identical
+    IncrementalDecontaminate.applyBatch(
+      corpus.filter(pmod(col("doc_id"), lit(3)) === 2), 2L, s"$root/eval", s"$root/out")
+    assert(maintained() == fin, "replaying the last batch must be idempotent")
+    // checkpoint-reset guard on both state surfaces: batch id below max fails loudly
+    val exOut = intercept[IllegalStateException] {
+      IncrementalDecontaminate.applyBatch(
+        corpus.filter(pmod(col("doc_id"), lit(3)) === 0), 0L, s"$root/eval", s"$root/out")
+    }
+    assert(exOut.getMessage.contains("checkpoint"))
+    val exEval = intercept[IllegalStateException] {
+      IncrementalDecontaminate.addEvalBatch(
+        evalSet.filter(pmod(col("doc_id"), lit(2)) === 0), 0L, s"$root/eval")
+    }
+    assert(exEval.getMessage.contains("checkpoint"))
+    assert(maintained() == fin, "rejected reset batches must not disturb the output")
+  }
+
   test("streaming anomaly flags == batch twin across a multi-batch split; baselines precede the flag") {
     import graft.streaming.Anomaly
     import spark.implicits._
