@@ -263,36 +263,47 @@ object TextOps {
     require(queries.nonEmpty)
     val spark = df.sparkSession
     import spark.implicits._
-    val qtok = broadcast(queries.toDF("query_id", "query_text")
-      .select(col("query_id"), explode(array_distinct(tokensCol(col("query_text")))).as("token")))
-    // tokens materialize in a pre-Generate projection (CollapseProject keeps the expensive
-    // tokenizer single-evaluation), so dl = size(tokens) rides each exploded pair WITHOUT
-    // re-running the HOF per exploded row (the Generate pathology; measured 4.7 s vs
-    // 0.4 s at sf0.1). The broadcast query-term semi-join then prunes the token stream
-    // BEFORE any aggregation: the only corpus-sized exchange the old shape had — the full
-    // (doc, token) tf groupBy + per-doc dl window — never happens; only query-term
-    // occurrences (|matching docs| · |query terms| rows) are ever shuffled.
+    val qtok = queries.toDF("query_id", "query_text")
+      .select(col("query_id"), explode(array_distinct(tokensCol(col("query_text")))).as("token"))
+    // Distinct query terms, collected to the driver: |terms| is query-bounded (a few
+    // dozen strings — the model-artifact collect class), tokenized through the SAME
+    // Column tokenizer the corpus uses so the two sides can never disagree.
+    val qTerms = qtok.select(col("token")).distinct().as[String].collect().sorted.toSeq
+    if (qTerms.isEmpty)
+      return queries.toDF("query_id", "query_text").limit(0)
+        .select(col("query_id"), lit(0L).as(idCol), lit(0.0).as("score"))
+    // ZERO-exchange term frequencies: per doc, ONE narrow codegen'd map computes dl
+    // and an occurrence count per query term via size(filter(__toks, = term)) — no
+    // explode, no token ever crosses an exchange, and the single tokenize pass also
+    // yields N and Σdl (the pmiPairs shared-scan lesson: the previous shape paid a
+    // SECOND full tokenize for Σdl plus a corpus-sized explode+semi-join for tf —
+    // measured 1.8 s vs 0.7 s at sf0.1). The per-doc frame (|docs| × (|terms|+2)
+    // longs, no text) is localCheckpointed once for its two consumers.
     val toksDf = df.select(col(idCol), tokensCol(col(textCol)).as("__toks"))
-    val pairs = toksDf.select(col(idCol), size(col("__toks")).cast("long").as("dl"),
-      explode(col("__toks")).as("token"))
-    val qpairs = pairs.join(broadcast(qtok.select("token").distinct()), Seq("token"), "left_semi")
-    val tf = qpairs.groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-    // N counts ALL documents (empty ones too — they have no tf rows but weight avgdl);
-    // Σdl needs the full token count, which the pruned stream no longer carries — it
-    // comes from a second NARROW pass (sum of per-doc sizes, no explode, no exchange):
-    // an extra scan is the right trade against shuffling the whole token stream
-    val stats = broadcast(
-      df.agg(count(lit(1)).as("n_docs"))
-        .crossJoin(toksDf.agg(sum(size(col("__toks"))).cast("long").as("sum_dl"))))
-    // document frequency for query terms, from the pruned stream (distinct docs per term)
+    val perDoc = toksDf.select(
+      col(idCol) +:
+        coalesce(size(col("__toks")), lit(0)).cast("long").as("dl") +:
+        qTerms.zipWithIndex.map { case (t, i) =>
+          coalesce(size(filter(col("__toks"), x => x === lit(t))), lit(0))
+            .cast("long").as(s"__tf_$i")
+        }: _*)
+      .localCheckpoint(true)
+    // N counts ALL documents (empty ones too — they have no tf rows but weight avgdl)
+    val stats = broadcast(perDoc.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).cast("long").as("sum_dl")))
+    val tf = perDoc.select(col(idCol), col("dl"),
+        explode(map(qTerms.zipWithIndex.flatMap { case (t, i) =>
+          Seq(lit(t), col(s"__tf_$i")) }: _*)))
+      .select(col(idCol), col("dl"), col("key").as("token"), col("value").as("tf"))
+      .filter(col("tf") > 0)
+    // document frequency for query terms (distinct docs per term)
     val dfreq = broadcast(tf.groupBy("token").agg(count(lit(1)).as("df")))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
     val norm = col("tf") + lit(k1) *
       (lit(1.0 - b) + lit(b) * (col("dl") * col("n_docs")).cast("double") / col("sum_dl"))
     val term = (idf * col("tf") * lit(k1 + 1.0) / norm).cast(DecimalType(18, 8))
-    val scored = tf.join(qtok, "token").join(dfreq, "token").crossJoin(stats)
+    val scored = tf.join(broadcast(qtok), "token").join(dfreq, "token").crossJoin(stats)
       .groupBy(col("query_id"), col(idCol))
       .agg(round(sum(term).cast("double"), 6).as("score"))
     scored
