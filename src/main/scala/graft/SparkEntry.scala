@@ -2966,6 +2966,21 @@ object SparkEntry {
     "doc_span_dedup" -> ((s, dir) =>
       DedupOps.spanDedupStats(t(s, dir, "documents"), k = 12)),
 
+    // span REMOVAL at the paper's 50-token grain (the doc_span_dedup big sibling):
+    // keeper election per duplicated window + per-doc merged removal intervals —
+    // suffix-free (digest aggregation + gaps-and-islands, no suffix array). Overlaps
+    // are PLANTED deterministically (docs with doc_id % 101 == 0 get a doubled-text
+    // twin at doc_id + 10,000,000), so cross-doc AND within-doc duplicated 50-token
+    // spans exist at every sf; both engines build the identical planted corpus.
+    // kernel = false is this gate's md5-60 choice (library default: xxh64 chain).
+    "doc_span_dedup50" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = base.filter(pmod(col("doc_id"), lit(101)) === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          concat_ws(" ", col("text"), col("text")).as("text"))
+      DedupOps.spanRemoveStats(base.unionByName(planted), k = 50, kernel = false)
+    }),
+
     // incremental span-dedup admission: batch docs screened against the persisted
     // window-hash index of the ingested corpus (src0), O(batch) semi-join probe
     "doc_incremental_spandedup" -> ((s, dir) => {
@@ -5275,6 +5290,16 @@ object SparkEntry {
       TextOps.decontaminate(
         d.filter(pmod(col("doc_id"), lit(97)) =!= 0),
         d.filter(pmod(col("doc_id"), lit(97)) === 0), n = 13, kernel = true)
+    }),
+
+    // the bench times the xxh64 rolling-chain digests (the library default) — the
+    // md5-60 string twin stays the Verify gate, same planted corpus
+    "doc_span_dedup50" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = base.filter(pmod(col("doc_id"), lit(101)) === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          concat_ws(" ", col("text"), col("text")).as("text"))
+      DedupOps.spanRemoveStats(base.unionByName(planted), k = 50)
     }),
 
     // the bench times the one-pass xxh64 monotone-deque winnowing kernel — the form a
@@ -7976,6 +8001,42 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(st.n_windows, 0) AS n_windows,
         |  COALESCE(st.n_dup_windows, 0) AS n_dup_windows, COALESCE(mr.max_dup_run, 0) AS max_dup_run
         |FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id LEFT JOIN mr ON mr.doc_id = d.doc_id""".stripMargin,
+
+    "doc_span_dedup50" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id, text || ' ' || text AS text
+        |  FROM documents WHERE doc_id % 101 = 0),
+        |t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks FROM corpus),
+        |w AS (SELECT doc_id, COALESCE(CAST(len(toks) AS BIGINT), 0) AS n_tokens,
+        |    CASE WHEN len(toks) < 50 THEN [] ELSE list_transform(range(1, len(toks) - 48),
+        |      i -> CAST(('0x'||substring(md5(array_to_string(toks[i:i+49], ' ')),1,15)) AS BIGINT)) END AS hs
+        |  FROM t),
+        |occ AS (SELECT doc_id, hs[CAST(u.i AS INT) + 1] AS h, CAST(u.i AS BIGINT) AS idx
+        |  FROM w, unnest(CASE WHEN len(hs) = 0 THEN [] ELSE range(0, len(hs)) END) AS u(i)),
+        |dup AS (SELECT h, FIRST(doc_id ORDER BY doc_id, idx) AS kd,
+        |    FIRST(idx ORDER BY doc_id, idx) AS ki
+        |  FROM occ GROUP BY h HAVING COUNT(*) > 1),
+        |losers AS (SELECT o.doc_id, o.idx FROM occ o JOIN dup d USING (h)
+        |  WHERE NOT (o.doc_id = d.kd AND o.idx = d.ki)),
+        |pe AS (SELECT doc_id, idx, MAX(idx + 49) OVER (PARTITION BY doc_id ORDER BY idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM losers),
+        |g AS (SELECT doc_id, idx,
+        |    SUM(CASE WHEN prev_end IS NULL OR idx > prev_end + 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY idx ROWS UNBOUNDED PRECEDING) AS grp FROM pe),
+        |sp AS (SELECT doc_id, grp, MAX(idx) - MIN(idx) + 50 AS removed, COUNT(*) AS nl
+        |  FROM g GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, CAST(SUM(nl) AS BIGINT) AS n_loser_windows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+        |    CAST(SUM(removed) AS BIGINT) AS n_removed_tokens
+        |  FROM sp GROUP BY 1)
+        |SELECT w.doc_id, w.n_tokens, CAST(len(w.hs) AS BIGINT) AS n_windows,
+        |  COALESCE(pd.n_loser_windows, 0) AS n_loser_windows,
+        |  COALESCE(pd.n_dup_spans, 0) AS n_dup_spans,
+        |  COALESCE(pd.n_removed_tokens, 0) AS n_removed_tokens
+        |FROM w LEFT JOIN pd USING (doc_id)""".stripMargin,
 
     "doc_heavy_hitters" ->
       """WITH toks AS (SELECT unnest(list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')) AS token

@@ -752,6 +752,92 @@ object DedupOps {
         coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"))
   }
 
+  /**
+   * Exact-substring SPAN REMOVAL at the Lee et al. 2022 grain (k = 50 tokens by
+   * default) — the big sibling of [[spanDedupStats]]: not just per-doc duplication
+   * stats but the REMOVAL decision itself. A k-token window is duplicated when its
+   * digest occurs at more than one (doc, position) — occurrences, not distinct docs,
+   * so within-doc repeats count, as in the paper. Every duplicated occurrence except
+   * ONE canonical keeper (the lexicographic minimum (doc_id, win_idx) — deterministic,
+   * replay-stable) is a LOSER, and a doc's loser windows merge (overlap or adjacency)
+   * into removal intervals: exactly the token spans a Lee-et-al pass cuts while
+   * leaving one copy of every duplicated span in the corpus.
+   *
+   * Suffix-FREE 100 TB shape — the published implementations build a corpus-wide
+   * suffix array (Lee et al. 2022 §4; a global sort of every suffix); here the same
+   * decision is shuffle-friendly relational algebra on digests:
+   *   - ONE tokenize scan; windows digest through the [[TextFunctions.shingleHashes]]
+   *     XXH64 rolling chain (`kernel = true`, the library default — no window string
+   *     ever materializes) or the md5-60 string twin (`kernel = false`, the oracle
+   *     form — the winnowing/decontaminate pairing);
+   *   - occurrence rows are (h, doc, idx) — ~20 bytes, never text;
+   *   - keeper election is ONE hash-partitioned aggregation per digest
+   *     (count + min(struct(doc, idx)), map-side combined) — block-local work plus
+   *     one exchange on the digest, no global order anywhere;
+   *   - interval merge is the gaps-and-islands cummax window per doc — one exchange
+   *     on doc_id, state bounded by a doc's own window count (block-local sort with
+   *     boundary stitching via the running max, never a corpus sort).
+   *
+   * Collision bound: as [[spanDedupStats]] — 64-bit digests make this a tightly
+   * bounded approximation of exact ExactSubstr semantics past ~10⁹ distinct windows;
+   * where exactness matters, re-verify candidate spans against token text.
+   *
+   * @return (idCol, n_tokens, n_windows, n_loser_windows, n_dup_spans,
+   *         n_removed_tokens) for EVERY input doc (short docs report zeros)
+   */
+  def spanRemoveStats(df: DataFrame, k: Int = 50, textCol: String = "text",
+      idCol: String = "doc_id", kernel: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // tokens materialize in a pre-Generate projection (CollapseProject keeps the
+    // tokenizer single-evaluation — the bm25 idiom); posexplode_outer keeps short
+    // docs so n_tokens/n_windows never need a second corpus scan
+    val toksDf = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+    val hashes =
+      if (kernel) TextFunctions.shingleHashes(col("__toks"), k)
+      else transform(TextFunctions.shingles(col("__toks"), k),
+        s => graft.ops.TextOps.md5Hash60(s))
+    // the occurrence table feeds THREE consumers (keeper election, loser probe, the
+    // per-doc base counts) — localCheckpoint once so the tokenize+digest scan runs
+    // once, not three times; at scale the checkpointed rows are ~20 bytes per corpus
+    // token (~2% of corpus bytes on executor-local disk) vs three full CPU passes
+    val wins = toksDf.select(col(idCol),
+      coalesce(size(col("__toks")), lit(0)).cast("long").as("n_tokens"),
+      posexplode_outer(hashes))
+      .select(col(idCol), col("n_tokens"),
+        col("pos").cast("long").as("idx"), col("col").as("h"))
+      .localCheckpoint(true)
+    val dup = wins.filter(col("h").isNotNull)
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col(idCol).as("kd"), col("idx").as("ki"))).as("kp"))
+      .filter(col("occ") > 1)
+      .select(col("h"), col("kp.kd").as("kd"), col("kp.ki").as("ki"))
+    val losers = wins.join(dup, Seq("h"))
+      .filter(!(col(idCol) === col("kd") && col("idx") === col("ki")))
+      .select(col(idCol), col("idx"))
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("idx"))
+    val grouped = losers
+      .withColumn("__prev_end",
+        max(col("idx") + lit(k - 1)).over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__g", sum(
+        when(col("__prev_end").isNull || col("idx") > col("__prev_end") + 1, 1L)
+          .otherwise(0L)).over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    val spans = grouped.groupBy(col(idCol), col("__g"))
+      .agg((max(col("idx")) - min(col("idx")) + lit(k.toLong)).as("removed"),
+        count(lit(1)).as("__nl"))
+    val perDocSpans = spans.groupBy(col(idCol)).agg(
+      sum(col("__nl")).cast("long").as("n_loser_windows"),
+      count(lit(1)).as("n_dup_spans"),
+      sum(col("removed")).cast("long").as("n_removed_tokens"))
+    wins.groupBy(col(idCol)).agg(
+        max(col("n_tokens")).as("n_tokens"), count(col("h")).as("n_windows"))
+      .join(perDocSpans, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("n_windows"),
+        coalesce(col("n_loser_windows"), lit(0L)).as("n_loser_windows"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("n_removed_tokens"), lit(0L)).as("n_removed_tokens"))
+  }
+
   /** Distinct k-token window hashes of a corpus — the persisted index artifact for
     * [[spanAdmission]] (8 bytes per distinct window; append each admitted batch's
     * hashes, bucket by `h` so the probe join is exchange-free at scale). */

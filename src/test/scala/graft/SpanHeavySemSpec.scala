@@ -95,6 +95,80 @@ class SpanHeavySemSpec extends SparkSpec {
 
   // -- heavyHitters ---------------------------------------------------------------------
 
+  // -- spanRemoveStats (the Lee et al. 50-token-grain big sibling; k shrunk for tests) --
+
+  test("spanRemoveStats: exact copy loses everything, keeper doc loses nothing") {
+    val t = words(30, "t")
+    val docs = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val r = DedupOps.spanRemoveStats(docs, k = 12)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // 30 tokens → 19 windows; every doc-2 window is a loser (keeper = min doc_id),
+    // merging into ONE span covering the whole doc: removed = 18 - 0 + 12 = 30
+    assert(r == Seq((1L, 30L, 19L, 0L, 0L, 0L), (2L, 30L, 19L, 19L, 1L, 30L)), s"$r")
+  }
+
+  test("spanRemoveStats: within-doc repeat — first occurrence keeps, second is cut") {
+    val s = words(15, "s")
+    val docs = Seq((1L, s + " " + words(20, "m") + " " + s)).toDF("doc_id", "text")
+    val r = DedupOps.spanRemoveStats(docs, k = 12)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // 50 tokens → 39 windows; the repeated 15-token span has 4 windows per occurrence
+    // (idx 0..3 keep, idx 35..38 lose) → one merged span of 38 - 35 + 12 = 15 tokens
+    assert(r == Seq((1L, 50L, 39L, 4L, 1L, 15L)), s"$r")
+  }
+
+  test("spanRemoveStats: keeper election is lexicographic (doc, idx) — doc order beats position") {
+    val a = words(14, "a") // 3 windows at k=12
+    val docs = Seq(
+      (1L, words(25, "f") + " " + a), // span late in the LOW doc id
+      (2L, a + " " + words(25, "g"))  // span at idx 0 in the high doc id
+    ).toDF("doc_id", "text")
+    val r = DedupOps.spanRemoveStats(docs, k = 12)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // keeper is doc 1 despite its larger win_idx; doc 2 loses the 14-token span
+    assert(r(0)._4 == 0L && r(0)._6 == 0L, s"doc1 must keep: ${r(0)}")
+    assert(r(1)._4 == 3L && r(1)._5 == 1L && r(1)._6 == 14L, s"doc2 must lose the span: ${r(1)}")
+  }
+
+  test("spanRemoveStats: equals a naive reference on random corpora (md5 and kernel agree)") {
+    val rnd = new scala.util.Random(29)
+    val vocab = (0 until 5).map(i => s"w$i")
+    for (trial <- 1 to 3) {
+      val k = 4
+      val docs = (1L to 8L).map { id =>
+        (id, (0 until (k + rnd.nextInt(20))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // naive: occurrences on window STRINGS, keeper = min (doc, idx), interval merge
+      val occ = docs.flatMap { case (id, text) =>
+        val toks = text.split(" ").toSeq
+        toks.sliding(k).zipWithIndex.filter(_._1.size == k)
+          .map { case (w, i) => (w.mkString(" "), id, i.toLong) }
+      }
+      val keeper = occ.groupBy(_._1).filter(_._2.size > 1)
+        .map { case (w, os) => w -> os.map(o => (o._2, o._3)).min }
+      val expect = docs.map { case (id, text) =>
+        val n = text.split(" ").length.toLong
+        val nw = math.max(0L, n - k + 1)
+        val loserIdx = occ.filter(o => o._2 == id && keeper.get(o._1).exists(_ != ((id, o._3))))
+          .map(_._3).sorted
+        // merge [i, i+k-1] intervals on overlap-or-adjacency
+        val spans = loserIdx.foldLeft(List.empty[(Long, Long)]) { case (acc, i) =>
+          acc match {
+            case (s0, e0) :: rest if i <= e0 + 1 => (s0, math.max(e0, i + k - 1)) :: rest
+            case _ => (i, i + k - 1) :: acc
+          }
+        }.reverse
+        (id, n, nw, loserIdx.size.toLong, spans.size.toLong,
+          spans.map { case (s0, e0) => e0 - s0 + 1 }.sum)
+      }.sortBy(_._1).toSeq
+      for (kernel <- Seq(false, true)) {
+        val got = DedupOps.spanRemoveStats(docs.toDF("doc_id", "text"), k, kernel = kernel)
+          .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+        assert(got == expect, s"trial $trial kernel=$kernel:\n got    $got\n expect $expect")
+      }
+    }
+  }
+
   test("heavyHitters: exact vs naive on skewed data, invariant to partitioning") {
     val rnd = new scala.util.Random(7)
     // zipf-ish: token i appears ~ 3000/(i+1) times
