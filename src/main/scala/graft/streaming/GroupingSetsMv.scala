@@ -51,12 +51,19 @@ object GroupingSetsMv {
       .agg(sum(col("n")).cast("long").as("n"),
         sum(col("s")).cast(DecimalType(18, 2)).as("s"))
 
+  /** COMMITTED versions only: a version exists once its Spark `_SUCCESS` marker
+    * lands. A crash mid-overwrite (parquet overwrite deletes the dir content before
+    * the new commit) leaves a junk `v=` dir with no marker — without the gate,
+    * `current()` would read a half-written (possibly EMPTY) summary as the newest
+    * version, and the prior-selection/reset-guard would trust it too. */
   private def versions(spark: SparkSession, stateDir: String): Seq[Long] = {
     val p = new Path(stateDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Nil
-    else fs.listStatus(p).iterator.map(_.getPath.getName)
-      .collect { case n if n.startsWith("v=") => n.stripPrefix("v=").toLong }
+    else fs.listStatus(p).iterator
+      .filter(s => s.getPath.getName.startsWith("v=") &&
+        fs.exists(new Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
       .toSeq.sorted
   }
 
@@ -86,10 +93,17 @@ object GroupingSetsMv {
     val delta = batchSummary(batch, d1, d2, measure)
     val merged = prior.fold(delta)(st => merge(st, delta, d1, d2))
     merged.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
-    // prune AFTER the write: the newest pre-existing version is the crash fallback
-    val vs = versions(spark, stateDir)
-    val fs = new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    vs.dropRight(retain).foreach(v => fs.delete(new Path(stateDir, s"v=$v"), true))
+    // prune AFTER the commit: keep the `retain` newest COMMITTED versions (the
+    // newest pre-existing one is the crash fallback) and drop everything else —
+    // including uncommitted junk dirs left by crashed writes, which the
+    // _SUCCESS-gated versions() already refuses to surface
+    val p = new Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keep = versions(spark, stateDir).takeRight(retain).map(v => s"v=$v").toSet
+    fs.listStatus(p).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("v=") && !keep.contains(n)) fs.delete(s.getPath, true): Unit
+    }
     spark.read.parquet(s"$stateDir/v=$batchId").count()
   }
 

@@ -50,12 +50,19 @@ object IncrementalTextRank {
     (uni, pairs)
   }
 
+  /** COMMITTED versions only (the GroupingSetsMv gate): a version exists once BOTH
+    * its table writes carry Spark's `_SUCCESS` marker — uni writes before pairs, so
+    * a crash between them leaves a junk dir that must stay invisible to
+    * prior-selection, the reset guard and `current()`. */
   private def versions(spark: SparkSession, stateDir: String): Seq[Long] = {
     val p = new Path(stateDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Nil
-    else fs.listStatus(p).iterator.map(_.getPath.getName)
-      .collect { case n if n.startsWith("v=") => n.stripPrefix("v=").toLong }
+    else fs.listStatus(p).iterator
+      .filter(s => s.getPath.getName.startsWith("v=") &&
+        fs.exists(new Path(s.getPath, "uni/_SUCCESS")) &&
+        fs.exists(new Path(s.getPath, "pairs/_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
       .toSeq.sorted
   }
 
@@ -80,9 +87,16 @@ object IncrementalTextRank {
         .groupBy("a", "b").agg(sum(col("n")).cast("long").as("n")))
     uni.write.mode("overwrite").parquet(s"$stateDir/v=$batchId/uni")
     pairs.write.mode("overwrite").parquet(s"$stateDir/v=$batchId/pairs")
-    val vs = versions(spark, stateDir)
-    val fs = new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    vs.dropRight(retain).foreach(v => fs.delete(new Path(stateDir, s"v=$v"), true))
+    // prune AFTER the commit: keep the `retain` newest COMMITTED versions, drop
+    // everything else including uncommitted junk from crashed writes (invisible to
+    // the _SUCCESS-gated versions() either way)
+    val p = new Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keep = versions(spark, stateDir).takeRight(retain).map(v => s"v=$v").toSet
+    fs.listStatus(p).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("v=") && !keep.contains(n)) fs.delete(s.getPath, true): Unit
+    }
     spark.read.parquet(s"$stateDir/v=$batchId/uni").count()
   }
 

@@ -954,6 +954,69 @@ class StreamingSpec extends SparkSpec {
       "a rejected reset batch must not disturb the maintained state")
   }
 
+  test("grouping-sets MV crash window: an uncommitted version is invisible and gets repaired") {
+    import graft.streaming.GroupingSetsMv
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft-gsmv-crash").toString
+    val b0 = Seq(("HIGH", "F", 10.0), ("LOW", "O", 2.0)).toDF("priority", "status", "amount")
+    val b1 = Seq(("HIGH", "O", 5.0)).toDF("priority", "status", "amount")
+    GroupingSetsMv.applyBatch(b0, 0L, state, "priority", "status", "amount")
+    GroupingSetsMv.applyBatch(b1, 1L, state, "priority", "status", "amount")
+    def canon() = GroupingSetsMv.current(spark, state)
+      .select("gid", "n").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val good = canon()
+    // simulate a crash mid-overwrite of a REPLAYED v=1: parquet overwrite deletes the
+    // dir content before the new commit lands — model the window as a version dir
+    // whose _SUCCESS is gone and whose data is junk. Without the commit gate,
+    // current() would read this half-written newest version.
+    val p = new org.apache.hadoop.fs.Path(state)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v1 = new org.apache.hadoop.fs.Path(p, "v=1")
+    fs.delete(v1, true)
+    fs.mkdirs(v1)
+    val junk = fs.create(new org.apache.hadoop.fs.Path(v1, "part-junk.parquet"), true)
+    junk.write(Array[Byte](1, 2, 3)); junk.close()
+    // the uncommitted version is invisible: current() falls back to committed v=0
+    val fallback = GroupingSetsMv.current(spark, state)
+      .select("gid", "n").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(fallback.nonEmpty && fallback != good,
+      "fallback must be the PRIOR committed version, not the crashed write")
+    // the stream's replay of batch 1 repairs: same merge against v=0, junk pruned
+    GroupingSetsMv.applyBatch(b1, 1L, state, "priority", "status", "amount")
+    assert(canon() == good, "replay after the crash window must restore the summary")
+    // and a fresh junk dir older than the window is swept by the next prune
+    assert(!fs.listStatus(p).exists(s => s.getPath.getName == "v=1" &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS"))))
+  }
+
+  test("incremental TextRank crash window: a half-committed version (uni without pairs) is invisible") {
+    import graft.streaming.IncrementalTextRank
+    import org.apache.spark.sql.functions.pmod
+    val state = Files.createTempDirectory("graft-itr-crash").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .localCheckpoint(true)
+    IncrementalTextRank.applyBatch(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0), 0L, state)
+    def top() = IncrementalTextRank.current(spark, state, minCount = 5, topK = 10)
+      .collect().map(_.getString(0)).toSeq
+    val good = top()
+    // crash between the uni write and the pairs write of a replayed v=0: pairs'
+    // _SUCCESS never landed — the version must be invisible, so current() has no
+    // state left and throws its loud no-state error rather than ranking on half
+    // a version
+    val p = new org.apache.hadoop.fs.Path(state)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(p, "v=0/pairs/_SUCCESS"), false)
+    val ex = intercept[IllegalStateException] {
+      IncrementalTextRank.current(spark, state, minCount = 5, topK = 10)
+    }
+    assert(ex.getMessage.contains("no maintained textrank state"))
+    // replaying batch 0 repairs (no committed prior survives, so it merges nothing)
+    IncrementalTextRank.applyBatch(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0), 0L, state)
+    assert(top() == good, "replay must restore the ranking after the crash window")
+  }
+
   test("incremental TextRank == one-shot textRank at every boundary; replay converges; reset guard") {
     import graft.streaming.IncrementalTextRank
     val state = Files.createTempDirectory("graft-itr-spec").toString
