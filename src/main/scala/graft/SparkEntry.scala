@@ -5292,6 +5292,29 @@ object SparkEntry {
         d.filter(pmod(col("doc_id"), lit(97)) === 0), n = 13, kernel = true)
     }),
 
+    // the bench times the slice-hash kernel store+probe (the library default) — the
+    // md5-60 string twin stays the Verify gate, same waves (the decontaminate pairing:
+    // the cost is materializing n-gram strings, paid here across FIVE tokenize+shingle
+    // passes — md5 form measured 10.6 s, kernel 4.4 s at sf0.1; the remainder is the
+    // ~11 sequential state-store job chains, the honest incremental overhead)
+    "doc_decontaminate_incremental" -> ((s, dir) => {
+      import graft.streaming.IncrementalDecontaminate
+      val d = t(s, dir, "documents").localCheckpoint(true)
+      val evalSet = d.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val corpus = d.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      val root = java.nio.file.Files.createTempDirectory("graft-idec-b").toString
+      for (b <- 0 to 1)
+        IncrementalDecontaminate.addEvalBatch(
+          evalSet.filter(pmod(col("doc_id"), lit(2)) === b), b.toLong, s"$root/eval")
+      for (b <- 0 to 2)
+        IncrementalDecontaminate.applyBatch(
+          corpus.filter(pmod(col("doc_id"), lit(3)) === b), b.toLong,
+          s"$root/eval", s"$root/out")
+      val out = IncrementalDecontaminate.results(s, s"$root/out").localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      out
+    }),
+
     // the bench times the xxh64 rolling-chain digests (the library default) — the
     // md5-60 string twin stays the Verify gate, same planted corpus
     "doc_span_dedup50" -> ((s, dir) => {
