@@ -514,6 +514,11 @@ class VectorOpsSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     // bench covers EXACTLY the gate's query set — BENCH json keys stay round-comparable
     assert(SparkEntry.benchQueries.keySet == SparkEntry.queries.keySet)
+    // every query is oracle-gated and every oracle has a query: a new operator can
+    // never ship on the weaker rows-only check by forgetting its oracleSql entry
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet,
+      s"query/oracle key mismatch: ${(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet) ++
+        (SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet)}")
     // the pre-trained IVF probe returns the same neighbors as the in-query-trained gate
     // path (deterministic seeding => identical model => identical probe)
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
