@@ -2328,6 +2328,16 @@ object SparkEntry {
     "ev_ab_ttest" -> ((s, dir) =>
       SampleOps.welchTTest(t(s, dir, "events"), "event_type", "value", "click", "view")),
 
+    // Isotonic calibration of purchase probability against the value-score grid —
+    // PAV semantics via the minimax identity (max_i<=k min_j>=k interval mean),
+    // pure relational algebra on the 64-bin grid: grid² pairs, one corpus exchange;
+    // every interval mean is one IEEE division of exact BIGINTs, bit-equal across
+    // engines (SampleOps.isotonicCalibration)
+    "ev_isotonic_calibration" -> ((s, dir) =>
+      SampleOps.isotonicCalibration(t(s, dir, "events"),
+        least(floor(col("value") / 8).cast("long"), lit(63L)),
+        (col("event_type") === "purchase").cast("long"))),
+
     // Daily purchase-conversion rate with the Wilson 95% score interval — the
     // small-n-safe CI (a normal interval goes negative near 0) every conversion
     // dashboard should use; exact integer counts, one closed-form double per day
@@ -7224,6 +7234,27 @@ object SparkEntry {
         |SELECT user_id, MIN(ms) AS start_ms, MAX(ms) + 1800000 AS end_ms,
         |  CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "ev_isotonic_calibration" ->
+      """WITH raw AS (SELECT LEAST(CAST(FLOOR(value / 8) AS BIGINT), 63) AS b,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y FROM events),
+        |bins AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS w, CAST(SUM(y) AS BIGINT) AS y
+        |  FROM raw GROUP BY 1),
+        |pref AS (SELECT b, w, y,
+        |    CAST(SUM(w) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT) AS wc,
+        |    CAST(SUM(y) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT) AS yc
+        |  FROM bins),
+        |pairs AS (SELECT lo.b AS i, hi.b AS j,
+        |    CAST(hi.yc - (lo.yc - lo.y) AS DOUBLE) / CAST(hi.wc - (lo.wc - lo.w) AS DOUBLE) AS mean
+        |  FROM pref lo JOIN pref hi ON lo.b <= hi.b),
+        |sufmin AS (SELECT i, j,
+        |    MIN(mean) OVER (PARTITION BY i ORDER BY j DESC ROWS UNBOUNDED PRECEDING) AS mn
+        |  FROM pairs),
+        |fit AS (SELECT j AS b, MAX(mn) AS iso FROM sufmin GROUP BY 1)
+        |SELECT bins.b, bins.w, bins.y,
+        |  ROUND(CAST(bins.y AS DOUBLE) / bins.w, 6) AS raw_rate,
+        |  ROUND(fit.iso, 6) AS iso_rate
+        |FROM bins JOIN fit USING (b) ORDER BY b""".stripMargin,
 
     "ev_conversion_wilson" ->
       """WITH d AS (SELECT CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000 AS day,

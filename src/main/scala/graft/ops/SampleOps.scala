@@ -708,4 +708,52 @@ object SampleOps {
             ") - (cum - sv) + v - 1) div v")).cast(DoubleType) / col("n_keys"), 6)
           .as("top_frac"))
   }
+
+  /**
+   * Isotonic (monotone non-decreasing) calibration of a binary outcome against a
+   * binned score — the model-calibration primitive behind every "does my quality
+   * classifier's score mean what it says" audit. PAV (pool-adjacent-violators)
+   * semantics via the MINIMAX identity (Robertson, Wright & Dykstra 1988, ch. 1:
+   * `fit(k) = max_{i≤k} min_{j≥k} mean(y over bins i..j)`): the textbook sequential
+   * PAV loop is hostile to relational engines, but the minimax form is pure algebra
+   * on the bounded score GRID — prefix sums, one grid×grid pair frame, a suffix-min
+   * window per i and a max per k. grid² pairs ≤ 64² rows here: the corpus
+   * contributes ONE (bin) count/sum exchange and the statistics never see more than
+   * the grid (the rank-stat family discipline).
+   *
+   * Cross-engine exactness: per-bin w and y are BIGINT counts; every interval mean
+   * is ONE IEEE double division of exact-representable BIGINTs (identical bits in
+   * Spark and DuckDB), and min/max over identical doubles is engine-independent, so
+   * the fitted values replay bit-for-bit. The fit is provably non-decreasing in b —
+   * the spec pins monotonicity and PAV-reference equality on random data.
+   *
+   * @param scoreBin integer-valued bin expression (caller clamps to the grid)
+   * @param label    binary outcome (cast to 0/1)
+   * @return (b, w, y, raw_rate, iso_rate) ordered by bin
+   */
+  def isotonicCalibration(df: DataFrame, scoreBin: Column, label: Column): DataFrame = {
+    val bins = df.select(scoreBin.cast("long").as("b"), label.cast("long").as("__y"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("w"), sum(col("__y")).as("y"))
+    // grid-bounded global window (≤ |grid| rows — the day-grid exemption class)
+    val wOrd = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, 0)
+    val pref = bins.select(col("b"), col("w"), col("y"),
+      sum(col("w")).over(wOrd).as("wc"), sum(col("y")).over(wOrd).as("yc"))
+    val lo = pref.select(col("b").as("i"),
+      (col("wc") - col("w")).as("w0"), (col("yc") - col("y")).as("y0"))
+    val hi = pref.select(col("b").as("j"), col("wc").as("wj"), col("yc").as("yj"))
+    val pairs = broadcast(lo).join(hi, col("i") <= col("j"))
+      .select(col("i"), col("j"),
+        ((col("yj") - col("y0")).cast(DoubleType) /
+          (col("wj") - col("w0")).cast(DoubleType)).as("mean"))
+    val sufMin = pairs.withColumn("mn", min(col("mean")).over(
+      Window.partitionBy(col("i")).orderBy(col("j").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val fit = sufMin.groupBy(col("j").as("b")).agg(max(col("mn")).as("__iso"))
+    bins.join(fit, "b")
+      .select(col("b"), col("w"), col("y"),
+        round(col("y").cast(DoubleType) / col("w"), 6).as("raw_rate"),
+        round(col("__iso"), 6).as("iso_rate"))
+      .orderBy(col("b"))
+  }
 }

@@ -323,4 +323,62 @@ class SampleAndAsOfSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("percentile("), s"Percentile buffer leaked into:\n$plan")
   }
+
+  // -- isotonicCalibration ----------------------------------------------------------------
+
+  /** Reference PAV: pool-adjacent-violators with exact cross-multiplied comparisons;
+    * the fitted value of a pooled block is its y/w in one double division — the same
+    * sums and the same single division the minimax form ends at. */
+  private def pavRef(ws: Seq[Long], ys: Seq[Long]): Seq[Double] = {
+    val st = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+    for ((w, y) <- ws.zip(ys)) {
+      var (bw, by, bc) = (w, y, 1)
+      while (st.nonEmpty && st.last._2 * bw >= by * st.last._1) {
+        val (pw, py, pc) = st.remove(st.size - 1)
+        bw += pw; by += py; bc += pc
+      }
+      st += ((bw, by, bc))
+    }
+    st.toSeq.flatMap { case (w, y, c) => Seq.fill(c)(y.toDouble / w) }
+  }
+
+  test("isotonicCalibration == PAV reference on random grids; fit is monotone (property)") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 5) {
+      val nBins = 6 + rnd.nextInt(8)
+      val binW = (0 until nBins).map(_ => 1L + rnd.nextInt(7))
+      val binY = binW.map(w => rnd.nextInt(w.toInt + 1).toLong)
+      // raw rows: bin b with w rows, y of them labelled 1
+      val rows = (0 until nBins).flatMap { b =>
+        (0L until binW(b)).map(r => (b.toLong, if (r < binY(b)) 1L else 0L))
+      }
+      val got = graft.ops.SampleOps.isotonicCalibration(
+          rows.toDF("score", "label"), col("score"), col("label"))
+        .collect().map(r => (r.getLong(0), r.getDouble(4))).sortBy(_._1)
+      val want = pavRef(binW, binY)
+      assert(got.length == nBins)
+      got.zip(want).foreach { case ((b, iso), ref) =>
+        assert(math.abs(iso - BigDecimal(ref).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+          s"trial $trial bin $b: minimax $iso != PAV ${ref}")
+      }
+      got.sliding(2).foreach {
+        case Array((b1, v1), (b2, v2)) =>
+          assert(v1 <= v2 + 1e-12, s"trial $trial: fit not monotone at $b1->$b2: $v1 > $v2")
+        case _ =>
+      }
+    }
+  }
+
+  test("isotonicCalibration: a clean violation pools exactly (worked example)") {
+    // rates by bin: 0/2, 2/2, 1/2, 2/2 — bins 1..2 violate (1.0 then 0.5) and pool
+    // to 3/4; bin 3 stays 1.0. Expected fit: 0, 0.75, 0.75, 1.0
+    val rows = Seq(
+      (0L, 0L), (0L, 0L),
+      (1L, 1L), (1L, 1L),
+      (2L, 1L), (2L, 0L),
+      (3L, 1L), (3L, 1L)).toDF("score", "label")
+    val got = graft.ops.SampleOps.isotonicCalibration(rows, col("score"), col("label"))
+      .collect().map(r => (r.getLong(0), r.getDouble(4))).sortBy(_._1).toSeq
+    assert(got == Seq((0L, 0.0), (1L, 0.75), (2L, 0.75), (3L, 1.0)), s"$got")
+  }
 }

@@ -1095,6 +1095,34 @@ class StreamingSpec extends SparkSpec {
     assert(maintained() == fin, "rejected reset batches must not disturb the output")
   }
 
+  test("incremental decontamination: eval-store auto-compaction preserves flags across the trip") {
+    import graft.streaming.IncrementalDecontaminate
+    import org.apache.spark.sql.functions.pmod
+    val root = Files.createTempDirectory("graft-idec-compact").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .localCheckpoint(true)
+    val evalSet = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    val p = new org.apache.hadoop.fs.Path(s"$root/eval")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def nData = fs.listStatus(p).count { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    // 4 eval waves with a trip at 2 files: the store compacts mid-ingest
+    for (b <- 0 to 3)
+      IncrementalDecontaminate.addEvalBatch(
+        evalSet.filter(pmod(col("doc_id"), lit(4)) === b), b.toLong, s"$root/eval",
+        autoCompactFiles = 2)
+    assert(nData <= 3, s"auto-compaction never tripped: $nData data files")
+    IncrementalDecontaminate.applyBatch(corpus, 0L, s"$root/eval", s"$root/out")
+    val got = IncrementalDecontaminate.results(spark, s"$root/out")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).sortBy(_._1).toSeq
+    val want = graft.ops.TextOps.decontaminate(corpus, evalSet)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).sortBy(_._1).toSeq
+    assert(got == want, "flags diverged across a compacted eval store")
+  }
+
   test("streaming anomaly flags == batch twin across a multi-batch split; baselines precede the flag") {
     import graft.streaming.Anomaly
     import spark.implicits._
