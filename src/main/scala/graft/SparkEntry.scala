@@ -2338,6 +2338,33 @@ object SparkEntry {
         least(floor(col("value") / 8).cast("long"), lit(63L)),
         (col("event_type") === "purchase").cast("long"))),
 
+    // INCREMENTAL isotonic calibration: the (bin, w, y) counts are associative sums,
+    // so they live as maintained GroupingSetsMv state (three event waves, versioned
+    // replay-safe merges) and the grid-bounded minimax fit runs at READ time — the
+    // maintained result is row-identical to one-shot ev_isotonic_calibration and the
+    // SAME oracle pins it (the doc_textrank_incremental pattern).
+    "ev_isotonic_incremental" -> ((s, dir) => {
+      import graft.streaming.GroupingSetsMv
+      val d = t(s, dir, "events").select(
+        col("event_id"),
+        least(floor(col("value") / 8).cast("long"), lit(63L)).as("bin"),
+        lit("all").as("scope"),
+        (col("event_type") === "purchase").cast("double").as("y"))
+        .localCheckpoint(true)
+      val state = java.nio.file.Files.createTempDirectory("graft-iso").toString
+      for (b <- 0 to 2)
+        GroupingSetsMv.applyBatch(
+          d.filter(pmod(col("event_id"), lit(3)) === b), b.toLong, state,
+          "bin", "scope", "y")
+      val bins = GroupingSetsMv.current(s, state)
+        .filter(col("gid") === 1)
+        .select(col("bin").cast("long").as("b"), col("n").as("w"),
+          col("s").cast("long").as("y"))
+      val out = SampleOps.isotonicFitFromBins(bins).localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(state))
+      out
+    }),
+
     // Daily purchase-conversion rate with the Wilson 95% score interval — the
     // small-n-safe CI (a normal interval goes negative near 0) every conversion
     // dashboard should use; exact integer counts, one closed-form double per day
@@ -5517,6 +5544,31 @@ object SparkEntry {
   /** Unrolled shortcut+hook min-label CC oracle over the co-purchase graph: round k
     * takes LEAST(own label, min neighbor label, label-of-label). See
     * `q_basket_components` for the convergence-margin argument. */
+  /** Shared by `ev_isotonic_calibration` and `ev_isotonic_incremental`: the bin
+    * counts are associative sums (the incremental form maintains them as
+    * grouping-sets MV state) and the minimax fit is a pure function of them, so the
+    * maintained result is row-identical and one oracle gates both. */
+  private val isotonicOracle: String =
+    """WITH raw AS (SELECT LEAST(CAST(FLOOR(value / 8) AS BIGINT), 63) AS b,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y FROM events),
+      |bins AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS w, CAST(SUM(y) AS BIGINT) AS y
+      |  FROM raw GROUP BY 1),
+      |pref AS (SELECT b, w, y,
+      |    CAST(SUM(w) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT) AS wc,
+      |    CAST(SUM(y) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT) AS yc
+      |  FROM bins),
+      |pairs AS (SELECT lo.b AS i, hi.b AS j,
+      |    CAST(hi.yc - (lo.yc - lo.y) AS DOUBLE) / CAST(hi.wc - (lo.wc - lo.w) AS DOUBLE) AS mean
+      |  FROM pref lo JOIN pref hi ON lo.b <= hi.b),
+      |sufmin AS (SELECT i, j,
+      |    MIN(mean) OVER (PARTITION BY i ORDER BY j DESC ROWS UNBOUNDED PRECEDING) AS mn
+      |  FROM pairs),
+      |fit AS (SELECT j AS b, MAX(mn) AS iso FROM sufmin GROUP BY 1)
+      |SELECT bins.b, bins.w, bins.y,
+      |  ROUND(CAST(bins.y AS DOUBLE) / bins.w, 6) AS raw_rate,
+      |  ROUND(fit.iso, 6) AS iso_rate
+      |FROM bins JOIN fit USING (b) ORDER BY b""".stripMargin
+
   /** Shared by `doc_decontaminate` and `doc_decontaminate_incremental`: a doc's flag
     * row is a pure function of (doc text, eval digest set), so the incremental form's
     * unioned per-batch rows are row-identical to the one-shot and one oracle gates
@@ -7235,26 +7287,8 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
 
-    "ev_isotonic_calibration" ->
-      """WITH raw AS (SELECT LEAST(CAST(FLOOR(value / 8) AS BIGINT), 63) AS b,
-        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y FROM events),
-        |bins AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS w, CAST(SUM(y) AS BIGINT) AS y
-        |  FROM raw GROUP BY 1),
-        |pref AS (SELECT b, w, y,
-        |    CAST(SUM(w) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT) AS wc,
-        |    CAST(SUM(y) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT) AS yc
-        |  FROM bins),
-        |pairs AS (SELECT lo.b AS i, hi.b AS j,
-        |    CAST(hi.yc - (lo.yc - lo.y) AS DOUBLE) / CAST(hi.wc - (lo.wc - lo.w) AS DOUBLE) AS mean
-        |  FROM pref lo JOIN pref hi ON lo.b <= hi.b),
-        |sufmin AS (SELECT i, j,
-        |    MIN(mean) OVER (PARTITION BY i ORDER BY j DESC ROWS UNBOUNDED PRECEDING) AS mn
-        |  FROM pairs),
-        |fit AS (SELECT j AS b, MAX(mn) AS iso FROM sufmin GROUP BY 1)
-        |SELECT bins.b, bins.w, bins.y,
-        |  ROUND(CAST(bins.y AS DOUBLE) / bins.w, 6) AS raw_rate,
-        |  ROUND(fit.iso, 6) AS iso_rate
-        |FROM bins JOIN fit USING (b) ORDER BY b""".stripMargin,
+    "ev_isotonic_incremental" -> isotonicOracle,
+    "ev_isotonic_calibration" -> isotonicOracle,
 
     "ev_conversion_wilson" ->
       """WITH d AS (SELECT CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000 AS day,

@@ -731,10 +731,18 @@ object SampleOps {
    * @param label    binary outcome (cast to 0/1)
    * @return (b, w, y, raw_rate, iso_rate) ordered by bin
    */
-  def isotonicCalibration(df: DataFrame, scoreBin: Column, label: Column): DataFrame = {
-    val bins = df.select(scoreBin.cast("long").as("b"), label.cast("long").as("__y"))
-      .groupBy(col("b"))
-      .agg(count(lit(1)).as("w"), sum(col("__y")).as("y"))
+  def isotonicCalibration(df: DataFrame, scoreBin: Column, label: Column): DataFrame =
+    isotonicFitFromBins(
+      df.select(scoreBin.cast("long").as("b"), label.cast("long").as("__y"))
+        .groupBy(col("b"))
+        .agg(count(lit(1)).as("w"), sum(col("__y")).as("y")))
+
+  /** The grid-bounded minimax finisher of [[isotonicCalibration]], over
+    * pre-aggregated bins (b, w, y) — the read-time half when the bin counts are
+    * MAINTAINED state (they are associative sums, so a grouping-sets MV holds them
+    * exactly; see `ev_isotonic_incremental`). */
+  def isotonicFitFromBins(bins0: DataFrame): DataFrame = {
+    val bins = bins0.select(col("b"), col("w"), col("y"))
     // grid-bounded global window (≤ |grid| rows — the day-grid exemption class)
     val wOrd = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, 0)
     val pref = bins.select(col("b"), col("w"), col("y"),
