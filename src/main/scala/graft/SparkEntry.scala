@@ -3249,6 +3249,17 @@ object SparkEntry {
           ("q3", "customer query", 3L)),
         k = 5, kPer = 10)),
 
+    // MMR diversified re-ranking, EXACT-oracle form (vs the emb_mmr_rerank verdict
+    // gate): Carbonell & Goldstein 1998 greedy over the ANN candidate
+    // pool: greedy argmax of 0.7·rel − 0.3·max-sim-to-selected, ties on id — the
+    // oracle replays the greedy EXACTLY via a recursive CTE carrying the selected
+    // list; weights enter as correctly-rounded /10 divisions so both engines compare
+    // bit-identical doubles
+    "emb_mmr_exact" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      RetrievalOps.mmrRerank(e, e.filter(col("vec_id").isin(1L, 2L, 3L)), k = 5, kPer = 10)
+    }),
+
     // NDCG@10 of the BM25 ranking — the retrieval-EVAL operator: graded relevance
     // derived from the data (distinct query terms present), discounts from a fixed
     // shared decimal table (zero libm), ideal ranking over the full corpus via the
@@ -8936,6 +8947,34 @@ object SparkEntry {
         |r3 AS (SELECT nodes.id, (150000000000 // nn.n) + ((85 * COALESCE(c.s, 0)) // 100) AS r
         |  FROM nodes LEFT JOIN c3 c ON c.dst = nodes.id CROSS JOIN nn)
         |SELECT id AS vec_id, CAST(r AS BIGINT) AS rank_e12 FROM r3""".stripMargin,
+
+    "emb_mmr_exact" ->
+      """WITH RECURSIVE
+        |q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (1, 2, 3)),
+        |cand AS (SELECT q.vec_id AS query_id, e.vec_id AS d,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS rel
+        |  FROM embeddings e JOIN q ON e.vec_id <> q.vec_id
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY rel DESC, e.vec_id) <= 10),
+        |ps AS (SELECT c1.query_id, c1.d AS d1, c2.d AS d2,
+        |    list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[])) AS s
+        |  FROM cand c1 JOIN cand c2 USING (query_id)
+        |  JOIN embeddings e1 ON e1.vec_id = c1.d JOIN embeddings e2 ON e2.vec_id = c2.d
+        |  WHERE c1.d <> c2.d),
+        |sel AS (
+        |  (SELECT query_id, 1 AS r, d, [d] AS chosen FROM cand
+        |   QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, d) = 1)
+        |  UNION ALL
+        |  SELECT s.query_id, s.r + 1, pick.d, list_append(s.chosen, pick.d)
+        |  FROM sel s, LATERAL (
+        |    SELECT c.d
+        |    FROM cand c
+        |    WHERE c.query_id = s.query_id AND NOT list_contains(s.chosen, c.d)
+        |    ORDER BY 0.7 * c.rel - 0.3 * (SELECT MAX(p.s) FROM ps p
+        |      WHERE p.query_id = s.query_id AND p.d1 = c.d AND list_contains(s.chosen, p.d2)) DESC, c.d
+        |    LIMIT 1) pick
+        |  WHERE s.r < 5)
+        |SELECT query_id, d AS vec_id, CAST(r AS INT) AS mmr_rank
+        |FROM sel""".stripMargin,
 
     "emb_hits" ->
       """WITH p AS (

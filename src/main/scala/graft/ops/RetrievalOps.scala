@@ -145,4 +145,72 @@ object RetrievalOps {
           round(col("__dcg").cast(DoubleType) / col("__idcg").cast(DoubleType), 4))
           .otherwise(0.0).as("ndcg"))
   }
+
+  /**
+   * Maximal Marginal Relevance re-ranking (Carbonell & Goldstein, SIGIR 1998) — the
+   * diversification half of the retrieval stack: greedy selection of
+   * `argmax λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s)` over the ANN candidate pool, so
+   * near-duplicate hits don't crowd the top-k (the failure mode a deduplicated
+   * training-retrieval loop hits first). The first pick is pure relevance.
+   *
+   * 100 TB shape: the candidate pool is an ANN retrieval (`kPer` per query — swap
+   * [[VectorOps.bruteForceTopK]] for `ivfTopK` at corpus scale, the hardNegatives
+   * note), so everything here is query-bounded: the candidate-pair similarity table
+   * is |queries|·kPer² rows, and each greedy step is one join + one bounded window.
+   * The k-step loop is a DRIVER loop over k-bounded frames (localCheckpointed —
+   * chained plans would otherwise re-run the ANN per step), never a corpus
+   * iteration.
+   *
+   * Cross-engine determinism: λ enters as `lambdaE1/10.0` and the penalty weight as
+   * `(10−lambdaE1)/10.0` — both correctly-rounded divisions, bit-identical to the
+   * decimal literals the oracle writes (computing `1−λ` instead would yield
+   * 0.30000000000000004 ≠ the literal 0.3 and could flip a selection). Ties break
+   * on the candidate id ascending at every step.
+   *
+   * @return (query_id, idCol, mmr_rank) — k rows per query, best-first
+   */
+  def mmrRerank(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      kPer: Int = 10,
+      lambdaE1: Int = 7,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && kPer >= k && lambdaE1 >= 0 && lambdaE1 <= 10)
+    val lam = lambdaE1 / 10.0
+    val mu = (10 - lambdaE1) / 10.0
+    val cands = VectorOps.bruteForceTopK(corpus, queries, kPer, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id").as("d"), col("sim").as("rel"))
+      .localCheckpoint(true)
+    val ps = cands.select(col("query_id"), col("d").as("d1"))
+      .join(corpus.select(col(idCol).as("d1"), col(vecCol).as("v1")), "d1")
+      .join(cands.select(col("query_id"), col("d").as("d2"))
+        .join(corpus.select(col(idCol).as("d2"), col(vecCol).as("v2")), "d2"),
+        Seq("query_id"))
+      .filter(col("d1") =!= col("d2"))
+      .select(col("query_id"), col("d1"), col("d2"),
+        graft.functions.VectorFunctions.cosine(col("v1"), col("v2")).as("s"))
+      .localCheckpoint(true)
+    val w1 = Window.partitionBy(col("query_id")).orderBy(col("rel").desc, col("d").asc)
+    var selected = cands
+      .withColumn("__rn", row_number().over(w1)).filter(col("__rn") === 1)
+      .select(col("query_id"), col("d"), lit(1).as("mmr_rank"))
+      .localCheckpoint(true)
+    for (step <- 2 to k) {
+      val rem = cands.join(selected.select(col("query_id"), col("d")),
+        Seq("query_id", "d"), "left_anti")
+      val pen = ps
+        .join(selected.select(col("query_id"), col("d").as("d2")), Seq("query_id", "d2"))
+        .groupBy(col("query_id"), col("d1").as("d")).agg(max(col("s")).as("pen"))
+      val scored = rem.join(pen, Seq("query_id", "d"))
+        .withColumn("__sc", lit(lam) * col("rel") - lit(mu) * col("pen"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("__sc").desc, col("d").asc)
+      selected = selected.unionByName(
+          scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+            .select(col("query_id"), col("d"), lit(step).as("mmr_rank")))
+        .localCheckpoint(true)
+    }
+    selected.select(col("query_id"), col("d").as(idCol), col("mmr_rank"))
+  }
 }
