@@ -306,6 +306,33 @@ class SpanHeavySemSpec extends SparkSpec {
 
   // -- intervalJoin ---------------------------------------------------------------------
 
+  test("mmrRerank: a duplicate of the top hit is demoted below a diverse hit; lambda=10 is pure relevance") {
+    import graft.ops.RetrievalOps
+    // query q points at axis x; candidates: a = x (rel 1.0), b = exact copy of a,
+    // c = diagonal x+y (rel ~0.707), d = axis y (rel 0). At λ = 0.3 after picking a:
+    // score(b) = 0.3·1 − 0.7·1 = −0.4, score(c) = 0.707·(0.3 − 0.7) ≈ −0.283,
+    // score(d) = 0 → exact order a, d, c; the perfect duplicate b never places.
+    val vecs = Seq(
+      (100L, Array(1f, 0f, 0f)), // query
+      (1L, Array(1f, 0f, 0f)),   // a: identical to query
+      (2L, Array(1f, 0f, 0f)),   // b: duplicate of a
+      (3L, Array(0.7071f, 0.7071f, 0f)), // c: diagonal
+      (4L, Array(0f, 1f, 0f))    // d: orthogonal
+    ).toDF("vec_id", "embedding")
+    val out = RetrievalOps.mmrRerank(
+        vecs.filter(col("vec_id") =!= 100L), vecs.filter(col("vec_id") === 100L),
+        k = 3, kPer = 4, lambdaE1 = 3)
+      .collect().map(r => (r.getInt(2), r.getLong(1))).sortBy(_._1).toSeq
+    assert(out == Seq((1, 1L), (2, 4L), (3, 3L)),
+      s"MMR order must be a, d, c — the duplicate b must never place: $out")
+    // lambda = 10 → mu = 0: ranking degenerates to relevance order (ties on id)
+    val rel = RetrievalOps.mmrRerank(
+        vecs.filter(col("vec_id") =!= 100L), vecs.filter(col("vec_id") === 100L),
+        k = 4, kPer = 4, lambdaE1 = 10)
+      .collect().map(r => (r.getInt(2), r.getLong(1))).sortBy(_._1).map(_._2).toSeq
+    assert(rel == Seq(1L, 2L, 3L, 4L), s"lambda=10 must be relevance order: $rel")
+  }
+
   test("intervalJoin: equals the naive range join on random data, window edges inclusive") {
     val rnd = new scala.util.Random(5)
     // times include negatives: the exact floor-division bucketing must hold below zero
