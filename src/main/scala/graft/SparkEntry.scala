@@ -92,6 +92,26 @@ object SparkEntry {
 
   private def dec(c: Column, p: Int = 18, s: Int = 2): Column = c.cast(DecimalType(p, s))
 
+  /** Planted blob corpus shared by `mm_cdc_chunks` / `mm_cdc_incremental`: every doc
+    * as a UTF-8 blob, a tenth duplicated verbatim (exact-copy failure mode) and a
+    * tenth re-emitted behind a 7-byte "container header" (the shifted-content mode
+    * CDC exists for). (id, orig, kind 0/1/2, blob). */
+  private def cdcPlantedBlobs(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+    val m = base.agg((max(col("doc_id")) + 1).as("__m"))
+    val b = base.crossJoin(broadcast(m))
+    val hdr = lit("graftH:".getBytes("UTF-8"))
+    b.select(col("doc_id").as("id"), col("doc_id").as("orig"),
+        lit(0).as("kind"), col("blob"))
+      .unionAll(b.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + col("__m")).as("id"), col("doc_id").as("orig"),
+          lit(1).as("kind"), col("blob")))
+      .unionAll(b.filter(pmod(col("doc_id"), lit(10)) === 5)
+        .select((col("doc_id") + col("__m") * 2).as("id"), col("doc_id").as("orig"),
+          lit(2).as("kind"), concat(hdr, col("blob")).as("blob")))
+  }
+
   /** Source pairs for the JSD shift check — shared by the query and its generated oracle. */
   private val JsdPairs = Seq(("src0", "src1"), ("src0", "src19"), ("src5", "src7"))
 
@@ -2364,6 +2384,77 @@ object SparkEntry {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(state))
       out
     }),
+
+    // Always-valid sequential test (mSPRT, Johari et al. 2017): the per-day peeking
+    // readout a fixed-horizon t-test can't survive — running mixture-LR in log10
+    // space (exp() has no cross-engine bit guarantee; log10 pairs exactly), day-grid
+    // windows only (SampleOps.msprtDaily)
+    "ev_msprt" -> ((s, dir) =>
+      SampleOps.msprtDaily(t(s, dir, "events"),
+        expr("unix_millis(ts) div 86400000"), pmod(col("user_id"), lit(2)),
+        col("value"))),
+
+    // INCREMENTAL mSPRT: the per-(day, arm) cent moments are associative sums, so
+    // they live as maintained GroupingSetsMv state — the composite key day·2+arm
+    // rides the gid=1 lane (the ev_isotonic_incremental trick) and TWO stores carry
+    // Σc and Σc² (c² is an integer, so DECIMAL(18,2) state holds it exactly up to
+    // 10^16 — wider state at larger grids). Three versioned replay-safe event waves,
+    // then the day-grid LR finisher at READ time — row-identical to one-shot
+    // ev_msprt, pinned by the SAME oracle.
+    "ev_msprt_incremental" -> ((s, dir) => {
+      import graft.streaming.GroupingSetsMv
+      val d = t(s, dir, "events").select(
+        col("event_id"),
+        (expr("unix_millis(ts) div 86400000") * 2 +
+          pmod(col("user_id"), lit(2))).as("k"),
+        lit("all").as("scope"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("c"))
+        .withColumn("c2", (col("c").cast(DecimalType(19, 0)) * col("c")
+          .cast(DecimalType(19, 0))).cast(DecimalType(18, 0)).cast("long"))
+        .localCheckpoint(true)
+      val st1 = java.nio.file.Files.createTempDirectory("graft-msprt1").toString
+      val st2 = java.nio.file.Files.createTempDirectory("graft-msprt2").toString
+      for (b <- 0 to 2) {
+        val wave = d.filter(pmod(col("event_id"), lit(3)) === b)
+        GroupingSetsMv.applyBatch(wave, b.toLong, st1, "k", "scope", "c")
+        GroupingSetsMv.applyBatch(wave, b.toLong, st2, "k", "scope", "c2")
+      }
+      def cells(dir0: String) = GroupingSetsMv.current(s, dir0)
+        .filter(col("gid") === 1).select(col("k").cast("long").as("k"),
+          col("n"), col("s"))
+      val daily = cells(st1).withColumnRenamed("s", "sc")
+        .join(cells(st2).select(col("k"), col("s").as("sc2")), "k")
+        .select(expr("k div 2").as("day"), pmod(col("k"), lit(2)).as("__a"),
+          col("n"), col("sc").cast("long").as("s1"),
+          col("sc2").cast(DecimalType(38, 0)).as("s2"))
+      val out = SampleOps.msprtFromDailyMoments(daily).localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(st1))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(st2))
+      out
+    }),
+
+    // CUPED variance reduction (Deng et al. 2013): pre-period per-user spend as the
+    // covariate, experiment-period spend as the metric, arm = user_id % 2 (the
+    // engine-agnostic split idiom). One per-user exchange, then closed-form doubles
+    // over exact HUGEINT/DECIMAL(38,0) cent moments — var(Y_adj) comes from the
+    // 1 − ρ² identity, never a second per-unit pass (SampleOps.cuped)
+    "ev_cuped" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("value"),
+        expr("unix_millis(ts) div 86400000").as("d"))
+      val d0 = ev.agg(min(col("d")).as("__d0"))
+      SampleOps.cuped(ev.crossJoin(broadcast(d0)),
+        col("user_id"), pmod(col("user_id"), lit(2)),
+        col("d") < col("__d0") + 15, col("value"))
+    }),
+
+    // Split conformal prediction (Lei et al. 2018): per-type calibration-mean
+    // predictor on the cents grid (BIGINT floor-division, engine-exact), conformal
+    // radius = the ceil((n+1)(1−α))-th smallest calibration residual via the
+    // distributed-histogram order statistic (grid-bounded cum window), empirical
+    // coverage scored on the holdout — distribution-free interval + its audit
+    "ev_conformal" -> ((s, dir) =>
+      SampleOps.conformalSplit(t(s, dir, "events"),
+        col("event_type"), col("value"), pmod(col("event_id"), lit(2)) === 0)),
 
     // Daily purchase-conversion rate with the Wilson 95% score interval — the
     // small-n-safe CI (a normal interval goes negative near 0) every conversion
@@ -5251,6 +5342,87 @@ object SparkEntry {
     // to DECIMAL(18,8) — log10 of an exact integer is the same double in both engines,
     // the token-entropy discipline. Byte explode is hex-pair chunking (2M rows at
     // sf0.01), grouped map-side.
+    // INCREMENTAL chunk-store admission: three blob waves maintain the persistent
+    // (chunk_hash, len) index — per batch only NOVEL chunks append (O(batch) probe,
+    // the IngestDedup marker/guard/compaction discipline via ChunkStore) — and the
+    // maintained unique-chunk census must equal the one-shot corpus census exactly.
+    // n_blobs/total_bytes stay oracle-pinned; the equality booleans are the
+    // self-verifying verdict rows.
+    "mm_cdc_incremental" -> ((s, dir) => {
+      import graft.streaming.ChunkStore
+      val all = cdcPlantedBlobs(s, dir).localCheckpoint(true)
+      val store = java.nio.file.Files.createTempDirectory("graft-chunks").toString
+      for (b <- 0 to 2)
+        ChunkStore.applyBatch(all.filter(pmod(col("id"), lit(3)) === b),
+          b.toLong, store, "blob", "id")
+      val oneShot = MultimodalOps.cdcChunks(all, "blob", "id")
+        .select(col("chunk_hash"), col("len")).distinct()
+        .agg(count(lit(1)).as("os_chunks"), sum(col("len").cast("long")).as("os_bytes"))
+      val totals = all.agg(count(lit(1)).as("n_blobs"),
+        sum(expr("octet_length(blob)").cast("long")).as("total_bytes"))
+      val out = totals.crossJoin(broadcast(ChunkStore.census(s, store)))
+        .crossJoin(broadcast(oneShot))
+        .select(col("n_blobs"), col("total_bytes"),
+          (col("n_chunks") === col("os_chunks")).as("census_count_ok"),
+          (col("uniq_bytes") === col("os_bytes")).as("census_bytes_ok"),
+          (col("uniq_bytes") < col("total_bytes")).as("dedup_saves_ok"))
+        .localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(store))
+      out
+    }),
+
+    // Content-defined chunking dedup (FastCDC, Xia et al. 2016): the byte-grain dedup
+    // a 100 TB media store runs — identical AND shifted payloads share chunks because
+    // Gear boundaries re-synchronize past an edit. The gate plants both failure modes
+    // (exact copies and 7-byte-prefixed copies of a tenth of the corpus each) and
+    // verifies: chunk size bounds, exact byte coverage, copy → identical hash
+    // sequence, shifted copy → ≥ 40% shared bytes, and that hash-grain dedup saves
+    // bytes. n_blobs/total_bytes are oracle-pinned exactly; the booleans are the
+    // self-verifying verdict rows (the sketch/ANN gate idiom).
+    "mm_cdc_chunks" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val all = cdcPlantedBlobs(s, dir)
+      val chunks = MultimodalOps.cdcChunks(
+        all.withColumnRenamed("id", "cid"), "blob", "cid")
+        .join(all.select(col("id").as("cid"), col("orig"), col("kind")), "cid")
+      // per-blob structural invariants: bounds (short chunk only as the tail) + coverage
+      val per = chunks.groupBy(col("cid"), col("kind"), col("n_bytes"))
+        .agg(sum(col("len")).as("covered"), min(col("off")).as("off0"),
+          max(col("off") + col("len")).as("endmax"),
+          sum(when(col("len") > lit(128), 1).otherwise(0)).as("n_over"),
+          sum(when(col("len") < lit(16) && col("off") + col("len") =!= col("n_bytes"), 1)
+            .otherwise(0)).as("n_short_mid"))
+      val structOk = per.agg(count(lit(1)).as("n_blobs"), sum(col("n_bytes")).as("total_bytes"),
+        (sum(col("n_over")) === 0 && sum(col("n_short_mid")) === 0).as("bounds_ok"),
+        (sum(when(col("covered") === col("n_bytes") && col("off0") === 0 &&
+          col("endmax") === col("n_bytes"), 0).otherwise(1)) === 0).as("coverage_ok"))
+      // planted exact copies must chunk to the IDENTICAL hash sequence
+      val seq = all.select(col("orig"), col("kind"),
+        transform(TextFunctions.gearChunks(col("blob"), 16, 4, 128),
+          c => c.getField("hash")).as("hseq"))
+      val dupOk = seq.filter(col("kind") === 0).select(col("orig"), col("hseq").as("h0"))
+        .join(seq.filter(col("kind") === 1).select(col("orig"), col("hseq").as("h1")), "orig")
+        .agg((sum(when(col("h0") === col("h1"), 0).otherwise(1)) === 0 &&
+          count(lit(1)) > 0).as("dup_exact_ok"))
+      // shifted copies re-sync: shared (hash,len) bytes ≥ 40% of the original on average
+      val oCh = chunks.filter(col("kind") === 0 && pmod(col("orig"), lit(10)) === 5)
+        .select(col("orig"), col("chunk_hash"), col("len"), col("n_bytes")).distinct()
+      val sCh = chunks.filter(col("kind") === 2)
+        .select(col("orig"), col("chunk_hash"), col("len")).distinct()
+      val resync = oCh.join(sCh, Seq("orig", "chunk_hash", "len"))
+        .groupBy(col("orig"), col("n_bytes")).agg(sum(col("len")).as("shared"))
+        .agg((count(lit(1)) > 0 &&
+          avg(col("shared").cast(DoubleType) / col("n_bytes")) >= 0.4).as("resync_ok"))
+      // hash-grain dedup must save bytes (the planted copies guarantee it)
+      val saves = chunks.select(col("chunk_hash"), col("len")).distinct()
+        .agg(sum(col("len")).as("uniq"))
+      structOk.crossJoin(broadcast(dupOk)).crossJoin(broadcast(resync))
+        .crossJoin(broadcast(saves))
+        .select(col("n_blobs"), col("total_bytes"), col("bounds_ok"), col("coverage_ok"),
+          col("dup_exact_ok"), col("resync_ok"),
+          (col("uniq") < col("total_bytes")).as("dedup_saves_ok"))
+    }),
+
     "mm_byte_entropy" -> ((s, dir) => {
       // ZERO-shuffle form (r7 rewrite of the hex-explode + two-aggregate plan, the same
       // move as the r6 token-entropy fix): the 256-cell byte histogram folds per row
@@ -5559,6 +5731,45 @@ object SparkEntry {
     * counts are associative sums (the incremental form maintains them as
     * grouping-sets MV state) and the minimax fit is a pure function of them, so the
     * maintained result is row-identical and one oracle gates both. */
+  /** Shared by `ev_msprt` and `ev_msprt_incremental`: the maintained moments are
+    * row-identical to the one-shot per-(day, arm) aggregation, so one SQL pins both. */
+  private val msprtOracle: String =
+    """WITH e AS (SELECT CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000 AS day,
+      |    user_id % 2 AS a,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM events),
+      |d AS (SELECT day, a, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s1,
+      |    SUM(CAST(c AS HUGEINT) * c) AS s2 FROM e GROUP BY 1, 2),
+      |g AS (SELECT dd.day, aa.a, COALESCE(d.n, 0) AS n, COALESCE(d.s1, 0) AS s1,
+      |    COALESCE(d.s2, 0) AS s2
+      |  FROM (SELECT DISTINCT day FROM d) dd
+      |  CROSS JOIN (SELECT DISTINCT a FROM d) aa
+      |  LEFT JOIN d ON d.day = dd.day AND d.a = aa.a),
+      |cum AS (SELECT day, a, SUM(n) OVER w AS cn, SUM(s1) OVER w AS cs1,
+      |    SUM(s2) OVER w AS cs2 FROM g
+      |  WINDOW w AS (PARTITION BY a ORDER BY day ROWS UNBOUNDED PRECEDING)),
+      |p AS (SELECT day,
+      |    MAX(CASE WHEN a = 0 THEN cn END) AS na, MAX(CASE WHEN a = 0 THEN cs1 END) AS sa1,
+      |    MAX(CASE WHEN a = 0 THEN cs2 END) AS sa2,
+      |    MAX(CASE WHEN a = 1 THEN cn END) AS nb, MAX(CASE WHEN a = 1 THEN cs1 END) AS sb1,
+      |    MAX(CASE WHEN a = 1 THEN cs2 END) AS sb2
+      |  FROM cum GROUP BY 1
+      |  HAVING MAX(CASE WHEN a = 0 THEN cn END) >= 2 AND MAX(CASE WHEN a = 1 THEN cn END) >= 2),
+      |f AS (SELECT day, na, nb,
+      |    CAST(sa1 AS DOUBLE) / na AS ma, CAST(sb1 AS DOUBLE) / nb AS mb,
+      |    (CAST(sa2 AS DOUBLE) + CAST(sb2 AS DOUBLE)
+      |      - na * (CAST(sa1 AS DOUBLE) / na) * (CAST(sa1 AS DOUBLE) / na)
+      |      - nb * (CAST(sb1 AS DOUBLE) / nb) * (CAST(sb1 AS DOUBLE) / nb))
+      |      / (na + nb - 2) AS s2p FROM p),
+      |l AS (SELECT day, na, nb, ma - mb AS dh, s2p * (1.0 / na + 1.0 / nb) AS v FROM f),
+      |r AS (SELECT day, na AS n_a, nb AS n_b, ROUND(dh / 100.0, 4) AS mean_diff,
+      |    LEAST(0.0, -(0.5 * LOG10(v / (v + 250000.0))
+      |      + (dh * dh * 250000.0 / (2.0 * v * (v + 250000.0))) * 0.4342944819032518)) AS lp
+      |  FROM l)
+      |SELECT day, n_a, n_b, mean_diff,
+      |  ROUND(MIN(lp) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 6) AS log10_p,
+      |  ROUND(MIN(lp) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 6) <= -1.30103 AS rejected
+      |FROM r""".stripMargin
+
   private val isotonicOracle: String =
     """WITH raw AS (SELECT LEAST(CAST(FLOOR(value / 8) AS BIGINT), 63) AS b,
       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y FROM events),
@@ -7300,6 +7511,65 @@ object SparkEntry {
 
     "ev_isotonic_incremental" -> isotonicOracle,
     "ev_isotonic_calibration" -> isotonicOracle,
+
+    // maintained-state twin: row-identical to one-shot ev_msprt, same oracle
+    "ev_msprt_incremental" -> msprtOracle,
+    // the same cumulative cents algebra in log10 space, day-grid windows
+    "ev_msprt" -> msprtOracle,
+
+    // exact HUGEINT cent moments (n·Sxy exceeds int64), closed-form doubles — the
+    // same arithmetic SampleOps.cuped runs on DECIMAL(38,0)
+    "ev_cuped" ->
+      """WITH e AS (SELECT user_id, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |    CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000 AS d FROM events),
+        |d0 AS (SELECT MIN(d) AS d0 FROM e),
+        |u AS (SELECT user_id, user_id % 2 AS arm,
+        |    SUM(CASE WHEN d < d0 + 15 THEN c ELSE 0 END) AS xc,
+        |    SUM(CASE WHEN d >= d0 + 15 THEN c ELSE 0 END) AS yc,
+        |    COUNT(CASE WHEN d >= d0 + 15 THEN 1 END) AS n_exp
+        |  FROM e, d0 GROUP BY 1, 2, d0 HAVING COUNT(CASE WHEN d >= d0 + 15 THEN 1 END) > 0),
+        |p AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(xc) AS HUGEINT) AS sx, CAST(SUM(yc) AS HUGEINT) AS sy,
+        |    SUM(CAST(xc AS HUGEINT) * xc) AS sxx,
+        |    SUM(CAST(xc AS HUGEINT) * yc) AS sxy,
+        |    SUM(CAST(yc AS HUGEINT) * yc) AS syy FROM u),
+        |a AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_units,
+        |    SUM(xc) AS sxa, SUM(yc) AS sya FROM u GROUP BY 1),
+        |f AS (SELECT arm, n_units,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS den,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS deny,
+        |    CAST(sya AS DOUBLE) / n_units AS myc,
+        |    CAST(sxa AS DOUBLE) / n_units AS mxc,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mxp
+        |  FROM a, p)
+        |SELECT arm, n_units, ROUND(myc / 100.0, 6) AS mean_y,
+        |  ROUND((myc - (num / den) * (mxc - mxp)) / 100.0, 6) AS mean_y_adj,
+        |  ROUND(num / den, 6) AS theta,
+        |  ROUND(num * num / (den * deny), 6) AS var_reduction
+        |FROM f ORDER BY arm""".stripMargin,
+
+    // per-type BIGINT floor-division predictor, k-th order statistic over the
+    // residual histogram, exact integer coverage — conformalSplit's replica
+    "ev_conformal" ->
+      """WITH e AS (SELECT event_type AS g,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |    event_id % 2 = 0 AS cal FROM events),
+        |f AS (SELECT g, SUM(c) // COUNT(*) AS yhat FROM e WHERE cal GROUP BY 1),
+        |r AS (SELECT e.cal, ABS(e.c - f.yhat) AS r FROM e JOIN f USING (g)),
+        |h AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS c FROM r WHERE cal GROUP BY 1),
+        |n AS (SELECT SUM(c) AS n_cal FROM h),
+        |q AS (SELECT MIN(CASE WHEN cum >= ((n_cal + 1) * 9 + 9) // 10 THEN r END) AS q,
+        |    MIN(n_cal) AS n_cal
+        |  FROM (SELECT r, SUM(c) OVER (ORDER BY r) AS cum FROM h), n),
+        |t AS (SELECT MIN(q.n_cal) AS n_cal, CAST(COUNT(*) AS BIGINT) AS n_test,
+        |    MIN(q.q) AS q,
+        |    SUM(CASE WHEN r.r <= q.q THEN 1 ELSE 0 END) AS n_covered
+        |  FROM r, q WHERE NOT r.cal)
+        |SELECT n_cal, n_test, ROUND(CAST(q AS DOUBLE) / 100.0, 2) AS q_hat,
+        |  ROUND(CAST(n_covered AS DOUBLE) / n_test, 6) AS coverage,
+        |  ABS(CAST(n_covered AS DOUBLE) / n_test - 0.9) <= 0.05 AS coverage_near_target
+        |FROM t""".stripMargin,
 
     "ev_conversion_wilson" ->
       """WITH d AS (SELECT CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000 AS day,
@@ -9809,6 +10079,32 @@ object SparkEntry {
         |  FROM ch a JOIN ch b ON a.c = b.c AND a.v = b.v AND a.id < b.id)
         |SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INT) AS hamming
         |FROM cand WHERE bit_count(xor(h_a, h_b)) <= 3""".stripMargin,
+
+    // same blob census; the maintained-store equality booleans are self-verifying
+    "mm_cdc_incremental" ->
+      """WITH b AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT
+        |  (SELECT COUNT(*) FROM b) + (SELECT COUNT(*) FROM b WHERE doc_id % 10 = 0)
+        |    + (SELECT COUNT(*) FROM b WHERE doc_id % 10 = 5) AS n_blobs,
+        |  CAST((SELECT SUM(n) FROM b) + (SELECT SUM(n) FROM b WHERE doc_id % 10 = 0)
+        |    + (SELECT SUM(n + 7) FROM b WHERE doc_id % 10 = 5) AS BIGINT) AS total_bytes,
+        |  TRUE AS census_count_ok, TRUE AS census_bytes_ok,
+        |  TRUE AS dedup_saves_ok""".stripMargin,
+
+    // blob census is exact SQL (base + tenth duplicated + tenth shifted by the 7-byte
+    // header); the chunking invariants are self-verifying verdict booleans — a
+    // sequential rolling hash has no SQL replica (the sketch/ANN gate idiom)
+    "mm_cdc_chunks" ->
+      """WITH b AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT
+        |  (SELECT COUNT(*) FROM b) + (SELECT COUNT(*) FROM b WHERE doc_id % 10 = 0)
+        |    + (SELECT COUNT(*) FROM b WHERE doc_id % 10 = 5) AS n_blobs,
+        |  CAST((SELECT SUM(n) FROM b) + (SELECT SUM(n) FROM b WHERE doc_id % 10 = 0)
+        |    + (SELECT SUM(n + 7) FROM b WHERE doc_id % 10 = 5) AS BIGINT) AS total_bytes,
+        |  TRUE AS bounds_ok, TRUE AS coverage_ok, TRUE AS dup_exact_ok,
+        |  TRUE AS resync_ok, TRUE AS dedup_saves_ok""".stripMargin,
 
     // frame slicing (mm_frame_sample's CTE chain) composed with per-frame aHash
     // reconstruction (mm_ahash_pairs' pixel algebra) — the oracle mirrors the provable

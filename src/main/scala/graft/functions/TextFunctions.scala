@@ -815,6 +815,66 @@ object TextExpressions {
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
+
+  /**
+   * Content-defined chunking of a BINARY payload with the Gear rolling hash —
+   * `gear_chunks(blob, minLen, maskBits, maxLen)` → `array<struct<off,len,hash>>`.
+   *
+   * The Gear hash (Xia et al. 2014 "Ddelta"; the core of FastCDC, Xia et al. 2016,
+   * USENIX ATC) is `h = (h << 1) + GEAR[byte]`: bit k of `h` depends only on the
+   * trailing k+1 bytes, so testing the low `maskBits` bits makes every boundary a
+   * pure function of its trailing `maskBits`-byte window — which is the whole point
+   * of CDC: after an insertion/deletion, boundaries RE-SYNCHRONIZE at the first
+   * content-defined cut past the edit, so shifted copies still share almost all
+   * chunks (a fixed-size chunker shares none). Cut when `len ≥ minLen` and
+   * `(h & (2^maskBits − 1)) == 0` (expected chunk ≈ minLen + 2^maskBits), forced cut
+   * at `maxLen`; the final partial chunk is emitted as-is. Chunk identity is the
+   * xxHash64 of the chunk's bytes — grouping by it IS the dedup store key.
+   *
+   * The GEAR table derives from SplitMix64 (Steele, Lea & Flood 2014) of the byte
+   * value — fixed, engine-independent, and white enough for the low-bit mask test.
+   * One pass, zero allocation beyond the output; per-row compute, so CodegenFallback
+   * costs nothing measurable against the hashing itself.
+   */
+  case class GearChunks(child: Expression, minLen: Int, maskBits: Int, maxLen: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(minLen >= 1 && maxLen >= minLen && maskBits >= 1 && maskBits < 63)
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("off", IntegerType, nullable = false),
+      StructField("len", IntegerType, nullable = false),
+      StructField("hash", LongType, nullable = false))), containsNull = false)
+    override def nullIntolerant: Boolean = true
+    private lazy val gear: Array[Long] = Array.tabulate(256) { i =>
+      var z = i.toLong + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    override protected def nullSafeEval(a: Any): Any = {
+      val bytes = a.asInstanceOf[Array[Byte]]
+      val mask = (1L << maskBits) - 1
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var h = 0L
+      var start = 0
+      var i = 0
+      def emit(end: Int): Unit = {
+        out += new GenericInternalRow(Array[Any](start, end - start,
+          XXH64.hashUnsafeBytes(bytes,
+            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start, end - start, Seed1)))
+        start = end
+        h = 0L
+      }
+      while (i < bytes.length) {
+        h = (h << 1) + gear(bytes(i) & 0xff)
+        i += 1
+        val len = i - start
+        if ((len >= minLen && (h & mask) == 0L) || len >= maxLen) emit(i)
+      }
+      if (start < bytes.length) emit(bytes.length)
+      new GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
 }
 
 /** Column-level text API: tokenization, shingling, fingerprints, LSH banding. */
@@ -860,6 +920,8 @@ object TextFunctions {
   def minKHashesLong(hashes: Column, k: Int): Column = column(MinKHashesLong(expression(hashes), k))
   def jaroWinkler(a: Column, b: Column): Column = column(JaroWinklerSim(expression(a), expression(b)))
   def byteEntropySignals(text: Column): Column = column(ByteEntropySignals(expression(text)))
+  def gearChunks(blob: Column, minLen: Int, maskBits: Int, maxLen: Int): Column =
+    column(GearChunks(expression(blob), minLen, maskBits, maxLen))
 
   /**
    * LSH band hashes from a minhash signature: `bands` hashes, each over `rows = k/bands`

@@ -25,6 +25,25 @@ object MultimodalOps {
     StructField("n_frames", IntegerType, nullable = true)))
 
   /**
+   * Content-defined chunk table over a binary column — FastCDC-style dedup at the
+   * BYTE grain (Xia et al. 2016, USENIX ATC), the storage-side complement of the
+   * document-level near-dup family: identical and SHIFTED payloads (a re-muxed
+   * container, a prepended header) share almost all chunks, so `groupBy(chunk_hash)`
+   * is the dedup store. One row per chunk: (id, n_bytes, off, len, chunk_hash).
+   *
+   * 100 TB shape: the Gear kernel is one pass per row inside the scan; the only
+   * corpus-sized exchange is whatever the caller aggregates on (typically
+   * `chunk_hash`, with map-side combine). Nothing pairwise, nothing all-to-all.
+   */
+  def cdcChunks(df: DataFrame, binCol: String, idCol: String,
+      minLen: Int = 16, maskBits: Int = 4, maxLen: Int = 128): DataFrame =
+    df.select(col(idCol), expr(s"octet_length($binCol)").cast("long").as("n_bytes"),
+        explode(graft.functions.TextFunctions.gearChunks(
+          col(binCol), minLen, maskBits, maxLen)).as("__ch"))
+      .select(col(idCol), col("n_bytes"), col("__ch.off").as("off"),
+        col("__ch.len").as("len"), col("__ch.hash").as("chunk_hash"))
+
+  /**
    * Column-algebra metadata extraction (no decode needed): content hash + size + mime guess.
    * Codegen'd built-ins only, so it rides inside the scan's WholeStageCodegen span.
    */

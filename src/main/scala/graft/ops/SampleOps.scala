@@ -764,4 +764,200 @@ object SampleOps {
         round(col("__iso"), 6).as("iso_rate"))
       .orderBy(col("b"))
   }
+
+  /**
+   * CUPED variance reduction for online experiments (Deng, Xu, Kohavi & Walker 2013,
+   * "Improving the Sensitivity of Online Controlled Experiments by Utilizing
+   * Pre-Experiment Data", WSDM): per unit, the experiment-period metric Y is adjusted
+   * by its pre-period covariate X — `Y_adj = Y − θ·(X − mean(X))` with the pooled OLS
+   * `θ = cov(X,Y)/var(X)` — shrinking metric variance by the squared correlation
+   * (the `var_reduction` column) without biasing the treatment lift, because arm
+   * assignment is independent of anything pre-period.
+   *
+   * Relational shape (the welchTTest discipline, one step wider): ONE per-unit
+   * aggregation (the only corpus-sized exchange — group by unit, exact cent sums for
+   * X and Y), then one scalar moment aggregate; θ, means and the variance-reduction
+   * ratio are closed-form doubles over exact integers. Nothing unit-level ever feeds
+   * a second shuffle, and the adjusted VARIANCE comes from the algebraic identity
+   * `var(Y_adj) = var(Y)·(1 − ρ²)` — never from a second pass over per-unit doubles
+   * (whose summation order would differ across engines).
+   *
+   * Cross-engine exactness: all moments are exact integers on the cents grid (Spark
+   * DECIMAL(38,0) ⇔ DuckDB HUGEINT — `n·Sxy` exceeds int64 at scale); every derived
+   * statistic is the same closed-form double expression of those integers.
+   *
+   * Units = distinct `unit` values with ≥ 1 experiment-period row; X = 0 for units
+   * with no pre-period rows (the standard CUPED treatment of new units).
+   *
+   * @return one row per arm: (arm, n_units, mean_y, mean_y_adj, theta, var_reduction)
+   */
+  def cuped(df: DataFrame, unit: Column, arm: Column, isPre: Column,
+      value: Column): DataFrame = {
+    val cents = (value.cast(DecimalType(18, 2)) * 100).cast("long")
+    val perUnit = df
+      .select(unit.as("__u"), arm.as("__a"), isPre.as("__p"), cents.as("__c"))
+      .groupBy(col("__u"), col("__a"))
+      .agg(
+        sum(when(col("__p"), col("__c")).otherwise(0L)).as("xc"),
+        sum(when(!col("__p"), col("__c")).otherwise(0L)).as("yc"),
+        count(when(!col("__p"), lit(1))).as("n_exp"))
+      .filter(col("n_exp") > 0)
+    // exact pooled moments: longs are widened to DECIMAL before products so the
+    // sums stay exact integers (decimal(38,0) holds every value reached here)
+    val xd = col("xc").cast(DecimalType(19, 0))
+    val yd = col("yc").cast(DecimalType(19, 0))
+    val pooled = perUnit.agg(
+      count(lit(1)).as("n"),
+      sum(col("xc")).as("sx"), sum(col("yc")).as("sy"),
+      sum((xd * xd).cast(DecimalType(38, 0))).as("sxx"),
+      sum((xd * yd).cast(DecimalType(38, 0))).as("sxy"),
+      sum((yd * yd).cast(DecimalType(38, 0))).as("syy"))
+    val perArm = perUnit.groupBy(col("__a").as("arm"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("xc")).as("sxa"), sum(col("yc")).as("sya"))
+    val nD = col("n").cast(DecimalType(38, 0))
+    val num = (nD * col("sxy") - col("sx").cast(DecimalType(38, 0)) *
+      col("sy").cast(DecimalType(38, 0))).cast(DoubleType)
+    val den = (nD * col("sxx") - col("sx").cast(DecimalType(38, 0)) *
+      col("sx").cast(DecimalType(38, 0))).cast(DoubleType)
+    val deny = (nD * col("syy") - col("sy").cast(DecimalType(38, 0)) *
+      col("sy").cast(DecimalType(38, 0))).cast(DoubleType)
+    val theta = num / den
+    val myc = col("sya").cast(DoubleType) / col("n_units")
+    val mxc = col("sxa").cast(DoubleType) / col("n_units")
+    val mxp = col("sx").cast(DoubleType) / col("n")
+    perArm.crossJoin(broadcast(pooled))
+      .select(col("arm"), col("n_units"),
+        round(myc / 100.0, 6).as("mean_y"),
+        round((myc - theta * (mxc - mxp)) / 100.0, 6).as("mean_y_adj"),
+        round(theta, 6).as("theta"),
+        round(num * num / (den * deny), 6).as("var_reduction"))
+      .orderBy(col("arm"))
+  }
+
+  /**
+   * Split conformal prediction interval + empirical coverage (Vovk, Gammerman &
+   * Shafer 2005; Lei et al. 2018, "Distribution-Free Predictive Inference for
+   * Regression", JASA): a point predictor is fit on the calibration split, the
+   * conformal radius `q̂` is the ⌈(n_cal+1)(1−α)⌉-th smallest absolute residual on
+   * that split, and `[ŷ − q̂, ŷ + q̂]` covers a fresh point with probability ≥ 1−α —
+   * no distributional assumptions. The gate scores the HOLDOUT split's empirical
+   * coverage against the target.
+   *
+   * Predictor kept deliberately simple and integer-exact: per-group calibration mean
+   * on the cents grid via BIGINT floor-division (`Σcents div n` — identical in both
+   * engines), so every residual is an exact LONG on the cents grid. The order
+   * statistic then runs as the repo-standard distributed histogram: one
+   * `(residual) → count` aggregate with map-side combine, one cumulative window over
+   * the DISTINCT residual grid (grid-bounded — residuals live on the cents grid, so
+   * the window never sees more than the value range no matter the corpus size), and
+   * `q̂ = min{r : cum ≥ k}`. Coverage is exact integer counting.
+   *
+   * @param isCal calibration-split membership (the engine-agnostic hash-split idiom)
+   * @param alphaNum/alphaDen miscoverage α as an exact rational (default 1/10)
+   * @return one row: (n_cal, n_test, q_hat, coverage, coverage_near_target)
+   */
+  def conformalSplit(df: DataFrame, group: Column, value: Column, isCal: Column,
+      alphaNum: Int = 1, alphaDen: Int = 10): DataFrame = {
+    val cents = (value.cast(DecimalType(18, 2)) * 100).cast("long")
+    val rows = df.select(group.as("__g"), cents.as("__c"), isCal.as("__cal"))
+    val fit = rows.filter(col("__cal")).groupBy(col("__g"))
+      .agg(expr("sum(__c) div count(1)").as("__yhat"))
+    val resid = rows.join(broadcast(fit), Seq("__g"))
+      .select(col("__cal"), abs(col("__c") - col("__yhat")).as("r"))
+    val calHist = resid.filter(col("__cal")).groupBy(col("r")).agg(count(lit(1)).as("c"))
+    val nCal = calHist.agg(sum(col("c")).as("n_cal"))
+    // k = ceil((n_cal + 1) · (1 − α)) with α = alphaNum/alphaDen, in exact integers
+    val k = expr(s"((n_cal + 1) * ${alphaDen - alphaNum} + ${alphaDen - 1}) div $alphaDen")
+    val wCum = Window.orderBy(col("r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qhat = calHist.withColumn("cum", sum(col("c")).over(wCum))
+      .crossJoin(broadcast(nCal))
+      .agg(min(when(col("cum") >= k, col("r"))).as("q"), first(col("n_cal")).as("n_cal"))
+    val cover = resid.filter(!col("__cal")).crossJoin(broadcast(qhat))
+      .agg(first(col("n_cal")).as("n_cal"), count(lit(1)).as("n_test"),
+        first(col("q")).as("q"),
+        sum(when(col("r") <= col("q"), 1L).otherwise(0L)).as("n_covered"))
+    val coverage = col("n_covered").cast(DoubleType) / col("n_test")
+    val target = 1.0 - alphaNum.toDouble / alphaDen
+    cover.select(col("n_cal"), col("n_test"),
+      round(col("q").cast(DoubleType) / 100.0, 2).as("q_hat"),
+      round(coverage, 6).as("coverage"),
+      (abs(coverage - target) <= 0.05).as("coverage_near_target"))
+  }
+
+  /**
+   * Always-valid sequential A/B test — the mixture SPRT (Johari, Koomen, Pekelis &
+   * Walsh 2017, "Peeking at A/B Tests: Why it matters, and what to do about it",
+   * KDD; Robbins 1970): at every day d the cumulative mixture likelihood ratio
+   * against H₀: δ=0 under a N(0, τ²) prior on the lift is
+   * `Λ_d = sqrt(V/(V+τ²)) · exp(δ̂²τ² / (2V(V+τ²)))` with δ̂ the running mean
+   * difference and `V = s²(1/n_a + 1/n_b)` its variance; `p_d = min_{m≤d} 1/Λ_m` is
+   * valid UNDER CONTINUOUS MONITORING — the fixed-horizon t-test's α is destroyed by
+   * exactly the peek-every-day reading this emits.
+   *
+   * Everything reduces to the day grid: one `(day, arm)` exchange with exact cent
+   * moments, a dense day×arm frame, cumulative windows and the running-min — all
+   * grid-bounded (the day-grid exemption class). The LR is carried in LOG10 space
+   * (`log10` pairs bit-exactly across engines — the dsirWeights lesson; `exp` has no
+   * such guarantee), so the output is `log10_p` with rejection at
+   * log10(0.05) ≈ −1.30103.
+   *
+   * @param tau2 mixture prior variance on the lift, in VALUE (dollar) units²
+   * @return per day with both arms ≥ 2 obs: (day, n_a, n_b, mean_diff, log10_p, rejected)
+   */
+  def msprtDaily(df: DataFrame, day: Column, arm: Column, value: Column,
+      tau2: Double = 25.0): DataFrame = {
+    val cents = (value.cast(DecimalType(18, 2)) * 100).cast("long")
+    val daily = df.select(day.as("day"), arm.as("__a"), cents.as("__c"))
+      .groupBy(col("day"), col("__a"))
+      .agg(count(lit(1)).as("n"), sum(col("__c")).as("s1"),
+        sum((col("__c").cast(DecimalType(19, 0)) * col("__c").cast(DecimalType(19, 0)))
+          .cast(DecimalType(38, 0))).as("s2"))
+    msprtFromDailyMoments(daily, tau2)
+  }
+
+  /** The day-grid finisher of [[msprtDaily]] over pre-aggregated per-(day, arm)
+    * exact cent moments `(day, __a, n, s1, s2)` — the read-time half when the
+    * moments are MAINTAINED state (they are associative sums; see
+    * `ev_msprt_incremental`). */
+  def msprtFromDailyMoments(daily: DataFrame, tau2: Double = 25.0): DataFrame = {
+    val log10e = 0.4342944819032518 // log10(e): converts the exp() exponent to log10
+    val tau2c = tau2 * 10000.0 // cents²
+    // dense day×arm grid so each arm's cumulative is defined on EVERY day
+    val days = daily.select(col("day")).distinct()
+    val arms = daily.select(col("__a")).distinct()
+    val dense = days.crossJoin(broadcast(arms))
+      .join(daily, Seq("day", "__a"), "left")
+      .select(col("day"), col("__a"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("s1"), lit(0L)).as("s1"),
+        coalesce(col("s2"), lit(java.math.BigDecimal.ZERO)).cast(DecimalType(38, 0)).as("s2"))
+    val wc = Window.partitionBy(col("__a")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dense.select(col("day"), col("__a"),
+      sum(col("n")).over(wc).as("cn"), sum(col("s1")).over(wc).as("cs1"),
+      sum(col("s2")).over(wc).as("cs2"))
+    def pick(a: Int, c: String, as: String) =
+      max(when(col("__a") === a, col(c))).as(as)
+    val piv = cum.groupBy(col("day")).agg(
+      pick(0, "cn", "na"), pick(0, "cs1", "sa1"), pick(0, "cs2", "sa2"),
+      pick(1, "cn", "nb"), pick(1, "cs1", "sb1"), pick(1, "cs2", "sb2"))
+      .filter(col("na") >= 2 && col("nb") >= 2)
+    val mA = col("sa1").cast(DoubleType) / col("na")
+    val mB = col("sb1").cast(DoubleType) / col("nb")
+    val s2p = (col("sa2").cast(DoubleType) + col("sb2").cast(DoubleType)
+      - col("na") * mA * mA - col("nb") * mB * mB) / (col("na") + col("nb") - 2)
+    val v = s2p * (lit(1.0) / col("na") + lit(1.0) / col("nb"))
+    val dHat = mA - mB
+    val log10Lr = lit(0.5) * log10(v / (v + tau2c)) +
+      (dHat * dHat * tau2c / (lit(2.0) * v * (v + tau2c))) * log10e
+    val wMin = Window.orderBy(col("day")) // day-grid running min
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    piv.select(col("day"), col("na").as("n_a"), col("nb").as("n_b"),
+      round(dHat / 100.0, 4).as("mean_diff"), least(lit(0.0), -log10Lr).as("__lp"))
+      .withColumn("log10_p", round(min(col("__lp")).over(wMin), 6))
+      .select(col("day"), col("n_a"), col("n_b"), col("mean_diff"),
+        col("log10_p"), (col("log10_p") <= -1.30103).as("rejected"))
+  }
 }

@@ -872,4 +872,33 @@ class PlanQualitySpec extends SparkSpec {
       s"ev_zorder_layout planned a global window:\n$p")
     assert(!p.contains("CartesianProduct"), "the n-row join must broadcast")
   }
+
+  test("ev_cuped: one per-unit exchange, scalar moments broadcast back, no window") {
+    // CUPED must never sort or window unit-level rows: one groupBy(unit) hash
+    // aggregation, one scalar aggregate, broadcast scalars — nothing else.
+    val p = plan("ev_cuped")
+    assert(!p.contains("Window"), s"ev_cuped planned a window:\n$p")
+    assert(!p.contains("CartesianProduct"), "pooled scalars must broadcast")
+    assert(p.contains("HashAggregate"), "per-unit moments must hash-aggregate")
+  }
+
+  test("ev_conformal / ev_msprt: only grid-bounded windows; predictor joins broadcast") {
+    // conformal's cum window runs over the DISTINCT residual cents grid; msprt's
+    // windows run on the day grid. Neither may sort corpus rows or cartesian-join.
+    for (q <- Seq("ev_conformal", "ev_msprt")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: scalar/dim joins must broadcast:\n$p")
+      assert(p.contains("HashAggregate"), s"$q: histogram must hash-aggregate")
+    }
+    // the conformal residual join must be a broadcast of the per-group predictor
+    assert(plan("ev_conformal").contains("BroadcastHashJoin"),
+      "per-type predictor must broadcast")
+  }
+
+  test("mm_cdc_chunks: chunk dedup is hash-aggregated; no cartesian, no corpus window") {
+    val p = plan("mm_cdc_chunks")
+    assert(!p.contains("CartesianProduct"), s"mm_cdc_chunks planned a cartesian:\n$p")
+    assert(!p.contains("Window"), s"mm_cdc_chunks planned a window:\n$p")
+    assert(p.contains("HashAggregate"), "chunk-grain aggregation must hash-aggregate")
+  }
 }
