@@ -746,6 +746,56 @@ object SparkEntry {
           round(col("n_rows_identified").cast(DoubleType) / col("n_rows"), 6))
     }),
 
+    // t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third privacy gate
+    // after k-anonymity/l-diversity: per QI group, the ordered-EMD between the
+    // group's sensitive-attribute distribution (hour-of-day, m=24 ordinal cells) and
+    // the global one. EMD = Σ|CumP − CumQ|/(m−1) evaluates on EXACT integers:
+    // per-cell |ccum·N − Ccum·n_g| (DECIMAL(38,0) — the products pass int64 at
+    // corpus scale), ONE double division per group, and the t > 1/5 flag is the
+    // pure-integer comparison 5·num > 23·n_g·N. State: groups×24 grid cells; the
+    // per-group cum window sorts 24 rows per key, the global cum window 24 rows
+    // total (grid-bounded, the day-grid exemption class).
+    "ev_t_closeness" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("day"),
+        expr("(unix_millis(ts) div 3600000) % 24").as("h"))
+      val cells = e.groupBy(col("event_type"), col("day"), col("h"))
+        .agg(count(lit(1)).as("c"))
+      val groups = cells.select(col("event_type"), col("day")).distinct()
+      val hours = e.select(col("h")).distinct()
+      val grid = groups.crossJoin(broadcast(hours))
+        .join(cells, Seq("event_type", "day", "h"), "left")
+        .select(col("event_type"), col("day"), col("h"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val wg = Window.partitionBy(col("event_type"), col("day")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val glob = grid.groupBy(col("h")).agg(sum(col("c")).as("gc"))
+      val wG = Window.orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gcum = glob.select(col("h"), sum(col("gc")).over(wG).as("cumg"))
+        .crossJoin(broadcast(glob.agg(sum(col("gc")).as("N"))))
+      val ng = grid.groupBy(col("event_type"), col("day")).agg(sum(col("c")).as("n_g"))
+      val terms = grid
+        .withColumn("ccum", sum(col("c")).over(wg))
+        .join(broadcast(gcum), "h")
+        .join(ng, Seq("event_type", "day"))
+        .select(col("event_type"), col("day"), col("n_g"), col("N"),
+          abs(col("ccum").cast(DecimalType(19, 0)) * col("N")
+            - col("cumg").cast(DecimalType(19, 0)) * col("n_g"))
+            .cast(DecimalType(38, 0)).as("term"))
+      val perGroup = terms.groupBy(col("event_type"), col("day"), col("n_g"), col("N"))
+        .agg(sum(col("term")).cast(DecimalType(38, 0)).as("num"))
+        .select(col("n_g"), col("N"),
+          (col("num").cast(DoubleType) / col("n_g") / col("N") / 23.0).as("t"),
+          (col("num") * 5 > col("n_g").cast(DecimalType(38, 0)) * col("N") * 23)
+            .as("over"))
+      perGroup.agg(count(lit(1)).as("n_groups"),
+        max(col("N")).as("n_rows"),
+        round(max(col("t")), 6).as("max_t_closeness"),
+        sum(when(col("over"), 1L).otherwise(0L)).as("n_groups_over_02"),
+        sum(when(col("over"), col("n_g")).otherwise(0L)).cast("long").as("rows_over_02"))
+    }),
+
     // Longest daily-activity streak per user — the gaps-and-islands shape (island key =
     // day − row_number over the per-user day sequence) on the deduplicated (user, day)
     // table; output collapses to the streak-length histogram. One user-keyed
@@ -2456,6 +2506,18 @@ object SparkEntry {
       SampleOps.conformalSplit(t(s, dir, "events"),
         col("event_type"), col("value"), pmod(col("event_id"), lit(2)) === 0)),
 
+    // Mondrian (group-conditional) conformal: the pooled radius only covers
+    // MARGINALLY — per-type radii restore 1−α per group; per-group order statistic
+    // on the group's own residual grid (the groupedExactPercentiles window shape)
+    "ev_conformal_grouped" -> ((s, dir) =>
+      SampleOps.conformalSplitGrouped(t(s, dir, "events"),
+        col("event_type"), col("value"), pmod(col("event_id"), lit(2)) === 0)),
+
+    // 5% two-sided exact trimmed means per type — the robust-location readout for
+    // heavy-tailed spend; rank algebra on the cents-grid histogram, no row sort
+    "ev_trimmed_mean" -> ((s, dir) =>
+      SampleOps.trimmedMeans(t(s, dir, "events"), col("event_type"), col("value"))),
+
     // Daily purchase-conversion rate with the Wilson 95% score interval — the
     // small-n-safe CI (a normal interval goes negative near 0) every conversion
     // dashboard should use; exact integer counts, one closed-form double per day
@@ -3849,6 +3911,17 @@ object SparkEntry {
       val edges = graft.ops.GraphOps.coOccurrenceEdges(t(s, dir, "lineitem"),
         "l_orderkey", "l_partkey", minCount = 2)
       graft.ops.GraphOps.kCore(edges, k = 2, rounds = 8, requireConverged = true)
+    }),
+
+    // Densest subgraph, 3-approx by ε=1/2 distributed peeling (Bahmani et al. 2012):
+    // every round shrinks |V| by ≥ 1/3 (28 rounds cover |V| ≤ 1.5^28 ≈ 8·10^4,
+    // asserted empty), the best observed |E|/|V| wins; removal threshold and
+    // cross-round argmax are pure BIGINT comparisons. The sequential Charikar
+    // greedy would be |V| rounds.
+    "q_basket_densest" -> ((s, dir) => {
+      val edges = graft.ops.GraphOps.coOccurrenceEdges(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minCount = 2)
+      graft.ops.GraphOps.densestSubgraph(edges, rounds = 28)
     }),
 
     // The window-function surface in ONE gated query: lag/lead, ntile, percent_rank,
@@ -5731,6 +5804,39 @@ object SparkEntry {
     * counts are associative sums (the incremental form maintains them as
     * grouping-sets MV state) and the minimax fit is a pure function of them, so the
     * maintained result is row-identical and one oracle gates both. */
+  /** Generated 16-round unroll of the densest-subgraph peel — the kCore oracle
+    * discipline (AS MATERIALIZED per round so DuckDB plans each round once), with
+    * the exact-integer removal threshold and cross-round argmax replicated. */
+  private val densestOracle: String = {
+    val rounds = 28
+    val base =
+      """WITH pp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT a.pk AS u, b.pk AS v FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |u0 AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0)""".stripMargin
+    val peels = (0 until rounds).map { i =>
+      s"""s$i AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS ne2,
+         |  CAST(COUNT(DISTINCT u) AS BIGINT) AS nv FROM u$i),
+         |k${i + 1} AS MATERIALIZED (SELECT t.u FROM
+         |  (SELECT u, COUNT(*) AS d FROM u$i GROUP BY 1) t, s$i
+         |  WHERE t.d * s$i.nv * 2 >= s$i.ne2 * 3),
+         |u${i + 1} AS MATERIALIZED (SELECT a.u, a.v FROM u$i a
+         |  JOIN k${i + 1} x ON a.u = x.u JOIN k${i + 1} y ON a.v = y.u)""".stripMargin
+    }.mkString(",\n")
+    val last = s"s$rounds AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS ne2, " +
+      s"CAST(COUNT(DISTINCT u) AS BIGINT) AS nv FROM u$rounds)"
+    val statsU = (0 to rounds).map(i => s"SELECT $i AS round, nv, ne2 FROM s$i")
+      .mkString(" UNION ALL ")
+    base + ",\n" + peels + ",\n" + last + ",\n" +
+      s"""stats AS (SELECT * FROM ($statsU) WHERE nv > 0)
+         |SELECT a.round, a.nv AS n_nodes, a.ne2 // 2 AS n_edges,
+         |  ROUND(CAST(a.ne2 AS DOUBLE) / 2.0 / a.nv, 6) AS density,
+         |  MAX(CASE WHEN b.ne2 * a.nv > a.ne2 * b.nv
+         |    OR (b.ne2 * a.nv = a.ne2 * b.nv AND b.round < a.round)
+         |    THEN 1 ELSE 0 END) = 0 AS is_best
+         |FROM stats a, stats b GROUP BY 1, 2, 3, 4""".stripMargin
+  }
+
   /** Shared by `ev_msprt` and `ev_msprt_incremental`: the maintained moments are
     * row-identical to the one-shot per-(day, arm) aggregation, so one SQL pins both. */
   private val msprtOracle: String =
@@ -7434,6 +7540,35 @@ object SparkEntry {
         |    AS z
         |FROM a""".stripMargin,
 
+    // ordered-EMD on exact HUGEINT cumulative products; one double division per group
+    "ev_t_closeness" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000 AS day,
+        |    (CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 3600000) % 24 AS h FROM events),
+        |cells AS (SELECT event_type, day, h, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY 1, 2, 3),
+        |grid AS (SELECT g.event_type, g.day, hh.h, COALESCE(c.c, 0) AS c
+        |  FROM (SELECT DISTINCT event_type, day FROM cells) g
+        |  CROSS JOIN (SELECT DISTINCT h FROM e) hh
+        |  LEFT JOIN cells c ON c.event_type = g.event_type AND c.day = g.day AND c.h = hh.h),
+        |gl AS (SELECT h, CAST(SUM(c) AS BIGINT) AS gc FROM grid GROUP BY 1),
+        |gcum AS (SELECT h, SUM(gc) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS ccumg,
+        |    (SELECT SUM(gc) FROM gl) AS nn FROM gl),
+        |ng AS (SELECT event_type, day, CAST(SUM(c) AS BIGINT) AS n_g FROM grid GROUP BY 1, 2),
+        |terms AS (SELECT gr.event_type, gr.day, ng.n_g, gcum.nn,
+        |    ABS(CAST(SUM(gr.c) OVER (PARTITION BY gr.event_type, gr.day ORDER BY gr.h
+        |        ROWS UNBOUNDED PRECEDING) AS HUGEINT) * gcum.nn
+        |      - CAST(gcum.ccumg AS HUGEINT) * ng.n_g) AS term
+        |  FROM grid gr JOIN gcum ON gr.h = gcum.h
+        |  JOIN ng ON ng.event_type = gr.event_type AND ng.day = gr.day),
+        |pg AS (SELECT n_g, nn, SUM(term) AS num FROM terms GROUP BY event_type, day, n_g, nn),
+        |pg2 AS (SELECT n_g, nn, CAST(num AS DOUBLE) / n_g / nn / 23.0 AS t,
+        |    num * 5 > CAST(n_g AS HUGEINT) * nn * 23 AS over_ FROM pg)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups, CAST(MAX(nn) AS BIGINT) AS n_rows,
+        |  ROUND(MAX(t), 6) AS max_t_closeness,
+        |  CAST(SUM(CASE WHEN over_ THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_over_02,
+        |  CAST(SUM(CASE WHEN over_ THEN n_g ELSE 0 END) AS BIGINT) AS rows_over_02
+        |FROM pg2""".stripMargin,
+
     "ev_l_diversity" ->
       """WITH qi AS (SELECT event_type,
         |  CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000 AS day,
@@ -7548,6 +7683,47 @@ object SparkEntry {
         |  ROUND(num / den, 6) AS theta,
         |  ROUND(num * num / (den * deny), 6) AS var_reduction
         |FROM f ORDER BY arm""".stripMargin,
+
+    // the conformal construction per group: same integer algebra, windows
+    // partitioned by g
+    "ev_conformal_grouped" ->
+      """WITH e AS (SELECT event_type AS g,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |    event_id % 2 = 0 AS cal FROM events),
+        |f AS (SELECT g, SUM(c) // COUNT(*) AS yhat FROM e WHERE cal GROUP BY 1),
+        |r AS (SELECT e.g, e.cal, ABS(e.c - f.yhat) AS r FROM e JOIN f USING (g)),
+        |h AS (SELECT g, r, CAST(COUNT(*) AS BIGINT) AS c FROM r WHERE cal GROUP BY 1, 2),
+        |n AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n_cal FROM h GROUP BY 1),
+        |cum AS (SELECT h.g, h.r, n.n_cal,
+        |    SUM(h.c) OVER (PARTITION BY h.g ORDER BY h.r ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM h JOIN n ON h.g = n.g),
+        |q AS (SELECT g, MIN(CASE WHEN cum >= ((n_cal + 1) * 9 + 9) // 10 THEN r END) AS q,
+        |    MIN(n_cal) AS n_cal FROM cum GROUP BY 1),
+        |t AS (SELECT r.g, MIN(q.n_cal) AS n_cal, CAST(COUNT(*) AS BIGINT) AS n_test,
+        |    MIN(q.q) AS q, SUM(CASE WHEN r.r <= q.q THEN 1 ELSE 0 END) AS n_cov
+        |  FROM r JOIN q ON r.g = q.g WHERE NOT r.cal GROUP BY 1)
+        |SELECT g, n_cal, n_test, ROUND(CAST(q AS DOUBLE) / 100.0, 2) AS q_hat,
+        |  ROUND(CAST(n_cov AS DOUBLE) / n_test, 6) AS coverage,
+        |  ABS(CAST(n_cov AS DOUBLE) / n_test - 0.9) <= 0.05 AS coverage_near_target
+        |FROM t""".stripMargin,
+
+    // rank algebra on the per-type cents histogram; every count exact
+    "ev_trimmed_mean" ->
+      """WITH e AS (SELECT event_type AS g,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM events),
+        |h AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+        |t AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(v * c) AS BIGINT) AS sv
+        |  FROM h GROUP BY 1),
+        |cum AS (SELECT h.g, h.v, h.c, t.n, t.sv, t.n * 1 // 20 AS k,
+        |    SUM(h.c) OVER (PARTITION BY h.g ORDER BY h.v ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM h JOIN t ON h.g = t.g),
+        |eff AS (SELECT g, v, n, sv, k,
+        |    GREATEST(LEAST(cum, n - k) - GREATEST(cum - c, k), 0) AS ceff FROM cum)
+        |SELECT g, MIN(n) AS n, CAST(MIN(k) AS BIGINT) AS k_trim,
+        |  ROUND(CAST(MIN(sv) AS DOUBLE) / MIN(n) / 100.0, 4) AS mean_raw,
+        |  ROUND(CAST(SUM(v * ceff) AS DOUBLE) / (MIN(n) - 2 * MIN(k)) / 100.0, 4)
+        |    AS mean_trimmed
+        |FROM eff GROUP BY 1""".stripMargin,
 
     // per-type BIGINT floor-division predictor, k-th order statistic over the
     // residual histogram, exact integer coverage — conformalSplit's replica
@@ -9472,6 +9648,9 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin,
+
+    // generated 16-round peel unroll; exact-integer threshold and argmax
+    "q_basket_densest" -> densestOracle,
 
     "q_basket_kcore" ->
       // AS MATERIALIZED throughout: each unrolled round references the previous round

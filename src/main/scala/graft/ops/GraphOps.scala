@@ -152,6 +152,73 @@ object GraphOps {
   }
 
   /**
+   * Densest-subgraph 3-approximation by distributed peeling (Bahmani, Kumar &
+   * Vassilvitskii 2012, "Densest Subgraph in Streaming and MapReduce"; Charikar 2000
+   * for the greedy it parallelizes): each round removes EVERY node with degree
+   * < (1+ε)·avg — with ε = 1/2 the survivors number ≤ (2/3)|V| (their degrees each
+   * exceed 3/2 the mean, and degrees sum to 2|E|), so the graph empties in
+   * ≤ ⌈log_{3/2}|V|⌉ rounds and the densest of the observed subgraphs is a
+   * 2(1+ε) = 3-approximation of the maximum-density subgraph (|E|/|V|, Goldberg's
+   * measure). The sequential Charikar greedy peels ONE min-degree node per round —
+   * O(|V|) rounds, hostile to a cluster; this is the classic MapReduce trade: more
+   * removed per round, a bounded approximation factor, logarithmic rounds.
+   *
+   * Exactness: the removal test `2·deg·|V| < 3·(2|E|)` and the cross-round argmax
+   * `|E_r|·|V_s| vs |E_s|·|V_r|` are pure BIGINT comparisons — no float threshold
+   * can disagree between engines; only the reported density divides (one fixed-order
+   * double, rounded once). Per round: one degree aggregate, two semi-joins, one
+   * two-cell stats row broadcast back — the kCore shape, with localCheckpoint
+   * lineage cuts. Round stats are a ≤ `rounds`-row frame; the argmax self-join is
+   * rounds², trivially bounded.
+   *
+   * @param edges undirected (u, v) rows, u < v, deduplicated
+   * @param rounds peel budget; the (2/3)-shrink guarantees convergence for
+   *               |V| ≤ 1.5^rounds (an `assert_true` raises loudly if exceeded)
+   * @return one row per non-empty round: (round, n_nodes, n_edges, density, is_best)
+   */
+  def densestSubgraph(edges: DataFrame, rounds: Int = 28): DataFrame = {
+    require(rounds >= 1)
+    var e = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(eager = false)
+    def statsOf(cur: DataFrame, r: Int): DataFrame =
+      cur.agg(count(lit(1)).as("ne2"), countDistinct(col("u")).as("nv"))
+        .select(lit(r).as("round"), col("nv"), col("ne2"))
+    var stats = statsOf(e, 0)
+    for (r <- 1 to rounds) {
+      val st = e.agg(count(lit(1)).as("__ne2"), countDistinct(col("u")).as("__nv"))
+      val keep = e.groupBy(col("u")).agg(count(lit(1)).as("__d"))
+        .crossJoin(broadcast(st))
+        .filter(col("__d") * col("__nv") * 2 >= col("__ne2") * 3) // deg ≥ (3/2)·(2|E|/|V|), exact
+        .select(col("u").as("__keep"))
+      e = e.join(keep, col("u") === col("__keep"), "left_semi")
+        .join(keep.select(col("__keep").as("__keep2")), col("v") === col("__keep2"), "left_semi")
+        .localCheckpoint(eager = false)
+      stats = stats.unionByName(statsOf(e, r))
+    }
+    // the budget must peel to EMPTY or the best-over-rounds guarantee is void
+    val conv = e.agg(count(lit(1)).as("__left"))
+    val live = stats.filter(col("nv") > 0)
+      .crossJoin(broadcast(conv))
+      .filter(assert_true(col("__left") === 0,
+        lit(s"densestSubgraph: not empty after rounds=$rounds — raise the budget")).isNull)
+      .select(col("round"), col("nv"), col("ne2"))
+    // exact integer argmax over rounds: r is best iff no s is strictly denser, nor
+    // equally dense with a smaller round id
+    val other = live.select(col("round").as("__s"), col("nv").as("__nvs"), col("ne2").as("__ne2s"))
+    live.crossJoin(other)
+      .groupBy(col("round"), col("nv"), col("ne2"))
+      .agg(max(when(col("__ne2s") * col("nv") > col("ne2") * col("__nvs") ||
+        (col("__ne2s") * col("nv") === col("ne2") * col("__nvs") && col("__s") < col("round")),
+        1).otherwise(0)).as("__dominated"))
+      .select(col("round"), col("nv").as("n_nodes"), expr("ne2 div 2").as("n_edges"),
+        round(col("ne2").cast(org.apache.spark.sql.types.DoubleType) / 2.0 / col("nv"), 6)
+          .as("density"),
+        (col("__dominated") === 0).as("is_best"))
+      .orderBy(col("round"))
+  }
+
+  /**
    * Co-occurrence edges from (group, item) memberships — the market-basket projection
    * (parts co-ordered, users co-attending, docs sharing a shingle): undirected edges
    * `(u < v)` between items sharing at least `minCount` groups.

@@ -887,6 +887,83 @@ object SampleOps {
   }
 
   /**
+   * Mondrian (group-conditional) split conformal — the per-category twin of
+   * [[conformalSplit]] (Vovk et al. 2005 ch. 4; "Mondrian conformal prediction"):
+   * pooled conformal guarantees only MARGINAL coverage — a category with wild
+   * residuals silently under-covers while an easy one over-covers. Conditioning the
+   * radius on the group restores the 1−α guarantee PER GROUP. Same integer-exact
+   * construction, with the order statistic per group: the cum window partitions by
+   * group over the group's DISTINCT residual cents grid (the groupedExactPercentiles
+   * shape — grid-bounded per key, never corpus rows).
+   *
+   * @return one row per group: (g, n_cal, n_test, q_hat, coverage, coverage_near_target)
+   */
+  def conformalSplitGrouped(df: DataFrame, group: Column, value: Column, isCal: Column,
+      alphaNum: Int = 1, alphaDen: Int = 10): DataFrame = {
+    val cents = (value.cast(DecimalType(18, 2)) * 100).cast("long")
+    val rows = df.select(group.as("g"), cents.as("__c"), isCal.as("__cal"))
+    val fit = rows.filter(col("__cal")).groupBy(col("g"))
+      .agg(expr("sum(__c) div count(1)").as("__yhat"))
+    val resid = rows.join(broadcast(fit), Seq("g"))
+      .select(col("g"), col("__cal"), abs(col("__c") - col("__yhat")).as("r"))
+    val calHist = resid.filter(col("__cal"))
+      .groupBy(col("g"), col("r")).agg(count(lit(1)).as("c"))
+    val nCal = calHist.groupBy(col("g")).agg(sum(col("c")).as("n_cal"))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val k = expr(s"((n_cal + 1) * ${alphaDen - alphaNum} + ${alphaDen - 1}) div $alphaDen")
+    val qhat = calHist.withColumn("cum", sum(col("c")).over(wCum))
+      .join(broadcast(nCal), "g")
+      .groupBy(col("g"))
+      .agg(min(when(col("cum") >= k, col("r"))).as("q"), first(col("n_cal")).as("n_cal"))
+    val target = 1.0 - alphaNum.toDouble / alphaDen
+    resid.filter(!col("__cal")).join(broadcast(qhat), "g")
+      .groupBy(col("g"))
+      .agg(first(col("n_cal")).as("n_cal"), count(lit(1)).as("n_test"),
+        round(first(col("q")).cast(DoubleType) / 100.0, 2).as("q_hat"),
+        round(sum(when(col("r") <= col("q"), 1L).otherwise(0L)).cast(DoubleType)
+          / count(lit(1)), 6).as("coverage"))
+      .withColumn("coverage_near_target", abs(col("coverage") - target) <= 0.05)
+      .orderBy(col("g"))
+  }
+
+  /**
+   * Exact trimmed means per group — the robust location estimate heavy-tailed
+   * revenue metrics need (a classical robust statistic; standard A/B practice for
+   * taming outlier spend): drop exactly `k = ⌊n·trimNum/trimDen⌋` smallest and
+   * largest observations per group and average the rest. Runs as the distributed
+   * histogram: per-(group, value-cents) counts, a cum window over the group's
+   * DISTINCT grid, and each cell contributes `min(cum, n−k) − max(cum−c, k)` (clamped
+   * ≥ 0) copies — pure BIGINT rank algebra, no per-row sort survives to the
+   * statistic. One double division per group at the end.
+   *
+   * @return per group: (g, n, k_trim, mean_raw, mean_trimmed)
+   */
+  def trimmedMeans(df: DataFrame, group: Column, value: Column,
+      trimNum: Int = 1, trimDen: Int = 20): DataFrame = {
+    val cents = (value.cast(DecimalType(18, 2)) * 100).cast("long")
+    val hist = df.select(group.as("g"), cents.as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val tot = hist.groupBy(col("g")).agg(sum(col("c")).as("n"),
+      sum(col("v") * col("c")).as("sv"))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val k = expr(s"n * $trimNum div $trimDen")
+    val eff = hist.withColumn("cum", sum(col("c")).over(wCum))
+      .join(broadcast(tot), "g")
+      .select(col("g"), col("v"), col("n"), col("sv"), k.as("k"),
+        greatest(least(col("cum"), col("n") - k) - greatest(col("cum") - col("c"), k),
+          lit(0L)).as("ceff"))
+    eff.groupBy(col("g"))
+      .agg(first(col("n")).as("n"), first(col("k")).as("k_trim"),
+        round(first(col("sv")).cast(DoubleType) / first(col("n")) / 100.0, 4)
+          .as("mean_raw"),
+        round(sum(col("v") * col("ceff")).cast(DoubleType)
+          / (first(col("n")) - first(col("k")) * 2) / 100.0, 4).as("mean_trimmed"))
+      .orderBy(col("g"))
+  }
+
+  /**
    * Always-valid sequential A/B test — the mixture SPRT (Johari, Koomen, Pekelis &
    * Walsh 2017, "Peeking at A/B Tests: Why it matters, and what to do about it",
    * KDD; Robbins 1970): at every day d the cumulative mixture likelihood ratio

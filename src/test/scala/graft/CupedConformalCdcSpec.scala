@@ -93,6 +93,47 @@ class CupedConformalCdcSpec extends SparkSpec {
       s"coverage ${out.getAs[Double]("coverage")} should be within 0.05 of 0.9")
   }
 
+  test("conformalSplitGrouped: per-group q_hat matches the per-group brute force") {
+    val rows = (1L to 800L).map { i =>
+      val g = if (i % 3 == 0) "a" else "b"
+      val v = ((i * 48271L) % 1000).toDouble / 10.0 * (if (g == "a") 3 else 1)
+      (i, g, v)
+    }
+    val out = SampleOps.conformalSplitGrouped(rows.toDF("id", "g", "v"),
+      col("g"), col("v"), pmod(col("id"), lit(2)) === 0)
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    val cents = rows.map { case (i, g, v) => (i, g, math.round(v * 100)) }
+    for (g <- Seq("a", "b")) {
+      val cal = cents.filter(x => x._1 % 2 == 0 && x._2 == g)
+      val yhat = cal.map(_._3).sum / cal.size
+      val rs = cal.map(x => math.abs(x._3 - yhat)).sorted
+      val q = rs(((rs.size + 1) * 9 + 9) / 10 - 1)
+      assert(math.abs(out(g).getAs[Double]("q_hat") - q / 100.0) < 1e-9, s"group $g")
+      val tst = cents.filter(x => x._1 % 2 == 1 && x._2 == g)
+      val cov = tst.count(x => math.abs(x._3 - yhat) <= q).toDouble / tst.size
+      assert(math.abs(out(g).getAs[Double]("coverage") -
+        math.rint(cov * 1e6) / 1e6) < 1e-9, s"group $g coverage")
+    }
+  }
+
+  test("trimmedMeans: exact against a sorted-drop reference; outlier immunity") {
+    // group "a": clean grid + huge planted outliers the 5% trim must fully absorb
+    val clean = (1L to 100L).map(i => ("a", (i % 10 + 1).toDouble))
+    val outliers = (1L to 4L).map(i => ("a", 99999.0)) // 4 < k = 104/20 = 5
+    val df = (clean ++ outliers).zipWithIndex
+      .map { case ((g, v), i) => (i.toLong, g, v) }.toDF("id", "g", "v")
+    val out = SampleOps.trimmedMeans(df, col("g"), col("v")).head()
+    // reference: sort cents, drop k each side, average
+    val cents = (clean ++ outliers).map(x => math.round(x._2 * 100)).sorted
+    val k = cents.size / 20
+    val kept = cents.drop(k).dropRight(k)
+    val ref = kept.sum.toDouble / kept.size / 100.0
+    assert(out.getAs[Long]("k_trim") == k)
+    assert(math.abs(out.getAs[Double]("mean_trimmed") - math.rint(ref * 1e4) / 1e4) < 1e-9)
+    // the outliers moved the raw mean far above the trimmed one
+    assert(out.getAs[Double]("mean_raw") > 3 * out.getAs[Double]("mean_trimmed"))
+  }
+
   // ---- mSPRT ------------------------------------------------------------------------------
 
   test("msprtDaily: matches a Scala replica day by day; huge effect rejects, null does not") {
@@ -156,6 +197,28 @@ class CupedConformalCdcSpec extends SparkSpec {
         sum(col("s2")).cast(DecimalType(38, 0)).as("s2"))
     val inc = SampleOps.msprtFromDailyMoments(merged).collect()
     assert(oneShot.map(_.toString).sorted.toSeq == inc.map(_.toString).sorted.toSeq)
+  }
+
+  // ---- densest subgraph ---------------------------------------------------------------------
+
+  test("densestSubgraph: peeling isolates the planted clique; flags exactly one best round") {
+    // K5 (density 10/5 = 2.0) + a 30-node path (density ~1) glued by one edge:
+    // the whole graph's density < 2, peeling strips the path, the best round is the clique
+    val clique = for (i <- 1 to 5; j <- (i + 1) to 5) yield (i.toLong, j.toLong)
+    val path = (10L until 39L).map(i => (i, i + 1))
+    val edges = (clique ++ path :+ (5L, 10L)).toDF("u", "v")
+    val out = graft.ops.GraphOps.densestSubgraph(edges, rounds = 8).collect()
+    val best = out.filter(_.getAs[Boolean]("is_best"))
+    assert(best.length == 1, s"exactly one best round, got ${best.length}")
+    assert(best.head.getAs[Double]("density") == 2.0)
+    assert(best.head.getAs[Long]("n_nodes") == 5 && best.head.getAs[Long]("n_edges") == 10)
+    // round 0 is the full graph
+    val r0 = out.find(_.getAs[Int]("round") == 0).get
+    assert(r0.getAs[Long]("n_nodes") == 35 && r0.getAs[Long]("n_edges") == 40)
+    // the loud-fail budget: a graph needing more peels than the budget must raise
+    intercept[Exception] {
+      graft.ops.GraphOps.densestSubgraph(edges, rounds = 1).collect()
+    }
   }
 
   // ---- Gear content-defined chunking --------------------------------------------------------
