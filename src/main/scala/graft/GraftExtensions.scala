@@ -55,6 +55,10 @@ object GraftExtensions {
     // round-7 addition: Jaro-Winkler similarity (DuckDB-parity semantics) for
     // entity-resolution blocking joins from SQL
     "graft_jaro_winkler" -> (es => JaroWinklerSim(es(0), es(1))),
+    // round-10 addition: Gear/FastCDC content-defined chunking over BINARY — SQL
+    // callers explode the struct array and groupBy hash for byte-grain dedup
+    "graft_gear_chunks" -> (es => GearChunks(es(0),
+      intArg(es(1), "minLen"), intArg(es(2), "maskBits"), intArg(es(3), "maxLen"))),
     // numeric order/score/tiebreak args are widened here so SQL callers can pass INT/FLOAT
     // columns; the aggregates themselves then type-check strictly at analysis
     "graft_latest_struct" -> (es =>

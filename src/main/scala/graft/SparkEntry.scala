@@ -2518,6 +2518,18 @@ object SparkEntry {
     "ev_trimmed_mean" -> ((s, dir) =>
       SampleOps.trimmedMeans(t(s, dir, "events"), col("event_type"), col("value"))),
 
+    // Delete-one-day block jackknife for the ratio metric revenue-per-view (a ratio
+    // of sums has no per-row variance — the Tang et al. 2010 platform practice):
+    // day-grid R_i from exact BIGINT sums, DECIMAL(18,12)-quantized folds so the
+    // float aggregation replays bit-equal (SampleOps.ratioJackknife)
+    "ev_ratio_jackknife" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(
+        expr("unix_millis(ts) div 86400000").as("day"),
+        when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0)).as("rev"),
+        when(col("event_type") === "view", lit(1.0)).otherwise(lit(0.0)).as("vw"))
+      SampleOps.ratioJackknife(e, col("day"), col("rev"), col("vw"))
+    }),
+
     // Daily purchase-conversion rate with the Wilson 95% score interval — the
     // small-n-safe CI (a normal interval goes negative near 0) every conversion
     // dashboard should use; exact integer counts, one closed-form double per day
@@ -3914,14 +3926,16 @@ object SparkEntry {
     }),
 
     // Densest subgraph, 3-approx by ε=1/2 distributed peeling (Bahmani et al. 2012):
-    // every round shrinks |V| by ≥ 1/3 (28 rounds cover |V| ≤ 1.5^28 ≈ 8·10^4,
-    // asserted empty), the best observed |E|/|V| wins; removal threshold and
-    // cross-round argmax are pure BIGINT comparisons. The sequential Charikar
-    // greedy would be |V| rounds.
+    // every round shrinks |V| by ≥ 1/3, the driver stops at the first EMPTY round
+    // (adaptive, the CC-family idiom — a static 28-round unroll measured 6.4 s at
+    // sf0.1 against ~4 real rounds), the best observed |E|/|V| wins; removal
+    // threshold and cross-round argmax are pure BIGINT comparisons. The sequential
+    // Charikar greedy would be |V| rounds. The 28-round unrolled oracle replays the
+    // same stats (its empty tail rounds filter out identically).
     "q_basket_densest" -> ((s, dir) => {
       val edges = graft.ops.GraphOps.coOccurrenceEdges(t(s, dir, "lineitem"),
         "l_orderkey", "l_partkey", minCount = 2)
-      graft.ops.GraphOps.densestSubgraph(edges, rounds = 28)
+      graft.ops.GraphOps.densestSubgraph(edges)
     }),
 
     // The window-function surface in ONE gated query: lag/lead, ntile, percent_rank,
@@ -7707,6 +7721,32 @@ object SparkEntry {
         |  ABS(CAST(n_cov AS DOUBLE) / n_test - 0.9) <= 0.05 AS coverage_near_target
         |FROM t""".stripMargin,
 
+    // day-grid delete-one ratios from exact BIGINT sums; DECIMAL(18,12) folds
+    "ev_ratio_jackknife" ->
+      """WITH e AS (SELECT CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000 AS b,
+        |    CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END AS n_,
+        |    CASE WHEN event_type = 'view' THEN CAST(1 AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END AS d_ FROM events),
+        |pb AS (SELECT b, CAST(SUM(n_) * 100 AS BIGINT) AS nc,
+        |    CAST(SUM(d_) * 100 AS BIGINT) AS dc FROM e GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(nc) AS BIGINT) AS tn, CAST(SUM(dc) AS BIGINT) AS td,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM pb),
+        |ri AS (SELECT n, CAST(tn AS DOUBLE) AS tnd, CAST(td AS DOUBLE) AS tdd,
+        |    CAST(CAST(tn - nc AS DOUBLE) / (td - dc) AS DECIMAL(18,12)) AS ri
+        |  FROM pb, tot WHERE td - dc > 0),
+        |rb AS (SELECT n, tnd, tdd, CAST(COUNT(*) AS BIGINT) AS nb,
+        |    CAST(SUM(ri) AS DOUBLE) / COUNT(*) AS rbar FROM ri GROUP BY 1, 2, 3),
+        |dev AS (SELECT rb.nb, rb.rbar, rb.tnd, rb.tdd,
+        |    SUM(CAST((CAST(ri.ri AS DOUBLE) - rb.rbar) * (CAST(ri.ri AS DOUBLE) - rb.rbar)
+        |      AS DECIMAL(18,12))) AS sd2
+        |  FROM ri, rb GROUP BY 1, 2, 3, 4)
+        |SELECT nb AS n_blocks, ROUND(tnd / tdd, 6) AS ratio,
+        |  ROUND(sqrt((nb - 1) / CAST(nb AS DOUBLE) * CAST(sd2 AS DOUBLE)), 6) AS jk_se,
+        |  ROUND(tnd / tdd - 1.959964 * sqrt((nb - 1) / CAST(nb AS DOUBLE) * CAST(sd2 AS DOUBLE)), 6) AS ci_lo,
+        |  ROUND(tnd / tdd + 1.959964 * sqrt((nb - 1) / CAST(nb AS DOUBLE) * CAST(sd2 AS DOUBLE)), 6) AS ci_hi
+        |FROM dev""".stripMargin,
+
     // rank algebra on the per-type cents histogram; every count exact
     "ev_trimmed_mean" ->
       """WITH e AS (SELECT event_type AS g,
@@ -7717,13 +7757,19 @@ object SparkEntry {
         |cum AS (SELECT h.g, h.v, h.c, t.n, t.sv, t.n * 1 // 20 AS k,
         |    SUM(h.c) OVER (PARTITION BY h.g ORDER BY h.v ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM h JOIN t ON h.g = t.g),
-        |eff AS (SELECT g, v, n, sv, k,
-        |    GREATEST(LEAST(cum, n - k) - GREATEST(cum - c, k), 0) AS ceff FROM cum)
-        |SELECT g, MIN(n) AS n, CAST(MIN(k) AS BIGINT) AS k_trim,
-        |  ROUND(CAST(MIN(sv) AS DOUBLE) / MIN(n) / 100.0, 4) AS mean_raw,
-        |  ROUND(CAST(SUM(v * ceff) AS DOUBLE) / (MIN(n) - 2 * MIN(k)) / 100.0, 4)
-        |    AS mean_trimmed
-        |FROM eff GROUP BY 1""".stripMargin,
+        |eff AS (SELECT g, v, n, sv, k, cum,
+        |    GREATEST(LEAST(cum, n - k) - GREATEST(cum - c, k), 0) AS ceff FROM cum),
+        |agg AS (SELECT g, MIN(n) AS n, CAST(MIN(k) AS BIGINT) AS k_trim,
+        |    MIN(sv) AS sv, CAST(SUM(v * ceff) AS BIGINT) AS interior,
+        |    MIN(CASE WHEN cum >= k + 1 THEN v END) AS v_lo,
+        |    MIN(CASE WHEN cum >= n - k THEN v END) AS v_hi
+        |  FROM eff GROUP BY 1)
+        |SELECT g, n, k_trim,
+        |  ROUND(CAST(sv AS DOUBLE) / n / 100.0, 4) AS mean_raw,
+        |  ROUND(CAST(interior AS DOUBLE) / (n - k_trim * 2) / 100.0, 4) AS mean_trimmed,
+        |  ROUND(CAST(interior + k_trim * (v_lo + v_hi) AS DOUBLE) / n / 100.0, 4)
+        |    AS mean_winsorized
+        |FROM agg""".stripMargin,
 
     // per-type BIGINT floor-division predictor, k-th order statistic over the
     // residual histogram, exact integer coverage — conformalSplit's replica

@@ -887,6 +887,55 @@ object SampleOps {
   }
 
   /**
+   * Delete-one-block jackknife standard error for a RATIO metric (Quenouille 1956;
+   * Tukey 1958; the block form every large experimentation platform uses for
+   * per-user/per-day correlated ratio metrics — e.g. Tang et al. 2010, "Overlapping
+   * Experiment Infrastructure", KDD): a ratio of sums `R = Σnum/Σden` has no
+   * per-row variance, so resample BLOCKS — `R_i` recomputed with block i deleted,
+   * `SE² = (n−1)/n · Σ(R_i − R̄)²`. Blocks here are the day grid: the corpus pays
+   * ONE (day) aggregation of exact cent/count sums and every statistic after is
+   * grid-bounded.
+   *
+   * Cross-engine exactness: each `R_i` is one double division of exact BIGINTs;
+   * the fold over blocks quantizes each `R_i` (and each squared deviation) to
+   * DECIMAL(18,12) before summing — the JSD/LM discipline that makes a float
+   * aggregation order-independent and bit-equal across engines.
+   *
+   * @return one row: (n_blocks, ratio, jk_se, ci_lo, ci_hi) — 95% normal interval
+   */
+  def ratioJackknife(df: DataFrame, block: Column, num: Column, den: Column): DataFrame = {
+    val perBlock = df.select(block.as("b"),
+        num.cast(DecimalType(18, 2)).as("__n"), den.cast(DecimalType(18, 2)).as("__d"))
+      .groupBy(col("b"))
+      .agg((sum(col("__n")) * 100).cast("long").as("nc"),
+        (sum(col("__d")) * 100).cast("long").as("dc"))
+    val tot = perBlock.agg(sum(col("nc")).as("tn"), sum(col("dc")).as("td"),
+      count(lit(1)).as("n"))
+    val ri = perBlock.crossJoin(broadcast(tot))
+      .filter(col("td") - col("dc") > 0)
+      .select(col("n"), col("tn").cast(DoubleType).as("tnd"), col("td").cast(DoubleType).as("tdd"),
+        (((col("tn") - col("nc")).cast(DoubleType) / (col("td") - col("dc")))
+          .cast(DecimalType(18, 12))).as("ri"))
+    val rbar = ri.groupBy(col("n"), col("tnd"), col("tdd"))
+      .agg(sum(col("ri")).as("sri"), count(lit(1)).as("nb"))
+      .select(col("n"), col("tnd"), col("tdd"), col("nb"),
+        (col("sri").cast(DoubleType) / col("nb")).as("rbar"))
+    val dev = ri.crossJoin(broadcast(rbar.select(col("nb"), col("rbar"))))
+      .select(col("nb"), col("rbar"),
+        (((col("ri").cast(DoubleType) - col("rbar")) * (col("ri").cast(DoubleType) - col("rbar")))
+          .cast(DecimalType(18, 12))).as("d2"))
+      .groupBy(col("nb"), col("rbar")).agg(sum(col("d2")).as("sd2"))
+    val se = sqrt((col("nb") - 1).cast(DoubleType) / col("nb") * col("sd2").cast(DoubleType))
+    val r = col("tnd") / col("tdd")
+    dev.crossJoin(broadcast(rbar.select(col("tnd"), col("tdd"))))
+      .select(col("nb").as("n_blocks"),
+        round(r, 6).as("ratio"),
+        round(se, 6).as("jk_se"),
+        round(r - lit(1.959964) * se, 6).as("ci_lo"),
+        round(r + lit(1.959964) * se, 6).as("ci_hi"))
+  }
+
+  /**
    * Mondrian (group-conditional) split conformal — the per-category twin of
    * [[conformalSplit]] (Vovk et al. 2005 ch. 4; "Mondrian conformal prediction"):
    * pooled conformal guarantees only MARGINAL coverage — a category with wild
@@ -928,16 +977,20 @@ object SampleOps {
   }
 
   /**
-   * Exact trimmed means per group — the robust location estimate heavy-tailed
-   * revenue metrics need (a classical robust statistic; standard A/B practice for
-   * taming outlier spend): drop exactly `k = ⌊n·trimNum/trimDen⌋` smallest and
-   * largest observations per group and average the rest. Runs as the distributed
+   * Exact trimmed AND winsorized means per group — the robust location estimates
+   * heavy-tailed revenue metrics need (classical robust statistics; standard A/B
+   * practice for taming outlier spend): trim drops exactly
+   * `k = ⌊n·trimNum/trimDen⌋` smallest and largest observations per group and
+   * averages the rest; winsorize CLAMPS them to the surviving extremes (the (k+1)-th
+   * and (n−k)-th order statistics) and averages all n. Runs as the distributed
    * histogram: per-(group, value-cents) counts, a cum window over the group's
    * DISTINCT grid, and each cell contributes `min(cum, n−k) − max(cum−c, k)` (clamped
-   * ≥ 0) copies — pure BIGINT rank algebra, no per-row sort survives to the
-   * statistic. One double division per group at the end.
+   * ≥ 0) interior copies — pure BIGINT rank algebra, no per-row sort survives to the
+   * statistic. The winsorized sum is the interior sum plus `k` copies of each cut
+   * value (`v_lo = min{v: cum ≥ k+1}`, `v_hi = min{v: cum ≥ n−k}`) — still all
+   * integers. One double division per group at the end.
    *
-   * @return per group: (g, n, k_trim, mean_raw, mean_trimmed)
+   * @return per group: (g, n, k_trim, mean_raw, mean_trimmed, mean_winsorized)
    */
   def trimmedMeans(df: DataFrame, group: Column, value: Column,
       trimNum: Int = 1, trimDen: Int = 20): DataFrame = {
@@ -951,15 +1004,21 @@ object SampleOps {
     val k = expr(s"n * $trimNum div $trimDen")
     val eff = hist.withColumn("cum", sum(col("c")).over(wCum))
       .join(broadcast(tot), "g")
-      .select(col("g"), col("v"), col("n"), col("sv"), k.as("k"),
+      .select(col("g"), col("v"), col("n"), col("sv"), col("cum"), col("c"), k.as("k"),
         greatest(least(col("cum"), col("n") - k) - greatest(col("cum") - col("c"), k),
           lit(0L)).as("ceff"))
     eff.groupBy(col("g"))
       .agg(first(col("n")).as("n"), first(col("k")).as("k_trim"),
-        round(first(col("sv")).cast(DoubleType) / first(col("n")) / 100.0, 4)
-          .as("mean_raw"),
-        round(sum(col("v") * col("ceff")).cast(DoubleType)
-          / (first(col("n")) - first(col("k")) * 2) / 100.0, 4).as("mean_trimmed"))
+        first(col("sv")).as("sv"),
+        sum(col("v") * col("ceff")).as("interior"),
+        min(when(col("cum") >= col("k") + 1, col("v"))).as("v_lo"),
+        min(when(col("cum") >= col("n") - col("k"), col("v"))).as("v_hi"))
+      .select(col("g"), col("n"), col("k_trim"),
+        round(col("sv").cast(DoubleType) / col("n") / 100.0, 4).as("mean_raw"),
+        round(col("interior").cast(DoubleType)
+          / (col("n") - col("k_trim") * 2) / 100.0, 4).as("mean_trimmed"),
+        round((col("interior") + col("k_trim") * (col("v_lo") + col("v_hi")))
+          .cast(DoubleType) / col("n") / 100.0, 4).as("mean_winsorized"))
       .orderBy(col("g"))
   }
 

@@ -132,6 +132,41 @@ class CupedConformalCdcSpec extends SparkSpec {
     assert(math.abs(out.getAs[Double]("mean_trimmed") - math.rint(ref * 1e4) / 1e4) < 1e-9)
     // the outliers moved the raw mean far above the trimmed one
     assert(out.getAs[Double]("mean_raw") > 3 * out.getAs[Double]("mean_trimmed"))
+    // winsorized reference: clamp tails to the surviving extremes, average all n
+    val lo = kept.head; val hi = kept.last
+    val wref = (kept.sum + k * (lo + hi)).toDouble / cents.size / 100.0
+    assert(math.abs(out.getAs[Double]("mean_winsorized") - math.rint(wref * 1e4) / 1e4) < 1e-9)
+    // winsorize bounds the outliers' pull (no ordering vs trimmed is implied in
+    // general — the clamped pairs can average below the interior mean)
+    assert(out.getAs[Double]("mean_raw") > out.getAs[Double]("mean_winsorized"))
+  }
+
+  test("ratioJackknife: matches the delete-one brute force; CI brackets the ratio") {
+    def q12(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+    val days = (0L until 10L).map { d =>
+      (d, (100 + 13 * d).toDouble, (50 + (d * 7) % 11).toDouble) } // (day, rev, views)
+    val rows = days.flatMap { case (d, rev, vw) =>
+      Seq((d, rev, 0.0), (d, 0.0, vw)) } // split across rows like real events
+    val out = SampleOps.ratioJackknife(rows.toDF("b", "rev", "vw"),
+      col("b"), col("rev"), col("vw")).head()
+
+    val nc = days.map(x => math.round(x._2 * 100))
+    val dc = days.map(x => math.round(x._3 * 100))
+    val (tn, td) = (nc.sum, dc.sum)
+    val ri = days.indices.map(i => q12((tn - nc(i)).toDouble / (td - dc(i))))
+    val rbar = ri.reduce(_ add _).doubleValue() / ri.size
+    val sd2 = ri.map(r => q12((r.doubleValue() - rbar) * (r.doubleValue() - rbar)))
+      .reduce(_ add _)
+    val se = math.sqrt((ri.size - 1).toDouble / ri.size * sd2.doubleValue())
+    val r = tn.toDouble / td
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(out.getAs[Long]("n_blocks") == 10)
+    assert(math.abs(out.getAs[Double]("ratio") - r6(r)) < 1e-12)
+    assert(math.abs(out.getAs[Double]("jk_se") - r6(se)) < 1e-12)
+    assert(out.getAs[Double]("ci_lo") < out.getAs[Double]("ratio"))
+    assert(out.getAs[Double]("ratio") < out.getAs[Double]("ci_hi"))
   }
 
   // ---- mSPRT ------------------------------------------------------------------------------
@@ -207,7 +242,7 @@ class CupedConformalCdcSpec extends SparkSpec {
     val clique = for (i <- 1 to 5; j <- (i + 1) to 5) yield (i.toLong, j.toLong)
     val path = (10L until 39L).map(i => (i, i + 1))
     val edges = (clique ++ path :+ (5L, 10L)).toDF("u", "v")
-    val out = graft.ops.GraphOps.densestSubgraph(edges, rounds = 8).collect()
+    val out = graft.ops.GraphOps.densestSubgraph(edges, maxRounds = 8).collect()
     val best = out.filter(_.getAs[Boolean]("is_best"))
     assert(best.length == 1, s"exactly one best round, got ${best.length}")
     assert(best.head.getAs[Double]("density") == 2.0)
@@ -217,7 +252,7 @@ class CupedConformalCdcSpec extends SparkSpec {
     assert(r0.getAs[Long]("n_nodes") == 35 && r0.getAs[Long]("n_edges") == 40)
     // the loud-fail budget: a graph needing more peels than the budget must raise
     intercept[Exception] {
-      graft.ops.GraphOps.densestSubgraph(edges, rounds = 1).collect()
+      graft.ops.GraphOps.densestSubgraph(edges, maxRounds = 1).collect()
     }
   }
 

@@ -88,4 +88,20 @@ class ExtensionsSpec extends SparkSpec {
     }
     assert(err.getMessage.toLowerCase.contains("struct"))
   }
+
+  test("graft_gear_chunks: SQL path covers the payload and matches the column API") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT aggregate(transform(graft_gear_chunks(encode(repeat('abc xyz ', 64), 'UTF-8'),
+        |  16, 4, 128), c -> c.len), 0, (a, x) -> a + x) AS covered""".stripMargin)
+      .collect()(0)
+    assert(r.getInt(0) == 512, "chunks must cover every byte via SQL too")
+    val api = Seq(Tuple1("abc xyz " * 64)).toDF("t")
+      .select(graft.functions.TextFunctions.gearChunks(
+        org.apache.spark.sql.functions.encode(org.apache.spark.sql.functions.col("t"),
+          "UTF-8"), 16, 4, 128).as("c"))
+      .selectExpr("aggregate(transform(c, x -> x.len), 0, (a, x) -> a + x) AS covered")
+      .collect()(0)
+    assert(api.getInt(0) == 512)
+  }
 }
