@@ -2288,6 +2288,37 @@ object SparkEntry {
         .orderBy(col("tile"))
     }),
 
+    // Hilbert-curve layout — ev_zorder_layout's strictly-better-locality sibling
+    // (consecutive Hilbert indices are ALWAYS grid-adjacent; Morton jumps 2^k cells
+    // at quadrant seams — the reason Delta added OPTIMIZE ... HILBERT). Same coords,
+    // same range-partitioned exact global rank (NO single-partition window), same
+    // closed-form ntile; the index itself is ONE codegen'd static call per row
+    // (functions.LayoutFunctions.hilbertIndex), replayed by the oracle as an
+    // unrolled quadrant-rotation CTE chain.
+    "ev_hilbert_layout" -> ((s, dir) => {
+      import graft.operators.Cdc
+      val ev = t(s, dir, "events")
+        .select(col("event_id"),
+          pmod(col("user_id"), lit(256)).as("ub"),
+          least(floor(col("value") / 4).cast("long"), lit(255L)).as("vb"))
+        .withColumn("h", graft.functions.LayoutFunctions
+          .hilbertIndex(col("ub"), col("vb"), bits = 8))
+      val ranked = Cdc.assignEventOrder(ev, Seq(col("h"), col("event_id")))
+      val n = ranked.agg(count(lit(1)).as("__n"))
+      val rk = Cdc.OrderCol // 0-based global rank
+      ranked.crossJoin(broadcast(n))
+        .withColumn("tile", expr(
+          s"""CAST(CASE WHEN $rk < (__n % 16) * (__n div 16 + 1)
+             |  THEN $rk div (__n div 16 + 1) + 1
+             |  ELSE __n % 16 + ($rk - (__n % 16) * (__n div 16 + 1)) div (__n div 16) + 1
+             |END AS INT)""".stripMargin))
+        .groupBy(col("tile"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("ub")).as("min_u"), max(col("ub")).as("max_u"),
+          min(col("vb")).as("min_v"), max(col("vb")).as("max_v"))
+        .orderBy(col("tile"))
+    }),
+
     // mergeable QUANTILE rollup — the order-statistics companion to ev_sketch_rollup:
     // per-day Munro–Paterson compactor summaries (custom TypedImperativeAggregate,
     // O(k log n/k) state) union into a global summary by re-aggregating the STORED
@@ -2496,6 +2527,30 @@ object SparkEntry {
         col("user_id"), pmod(col("user_id"), lit(2)),
         col("d") < col("__d0") + 15, col("value"))
     }),
+
+    // Difference-in-differences (Card & Krueger 1994 design): treat = user parity,
+    // post = day ≥ d0+15 (ev_cuped's period split) — per event_type plus the ALL
+    // rollup row in the SAME hash aggregate; each cell mean is one double division
+    // of an exact DECIMAL sum, DiD composes four doubles in fixed operand order
+    // (SampleOps.diffInDiff).
+    "ev_did" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"), col("user_id"),
+        col("value"), expr("unix_millis(ts) div 86400000").as("d"))
+      val d0 = ev.agg(min(col("d")).as("__d0"))
+      SampleOps.diffInDiff(ev.crossJoin(broadcast(d0)),
+        col("event_type"), pmod(col("user_id"), lit(2)) === 1,
+        col("d") >= col("__d0") + 15, col("value"))
+    }),
+
+    // e-BH FDR control across the metric fleet (Wang & Ramdas 2022): each
+    // event_type's whole-period mSPRT mixture LR is an e-value; e-BH rejects the k̂
+    // largest with e₍ₖ₎ ≥ m/(αk) — valid under arbitrary dependence (plain BH is
+    // not), and entirely in log10 space with both inequality sides rounded to 6
+    // before comparing (the ev_msprt exactness discipline). One hash aggregate to m
+    // metric rows, then an m-row window (SampleOps.ebhFdr).
+    "ev_fdr_ebh" -> ((s, dir) =>
+      SampleOps.ebhFdr(t(s, dir, "events"), col("event_type"),
+        pmod(col("user_id"), lit(2)), col("value"))),
 
     // Split conformal prediction (Lei et al. 2018): per-type calibration-mean
     // predictor on the cents grid (BIGINT floor-division, engine-exact), conformal
@@ -5059,6 +5114,16 @@ object SparkEntry {
           round(col("n_churn").cast(DoubleType) / col("n_risk"), 6).as("hazard"))
     }),
 
+    // Kaplan–Meier product-limit curve — the cumulative-survival completion of
+    // ev_survival_hazard's life table (same risk sets, same 3-day right-censoring).
+    // The float product Π(1−dᵢ/nᵢ) has no cross-engine bit guarantee, so survival is
+    // the exact-BIGINT truncating recurrence sₖ = sₖ₋₁·(nᵢ−dᵢ) div nᵢ at e12 scale
+    // (the Holt-Winters fold idiom; exact to ~9.2M units at risk, DECIMAL(38,0)
+    // beyond). Day-grid bounded after one user-keyed exchange (SampleOps.kaplanMeier).
+    "ev_kaplan_meier" -> ((s, dir) =>
+      SampleOps.kaplanMeier(t(s, dir, "events"), col("user_id"),
+        expr("unix_millis(ts) div 86400000"))),
+
     // Bot/automation screen from inter-event timing: a scripted client's gaps are
     // near-constant, a human's are overdispersed. Per user (≥ 5 gaps): mean gap and
     // the squared coefficient of variation cv² = (n·Σg² − (Σg)²)/(Σg)² — SCALE-FREE
@@ -7138,6 +7203,30 @@ object SparkEntry {
         |    CAST(SUM(n_at) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS BIGINT), 6) AS hazard
         |FROM g""".stripMargin,
 
+    "ev_kaplan_meier" ->
+      """WITH RECURSIVE life AS (SELECT user_id,
+        |  MIN(CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000) AS f,
+        |  MAX(CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000) AS l
+        |  FROM events GROUP BY 1),
+        |e AS (SELECT MAX(l) AS endd FROM life),
+        |m AS (SELECT l - f AS t, (l >= e.endd - 2) AS cens FROM life, e),
+        |g AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_at,
+        |  CAST(SUM(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS BIGINT) AS n_churn
+        |  FROM m GROUP BY 1),
+        |haz AS (SELECT CAST(t AS BIGINT) AS t,
+        |  CAST(SUM(n_at) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk,
+        |  n_churn FROM g),
+        |ord AS (SELECT t, n_risk, n_churn,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY t) AS BIGINT) AS rn FROM haz),
+        |rec AS (
+        |  SELECT CAST(0 AS BIGINT) AS rn, CAST(1000000000000 AS BIGINT) AS s
+        |  UNION ALL
+        |  SELECT o.rn, r.s * (o.n_risk - o.n_churn) // o.n_risk
+        |  FROM rec r JOIN ord o ON o.rn = r.rn + 1)
+        |SELECT o.t, o.n_risk, o.n_churn, r.s AS s_e12,
+        |  ROUND(r.s / 1000000000000.0, 6) AS survival
+        |FROM rec r JOIN ord o USING (rn)""".stripMargin,
+
     "ev_bot_score" ->
       """WITH e AS (SELECT user_id, event_id,
         |  CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ms FROM events),
@@ -7698,6 +7787,65 @@ object SparkEntry {
         |  ROUND(num * num / (den * deny), 6) AS var_reduction
         |FROM f ORDER BY arm""".stripMargin,
 
+    "ev_did" ->
+      """WITH e AS (SELECT event_type, user_id % 2 = 1 AS tr,
+        |    CAST(value AS DECIMAL(18,2)) AS v,
+        |    CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000 AS d FROM events),
+        |d0 AS (SELECT MIN(d) AS d0 FROM e),
+        |b AS (SELECT event_type, tr, d >= d0 + 15 AS po, v FROM e, d0),
+        |a AS (SELECT COALESCE(event_type, 'ALL') AS grp,
+        |    CAST(SUM(CASE WHEN tr AND NOT po THEN 1 ELSE 0 END) AS BIGINT) AS n_treat_pre,
+        |    SUM(CASE WHEN tr AND NOT po THEN v END) AS s_tp0,
+        |    CAST(SUM(CASE WHEN tr AND po THEN 1 ELSE 0 END) AS BIGINT) AS n_treat_post,
+        |    SUM(CASE WHEN tr AND po THEN v END) AS s_tp1,
+        |    CAST(SUM(CASE WHEN NOT tr AND NOT po THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl_pre,
+        |    SUM(CASE WHEN NOT tr AND NOT po THEN v END) AS s_cp0,
+        |    CAST(SUM(CASE WHEN NOT tr AND po THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl_post,
+        |    SUM(CASE WHEN NOT tr AND po THEN v END) AS s_cp1
+        |  FROM b GROUP BY ROLLUP(event_type))
+        |SELECT grp, n_treat_pre, n_treat_post, n_ctrl_pre, n_ctrl_post,
+        |  ROUND(CAST(s_tp0 AS DOUBLE) / n_treat_pre, 4) AS mean_treat_pre,
+        |  ROUND(CAST(s_tp1 AS DOUBLE) / n_treat_post, 4) AS mean_treat_post,
+        |  ROUND(CAST(s_cp0 AS DOUBLE) / n_ctrl_pre, 4) AS mean_ctrl_pre,
+        |  ROUND(CAST(s_cp1 AS DOUBLE) / n_ctrl_post, 4) AS mean_ctrl_post,
+        |  ROUND((CAST(s_tp1 AS DOUBLE) / n_treat_post - CAST(s_tp0 AS DOUBLE) / n_treat_pre)
+        |    - (CAST(s_cp1 AS DOUBLE) / n_ctrl_post - CAST(s_cp0 AS DOUBLE) / n_ctrl_pre), 4) AS did
+        |FROM a""".stripMargin,
+
+    "ev_fdr_ebh" ->
+      """WITH e AS (SELECT event_type AS metric, user_id % 2 AS a,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM events),
+        |mo AS (SELECT metric, a, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s1,
+        |    SUM(CAST(c AS HUGEINT) * c) AS s2 FROM e GROUP BY 1, 2),
+        |p AS (SELECT metric,
+        |    MAX(CASE WHEN a = 0 THEN n END) AS na, MAX(CASE WHEN a = 0 THEN s1 END) AS sa1,
+        |    MAX(CASE WHEN a = 0 THEN s2 END) AS sa2,
+        |    MAX(CASE WHEN a = 1 THEN n END) AS nb, MAX(CASE WHEN a = 1 THEN s1 END) AS sb1,
+        |    MAX(CASE WHEN a = 1 THEN s2 END) AS sb2
+        |  FROM mo GROUP BY 1
+        |  HAVING MAX(CASE WHEN a = 0 THEN n END) >= 2 AND MAX(CASE WHEN a = 1 THEN n END) >= 2),
+        |f AS (SELECT metric, na, nb,
+        |    CAST(sa1 AS DOUBLE) / na AS ma, CAST(sb1 AS DOUBLE) / nb AS mb,
+        |    (CAST(sa2 AS DOUBLE) + CAST(sb2 AS DOUBLE)
+        |      - na * (CAST(sa1 AS DOUBLE) / na) * (CAST(sa1 AS DOUBLE) / na)
+        |      - nb * (CAST(sb1 AS DOUBLE) / nb) * (CAST(sb1 AS DOUBLE) / nb))
+        |      / (na + nb - 2) AS s2p FROM p),
+        |l AS (SELECT metric, na, nb, ma - mb AS dh, s2p * (1.0 / na + 1.0 / nb) AS v FROM f),
+        |sc AS (SELECT metric, na AS n_a, nb AS n_b, ROUND(dh / 100.0, 4) AS mean_diff,
+        |    ROUND(0.5 * LOG10(v / (v + 250000.0))
+        |      + (dh * dh * 250000.0 / (2.0 * v * (v + 250000.0))) * 0.4342944819032518, 6)
+        |      AS log10_e FROM l),
+        |rk AS (SELECT *,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY log10_e DESC, metric) AS BIGINT) AS k,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS m FROM sc),
+        |th AS (SELECT metric, n_a, n_b, mean_diff, log10_e, k,
+        |    ROUND(LOG10(CAST(m AS DOUBLE)) - LOG10(CAST(k AS DOUBLE))
+        |      - LOG10(0.05), 6) AS threshold_log10 FROM rk),
+        |kh AS (SELECT MAX(CASE WHEN log10_e >= threshold_log10 THEN k ELSE 0 END) AS khat FROM th)
+        |SELECT metric, n_a, n_b, mean_diff, log10_e, k, threshold_log10,
+        |  k <= kh.khat AS discovery
+        |FROM th, kh""".stripMargin,
+
     // the conformal construction per group: same integer algebra, windows
     // partitioned by g
     "ev_conformal_grouped" ->
@@ -8210,6 +8358,36 @@ object SparkEntry {
          |    LEAST(CAST(FLOOR(value / 4) AS BIGINT), 255) AS vb FROM events),
          |z AS (SELECT event_id, ub, vb, $zTerms AS z FROM e),
          |tl AS (SELECT *, NTILE(16) OVER (ORDER BY z, event_id) AS tile FROM z)
+         |SELECT CAST(tile AS INT) AS tile, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(MIN(ub) AS BIGINT) AS min_u, CAST(MAX(ub) AS BIGINT) AS max_u,
+         |  CAST(MIN(vb) AS BIGINT) AS min_v, CAST(MAX(vb) AS BIGINT) AS max_v
+         |FROM tl GROUP BY tile ORDER BY tile""".stripMargin
+    },
+
+    // the unrolled quadrant-rotation recurrence of HilbertCurve.xy2d: per level
+    // s = 128..1, d += s²·((3rx)⊕ry) with (3rx)⊕ry spelled CASE-wise (rx=1 → 3−ry),
+    // then the conditional flip+swap — exact integer algebra, bit-equal to the
+    // Spark expression by construction
+    "ev_hilbert_layout" -> {
+      val n = 256
+      val steps = (0 until 8).map { k =>
+        val s = 1 << (7 - k)
+        s"""h${k + 1} AS (SELECT event_id, ub, vb,
+           |  d + ${s.toLong * s} * (CASE WHEN (x // $s) % 2 = 1
+           |    THEN 3 - (y // $s) % 2 ELSE (y // $s) % 2 END) AS d,
+           |  CASE WHEN (y // $s) % 2 = 1 THEN x
+           |    WHEN (x // $s) % 2 = 1 THEN ${n - 1} - y ELSE y END AS x,
+           |  CASE WHEN (y // $s) % 2 = 1 THEN y
+           |    WHEN (x // $s) % 2 = 1 THEN ${n - 1} - x ELSE x END AS y
+           |  FROM h$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH h0 AS (SELECT event_id, user_id % 256 AS ub,
+         |    LEAST(CAST(FLOOR(value / 4) AS BIGINT), 255) AS vb,
+         |    CAST(user_id % 256 AS BIGINT) AS x,
+         |    LEAST(CAST(FLOOR(value / 4) AS BIGINT), 255) AS y,
+         |    CAST(0 AS BIGINT) AS d FROM events),
+         |$steps,
+         |tl AS (SELECT *, NTILE(16) OVER (ORDER BY d, event_id) AS tile FROM h8)
          |SELECT CAST(tile AS INT) AS tile, CAST(COUNT(*) AS BIGINT) AS n_rows,
          |  CAST(MIN(ub) AS BIGINT) AS min_u, CAST(MAX(ub) AS BIGINT) AS max_u,
          |  CAST(MIN(vb) AS BIGINT) AS min_v, CAST(MAX(vb) AS BIGINT) AS max_v

@@ -1096,4 +1096,169 @@ object SampleOps {
       .select(col("day"), col("n_a"), col("n_b"), col("mean_diff"),
         col("log10_p"), (col("log10_p") <= -1.30103).as("rejected"))
   }
+
+  /**
+   * Kaplan–Meier product-limit estimator (Kaplan & Meier 1958) over per-unit
+   * (first, last) activity days — the cumulative-survival companion to the
+   * `ev_survival_hazard` life table (same risk-set construction: units still active
+   * in the final `censorTailDays` days are right-censored).
+   *
+   * Engine-exactness: the product Π(1 − dᵢ/nᵢ) has no cross-engine bit guarantee as
+   * a float fold, so survival runs as the repo's exact-BIGINT truncating recurrence
+   * (the Holt-Winters idiom): s₀ = 10¹², sₖ = sₖ₋₁·(nᵢ−dᵢ) div nᵢ — one integer per
+   * grid step, bit-equal to the oracle's recursive CTE. Exact while
+   * s·n_risk < 2⁶³, i.e. up to ~9.2M units at risk; beyond that widen s to
+   * DECIMAL(38,0) (same recurrence, 26 more orders of headroom).
+   *
+   * Scale shape: one unit-keyed exchange to lifespans, then everything is bounded by
+   * the DAY GRID (≤ observation window length, never |units|): the descending
+   * cumulative risk set is a grid window, and the fold runs over one collected
+   * grid-sized array — O(T) state for T distinct lifespans.
+   *
+   * @param df   (unit, day) activity rows
+   * @return (t, n_risk, n_churn, s_e12, survival) ascending in t
+   */
+  def kaplanMeier(df: DataFrame, unit: Column, day: Column,
+      censorTailDays: Int = 3): DataFrame = {
+    val life = df.select(unit.as("__u"), day.as("__d"))
+      .groupBy(col("__u"))
+      .agg(min(col("__d")).as("__f"), max(col("__d")).as("__l"))
+    val wAll = Window.partitionBy(lit(0))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val marked = life
+      .withColumn("__end", max(col("__l")).over(wAll))
+      .select((col("__l") - col("__f")).as("t"),
+        (col("__l") >= col("__end") - (censorTailDays - 1)).as("__cens"))
+    val grid = marked.groupBy(col("t"))
+      .agg(count(lit(1)).as("__n_at"),
+        sum(when(!col("__cens"), 1L).otherwise(0L)).as("n_churn"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val haz = grid
+      .withColumn("n_risk", sum(col("__n_at")).over(wDesc).cast("long"))
+      .select(col("t").cast("long").as("t"), col("n_risk"),
+        col("n_churn").cast("long").as("n_churn"))
+    // grid-sized array fold: the only non-windowed step, O(T) rows in, O(T) out
+    haz.agg(sort_array(collect_list(struct(col("t"), col("n_risk"), col("n_churn"))))
+        .as("__g"))
+      .select(explode(expr(
+        """aggregate(__g,
+          |  struct(CAST(1000000000000 AS BIGINT) AS s,
+          |         CAST(array() AS ARRAY<STRUCT<t: BIGINT, n_risk: BIGINT,
+          |           n_churn: BIGINT, s_e12: BIGINT>>) AS o),
+          |  (acc, e) -> struct(
+          |    acc.s * (e.n_risk - e.n_churn) div e.n_risk AS s,
+          |    concat(acc.o, array(struct(e.t AS t, e.n_risk AS n_risk,
+          |      e.n_churn AS n_churn,
+          |      acc.s * (e.n_risk - e.n_churn) div e.n_risk AS s_e12))) AS o),
+          |  acc -> acc.o)""".stripMargin)).as("e"))
+      .select(col("e.t").as("t"), col("e.n_risk").as("n_risk"),
+        col("e.n_churn").as("n_churn"), col("e.s_e12").as("s_e12"),
+        round(col("e.s_e12").cast(DoubleType) / 1e12, 6).as("survival"))
+  }
+
+  /**
+   * Difference-in-differences (the canonical two-period, two-group estimator;
+   * Card & Krueger 1994 popularized the design): per group-cell mean of `value`
+   * across the treat×post lattice, DiD = (m_T,post − m_T,pre) − (m_C,post − m_C,pre).
+   *
+   * Engine-exactness: each cell mean is ONE double division of an exact
+   * DECIMAL(18,2) sum by a LONG count; DiD composes the four doubles in a fixed
+   * operand order. Scale shape: one hash aggregate collapsing the fact table to
+   * |groups|·4 cells (ROLLUP adds the all-groups row in the same exchange) — no
+   * second pass, no window.
+   *
+   * @return per `group` plus an 'ALL' rollup row:
+   *         (grp, n_*, mean_* ×4 cells, did) — means/did rounded to 4
+   */
+  def diffInDiff(df: DataFrame, group: Column, treat: Column, post: Column,
+      value: Column): DataFrame = {
+    val base = df.select(group.as("__g"), treat.as("__t"), post.as("__p"),
+      value.cast(DecimalType(18, 2)).as("__v"))
+    def cnt(t: Boolean, p: Boolean) =
+      sum(when(col("__t") === t && col("__p") === p, 1L).otherwise(0L))
+    def tot(t: Boolean, p: Boolean) =
+      sum(when(col("__t") === t && col("__p") === p, col("__v")))
+    val agg = base.rollup(col("__g")).agg(
+      cnt(true, false).as("n_treat_pre"), tot(true, false).as("__s_tp0"),
+      cnt(true, true).as("n_treat_post"), tot(true, true).as("__s_tp1"),
+      cnt(false, false).as("n_ctrl_pre"), tot(false, false).as("__s_cp0"),
+      cnt(false, true).as("n_ctrl_post"), tot(false, true).as("__s_cp1"))
+    def m(s: String, n: String) = col(s).cast(DoubleType) / col(n)
+    val (mtp0, mtp1, mcp0, mcp1) = (m("__s_tp0", "n_treat_pre"),
+      m("__s_tp1", "n_treat_post"), m("__s_cp0", "n_ctrl_pre"),
+      m("__s_cp1", "n_ctrl_post"))
+    agg.select(coalesce(col("__g").cast("string"), lit("ALL")).as("grp"),
+      col("n_treat_pre"), col("n_treat_post"), col("n_ctrl_pre"), col("n_ctrl_post"),
+      round(mtp0, 4).as("mean_treat_pre"), round(mtp1, 4).as("mean_treat_post"),
+      round(mcp0, 4).as("mean_ctrl_pre"), round(mcp1, 4).as("mean_ctrl_post"),
+      round((mtp1 - mtp0) - (mcp1 - mcp0), 4).as("did"))
+  }
+
+  /**
+   * e-BH multiple-testing control (Wang & Ramdas 2022, "False discovery rate
+   * control with e-values"): per metric, the whole-period mSPRT mixture likelihood
+   * ratio IS an e-value under H₀ (the same mixture martingale `ev_msprt` runs on
+   * the day grid), and e-BH rejects the k̂ largest where
+   * k̂ = max{k : e₍ₖ₎ ≥ m/(α·k)} — FDR ≤ α with NO independence assumption
+   * (the property BH itself lacks).
+   *
+   * Engine-exactness: everything lives in log10 space (exp() has no cross-engine
+   * bit guarantee; log10 pairs exactly — the `ev_msprt` precedent): both sides of
+   * the rejection inequality round to 6 before comparing, so the boolean is a
+   * comparison of identically-rounded doubles. Scale shape: ONE hash aggregate
+   * collapses the fact table to m metric rows (exact cent moments); the e-BH step
+   * is a window over m rows.
+   *
+   * @return per metric: (metric, n_a, n_b, mean_diff, log10_e, k, threshold_log10,
+   *         discovery), k ranked by e descending
+   */
+  def ebhFdr(df: DataFrame, metric: Column, arm: Column, value: Column,
+      alpha: Double = 0.05, tau2: Double = 25.0): DataFrame = {
+    val log10e = 0.4342944819032518
+    val tau2c = tau2 * 10000.0 // cents²
+    val cents = (value.cast(DecimalType(18, 2)) * 100).cast("long")
+    val moments = df.select(metric.as("metric"), arm.as("__a"), cents.as("__c"))
+      .groupBy(col("metric"), col("__a"))
+      .agg(count(lit(1)).as("n"), sum(col("__c")).as("s1"),
+        sum((col("__c").cast(DecimalType(19, 0)) * col("__c").cast(DecimalType(19, 0)))
+          .cast(DecimalType(38, 0))).as("s2"))
+    def pick(a: Int, c: String, as: String) =
+      max(when(col("__a") === a, col(c))).as(as)
+    val piv = moments.groupBy(col("metric")).agg(
+      pick(0, "n", "na"), pick(0, "s1", "sa1"), pick(0, "s2", "sa2"),
+      pick(1, "n", "nb"), pick(1, "s1", "sb1"), pick(1, "s2", "sb2"))
+      .filter(col("na") >= 2 && col("nb") >= 2)
+    val mA = col("sa1").cast(DoubleType) / col("na")
+    val mB = col("sb1").cast(DoubleType) / col("nb")
+    val s2p = (col("sa2").cast(DoubleType) + col("sb2").cast(DoubleType)
+      - col("na") * mA * mA - col("nb") * mB * mB) / (col("na") + col("nb") - 2)
+    val v = s2p * (lit(1.0) / col("na") + lit(1.0) / col("nb"))
+    val dHat = mA - mB
+    val log10E = lit(0.5) * log10(v / (v + tau2c)) +
+      (dHat * dHat * tau2c / (lit(2.0) * v * (v + tau2c))) * log10e
+    val scored = piv.select(col("metric"), col("na").as("n_a"), col("nb").as("n_b"),
+      round(dHat / 100.0, 4).as("mean_diff"), round(log10E, 6).as("log10_e"))
+    val wE = Window.orderBy(col("log10_e").desc, col("metric"))
+    val m = Window.partitionBy(lit(0))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = scored
+      .withColumn("k", row_number().over(wE).cast("long"))
+      .withColumn("__m", count(lit(1)).over(m))
+      .withColumn("threshold_log10",
+        // log10(lit(alpha)), not a Scala-side math.log10 constant: the Catalyst
+        // log10 is the form that demonstrably pairs bit-exactly with DuckDB LOG10
+        round(log10(col("__m").cast(DoubleType)) - log10(col("k").cast(DoubleType))
+          - log10(lit(alpha)), 6))
+      .withColumn("__pass", col("log10_e") >= col("threshold_log10"))
+    // e-BH rejects the k̂ LARGEST: discovery ⟺ k ≤ max passing k
+    val kHat = Window.partitionBy(lit(0))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked
+      .withColumn("__khat",
+        max(when(col("__pass"), col("k")).otherwise(lit(0L))).over(kHat))
+      .select(col("metric"), col("n_a"), col("n_b"), col("mean_diff"),
+        col("log10_e"), col("k"), col("threshold_log10"),
+        (col("k") <= col("__khat")).as("discovery"))
+  }
 }

@@ -254,6 +254,44 @@ class LayoutOpsSpec extends SparkSpec {
     // 8 z-range partitions of a 256x256 space: boxes must shrink by a large factor
     assert(after < before / 3, s"before=$before after=$after")
   }
+
+  test("hilbert xy2d: bijection over the full grid and strict adjacency of consecutive d") {
+    // the DEFINING Hilbert property (and the one Morton order lacks): walking the
+    // curve in d order moves exactly one grid step each time
+    import graft.functions.HilbertCurve
+    val bits = 4; val n = 1 << bits
+    val cells = for (x <- 0 until n; y <- 0 until n)
+      yield (HilbertCurve.xy2d(bits, x, y), (x, y))
+    assert(cells.map(_._1).sorted == (0L until (n.toLong * n)), "must be a bijection")
+    val walk = cells.sortBy(_._1).map(_._2)
+    walk.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump between d-consecutive cells ($x1,$y1)->($x2,$y2)")
+    }
+    // order-1 base case: the U shape (0,0)->(0,1)->(1,1)->(1,0)
+    assert(Seq((0, 0), (0, 1), (1, 1), (1, 0))
+      .map { case (x, y) => HilbertCurve.xy2d(1, x, y) } == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("hilbertIndex column matches the static kernel; hilbertRepartition tightens boxes") {
+    import graft.functions.{HilbertCurve, LayoutFunctions}
+    val rng = new scala.util.Random(11)
+    val pts = (1 to 2000).map(_ => (rng.nextInt(256).toLong, rng.nextInt(256).toLong))
+    val df = pts.toDF("a", "b").repartition(8)
+    val viaCol = df.select(col("a"), col("b"),
+      LayoutFunctions.hilbertIndex(col("a"), col("b")).as("h")).collect()
+    viaCol.foreach { r =>
+      assert(r.getLong(2) == HilbertCurve.xy2d(8, r.getLong(0), r.getLong(1)))
+    }
+    def avgArea(d: org.apache.spark.sql.DataFrame): Double =
+      LayoutOps.partitionBounds(d, "a", "b")
+        .select(((col("max_a") - col("min_a")) * (col("max_b") - col("min_b")))
+          .cast("double").as("area"))
+        .agg(avg(col("area"))).head().getDouble(0)
+    val before = avgArea(df)
+    val after = avgArea(LayoutOps.hilbertRepartition(df, "a", "b", 8))
+    assert(after < before / 3, s"before=$before after=$after")
+  }
 }
 
 class ConnectTypesSpec extends org.scalatest.funsuite.AnyFunSuite {

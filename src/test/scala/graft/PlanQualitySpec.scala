@@ -873,6 +873,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "the n-row join must broadcast")
   }
 
+  test("ev_hilbert_layout: same range-partitioned rank discipline as zorder") {
+    val p = plan("ev_hilbert_layout")
+    assert(!p.contains("Window") && !p.contains("ntile"),
+      s"ev_hilbert_layout planned a global window:\n$p")
+    assert(!p.contains("CartesianProduct"), "the n-row join must broadcast")
+  }
+
   test("ev_cuped: one per-unit exchange, scalar moments broadcast back, no window") {
     // CUPED must never sort or window unit-level rows: one groupBy(unit) hash
     // aggregation, one scalar aggregate, broadcast scalars — nothing else.

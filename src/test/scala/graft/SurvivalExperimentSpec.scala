@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.SampleOps
+
+/** Kaplan–Meier product-limit, difference-in-differences, and e-BH FDR
+  * (the round-10 experimentation additions). */
+class SurvivalExperimentSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Kaplan–Meier -----------------------------------------------------------------------
+
+  test("kaplanMeier: hand-computed product-limit with censoring") {
+    // units 1..10; activity days chosen so lifespans are {0,0,2,2,2,5,5,9,9,9};
+    // observation end = day 9, 3-day censor tail => units whose LAST day >= 7 are
+    // censored. Construct: unit u active on [f_u, l_u].
+    val rows = Seq(
+      (1L, 0L), (1L, 0L), // t=0, last=0 -> uncensored
+      (2L, 1L), (2L, 1L), // t=0, last=1 -> uncensored
+      (3L, 0L), (3L, 2L), // t=2, last=2 -> uncensored
+      (4L, 1L), (4L, 3L), // t=2, last=3 -> uncensored
+      (5L, 5L), (5L, 7L), // t=2, last=7 -> CENSORED
+      (6L, 0L), (6L, 5L), // t=5, last=5 -> uncensored
+      (7L, 2L), (7L, 7L), // t=5, last=7 -> CENSORED
+      (8L, 0L), (8L, 9L), // t=9, last=9 -> CENSORED
+      (9L, 0L), (9L, 9L), // t=9, CENSORED
+      (10L, 0L), (10L, 9L) // t=9, CENSORED
+    ).toDF("u", "d")
+    val out = SampleOps.kaplanMeier(rows, col("u"), col("d"))
+      .collect().sortBy(_.getAs[Long]("t"))
+    // grid: t=0 (n_at=2, churn=2), t=2 (n_at=3, churn=2), t=5 (n_at=2, churn=1),
+    //       t=9 (n_at=3, churn=0); n_risk desc-cum: t=0:10, t=2:8, t=5:5, t=9:3
+    assert(out.map(r => (r.getAs[Long]("t"), r.getAs[Long]("n_risk"),
+      r.getAs[Long]("n_churn"))).toSeq ==
+      Seq((0L, 10L, 2L), (2L, 8L, 2L), (5L, 5L, 1L), (9L, 3L, 0L)))
+    // product-limit at e12: 1e12*8/10=8e11; *6/8=6e11; *4/5=4.8e11; *3/3 unchanged
+    assert(out.map(_.getAs[Long]("s_e12")).toSeq ==
+      Seq(800000000000L, 600000000000L, 480000000000L, 480000000000L))
+    assert(math.abs(out(2).getAs[Double]("survival") - 0.48) < 1e-9)
+  }
+
+  test("kaplanMeier: no censoring matches the empirical survivor function") {
+    // all units die well before the tail: S(t) = fraction with lifespan > t
+    val rows = (1L to 20L).flatMap { u =>
+      val span = u % 4 // lifespans 0..3, 5 units each
+      Seq((u, 0L), (u, span))
+    } ++ Seq((99L, 0L), (99L, 30L)) // one long-lived censored unit pins the window end
+    val out = SampleOps.kaplanMeier(rows.toDF("u", "d"), col("u"), col("d"))
+      .filter(col("t") <= 3).collect().sortBy(_.getAs[Long]("t"))
+    // 21 units at risk at t=0; uncensored deaths 5 at each of t=0..3
+    val expected = Seq(16.0 / 21, (16.0 / 21) * (11.0 / 16),
+      (16.0 / 21) * (11.0 / 16) * (6.0 / 11),
+      (16.0 / 21) * (11.0 / 16) * (6.0 / 11) * (1.0 / 6))
+    out.zip(expected).foreach { case (r, e) =>
+      assert(math.abs(r.getAs[Double]("survival") - e) < 1e-4,
+        s"t=${r.getAs[Long]("t")}")
+    }
+  }
+
+  // ---- Difference-in-differences ----------------------------------------------------------
+
+  test("diffInDiff: planted treatment effect recovered exactly, trends removed") {
+    // base level 10, common post-period trend +3, treatment effect +5 post-only
+    val rows = (1L to 100L).flatMap { u =>
+      val treat = u % 2 == 1
+      val base = 10.0 + (u % 7) // unit heterogeneity (cancels within cells? no — but
+      // identical unit mix in both periods, so pre/post differencing removes it)
+      Seq((u, treat, false, base),
+        (u, treat, true, base + 3.0 + (if (treat) 5.0 else 0.0)))
+    }.toDF("u", "tr", "po", "v")
+    val out = SampleOps.diffInDiff(rows, lit("all"), col("tr"), col("po"), col("v"))
+      .collect()
+    assert(out.length == 2) // 'all' + rollup 'ALL'
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("did") - 5.0) < 1e-9)
+      assert(r.getAs[Long]("n_treat_pre") == 50L)
+      assert(r.getAs[Long]("n_ctrl_post") == 50L)
+    }
+  }
+
+  test("diffInDiff: per-group rows plus ALL rollup, null means on empty cells") {
+    val rows = Seq(
+      ("a", true, false, 1.0), ("a", true, true, 2.0),
+      ("a", false, false, 1.0), ("a", false, true, 1.0),
+      ("b", true, false, 4.0) // group b missing 3 cells
+    ).toDF("g", "tr", "po", "v")
+    val out = SampleOps.diffInDiff(rows, col("g"), col("tr"), col("po"), col("v"))
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    assert(out.keySet == Set("a", "b", "ALL"))
+    assert(math.abs(out("a").getAs[Double]("did") - 1.0) < 1e-9)
+    assert(out("b").isNullAt(out("b").fieldIndex("did"))) // undefined, never a fake 0
+  }
+
+  // ---- e-BH -------------------------------------------------------------------------------
+
+  test("ebhFdr: strong effect discovered, null metrics survive, k ranks by e-value") {
+    // metric "lift": arm 1 pays +50 over arm 0 (n=400/arm) — overwhelming evidence;
+    // "null1"/"null2": identical arms. Deterministic value wiggle keeps variance > 0.
+    val rows =
+      (1L to 800L).map { i =>
+        ("lift", i % 2, 100.0 + (i % 5) + (if (i % 2 == 1) 50.0 else 0.0))
+      } ++ (1L to 800L).map { i => ("null1", i % 2, 100.0 + (i % 5)) } ++
+        (1L to 800L).map { i => ("null2", i % 2, 100.0 + (i % 7)) }
+    val out = SampleOps.ebhFdr(rows.toDF("m", "a", "v"),
+      col("m"), col("a"), col("v")).collect()
+      .map(r => r.getAs[String]("metric") -> r).toMap
+    assert(out("lift").getAs[Boolean]("discovery"))
+    assert(out("lift").getAs[Long]("k") == 1L) // largest e-value
+    assert(!out("null1").getAs[Boolean]("discovery"))
+    assert(!out("null2").getAs[Boolean]("discovery"))
+    assert(out("lift").getAs[Double]("log10_e") >
+      out("null1").getAs[Double]("log10_e"))
+  }
+
+  test("ebhFdr: e-BH closure — discovery set is exactly ranks 1..k_hat") {
+    // two strong metrics, one null: discoveries must be a prefix of the e-ranking
+    val rows =
+      (1L to 600L).map { i =>
+        ("m1", i % 2, 10.0 + (i % 3) + (if (i % 2 == 1) 40.0 else 0.0))
+      } ++ (1L to 600L).map { i =>
+        ("m2", i % 2, 10.0 + (i % 3) + (if (i % 2 == 1) 30.0 else 0.0))
+      } ++ (1L to 600L).map { i => ("m0", i % 2, 10.0 + (i % 3)) }
+    val out = SampleOps.ebhFdr(rows.toDF("m", "a", "v"),
+      col("m"), col("a"), col("v")).collect()
+    val discovered = out.filter(_.getAs[Boolean]("discovery")).map(_.getAs[Long]("k")).sorted
+    assert(discovered.sameElements(1L to discovered.length)) // contiguous prefix
+    assert(discovered.length == 2)
+  }
+}
