@@ -3310,6 +3310,14 @@ object SparkEntry {
     "doc_textrank" -> ((s, dir) =>
       TextOps.textRank(t(s, dir, "documents"), minCount = 5, topK = 50)),
 
+    // RAKE keyword extraction (Rose et al. 2010) — the PHRASE extractor beside
+    // doc_textrank's word graph: stopword-delimited candidate runs, word score
+    // deg/freq as exact BIGINT e6 ratios, phrase score an integer SUM of them
+    // (no float addition order anywhere). Doc-keyed window for the phrase ids,
+    // vocab-bounded word stats (TextOps.rake).
+    "doc_rake" -> ((s, dir) =>
+      TextOps.rake(t(s, dir, "documents"), topK = 20)),
+
     // INCREMENTAL TextRank (streaming/IncrementalTextRank): the corpus arrives in
     // three deterministic waves against versioned unigram/pair count state — each
     // wave tokenizes only ITSELF; the keyword ranking recomputes at read time on the
@@ -5274,6 +5282,16 @@ object SparkEntry {
       VectorOps.cosineNearDupPairsExact(t(s, dir, "embeddings"), threshold = 0.4, blockCol = "label")
         .withColumn("sim", round(col("sim"), 4))
     }),
+
+    // Linear-time MMD² two-sample drift between the even/odd vec_id streams
+    // (Gretton et al. 2012 Lemma 14): O(n) kernel evals via consecutive
+    // id-quadruples, degree-2 polynomial kernel on e3-quantized integer vectors so
+    // every h is an exact integer (RBF's exp() has no cross-engine bit guarantee);
+    // one hash aggregate, no window, no join. The parity split of one distribution
+    // must read as NO drift — the statistic's null behavior is the gate.
+    "emb_mmd_drift" -> ((s, dir) =>
+      VectorOps.mmdDrift(t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+        dim = 64)),
 
     // SemDeDup (k-means-blocked semantic dedup) as a self-verifying gate: 20 planted
     // exact copies (larger ids, cosine 1.0 with their source, same cell by construction)
@@ -8911,6 +8929,33 @@ object SparkEntry {
     // token graph + the same unrolled fixed-point PageRank as emb_pagerank (BIGINT
     // 1e-12 units, floor division) over the frequent-vocab co-occurrence edges
     "doc_textrank" -> textRankOracle,
+
+    "doc_rake" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i, toks[CAST(u.i AS INT)] AS tok
+        |  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+        |mk AS (SELECT doc_id, tok, i,
+        |    CASE WHEN tok IN ('the','a','an','and','or','of','to','in','is','it','on','for','with','as','at')
+        |      THEN 1 ELSE 0 END AS st,
+        |    SUM(CASE WHEN tok IN ('the','a','an','and','or','of','to','in','is','it','on','for','with','as','at')
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        |  FROM tok),
+        |w AS (SELECT doc_id, grp, tok, i FROM mk WHERE st = 0),
+        |ph AS (SELECT doc_id, grp, string_agg(tok, ' ' ORDER BY i) AS phrase,
+        |    CAST(COUNT(*) AS BIGINT) AS len
+        |  FROM w GROUP BY 1, 2),
+        |ws AS (SELECT w.tok,
+        |    CAST(SUM(p.len) AS BIGINT) * 1000000 // CAST(COUNT(*) AS BIGINT) AS s_e6
+        |  FROM w JOIN ph p USING (doc_id, grp) GROUP BY 1),
+        |sc AS (SELECT w.doc_id, w.grp, MIN(p.phrase) AS phrase,
+        |    CAST(SUM(ws.s_e6) AS BIGINT) AS score
+        |  FROM w JOIN ph p USING (doc_id, grp) JOIN ws ON ws.tok = w.tok
+        |  GROUP BY 1, 2)
+        |SELECT phrase, CAST(MAX(score) AS BIGINT) AS score_e6,
+        |  CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        |FROM sc GROUP BY 1 ORDER BY score_e6 DESC, phrase LIMIT 20""".stripMargin,
     // the incremental form maintains the same counts the one-shot derives — final
     // resolution is row-identical, so the identical oracle gates it
     "doc_textrank_incremental" -> textRankOracle,
@@ -10424,6 +10469,30 @@ object SparkEntry {
         |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS sim
         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
+
+    // the same exact-integer pipeline: e3-quantize, 4 BIGINT dots per quadruple,
+    // squares in int128 (Spark: DECIMAL(38,0)), one fixed-order final division
+    "emb_mmd_drift" ->
+      """WITH q AS (SELECT vec_id // 4 AS g, vec_id % 4 AS r,
+        |    list_transform(embedding, e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |quad AS (SELECT a.g, a.qv AS x1, b.qv AS y1, c.qv AS x2, d.qv AS y2
+        |  FROM q a JOIN q b ON b.g = a.g AND b.r = 1
+        |    JOIN q c ON c.g = a.g AND c.r = 2
+        |    JOIN q d ON d.g = a.g AND d.r = 3
+        |  WHERE a.r = 0),
+        |dots AS (SELECT
+        |    CAST(list_sum(list_transform(list_zip(x1, x2), z -> z[1]*z[2])) AS HUGEINT) AS d12,
+        |    CAST(list_sum(list_transform(list_zip(y1, y2), z -> z[1]*z[2])) AS HUGEINT) AS d34,
+        |    CAST(list_sum(list_transform(list_zip(x1, y2), z -> z[1]*z[2])) AS HUGEINT) AS d13,
+        |    CAST(list_sum(list_transform(list_zip(x2, y1), z -> z[1]*z[2])) AS HUGEINT) AS d24
+        |  FROM quad),
+        |h AS (SELECT d12*d12 + d34*d34 - d13*d13 - d24*d24 AS h FROM dots),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, SUM(h) AS sh FROM h)
+        |SELECT n_pairs,
+        |  ROUND(CAST(sh AS DOUBLE) / (CAST(n_pairs AS DOUBLE) * 4096000000000000.0), 8) AS mmd2,
+        |  ABS(ROUND(CAST(sh AS DOUBLE) / (CAST(n_pairs AS DOUBLE) * 4096000000000000.0), 8)) > 0.001 AS drift
+        |FROM agg""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH d AS (SELECT doc_id, encode(text) AS blob FROM documents),

@@ -404,6 +404,57 @@ object TextOps {
       .select(col("id").as("token"), col("rank_e12"), col("c").as("n_occurrences"))
   }
 
+  /**
+   * RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword Extraction from
+   * Individual Documents") — the stopword-delimited PHRASE extractor next to
+   * [[textRank]]'s single-word graph ranking: candidate phrases are maximal
+   * stopword-free token runs; word score = deg(w)/freq(w) where freq counts
+   * candidate-word occurrences and deg(w) sums the length of each containing
+   * phrase; phrase score = Σ member word scores. This corpus flavor computes word
+   * stats globally (the paper is per-document) and aggregates identical phrases.
+   *
+   * Engine-exactness: word scores are the exact BIGINT (deg·10⁶) div freq — phrase
+   * scores are integer SUMS of those (float addition order never appears), ties on
+   * phrase text.
+   *
+   * Scale shape: tokenize + posexplode is the corpus scan; the phrase-id running
+   * count is a DOC-KEYED window (the per-doc ordering every doc operator already
+   * pays, never a global sort); word stats are vocabulary-bounded and the
+   * score join back to occurrences is frequent-vocab-sized (broadcastable).
+   */
+  def rake(df: DataFrame, topK: Int = 20, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("__id"),
+        posexplode(tokensCol(col(textCol))).as(Seq("__pos", "__tok")))
+      .withColumn("__stop", col("__tok").isInCollection(Stopwords))
+    // phrase id = running stopword count: tokens between stopwords share a group
+    val wDoc = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+    val words = toks
+      .withColumn("__grp", sum(col("__stop").cast("long")).over(wDoc))
+      .filter(!col("__stop"))
+      .select(col("__id"), col("__grp"), col("__pos"), col("__tok"))
+    val phrases = words.groupBy(col("__id"), col("__grp"))
+      .agg(array_join(transform(sort_array(collect_list(
+          struct(col("__pos"), col("__tok")))), e => e.getField("__tok")), " ")
+          .as("phrase"),
+        count(lit(1)).as("__len"))
+    val wordStats = words.join(phrases, Seq("__id", "__grp"))
+      .groupBy(col("__tok"))
+      .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))
+      .select(col("__tok"), expr("__deg * 1000000 div __freq").as("__s_e6"))
+    words.join(phrases, Seq("__id", "__grp"))
+      .join(wordStats, "__tok")
+      .groupBy(col("__id"), col("__grp"))
+      .agg(first(col("phrase")).as("phrase"), sum(col("__s_e6")).as("__score"))
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"), max(col("__score")).as("score_e6"))
+      .orderBy(col("score_e6").desc, col("phrase"))
+      .limit(topK)
+      .select(col("phrase"), col("score_e6").cast("long").as("score_e6"),
+        col("n_occurrences"))
+  }
+
   def pmiPairs(df: DataFrame, minCount: Long = 5, textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
     val toksDf = df.select(tokensCol(col(textCol)).as("__toks"))

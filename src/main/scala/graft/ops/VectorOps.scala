@@ -1506,4 +1506,53 @@ object VectorOps {
     }
     ids.zipWithIndex.map { case (id, i) => (i + 1, id) }.toDF("rank", idCol)
   }
+
+  /**
+   * Linear-time MMD² drift statistic between two interleaved embedding streams
+   * (Gretton et al. 2012, "A Kernel Two-Sample Test", Lemma 14): consecutive
+   * id-quadruples {4g, 4g+1, 4g+2, 4g+3} form (x₁, y₁, x₂, y₂); the unbiased
+   * estimator is the mean of h = k(x₁,x₂) + k(y₁,y₂) − k(x₁,y₂) − k(x₂,y₁) —
+   * O(n) kernel evaluations instead of the quadratic full MMD, the form that
+   * monitors embedding-distribution drift at corpus scale.
+   *
+   * Kernel: degree-2 polynomial k(a,b) = (a·b / (d·s²))² on s-quantized integer
+   * vectors — every dot product and every h is an EXACT integer (an RBF kernel's
+   * exp() has no cross-engine bit guarantee), the h sum is exact DECIMAL(38,0),
+   * and the single final division is one fixed-order double op. Exact while
+   * dot² < 2⁶³: |q| ≤ s·max|x|, so d·(s·max|x|)² < 3.04e9 — comfortable for any
+   * unit-normalized embedding at s = 1000.
+   *
+   * Scale shape: ONE hash aggregate on g = id div 4 (no window, no sort, no
+   * join), then a scalar aggregate. Incomplete quadruples are dropped (at most 3
+   * rows).
+   *
+   * @return single row (n_pairs, mmd2, drift) — mmd2 rounded to 8,
+   *         drift ⟺ |mmd2| > threshold on the ROUNDED value
+   */
+  def mmdDrift(df: DataFrame, id: Column, vec: Column, dim: Int,
+      scale: Int = 1000, threshold: Double = 0.001): DataFrame = {
+    val denom = { val b = dim.toDouble * scale * scale; b * b } // (d·s²)²
+    val q = df.select(id.cast("long").as("__i"), vec.as("__v"))
+      .select(expr("__i div 4").as("g"), pmod(col("__i"), lit(4)).as("r"),
+        expr(s"transform(__v, e -> CAST(FLOOR(CAST(e AS DOUBLE) * $scale) AS BIGINT))")
+          .as("qv"))
+    val quad = q.groupBy(col("g")).agg(
+      max(when(col("r") === 0, col("qv"))).as("x1"),
+      max(when(col("r") === 1, col("qv"))).as("y1"),
+      max(when(col("r") === 2, col("qv"))).as("x2"),
+      max(when(col("r") === 3, col("qv"))).as("y2"))
+      .filter(col("x1").isNotNull && col("y1").isNotNull &&
+        col("x2").isNotNull && col("y2").isNotNull)
+    def dot(a: String, b: String): Column =
+      expr(s"aggregate(zip_with($a, $b, (p, q) -> p * q), 0L, (acc, v) -> acc + v)")
+    def sq(c: Column): Column = // square in DECIMAL(38,0): DuckDB squares in int128
+      c.cast(DecimalType(19, 0)) * c.cast(DecimalType(19, 0))
+    val h = quad.select((sq(dot("x1", "x2")) + sq(dot("y1", "y2"))
+      - sq(dot("x1", "y2")) - sq(dot("x2", "y1"))).cast(DecimalType(38, 0)).as("__h"))
+    h.agg(count(lit(1)).as("n_pairs"), sum(col("__h")).as("__sh"))
+      .select(col("n_pairs"),
+        round(col("__sh").cast("double") /
+          (col("n_pairs").cast("double") * lit(denom)), 8).as("mmd2"))
+      .withColumn("drift", abs(col("mmd2")) > threshold)
+  }
 }

@@ -175,4 +175,22 @@ class CorpusStatsSpec extends SparkSpec {
     assert(h(5L) == ((5L, 1L)), s"lifespan-5 churner against the full risk set: $h")
     assert(h(20L) == ((4L, 0L)), s"survivors censored: $h")
   }
+
+  test("rake: hand-computed phrase scores, stopword splits, truncating e6 word scores") {
+    // doc 1: phrases [deep learning], [deep network]; doc 2: [learning] x2
+    // freq: deep=2, learning=3, network=1; deg: deep=4, learning=2+1+1=4, network=2
+    // s_e6: deep=2_000_000, learning=4_000_000 div 3=1_333_333, network=2_000_000
+    val docs = Seq(
+      (1L, "deep learning of the deep network"),
+      (2L, "learning is learning")).toDF("doc_id", "text")
+    val out = TextOps.rake(docs, topK = 10).collect()
+    val byPhrase = out.map(r => r.getAs[String]("phrase") ->
+      ((r.getAs[Long]("score_e6"), r.getAs[Long]("n_occurrences")))).toMap
+    assert(byPhrase("deep network") == ((4000000L, 1L)))
+    assert(byPhrase("deep learning") == ((3333333L, 1L)))
+    assert(byPhrase("learning") == ((1333333L, 2L)))
+    // ranking: deep network > deep learning > learning
+    assert(out.map(_.getAs[String]("phrase")).toSeq ==
+      Seq("deep network", "deep learning", "learning"))
+  }
 }

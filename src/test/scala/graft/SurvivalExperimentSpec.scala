@@ -126,4 +126,61 @@ class SurvivalExperimentSpec extends SparkSpec {
     assert(discovered.sameElements(1L to discovered.length)) // contiguous prefix
     assert(discovered.length == 2)
   }
+
+  // ---- linear-time MMD drift --------------------------------------------------------------
+
+  /** ids 0..n-1 with vector builder f(id). */
+  private def embRows(n: Int, dim: Int)(f: (Long, Int) => Float) =
+    (0L until n).map(i => (i, Array.tabulate(dim)(j => f(i, j)))).toDF("id", "v")
+
+  test("mmdDrift: parity-interleaved identical distributions read as no drift") {
+    // deterministic pseudo-random unit-scale vectors, identical law for even/odd ids
+    val df = embRows(400, 16) { (i, j) =>
+      (((i / 4) * 31 + j * 17) % 13 - 6).toFloat / 10f // period-13 pattern, |x| <= 0.6
+    }
+    val out = graft.ops.VectorOps.mmdDrift(df, col("id"), col("v"), dim = 16)
+      .head()
+    assert(out.getAs[Long]("n_pairs") == 100L)
+    assert(!out.getAs[Boolean]("drift"),
+      s"null split flagged drift: mmd2=${out.getAs[Double]("mmd2")}")
+  }
+
+  test("mmdDrift: a planted mean shift on the odd stream is detected") {
+    // odd ids (the Y stream) get a +0.4 shift on every coordinate
+    val df = embRows(400, 16) { (i, j) =>
+      val base = (((i / 4) * 31 + j * 17) % 13 - 6).toFloat / 20f
+      if (i % 2 == 1) base + 0.4f else base
+    }
+    val out = graft.ops.VectorOps.mmdDrift(df, col("id"), col("v"), dim = 16)
+      .head()
+    assert(out.getAs[Boolean]("drift"),
+      s"planted shift missed: mmd2=${out.getAs[Double]("mmd2")}")
+    assert(out.getAs[Double]("mmd2") > 0.001)
+  }
+
+  test("mmdDrift: matches the naive driver-side estimator exactly") {
+    val n = 80; val dim = 8; val scale = 1000
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(dim)(j => (((i * 37 + j * 11) % 19 - 9).toFloat / 25f))
+    val real = (0L until n).map(i => (i, vec(i))).toDF("id", "v")
+    val out = graft.ops.VectorOps.mmdDrift(real, col("id"), col("v"), dim = dim)
+      .head()
+    // naive replication of the same quantized integer pipeline
+    def q(a: Array[Float]): Array[Long] =
+      a.map(x => math.floor(x.toDouble * scale).toLong)
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (p, r) => p * r }.sum
+    val hs = (0 until n.toInt / 4).map { g =>
+      val (x1, y1, x2, y2) =
+        (q(vec(4L * g)), q(vec(4L * g + 1)), q(vec(4L * g + 2)), q(vec(4L * g + 3)))
+      BigInt(dot(x1, x2)).pow(2) + BigInt(dot(y1, y2)).pow(2) -
+        BigInt(dot(x1, y2)).pow(2) - BigInt(dot(x2, y1)).pow(2)
+    }
+    val denom = { val b = dim.toDouble * scale * scale; b * b }
+    val expected = BigDecimal(hs.sum.toDouble / (hs.length * denom))
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getAs[Long]("n_pairs") == n / 4)
+    assert(math.abs(out.getAs[Double]("mmd2") - expected) < 1e-9,
+      s"got ${out.getAs[Double]("mmd2")}, expected $expected")
+  }
 }
