@@ -3318,6 +3318,23 @@ object SparkEntry {
     "doc_rake" -> ((s, dir) =>
       TextOps.rake(t(s, dir, "documents"), topK = 20)),
 
+    // INCREMENTAL RAKE (streaming/IncrementalRake): three deterministic document
+    // waves against versioned (tok → freq, deg) + (phrase → occ) count state — each
+    // wave extracts phrases from ITSELF only (phrase extraction is doc-local); the
+    // top-k ranking recomputes at read time from the Heaps-bounded state and is
+    // row-identical to one-shot doc_rake — the SAME oracle pins it.
+    "doc_rake_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents").localCheckpoint(true)
+      val state = java.nio.file.Files.createTempDirectory("graft-irake").toString
+      for (b <- 0 to 2)
+        graft.streaming.IncrementalRake.applyBatch(
+          d.filter(pmod(col("doc_id"), lit(3)) === b), b.toLong, state)
+      val out = graft.streaming.IncrementalRake.current(s, state, topK = 20)
+        .localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(state))
+      out
+    }),
+
     // INCREMENTAL TextRank (streaming/IncrementalTextRank): the corpus arrives in
     // three deterministic waves against versioned unigram/pair count state — each
     // wave tokenizes only ITSELF; the keyword ranking recomputes at read time on the
@@ -4672,6 +4689,19 @@ object SparkEntry {
       VectorOps.annRecallGate(exact, approx, short, recallFloor = 0.5, candCap = 480L)
     }),
 
+    // binary quantization (sign-bit, 1 bit/dim — the 32× end of the compression
+    // ladder past SQ8): one 64-bit signature per vector, XOR+POPCNT Hamming
+    // candidates, exact-cosine rerank of the 64-deep shortlist; same
+    // recall/boundedness verdict contract as the rest of the ANN family
+    "emb_ann_bq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+      val exact = VectorOps.bruteForceTopK(e, q, k = 3)
+      val short = VectorOps.bqTopK(e, q, k = 64, shortlist = 64)
+      val approx = VectorOps.rankTopK(short, 3)
+      VectorOps.annRecallGate(exact, approx, short, recallFloor = 0.5, candCap = 480L)
+    }),
+
     "emb_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 8)
@@ -6018,6 +6048,33 @@ object SparkEntry {
   /** Shared by `doc_textrank` and `doc_textrank_incremental`: the incremental form
     * maintains the same counts the one-shot derives, so the final ranking is
     * row-identical and one oracle gates both. */
+  private val rakeOracle: String =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |tok AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i, toks[CAST(u.i AS INT)] AS tok
+      |  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+      |mk AS (SELECT doc_id, tok, i,
+      |    CASE WHEN tok IN ('the','a','an','and','or','of','to','in','is','it','on','for','with','as','at')
+      |      THEN 1 ELSE 0 END AS st,
+      |    SUM(CASE WHEN tok IN ('the','a','an','and','or','of','to','in','is','it','on','for','with','as','at')
+      |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      |  FROM tok),
+      |w AS (SELECT doc_id, grp, tok, i FROM mk WHERE st = 0),
+      |ph AS (SELECT doc_id, grp, string_agg(tok, ' ' ORDER BY i) AS phrase,
+      |    CAST(COUNT(*) AS BIGINT) AS len
+      |  FROM w GROUP BY 1, 2),
+      |ws AS (SELECT w.tok,
+      |    CAST(SUM(p.len) AS BIGINT) * 1000000 // CAST(COUNT(*) AS BIGINT) AS s_e6
+      |  FROM w JOIN ph p USING (doc_id, grp) GROUP BY 1),
+      |sc AS (SELECT w.doc_id, w.grp, MIN(p.phrase) AS phrase,
+      |    CAST(SUM(ws.s_e6) AS BIGINT) AS score
+      |  FROM w JOIN ph p USING (doc_id, grp) JOIN ws ON ws.tok = w.tok
+      |  GROUP BY 1, 2)
+      |SELECT phrase, CAST(MAX(score) AS BIGINT) AS score_e6,
+      |  CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      |FROM sc GROUP BY 1 ORDER BY score_e6 DESC, phrase LIMIT 20""".stripMargin
+
   private val textRankOracle: String =
     """WITH t AS (SELECT
       |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
@@ -6389,6 +6446,9 @@ object SparkEntry {
       "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok, TRUE AS bounded_ok FROM embeddings WHERE vec_id < 8",
 
     "emb_ann_sq" ->
+      "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok, TRUE AS bounded_ok FROM embeddings WHERE vec_id < 8",
+
+    "emb_ann_bq" ->
       "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok, TRUE AS bounded_ok FROM embeddings WHERE vec_id < 8",
 
     "emb_ann_ivf" ->
@@ -8930,32 +8990,11 @@ object SparkEntry {
     // 1e-12 units, floor division) over the frequent-vocab co-occurrence edges
     "doc_textrank" -> textRankOracle,
 
-    "doc_rake" ->
-      """WITH t AS (SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |tok AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i, toks[CAST(u.i AS INT)] AS tok
-        |  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
-        |mk AS (SELECT doc_id, tok, i,
-        |    CASE WHEN tok IN ('the','a','an','and','or','of','to','in','is','it','on','for','with','as','at')
-        |      THEN 1 ELSE 0 END AS st,
-        |    SUM(CASE WHEN tok IN ('the','a','an','and','or','of','to','in','is','it','on','for','with','as','at')
-        |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY i) AS grp
-        |  FROM tok),
-        |w AS (SELECT doc_id, grp, tok, i FROM mk WHERE st = 0),
-        |ph AS (SELECT doc_id, grp, string_agg(tok, ' ' ORDER BY i) AS phrase,
-        |    CAST(COUNT(*) AS BIGINT) AS len
-        |  FROM w GROUP BY 1, 2),
-        |ws AS (SELECT w.tok,
-        |    CAST(SUM(p.len) AS BIGINT) * 1000000 // CAST(COUNT(*) AS BIGINT) AS s_e6
-        |  FROM w JOIN ph p USING (doc_id, grp) GROUP BY 1),
-        |sc AS (SELECT w.doc_id, w.grp, MIN(p.phrase) AS phrase,
-        |    CAST(SUM(ws.s_e6) AS BIGINT) AS score
-        |  FROM w JOIN ph p USING (doc_id, grp) JOIN ws ON ws.tok = w.tok
-        |  GROUP BY 1, 2)
-        |SELECT phrase, CAST(MAX(score) AS BIGINT) AS score_e6,
-        |  CAST(COUNT(*) AS BIGINT) AS n_occurrences
-        |FROM sc GROUP BY 1 ORDER BY score_e6 DESC, phrase LIMIT 20""".stripMargin,
+    "doc_rake" -> rakeOracle,
+
+    // maintained counts are associative sums and the ranking is a pure function of
+    // them — row-identical to one-shot doc_rake, so the SAME oracle pins it
+    "doc_rake_incremental" -> rakeOracle,
     // the incremental form maintains the same counts the one-shot derives — final
     // resolution is row-identical, so the identical oracle gates it
     "doc_textrank_incremental" -> textRankOracle,

@@ -424,6 +424,16 @@ object TextOps {
    */
   def rake(df: DataFrame, topK: Int = 20, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    val (wordStats, phraseCounts) = rakeDeltas(df, idCol, textCol)
+    rakeFromCounts(wordStats, phraseCounts, topK)
+  }
+
+  /** One corpus slice's RAKE contribution — BOTH tables are associative count sums,
+    * which is what makes the incremental twin exact: (tok → freq, deg) and
+    * (phrase → occ). Phrase extraction is doc-local (a doc-keyed window), so a
+    * slice's deltas never depend on other slices. */
+  def rakeDeltas(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol).as("__id"),
         posexplode(tokensCol(col(textCol))).as(Seq("__pos", "__tok")))
@@ -441,18 +451,31 @@ object TextOps {
         count(lit(1)).as("__len"))
     val wordStats = words.join(phrases, Seq("__id", "__grp"))
       .groupBy(col("__tok"))
-      .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))
-      .select(col("__tok"), expr("__deg * 1000000 div __freq").as("__s_e6"))
-    words.join(phrases, Seq("__id", "__grp"))
-      .join(wordStats, "__tok")
-      .groupBy(col("__id"), col("__grp"))
-      .agg(first(col("phrase")).as("phrase"), sum(col("__s_e6")).as("__score"))
+      .agg(count(lit(1)).as("freq"), sum(col("__len")).as("deg"))
+      .select(col("__tok").as("tok"), col("freq"), col("deg").cast("long").as("deg"))
+    val phraseCounts = phrases.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("occ"))
+    (wordStats, phraseCounts)
+  }
+
+  /** RAKE finisher over (possibly maintained) count state: word score = exact
+    * (deg·10⁶) div freq, phrase score = the integer sum over the phrase's word
+    * multiset (recovered by splitting the phrase text — phrase scores are pure
+    * functions of the counts, so state-fed and one-shot results are row-identical). */
+  def rakeFromCounts(wordStats: DataFrame, phraseCounts: DataFrame,
+      topK: Int = 20): DataFrame = {
+    val s6 = wordStats.select(col("tok"),
+      expr("deg * 1000000 div freq").as("__s_e6"))
+    phraseCounts
+      .select(col("phrase"), col("occ"),
+        explode(split(col("phrase"), " ")).as("tok"))
+      .join(s6, "tok")
       .groupBy(col("phrase"))
-      .agg(count(lit(1)).as("n_occurrences"), max(col("__score")).as("score_e6"))
+      .agg(first(col("occ")).as("n_occurrences"), sum(col("__s_e6")).as("score_e6"))
       .orderBy(col("score_e6").desc, col("phrase"))
       .limit(topK)
       .select(col("phrase"), col("score_e6").cast("long").as("score_e6"),
-        col("n_occurrences"))
+        col("n_occurrences").cast("long").as("n_occurrences"))
   }
 
   def pmiPairs(df: DataFrame, minCount: Long = 5, textCol: String = "text"): DataFrame = {

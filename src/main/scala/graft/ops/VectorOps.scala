@@ -1077,6 +1077,50 @@ object VectorOps {
     rankTopK(short, k)
   }
 
+  /**
+   * Binary-quantized approximate top-k — the 1-bit/dim point past SQ8's byte/dim on
+   * the compression ladder (the "binary quantization" mode of production vector
+   * stores): each corpus vector stores ONE 64-bit signature word (32× smaller than
+   * float32), candidate ranking is popcount(XOR) Hamming similarity — for
+   * l2-normalized, roughly-isotropic vectors sign-bit agreement is a monotone proxy
+   * for angle (Charikar 2002's SimHash bound, P[sign match] = 1 − θ/π, with the raw
+   * axes standing in for random projections) — and only `shortlist` rows per query
+   * reach the exact cosine rerank.
+   *
+   * The corpus never shuffles: signatures compute in-scan (first 64 dims), queries
+   * broadcast, and the Hamming scan is one XOR+POPCNT per (corpus row, query) —
+   * the cheapest candidate generator in the ANN family.
+   */
+  def bqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      shortlist: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val normCorpus = l2Normalized(corpus, vecCol)
+    val normQueries = l2Normalized(queries, vecCol)
+    def sig(v: String) = expr(
+      s"""aggregate(transform(slice($v, 1, 64),
+         |  (x, i) -> IF(CAST(x AS DOUBLE) > 0D, shiftleft(1L, i), 0L)),
+         |  0L, (a, b) -> a + b)""".stripMargin)
+    val enc = normCorpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      sig(vecCol).as("csig"))
+    val q = normQueries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      sig(vecCol).as("qsig"))
+    val scored = enc.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("q_vec"), col("c_vec"),
+        (lit(64) - expr("bit_count(csig ^ qsig)")).cast("double").as("hsim"))
+    val short = scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKFunctions.topKByScore(col("hsim"), col("neighbor_id"),
+        struct(col("neighbor_id"), col("q_vec"), col("c_vec")), shortlist).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.neighbor_id").as("neighbor_id"),
+        VectorFunctions.cosine(col("t.q_vec"), col("t.c_vec")).as("sim"))
+    rankTopK(short, k)
+  }
+
   def pqTopK(
       corpus: DataFrame,
       queries: DataFrame,

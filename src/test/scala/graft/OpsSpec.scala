@@ -432,6 +432,34 @@ class VectorOpsSpec extends SparkSpec {
       trained = Some(m2)).collect().map(_.getLong(1)).toSeq == Seq(2L))
   }
 
+  test("BQ: one sign-bit word per vector, Hamming shortlist + exact rerank keeps recall") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 8)
+    // recall vs exact: 64-bit signatures over a 64-deep rerank shortlist leave
+    // headroom over the 0.5 gate floor on real (weak-structure) embeddings
+    val got = VectorOps.bqTopK(e, q, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = VectorOps.bruteForceTopK(e, q, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.6, s"BQ recall $recall under expected headroom")
+    // deterministic end to end
+    val again = VectorOps.bqTopK(e, q, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == again)
+    // hand-checkable geometry: orthant-separated clusters are exactly recovered by
+    // sign bits alone (Hamming 0 inside a cluster, > 0 across)
+    def v(sign1: Float, sign2: Float, eps: Float) =
+      Array.tabulate(8)(i => if (i < 4) sign1 * (0.5f + eps * i) else sign2 * (0.5f + eps * i))
+    val clustered = Seq(
+      (1L, v(1f, 1f, 0.01f)), (2L, v(1f, 1f, 0.02f)),
+      (3L, v(-1f, 1f, 0.01f)), (4L, v(-1f, 1f, 0.02f)),
+      (5L, v(1f, -1f, 0.01f)), (6L, v(1f, -1f, 0.02f))).toDF("vec_id", "embedding")
+    val top1 = VectorOps.bqTopK(clustered, clustered, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1 == Map(1L -> 2L, 2L -> 1L, 3L -> 4L, 4L -> 3L, 5L -> 6L, 6L -> 5L))
+  }
+
   test("pqTopK with a pre-trained model of different k: stride from the model, not the param") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 4)

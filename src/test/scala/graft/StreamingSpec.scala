@@ -1046,6 +1046,43 @@ class StreamingSpec extends SparkSpec {
     assert(ex.getMessage.contains("checkpoint"))
   }
 
+  test("incremental RAKE == one-shot rake at every boundary; replay converges; reset guard") {
+    import graft.streaming.IncrementalRake
+    import org.apache.spark.sql.functions.pmod
+    val state = Files.createTempDirectory("graft-irake-spec").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .localCheckpoint(true)
+    def oneShot(upTo: Int) = graft.ops.TextOps.rake(
+        docs.filter(pmod(col("doc_id"), lit(3)) <= upTo), topK = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    def maintained() = IncrementalRake.current(spark, state, topK = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    for (b <- 0 to 2) {
+      IncrementalRake.applyBatch(
+        docs.filter(pmod(col("doc_id"), lit(3)) === b), b.toLong, state)
+      assert(maintained() == oneShot(b),
+        s"maintained phrase ranking diverged from one-shot after batch $b")
+    }
+    val fin = maintained()
+    // crash-replay of the last batch: re-reads v=1, re-merges, overwrites v=2 — equal
+    IncrementalRake.applyBatch(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 2), 2L, state)
+    assert(maintained() == fin, "replaying the last batch must converge")
+    // checkpoint-reset guard: batch id below the max applied version fails loudly
+    val ex = intercept[IllegalStateException] {
+      IncrementalRake.applyBatch(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0), 0L, state)
+    }
+    assert(ex.getMessage.contains("checkpoint"))
+    // half-committed version (crash between words and phrases writes) is invisible
+    val p = new org.apache.hadoop.fs.Path(state)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(p, "v=2/phrases/_SUCCESS"), false)
+    IncrementalRake.applyBatch( // falls back to v=1 as the merge base
+      docs.filter(pmod(col("doc_id"), lit(3)) === 2), 2L, state)
+    assert(maintained() == fin, "re-commit over a half-written version must converge")
+  }
+
   test("incremental decontamination == one-shot at every boundary; replay idempotent; reset guard") {
     import graft.streaming.IncrementalDecontaminate
     import org.apache.spark.sql.functions.pmod
