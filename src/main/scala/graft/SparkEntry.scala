@@ -2552,6 +2552,44 @@ object SparkEntry {
       SampleOps.ebhFdr(t(s, dir, "events"), col("event_type"),
         pmod(col("user_id"), lit(2)), col("value"))),
 
+    // INCREMENTAL e-BH: the per-(metric, arm) cent moments are associative sums, so
+    // they live as maintained GroupingSetsMv state (two stores for Σc and Σc², the
+    // ev_msprt_incremental trick with a string composite key metric#arm); three
+    // versioned replay-safe event waves, then the m-row e-BH finisher at READ time —
+    // row-identical to one-shot ev_fdr_ebh, pinned by the SAME oracle.
+    "ev_fdr_ebh_incremental" -> ((s, dir) => {
+      import graft.streaming.GroupingSetsMv
+      val d = t(s, dir, "events").select(
+        col("event_id"),
+        concat(col("event_type"), lit("#"),
+          pmod(col("user_id"), lit(2)).cast("string")).as("k"),
+        lit("all").as("scope"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("c"))
+        .withColumn("c2", (col("c").cast(DecimalType(19, 0)) * col("c")
+          .cast(DecimalType(19, 0))).cast(DecimalType(18, 0)).cast("long"))
+        .localCheckpoint(true)
+      val st1 = java.nio.file.Files.createTempDirectory("graft-ebh1").toString
+      val st2 = java.nio.file.Files.createTempDirectory("graft-ebh2").toString
+      for (b <- 0 to 2) {
+        val wave = d.filter(pmod(col("event_id"), lit(3)) === b)
+        GroupingSetsMv.applyBatch(wave, b.toLong, st1, "k", "scope", "c")
+        GroupingSetsMv.applyBatch(wave, b.toLong, st2, "k", "scope", "c2")
+      }
+      def cells(dir0: String) = GroupingSetsMv.current(s, dir0)
+        .filter(col("gid") === 1).select(col("k").cast("string").as("k"),
+          col("n"), col("s"))
+      val moments = cells(st1).withColumnRenamed("s", "sc")
+        .join(cells(st2).select(col("k"), col("s").as("sc2")), "k")
+        .select(substring_index(col("k"), "#", 1).as("metric"),
+          substring_index(col("k"), "#", -1).cast("int").as("__a"),
+          col("n"), col("sc").cast("long").as("s1"),
+          col("sc2").cast(DecimalType(38, 0)).as("s2"))
+      val out = SampleOps.ebhFromMoments(moments).localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(st1))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(st2))
+      out
+    }),
+
     // Split conformal prediction (Lei et al. 2018): per-type calibration-mean
     // predictor on the cents grid (BIGINT floor-division, engine-exact), conformal
     // radius = the ceil((n+1)(1−α))-th smallest calibration residual via the
@@ -3265,6 +3303,13 @@ object SparkEntry {
     // PMI collocation mining: adjacent-pair pointwise mutual information at min-count 5
     "doc_pmi_pairs" -> ((s, dir) =>
       TextOps.pmiPairs(t(s, dir, "documents"), minCount = 5)),
+
+    // Dunning G² collocations (Dunning 1993) — PMI's sparse-robust sibling: the
+    // full 2×2 bigram contingency table instead of the rare-pair-exploding ratio;
+    // 9 x·log10(x) terms in one fixed operand order, margins from the bigram
+    // table itself (TextOps.llrPairs)
+    "doc_llr_pairs" -> ((s, dir) =>
+      TextOps.llrPairs(t(s, dir, "documents"), minCount = 5)),
 
     // Benchmark decontamination (GPT-3 appendix-C rule, kept by Dolma/RefinedWeb):
     // flag training docs sharing any 13-gram with the held-out eval slice
@@ -5966,6 +6011,40 @@ object SparkEntry {
 
   /** Shared by `ev_msprt` and `ev_msprt_incremental`: the maintained moments are
     * row-identical to the one-shot per-(day, arm) aggregation, so one SQL pins both. */
+  private val ebhOracle: String =
+    """WITH e AS (SELECT event_type AS metric, user_id % 2 AS a,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM events),
+      |mo AS (SELECT metric, a, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s1,
+      |    SUM(CAST(c AS HUGEINT) * c) AS s2 FROM e GROUP BY 1, 2),
+      |p AS (SELECT metric,
+      |    MAX(CASE WHEN a = 0 THEN n END) AS na, MAX(CASE WHEN a = 0 THEN s1 END) AS sa1,
+      |    MAX(CASE WHEN a = 0 THEN s2 END) AS sa2,
+      |    MAX(CASE WHEN a = 1 THEN n END) AS nb, MAX(CASE WHEN a = 1 THEN s1 END) AS sb1,
+      |    MAX(CASE WHEN a = 1 THEN s2 END) AS sb2
+      |  FROM mo GROUP BY 1
+      |  HAVING MAX(CASE WHEN a = 0 THEN n END) >= 2 AND MAX(CASE WHEN a = 1 THEN n END) >= 2),
+      |f AS (SELECT metric, na, nb,
+      |    CAST(sa1 AS DOUBLE) / na AS ma, CAST(sb1 AS DOUBLE) / nb AS mb,
+      |    (CAST(sa2 AS DOUBLE) + CAST(sb2 AS DOUBLE)
+      |      - na * (CAST(sa1 AS DOUBLE) / na) * (CAST(sa1 AS DOUBLE) / na)
+      |      - nb * (CAST(sb1 AS DOUBLE) / nb) * (CAST(sb1 AS DOUBLE) / nb))
+      |      / (na + nb - 2) AS s2p FROM p),
+      |l AS (SELECT metric, na, nb, ma - mb AS dh, s2p * (1.0 / na + 1.0 / nb) AS v FROM f),
+      |sc AS (SELECT metric, na AS n_a, nb AS n_b, ROUND(dh / 100.0, 4) AS mean_diff,
+      |    ROUND(0.5 * LOG10(v / (v + 250000.0))
+      |      + (dh * dh * 250000.0 / (2.0 * v * (v + 250000.0))) * 0.4342944819032518, 6)
+      |      AS log10_e FROM l),
+      |rk AS (SELECT *,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY log10_e DESC, metric) AS BIGINT) AS k,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS m FROM sc),
+      |th AS (SELECT metric, n_a, n_b, mean_diff, log10_e, k,
+      |    ROUND(LOG10(CAST(m AS DOUBLE)) - LOG10(CAST(k AS DOUBLE))
+      |      - LOG10(0.05), 6) AS threshold_log10 FROM rk),
+      |kh AS (SELECT MAX(CASE WHEN log10_e >= threshold_log10 THEN k ELSE 0 END) AS khat FROM th)
+      |SELECT metric, n_a, n_b, mean_diff, log10_e, k, threshold_log10,
+      |  k <= kh.khat AS discovery
+      |FROM th, kh""".stripMargin
+
   private val msprtOracle: String =
     """WITH e AS (SELECT CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000 AS day,
       |    user_id % 2 AS a,
@@ -7890,39 +7969,9 @@ object SparkEntry {
         |    - (CAST(s_cp1 AS DOUBLE) / n_ctrl_post - CAST(s_cp0 AS DOUBLE) / n_ctrl_pre), 4) AS did
         |FROM a""".stripMargin,
 
-    "ev_fdr_ebh" ->
-      """WITH e AS (SELECT event_type AS metric, user_id % 2 AS a,
-        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM events),
-        |mo AS (SELECT metric, a, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s1,
-        |    SUM(CAST(c AS HUGEINT) * c) AS s2 FROM e GROUP BY 1, 2),
-        |p AS (SELECT metric,
-        |    MAX(CASE WHEN a = 0 THEN n END) AS na, MAX(CASE WHEN a = 0 THEN s1 END) AS sa1,
-        |    MAX(CASE WHEN a = 0 THEN s2 END) AS sa2,
-        |    MAX(CASE WHEN a = 1 THEN n END) AS nb, MAX(CASE WHEN a = 1 THEN s1 END) AS sb1,
-        |    MAX(CASE WHEN a = 1 THEN s2 END) AS sb2
-        |  FROM mo GROUP BY 1
-        |  HAVING MAX(CASE WHEN a = 0 THEN n END) >= 2 AND MAX(CASE WHEN a = 1 THEN n END) >= 2),
-        |f AS (SELECT metric, na, nb,
-        |    CAST(sa1 AS DOUBLE) / na AS ma, CAST(sb1 AS DOUBLE) / nb AS mb,
-        |    (CAST(sa2 AS DOUBLE) + CAST(sb2 AS DOUBLE)
-        |      - na * (CAST(sa1 AS DOUBLE) / na) * (CAST(sa1 AS DOUBLE) / na)
-        |      - nb * (CAST(sb1 AS DOUBLE) / nb) * (CAST(sb1 AS DOUBLE) / nb))
-        |      / (na + nb - 2) AS s2p FROM p),
-        |l AS (SELECT metric, na, nb, ma - mb AS dh, s2p * (1.0 / na + 1.0 / nb) AS v FROM f),
-        |sc AS (SELECT metric, na AS n_a, nb AS n_b, ROUND(dh / 100.0, 4) AS mean_diff,
-        |    ROUND(0.5 * LOG10(v / (v + 250000.0))
-        |      + (dh * dh * 250000.0 / (2.0 * v * (v + 250000.0))) * 0.4342944819032518, 6)
-        |      AS log10_e FROM l),
-        |rk AS (SELECT *,
-        |    CAST(ROW_NUMBER() OVER (ORDER BY log10_e DESC, metric) AS BIGINT) AS k,
-        |    CAST(COUNT(*) OVER () AS BIGINT) AS m FROM sc),
-        |th AS (SELECT metric, n_a, n_b, mean_diff, log10_e, k,
-        |    ROUND(LOG10(CAST(m AS DOUBLE)) - LOG10(CAST(k AS DOUBLE))
-        |      - LOG10(0.05), 6) AS threshold_log10 FROM rk),
-        |kh AS (SELECT MAX(CASE WHEN log10_e >= threshold_log10 THEN k ELSE 0 END) AS khat FROM th)
-        |SELECT metric, n_a, n_b, mean_diff, log10_e, k, threshold_log10,
-        |  k <= kh.khat AS discovery
-        |FROM th, kh""".stripMargin,
+    "ev_fdr_ebh" -> ebhOracle,
+
+    "ev_fdr_ebh_incremental" -> ebhOracle,
 
     // the conformal construction per group: same integer algebra, windows
     // partitioned by g
@@ -8985,6 +9034,35 @@ object SparkEntry {
         |    (CAST(nb.n_b AS DOUBLE) * a.c * b.c)), 6) AS pmi
         |FROM sp JOIN uc a ON a.tok = sp.tok_a JOIN uc b ON b.tok = sp.tok_b
         |CROSS JOIN nu CROSS JOIN nb""".stripMargin,
+
+    // same 9-term x·log10(x) composition in the same operand order; 0·log 0 = 0
+    "doc_llr_pairs" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks FROM documents),
+        |bg AS (SELECT u.bg FROM t, unnest(CASE WHEN len(toks) < 2 THEN []
+        |  ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END) AS u(bg)),
+        |bc AS (SELECT bg AS pair, CAST(COUNT(*) AS BIGINT) AS n_pair,
+        |  string_split(bg, ' ')[1] AS tok_a, string_split(bg, ' ')[2] AS tok_b
+        |  FROM bg GROUP BY 1),
+        |ra AS (SELECT tok_a, CAST(SUM(n_pair) AS BIGINT) AS ra FROM bc GROUP BY 1),
+        |cbt AS (SELECT tok_b, CAST(SUM(n_pair) AS BIGINT) AS cb FROM bc GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS nn FROM bc),
+        |j AS (SELECT bc.pair, bc.n_pair AS k11, ra.ra, cbt.cb, nn.nn
+        |  FROM bc JOIN ra USING (tok_a) JOIN cbt USING (tok_b) CROSS JOIN nn
+        |  WHERE bc.n_pair >= 5),
+        |x AS (SELECT pair, k11, ra, cb, nn,
+        |  ra - k11 AS k12, cb - k11 AS k21, nn - ra - cb + k11 AS k22 FROM j)
+        |SELECT pair, k11 AS n_pair, ROUND(2.0 * (
+        |  (CASE WHEN k11 >= 1 THEN CAST(k11 AS DOUBLE) * LOG10(CAST(k11 AS DOUBLE)) ELSE 0.0 END)
+        |  + (CASE WHEN k12 >= 1 THEN CAST(k12 AS DOUBLE) * LOG10(CAST(k12 AS DOUBLE)) ELSE 0.0 END)
+        |  + (CASE WHEN k21 >= 1 THEN CAST(k21 AS DOUBLE) * LOG10(CAST(k21 AS DOUBLE)) ELSE 0.0 END)
+        |  + (CASE WHEN k22 >= 1 THEN CAST(k22 AS DOUBLE) * LOG10(CAST(k22 AS DOUBLE)) ELSE 0.0 END)
+        |  - (CASE WHEN ra >= 1 THEN CAST(ra AS DOUBLE) * LOG10(CAST(ra AS DOUBLE)) ELSE 0.0 END)
+        |  - (CASE WHEN nn - ra >= 1 THEN CAST(nn - ra AS DOUBLE) * LOG10(CAST(nn - ra AS DOUBLE)) ELSE 0.0 END)
+        |  - (CASE WHEN cb >= 1 THEN CAST(cb AS DOUBLE) * LOG10(CAST(cb AS DOUBLE)) ELSE 0.0 END)
+        |  - (CASE WHEN nn - cb >= 1 THEN CAST(nn - cb AS DOUBLE) * LOG10(CAST(nn - cb AS DOUBLE)) ELSE 0.0 END)
+        |  + (CASE WHEN nn >= 1 THEN CAST(nn AS DOUBLE) * LOG10(CAST(nn AS DOUBLE)) ELSE 0.0 END)), 4) AS llr10
+        |FROM x""".stripMargin,
 
     // token graph + the same unrolled fixed-point PageRank as emb_pagerank (BIGINT
     // 1e-12 units, floor division) over the frequent-vocab co-occurrence edges

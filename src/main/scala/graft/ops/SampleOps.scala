@@ -1215,14 +1215,23 @@ object SampleOps {
    */
   def ebhFdr(df: DataFrame, metric: Column, arm: Column, value: Column,
       alpha: Double = 0.05, tau2: Double = 25.0): DataFrame = {
-    val log10e = 0.4342944819032518
-    val tau2c = tau2 * 10000.0 // cents²
     val cents = (value.cast(DecimalType(18, 2)) * 100).cast("long")
     val moments = df.select(metric.as("metric"), arm.as("__a"), cents.as("__c"))
       .groupBy(col("metric"), col("__a"))
       .agg(count(lit(1)).as("n"), sum(col("__c")).as("s1"),
         sum((col("__c").cast(DecimalType(19, 0)) * col("__c").cast(DecimalType(19, 0)))
           .cast(DecimalType(38, 0))).as("s2"))
+    ebhFromMoments(moments, alpha, tau2)
+  }
+
+  /** The e-BH finisher over pre-aggregated per-(metric, arm) exact cent moments
+    * `(metric, __a, n, s1, s2)` — the read-time half when the moments are
+    * MAINTAINED state (they are associative sums; see `ev_fdr_ebh_incremental`,
+    * the msprtFromDailyMoments pattern). */
+  def ebhFromMoments(moments: DataFrame, alpha: Double = 0.05,
+      tau2: Double = 25.0): DataFrame = {
+    val log10e = 0.4342944819032518
+    val tau2c = tau2 * 10000.0 // cents²
     def pick(a: Int, c: String, as: String) =
       max(when(col("__a") === a, col(c))).as(as)
     val piv = moments.groupBy(col("metric")).agg(

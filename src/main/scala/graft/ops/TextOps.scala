@@ -503,6 +503,41 @@ object TextOps {
   }
 
   /**
+   * Dunning log-likelihood-ratio collocations (Dunning 1993, "Accurate Methods for
+   * the Statistics of Surprise and Coincidence") — the SPARSE-ROBUST sibling of
+   * [[pmiPairs]]: PMI explodes for rare pairs (one co-occurrence of two hapaxes maxes
+   * the score); G² weighs the full 2×2 bigram contingency table
+   * (k11 = n(a,b), margins from the bigram table itself), so low-count flukes score
+   * near zero and real collocations rise. Reported in log10 units
+   * (`llr10 = G²/(2·ln10)` rescaled — log10 is the engine-pairable log, the
+   * `ev_msprt` precedent), 9 x·log10(x) terms composed in one fixed operand order.
+   *
+   * Scale shape: one tokenize scan → bigram counts; margins are two aggregates OF
+   * THE BIGRAM TABLE (vocab-bounded, Heaps-law sublinear); N broadcasts. The
+   * minCount filter applies to OUTPUT rows only — margins always sum all bigrams.
+   */
+  def llrPairs(df: DataFrame, minCount: Long = 5, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val toksDf = df.select(tokensCol(col(textCol)).as("__toks"))
+    val bc = toksDf.select(explode(TextFunctions.shingles(col("__toks"), 2)).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n_pair"))
+      .withColumn("tok_a", split(col("pair"), " ").getItem(0))
+      .withColumn("tok_b", split(col("pair"), " ").getItem(1))
+    val rowA = bc.groupBy(col("tok_a")).agg(sum(col("n_pair")).as("ra"))
+    val colB = bc.groupBy(col("tok_b")).agg(sum(col("n_pair")).as("cb"))
+    val n = broadcast(bc.agg(sum(col("n_pair")).as("nn")))
+    def xlx(c: Column): Column =
+      when(c >= 1, c.cast(DoubleType) * log10(c.cast(DoubleType))).otherwise(lit(0.0))
+    val (k11, ra, cb, nn) = (col("n_pair"), col("ra"), col("cb"), col("nn"))
+    val (k12, k21, k22) = (ra - k11, cb - k11, nn - ra - cb + k11)
+    bc.join(rowA, "tok_a").join(colB, "tok_b").crossJoin(n)
+      .filter(col("n_pair") >= minCount)
+      .select(col("pair"), col("n_pair"),
+        round(lit(2.0) * (xlx(k11) + xlx(k12) + xlx(k21) + xlx(k22)
+          - xlx(ra) - xlx(nn - ra) - xlx(cb) - xlx(nn - cb) + xlx(nn)), 4).as("llr10"))
+  }
+
+  /**
    * Markup stripping — the raw-crawl → text extraction step ahead of every other text
    * op: drop `<script>`/`<style>` blocks with their contents, strip remaining tags,
    * decode the common entities, collapse whitespace. Pure codegen'd `regexp_replace`

@@ -176,6 +176,37 @@ class CorpusStatsSpec extends SparkSpec {
     assert(h(20L) == ((4L, 0L)), s"survivors censored: $h")
   }
 
+  test("llrPairs: matches a naive driver-side G2 and out-ranks hapax flukes") {
+    // 20x "alpha beta" (real collocation), 1x "gamma delta" (two hapaxes, PMI's
+    // blind spot), filler bigrams to thicken the margins
+    val docs = (1L to 20L).map(i => (i, "alpha beta")) ++
+      Seq((21L, "gamma delta")) ++
+      (22L to 61L).map(i => (i, s"p${i % 7} q${(i + 3) % 7}")) // margins untouched
+    val out = TextOps.llrPairs(docs.toDF("doc_id", "text"), minCount = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // naive recomputation from scratch
+    val bigrams = docs.flatMap { case (_, t) => tok(t).sliding(2).filter(_.size == 2)
+      .map(_.mkString(" ")) }
+    val k11 = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ra = bigrams.groupBy(_.split(" ")(0)).view.mapValues(_.size.toLong).toMap
+    val cb = bigrams.groupBy(_.split(" ")(1)).view.mapValues(_.size.toLong).toMap
+    val nn = bigrams.size.toLong
+    def xlx(x: Long): Double = if (x >= 1) x.toDouble * math.log10(x.toDouble) else 0.0
+    def g2(pair: String): Double = {
+      val Array(a, b) = pair.split(" ")
+      val (k, r, c) = (k11(pair), ra(a), cb(b))
+      BigDecimal(2.0 * (xlx(k) + xlx(r - k) + xlx(c - k) + xlx(nn - r - c + k)
+        - xlx(r) - xlx(nn - r) - xlx(c) - xlx(nn - c) + xlx(nn)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    out.foreach { case (pair, v) =>
+      assert(math.abs(v - g2(pair)) < 1e-9, s"$pair: got $v expected ${g2(pair)}")
+    }
+    assert(out("alpha beta") > out("gamma delta") + 5,
+      s"collocation must dominate the hapax fluke: $out")
+    out.values.foreach(v => assert(v >= -1e-9, s"G2 is non-negative, got $v"))
+  }
+
   test("rake: hand-computed phrase scores, stopword splits, truncating e6 word scores") {
     // doc 1: phrases [deep learning], [deep network]; doc 2: [learning] x2
     // freq: deep=2, learning=3, network=1; deg: deep=4, learning=2+1+1=4, network=2

@@ -234,6 +234,34 @@ class CupedConformalCdcSpec extends SparkSpec {
     assert(oneShot.map(_.toString).sorted.toSeq == inc.map(_.toString).sorted.toSeq)
   }
 
+  test("e-BH: wave-merged associative moments reproduce the one-shot rows exactly") {
+    import org.apache.spark.sql.types.DecimalType
+    val rows = (1L to 900L).map { i =>
+      val metric = s"m${i % 3}"
+      val lift = if (i % 3 == 0 && i % 2 == 1) 40.0 else 0.0
+      (i, metric, i % 2, 50.0 + ((i * 48271L) % 31).toDouble + lift)
+    }
+    val df = rows.toDF("id", "m", "a", "v")
+    val oneShot = SampleOps.ebhFdr(df, col("m"), col("a"), col("v")).collect()
+    def mom(w: org.apache.spark.sql.DataFrame) = w
+      .select(col("m").as("metric"), col("a").as("__a"),
+        (col("v").cast(DecimalType(18, 2)) * 100).cast("long").as("c"))
+      .groupBy(col("metric"), col("__a"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+        sum((col("c").cast(DecimalType(19, 0)) * col("c").cast(DecimalType(19, 0)))
+          .cast(DecimalType(38, 0))).as("s2"))
+    val merged = mom(df.filter(col("id") % 2 === 0))
+      .unionByName(mom(df.filter(col("id") % 2 === 1)))
+      .groupBy(col("metric"), col("__a"))
+      .agg(sum(col("n")).as("n"), sum(col("s1")).as("s1"),
+        sum(col("s2")).cast(DecimalType(38, 0)).as("s2"))
+    val inc = SampleOps.ebhFromMoments(merged).collect()
+    assert(oneShot.map(_.toString).sorted.toSeq == inc.map(_.toString).sorted.toSeq)
+    // the planted m0 lift is the (single) discovery in both forms
+    assert(oneShot.filter(_.getAs[Boolean]("discovery"))
+      .map(_.getAs[String]("metric")).toSeq == Seq("m0"))
+  }
+
   // ---- densest subgraph ---------------------------------------------------------------------
 
   test("densestSubgraph: peeling isolates the planted clique; flags exactly one best round") {
