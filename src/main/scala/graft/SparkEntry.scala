@@ -5180,10 +5180,10 @@ object SparkEntry {
         .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("d"))
         .groupBy(col("user_id"))
         .agg(min(col("d")).as("__f"), max(col("d")).as("__l"))
-      val wAll = Window.partitionBy(lit(0))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val marked = life
-        .withColumn("__end", max(col("__l")).over(wAll))
+      // observation end as a broadcast scalar, not a partitionBy(lit(0)) window
+      // over every user row (same fix as SampleOps.kaplanMeier — identical rows)
+      val end = life.agg(max(col("__l")).as("__end"))
+      val marked = life.crossJoin(broadcast(end))
         .select((col("__l") - col("__f")).as("t"),
           (col("__l") >= col("__end") - 2).as("__cens"))
       val grid = marked.groupBy(col("t"))

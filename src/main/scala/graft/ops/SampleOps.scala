@@ -1123,10 +1123,10 @@ object SampleOps {
     val life = df.select(unit.as("__u"), day.as("__d"))
       .groupBy(col("__u"))
       .agg(min(col("__d")).as("__f"), max(col("__d")).as("__l"))
-    val wAll = Window.partitionBy(lit(0))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val marked = life
-      .withColumn("__end", max(col("__l")).over(wAll))
+    // observation end as a broadcast scalar — NEVER a partitionBy(lit(0)) window,
+    // which would single-partition every unit row just to read one max
+    val end = life.agg(max(col("__l")).as("__end"))
+    val marked = life.crossJoin(broadcast(end))
       .select((col("__l") - col("__f")).as("t"),
         (col("__l") >= col("__end") - (censorTailDays - 1)).as("__cens"))
     val grid = marked.groupBy(col("t"))

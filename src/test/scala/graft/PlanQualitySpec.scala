@@ -873,6 +873,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "the n-row join must broadcast")
   }
 
+  test("ev_kaplan_meier / ev_survival_hazard: one grid window each, end as broadcast scalar") {
+    // the observation end must broadcast from a scalar aggregate — a
+    // partitionBy(lit(0)) window would single-partition every UNIT row; the one
+    // remaining Window is the day-grid descending cumulative (grid-sized by design)
+    for (q <- Seq("ev_kaplan_meier", "ev_survival_hazard")) {
+      val p = plan(q)
+      assert("(?s)Window".r.findAllIn(p).length == 1,
+        s"$q must plan exactly the one grid window:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        s"$q's observation end must broadcast:\n$p")
+    }
+  }
+
   test("ev_hilbert_layout: same range-partitioned rank discipline as zorder") {
     val p = plan("ev_hilbert_layout")
     assert(!p.contains("Window") && !p.contains("ntile"),
