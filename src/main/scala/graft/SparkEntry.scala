@@ -406,6 +406,21 @@ object SparkEntry {
     "q_pareto_cut" -> ((s, dir) =>
       SampleOps.paretoCut(t(s, dir, "orders"), "o_custkey", col("o_totalprice"))),
 
+    // 2-D skyline / Pareto frontier (Börzsönyi et al. 2001, "The Skyline Operator"):
+    // parts no other part dominates on (price ↓, size ↑) — the naive form is an
+    // O(n²) dominance anti-join (the oracle's NOT EXISTS); the scale form collapses
+    // to the |distinct size| GRID first (min price per size, one hash aggregate),
+    // runs the strictly-larger-size suffix-min on that grid window, and semi-joins
+    // the frontier back via broadcast. Corpus work: one aggregate + one broadcast
+    // join — no corpus window, no pair blowup, any data size.
+    "q_skyline" -> ((s, dir) =>
+      SampleOps.skyline2d(t(s, dir, "part"),
+        gain = col("p_size"),
+        cost = (dec(col("p_retailprice"), 18, 2) * 100).cast("long"),
+        keep = Seq(col("p_partkey")))
+        .select(col("p_partkey"), col("gain").as("p_size"),
+          col("cost").as("price_cents"))),
+
     // One-pass Poisson bootstrap CI for mean order value (Chamandy et al.): deterministic
     // md5-draw multiplicities vs fixed integer CDF thresholds; nReplicas aggregate cells
     // of state; rank-statistic CI over replica means
@@ -6989,6 +7004,18 @@ object SparkEntry {
         |  CAST(cumc - nc + ((t*4+4)//5 - (cum - sv) + v - 1)//v AS BIGINT) AS n_top,
         |  ROUND(CAST(cumc - nc + ((t*4+4)//5 - (cum - sv) + v - 1)//v AS DOUBLE) / n_keys, 6) AS top_frac
         |FROM c, tt WHERE cum >= (t*4+4)//5 AND cum - sv < (t*4+4)//5""".stripMargin,
+
+    // the naive O(n²) dominance definition — the grid-collapsed Spark plan must
+    // reproduce it row for row
+    "q_skyline" ->
+      """WITH p AS (SELECT p_partkey, p_size,
+        |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+        |  FROM part)
+        |SELECT a.p_partkey, a.p_size, a.price_cents
+        |FROM p a WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.p_size >= a.p_size AND b.price_cents <= a.price_cents
+        |    AND (b.p_size > a.p_size OR b.price_cents < a.price_cents))""".stripMargin,
 
     "q_bootstrap_ci" ->
       """WITH base AS (SELECT CAST(o_orderkey AS VARCHAR) AS k,

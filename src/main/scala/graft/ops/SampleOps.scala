@@ -1098,6 +1098,31 @@ object SampleOps {
   }
 
   /**
+   * 2-D skyline / Pareto frontier (Börzsönyi et al. 2001, "The Skyline Operator"):
+   * rows no other row dominates on (cost ↓, gain ↑); two equal points never
+   * dominate each other, so ties stay in. The naive form is an O(n²) dominance
+   * anti-join; this plan collapses to the |distinct gain| GRID first (min cost per
+   * gain level — one hash aggregate), runs the strictly-greater-gain suffix-min on
+   * that grid window, and broadcast-joins the frontier back. Corpus work: one
+   * aggregate + one broadcast join, any data size.
+   *
+   * A row survives iff cost == min cost at its gain level AND that min is strictly
+   * below every min at higher gain (equality at a higher gain level dominates —
+   * same cost, strictly more gain).
+   */
+  def skyline2d(df: DataFrame, gain: Column, cost: Column,
+      keep: Seq[Column]): DataFrame = {
+    val base = df.select(keep :+ gain.as("gain") :+ cost.as("cost"): _*)
+    val grid = base.groupBy(col("gain")).agg(min(col("cost")).as("__m"))
+    val w = Window.orderBy(col("gain").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = grid.withColumn("__suf", min(col("__m")).over(w))
+      .filter(col("__suf").isNull || col("__m") < col("__suf"))
+      .select(col("gain"), col("__m").as("cost"))
+    base.join(broadcast(frontier), Seq("gain", "cost"))
+  }
+
+  /**
    * Kaplan–Meier product-limit estimator (Kaplan & Meier 1958) over per-unit
    * (first, last) activity days — the cumulative-survival companion to the
    * `ev_survival_hazard` life table (same risk-set construction: units still active

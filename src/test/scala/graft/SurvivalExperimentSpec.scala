@@ -127,6 +127,31 @@ class SurvivalExperimentSpec extends SparkSpec {
     assert(discovered.length == 2)
   }
 
+  // ---- skyline ----------------------------------------------------------------------------
+
+  test("skyline2d: hand-computed frontier, ties kept, higher-gain-equal-cost dominates") {
+    // (gain, cost): frontier must be (1,10) (3,20)x2 (5,50); (2,10) dominates (1,10)?
+    // no — (2,10) IS in the data? use: points where domination chains are explicit
+    val rows = Seq(
+      (1L, 1L, 10L),  // frontier iff nothing with gain>1 at cost<=10
+      (2L, 1L, 12L),  // dominated by id 1 (same gain, higher cost)
+      (3L, 3L, 20L),  // frontier
+      (4L, 3L, 20L),  // tie of id 3 — both kept
+      (5L, 2L, 20L),  // dominated by id 3 (higher gain, same cost)
+      (6L, 5L, 50L),  // frontier (highest gain)
+      (7L, 4L, 60L)   // dominated by 6 (higher gain, lower cost)
+    ).toDF("id", "g", "c")
+    val out = SampleOps.skyline2d(rows, col("g"), col("c"), Seq(col("id")))
+      .collect().map(_.getAs[Long]("id")).sorted.toSeq
+    assert(out == Seq(1L, 3L, 4L, 6L), s"got $out")
+    // equal cost at HIGHER gain dominates: add (8, 5, 10) — wipes ids 1, 3, 4
+    val out2 = SampleOps.skyline2d(
+      rows.union(Seq((8L, 5L, 10L)).toDF("id", "g", "c")),
+      col("g"), col("c"), Seq(col("id")))
+      .collect().map(_.getAs[Long]("id")).sorted.toSeq
+    assert(out2 == Seq(8L), s"got $out2")
+  }
+
   // ---- linear-time MMD drift --------------------------------------------------------------
 
   /** ids 0..n-1 with vector builder f(id). */
