@@ -916,6 +916,31 @@ object SparkEntry {
             - (col("n_users") + 1).cast(DoubleType) / col("n_users"), 6).as("gini"))
     }),
 
+    // Lorenz curve deciles — ev_gini's CURVE companion (the gini is the area the
+    // curve encloses; the deciles are what the concentration report shows): share
+    // of total events held by the d·10% least-active users, exact at the ceil'd
+    // decile boundary. Same value-histogram shape as ev_gini/q_pareto_cut: state
+    // bounded by the DISTINCT-COUNT grid, never user count; per-decile rows come
+    // from one broadcast range join against the cumulative grid.
+    "ev_lorenz" -> ((s, dir) => {
+      val uc = t(s, dir, "events").groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      val h = uc.groupBy(col("c").as("v")).agg(count(lit(1)).as("nk"))
+      val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+      val cum = h
+        .withColumn("r", coalesce(sum(col("nk")).over(w), lit(0L)))
+        .withColumn("ce", coalesce(sum(col("v") * col("nk")).over(w), lit(0L)))
+      val tot = broadcast(h.agg(sum(col("nk")).cast("long").as("n_users"),
+        sum(col("v") * col("nk")).cast("long").as("total_events")))
+      val deciles = s.range(1, 11).select(col("id").as("decile"))
+      cum.crossJoin(tot).crossJoin(broadcast(deciles))
+        .withColumn("b", expr("(decile * n_users + 9) div 10"))
+        .filter(col("r") < col("b") && col("b") <= col("r") + col("nk"))
+        .select(col("decile"), col("b").as("n_users_cum"),
+          (col("ce") + (col("b") - col("r")) * col("v")).cast("long").as("events_cum"),
+          round((col("ce") + (col("b") - col("r")) * col("v")).cast(DoubleType)
+            / col("total_events"), 6).as("share"))
+    }),
+
     // CUSUM changepoint scan over the daily event-count series (Page 1954 mean-shift
     // form): S_i = Σ_{j≤i}(c_j − mean), peak |S| marks the most likely shift point.
     // DIVISION-FREE: S_scaled_i = n·cum_i − pos_i·total is the same statistic scaled
@@ -7548,6 +7573,25 @@ object SparkEntry {
         |SELECT n AS n_users, t AS total_events,
         |  ROUND(CAST(s2 AS DOUBLE) / (n * t) - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
         |FROM a""".stripMargin,
+
+    "ev_lorenz" ->
+      """WITH uc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+        |h AS (SELECT c AS v, CAST(COUNT(*) AS BIGINT) AS nk FROM uc GROUP BY 1),
+        |cum AS (SELECT v, nk,
+        |  COALESCE(CAST(SUM(nk) OVER
+        |    (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS r,
+        |  COALESCE(CAST(SUM(v * nk) OVER
+        |    (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS ce
+        |  FROM h),
+        |tot AS (SELECT CAST(SUM(nk) AS BIGINT) AS n_users,
+        |  CAST(SUM(v * nk) AS BIGINT) AS total_events FROM h),
+        |dd AS (SELECT CAST(u.d AS BIGINT) AS decile FROM unnest(range(1, 11)) AS u(d)),
+        |j AS (SELECT decile, (decile * n_users + 9) // 10 AS b, v, nk, r, ce, total_events
+        |  FROM cum CROSS JOIN tot CROSS JOIN dd)
+        |SELECT decile, b AS n_users_cum,
+        |  CAST(ce + (b - r) * v AS BIGINT) AS events_cum,
+        |  ROUND(CAST(ce + (b - r) * v AS DOUBLE) / total_events, 6) AS share
+        |FROM j WHERE r < b AND b <= r + nk""".stripMargin,
 
     "ev_cusum" ->
       """WITH d AS (SELECT CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000 AS day,

@@ -127,6 +127,29 @@ class SurvivalExperimentSpec extends SparkSpec {
     assert(discovered.length == 2)
   }
 
+  // ---- Lorenz deciles ---------------------------------------------------------------------
+
+  test("ev_lorenz via the entry: 9 one-event users + 1 nine-event user, exact decile shares") {
+    // write a tiny events table and run the declared query against it
+    val dir = java.nio.file.Files.createTempDirectory("graft-lorenz").toString
+    val rows = ((1L to 9L).map(u => (u * 100, u)) ++
+      (1L to 9L).map(i => (9000L + i, 10L)))
+      .map { case (eid, uid) =>
+        (eid, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), uid, "view", 1.0, "{}")
+      }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("ev_lorenz")(spark, dir).collect()
+      .map(r => r.getAs[Long]("decile") ->
+        ((r.getAs[Long]("n_users_cum"), r.getAs[Long]("events_cum"),
+          r.getAs[Double]("share")))).toMap
+    // N=10, total=18: decile d<=9 holds d events; the top decile adds the 9-event user
+    assert(out(5) == ((5L, 5L, math.rint(5.0 / 18 * 1e6) / 1e6)))
+    assert(out(9) == ((9L, 9L, 0.5)))
+    assert(out(10) == ((10L, 18L, 1.0)))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   // ---- skyline ----------------------------------------------------------------------------
 
   test("skyline2d: hand-computed frontier, ties kept, higher-gain-equal-cost dominates") {
