@@ -4774,6 +4774,15 @@ object SparkEntry {
       VectorOps.annRecallGate(exact, approx, short, recallFloor = 0.5, candCap = 480L)
     }),
 
+    // Frequent Directions matrix sketch (Liberty 2013; mergeable per Ghashami et
+    // al. 2016) — the MATRIX member of the sketch family: ℓ×d state preserving the
+    // corpus's d×d second-moment structure to additive spectral error
+    // ‖AᵀA − BᵀB‖₂ ≤ 2‖A‖_F²/ℓ with AᵀA − BᵀB ⪰ 0. Row values are
+    // aggregation-order-dependent (floating SVD), so the gate pins the GUARANTEE
+    // against the exact gram (VectorOps.fdGate — the ANN verdict discipline).
+    "emb_fd_sketch" -> ((s, dir) =>
+      VectorOps.fdGate(t(s, dir, "embeddings"), l = 16)),
+
     // binary quantization (sign-bit, 1 bit/dim — the 32× end of the compression
     // ladder past SQ8): one 64-bit signature per vector, XOR+POPCNT Hamming
     // candidates, exact-cosine rerank of the 64-deep shortlist; same
@@ -6569,6 +6578,10 @@ object SparkEntry {
 
     "emb_ann_bq" ->
       "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok, TRUE AS bounded_ok FROM embeddings WHERE vec_id < 8",
+
+    "emb_fd_sketch" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, TRUE AS rows_bounded,
+        |  TRUE AS bound_ok, TRUE AS psd_ok FROM embeddings""".stripMargin,
 
     "emb_ann_ivf" ->
       "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok, TRUE AS bounded_ok FROM embeddings WHERE vec_id < 8",

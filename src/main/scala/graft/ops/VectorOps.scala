@@ -1552,6 +1552,43 @@ object VectorOps {
   }
 
   /**
+   * Self-verifying gate for the Frequent Directions sketch
+   * ([[graft.functions.FdSketch]]): aggregate the sketch distributed, compute the
+   * EXACT gram AᵀA in the same scan shape (per-row outer products flattened to d²
+   * cells — one narrow pass, no join), and check Liberty's deterministic guarantee
+   * on the driver over the two model-sized artifacts (d×d gram + ℓ×d sketch):
+   * AᵀA − BᵀB is PSD and its spectral norm is ≤ 2‖A‖_F²/ℓ. Sketch row VALUES vary
+   * with partial-aggregation order (floating SVD), so only the guarantee gates —
+   * the ANN verdict discipline.
+   */
+  def fdGate(df: DataFrame, l: Int = 16, vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    val gramCells = df.select(posexplode(expr(
+        s"flatten(transform($vecCol, x -> transform($vecCol, y -> " +
+          "CAST(x AS DOUBLE) * CAST(y AS DOUBLE))))")).as(Seq("p", "v")))
+      .groupBy(col("p")).agg(sum(col("v")).as("g"))
+      .collect() // d² cells — a model artifact, never corpus-sized
+    val d = math.round(math.sqrt(gramCells.length.toDouble)).toInt
+    val g = breeze.linalg.DenseMatrix.zeros[Double](d, d)
+    gramCells.foreach { r =>
+      val p = r.getAs[Int]("p"); g(p / d, p % d) = r.getAs[Double]("g")
+    }
+    val skRows = df.agg(graft.functions.FdSketch.fdSketchAgg(col(vecCol), l).as("b"))
+      .head().getSeq[scala.collection.Seq[Double]](0)
+    val b = breeze.linalg.DenseMatrix.tabulate(skRows.length, d)((i, j) => skRows(i)(j))
+    val err = g - (b.t * b) // d×d symmetric
+    val eigs = breeze.linalg.eigSym.justEigenvalues((err + err.t) *:* 0.5)
+    val frobA2 = breeze.linalg.trace(g)
+    val tol = 1e-6 * math.max(frobA2, 1.0)
+    val nVectors = df.count()
+    import spark.implicits._
+    Seq((nVectors, skRows.length <= l,
+      breeze.linalg.max(eigs) <= 2.0 * frobA2 / l + tol,
+      breeze.linalg.min(eigs) >= -tol))
+      .toDF("n_vectors", "rows_bounded", "bound_ok", "psd_ok")
+  }
+
+  /**
    * Linear-time MMD² drift statistic between two interleaved embedding streams
    * (Gretton et al. 2012, "A Kernel Two-Sample Test", Lemma 14): consecutive
    * id-quadruples {4g, 4g+1, 4g+2, 4g+3} form (x₁, y₁, x₂, y₂); the unbiased

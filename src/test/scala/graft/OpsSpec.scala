@@ -432,6 +432,32 @@ class VectorOpsSpec extends SparkSpec {
       trained = Some(m2)).collect().map(_.getLong(1)).toSeq == Seq(2L))
   }
 
+  test("FD sketch: spectral guarantee on real + adversarial data, any partitioning") {
+    // real embeddings, three different partitionings: the bound must hold under any
+    // merge tree (FD is a mergeable summary)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for (parts <- Seq(1, 4, 13)) {
+      val out = graft.ops.VectorOps.fdGate(e.repartition(parts), l = 16).head()
+      assert(out.getAs[Boolean]("rows_bounded"), s"parts=$parts")
+      assert(out.getAs[Boolean]("bound_ok"), s"parts=$parts: spectral bound violated")
+      assert(out.getAs[Boolean]("psd_ok"), s"parts=$parts: error matrix not PSD")
+    }
+    // near-rank-1 stream: the sketch must capture the dominant direction almost
+    // exactly (FD is exact on inputs of rank < l/2 up to the shrink deltas)
+    val dir0 = Array.tabulate(8)(j => (j + 1).toFloat)
+    val lowRank = (1 to 300).map { i =>
+      (i.toLong, dir0.map(_ * (1f + (i % 7).toFloat / 10f)))
+    }.toDF("vec_id", "embedding")
+    val sk = lowRank.agg(graft.functions.FdSketch.fdSketchAgg(col("embedding"), 8)
+      .as("b")).head().getSeq[scala.collection.Seq[Double]](0)
+    // dominant sketch row must be parallel to dir0 (cosine ~ 1)
+    val top = sk.maxBy(r => r.map(x => x * x).sum)
+    val dot = top.zip(dir0).map { case (a, b) => a * b }.sum
+    val cos = math.abs(dot) / (math.sqrt(top.map(x => x * x).sum) *
+      math.sqrt(dir0.map(x => x * x.toDouble).sum))
+    assert(cos > 0.9999, s"rank-1 direction lost: cos=$cos")
+  }
+
   test("BQ: one sign-bit word per vector, Hamming shortlist + exact rerank keeps recall") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 8)
