@@ -59,6 +59,14 @@ object GraftExtensions {
     // callers explode the struct array and groupBy hash for byte-grain dedup
     "graft_gear_chunks" -> (es => GearChunks(es(0),
       intArg(es(1), "minLen"), intArg(es(2), "maskBits"), intArg(es(3), "maxLen"))),
+    // round-10 session-2 additions: Hilbert layout index for SQL-side clustering
+    // writes, and the Frequent Directions matrix sketch aggregate
+    "graft_hilbert_index" -> (es =>
+      graft.functions.LayoutExpressions.HilbertIndex(
+        Cast(es(0), LongType), Cast(es(1), LongType), intArg(es(2), "bits"))),
+    "graft_fd_sketch" -> (es =>
+      graft.functions.FdExpressions.FdSketchAgg(es(0), intArg(es(1), "l"))
+        .toAggregateExpression()),
     // numeric order/score/tiebreak args are widened here so SQL callers can pass INT/FLOAT
     // columns; the aggregates themselves then type-check strictly at analysis
     "graft_latest_struct" -> (es =>

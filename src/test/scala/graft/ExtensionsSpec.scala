@@ -89,6 +89,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(err.getMessage.toLowerCase.contains("struct"))
   }
 
+  test("graft_hilbert_index / graft_fd_sketch: SQL paths match the column/static APIs") {
+    GraftExtensions.register(spark)
+    val h = spark.sql(
+      "SELECT graft_hilbert_index(13, 200, 8) AS h, graft_hilbert_index(0, 0, 8) AS z")
+      .collect()(0)
+    assert(h.getLong(0) == graft.functions.HilbertCurve.xy2d(8, 13L, 200L))
+    assert(h.getLong(1) == 0L)
+    // FD via SQL over a rank-1 stream: one non-zero sketch row parallel to the data
+    val rows = spark.sql(
+      """SELECT graft_fd_sketch(v, 4) AS b FROM (
+        |  SELECT transform(sequence(1, 4), j -> CAST(j * (1 + id % 3) AS DOUBLE)) AS v
+        |  FROM range(0, 50))""".stripMargin)
+      .collect()(0).getSeq[scala.collection.Seq[Double]](0)
+    val top = rows.maxBy(r => r.map(x => x * x).sum)
+    val base = Seq(1.0, 2.0, 3.0, 4.0)
+    val cos = top.zip(base).map { case (a, b) => a * b }.sum /
+      (math.sqrt(top.map(x => x * x).sum) * math.sqrt(base.map(x => x * x).sum))
+    assert(math.abs(cos) > 0.9999, s"SQL FD sketch lost the rank-1 direction: $cos")
+  }
+
   test("graft_gear_chunks: SQL path covers the payload and matches the column API") {
     GraftExtensions.register(spark)
     val r = spark.sql(
