@@ -916,6 +916,50 @@ object SparkEntry {
             - (col("n_users") + 1).cast(DoubleType) / col("n_users"), 6).as("gini"))
     }),
 
+    // Qini uplift curve (Radcliffe 2007, the incremental-lift targeting readout
+    // CUPED/DiD don't give): rank users by a targeting score (pre-period spend),
+    // then per decile prefix report Qini(d) = Y_T − Y_C·n_T/n_C — the incremental
+    // outcome of treating the top d·10%. Deciles are GROUP-CLOSED on the score grid
+    // (a prefix always ends at a whole score level, so the treat/control composition
+    // is deterministic — no order-dependent partial group): state is the score-grid
+    // histogram, never per-user ranks; one user exchange, grid windows, broadcast
+    // decile join — the ev_lorenz discipline.
+    "ev_qini" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        (dec(col("value"), 18, 2) * 100).cast("long").as("c"),
+        expr("unix_millis(ts) div 86400000").as("d"))
+      val d0 = ev.agg(min(col("d")).as("__d0"))
+      val users = ev.crossJoin(broadcast(d0))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("d") < col("__d0") + 15, col("c")).otherwise(0L)).as("score"),
+          sum(when(col("d") >= col("__d0") + 15, col("c")).otherwise(0L)).as("y"))
+        .select(col("user_id"), col("score"), col("y"),
+          (pmod(col("user_id"), lit(2)) === 1).as("tr"))
+      val grid = users.groupBy(col("score")).agg(
+        count(lit(1)).as("n_at"),
+        sum(when(col("tr"), 1L).otherwise(0L)).as("nt_at"),
+        sum(when(col("tr"), col("y")).otherwise(0L)).as("yt_at"),
+        sum(when(!col("tr"), col("y")).otherwise(0L)).as("yc_at"))
+      val w = Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = grid.select(col("score"), col("n_at"),
+        sum(col("n_at")).over(w).as("cumn"),
+        sum(col("nt_at")).over(w).as("nt"),
+        sum(col("yt_at")).over(w).as("yt"),
+        sum(col("yc_at")).over(w).as("yc"))
+      val tot = broadcast(users.agg(count(lit(1)).as("n_users")))
+      val deciles = s.range(1, 11).select(col("id").as("decile"))
+      cum.crossJoin(tot).crossJoin(broadcast(deciles))
+        .withColumn("b", expr("(decile * n_users + 9) div 10"))
+        .filter(col("cumn") >= col("b") && col("cumn") - col("n_at") < col("b"))
+        .select(col("decile"), col("cumn").cast("long").as("n_included"),
+          col("nt").cast("long").as("n_treat"),
+          (col("cumn") - col("nt")).cast("long").as("n_ctrl"),
+          round(when(col("cumn") - col("nt") > 0,
+            (col("yt").cast(DoubleType) - col("yc").cast(DoubleType) *
+              col("nt") / (col("cumn") - col("nt"))) / 100.0), 4).as("qini_dollars"))
+    }),
+
     // Lorenz curve deciles — ev_gini's CURVE companion (the gini is the area the
     // curve encloses; the deciles are what the concentration report shows): share
     // of total events held by the d·10% least-active users, exact at the ceil'd
@@ -7586,6 +7630,37 @@ object SparkEntry {
         |SELECT n AS n_users, t AS total_events,
         |  ROUND(CAST(s2 AS DOUBLE) / (n * t) - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
         |FROM a""".stripMargin,
+
+    "ev_qini" ->
+      """WITH e AS (SELECT user_id, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |    CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000 AS d FROM events),
+        |d0 AS (SELECT MIN(d) AS d0 FROM e),
+        |u AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN d < d0 + 15 THEN c ELSE 0 END) AS BIGINT) AS score,
+        |    CAST(SUM(CASE WHEN d >= d0 + 15 THEN c ELSE 0 END) AS BIGINT) AS y,
+        |    user_id % 2 = 1 AS tr
+        |  FROM e, d0 GROUP BY user_id, d0),
+        |g AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS n_at,
+        |    CAST(SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS nt_at,
+        |    CAST(SUM(CASE WHEN tr THEN y ELSE 0 END) AS BIGINT) AS yt_at,
+        |    CAST(SUM(CASE WHEN NOT tr THEN y ELSE 0 END) AS BIGINT) AS yc_at
+        |  FROM u GROUP BY 1),
+        |cum AS (SELECT score, n_at,
+        |    CAST(SUM(n_at) OVER w AS BIGINT) AS cumn,
+        |    CAST(SUM(nt_at) OVER w AS BIGINT) AS nt,
+        |    CAST(SUM(yt_at) OVER w AS BIGINT) AS yt,
+        |    CAST(SUM(yc_at) OVER w AS BIGINT) AS yc
+        |  FROM g WINDOW w AS (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM u),
+        |dd AS (SELECT CAST(x.d AS BIGINT) AS decile FROM unnest(range(1, 11)) AS x(d)),
+        |j AS (SELECT decile, (decile * n_users + 9) // 10 AS b, cum.*
+        |  FROM cum CROSS JOIN tot CROSS JOIN dd)
+        |SELECT decile, cumn AS n_included, nt AS n_treat,
+        |  cumn - nt AS n_ctrl,
+        |  ROUND(CASE WHEN cumn - nt > 0 THEN
+        |    (CAST(yt AS DOUBLE) - CAST(yc AS DOUBLE) * nt / (cumn - nt)) / 100.0
+        |  END, 4) AS qini_dollars
+        |FROM j WHERE cumn >= b AND cumn - n_at < b""".stripMargin,
 
     "ev_lorenz" ->
       """WITH uc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),

@@ -150,6 +150,30 @@ class SurvivalExperimentSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("ev_qini via the entry: planted uplift of 50 dollars per treated user") {
+    // 100 users, distinct scores (user_id dollars pre-period), post outcome
+    // 100 + 50*treated dollars: per decile prefix (10d users, 5d per arm)
+    // qini = yt - yc*nt/nc = (150*5d - 100*5d) dollars = 250d
+    val dir = java.nio.file.Files.createTempDirectory("graft-qini").toString
+    val pre = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val post = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+    val rows = (1L to 100L).flatMap { u =>
+      val y = if (u % 2 == 1) 150.0 else 100.0
+      Seq((u * 2, pre, u, "view", u.toDouble, "{}"),
+        (u * 2 + 1, post, u, "purchase", y, "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("ev_qini")(spark, dir).collect()
+      .map(r => r.getAs[Long]("decile") ->
+        ((r.getAs[Long]("n_included"), r.getAs[Long]("n_treat"),
+          r.getAs[Double]("qini_dollars")))).toMap
+    (1L to 10L).foreach { d =>
+      assert(out(d) == ((10 * d, 5 * d, 250.0 * d)), s"decile $d: ${out(d)}")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   // ---- skyline ----------------------------------------------------------------------------
 
   test("skyline2d: hand-computed frontier, ties kept, higher-gain-equal-cost dominates") {
