@@ -2773,6 +2773,56 @@ object SparkEntry {
           count(lit(1)).as("n_touches"))
     }),
 
+    // Exact Shapley-value attribution (Shapley 1953; the marketing formulation of
+    // Zhao et al. 2018, "Shapley Value Methods for Attribution Modeling"): the
+    // coalition worth v(T) = conversion rate of users whose touched-channel set is
+    // exactly T, and channel i earns φᵢ = Σ_{T∌i} |T|!(n−1−|T|)!/n!·(v(T∪i)−v(T)) —
+    // the credit split first/last/linear (ev_attribution) can't justify axiomatically.
+    // EVERYTHING is grid-bounded after one user collapse: v lives on the 2ⁿ
+    // channel-subset grid (n = distinct channels, asserted ≤ 10), v quantizes to
+    // exact e9 BIGINTs, the |T|!(n−1−|T|)! weights come from a factorial lookup, so
+    // every Shapley numerator is an ORDER-FREE exact integer sum — one double
+    // division at the end. Corpus cost: one (user, channel) distinct + one user
+    // aggregate; the subset lattice join is ≤ 2¹⁰ rows.
+    "ev_shapley_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val chBit = ev.filter(col("event_type") =!= "purchase")
+        .select(col("event_type").as("channel")).distinct()
+        .orderBy(col("channel")).collect().map(_.getString(0)).zipWithIndex
+      val n = chBit.length
+      require(n >= 1 && n <= 10, s"subset-exact Shapley needs 1..10 channels, got $n")
+      val fact = Array(1L, 1L, 2L, 6L, 24L, 120L, 720L, 5040L, 40320L, 362880L, 3628800L)
+      val bitOf = typedlit(chBit.map { case (c, b) => c -> b.toLong }.toMap)
+      val touched = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), bitOf(col("event_type")).as("bit")).distinct()
+        .groupBy(col("user_id"))
+        .agg(sum(expr("shiftleft(1L, CAST(bit AS INT))")).as("mask"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct().withColumn("cv", lit(1L))
+      val vT = ev.select(col("user_id")).distinct()
+        .join(touched, Seq("user_id"), "left").na.fill(0L, Seq("mask"))
+        .join(conv, Seq("user_id"), "left").na.fill(0L, Seq("cv"))
+        .groupBy(col("mask"))
+        .agg(expr("sum(cv) * 1000000000 div count(1)").as("v_e9"))
+      val dense = s.range(0, 1L << n).select(col("id").as("mask"))
+        .join(vT, Seq("mask"), "left").na.fill(0L, Seq("v_e9"))
+      val factLit = typedlit(fact.toSeq)
+      val terms = chBit.map { case (ch, bit) =>
+        dense.as("a")
+          .join(dense.as("b"), col("b.mask") === col("a.mask") + (1L << bit))
+          .filter(col("a.mask").bitwiseAND(lit(1L << bit)) === 0)
+          .select(lit(ch).as("channel"),
+            ((col("b.v_e9") - col("a.v_e9")) *
+              element_at(factLit, expr("CAST(bit_count(a.mask) AS INT) + 1")) *
+              element_at(factLit, lit(n) - expr("CAST(bit_count(a.mask) AS INT)")))
+              .as("term"))
+      }.reduce(_ unionByName _)
+      terms.groupBy(col("channel"))
+        .agg(sum(col("term")).as("__num"))
+        .select(col("channel"),
+          round(col("__num").cast(DoubleType) / lit(fact(n) * 1e9), 6).as("shapley"))
+    }),
+
     "ev_interval_join" -> ((s, dir) => {
       val ev = t(s, dir, "events").withColumn("ms", unix_millis(col("ts")))
       val clicks = ev.filter(col("event_type") === "click")
@@ -8717,6 +8767,40 @@ object SparkEntry {
         |                   + (vb / n_b) * (vb / n_b) / (n_b - 1)), 2) AS df_welch,
         |  (ABS((mean_a - mean_b) / sqrt(se2)) > 1.96) AS significant
         |FROM s""".stripMargin,
+
+    // the same subset-lattice construction: exact e9 worth per touched-set mask,
+    // factorial-weighted integer numerators, one double division
+    "ev_shapley_attribution" ->
+      """WITH ch AS (SELECT channel,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY channel) - 1 AS BIGINT) AS bit
+        |  FROM (SELECT DISTINCT event_type AS channel FROM events
+        |        WHERE event_type <> 'purchase')),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ch),
+        |touched AS (SELECT DISTINCT e.user_id, c.bit
+        |  FROM events e JOIN ch c ON c.channel = e.event_type),
+        |um AS (SELECT user_id, CAST(SUM(1::BIGINT << CAST(bit AS INT)) AS BIGINT) AS mask
+        |  FROM touched GROUP BY 1),
+        |cv AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+        |u AS (SELECT a.user_id, COALESCE(um.mask, 0) AS mask,
+        |    CASE WHEN cv.user_id IS NULL THEN 0 ELSE 1 END AS c
+        |  FROM (SELECT DISTINCT user_id FROM events) a
+        |  LEFT JOIN um USING (user_id) LEFT JOIN cv ON cv.user_id = a.user_id),
+        |vt AS (SELECT mask, CAST(SUM(c) AS BIGINT) * 1000000000 // CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM u GROUP BY 1),
+        |grid AS (SELECT CAST(g.m AS BIGINT) AS mask, COALESCE(vt.v, 0) AS v
+        |  FROM (SELECT UNNEST(range(0, (SELECT 1::BIGINT << CAST(n AS INT) FROM nn))) AS m) g
+        |  LEFT JOIN vt ON vt.mask = CAST(g.m AS BIGINT)),
+        |f AS (SELECT [1,1,2,6,24,120,720,5040,40320,362880,3628800]::BIGINT[] AS fa),
+        |terms AS (SELECT c.channel,
+        |    (b.v - a.v) * fa[CAST(bit_count(a.mask) AS INT) + 1]
+        |      * fa[CAST(nn.n - bit_count(a.mask) AS INT)] AS term
+        |  FROM ch c CROSS JOIN nn CROSS JOIN f
+        |  JOIN grid a ON (a.mask & (1::BIGINT << CAST(c.bit AS INT))) = 0
+        |  JOIN grid b ON b.mask = a.mask + (1::BIGINT << CAST(c.bit AS INT)))
+        |SELECT channel,
+        |  ROUND(CAST(SUM(term) AS DOUBLE) /
+        |    ((SELECT fa[CAST(n AS INT) + 1] FROM nn, f) * 1000000000.0), 6) AS shapley
+        |FROM terms GROUP BY 1""".stripMargin,
 
     "ev_attribution" ->
       """WITH e AS (SELECT event_id, user_id, event_type,

@@ -174,6 +174,30 @@ class SurvivalExperimentSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("ev_shapley_attribution via the entry: hand-computed two-channel game") {
+    // v({a})=0.4 (4/10 convert), v({b})=0.2, v({a,b})=0.8, v(empty)=0 (unobserved)
+    // phi_a = 1/2*(v(a)-v(0)) + 1/2*(v(ab)-v(b)) = 0.2 + 0.3 = 0.5
+    // phi_b = 1/2*(v(b)-v(0)) + 1/2*(v(ab)-v(a)) = 0.1 + 0.2 = 0.3
+    val dir = java.nio.file.Files.createTempDirectory("graft-shapley").toString
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    var eid = 0L
+    def ev(u: Long, tpe: String) = { eid += 1; (eid, ts0, u, tpe, 1.0, "{}") }
+    val rows =
+      (1L to 10L).map(u => ev(u, "a")) ++ (1L to 4L).map(u => ev(u, "purchase")) ++
+      (11L to 20L).map(u => ev(u, "b")) ++ (11L to 12L).map(u => ev(u, "purchase")) ++
+      (21L to 30L).flatMap(u => Seq(ev(u, "a"), ev(u, "b"))) ++
+      (21L to 28L).map(u => ev(u, "purchase"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("ev_shapley_attribution")(spark, dir).collect()
+      .map(r => r.getAs[String]("channel") -> r.getAs[Double]("shapley")).toMap
+    assert(math.abs(out("a") - 0.5) < 1e-6, s"got $out")
+    assert(math.abs(out("b") - 0.3) < 1e-6, s"got $out")
+    // efficiency: credits sum to v(grand coalition) - v(empty)
+    assert(math.abs(out.values.sum - 0.8) < 1e-6)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   // ---- skyline ----------------------------------------------------------------------------
 
   test("skyline2d: hand-computed frontier, ties kept, higher-gain-equal-cost dominates") {
