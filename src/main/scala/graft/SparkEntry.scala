@@ -4184,6 +4184,18 @@ object SparkEntry {
       graft.ops.GraphOps.kCore(edges, k = 2, rounds = 8, requireConverged = true)
     }),
 
+    // k-truss (Cohen 2008) — the EDGE-grain cohesion sibling of q_basket_kcore:
+    // every surviving edge must sit in ≥ k−2 triangles (strictly stronger than
+    // degree; hubs without closed wedges fall out). Per round: per-edge triangle
+    // support via the oriented-wedge kernel (each triangle found once at its
+    // lowest-degree corner), peel, repeat to an ASSERTED fixpoint within the round
+    // budget (GraphOps.kTruss).
+    "q_basket_ktruss" -> ((s, dir) => {
+      val edges = graft.ops.GraphOps.coOccurrenceEdges(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minCount = 2)
+      graft.ops.GraphOps.kTruss(edges, k = 3, rounds = 8, requireConverged = true)
+    }),
+
     // Densest subgraph, 3-approx by ε=1/2 distributed peeling (Bahmani et al. 2012):
     // every round shrinks |V| by ≥ 1/3, the driver stops at the first EMPTY round
     // (adaptive, the CC-family idiom — a static 28-round unroll measured 6.4 s at
@@ -10280,6 +10292,30 @@ object SparkEntry {
 
     // generated 16-round peel unroll; exact-integer threshold and argmax
     "q_basket_densest" -> densestOracle,
+
+    // the unrolled 8-round truss peel: per round, support(a,b) = common-neighbor
+    // count over the symmetric closure (the same number the oriented kernel counts),
+    // then the >= k-2 filter; MATERIALIZED for the kcore oracle's inlining reason
+    "q_basket_ktruss" -> {
+      val rounds = (0 until 8).map { r =>
+        s"""sym$r AS MATERIALIZED (SELECT a AS u, b AS v FROM e$r UNION ALL SELECT b, a FROM e$r),
+           |s$r AS MATERIALIZED (SELECT e.a, e.b, CAST(COUNT(*) AS BIGINT) AS sup
+           |  FROM e$r e JOIN sym$r s1 ON s1.u = e.a JOIN sym$r s2 ON s2.u = e.b AND s2.v = s1.v
+           |  GROUP BY 1, 2),
+           |e${r + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e$r e
+           |  JOIN s$r s ON s.a = e.a AND s.b = e.b WHERE s.sup >= 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT a.pk AS a, b.pk AS b FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |$rounds,
+         |symf AS (SELECT a AS u, b AS v FROM e8 UNION ALL SELECT b, a FROM e8),
+         |sf AS (SELECT e.a, e.b, CAST(COUNT(*) AS BIGINT) AS sup
+         |  FROM e8 e JOIN symf s1 ON s1.u = e.a JOIN symf s2 ON s2.u = e.b AND s2.v = s1.v
+         |  GROUP BY 1, 2)
+         |SELECT e.a, e.b, COALESCE(sf.sup, 0) AS support
+         |FROM e8 e LEFT JOIN sf ON sf.a = e.a AND sf.b = e.b""".stripMargin
+    },
 
     "q_basket_kcore" ->
       // AS MATERIALIZED throughout: each unrolled round references the previous round

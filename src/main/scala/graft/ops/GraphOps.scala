@@ -271,6 +271,67 @@ object GraphOps {
    * @return single row: n_nodes, n_edges, n_wedges (unordered, Σ C(deg,2)),
    *         n_triangles, clustering = 3·triangles / wedges (DECIMAL(18,8)-quantized)
    */
+  /**
+   * k-truss decomposition (Cohen 2008, "Trusses: Cohesive Subgraphs for Social
+   * Network Analysis") — the EDGE-grain cohesion sibling of [[kCore]]: the maximal
+   * subgraph where every edge participates in ≥ k−2 triangles. Stricter than
+   * k-core (every k-truss is a (k−1)-core) and the standard community-core
+   * extractor where degree alone over-admits hubs.
+   *
+   * Per round: per-edge triangle support via the [[triangleStats]] oriented-wedge
+   * kernel (each triangle found ONCE at its lowest-degree corner — Σ min(d_u,d_v)
+   * work, never Σd², then exploded to its 3 member edges), drop edges below k−2,
+   * repeat. Bounded `rounds` with the kCore convergence assertion; support columns
+   * are exact counts, so both engines agree row-for-row at the fixpoint.
+   *
+   * @return surviving canonical edges (a < b) with their fixpoint support
+   */
+  def kTruss(edges: DataFrame, k: Int = 3, rounds: Int = 4,
+      requireConverged: Boolean = false): DataFrame = {
+    require(k >= 2 && rounds >= 1)
+    def canonical(df: DataFrame): DataFrame =
+      df.select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    def support(cur: DataFrame): DataFrame = {
+      val deg = cur.select(col("a").as("n")).union(cur.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val oriented = cur
+        .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+        .select(when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+            struct(col("a").as("src"), col("b").as("dst")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("o"))
+        .select(col("o.src").as("src"), col("o.dst").as("dst"))
+      val w1 = oriented.select(col("src").as("c"), col("dst").as("x"))
+      val w2 = oriented.select(col("src").as("c"), col("dst").as("y"))
+      val tris = w1.join(w2, "c").filter(col("x") < col("y"))
+        .join(cur.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"), "left_semi")
+      tris.select(explode(array(
+          struct(least(col("c"), col("x")).as("a"), greatest(col("c"), col("x")).as("b")),
+          struct(least(col("c"), col("y")).as("a"), greatest(col("c"), col("y")).as("b")),
+          struct(col("x").as("a"), col("y").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    }
+    def peel(cur: DataFrame): DataFrame =
+      cur.join(support(cur).filter(col("support") >= k - 2),
+          Seq("a", "b"), "left_semi")
+        .localCheckpoint(eager = false)
+    var e = canonical(edges).localCheckpoint(eager = false)
+    for (_ <- 1 to rounds) e = peel(e)
+    val res = e.join(support(e), Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("support"), lit(0L)).as("support"))
+    if (!requireConverged) res
+    else {
+      val conv = e.agg(count(lit(1)).as("__n_r"))
+        .crossJoin(peel(e).agg(count(lit(1)).as("__n_r1")))
+      res.crossJoin(broadcast(conv))
+        .filter(assert_true(col("__n_r") === col("__n_r1"),
+          lit(s"kTruss: not converged after rounds=$rounds — raise the budget")).isNull)
+        .select(col("a"), col("b"), col("support"))
+    }
+  }
+
   def triangleStats(edges: DataFrame): DataFrame = {
     val e = edges.select(col("u"), col("v")).distinct()
     val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))

@@ -394,6 +394,29 @@ class Scd2RfmSpec extends SparkSpec {
     assert(math.abs(h - mw * mw) < 0.05, s"h=$h z^2=${mw * mw}")
   }
 
+  test("kTruss: K4 + pendant triangle + path — k=3 keeps both cliques, k=4 keeps only K4") {
+    import spark.implicits._
+    import graft.ops.GraphOps
+    // K4 on 1-4 (each edge in 2 triangles), triangle {4,10,11} glued at node 4
+    // (each edge in 1 triangle), path 20-21-22 (no triangles)
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val tri = Seq((4L, 10L), (4L, 11L), (10L, 11L))
+    val path = Seq((20L, 21L), (21L, 22L))
+    val edges = (k4 ++ tri ++ path).toDF("u", "v")
+    val t3 = GraphOps.kTruss(edges, k = 3, rounds = 4, requireConverged = true)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(t3.keySet == (k4 ++ tri).toSet, s"k=3 must keep both cliques: ${t3.keySet}")
+    k4.foreach(e => assert(t3(e) == 2L, s"K4 edge $e support"))
+    tri.foreach(e => assert(t3(e) == 1L, s"triangle edge $e support"))
+    val t4 = GraphOps.kTruss(edges, k = 4, rounds = 4, requireConverged = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t4 == k4.toSet, s"k=4 must peel the pendant triangle too: $t4")
+    // cascade: removing the pendant triangle must not disturb K4's supports
+    val t4s = GraphOps.kTruss(edges, k = 4, rounds = 4).collect()
+      .map(_.getLong(2)).toSet
+    assert(t4s == Set(2L))
+  }
+
   test("triangleStats: K4, triangle+tail, and a triangle-free star; degree-ordered == naive") {
     import spark.implicits._
     // K4: 4 nodes, 6 edges, C(4,2)·... wedges = 4·C(3,2)=12, triangles = 4, clustering = 1
