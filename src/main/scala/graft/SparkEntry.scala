@@ -2403,6 +2403,25 @@ object SparkEntry {
         .orderBy(col("tile"))
     }),
 
+    // Hilbert-vs-Morton face-off: the per-tile bounding-box areas of the two layout
+    // queries, aggregated per curve — the number a table-layout decision actually
+    // reads (smaller avg box = fewer files a point predicate touches). Exact
+    // integers end-to-end: area per tile, sum over the 16-tile grid, one rounded
+    // ratio. Hilbert's strict adjacency should never lose.
+    "ev_layout_compare" -> ((s, dir) => {
+      def tiles(curve: String): DataFrame = {
+        val base = queries(s"ev_${curve}_layout")(s, dir)
+        base.select(lit(curve).as("curve"),
+          ((col("max_u") - col("min_u")) * (col("max_v") - col("min_v"))).as("__area"))
+          .groupBy(col("curve"))
+          .agg(count(lit(1)).as("n_tiles"), sum(col("__area")).cast("long").as("area_sum"),
+            max(col("__area")).cast("long").as("area_max"))
+      }
+      tiles("hilbert").unionByName(tiles("zorder"))
+        .select(col("curve"), col("n_tiles"), col("area_sum"), col("area_max"),
+          round(col("area_sum").cast(DoubleType) / col("n_tiles"), 2).as("avg_area"))
+    }),
+
     // mergeable QUANTILE rollup — the order-statistics companion to ev_sketch_rollup:
     // per-day Munro–Paterson compactor summaries (custom TypedImperativeAggregate,
     // O(k log n/k) state) union into a global summary by re-aggregating the STORED
@@ -6200,6 +6219,56 @@ object SparkEntry {
       |  k <= kh.khat AS discovery
       |FROM th, kh""".stripMargin
 
+  private val zorderLayoutOracle: String = {
+      val zTerms = (0 until 8).map(i =>
+        s"(((ub >> $i) & 1) << ${2 * i + 1}) + (((vb >> $i) & 1) << ${2 * i})")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT event_id, user_id % 256 AS ub,
+         |    LEAST(CAST(FLOOR(value / 4) AS BIGINT), 255) AS vb FROM events),
+         |z AS (SELECT event_id, ub, vb, $zTerms AS z FROM e),
+         |tl AS (SELECT *, NTILE(16) OVER (ORDER BY z, event_id) AS tile FROM z)
+         |SELECT CAST(tile AS INT) AS tile, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(MIN(ub) AS BIGINT) AS min_u, CAST(MAX(ub) AS BIGINT) AS max_u,
+         |  CAST(MIN(vb) AS BIGINT) AS min_v, CAST(MAX(vb) AS BIGINT) AS max_v
+         |FROM tl GROUP BY tile ORDER BY tile""".stripMargin
+    }
+
+  private val hilbertLayoutOracle: String = {
+      val n = 256
+      val steps = (0 until 8).map { k =>
+        val s = 1 << (7 - k)
+        s"""h${k + 1} AS (SELECT event_id, ub, vb,
+           |  d + ${s.toLong * s} * (CASE WHEN (x // $s) % 2 = 1
+           |    THEN 3 - (y // $s) % 2 ELSE (y // $s) % 2 END) AS d,
+           |  CASE WHEN (y // $s) % 2 = 1 THEN x
+           |    WHEN (x // $s) % 2 = 1 THEN ${n - 1} - y ELSE y END AS x,
+           |  CASE WHEN (y // $s) % 2 = 1 THEN y
+           |    WHEN (x // $s) % 2 = 1 THEN ${n - 1} - x ELSE x END AS y
+           |  FROM h$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH h0 AS (SELECT event_id, user_id % 256 AS ub,
+         |    LEAST(CAST(FLOOR(value / 4) AS BIGINT), 255) AS vb,
+         |    CAST(user_id % 256 AS BIGINT) AS x,
+         |    LEAST(CAST(FLOOR(value / 4) AS BIGINT), 255) AS y,
+         |    CAST(0 AS BIGINT) AS d FROM events),
+         |$steps,
+         |tl AS (SELECT *, NTILE(16) OVER (ORDER BY d, event_id) AS tile FROM h8)
+         |SELECT CAST(tile AS INT) AS tile, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(MIN(ub) AS BIGINT) AS min_u, CAST(MAX(ub) AS BIGINT) AS max_u,
+         |  CAST(MIN(vb) AS BIGINT) AS min_v, CAST(MAX(vb) AS BIGINT) AS max_v
+         |FROM tl GROUP BY tile ORDER BY tile""".stripMargin
+    }
+
+  private val layoutCompareOracle: String = {
+    def leg(curve: String, sql: String) =
+      s"""SELECT '$curve' AS curve, CAST(COUNT(*) AS BIGINT) AS n_tiles,
+         |  CAST(SUM((max_u - min_u) * (max_v - min_v)) AS BIGINT) AS area_sum,
+         |  CAST(MAX((max_u - min_u) * (max_v - min_v)) AS BIGINT) AS area_max,
+         |  ROUND(CAST(SUM((max_u - min_u) * (max_v - min_v)) AS DOUBLE) / COUNT(*), 2) AS avg_area
+         |FROM ($sql)""".stripMargin
+    leg("hilbert", hilbertLayoutOracle) + "\nUNION ALL\n" + leg("zorder", zorderLayoutOracle)
+  }
+
   private val msprtOracle: String =
     """WITH e AS (SELECT CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000 AS day,
       |    user_id % 2 AS a,
@@ -8698,49 +8767,15 @@ object SparkEntry {
         |SELECT CAST(COUNT(DISTINCT day // 7) AS BIGINT) AS n_weeks, TRUE AS sketch_ok
         |FROM e""".stripMargin,
 
-    "ev_zorder_layout" -> {
-      val zTerms = (0 until 8).map(i =>
-        s"(((ub >> $i) & 1) << ${2 * i + 1}) + (((vb >> $i) & 1) << ${2 * i})")
-        .mkString(" + ")
-      s"""WITH e AS (SELECT event_id, user_id % 256 AS ub,
-         |    LEAST(CAST(FLOOR(value / 4) AS BIGINT), 255) AS vb FROM events),
-         |z AS (SELECT event_id, ub, vb, $zTerms AS z FROM e),
-         |tl AS (SELECT *, NTILE(16) OVER (ORDER BY z, event_id) AS tile FROM z)
-         |SELECT CAST(tile AS INT) AS tile, CAST(COUNT(*) AS BIGINT) AS n_rows,
-         |  CAST(MIN(ub) AS BIGINT) AS min_u, CAST(MAX(ub) AS BIGINT) AS max_u,
-         |  CAST(MIN(vb) AS BIGINT) AS min_v, CAST(MAX(vb) AS BIGINT) AS max_v
-         |FROM tl GROUP BY tile ORDER BY tile""".stripMargin
-    },
+    "ev_zorder_layout" -> zorderLayoutOracle,
 
     // the unrolled quadrant-rotation recurrence of HilbertCurve.xy2d: per level
     // s = 128..1, d += s²·((3rx)⊕ry) with (3rx)⊕ry spelled CASE-wise (rx=1 → 3−ry),
     // then the conditional flip+swap — exact integer algebra, bit-equal to the
     // Spark expression by construction
-    "ev_hilbert_layout" -> {
-      val n = 256
-      val steps = (0 until 8).map { k =>
-        val s = 1 << (7 - k)
-        s"""h${k + 1} AS (SELECT event_id, ub, vb,
-           |  d + ${s.toLong * s} * (CASE WHEN (x // $s) % 2 = 1
-           |    THEN 3 - (y // $s) % 2 ELSE (y // $s) % 2 END) AS d,
-           |  CASE WHEN (y // $s) % 2 = 1 THEN x
-           |    WHEN (x // $s) % 2 = 1 THEN ${n - 1} - y ELSE y END AS x,
-           |  CASE WHEN (y // $s) % 2 = 1 THEN y
-           |    WHEN (x // $s) % 2 = 1 THEN ${n - 1} - x ELSE x END AS y
-           |  FROM h$k)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH h0 AS (SELECT event_id, user_id % 256 AS ub,
-         |    LEAST(CAST(FLOOR(value / 4) AS BIGINT), 255) AS vb,
-         |    CAST(user_id % 256 AS BIGINT) AS x,
-         |    LEAST(CAST(FLOOR(value / 4) AS BIGINT), 255) AS y,
-         |    CAST(0 AS BIGINT) AS d FROM events),
-         |$steps,
-         |tl AS (SELECT *, NTILE(16) OVER (ORDER BY d, event_id) AS tile FROM h8)
-         |SELECT CAST(tile AS INT) AS tile, CAST(COUNT(*) AS BIGINT) AS n_rows,
-         |  CAST(MIN(ub) AS BIGINT) AS min_u, CAST(MAX(ub) AS BIGINT) AS max_u,
-         |  CAST(MIN(vb) AS BIGINT) AS min_v, CAST(MAX(vb) AS BIGINT) AS max_v
-         |FROM tl GROUP BY tile ORDER BY tile""".stripMargin
-    },
+    "ev_hilbert_layout" -> hilbertLayoutOracle,
+
+    "ev_layout_compare" -> layoutCompareOracle,
 
     "ev_quantile_sketch" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
