@@ -940,13 +940,14 @@ object SparkEntry {
         sum(when(col("tr"), 1L).otherwise(0L)).as("nt_at"),
         sum(when(col("tr"), col("y")).otherwise(0L)).as("yt_at"),
         sum(when(!col("tr"), col("y")).otherwise(0L)).as("yc_at"))
-      val w = Window.orderBy(col("score").desc)
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val cum = grid.select(col("score"), col("n_at"),
-        sum(col("n_at")).over(w).as("cumn"),
-        sum(col("nt_at")).over(w).as("nt"),
-        sum(col("yt_at")).over(w).as("yt"),
-        sum(col("yc_at")).over(w).as("yc"))
+      // per-user spend is near-unique, so this grid is USER-cardinality — the
+      // descending cumulative runs as the range-partitioned exact prefix sum
+      // (Cdc.assignPrefixSums), never a single-partition Window.orderBy
+      val cum = Cdc.assignPrefixSums(grid, Seq(col("score").desc),
+          Seq("n_at", "nt_at", "yt_at", "yc_at"))
+        .select(col("score"), col("n_at"), col("n_at_cum").as("cumn"),
+          col("nt_at_cum").as("nt"), col("yt_at_cum").as("yt"),
+          col("yc_at_cum").as("yc"))
       val tot = broadcast(users.agg(count(lit(1)).as("n_users")))
       val deciles = s.range(1, 11).select(col("id").as("decile"))
       cum.crossJoin(tot).crossJoin(broadcast(deciles))

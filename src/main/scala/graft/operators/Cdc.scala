@@ -298,6 +298,42 @@ object Cdc {
   }
 
   /**
+   * Distributed EXACT prefix sums in a total order — [[assignEventOrder]]'s SUM
+   * generalization: range-partition on `sortCols`, per-partition running sums of the
+   * LONG `sumCols`, then broadcast per-partition offset vectors so every row carries
+   * its exact global running total. Replaces the `sum().over(Window.orderBy(...))`
+   * shape — which moves the WHOLE frame to one partition — for cumulative
+   * distributions over high-cardinality grids (per-user spend, ranked scores).
+   * One range shuffle + one tiny offsets collect (numPartitions × |sumCols| longs).
+   */
+  def assignPrefixSums(df: DataFrame, sortCols: Seq[Column],
+      sumCols: Seq[String]): DataFrame = {
+    val ranged = df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
+    val idx = sumCols.map(ranged.schema.fieldIndex).toArray
+    val schema = StructType(ranged.schema.fields ++
+      sumCols.map(c => StructField(c + "_cum", LongType, nullable = false)))
+    val sorted = ranged.rdd.localCheckpoint() // same one-materialization idiom as assignEventOrder
+    val partials = sorted.mapPartitionsWithIndex({ (i, it) =>
+      val s = new Array[Long](idx.length)
+      it.foreach { r =>
+        var j = 0; while (j < idx.length) { s(j) += r.getLong(idx(j)); j += 1 }
+      }
+      Iterator((i, s))
+    }, preservesPartitioning = true).collect().sortBy(_._1)
+    val offsets = partials.map(_._2)
+      .scanLeft(Array.fill(idx.length)(0L))((a, b) => a.zip(b).map(t => t._1 + t._2))
+    val bc = ranged.sparkSession.sparkContext.broadcast(offsets)
+    val rdd = sorted.mapPartitionsWithIndex { (i, it) =>
+      val run = bc.value(i).clone()
+      it.map { r =>
+        var j = 0; while (j < idx.length) { run(j) += r.getLong(idx(j)); j += 1 }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ run.toSeq)
+      }
+    }
+    ranged.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /**
    * MySQL binlog total order: the `(file, pos)` compound key encoded as ONE long usable as
    * a dedupe `orderCol` — file rank = the numeric suffix of the binlog file name
    * (`mysql-bin.000007` → 7; names are zero-padded so lexicographic == numeric order),

@@ -116,6 +116,21 @@ class CdcSpec extends SparkSpec {
     assert(out.map(_.getAs[String]("v")).toSeq == Seq("z", "a", "b", "c", "d"))
   }
 
+  test("assignPrefixSums == window cumulative, exact across many partitions") {
+    val rng = new scala.util.Random(3)
+    val df = (1 to 5000).map(_ => (rng.nextInt(10000).toLong, rng.nextInt(100).toLong,
+      rng.nextInt(100).toLong)).toDF("k", "x", "y").repartition(16)
+    val out = Cdc.assignPrefixSums(df, Seq(col("k").desc, col("x")), Seq("x", "y"))
+      .orderBy(col("k").desc, col("x")).collect()
+    var (cx, cy) = (0L, 0L)
+    out.foreach { r =>
+      cx += r.getAs[Long]("x"); cy += r.getAs[Long]("y")
+      assert(r.getAs[Long]("x_cum") == cx && r.getAs[Long]("y_cum") == cy,
+        s"prefix mismatch at k=${r.getAs[Long]("k")}")
+    }
+    assert(out.length == 5000)
+  }
+
   test("normalizeColumns + safeTableId") {
     val df = Seq((1, "c", 5L)).toDF("id", "kbc__operation", "kbc__batch_event_order")
     assert(Cdc.normalizeColumns(df).columns.toSeq ==

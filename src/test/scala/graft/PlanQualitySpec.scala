@@ -886,6 +886,13 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("ev_qini: user-cardinality cumulative runs range-partitioned, no Window") {
+    // the score grid is per-user spend (near-unique) — the descending cumulative
+    // must be the assignPrefixSums two-phase scan, never a single-partition window
+    val p = plan("ev_qini")
+    assert(!p.contains("Window"), s"ev_qini planned a window:\n$p")
+  }
+
   test("ev_hilbert_layout: same range-partitioned rank discipline as zorder") {
     val p = plan("ev_hilbert_layout")
     assert(!p.contains("Window") && !p.contains("ntile"),
