@@ -692,9 +692,13 @@ object SampleOps {
       .agg((sum(valueCol.cast(DecimalType(18, 2))) * 100).cast("long").as("v"))
     val hist = perKey.groupBy(col("v"))
       .agg(count(lit(1)).as("nc"), (col("v") * count(lit(1))).as("sv"))
-    val w = Window.orderBy(col("v").desc).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist.select(col("v"), col("nc"), col("sv"),
-      sum(col("sv")).over(w).as("cum"), sum(col("nc")).over(w).as("cumc"))
+    // distinct per-key totals approach key cardinality — the descending cumulative
+    // runs as the range-partitioned exact prefix sum (assignPrefixSums), never a
+    // single-partition Window.orderBy over the whole value histogram
+    val cum = graft.operators.Cdc.assignPrefixSums(hist,
+        Seq(col("v").desc), Seq("sv", "nc"))
+      .select(col("v"), col("nc"), col("sv"),
+        col("sv_cum").as("cum"), col("nc_cum").as("cumc"))
     val tot = perKey.agg(sum(col("v")).as("t"), count(lit(1)).as("n_keys"))
     val target = expr(s"(t * $pctNum + ${pctDen - 1}) div $pctDen")
     cum.crossJoin(broadcast(tot))

@@ -886,11 +886,14 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
-  test("ev_qini: user-cardinality cumulative runs range-partitioned, no Window") {
-    // the score grid is per-user spend (near-unique) — the descending cumulative
-    // must be the assignPrefixSums two-phase scan, never a single-partition window
-    val p = plan("ev_qini")
-    assert(!p.contains("Window"), s"ev_qini planned a window:\n$p")
+  test("ev_qini / q_pareto_cut: key-cardinality cumulatives run range-partitioned, no Window") {
+    // their value grids are per-key spend totals (near-unique) — the descending
+    // cumulatives must be the assignPrefixSums two-phase scan, never a
+    // single-partition window over the whole histogram
+    for (q <- Seq("ev_qini", "q_pareto_cut")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q planned a window:\n$p")
+    }
   }
 
   test("ev_hilbert_layout: same range-partitioned rank discipline as zorder") {
