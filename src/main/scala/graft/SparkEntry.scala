@@ -875,11 +875,20 @@ object SparkEntry {
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_mktsegment"))
         .agg(sum(dec(col("o_totalprice"), 12, 2)).as("__spend"))
-      val w = Window.partitionBy(col("c_mktsegment"))
-        .orderBy(col("__spend"), col("c_custkey"))
-      spend.select(col("c_custkey"), col("c_mktsegment"),
-        col("__spend").cast(DoubleType).as("total_spend"),
-        round(percent_rank().over(w), 6).as("spend_pct"))
+      // percent_rank per segment WITHOUT a few-huge-partitions window: one global
+      // range-partitioned order on (segment, spend, key) — unique keys mean
+      // percent_rank == (row_number−1)/(n−1) exactly — then per-segment offsets
+      // broadcast back (segments are a grid)
+      val ranked = Cdc.assignEventOrder(spend,
+        Seq(col("c_mktsegment"), col("__spend"), col("c_custkey")))
+      val segStats = ranked.groupBy(col("c_mktsegment"))
+        .agg(min(col(Cdc.OrderCol)).as("__r0"), count(lit(1)).as("__nseg"))
+      ranked.join(broadcast(segStats), "c_mktsegment")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("__spend").cast(DoubleType).as("total_spend"),
+          round(when(col("__nseg") > 1,
+            (col(Cdc.OrderCol) - col("__r0")).cast(DoubleType) / (col("__nseg") - 1))
+            .otherwise(lit(0.0)), 6).as("spend_pct"))
     }),
 
     // Native session_window API pin: Spark's built-in gap-session aggregation (the
@@ -3975,9 +3984,11 @@ object SparkEntry {
       val pk = t(s, dir, "orders")
         .groupBy(col("o_custkey"))
         .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("v"))
-      val w = Window.orderBy(col("v").desc, col("o_custkey"))
+      // customer-cardinality rank: range-partitioned exact global order
+      // (assignEventOrder), never a single-partition row_number window
       val n = pk.agg(count(lit(1)).as("__n"), sum(col("v")).as("__t"))
-      pk.select(col("v"), row_number().over(w).as("rn"))
+      Cdc.assignEventOrder(pk, Seq(col("v").desc, col("o_custkey")))
+        .select(col("v"), (col(Cdc.OrderCol) + 1).as("rn"))
         .crossJoin(n)
         .select(expr("((rn - 1) * 10) div __n").as("decile"), col("v"), col("__t"))
         .groupBy(col("decile"))

@@ -890,10 +890,15 @@ class PlanQualitySpec extends SparkSpec {
     // their value grids are per-key spend totals (near-unique) — the descending
     // cumulatives must be the assignPrefixSums two-phase scan, never a
     // single-partition window over the whole histogram
-    for (q <- Seq("ev_qini", "q_pareto_cut")) {
+    for (q <- Seq("ev_qini", "q_pareto_cut", "q_spend_percentile")) {
       val p = plan(q)
       assert(!p.contains("Window"), s"$q planned a window:\n$p")
     }
+    // q_decile_lift keeps exactly its 10-row decile-grid cumulative window — the
+    // customer-cardinality rank itself must come from the range-partitioned order
+    val p = plan("q_decile_lift")
+    assert("(?s)Window".r.findAllIn(p).length == 1,
+      s"q_decile_lift must plan only the decile-grid window:\n$p")
   }
 
   test("ev_hilbert_layout: same range-partitioned rank discipline as zorder") {
