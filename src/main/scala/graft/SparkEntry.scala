@@ -3961,10 +3961,11 @@ object SparkEntry {
       val pk = t(s, dir, "orders")
         .groupBy(col("o_custkey"))
         .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("v"))
-      val w = Window.orderBy(col("v").desc, col("o_custkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // customer-cardinality cumulative via the range-partitioned prefix sum
+      // (assignPrefixSums) — never a single-partition running window
       val tot = pk.agg(sum(col("v")).as("__t"))
-      pk.select(col("v"), sum(col("v")).over(w).as("cum"))
+      Cdc.assignPrefixSums(pk, Seq(col("v").desc, col("o_custkey")), Seq("v"))
+        .select(col("v"), col("v_cum").as("cum"))
         .crossJoin(tot)
         .select(col("v"), col("__t"),
           when(col("cum") * 5 <= col("__t") * 4, "A")

@@ -890,7 +890,7 @@ class PlanQualitySpec extends SparkSpec {
     // their value grids are per-key spend totals (near-unique) — the descending
     // cumulatives must be the assignPrefixSums two-phase scan, never a
     // single-partition window over the whole histogram
-    for (q <- Seq("ev_qini", "q_pareto_cut", "q_spend_percentile")) {
+    for (q <- Seq("ev_qini", "q_pareto_cut", "q_spend_percentile", "q_abc_class")) {
       val p = plan(q)
       assert(!p.contains("Window"), s"$q planned a window:\n$p")
     }
