@@ -4576,10 +4576,10 @@ object SparkEntry {
       val edges = graft.ops.GraphOps.coOccurrenceEdges(li, "l_orderkey", "l_partkey",
         minCount = 2).localCheckpoint(true)
       val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      // top-5 hubs via orderBy+limit — plans as TakeOrderedAndProject (per-partition
+      // heads merged on the driver), not a node-cardinality single-partition window
       val hubs = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("__deg"))
-        .withColumn("__rn",
-          row_number().over(Window.orderBy(col("__deg").desc, col("id"))))
-        .filter(col("__rn") <= 5).select(col("id"))
+        .orderBy(col("__deg").desc, col("id")).limit(5).select(col("id"))
       graft.ops.GraphOps.multiSourceBfs(edges, hubs, rounds = 4)
     }),
 
