@@ -1856,6 +1856,25 @@ object SparkEntry {
       s.read.schema(n.schema).option("nullValue", "KBC__NULL").csv(tmp)
     }),
 
+    // S7 sibling: ORC sink/scan roundtrip — Spark's native ORC writer/reader (the
+    // columnar staging alternative where the warehouse side expects ORC), typed
+    // read-back against the explicit schema like the CSV form
+    "cdc_orc_roundtrip" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
+      n.write.mode("overwrite").orc(tmp)
+      s.read.schema(n.schema).orc(tmp)
+    }),
+
+    // S7 sibling: JSON-lines sink/scan roundtrip — the spool-adjacent text format
+    // (Debezium payloads are JSONL); explicit schema on read so types survive
+    "cdc_json_roundtrip" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+      n.write.mode("overwrite").json(tmp)
+      s.read.schema(n.schema).json(tmp)
+    }),
+
     // P3+P4: column include/exclude filter (`column.include.list` compiled to projection)
     "cdc_column_filter" -> ((s, dir) => {
       val include = Seq("event_id", "user_id", "event_type")
@@ -8028,6 +8047,8 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM events e2 WHERE e2.event_type = 'error' AND e2.user_id = e1.user_id)""".stripMargin,
 
     "cdc_csv_roundtrip" -> "SELECT * FROM nation",
+    "cdc_orc_roundtrip" -> "SELECT * FROM nation",
+    "cdc_json_roundtrip" -> "SELECT * FROM nation",
 
     "cdc_column_filter" -> "SELECT event_id, user_id, event_type FROM events",
 
