@@ -2561,6 +2561,15 @@ object SparkEntry {
     "ev_ab_ttest" -> ((s, dir) =>
       SampleOps.welchTTest(t(s, dir, "events"), "event_type", "value", "click", "view")),
 
+    // two-sample Kolmogorov–Smirnov (click vs view): distribution-SHAPE companion of
+    // the t-test — D as a cross-multiplied exact integer max over the value grid,
+    // the α=0.05 decision squared into a pure DECIMAL(38,0) comparison; cumulatives
+    // via the range-partitioned prefix sum, no single-partition window
+    // (SampleOps.ksTest)
+    "ev_ks_test" -> ((s, dir) =>
+      SampleOps.ksTest(t(s, dir, "events"), col("event_type"), col("value"),
+        "click", "view")),
+
     // Isotonic calibration of purchase probability against the value-score grid —
     // PAV semantics via the minimax identity (max_i<=k min_j>=k interval mean),
     // pure relational algebra on the 64-bin grid: grid² pairs, one corpus exchange;
@@ -8817,6 +8826,25 @@ object SparkEntry {
         |  (SELECT CAST(COUNT(DISTINCT CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000)
         |     AS BIGINT) FROM events) AS n_days
         |FROM events""".stripMargin,
+
+    "ev_ks_test" ->
+      """WITH e AS (SELECT event_type AS g,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+        |grid AS (SELECT v,
+        |    CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM e GROUP BY 1),
+        |cum AS (SELECT v, CAST(SUM(c1) OVER w AS BIGINT) AS c1c,
+        |    CAST(SUM(c2) OVER w AS BIGINT) AS c2c
+        |  FROM grid WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+        |tot AS (SELECT MAX(c1c) AS n1, MAX(c2c) AS n2 FROM cum),
+        |m AS (SELECT CAST(MAX(ABS(c1c * n2 - c2c * n1)) AS BIGINT) AS d_num FROM cum, tot)
+        |SELECT n1, n2, d_num,
+        |  ROUND(CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6) AS d,
+        |  CAST(d_num AS HUGEINT) * d_num * 10000 >
+        |    CAST(n1 + n2 AS HUGEINT) * n1 * n2 * 18441 AS reject_05
+        |FROM m, tot""".stripMargin,
 
     // formula structure mirrors SampleOps.welchTTest term for term
     "ev_ab_ttest" ->

@@ -1102,6 +1102,45 @@ object SampleOps {
   }
 
   /**
+   * Two-sample Kolmogorov–Smirnov test, FULLY EXACT: D = max|F₁(x) − F₂(x)| never
+   * touches a float — the max runs over the cross-multiplied integer
+   * d_num = |c₁·n₂ − c₂·n₁| (D = d_num/(n₁n₂)), and the α = 0.05 rejection
+   * D > 1.358·√((n₁+n₂)/(n₁n₂)) squares into the pure integer comparison
+   * 10⁴·d_num² > 18441·(n₁+n₂)·n₁·n₂ in DECIMAL(38,0) — no engine can disagree.
+   * Completes the rank-stat family (Mann–Whitney location, Kruskal–Wallis k-sample,
+   * KS distribution SHAPE — the test that catches equal-mean variance drift).
+   *
+   * Scale shape: collapse to the distinct-value grid (per-value counts for both
+   * groups), ONE range-partitioned prefix-sum pass for both cumulatives
+   * ([[graft.operators.Cdc.assignPrefixSums]] — the grid can approach distinct-value
+   * cardinality, so no single-partition window), then a scalar max.
+   */
+  def ksTest(df: DataFrame, group: Column, value: Column,
+      a: String, b: String): DataFrame = {
+    val cents = (value.cast(DecimalType(18, 2)) * 100).cast("long")
+    val grid = df.select(group.as("__g"), cents.as("__v"))
+      .filter(col("__g").isin(a, b))
+      .groupBy(col("__v"))
+      .agg(sum(when(col("__g") === a, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("__g") === b, 1L).otherwise(0L)).as("c2"))
+    val cum = graft.operators.Cdc.assignPrefixSums(grid,
+      Seq(col("__v")), Seq("c1", "c2"))
+    val tot = cum.agg(max(col("c1_cum")).as("n1"), max(col("c2_cum")).as("n2"))
+    val dec38 = DecimalType(38, 0)
+    cum.crossJoin(broadcast(tot))
+      .select(abs(col("c1_cum") * col("n2") - col("c2_cum") * col("n1")).as("__dn"),
+        col("n1"), col("n2"))
+      .agg(max(col("__dn")).as("d_num"), first(col("n1")).as("n1"),
+        first(col("n2")).as("n2"))
+      .select(col("n1"), col("n2"), col("d_num"),
+        round(col("d_num").cast(DoubleType) / (col("n1").cast(DoubleType) * col("n2")), 6)
+          .as("d"),
+        (col("d_num").cast(dec38) * col("d_num").cast(dec38) * 10000 >
+          (col("n1") + col("n2")).cast(dec38) * col("n1").cast(dec38) *
+            col("n2").cast(dec38) * 18441).as("reject_05"))
+  }
+
+  /**
    * 2-D skyline / Pareto frontier (Börzsönyi et al. 2001, "The Skyline Operator"):
    * rows no other row dominates on (cost ↓, gain ↑); two equal points never
    * dominate each other, so ties stay in. The naive form is an O(n²) dominance

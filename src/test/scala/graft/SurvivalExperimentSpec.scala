@@ -223,6 +223,34 @@ class SurvivalExperimentSpec extends SparkSpec {
     assert(out2 == Seq(8L), s"got $out2")
   }
 
+  // ---- Kolmogorov–Smirnov -----------------------------------------------------------------
+
+  test("ksTest: equal-mean variance drift rejected, identical samples accepted, naive D match") {
+    // group a: values 100±5 pattern; group b: same mean 100, spread ±40 — a t-test
+    // is blind here, KS is not
+    val rows = (1L to 800L).flatMap { i =>
+      Seq(("a", 100.0 + (i % 11).toDouble - 5.0),
+        ("b", 100.0 + ((i % 9).toDouble - 4.0) * 10.0))
+    }.toDF("g", "v")
+    val out = SampleOps.ksTest(rows, col("g"), col("v"), "a", "b").head()
+    assert(out.getAs[Boolean]("reject_05"), s"variance drift missed: $out")
+    // naive replica of D on the same cents quantization
+    def cdfD(va: Seq[Long], vb: Seq[Long]): Double = {
+      val grid = (va ++ vb).distinct.sorted
+      grid.map { x =>
+        math.abs(va.count(_ <= x).toDouble / va.size - vb.count(_ <= x).toDouble / vb.size)
+      }.max
+    }
+    val va = (1L to 800L).map(i => ((100.0 + (i % 11) - 5.0) * 100).round)
+    val vb = (1L to 800L).map(i => ((100.0 + ((i % 9) - 4.0) * 10.0) * 100).round)
+    assert(math.abs(out.getAs[Double]("d") - cdfD(va, vb)) < 1e-6)
+    // identical samples: D = 0, never rejected
+    val same = (1L to 400L).flatMap(i =>
+      Seq(("a", (i % 13).toDouble), ("b", (i % 13).toDouble))).toDF("g", "v")
+    val out2 = SampleOps.ksTest(same, col("g"), col("v"), "a", "b").head()
+    assert(out2.getAs[Long]("d_num") == 0L && !out2.getAs[Boolean]("reject_05"))
+  }
+
   // ---- linear-time MMD drift --------------------------------------------------------------
 
   /** ids 0..n-1 with vector builder f(id). */
