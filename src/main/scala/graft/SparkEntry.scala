@@ -5391,19 +5391,22 @@ object SparkEntry {
     // Shape: one user-keyed exchange to lifespans, then a histogram + descending
     // cumulative bounded by the DAY GRID (≤ window length), never |users|.
     "ev_survival_hazard" -> ((s, dir) => {
-      val life = t(s, dir, "events")
+      // ONE corpus scan: collapse to the checkpointed (lifespan, last-day) grid
+      // (≤ days² cells); the observation end and the life table both read it — no
+      // second scan, no unit-cardinality window (same shape as SampleOps.kaplanMeier)
+      val lifeGrid = t(s, dir, "events")
         .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("d"))
         .groupBy(col("user_id"))
         .agg(min(col("d")).as("__f"), max(col("d")).as("__l"))
-      // observation end as a broadcast scalar, not a partitionBy(lit(0)) window
-      // over every user row (same fix as SampleOps.kaplanMeier — identical rows)
-      val end = life.agg(max(col("__l")).as("__end"))
-      val marked = life.crossJoin(broadcast(end))
-        .select((col("__l") - col("__f")).as("t"),
-          (col("__l") >= col("__end") - 2).as("__cens"))
-      val grid = marked.groupBy(col("t"))
-        .agg(count(lit(1)).as("__n_at"),
-          sum(when(!col("__cens"), 1L).otherwise(0L)).as("n_churn"))
+        .groupBy((col("__l") - col("__f")).as("t"), col("__l"))
+        .agg(count(lit(1)).as("__n"))
+        .localCheckpoint(eager = false)
+      val end = lifeGrid.agg(max(col("__l")).as("__end"))
+      val grid = lifeGrid.crossJoin(broadcast(end))
+        .groupBy(col("t"))
+        .agg(sum(col("__n")).as("__n_at"),
+          sum(when(col("__l") < col("__end") - 2, col("__n")).otherwise(0L))
+            .as("n_churn"))
       val wDesc = Window.orderBy(col("t").desc)
         .rowsBetween(Window.unboundedPreceding, 0)
       grid

@@ -1188,18 +1188,22 @@ object SampleOps {
    */
   def kaplanMeier(df: DataFrame, unit: Column, day: Column,
       censorTailDays: Int = 3): DataFrame = {
-    val life = df.select(unit.as("__u"), day.as("__d"))
+    // ONE corpus scan: collapse straight to the (lifespan, last-day) grid
+    // (≤ days² cells) and checkpoint it — the observation end and the life table
+    // both read the checkpointed grid, so there is neither a second scan nor a
+    // unit-cardinality window anywhere
+    val lifeGrid = df.select(unit.as("__u"), day.as("__d"))
       .groupBy(col("__u"))
       .agg(min(col("__d")).as("__f"), max(col("__d")).as("__l"))
-    // observation end as a broadcast scalar — NEVER a partitionBy(lit(0)) window,
-    // which would single-partition every unit row just to read one max
-    val end = life.agg(max(col("__l")).as("__end"))
-    val marked = life.crossJoin(broadcast(end))
-      .select((col("__l") - col("__f")).as("t"),
-        (col("__l") >= col("__end") - (censorTailDays - 1)).as("__cens"))
-    val grid = marked.groupBy(col("t"))
-      .agg(count(lit(1)).as("__n_at"),
-        sum(when(!col("__cens"), 1L).otherwise(0L)).as("n_churn"))
+      .groupBy((col("__l") - col("__f")).as("t"), col("__l"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(eager = false)
+    val end = lifeGrid.agg(max(col("__l")).as("__end"))
+    val grid = lifeGrid.crossJoin(broadcast(end))
+      .groupBy(col("t"))
+      .agg(sum(col("__n")).as("__n_at"),
+        sum(when(col("__l") < col("__end") - (censorTailDays - 1), col("__n"))
+          .otherwise(0L)).as("n_churn"))
     val wDesc = Window.orderBy(col("t").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val haz = grid

@@ -660,10 +660,15 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("ev_survival_hazard / doc_quality_budget: one corpus scan, windows ride collapsed grids") {
-    for ((q, tbl) <- Seq("ev_survival_hazard" -> "events", "doc_quality_budget" -> "documents")) {
-      val p = plan(q)
-      assert(s"$tbl\\.parquet".r.findAllIn(p).size == 1, s"$q re-scans $tbl:\n$p")
-    }
+    // survival: the (lifespan, last-day) grid is localCheckpointed, so BOTH its
+    // consumers (observation end + life table) read the materialized grid — the
+    // corpus scan happens once at checkpoint time and never appears in the plan
+    val ps = plan("ev_survival_hazard")
+    assert("events\\.parquet".r.findAllIn(ps).isEmpty && ps.contains("Scan ExistingRDD"),
+      s"ev_survival_hazard must read the checkpointed grid, not re-scan events:\n$ps")
+    val pq = plan("doc_quality_budget")
+    assert("documents\\.parquet".r.findAllIn(pq).size == 1,
+      s"doc_quality_budget re-scans documents:\n$pq")
   }
 
   test("ev_path_perplexity: the transition table materializes once — the user-window pass runs once") {
