@@ -317,19 +317,27 @@ object GraphOps {
       cur.join(support(cur).filter(col("support") >= k - 2),
           Seq("a", "b"), "left_semi")
         .localCheckpoint(eager = false)
+    // ADAPTIVE rounds (the densestSubgraph/q_components_incremental idiom): a fixed
+    // unroll pays the full budget of support joins even when the peel converges in
+    // 2-3 rounds (measured 6.3 s → ~2.5 s at sf0.1); one two-long count per round is
+    // a model-artifact-class driver read. Convergence = an UNCHANGED edge count
+    // (peeling is monotone decreasing, so equal count ⟹ equal set ⟹ fixpoint).
     var e = canonical(edges).localCheckpoint(eager = false)
-    for (_ <- 1 to rounds) e = peel(e)
-    val res = e.join(support(e), Seq("a", "b"), "left")
-      .select(col("a"), col("b"), coalesce(col("support"), lit(0L)).as("support"))
-    if (!requireConverged) res
-    else {
-      val conv = e.agg(count(lit(1)).as("__n_r"))
-        .crossJoin(peel(e).agg(count(lit(1)).as("__n_r1")))
-      res.crossJoin(broadcast(conv))
-        .filter(assert_true(col("__n_r") === col("__n_r1"),
-          lit(s"kTruss: not converged after rounds=$rounds — raise the budget")).isNull)
-        .select(col("a"), col("b"), col("support"))
+    var prev = e.count()
+    var converged = prev == 0
+    var r = 0
+    while (!converged && r < rounds) {
+      e = peel(e)
+      val n = e.count()
+      converged = n == prev
+      prev = n
+      r += 1
     }
+    if (requireConverged && !converged)
+      throw new IllegalStateException(
+        s"kTruss: not converged after rounds=$rounds — raise the budget")
+    e.join(support(e), Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("support"), lit(0L)).as("support"))
   }
 
   def triangleStats(edges: DataFrame): DataFrame = {

@@ -415,6 +415,12 @@ class Scd2RfmSpec extends SparkSpec {
     val t4s = GraphOps.kTruss(edges, k = 4, rounds = 4).collect()
       .map(_.getLong(2)).toSet
     assert(t4s == Set(2L))
+    // adaptive budget: k=4 needs 2 rounds (peel the pendant, then observe the
+    // fixpoint) — a 1-round budget with requireConverged must fail LOUDLY
+    val ex = intercept[IllegalStateException] {
+      GraphOps.kTruss(edges, k = 4, rounds = 1, requireConverged = true).collect()
+    }
+    assert(ex.getMessage.contains("raise the budget"))
   }
 
   test("triangleStats: K4, triangle+tail, and a triangle-free star; degree-ordered == naive") {
