@@ -2561,6 +2561,17 @@ object SparkEntry {
     "ev_ab_ttest" -> ((s, dir) =>
       SampleOps.welchTTest(t(s, dir, "events"), "event_type", "value", "click", "view")),
 
+    // Cochran–Mantel–Haenszel stratified 2×2 test: the Simpson's-paradox-safe
+    // A/B readout — strata = day-of-week (the weekly mix shift that reverses pooled
+    // tables), exposure = user parity, outcome = purchase event; per-stratum terms
+    // quantized to DECIMAL(18,12) before aggregation, χ² and the MH pooled odds
+    // ratio as single fixed-order doubles (SampleOps.cmhTest)
+    "ev_cmh_test" -> ((s, dir) =>
+      SampleOps.cmhTest(t(s, dir, "events"),
+        expr("(unix_millis(ts) div 86400000) % 7"),
+        pmod(col("user_id"), lit(2)) === 1,
+        col("event_type") === "purchase")),
+
     // two-sample Kolmogorov–Smirnov (click vs view): distribution-SHAPE companion of
     // the t-test — D as a cross-multiplied exact integer max over the value grid,
     // the α=0.05 decision squared into a pure DECIMAL(38,0) comparison; cumulatives
@@ -8829,6 +8840,32 @@ object SparkEntry {
         |  (SELECT CAST(COUNT(DISTINCT CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000)
         |     AS BIGINT) FROM events) AS n_days
         |FROM events""".stripMargin,
+
+    "ev_cmh_test" ->
+      """WITH e AS (SELECT (CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000) % 7 AS s,
+        |    user_id % 2 = 1 AS ex, event_type = 'purchase' AS y FROM events),
+        |cells AS (SELECT s,
+        |    CAST(SUM(CASE WHEN ex AND y THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN ex AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN NOT ex AND y THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN NOT ex AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM e GROUP BY 1),
+        |t AS (SELECT
+        |    CAST(CAST(a AS DOUBLE) - CAST(a + b AS DOUBLE) * (a + c) / (a + b + c + d)
+        |      AS DECIMAL(18,12)) AS t,
+        |    CAST(CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d) /
+        |      (CAST(a + b + c + d AS DOUBLE) * (a + b + c + d) * (a + b + c + d - 1))
+        |      AS DECIMAL(18,12)) AS v,
+        |    CAST(CAST(a AS DOUBLE) * d / (a + b + c + d) AS DECIMAL(18,12)) AS r,
+        |    CAST(CAST(b AS DOUBLE) * c / (a + b + c + d) AS DECIMAL(18,12)) AS x
+        |  FROM cells WHERE a + b + c + d >= 2),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_strata, SUM(t) AS st, SUM(v) AS sv,
+        |    SUM(r) AS sr, SUM(x) AS sx FROM t)
+        |SELECT n_strata,
+        |  ROUND((ABS(CAST(st AS DOUBLE)) - 0.5) * (ABS(CAST(st AS DOUBLE)) - 0.5)
+        |    / CAST(sv AS DOUBLE), 6) AS chi2_cmh,
+        |  ROUND(CAST(sr AS DOUBLE) / CAST(sx AS DOUBLE), 6) AS or_mh
+        |FROM agg""".stripMargin,
 
     "ev_ks_test" ->
       """WITH e AS (SELECT event_type AS g,

@@ -1102,6 +1102,57 @@ object SampleOps {
   }
 
   /**
+   * Cochran–Mantel–Haenszel stratified 2×2 test (Mantel & Haenszel 1959; Cochran
+   * 1954) — the Simpson's-paradox-safe A/B readout: a pooled 2×2 table can show an
+   * effect REVERSED from every stratum's (day-of-week mix shift, segment mix
+   * drift); CMH tests the common odds ratio across strata and the MH estimator
+   * pools it without the paradox.
+   *
+   * Engine-exactness: per-stratum terms (a−E, V, R = ad/n, S = bc/n) are each ONE
+   * fixed-order double expression over exact BIGINT counts, quantized to
+   * DECIMAL(18,12) BEFORE the aggregate (the JSD/jackknife discipline — float
+   * aggregation order never appears); the χ² and MH-OR finishers are single double
+   * expressions over the exact sums. Continuity-corrected:
+   * χ² = (|Σ(a−E)| − 1/2)² / ΣV.
+   *
+   * Scale shape: one hash aggregate collapses the fact table to |strata| 2×2 cells;
+   * everything after is grid work.
+   *
+   * @return one row (n_strata, chi2_cmh, or_mh)
+   */
+  def cmhTest(df: DataFrame, stratum: Column, exposed: Column,
+      outcome: Column): DataFrame = {
+    val cells = df.select(stratum.as("__s"), exposed.cast("boolean").as("__e"),
+        outcome.cast("boolean").as("__y"))
+      .groupBy(col("__s"))
+      .agg(sum(when(col("__e") && col("__y"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("__e") && !col("__y"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("__e") && col("__y"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("__e") && !col("__y"), 1L).otherwise(0L)).as("d"))
+    val (a, b, c, d) = (col("a"), col("b"), col("c"), col("d"))
+    val n = (a + b + c + d).cast(DoubleType)
+    val dec12 = DecimalType(18, 12)
+    val terms = cells
+      // strata where n < 2 contribute nothing (V undefined) — standard practice
+      .filter(a + b + c + d >= 2)
+      .select(
+        ((a.cast(DoubleType) - (a + b).cast(DoubleType) * (a + c) / n)).cast(dec12).as("__t"),
+        ((a + b).cast(DoubleType) * (c + d) * (a + c) * (b + d) /
+          (n * n * (n - 1))).cast(dec12).as("__v"),
+        (a.cast(DoubleType) * d / n).cast(dec12).as("__r"),
+        (b.cast(DoubleType) * c / n).cast(dec12).as("__x"))
+    terms.agg(count(lit(1)).as("n_strata"), sum(col("__t")).as("__st"),
+        sum(col("__v")).as("__sv"), sum(col("__r")).as("__sr"),
+        sum(col("__x")).as("__sx"))
+      .select(col("n_strata"),
+        round((abs(col("__st").cast(DoubleType)) - 0.5) *
+          (abs(col("__st").cast(DoubleType)) - 0.5) / col("__sv").cast(DoubleType), 6)
+          .as("chi2_cmh"),
+        round(col("__sr").cast(DoubleType) / col("__sx").cast(DoubleType), 6)
+          .as("or_mh"))
+  }
+
+  /**
    * Two-sample Kolmogorov–Smirnov test, FULLY EXACT: D = max|F₁(x) − F₂(x)| never
    * touches a float — the max runs over the cross-multiplied integer
    * d_num = |c₁·n₂ − c₂·n₁| (D = d_num/(n₁n₂)), and the α = 0.05 rejection

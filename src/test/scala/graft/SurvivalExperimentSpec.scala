@@ -223,6 +223,38 @@ class SurvivalExperimentSpec extends SparkSpec {
     assert(out2 == Seq(8L), s"got $out2")
   }
 
+  // ---- Cochran–Mantel–Haenszel ------------------------------------------------------------
+
+  test("cmhTest: MH odds ratio recovers the common per-stratum OR a pooled table distorts") {
+    // both strata have OR = (90*2)/(10*8) = 2.25, but exposure and outcome rates are
+    // mirrored across strata: the POOLED table reads OR = 92*92/(18*18) ~ 26 — the
+    // Simpson-style mix distortion CMH exists to remove
+    def rows(s: Long, e: Boolean, y: Boolean, n: Int) =
+      Seq.fill(n)((s, e, y))
+    val df = (rows(1, true, true, 90) ++ rows(1, true, false, 10) ++
+      rows(1, false, true, 8) ++ rows(1, false, false, 2) ++
+      rows(2, true, true, 2) ++ rows(2, true, false, 8) ++
+      rows(2, false, true, 10) ++ rows(2, false, false, 90))
+      .toDF("s", "e", "y")
+    val out = SampleOps.cmhTest(df, col("s"), col("e"), col("y")).head()
+    assert(out.getAs[Long]("n_strata") == 2L)
+    assert(math.abs(out.getAs[Double]("or_mh") - 2.25) < 1e-9, s"got $out")
+    // chi2 vs the driver-side formula over the same cells
+    def term(a: Double, b: Double, c: Double, d: Double) = {
+      val n = a + b + c + d
+      (a - (a + b) * (a + c) / n, (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1)))
+    }
+    val (t1, v1) = term(90, 10, 8, 2); val (t2, v2) = term(2, 8, 10, 90)
+    val st = BigDecimal(t1).setScale(12, BigDecimal.RoundingMode.HALF_UP) +
+      BigDecimal(t2).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val sv = BigDecimal(v1).setScale(12, BigDecimal.RoundingMode.HALF_UP) +
+      BigDecimal(v2).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val chi2 = math.rint((math.abs(st.toDouble) - 0.5) * (math.abs(st.toDouble) - 0.5)
+      / sv.toDouble * 1e6) / 1e6
+    assert(math.abs(out.getAs[Double]("chi2_cmh") - chi2) < 1e-9,
+      s"got ${out.getAs[Double]("chi2_cmh")}, expected $chi2")
+  }
+
   // ---- Kolmogorov–Smirnov -----------------------------------------------------------------
 
   test("ksTest: equal-mean variance drift rejected, identical samples accepted, naive D match") {
