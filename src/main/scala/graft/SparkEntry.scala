@@ -4960,6 +4960,24 @@ object SparkEntry {
     "emb_fd_sketch" -> ((s, dir) =>
       VectorOps.fdGate(t(s, dir, "embeddings"), l = 16)),
 
+    // INCREMENTAL FD (streaming/IncrementalFd): three vector waves against O(ℓ·d)
+    // versioned sketch state — each wave aggregates ITSELF distributed, the driver
+    // merges ≤ 2ℓ rows through the same shrink path (FD is a mergeable summary).
+    // Maintained FD is NOT row-identical to one-shot (the SVD sees another insertion
+    // order), so the gate is the same spectral GUARANTEE vs the exact union gram.
+    "emb_fd_incremental" -> ((s, dir) => {
+      import graft.streaming.IncrementalFd
+      val e = t(s, dir, "embeddings").localCheckpoint(true)
+      val state = java.nio.file.Files.createTempDirectory("graft-ifd").toString
+      for (b <- 0 to 2)
+        IncrementalFd.applyBatch(
+          e.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong, state, l = 16)
+      val sk = IncrementalFd.current(s, state)
+      val out = VectorOps.fdGateWithSketch(e, sk, l = 16).localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(state))
+      out
+    }),
+
     // binary quantization (sign-bit, 1 bit/dim — the 32× end of the compression
     // ladder past SQ8): one 64-bit signature per vector, XOR+POPCNT Hamming
     // candidates, exact-cosine rerank of the 64-deep shortlist; same
@@ -6810,6 +6828,11 @@ object SparkEntry {
       "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok, TRUE AS bounded_ok FROM embeddings WHERE vec_id < 8",
 
     "emb_fd_sketch" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, TRUE AS rows_bounded,
+        |  TRUE AS bound_ok, TRUE AS psd_ok FROM embeddings""".stripMargin,
+
+    // maintained sketch, same guarantee contract
+    "emb_fd_incremental" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, TRUE AS rows_bounded,
         |  TRUE AS bound_ok, TRUE AS psd_ok FROM embeddings""".stripMargin,
 

@@ -1562,6 +1562,15 @@ object VectorOps {
    * the ANN verdict discipline.
    */
   def fdGate(df: DataFrame, l: Int = 16, vecCol: String = "embedding"): DataFrame = {
+    val skRows = df.agg(graft.functions.FdSketch.fdSketchAgg(col(vecCol), l).as("b"))
+      .head().getSeq[scala.collection.Seq[Double]](0)
+    fdGateWithSketch(df, skRows.map(_.toArray), l, vecCol)
+  }
+
+  /** The guarantee check of [[fdGate]] against a CALLER-PROVIDED sketch — the
+    * read-time gate when the sketch is MAINTAINED state (`emb_fd_incremental`). */
+  def fdGateWithSketch(df: DataFrame, skRows: Seq[Array[Double]], l: Int,
+      vecCol: String = "embedding"): DataFrame = {
     val spark = df.sparkSession
     val gramCells = df.select(posexplode(expr(
         s"flatten(transform($vecCol, x -> transform($vecCol, y -> " +
@@ -1573,8 +1582,6 @@ object VectorOps {
     gramCells.foreach { r =>
       val p = r.getAs[Int]("p"); g(p / d, p % d) = r.getAs[Double]("g")
     }
-    val skRows = df.agg(graft.functions.FdSketch.fdSketchAgg(col(vecCol), l).as("b"))
-      .head().getSeq[scala.collection.Seq[Double]](0)
     val b = breeze.linalg.DenseMatrix.tabulate(skRows.length, d)((i, j) => skRows(i)(j))
     val err = g - (b.t * b) // d×d symmetric
     val eigs = breeze.linalg.eigSym.justEigenvalues((err + err.t) *:* 0.5)

@@ -1046,6 +1046,32 @@ class StreamingSpec extends SparkSpec {
     assert(ex.getMessage.contains("checkpoint"))
   }
 
+  test("incremental FD: spectral guarantee holds at every wave boundary; reset guard") {
+    import graft.streaming.IncrementalFd
+    import org.apache.spark.sql.functions.pmod
+    val state = Files.createTempDirectory("graft-ifd-spec").toString
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .localCheckpoint(true)
+    for (b <- 0 to 2) {
+      val n = IncrementalFd.applyBatch(
+        e.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong, state, l = 16)
+      assert(n <= 16, s"sketch rows must stay within l: $n")
+      // the guarantee must hold against the exact gram of the UNION SO FAR —
+      // mergeability is exactly this property (Ghashami et al. 2016)
+      val sk = IncrementalFd.current(spark, state)
+      val gate = graft.ops.VectorOps.fdGateWithSketch(
+        e.filter(pmod(col("vec_id"), lit(3)) <= b), sk, l = 16).head()
+      assert(gate.getAs[Boolean]("bound_ok"), s"bound violated after wave $b")
+      assert(gate.getAs[Boolean]("psd_ok"), s"PSD violated after wave $b")
+    }
+    // checkpoint-reset guard: batch id below the max applied version fails loudly
+    val ex = intercept[IllegalStateException] {
+      IncrementalFd.applyBatch(
+        e.filter(pmod(col("vec_id"), lit(3)) === 0), 0L, state, l = 16)
+    }
+    assert(ex.getMessage.contains("checkpoint"))
+  }
+
   test("incremental RAKE == one-shot rake at every boundary; replay converges; reset guard") {
     import graft.streaming.IncrementalRake
     import org.apache.spark.sql.functions.pmod
