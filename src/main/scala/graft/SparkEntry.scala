@@ -2572,6 +2572,15 @@ object SparkEntry {
         pmod(col("user_id"), lit(2)) === 1,
         col("event_type") === "purchase")),
 
+    // Breslow–Day homogeneity — CMH's prerequisite: the pooled odds ratio only
+    // means something when the per-stratum ORs agree; BD's X² over the quadratic
+    // fitted counts tests exactly that (same strata/arms as ev_cmh_test)
+    "ev_breslow_day" -> ((s, dir) =>
+      SampleOps.breslowDay(t(s, dir, "events"),
+        expr("(unix_millis(ts) div 86400000) % 7"),
+        pmod(col("user_id"), lit(2)) === 1,
+        col("event_type") === "purchase")),
+
     // two-sample Kolmogorov–Smirnov (click vs view): distribution-SHAPE companion of
     // the t-test — D as a cross-multiplied exact integer max over the value grid,
     // the α=0.05 decision squared into a pure DECIMAL(38,0) comparison; cumulatives
@@ -8863,6 +8872,47 @@ object SparkEntry {
         |  (SELECT CAST(COUNT(DISTINCT CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000)
         |     AS BIGINT) FROM events) AS n_days
         |FROM events""".stripMargin,
+
+    "ev_breslow_day" ->
+      """WITH e AS (SELECT (CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000) % 7 AS s,
+        |    user_id % 2 = 1 AS ex, event_type = 'purchase' AS y FROM events),
+        |cells AS (SELECT s,
+        |    CAST(SUM(CASE WHEN ex AND y THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN ex AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN NOT ex AND y THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN NOT ex AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM e GROUP BY 1 HAVING a + b + c + d >= 2),
+        |psi AS (SELECT
+        |    CAST(SUM(CAST(CAST(a AS DOUBLE) * d / (a + b + c + d) AS DECIMAL(18,12))) AS DOUBLE) /
+        |    CAST(SUM(CAST(CAST(b AS DOUBLE) * c / (a + b + c + d) AS DECIMAL(18,12))) AS DOUBLE) AS psi
+        |  FROM cells),
+        |q AS (SELECT a,
+        |    CAST(a + b + c + d AS DOUBLE) AS n,
+        |    CAST(a + b AS DOUBLE) AS r1, CAST(a + c AS DOUBLE) AS s1, psi
+        |  FROM cells, psi),
+        |q2 AS (SELECT a, n, r1, s1, psi,
+        |    1.0 - psi AS qa,
+        |    (n - r1 - s1) + psi * (r1 + s1) AS qb,
+        |    -psi * r1 * s1 AS qc,
+        |    GREATEST(0.0, r1 + s1 - n) AS lo, LEAST(r1, s1) AS hi
+        |  FROM q),
+        |q3 AS (SELECT a, n, r1, s1, qa,
+        |    (-qb + SQRT(qb * qb - 4.0 * qa * qc)) / (2.0 * qa) AS root1,
+        |    (-qb - SQRT(qb * qb - 4.0 * qa * qc)) / (2.0 * qa) AS root2,
+        |    lo, hi FROM q2),
+        |ah AS (SELECT a, n, r1, s1,
+        |    CASE WHEN ABS(qa) < 1e-12 THEN r1 * s1 / n
+        |         WHEN root1 >= lo AND root1 <= hi THEN root1
+        |         ELSE root2 END AS ahat
+        |  FROM q3),
+        |t AS (SELECT CAST((CAST(a AS DOUBLE) - ahat) * (CAST(a AS DOUBLE) - ahat) *
+        |    (1.0 / ahat + 1.0 / (r1 - ahat) + 1.0 / (s1 - ahat)
+        |      + 1.0 / (n - r1 - s1 + ahat)) AS DECIMAL(18,12)) AS t
+        |  FROM ah)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+        |  CAST(COUNT(*) - 1 AS BIGINT) AS df,
+        |  ROUND(CAST(SUM(t) AS DOUBLE), 6) AS chi2_bd
+        |FROM t""".stripMargin,
 
     "ev_cmh_test" ->
       """WITH e AS (SELECT (CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000) % 7 AS s,

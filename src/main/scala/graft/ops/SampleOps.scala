@@ -1153,6 +1153,64 @@ object SampleOps {
   }
 
   /**
+   * Breslow–Day homogeneity test (Breslow & Day 1980, §IV) — the prerequisite check
+   * of [[cmhTest]]: CMH's pooled odds ratio is only meaningful when the per-stratum
+   * ORs are HOMOGENEOUS; BD tests exactly that. Under the MH common OR ψ, each
+   * stratum's expected count ã solves the quadratic
+   * (1−ψ)ã² + [(n−r1−s1) + ψ(r1+s1)]ã − ψ·r1·s1 = 0 (the root inside
+   * [max(0, r1+s1−n), min(r1, s1)]), Var = harmonic of the four fitted cells, and
+   * X²_BD = Σ (a−ã)²/V with df = strata − 1.
+   *
+   * Engine-exactness: ψ comes from the DECIMAL(18,12)-quantized MH sums; the
+   * quadratic formula is one fixed-order double chain per stratum (sqrt is
+   * correctly-rounded IEEE — the Mann–Kendall precedent); per-stratum terms quantize
+   * to DECIMAL(18,12) before the final sum. Scale shape: the |strata| cell grid does
+   * everything; the corpus pays the one cmh-style hash aggregate.
+   */
+  def breslowDay(df: DataFrame, stratum: Column, exposed: Column,
+      outcome: Column): DataFrame = {
+    val cells = df.select(stratum.as("__s"), exposed.cast("boolean").as("__e"),
+        outcome.cast("boolean").as("__y"))
+      .groupBy(col("__s"))
+      .agg(sum(when(col("__e") && col("__y"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("__e") && !col("__y"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("__e") && col("__y"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("__e") && !col("__y"), 1L).otherwise(0L)).as("d"))
+      .filter(col("a") + col("b") + col("c") + col("d") >= 2)
+    val dec12 = DecimalType(18, 12)
+    val (a, b, c, d) = (col("a"), col("b"), col("c"), col("d"))
+    val n = (a + b + c + d).cast(DoubleType)
+    val psiAgg = cells.agg(
+      sum((a.cast(DoubleType) * d / n).cast(dec12)).as("__sr"),
+      sum((b.cast(DoubleType) * c / n).cast(dec12)).as("__sx"))
+      .select((col("__sr").cast(DoubleType) / col("__sx").cast(DoubleType)).as("__psi"))
+    val withPsi = cells.crossJoin(broadcast(psiAgg))
+    val (r1, s1) = ((a + b).cast(DoubleType), (a + c).cast(DoubleType))
+    val psi = col("__psi")
+    // (1−ψ)ã² + [(n−r1−s1) + ψ(r1+s1)]ã − ψ·r1·s1 = 0
+    val qa = lit(1.0) - psi
+    val qb = (n - r1 - s1) + psi * (r1 + s1)
+    val qc = -psi * r1 * s1
+    // ψ = 1 degenerates to linear (independence): ã = r1·s1/n
+    val disc = sqrt(qb * qb - lit(4.0) * qa * qc)
+    val root1 = (-qb + disc) / (lit(2.0) * qa)
+    val root2 = (-qb - disc) / (lit(2.0) * qa)
+    val lo = greatest(lit(0.0), r1 + s1 - n)
+    val hi = least(r1, s1)
+    val aHat = when(abs(qa) < 1e-12, r1 * s1 / n)
+      .when(root1 >= lo && root1 <= hi, root1)
+      .otherwise(root2)
+    val vInv = lit(1.0) / aHat + lit(1.0) / (r1 - aHat) + lit(1.0) / (s1 - aHat) +
+      lit(1.0) / (n - r1 - s1 + aHat)
+    val term = ((a.cast(DoubleType) - aHat) * (a.cast(DoubleType) - aHat) * vInv)
+      .cast(dec12)
+    withPsi.select(term.as("__t"))
+      .agg(count(lit(1)).as("n_strata"), sum(col("__t")).as("__chi"))
+      .select(col("n_strata"), (col("n_strata") - 1).cast("long").as("df"),
+        round(col("__chi").cast(DoubleType), 6).as("chi2_bd"))
+  }
+
+  /**
    * Two-sample Kolmogorov–Smirnov test, FULLY EXACT: D = max|F₁(x) − F₂(x)| never
    * touches a float — the max runs over the cross-multiplied integer
    * d_num = |c₁·n₂ − c₂·n₁| (D = d_num/(n₁n₂)), and the α = 0.05 rejection

@@ -255,6 +255,25 @@ class SurvivalExperimentSpec extends SparkSpec {
       s"got ${out.getAs[Double]("chi2_cmh")}, expected $chi2")
   }
 
+  test("breslowDay: zero on homogeneous strata, large on reversed odds ratios") {
+    def rows(s: Long, e: Boolean, y: Boolean, n: Int) = Seq.fill(n)((s, e, y))
+    // identical 2x2 in both strata (OR 2.25 everywhere): fitted == observed, chi2 ~ 0
+    def stratum(s: Long) = rows(s, true, true, 90) ++ rows(s, true, false, 40) ++
+      rows(s, false, true, 50) ++ rows(s, false, false, 50)
+    val homo = SampleOps.breslowDay((stratum(1) ++ stratum(2)).toDF("s", "e", "y"),
+      col("s"), col("e"), col("y")).head()
+    assert(homo.getAs[Long]("df") == 1L)
+    assert(homo.getAs[Double]("chi2_bd") < 1e-6, s"homogeneous strata: $homo")
+    // stratum 1 OR = 4, stratum 2 OR = 1/4: strongly heterogeneous
+    val hetero = SampleOps.breslowDay(
+      (rows(1, true, true, 80) ++ rows(1, true, false, 20) ++
+        rows(1, false, true, 50) ++ rows(1, false, false, 50) ++
+        rows(2, true, true, 20) ++ rows(2, true, false, 80) ++
+        rows(2, false, true, 50) ++ rows(2, false, false, 50)).toDF("s", "e", "y"),
+      col("s"), col("e"), col("y")).head()
+    assert(hetero.getAs[Double]("chi2_bd") > 10.0, s"reversed ORs must reject: $hetero")
+  }
+
   // ---- Kolmogorov–Smirnov -----------------------------------------------------------------
 
   test("ksTest: equal-mean variance drift rejected, identical samples accepted, naive D match") {
