@@ -2572,6 +2572,53 @@ object SparkEntry {
         pmod(col("user_id"), lit(2)) === 1,
         col("event_type") === "purchase")),
 
+    // Lag-1 Granger causality (Granger 1969) between the daily click and purchase
+    // count series — the CAUSALITY readout completing the ACF/CCF family: does
+    // yesterday's x improve today's y prediction beyond yesterday's y? Closed-form
+    // nested OLS over the day grid: every centered moment is n-scaled EXACT integer
+    // algebra (nSyy = n·Σy² − (Σy)², etc. — the cuped discipline), the F-statistic
+    // one fixed-order double chain. Corpus cost: one (day, type) aggregate; the lag
+    // window rides the collapsed day grid.
+    "ev_granger" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"))
+        .localCheckpoint(eager = false) // both directions read the same day grid
+      val wDay = Window.orderBy(col("day"))
+      def direction(name: String, yCol: String, xCol: String): DataFrame = {
+        val lagged = daily
+          .select(col(yCol).as("yt"),
+            lag(col(yCol), 1).over(wDay).as("yl"),
+            lag(col(xCol), 1).over(wDay).as("xl"))
+          .filter(col("yl").isNotNull)
+        val m = lagged.agg(count(lit(1)).as("n"),
+          sum(col("yt")).as("sy"), sum(col("yl")).as("sl"), sum(col("xl")).as("sx"),
+          sum(col("yt") * col("yt")).as("syy"), sum(col("yl") * col("yl")).as("sll"),
+          sum(col("xl") * col("xl")).as("sxx"), sum(col("yt") * col("yl")).as("syl"),
+          sum(col("yt") * col("xl")).as("syx"), sum(col("yl") * col("xl")).as("slx"))
+        val (nn, sy, sl, sx) = (col("n"), col("sy"), col("sl"), col("sx"))
+        def c(s2: Column, a: Column, b: Column) = (nn * s2 - a * b).cast(DoubleType)
+        val (cyy, cll, cxx) = (c(col("syy"), sy, sy), c(col("sll"), sl, sl),
+          c(col("sxx"), sx, sx))
+        val (cyl, cyx, clx) = (c(col("syl"), sy, sl), c(col("syx"), sy, sx),
+          c(col("slx"), sl, sx))
+        val rssR = cyy - cyl * cyl / cll
+        val det = cll * cxx - clx * clx
+        val b1 = (cyl * cxx - cyx * clx) / det
+        val b2 = (cyx * cll - cyl * clx) / det
+        val rssU = cyy - b1 * cyl - b2 * cyx
+        // rssU = 0 (perfect prediction) leaves F undefined — NULL in both engines
+        // (ANSI Spark would throw on the zero divisor, DuckDB would return NULL)
+        m.select(lit(name).as("direction"), nn.cast("long").as("n_days"),
+          round(when(rssU > 0,
+            (rssR - rssU) * (nn - 3).cast(DoubleType) / rssU), 4).as("f_stat"))
+      }
+      direction("clicks->purchases", "purchases", "clicks")
+        .unionByName(direction("purchases->clicks", "clicks", "purchases"))
+    }),
+
     // Breslow–Day homogeneity — CMH's prerequisite: the pooled odds ratio only
     // means something when the per-stratum ORs agree; BD's X² over the quadratic
     // fitted counts tests exactly that (same strata/arms as ev_cmh_test)
@@ -8872,6 +8919,43 @@ object SparkEntry {
         |  (SELECT CAST(COUNT(DISTINCT CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000)
         |     AS BIGINT) FROM events) AS n_days
         |FROM events""".stripMargin,
+
+    "ev_granger" -> {
+      def leg(name: String, y: String, x: String) =
+        s"""SELECT '$name' AS direction, CAST(n AS BIGINT) AS n_days,
+           |  ROUND(CASE WHEN rssu > 0
+           |    THEN (rssr - rssu) * CAST(n - 3 AS DOUBLE) / rssu END, 4) AS f_stat FROM (
+           |  SELECT n, cyy - cyl * cyl / cll AS rssr,
+           |    cyy - ((cyl * cxx - cyx * clx) / (cll * cxx - clx * clx)) * cyl
+           |        - ((cyx * cll - cyl * clx) / (cll * cxx - clx * clx)) * cyx AS rssu
+           |  FROM (
+           |    SELECT n,
+           |      CAST(n * syy - sy * sy AS DOUBLE) AS cyy,
+           |      CAST(n * sll - sl * sl AS DOUBLE) AS cll,
+           |      CAST(n * sxx - sx * sx AS DOUBLE) AS cxx,
+           |      CAST(n * syl - sy * sl AS DOUBLE) AS cyl,
+           |      CAST(n * syx - sy * sx AS DOUBLE) AS cyx,
+           |      CAST(n * slx - sl * sx AS DOUBLE) AS clx
+           |    FROM (
+           |      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |        CAST(SUM(yt) AS BIGINT) AS sy, CAST(SUM(yl) AS BIGINT) AS sl,
+           |        CAST(SUM(xl) AS BIGINT) AS sx,
+           |        CAST(SUM(yt * yt) AS BIGINT) AS syy, CAST(SUM(yl * yl) AS BIGINT) AS sll,
+           |        CAST(SUM(xl * xl) AS BIGINT) AS sxx, CAST(SUM(yt * yl) AS BIGINT) AS syl,
+           |        CAST(SUM(yt * xl) AS BIGINT) AS syx, CAST(SUM(yl * xl) AS BIGINT) AS slx
+           |      FROM (
+           |        SELECT $y AS yt, LAG($y) OVER (ORDER BY day) AS yl,
+           |          LAG($x) OVER (ORDER BY day) AS xl FROM daily) q
+           |      WHERE yl IS NOT NULL) s0) s1) s2""".stripMargin
+      s"""WITH daily AS (
+         |  SELECT CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000 AS day,
+         |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases
+         |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1)
+         |${leg("clicks->purchases", "purchases", "clicks")}
+         |UNION ALL
+         |${leg("purchases->clicks", "clicks", "purchases")}""".stripMargin
+    },
 
     "ev_breslow_day" ->
       """WITH e AS (SELECT (CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000) % 7 AS s,

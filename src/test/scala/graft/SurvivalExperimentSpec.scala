@@ -255,6 +255,36 @@ class SurvivalExperimentSpec extends SparkSpec {
       s"got ${out.getAs[Double]("chi2_cmh")}, expected $chi2")
   }
 
+  test("ev_granger via the entry: planted lag-1 dependence dominates the reverse direction") {
+    // purchases on day t = clicks on day t-1 EXACTLY: the unrestricted model's
+    // residual collapses in the clicks->purchases direction; the reverse gains
+    // little (clicks are hash-pseudo-random)
+    val dir = java.nio.file.Files.createTempDirectory("graft-granger").toString
+    def clicksOn(t: Long): Int = (5 + ((t * 2654435761L) % 23)).toInt
+    var eid = 0L
+    val rows = (0L until 60L).flatMap { t =>
+      val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val dayTs = new java.sql.Timestamp(ts.getTime + t * 86400000L)
+      val clicks = (1 to clicksOn(t)).map { _ =>
+        eid += 1; (eid, dayTs, eid % 50, "click", 1.0, "{}")
+      }
+      // +1 on alternate days keeps rssU > 0 (a PERFECT fit leaves F undefined/NULL)
+      val purchases = if (t == 0) Seq.empty
+        else (1 to clicksOn(t - 1) + (t % 2).toInt).map { _ =>
+          eid += 1; (eid, dayTs, eid % 50, "purchase", 1.0, "{}")
+        }
+      clicks ++ purchases
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("ev_granger")(spark, dir).collect()
+      .map(r => r.getAs[String]("direction") -> r.getAs[Double]("f_stat")).toMap
+    val fwd = out("clicks->purchases"); val rev = out("purchases->clicks")
+    assert(fwd > 100.0, s"planted causality missed: fwd=$fwd rev=$rev")
+    assert(fwd > 10 * math.max(rev, 0.1), s"direction not separated: fwd=$fwd rev=$rev")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("breslowDay: zero on homogeneous strata, large on reversed odds ratios") {
     def rows(s: Long, e: Boolean, y: Boolean, n: Int) = Seq.fill(n)((s, e, y))
     // identical 2x2 in both strata (OR 2.25 everywhere): fitted == observed, chi2 ~ 0
