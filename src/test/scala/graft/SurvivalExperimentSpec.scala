@@ -57,6 +57,35 @@ class SurvivalExperimentSpec extends SparkSpec {
     }
   }
 
+  test("kaplanMeier: fully censored population keeps survival at 1") {
+    // every unit is still active in the tail window: zero churn, the product stays 1e12
+    val rows = (1L to 8L).flatMap(u => Seq((u, 0L), (u, 10L + (u % 3))))
+    val out = SampleOps.kaplanMeier(rows.toDF("u", "d"), col("u"), col("d")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_churn") == 0L)
+      assert(r.getAs[Long]("s_e12") == 1000000000000L)
+      assert(r.getAs[Double]("survival") == 1.0)
+    }
+  }
+
+  test("skyline2d and prefix sums: degenerate inputs") {
+    // single point is its own frontier
+    val one = SampleOps.skyline2d(Seq((7L, 3L, 9L)).toDF("id", "g", "c"),
+      col("g"), col("c"), Seq(col("id"))).collect()
+    assert(one.map(_.getAs[Long]("id")).toSeq == Seq(7L))
+    // empty input: prefix sums return an empty frame with the _cum columns present
+    val empty = graft.operators.Cdc.assignPrefixSums(
+      Seq.empty[(Long, Long)].toDF("k", "x"), Seq(col("k")), Seq("x"))
+    assert(empty.columns.contains("x_cum") && empty.count() == 0)
+    // single partition: identical to the sequential fold
+    val sp = graft.operators.Cdc.assignPrefixSums(
+      Seq((3L, 1L), (1L, 2L), (2L, 4L)).toDF("k", "x").coalesce(1),
+      Seq(col("k")), Seq("x"))
+      .orderBy(col("k")).collect().map(_.getAs[Long]("x_cum")).toSeq
+    assert(sp == Seq(2L, 6L, 7L))
+  }
+
   // ---- Difference-in-differences ----------------------------------------------------------
 
   test("diffInDiff: planted treatment effect recovered exactly, trends removed") {
