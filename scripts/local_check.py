@@ -5,6 +5,41 @@ Dev-only tooling (driver-side python/duckdb); not part of the shipped library.""
 import json, sys, glob, os
 import duckdb
 
+
+# The driver's gate hashes the RENDERED values, so an int64 29 and a float64
+# 29.0 hash-differ even when numerically equal (DuckDB widens SUM(BIGINT) to
+# HUGEINT -> pandas float64; the r10 msprt/conformal regression). Classify
+# dtypes by how pandas renders them and FAIL on class disagreement before any
+# float-coerced value comparison.
+def _render_class(dtype):
+    k = dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "ts"
+    return "obj"
+
+
+def _selftest():
+    import pandas as pd
+    a = pd.Series([29, 30], dtype="int64")
+    b = pd.Series([29.0, 30.0], dtype="float64")
+    assert _render_class(a.dtype) != _render_class(b.dtype), \
+        "dtype gate failed to flag int64 vs float64 (the driver WOULD hash-fail this)"
+    assert _render_class(pd.Series([1], dtype="int32").dtype) == \
+        _render_class(pd.Series([1], dtype="int64").dtype), \
+        "int32 vs int64 render identically and must NOT be flagged"
+    print("selftest OK: int-vs-float dtype mismatch is a loud failure")
+
+
+if "--selftest" in sys.argv:
+    _selftest()
+    sys.exit(0)
+
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
@@ -42,6 +77,12 @@ for name in sorted(os.listdir(outdir)):
         bad = None
         for c in scols:
             a, b = sdf[c], odf[c]
+            ca, cb = _render_class(a.dtype), _render_class(b.dtype)
+            if {ca, cb} == {"int", "float"} or {ca, cb} == {"bool", "int"} \
+                    or {ca, cb} == {"bool", "float"}:
+                bad = (f"DTYPE MISMATCH col={c} spark={a.dtype} oracle={b.dtype} "
+                       f"(driver hash renders these differently, e.g. 29 vs 29.0)")
+                break
             if a.dtype.kind == "f" or b.dtype.kind == "f":
                 import numpy as np
                 an, bn = a.astype(float), b.astype(float)

@@ -2699,7 +2699,7 @@ object SparkEntry {
         lit("all").as("scope"),
         (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("c"))
         .withColumn("c2", (col("c").cast(DecimalType(19, 0)) * col("c")
-          .cast(DecimalType(19, 0))).cast(DecimalType(18, 0)).cast("long"))
+          .cast(DecimalType(19, 0))).cast(DecimalType(38, 0)))
         .localCheckpoint(true)
       val st1 = java.nio.file.Files.createTempDirectory("graft-msprt1").toString
       val st2 = java.nio.file.Files.createTempDirectory("graft-msprt2").toString
@@ -2774,7 +2774,7 @@ object SparkEntry {
         lit("all").as("scope"),
         (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("c"))
         .withColumn("c2", (col("c").cast(DecimalType(19, 0)) * col("c")
-          .cast(DecimalType(19, 0))).cast(DecimalType(18, 0)).cast("long"))
+          .cast(DecimalType(19, 0))).cast(DecimalType(38, 0)))
         .localCheckpoint(true)
       val st1 = java.nio.file.Files.createTempDirectory("graft-ebh1").toString
       val st2 = java.nio.file.Files.createTempDirectory("graft-ebh2").toString
@@ -3376,6 +3376,12 @@ object SparkEntry {
     // Efraimidis–Spirakis exact-k weighted sample: inclusion odds proportional to length
     "doc_weighted_sample" -> ((s, dir) =>
       SampleOps.weightedTakeK(t(s, dir, "documents"), k = 100)),
+
+    // DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram features,
+    // target-vs-raw Laplace LM importance weights, deterministic Gumbel-top-k — the
+    // "make the sample look like the target domain" corpus draw
+    "doc_dsir_sample" -> ((s, dir) =>
+      SampleOps.dsirSample(t(s, dir, "documents"), k = 100)),
 
     // per-domain quota: keep the top-N docs of each source by quality (the web-corpus
     // domain cap); deterministic tie-break by doc_id
@@ -6426,7 +6432,7 @@ object SparkEntry {
       |      - nb * (CAST(sb1 AS DOUBLE) / nb) * (CAST(sb1 AS DOUBLE) / nb))
       |      / (na + nb - 2) AS s2p FROM p),
       |l AS (SELECT day, na, nb, ma - mb AS dh, s2p * (1.0 / na + 1.0 / nb) AS v FROM f),
-      |r AS (SELECT day, na AS n_a, nb AS n_b, ROUND(dh / 100.0, 4) AS mean_diff,
+      |r AS (SELECT day, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, ROUND(dh / 100.0, 4) AS mean_diff,
       |    LEAST(0.0, -(0.5 * LOG10(v / (v + 250000.0))
       |      + (dh * dh * 250000.0 / (2.0 * v * (v + 250000.0))) * 0.4342944819032518)) AS lp
       |  FROM l)
@@ -8481,7 +8487,7 @@ object SparkEntry {
         |f AS (SELECT g, SUM(c) // COUNT(*) AS yhat FROM e WHERE cal GROUP BY 1),
         |r AS (SELECT e.cal, ABS(e.c - f.yhat) AS r FROM e JOIN f USING (g)),
         |h AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS c FROM r WHERE cal GROUP BY 1),
-        |n AS (SELECT SUM(c) AS n_cal FROM h),
+        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_cal FROM h),
         |q AS (SELECT MIN(CASE WHEN cum >= ((n_cal + 1) * 9 + 9) // 10 THEN r END) AS q,
         |    MIN(n_cal) AS n_cal
         |  FROM (SELECT r, SUM(c) OVER (ORDER BY r) AS cum FROM h), n),
@@ -9039,8 +9045,8 @@ object SparkEntry {
         |m AS (SELECT CAST(MAX(ABS(c1c * n2 - c2c * n1)) AS BIGINT) AS d_num FROM cum, tot)
         |SELECT n1, n2, d_num,
         |  ROUND(CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6) AS d,
-        |  CAST(d_num AS HUGEINT) * d_num * 10000 >
-        |    CAST(n1 + n2 AS HUGEINT) * n1 * n2 * 18441 AS reject_05
+        |  CAST(d_num AS HUGEINT) * d_num * 1000000 >
+        |    CAST(n1 + n2 AS HUGEINT) * n1 * n2 * 1844164 AS reject_05
         |FROM m, tot""".stripMargin,
 
     // formula structure mirrors SampleOps.welchTTest term for term
@@ -10146,6 +10152,42 @@ object SparkEntry {
         |      / 1152921504606846976.0) / n_chars AS key
         |  FROM documents WHERE n_chars > 0)
         |ORDER BY key DESC, doc_id LIMIT 100""".stripMargin,
+
+    // replica of SampleOps.dsirSample: hashed unigram+bigram buckets (md5-60 % 256),
+    // target(lang='en')-vs-raw Laplace log-ratio quantized to DECIMAL(18,8) per
+    // bucket term, content-hash Gumbel key — term order mirrors the Spark plan
+    "doc_dsir_sample" ->
+      """WITH t AS (SELECT doc_id, lang, text,
+        |    list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS l
+        |  FROM documents),
+        |uni AS (SELECT doc_id, lang, unnest(l) AS g FROM t),
+        |bi AS (SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS g
+        |  FROM t WHERE len(l) >= 2),
+        |f AS (SELECT doc_id, lang,
+        |    CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) % 256 AS b
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        |m AS (SELECT b,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |    CAST(COUNT(*) AS BIGINT) AS cq
+        |  FROM f GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cq) AS BIGINT) AS qq FROM m),
+        |db AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c FROM f GROUP BY 1, 2),
+        |d AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+        |    SUM(CAST(CAST(c AS DOUBLE) *
+        |      (LOG10(CAST(ct + 1 AS DOUBLE)) - LOG10(CAST(cq + 1 AS DOUBLE)))
+        |      AS DECIMAL(18,8))) AS s
+        |  FROM db JOIN m USING (b) GROUP BY 1),
+        |w AS (SELECT doc_id, n_feats,
+        |    CAST(s AS DOUBLE) + CAST(n_feats AS DOUBLE) *
+        |      (LOG10(CAST(qq + 256 AS DOUBLE)) - LOG10(CAST(tt + 256 AS DOUBLE))) AS logw
+        |  FROM d, tot),
+        |g AS (SELECT w.doc_id, n_feats, logw,
+        |    logw - LOG10(-LN((CAST(CAST('0x' || substring(md5(dd.text), 1, 15) AS BIGINT)
+        |      AS DOUBLE) + 1.0) / 1152921504606846976.0)) AS gk
+        |  FROM w JOIN documents dd ON w.doc_id = dd.doc_id)
+        |SELECT doc_id, n_feats, ROUND(logw, 4) AS log10_w
+        |FROM g ORDER BY gk DESC, doc_id LIMIT 100""".stripMargin,
 
     // the oracle brute-forces ALL n-gram lengths (O(n^2) per doc — fine at gate SF);
     // Spark binary-searches the monotone "has repeat of length L" predicate per doc

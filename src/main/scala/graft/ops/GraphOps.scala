@@ -313,9 +313,13 @@ object GraphOps {
         .select(col("e.a").as("a"), col("e.b").as("b"))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
     }
+    // LEFT join, not semi: support() only emits edges that are in >=1 triangle, so
+    // a semi-join silently drops triangle-free edges even when k-2 == 0 — for the
+    // permitted k=2 every edge must survive (support >= 0 is vacuous).
     def peel(cur: DataFrame): DataFrame =
-      cur.join(support(cur).filter(col("support") >= k - 2),
-          Seq("a", "b"), "left_semi")
+      cur.join(support(cur), Seq("a", "b"), "left")
+        .filter(coalesce(col("support"), lit(0L)) >= k - 2)
+        .select(col("a"), col("b"))
         .localCheckpoint(eager = false)
     // ADAPTIVE rounds (the densestSubgraph/q_components_incremental idiom): a fixed
     // unroll pays the full budget of support joins even when the peel converges in

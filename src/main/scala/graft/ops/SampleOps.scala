@@ -224,6 +224,83 @@ object SampleOps {
   }
 
   /**
+   * DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+   * arXiv:2302.03169): select raw-corpus documents that LOOK LIKE a target domain by
+   * (1) hashing unigram+bigram features into `buckets` buckets, (2) fitting two
+   * Laplace-smoothed bag-of-hashed-ngrams unigram LMs — p over the target subset,
+   * q over the whole raw corpus — and (3) Gumbel-top-k resampling with key
+   * log w(x) + Gumbel, where log w(x) = Σ_b c_b(x)·(log p[b] − log q[b]) is the
+   * per-document importance weight. Here the target subset is `lang == targetLang`
+   * (the "match a high-quality/in-domain slice" use of the paper, expressed on the
+   * columns the corpus already has).
+   *
+   * Exactness discipline: bucket ids come from the md5-60 hash ([[TextOps.md5Hash60]]
+   * mod `buckets` — both engines agree bit-for-bit), the LM fold keeps per-bucket
+   * counts as exact integers, the per-bucket log-ratio term quantizes to
+   * DECIMAL(18,8) BEFORE the per-document sum (the doc_unigram_logprob fp-sum-order
+   * rule), and the Gumbel draw is the deterministic content-hash uniform of
+   * [[weightedTakeK]] (u from md5-60, key = log₁₀w − log₁₀(−ln u), a monotone
+   * transform of the standard ln-space Gumbel-max key).
+   *
+   * Scale shape (100 TB): two tokenize-free exchanges over the corpus — one to the
+   * (doc, bucket) grain, one back to the doc grain — with the MODEL side folding to
+   * `buckets` rows (broadcast) and totals to one row (broadcast). No per-token join
+   * against a corpus-sized vocabulary: the hashed feature space is fixed at
+   * `buckets`, which is the whole point of DSIR's hashed n-gram front-end. The final
+   * top-k is TakeOrderedAndProject (per-task k-row heaps), never a global sort.
+   */
+  def dsirSample(
+      df: DataFrame,
+      k: Int,
+      targetLang: String = "en",
+      buckets: Int = 256,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      langCol: String = "lang"): DataFrame = {
+    val u = (TextOps.md5Hash60(col(textCol)).cast("double") + 1.0) /
+      lit(1.152921504606846976e18)
+    val toks = df.select(col(idCol), col(langCol).as("__lang"),
+      (-log(10.0, -log(u))).as("__g"), TextOps.tokensCol(col(textCol)).as("__l"))
+    val uni = toks.select(col(idCol), col("__lang"), col("__g"),
+      explode(col("__l")).as("__t"))
+    val bi = toks.where(size(col("__l")) >= 2).select(col(idCol), col("__lang"),
+      col("__g"),
+      explode(expr("transform(sequence(1, size(__l) - 1), " +
+        "i -> concat(element_at(__l, i), ' ', element_at(__l, i + 1)))")).as("__t"))
+    val feat = uni.unionByName(bi)
+      .select(col(idCol), col("__lang"), col("__g"),
+        pmod(TextOps.md5Hash60(col("__t")), lit(buckets.toLong)).as("__b"))
+    // model fit: one hash aggregate to `buckets` rows (target + raw counts share the
+    // pass), totals fold off the bucket table — never a second corpus scan
+    val model = feat.groupBy(col("__b"))
+      .agg(sum(when(col("__lang") === targetLang, 1L).otherwise(0L)).as("__ct"),
+        count(lit(1)).as("__cq"))
+    val totals = model.agg(sum(col("__ct")).as("__T"), sum(col("__cq")).as("__Q"))
+    val perBucket = feat.groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).as("__c"), first(col("__g")).as("__g"))
+      .join(broadcast(model), "__b")
+    val perDoc = perBucket
+      .select(col(idCol), col("__c"), col("__g"),
+        (col("__c").cast(DoubleType) *
+          (log(10.0, (col("__ct") + 1).cast(DoubleType)) -
+            log(10.0, (col("__cq") + 1).cast(DoubleType)))).cast(DecimalType(18, 8))
+          .as("__term"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_feats"), sum(col("__term")).as("__s"),
+        first(col("__g")).as("__g"))
+    perDoc.crossJoin(broadcast(totals))
+      .select(col(idCol), col("n_feats"), col("__g"),
+        (col("__s").cast(DoubleType) + col("n_feats").cast(DoubleType) *
+          (log(10.0, (col("__Q") + buckets).cast(DoubleType)) -
+            log(10.0, (col("__T") + buckets).cast(DoubleType)))).as("__logw"))
+      .select(col(idCol), col("n_feats"), col("__logw"),
+        (col("__logw") + col("__g")).as("__gk"))
+      .orderBy(col("__gk").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("n_feats"), round(col("__logw"), 4).as("log10_w"))
+  }
+
+  /**
    * Sketch-based contamination screen — [[contamination]] with the benchmark inventory
    * compressed into a Bloom filter instead of an exact broadcast set. The 100 TB case
    * for this: a deny-list of 10⁹ shingle/URL/digest longs is an 8 GB exact broadcast
@@ -1215,7 +1292,10 @@ object SampleOps {
    * touches a float — the max runs over the cross-multiplied integer
    * d_num = |c₁·n₂ − c₂·n₁| (D = d_num/(n₁n₂)), and the α = 0.05 rejection
    * D > 1.358·√((n₁+n₂)/(n₁n₂)) squares into the pure integer comparison
-   * 10⁴·d_num² > 18441·(n₁+n₂)·n₁·n₂ in DECIMAL(38,0) — no engine can disagree.
+   * 10⁶·d_num² > 1844164·(n₁+n₂)·n₁·n₂ in DECIMAL(38,0) — 1.358² = 1.844164
+   * exactly at 10⁶ scale (a 10⁴ scale would truncate it to 1.8441 and bias
+   * borderline D toward rejection) — no engine can disagree. NULL values are
+   * dropped before the grid (both engines filter identically).
    * Completes the rank-stat family (Mann–Whitney location, Kruskal–Wallis k-sample,
    * KS distribution SHAPE — the test that catches equal-mean variance drift).
    *
@@ -1228,7 +1308,7 @@ object SampleOps {
       a: String, b: String): DataFrame = {
     val cents = (value.cast(DecimalType(18, 2)) * 100).cast("long")
     val grid = df.select(group.as("__g"), cents.as("__v"))
-      .filter(col("__g").isin(a, b))
+      .filter(col("__g").isin(a, b) && col("__v").isNotNull)
       .groupBy(col("__v"))
       .agg(sum(when(col("__g") === a, 1L).otherwise(0L)).as("c1"),
         sum(when(col("__g") === b, 1L).otherwise(0L)).as("c2"))
@@ -1244,9 +1324,9 @@ object SampleOps {
       .select(col("n1"), col("n2"), col("d_num"),
         round(col("d_num").cast(DoubleType) / (col("n1").cast(DoubleType) * col("n2")), 6)
           .as("d"),
-        (col("d_num").cast(dec38) * col("d_num").cast(dec38) * 10000 >
+        (col("d_num").cast(dec38) * col("d_num").cast(dec38) * 1000000 >
           (col("n1") + col("n2")).cast(dec38) * col("n1").cast(dec38) *
-            col("n2").cast(dec38) * 18441).as("reject_05"))
+            col("n2").cast(dec38) * 1844164).as("reject_05"))
   }
 
   /**

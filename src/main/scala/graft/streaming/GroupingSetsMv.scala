@@ -40,8 +40,13 @@ object GroupingSetsMv {
     * nulled), 2 = group-by-d2 rows, 3 = grand total. */
   def batchSummary(df: DataFrame, d1: String, d2: String, measure: String): DataFrame =
     df.groupingSets(Seq(Seq(col(d1)), Seq(col(d2)), Seq()), col(d1), col(d2))
+      // DECIMAL(38,2), not (18,2): callers feed per-row SQUARED cent values
+      // (ev_msprt_incremental / ev_fdr_ebh_incremental second-moment stores), where
+      // an event >= ~$10M would overflow 18 digits and silently NULL in non-ANSI
+      // mode — 38 digits carries |value| up to ~10^18 cents, the same headroom as
+      // the one-shot paths' DECIMAL(38,0) squares
       .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
-        sum(col(measure).cast(DecimalType(18, 2))).as("s"))
+        sum(col(measure).cast(DecimalType(38, 2))).as("s"))
       .select(col("gid"), col(d1), col(d2), col("n"), col("s"))
 
   /** Associative key-sum merge of a batch delta into the running summary. */
@@ -49,7 +54,7 @@ object GroupingSetsMv {
     state.unionByName(delta)
       .groupBy(col("gid"), col(d1), col(d2))
       .agg(sum(col("n")).cast("long").as("n"),
-        sum(col("s")).cast(DecimalType(18, 2)).as("s"))
+        sum(col("s")).cast(DecimalType(38, 2)).as("s"))
 
   /** COMMITTED versions only: a version exists once its Spark `_SUCCESS` marker
     * lands. A crash mid-overwrite (parquet overwrite deletes the dir content before
@@ -67,6 +72,40 @@ object GroupingSetsMv {
       .toSeq.sorted
   }
 
+  /** Read one committed version dir, finishing any interrupted in-place compaction
+    * first (the [[graft.streaming.IncrementalDecontaminate]] read discipline —
+    * without it, a crash mid-swap would surface a half-compacted summary). */
+  private def readVersion(spark: SparkSession, stateDir: String, v: Long): DataFrame = {
+    val p = new Path(s"$stateDir/v=$v")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sinks.AtomicSwap.finishSwap(fs, p)
+    spark.read.parquet(p.toString)
+  }
+
+  /**
+   * In-place compaction of the NEWEST committed version dir (crash-safe via the
+   * [[graft.sinks.AtomicSwap]] manifest swap — rename-first, recoverable from every
+   * crash point on the next read). The merge write shuffles on the grouping key, so a
+   * grain-bounded summary still lands as one near-empty part file per shuffle
+   * partition; long-running maintenance compacts the current version down to one
+   * file without touching version bookkeeping (`_SUCCESS` and the prune protocol see
+   * only data-file names change). Returns the data-file count after compaction.
+   */
+  def compactState(spark: SparkSession, stateDir: String): Int = {
+    val v = versions(spark, stateDir).lastOption.getOrElse(return 0)
+    val p = new Path(s"$stateDir/v=$v")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sinks.AtomicSwap.finishSwap(fs, p)
+    val data = graft.sinks.AtomicSwap.dataFileNames(fs, p)
+    if (data.length <= 1) return data.length
+    val snapshot = spark.read.parquet(p.toString).localCheckpoint(eager = true)
+    val tmp = new Path(p, graft.sinks.AtomicSwap.TmpName)
+    fs.delete(tmp, true)
+    snapshot.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    graft.sinks.AtomicSwap.commitSwap(fs, p)
+    graft.sinks.AtomicSwap.dataFileNames(fs, p).length
+  }
+
   /** Apply one micro-batch: read newest version < batchId, merge, overwrite
     * `v=<batchId>`, prune. Returns the maintained summary row count.
     *
@@ -80,7 +119,8 @@ object GroupingSetsMv {
     * batchId == max(version) is a legitimate crash-replay (it re-reads the same
     * predecessor and overwrites convergently). */
   def applyBatch(batch: DataFrame, batchId: Long, stateDir: String,
-      d1: String, d2: String, measure: String, retain: Int = 2): Long = {
+      d1: String, d2: String, measure: String, retain: Int = 2,
+      autoCompactFiles: Int = 16): Long = {
     val spark = batch.sparkSession
     versions(spark, stateDir).lastOption.filter(_ > batchId).foreach { m =>
       throw new IllegalStateException(
@@ -89,7 +129,7 @@ object GroupingSetsMv {
           "checkpoint or start a fresh state dir")
     }
     val prior = versions(spark, stateDir).filter(_ < batchId).lastOption
-      .map(v => spark.read.parquet(s"$stateDir/v=$v"))
+      .map(v => readVersion(spark, stateDir, v))
     val delta = batchSummary(batch, d1, d2, measure)
     val merged = prior.fold(delta)(st => merge(st, delta, d1, d2))
     merged.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
@@ -104,7 +144,14 @@ object GroupingSetsMv {
       val n = s.getPath.getName
       if (n.startsWith("v=") && !keep.contains(n)) fs.delete(s.getPath, true): Unit
     }
-    spark.read.parquet(s"$stateDir/v=$batchId").count()
+    // auto-compact past the file-count trip (the IncrementalDecontaminate idiom):
+    // the merge shuffle leaves one near-empty file per partition on a grain-bounded
+    // summary; rewrite the just-committed version down to one file, crash-safe
+    val vp = new Path(s"$stateDir/v=$batchId")
+    if (autoCompactFiles > 0 &&
+      graft.sinks.AtomicSwap.dataFileNames(fs, vp).length > autoCompactFiles)
+      compactState(spark, stateDir): Unit
+    readVersion(spark, stateDir, batchId).count()
   }
 
   /** The maintained summary at its newest version, with read-time finalization
@@ -112,7 +159,7 @@ object GroupingSetsMv {
   def current(spark: SparkSession, stateDir: String): DataFrame = {
     val v = versions(spark, stateDir).lastOption.getOrElse(
       throw new IllegalStateException(s"no maintained summary at $stateDir"))
-    spark.read.parquet(s"$stateDir/v=$v")
+    readVersion(spark, stateDir, v)
       .withColumn("avg", round(col("s").cast("double") / col("n"), 6))
   }
 

@@ -421,6 +421,13 @@ class Scd2RfmSpec extends SparkSpec {
       GraphOps.kTruss(edges, k = 4, rounds = 1, requireConverged = true).collect()
     }
     assert(ex.getMessage.contains("raise the budget"))
+    // k=2 is vacuous (support >= 0): EVERY edge survives, including the triangle-free
+    // path — a semi-join against support() would silently drop it (ADVICE r10)
+    val t2 = GraphOps.kTruss(edges, k = 2, rounds = 2, requireConverged = true)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(t2.keySet == (k4 ++ tri ++ path).toSet,
+      s"k=2 must keep triangle-free edges: ${t2.keySet}")
+    path.foreach(e => assert(t2(e) == 0L, s"path edge $e support must report 0"))
   }
 
   test("triangleStats: K4, triangle+tail, and a triangle-free star; degree-ordered == naive") {

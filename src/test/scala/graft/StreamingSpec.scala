@@ -989,6 +989,62 @@ class StreamingSpec extends SparkSpec {
       !fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS"))))
   }
 
+  test("grouping-sets MV compaction: summary identical, files collapse, interrupted swap recovers") {
+    import graft.streaming.GroupingSetsMv
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft-gsmv-compact").toString
+    val b0 = Seq(("HIGH", "F", 10.25), ("LOW", "O", 2.50)).toDF("priority", "status", "amount")
+    val b1 = Seq(("HIGH", "O", 5.00), ("MED", "P", 1.25)).toDF("priority", "status", "amount")
+    // autoCompactFiles = 0 disables the write-time trip so the test drives compaction
+    GroupingSetsMv.applyBatch(b0, 0L, state, "priority", "status", "amount", autoCompactFiles = 0)
+    GroupingSetsMv.applyBatch(b1, 1L, state, "priority", "status", "amount", autoCompactFiles = 0)
+    def canon() = GroupingSetsMv.current(spark, state)
+      .select("gid", "priority", "status", "n", "s").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("<null>"),
+        Option(r.getString(2)).getOrElse("<null>"), r.getLong(3),
+        r.getDecimal(4).toPlainString)).sorted.toSeq
+    val good = canon()
+    val fs = new Path(state).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v1 = new Path(state, "v=1")
+    // AQE coalesces this toy grain to one file — fan the committed version out to
+    // model the large-grain summary whose merge shuffle leaves many part files
+    val fanned = spark.read.parquet(v1.toString).localCheckpoint(true)
+    fanned.repartition(8).write.mode("overwrite").parquet(v1.toString)
+    assert(graft.sinks.AtomicSwap.dataFileNames(fs, v1).length > 1,
+      "precondition: the fanned version should hold multiple part files")
+    assert(canon() == good, "fan-out rewrite must not change the summary")
+    assert(GroupingSetsMv.compactState(spark, state) == 1)
+    assert(canon() == good, "compaction changed the maintained summary")
+    assert(fs.exists(new Path(v1, "_SUCCESS")), "compaction must not disturb the commit marker")
+    // interrupted compaction: tmp + manifest written, crash BEFORE any rename
+    // executed — the next read (current()) must finish the swap, not read half-state
+    val snapshot = spark.read.parquet(v1.toString).localCheckpoint(true)
+    val tmp = new Path(v1, graft.sinks.AtomicSwap.TmpName)
+    fs.delete(tmp, true)
+    snapshot.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val news = fs.listStatus(tmp)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).sorted.zipWithIndex
+      .map { case (n, i) => s"MV $n compact-r-$i-$n" }
+    val olds = graft.sinks.AtomicSwap.dataFileNames(fs, v1).map(n => s"RM $n")
+    val mf = fs.create(new Path(tmp, graft.sinks.AtomicSwap.ManifestName), true)
+    mf.write((news ++ olds).mkString("", "\n", "\n").getBytes("UTF-8")); mf.close()
+    assert(canon() == good, "an interrupted compaction swap must recover on read")
+    assert(!fs.exists(tmp), "recovery must drop the finished tmp")
+    // auto-compaction trip: with AQE coalescing off the replayed merge re-fans the
+    // version to one file per shuffle partition, and the write-time trip
+    // (autoCompactFiles = 1) compacts it back down inside applyBatch
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      GroupingSetsMv.applyBatch(b1, 1L, state, "priority", "status", "amount", autoCompactFiles = 1)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    assert(graft.sinks.AtomicSwap.dataFileNames(fs, new Path(state, "v=1")).length == 1,
+      "auto-compaction past the file trip should leave one data file")
+    assert(canon() == good, "auto-compacted replay must converge to the same summary")
+  }
+
   test("incremental TextRank crash window: a half-committed version (uni without pairs) is invisible") {
     import graft.streaming.IncrementalTextRank
     import org.apache.spark.sql.functions.pmod
