@@ -2561,6 +2561,33 @@ object SparkEntry {
     "ev_ab_ttest" -> ((s, dir) =>
       SampleOps.welchTTest(t(s, dir, "events"), "event_type", "value", "click", "view")),
 
+    // Sample-ratio-mismatch guardrail (Fabijan et al. 2019): chi-square of per-arm
+    // distinct-user counts vs the intended 50/50, rejection as a pure integer
+    // comparison — the check every experiment readout must pass first
+    "ev_srm_check" -> ((s, dir) =>
+      SampleOps.srmCheck(t(s, dir, "events"), col("user_id"),
+        pmod(col("user_id"), lit(2)))),
+
+    // Power / minimum-detectable-effect sizing per metric (α=0.05 two-sided, 80%
+    // power): pooled variance from one exact cent-moment pass, m-row grid out
+    "ev_power_mde" -> ((s, dir) =>
+      SampleOps.powerMde(t(s, dir, "events"), col("event_type"),
+        pmod(col("user_id"), lit(2)), col("value"))),
+
+    // GROUPED Poisson bootstrap: one CI per metric from ONE corpus scan (all 40
+    // replicas ride as weighted partial sums; q_bootstrap_ci's integer-threshold
+    // draw, partitioned rank windows — the per-metric-fleet uncertainty readout)
+    "ev_bootstrap_ci" -> ((s, dir) =>
+      SampleOps.poissonBootstrapCiGrouped(t(s, dir, "events"), col("event_type"),
+        col("event_id"), col("value"))),
+
+    // bootstrap CI on the TREATMENT EFFECT (arm 1 mean − arm 0 mean): unit-level
+    // Poisson resampling per arm, per-replica effect pivot, nearest-rank CI —
+    // significant = the interval excludes zero (the distribution-free A/B verdict)
+    "ev_bootstrap_diff" -> ((s, dir) =>
+      SampleOps.poissonBootstrapDiffCi(t(s, dir, "events"),
+        pmod(col("user_id"), lit(2)), col("event_id"), col("value"))),
+
     // Cochran–Mantel–Haenszel stratified 2×2 test: the Simpson's-paradox-safe
     // A/B readout — strata = day-of-week (the weekly mix shift that reverses pooled
     // tables), exposure = user parity, outcome = purchase event; per-stratum terms
@@ -6054,6 +6081,14 @@ object SparkEntry {
       SampleOps.poissonBootstrapCi(t(s, dir, "orders"), col("o_orderkey"),
         col("o_totalprice"), md5Draw = false)),
 
+    "ev_bootstrap_ci" -> ((s, dir) =>
+      SampleOps.poissonBootstrapCiGrouped(t(s, dir, "events"), col("event_type"),
+        col("event_id"), col("value"), md5Draw = false)),
+
+    "ev_bootstrap_diff" -> ((s, dir) =>
+      SampleOps.poissonBootstrapDiffCi(t(s, dir, "events"),
+        pmod(col("user_id"), lit(2)), col("event_id"), col("value"), md5Draw = false)),
+
     // the bench times the slice-hash kernel (no n-gram string ever materializes) —
     // the form a 100 TB run ships; the md5-60 string twin stays the Verify gate
     // (the winnowing pairing). The win is NOT the digest: xxh64 over the same
@@ -9079,6 +9114,118 @@ object SparkEntry {
         |                   + (vb / n_b) * (vb / n_b) / (n_b - 1)), 2) AS df_welch,
         |  (ABS((mean_a - mean_b) / sqrt(se2)) > 1.96) AS significant
         |FROM s""".stripMargin,
+
+    // two distinct-user counts, then the same integer rejection comparison
+    "ev_srm_check" ->
+      """WITH c AS (SELECT user_id % 2 AS a, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |r AS (SELECT MAX(CASE WHEN a = 0 THEN n END) AS n_a,
+        |    MAX(CASE WHEN a = 1 THEN n END) AS n_b FROM c)
+        |SELECT n_a, n_b,
+        |  ROUND(CAST((n_a - n_b) AS DOUBLE) * (n_a - n_b) / (n_a + n_b), 6) AS chi2,
+        |  CAST(n_a - n_b AS HUGEINT) * (n_a - n_b) * 100000000 >
+        |    CAST(n_a + n_b AS HUGEINT) * 384145882 AS srm_detected
+        |FROM r""".stripMargin,
+
+    // exact cent moments per (metric, arm); identical double MDE formula
+    "ev_power_mde" ->
+      """WITH e AS (SELECT event_type AS m, user_id % 2 AS a,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT m, a, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s1,
+        |    SUM(CAST(c AS HUGEINT) * c) AS s2 FROM e GROUP BY 1, 2),
+        |p AS (SELECT m,
+        |    MAX(CASE WHEN a = 0 THEN n END) AS n_a, MAX(CASE WHEN a = 0 THEN s1 END) AS s1a,
+        |    MAX(CASE WHEN a = 0 THEN s2 END) AS s2a,
+        |    MAX(CASE WHEN a = 1 THEN n END) AS n_b, MAX(CASE WHEN a = 1 THEN s1 END) AS s1b,
+        |    MAX(CASE WHEN a = 1 THEN s2 END) AS s2b
+        |  FROM g GROUP BY 1
+        |  HAVING MAX(CASE WHEN a = 0 THEN n END) >= 2 AND MAX(CASE WHEN a = 1 THEN n END) >= 2),
+        |f AS (SELECT m, n_a, n_b,
+        |    (CAST(s2a AS DOUBLE) + CAST(s2b AS DOUBLE)
+        |      - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) / n_a
+        |      - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) / n_b) / (n_a + n_b - 2) AS sp2,
+        |    CAST(s1a + s1b AS DOUBLE) / (n_a + n_b) AS gm FROM p),
+        |w AS (SELECT m, n_a, n_b, gm,
+        |    (1.959964 + 0.841621) * sqrt(sp2 * (1.0 / n_a + 1.0 / n_b)) AS mde FROM f)
+        |SELECT m AS metric, n_a, n_b, ROUND(gm / 100.0, 4) AS mean,
+        |  ROUND(mde / 100.0, 4) AS mde_abs, ROUND(mde / gm, 6) AS mde_rel
+        |FROM w""".stripMargin,
+
+    // same draw keyed by arm; per-replica effect pivot, CI excludes zero
+    "ev_bootstrap_diff" ->
+      """WITH base AS (SELECT user_id % 2 AS a, CAST(event_id AS VARCHAR) AS k,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |rep AS (SELECT a, k, v, r FROM base, UNNEST(generate_series(0, 39)) AS t(r)),
+        |drawn AS (SELECT a, r, v,
+        |  CAST('0x' || substring(md5(k || ':' || CAST(r AS VARCHAR)), 1, 15) AS BIGINT) AS u
+        |  FROM rep),
+        |mult AS (SELECT a, r, v, CASE
+        |  WHEN u < 424136118829305329 THEN 0 WHEN u < 848272237658610659 THEN 1
+        |  WHEN u < 1060340297073263324 THEN 2 WHEN u < 1131029650211480879 THEN 3
+        |  WHEN u < 1148701988496035267 THEN 4 WHEN u < 1152236456152946145 THEN 5
+        |  WHEN u < 1152825534095764625 THEN 6 WHEN u < 1152909688087595836 THEN 7
+        |  ELSE 8 END AS c FROM drawn),
+        |cells AS (SELECT a, r, CAST(SUM(c * v) AS BIGINT) AS sv, CAST(SUM(c) AS BIGINT) AS sk
+        |  FROM mult GROUP BY 1, 2),
+        |diffs AS (SELECT r,
+        |    CAST(MAX(CASE WHEN a = 1 THEN sv END) AS DOUBLE)
+        |      / MAX(CASE WHEN a = 1 THEN sk END)
+        |    - CAST(MAX(CASE WHEN a = 0 THEN sv END) AS DOUBLE)
+        |      / MAX(CASE WHEN a = 0 THEN sk END) AS d
+        |  FROM cells GROUP BY 1
+        |  HAVING MAX(CASE WHEN a = 0 THEN sk END) > 0 AND MAX(CASE WHEN a = 1 THEN sk END) > 0),
+        |ranked AS (SELECT d, ROW_NUMBER() OVER (ORDER BY d, r) AS rk,
+        |    COUNT(*) OVER () AS nn FROM diffs),
+        |ci AS (SELECT CAST(MAX(nn) AS BIGINT) AS n_replicas,
+        |    MIN(CASE WHEN rk = 1 THEN d END) AS dlo,
+        |    MIN(CASE WHEN rk = LEAST(39, nn) THEN d END) AS dhi
+        |  FROM ranked),
+        |pt AS (SELECT
+        |    CAST(MAX(CASE WHEN a = 1 THEN tv END) AS DOUBLE)
+        |      / MAX(CASE WHEN a = 1 THEN n END)
+        |    - CAST(MAX(CASE WHEN a = 0 THEN tv END) AS DOUBLE)
+        |      / MAX(CASE WHEN a = 0 THEN n END) AS eff,
+        |    CAST(SUM(n) AS BIGINT) AS nr
+        |  FROM (SELECT a, CAST(SUM(v) AS BIGINT) AS tv, CAST(COUNT(*) AS BIGINT) AS n
+        |        FROM base GROUP BY 1))
+        |SELECT nr AS n_rows, n_replicas, ROUND(eff / 100, 6) AS effect,
+        |  ROUND(dlo / 100, 6) AS ci_lo, ROUND(dhi / 100, 6) AS ci_hi,
+        |  (dlo > 0 OR dhi < 0) AS significant
+        |FROM ci, pt""".stripMargin,
+
+    // q_bootstrap_ci's md5 draw + integer CDF thresholds, keyed by metric; rank
+    // windows per metric
+    "ev_bootstrap_ci" ->
+      """WITH base AS (SELECT event_type AS g, CAST(event_id AS VARCHAR) AS k,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |rep AS (SELECT g, k, v, r FROM base, UNNEST(generate_series(0, 39)) AS t(r)),
+        |drawn AS (SELECT g, r, v,
+        |  CAST('0x' || substring(md5(k || ':' || CAST(r AS VARCHAR)), 1, 15) AS BIGINT) AS u
+        |  FROM rep),
+        |mult AS (SELECT g, r, v, CASE
+        |  WHEN u < 424136118829305329 THEN 0 WHEN u < 848272237658610659 THEN 1
+        |  WHEN u < 1060340297073263324 THEN 2 WHEN u < 1131029650211480879 THEN 3
+        |  WHEN u < 1148701988496035267 THEN 4 WHEN u < 1152236456152946145 THEN 5
+        |  WHEN u < 1152825534095764625 THEN 6 WHEN u < 1152909688087595836 THEN 7
+        |  ELSE 8 END AS c FROM drawn),
+        |means AS (SELECT g, r, CAST(SUM(c * v) AS DOUBLE) / SUM(c) AS m
+        |  FROM mult GROUP BY 1, 2 HAVING SUM(c) > 0),
+        |ranked AS (SELECT g, m,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY m, r) AS rk,
+        |    COUNT(*) OVER (PARTITION BY g) AS nn FROM means),
+        |ci AS (SELECT g, CAST(MAX(nn) AS BIGINT) AS n_replicas,
+        |    MIN(CASE WHEN rk = 1 THEN m END) AS mlo,
+        |    MIN(CASE WHEN rk = LEAST(39, nn) THEN m END) AS mhi
+        |  FROM ranked GROUP BY 1),
+        |pt AS (SELECT g, CAST(SUM(v) AS BIGINT) AS tv, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM base GROUP BY 1)
+        |SELECT ci.g AS metric, n AS n_rows, n_replicas,
+        |  ROUND(CAST(tv AS DOUBLE) / n / 100, 6) AS mean,
+        |  ROUND(mlo / 100, 6) AS ci_lo, ROUND(mhi / 100, 6) AS ci_hi
+        |FROM ci JOIN pt ON ci.g = pt.g""".stripMargin,
 
     // the same subset-lattice construction: exact e9 worth per touched-set mask,
     // factorial-weighted integer numerators, one double division

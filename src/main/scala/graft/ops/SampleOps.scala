@@ -546,6 +546,188 @@ object SampleOps {
   }
 
   /**
+   * Sample-ratio-mismatch (SRM) guardrail — the first check any experiment readout
+   * must pass (Fabijan et al. 2019, "Diagnosing Sample Ratio Mismatch"): chi-square
+   * goodness-of-fit of the per-arm RANDOMIZATION-UNIT counts against the intended
+   * 50/50 split. With two arms the statistic collapses to (n_a − n_b)²/(n_a + n_b),
+   * and the α=0.05 rejection (df=1 critical value 3.84145882) squares into the pure
+   * integer comparison (n_a − n_b)²·10⁸ > 384145882·(n_a + n_b) in DECIMAL(38,0) —
+   * the ksTest exactness discipline; no engine can disagree on the verdict.
+   *
+   * Scale shape: one count-distinct exchange to two rows; everything after is scalar.
+   */
+  def srmCheck(df: DataFrame, unit: Column, arm: Column): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val counts = df.select(unit.as("__u"), arm.as("__a"))
+      .filter(col("__u").isNotNull)
+      .groupBy(col("__a")).agg(count_distinct(col("__u")).as("n"))
+      .agg(max(when(col("__a") === 0, col("n"))).as("n_a"),
+        max(when(col("__a") === 1, col("n"))).as("n_b"))
+    val d = col("n_a") - col("n_b")
+    counts.select(col("n_a"), col("n_b"),
+      round(d.cast(DoubleType) * d.cast(DoubleType) /
+        (col("n_a") + col("n_b")).cast(DoubleType), 6).as("chi2"),
+      (d.cast(dec38) * d.cast(dec38) * 100000000L >
+        (col("n_a") + col("n_b")).cast(dec38) * 384145882L).as("srm_detected"))
+  }
+
+  /**
+   * Power analysis / minimum detectable effect per metric — the experiment SIZING
+   * readout (two-sided α=0.05, power 80%: z_{α/2}=1.959964, z_β=0.841621). Pooled
+   * variance comes from the same ONE exact decimal-moment pass as [[welchTTest]];
+   * MDE_abs = (z_{α/2}+z_β)·√(s²_p·(1/n_a+1/n_b)) evaluates in an identical double
+   * formula on both engines (sqrt is IEEE correctly-rounded). Emits one row per
+   * metric: the m-row grid shape of the e-BH fleet readout.
+   */
+  def powerMde(df: DataFrame, metric: Column, arm: Column, value: Column): DataFrame = {
+    val cents = (value.cast(DecimalType(18, 2)) * 100).cast("long")
+    val m = df.select(metric.as("__m"), arm.as("__a"), cents.as("__c"))
+      .filter(col("__c").isNotNull)
+      .groupBy(col("__m"), col("__a"))
+      .agg(count(lit(1)).as("n"), sum(col("__c")).as("s1"),
+        sum(col("__c").cast(DecimalType(19, 0)) * col("__c").cast(DecimalType(19, 0)))
+          .as("s2"))
+    val g = m.groupBy(col("__m")).agg(
+      max(when(col("__a") === 0, col("n"))).as("n_a"),
+      max(when(col("__a") === 0, col("s1"))).as("s1a"),
+      max(when(col("__a") === 0, col("s2"))).as("s2a"),
+      max(when(col("__a") === 1, col("n"))).as("n_b"),
+      max(when(col("__a") === 1, col("s1"))).as("s1b"),
+      max(when(col("__a") === 1, col("s2"))).as("s2b"))
+      .filter(col("n_a") >= 2 && col("n_b") >= 2)
+    val sp2 = (col("s2a").cast(DoubleType) + col("s2b").cast(DoubleType) -
+      col("s1a").cast(DoubleType) * col("s1a").cast(DoubleType) / col("n_a") -
+      col("s1b").cast(DoubleType) * col("s1b").cast(DoubleType) / col("n_b")) /
+      (col("n_a") + col("n_b") - 2)
+    val mdeCents = lit(1.959964 + 0.841621) *
+      sqrt(sp2 * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    val grandMean = (col("s1a") + col("s1b")).cast(DoubleType) / (col("n_a") + col("n_b"))
+    g.select(col("__m").as("metric"), col("n_a"), col("n_b"),
+      round(grandMean / 100.0, 4).as("mean"),
+      round(mdeCents / 100.0, 4).as("mde_abs"),
+      round(mdeCents / grandMean, 6).as("mde_rel"))
+  }
+
+  /**
+   * Poisson bootstrap CI on the TREATMENT EFFECT (mean_b − mean_a) — the readout an
+   * A/B test actually ships: resampling UNITS (not a normal approximation) gives the
+   * effect's uncertainty under arbitrary value distributions. Same one-scan shape as
+   * [[poissonBootstrapCiGrouped]]: each row enters replica r of its own ARM with a
+   * deterministic Poisson(1) multiplicity, the (arm, replica) grid of exact integer
+   * sums pivots to a per-replica effect, and the CI is the nearest-rank 2.5/97.5
+   * pick over replicas. `significant` = the CI excludes zero — the
+   * bootstrap-exact alternative to the Welch t readout next to it.
+   */
+  def poissonBootstrapDiffCi(df: DataFrame, arm: Column, idCol: Column,
+      valueCol: Column, nReplicas: Int = 40, md5Draw: Boolean = true): DataFrame = {
+    require(nReplicas >= 40, "nearest-rank 2.5% needs >= 40 replicas")
+    val T = Seq(424136118829305329L, 848272237658610659L, 1060340297073263324L,
+      1131029650211480879L, 1148701988496035267L, 1152236456152946145L,
+      1152825534095764625L, 1152909688087595836L)
+    val base = df.select(arm.as("__a"), idCol.cast("string").as("__k"),
+      (valueCol.cast(DecimalType(18, 2)) * 100).cast("long").as("__v"))
+      .where(col("__v").isNotNull)
+    val rep = base.select(col("__a"), col("__k"), col("__v"),
+      explode(sequence(lit(0), lit(nReplicas - 1))).as("r"))
+    // md5 is the ORACLE draw; the bench rides codegen'd xxhash64 (the q_bootstrap_ci
+    // md5-twin pattern — same 60-bit thresholds, same rank CI)
+    val u = if (md5Draw)
+      graft.ops.TextOps.md5Hash60(concat(col("__k"), lit(":"), col("r").cast("string")))
+    else shiftrightunsigned(xxhash64(col("__k"), col("r")), 4)
+    val mult = T.zipWithIndex.foldRight(lit(8): Column) {
+      case ((t, i), acc) => when(u < t, lit(i)).otherwise(acc)
+    }.cast("long")
+    val cells = rep.select(col("__a"), col("r"), mult.as("__c"), col("__v"))
+      .groupBy(col("__a"), col("r"))
+      .agg(sum(col("__c") * col("__v")).as("sv"), sum(col("__c")).as("sk"))
+    val diffs = cells.groupBy(col("r")).agg(
+      max(when(col("__a") === 0, col("sv"))).as("sva"),
+      max(when(col("__a") === 0, col("sk"))).as("ska"),
+      max(when(col("__a") === 1, col("sv"))).as("svb"),
+      max(when(col("__a") === 1, col("sk"))).as("skb"))
+      .filter(col("ska") > 0 && col("skb") > 0)
+      .select(col("r"),
+        (col("svb").cast(DoubleType) / col("skb") -
+          col("sva").cast(DoubleType) / col("ska")).as("d"))
+    val loRk = math.max(1, math.ceil(0.025 * nReplicas).toInt)
+    val hiRk = math.ceil(0.975 * nReplicas).toInt
+    val ranked = diffs.withColumn("rk", row_number().over(Window.orderBy(col("d"), col("r"))))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy(lit(0))))
+    val point = base.groupBy(col("__a"))
+      .agg(sum(col("__v")).as("tv"), count(lit(1)).as("n"))
+      .agg((max(when(col("__a") === 1, col("tv"))).cast(DoubleType) /
+        max(when(col("__a") === 1, col("n"))) -
+        max(when(col("__a") === 0, col("tv"))).cast(DoubleType) /
+          max(when(col("__a") === 0, col("n")))).as("__eff"),
+        sum(col("n")).as("__n"))
+    ranked.agg(max(col("nn")).cast("long").as("n_replicas"),
+      min(when(col("rk") === loRk, col("d"))).as("__dlo"),
+      min(when(col("rk") === least(lit(hiRk), col("nn")), col("d"))).as("__dhi"))
+      .crossJoin(broadcast(point))
+      .select(col("__n").as("n_rows"), col("n_replicas"),
+        round(col("__eff") / 100, 6).as("effect"),
+        round(col("__dlo") / 100, 6).as("ci_lo"),
+        round(col("__dhi") / 100, 6).as("ci_hi"),
+        (col("__dlo") > 0 || col("__dhi") < 0).as("significant"))
+  }
+
+  /**
+   * GROUPED Poisson bootstrap CI — the per-metric twin of [[poissonBootstrapCi]]
+   * (one CI per key, e.g. per event_type, from the SAME single corpus scan): every
+   * row enters replica `r` of ITS OWN group with multiplicity ~ Poisson(1) drawn
+   * deterministically from (row id, r) via the 60-bit md5 draw against the fixed
+   * integer CDF thresholds (pure LONG comparisons — no floating-point boundary can
+   * disagree across engines), then the (group, replica) grid of exact integer sums
+   * folds to nearest-rank 2.5/97.5 CIs per group. Rank windows partition BY GROUP —
+   * the grid is |groups|·nReplicas rows, never key-count-sized per partition.
+   *
+   * Scale shape: the explode is nReplicas× the corpus in the MAP stage only —
+   * map-side partial aggregation folds each partition to |groups|·nReplicas cells
+   * before the one exchange; nothing downstream touches the corpus again.
+   */
+  def poissonBootstrapCiGrouped(df: DataFrame, groupCol: Column, idCol: Column,
+      valueCol: Column, nReplicas: Int = 40, md5Draw: Boolean = true): DataFrame = {
+    require(nReplicas >= 40, "nearest-rank 2.5% needs >= 40 replicas")
+    val T = Seq(424136118829305329L, 848272237658610659L, 1060340297073263324L,
+      1131029650211480879L, 1148701988496035267L, 1152236456152946145L,
+      1152825534095764625L, 1152909688087595836L)
+    val base = df.select(groupCol.as("__g"), idCol.cast("string").as("__k"),
+      (valueCol.cast(DecimalType(18, 2)) * 100).cast("long").as("__v"))
+      .where(col("__v").isNotNull)
+    val rep = base.select(col("__g"), col("__k"), col("__v"),
+      explode(sequence(lit(0), lit(nReplicas - 1))).as("r"))
+    // md5 is the ORACLE draw; the bench rides codegen'd xxhash64 (the q_bootstrap_ci
+    // md5-twin pattern — same 60-bit thresholds, same rank CI)
+    val u = if (md5Draw)
+      graft.ops.TextOps.md5Hash60(concat(col("__k"), lit(":"), col("r").cast("string")))
+    else shiftrightunsigned(xxhash64(col("__k"), col("r")), 4)
+    val mult = T.zipWithIndex.foldRight(lit(8): Column) {
+      case ((t, i), acc) => when(u < t, lit(i)).otherwise(acc)
+    }.cast("long")
+    val means = rep.select(col("__g"), col("r"), mult.as("__c"), col("__v"))
+      .groupBy(col("__g"), col("r"))
+      .agg(sum(col("__c") * col("__v")).as("sv"), sum(col("__c")).as("sk"))
+      .filter(col("sk") > 0)
+      .select(col("__g"), col("r"), (col("sv").cast(DoubleType) / col("sk")).as("m"))
+    val loRk = math.max(1, math.ceil(0.025 * nReplicas).toInt)
+    val hiRk = math.ceil(0.975 * nReplicas).toInt
+    val wRank = Window.partitionBy(col("__g")).orderBy(col("m"), col("r"))
+    val ranked = means.withColumn("rk", row_number().over(wRank))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy(col("__g"))))
+    val point = base.groupBy(col("__g"))
+      .agg(sum(col("__v")).as("tv"), count(lit(1)).as("n"))
+    ranked.groupBy(col("__g"))
+      .agg(max(col("nn")).cast("long").as("n_replicas"),
+        min(when(col("rk") === loRk, col("m"))).as("__mlo"),
+        min(when(col("rk") === least(lit(hiRk), col("nn")), col("m"))).as("__mhi"))
+      .join(point, "__g")
+      .select(col("__g").as("metric"), col("n").as("n_rows"), col("n_replicas"),
+        round(col("tv").cast(DoubleType) / col("n") / 100, 6).as("mean"),
+        round(col("__mlo") / 100, 6).as("ci_lo"),
+        round(col("__mhi") / 100, 6).as("ci_hi"))
+  }
+
+  /**
    * Deterministic training-order shuffle + sharding: every row gets a shard and an
    * intra-shard position from a seeded hash of its id. A pure function of (seed, id) —
    * re-runs, re-partitioning and incremental appends reproduce the identical order (what

@@ -941,4 +941,34 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window"), s"mm_cdc_chunks planned a window:\n$p")
     assert(p.contains("HashAggregate"), "chunk-grain aggregation must hash-aggregate")
   }
+
+  test("ev_bootstrap_ci: replicate sums partial-aggregate before the one exchange; " +
+    "rank windows partition by metric") {
+    val p = plan("ev_bootstrap_ci")
+    // B weighted sums must fold map-side: the explode is map-stage-only work and the
+    // exchange carries |metrics|*B cells, never corpus*B rows
+    assert(p.contains("partial_sum"), s"replicate sums must partial-aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), s"point-estimate join must not cartesian:\n$p")
+    // the nearest-rank pick runs per metric — a global single-partition rank over the
+    // replicate grid would serialize at high metric counts
+    assert(!p.contains("Window [") || p.contains("windowspecdefinition(__g"),
+      s"rank window must partition by metric:\n$p")
+  }
+
+  test("ev_srm_check / ev_power_mde: one exchange to the arm/metric grid, scalars after") {
+    for (q <- Seq("ev_srm_check", "ev_power_mde")) {
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q: moment fold must map-side combine:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+        s"$q: must be aggregate-only, no window/cartesian:\n$p")
+    }
+  }
+
+  test("doc_dsir_sample: model table broadcasts back; final top-k is a bounded heap") {
+    val p = plan("doc_dsir_sample")
+    assert(p.contains("BroadcastHashJoin"), s"256-bucket LM model must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must be a bounded heap, not a sort:\n$p")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      s"totals must join as a broadcast scalar:\n$p")
+  }
 }

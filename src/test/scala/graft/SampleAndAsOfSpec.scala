@@ -27,6 +27,94 @@ class BootstrapSpec extends SparkSpec {
     assert(f.getAs[Double]("ci_lo") < f.getAs[Double]("mean"))
     assert(f.getAs[Double]("mean") < f.getAs[Double]("ci_hi"))
   }
+
+  test("poissonBootstrapDiffCi: planted effect detected, null effect spans zero") {
+    // arm 1 = arm 0 shifted by +5: effect = 5 exactly, CI brackets it, significant
+    val planted = ((1L to 400L).map(i => (i * 2, 0, (i % 83).toDouble + 1)) ++
+      (1L to 400L).map(i => (i * 2 + 1, 1, (i % 83).toDouble + 6))).toDF("id", "a", "v")
+    val p = graft.ops.SampleOps.poissonBootstrapDiffCi(planted, col("a"), col("id"), col("v")).head()
+    assert(p.getAs[Double]("effect") == 5.0)
+    assert(p.getAs[Double]("ci_lo") <= 5.0 && 5.0 <= p.getAs[Double]("ci_hi"))
+    assert(p.getAs[Boolean]("significant"), s"planted +5 effect must be significant: $p")
+    // identical arms: effect 0, the interval must span zero -> not significant
+    val nullEff = ((1L to 400L).map(i => (i * 2, 0, (i % 83).toDouble + 1)) ++
+      (1L to 400L).map(i => (i * 2 + 1, 1, (i % 83).toDouble + 1))).toDF("id", "a", "v")
+    val n = graft.ops.SampleOps.poissonBootstrapDiffCi(nullEff, col("a"), col("id"), col("v")).head()
+    assert(n.getAs[Double]("ci_lo") <= 0.0 && 0.0 <= n.getAs[Double]("ci_hi"))
+    assert(!n.getAs[Boolean]("significant"), s"null effect flagged significant: $n")
+  }
+
+  test("poissonBootstrapCiGrouped: per-group CIs bracket their means; degenerate group collapses") {
+    // group A constant (degenerate CI), group B spread — one scan serves both
+    val df = ((1L to 400L).map(i => ("A", i, 10.0)) ++
+      (1L to 400L).map(i => ("B", i + 1000, (i % 83).toDouble + 1))).toDF("g", "id", "v")
+    val rows = graft.ops.SampleOps.poissonBootstrapCiGrouped(df, col("g"), col("id"), col("v"))
+      .collect().map(r => r.getAs[String]("metric") -> r).toMap
+    val a = rows("A")
+    assert(a.getAs[Double]("mean") == 10.0 &&
+      a.getAs[Double]("ci_lo") == 10.0 && a.getAs[Double]("ci_hi") == 10.0)
+    val b = rows("B")
+    assert(b.getAs[Double]("ci_lo") < b.getAs[Double]("mean"))
+    assert(b.getAs[Double]("mean") < b.getAs[Double]("ci_hi"))
+    assert(b.getAs[Long]("n_rows") == 400L && b.getAs[Long]("n_replicas") == 40L)
+  }
+
+  test("srmCheck: balanced split passes, a planted 60/40 imbalance is detected") {
+    // 500 units split 250/250: chi2 = 0, no SRM
+    val even = (0L until 500L).map(u => (u, "e")).toDF("user_id", "x")
+    val ok = graft.ops.SampleOps.srmCheck(even, col("user_id"), pmod(col("user_id"), lit(2))).head()
+    assert(ok.getAs[Long]("n_a") == 250L && ok.getAs[Long]("n_b") == 250L)
+    assert(ok.getAs[Double]("chi2") == 0.0 && !ok.getAs[Boolean]("srm_detected"))
+    // 300 vs 200: chi2 = 100^2/500 = 20 >> 3.84 — detected; duplicate rows per unit
+    // must not inflate the distinct-unit counts
+    val planted = ((0L until 300L).map(u => (u * 2, "dup")) ++
+      (0L until 300L).map(u => (u * 2, "dup2")) ++ // same 300 arm-0 units twice
+      (0L until 200L).map(u => (u * 2 + 1, "b"))).toDF("user_id", "x")
+    val bad = graft.ops.SampleOps.srmCheck(planted, col("user_id"), pmod(col("user_id"), lit(2))).head()
+    assert(bad.getAs[Long]("n_a") == 300L && bad.getAs[Long]("n_b") == 200L)
+    assert(math.abs(bad.getAs[Double]("chi2") - 20.0) < 1e-9)
+    assert(bad.getAs[Boolean]("srm_detected"))
+  }
+
+  test("powerMde: closed-form MDE on a known two-arm variance; filters sub-2 arms") {
+    // arm 0: values 1..100, arm 1: values 1..100 (same variance), one metric
+    val df = ((1L to 100L).map(i => ("m", 0, i.toDouble)) ++
+      (1L to 100L).map(i => ("m", 1, i.toDouble))).toDF("m", "a", "v")
+    val r = graft.ops.SampleOps.powerMde(df, col("m"), col("a"), col("v")).head()
+    assert(r.getAs[Long]("n_a") == 100L && r.getAs[Long]("n_b") == 100L)
+    // pooled s^2 of 1..100 (both arms identical) = var = 841.6666...; in cents^2 it
+    // scales by 100^2; mde_abs = 2.801585 * sqrt(s2 * (2/100)) back in units
+    val s2 = (1 to 100).map(x => math.pow(x - 50.5, 2)).sum * 2 / 198.0
+    val expect = (1.959964 + 0.841621) * math.sqrt(s2 * 0.02)
+    assert(math.abs(r.getAs[Double]("mde_abs") - expect) < 1e-3,
+      s"mde_abs=${r.getAs[Double]("mde_abs")} expect=$expect")
+    assert(math.abs(r.getAs[Double]("mean") - 50.5) < 1e-9)
+    // a metric with a 1-row arm is excluded (variance undefined)
+    val tiny = Seq(("t", 0, 1.0), ("t", 1, 2.0), ("t", 0, 3.0)).toDF("m", "a", "v")
+    assert(graft.ops.SampleOps.powerMde(tiny, col("m"), col("a"), col("v")).count() == 0)
+  }
+
+  test("dsirSample: target-domain lookalikes out-rank off-domain docs; k and determinism hold") {
+    // target lang 'en' docs share a vocabulary; 'xx' raw docs either mimic it (should
+    // score HIGH) or use a disjoint vocabulary (should score LOW)
+    val en = (0L until 30L).map(i => (i, "en", s"the quick brown fox jumps over lazy dog $i"))
+    val mimic = (100L until 110L).map(i => (i, "xx", s"the quick brown fox jumps high $i"))
+    val off = (200L until 230L).map(i => (i, "xx", s"zzz qqq www kkk jjj vvv $i unrelated"))
+    val df = (en ++ mimic ++ off).toDF("doc_id", "lang", "text")
+    val out = graft.ops.SampleOps.dsirSample(df, k = 40).collect()
+    assert(out.length == 40)
+    val picked = out.map(_.getAs[Long]("doc_id")).toSet
+    val w = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("log10_w")).toMap
+    // every mimic doc must out-weigh every off-domain doc
+    val mimicW = w.filter(x => x._1 >= 100 && x._1 < 110).values
+    val offW = w.filter(_._1 >= 200).values
+    assert(mimicW.nonEmpty && (offW.isEmpty || mimicW.min > offW.max),
+      s"mimic weights $mimicW must dominate off-domain $offW")
+    // deterministic: the same call returns the same membership
+    val again = graft.ops.SampleOps.dsirSample(df, k = 40).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(again == picked)
+  }
 }
 
 class SampleAndAsOfSpec extends SparkSpec {
