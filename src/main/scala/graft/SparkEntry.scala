@@ -92,6 +92,24 @@ object SparkEntry {
 
   private def dec(c: Column, p: Int = 18, s: Int = 2): Column = c.cast(DecimalType(p, s))
 
+  /** Shared QTE finisher: (arm, v, c) histogram → per-quantile control/treatment/
+    * effect rows. One-shot ev_qte and the maintained ev_qte_incremental both land
+    * here, so the two queries are row-identical by construction. */
+  private def qteFromHist(hist: DataFrame): DataFrame = {
+    val probs = Seq(("p10", 0.10), ("p25", 0.25), ("p50", 0.50),
+      ("p75", 0.75), ("p90", 0.90))
+    graft.ops.SampleOps.groupedExactPercentilesFromHist(hist, "arm", probs)
+      .select(col("arm"), expr(
+        "stack(5, 'p10', p10, 'p25', p25, 'p50', p50, 'p75', p75, 'p90', p90) AS (q, v)"))
+      .groupBy(col("q"))
+      .agg(max(when(col("arm") === 0, col("v"))).as("__qa"),
+        max(when(col("arm") === 1, col("v"))).as("__qb"))
+      .select(col("q").as("quantile"),
+        round(col("__qa") / 100, 2).as("q_control"),
+        round(col("__qb") / 100, 2).as("q_treatment"),
+        round((col("__qb") - col("__qa")) / 100, 2).as("qte"))
+  }
+
   /** Planted blob corpus shared by `mm_cdc_chunks` / `mm_cdc_incremental`: every doc
     * as a UTF-8 blob, a tenth duplicated verbatim (exact-copy failure mode) and a
     * tenth re-emitted behind a 7-byte "container header" (the shifted-content mode
@@ -2561,15 +2579,10 @@ object SparkEntry {
     "ev_ab_ttest" -> ((s, dir) =>
       SampleOps.welchTTest(t(s, dir, "events"), "event_type", "value", "click", "view")),
 
-    // Sample-ratio-mismatch guardrail (Fabijan et al. 2019): chi-square of per-arm
-    // distinct-user counts vs the intended 50/50, rejection as a pure integer
-    // comparison — the check every experiment readout must pass first
-    "ev_srm_check" -> ((s, dir) =>
-      SampleOps.srmCheck(t(s, dir, "events"), col("user_id"),
-        pmod(col("user_id"), lit(2)))),
-
     // Power / minimum-detectable-effect sizing per metric (α=0.05 two-sided, 80%
-    // power): pooled variance from one exact cent-moment pass, m-row grid out
+    // power): pooled two-arm variance from one exact cent-moment pass, m-row grid
+    // out — the INVERSE readout of ev_power_analysis (which sizes n for a fixed
+    // relative effect; this reports the effect detectable at the CURRENT n)
     "ev_power_mde" -> ((s, dir) =>
       SampleOps.powerMde(t(s, dir, "events"), col("event_type"),
         pmod(col("user_id"), lit(2)), col("value"))),
@@ -2587,6 +2600,43 @@ object SparkEntry {
     "ev_bootstrap_diff" -> ((s, dir) =>
       SampleOps.poissonBootstrapDiffCi(t(s, dir, "events"),
         pmod(col("user_id"), lit(2)), col("event_id"), col("value"))),
+
+    // Quantile treatment effects (Doksum 1974): per-arm EXACT p10..p90 from the
+    // distributed cents histogram (groupedExactPercentiles — state bounded by
+    // distinct values, never rows), QTE = q_treat − q_control per quantile. The
+    // distributional readout a mean-difference readout hides: an effect concentrated
+    // in the tail moves p90 and nothing else.
+    "ev_qte" -> ((s, dir) =>
+      qteFromHist(t(s, dir, "events").filter(col("value").isNotNull)
+        .select(pmod(col("user_id"), lit(2)).as("arm"),
+          round(col("value") * 100).cast("long").as("v"))
+        .groupBy(col("arm"), col("v")).agg(count(lit(1)).as("c")))),
+
+    // INCREMENTAL QTE: the (arm, cents) histogram counts are associative sums, so
+    // they live as maintained GroupingSetsMv state (arm#cents composite key, the
+    // ev_isotonic_incremental pattern); the grid-bounded quantile finisher runs at
+    // READ time — row-identical to one-shot ev_qte, pinned by the SAME oracle.
+    "ev_qte_incremental" -> ((s, dir) => {
+      import graft.streaming.GroupingSetsMv
+      val d = t(s, dir, "events").filter(col("value").isNotNull).select(
+        col("event_id"),
+        concat(pmod(col("user_id"), lit(2)).cast("string"), lit("#"),
+          round(col("value") * 100).cast("long").cast("string")).as("k"),
+        lit("all").as("scope"), lit(0.0).as("z"))
+        .localCheckpoint(true)
+      val state = java.nio.file.Files.createTempDirectory("graft-qte").toString
+      for (b <- 0 to 2)
+        GroupingSetsMv.applyBatch(
+          d.filter(pmod(col("event_id"), lit(3)) === b), b.toLong, state,
+          "k", "scope", "z")
+      val hist = GroupingSetsMv.current(s, state).filter(col("gid") === 1)
+        .select(substring_index(col("k"), "#", 1).cast("int").as("arm"),
+          substring_index(col("k"), "#", -1).cast("long").as("v"),
+          col("n").as("c"))
+      val out = qteFromHist(hist).localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(state))
+      out
+    }),
 
     // Cochran–Mantel–Haenszel stratified 2×2 test: the Simpson's-paradox-safe
     // A/B readout — strata = day-of-week (the weekly mix shift that reverses pooled
@@ -2884,18 +2934,12 @@ object SparkEntry {
     // chi-square of the deterministic user_id%2 arm split against 50/50 — an SRM
     // (chi2 over the 3.841 alpha=0.05 critical value) means the assignment is broken
     // and every downstream metric is invalid. Exact integer counts; one double chi2.
-    "ev_ab_srm" -> ((s, dir) => {
-      val arms = t(s, dir, "events")
-        .select(col("user_id")).distinct()
-        .select(pmod(col("user_id"), lit(2L)).as("__arm"))
-        .agg(count(when(col("__arm") === 0, lit(1))).as("n_a"),
-          count(when(col("__arm") === 1, lit(1))).as("n_b"))
-      arms.select(col("n_a"), col("n_b"),
-        round(((col("n_a") - col("n_b")) * (col("n_a") - col("n_b"))).cast(DoubleType)
-          / (col("n_a") + col("n_b")), 6).as("chi2"),
-        (((col("n_a") - col("n_b")) * (col("n_a") - col("n_b"))).cast(DoubleType)
-          / (col("n_a") + col("n_b")) > 3.841).as("srm_detected"))
-    }),
+    // SampleOps.srmCheck (r11): same counts, but the α=0.05 verdict is now the pure
+    // integer comparison (n_a−n_b)²·10⁸ > 384145882·(n_a+n_b) — a chi2 that lands
+    // ON the 3.84 boundary can no longer flip across engines (the ksTest discipline)
+    "ev_ab_srm" -> ((s, dir) =>
+      SampleOps.srmCheck(t(s, dir, "events"), col("user_id"),
+        pmod(col("user_id"), lit(2)))),
 
     // multi-touch attribution (first / last / linear) — conversions pair with their
     // 7-day lookback touches through the BUCKETED interval join (never an unbounded
@@ -6439,6 +6483,26 @@ object SparkEntry {
     leg("hilbert", hilbertLayoutOracle) + "\nUNION ALL\n" + leg("zorder", zorderLayoutOracle)
   }
 
+  private val qteOracle: String =
+    """WITH e AS (SELECT user_id % 2 AS arm, CAST(round(value * 100) AS BIGINT) AS g
+      |  FROM events WHERE value IS NOT NULL),
+      |p AS (SELECT arm,
+      |    quantile_cont(g, 0.10) AS p10, quantile_cont(g, 0.25) AS p25,
+      |    quantile_cont(g, 0.50) AS p50, quantile_cont(g, 0.75) AS p75,
+      |    quantile_cont(g, 0.90) AS p90
+      |  FROM e GROUP BY 1),
+      |l AS (SELECT arm, 'p10' AS q, p10 AS v FROM p
+      |  UNION ALL SELECT arm, 'p25', p25 FROM p
+      |  UNION ALL SELECT arm, 'p50', p50 FROM p
+      |  UNION ALL SELECT arm, 'p75', p75 FROM p
+      |  UNION ALL SELECT arm, 'p90', p90 FROM p)
+      |SELECT q AS quantile,
+      |  ROUND(MAX(CASE WHEN arm = 0 THEN v END) / 100, 2) AS q_control,
+      |  ROUND(MAX(CASE WHEN arm = 1 THEN v END) / 100, 2) AS q_treatment,
+      |  ROUND((MAX(CASE WHEN arm = 1 THEN v END)
+      |    - MAX(CASE WHEN arm = 0 THEN v END)) / 100, 2) AS qte
+      |FROM l GROUP BY 1""".stripMargin
+
   private val msprtOracle: String =
     """WITH e AS (SELECT CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000 AS day,
       |    user_id % 2 AS a,
@@ -8637,14 +8701,14 @@ object SparkEntry {
         |FROM y""".stripMargin,
 
     "ev_ab_srm" ->
-      """WITH u AS (SELECT DISTINCT user_id FROM events),
+      """WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
         |a AS (SELECT
         |  CAST(COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT) AS n_a,
         |  CAST(COUNT(CASE WHEN user_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_b FROM u)
         |SELECT n_a, n_b,
         |  ROUND(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6) AS chi2,
-        |  (CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b) > 3.841)
-        |    AS srm_detected
+        |  CAST(n_a - n_b AS HUGEINT) * (n_a - n_b) * 100000000 >
+        |    CAST(n_a + n_b AS HUGEINT) * 384145882 AS srm_detected
         |FROM a""".stripMargin,
 
     "ev_new_vs_returning" ->
@@ -9115,18 +9179,6 @@ object SparkEntry {
         |  (ABS((mean_a - mean_b) / sqrt(se2)) > 1.96) AS significant
         |FROM s""".stripMargin,
 
-    // two distinct-user counts, then the same integer rejection comparison
-    "ev_srm_check" ->
-      """WITH c AS (SELECT user_id % 2 AS a, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n
-        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
-        |r AS (SELECT MAX(CASE WHEN a = 0 THEN n END) AS n_a,
-        |    MAX(CASE WHEN a = 1 THEN n END) AS n_b FROM c)
-        |SELECT n_a, n_b,
-        |  ROUND(CAST((n_a - n_b) AS DOUBLE) * (n_a - n_b) / (n_a + n_b), 6) AS chi2,
-        |  CAST(n_a - n_b AS HUGEINT) * (n_a - n_b) * 100000000 >
-        |    CAST(n_a + n_b AS HUGEINT) * 384145882 AS srm_detected
-        |FROM r""".stripMargin,
-
     // exact cent moments per (metric, arm); identical double MDE formula
     "ev_power_mde" ->
       """WITH e AS (SELECT event_type AS m, user_id % 2 AS a,
@@ -9151,6 +9203,12 @@ object SparkEntry {
         |SELECT m AS metric, n_a, n_b, ROUND(gm / 100.0, 4) AS mean,
         |  ROUND(mde / 100.0, 4) AS mde_abs, ROUND(mde / gm, 6) AS mde_rel
         |FROM w""".stripMargin,
+
+    // per-arm quantile_cont on the same cents grid, UNION-pivoted to QTE rows
+    "ev_qte" -> qteOracle,
+
+    // maintained (arm, cents) counts finish to the identical rows — same oracle
+    "ev_qte_incremental" -> qteOracle,
 
     // same draw keyed by arm; per-replica effect pivot, CI excludes zero
     "ev_bootstrap_diff" ->

@@ -854,10 +854,19 @@ object SampleOps {
    */
   def groupedExactPercentiles(df: DataFrame, keyCol: String, value: Column,
       probs: Seq[(String, Double)]): DataFrame = {
-    require(probs.nonEmpty)
     val hist = df.select(col(keyCol), value.cast("long").as("v"))
       .where(col("v").isNotNull)
       .groupBy(col(keyCol), col("v")).agg(count(lit(1)).as("c"))
+    groupedExactPercentilesFromHist(hist, keyCol, probs)
+  }
+
+  /** [[groupedExactPercentiles]]'s finisher on a PRE-AGGREGATED (key, v, c)
+    * histogram — the seam that lets incrementally maintained count state
+    * (GroupingSetsMv cells) finish to the identical interpolated quantiles the
+    * one-shot path produces. */
+  def groupedExactPercentilesFromHist(hist: DataFrame, keyCol: String,
+      probs: Seq[(String, Double)]): DataFrame = {
+    require(probs.nonEmpty)
     val tot = hist.groupBy(keyCol).agg(sum(col("c")).as("n"))
     val wCum = Window.partitionBy(col(keyCol)).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -955,8 +955,8 @@ class PlanQualitySpec extends SparkSpec {
       s"rank window must partition by metric:\n$p")
   }
 
-  test("ev_srm_check / ev_power_mde: one exchange to the arm/metric grid, scalars after") {
-    for (q <- Seq("ev_srm_check", "ev_power_mde")) {
+  test("ev_ab_srm / ev_power_mde: one exchange to the arm/metric grid, scalars after") {
+    for (q <- Seq("ev_ab_srm", "ev_power_mde")) {
       val p = plan(q)
       assert(p.contains("partial_"), s"$q: moment fold must map-side combine:\n$p")
       assert(!p.contains("CartesianProduct") && !p.contains("Window"),

@@ -28,6 +28,35 @@ class BootstrapSpec extends SparkSpec {
     assert(f.getAs[Double]("mean") < f.getAs[Double]("ci_hi"))
   }
 
+  test("ev_qte: a tail-only effect moves p90 and leaves the median flat") {
+    // arm 0 (even users): values 1..100; arm 1 (odd): same except the top 15 values
+    // (86..100) shifted +50 — interpolated p90 (pos 89.1 of 0..99) sits fully inside
+    // the shifted region, while p75 (pos 74.25) and below are untouched
+    val base = java.nio.file.Files.createTempDirectory("graft-qte-spec").toString
+    val rows = (1 to 100).flatMap { i =>
+      val shifted = if (i > 85) i + 50.0 else i.toDouble
+      Seq((i.toLong * 2, 0L + i * 2, i.toDouble), (i.toLong * 2 + 1, 1L + i * 2, shifted))
+    }.zipWithIndex.map { case ((uid, _, v), n) =>
+      (n.toLong, new java.sql.Timestamp(1000L * n), uid, "view", v, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$base/events.parquet")
+    val qte = SparkEntry.queries("ev_qte")(spark, base).collect()
+      .map(r => r.getAs[String]("quantile") -> r.getAs[Double]("qte")).toMap
+    assert(qte("p50") == 0.0, s"median must be untouched: $qte")
+    assert(qte("p25") == 0.0 && qte("p10") == 0.0 && qte("p75") == 0.0,
+      s"lower quantiles untouched: $qte")
+    assert(qte("p90") >= 40.0, s"p90 must carry the planted tail shift: $qte")
+    // the maintained twin produces the identical rows on the same input
+    val inc = SparkEntry.queries("ev_qte_incremental")(spark, base).collect()
+      .map(r => (r.getAs[String]("quantile"), r.getAs[Double]("q_control"),
+        r.getAs[Double]("q_treatment"), r.getAs[Double]("qte"))).sortBy(_._1).toSeq
+    val one = SparkEntry.queries("ev_qte")(spark, base).collect()
+      .map(r => (r.getAs[String]("quantile"), r.getAs[Double]("q_control"),
+        r.getAs[Double]("q_treatment"), r.getAs[Double]("qte"))).sortBy(_._1).toSeq
+    assert(inc == one, s"maintained QTE diverged:\n inc=$inc\n one=$one")
+  }
+
   test("poissonBootstrapDiffCi: planted effect detected, null effect spans zero") {
     // arm 1 = arm 0 shifted by +5: effect = 5 exactly, CI brackets it, significant
     val planted = ((1L to 400L).map(i => (i * 2, 0, (i % 83).toDouble + 1)) ++
