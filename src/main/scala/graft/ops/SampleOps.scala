@@ -1108,6 +1108,74 @@ object SampleOps {
   }
 
   /**
+   * TWO-covariate regression adjustment — [[cuped]] extended to the CUPAC-style
+   * multi-covariate form (Deng et al. 2013 §6; Poyarkov et al. 2016): adjust the
+   * experiment-period metric by BOTH the pre-period value and the pre-period
+   * activity count. θ = (XᵀX)⁻¹XᵀY on centered covariates solves the 2×2 normal
+   * equations via Cramér's rule; every cross-moment (Σx₁², Σx₁x₂, Σx₁y, …) is an
+   * exact DECIMAL(38,0) integer (the cuped widening discipline), the centered
+   * cofactors C_ij = n·Σx_ix_j − Σx_i·Σx_j stay exact, and only the final solve is
+   * a fixed-operand-order double expression — both engines agree bit-for-bit.
+   * `var_reduction` = R² of the two-covariate fit (θᵀC_xy / C_yy), strictly ≥ the
+   * single-covariate cuped's r² on the same data (more regressors never fit worse).
+   *
+   * Scale shape: one exchange to the unit grain, one 9-cell exact-moment fold,
+   * per-arm means broadcast — the corpus never shuffles twice.
+   */
+  def cupedMulti(df: DataFrame, unit: Column, arm: Column, isPre: Column,
+      value: Column): DataFrame = {
+    val cents = (value.cast(DecimalType(18, 2)) * 100).cast("long")
+    val perUnit = df
+      .select(unit.as("__u"), arm.as("__a"), isPre.as("__p"), cents.as("__c"))
+      .groupBy(col("__u"), col("__a"))
+      .agg(
+        sum(when(col("__p"), col("__c")).otherwise(0L)).as("x1"),
+        count(when(col("__p"), lit(1))).as("x2"),
+        sum(when(!col("__p"), col("__c")).otherwise(0L)).as("yc"),
+        count(when(!col("__p"), lit(1))).as("n_exp"))
+      .filter(col("n_exp") > 0)
+    val (x1, x2, y) = (col("x1").cast(DecimalType(19, 0)),
+      col("x2").cast(DecimalType(19, 0)), col("yc").cast(DecimalType(19, 0)))
+    val pooled = perUnit.agg(
+      count(lit(1)).as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"), sum(col("yc")).as("sy"),
+      sum((x1 * x1).cast(DecimalType(38, 0))).as("s11"),
+      sum((x1 * x2).cast(DecimalType(38, 0))).as("s12"),
+      sum((x2 * x2).cast(DecimalType(38, 0))).as("s22"),
+      sum((x1 * y).cast(DecimalType(38, 0))).as("s1y"),
+      sum((x2 * y).cast(DecimalType(38, 0))).as("s2y"),
+      sum((y * y).cast(DecimalType(38, 0))).as("syy"))
+    val perArm = perUnit.groupBy(col("__a").as("arm"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("x1")).as("sa1"), sum(col("x2")).as("sa2"), sum(col("yc")).as("say"))
+    val nD = col("n").cast(DecimalType(38, 0))
+    def c(sij: String, si: String, sj: String) =
+      (nD * col(sij) - col(si).cast(DecimalType(38, 0)) *
+        col(sj).cast(DecimalType(38, 0))).cast(DoubleType)
+    val (c11, c12, c22) = (c("s11", "s1", "s1"), c("s12", "s1", "s2"), c("s22", "s2", "s2"))
+    val (c1y, c2y, cyy) = (c("s1y", "s1", "sy"), c("s2y", "s2", "sy"), c("syy", "sy", "sy"))
+    val det = c11 * c22 - c12 * c12
+    val th1 = (c1y * c22 - c2y * c12) / det
+    val th2 = (c2y * c11 - c1y * c12) / det
+    val may = col("say").cast(DoubleType) / col("n_units")
+    val ma1 = col("sa1").cast(DoubleType) / col("n_units")
+    val ma2 = col("sa2").cast(DoubleType) / col("n_units")
+    val mp1 = col("s1").cast(DoubleType) / col("n")
+    val mp2 = col("s2").cast(DoubleType) / col("n")
+    perArm.crossJoin(broadcast(pooled))
+      // collinear covariates (det = 0) leave theta undefined: emit NULLs, loudly
+      // absent rather than an Infinity that rounds differently across engines
+      .select(col("arm"), col("n_units"),
+        round(may / 100.0, 6).as("mean_y"),
+        round(when(det !== 0.0,
+          (may - th1 * (ma1 - mp1) - th2 * (ma2 - mp2)) / 100.0), 6).as("mean_y_adj"),
+        round(when(det !== 0.0, th1), 6).as("theta_value"),
+        round(when(det !== 0.0, th2 / 100.0), 6).as("theta_count"),
+        round(when(det !== 0.0, (th1 * c1y + th2 * c2y) / cyy), 6).as("var_reduction"))
+      .orderBy(col("arm"))
+  }
+
+  /**
    * Split conformal prediction interval + empirical coverage (Vovk, Gammerman &
    * Shafer 2005; Lei et al. 2018, "Distribution-Free Predictive Inference for
    * Regression", JASA): a point predictor is fit on the calibration split, the

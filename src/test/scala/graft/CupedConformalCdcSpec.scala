@@ -56,6 +56,50 @@ class CupedConformalCdcSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_units")).sum == 4) // all four units kept
   }
 
+  private def cupedMultiRows(rows: Seq[(Long, Boolean, Double)]) =
+    SampleOps.cupedMulti(rows.toDF("u", "p", "v"),
+      col("u"), pmod(col("u"), lit(2)), col("p"), col("v"))
+
+  test("cupedMulti: the count covariate captures signal value alone misses; R2 >= cuped's") {
+    // Y = 3 * (# pre-period events) + small value term: the pre-period VALUE sum is a
+    // noisy proxy (every pre event has value 1, so x1 == x2 * 100 cents... make them
+    // differ: pre values vary but count drives Y)
+    val rows = (1L to 120L).flatMap { u =>
+      val k = (u % 5 + 1).toInt                       // pre-period activity count 1..5
+      val pre = (1 to k).map(j => (u, true, ((u * 31 + j * 17) % 7 + 1).toDouble))
+      val y = 3.0 * k + ((u * 13) % 3).toDouble * 0.1 // count-driven outcome
+      pre :+ ((u, false, y))
+    }
+    val multi = cupedMultiRows(rows).collect().sortBy(_.getAs[Long]("arm"))
+    val single = cupedRows(rows).collect().sortBy(_.getAs[Long]("arm"))
+    assert(multi.length == 2 && single.length == 2)
+    val r2m = multi.head.getAs[Double]("var_reduction")
+    val r2s = single.head.getAs[Double]("var_reduction")
+    assert(r2m >= r2s - 1e-9, s"two covariates must not fit worse: multi=$r2m single=$r2s")
+    assert(r2m > 0.9, s"count-driven outcome should be largely explained: $r2m")
+    // theta_count ~ 3 (dollars per pre-event); adjusted means near-coincide when the
+    // outcome is covariate-driven with no treatment effect
+    assert(math.abs(multi.head.getAs[Double]("theta_count") - 3.0) < 0.3,
+      s"theta_count=${multi.head.getAs[Double]("theta_count")}")
+    val liftAdj = multi(1).getAs[Double]("mean_y_adj") - multi(0).getAs[Double]("mean_y_adj")
+    assert(math.abs(liftAdj) < 0.2, s"no planted effect, adjusted lift should vanish: $liftAdj")
+  }
+
+  test("cupedMulti: collinear covariates yield NULL thetas, never Infinity") {
+    // every pre event has value 10.0 -> x1 == 1000 * x2 exactly: det = 0
+    val rows = (1L to 40L).flatMap { u =>
+      val k = (u % 3 + 1).toInt
+      (1 to k).map(_ => (u, true, 10.0)) :+ ((u, false, k * 2.0))
+    }
+    val out = cupedMultiRows(rows).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("theta_value")), "collinear det=0 must yield NULL")
+      assert(r.isNullAt(r.fieldIndex("mean_y_adj")))
+      assert(!r.isNullAt(r.fieldIndex("mean_y")), "raw mean still reported")
+    }
+  }
+
   // ---- split conformal --------------------------------------------------------------------
 
   test("conformalSplit: q_hat is the ceil((n+1)(1-alpha))-th smallest calibration residual") {
