@@ -914,12 +914,14 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("ev_cuped: one per-unit exchange, scalar moments broadcast back, no window") {
-    // CUPED must never sort or window unit-level rows: one groupBy(unit) hash
-    // aggregation, one scalar aggregate, broadcast scalars — nothing else.
-    val p = plan("ev_cuped")
-    assert(!p.contains("Window"), s"ev_cuped planned a window:\n$p")
-    assert(!p.contains("CartesianProduct"), "pooled scalars must broadcast")
-    assert(p.contains("HashAggregate"), "per-unit moments must hash-aggregate")
+    // CUPED (and its two-covariate twin) must never sort or window unit-level rows:
+    // one groupBy(unit) hash aggregation, one scalar aggregate, broadcast scalars.
+    for (q <- Seq("ev_cuped", "ev_cuped_multi")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q planned a window:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: pooled scalars must broadcast")
+      assert(p.contains("HashAggregate"), s"$q: per-unit moments must hash-aggregate")
+    }
   }
 
   test("ev_conformal / ev_msprt: only grid-bounded windows; predictor joins broadcast") {
