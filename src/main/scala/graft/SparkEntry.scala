@@ -5053,6 +5053,21 @@ object SparkEntry {
       VectorOps.annRecallGate(exact, approx, short, recallFloor = 0.5, candCap = 480L)
     }),
 
+    // residual quantization (two-level RVQ): the REFINEMENT rung next to PQ's
+    // subspace split — level-2 codebook on the residuals, additive two-LUT ADC;
+    // same recall/boundedness verdict contract, scale-aware rerank depth (the
+    // emb_ann_bq N/16 rule — two 16-code levels coarsen like one 64-bit signature)
+    "emb_ann_rq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+      val shortlist = math.max(64L, e.count() / 16).toInt
+      val exact = VectorOps.bruteForceTopK(e, q, k = 3)
+      val short = VectorOps.rqTopK(e, q, k = 64, kCode = 16, shortlist = shortlist)
+      val approx = VectorOps.rankTopK(short, 3)
+      VectorOps.annRecallGate(exact, approx, short, recallFloor = 0.5,
+        candCap = 8L * shortlist)
+    }),
+
     // OPQ-style rotate-then-PQ (Ge et al. 2013, PCA-initialized): the self-verifying
     // gate checks the two OPQ preconditions IN-PLAN — the trained basis is orthonormal
     // (driver check on the model scalar) and cosine top-k is invariant under the pure
@@ -7006,6 +7021,9 @@ object SparkEntry {
       "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok, TRUE AS bounded_ok FROM embeddings WHERE vec_id < 8",
 
     "emb_ann_bq" ->
+      "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok, TRUE AS bounded_ok FROM embeddings WHERE vec_id < 8",
+
+    "emb_ann_rq" ->
       "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok, TRUE AS bounded_ok FROM embeddings WHERE vec_id < 8",
 
     "emb_fd_sketch" ->

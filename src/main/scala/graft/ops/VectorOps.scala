@@ -1160,6 +1160,87 @@ object VectorOps {
   }
 
   /**
+   * Residual-quantized approximate top-k (two-level RVQ — Juang & Gray 1982;
+   * Chen, Guan & Wang 2010 for the ANN use): the REFINEMENT rung of the compression
+   * ladder next to PQ's subspace split — a level-1 full-space VQ codebook, then a
+   * level-2 codebook trained on the RESIDUALS v − c1[code1(v)], reconstruction
+   * v̂ = c1 + c2 (error strictly non-increasing per level, spec-pinned). Query
+   * scoring is additive ADC: q·v̂ = q·c1[code1] + q·c2[code2] — two k-entry LUTs
+   * per query and two array reads per pair; the shortlist→exact-rerank tail is
+   * [[pqTopK]]'s.
+   *
+   * Implementation reuses the PQ machinery at m = 1 (one subspace = the full
+   * vector): both levels' encode/LUT/ADC are the same native expressions; only the
+   * residual construction (one codegen'd `zip_with` against the broadcast level-1
+   * codebook literal) is new. Storage is 2 small codes/vector — same 100 TB
+   * shape as PQ: the corpus never shuffles, queries broadcast with their LUTs.
+   */
+  def rqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      kCode: Int = 16,
+      shortlist: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      trained: Option[(Array[Array[Array[Float]]], Array[Array[Array[Float]]])] = None)
+      : DataFrame = {
+    val normCorpus = l2Normalized(corpus, vecCol)
+    val normQueries = l2Normalized(queries, vecCol)
+    val b1 = trained.map(_._1).getOrElse(
+      pqTrain(normCorpus, m = 1, k = kCode, idCol = idCol, vecCol = vecCol))
+    val book1Lit = typedLit(b1(0).map(_.toSeq).toSeq)
+    val enc1 = normCorpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      VectorFunctions.pqEncode(col(vecCol), b1).as("codes1"))
+      .withColumn("rvec", zip_with(col("c_vec"),
+        element_at(book1Lit, element_at(col("codes1"), 1) + 1), (a, b) => a - b))
+    val b2 = trained.map(_._2).getOrElse(
+      pqTrain(enc1, m = 1, k = kCode, idCol = "neighbor_id", vecCol = "rvec"))
+    val enc = enc1.withColumn("codes2", VectorFunctions.pqEncode(col("rvec"), b2))
+    val q = normQueries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      VectorFunctions.pqLut(col(vecCol), b1).as("lut1"),
+      VectorFunctions.pqLut(col(vecCol), b2).as("lut2"))
+    val scored = enc.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("q_vec"), col("c_vec"),
+        (VectorFunctions.pqAdcDot(col("codes1"), col("lut1"), b1(0).length) +
+          VectorFunctions.pqAdcDot(col("codes2"), col("lut2"), b2(0).length)).as("sim"))
+    val short = scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKFunctions.topKByScore(col("sim"), col("neighbor_id"),
+        struct(col("neighbor_id"), col("q_vec"), col("c_vec")), shortlist).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.neighbor_id").as("neighbor_id"),
+        VectorFunctions.cosine(col("t.q_vec"), col("t.c_vec")).as("sim"))
+    rankTopK(short, k)
+  }
+
+  /** Mean squared reconstruction error of the RQ codec at each level — the audit that
+    * the level-2 residual codebook actually refines (MSE level-2 ≤ level-1; equality
+    * only when residuals are already centroidal). One narrow scan per call. */
+  def rqReconstructionMse(corpus: DataFrame, kCode: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val nc = l2Normalized(corpus, vecCol)
+    val b1 = pqTrain(nc, m = 1, k = kCode, idCol = idCol, vecCol = vecCol)
+    val book1Lit = typedLit(b1(0).map(_.toSeq).toSeq)
+    val enc1 = nc.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      VectorFunctions.pqEncode(col(vecCol), b1).as("codes1"))
+      .withColumn("rvec", zip_with(col("c_vec"),
+        element_at(book1Lit, element_at(col("codes1"), 1) + 1), (a, b) => a - b))
+    val b2 = pqTrain(enc1, m = 1, k = kCode, idCol = "neighbor_id", vecCol = "rvec")
+    val book2Lit = typedLit(b2(0).map(_.toSeq).toSeq)
+    val withR2 = enc1.withColumn("codes2", VectorFunctions.pqEncode(col("rvec"), b2))
+      .withColumn("r2", zip_with(col("rvec"),
+        element_at(book2Lit, element_at(col("codes2"), 1) + 1), (a, b) => a - b))
+    def mse(v: Column) = avg(aggregate(v,
+      lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    withR2.agg(count(lit(1)).as("n_vectors"),
+      round(mse(col("rvec")), 8).as("mse_level1"),
+      round(mse(col("r2")), 8).as("mse_level2"))
+      .select(col("n_vectors"), col("mse_level1"), col("mse_level2"),
+        (col("mse_level2") <= col("mse_level1") + lit(1e-12)).as("refines"))
+  }
+
+  /**
    * IVF-PQ composed index — the IVFADC scheme of Jégou et al. 2011 (TPAMI, §IV), the
    * composition real billion-scale indexes ship: the IVF coarse quantizer restricts each
    * query to its `nProbe` cells, candidates inside those cells are scored with the PQ

@@ -404,6 +404,26 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall >= 0.75, s"PQ recall $recall under expected headroom")
   }
 
+  test("RQ: level-2 residual codebook strictly refines; search deterministic; recall has headroom") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 8)
+    // the defining RVQ property: coding the residual never increases reconstruction MSE
+    val mse = VectorOps.rqReconstructionMse(e, kCode = 16).head()
+    assert(mse.getAs[Boolean]("refines"),
+      s"level-2 must refine: $mse")
+    assert(mse.getAs[Double]("mse_level2") < mse.getAs[Double]("mse_level1"),
+      s"on real embeddings the refinement should be strict: $mse")
+    // deterministic end to end
+    val a = VectorOps.rqTopK(e, q, k = 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = VectorOps.rqTopK(e, q, k = 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    // recall headroom over the 0.5 gate floor
+    val exact = VectorOps.bruteForceTopK(e, q, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect a).size.toDouble / exact.size
+    assert(recall >= 0.75, s"RQ recall $recall under expected headroom")
+  }
+
   test("SQ8: codes compress 4x, ADC error within quantizer resolution, recall near-exact") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 8)
