@@ -289,6 +289,14 @@ object Bench {
       plan.overBudget || residualDrift
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-query drift normalization (r11 verdict): seconds / committed-history value,
+    // so a reader can separate fleet-wide machine drift (every ratio shifts together)
+    // from a real regression (one query's ratio moves alone) without re-deriving it
+    val qsRatio = results.map { case (k, v) =>
+      val r = history.get(k).filter(h => h > 0 && v >= 0)
+        .map(h => f"${v / h}%.3f").getOrElse("null")
+      s"\"" + k + "\":" + r
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val samplesJson = calSamples.map { case (n, s) => s"""{"after":$n,"s":$s}""" }
       .mkString("[", ",", "]")
@@ -296,6 +304,7 @@ object Bench {
     val medJson = medAfter.map(m => f"$m%.4f").getOrElse("null")
     val medSweepJson = plan.medianRatio.map(m => f"$m%.4f").getOrElse("null")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+      s""","history_ratio":$qsRatio""" +
       s""","calibration_before_s":$calBefore,"calibration_after_s":$calAfter""" +
       s""","calibration_endpoint_attempts":{"before":${calBeforeAttempts.mkString("[", ",", "]")}""" +
       s""","after":${calAfterAttempts.mkString("[", ",", "]")}}""" +

@@ -24,6 +24,9 @@ object SoakCC {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_SOAK_BATCHES", "40").toInt
+    // quartile means below slice nBatches/4 elements; < 4 batches would average
+    // empty slices (0/0 = NaN) and print a garbage flatness verdict
+    require(nBatches >= 4, s"SPARK_GRAFT_SOAK_BATCHES must be >= 4 (got $nBatches)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftConf.tune(SparkSession.builder()
       .master(s"local[$cpus]")

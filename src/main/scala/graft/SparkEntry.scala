@@ -1909,11 +1909,17 @@ object SparkEntry {
 
     // D2's anti-join shape: epoch-1 winners that survive because NO later-epoch event exists
     // for their key (reference PKEY_CACHE `LEFT JOIN ... WHERE pc.pkey IS NULL`,
-    // `staging.py:266-282`) — expressed as a left_anti join
+    // `staging.py:266-282`) — expressed as a left_anti join. Epoch 2 is restricted
+    // to a deterministic user subset (user_id % 3 = 0): every user has events on
+    // both sides of any event_id split, so an unrestricted epoch 2 makes the gate
+    // vacuous (0 rows in both engines would pass even for a broken anti-join) —
+    // the subset guarantees survivors > 0 at every SF while still eliminating the
+    // % 3 == 0 keys non-trivially
     "cdc_anti_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val epoch1 = ev.filter(col("event_id") < 500).select(col("user_id"), col("event_id"))
-      val epoch2 = ev.filter(col("event_id") >= 500).select(col("user_id"))
+      val epoch2 = ev.filter(col("event_id") >= 500 && pmod(col("user_id"), lit(3)) === 0)
+        .select(col("user_id"))
       epoch1.join(epoch2, Seq("user_id"), "left_anti")
     }),
 
@@ -2763,8 +2769,8 @@ object SparkEntry {
     // INCREMENTAL mSPRT: the per-(day, arm) cent moments are associative sums, so
     // they live as maintained GroupingSetsMv state — the composite key day·2+arm
     // rides the gid=1 lane (the ev_isotonic_incremental trick) and TWO stores carry
-    // Σc and Σc² (c² is an integer, so DECIMAL(18,2) state holds it exactly up to
-    // 10^16 — wider state at larger grids). Three versioned replay-safe event waves,
+    // Σc and Σc² (c² is an integer, carried exactly by the store's DECIMAL(38,2)
+    // state — ~10^36 headroom). Three versioned replay-safe event waves,
     // then the day-grid LR finisher at READ time — row-identical to one-shot
     // ev_msprt, pinned by the SAME oracle.
     "ev_msprt_incremental" -> ((s, dir) => {
@@ -5055,17 +5061,18 @@ object SparkEntry {
 
     // residual quantization (two-level RVQ): the REFINEMENT rung next to PQ's
     // subspace split — level-2 codebook on the residuals, additive two-LUT ADC;
-    // same recall/boundedness verdict contract, scale-aware rerank depth (the
-    // emb_ann_bq N/16 rule — two 16-code levels coarsen like one 64-bit signature)
+    // same recall/boundedness verdict contract. Resolution comes from CODEBOOK
+    // size (64 centroids/level → 4096 effective reconstruction cells), not from
+    // rerank depth: the r11 N/16 shortlist was an O(N)-per-query exact rerank in
+    // disguise; kCode=64 with a FIXED 64-deep shortlist keeps the rerank budget
+    // corpus-independent (recall@3 ≥ 0.5 measured at N=500, 2000, 20000).
     "emb_ann_rq" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 8)
-      val shortlist = math.max(64L, e.count() / 16).toInt
       val exact = VectorOps.bruteForceTopK(e, q, k = 3)
-      val short = VectorOps.rqTopK(e, q, k = 64, kCode = 16, shortlist = shortlist)
+      val short = VectorOps.rqTopK(e, q, k = 64, kCode = 64, shortlist = 64)
       val approx = VectorOps.rankTopK(short, 3)
-      VectorOps.annRecallGate(exact, approx, short, recallFloor = 0.5,
-        candCap = 8L * shortlist)
+      VectorOps.annRecallGate(exact, approx, short, recallFloor = 0.5, candCap = 480L)
     }),
 
     // OPQ-style rotate-then-PQ (Ge et al. 2013, PCA-initialized): the self-verifying
@@ -5139,24 +5146,23 @@ object SparkEntry {
       out
     }),
 
-    // binary quantization (sign-bit, 1 bit/dim — the 32× end of the compression
-    // ladder past SQ8): one 64-bit signature per vector, XOR+POPCNT Hamming
-    // candidates, exact-cosine rerank of the 64-deep shortlist; same
-    // recall/boundedness verdict contract as the rest of the ANN family
+    // binary quantization (SimHash sign bits — the 32×-and-beyond end of the
+    // compression ladder past SQ8): a 256-bit multi-word signature per vector,
+    // summed XOR+POPCNT Hamming candidates, exact-cosine rerank of a FIXED 64-deep
+    // shortlist. Resolution comes from the bit budget, not the rerank budget: a
+    // 64-bit signature's Hamming ties flooded a fixed shortlist as N grew (the r10
+    // recall fail at N=2000), and widening the shortlist to N/16 was an O(N)
+    // exact rerank per query — brute force divided by a constant. 256 bits
+    // sharpens the angle estimate 2× (std π/(2√bits)) and keeps the rerank a
+    // corpus-independent O(shortlist): measured recall@3 ≥ 0.5 at N=500, 2000,
+    // and 20000 with this fixed shortlist.
     "emb_ann_bq" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 8)
-      // rerank budget scales with the index (1/16th, floor 64): a 64-bit signature's
-      // Hamming resolution saturates as N grows — ties flood a FIXED shortlist and
-      // recall decays (measured: 0.5-floor fail at N=2000 with shortlist 64, green
-      // with N/16). The fraction IS the production BQ contract: rerank depth is a
-      // constant share of index size, so the gate holds at every SF.
-      val shortlist = math.max(64L, e.count() / 16).toInt
       val exact = VectorOps.bruteForceTopK(e, q, k = 3)
-      val short = VectorOps.bqTopK(e, q, k = 64, shortlist = shortlist)
+      val short = VectorOps.bqTopK(e, q, k = 64, shortlist = 64, bits = 256)
       val approx = VectorOps.rankTopK(short, 3)
-      VectorOps.annRecallGate(exact, approx, short, recallFloor = 0.5,
-        candCap = 8L * shortlist)
+      VectorOps.annRecallGate(exact, approx, short, recallFloor = 0.5, candCap = 480L)
     }),
 
     "emb_ann_ivf" -> ((s, dir) => {
@@ -5709,13 +5715,26 @@ object SparkEntry {
       val pca = VectorOps.pcaFit(e, k = 8)
       ModelStore.savePcaModel(s, pca, s"$tmp/pca")
       val pcaL = ModelStore.loadPcaModel(s, s"$tmp/pca")
+      // the r11-new compression rungs' artifacts: the RQ codebook PAIR and the OPQ
+      // rotation (a PcaModel — same persistence, separate artifact and probe)
+      val rq = VectorOps.rqFit(e, kCode = 16)
+      ModelStore.saveRqBooks(s, rq, s"$tmp/rq")
+      val rqL = ModelStore.loadRqBooks(s, s"$tmp/rq")
+      val opq = VectorOps.opqFit(e)
+      ModelStore.savePcaModel(s, opq, s"$tmp/opq")
+      val opqL = ModelStore.loadPcaModel(s, s"$tmp/opq")
       val centsOk = cents.corresponds(centsL)((a, b) => a.sameElements(b))
-      val booksOk = books.corresponds(booksL)((ba, bb) =>
-        ba.corresponds(bb)((a, b) => a.sameElements(b)))
+      def booksEq(x: Array[Array[Array[Float]]], y: Array[Array[Array[Float]]]) =
+        x.corresponds(y)((ba, bb) => ba.corresponds(bb)((a, b) => a.sameElements(b)))
+      val booksOk = booksEq(books, booksL)
+      val rqOk = booksEq(rq._1, rqL._1) && booksEq(rq._2, rqL._2)
       val sqOk = sq.mins.sameElements(sqL.mins) && sq.maxs.sameElements(sqL.maxs)
-      val pcaOk = pca.mean.sameElements(pcaL.mean) &&
-        pca.basis.corresponds(pcaL.basis)((a, b) => a.sameElements(b)) &&
-        pca.eigenvalues.sameElements(pcaL.eigenvalues)
+      def pcaEq(a: VectorOps.PcaModel, b: VectorOps.PcaModel) =
+        a.mean.sameElements(b.mean) &&
+          a.basis.corresponds(b.basis)((x, y) => x.sameElements(y)) &&
+          a.eigenvalues.sameElements(b.eigenvalues)
+      val pcaOk = pcaEq(pca, pcaL)
+      val opqOk = pcaEq(opq, opqL)
       // probe identity: identical model bits => identical arithmetic => identical rows
       def sameRows(a: DataFrame, b: DataFrame): Boolean =
         a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
@@ -5725,13 +5744,22 @@ object SparkEntry {
       val pqSame = sameRows(
         VectorOps.pqTopK(e, q, k = 3, m = 8, kCode = 16, shortlist = 64, trained = Some(books)),
         VectorOps.pqTopK(e, q, k = 3, m = 8, kCode = 16, shortlist = 64, trained = Some(booksL)))
+      val rqSame = sameRows(
+        VectorOps.rqTopK(e, q, k = 3, kCode = 16, shortlist = 64, trained = Some(rq)),
+        VectorOps.rqTopK(e, q, k = 3, kCode = 16, shortlist = 64, trained = Some(rqL)))
+      // OPQ probe = the rotation itself: identical basis bits => identical rotated rows
+      val opqSame = sameRows(VectorOps.rotateFull(q, opq), VectorOps.rotateFull(q, opqL))
       q.agg(count(lit(1)).as("n_queries")).select(col("n_queries"),
         lit(centsOk).as("centroids_roundtrip_ok"),
         lit(booksOk).as("pq_roundtrip_ok"),
+        lit(rqOk).as("rq_roundtrip_ok"),
         lit(sqOk).as("sq_roundtrip_ok"),
         lit(pcaOk).as("pca_roundtrip_ok"),
+        lit(opqOk).as("opq_roundtrip_ok"),
         lit(ivfSame).as("ivf_probe_identical"),
-        lit(pqSame).as("pq_probe_identical"))
+        lit(pqSame).as("pq_probe_identical"),
+        lit(rqSame).as("rq_probe_identical"),
+        lit(opqSame).as("opq_probe_identical"))
     }),
 
     // distributed PCA: one treeAggregate moment pass + driver Jacobi; the verdict audits
@@ -7050,8 +7078,10 @@ object SparkEntry {
 
     "emb_ann_store_roundtrip" ->
       ("SELECT COUNT(*) AS n_queries, TRUE AS centroids_roundtrip_ok, TRUE AS pq_roundtrip_ok, " +
-        "TRUE AS sq_roundtrip_ok, TRUE AS pca_roundtrip_ok, TRUE AS ivf_probe_identical, " +
-        "TRUE AS pq_probe_identical FROM embeddings WHERE vec_id < 8"),
+        "TRUE AS rq_roundtrip_ok, TRUE AS sq_roundtrip_ok, TRUE AS pca_roundtrip_ok, " +
+        "TRUE AS opq_roundtrip_ok, TRUE AS ivf_probe_identical, TRUE AS pq_probe_identical, " +
+        "TRUE AS rq_probe_identical, TRUE AS opq_probe_identical " +
+        "FROM embeddings WHERE vec_id < 8"),
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -8285,7 +8315,8 @@ object SparkEntry {
     "cdc_anti_join" ->
       """SELECT user_id, event_id FROM events e1
         |WHERE event_id < 500 AND NOT EXISTS (
-        |  SELECT 1 FROM events e2 WHERE e2.event_id >= 500 AND e2.user_id = e1.user_id)""".stripMargin,
+        |  SELECT 1 FROM events e2
+        |  WHERE e2.event_id >= 500 AND e2.user_id % 3 = 0 AND e2.user_id = e1.user_id)""".stripMargin,
 
     "cdc_semi_join" ->
       """SELECT DISTINCT user_id FROM events e1

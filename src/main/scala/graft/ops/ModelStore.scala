@@ -42,6 +42,29 @@ object ModelStore {
       .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray).toArray).toArray
 
+  /** Two-level residual-quantization codebook pair ([[VectorOps.rqFit]]'s artifact):
+    * the PQ-book schema with a leading level column — rows (lvl, sub, code, vec). */
+  def saveRqBooks(spark: SparkSession,
+      books: (Array[Array[Array[Float]]], Array[Array[Array[Float]]]),
+      path: String): Unit = {
+    import spark.implicits._
+    Seq(books._1, books._2).zipWithIndex.flatMap { case (level, l) =>
+      level.zipWithIndex.toSeq.flatMap { case (book, s) =>
+        book.zipWithIndex.toSeq.map { case (v, c) => (l, s, c, v.toSeq) }
+      }
+    }.toDF("lvl", "sub", "code", "vec").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadRqBooks(spark: SparkSession, path: String)
+      : (Array[Array[Array[Float]]], Array[Array[Array[Float]]]) = {
+    val byLvl = spark.read.parquet(path).collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.groupBy(_.getInt(1)).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_.getInt(2)).map(_.getSeq[Float](3).toArray).toArray).toArray)
+    require(byLvl.length == 2, s"RQ artifact at $path must hold 2 levels, found ${byLvl.length}")
+    (byLvl(0), byLvl(1))
+  }
+
   /** SQ8 per-dimension ranges: rows (pos, mn, mx). */
   def saveSqModel(spark: SparkSession, model: VectorOps.SqModel, path: String): Unit = {
     import spark.implicits._

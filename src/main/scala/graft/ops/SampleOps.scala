@@ -561,8 +561,11 @@ object SampleOps {
     val counts = df.select(unit.as("__u"), arm.as("__a"))
       .filter(col("__u").isNotNull)
       .groupBy(col("__a")).agg(count_distinct(col("__u")).as("n"))
-      .agg(max(when(col("__a") === 0, col("n"))).as("n_a"),
-        max(when(col("__a") === 1, col("n"))).as("n_b"))
+      // coalesce: an arm with ZERO distinct units must report n=0 (the oracle's
+      // COUNT(CASE ...) convention) — a bare max(when) pivot would yield NULL and
+      // cascade a NULL chi2/verdict where DuckDB reports a concrete one
+      .agg(coalesce(max(when(col("__a") === 0, col("n"))), lit(0L)).as("n_a"),
+        coalesce(max(when(col("__a") === 1, col("n"))), lit(0L)).as("n_b"))
     val d = col("n_a") - col("n_b")
     counts.select(col("n_a"), col("n_b"),
       round(d.cast(DoubleType) * d.cast(DoubleType) /
@@ -787,8 +790,11 @@ object SampleOps {
         min(when(col("cum") >= higher + 1, col("v"))).as("hv"),
         first(pos).as("pos"), first(lower).as("lo"), first(higher).as("hi"))
       .select(col("cid"),
+        // lv + frac*(hv−lv): DuckDB quantile_cont's exact operand order — the
+        // algebraically-equal (hi−pos)*lv + (pos−lo)*hv can differ by 1 ULP and
+        // flip a downstream ROUND on a half-cent boundary
         when(col("lo") === col("hi") || col("lv") === col("hv"), col("lv").cast("double"))
-          .otherwise((col("hi") - col("pos")) * col("lv") + (col("pos") - col("lo")) * col("hv"))
+          .otherwise(col("lv") + (col("pos") - col("lo")) * (col("hv") - col("lv")))
           .as("pct"))
     val outs = specs.zipWithIndex.map { case ((name, _, _), i) =>
       max(when(col("cid") === i, col("pct"))).as(name) }
@@ -882,8 +888,11 @@ object SampleOps {
     val interp = probs.map { case (name, _) =>
       val lv = col(s"__lv_$name"); val hv = col(s"__hv_$name"); val pos = col(s"__pos_$name")
       val lo = floor(pos); val hi = ceil(pos)
+      // DuckDB quantile_cont's operand order (lv + frac*(hv−lv)) — see the
+      // identical note in exactPercentiles; 1-ULP parity matters here
+      // because ev_qte ROUNDs the interpolated cents to 2 decimals
       when(lo === hi || lv === hv, lv.cast("double"))
-        .otherwise((hi - pos) * lv + (pos - lo) * hv).as(name)
+        .otherwise(lv + (pos - lo) * (hv - lv)).as(name)
     }
     cum.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
       .select(col(keyCol) +: interp: _*)

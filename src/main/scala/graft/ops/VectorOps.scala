@@ -1078,40 +1078,54 @@ object VectorOps {
   }
 
   /**
-   * Binary-quantized approximate top-k — the 1-bit/dim point past SQ8's byte/dim on
+   * Binary-quantized approximate top-k — the 1-bit point past SQ8's byte/dim on
    * the compression ladder (the "binary quantization" mode of production vector
-   * stores): each corpus vector stores ONE 64-bit signature word (32× smaller than
-   * float32), candidate ranking is popcount(XOR) Hamming similarity — for
-   * l2-normalized, roughly-isotropic vectors sign-bit agreement is a monotone proxy
-   * for angle (Charikar 2002's SimHash bound, P[sign match] = 1 − θ/π, with the raw
-   * axes standing in for random projections) — and only `shortlist` rows per query
-   * reach the exact cosine rerank.
+   * stores): each corpus vector stores a `bits`-bit multi-word signature (one sign
+   * bit per seeded Gaussian hyperplane — Charikar 2002's SimHash, P[sign match] =
+   * 1 − θ/π, so mean Hamming agreement over `bits` independent planes estimates the
+   * angle to std ≈ π/(2√bits)), candidate ranking is summed popcount(XOR) Hamming
+   * similarity across the signature words, and only `shortlist` rows per query reach
+   * the exact cosine rerank.
    *
-   * The corpus never shuffles: signatures compute in-scan (first 64 dims), queries
-   * broadcast, and the Hamming scan is one XOR+POPCNT per (corpus row, query) —
-   * the cheapest candidate generator in the ANN family.
+   * `bits` is the RESOLUTION lever and it scales with neither N nor d: raising it
+   * sharpens the angle estimate (fewer Hamming ties at large N) at 1 extra stored
+   * long per 64 bits, which keeps the rerank budget a CONSTANT O(shortlist) per
+   * query — a shortlist that grows with the corpus would be brute force divided by
+   * a constant. Default 256 bits = 4 longs/vector (8× smaller than a 64-dim float32
+   * vector; 96× at d=768).
+   *
+   * The corpus never shuffles: planes ride the serialized plan, signatures compute
+   * in-scan, queries broadcast, and the Hamming scan is `bits/64` XOR+POPCNTs per
+   * (corpus row, query) — the cheapest candidate generator in the ANN family.
    */
   def bqTopK(
       corpus: DataFrame,
       queries: DataFrame,
       k: Int,
       shortlist: Int = 64,
+      bits: Int = 256,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    require(bits > 0 && bits % 64 == 0, s"bits must be a positive multiple of 64 (got $bits)")
     val normCorpus = l2Normalized(corpus, vecCol)
     val normQueries = l2Normalized(queries, vecCol)
-    def sig(v: String) = expr(
-      s"""aggregate(transform(slice($v, 1, 64),
-         |  (x, i) -> IF(CAST(x AS DOUBLE) > 0D, shiftleft(1L, i), 0L)),
-         |  0L, (a, b) -> a + b)""".stripMargin)
+    // plane matrix sizes to the data's dimension: one driver read of a single row
+    // (model sizing, the pqTrain idiom), never a corpus-sized action
+    val dim = normCorpus.select(size(col(vecCol))).head.getInt(0)
+    val planes = VectorFunctions.makePlanes(bits, dim, seed = 0x51A7B1B1L)
+    def sig(v: Column) = array((0 until bits / 64).map { w =>
+      VectorFunctions.hyperplaneLsh(v, planes.slice(w * 64, (w + 1) * 64))
+    }: _*)
     val enc = normCorpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-      sig(vecCol).as("csig"))
+      sig(col(vecCol)).as("csig"))
     val q = normQueries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      sig(vecCol).as("qsig"))
+      sig(col(vecCol)).as("qsig"))
     val scored = enc.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("q_vec"), col("c_vec"),
-        (lit(64) - expr("bit_count(csig ^ qsig)")).cast("double").as("hsim"))
+        (lit(bits) - expr(
+          "aggregate(zip_with(csig, qsig, (a, b) -> bit_count(a ^ b)), 0, (acc, x) -> acc + x)"))
+          .cast("double").as("hsim"))
     val short = scored.groupBy(col("query_id"))
       .agg(graft.functions.TopKFunctions.topKByScore(col("hsim"), col("neighbor_id"),
         struct(col("neighbor_id"), col("q_vec"), col("c_vec")), shortlist).as("top"))
@@ -1212,6 +1226,23 @@ object VectorOps {
       .select(col("query_id"), col("t.neighbor_id").as("neighbor_id"),
         VectorFunctions.cosine(col("t.q_vec"), col("t.c_vec")).as("sim"))
     rankTopK(short, k)
+  }
+
+  /** Train the two-level RQ codebook pair OFFLINE — the artifact [[rqTopK]]'s
+    * `trained` param consumes (ModelStore round-trips it like the PQ books): level-1
+    * full-space VQ on the corpus, level-2 VQ on the residuals v − c1[code1(v)]. */
+  def rqFit(corpus: DataFrame, kCode: Int = 16, idCol: String = "vec_id",
+      vecCol: String = "embedding")
+      : (Array[Array[Array[Float]]], Array[Array[Array[Float]]]) = {
+    val nc = l2Normalized(corpus, vecCol)
+    val b1 = pqTrain(nc, m = 1, k = kCode, idCol = idCol, vecCol = vecCol)
+    val book1Lit = typedLit(b1(0).map(_.toSeq).toSeq)
+    val enc1 = nc.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      VectorFunctions.pqEncode(col(vecCol), b1).as("codes1"))
+      .withColumn("rvec", zip_with(col("c_vec"),
+        element_at(book1Lit, element_at(col("codes1"), 1) + 1), (a, b) => a - b))
+    val b2 = pqTrain(enc1, m = 1, k = kCode, idCol = "neighbor_id", vecCol = "rvec")
+    (b1, b2)
   }
 
   /** Mean squared reconstruction error of the RQ codec at each level — the audit that

@@ -29,9 +29,10 @@ import org.apache.spark.sql.types.DecimalType
  *
  * Scale: the per-batch Expand is 3× the BATCH (not the corpus), the merge joins a
  * grain-bounded state table, and the rewrite cost is O(grain) per batch. At 100 TB
- * grains (billions of keys) the state table would live bucketed by the dim key
- * ([[graft.sinks.Bucketing]]) so the merge co-locates; the summary here is the
- * dashboard-grain use-case where O(grain) rewrite is trivially cheap.
+ * grains (billions of keys) use [[BucketedGroupingSetsMv]] — the same lattice and
+ * versioning with hash-bucketed state, where a batch rewrites only the buckets its
+ * delta touches; the flat store here is the dashboard-grain use-case where O(grain)
+ * rewrite is trivially cheap.
  */
 object GroupingSetsMv {
 

@@ -137,6 +137,55 @@ class CdcRunnerCrashSpec extends SparkSpec {
     assert(got == g, s"stale-state window diverged from golden:\n got=$got\n gold=$g")
   }
 
+  /** Chained run whose SECOND leg carries schema drift (ADD COLUMN `w` on one insert,
+    * DROP COLUMN `v` on the next — the E1-E5 path), so the crash window tears not just
+    * data but a mid-chain SCHEMA transition: the recovered manifest must carry the
+    * post-drift column set, not run 1's. Append mode (the schema-drift golden's). */
+  private def driftChainWithCrash(base: String)(inject: (String, String) => Unit): Map[String, Seq[String]] = {
+    val spool = s"$base/spool"
+    val cfg = RunConfig(spoolDir = spool, workDir = s"$base/work", outDir = s"$base/out",
+      mode = "append")
+    writeSpool(spool, "000.jsonl", Seq(
+      env("t.t1", "c", """{"id":1,"v":"x"}""", null, 1),
+      env("t.t1", "c", """{"id":2,"v":"y"}""", null, 2)))
+    CdcRunner.run(spark, cfg)
+    copyDir(s"$base/out", s"$base/out_run1")
+    writeSpool(spool, "001.jsonl", Seq(
+      env("t.t1", "c", """{"id":3,"v":"z","w":"new"}""", null, 3),
+      env("t.t1", "c", """{"id":4,"w":"n2"}""", null, 4)))
+    CdcRunner.run(spark, cfg)
+    inject(s"$base/out", s"$base/out_run1")
+    CdcRunner.run(spark, cfg) // recovery: nothing new in the spool
+    snapshotOut(s"$base/out")
+  }
+
+  test("schema-drift chain + crash window: recovered manifest carries the drifted schema") {
+    val baseG = Files.createTempDirectory("graft-crash-drift-golden").toString
+    val g = driftChainWithCrash(baseG)((_, _) => ())
+    // the golden itself must show the drift landed: the manifest mentions the added
+    // column and the dropped one survives (E5 retention) — guards against a vacuous
+    // byte-compare of two PRE-drift artifacts
+    val manifest = g.collectFirst { case (k, v) if k.endsWith("t_t1.csv.manifest") => v.mkString }
+      .getOrElse(fail("golden chain produced no t_t1 manifest"))
+    assert(manifest.contains("\"w\"") && manifest.contains("\"v\""),
+      s"golden manifest must carry both the added and the retained dropped column: $manifest")
+    val got = driftChainWithCrash(Files.createTempDirectory("graft-crash-drift").toString) {
+      (out, run1) =>
+        // run 2 died between CSV export and manifest/state write, with run 1's
+        // PRE-DRIFT manifest still on disk and a torn CSV part: the worst window —
+        // data, schema artifact, and offsets all disagree
+        Files.copy(Paths.get(s"$run1/tables/t_t1.csv.manifest"),
+          Paths.get(s"$out/tables/t_t1.csv.manifest"), StandardCopyOption.REPLACE_EXISTING)
+        Files.copy(Paths.get(s"$run1/state.json"),
+          Paths.get(s"$out/state.json"), StandardCopyOption.REPLACE_EXISTING)
+        val dir = new java.io.File(s"$out/tables/t_t1.csv")
+        val part = dir.listFiles().filter(_.getName.endsWith(".csv")).head
+        val bytes = Files.readAllBytes(part.toPath)
+        Files.write(part.toPath, bytes.take(math.max(1, bytes.length / 2))): Unit
+    }
+    assert(got == g, s"post-crash drift chain diverged from golden:\n got=$got\n gold=$g")
+  }
+
   test("crash before any export (checkpoint committed, outputs stale) + torn CSV part") {
     val g = golden
     val got = chainWithCrash(Files.createTempDirectory("graft-crashC").toString) {

@@ -478,10 +478,10 @@ class VectorOpsSpec extends SparkSpec {
     assert(cos > 0.9999, s"rank-1 direction lost: cos=$cos")
   }
 
-  test("BQ: one sign-bit word per vector, Hamming shortlist + exact rerank keeps recall") {
+  test("BQ: multi-word SimHash signature, Hamming shortlist + exact rerank keeps recall") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 8)
-    // recall vs exact: 64-bit signatures over a 64-deep rerank shortlist leave
+    // recall vs exact: 256-bit signatures over a 64-deep rerank shortlist leave
     // headroom over the 0.5 gate floor on real (weak-structure) embeddings
     val got = VectorOps.bqTopK(e, q, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -493,8 +493,9 @@ class VectorOpsSpec extends SparkSpec {
     val again = VectorOps.bqTopK(e, q, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == again)
-    // hand-checkable geometry: orthant-separated clusters are exactly recovered by
-    // sign bits alone (Hamming 0 inside a cluster, > 0 across)
+    // hand-checkable geometry: orthant-separated clusters are recovered by the
+    // hyperplane sign bits (near-0 Hamming inside a cluster — every plane sees the
+    // two near-parallel members on the same side — vs ~bits/2 across orthants)
     def v(sign1: Float, sign2: Float, eps: Float) =
       Array.tabulate(8)(i => if (i < 4) sign1 * (0.5f + eps * i) else sign2 * (0.5f + eps * i))
     val clustered = Seq(
@@ -504,6 +505,31 @@ class VectorOpsSpec extends SparkSpec {
     val top1 = VectorOps.bqTopK(clustered, clustered, k = 1).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(top1 == Map(1L -> 2L, 2L -> 1L, 3L -> 4L, 4L -> 3L, 5L -> 6L, 6L -> 5L))
+  }
+
+  test("BQ/RQ rerank input is O(queries x shortlist) — corpus-independent by construction") {
+    // the r11 regression dressed as a contract: a shortlist sized N/16 made the exact
+    // rerank O(N) per query. This pin runs the SAME fixed shortlist against a corpus
+    // and its 4x enlargement and asserts the rerank input (the shortlist frame, which
+    // is exactly what reaches the exact-cosine rerank) holds at queries x shortlist
+    // rows in BOTH — growth would mean the rerank budget silently tracks the corpus.
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = e.count()
+    val e4 = (0 until 4).map(i => e.withColumn("vec_id", col("vec_id") + lit(i * 100000L))
+      .withColumn("embedding", transform(col("embedding"),
+        x => (x * (lit(1.0f) + lit(i.toFloat) / 100f)).cast("float")))).reduce(_ unionByName _)
+    val q = e.filter(col("vec_id") < 8)
+    val nq = q.count()
+    val shortlist = 16
+    for ((corpus, sz) <- Seq((e, n), (e4, 4 * n))) {
+      val bq = VectorOps.bqTopK(corpus, q, k = shortlist, shortlist = shortlist).count()
+      assert(bq == nq * math.min(shortlist.toLong, sz - 1),
+        s"BQ rerank input $bq rows at corpus $sz — not queries x shortlist")
+      val rq = VectorOps.rqTopK(corpus, q, k = shortlist, kCode = 8,
+        shortlist = shortlist).count()
+      assert(rq == nq * math.min(shortlist.toLong, sz - 1),
+        s"RQ rerank input $rq rows at corpus $sz — not queries x shortlist")
+    }
   }
 
   test("pqTopK with a pre-trained model of different k: stride from the model, not the param") {

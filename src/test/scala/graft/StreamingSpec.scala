@@ -1045,6 +1045,77 @@ class StreamingSpec extends SparkSpec {
     assert(canon() == good, "auto-compacted replay must converge to the same summary")
   }
 
+  test("bucketed grouping-sets MV: flat-equivalent, dirty-bucket-only rewrites, crash windows, reset guard") {
+    import graft.streaming.{BucketedGroupingSetsMv => B, GroupingSetsMv}
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-bgsmv").toString
+    val (flat, bkt) = (s"$base/flat", s"$base/bkt")
+    val b0 = Seq(("HIGH", "F", 10.25), ("LOW", "O", 2.50), ("MED", "P", 4.00))
+      .toDF("priority", "status", "amount")
+    val b1 = Seq(("HIGH", "O", 5.00), ("MED", "P", 1.25)).toDF("priority", "status", "amount")
+    // batch 2 touches ONE (d1,d2) pair — the dirty surface the bucketed store
+    // should rewrite is 3 lattice keys (HIGH row, F row, grand total), not the grain
+    val b2 = Seq(("HIGH", "F", 0.75)).toDF("priority", "status", "amount")
+    val nBuckets = 16
+    for ((b, i) <- Seq(b0, b1, b2).zipWithIndex) {
+      GroupingSetsMv.applyBatch(b, i.toLong, flat, "priority", "status", "amount")
+      B.applyBatch(b, i.toLong, bkt, "priority", "status", "amount", nBuckets = nBuckets)
+    }
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("gid", "priority", "status", "n", "s", "avg").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("<null>"),
+        Option(r.getString(2)).getOrElse("<null>"), r.getLong(3),
+        r.getDecimal(4).toPlainString, r.getDouble(5))).sorted.toSeq
+    val good = canon(B.current(spark, bkt))
+    assert(good == canon(GroupingSetsMv.current(spark, flat)),
+      "bucketed summary must be row-identical to the flat store's")
+    val fs = new Path(bkt).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // dirty-bucket-only rewrite: batch 2's write dir holds at most 3 bucket subdirs
+    // (3 lattice rows), and the snapshot manifest still points CLEAN buckets at
+    // older write versions — carried forward by reference, never rewritten
+    val w2buckets = fs.listStatus(new Path(s"$bkt/w=2"))
+      .map(_.getPath.getName).filter(_.startsWith("b=")).toSeq
+    assert(w2buckets.nonEmpty && w2buckets.size <= 3,
+      s"batch 2 should rewrite <= 3 buckets, wrote ${w2buckets.size}")
+    val manifest = scala.io.Source.fromInputStream(
+      fs.open(new Path(s"$bkt/s=2/manifest")), "UTF-8").mkString
+    assert(manifest.linesIterator.exists(_.endsWith(" 2")) &&
+      manifest.linesIterator.exists(!_.endsWith(" 2")),
+      s"manifest must mix repointed and carried-forward buckets:\n$manifest")
+    // crash window A: an UNCOMMITTED snapshot (manifest written, _SUCCESS missing —
+    // the crash point between manifest write and commit) is invisible to reads
+    fs.delete(new Path(s"$bkt/s=3"), true)
+    fs.mkdirs(new Path(s"$bkt/s=3"))
+    val mf = fs.create(new Path(s"$bkt/s=3/manifest"), true)
+    mf.write("0 999\n".getBytes("UTF-8")); mf.close()
+    assert(canon(B.current(spark, bkt)) == good,
+      "an uncommitted snapshot must be invisible (points at w=999 junk)")
+    // crash window B: a committed-but-unreferenced write dir (crash between the
+    // bucket write and the snapshot commit); replay of batch 3 must converge and
+    // prune must sweep both leftovers
+    b2.write.mode("overwrite").parquet(s"$bkt/w=3") // stand-in for a half-applied batch
+    val before = canon(B.current(spark, bkt))
+    B.applyBatch(b2, 3L, bkt, "priority", "status", "amount", nBuckets = nBuckets)
+    val flat3 = { GroupingSetsMv.applyBatch(b2, 3L, flat, "priority", "status", "amount")
+      canon(GroupingSetsMv.current(spark, flat)) }
+    assert(canon(B.current(spark, bkt)) == flat3,
+      s"replayed batch over crash leftovers must match the flat store (pre-replay $before)")
+    // replaying the SAME batch id converges (at-least-once, non-idempotent merge)
+    B.applyBatch(b2, 3L, bkt, "priority", "status", "amount", nBuckets = nBuckets)
+    assert(canon(B.current(spark, bkt)) == flat3, "replay must converge, not double-count")
+    // checkpoint-reset guard: a batch id below the newest snapshot refuses loudly
+    val ex = intercept[IllegalStateException] {
+      B.applyBatch(b2, 1L, bkt, "priority", "status", "amount", nBuckets = nBuckets)
+    }
+    assert(ex.getMessage.contains("checkpoint"))
+    assert(canon(B.current(spark, bkt)) == flat3,
+      "a rejected reset batch must not disturb the maintained state")
+    // prune keeps only `retain` snapshots and the write dirs they reference
+    val snaps = fs.listStatus(new Path(bkt)).map(_.getPath.getName).filter(_.startsWith("s="))
+    assert(snaps.length <= 2, s"prune must keep <= retain snapshots, kept ${snaps.toSeq}")
+  }
+
   test("incremental TextRank crash window: a half-committed version (uni without pairs) is invisible") {
     import graft.streaming.IncrementalTextRank
     import org.apache.spark.sql.functions.pmod
