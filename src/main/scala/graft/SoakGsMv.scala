@@ -31,6 +31,13 @@ object SoakGsMv {
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_SOAK_BATCHES", "40").toInt
     require(nBatches >= 4, s"SPARK_GRAFT_SOAK_BATCHES must be >= 4 (got $nBatches)")
     val nBuckets = sys.env.getOrElse("SPARK_GRAFT_SOAK_BUCKETS", "16").toInt
+    // grain multiplier: distinct k1 ~ |users| x grainMod. The sf10 run uses 97 (grain
+    // ~1.4M keys — a 10x-deeper STATE than the sf0.1 run's 97k at mod 997, with the
+    // same fixed batch size), keeping the flat store's O(grain)-per-batch rewrite
+    // inside a soak-able wall-clock budget; the point is the SLOPE, not the absolute
+    val grainMod = sys.env.getOrElse("SPARK_GRAFT_SOAK_GRAIN_MOD", "997").toInt
+    // mode: both | flat | bkt (split runs across processes when wall clock is tight)
+    val mode = sys.env.getOrElse("SPARK_GRAFT_SOAK_MODE", "both")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftConf.tune(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -42,7 +49,7 @@ object SoakGsMv {
     // wide grain: (user_id, value-cents bucket) — scales with the data like a
     // real per-entity metric key; d2 stays the low-cardinality lattice side
     val ev = evRaw.select(
-      concat_ws(":", col("user_id"), pmod(col("event_id"), lit(997))).as("k1"),
+      concat_ws(":", col("user_id"), pmod(col("event_id"), lit(grainMod))).as("k1"),
       col("event_type"), col("value"))
       .localCheckpoint(eager = true) // source build outside the measured loop
     val nRows = ev.count()
@@ -75,23 +82,27 @@ object SoakGsMv {
       val late = mean(rows.takeRight(q).map(_._2))
       (rows, early, late)
     }
-    val (flatRows, flatEarly, flatLate) = soak("flat", (b, id) =>
-      graft.streaming.GroupingSetsMv.applyBatch(
-        b, id, s"$base/flat", "k1", "event_type", "value"): Unit)
-    val (bktRows, bktEarly, bktLate) = soak("bucketed", (b, id) =>
-      graft.streaming.BucketedGroupingSetsMv.applyBatch(
-        b, id, s"$base/bkt", "k1", "event_type", "value", nBuckets = nBuckets): Unit)
+    val zero = (Seq.empty[(Int, Double)], 0.0, 0.0)
+    val (flatRows, flatEarly, flatLate) = if (mode == "bkt") zero else
+      soak("flat", (b, id) =>
+        graft.streaming.GroupingSetsMv.applyBatch(
+          b, id, s"$base/flat", "k1", "event_type", "value"): Unit)
+    val (bktRows, bktEarly, bktLate) = if (mode == "flat") zero else
+      soak("bucketed", (b, id) =>
+        graft.streaming.BucketedGroupingSetsMv.applyBatch(
+          b, id, s"$base/bkt", "k1", "event_type", "value", nBuckets = nBuckets): Unit)
     def arr(rows: Seq[(Int, Double)]) =
       rows.map { case (b, s) => f"""{"b":$b,"s":$s%.3f}""" }.mkString("[", ",", "]")
+    def ratio(a: Double, b: Double) = if (b == 0.0) "null" else f"${a / b}%.3f"
     val line =
       f"""{"metric":"soak_gsmv","n_batches":$nBatches,"n_rows":$nRows,"grain":$grain,""" +
-      f""""n_buckets":$nBuckets,""" +
+      f""""n_buckets":$nBuckets,"grain_mod":$grainMod,"mode":"$mode",""" +
       f""""flat_early_s":$flatEarly%.3f,"flat_late_s":$flatLate%.3f,""" +
-      f""""flat_late_over_early":${flatLate / flatEarly}%.3f,""" +
+      s""""flat_late_over_early":${ratio(flatLate, flatEarly)},""" +
       f""""bkt_early_s":$bktEarly%.3f,"bkt_late_s":$bktLate%.3f,""" +
-      f""""bkt_late_over_early":${bktLate / bktEarly}%.3f,""" +
-      f""""bkt_over_flat_late":${bktLate / flatLate}%.3f,""" +
-      f""""flat_batches":${arr(flatRows)},"bkt_batches":${arr(bktRows)}}"""
+      s""""bkt_late_over_early":${ratio(bktLate, bktEarly)},""" +
+      s""""bkt_over_flat_late":${ratio(bktLate, flatLate)},""" +
+      s""""flat_batches":${arr(flatRows)},"bkt_batches":${arr(bktRows)}}"""
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "/tmp/soak_gsmv.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")

@@ -112,7 +112,7 @@ object VectorExpressions {
    * scan side needs no join to bucket — the standard scale path for ANN candidate generation.
    */
   case class HyperplaneLsh(child: Expression, planes: Array[Array[Float]])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true
     override protected def nullSafeEval(a: Any): Any = {
@@ -128,6 +128,29 @@ object VectorExpressions {
       }
       sig
     }
+    // codegen'd since r12: this is the BQ signature builder — one eval per corpus
+    // row on the scan side, so it must stay inside whole-stage codegen like the
+    // dot/cosine kernels. The plane matrix rides the generated class as a
+    // referenced object (same mechanism that ships it with the serialized plan).
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val pls = ctx.addReferenceObj("planes", planes, "float[][]")
+        val (v, sig, p, pl, acc, i, n) = (ctx.freshName("v"), ctx.freshName("sig"),
+          ctx.freshName("p"), ctx.freshName("pl"), ctx.freshName("acc"),
+          ctx.freshName("i"), ctx.freshName("n"))
+        s"""
+           |float[] $v = $a.toFloatArray();
+           |long $sig = 0L;
+           |for (int $p = 0; $p < $pls.length; $p++) {
+           |  float[] $pl = $pls[$p];
+           |  int $n = java.lang.Math.min($pl.length, $v.length);
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) { $acc += ((double) $pl[$i]) * $v[$i]; }
+           |  if ($acc >= 0) $sig |= (1L << $p);
+           |}
+           |${ev.value} = $sig;
+         """.stripMargin
+      })
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
@@ -323,9 +346,11 @@ object VectorExpressions {
   }
 
   /** `sq_adc_dot(codes, qarr)` — approximate `q · x` from SQ8 codes:
-    * `qarr[0] + Σ_i qarr[i+1]·(codes[i] & 0xFF)`. */
+    * `qarr[0] + Σ_i qarr[i+1]·(codes[i] & 0xFF)`. Codegen'd since r12: this is the
+    * per-(corpus row, query) kernel of the SQ ADC scan — the hottest loop in the
+    * sqTopK plan — and must stay inside whole-stage codegen like dot/cosine. */
   case class SqAdcDot(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullIntolerant: Boolean = true
     override protected def nullSafeEval(a: Any, b: Any): Any = {
@@ -336,13 +361,27 @@ object VectorExpressions {
       while (i < codes.length) { acc += qarr(i + 1).toDouble * (codes(i) & 0xFF); i += 1 }
       acc
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val (codes, qarr, acc, i) = (ctx.freshName("codes"), ctx.freshName("qarr"),
+          ctx.freshName("acc"), ctx.freshName("i"))
+        s"""
+           |byte[] $codes = $a;
+           |float[] $qarr = $b.toFloatArray();
+           |double $acc = (double) $qarr[0];
+           |for (int $i = 0; $i < $codes.length; $i++) {
+           |  $acc += ((double) $qarr[$i + 1]) * ($codes[$i] & 0xFF);
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }
 
   /** `pq_adc_dot(codes, lut)` — approximate `q · x` from PQ codes: `Σ_s lut[s·k + code_s]`. */
   case class PqAdcDot(left: Expression, right: Expression, k: Int)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullIntolerant: Boolean = true
     override protected def nullSafeEval(a: Any, b: Any): Any = {
@@ -352,6 +391,22 @@ object VectorExpressions {
       while (s < codes.length) { acc += lut(s * k + codes(s)); s += 1 }
       acc
     }
+    // codegen'd since r12: the m-array-read ADC kernel runs once per (corpus row,
+    // query) inside the PQ/RQ/IVF-PQ scans — the asymmetric-distance hot loop
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val (codes, lut, acc, s) = (ctx.freshName("codes"), ctx.freshName("lut"),
+          ctx.freshName("acc"), ctx.freshName("s"))
+        s"""
+           |int[] $codes = $a.toIntArray();
+           |float[] $lut = $b.toFloatArray();
+           |double $acc = 0.0;
+           |for (int $s = 0; $s < $codes.length; $s++) {
+           |  $acc += (double) $lut[$s * $k + $codes[$s]];
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }

@@ -333,6 +333,34 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("ann bq: signature scan in codegen, corpus never shuffled, shortlist bounded-heap") {
+    val p = plan("emb_ann_bq")
+    // queries broadcast against the signature scan; the corpus side never exchanges
+    // on a corpus-sized key (the only aggregates group by query_id)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+    assert(!p.contains("Exchange hashpartitioning(neighbor_id"))
+    // shortlist is the bounded-heap aggregate, not a sorted rank window
+    assert(p.contains("ObjectHashAggregate"))
+    assert(!p.contains("Window") && !p.contains("row_number"))
+    // the multi-word SimHash signature builder (r12) is a codegen'd kernel — the
+    // per-corpus-row hot loop must not appear as an interpreted fallback project
+    val df = graft.ops.VectorOps.bqTopK(
+      spark.read.parquet(s"$dir/embeddings.parquet"),
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(org.apache.spark.sql.functions.col("vec_id") < 4),
+      k = 3)
+    val pk = df.queryExecution.executedPlan.toString
+    assert(pk.toLowerCase.contains("hyperplanelsh"), s"signature kernel missing:\n$pk")
+    assert(!pk.contains("CartesianProduct"))
+    // and the kernel really generates code (not the CodegenFallback interpreter)
+    assert(!graft.functions.VectorExpressions.HyperplaneLsh(
+        org.apache.spark.sql.catalyst.expressions.Literal.default(
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+        Array(Array(1f)))
+      .isInstanceOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback],
+      "HyperplaneLsh must stay codegen'd — it is the BQ signature hot loop")
+  }
+
   test("ev_asof_join: union-merge — one keyed exchange + window, no range-join blowup") {
     val p = plan("ev_asof_join")
     // the match is a carried-forward window over the unioned sides, never a join operator
