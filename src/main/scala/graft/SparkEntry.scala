@@ -5165,6 +5165,36 @@ object SparkEntry {
       VectorOps.annRecallGate(exact, approx, short, recallFloor = 0.5, candCap = 480L)
     }),
 
+    // the PERSISTED-index form of emb_ann_bq — the steady-state 100 TB probe: the
+    // signature index is written once (bits/8 bytes per vector, 8× smaller than the
+    // raw floats at d=64), the Hamming candidate scan reads ONLY (id, sig), and the
+    // raw vectors are fetched for just the queries×shortlist rerank rows. The gate
+    // pins ROW-IDENTITY to the in-scan form (same seeded planes, same heap
+    // tie-break): a drifting signature contract or a lossy fetch join fails loudly.
+    "emb_ann_bq_index" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bqindex").toString
+      VectorOps.bqIndex(e, bits = 256).write.mode("overwrite").parquet(tmp)
+      val idx = s.read.parquet(tmp)
+      val a = VectorOps.bqTopKFromIndex(idx, e, q, k = 3, shortlist = 64, bits = 256)
+        .select(col("query_id"), col("neighbor_id"))
+      val b = VectorOps.rankTopK(
+        VectorOps.bqTopK(e, q, k = 64, shortlist = 64, bits = 256), 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val nA = a.agg(count(lit(1)).as("n_via_index"))
+      val onlyA = a.exceptAll(b).agg(count(lit(1)).as("n_only_index"))
+      val onlyB = b.exceptAll(a).agg(count(lit(1)).as("n_only_inscan"))
+      val out = q.agg(count(lit(1)).as("n_queries"))
+        .crossJoin(broadcast(nA)).crossJoin(broadcast(onlyA)).crossJoin(broadcast(onlyB))
+        .select(col("n_queries"),
+          (col("n_only_index") === 0 && col("n_only_inscan") === 0).as("index_matches_inscan"),
+          (col("n_via_index") === col("n_queries") * 3).as("k_rows_ok"))
+        .localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      out
+    }),
+
     "emb_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 8)
@@ -6163,6 +6193,7 @@ object SparkEntry {
     .empty[String, (VectorOps.PcaModel, Array[Array[Array[Float]]])]
   private val rqModels = scala.collection.concurrent.TrieMap
     .empty[String, (Array[Array[Array[Float]]], Array[Array[Array[Float]]])]
+  private val bqIndexPaths = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /**
    * Bench-facing variants (VERDICT r3 #1): the same operators as `queries`, WITHOUT the
@@ -6354,6 +6385,19 @@ object SparkEntry {
       val model = sqModels.getOrElseUpdate(dir, VectorOps.sqFit(e))
       VectorOps.sqTopK(e, e.filter(col("vec_id") < 8), k = 3, shortlist = 64,
         trained = Some(model))
+    }),
+
+    // index probe only (the steady-state op): the index is written once per sf dir;
+    // the in-scan twin + exceptAll identity audit are the Verify gate's business
+    "emb_ann_bq_index" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idxPath = bqIndexPaths.getOrElseUpdate(dir, {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_bqindex_bench").toString
+        VectorOps.bqIndex(e, bits = 256).write.mode("overwrite").parquet(tmp)
+        tmp
+      })
+      VectorOps.bqTopKFromIndex(s.read.parquet(idxPath), e,
+        e.filter(col("vec_id") < 8), k = 3, shortlist = 64, bits = 256)
     }),
 
     // RQ probe off the pre-trained codebook pair (rqFit trains two sequential
@@ -7063,6 +7107,10 @@ object SparkEntry {
 
     "emb_ann_bq" ->
       "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok, TRUE AS bounded_ok FROM embeddings WHERE vec_id < 8",
+
+    "emb_ann_bq_index" ->
+      ("SELECT COUNT(*) AS n_queries, TRUE AS index_matches_inscan, TRUE AS k_rows_ok " +
+        "FROM embeddings WHERE vec_id < 8"),
 
     "emb_ann_rq" ->
       "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok, TRUE AS bounded_ok FROM embeddings WHERE vec_id < 8",

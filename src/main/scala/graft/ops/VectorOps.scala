@@ -1098,6 +1098,79 @@ object VectorOps {
    * in-scan, queries broadcast, and the Hamming scan is `bits/64` XOR+POPCNTs per
    * (corpus row, query) — the cheapest candidate generator in the ANN family.
    */
+  /** The multi-word SimHash signature expression shared by [[bqTopK]] and
+    * [[bqIndex]] — planes are a pure function of (bits, dim, fixed seed), so an
+    * index built yesterday and a query signed today can never disagree. */
+  private def bqSignature(v: Column, bits: Int, dim: Int): Column = {
+    require(bits > 0 && bits % 64 == 0, s"bits must be a positive multiple of 64 (got $bits)")
+    val planes = VectorFunctions.makePlanes(bits, dim, seed = 0x51A7B1B1L)
+    array((0 until bits / 64).map { w =>
+      VectorFunctions.hyperplaneLsh(v, planes.slice(w * 64, (w + 1) * 64))
+    }: _*)
+  }
+
+  private def hammingSim(csig: Column, qsig: Column, bits: Int): Column =
+    (lit(bits) - aggregate(zip_with(csig, qsig, (a, b) => bit_count(a.bitwiseXOR(b))),
+      lit(0), (acc, x) => acc + x)).cast("double")
+
+  /**
+   * Persistable binary-signature index: one `(id, sig)` row per corpus vector —
+   * `bits/8` bytes instead of 4·d (8× smaller at d=64/bits=256; 96× at d=768). The
+   * 100 TB deployment writes this ONCE next to the data (parquet, optionally
+   * bucketed by id) and every later [[bqTopKFromIndex]] probe scans signatures
+   * only; the raw vectors are read for just the shortlist rows.
+   */
+  def bqIndex(corpus: DataFrame, bits: Int = 256,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val nc = l2Normalized(corpus, vecCol)
+    val dim = nc.select(size(col(vecCol))).head.getInt(0)
+    nc.select(col(idCol), bqSignature(col(vecCol), bits, dim).as("sig"))
+  }
+
+  /**
+   * BQ top-k THROUGH the persisted index — the steady-state probe: the Hamming
+   * candidate scan touches only `(id, sig)` (never a raw vector, so the scan's IO
+   * is the signature width, not the embedding width), the bounded shortlist joins
+   * BACK to the corpus to fetch the `shortlist` raw vectors per query it reranks,
+   * and the exact-cosine tail is [[bqTopK]]'s. Row-identical to the in-scan form
+   * (same planes, same heap tie-break), spec-pinned.
+   */
+  def bqTopKFromIndex(
+      index: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      shortlist: Int = 64,
+      bits: Int = 256,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val normQueries = l2Normalized(queries, vecCol)
+    val dim = normQueries.select(size(col(vecCol))).head.getInt(0)
+    val q = normQueries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      bqSignature(col(vecCol), bits, dim).as("qsig"))
+    // candidate scan: index × broadcast queries, signature columns ONLY — no raw
+    // vector rides a per-pair row anywhere in this stage
+    val scored = index.select(col(idCol).as("neighbor_id"), col("sig").as("csig"))
+      .crossJoin(broadcast(q.select(col("query_id"), col("qsig"))))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        hammingSim(col("csig"), col("qsig"), bits).as("hsim"))
+    val short = scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKFunctions.topKByScore(col("hsim"), col("neighbor_id"),
+        struct(col("neighbor_id")), shortlist).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.neighbor_id").as("neighbor_id"))
+    // fetch stage: the tiny shortlist broadcasts against the corpus, so only
+    // queries × shortlist raw vectors are materialized for the exact rerank
+    val normCorpus = l2Normalized(corpus, vecCol)
+    val fetched = normCorpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("q_vec"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosine(col("q_vec"), col("c_vec")).as("sim"))
+    rankTopK(fetched, k)
+  }
+
   def bqTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -1106,16 +1179,12 @@ object VectorOps {
       bits: Int = 256,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    require(bits > 0 && bits % 64 == 0, s"bits must be a positive multiple of 64 (got $bits)")
     val normCorpus = l2Normalized(corpus, vecCol)
     val normQueries = l2Normalized(queries, vecCol)
     // plane matrix sizes to the data's dimension: one driver read of a single row
     // (model sizing, the pqTrain idiom), never a corpus-sized action
     val dim = normCorpus.select(size(col(vecCol))).head.getInt(0)
-    val planes = VectorFunctions.makePlanes(bits, dim, seed = 0x51A7B1B1L)
-    def sig(v: Column) = array((0 until bits / 64).map { w =>
-      VectorFunctions.hyperplaneLsh(v, planes.slice(w * 64, (w + 1) * 64))
-    }: _*)
+    def sig(v: Column) = bqSignature(v, bits, dim)
     val enc = normCorpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
       sig(col(vecCol)).as("csig"))
     val q = normQueries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
@@ -1123,9 +1192,7 @@ object VectorOps {
     val scored = enc.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("q_vec"), col("c_vec"),
-        (lit(bits) - expr(
-          "aggregate(zip_with(csig, qsig, (a, b) -> bit_count(a ^ b)), 0, (acc, x) -> acc + x)"))
-          .cast("double").as("hsim"))
+        hammingSim(col("csig"), col("qsig"), bits).as("hsim"))
     val short = scored.groupBy(col("query_id"))
       .agg(graft.functions.TopKFunctions.topKByScore(col("hsim"), col("neighbor_id"),
         struct(col("neighbor_id"), col("q_vec"), col("c_vec")), shortlist).as("top"))

@@ -361,6 +361,25 @@ class PlanQualitySpec extends SparkSpec {
       "HyperplaneLsh must stay codegen'd — it is the BQ signature hot loop")
   }
 
+  test("ann bq index probe: Hamming scan reads signatures only, raw vectors fetched per-shortlist") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bqidx-pin").toString
+    graft.ops.VectorOps.bqIndex(e, bits = 256).write.mode("overwrite").parquet(tmp)
+    val idx = spark.read.parquet(tmp)
+    val p = graft.ops.VectorOps.bqTopKFromIndex(idx, e, e.filter(col("vec_id") < 4), k = 3)
+      .queryExecution.executedPlan.toString
+    // the index scan must NOT read an embedding column: candidate IO is the
+    // signature width, not the vector width — the whole point of the persisted index
+    val idxScans = p.split("\n").filter(l => l.contains(tmp) && l.contains("ReadSchema"))
+    assert(idxScans.nonEmpty, s"no parquet scan over the index dir in:\n$p")
+    assert(idxScans.forall(!_.contains("embedding")),
+      s"index scan reads the raw vector column:\n${idxScans.mkString("\n")}")
+    // the shortlist joins back by broadcast: no corpus-sized shuffle anywhere
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("ev_asof_join: union-merge — one keyed exchange + window, no range-join blowup") {
     val p = plan("ev_asof_join")
     // the match is a carried-forward window over the unioned sides, never a join operator
