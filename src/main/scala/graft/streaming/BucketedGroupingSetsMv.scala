@@ -93,6 +93,51 @@ object BucketedGroupingSetsMv {
 
   private def bucketPath(stateDir: String, v: Long, b: Int) = s"$stateDir/w=$v/b=$b"
 
+  /** The hash spec a store's layout is committed to — written into `meta` so a
+    * probe can never silently disagree with the files on disk. */
+  private def hashSpec(d1: String, d2: String) = s"xxhash64(gid,$d1,$d2)"
+
+  /** Persist-or-validate the store's bucketing parameters (`stateDir/meta`).
+    * Bucket assignment is recomputed from `nBuckets` on every batch; state files
+    * written under one modulus and deltas hashed under another would split the same
+    * grouping key across an old-hash clean bucket and a new-hash dirty bucket, and
+    * `current()` (a plain union, no re-aggregation) would report the key twice with
+    * nothing failing. So the FIRST batch writes `nBuckets` + the hash spec into a
+    * meta file, and every later batch refuses loudly on mismatch — the same
+    * fail-loudly discipline as the checkpoint-reset guard. */
+  private def checkOrWriteMeta(fs: FileSystem, stateDir: String,
+      nBuckets: Int, d1: String, d2: String): Unit = {
+    val p = new Path(s"$stateDir/meta")
+    val want = s"nBuckets=$nBuckets\nhash=${hashSpec(d1, d2)}\n"
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      if (got != want) throw new IllegalStateException(
+        s"bucketed summary state at $stateDir was created with [${got.trim
+          .replace("\n", ", ")}] but this run supplies [${want.trim.replace("\n", ", ")}]: " +
+          "bucket assignment is a pure function of these parameters, so continuing " +
+          "would split grouping keys across old-hash and new-hash buckets and " +
+          "double-report them — rebuild the state dir or restore the original parameters")
+    } else {
+      fs.mkdirs(new Path(stateDir))
+      val out = fs.create(p, true)
+      out.write(want.getBytes("UTF-8"))
+      out.close()
+    }
+  }
+
+  private def metaBuckets(fs: FileSystem, stateDir: String): Option[Int] = {
+    val p = new Path(s"$stateDir/meta")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      txt.linesIterator.collectFirst {
+        case l if l.startsWith("nBuckets=") => l.stripPrefix("nBuckets=").toInt
+      }
+    }
+  }
+
   /** Apply one micro-batch: aggregate the batch through the grouping-sets lattice,
     * merge into ONLY the buckets the delta touches, commit a new snapshot manifest
     * that repoints dirty buckets and carries clean ones forward by reference.
@@ -101,8 +146,13 @@ object BucketedGroupingSetsMv {
       d1: String, d2: String, measure: String,
       nBuckets: Int = 16, retain: Int = 2): Int = {
     require(nBuckets > 0)
+    // replay safety depends on the predecessor snapshot surviving the prune: with
+    // retain=1, a crash-replay of batch b finds no committed snapshot < b and would
+    // merge its delta against nothing — refuse the misconfiguration up front
+    require(retain >= 2, s"retain must be >= 2 for at-least-once replay safety (got $retain)")
     val spark = batch.sparkSession
     val fs = fsOf(spark, stateDir)
+    checkOrWriteMeta(fs, stateDir, nBuckets, d1, d2)
     val snaps = snapshots(fs, stateDir)
     snaps.lastOption.filter(_ > batchId).foreach { m =>
       throw new IllegalStateException(
@@ -164,6 +214,16 @@ object BucketedGroupingSetsMv {
       throw new IllegalStateException(s"no maintained summary at $stateDir"))
     val manifest = readManifest(fs, stateDir, snap)
     require(manifest.nonEmpty, s"snapshot s=$snap at $stateDir is empty")
+    // internal-consistency guard: every manifest bucket must fall under the modulus
+    // the meta file committed to (a shrunk-nBuckets rewrite that skipped the meta
+    // check would leave out-of-range buckets behind — surface it at read time too)
+    metaBuckets(fs, stateDir).foreach { n =>
+      val bad = manifest.keys.filter(_ >= n)
+      if (bad.nonEmpty) throw new IllegalStateException(
+        s"snapshot s=$snap at $stateDir references buckets ${bad.toSeq.sorted.mkString(",")} " +
+          s"outside the meta-committed nBuckets=$n — the state dir was written under " +
+          "mixed bucketing parameters and cannot be read safely")
+    }
     val paths = manifest.toSeq.map { case (b, v) => bucketPath(stateDir, v, b) }
     spark.read.parquet(paths: _*)
       .withColumn("avg", round(col("s").cast("double") / col("n"), 6))

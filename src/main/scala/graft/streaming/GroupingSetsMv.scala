@@ -122,6 +122,10 @@ object GroupingSetsMv {
   def applyBatch(batch: DataFrame, batchId: Long, stateDir: String,
       d1: String, d2: String, measure: String, retain: Int = 2,
       autoCompactFiles: Int = 16): Long = {
+    // replay safety depends on the PREDECESSOR version surviving the prune: with
+    // retain=1, a crash-replay of batch b finds no committed version < b and would
+    // commit a delta-only summary — refuse the misconfiguration up front
+    require(retain >= 2, s"retain must be >= 2 for at-least-once replay safety (got $retain)")
     val spark = batch.sparkSession
     versions(spark, stateDir).lastOption.filter(_ > batchId).foreach { m =>
       throw new IllegalStateException(

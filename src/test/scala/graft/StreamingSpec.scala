@@ -1114,6 +1114,36 @@ class StreamingSpec extends SparkSpec {
     // prune keeps only `retain` snapshots and the write dirs they reference
     val snaps = fs.listStatus(new Path(bkt)).map(_.getPath.getName).filter(_.startsWith("s="))
     assert(snaps.length <= 2, s"prune must keep <= retain snapshots, kept ${snaps.toSeq}")
+    // nBuckets guard (ADVICE r12): a restart over the surviving state dir with a
+    // DIFFERENT modulus would silently split keys across old-hash and new-hash
+    // buckets (current() is a plain union — duplicate keys, no failure). The meta
+    // file written at creation must refuse the mismatch as loudly as the reset guard.
+    val exB = intercept[IllegalStateException] {
+      B.applyBatch(b2, 4L, bkt, "priority", "status", "amount", nBuckets = 8)
+    }
+    assert(exB.getMessage.contains("nBuckets=8") && exB.getMessage.contains("nBuckets=16"),
+      s"mismatch message must name both moduli: ${exB.getMessage}")
+    assert(canon(B.current(spark, bkt)) == flat3,
+      "a rejected re-bucketed batch must not disturb the maintained state")
+    // same discipline for a changed hash spec (different grouping columns)
+    val exH = intercept[IllegalStateException] {
+      B.applyBatch(b2, 4L, bkt, "status", "priority", "amount", nBuckets = nBuckets)
+    }
+    assert(exH.getMessage.contains("hash="), exH.getMessage)
+    // matching parameters continue normally after the rejections
+    B.applyBatch(b1, 4L, bkt, "priority", "status", "amount", nBuckets = nBuckets)
+    GroupingSetsMv.applyBatch(b1, 4L, flat, "priority", "status", "amount")
+    assert(canon(B.current(spark, bkt)) == canon(GroupingSetsMv.current(spark, flat)),
+      "the store must keep working with the original parameters after a rejected mismatch")
+    // retain guard (ADVICE r12): replay safety needs the predecessor snapshot to
+    // survive prune — retain=1 is a silent data-loss configuration, refuse it
+    intercept[IllegalArgumentException] {
+      B.applyBatch(b1, 5L, bkt, "priority", "status", "amount",
+        nBuckets = nBuckets, retain = 1)
+    }
+    intercept[IllegalArgumentException] {
+      GroupingSetsMv.applyBatch(b1, 5L, flat, "priority", "status", "amount", retain = 1)
+    }
   }
 
   test("incremental TextRank crash window: a half-committed version (uni without pairs) is invisible") {
