@@ -5195,6 +5195,31 @@ object SparkEntry {
       out
     }),
 
+    // the SUB-LINEAR form of the persisted probe (VERDICT r13 #1): the signature
+    // index is written partitionBy(cell) under a coarse k-means quantizer, and a
+    // probe's cell set reaches the parquet scan as a literal partition filter —
+    // candidate Hamming work drops from O(N) per probe wave to
+    // O(N · nProbe / nCentroids), the emb_ann_ivfpq shape over signatures. Gated
+    // on recall vs the exact top-k AND corpus-relative candidate boundedness (a
+    // degenerate everything-in-one-cell clustering fails bounded_ok).
+    "emb_ann_bq_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+      val exact = VectorOps.bruteForceTopK(e, q, k = 3)
+      val centroids = VectorOps.kmeansFit(e, 16, iters = 2)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bqivf").toString
+      VectorOps.bqIvfIndex(e, centroids, bits = 256)
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+      val idx = s.read.parquet(tmp)
+      val cands = VectorOps.bqIvfCandidates(idx, q, centroids, nProbe = 4, bits = 256)
+      val approx = VectorOps.bqTopKFromIvfIndex(idx, e, q, k = 3, centroids,
+        nProbe = 4, shortlist = 64, bits = 256)
+      val out = VectorOps.annRecallGate(exact, approx, cands, recallFloor = 0.25,
+        candCapFloor = 400L, candCapFrac = 0.6, corpus = e).localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      out
+    }),
+
     "emb_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 8)
@@ -6194,6 +6219,16 @@ object SparkEntry {
   private val rqModels = scala.collection.concurrent.TrieMap
     .empty[String, (Array[Array[Array[Float]]], Array[Array[Array[Float]]])]
   private val bqIndexPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val bqIvfIndexPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  // the bench process reuses one index per sf dir across its sweep; without this the
+  // cached temp dirs outlive the JVM (one leaked parquet index per sf dir per run)
+  locally {
+    java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      (bqIndexPaths.values ++ bqIvfIndexPaths.values).foreach { p =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
+        catch { case _: Throwable => () }
+      }))
+  }
 
   /**
    * Bench-facing variants (VERDICT r3 #1): the same operators as `queries`, WITHOUT the
@@ -6398,6 +6433,22 @@ object SparkEntry {
       })
       VectorOps.bqTopKFromIndex(s.read.parquet(idxPath), e,
         e.filter(col("vec_id") < 8), k = 3, shortlist = 64, bits = 256)
+    }),
+
+    // sub-linear index probe: coarse quantizer + index are per-sf-dir artifacts
+    // (the offline 100 TB shape); the timed work is the partition-pruned Hamming
+    // scan over nProbe/nCentroids of the signatures plus the fixed-shortlist rerank
+    "emb_ann_bq_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = ivfModels.getOrElseUpdate(dir, VectorOps.kmeansFit(e, 16, iters = 2))
+      val idxPath = bqIvfIndexPaths.getOrElseUpdate(dir, {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_bqivf_bench").toString
+        VectorOps.bqIvfIndex(e, cents, bits = 256)
+          .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+        tmp
+      })
+      VectorOps.bqTopKFromIvfIndex(s.read.parquet(idxPath), e,
+        e.filter(col("vec_id") < 8), k = 3, cents, nProbe = 4, shortlist = 64, bits = 256)
     }),
 
     // RQ probe off the pre-trained codebook pair (rqFit trains two sequential
@@ -7111,6 +7162,9 @@ object SparkEntry {
     "emb_ann_bq_index" ->
       ("SELECT COUNT(*) AS n_queries, TRUE AS index_matches_inscan, TRUE AS k_rows_ok " +
         "FROM embeddings WHERE vec_id < 8"),
+
+    "emb_ann_bq_ivf" ->
+      "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok, TRUE AS bounded_ok FROM embeddings WHERE vec_id < 8",
 
     "emb_ann_rq" ->
       "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok, TRUE AS bounded_ok FROM embeddings WHERE vec_id < 8",

@@ -1127,6 +1127,109 @@ object VectorOps {
     nc.select(col(idCol), bqSignature(col(vecCol), bits, dim).as("sig"))
   }
 
+  /** One-row signature-width audit (ADVICE r12): a persisted index built at a
+    * different bit budget must fail loudly — `zip_with` would otherwise null-pad
+    * the shorter array, `bit_count(null)` nulls every Hamming score, and the
+    * shortlist silently degrades instead of failing. One-row read, the `pqTrain`
+    * model-sizing idiom — never a corpus-sized action. */
+  private def requireSigWidth(index: DataFrame, bits: Int): Unit =
+    index.select(size(col("sig"))).take(1).foreach { r =>
+      val w = r.getInt(0)
+      require(w == bits / 64,
+        s"persisted signature index carries ${w} 64-bit words per signature but the " +
+          s"probe asked for bits=$bits (${bits / 64} words) — rebuild the index or " +
+          "probe at its bit budget")
+    }
+
+  /** The shared exact-rerank tail of the persisted-index probes: bounded Hamming
+    * shortlist (heap aggregate, corpus-independent O(shortlist) per query), then
+    * the raw vectors are fetched for just the queries × shortlist rerank rows —
+    * both joins broadcast the tiny side, the corpus never shuffles. */
+  private def bqFetchRerank(scored: DataFrame, q: DataFrame, corpus: DataFrame,
+      k: Int, shortlist: Int, idCol: String, vecCol: String): DataFrame = {
+    val short = scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKFunctions.topKByScore(col("hsim"), col("neighbor_id"),
+        struct(col("neighbor_id")), shortlist).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.neighbor_id").as("neighbor_id"))
+    val normCorpus = l2Normalized(corpus, vecCol)
+    val fetched = normCorpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("q_vec"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosine(col("q_vec"), col("c_vec")).as("sim"))
+    rankTopK(fetched, k)
+  }
+
+  /** Probe-side query frame shared by the index probes: nProbe coarse cells
+    * assigned in RAW vector space ([[ivfTopK]]'s convention), signature in the
+    * L2-normalized space ([[bqIndex]]'s). */
+  private def bqProbeQueries(queries: DataFrame, centroids: Array[Array[Float]],
+      nProbe: Int, bits: Int, idCol: String, vecCol: String): DataFrame = {
+    val assigned = queries.select(col(idCol), col(vecCol),
+      VectorFunctions.nearestCentroids(col(vecCol), centroids, nProbe).as("cells"))
+    val nq = l2Normalized(assigned, vecCol)
+    val dim = nq.select(size(col(vecCol))).head.getInt(0)
+    nq.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      bqSignature(col(vecCol), bits, dim).as("qsig"), col("cells"))
+  }
+
+  /**
+   * Coarse-partitioned signature index (VERDICT r13 #1): [[bqIndex]]'s `(id, sig)`
+   * rows plus a coarse k-means cell id, meant to be written `partitionBy("cell")`
+   * so a probe's cell filter prunes unprobed partitions AT THE PARQUET SCAN. Cells
+   * are assigned in raw vector space ([[ivfTopK]]'s convention — the same
+   * centroids must feed [[bqTopKFromIvfIndex]], an offline ModelStore artifact at
+   * 100 TB); signatures in the L2-normalized space. This takes the candidate stage
+   * from O(N) Hamming work per probe wave to O(N · nProbe / nCentroids): scan work
+   * tracks the probe, not the corpus.
+   */
+  def bqIvfIndex(corpus: DataFrame, centroids: Array[Array[Float]], bits: Int = 256,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = corpus.select(col(idCol), col(vecCol),
+      VectorFunctions.nearestCentroids(col(vecCol), centroids, 1).getItem(0).as("cell"))
+    val nc = l2Normalized(assigned, vecCol)
+    val dim = nc.select(size(col(vecCol))).head.getInt(0)
+    nc.select(col(idCol), bqSignature(col(vecCol), bits, dim).as("sig"), col("cell"))
+  }
+
+  /**
+   * Hamming candidate scan over the PROBED cells of a coarse-partitioned signature
+   * index — the sub-linear form of [[bqTopKFromIndex]]'s candidate stage. The
+   * probed cell set (≤ queries × nProbe values — driver-bounded by the same
+   * contract that broadcasts the queries) reaches the index scan as a literal
+   * `isin` partition filter, so unprobed partitions are never read; each query
+   * then Hamming-scores only the signatures inside its own nProbe cells. A corpus
+   * row lives in exactly one cell, so no per-pair dedup is needed.
+   */
+  def bqIvfCandidates(index: DataFrame, queries: DataFrame,
+      centroids: Array[Array[Float]], nProbe: Int = 2, bits: Int = 256,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    requireSigWidth(index, bits)
+    val q = bqProbeQueries(queries, centroids, nProbe, bits, idCol, vecCol)
+    val probed = q.select(explode(col("cells")).as("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted // bounded by |queries| × nProbe
+    val qc = q.select(col("query_id"), col("qsig"), explode(col("cells")).as("cell"))
+    index.filter(col("cell").isin(probed.map(Int.box).toIndexedSeq: _*))
+      .select(col(idCol).as("neighbor_id"), col("sig").as("csig"), col("cell"))
+      .join(broadcast(qc), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        hammingSim(col("csig"), col("qsig"), bits).as("hsim"))
+  }
+
+  /** BQ top-k through the coarse-partitioned index: [[bqIvfCandidates]] for the
+    * pruned Hamming scan, then the fixed-shortlist exact-cosine rerank tail shared
+    * with [[bqTopKFromIndex]] — rerank stays a corpus-independent O(shortlist) per
+    * query, and now the candidate scan is corpus-fraction-bounded too. */
+  def bqTopKFromIvfIndex(index: DataFrame, corpus: DataFrame, queries: DataFrame,
+      k: Int, centroids: Array[Array[Float]], nProbe: Int = 2, shortlist: Int = 64,
+      bits: Int = 256, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val scored = bqIvfCandidates(index, queries, centroids, nProbe, bits, idCol, vecCol)
+    val q = bqProbeQueries(queries, centroids, nProbe, bits, idCol, vecCol)
+    bqFetchRerank(scored, q, corpus, k, shortlist, idCol, vecCol)
+  }
+
   /**
    * BQ top-k THROUGH the persisted index — the steady-state probe: the Hamming
    * candidate scan touches only `(id, sig)` (never a raw vector, so the scan's IO
@@ -1144,6 +1247,7 @@ object VectorOps {
       bits: Int = 256,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    requireSigWidth(index, bits)
     val normQueries = l2Normalized(queries, vecCol)
     val dim = normQueries.select(size(col(vecCol))).head.getInt(0)
     val q = normQueries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
@@ -1155,20 +1259,9 @@ object VectorOps {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         hammingSim(col("csig"), col("qsig"), bits).as("hsim"))
-    val short = scored.groupBy(col("query_id"))
-      .agg(graft.functions.TopKFunctions.topKByScore(col("hsim"), col("neighbor_id"),
-        struct(col("neighbor_id")), shortlist).as("top"))
-      .select(col("query_id"), explode(col("top")).as("t"))
-      .select(col("query_id"), col("t.neighbor_id").as("neighbor_id"))
     // fetch stage: the tiny shortlist broadcasts against the corpus, so only
     // queries × shortlist raw vectors are materialized for the exact rerank
-    val normCorpus = l2Normalized(corpus, vecCol)
-    val fetched = normCorpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-      .join(broadcast(short), Seq("neighbor_id"))
-      .join(broadcast(q.select(col("query_id"), col("q_vec"))), Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        VectorFunctions.cosine(col("q_vec"), col("c_vec")).as("sim"))
-    rankTopK(fetched, k)
+    bqFetchRerank(scored, q, corpus, k, shortlist, idCol, vecCol)
   }
 
   def bqTopK(

@@ -380,6 +380,57 @@ class PlanQualitySpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
+  test("ann bq ivf probe: index scan reads ONLY probed partitions, signatures only (VERDICT r13 #1)") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = graft.ops.VectorOps.kmeansFit(e, 16, iters = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bqivf-pin").toString
+    graft.ops.VectorOps.bqIvfIndex(e, cents, bits = 256)
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    val idx = spark.read.parquet(tmp)
+    val nCells = idx.select("cell").distinct().count()
+    val df = graft.ops.VectorOps.bqTopKFromIvfIndex(
+      idx, e, e.filter(col("vec_id") < 2), k = 3, cents, nProbe = 2)
+    val plan = df.queryExecution.executedPlan
+    val p = plan.toString
+    // the index scan must not read an embedding column (candidate IO is signature
+    // width) and must carry a non-empty cell PartitionFilter (candidate COMPUTE is
+    // the probed fraction, not the corpus)
+    val idxScans = p.split("\n").filter(l => l.contains(tmp) && l.contains("ReadSchema"))
+    assert(idxScans.nonEmpty, s"no parquet scan over the index dir in:\n$p")
+    assert(idxScans.forall(!_.contains("embedding")),
+      s"index scan reads the raw vector column:\n${idxScans.mkString("\n")}")
+    assert(idxScans.forall(l => l.contains("PartitionFilters") && l.contains("cell")
+        && !l.contains("PartitionFilters: []")),
+      s"index scan carries no cell partition filter:\n${idxScans.mkString("\n")}")
+    // functional pruning check: the probe's file set is a STRICT subset of the
+    // index — unprobed cell directories are never opened (2 queries × nProbe 2
+    // ≤ 4 of the ~16 cells)
+    // AQE wraps the plan in a LEAF AdaptiveSparkPlanExec — unwrap it (and any
+    // nested subquery adaptive plans) before collecting the scans
+    def scans(n: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      n.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains(tmp)) => Seq(f)
+      }.flatten
+    val scanned = scans(plan)
+    assert(scanned.nonEmpty, s"no FileSourceScanExec over the index in:\n$p")
+    val cellsRead = scanned.map(_.selectedPartitions.partitionCount).max
+    assert(cellsRead > 0 && cellsRead < nCells,
+      s"probe read $cellsRead of $nCells cell partitions — pruning is not happening")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // probing at the wrong bit budget fails loudly instead of null-degrading
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.VectorOps.bqTopKFromIvfIndex(
+        idx, e, e.filter(col("vec_id") < 2), k = 3, cents, nProbe = 2, bits = 128)
+    }
+    assert(ex.getMessage.contains("bit budget"), ex.getMessage)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("ev_asof_join: union-merge — one keyed exchange + window, no range-join blowup") {
     val p = plan("ev_asof_join")
     // the match is a carried-forward window over the unioned sides, never a join operator
