@@ -178,9 +178,26 @@ object Bench {
     (samples.min, samples.toSeq)
   }
 
+  // History-reset convention (VERDICT r12 #3b): when a bench entry's SPEC is
+  // deliberately changed (a twin re-pointed at a pre-trained artifact, a different
+  // probe shape), its committed history measures the OLD spec — comparing against it
+  // poisons the per-query ratio, the outlier requery list, and the drift median for
+  // the round of the change (emb_ann_rq shipped a permanent-looking 0.059 ratio in
+  // r12). List such entries in `respecifiedBenchEntries` for exactly the round that
+  // changes them: their history is dropped (fresh-entry semantics — excluded from
+  // ratios, outliers, and the median), and the artifact records them under
+  // "history_reset" so a reader knows the baseline was re-cut. Clear the set once
+  // the round's BENCH.json (carrying new-spec seconds) is committed.
+  private[graft] val respecifiedBenchEntries: Set[String] = Set.empty
+
   /** Committed per-query history from the previous artifact (BENCH.json in the repo
-    * working tree). Missing/unparsable file -> empty map -> no history requeries. */
-  private[graft] def loadHistory(path: String): Map[String, Double] =
+    * working tree), minus deliberately re-specified entries (fresh-entry semantics
+    * for the round that changes them). Missing/unparsable file -> empty map. */
+  private[graft] def loadHistory(path: String,
+      respecified: Set[String] = respecifiedBenchEntries): Map[String, Double] =
+    loadHistoryRaw(path) -- respecified
+
+  private def loadHistoryRaw(path: String): Map[String, Double] =
     try {
       val txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -309,6 +326,8 @@ object Bench {
       s""","calibration_endpoint_attempts":{"before":${calBeforeAttempts.mkString("[", ",", "]")}""" +
       s""","after":${calAfterAttempts.mkString("[", ",", "]")}}""" +
       s""","calibration_ref_s":$CalibrationRef,"calibration_samples":$samplesJson""" +
+      s""","history_reset":${respecifiedBenchEntries.toSeq.sorted
+        .map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
       s""","requeried":$requeriedJson,"median_history_ratio_sweep":$medSweepJson""" +
       s""","median_history_ratio":$medJson,"aggregate_drift":${plan.aggregateDrift}""" +
       s""","load_avg":$loadAvg,"tainted":$tainted}"""

@@ -183,12 +183,50 @@ object BucketedGroupingSetsMv {
         .agg(sum(col("n")).cast("long").as("n"),
           sum(col("s")).cast(DecimalType(38, 2)).as("s"))
     }
+    // repartition BY BUCKET before partitionBy (r13): without it every shuffle task
+    // holding rows of bucket i opens its own file under b=i, so a write lands up to
+    // tasks × dirtyBuckets files and the NEXT batch's prior-read reopens them all —
+    // at a 7.2M-key grain and 256 buckets that was ~3000 small files per batch (the
+    // r13 uniform soak measured the 256-bucket store SLOWER than the all-dirty
+    // 16-bucket one purely on file-count overhead). One exchange of dirty-grain
+    // rows buys ~one file per bucket on both the write and every later read.
     merged.withColumn("b", bucketCol(d1, d2, nBuckets))
+      .repartition(math.max(dirty.length, 1), col("b"))
       .write.mode("overwrite").partitionBy("b").parquet(s"$stateDir/w=$batchId")
     val newManifest = priorManifest ++ dirty.map(_ -> batchId)
     writeManifest(fs, stateDir, batchId, newManifest) // commit point
     prune(fs, stateDir, retain)
     dirty.length
+  }
+
+  /** Whether the store holds any committed snapshot — the mode probe of
+    * [[AdaptiveGroupingSetsMv]]. */
+  private[streaming] def hasState(spark: SparkSession, stateDir: String): Boolean =
+    snapshots(fsOf(spark, stateDir), stateDir).nonEmpty
+
+  /** Seed the store from an ALREADY-AGGREGATED summary (the flat store's committed
+    * state) as a committed snapshot at `batchId` — the migration half-step of
+    * [[AdaptiveGroupingSetsMv]]. Overwrite-convergent on replay: a crash mid-seed
+    * leaves an uncommitted snapshot (invisible), and re-seeding overwrites both the
+    * write dir and the manifest. The manifest lists exactly the buckets the write
+    * produced (an empty bucket writes no dir and gets no manifest line). */
+  private[streaming] def seedFromSummary(summary: DataFrame, batchId: Long,
+      stateDir: String, d1: String, d2: String, nBuckets: Int): Unit = {
+    require(nBuckets > 0)
+    val spark = summary.sparkSession
+    val fs = fsOf(spark, stateDir)
+    checkOrWriteMeta(fs, stateDir, nBuckets, d1, d2)
+    snapshots(fs, stateDir).lastOption.filter(_ > batchId).foreach { m =>
+      throw new IllegalStateException(
+        s"cannot seed $stateDir at batch $batchId: it already has snapshot $m")
+    }
+    summary.withColumn("b", bucketCol(d1, d2, nBuckets))
+      .repartition(nBuckets, col("b")) // ~one file per bucket (see applyBatch)
+      .write.mode("overwrite").partitionBy("b").parquet(s"$stateDir/w=$batchId")
+    val present = fs.listStatus(new Path(s"$stateDir/w=$batchId")).iterator
+      .map(_.getPath.getName).filter(_.startsWith("b="))
+      .map(_.stripPrefix("b=").toInt).toSeq
+    writeManifest(fs, stateDir, batchId, present.map(_ -> batchId).toMap)
   }
 
   /** Keep the `retain` newest committed snapshots; delete every `s=` dir outside

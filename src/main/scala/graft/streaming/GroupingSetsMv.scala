@@ -92,6 +92,12 @@ object GroupingSetsMv {
    * file without touching version bookkeeping (`_SUCCESS` and the prune protocol see
    * only data-file names change). Returns the data-file count after compaction.
    */
+  /** Compaction trips only when the state's files are actually SMALL (avg below
+    * this), and rewrites to ~`TargetFileBytes` files — never a single-threaded
+    * full rewrite of a healthy big state. */
+  private[streaming] val SmallFileBytes: Long = 4L << 20
+  private[streaming] val TargetFileBytes: Long = 32L << 20
+
   def compactState(spark: SparkSession, stateDir: String): Int = {
     val v = versions(spark, stateDir).lastOption.getOrElse(return 0)
     val p = new Path(s"$stateDir/v=$v")
@@ -99,13 +105,22 @@ object GroupingSetsMv {
     graft.sinks.AtomicSwap.finishSwap(fs, p)
     val data = graft.sinks.AtomicSwap.dataFileNames(fs, p)
     if (data.length <= 1) return data.length
+    val totalBytes = data.map(n => fs.getFileStatus(new Path(p, n)).getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / TargetFileBytes).toInt)
     val snapshot = spark.read.parquet(p.toString).localCheckpoint(eager = true)
     val tmp = new Path(p, graft.sinks.AtomicSwap.TmpName)
     fs.delete(tmp, true)
-    snapshot.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    snapshot.coalesce(nOut).write.mode("overwrite").parquet(tmp.toString)
     graft.sinks.AtomicSwap.commitSwap(fs, p)
     graft.sinks.AtomicSwap.dataFileNames(fs, p).length
   }
+
+  /** Newest committed version id + its summary frame — the migration read of
+    * [[AdaptiveGroupingSetsMv]] (None when the store has no committed state). */
+  private[streaming] def committedState(spark: SparkSession, stateDir: String,
+      below: Long = Long.MaxValue): Option[(Long, DataFrame)] =
+    versions(spark, stateDir).filter(_ < below).lastOption
+      .map(v => v -> readVersion(spark, stateDir, v))
 
   /** Apply one micro-batch: read newest version < batchId, merge, overwrite
     * `v=<batchId>`, prune. Returns the maintained summary row count.
@@ -151,10 +166,16 @@ object GroupingSetsMv {
     }
     // auto-compact past the file-count trip (the IncrementalDecontaminate idiom):
     // the merge shuffle leaves one near-empty file per partition on a grain-bounded
-    // summary; rewrite the just-committed version down to one file, crash-safe
+    // summary; rewrite the just-committed version, crash-safe. SIZE-GATED (r13): the
+    // trip exists for small-file hygiene, so it must not fire on a big state whose
+    // per-file size is already healthy — at a 7.2M-key grain the old count-only trip
+    // made EVERY batch pay a full single-threaded rewrite of ~200 MB state (the
+    // dominant cost in the r12 soak's 16-20 s/batch flat numbers)
     val vp = new Path(s"$stateDir/v=$batchId")
-    if (autoCompactFiles > 0 &&
-      graft.sinks.AtomicSwap.dataFileNames(fs, vp).length > autoCompactFiles)
+    val dataFiles = fs.listStatus(vp).toSeq.filter(s => s.isFile &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    if (autoCompactFiles > 0 && dataFiles.length > autoCompactFiles &&
+      dataFiles.map(_.getLen).sum / dataFiles.length < SmallFileBytes)
       compactState(spark, stateDir): Unit
     readVersion(spark, stateDir, batchId).count()
   }

@@ -182,4 +182,22 @@ class BenchSentinelSpec extends AnyFunSuite {
     assert(Bench.loadHistory(bad.toString).isEmpty)
     assert(Bench.loadHistory(dir.resolve("missing.json").toString).isEmpty)
   }
+
+  test("history-reset convention (VERDICT r12 #3b): re-specified entries get fresh-entry semantics") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-reset")
+    val f = dir.resolve("BENCH.json")
+    java.nio.file.Files.writeString(f,
+      """{"queries":{"q_old_spec":5.8,"q_normal":1.0}}""")
+    // dropping the re-specified entry removes it from history entirely, so the
+    // sentinel treats its new-spec time as a first run: no outlier requery (a
+    // 0.34s run vs 5.8s old-spec history is NOT a 0.059 drift signal), and the
+    // drift median never sees the stale ratio
+    val h = Bench.loadHistory(f.toString, respecified = Set("q_old_spec"))
+    assert(h == Map("q_normal" -> 1.0))
+    val sweep = Seq("q_old_spec" -> 0.34, "q_normal" -> 1.05)
+    assert(Bench.historyOutliers(sweep, h).isEmpty)
+    assert(Bench.medianHistoryRatio(sweep, h, minSamples = 1) == Some(1.05))
+    // an empty reset set leaves history untouched (the default round-to-round path)
+    assert(Bench.loadHistory(f.toString, respecified = Set.empty).size == 2)
+  }
 }

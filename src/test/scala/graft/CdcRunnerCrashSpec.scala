@@ -186,6 +186,65 @@ class CdcRunnerCrashSpec extends SparkSpec {
     assert(got == g, s"post-crash drift chain diverged from golden:\n got=$got\n gold=$g")
   }
 
+  /** The drift chain in DEDUPE mode (VERDICT r12 stretch #8) — the reference's
+    * `incremental-dedupe-chained` + `schema-drift-chained` composition: run 2's
+    * drift events UPDATE existing keys (ADD `w` on id=1, DROP `v` on id=2), so
+    * recovery must compose the chunk-epoch union, the schema adjustment, AND the
+    * LWW collapse — one row per key, post-drift values winning, dropped column
+    * retained as NULL (E5). */
+  private def dedupeDriftChainWithCrash(base: String)(inject: (String, String) => Unit): Map[String, Seq[String]] = {
+    val spool = s"$base/spool"
+    val cfg = RunConfig(spoolDir = spool, workDir = s"$base/work", outDir = s"$base/out",
+      primaryKeys = Map("t_t1" -> Seq("id")))
+    writeSpool(spool, "000.jsonl", Seq(
+      env("t.t1", "c", """{"id":1,"v":"x"}""", null, 1),
+      env("t.t1", "c", """{"id":2,"v":"y"}""", null, 2)))
+    CdcRunner.run(spark, cfg)
+    copyDir(s"$base/out", s"$base/out_run1")
+    writeSpool(spool, "001.jsonl", Seq(
+      env("t.t1", "u", """{"id":1,"v":"x2","w":"new"}""", """{"id":1}""", 3),
+      env("t.t1", "u", """{"id":2,"w":"n2"}""", """{"id":2}""", 4),
+      env("t.t1", "c", """{"id":5,"w":"n5"}""", null, 5)))
+    CdcRunner.run(spark, cfg)
+    inject(s"$base/out", s"$base/out_run1")
+    CdcRunner.run(spark, cfg) // recovery: nothing new in the spool
+    snapshotOut(s"$base/out")
+  }
+
+  test("dedupe-mode drift chain + crash window: LWW after recovery, drifted schema, one row per key") {
+    val baseG = Files.createTempDirectory("graft-crash-ddrift-golden").toString
+    val g = dedupeDriftChainWithCrash(baseG)((_, _) => ())
+    // non-vacuousness: the golden must show drift AND dedupe both landed — the
+    // manifest carries added + retained-dropped columns, and the CSV holds exactly
+    // one LWW row per key with the post-drift update winning
+    val manifest = g.collectFirst { case (k, v) if k.endsWith("t_t1.csv.manifest") => v.mkString }
+      .getOrElse(fail("golden chain produced no t_t1 manifest"))
+    assert(manifest.contains("\"w\"") && manifest.contains("\"v\""),
+      s"golden manifest must carry both the added and the retained dropped column: $manifest")
+    val rows = g.collectFirst { case (k, v) if k.endsWith("t_t1.csv") => v }
+      .getOrElse(fail("golden chain produced no t_t1 csv"))
+    assert(rows.size == 3, s"LWW must collapse to one row per key (ids 1,2,5): $rows")
+    assert(rows.exists(r => r.contains("x2") && r.contains("new")),
+      s"id=1 must carry the post-drift update (v=x2, w=new): $rows")
+    assert(!rows.exists(_.contains("\"y\"")) && rows.exists(_.contains("n2")),
+      s"id=2 must carry the post-drop update (v NULLed by LWW, w=n2): $rows")
+    val got = dedupeDriftChainWithCrash(Files.createTempDirectory("graft-crash-ddrift").toString) {
+      (out, run1) =>
+        // the worst window again: run 2 died between CSV export and
+        // manifest/state write — pre-drift manifest and stale offsets on disk,
+        // plus a torn CSV part
+        Files.copy(Paths.get(s"$run1/tables/t_t1.csv.manifest"),
+          Paths.get(s"$out/tables/t_t1.csv.manifest"), StandardCopyOption.REPLACE_EXISTING)
+        Files.copy(Paths.get(s"$run1/state.json"),
+          Paths.get(s"$out/state.json"), StandardCopyOption.REPLACE_EXISTING)
+        val dir = new java.io.File(s"$out/tables/t_t1.csv")
+        val part = dir.listFiles().filter(_.getName.endsWith(".csv")).head
+        val bytes = Files.readAllBytes(part.toPath)
+        Files.write(part.toPath, bytes.take(math.max(1, bytes.length / 2))): Unit
+    }
+    assert(got == g, s"post-crash dedupe drift chain diverged from golden:\n got=$got\n gold=$g")
+  }
+
   test("crash before any export (checkpoint committed, outputs stale) + torn CSV part") {
     val g = golden
     val got = chainWithCrash(Files.createTempDirectory("graft-crashC").toString) {

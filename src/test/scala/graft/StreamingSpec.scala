@@ -1146,6 +1146,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("adaptive grouping-sets MV: flat below threshold, one-way migration, equivalent at every boundary") {
+    import graft.streaming.{AdaptiveGroupingSetsMv => A, GroupingSetsMv}
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-agsmv").toString
+    val (ada, ref) = (s"$base/ada", s"$base/ref")
+    // batch i introduces 4 FRESH d1 keys, so the committed grain grows 4 keys per
+    // batch: ~7 summary rows after b0, ~11 after b1 — with grainThreshold=10 the
+    // trip decision (which reads COMMITTED state) fires at batch 2
+    def mk(i: Int) = (0 until 4).flatMap(j =>
+      Seq((s"P$i-$j", "F", 1.25 + i), (s"P$i-$j", "O", 2.50)))
+      .toDF("priority", "status", "amount")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("gid", "priority", "status", "n", "s", "avg").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("<null>"),
+        Option(r.getString(2)).getOrElse("<null>"), r.getLong(3),
+        r.getDecimal(4).toPlainString, r.getDouble(5))).sorted.toSeq
+    def step(i: Int): String = {
+      val m = A.applyBatch(mk(i), i.toLong, ada, "priority", "status", "amount",
+        nBuckets = 8, grainThreshold = 10L)
+      GroupingSetsMv.applyBatch(mk(i), i.toLong, ref, "priority", "status", "amount")
+      assert(canon(A.current(spark, ada)) == canon(GroupingSetsMv.current(spark, ref)),
+        s"adaptive summary diverged from the flat reference at batch $i (mode $m)")
+      m
+    }
+    assert(step(0) == "flat")
+    assert(step(1) == "flat")
+    assert(step(2) == "migrated")
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$ada/flat")), "flat state must be swept after migration")
+    assert(fs.exists(new Path(s"$ada/bkt/meta")), "bucketed store must own the state now")
+    // crash window: the bucketed apply of the migrating batch never committed
+    // (seed s=1 landed, s=2/w=2 did not) — the replay of batch 2 must re-apply
+    // against the seed and converge to the same summary
+    val good2 = canon(A.current(spark, ada))
+    fs.delete(new Path(s"$ada/bkt/s=2"), true)
+    fs.delete(new Path(s"$ada/bkt/w=2"), true)
+    assert(A.applyBatch(mk(2), 2L, ada, "priority", "status", "amount",
+      nBuckets = 8, grainThreshold = 10L) == "bucketed")
+    assert(canon(A.current(spark, ada)) == good2, "crash replay of the migrating batch must converge")
+    // the trip is one-way: later batches stay bucketed and stay equivalent
+    assert(step(3) == "bucketed")
+    assert(step(4) == "bucketed")
+    // replaying the LAST batch converges (at-least-once semantics carry over)
+    A.applyBatch(mk(4), 4L, ada, "priority", "status", "amount",
+      nBuckets = 8, grainThreshold = 10L)
+    assert(canon(A.current(spark, ada)) == canon(GroupingSetsMv.current(spark, ref)))
+  }
+
   test("incremental TextRank crash window: a half-committed version (uni without pairs) is invisible") {
     import graft.streaming.IncrementalTextRank
     import org.apache.spark.sql.functions.pmod
