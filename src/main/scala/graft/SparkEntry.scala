@@ -5220,6 +5220,53 @@ object SparkEntry {
       out
     }),
 
+    // ANN index MAINTENANCE (the streaming reality of a growing corpus): the
+    // signature index is maintained wave-by-wave through IncrementalBqIndex —
+    // per-batch work is O(batch) signing, waves are _SUCCESS-committed and
+    // overwrite-convergent on replay (a naive append index would duplicate
+    // signature rows under at-least-once foreachBatch). The gate pins (a) probe
+    // ROW-IDENTITY between the 3-wave maintained index and a one-shot build over
+    // the same corpus+quantizer, and (b) commit-gating: an injected uncommitted
+    // wave full of duplicate ids must be invisible (if it leaked into the probe,
+    // duplicate neighbors would break the row identity).
+    "emb_ann_bq_index_incremental" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+      val cents = VectorOps.kmeansFit(e, 16, iters = 2)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bqinc").toString
+      for (b <- 0 to 2)
+        graft.streaming.IncrementalBqIndex.applyBatch(
+          e.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong, tmp, cents, bits = 256)
+      // crash junk: a wave written but never committed (no _SUCCESS) — duplicates
+      // of already-indexed ids, fatal to the row identity if it leaked
+      VectorOps.bqIvfIndex(e.filter(col("vec_id") < 200), cents, bits = 256)
+        .write.partitionBy("cell").parquet(s"$tmp/w=99")
+      new java.io.File(s"$tmp/w=99/_SUCCESS").delete()
+      val idx = graft.streaming.IncrementalBqIndex.index(s, tmp)
+      val a = VectorOps.bqTopKFromIvfIndex(idx, e, q, k = 3,
+          graft.streaming.IncrementalBqIndex.centroids(s, tmp), nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val tmp2 = java.nio.file.Files.createTempDirectory("graft_bqinc_full").toString
+      VectorOps.bqIvfIndex(e, cents, bits = 256)
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp2)
+      val b2 = VectorOps.bqTopKFromIvfIndex(s.read.parquet(tmp2), e, q, k = 3,
+          cents, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val nA = a.agg(count(lit(1)).as("n_via_incremental"))
+      val onlyA = a.exceptAll(b2).agg(count(lit(1)).as("n_only_incremental"))
+      val onlyB = b2.exceptAll(a).agg(count(lit(1)).as("n_only_full"))
+      val out = q.agg(count(lit(1)).as("n_queries"))
+        .crossJoin(broadcast(nA)).crossJoin(broadcast(onlyA)).crossJoin(broadcast(onlyB))
+        .select(col("n_queries"),
+          (col("n_only_incremental") === 0 && col("n_only_full") === 0)
+            .as("incremental_matches_full"),
+          (col("n_via_incremental") === col("n_queries") * 3).as("k_rows_ok"))
+        .localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp2))
+      out
+    }),
+
     "emb_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 8)
@@ -6451,6 +6498,22 @@ object SparkEntry {
         e.filter(col("vec_id") < 8), k = 3, cents, nProbe = 4, shortlist = 64, bits = 256)
     }),
 
+    // index maintenance + probe (no one-shot twin, no junk-injection audit): the
+    // timed work is 3 waves of O(batch) signing plus the partition-pruned probe
+    "emb_ann_bq_index_incremental" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = ivfModels.getOrElseUpdate(dir, VectorOps.kmeansFit(e, 16, iters = 2))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bqinc_bench").toString
+      for (b <- 0 to 2)
+        graft.streaming.IncrementalBqIndex.applyBatch(
+          e.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong, tmp, cents, bits = 256)
+      val out = VectorOps.bqTopKFromIvfIndex(
+        graft.streaming.IncrementalBqIndex.index(s, tmp), e,
+        e.filter(col("vec_id") < 8), k = 3, cents, nProbe = 4).localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      out
+    }),
+
     // RQ probe off the pre-trained codebook pair (rqFit trains two sequential
     // full-space k-means — at kCode=64 that dominated the gated form's bench time;
     // at 100 TB the pair is an offline ModelStore artifact, so the bench times the
@@ -7165,6 +7228,10 @@ object SparkEntry {
 
     "emb_ann_bq_ivf" ->
       "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok, TRUE AS bounded_ok FROM embeddings WHERE vec_id < 8",
+
+    "emb_ann_bq_index_incremental" ->
+      ("SELECT COUNT(*) AS n_queries, TRUE AS incremental_matches_full, TRUE AS k_rows_ok " +
+        "FROM embeddings WHERE vec_id < 8"),
 
     "emb_ann_rq" ->
       "SELECT COUNT(*) AS n_queries, TRUE AS recall_ok, TRUE AS bounded_ok FROM embeddings WHERE vec_id < 8",

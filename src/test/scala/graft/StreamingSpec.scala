@@ -1146,6 +1146,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("incremental BQ index: replay converges, guards refuse resets/mixed bits/foreign centroids") {
+    import graft.streaming.IncrementalBqIndex
+    import graft.ops.VectorOps
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .localCheckpoint(true)
+    val cents = VectorOps.kmeansFit(e, 8, iters = 2)
+    val dir = Files.createTempDirectory("graft-bqinc-spec").toString
+    for (b <- 0 to 2)
+      IncrementalBqIndex.applyBatch(
+        e.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong, dir, cents)
+    val q = e.filter(col("vec_id") < 4)
+    def probe() = VectorOps.bqTopKFromIvfIndex(
+        IncrementalBqIndex.index(spark, dir), e, q, k = 3,
+        IncrementalBqIndex.centroids(spark, dir), nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val good = probe()
+    // at-least-once replay of the last wave overwrites convergently — a naive
+    // append index would duplicate the wave's signatures and change the shortlist
+    IncrementalBqIndex.applyBatch(
+      e.filter(pmod(col("vec_id"), lit(3)) === 2), 2L, dir, cents)
+    assert(probe() == good, "replaying a wave must converge, not duplicate")
+    // index row count is exactly the corpus (no dup ids across committed waves)
+    assert(IncrementalBqIndex.index(spark, dir).count() == e.count())
+    // checkpoint-reset guard
+    val exR = intercept[IllegalStateException] {
+      IncrementalBqIndex.applyBatch(e.limit(5), 1L, dir, cents)
+    }
+    assert(exR.getMessage.contains("checkpoint"))
+    // mixed bit budgets refuse (signatures at different widths cannot be compared)
+    val exB = intercept[IllegalStateException] {
+      IncrementalBqIndex.applyBatch(e.limit(5), 3L, dir, cents, bits = 128)
+    }
+    assert(exB.getMessage.contains("bits=128"), exB.getMessage)
+    // a foreign quantizer refuses (probes would prune the wrong cells)
+    val other = VectorOps.kmeansFit(e.filter(col("vec_id") >= 100), 8, iters = 1)
+    val exC = intercept[IllegalArgumentException] {
+      IncrementalBqIndex.applyBatch(e.limit(5), 3L, dir, other)
+    }
+    assert(exC.getMessage.contains("quantizer"), exC.getMessage)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("adaptive grouping-sets MV: flat below threshold, one-way migration, equivalent at every boundary") {
     import graft.streaming.{AdaptiveGroupingSetsMv => A, GroupingSetsMv}
     import org.apache.hadoop.fs.Path
