@@ -36,16 +36,34 @@ object AdaptiveGroupingSetsMv {
   private def flatDir(stateDir: String) = s"$stateDir/flat"
   private def bktDir(stateDir: String) = s"$stateDir/bkt"
 
+  /** Auto bucket selection at migration time (nBuckets = 0): size the modulus to
+    * the grain that triggered the trip — target ~50k keys per bucket (per-bucket
+    * state bounds the rewrite; SCALING.md round-13 guidance), power of two,
+    * clamped to [16, 4096]. The chosen value is persisted in the bucketed store's
+    * meta file, so RESUMING batches read it from there instead of re-deriving. */
+  private[graft] def autoBuckets(grain: Long): Int = {
+    val want = math.min(4096L, (grain + 49999) / 50000).toInt // Long math: no overflow
+    val pow2 = Integer.highestOneBit(math.max(1, want - 1)) * 2
+    math.min(4096, math.max(16, pow2))
+  }
+
   /** Apply one micro-batch; returns the mode that handled it
-    * ("flat" | "migrated" | "bucketed") — the soak/test observability hook. */
+    * ("flat" | "migrated" | "bucketed") — the soak/test observability hook.
+    * `nBuckets = 0` (the default) auto-selects the modulus from the committed
+    * grain at migration time and reads it back from the store's meta afterwards. */
   def applyBatch(batch: DataFrame, batchId: Long, stateDir: String,
       d1: String, d2: String, measure: String,
-      nBuckets: Int = 256, grainThreshold: Long = 100000L, retain: Int = 2): String = {
+      nBuckets: Int = 0, grainThreshold: Long = 100000L, retain: Int = 2): String = {
     val spark = batch.sparkSession
     val fs = new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (BucketedGroupingSetsMv.hasState(spark, bktDir(stateDir))) {
+      val nb = if (nBuckets > 0) nBuckets
+        else BucketedGroupingSetsMv.committedBuckets(spark, bktDir(stateDir)).getOrElse(
+          throw new IllegalStateException(
+            s"bucketed state at ${bktDir(stateDir)} has snapshots but no meta — cannot " +
+              "resolve the committed bucket count"))
       BucketedGroupingSetsMv.applyBatch(batch, batchId, bktDir(stateDir),
-        d1, d2, measure, nBuckets, retain)
+        d1, d2, measure, nb, retain)
       // sweep a flat orphan left by a crash between the migration commit and its delete
       val f = new Path(flatDir(stateDir))
       if (fs.exists(f)) fs.delete(f, true): Unit
@@ -55,10 +73,11 @@ object AdaptiveGroupingSetsMv {
       prior match {
         // .count() on the committed parquet state is footer metadata, not a data scan
         case Some((_, state)) if state.count() > grainThreshold =>
+          val nb = if (nBuckets > 0) nBuckets else autoBuckets(state.count())
           BucketedGroupingSetsMv.seedFromSummary(state, batchId - 1, bktDir(stateDir),
-            d1, d2, nBuckets)
+            d1, d2, nb)
           BucketedGroupingSetsMv.applyBatch(batch, batchId, bktDir(stateDir),
-            d1, d2, measure, nBuckets, retain)
+            d1, d2, measure, nb, retain)
           fs.delete(new Path(flatDir(stateDir)), true)
           "migrated"
         case _ =>
@@ -78,7 +97,7 @@ object AdaptiveGroupingSetsMv {
   /** Wire into a bounded streaming query (AvailableNow, the IngestDedup pattern). */
   def start(stream: DataFrame, stateDir: String, checkpointDir: String,
       d1: String, d2: String, measure: String,
-      nBuckets: Int = 256, grainThreshold: Long = 100000L): StreamingQuery =
+      nBuckets: Int = 0, grainThreshold: Long = 100000L): StreamingQuery =
     stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)

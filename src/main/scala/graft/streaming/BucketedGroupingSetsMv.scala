@@ -126,6 +126,12 @@ object BucketedGroupingSetsMv {
     }
   }
 
+  /** The committed bucket count of an existing store (None before first batch) —
+    * lets [[AdaptiveGroupingSetsMv]] resume a store without the caller having to
+    * remember the auto-selected modulus. */
+  private[streaming] def committedBuckets(spark: SparkSession, stateDir: String): Option[Int] =
+    metaBuckets(fsOf(spark, stateDir), stateDir)
+
   private def metaBuckets(fs: FileSystem, stateDir: String): Option[Int] = {
     val p = new Path(s"$stateDir/meta")
     if (!fs.exists(p)) None

@@ -1238,6 +1238,29 @@ class StreamingSpec extends SparkSpec {
     assert(canon(A.current(spark, ada)) == canon(GroupingSetsMv.current(spark, ref)))
   }
 
+  test("adaptive MV auto-buckets: modulus sized from grain at migration, resumed from meta") {
+    import graft.streaming.{AdaptiveGroupingSetsMv => A}
+    import spark.implicits._
+    // pure sizing curve: ~50k keys/bucket, pow2, clamped [16, 4096]
+    assert(A.autoBuckets(100) == 16)
+    assert(A.autoBuckets(800000) == 16)
+    assert(A.autoBuckets(7200000) == 256) // the sf10 soak grain lands on the measured sweet spot
+    assert(A.autoBuckets(100000000) == 2048)
+    assert(A.autoBuckets(Long.MaxValue / 2) == 4096)
+    val base = Files.createTempDirectory("graft-agsmv-auto").toString
+    def mk(i: Int) = (0 until 4).flatMap(j =>
+      Seq((s"P$i-$j", "F", 1.25), (s"P$i-$j", "O", 2.50))).toDF("priority", "status", "amount")
+    for (i <- 0 to 2)
+      A.applyBatch(mk(i), i.toLong, base, "priority", "status", "amount",
+        grainThreshold = 10L) // nBuckets left at the auto default
+    val meta = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$base/bkt/meta"))
+    assert(meta.contains("nBuckets=16"), s"auto-selected modulus must be persisted: $meta")
+    // a resumed batch (fresh caller, still auto) reads the modulus from meta
+    assert(A.applyBatch(mk(3), 3L, base, "priority", "status", "amount",
+      grainThreshold = 10L) == "bucketed")
+    assert(A.current(spark, base).count() == 4 * 4 + 2 + 1) // 16 d1 keys + 2 d2 + total
+  }
+
   test("incremental TextRank crash window: a half-committed version (uni without pairs) is invisible") {
     import graft.streaming.IncrementalTextRank
     import org.apache.spark.sql.functions.pmod
