@@ -44,6 +44,13 @@ sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
 con = duckdb.connect()
+# big-SF oracles (20k-vector graph walks) exceed RAM without a limit: DuckDB's
+# default is a fraction of physical memory but some operators still overshoot —
+# an explicit limit + temp dir makes it SPILL instead of getting OOM-killed
+mem = os.environ.get("GRAFT_DUCKDB_MEM")
+if mem:
+    con.execute(f"SET memory_limit='{mem}'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
 for p in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(p).replace(".parquet", "")
     # driver testdata ships single files; GenScale output may be a parquet DIRECTORY

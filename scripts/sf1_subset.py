@@ -16,6 +16,12 @@ outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_sf1"
 r = subprocess.run([sys.executable, "scripts/local_check.py", sfdir, outdir],
                    capture_output=True, text=True)
 lines = [l for l in r.stdout.splitlines() if l.startswith(("PASS", "FAIL"))]
+# a gate that DIED (OOM-killed duckdb, etc.) must not masquerade as an empty-but-
+# clean run and clobber the committed artifact with n=0
+if not lines:
+    print(f"local_check produced no PASS/FAIL lines (exit {r.returncode}); "
+          f"stderr tail:\n{r.stderr[-2000:]}")
+    sys.exit(2)
 passed = sorted(l.split()[1] for l in lines if l.startswith("PASS"))
 failed = sorted(l.split()[1] for l in lines if l.startswith("FAIL"))
 queries = sorted(passed + failed)

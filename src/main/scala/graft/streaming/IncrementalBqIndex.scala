@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /**
@@ -25,6 +26,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  *                         budget refuses loudly (the BucketedGroupingSetsMv
  *                         discipline)
  *     w=<batchId>/        one wave per batch: cell=<c>/part-*.parquet
+ *     c=<batchId>/        a committed compaction COVERING every wave ≤ batchId
+ *                         (~one file per cell); reads use the newest committed
+ *                         compaction plus newer waves only
  * }}}
  *
  * Replay safety: waves are versioned by batch id and OVERWRITE-convergent — a
@@ -49,16 +53,30 @@ object IncrementalBqIndex {
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Committed waves: `w=<id>` dirs whose `_SUCCESS` landed. */
-  private[streaming] def waves(spark: SparkSession, indexDir: String): Seq[Long] = {
-    val fs = fsOf(spark, indexDir)
+  private def committedIds(fs: FileSystem, indexDir: String, prefix: String): Seq[Long] = {
     val p = new Path(indexDir)
     if (!fs.exists(p)) Nil
     else fs.listStatus(p).iterator
-      .filter(s => s.getPath.getName.startsWith("w=") &&
+      .filter(s => s.getPath.getName.startsWith(prefix) &&
         fs.exists(new Path(s.getPath, "_SUCCESS")))
-      .map(_.getPath.getName.stripPrefix("w=").toLong)
+      .map(_.getPath.getName.stripPrefix(prefix).toLong)
       .toSeq.sorted
+  }
+
+  /** Committed waves: `w=<id>` dirs whose `_SUCCESS` landed. */
+  private[streaming] def waves(spark: SparkSession, indexDir: String): Seq[Long] =
+    committedIds(fsOf(spark, indexDir), indexDir, "w=")
+
+  /** Committed compactions: `c=<id>` covers every wave ≤ id. */
+  private[streaming] def compacts(spark: SparkSession, indexDir: String): Seq[Long] =
+    committedIds(fsOf(spark, indexDir), indexDir, "c=")
+
+  /** The live read set: the newest committed compaction (if any) plus every
+    * committed wave newer than it. */
+  private def liveDirs(spark: SparkSession, indexDir: String): Seq[String] = {
+    val comp = compacts(spark, indexDir).lastOption
+    val ws = waves(spark, indexDir).filter(w => comp.forall(_ < w))
+    comp.map(c => s"$indexDir/c=$c").toSeq ++ ws.map(w => s"$indexDir/w=$w")
   }
 
   private def checkOrWriteMeta(fs: FileSystem, indexDir: String, bits: Int): Unit = {
@@ -93,12 +111,13 @@ object IncrementalBqIndex {
     val spark = batch.sparkSession
     val fs = fsOf(spark, indexDir)
     checkOrWriteMeta(fs, indexDir, bits)
-    waves(spark, indexDir).lastOption.filter(_ > batchId).foreach { m =>
-      throw new IllegalStateException(
-        s"signature index at $indexDir has applied batch_id $m > incoming $batchId: " +
-          "the stream's checkpoint was reset independently of the index dir — " +
-          "restore the checkpoint or rebuild the index")
-    }
+    (waves(spark, indexDir) ++ compacts(spark, indexDir)).maxOption
+      .filter(_ > batchId).foreach { m =>
+        throw new IllegalStateException(
+          s"signature index at $indexDir has applied batch_id $m > incoming $batchId: " +
+            "the stream's checkpoint was reset independently of the index dir — " +
+            "restore the checkpoint or rebuild the index")
+      }
     val cpath = s"$indexDir/centroids"
     if (!fs.exists(new Path(cpath, "_SUCCESS")))
       graft.ops.ModelStore.saveCentroids(spark, centroids, cpath)
@@ -116,15 +135,47 @@ object IncrementalBqIndex {
     spark.read.parquet(s"$indexDir/w=$batchId").count()
   }
 
-  /** The maintained index: union of committed waves, `cell` still a partition
-    * column (probe-side `isin` filters prune at the scan exactly as on a one-shot
-    * [[graft.ops.VectorOps.bqIvfIndex]] build). */
+  /** The maintained index: the newest committed compaction plus newer waves,
+    * `cell` still a partition column (probe-side `isin` filters prune at the scan
+    * exactly as on a one-shot [[graft.ops.VectorOps.bqIvfIndex]] build). */
   def index(spark: SparkSession, indexDir: String): DataFrame = {
-    val ws = waves(spark, indexDir)
-    if (ws.isEmpty) throw new IllegalStateException(s"no committed index waves at $indexDir")
-    spark.read.option("basePath", indexDir)
-      .parquet(ws.map(w => s"$indexDir/w=$w"): _*)
-      .drop("w")
+    val dirs = liveDirs(spark, indexDir)
+    if (dirs.isEmpty) throw new IllegalStateException(s"no committed index waves at $indexDir")
+    // one read per live dir (each discovers its own cell=* hive partitions; a
+    // shared basePath would see conflicting w=/c= fragments), unioned — a probe's
+    // cell filter pushes into EVERY member scan, so pruning is per-dir intact
+    dirs.map(d => spark.read.parquet(d)).reduce(_ unionByName _)
+  }
+
+  /**
+   * Per-cell wave compaction: waves accumulate one file per (wave, cell), so a
+   * long-lived stream makes probes open O(waves × probedCells) files. Compaction
+   * rewrites the CURRENT live set into one `c=<newestWaveId>` dir (~one file per
+   * cell), commits it, and only then sweeps the covered waves — crash-safe at
+   * every point: an uncommitted `c=` is invisible (reads keep using the waves), a
+   * crash after commit leaves covered waves that reads already ignore and the
+   * next compaction sweeps. Returns the number of dirs swept.
+   */
+  def compact(spark: SparkSession, indexDir: String): Int = {
+    val fs = fsOf(spark, indexDir)
+    val live = liveDirs(spark, indexDir)
+    if (live.size <= 1) return 0 // already consolidated (or empty)
+    val coverId = (waves(spark, indexDir) ++ compacts(spark, indexDir)).max
+    val consolidated = live.map(d => spark.read.parquet(d)).reduce(_ unionByName _)
+      .repartition(col("cell")) // ~one file per cell on write and every later read
+    consolidated.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/c=$coverId")
+    // sweep AFTER the commit: covered waves, older compactions, and any
+    // uncommitted junk dirs a crashed compaction left behind
+    var swept = 0
+    fs.listStatus(new Path(indexDir)).foreach { st =>
+      val n = st.getPath.getName
+      val drop =
+        (n.startsWith("w=") && n.stripPrefix("w=").toLong <= coverId) ||
+          (n.startsWith("c=") && n.stripPrefix("c=").toLong < coverId)
+      if (drop) { fs.delete(st.getPath, true); swept += 1 }
+    }
+    swept
   }
 
   /** Wire into a bounded streaming query (AvailableNow, the IngestDedup pattern). */

@@ -1186,6 +1186,31 @@ class StreamingSpec extends SparkSpec {
       IncrementalBqIndex.applyBatch(e.limit(5), 3L, dir, other)
     }
     assert(exC.getMessage.contains("quantizer"), exC.getMessage)
+    // wave 3: genuinely new ids (shifted), then compaction — probes identical
+    // before/after, covered wave dirs swept, the stream continues on top
+    val extra = e.filter(col("vec_id") < 8).withColumn("vec_id", col("vec_id") + 100000L)
+    IncrementalBqIndex.applyBatch(extra, 3L, dir, cents)
+    val good3 = probe()
+    val n3 = IncrementalBqIndex.index(spark, dir).count()
+    assert(n3 == e.count() + 8)
+    // an UNCOMMITTED compaction (crash mid-write) is invisible to reads
+    VectorOps.bqIvfIndex(e.limit(20), cents).write.partitionBy("cell").parquet(s"$dir/c=9")
+    new java.io.File(s"$dir/c=9/_SUCCESS").delete()
+    assert(probe() == good3, "an uncommitted compaction must be invisible")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/c=9"))
+    assert(IncrementalBqIndex.compact(spark, dir) == 4, "4 covered wave dirs swept")
+    assert(probe() == good3, "compaction must not change any probe result")
+    assert(IncrementalBqIndex.index(spark, dir).count() == n3)
+    assert(IncrementalBqIndex.compact(spark, dir) == 0, "re-compacting a consolidated index is a no-op")
+    // appending after compaction: new wave coexists with the compacted base
+    val extra2 = e.filter(col("vec_id") < 4).withColumn("vec_id", col("vec_id") + 200000L)
+    IncrementalBqIndex.applyBatch(extra2, 4L, dir, cents)
+    assert(IncrementalBqIndex.index(spark, dir).count() == n3 + 4)
+    // and the reset guard also respects the compaction id
+    val exR2 = intercept[IllegalStateException] {
+      IncrementalBqIndex.applyBatch(e.limit(5), 2L, dir, cents)
+    }
+    assert(exR2.getMessage.contains("checkpoint"))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
