@@ -11526,14 +11526,26 @@ object SparkEntry {
     // full replay of the 2-layer greedy walk: entry reps seed the beam -> 4 unrolled
     // expand-and-keep-beam-8 hops over the global exact k=8 NN graph; deterministic
     // because sims are compared raw (both engines compute the identical double) and
-    // ties break on node id
+    // ties break on node id. The knn prefix ranks top-9 PER UNIQUE VECTOR and
+    // re-ranks per src after dropping the self row — exactly equivalent to the
+    // naive all-pairs window (at most ONE candidate, the src itself, is excluded
+    // per src, so the top-8-excluding-self is a prefix of the top-9), but the
+    // window sorts |unique| x N pairs instead of N^2: at sf1 (GenScale replicates
+    // embeddings verbatim) that is 10x fewer pairs, which is what keeps the
+    // DuckDB side runnable — equivalence proven row-identical at sf0.01
     "emb_graph_search" ->
-      """WITH p AS (
-        |  SELECT a.vec_id AS src, b.vec_id AS dst,
-        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS s
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
-        |knn AS (SELECT src, dst FROM p
-        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) <= 8),
+      """WITH uv AS (SELECT embedding, MIN(vec_id) AS rep FROM embeddings GROUP BY embedding),
+        |p9 AS (
+        |  SELECT u.rep, b.vec_id AS dst,
+        |    list_cosine_similarity(CAST(u.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS s
+        |  FROM uv u JOIN embeddings b ON true),
+        |k9 AS (SELECT rep, dst, s FROM p9
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY rep ORDER BY s DESC, dst) <= 9),
+        |knn AS (SELECT src, dst FROM (
+        |  SELECT a.vec_id AS src, k.dst, k.s FROM embeddings a
+        |  JOIN uv u ON a.embedding = u.embedding
+        |  JOIN k9 k ON k.rep = u.rep AND k.dst <> a.vec_id
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY k.s DESC, k.dst) <= 8)),
         |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |  FROM embeddings WHERE vec_id < 16),
         |ev AS (SELECT vec_id AS node_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
@@ -11580,12 +11592,18 @@ object SparkEntry {
         |FROM v4 WHERE node_id <> query_id""".stripMargin,
 
     "emb_graph_search_recall" ->
-      """WITH p AS (
-        |  SELECT a.vec_id AS src, b.vec_id AS dst,
-        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS s
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
-        |knn AS (SELECT src, dst FROM p
-        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY s DESC, dst) <= 8),
+      """WITH uv AS (SELECT embedding, MIN(vec_id) AS rep FROM embeddings GROUP BY embedding),
+        |p9 AS (
+        |  SELECT u.rep, b.vec_id AS dst,
+        |    list_cosine_similarity(CAST(u.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS s
+        |  FROM uv u JOIN embeddings b ON true),
+        |k9 AS (SELECT rep, dst, s FROM p9
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY rep ORDER BY s DESC, dst) <= 9),
+        |knn AS (SELECT src, dst FROM (
+        |  SELECT a.vec_id AS src, k.dst, k.s FROM embeddings a
+        |  JOIN uv u ON a.embedding = u.embedding
+        |  JOIN k9 k ON k.rep = u.rep AND k.dst <> a.vec_id
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY k.s DESC, k.dst) <= 8)),
         |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |  FROM embeddings WHERE vec_id < 16),
         |ev AS (SELECT vec_id AS node_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
