@@ -431,6 +431,41 @@ class PlanQualitySpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
+  test("ann bq incremental index probe: pruning survives waves AND compaction") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = graft.ops.VectorOps.kmeansFit(e, 16, iters = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bqinc-pin").toString
+    for (b <- 0 to 1)
+      graft.streaming.IncrementalBqIndex.applyBatch(
+        e.filter(pmod(col("vec_id"), lit(2)) === b), b.toLong, tmp, cents)
+    def scans(n: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      n.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains(tmp)) => Seq(f)
+      }.flatten
+    def assertPruned(label: String): Unit = {
+      val df = graft.ops.VectorOps.bqTopKFromIvfIndex(
+        graft.streaming.IncrementalBqIndex.index(spark, tmp), e,
+        e.filter(col("vec_id") < 2), k = 3, cents, nProbe = 2)
+      val sc = scans(df.queryExecution.executedPlan)
+      assert(sc.nonEmpty, s"$label: no index scans found")
+      // EVERY member scan (per wave / per compaction) must prune: a probe of 2
+      // queries x nProbe 2 opens at most 4 of the ~16 cells in each member
+      sc.foreach { f =>
+        val n = f.selectedPartitions.partitionCount
+        assert(n > 0 && n <= 4, s"$label: a member scan read $n cell partitions (pruning lost)")
+      }
+    }
+    assertPruned("waves")
+    assert(graft.streaming.IncrementalBqIndex.compact(spark, tmp) == 2)
+    assertPruned("compacted")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("ev_asof_join: union-merge — one keyed exchange + window, no range-join blowup") {
     val p = plan("ev_asof_join")
     // the match is a carried-forward window over the unioned sides, never a join operator
