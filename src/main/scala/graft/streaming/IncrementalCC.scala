@@ -227,7 +227,13 @@ object IncrementalCC {
     val n = rewritten.count()
     val tmp = new Path(p, "_compact_tmp")
     fs.delete(tmp, true)
-    rewritten.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    // size the rewrite like GroupingSetsMv.compactState (r13): coalesce(1) was a
+    // single-threaded full rewrite — fine for the store's usual tiny redirect
+    // files, pathological once the label store itself grows large
+    val totalBytes = graft.sinks.AtomicSwap.dataFileNames(fs, p)
+      .map(f => fs.getFileStatus(new Path(p, f)).getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / (32L << 20)).toInt)
+    rewritten.coalesce(nOut).write.mode("overwrite").parquet(tmp.toString)
     // manifest-gated rename-first swap: new files move in under unique names, THEN
     // the manifest's explicit old-file list is deleted — crash-safe at every point
     graft.sinks.AtomicSwap.commitSwap(fs, p)
