@@ -3221,11 +3221,15 @@ object SparkEntry {
     // reproducible content-hash train/test split (membership invariant under re-runs)
     "doc_hash_split" -> ((s, dir) => TextOps.hashSplit(t(s, dir, "documents"))),
 
-    // PII scrubbing: the synthetic contact line makes the redaction observable on the
-    // testdata corpus; the derived text is identical in both engines
+    // PII scrubbing (4 typed classes): the synthetic contact line makes every
+    // redaction class observable on the testdata corpus — same SQL-expressible
+    // suffix in both engines, so all four counters are provably non-vacuous and
+    // the scrubbed-text hash pins pattern semantics AND replacement order
     "doc_pii_scrub" -> ((s, dir) => {
       val d = t(s, dir, "documents").withColumn("text",
-        concat(col("text"), lit(" contact: user"), col("doc_id"), lit("@example.com")))
+        concat(col("text"), lit(" contact: user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7 call 555-867-5309 ssn 123-45-6789")))
       TextOps.piiScrub(d)
     }),
 
@@ -10253,11 +10257,19 @@ object SparkEntry {
 
     "doc_pii_scrub" ->
       """WITH d AS (SELECT doc_id,
-        |  text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com' AS text
+        |  text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' ||
+        |    CAST(doc_id % 256 AS VARCHAR) || '.7 call 555-867-5309 ssn 123-45-6789' AS text
         |  FROM documents)
         |SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-        |  md5(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS scrubbed_md5
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')) AS scrubbed_md5
         |FROM d""".stripMargin,
 
     "doc_winnowing" ->

@@ -317,17 +317,37 @@ object TextOps {
   /** Email pattern shared with the oracle — RE2- and Java-regex compatible subset. */
   val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
+  /** PII patterns shared by count and scrub — (name, regex, replacement token).
+    * Deliberately conservative shapes that parse identically under Java regex
+    * (Spark codegen) and RE2 (the DuckDB oracle): plain char classes, `\b`,
+    * bounded quantifiers, non-capturing groups — no lookaround, no unicode
+    * classes. Replacement runs in THIS order (most-specific first); counts are
+    * taken on the ORIGINAL text so the four counters are order-independent. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("ssn", """\b\d{3}-\d{2}-\d{4}\b""", "<SSN>"),
+    ("phone", """\b\d{3}[-.]\d{3}[-.]\d{4}\b""", "<PHONE>"),
+    ("email", EmailRegex, "<EMAIL>"),
+    ("ip", """\b(?:\d{1,3}\.){3}\d{1,3}\b""", "<IP>"))
+
   /**
-   * PII scrubbing: redact email addresses (the canonical pre-training scrub), reporting the
-   * redaction count and a digest of the scrubbed text for verification. Pure codegen'd
-   * regexp column algebra — at 100 TB this is a narrow map over the corpus; additional
-   * pattern classes (phones, ids) are more `regexp_replace` columns in the same pass.
+   * PII scrubbing — the redaction pass every training-data pipeline runs before
+   * text leaves the trust boundary: emails, US-style SSNs/phone numbers, and IPv4
+   * literals are counted (on the original text) and replaced with typed
+   * placeholder tokens, reporting a digest of the scrubbed text for verification.
+   * Pure codegen'd regexp column algebra — at 100 TB this is a narrow map over
+   * the corpus (no shuffle, no UDF), and the counts aggregate map-side for
+   * corpus-level audits; additional pattern classes are more entries in
+   * [[PiiPatterns]], same pass.
    */
-  def piiScrub(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    df.select(
-      col(idCol),
-      size(regexp_extract_all(col(textCol), lit(EmailRegex), lit(0))).cast("long").as("n_emails"),
-      md5(regexp_replace(col(textCol), EmailRegex, "<EMAIL>")).as("scrubbed_md5"))
+  def piiScrub(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val counts = PiiPatterns.map { case (k, pat, _) =>
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long").as(s"n_$k")
+    }
+    val scrubbed = PiiPatterns.foldLeft(col(textCol)) { case (c, (_, pat, tok)) =>
+      regexp_replace(c, pat, tok)
+    }
+    df.select(col(idCol) +: counts :+ md5(scrubbed).as("scrubbed_md5"): _*)
+  }
 
   /**
    * Compressibility quality signal: per-doc DEFLATE ratio (compressed/raw bytes) plus a
@@ -1355,4 +1375,5 @@ object TextOps {
         round(col("__d").cast("double"), 6).as("log_odds"),
         round(col("__z").cast("double"), 6).as("zscore"), col("rank"))
   }
+
 }

@@ -827,18 +827,29 @@ class TextOpsSpec extends SparkSpec {
     assert(sk(1L) == sk(2L) && sk(1L) != sk(3L))
   }
 
-  test("piiScrub redacts emails and counts them; non-PII text untouched") {
+  test("piiScrub: four typed classes counted and redacted; non-PII text untouched") {
     val docs = Seq(
       (1L, "reach me at alice.smith+x@corp-mail.co or bob@ex.org thanks"),
-      (2L, "no contact info here at all")).toDF("doc_id", "text")
+      (2L, "no contact info here at all"),
+      (3L, "ssn 123-45-6789 tel 555.867.5309 host 192.168.0.1"),
+      // boundary cases: an SSN-shaped run inside a longer digit string must NOT
+      // match (\b), and a phone must not double-count as an SSN (disjoint shapes)
+      (4L, "ref 9123-45-67890 and 555-123-4567")).toDF("doc_id", "text")
     val out = TextOps.piiScrub(docs).collect().map(r => r.getLong(0) -> r).toMap
-    assert(out(1L).getAs[Long]("n_emails") == 2L)
-    assert(out(2L).getAs[Long]("n_emails") == 0L)
+    assert(out(1L).getAs[Long]("n_email") == 2L)
+    assert(out(2L).getAs[Long]("n_email") == 0L)
+    assert(out(3L).getAs[Long]("n_ssn") == 1L && out(3L).getAs[Long]("n_phone") == 1L &&
+      out(3L).getAs[Long]("n_ip") == 1L && out(3L).getAs[Long]("n_email") == 0L)
+    assert(out(4L).getAs[Long]("n_ssn") == 0L && out(4L).getAs[Long]("n_phone") == 1L)
     // doc 2 unchanged: digest equals md5 of the original text
     val plainMd5 = docs.filter(col("doc_id") === 2L)
       .select(md5(col("text"))).collect().head.getString(0)
     assert(out(2L).getAs[String]("scrubbed_md5") == plainMd5)
     assert(out(1L).getAs[String]("scrubbed_md5") != plainMd5)
+    // full-redaction check: doc 3 scrubbed text is exactly the tokenized form
+    val expect3 = docs.sparkSession.range(1).select(
+      md5(lit("ssn <SSN> tel <PHONE> host <IP>"))).collect().head.getString(0)
+    assert(out(3L).getAs[String]("scrubbed_md5") == expect3)
   }
 
   test("repetitionScore: looping text has high top-bigram fraction, varied text low") {
