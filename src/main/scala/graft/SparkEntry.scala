@@ -5917,6 +5917,33 @@ object SparkEntry {
       VectorOps.mmdDrift(t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
         dim = 64)),
 
+    // incremental semantic dedup — streaming admission over the maintained BQ
+    // index (dedup-before-training for a continuously-fed corpus). ORACLE-EXACT:
+    // wave 0 (the full table) must admit exactly COUNT(DISTINCT embedding) rows
+    // (exact duplicates collapse in-cell — identical vectors share a cell and
+    // dominance keeps the min id; no natural distinct pair crosses eps=0.9 in
+    // this data, which this gate itself verifies); wave 1 (verbatim copies of 20
+    // admitted vectors under fresh ids) must admit ZERO — exact-duplicate
+    // rejection is guaranteed, not probabilistic; wave 2 (the NEGATION of every
+    // vector — far from all admitted: cos(-v,u) = -cos(v,u) < eps) must admit
+    // exactly the distinct count again
+    "emb_semdedup_incremental" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = VectorOps.kmeansFit(e, 16, iters = 2)
+      val store = java.nio.file.Files.createTempDirectory("graft_semdd").toString
+      val dups = e.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + lit(10000000L))
+      val far = e.withColumn("vec_id", col("vec_id") + lit(20000000L))
+        .withColumn("embedding", transform(col("embedding"), x => (-x).cast("float")))
+      val n0 = graft.streaming.IncrementalSemDedup.applyBatch(e, 0L, store, cents, eps = 0.9)
+      val n1 = graft.streaming.IncrementalSemDedup.applyBatch(dups, 1L, store, cents, eps = 0.9)
+      val n2 = graft.streaming.IncrementalSemDedup.applyBatch(far, 2L, store, cents, eps = 0.9)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(store))
+      s.range(1).select(
+        lit(n0).as("n_w0_admitted"), lit(n1).as("n_dup_admitted"),
+        lit(n2).as("n_far_admitted"), lit(n0 + n1 + n2).as("n_admitted_total"))
+    }),
+
     // SemDeDup (k-means-blocked semantic dedup) as a self-verifying gate: 20 planted
     // exact copies (larger ids, cosine 1.0 with their source, same cell by construction)
     // must all drop; the kept set must contain NO in-cell pair at sim>=eps (the greedy
@@ -10175,6 +10202,13 @@ object SparkEntry {
         |  CASE WHEN nw.n_windows > 0
         |    THEN COALESCE(sh.n_shared, 0) / CAST(nw.n_windows AS DOUBLE) <= 0.5 ELSE TRUE END AS admitted
         |FROM nw LEFT JOIN sh ON sh.doc_id = nw.doc_id""".stripMargin,
+
+    "emb_semdedup_incremental" ->
+      """SELECT CAST(COUNT(DISTINCT embedding) AS BIGINT) AS n_w0_admitted,
+        |  CAST(0 AS BIGINT) AS n_dup_admitted,
+        |  CAST(COUNT(DISTINCT embedding) AS BIGINT) AS n_far_admitted,
+        |  CAST(2 * COUNT(DISTINCT embedding) AS BIGINT) AS n_admitted_total
+        |FROM embeddings""".stripMargin,
 
     "emb_semdedup" ->
       """SELECT COUNT(*) + COUNT(*) FILTER (WHERE vec_id < 20) AS n_vectors,

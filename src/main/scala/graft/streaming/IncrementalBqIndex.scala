@@ -72,12 +72,23 @@ object IncrementalBqIndex {
     committedIds(fsOf(spark, indexDir), indexDir, "c=")
 
   /** The live read set: the newest committed compaction (if any) plus every
-    * committed wave newer than it. */
+    * committed wave newer than it — EXCLUDING empty marker waves (an empty batch
+    * commits a `_SUCCESS`-only wave to keep batch-id monotonicity for the reset
+    * guard, but contributes no readable parquet). */
   private def liveDirs(spark: SparkSession, indexDir: String): Seq[String] = {
+    val fs = fsOf(spark, indexDir)
+    def hasDataFiles(d: String) =
+      fs.listStatus(new Path(d)).exists(s => !s.getPath.getName.startsWith("_"))
     val comp = compacts(spark, indexDir).lastOption
     val ws = waves(spark, indexDir).filter(w => comp.forall(_ < w))
-    comp.map(c => s"$indexDir/c=$c").toSeq ++ ws.map(w => s"$indexDir/w=$w")
+    (comp.map(c => s"$indexDir/c=$c").toSeq ++ ws.map(w => s"$indexDir/w=$w"))
+      .filter(hasDataFiles)
   }
+
+  /** Whether the index holds any signatures (false before the first NON-empty
+    * committed wave — callers treat an empty index as "no prior corpus"). */
+  def hasData(spark: SparkSession, indexDir: String): Boolean =
+    liveDirs(spark, indexDir).nonEmpty
 
   private def checkOrWriteMeta(fs: FileSystem, indexDir: String, bits: Int): Unit = {
     val p = new Path(s"$indexDir/meta")
@@ -129,10 +140,20 @@ object IncrementalBqIndex {
           "(centroids differ) — probes would prune the wrong cells; rebuild the " +
           "index or pass its stored centroids")
     }
-    val signed = graft.ops.VectorOps.bqIvfIndex(batch, centroids, bits, idCol, vecCol)
-    signed.write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$indexDir/w=$batchId")
-    spark.read.parquet(s"$indexDir/w=$batchId").count()
+    if (batch.isEmpty) {
+      // commit an EMPTY marker wave (`_SUCCESS` only): batch-id monotonicity for
+      // the reset guard survives, and reads skip dataless waves
+      val wp = new Path(s"$indexDir/w=$batchId")
+      fs.delete(wp, true)
+      fs.mkdirs(wp)
+      fs.create(new Path(wp, "_SUCCESS"), true).close()
+      0L
+    } else {
+      val signed = graft.ops.VectorOps.bqIvfIndex(batch, centroids, bits, idCol, vecCol)
+      signed.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$indexDir/w=$batchId")
+      spark.read.parquet(s"$indexDir/w=$batchId").count()
+    }
   }
 
   /** The maintained index: the newest committed compaction plus newer waves,

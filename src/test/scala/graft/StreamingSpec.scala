@@ -1214,6 +1214,41 @@ class StreamingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("incremental semantic dedup: replay converges, empty waves commit, reset guard") {
+    import graft.streaming.{IncrementalSemDedup, IncrementalBqIndex}
+    import graft.ops.VectorOps
+    import org.apache.spark.sql.functions.{col, lit, transform => atransform}
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .localCheckpoint(true)
+    val cents = VectorOps.kmeansFit(e, 8, iters = 2)
+    val dir = Files.createTempDirectory("graft-semdd-spec").toString
+    val n0 = IncrementalSemDedup.applyBatch(e, 0L, dir, cents, eps = 0.9)
+    assert(n0 > 0)
+    // a wave of verbatim copies admits nothing — and still COMMITS (empty marker
+    // wave), so the store's batch-id high-water mark moves forward
+    val dups = e.withColumn("vec_id", col("vec_id") + lit(1000000L))
+    assert(IncrementalSemDedup.applyBatch(dups, 1L, dir, cents, eps = 0.9) == 0L)
+    val admitted1 = IncrementalSemDedup.admitted(spark, dir).count()
+    assert(admitted1 == n0)
+    // replaying wave 1 (at-least-once) converges on the same state
+    assert(IncrementalSemDedup.applyBatch(dups, 1L, dir, cents, eps = 0.9) == 0L)
+    assert(IncrementalSemDedup.admitted(spark, dir).count() == n0)
+    // replaying wave 0 against its own committed state also converges (id-based
+    // self-exclusion keeps vectors from rejecting themselves)
+    // -- not replayable here: batch id 0 < high-water 1 trips the reset guard,
+    //    which is exactly the contract:
+    intercept[IllegalStateException] {
+      IncrementalSemDedup.applyBatch(e, 0L, dir, cents, eps = 0.9)
+    }
+    // a genuinely new far wave still admits after the empty wave
+    val far = e.withColumn("vec_id", col("vec_id") + lit(2000000L))
+      .withColumn("embedding", atransform(col("embedding"), x => (-x).cast("float")))
+    val n2 = IncrementalSemDedup.applyBatch(far, 2L, dir, cents, eps = 0.9)
+    assert(n2 == n0, s"negated distinct vectors must all admit (got $n2 vs $n0)")
+    assert(IncrementalBqIndex.index(spark, dir + "/index").count() == n0 + n2)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("adaptive grouping-sets MV: flat below threshold, one-way migration, equivalent at every boundary") {
     import graft.streaming.{AdaptiveGroupingSetsMv => A, GroupingSetsMv}
     import org.apache.hadoop.fs.Path
