@@ -188,7 +188,10 @@ object Bench {
   // ratios, outliers, and the median), and the artifact records them under
   // "history_reset" so a reader knows the baseline was re-cut. Clear the set once
   // the round's BENCH.json (carrying new-spec seconds) is committed.
-  private[graft] val respecifiedBenchEntries: Set[String] = Set.empty
+  // r13: doc_pii_scrub was re-specified from an email-only scrub to four typed
+  // classes (4x the regex work by design) — its committed history measures the
+  // old spec, so it gets fresh-entry semantics this round
+  private[graft] val respecifiedBenchEntries: Set[String] = Set("doc_pii_scrub")
 
   /** Committed per-query history from the previous artifact (BENCH.json in the repo
     * working tree), minus deliberately re-specified entries (fresh-entry semantics

@@ -484,6 +484,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("doc_pii_scrub: pure scan-level regex map — no exchange, no UDF") {
+    val p = plan("doc_pii_scrub")
+    assert(!p.contains("Exchange"), s"PII scrub must not shuffle:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("SQLAppliedFunction"),
+      s"PII scrub must stay native regex, not a UDF:\n$p")
+  }
+
   test("doc_stratified_sample: membership is a pure scan-level map (no exchange)") {
     val p = plan("doc_stratified_sample")
     assert(!p.contains("Exchange"), s"sampling must not shuffle, got:\n$p")
