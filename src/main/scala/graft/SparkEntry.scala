@@ -83,11 +83,48 @@ object SparkEntry {
     // identity on the epoch value — and every query downstream sees one timestamp type.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df0 = s.read.parquet(s"$dir/$name.parquet")
-    df0.schema.fields.find(_.name == "ts").map(_.dataType) match {
+    val df1 = df0.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) => df0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case Some(TimestampNTZType) => df0.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df0
     }
+    scanFloor(s, df1, s"$dir/$name.parquet")
+  }
+
+  /**
+   * Parallelism floor over an unsplittable scan (optimization guide §2.5: "input skew —
+   * one huge unsplittable file … repartition immediately after the read"). The driver's
+   * testdata ships every table as ONE parquet row group, and parquet cannot split below
+   * the row group: every scan plans as a single task, so ALL narrow work above it —
+   * envelope synthesis + JSON parse, tokenization, vector scoring, pre-shuffle partial
+   * aggregation — serializes on one core no matter what SPARK_GRAFT_CPUS grants
+   * (measured: cdc_unwrap spends 1.68 s of its 1.81 s in one single-task stage at 32
+   * cores). A production input at 100 TB arrives as thousands of row groups ≥ the core
+   * count, so the floor condition below is false and this is the identity — no extra
+   * exchange ever appears in an at-scale plan; it is NOT a constant tuned for local
+   * mode but the partition count the scan itself would have had were the input split
+   * normally (min(bytes/target, cores)).
+   *
+   * The spread is round-robin — never keyed, so it cannot skew and cannot be mistaken
+   * for a semantic partitioning — and Spark's sort-before-repartition (on by default)
+   * keeps the row→partition assignment deterministic under task retry. Target bytes
+   * per partition come from `spark.graft.scanFloor.targetBytes` (default 64 KB of
+   * COMPRESSED parquet ≈ ms-scale scan work; snappy+dictionary explode ~5-10× in
+   * memory and the per-row compute above these scans is orders of magnitude past the
+   * read cost). Set 0 to disable.
+   */
+  private def scanFloor(s: SparkSession, df: DataFrame, path: String): DataFrame = {
+    val target = s.conf.getOption("spark.graft.scanFloor.targetBytes")
+      .map(_.toLong).getOrElse(64L << 10)
+    if (target <= 0) return df
+    val bytes =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).getContentSummary(p).getLength
+      } catch { case _: Throwable => 0L }
+    val want = math.min(s.sparkContext.defaultParallelism.toLong,
+      math.max(1L, bytes / target)).toInt
+    if (want > 1 && df.rdd.getNumPartitions < want) df.repartition(want) else df
   }
 
   private def dec(c: Column, p: Int = 18, s: Int = 2): Column = c.cast(DecimalType(p, s))
@@ -216,8 +253,16 @@ object SparkEntry {
     * parse 3× per row in an interpreted Filter). */
   private def unwrapped(s: SparkSession, dir: String): DataFrame = {
     val rawOp = get_json_object(col("value"), "$.op")
+    // The `|| spark_partition_id() < 0` arm is vacuously FALSE — it never admits a
+    // row — but it makes the tombstone prefilter a single NON-DETERMINISTIC predicate
+    // that PushPredicateThroughNonJoin can neither split nor push below the scan-floor
+    // exchange (guide §4.4's duplication fix applied to placement): without it the
+    // whole get_json_object probe (a per-row streaming JSON parse) is substituted
+    // through the envelope projection and evaluated on the ONE pre-spread scan task,
+    // re-serializing the exact work the floor exists to spread (measured: 1.22 s
+    // single-task below the exchange vs ~0.1 s/task above it at 32 cores).
     val parsed = eventEnvelopes(s, dir)
-      .filter(rawOp.isNotNull && rawOp =!= lit("t"))
+      .filter((rawOp.isNotNull && rawOp =!= lit("t")) || spark_partition_id() < 0)
       .select(from_json(col("value"), EnvelopeSchema).as("j"))
       .select(col("j.*"))
     Cdc.normalizeColumns(Cdc.unwrapEnvelope(parsed, withBinlogPosition = true,

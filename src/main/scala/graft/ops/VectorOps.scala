@@ -1109,9 +1109,12 @@ object VectorOps {
     }: _*)
   }
 
+  // codegen'd native kernel (r13 optimization): the prior
+  // aggregate(zip_with(.., bit_count(xor)))) HOF form is CodegenFallback — evaluated
+  // through per-element lambda dispatch once per (corpus row, query) PAIR, the single
+  // hottest loop in the BQ family. Same arithmetic, same double result.
   private def hammingSim(csig: Column, qsig: Column, bits: Int): Column =
-    (lit(bits) - aggregate(zip_with(csig, qsig, (a, b) => bit_count(a.bitwiseXOR(b))),
-      lit(0), (acc, x) => acc + x)).cast("double")
+    VectorFunctions.hammingSim(csig, qsig, bits)
 
   /**
    * Persistable binary-signature index: one `(id, sig)` row per corpus vector —

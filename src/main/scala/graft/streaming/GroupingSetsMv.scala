@@ -177,7 +177,10 @@ object GroupingSetsMv {
     if (autoCompactFiles > 0 && dataFiles.length > autoCompactFiles &&
       dataFiles.map(_.getLen).sum / dataFiles.length < SmallFileBytes)
       compactState(spark, stateDir): Unit
-    readVersion(spark, stateDir, batchId).count()
+    // footer metadata, not a count() job: the returned row count is bookkeeping the
+    // parquet footers already carry (one fewer Spark job per micro-batch, guide §1.2)
+    graft.sinks.ParquetMeta.rowCount(
+      spark.sparkContext.hadoopConfiguration, s"$stateDir/v=$batchId")
   }
 
   /** The maintained summary at its newest version, with read-time finalization

@@ -150,9 +150,17 @@ object IncrementalBqIndex {
       0L
     } else {
       val signed = graft.ops.VectorOps.bqIvfIndex(batch, centroids, bits, idCol, vecCol)
-      signed.write.mode("overwrite").partitionBy("cell")
+      // cluster by the partition key before partitionBy (guide §6, the
+      // BucketedGroupingSetsMv discipline): without it every upstream task writes a
+      // file into every cell it touches — nTasks × nCells small files per wave (the
+      // r13 scan floor raised upstream task counts 32×), and every later probe pays
+      // the listing + footer reads. One file per cell per wave, at any input width.
+      signed.repartition(col("cell")).write.mode("overwrite").partitionBy("cell")
         .parquet(s"$indexDir/w=$batchId")
-      spark.read.parquet(s"$indexDir/w=$batchId").count()
+      // footer metadata, not a count() job (guide §1.2 — the count is return-value
+      // bookkeeping, not computation the store needs)
+      graft.sinks.ParquetMeta.rowCount(
+        spark.sparkContext.hadoopConfiguration, s"$indexDir/w=$batchId")
     }
   }
 

@@ -133,7 +133,9 @@ object IncrementalDecontaminate {
         (col("n_shared") >= 1L).as("contaminated"))
     flagged.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     recordBatch(spark, outDir, batchId)
-    spark.read.parquet(s"$outDir/batch=$batchId").count()
+    // footer metadata, not a count() job (guide §1.2): one fewer job per micro-batch
+    graft.sinks.ParquetMeta.rowCount(
+      spark.sparkContext.hadoopConfiguration, s"$outDir/batch=$batchId")
   }
 
   /** All flag rows so far — the union of per-batch outputs; row-identical to the

@@ -76,7 +76,9 @@ object IncrementalRake {
       val n = s.getPath.getName
       if (n.startsWith("v=") && !keep.contains(n)) fs.delete(s.getPath, true): Unit
     }
-    spark.read.parquet(s"$stateDir/v=$batchId/words").count()
+    // footer metadata, not a count() job (guide §1.2): one fewer job per micro-batch
+    graft.sinks.ParquetMeta.rowCount(
+      spark.sparkContext.hadoopConfiguration, s"$stateDir/v=$batchId/words")
   }
 
   /** The maintained phrase ranking at the newest version — the same exact-integer

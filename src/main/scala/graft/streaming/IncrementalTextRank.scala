@@ -97,7 +97,9 @@ object IncrementalTextRank {
       val n = s.getPath.getName
       if (n.startsWith("v=") && !keep.contains(n)) fs.delete(s.getPath, true): Unit
     }
-    spark.read.parquet(s"$stateDir/v=$batchId/uni").count()
+    // footer metadata, not a count() job (guide §1.2): one fewer job per micro-batch
+    graft.sinks.ParquetMeta.rowCount(
+      spark.sparkContext.hadoopConfiguration, s"$stateDir/v=$batchId/uni")
   }
 
   /** The maintained keyword ranking at the newest version — the same frequent-vocab
