@@ -188,10 +188,12 @@ object Bench {
   // ratios, outliers, and the median), and the artifact records them under
   // "history_reset" so a reader knows the baseline was re-cut. Clear the set once
   // the round's BENCH.json (carrying new-spec seconds) is committed.
-  // r13: doc_pii_scrub was re-specified from an email-only scrub to four typed
-  // classes (4x the regex work by design) — its committed history measures the
-  // old spec, so it gets fresh-entry semantics this round
-  private[graft] val respecifiedBenchEntries: Set[String] = Set("doc_pii_scrub")
+  // r14: emb_semdedup_incremental gained a bench twin probing the PRE-TRAINED
+  // quantizer (the ivfModels steady-state idiom every other ANN entry already
+  // uses) — its committed history times in-query k-means training, so fresh-entry
+  // semantics this round. r13's doc_pii_scrub reset is baked into the committed
+  // BENCH.json and cleared.
+  private[graft] val respecifiedBenchEntries: Set[String] = Set("emb_semdedup_incremental")
 
   /** Committed per-query history from the previous artifact (BENCH.json in the repo
     * working tree), minus deliberately re-specified entries (fresh-entry semantics

@@ -70,6 +70,9 @@ object ProfQ {
       }
       val warm = once() // pays codegen compile, like Bench's first run
       spark.catalog.clearCache(); System.gc()
+      Thread.sleep(500) // drain async listener-bus events from the WARM run before
+      // enabling capture (ADVICE r13 #4: late warm onStageCompleted events otherwise
+      // bleed into the measured rows — mirror of the post-run drain below)
       listener.rows.clear(); listener.stageToJob.clear()
       listener.enabled = true
       val t = once()

@@ -112,6 +112,16 @@ object SparkEntry {
    * COMPRESSED parquet ≈ ms-scale scan work; snappy+dictionary explode ~5-10× in
    * memory and the per-row compute above these scans is orders of magnitude past the
    * read cost). Set 0 to disable.
+   *
+   * The scan's own partition count is DERIVED from file bytes with Spark's split
+   * formula (maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+   * bytes/minPartitionNum))) instead of `df.rdd.getNumPartitions` — the r13 form
+   * compiled a full physical plan per table read just to ask for a partition count
+   * (ADVICE r13 #2), ~10-40 ms of driver work inside every timed region, multiplied
+   * by two reads per bench run. The formula and the compiled plan agree on the only
+   * fact the floor needs: whether the planned scan already splits at least `want`
+   * ways (single-file local inputs plan ≤ a handful of splits; a 100 TB input plans
+   * orders of magnitude more than the core count, so the floor stays the identity).
    */
   private def scanFloor(s: SparkSession, df: DataFrame, path: String): DataFrame = {
     val target = s.conf.getOption("spark.graft.scanFloor.targetBytes")
@@ -122,9 +132,19 @@ object SparkEntry {
         val p = new org.apache.hadoop.fs.Path(path)
         p.getFileSystem(s.sparkContext.hadoopConfiguration).getContentSummary(p).getLength
       } catch { case _: Throwable => 0L }
-    val want = math.min(s.sparkContext.defaultParallelism.toLong,
-      math.max(1L, bytes / target)).toInt
-    if (want > 1 && df.rdd.getNumPartitions < want) df.repartition(want) else df
+    val cores = s.sparkContext.defaultParallelism.toLong
+    val want = math.min(cores, math.max(1L, bytes / target)).toInt
+    if (want <= 1) return df
+    val maxPartitionBytes = s.conf.getOption("spark.sql.files.maxPartitionBytes")
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(128L << 20)
+    val openCost = s.conf.getOption("spark.sql.files.openCostInBytes")
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(4L << 20)
+    val maxSplit = math.min(maxPartitionBytes,
+      math.max(openCost, (bytes + openCost) / math.max(1L, cores)))
+    val plannedSplits = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+    if (plannedSplits < want) df.repartition(want) else df
   }
 
   private def dec(c: Column, p: Int = 18, s: Int = 2): Column = c.cast(DecimalType(p, s))
@@ -2833,8 +2853,15 @@ object SparkEntry {
       val st2 = java.nio.file.Files.createTempDirectory("graft-msprt2").toString
       for (b <- 0 to 2) {
         val wave = d.filter(pmod(col("event_id"), lit(3)) === b)
-        GroupingSetsMv.applyBatch(wave, b.toLong, st1, "k", "scope", "c")
+        // the Σc and Σc² stores are INDEPENDENT (separate dirs, same wave input,
+        // which is already checkpointed) — overlap their per-wave jobs so the
+        // second store's work back-fills the first's scheduling tail (guide §2.6);
+        // within each store the waves stay sequential (b merges b−1's state)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val f1 = Future { GroupingSetsMv.applyBatch(wave, b.toLong, st1, "k", "scope", "c") }
         GroupingSetsMv.applyBatch(wave, b.toLong, st2, "k", "scope", "c2")
+        Await.result(f1, scala.concurrent.duration.Duration.Inf)
       }
       def cells(dir0: String) = GroupingSetsMv.current(s, dir0)
         .filter(col("gid") === 1).select(col("k").cast("long").as("k"),
@@ -6623,6 +6650,28 @@ object SparkEntry {
         VectorOps.kmeansFit(e, 8, iters = 3))
       VectorOps.semDeDup(e, eps = 0.99, nClusters = 8, trained = Some(model),
         keep = "farthest")
+    }),
+
+    // streaming admission off the PRE-TRAINED quantizer (the ivfModels idiom —
+    // at 100 TB the coarse quantizer is an offline ModelStore artifact shared by
+    // every admission wave): the timed work is the three admission waves (index
+    // probe, in-cell dominance, store maintenance) — the operator's steady-state
+    // cost; the gated form keeps training inline and stays the Verify surface
+    "emb_semdedup_incremental" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = ivfModels.getOrElseUpdate(dir, VectorOps.kmeansFit(e, 16, iters = 2))
+      val store = java.nio.file.Files.createTempDirectory("graft_semdd_b").toString
+      val dups = e.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + lit(10000000L))
+      val far = e.withColumn("vec_id", col("vec_id") + lit(20000000L))
+        .withColumn("embedding", transform(col("embedding"), x => (-x).cast("float")))
+      val n0 = graft.streaming.IncrementalSemDedup.applyBatch(e, 0L, store, cents, eps = 0.9)
+      val n1 = graft.streaming.IncrementalSemDedup.applyBatch(dups, 1L, store, cents, eps = 0.9)
+      val n2 = graft.streaming.IncrementalSemDedup.applyBatch(far, 2L, store, cents, eps = 0.9)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(store))
+      s.range(1).select(
+        lit(n0).as("n_w0_admitted"), lit(n1).as("n_dup_admitted"),
+        lit(n2).as("n_far_admitted"), lit(n0 + n1 + n2).as("n_admitted_total"))
     }),
 
     // fit is the offline step; the 100 TB path is the broadcast projection map

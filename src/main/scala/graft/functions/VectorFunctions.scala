@@ -419,10 +419,11 @@ object VectorExpressions {
    * `aggregate(zip_with(...bit_count...))` HOF form is CodegenFallback and evaluated
    * through per-element lambda dispatch (measured 11.2 s of task time for a 4M-pair
    * wave at sf0.1 that this kernel runs in a fraction of). Identical arithmetic:
-   * integer XOR + POPCNT word sums, cast to double at the end. Width mismatches are
-   * rejected upstream (`requireSigWidth`); on a shorter pair this scores
-   * min-length words (the HOF form nulled the score — upstream guards make the case
-   * unreachable, and a loud width check remains the contract).
+   * integer XOR + POPCNT word sums, cast to double at the end. A signature-width
+   * mismatch throws IN THE KERNEL (ADVICE r13 #3: the old min-length fallback
+   * silently inflated similarity for any future direct caller; the entry-point
+   * `requireSigWidth` guards only the index probes) — one branch per pair,
+   * negligible next to the popcount loop.
    */
   case class HammingSim(left: Expression, right: Expression, bits: Int)
       extends BinaryExpression {
@@ -431,21 +432,25 @@ object VectorExpressions {
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData].toLongArray()
       val y = b.asInstanceOf[ArrayData].toLongArray()
-      val n = math.min(x.length, y.length)
+      if (x.length != y.length) throw new IllegalArgumentException(
+        s"hamming_sim: signature widths differ (${x.length} vs ${y.length} words) — " +
+          "signatures at mixed bit budgets cannot be Hamming-compared")
       var acc = 0; var i = 0
-      while (i < n) { acc += java.lang.Long.bitCount(x(i) ^ y(i)); i += 1 }
+      while (i < x.length) { acc += java.lang.Long.bitCount(x(i) ^ y(i)); i += 1 }
       (bits - acc).toDouble
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
-        val (x, y, i, n, acc) = (ctx.freshName("x"), ctx.freshName("y"),
-          ctx.freshName("i"), ctx.freshName("n"), ctx.freshName("acc"))
+        val (x, y, i, acc) = (ctx.freshName("x"), ctx.freshName("y"),
+          ctx.freshName("i"), ctx.freshName("acc"))
         s"""
            |long[] $x = $a.toLongArray();
            |long[] $y = $b.toLongArray();
-           |int $n = java.lang.Math.min($x.length, $y.length);
+           |if ($x.length != $y.length) throw new IllegalArgumentException(
+           |  "hamming_sim: signature widths differ (" + $x.length + " vs " + $y.length +
+           |  " words) — signatures at mixed bit budgets cannot be Hamming-compared");
            |int $acc = 0;
-           |for (int $i = 0; $i < $n; $i++) { $acc += java.lang.Long.bitCount($x[$i] ^ $y[$i]); }
+           |for (int $i = 0; $i < $x.length; $i++) { $acc += java.lang.Long.bitCount($x[$i] ^ $y[$i]); }
            |${ev.value} = (double) ($bits - $acc);
          """.stripMargin
       })

@@ -39,11 +39,21 @@ object GraphOps {
     require(iters >= 1 && dampingPct > 0 && dampingPct < 100)
     val Scale = 1000000000000L
     val teleportUnits = Scale / 100 * (100 - dampingPct)
-    val e = edges.select(col("src"), col("dst"))
+    // Materialize the edge list ONCE (lazy lineage cut, the kCore idiom): `e` is
+    // referenced by nodes, deg and every iteration's contrib join — without the cut
+    // each reference RE-RUNS the caller's whole edge construction (doc_textrank's
+    // corpus tokenize, emb_*'s kNN build: ~2 + iters evaluations), and the nested
+    // per-iteration plan sends Catalyst re-optimizing the full tree every round
+    // (measured: doc_textrank spent 1.7 s of 3.75 s in the driver). The edge table
+    // is the algorithm's own O(|E|) state — cheaper to hold than to rebuild at any
+    // scale (the mutualFlag argument). nodes/deg/ranks are |V|-row tables, cut the
+    // same way so iteration i's plan never contains iterations 1..i-1.
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(eager = false)
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(eager = false)
     val nCnt = broadcast(nodes.agg(count(lit(1)).as("__n")))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+      .localCheckpoint(eager = false)
     var ranks = nodes.crossJoin(nCnt)
       .select(col("id"), expr(s"$Scale div __n").as("r"))
     for (_ <- 1 to iters) {
@@ -56,6 +66,7 @@ object GraphOps {
         .select(nodes("id"),
           expr(s"($teleportUnits div __n) + (($dampingPct * coalesce(__s, 0L)) div 100)")
             .as("r"))
+        .localCheckpoint(eager = false)
     }
     ranks.select(col("id"), col("r").as("rank_e12"))
   }
@@ -79,9 +90,12 @@ object GraphOps {
    */
   def hits(edges: DataFrame, iters: Int = 2): DataFrame = {
     require(iters >= 1)
-    val e = edges.select(col("src"), col("dst"))
+    // same lineage-cut discipline as [[pageRank]]: `e` sits in 2 joins per sweep and
+    // nodes in 2 more — without the cut every reference re-runs the caller's edge
+    // construction and the sweep-nested plan re-optimizes in full each round
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(eager = false)
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(eager = false)
     var hubs = nodes.select(col("id"), lit(1L).as("h"))
     var auth = nodes.select(col("id"), lit(0L).as("a"))
     for (_ <- 1 to iters) {
@@ -89,10 +103,12 @@ object GraphOps {
         .groupBy(col("dst")).agg(sum(col("h")).as("__a"))
       auth = nodes.join(aNew, nodes("id") === aNew("dst"), "left")
         .select(nodes("id"), coalesce(col("__a"), lit(0L)).as("a"))
+        .localCheckpoint(eager = false)
       val hNew = e.join(auth.withColumnRenamed("id", "__aid"), e("dst") === col("__aid"))
         .groupBy(col("src")).agg(sum(col("a")).as("__h"))
       hubs = nodes.join(hNew, nodes("id") === hNew("src"), "left")
         .select(nodes("id"), coalesce(col("__h"), lit(0L)).as("h"))
+        .localCheckpoint(eager = false)
     }
     hubs.join(auth.select(col("id").as("__id2"), col("a")), col("id") === col("__id2"))
       .select(col("id"), col("h").cast("long").as("hub"), col("a").cast("long").as("auth"))
@@ -252,6 +268,11 @@ object GraphOps {
       .agg(count(lit(1)).as("n_common"))
       .filter(col("n_common") >= minCount)
       .select(col("u"), col("v"))
+    // deliberately NOT lineage-cut here: the downstream algorithms either checkpoint
+    // their canonicalized input themselves (kCore/kTruss/densest/triangleStats) or
+    // reference this plan through symmetric unions whose identical aggregation
+    // exchange Spark already dedupes (ReuseExchange) — an extra checkpoint layer
+    // measured 1.1-1.3x SLOWER on the kcore/ktruss/densest bench entries
   }
 
   /**
@@ -345,9 +366,14 @@ object GraphOps {
   }
 
   def triangleStats(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("u"), col("v")).distinct()
+    // lineage cut (the kCore idiom): `e` feeds deg, oriented, closing and edgeAgg —
+    // without it each reference re-runs the caller's edge construction (the basket
+    // queries' co-occurrence self-join, ~0.6 s a pop at sf0.1); the canonical edge
+    // table itself is tiny (pairs over minCount)
+    val e = edges.select(col("u"), col("v")).distinct().localCheckpoint(eager = false)
     val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
+      .localCheckpoint(eager = false)
     // orient by (degree, id): src = the smaller endpoint under that order
     val dU = deg.select(col("n").as("u"), col("d").as("du"))
     val dV = deg.select(col("n").as("v"), col("d").as("dv"))
@@ -385,10 +411,23 @@ object GraphOps {
    */
   def triangleStatsCapped(membership: DataFrame, groupCol: String, itemCol: String,
       minCount: Long = 2L, maxGroupSize: Int = 5): DataFrame = {
-    val edges = coOccurrenceEdges(membership, groupCol, itemCol, minCount, Some(maxGroupSize))
-    val dropped = membership
-      .select(col(groupCol).as("__g"), col(itemCol).as("__i")).distinct()
-      .groupBy("__g").agg(count(lit(1)).as("__gs"))
+    // ONE group-size table serves both the cap semi-join and the dropped-count audit
+    // (the r13 form computed membership.distinct().groupBy(g) twice — once inside
+    // coOccurrenceEdges, once here); |groups| rows, lineage-cut so both consumers
+    // read the materialized table
+    val m = membership.select(col(groupCol).as("__g"), col(itemCol).as("__i")).distinct()
+    val sizes = m.groupBy("__g").agg(count(lit(1)).as("__gs"))
+      .localCheckpoint(eager = false)
+    val bounded = m.join(
+      sizes.filter(col("__gs") <= maxGroupSize).select("__g"), Seq("__g"), "left_semi")
+    val b = bounded.select(col("__g"), col("__i").as("__j"))
+    val edges = bounded.join(b, "__g")
+      .filter(col("__i") < col("__j"))
+      .groupBy(col("__i").as("u"), col("__j").as("v"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCount)
+      .select(col("u"), col("v"))
+    val dropped = sizes
       .agg(count(when(col("__gs") > maxGroupSize, lit(1))).as("n_dropped_groups"))
     triangleStats(edges)
       .crossJoin(broadcast(dropped))
@@ -582,9 +621,12 @@ object GraphOps {
         .distinct()
     }
 
-    val init = edges.select(col("u"), col("v"))
-      .filter(col("u") =!= col("v")).distinct()
-    var cur = truncate(init)
+    // truncate the canonicalized input ONCE and reference the truncated frame
+    // everywhere — the r13 form kept the raw `init` plan for the endpoint-agreement
+    // verify below, re-running the caller's whole edge construction a second time
+    val init = truncate(edges.select(col("u"), col("v"))
+      .filter(col("u") =!= col("v")).distinct())
+    var cur = init
     // Fixed point = identical edge sets, decided by the order-insensitive fingerprint
     // ([[edgeSetStats]]): the previous round's stats carry over, so convergence costs
     // ONE aggregation job per round (the r8 exceptAll form cost two exceptAll joins +

@@ -403,15 +403,19 @@ object TextOps {
    */
   def textRank(df: DataFrame, minCount: Long = 5, topK: Int = 50,
       textCol: String = "text"): DataFrame = {
-    val toksDf = df.select(tokensCol(col(textCol)).as("__toks"))
-    val freq = toksDf.select(explode(col("__toks")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("c"))
-      .filter(col("c") >= minCount)
-    val pairs = toksDf
-      .select(explode(TextFunctions.shingles(col("__toks"), 2)).as("pair"))
-      .withColumn("a", split(col("pair"), " ").getItem(0))
-      .withColumn("b", split(col("pair"), " ").getItem(1))
-      .filter(col("a") =!= col("b"))
+    // ONE tokenize pass for BOTH count tables (guide §2.4 "do fewer passes"): unigram
+    // rows (tok, NULL) and window-2 pair rows (a, b) ride the same exploded gram
+    // stream into a single map-side-combined aggregation; the result is the
+    // Heaps-bounded (vocab + distinct-bigram) table, lineage-cut because freq feeds
+    // 4 consumers and pairs 2 — the r13 two-table form re-tokenized the corpus once
+    // per reference (~7 scans per run, measured in the doc_textrank plan).
+    // Equivalence: unigram counts are identical; the pair table now carries one row
+    // per DISTINCT pair (with its count) instead of one per occurrence, and its only
+    // consumer is the symmetric-edge `.distinct()` — same edge set.
+    val grams = textRankGramCounts(df, textCol).localCheckpoint(eager = false)
+    val freq = grams.filter(col("b").isNull && col("n") >= minCount)
+      .select(col("a").as("tok"), col("n").as("c"))
+    val pairs = grams.filter(col("b").isNotNull && col("a") =!= col("b"))
       .join(freq.select(col("tok").as("a")), "a")
       .join(freq.select(col("tok").as("b")), "b")
       .select("a", "b")
@@ -423,6 +427,21 @@ object TextOps {
       .limit(topK)
       .select(col("id").as("token"), col("rank_e12"), col("c").as("n_occurrences"))
   }
+
+  /** The shared one-pass gram counter behind [[textRank]] and the incremental twin:
+    * (a, b NULL, n) = unigram counts, (a, b, n) = adjacent-pair (window 2) counts,
+    * both from a single tokenize scan and one shuffle. Tokens never contain spaces
+    * (the tokenizer splits on non-alphanumerics), so the 2-gram splits are exact. */
+  private[graft] def textRankGramCounts(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(tokensCol(col(textCol)).as("__toks"))
+      .select(explode(concat(
+        transform(col("__toks"),
+          x => struct(x.as("a"), lit(null).cast("string").as("b"))),
+        transform(TextFunctions.shingles(col("__toks"), 2),
+          p => struct(substring_index(p, " ", 1).as("a"),
+            substring_index(p, " ", -1).as("b"))))).as("g"))
+      .groupBy(col("g.a").as("a"), col("g.b").as("b"))
+      .agg(count(lit(1)).as("n"))
 
   /**
    * RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword Extraction from
@@ -469,12 +488,27 @@ object TextOps {
           struct(col("__pos"), col("__tok")))), e => e.getField("__tok")), " ")
           .as("phrase"),
         count(lit(1)).as("__len"))
-    val wordStats = words.join(phrases, Seq("__id", "__grp"))
-      .groupBy(col("__tok"))
-      .agg(count(lit(1)).as("freq"), sum(col("__len")).as("deg"))
-      .select(col("__tok").as("tok"), col("freq"), col("deg").cast("long").as("deg"))
-    val phraseCounts = phrases.groupBy(col("phrase"))
-      .agg(count(lit(1)).as("occ"))
+    // BOTH count tables from ONE pass over the phrase stream (guide §2.4). Word rows
+    // are recovered by re-splitting the phrase text — each phrase string is exactly
+    // the space-join of its group's token multiset, so (freq = occurrences,
+    // deg = Σ containing-phrase length) are identical to the r13 words⋈phrases join,
+    // which re-ran the whole tokenize+window pass on BOTH join sides. The combined
+    // (kind, key) aggregate is vocab + distinct-phrase bounded (it IS the maintained
+    // state of the incremental twin), lineage-cut because word/phrase consumers are
+    // separate actions downstream.
+    val combined = phrases.select(explode(concat(
+        transform(split(col("phrase"), " "),
+          t => struct(lit(0).as("kind"), t.as("key"), col("__len").as("w"))),
+        array(struct(lit(1).as("kind"), col("phrase").as("key"), lit(1L).as("w")))))
+        .as("g"))
+      .groupBy(col("g.kind").as("kind"), col("g.key").as("key"))
+      .agg(count(lit(1)).as("cnt"), sum(col("g.w")).as("sw"))
+      .localCheckpoint(eager = false)
+    val wordStats = combined.filter(col("kind") === 0)
+      .select(col("key").as("tok"), col("cnt").as("freq"),
+        col("sw").cast("long").as("deg"))
+    val phraseCounts = combined.filter(col("kind") === 1)
+      .select(col("key").as("phrase"), col("cnt").as("occ"))
     (wordStats, phraseCounts)
   }
 

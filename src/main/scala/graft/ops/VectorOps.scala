@@ -1172,7 +1172,10 @@ object VectorOps {
     val assigned = queries.select(col(idCol), col(vecCol),
       VectorFunctions.nearestCentroids(col(vecCol), centroids, nProbe).as("cells"))
     val nq = l2Normalized(assigned, vecCol)
-    val dim = nq.select(size(col(vecCol))).head.getInt(0)
+    // plane-matrix dim comes from the quantizer model (centroid dim == vector dim by
+    // the nearestCentroids contract) — the r13 `.head` sizing job cost one extra scan
+    // of the query batch per probe call, and threw on an empty batch
+    val dim = centroids(0).length
     nq.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       bqSignature(col(vecCol), bits, dim).as("qsig"), col("cells"))
   }
@@ -1192,7 +1195,8 @@ object VectorOps {
     val assigned = corpus.select(col(idCol), col(vecCol),
       VectorFunctions.nearestCentroids(col(vecCol), centroids, 1).getItem(0).as("cell"))
     val nc = l2Normalized(assigned, vecCol)
-    val dim = nc.select(size(col(vecCol))).head.getInt(0)
+    // model-derived dim (the bqProbeQueries argument): no sizing job, no empty-batch throw
+    val dim = centroids(0).length
     nc.select(col(idCol), bqSignature(col(vecCol), bits, dim).as("sig"), col("cell"))
   }
 
@@ -1207,9 +1211,13 @@ object VectorOps {
    */
   def bqIvfCandidates(index: DataFrame, queries: DataFrame,
       centroids: Array[Array[Float]], nProbe: Int = 2, bits: Int = 256,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    bqIvfCandidatesOf(index,
+      bqProbeQueries(queries, centroids, nProbe, bits, idCol, vecCol), bits, idCol)
+
+  private def bqIvfCandidatesOf(index: DataFrame, q: DataFrame, bits: Int,
+      idCol: String): DataFrame = {
     requireSigWidth(index, bits)
-    val q = bqProbeQueries(queries, centroids, nProbe, bits, idCol, vecCol)
     val probed = q.select(explode(col("cells")).as("cell")).distinct()
       .collect().map(_.getInt(0)).sorted // bounded by |queries| × nProbe
     val qc = q.select(col("query_id"), col("qsig"), explode(col("cells")).as("cell"))
@@ -1224,12 +1232,17 @@ object VectorOps {
   /** BQ top-k through the coarse-partitioned index: [[bqIvfCandidates]] for the
     * pruned Hamming scan, then the fixed-shortlist exact-cosine rerank tail shared
     * with [[bqTopKFromIndex]] — rerank stays a corpus-independent O(shortlist) per
-    * query, and now the candidate scan is corpus-fraction-bounded too. */
+    * query, and now the candidate scan is corpus-fraction-bounded too. The probe
+    * frame (id, vec, signature, probed cells — |queries| rows, broadcast-bounded by
+    * the probe contract) is computed ONCE and lineage-cut: the r13 form derived it
+    * separately for the candidate scan and the rerank tail, re-signing the whole
+    * query batch per reference. */
   def bqTopKFromIvfIndex(index: DataFrame, corpus: DataFrame, queries: DataFrame,
       k: Int, centroids: Array[Array[Float]], nProbe: Int = 2, shortlist: Int = 64,
       bits: Int = 256, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val scored = bqIvfCandidates(index, queries, centroids, nProbe, bits, idCol, vecCol)
     val q = bqProbeQueries(queries, centroids, nProbe, bits, idCol, vecCol)
+      .localCheckpoint(eager = false)
+    val scored = bqIvfCandidatesOf(index, q, bits, idCol)
     bqFetchRerank(scored, q, corpus, k, shortlist, idCol, vecCol)
   }
 

@@ -19,11 +19,16 @@ import org.apache.parquet.hadoop.util.HadoopInputFile
  */
 object ParquetMeta {
 
-  /** Sum of footer row counts of every data file under `dir` (0 if absent). */
+  /** Sum of footer row counts of every data file under `dir`. A MISSING directory
+    * throws (ADVICE r13 #5): every caller invokes this right after a successful
+    * write, so an absent path means the write silently produced nothing (or the
+    * paths diverged) — reporting 0 rows applied would hide a broken batch. */
   def rowCount(conf: Configuration, dir: String): Long = {
     val p = new Path(dir)
     val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) return 0L
+    if (!fs.exists(p)) throw new IllegalStateException(
+      s"ParquetMeta.rowCount: $dir does not exist — callers count rows of a " +
+        "just-written store wave, so an absent path is a failed or misrouted write")
     def walk(d: Path): Long =
       fs.listStatus(d).iterator.map { st =>
         val n = st.getPath.getName

@@ -61,20 +61,28 @@ object IncrementalSemDedup {
             s"$batchId: the stream's checkpoint was reset independently of the " +
             "store — restore the checkpoint or start a fresh store")
       }
+    // Lineage-cut the (micro-batch-bounded) input once: the batch plan is referenced
+    // by the probe queries, the anti-join left side and (through crossSurvivors)
+    // semDeDup's a/b pair sides plus the admitted projection — ~6 references that
+    // each re-ran the caller's scan/derivation per batch without the cut.
+    val batchC = batch.localCheckpoint(eager = false)
     // cross-batch: reject anything whose nearest ADMITTED neighbor confirms ≥ eps
     // (an index with no signatures yet — first batch, or only empty waves — means
     // no admitted corpus to collide with)
     val crossSurvivors =
-      if (!IncrementalBqIndex.hasData(spark, idxDir(storeDir))) batch
+      (if (!IncrementalBqIndex.hasData(spark, idxDir(storeDir))) batchC
       else {
         val near = VectorOps.bqTopKFromIvfIndex(
             IncrementalBqIndex.index(spark, idxDir(storeDir)),
-            admitted(spark, storeDir), batch, k = 1, centroids,
+            admitted(spark, storeDir), batchC, k = 1, centroids,
             nProbe, shortlist, bits, idCol, vecCol)
           .filter(col("sim") >= eps)
           .select(col("query_id").as(idCol))
-        batch.join(near, Seq(idCol), "left_anti")
-      }
+        batchC.join(near, Seq(idCol), "left_anti")
+        // cut again: the survivors (≤ batch rows) feed semDeDup's pair sides, the
+        // kept-id semi-join and the admitted projection — without it the whole
+        // index-probe anti-join chain re-runs per reference
+      }).localCheckpoint(eager = false)
     // intra-batch: in-cell pairwise dominance under the same quantizer
     val keptIds = VectorOps.semDeDup(crossSurvivors, eps, trained = Some(centroids),
         idCol = idCol, vecCol = vecCol)

@@ -38,15 +38,15 @@ object IncrementalTextRank {
   /** One batch's contribution: unigram counts and adjacent-pair (window-2) counts,
     * from a single tokenize pass over the batch. */
   def batchDelta(batch: DataFrame, textCol: String = "text"): (DataFrame, DataFrame) = {
-    val toks = batch.select(graft.ops.TextOps.tokensCol(col(textCol)).as("__toks"))
-    val uni = toks.select(explode(col("__toks")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("c"))
-    val pairs = toks
-      .select(explode(graft.functions.TextFunctions.shingles(col("__toks"), 2)).as("pair"))
-      .withColumn("a", split(col("pair"), " ").getItem(0))
-      .withColumn("b", split(col("pair"), " ").getItem(1))
-      .filter(col("a") =!= col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+    // ONE tokenize pass for both delta tables (the textRank one-pass form): the gram
+    // counts are lineage-cut because the uni and pairs writes are two separate
+    // actions — without the cut the batch tokenizes twice per micro-batch
+    val grams = graft.ops.TextOps.textRankGramCounts(batch, textCol)
+      .localCheckpoint(eager = false)
+    val uni = grams.filter(col("b").isNull)
+      .select(col("a").as("tok"), col("n").as("c"))
+    val pairs = grams.filter(col("b").isNotNull && col("a") =!= col("b"))
+      .select(col("a"), col("b"), col("n"))
     (uni, pairs)
   }
 
