@@ -152,11 +152,15 @@ object IncrementalCC {
       .distinct().localCheckpoint(eager = true)
     val nodes = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
     val resolved = resolve(prior, nodes)
+    // lineage-cut (lazy): `contracted` is evaluated by the isEmpty gate AND by
+    // connectedComponentsStar's canonicalization — without the cut the two-join
+    // resolve chain runs twice per batch; the frame is batch-bounded by contraction
     val contracted = e
       .join(resolved.select(col("id").as("u"), col("component_id").as("__ru")), "u")
       .join(resolved.select(col("id").as("v"), col("component_id").as("__rv")), "v")
       .select(col("__ru").as("u"), col("__rv").as("v"))
       .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(eager = false)
     val appended =
       if (contracted.isEmpty) 0L
       else {

@@ -29,6 +29,26 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(math.abs(norms(3) - math.sqrt(2)) < 1e-12)
   }
 
+  test("hammingSim: exact popcount similarity on equal widths, throws on width mismatch") {
+    // 256 bits = 4 long words; flip 3 bits in one word -> sim = 256 - 3
+    val a = Array(0L, -1L, 0x0F0FL, 42L)
+    val b = Array(0L, -1L, 0x0F0FL ^ 0x7L, 42L)
+    val same = Seq((a.toSeq, b.toSeq)).toDF("x", "y")
+      .select(VectorFunctions.hammingSim(col("x"), col("y"), 256).as("s"))
+      .head().getDouble(0)
+    assert(same == 253.0)
+    // ADVICE r13 #3: a mixed-width pair must THROW in the kernel, not silently
+    // score min-length words (which inflates similarity for any direct caller
+    // the entry-point requireSigWidth guards don't cover)
+    val mixed = Seq((a.toSeq, Seq(0L, -1L))).toDF("x", "y")
+      .select(VectorFunctions.hammingSim(col("x"), col("y"), 256).as("s"))
+    val ex = intercept[Exception] { mixed.collect() }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse(""))
+        .mkString(" | "))
+    assert(rootMsg(ex).contains("signature widths differ"), rootMsg(ex))
+  }
+
   test("cosine of zero vector is 0.0, null in -> null out") {
     val z = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
     assert(z.select(VectorFunctions.cosine(col("a"), col("b"))).collect().head.getDouble(0) == 0.0)
